@@ -1,0 +1,158 @@
+"""Deterministic record hashing for cohort sampling and dedup.
+
+Role model: the reference's hasher stack — FarmHash fingerprint64 / seeded
+Murmur3_128 over a canonical per-type byte feeding
+(reference: ratatool-sampling Util.scala:85-110, BigSampler.scala:349-435,
+BigSamplerAvro.scala:161-185) with hash->[0,1] normalization
+(BigSampler.scala:74-75 ``boundLong``).
+
+Spark-first redesign, two tiers:
+
+1. **portable_hash64** — md5-prefix hash (60 bits), expressed entirely in
+   built-in JVM functions (``md5``/``conv``) so it stays inside whole-stage
+   codegen AND is bit-for-bit reproducible in any other SQL engine
+   (DuckDB: ``('0x' || substr(md5(x), 1, 15))::BIGINT``; BigQuery:
+   ``SAFE_CAST(CONCAT('0x', SUBSTR(TO_HEX(MD5(x)), 1, 15)) AS INT64)``).
+   This is the default sampling dice: a user can re-derive the exact cohort
+   in their warehouse, which is the property the reference's
+   FARM_FINGERPRINT compatibility exists to provide
+   (ratatool-sampling/README.md:90-97).
+
+2. **xxhash_cols** — Spark-native ``xxhash64``: faster (no md5), same
+   determinism within Spark, NOT cross-engine portable. Use for internal
+   shuffles/dedup where external reproducibility is not required.
+
+FarmHash parity itself is available only if ``pyfarmhash`` is installed
+(gated import; not in this container) — see ``farmhash_udf``.
+
+Null semantics match the reference: null fields are skipped from the hash
+feed (BigSamplerAvro.scala:66-71 logs-and-skips) — ``concat_ws`` drops
+nulls in both Spark and DuckDB, so the portable form inherits it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# 60-bit hash space: 15 hex chars. Fits signed 64-bit in every engine.
+HASH_BITS = 60
+HASH_SPACE = float(1 << HASH_BITS)
+# ASCII unit separator: cannot appear in the data fields we hash.
+FIELD_SEP = "\x01"
+
+
+def serialize_for_hash(col: Column | str, dtype: T.DataType | None = None) -> Column:
+    """Canonical string rendering of a column for hash feeding.
+
+    Mirrors the reference's per-type feed rules (BigSamplerAvro.scala:161-185):
+    int widened to long (same decimal string), boolean as true/false, bytes as
+    lower hex, enum/string as-is, timestamp as epoch micros (engine-neutral —
+    avoids format differences). Doubles are rendered via a fixed-scale decimal
+    cast so the text form is engine-independent.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if dtype is None:
+        return c.cast("string")
+    if isinstance(dtype, T.BinaryType):
+        return F.lower(F.hex(c))
+    if isinstance(dtype, T.TimestampType):
+        return (c.cast("double") * F.lit(1000000)).cast("long").cast("string")
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        return c.cast(T.DecimalType(28, 9)).cast("string")
+    if isinstance(dtype, T.BooleanType):
+        return F.when(c, F.lit("true")).otherwise(F.lit("false"))
+    return c.cast("string")
+
+
+def portable_hash64(s: Column) -> Column:
+    """60-bit deterministic hash of a string column, cross-engine portable.
+
+    ``conv`` parses the 15-char hex prefix of md5 as an unsigned number;
+    result is in [0, 2^60).
+    """
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def hash_cols(
+    cols: Sequence[Column | str],
+    seed: int = 0,
+    dtypes: Sequence[T.DataType] | None = None,
+) -> Column:
+    """Hash a tuple of field columns with a seed into [0, 2^60).
+
+    The seed is prepended to the feed the way the reference prepends its
+    int seed to the hasher (Util.scala:94-97). Fields are joined with an
+    ASCII unit separator; nulls are skipped (see module docstring).
+    """
+    if dtypes is not None:
+        rendered = [serialize_for_hash(c, t) for c, t in zip(cols, dtypes)]
+    else:
+        rendered = [serialize_for_hash(c) for c in cols]
+    feed = F.concat_ws(FIELD_SEP, F.lit(str(seed)), *rendered)
+    return portable_hash64(feed)
+
+
+def bound01(hash_col: Column) -> Column:
+    """Map a 60-bit hash to [0.0, 1.0) — the reference's ``boundLong``
+    (BigSampler.scala:74-75) re-ranged for the portable hash space."""
+    return hash_col.cast("double") / F.lit(HASH_SPACE)
+
+
+def dice(
+    cols: Sequence[Column | str],
+    seed: int = 0,
+    dtypes: Sequence[T.DataType] | None = None,
+) -> Column:
+    """The deterministic sampling dice: uniform [0,1) per record, derived
+    only from the named fields + seed (BigSampler.diceElement:83-90)."""
+    return bound01(hash_cols(cols, seed=seed, dtypes=dtypes))
+
+
+def xxhash_cols(cols: Sequence[Column | str], seed: int = 42) -> Column:
+    """Spark-native fast path: xxhash64 over the columns. Deterministic
+    within Spark, not portable to other engines. Full 64-bit signed range."""
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    return F.xxhash64(F.lit(seed), *cs)
+
+
+def xxdice(cols: Sequence[Column | str], seed: int = 42) -> Column:
+    """xxhash64 mapped to [0,1): affine map of the signed 64-bit range,
+    exactly the reference's boundLong (BigSampler.scala:74-75)."""
+    h = xxhash_cols(cols, seed=seed)
+    lmin, lmax = float(-(2**63)), float(2**63 - 1)
+    return (h.cast("double") - F.lit(lmin)) / (F.lit(lmax) - F.lit(lmin))
+
+
+def farmhash_udf():
+    """FarmHash fingerprint64 UDF for exact BigQuery FARM_FINGERPRINT parity
+    (Util.scala:85-92). Requires ``pyfarmhash``; gated because the container
+    does not ship it. Prefer ``portable_hash64`` — it provides the same
+    warehouse-reproducibility property via md5."""
+    try:
+        import farmhash  # type: ignore
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "pyfarmhash not installed; use portable_hash64 (md5-based, "
+            "cross-engine) or xxhash_cols (Spark-native) instead"
+        ) from e
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.LongType())
+    def _farm(s: pd.Series) -> pd.Series:  # pragma: no cover
+        return s.map(lambda x: farmhash.fingerprint64(x) - (1 << 64) if x is not None and farmhash.fingerprint64(x) >= (1 << 63) else (farmhash.fingerprint64(x) if x is not None else None))
+
+    return _farm
+
+
+def duckdb_dice_sql(field_sql: Sequence[str], seed: int = 0) -> str:
+    """Emit the DuckDB SQL expression equivalent to ``dice`` over the given
+    already-rendered field expressions. Used by the oracle harness; kept here
+    so the two implementations sit side by side."""
+    feed = f"concat_ws(chr(1), '{seed}', {', '.join(field_sql)})"
+    return f"((('0x' || substr(md5({feed}), 1, 15))::BIGINT)::DOUBLE / {HASH_SPACE!r})"

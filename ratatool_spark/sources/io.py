@@ -1,0 +1,135 @@
+"""Sources & sinks (SURVEY.md §2.1, S1-S15).
+
+The reference wires per-format IO modules (Avro / Parquet-Avro / BigQuery /
+protobuf / TableRow-JSON) with driver-side schema extraction and output
+memoization (FileStorage.scala:38-74, AvroIO.scala:102-109,
+ParquetIO.scala:38-55). In Spark all of that collapses into
+``spark.read.format(fmt)`` — the DataFrameReader extracts schemas from file
+metadata, handles globs, and parallelizes per split. What remains worth
+owning is:
+
+  - format sniffing by extension (BigSampler.scala:236-309 routes on
+    ``.avro`` / ``.parquet``),
+  - output memoization — skip recompute when a sink already completed
+    (FileStorage.isDone:44-74, BigSamplerAvro.scala:240-242),
+  - one `read/write` chokepoint so every operator gets pushdown-friendly
+    scans and consistent write options.
+
+Avro support is gated: the spark-avro package may be absent in a given
+deployment; parquet and json always work.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+PARQUET, AVRO, JSON, CSV = "parquet", "avro", "json", "csv"
+_EXT = {".parquet": PARQUET, ".avro": AVRO, ".json": JSON, ".ndjson": JSON, ".csv": CSV}
+
+
+def sniff_format(path: str) -> str:
+    """Route by file extension the way the reference's CLI does
+    (BigSampler.scala:262-273). Directories default to parquet."""
+    base = path.rstrip("/*")
+    _, ext = os.path.splitext(base)
+    return _EXT.get(ext.lower(), PARQUET)
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str | None = None,
+    **options: Any,
+) -> DataFrame:
+    """Read a table from files. Schema comes from file metadata (parquet
+    footer / avro header), mirroring AvroIO.getAvroSchemaFromFile — but done
+    natively by the DataFrameReader, on the executors, in parallel.
+
+    Catalyst will push filters/projections from downstream operators into
+    this scan; keep this the single entry point so that property holds
+    everywhere.
+    """
+    fmt = fmt or sniff_format(path)
+    reader = spark.read
+    if fmt == JSON:
+        reader = reader.option("multiLine", "false")
+    if fmt == CSV:
+        reader = reader.option("header", "true").option("inferSchema", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.format(fmt).load(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str | None = None,
+    mode: str = "error",
+    partition_by: list[str] | None = None,
+    header: str | None = None,
+    reuse: bool = False,
+    **options: Any,
+) -> bool:
+    """Write a DataFrame. Returns False if skipped via memoization.
+
+    ``reuse=True`` reproduces the reference's output-reuse semantics
+    (BigSamplerAvro.scala:240-242): if the output directory already has a
+    completed marker, skip the job. Spark's `_SUCCESS` file is the native
+    equivalent of the reference's `-of-` shard-completeness check
+    (FileStorage.isDone:44-74).
+
+    ``header`` (TSV stats files) reproduces saveAsTextFileWithHeader
+    (BigDiffy.scala:676-687) via the csv writer's header option.
+
+    ``partition_by`` is the file-layout analog of the reference's BigQuery
+    time-partitioned sink (BigSamplerBigQuery.scala:187-199): downstream
+    reads prune partitions by directory.
+    """
+    if reuse and is_done(path):
+        return False
+    fmt = fmt or sniff_format(path)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if header is not None:
+        writer = writer.option("header", "true").option("sep", "\t")
+        fmt = CSV
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.format(fmt).save(path)
+    return True
+
+
+def is_done(path: str) -> bool:
+    """Completed-output check: Spark writes `_SUCCESS` on commit."""
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None
+) -> dict[str, DataFrame]:
+    """Load the driver's synthetic star schema from a scale-factor dir and
+    register each table as a temp view (so spark.sql queries work too)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ratatool_spark import TABLES
+
+    out = {}
+    for name in names or TABLES:
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(p):
+            df = spark.read.parquet(p)
+            # events.ts is parquet TIMESTAMP(NANOS) → read as long under
+            # nanosAsLong; convert to micros timestamp (what DuckDB also
+            # does when it truncates nanos → its micros TIMESTAMP).
+            if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+                df = df.withColumn(
+                    "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+                )
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out

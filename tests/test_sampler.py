@@ -1,0 +1,110 @@
+"""Sampling matrix tests — tolerances mirror the reference's CI envelopes
+(BigSamplerTest.scala:481-832 / BASELINE.md): approx count ±2%-ish, strata
+proportions ±0.05 approx / ±0.02 exact; exact mode audited at 1%."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ratatool_spark.operators.sampler import (
+    head_sample,
+    reservoir_sample,
+    sample,
+)
+
+
+def test_fraction_validation(lineitem):
+    with pytest.raises(ValueError):
+        sample(lineitem, 0.0)
+    with pytest.raises(ValueError):
+        sample(lineitem, 1.5)
+
+
+def test_approx_random(lineitem):
+    n = lineitem.count()
+    out = sample(lineitem, 0.5, seed=42)
+    assert abs(out.count() - n * 0.5) < n * 0.05
+
+
+def test_approx_deterministic_repeatable(lineitem):
+    a = sample(lineitem, 0.3, fields=["l_orderkey", "l_linenumber"], seed=42)
+    b = sample(lineitem, 0.3, fields=["l_orderkey", "l_linenumber"], seed=42)
+    ra = sorted(tuple(r) for r in a.collect())
+    rb = sorted(tuple(r) for r in b.collect())
+    assert ra == rb
+    n = lineitem.count()
+    assert abs(len(ra) - n * 0.3) < n * 0.08  # det-field mode is wider (BigSamplerTest:516-542)
+
+
+def test_full_fraction_keeps_everything(lineitem):
+    assert sample(lineitem, 1.0, fields=["l_orderkey"], seed=1).count() == lineitem.count()
+
+
+def test_stratified_approx_proportions(lineitem):
+    out, audit = sample(
+        lineitem, 0.5, strata=["l_returnflag"], seed=42, audit=True
+    )
+    tot = audit.total_out
+    for _key, n_in, n_out, _t in audit.per_stratum:
+        true_ratio = n_in / audit.total_in
+        got_ratio = n_out / tot
+        assert abs(got_ratio - true_ratio) < 0.05
+
+
+def test_uniform_approx_equalizes(lineitem):
+    out, audit = sample(
+        lineitem, 0.2, strata=["l_returnflag"], uniform=True, seed=42, audit=True
+    )
+    counts = [n_out for _k, _n, n_out, _t in audit.per_stratum]
+    # uniform: every stratum targets the same share (small strata capped)
+    assert max(counts) - min(counts) < 0.15 * max(counts)
+
+
+def test_exact_stratified_counts(lineitem):
+    out, audit = sample(
+        lineitem,
+        0.1,
+        fields=["l_orderkey", "l_linenumber"],
+        strata=["l_returnflag"],
+        exact=True,
+        seed=42,
+        audit=True,  # raises if off by >1% (SamplerSCollectionFunctions:79-92)
+    )
+    for _k, n_in, n_out, _t in audit.per_stratum:
+        import math
+
+        assert n_out == math.ceil(n_in * 0.1)
+
+
+def test_exact_global_count(lineitem):
+    import math
+
+    n = lineitem.count()
+    out = sample(lineitem, 0.25, exact=True, seed=42)
+    assert out.count() == math.ceil(n * 0.25)
+
+
+def test_exact_random_stratified(lineitem):
+    out, audit = sample(
+        lineitem, 0.2, strata=["l_linestatus"], exact=True, seed=7, audit=True
+    )
+    assert audit.total_error < 0.01 + 1e-9
+
+
+def test_head(lineitem):
+    assert head_sample(lineitem, 17).count() == 17
+
+
+def test_reservoir_exact_n_and_deterministic(lineitem):
+    a = reservoir_sample(lineitem, 100, seed=5)
+    assert a.count() == 100
+    b = reservoir_sample(lineitem, 100, seed=5)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_sample_preserves_schema(lineitem):
+    out = sample(lineitem, 0.1, strata=["l_returnflag"], uniform=True, seed=42)
+    assert out.columns == lineitem.columns
+    out2 = sample(
+        lineitem, 0.1, strata=["l_returnflag"], uniform=True, exact=True, seed=42
+    )
+    assert out2.columns == lineitem.columns
