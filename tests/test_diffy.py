@@ -1,0 +1,162 @@
+"""BigDiffy tests — expectations lifted from the reference's test suite
+(BigDiffyTest.scala:62-252, AvroDiffyTest.scala:38-244): identical inputs ⇒
+all SAME; constant +10.0 shift ⇒ exact mean 10 / variance 0; duplicate keys
+raise; nested + array + unordered + ignore semantics."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from ratatool_spark.operators.diffy import (
+    DIFFERENT,
+    MISSING_LHS,
+    MISSING_RHS,
+    SAME,
+    BigDiffy,
+    diff,
+)
+
+
+@pytest.fixture(scope="module")
+def base(spark):
+    rows = [Row(id=i, x=float(i % 7), s=f"s{i % 5}", v=[1.0, float(i % 3)]) for i in range(1000)]
+    return spark.createDataFrame(rows).cache()
+
+
+def test_identical_all_same(spark, base):
+    d = diff(base, base, ["id"])
+    g = d.global_stats.collect()[0]
+    assert g["num_total"] == 1000
+    assert g["num_same"] == 1000
+    assert g["num_diff"] == 0
+    assert d.deltas.count() == 0
+
+
+def test_constant_shift_exact_stats(spark, base):
+    """BigDiffyTest.scala:78-118: +10.0 on a double field over every key ⇒
+    numeric delta mean exactly 10.0, variance exactly 0.0."""
+    rhs = base.withColumn("x", F.col("x") + 10.0)
+    d = diff(base, rhs, ["id"])
+    g = d.global_stats.collect()[0]
+    assert (g["num_same"], g["num_diff"]) == (0, 1000)
+    fs = {r["field"]: r for r in d.field_stats.collect()}
+    assert set(fs) == {"x"}
+    assert fs["x"]["count"] == 1000
+    assert fs["x"]["delta_type"] == "NUMERIC"
+    assert fs["x"]["mean"] == pytest.approx(10.0, abs=1e-12)
+    assert fs["x"]["variance"] == pytest.approx(0.0, abs=1e-9)
+    assert fs["x"]["stddev"] == pytest.approx(0.0, abs=1e-6)
+    assert fs["x"]["fraction"] == pytest.approx(1.0)
+
+
+def test_missing_sides(spark, base):
+    lhs = base.where(F.col("id") < 900)   # ids 900-999 missing on lhs
+    rhs = base.where(F.col("id") >= 100)  # ids 0-99 missing on rhs
+    g = diff(lhs, rhs, ["id"]).global_stats.collect()[0]
+    assert g["num_total"] == 1000
+    assert g["num_missing_lhs"] == 100
+    assert g["num_missing_rhs"] == 100
+    assert g["num_same"] == 800
+    ks = diff(lhs, rhs, ["id"]).key_stats
+    assert ks.where(F.col("diff_type") == MISSING_LHS).count() == 100
+    assert ks.where(F.col("diff_type") == MISSING_RHS).count() == 100
+
+
+def test_string_delta_levenshtein(spark):
+    lhs = spark.createDataFrame([Row(id=1, s="kitten")])
+    rhs = spark.createDataFrame([Row(id=1, s="sitting")])
+    d = diff(lhs, rhs, ["id"]).deltas.collect()
+    assert len(d) == 1
+    assert d[0]["delta_type"] == "STRING"
+    assert d[0]["delta"] == 3.0
+    assert (d[0]["left"], d[0]["right"]) == ("kitten", "sitting")
+
+
+def test_vector_cosine_delta(spark):
+    lhs = spark.createDataFrame([Row(id=1, v=[1.0, 0.0])])
+    rhs = spark.createDataFrame([Row(id=1, v=[0.0, 1.0])])
+    d = diff(lhs, rhs, ["id"]).deltas.collect()
+    assert d[0]["delta_type"] == "VECTOR"
+    assert d[0]["delta"] == pytest.approx(1.0)  # orthogonal ⇒ cos-dist 1
+
+
+def test_vector_length_mismatch_unknown(spark):
+    """AvroDiffy.scala:117-142: size mismatch ⇒ UNKNOWN."""
+    lhs = spark.createDataFrame([Row(id=1, v=[1.0, 2.0])])
+    rhs = spark.createDataFrame([Row(id=1, v=[1.0, 2.0, 3.0])])
+    d = diff(lhs, rhs, ["id"]).deltas.collect()
+    assert d[0]["delta_type"] == "UNKNOWN"
+    assert d[0]["delta"] is None
+
+
+def test_nested_struct_paths(spark):
+    lhs = spark.createDataFrame([Row(id=1, rec=Row(a=1, b="x"))])
+    rhs = spark.createDataFrame([Row(id=1, rec=Row(a=2, b="x"))])
+    d = diff(lhs, rhs, ["id"]).deltas.collect()
+    assert len(d) == 1
+    assert d[0]["field"] == "rec.a"
+    assert d[0]["delta"] == 1.0
+
+
+def test_one_sided_null_unknown(spark):
+    lhs = spark.createDataFrame([Row(id=1, x=1.0)])
+    rhs = spark.createDataFrame([Row(id=1, x=None)], schema=lhs.schema)
+    d = diff(lhs, rhs, ["id"]).deltas.collect()
+    assert d[0]["delta_type"] == "UNKNOWN"
+    assert d[0]["right"] is None
+
+
+def test_ignore_fields(spark, base):
+    rhs = base.withColumn("x", F.col("x") + 1).withColumn("s", F.lit("zzz"))
+    d = BigDiffy(base, rhs, ["id"], ignore={"s"})
+    assert {r["field"] for r in d.deltas.select("field").distinct().collect()} == {"x"}
+
+
+def test_unordered_array(spark):
+    """Diffy.sortList:131-140: unordered arrays equal after sorting."""
+    lhs = spark.createDataFrame([Row(id=1, v=[3.0, 1.0, 2.0])])
+    rhs = spark.createDataFrame([Row(id=1, v=[1.0, 2.0, 3.0])])
+    assert diff(lhs, rhs, ["id"]).deltas.count() == 1  # ordered: differs
+    d = BigDiffy(lhs, rhs, ["id"], unordered={"v"})
+    assert d.deltas.count() == 0  # unordered: same multiset
+
+
+def test_duplicate_key_raises(spark):
+    """BigDiffy.scala:240-243: >2 values per key ⇒ error."""
+    dup = spark.createDataFrame([Row(id=1, x=1.0), Row(id=1, x=2.0)])
+    ok = spark.createDataFrame([Row(id=1, x=1.0)])
+    with pytest.raises(ValueError, match="duplicate key"):
+        BigDiffy(dup, ok, ["id"], check_unique_keys=True)
+
+
+def test_multikey_null_semantics(spark):
+    """String.valueOf(null) = "null" key parts (BigDiffy.scala:631-634)."""
+    lhs = spark.createDataFrame([Row(a=1, b=None, x=1.0)], "a int, b string, x double")
+    rhs = spark.createDataFrame([Row(a=1, b=None, x=2.0)], "a int, b string, x double")
+    ks = diff(lhs, rhs, ["a", "b"]).key_stats.collect()
+    assert ks[0]["key"] == "1_null"
+    assert ks[0]["diff_type"] == DIFFERENT
+
+
+def test_ignore_nan(spark):
+    lhs = spark.createDataFrame([Row(id=1, x=1.0), Row(id=2, x=2.0)])
+    rhs = spark.createDataFrame([Row(id=1, x=float("nan")), Row(id=2, x=5.0)])
+    d_with = BigDiffy(lhs, rhs, ["id"], ignore_nan=False)
+    d_without = BigDiffy(lhs, rhs, ["id"], ignore_nan=True)
+    assert d_with.field_stats.collect()[0]["count"] == 2
+    assert d_without.field_stats.collect()[0]["count"] == 1
+    assert d_without.field_stats.collect()[0]["mean"] == pytest.approx(3.0)
+
+
+def test_save_stats_tsv(spark, base, tmp_path):
+    rhs = base.withColumn("x", F.col("x") + 10.0)
+    d = diff(base, rhs, ["id"])
+    d.save_stats(str(tmp_path / "out"))
+    import os
+
+    assert os.path.exists(tmp_path / "out" / "global" / "_SUCCESS")
+    import glob
+
+    files = glob.glob(str(tmp_path / "out" / "global" / "*.csv"))
+    text = open(files[0]).read()
+    assert "num_total" in text and "1000" in text
