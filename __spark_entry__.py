@@ -335,6 +335,308 @@ FROM mom
 """
 
 
+# ------------------------------------------------- training-data pipeline
+# Text analysis, dedup family, ANN — each with a DuckDB twin built from the
+# same portable hash + identical arithmetic.
+
+_WORDS_SQL = "string_split(trim(text), ' ')"
+_SHINGLES3_SQL = (
+    "list_distinct(list_transform(range(1, greatest(len({w}) - 2, 1) + 1), "
+    "i -> concat_ws(' ', {w}[i], {w}[i+1], {w}[i+2])))"
+).format(w=_WORDS_SQL)
+_PH64_SQL = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+def _q_text_metrics(spark, sf_dir):
+    """Text analysis: token counting, quality scoring, language ID,
+    fingerprinting — pure column expressions over documents."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.functions.text import (
+        fingerprint,
+        lang_id,
+        quality_score,
+        token_count,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        F.round(quality_score(t), 6).alias("quality"),
+        lang_id(t).alias("lang_guess"),
+        fingerprint(t).alias("fp"),
+    )
+
+
+def _sql_text_metrics() -> str:
+    from ratatool_spark.functions.text import LANG_MARKERS, STOPWORDS
+
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    scores = []
+    for lang, markers in LANG_MARKERS.items():
+        m = ", ".join(f"'{x}'" for x in markers)
+        scores.append(
+            f"len(list_filter(w, t -> t IN ({m}))) / greatest(len(w), 1) AS s_{lang}"
+        )
+    langs = list(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s_{lg} = best AND best > 0 THEN '{lg}'" for lg in langs
+    ) + " ELSE 'und' END"
+    norm_text = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    fp_sql = _PH64_SQL.format(x=norm_text)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, {_WORDS_SQL} AS w FROM documents
+), scored AS (
+  SELECT doc_id, text, w,
+         len(w) AS n_tokens,
+         least(len(w) / 100.0, 1.0) AS length_part,
+         len(list_distinct(w)) / greatest(len(w), 1) AS dratio,
+         len(list_filter(w, t -> t IN ({stop}))) / greatest(len(w), 1) AS sratio,
+         {', '.join(scores)}
+  FROM base
+), withbest AS (
+  SELECT *, {best} AS best FROM scored
+)
+SELECT doc_id, n_tokens,
+       ROUND(0.4 * length_part + 0.4 * dratio
+             + 0.2 * least(sratio * 5.0, 1.0), 6) AS quality,
+       {case} AS lang_guess,
+       {fp_sql} AS fp
+FROM withbest
+"""
+
+
+def _q_dedup_exact(spark, sf_dir):
+    """Exact dedup over a corpus with synthetic duplicates injected
+    (20% of docs re-added under shifted ids); keeps min-id representative."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.functions.hashing import dice
+    from ratatool_spark.operators.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    dups = docs.where(dice(["doc_id"], seed=7) < 0.2).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return exact_dedup(docs.unionByName(dups)).select("doc_id")
+
+
+def _sql_dedup_exact() -> str:
+    dice7 = _dice_sql(["doc_id"], 7)
+    fp = _PH64_SQL.format(x="regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE {dice7} < 0.2
+)
+SELECT doc_id FROM (
+  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY {fp} ORDER BY doc_id) AS rn
+  FROM corpus
+) WHERE rn = 1
+"""
+
+
+_MINHASH_K, _MINHASH_BANDS = 16, 4
+
+
+def _q_dedup_minhash(spark, sf_dir):
+    """MinHash + banded LSH near-dup candidate pairs over word 3-gram
+    shingles (k=16 sigs, 4 bands)."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(
+        docs, num_hashes=_MINHASH_K, bands=_MINHASH_BANDS
+    ).select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+def _sql_dedup_minhash() -> str:
+    k, bands = _MINHASH_K, _MINHASH_BANDS
+    rpb = k // bands
+    sig_exprs = ", ".join(
+        "MIN(" + _PH64_SQL.format(x=f"concat_ws(chr(1), '{i}', s)") + f") AS sig_{i}"
+        for i in range(k)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, ".format(b=b)
+        + _PH64_SQL.format(
+            x="concat_ws('|', "
+            + ", ".join(f"CAST(sig_{i} AS VARCHAR)" for i in range(b * rpb, (b + 1) * rpb))
+            + ")"
+        )
+        + " AS bh, "
+        + ", ".join(f"sig_{i}" for i in range(k))
+        + " FROM sigs"
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END" for i in range(k)
+    )
+    return f"""
+WITH shingled AS (
+  SELECT doc_id, UNNEST({_SHINGLES3_SQL}) AS s FROM documents
+), sigs AS (
+  SELECT doc_id, {sig_exprs} FROM shingled GROUP BY doc_id
+), banded AS (
+  {band_rows}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT p.id_a, p.id_b,
+       ROUND(({matches}) / {float(k)}, 6) AS est_jaccard
+FROM pairs p
+JOIN sigs a ON a.doc_id = p.id_a
+JOIN sigs b ON b.doc_id = p.id_b
+"""
+
+
+def _q_dedup_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard pairs (threshold 0.1) — the minhash verifier."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(docs, threshold=0.1).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+_SQL_DEDUP_JACCARD = f"""
+WITH shingled AS (
+  SELECT doc_id, UNNEST({_SHINGLES3_SQL}) AS s FROM documents
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM shingled GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM shingled a JOIN shingled b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(common / CAST(na.n + nb.n - common AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE common / CAST(na.n + nb.n - common AS DOUBLE) >= 0.1
+"""
+
+
+_SIMHASH_BITS = 32
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    """Per-doc 32-bit SimHash fingerprint over unigram shingles."""
+    from ratatool_spark.operators.dedup import simhash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash(docs, bits=_SIMHASH_BITS)
+
+
+def _sql_dedup_simhash() -> str:
+    bits = _SIMHASH_BITS
+    unigrams = (
+        "list_distinct(list_transform(range(1, greatest(len({w}) - 0, 1) + 1), "
+        "i -> concat_ws(' ', {w}[i])))"
+    ).format(w=_WORDS_SQL)
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN ((h >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS b_{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(
+        f"CASE WHEN b_{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+        for j in range(bits)
+    )
+    return f"""
+WITH shingled AS (
+  SELECT doc_id, UNNEST({unigrams}) AS s FROM documents
+), hashed AS (
+  SELECT doc_id, {_PH64_SQL.format(x='s')} AS h FROM shingled
+), sums AS (
+  SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, {fp} AS simhash FROM sums
+"""
+
+
+def _q_ann_brute_force(spark, sf_dir):
+    """Exact cosine top-3 neighbors for query vectors (vec_id < 5)."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    out = brute_force_topk(emb, q, k=3)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+_COS_SQL = """
+list_reduce(list_transform(range(1, 65),
+    i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+    (x, y) -> x + y)
+/ (sqrt(list_reduce(list_transform(range(1, 65),
+       i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)),
+       (x, y) -> x + y))
+ * sqrt(list_reduce(list_transform(range(1, 65),
+       i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+       (x, y) -> x + y)))
+"""
+
+_SQL_ANN_BRUTE = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_COS_SQL} AS cosine
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def _q_ann_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH bucket assignment (8 planes) — the partition
+    key of the scalable ANN path."""
+    from ratatool_spark.operators.similarity import lsh_bucket
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb.select("vec_id", lsh_bucket(emb, num_planes=8, seed=7))
+
+
+def _sql_ann_lsh_buckets() -> str:
+    planes = []
+    for p in range(8):
+        sign_hash = _PH64_SQL.format(
+            x=f"concat_ws(chr(1), '7', '{p}', CAST(i - 1 AS VARCHAR))"
+        )
+        proj = (
+            f"list_reduce(list_transform(range(1, 65), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * "
+            f"(CASE WHEN ({sign_hash} & 1) = 1 THEN 1.0 ELSE -1.0 END)), "
+            f"(x, y) -> x + y)"
+        )
+        planes.append(f"CASE WHEN ({proj}) > 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END")
+    total = " + ".join(planes)
+    return f"SELECT vec_id, ({total}) AS bucket FROM embeddings"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": _q_tpch_q1,
@@ -344,6 +646,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diffy_key_stats": _q_diffy_key_stats,
         "diffy_global_stats": _q_diffy_global_stats,
         "diffy_field_stats": _q_diffy_field_stats,
+        "text_metrics": _q_text_metrics,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "dedup_simhash": _q_dedup_simhash,
+        "ann_brute_force_topk": _q_ann_brute_force,
+        "ann_lsh_buckets": _q_ann_lsh_buckets,
     }
 
 
@@ -356,4 +665,11 @@ def oracle_sql() -> dict[str, str]:
         "diffy_key_stats": _SQL_DIFFY_KEY_STATS,
         "diffy_global_stats": _SQL_DIFFY_GLOBAL,
         "diffy_field_stats": _SQL_DIFFY_FIELD_STATS,
+        "text_metrics": _sql_text_metrics(),
+        "dedup_exact": _sql_dedup_exact(),
+        "dedup_minhash_lsh": _sql_dedup_minhash(),
+        "dedup_ngram_jaccard": _SQL_DEDUP_JACCARD,
+        "dedup_simhash": _sql_dedup_simhash(),
+        "ann_brute_force_topk": _SQL_ANN_BRUTE,
+        "ann_lsh_buckets": _sql_ann_lsh_buckets(),
     }

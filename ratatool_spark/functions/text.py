@@ -1,0 +1,111 @@
+"""Text-analysis columns for large-scale training-data pipelines:
+tokenization, shingling, quality scoring, language ID, fingerprinting.
+
+All pure ``pyspark.sql.functions`` expressions — no Python in the data
+path, so they survive whole-stage codegen and a 100 TB scan. Each has a
+deliberately SQL-expressible form (the formulas are simple arithmetic over
+split arrays) so oracle parity can be checked in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ratatool_spark.functions.hashing import portable_hash64
+
+# Tiny per-language function-word profiles for the n-gram/stopword language
+# ID heuristic. Deliberately small and explicit — a real deployment swaps in
+# larger profiles; the *operator shape* (score-per-language argmax over a
+# token join) is what scales.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "is", "in", "to", "it")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization: trim + split on single spaces. (A BPE-ish
+    regex split is ``F.split(text, r"\\s+|(?=[^\\w\\s])")`` — kept simple
+    here for cross-engine parity.)"""
+    return F.split(F.trim(text), " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams — the dedup shingle set. Array-expression only:
+    transform over a sequence of start offsets, concat n consecutive words."""
+    w = tokens(text)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1)))
+    parts = lambda i: [F.element_at(w, i + j) for j in range(n)]  # noqa: E731
+    return F.array_distinct(
+        F.transform(starts, lambda i: F.concat_ws(" ", *parts(i)))
+    )
+
+
+def stopword_ratio(text: Column) -> Column:
+    w = tokens(text)
+    stop = F.filter(w, lambda t: t.isin(*STOPWORDS))
+    return F.size(stop) / F.greatest(F.size(w), F.lit(1))
+
+
+def distinct_ratio(text: Column) -> Column:
+    """Lexical diversity: distinct tokens / tokens. Low values flag
+    boilerplate/repetition — a standard pretraining quality signal."""
+    w = tokens(text)
+    return F.size(F.array_distinct(w)) / F.greatest(F.size(w), F.lit(1))
+
+
+def mean_token_len(text: Column) -> Column:
+    w = tokens(text)
+    total = F.aggregate(w, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total / F.greatest(F.size(w), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality score: length saturation + lexical diversity
+    + stopword presence. The weights are illustrative; the shape (cheap
+    column arithmetic, no UDF) is the point."""
+    length_part = F.least(token_count(text) / F.lit(100.0), F.lit(1.0))
+    return (
+        F.lit(0.4) * length_part
+        + F.lit(0.4) * distinct_ratio(text)
+        + F.lit(0.2) * F.least(stopword_ratio(text) * F.lit(5.0), F.lit(1.0))
+    )
+
+
+def lang_scores(text: Column) -> list[tuple[str, Column]]:
+    w = tokens(text)
+    out = []
+    for lang, markers in LANG_MARKERS.items():
+        hits = F.size(F.filter(w, lambda t: t.isin(*markers)))
+        out.append((lang, hits / F.greatest(F.size(w), F.lit(1))))
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax language over marker-hit ratios; ties and no-hits fall back to
+    'und'. Greatest-of chain keeps it a single expression."""
+    scores = lang_scores(text)
+    best = F.greatest(*[s for _, s in scores])
+    result = F.lit("und")
+    # reversed so earlier languages win ties (stable, documented order)
+    for lang, s in reversed(scores):
+        result = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(result)
+    return result
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic 60-bit document fingerprint over normalized text
+    (lowercase, collapsed whitespace) — content-addressable doc identity for
+    exact dedup at scale."""
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return portable_hash64(normalized)

@@ -1,0 +1,282 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, all expressed as DataFrame plans (no Python in the data
+path except nothing — every one is built-in expressions):
+
+  - **exact**: fingerprint group-by — one shuffle on a 60-bit hash.
+  - **minhash LSH**: shingle → k minhash sigs → band → bucket self-join.
+    The self-join is on band hashes, so candidate generation is
+    O(pairs-sharing-a-band), not O(n^2) — the standard scale path.
+  - **simhash**: 32-bit sign-of-weighted-sum fingerprint; near-dup pairs by
+    Hamming distance over bucketed prefixes.
+  - **ngram jaccard**: exact Jaccard over shingle sets via explode +
+    self-join on shingle + group count — the verifier for minhash, and
+    usable alone at moderate scale.
+  - **embedding cosine**: near-dup by cosine over embedding vectors (see
+    operators/similarity.py for the ANN machinery it shares).
+
+At 100 TB the shape that matters: every strategy reduces to
+(shuffle-by-small-key, aggregate) or (explode, shuffle-by-token, count) —
+no cross joins except within LSH buckets, and bucket width is tunable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ratatool_spark.functions.hashing import FIELD_SEP, portable_hash64
+from ratatool_spark.functions.text import fingerprint, word_shingles
+from ratatool_spark.functions.vectors import cosine_sim
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one representative (min id) per exact-content group. The winner
+    choice is deterministic so re-runs are stable."""
+    w = Window.partitionBy("__fp").orderBy(id_col)
+    return (
+        df.withColumn("__fp", fingerprint(F.col(text_col)))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+def _shingle_hash(shingle: Column, seed: int) -> Column:
+    return portable_hash64(F.concat_ws(FIELD_SEP, F.lit(str(seed)), shingle))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig_0..sig_{k-1}): per-doc minhash signature. One explode over
+    distinct shingles, then k ``min`` aggregates in a single groupBy — the
+    k hash functions are seed-prefixed portable hashes, so the whole
+    signature is computable in any SQL engine."""
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__s")
+    )
+    aggs = [
+        F.min(_shingle_hash(F.col("__s"), i)).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    min_est_jaccard: float = 0.0,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (a < b) via banded minhash LSH.
+
+    bands × rows = num_hashes; docs colliding on ≥1 band hash are
+    candidates; ``est_jaccard`` = matching-signature fraction. The
+    self-join is on (band_index, band_hash) — each band is a tiny key, so
+    this is shuffle-by-band-hash, never a cross join.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("bands must divide num_hashes")
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"sig_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                portable_hash64(F.concat_ws("|", *[c.cast("string") for c in cols])).alias("bh"),
+            )
+        )
+    banded = sigs.select(
+        F.col(id_col),
+        *[F.col(f"sig_{i}") for i in range(num_hashes)],
+        F.explode(F.array(*band_structs)).alias("__b"),
+    ).select(id_col, *[f"sig_{i}" for i in range(num_hashes)], "__b.band", "__b.bh")
+
+    l = banded.alias("l")
+    r = banded.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            *[
+                (F.col(f"l.sig_{i}") == F.col(f"r.sig_{i}")).cast("int").alias(f"m_{i}")
+                for i in range(num_hashes)
+            ],
+        )
+        .distinct()
+    )
+    est = sum([F.col(f"m_{i}") for i in range(num_hashes)], F.lit(0)) / F.lit(
+        float(num_hashes)
+    )
+    out = pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+    if min_est_jaccard > 0:
+        out = out.where(F.col("est_jaccard") >= min_est_jaccard)
+    return out
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Exact Jaccard similarity pairs (a < b) over distinct word-n-gram
+    sets: explode shingles, self-join on shingle, |A∩B| from the join,
+    |A|+|B| from per-doc counts, keep J ≥ threshold.
+
+    Cost is Σ_shingle df(shingle)² — inverted-index join, the exact-verify
+    companion to minhash. Hot shingles should be rare at high n; for skew,
+    drop top-frequency shingles first (stopword-shingle pruning)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    j = (
+        inter.join(F.broadcast(sizes.withColumnRenamed("n", "na")), F.col("id_a") == F.col("id"))
+        .drop("id")
+        .join(F.broadcast(sizes.withColumnRenamed("n", "nb")), F.col("id_b") == F.col("id"))
+        .drop("id")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("common")
+                / (F.col("na") + F.col("nb") - F.col("common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return j.where(F.col("jaccard") >= threshold)
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """(id, simhash): sign-of-sum fingerprint. Explode distinct shingles
+    once; for each bit j, sum ±1 according to bit j of the shingle hash;
+    fingerprint bit j = (sum > 0). ``bits`` aggregate expressions in one
+    groupBy — entirely JVM-side."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__s"),
+    ).select(F.col(id_col), portable_hash64(F.col("__s")).alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b_{j}")
+        for j in range(bits)
+    ]
+    agg = sh.groupBy(id_col).agg(*bit_sums)
+    fp = sum(
+        [
+            F.when(F.col(f"b_{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+            for j in range(bits)
+        ],
+        F.lit(0).cast("long"),
+    )
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance ≤ max_hamming.
+
+    Scale path: self-join blocked on the high half of the fingerprint
+    (pigeonhole: ≤3 differing bits can't all be in both halves — standard
+    simhash chunk trick), Hamming via ``bit_count(xor)``. Falls back to the
+    low half block too, unioned + distinct."""
+    s = simhash(df, text_col, id_col, bits, shingle_n)
+    half = bits // 2
+    s = s.select(
+        F.col(id_col).alias("id"),
+        "simhash",
+        F.shiftright("simhash", half).alias("hi"),
+        F.col("simhash").bitwiseAND(F.lit((1 << half) - 1)).alias("lo"),
+    )
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    out = None
+    for block in ("hi", "lo"):
+        p = (
+            s.alias("a")
+            .join(
+                s.alias("b"),
+                (F.col(f"a.{block}") == F.col(f"b.{block}"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .where(ham <= max_hamming)
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                ham.alias("hamming"),
+            )
+        )
+        out = p if out is None else out.unionByName(p)
+    return out.distinct()
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    min_cosine: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding near-duplicates: pairs with cosine ≥ min_cosine.
+
+    With ``block_col`` (e.g. a cluster/LSH bucket id) the self-join is
+    per-block; without it this is the O(n²) verifier for small n — at scale
+    always pass a block (see similarity.lsh_bucket for a built-in one)."""
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    if block_col:
+        cols.append(F.col(block_col).alias("blk"))
+    s = df.select(*cols)
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    sim = cosine_sim(F.col("a.v"), F.col("b.v"))
+    return (
+        s.alias("a")
+        .join(s.alias("b"), cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            sim.alias("cosine"),
+        )
+        .where(F.col("cosine") >= min_cosine)
+    )

@@ -1,0 +1,126 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Two tiers:
+
+  - **brute-force top-k** (the baseline + verifier): broadcast the query
+    set, join against the corpus, cosine via higher-order functions, rank
+    per query. Exact; cost |Q|·n — fine when |Q| is small or as the
+    re-rank stage.
+  - **LSH-bucketed top-k** (the scale path): random-hyperplane signatures
+    assign each vector a bucket; candidates come only from the query's
+    bucket(s); exact cosine re-ranks within. Hyperplanes are derived from
+    the portable hash (seed, plane, dim) → ±1, so signatures are
+    deterministic and reproducible in SQL.
+
+An IVF variant is the same shape with learned centroids instead of random
+hyperplanes — swap ``lsh_bucket`` for an argmin-over-centroids join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ratatool_spark.functions.hashing import portable_hash64
+from ratatool_spark.functions.vectors import cosine_sim
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    (query_id, neighbor_id, cosine, rank), self-matches excluded. Ties
+    broken by neighbor id for determinism. The query side is broadcast —
+    corpus never moves, so this scales with corpus size linearly."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    sim = cosine_sim(F.col("qv"), F.col("cv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _hyperplane_sign(plane: int, dim: int, seed: int) -> Column:
+    """Deterministic ±1 from the portable hash of (seed, plane, dim)."""
+    h = portable_hash64(F.lit(f"{seed}\x01{plane}\x01{dim}"))
+    return F.when(h.bitwiseAND(F.lit(1)) == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def lsh_bucket(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    seed: int = 7,
+) -> Column:
+    """Random-hyperplane LSH bucket id (0 .. 2^num_planes - 1) as a column.
+
+    Each plane's normal has components ±1 chosen by hash — sign of
+    dot(v, plane) gives one bit. Expression-only; dim is read from the
+    array at runtime via element_at."""
+    bits = []
+    for p in range(num_planes):
+        proj = F.aggregate(
+            F.transform(
+                F.col(vec_col),
+                lambda x, i: x.cast("double")
+                * F.when(
+                    portable_hash64(
+                        F.concat_ws("\x01", F.lit(str(seed)), F.lit(str(p)), i.cast("string"))
+                    ).bitwiseAND(F.lit(1))
+                    == 1,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long")))
+    return sum(bits[1:], bits[0]).alias("bucket")
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket, exact
+    cosine re-rank within. Recall is tuned by num_planes (fewer planes →
+    bigger buckets → higher recall, more compute). Join is bucket-to-bucket
+    — shuffle on a small integer key, no cross join."""
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        lsh_bucket(corpus, vec_col, num_planes, seed),
+    )
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        lsh_bucket(queries, vec_col, num_planes, seed),
+    )
+    sim = cosine_sim(F.col("qv"), F.col("cv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cb.join(F.broadcast(qb), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

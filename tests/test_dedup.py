@@ -1,0 +1,146 @@
+"""Dedup / similarity / text-analysis operator tests."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from ratatool_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+    word_shingles,
+)
+from ratatool_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from ratatool_spark.operators.similarity import brute_force_topk, lsh_topk
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=2, text="the quick brown fox jumps over the lazy dog"),  # exact dup
+        Row(doc_id=3, text="the quick brown fox leaps over the lazy dog"),  # near dup
+        Row(doc_id=4, text="completely different content about spark engines"),
+        Row(doc_id=5, text="THE  quick brown fox jumps over the lazy dog"),  # case/ws dup
+    ]
+    return spark.createDataFrame(rows).cache()
+
+
+def test_exact_dedup_keeps_min_id(corpus):
+    kept = sorted(r["doc_id"] for r in exact_dedup(corpus).collect())
+    # 2 is an exact dup of 1; 5 normalizes to the same text (case+whitespace)
+    assert kept == [1, 3, 4]
+
+
+def test_exact_dedup_deterministic(corpus):
+    a = sorted(r["doc_id"] for r in exact_dedup(corpus).collect())
+    b = sorted(r["doc_id"] for r in exact_dedup(corpus).collect())
+    assert a == b
+
+
+def test_jaccard_finds_near_dup(corpus):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(corpus, threshold=0.3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # identical shingle sets
+    assert (1, 3) in pairs and 0.3 < pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_candidates_contain_identical_pairs(corpus):
+    """Identical shingle sets collide on every band — guaranteed recall at
+    J=1.0 (probabilistic below: P = 1-(1-J^r)^b)."""
+    mh = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(corpus).collect()}
+    true = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(corpus, threshold=0.999).collect()
+    }
+    assert true <= mh
+    assert (1, 4) not in mh  # dissimilar docs don't collide
+
+
+def test_minhash_est_close_to_true(corpus):
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(corpus).collect()
+    }
+    assert est[(1, 2)] == 1.0
+
+
+def test_simhash_identical_docs_equal(corpus):
+    s = {r["doc_id"]: r["simhash"] for r in simhash(corpus).collect()}
+    assert s[1] == s[2]
+    assert s[1] != s[4]
+
+
+def test_simhash_pairs_hamming(corpus):
+    p = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(corpus, max_hamming=4).collect()
+    }
+    assert p.get((1, 2)) == 0
+
+
+def test_embedding_neardup(spark):
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=2, embedding=[0.999, 0.01, 0.0]),
+        Row(vec_id=3, embedding=[0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows)
+    pairs = {(r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(emb, min_cosine=0.99).collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_brute_force_topk_ordering(embeddings):
+    q = embeddings.where(F.col("vec_id") == 0)
+    out = brute_force_topk(embeddings, q, k=5).collect()
+    assert len(out) == 5
+    sims = [r["cosine"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert sims == sorted(sims, reverse=True)
+    assert all(r["neighbor_id"] != 0 for r in out)
+
+
+def test_lsh_topk_subset_semantics(embeddings):
+    """LSH results come from the query's bucket; every returned neighbor's
+    exact cosine must equal the brute-force cosine for that pair."""
+    q = embeddings.where(F.col("vec_id") < 3)
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in brute_force_topk(embeddings, q, k=500).collect()
+    }
+    for r in lsh_topk(embeddings, q, k=3, num_planes=4).collect():
+        assert r["cosine"] == pytest.approx(bf[(r["query_id"], r["neighbor_id"])])
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="the cat and the hat")])
+    r = df.select(
+        token_count(F.col("text")).alias("tc"),
+        F.size(word_shingles(F.col("text"), 3)).alias("sh"),
+        quality_score(F.col("text")).alias("q"),
+        lang_id(F.col("text")).alias("lang"),
+        fingerprint(F.col("text")).alias("fp"),
+    ).collect()[0]
+    assert r["tc"] == 5
+    assert r["sh"] == 3  # 5 words -> 3 distinct trigrams
+    assert 0.0 <= r["q"] <= 1.0
+    assert r["lang"] == "en"
+    assert r["fp"] >= 0
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [Row(a="Hello  World"), Row(a="hello world"), Row(a="other")]
+    )
+    fps = [r[0] for r in df.select(fingerprint(F.col("a"))).collect()]
+    assert fps[0] == fps[1] != fps[2]
