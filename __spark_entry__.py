@@ -637,6 +637,138 @@ def _sql_ann_lsh_buckets() -> str:
     return f"SELECT vec_id, ({total}) AS bucket FROM embeddings"
 
 
+# ----------------------------------------------------- events / streaming
+
+
+def _q_events_windowed(spark, sf_dir):
+    """Event-time tumbling-window stats (stream-batch agnostic plan; batch
+    run is the oracle for the streaming run)."""
+    from ratatool_spark.sources.io import load_tables
+    from ratatool_spark.streaming.events import windowed_event_stats
+
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    out = windowed_event_stats(ev, window="1 hour")
+    return out.select("window_start", "event_type", "n_events", "sum_value")
+
+
+_SQL_EVENTS_WINDOWED = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(value AS DECIMAL(28,6))) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def _q_events_sessionize(spark, sf_dir):
+    """Per-user session windows (30-min gap) via F.session_window; the
+    lag+cumsum SQL formulation is the exact batch equivalent."""
+    from ratatool_spark.sources.io import load_tables
+    from ratatool_spark.streaming.events import sessionize
+
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    return sessionize(ev, gap="30 minutes")
+
+
+_SQL_EVENTS_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), sessions AS (
+  SELECT user_id, ts, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+       COUNT(*) AS n_events, SUM(CAST(value AS DECIMAL(28,6))) AS sum_value
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+def _q_events_json_props(spark, sf_dir):
+    """JSON props extraction + per-key rollup (from_json, columnar)."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.sources.io import load_tables
+    from ratatool_spark.streaming.events import parse_props
+
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    return (
+        parse_props(ev)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("props_k").alias("sum_k"),
+            F.min("props_k").alias("min_k"),
+            F.max("props_k").alias("max_k"),
+        )
+    )
+
+
+_SQL_EVENTS_JSON = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+# ----------------------------------------------------------- generators
+
+
+_GEN_N, _GEN_SEED = 2000, 42
+
+
+def _q_generator(spark, sf_dir):
+    """G1: schema-driven deterministic random records — distributed
+    generation via spark.range + portable-hash expressions (no UDF)."""
+    from ratatool_spark.generators import random_dataframe
+
+    return random_dataframe(
+        spark,
+        "c_long bigint, c_bool boolean, c_double double, c_str string",
+        _GEN_N,
+        seed=_GEN_SEED,
+    )
+
+
+def _sql_generator() -> str:
+    n, seed = _GEN_N, _GEN_SEED
+
+    def h(path, salt):
+        feed = f"concat_ws(chr(1), '{seed}', '{path}', '{salt}', CAST(__gen_id AS VARCHAR))"
+        return f"(('0x' || substr(md5({feed}), 1, 15))::BIGINT)"
+
+    def u(path, salt):
+        return f"({h(path, salt)}::DOUBLE / 1152921504606846976.0)"
+
+    words = "['foo', 'bar', 'baz', 'qux', 'lorem', 'ipsum', 'data', 'spark']"
+    word = f"list_extract({words}, CAST(({h('c_str','')} % 8) + 1 AS INT))"
+    tok = f"substr(md5(CAST({h('c_str','')} AS VARCHAR)), 1, 8)"
+    sel = f"({h('c_str','sel')} % 10)"
+    return f"""
+WITH ids AS (SELECT UNNEST(range(0, {n})) AS __gen_id)
+SELECT
+  CASE WHEN {u('c_long','null')} < 0.1 THEN NULL
+       ELSE {h('c_long','')} END AS c_long,
+  CASE WHEN {u('c_bool','null')} < 0.1 THEN NULL
+       ELSE ({h('c_bool','')} % 2 = 0) END AS c_bool,
+  CASE WHEN {u('c_double','null')} < 0.1 THEN NULL
+       ELSE ({u('c_double','v')} - 0.5) * 2000.0 END AS c_double,
+  CASE WHEN {u('c_str','null')} < 0.1 THEN NULL
+       WHEN {sel} = 0 THEN ''
+       WHEN {sel} = 1 THEN ' '
+       WHEN {sel} <= 5 THEN {word}
+       ELSE {tok} END AS c_str
+FROM ids
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": _q_tpch_q1,
@@ -653,6 +785,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "ann_brute_force_topk": _q_ann_brute_force,
         "ann_lsh_buckets": _q_ann_lsh_buckets,
+        "events_windowed_stats": _q_events_windowed,
+        "events_sessionize": _q_events_sessionize,
+        "events_json_props": _q_events_json_props,
+        "generator_deterministic": _q_generator,
     }
 
 
@@ -672,4 +808,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _sql_dedup_simhash(),
         "ann_brute_force_topk": _SQL_ANN_BRUTE,
         "ann_lsh_buckets": _sql_ann_lsh_buckets(),
+        "events_windowed_stats": _SQL_EVENTS_WINDOWED,
+        "events_sessionize": _SQL_EVENTS_SESSIONIZE,
+        "events_json_props": _SQL_EVENTS_JSON,
+        "generator_deterministic": _sql_generator(),
     }

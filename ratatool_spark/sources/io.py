@@ -127,9 +127,8 @@ def load_tables(
             # nanosAsLong; convert to micros timestamp (what DuckDB also
             # does when it truncates nanos → its micros TIMESTAMP).
             if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-                df = df.withColumn(
-                    "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-                )
+                # integer div — double division of epoch-nanos loses microseconds
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
             df.createOrReplaceTempView(name)
             out[name] = df
     return out
