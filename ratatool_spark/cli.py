@@ -1,0 +1,119 @@
+"""CLI mirroring the reference's three entry points
+(Ratatool.scala:39-68: bigDiffy | bigSampler | directSampler), argparse
+instead of scopt, DataFrames instead of Beam pipelines.
+
+    python -m ratatool_spark.cli bigSampler --input X --output Y --fraction 0.1 \\
+        [--fields a,b] [--distribution stratified|uniform --distributionFields c] \\
+        [--exact] [--seed 42]
+    python -m ratatool_spark.cli bigDiffy --lhs X --rhs Y --key k1,k2 --output Z \\
+        [--ignore f1,f2] [--unordered f3] [--ignoreNan]
+    python -m ratatool_spark.cli directSampler --input X --output Y -n 100 [--head]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _csv(s: str) -> list[str]:
+    return [x for x in s.split(",") if x]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="ratatool_spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    s = sub.add_parser("bigSampler", help="distributed sampling")
+    s.add_argument("--input", required=True)
+    s.add_argument("--output", required=True)
+    s.add_argument("--fraction", type=float, required=True)
+    s.add_argument("--fields", type=_csv, default=None, help="deterministic hash fields")
+    s.add_argument("--distribution", choices=["stratified", "uniform"], default=None)
+    s.add_argument("--distributionFields", type=_csv, default=None)
+    s.add_argument("--exact", action="store_true")
+    s.add_argument("--seed", type=int, default=42)
+    s.add_argument("--format", default=None, help="override input format sniffing")
+
+    d = sub.add_parser("bigDiffy", help="pairwise keyed dataset diff")
+    d.add_argument("--lhs", required=True)
+    d.add_argument("--rhs", required=True)
+    d.add_argument("--key", type=_csv, required=True)
+    d.add_argument("--output", required=True)
+    d.add_argument("--ignore", type=_csv, default=[])
+    d.add_argument("--unordered", type=_csv, default=[])
+    d.add_argument("--ignoreNan", action="store_true")
+
+    ds = sub.add_parser("directSampler", help="local head/random sample")
+    ds.add_argument("--input", required=True)
+    ds.add_argument("--output", required=True)
+    ds.add_argument("-n", type=int, required=True)
+    ds.add_argument("--head", action="store_true")
+    ds.add_argument("--seed", type=int, default=42)
+
+    g = sub.add_parser("generate", help="schema-driven random records")
+    g.add_argument("--schema", required=True, help="DDL string, e.g. 'a bigint, b string'")
+    g.add_argument("-n", type=int, required=True)
+    g.add_argument("--output", required=True)
+    g.add_argument("--seed", type=int, default=42)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from pyspark.sql import SparkSession
+
+    from ratatool_spark.session import get_spark
+    from ratatool_spark.sources.io import read_table, write_table
+
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = get_spark(f"ratatool_{args.command}")
+    try:
+        if args.command == "bigSampler":
+            from ratatool_spark.operators.sampler import sample
+
+            df = read_table(spark, args.input, fmt=args.format)
+            out = sample(
+                df,
+                args.fraction,
+                fields=args.fields,
+                strata=args.distributionFields if args.distribution else None,
+                uniform=args.distribution == "uniform",
+                exact=args.exact,
+                seed=args.seed,
+            )
+            write_table(out, args.output, mode="overwrite")
+        elif args.command == "bigDiffy":
+            from ratatool_spark.operators.diffy import BigDiffy
+
+            d = BigDiffy(
+                read_table(spark, args.lhs),
+                read_table(spark, args.rhs),
+                keys=args.key,
+                ignore=set(args.ignore),
+                unordered=set(args.unordered),
+                ignore_nan=args.ignoreNan,
+            )
+            d.save_stats(args.output)
+        elif args.command == "directSampler":
+            from ratatool_spark.operators.sampler import head_sample, reservoir_sample
+
+            df = read_table(spark, args.input)
+            out = head_sample(df, args.n) if args.head else reservoir_sample(df, args.n, args.seed)
+            write_table(out, args.output, mode="overwrite")
+        elif args.command == "generate":
+            from ratatool_spark.generators import random_dataframe
+
+            write_table(
+                random_dataframe(spark, args.schema, args.n, seed=args.seed),
+                args.output,
+                mode="overwrite",
+            )
+        return 0
+    finally:
+        if not preexisting:  # don't tear down a session we joined
+            spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -178,6 +178,82 @@ def _delta_expr(path: str, dtype: T.DataType, cfg: DiffConfig) -> Column:
     )
 
 
+def _keyed_array_deltas(
+    path: str, dtype: T.ArrayType, key_field: str
+) -> Column:
+    """Keyed repeated-record compare (D5 — ``unorderedFieldKeys``,
+    AvroDiffy.scala:99-115, semantics test AvroDiffyTest.scala:185-212):
+    treat array<struct> as a map keyed by ``key_field``; per key present on
+    both sides diff each child field as ``path[key].child``; a key present
+    on one side only yields ``path[key]`` with UnknownDelta.
+
+    Pure expression implementation: map_from_entries on both sides, union
+    of keys, one flattened transform — no explode/join/shuffle, the whole
+    compare happens inside the row."""
+    assert isinstance(dtype.elementType, T.StructType)
+    elem: T.StructType = dtype.elementType
+    l_arr, r_arr = F.col(f"{_L}.{path}"), F.col(f"{_R}.{path}")
+
+    def to_map(arr: Column) -> Column:
+        return F.map_from_entries(
+            F.transform(
+                F.coalesce(arr, F.array()),
+                lambda x: F.struct(
+                    F.coalesce(x[key_field].cast("string"), F.lit("null")).alias("k"),
+                    x.alias("v"),
+                ),
+            )
+        )
+
+    lm, rm = to_map(l_arr), to_map(r_arr)
+    union_keys = F.array_distinct(F.concat(F.map_keys(lm), F.map_keys(rm)))
+
+    def deltas_for_key(kk: Column) -> Column:
+        lv, rv = F.element_at(lm, kk), F.element_at(rm, kk)
+        label = F.concat(F.lit(f"{path}["), kk, F.lit("]"))
+        missing = F.when(
+            lv.isNull() | rv.isNull(),
+            F.struct(
+                label.alias("field"),
+                F.to_json(lv).alias("left"),
+                F.to_json(rv).alias("right"),
+                F.lit(UNKNOWN).alias("delta_type"),
+                F.lit(None).cast("double").alias("delta"),
+            ),
+        )
+        children = []
+        for cf in elem.fields:
+            if cf.name == key_field:
+                continue
+            cl, cr = lv[cf.name], rv[cf.name]
+            differs = lv.isNotNull() & rv.isNotNull() & ~cl.eqNullSafe(cr)
+            both = cl.isNotNull() & cr.isNotNull()
+            if isinstance(cf.dataType, _NUMERIC_TYPES):
+                dt = F.when(both, F.lit(NUMERIC)).otherwise(F.lit(UNKNOWN))
+                dv = F.when(both, cr.cast("double") - cl.cast("double"))
+            elif isinstance(cf.dataType, T.StringType):
+                dt = F.when(both, F.lit(STRING)).otherwise(F.lit(UNKNOWN))
+                dv = F.when(both, F.levenshtein(cl, cr).cast("double"))
+            else:
+                dt = F.lit(UNKNOWN)
+                dv = F.lit(None).cast("double")
+            children.append(
+                F.when(
+                    differs,
+                    F.struct(
+                        F.concat(label, F.lit(f".{cf.name}")).alias("field"),
+                        _render(cl, cf.dataType).alias("left"),
+                        _render(cr, cf.dataType).alias("right"),
+                        dt.alias("delta_type"),
+                        dv.alias("delta"),
+                    ),
+                )
+            )
+        return F.array_compact(F.array(missing, *children))
+
+    return F.flatten(F.transform(union_keys, deltas_for_key))
+
+
 class BigDiffy:
     """Pairwise keyed dataset diff with field-level statistics (D1).
 
@@ -193,11 +269,16 @@ class BigDiffy:
         keys: list[str],
         ignore: set[str] | frozenset[str] = frozenset(),
         unordered: set[str] | frozenset[str] = frozenset(),
+        unordered_keys: dict[str, str] | None = None,
         ignore_nan: bool = False,
         check_unique_keys: bool = False,
     ) -> None:
+        """``unordered_keys`` maps an array-of-struct field path to the
+        child field that identifies elements (the reference's
+        ``unorderedFieldKeys``, Diffy.scala:88-92)."""
         self.keys = list(keys)
         self.cfg = DiffConfig(frozenset(ignore), frozenset(unordered), ignore_nan)
+        self.unordered_keys = dict(unordered_keys or {})
 
         if check_unique_keys:
             for side, df in (("lhs", lhs), ("rhs", rhs)):
@@ -211,7 +292,7 @@ class BigDiffy:
         self._leaves = [
             (p, t)
             for p, t in _leaf_paths(self._value_schema)
-            if p not in self.cfg.ignore
+            if p not in self.cfg.ignore and p not in self.unordered_keys
         ]
 
         lk = lhs.select(
@@ -226,6 +307,13 @@ class BigDiffy:
 
         delta_structs = [_delta_expr(p, t, self.cfg) for p, t in self._leaves]
         deltas_arr = F.array_compact(F.array(*delta_structs))
+        for ka_path, key_field in self.unordered_keys.items():
+            ka_type = self._value_schema
+            for part in ka_path.split("."):
+                ka_type = ka_type[part].dataType  # type: ignore[index]
+            deltas_arr = F.concat(
+                deltas_arr, _keyed_array_deltas(ka_path, ka_type, key_field)
+            )
         self._rows = self._joined.select(
             F.col(_KEY).alias("key"),
             F.when(F.col(_L).isNull(), F.lit(MISSING_LHS))
@@ -344,3 +432,24 @@ def diff(
 ) -> BigDiffy:
     """Convenience constructor mirroring ``BigDiffy.diff`` (BigDiffy.scala:311-318)."""
     return BigDiffy(lhs, rhs, keys, **kwargs)
+
+
+def diff_dicts(
+    spark,
+    lhs: list[dict],
+    rhs: list[dict],
+    keys: list[str],
+    schema: T.StructType | str | None = None,
+    **kwargs,
+) -> BigDiffy:
+    """Diff two lists of plain Python dicts/dataclass-dumps — the
+    CaseClassDiffy capability (D7, CaseClassDiffy.scala:158-191): local
+    records lifted into DataFrames, then the same engine."""
+    from pyspark.sql import Row
+
+    def lift(rows):
+        if schema is not None:
+            return spark.createDataFrame(rows, schema=schema)
+        return spark.createDataFrame([Row(**r) for r in rows])
+
+    return BigDiffy(lift(lhs), lift(rhs), keys, **kwargs)

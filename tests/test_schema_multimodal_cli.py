@@ -1,0 +1,195 @@
+"""Schema utilities, keyed-array diff, dict diff, multimodal plumbing, CLI."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+from ratatool_spark.plans.schema import (
+    SchemaCompatibilityError,
+    assert_can_read,
+    get_nested_field,
+    merge_schemas,
+)
+
+
+def test_get_nested_field(spark):
+    s = T.StructType.fromDDL("a struct<b:struct<c:int>>, d string")
+    f = get_nested_field(s, "a.b.c")
+    assert f.dataType == T.IntegerType()
+    with pytest.raises(SchemaCompatibilityError):
+        get_nested_field(s, "a.x")
+    with pytest.raises(SchemaCompatibilityError):
+        get_nested_field(s, "d.e")
+
+
+def test_merge_schemas_union_and_conflict(spark):
+    a = T.StructType.fromDDL("x int, y string")
+    b = T.StructType.fromDDL("y string, z double")
+    m = merge_schemas(a, b)
+    assert [f.name for f in m.fields] == ["x", "y", "z"]
+    c = T.StructType.fromDDL("y int")
+    with pytest.raises(SchemaCompatibilityError, match="type mismatch"):
+        merge_schemas(a, c)
+
+
+def test_assert_can_read(spark):
+    writer = T.StructType.fromDDL("x int, y string")
+    reader_ok = T.StructType(
+        [
+            T.StructField("x", T.IntegerType(), False),
+            T.StructField("extra", T.StringType(), True),  # nullable → fillable
+        ]
+    )
+    assert_can_read(reader_ok, writer)
+    reader_bad = T.StructType([T.StructField("q", T.IntegerType(), False)])
+    with pytest.raises(SchemaCompatibilityError):
+        assert_can_read(reader_bad, writer)
+
+
+# ------------------------------------------------------ keyed-array diff
+
+
+def test_keyed_array_diff(spark):
+    """AvroDiffyTest.scala:185-212 semantics: keyed repeated records of
+    different lengths yield field[key] UnknownDelta; common keys diff per
+    child as field[key].child."""
+    from ratatool_spark.operators.diffy import BigDiffy
+
+    schema = "id int, rep array<struct<k:string, v:int>>"
+    lhs = spark.createDataFrame(
+        [(1, [("a", 1), ("b", 2)])], schema
+    )
+    rhs = spark.createDataFrame(
+        [(1, [("a", 5), ("c", 9)])], schema
+    )
+    d = BigDiffy(lhs, rhs, ["id"], unordered_keys={"rep": "k"})
+    deltas = {r["field"]: r for r in d.deltas.collect()}
+    assert deltas["rep[a].v"]["delta"] == 4.0
+    assert deltas["rep[a].v"]["delta_type"] == "NUMERIC"
+    assert deltas["rep[b]"]["delta_type"] == "UNKNOWN"  # only lhs
+    assert deltas["rep[c]"]["delta_type"] == "UNKNOWN"  # only rhs
+    assert set(deltas) == {"rep[a].v", "rep[b]", "rep[c]"}
+
+
+def test_keyed_array_same(spark):
+    from ratatool_spark.operators.diffy import BigDiffy
+
+    schema = "id int, rep array<struct<k:string, v:int>>"
+    lhs = spark.createDataFrame([(1, [("a", 1), ("b", 2)])], schema)
+    rhs = spark.createDataFrame([(1, [("b", 2), ("a", 1)])], schema)  # reordered
+    d = BigDiffy(lhs, rhs, ["id"], unordered_keys={"rep": "k"})
+    assert d.deltas.count() == 0
+    assert d.key_stats.collect()[0]["diff_type"] == "SAME"
+
+
+def test_diff_dicts(spark):
+    """D7 (CaseClassDiffy): plain Python records through the same engine."""
+    from ratatool_spark.operators.diffy import diff_dicts
+
+    lhs = [{"id": 1, "x": 1.0, "s": "ab"}, {"id": 2, "x": 2.0, "s": "cd"}]
+    rhs = [{"id": 1, "x": 3.0, "s": "ab"}, {"id": 2, "x": 2.0, "s": "cd"}]
+    d = diff_dicts(spark, lhs, rhs, ["id"], schema="id int, x double, s string")
+    deltas = d.deltas.collect()
+    assert len(deltas) == 1
+    assert deltas[0]["field"] == "x" and deltas[0]["delta"] == 2.0
+
+
+# ----------------------------------------------------------- multimodal
+
+
+def test_multimodal_decode_plumbing(spark):
+    from ratatool_spark.operators.multimodal import decode_media, fake_media_table
+
+    media = fake_media_table(spark, 50)
+    out = decode_media(media, fake=True)
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(r["checksum"] is not None for r in rows)
+    # deterministic
+    again = {r["media_id"]: r["checksum"] for r in decode_media(media, fake=True).collect()}
+    assert all(again[r["media_id"]] == r["checksum"] for r in rows)
+
+
+def test_multimodal_real_decode_raises(spark):
+    from ratatool_spark.operators.multimodal import decode_media, fake_media_table
+
+    media = fake_media_table(spark, 2)
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        decode_media(media, fake=False).collect()
+
+
+def test_multimodal_features(spark):
+    from ratatool_spark.operators.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+        fake_media_table,
+    )
+
+    out = extract_features(fake_media_table(spark, 20)).collect()
+    assert len(out) == 20
+    assert all(len(r["features"]) == FEATURE_DIM for r in out)
+    assert all(0.0 <= v <= 1.0 for r in out for v in r["features"])
+
+
+def test_multimodal_frame_sampling(spark):
+    from ratatool_spark.operators.multimodal import fake_media_table, sample_frames
+
+    media = fake_media_table(spark, 60)
+    frames = sample_frames(media, n=4)
+    rows = frames.collect()
+    videos = media.where("kind = 'video'").select("media_id", "meta.n_frames").collect()
+    assert len(videos) > 0
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
+    for v in videos:
+        idxs = by_id[v["media_id"]]
+        assert all(0 <= i < v["n_frames"] for i in idxs)
+        assert idxs == sorted(idxs)
+    # only video rows have frames
+    assert set(by_id) == {v["media_id"] for v in videos}
+
+
+# ------------------------------------------------------------------ CLI
+
+
+def test_cli_sampler_and_diffy(spark, tmp_path):
+    from ratatool_spark.cli import main
+
+    src = str(tmp_path / "in.parquet")
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet").write.parquet(src)
+
+    out1 = str(tmp_path / "sampled")
+    rc = main(
+        [
+            "bigSampler",
+            "--input", src,
+            "--output", out1,
+            "--fraction", "0.5",
+            "--fields", "o_orderkey",
+        ]
+    )
+    assert rc == 0
+    n = spark.read.parquet(out1).count()
+    assert 0 < n < 1500
+
+    out2 = str(tmp_path / "diffout")
+    rc = main(
+        ["bigDiffy", "--lhs", src, "--rhs", out1, "--key", "o_orderkey", "--output", out2]
+    )
+    assert rc == 0
+    assert os.path.exists(os.path.join(out2, "global", "_SUCCESS"))
+    text = open(glob.glob(os.path.join(out2, "global", "*.csv"))[0]).read()
+    assert "num_missing_rhs" in text
+
+
+def test_cli_generate(spark, tmp_path):
+    from ratatool_spark.cli import main
+
+    out = str(tmp_path / "gen")
+    rc = main(["generate", "--schema", "a bigint, b string", "-n", "100", "--output", out])
+    assert rc == 0
+    assert spark.read.parquet(out).count() == 100
