@@ -459,11 +459,13 @@ def _q_dedup_minhash(spark, sf_dir):
 
 
 def _sql_dedup_minhash() -> str:
+    from ratatool_spark.operators.dedup import MINHASH_P, minhash_coeffs
+
     k, bands = _MINHASH_K, _MINHASH_BANDS
     rpb = k // bands
     sig_exprs = ", ".join(
-        "MIN(" + _PH64_SQL.format(x=f"concat_ws(chr(1), '{i}', s)") + f") AS sig_{i}"
-        for i in range(k)
+        f"MIN(({a} * h + {b}) % {MINHASH_P}) AS sig_{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(k))
     )
     band_rows = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band, ".format(b=b)
@@ -481,8 +483,10 @@ def _sql_dedup_minhash() -> str:
         f"CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END" for i in range(k)
     )
     return f"""
-WITH shingled AS (
+WITH shingled0 AS (
   SELECT doc_id, UNNEST({_SHINGLES3_SQL}) AS s FROM documents
+), shingled AS (
+  SELECT doc_id, {_PH64_SQL.format(x='s')} % {MINHASH_P} AS h FROM shingled0
 ), sigs AS (
   SELECT doc_id, {sig_exprs} FROM shingled GROUP BY doc_id
 ), banded AS (
@@ -513,8 +517,10 @@ def _q_dedup_jaccard(spark, sf_dir):
 
 
 _SQL_DEDUP_JACCARD = f"""
-WITH shingled AS (
-  SELECT doc_id, UNNEST({_SHINGLES3_SQL}) AS s FROM documents
+WITH shingled0 AS (
+  SELECT doc_id, UNNEST({_SHINGLES3_SQL}) AS s0 FROM documents
+), shingled AS (
+  SELECT doc_id, {_PH64_SQL.format(x='s0')} AS s FROM shingled0
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS n FROM shingled GROUP BY doc_id
 ), inter AS (

@@ -103,6 +103,24 @@ def write_table(
     return True
 
 
+def strip_quote_wrap(s: str) -> str:
+    """`'x'` / `"x"` / `` `x` `` → x — the reference's rowRestriction
+    argument cleanup (BigDiffy.stripQuoteWrap:364-374)."""
+    if len(s) >= 2 and s[0] == s[-1] and s[0] in ("'", '"', "`"):
+        return s[1:-1]
+    return s
+
+
+def row_restriction(df: DataFrame, predicate: str) -> DataFrame:
+    """SQL-text WHERE pushdown (P5 — the BigQuery Storage-API
+    rowRestriction, BigDiffy.scala:377-396). On file sources Catalyst
+    pushes the parsed predicate into the scan, which is the same
+    server-side-filter effect."""
+    from pyspark.sql import functions as F
+
+    return df.where(F.expr(strip_quote_wrap(predicate)))
+
+
 def is_done(path: str) -> bool:
     """Completed-output check: Spark writes `_SUCCESS` on commit."""
     return os.path.exists(os.path.join(path, "_SUCCESS"))

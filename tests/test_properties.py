@@ -1,0 +1,125 @@
+"""Property-based tests (SURVEY.md §5 layer 1) — the reference's ScalaCheck
+invariants re-expressed with hypothesis: hash determinism + bounds, dice
+0%/100% behavior, cross-representation hash equality
+(BigSamplerTest.scala:52-104, :249-421)."""
+
+import hashlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ratatool_spark.functions.hashing import HASH_BITS, serialize_for_hash
+from ratatool_spark.operators.dedup import MINHASH_P, minhash_coeffs
+from ratatool_spark.operators.sampler import _chernoff_upper
+from ratatool_spark.sources.io import strip_quote_wrap
+
+
+def py_portable_hash(s: str) -> int:
+    """Driver-side twin of functions.hashing.portable_hash64."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+@given(st.text(min_size=0, max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_py_hash_in_range(s):
+    h = py_portable_hash(s)
+    assert 0 <= h < (1 << HASH_BITS)
+
+
+@given(st.text(), st.text())
+@settings(max_examples=100, deadline=None)
+def test_py_hash_deterministic_and_discriminating(a, b):
+    assert py_portable_hash(a) == py_portable_hash(a)
+    if a != b:
+        # 60-bit space: collisions effectively impossible at this scale
+        assert py_portable_hash(a) != py_portable_hash(b)
+
+
+@given(st.text(alphabet=st.characters(blacklist_characters="'\"`"), max_size=50))
+@settings(max_examples=100, deadline=None)
+def test_strip_quote_wrap_idempotent(s):
+    for q in ("'", '"', "`"):
+        assert strip_quote_wrap(f"{q}{s}{q}") == s
+    assert strip_quote_wrap(strip_quote_wrap(s)) == strip_quote_wrap(s)
+
+
+@given(
+    st.floats(min_value=0.001, max_value=1.0),
+    st.integers(min_value=1, max_value=10**12),
+)
+@settings(max_examples=200, deadline=None)
+def test_chernoff_bound_envelope(f, n):
+    """Bound is a valid dice threshold ≥ fraction and ≤ 1 (prefiltering
+    with it can only keep a superset of the selected sample)."""
+    b = _chernoff_upper(f, n)
+    assert f <= b <= 1.0
+    # wider margins for smaller n
+    assert _chernoff_upper(f, max(n // 10, 1)) >= b - 1e-12
+
+
+def test_minhash_coeffs_valid():
+    cs = minhash_coeffs(64)
+    assert len(set(cs)) == 64
+    for a, b in cs:
+        assert 0 < a < MINHASH_P and 0 <= b < MINHASH_P
+
+
+# ------------------------------------------------- Spark-side invariants
+
+
+def test_spark_hash_matches_python(spark):
+    """Executor md5 path == driver hashlib path, batched over many values."""
+    from ratatool_spark.functions.hashing import portable_hash64
+
+    vals = [f"v{i}\x01payload-{i * 7919}" for i in range(500)] + ["", " ", "\x01"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {
+        r["s"]: r["h"]
+        for r in df.select("s", portable_hash64(F.col("s")).alias("h")).collect()
+    }
+    for v in vals:
+        assert got[v] == py_portable_hash(v)
+
+
+def test_cross_representation_hash_equality(spark):
+    """The reference's avro↔tablerow consistency property
+    (BigSamplerTest.scala:249-421): the same logical value hashed through
+    different column types feeds identical bytes — int vs long vs string
+    renderings of the same number agree."""
+    from pyspark.sql import types as T
+
+    from ratatool_spark.functions.hashing import dice
+
+    df = spark.createDataFrame(
+        [(i, i, str(i)) for i in range(1000)], "as_int int, as_long bigint, as_str string"
+    )
+    out = df.select(
+        dice(["as_int"], seed=9, dtypes=[T.IntegerType()]).alias("d_int"),
+        dice(["as_long"], seed=9, dtypes=[T.LongType()]).alias("d_long"),
+        dice(["as_str"], seed=9, dtypes=[T.StringType()]).alias("d_str"),
+    )
+    bad = out.where(
+        (F.col("d_int") != F.col("d_long")) | (F.col("d_long") != F.col("d_str"))
+    ).count()
+    assert bad == 0
+
+
+def test_dice_zero_and_full_fraction(spark, lineitem):
+    """0% keeps nothing, 100% keeps everything (BigSamplerTest dice
+    invariants)."""
+    from ratatool_spark.functions.hashing import dice
+
+    d = dice(["l_orderkey"], seed=1)
+    assert lineitem.where(d < 0.0).count() == 0
+    assert lineitem.where(d < 1.0).count() == lineitem.count()
+
+
+def test_serialize_bytes_hex(spark):
+    """Byte fields hash via lower-hex rendering (ByteHasher hex mode,
+    Util.scala:66-83)."""
+    df = spark.createDataFrame([(b"\xde\xad\xbe\xef",)], "b binary")
+    from pyspark.sql import types as T
+
+    r = df.select(serialize_for_hash(F.col("b"), T.BinaryType()).alias("s")).collect()
+    assert r[0]["s"] == "deadbeef"
