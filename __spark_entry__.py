@@ -1016,6 +1016,167 @@ WHERE rn <= least(CAST(CEIL((SELECT total * 0.1 / nk FROM tot)) AS BIGINT), n_k)
 """
 
 
+# --------------------------------------------- asof / distinct / pairs
+
+
+def _q_asof(spark, sf_dir):
+    """As-of join: each purchase event matched to the user's most recent
+    prior view event (union + keyed-window implementation; DuckDB native
+    ASOF JOIN is the oracle)."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.asof import asof_join
+    from ratatool_spark.sources.io import load_tables
+
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    out = asof_join(purchases, views, on="user_id")
+    return out.select("event_id", "user_id", "ts", "ts_r", "view_value")
+
+
+_SQL_ASOF = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+), views AS (
+  SELECT user_id, ts, value AS view_value FROM events WHERE event_type = 'view'
+)
+SELECT p.event_id, p.user_id, p.ts, v.ts AS ts_r, v.view_value
+FROM purchases p ASOF LEFT JOIN views v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+def _q_distinct_users(spark, sf_dir):
+    """A3-family: exact distinct counts per group."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.sources.io import load_tables
+
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_SQL_DISTINCT_USERS = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs, Hamming <= 6, hi/lo-block self-join."""
+    from ratatool_spark.operators.dedup import simhash_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_pairs(docs, bits=_SIMHASH_BITS, max_hamming=6)
+
+
+def _sql_simhash_pairs() -> str:
+    sim = _sql_dedup_simhash().strip()
+    return f"""
+WITH sim AS ({sim}),
+split AS (
+  SELECT doc_id AS id, simhash,
+         simhash >> 16 AS hi, simhash & 65535 AS lo
+  FROM sim
+),
+cand AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM split a JOIN split b ON a.hi = b.hi AND a.id < b.id
+  UNION
+  SELECT a.id, b.id, bit_count(xor(a.simhash, b.simhash))
+  FROM split a JOIN split b ON a.lo = b.lo AND a.id < b.id
+)
+SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 6
+"""
+
+
+def _q_embedding_neardup(spark, sf_dir):
+    """Embedding cosine near-dup pairs (unblocked exact verifier)."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_neardup_pairs(emb, min_cosine=0.6)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+_COS_AB_SQL = """
+list_reduce(list_transform(range(1, 65),
+    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+    (x, y) -> x + y)
+/ (sqrt(list_reduce(list_transform(range(1, 65),
+       i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)),
+       (x, y) -> x + y))
+ * sqrt(list_reduce(list_transform(range(1, 65),
+       i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+       (x, y) -> x + y)))
+"""
+
+_SQL_EMBEDDING_NEARDUP = f"""
+WITH scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_AB_SQL} AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(cosine, 6) AS cosine
+FROM scored WHERE cosine >= 0.6
+"""
+
+
+def _q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-k (the ANN scale path end-to-end)."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    out = lsh_topk(emb, q, k=3, num_planes=8, seed=7)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def _sql_ann_lsh_topk() -> str:
+    buckets = _sql_ann_lsh_buckets().strip()
+    return f"""
+WITH buckets AS ({buckets}),
+qb AS (
+  SELECT e.vec_id AS query_id, e.embedding, b.bucket
+  FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+  WHERE e.vec_id < 5
+),
+cb AS (
+  SELECT e.vec_id AS neighbor_id, e.embedding, b.bucket
+  FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+),
+scored AS (
+  SELECT a.query_id, b.neighbor_id,
+         {_COS_AB_SQL.replace('a.embedding', 'a_emb').replace('b.embedding', 'b_emb')} AS cosine
+  FROM (SELECT query_id, embedding AS a_emb, bucket FROM qb) a
+  JOIN (SELECT neighbor_id, embedding AS b_emb, bucket FROM cb) b USING (bucket)
+  WHERE a.query_id <> b.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": _q_tpch_q1,
@@ -1044,6 +1205,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_pricing": _q_rollup,
         "sample_uniform_deterministic": _q_sample_uniform_det,
         "sample_uniform_exact": _q_sample_uniform_exact,
+        "asof_join_events": _q_asof,
+        "distinct_users_per_type": _q_distinct_users,
+        "dedup_simhash_pairs": _q_simhash_pairs,
+        "dedup_embedding_neardup": _q_embedding_neardup,
+        "ann_lsh_topk": _q_ann_lsh_topk,
     }
 
 
@@ -1075,4 +1241,9 @@ def oracle_sql() -> dict[str, str]:
         "rollup_pricing": _SQL_ROLLUP,
         "sample_uniform_deterministic": _SQL_SAMPLE_UNIFORM_DET,
         "sample_uniform_exact": _SQL_SAMPLE_UNIFORM_EXACT,
+        "asof_join_events": _SQL_ASOF,
+        "distinct_users_per_type": _SQL_DISTINCT_USERS,
+        "dedup_simhash_pairs": _sql_simhash_pairs(),
+        "dedup_embedding_neardup": _SQL_EMBEDDING_NEARDUP,
+        "ann_lsh_topk": _sql_ann_lsh_topk(),
     }
