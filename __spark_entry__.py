@@ -1177,6 +1177,99 @@ FROM ranked WHERE rank <= 3
 """
 
 
+# --------------------------------------- quantiles / pivot / pipeline
+
+
+def _q_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (F.percentile ==
+    DuckDB quantile_cont on doubles)."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = lambda q, n: F.round(  # noqa: E731
+        F.percentile(F.col("l_extendedprice"), F.lit(q)), 6
+    ).alias(n)
+    return li.groupBy("l_returnflag").agg(
+        p(0.25, "p25"), p(0.5, "p50"), p(0.75, "p75"), p(0.95, "p95")
+    )
+
+
+_SQL_QUANTILES = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice::DOUBLE, 0.25), 6) AS p25,
+       ROUND(quantile_cont(l_extendedprice::DOUBLE, 0.50), 6) AS p50,
+       ROUND(quantile_cont(l_extendedprice::DOUBLE, 0.75), 6) AS p75,
+       ROUND(quantile_cont(l_extendedprice::DOUBLE, 0.95), 6) AS p95
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def _q_pivot(spark, sf_dir):
+    """Pivot: linestatus columns per returnflag, decimal-exact sums."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,4)")))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_filled")
+    )
+
+
+_SQL_PIVOT = """
+SELECT l_returnflag,
+       SUM(CASE WHEN l_linestatus = 'O'
+                THEN CAST(l_quantity AS DECIMAL(28,4)) END) AS qty_open,
+       SUM(CASE WHEN l_linestatus = 'F'
+                THEN CAST(l_quantity AS DECIMAL(28,4)) END) AS qty_filled
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def _q_clean_corpus(spark, sf_dir):
+    """Composed training-data pipeline: quality filter → language filter →
+    exact dedup → projection. The end-to-end shape a pretraining corpus
+    cleaner runs, all column expressions + one dedup shuffle."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.functions.text import lang_id, quality_score, token_count
+    from ratatool_spark.operators.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+        lang_id(F.col("text")).alias("lang_guess"),
+    )
+    kept = scored.where((F.col("quality") >= 0.45) & (F.col("lang_guess") == "en"))
+    deduped = exact_dedup(kept, text_col="text", id_col="doc_id")
+    return deduped.select("doc_id", "n_tokens", "quality")
+
+
+def _sql_clean_corpus() -> str:
+    metrics = _sql_text_metrics().strip()
+    norm_text = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    fp = _PH64_SQL.format(x=norm_text)
+    return f"""
+WITH metrics AS ({metrics}),
+kept AS (
+  SELECT m.doc_id, m.n_tokens, m.quality, d.text
+  FROM metrics m JOIN documents d ON m.doc_id = d.doc_id
+  WHERE m.quality >= 0.45 AND m.lang_guess = 'en'
+),
+deduped AS (
+  SELECT doc_id, n_tokens, quality,
+         ROW_NUMBER() OVER (PARTITION BY {fp} ORDER BY doc_id) AS rn
+  FROM kept
+)
+SELECT doc_id, n_tokens, quality FROM deduped WHERE rn = 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": _q_tpch_q1,
@@ -1210,6 +1303,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _q_simhash_pairs,
         "dedup_embedding_neardup": _q_embedding_neardup,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "quantiles_per_flag": _q_quantiles,
+        "pivot_status_qty": _q_pivot,
+        "pipeline_clean_corpus": _q_clean_corpus,
     }
 
 
@@ -1246,4 +1342,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": _sql_simhash_pairs(),
         "dedup_embedding_neardup": _SQL_EMBEDDING_NEARDUP,
         "ann_lsh_topk": _sql_ann_lsh_topk(),
+        "quantiles_per_flag": _SQL_QUANTILES,
+        "pivot_status_qty": _SQL_PIVOT,
+        "pipeline_clean_corpus": _sql_clean_corpus(),
     }

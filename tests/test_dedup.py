@@ -144,3 +144,26 @@ def test_fingerprint_normalization(spark):
     )
     fps = [r[0] for r in df.select(fingerprint(F.col("a"))).collect()]
     assert fps[0] == fps[1] != fps[2]
+
+
+def test_ivf_topk_recall(embeddings):
+    """IVF results: exact cosines, decent recall vs brute force."""
+    from ratatool_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    q = embeddings.where(F.col("vec_id") < 10)
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in brute_force_topk(embeddings, q, k=5).collect()
+    }
+    ivf = ivf_topk(embeddings, q, k=5, n_centroids=8, n_probe=4).collect()
+    assert len(ivf) > 0
+    # every IVF cosine equals the exact pairwise cosine
+    all_sims = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in brute_force_topk(embeddings, q, k=500).collect()
+    }
+    for r in ivf:
+        assert r["cosine"] == pytest.approx(all_sims[(r["query_id"], r["neighbor_id"])])
+    # recall@5 against brute force with half the cells probed
+    hits = sum(1 for key in bf if key in {(r["query_id"], r["neighbor_id"]) for r in ivf})
+    assert hits / len(bf) >= 0.5
