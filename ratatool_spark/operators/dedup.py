@@ -165,14 +165,36 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__s"),
     ).select("id", portable_hash64(F.col("__s")).alias("s"))
-    # joining on the 60-bit shingle hash instead of the shingle string:
+    # grouping on the 60-bit shingle hash instead of the shingle string:
     # same pairs (collisions are identical on both sides of any comparison
-    # because the hash is deterministic), ~3x narrower shuffle
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    # because the hash is deterministic), ~3x narrower shuffle.
+    #
+    # One inverted index (shingle → sorted posting list) through a single
+    # exchange feeds BOTH the per-doc sizes and the pair counts — the text
+    # is shingled exactly once, where a naive self-join + sizes branch
+    # re-evaluates the (expensive) shingling per branch. Pairs come from
+    # in-array i<j combinations: identical multiset to the equi-self-join,
+    # and the shuffle carries one row per shingle, not one per posting.
+    posting = F.array_sort(F.collect_list("id"))
+    grouped = sh.groupBy("s").agg(posting.alias("ids"))
+    sizes = (
+        grouped.select(F.explode("ids").alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        grouped.where(F.size("ids") >= 2)
+        .select(F.explode(combos).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
     j = (
