@@ -623,7 +623,7 @@ def _q_ann_lsh_buckets(spark, sf_dir):
     from ratatool_spark.operators.similarity import lsh_bucket
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return emb.select("vec_id", lsh_bucket(emb, num_planes=8, seed=7))
+    return emb.select("vec_id", lsh_bucket(emb, num_planes=8, seed=7, dim=64))
 
 
 def _sql_ann_lsh_buckets() -> str:
@@ -1140,7 +1140,7 @@ def _q_ann_lsh_topk(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.where(F.col("vec_id") < 5)
-    out = lsh_topk(emb, q, k=3, num_planes=8, seed=7)
+    out = lsh_topk(emb, q, k=3, num_planes=8, seed=7, dim=64)
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
     )

@@ -256,37 +256,42 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance ≤ max_hamming.
 
-    Scale path: self-join blocked on the high half of the fingerprint
-    (pigeonhole: ≤3 differing bits can't all be in both halves — standard
-    simhash chunk trick), Hamming via ``bit_count(xor)``. Falls back to the
-    low half block too, unioned + distinct."""
+    Scale path: self-join blocked on fingerprint halves (pigeonhole:
+    ≤ max_hamming differing bits can't hit both halves when max_hamming <
+    bits/2 — the standard simhash chunk trick), Hamming via
+    ``bit_count(xor)``. Both halves are exploded into one (kind, val)
+    block table and matched in a single self-join: the two sides are
+    identical subplans, so the signature pipeline runs once through one
+    reused exchange (a union of per-half joins would shuffle it twice)."""
     s = simhash(df, text_col, id_col, bits, shingle_n)
     half = bits // 2
-    s = s.select(
-        F.col(id_col).alias("id"),
-        "simhash",
-        F.shiftright("simhash", half).alias("hi"),
-        F.col("simhash").bitwiseAND(F.lit((1 << half) - 1)).alias("lo"),
+    blocks = F.array(
+        F.struct(F.lit(0).alias("kind"), F.shiftright("simhash", half).alias("val")),
+        F.struct(
+            F.lit(1).alias("kind"),
+            F.col("simhash").bitwiseAND(F.lit((1 << half) - 1)).alias("val"),
+        ),
     )
+    s = s.select(
+        F.col(id_col).alias("id"), "simhash", F.explode(blocks).alias("b")
+    ).select("id", "simhash", F.col("b.kind").alias("kind"), F.col("b.val").alias("val"))
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    out = None
-    for block in ("hi", "lo"):
-        p = (
-            s.alias("a")
-            .join(
-                s.alias("b"),
-                (F.col(f"a.{block}") == F.col(f"b.{block}"))
-                & (F.col("a.id") < F.col("b.id")),
-            )
-            .where(ham <= max_hamming)
-            .select(
-                F.col("a.id").alias("id_a"),
-                F.col("b.id").alias("id_b"),
-                ham.alias("hamming"),
-            )
+    return (
+        s.alias("a")
+        .join(
+            s.alias("b"),
+            (F.col("a.kind") == F.col("b.kind"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
         )
-        out = p if out is None else out.unionByName(p)
-    return out.distinct()
+        .where(ham <= max_hamming)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )
 
 
 def embedding_neardup_pairs(

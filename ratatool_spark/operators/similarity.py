@@ -52,10 +52,15 @@ def brute_force_topk(
     )
 
 
-def _hyperplane_sign(plane: int, dim: int, seed: int) -> Column:
-    """Deterministic ±1 from the portable hash of (seed, plane, dim)."""
-    h = portable_hash64(F.lit(f"{seed}\x01{plane}\x01{dim}"))
-    return F.when(h.bitwiseAND(F.lit(1)) == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+def _hyperplane_sign(plane: int, dim: int, seed: int) -> float:
+    """Deterministic ±1 from the portable hash of (seed, plane, dim) —
+    computed at plan-build time with the same md5 formula as
+    functions.hashing.portable_hash64, so any engine evaluating the hash
+    at runtime (e.g. the DuckDB oracle) derives identical signs."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{seed}\x01{plane}\x01{dim}".encode()).hexdigest()[:15], 16)
+    return 1.0 if h & 1 else -1.0
 
 
 def lsh_bucket(
@@ -63,29 +68,46 @@ def lsh_bucket(
     vec_col: str = "embedding",
     num_planes: int = 8,
     seed: int = 7,
+    dim: int | None = None,
 ) -> Column:
     """Random-hyperplane LSH bucket id (0 .. 2^num_planes - 1) as a column.
 
     Each plane's normal has components ±1 chosen by hash — sign of
-    dot(v, plane) gives one bit. Expression-only; dim is read from the
-    array at runtime via element_at."""
+    dot(v, plane) gives one bit. With ``dim`` known (pass it — it's one
+    schema lookup away), the signs are baked into the plan as literal
+    arrays and the projection is a zip_with/aggregate per plane: no
+    hashing in the data path at all. Without ``dim``, signs are hashed at
+    runtime per element — same values, ~50x slower (an md5 per
+    plane × dim × row)."""
     bits = []
     for p in range(num_planes):
-        proj = F.aggregate(
-            F.transform(
-                F.col(vec_col),
-                lambda x, i: x.cast("double")
-                * F.when(
-                    portable_hash64(
-                        F.concat_ws("\x01", F.lit(str(seed)), F.lit(str(p)), i.cast("string"))
-                    ).bitwiseAND(F.lit(1))
-                    == 1,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0)),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        if dim is not None:
+            signs = F.array(
+                *[F.lit(_hyperplane_sign(p, i, seed)) for i in range(dim)]
+            )
+            proj = F.aggregate(
+                F.zip_with(F.col(vec_col), signs, lambda x, s: x.cast("double") * s),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        else:
+            proj = F.aggregate(
+                F.transform(
+                    F.col(vec_col),
+                    lambda x, i: x.cast("double")
+                    * F.when(
+                        portable_hash64(
+                            F.concat_ws(
+                                "\x01", F.lit(str(seed)), F.lit(str(p)), i.cast("string")
+                            )
+                        ).bitwiseAND(F.lit(1))
+                        == 1,
+                        F.lit(1.0),
+                    ).otherwise(F.lit(-1.0)),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
         bits.append(F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long")))
     return sum(bits[1:], bits[0]).alias("bucket")
 
@@ -176,20 +198,22 @@ def lsh_topk(
     id_col: str = "vec_id",
     num_planes: int = 8,
     seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket, exact
     cosine re-rank within. Recall is tuned by num_planes (fewer planes →
     bigger buckets → higher recall, more compute). Join is bucket-to-bucket
-    — shuffle on a small integer key, no cross join."""
+    — shuffle on a small integer key, no cross join. Pass ``dim`` to bake
+    plane signs into the plan (see lsh_bucket)."""
     cb = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        lsh_bucket(corpus, vec_col, num_planes, seed),
+        lsh_bucket(corpus, vec_col, num_planes, seed, dim=dim),
     )
     qb = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        lsh_bucket(queries, vec_col, num_planes, seed),
+        lsh_bucket(queries, vec_col, num_planes, seed, dim=dim),
     )
     sim = cosine_sim(F.col("qv"), F.col("cv"))
     w = Window.partitionBy("query_id").orderBy(
