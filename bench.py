@@ -27,16 +27,21 @@ def main() -> None:
     timings: dict[str, float] = {}
     # warm the JVM + file listing once with a trivial action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # best-of-2 per query: the second run measures the plan, not JVM JIT /
+    # scheduler warmup noise (local single-process runs vary ~2x per query)
     for name, fn in qs.items():
-        t0 = time.perf_counter()
+        best = None
         try:
-            df = fn(spark, sf_dir)
-            n = df.count()
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
         except Exception as e:  # keep benching even if one query breaks
             timings[name] = -1.0
             print(f"# bench error {name}: {e}", file=sys.stderr)
             continue
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(v for v in timings.values() if v > 0), 3)
