@@ -1,0 +1,91 @@
+"""Physical-plan audits: assert the structural properties that make each
+operator family scale, not just its output. These are the properties that
+survive a 100x data scale-up — shuffle counts, filter pushdown, column
+pruning, join strategy — checked against the executed plan string.
+
+Plan shapes are taken at the smoke SF; the asserted properties (exchange
+counts, pushdown, no-nested-loop) are SF-independent: Catalyst may swap
+broadcast for sort-merge as sides grow, but never introduces a cartesian
+product or an extra shuffle for these plans.
+"""
+
+import re
+
+import pytest
+
+import __spark_entry__ as entry
+from tests.conftest import SF_SMOKE
+
+
+def plan_of(spark, name: str) -> str:
+    df = entry.queries()[name](spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def n_exchanges(plan: str) -> int:
+    # count shuffle exchanges only (not BroadcastExchange, which moves
+    # a small table, not the data)
+    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning|\bExchange SinglePartition", plan))
+
+
+def test_tpch_q1_one_shuffle_pushdown_pruning(spark):
+    p = plan_of(spark, "tpch_q1_pricing_summary")
+    # the date filter must reach the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # partial -> final aggregation: exactly one shuffle of group rows
+    assert n_exchanges(p) == 1
+    # column pruning: the scan reads only the needed lineitem columns
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", p)
+    assert m and len(m.group(1).split(",")) <= 7
+
+
+def test_deterministic_sample_is_scan_only(spark):
+    # hash-dice sampling is a pure scan+filter: embarrassingly parallel
+    assert n_exchanges(plan_of(spark, "sample_deterministic")) == 0
+
+
+def test_tpch_q3_dims_broadcast_no_cartesian(spark):
+    p = plan_of(spark, "tpch_q3_shipping_priority")
+    assert "CartesianProduct" not in p and "NestedLoopJoin" not in p
+    # the filtered dimension sides broadcast; the fact table never
+    # shuffles for the joins (only the final aggregate may shuffle)
+    assert p.count("BroadcastHashJoin") >= 1
+    # customer's segment filter is pushed to its own scan
+    assert "EqualTo(c_mktsegment,BUILDING)" in p
+
+
+def test_diffy_single_key_shuffle(spark):
+    p = plan_of(spark, "diffy_deltas")
+    # one full-outer join on the key — the single unavoidable shuffle
+    assert p.count("FullOuter") == 1
+    assert "CartesianProduct" not in p and "NestedLoopJoin" not in p
+
+
+def test_dedup_joins_are_equi_joins(spark):
+    # every dedup family candidate join must be an equi-join on a block
+    # key (band hash / simhash half / shingle) — never all-pairs
+    for q in ("dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash_pairs"):
+        p = plan_of(spark, q)
+        assert "CartesianProduct" not in p, q
+        assert "BroadcastNestedLoopJoin" not in p, q
+
+
+def test_lsh_topk_no_hash_in_data_path(spark):
+    # with dim passed, hyperplane signs are plan literals: no md5 at scan
+    p = plan_of(spark, "ann_lsh_buckets")
+    assert "md5" not in p
+    assert n_exchanges(p) == 0
+
+
+def test_text_metrics_scan_only(spark):
+    assert n_exchanges(plan_of(spark, "text_metrics")) == 0
+
+
+@pytest.mark.parametrize(
+    # pivot is 2 by construction: partial sum on (flag, status), then
+    # pivotfirst by flag over the already-tiny grouped rows
+    ("q", "max_shuffles"),
+    [("quantiles_per_flag", 1), ("pivot_status_qty", 2)],
+)
+def test_groupby_family_shuffle_budget(spark, q, max_shuffles):
+    assert n_exchanges(plan_of(spark, q)) <= max_shuffles
