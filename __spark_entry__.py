@@ -1270,6 +1270,42 @@ SELECT doc_id, n_tokens, quality FROM deduped WHERE rn = 1
 """
 
 
+def _q_events_ewma(spark, sf_dir):
+    """Per-user event-time EWMA — custom stateful operator
+    (applyInPandasWithState on streams, applyInPandas in batch). The
+    running recurrence is not expressible in ANSI SQL without
+    overflow-prone power tricks, so this entry has no oracle_sql twin:
+    the driver records the weaker rows-only check; exact-value coverage
+    lives in tests/test_streaming.py (batch == pandas recurrence ==
+    stateful streaming run)."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.sources.io import load_tables
+    from ratatool_spark.streaming.stateful import ewma_by_key
+
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    out = ewma_by_key(ev.where(F.col("user_id") < 100), alpha=0.3)
+    return out.select("user_id", "ts", F.round("ewma", 6).alias("ewma"))
+
+
+def _q_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k with 2 Lloyd's training iterations. The
+    centroid training is an iterative algorithm (driver loop over
+    assignment/update jobs) with no single-statement SQL equivalent, so
+    this entry is rows-only checked; exactness of the returned cosines
+    and recall floors are covered by tests/test_dedup.py."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    out = ivf_topk(emb, q, k=3, n_centroids=8, n_probe=3, train_iters=2)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": _q_tpch_q1,
@@ -1306,6 +1342,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_per_flag": _q_quantiles,
         "pivot_status_qty": _q_pivot,
         "pipeline_clean_corpus": _q_clean_corpus,
+        "events_ewma_stateful": _q_events_ewma,
+        "ann_ivf_topk": _q_ann_ivf_topk,
     }
 
 

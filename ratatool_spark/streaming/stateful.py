@@ -1,0 +1,101 @@
+"""Custom stateful streaming operators — the applyInPandasWithState tier.
+
+Spark's built-in streaming operators cover windowed/sessionized
+aggregation (streaming/events.py); anything needing an *ordered running
+computation per key* (EWMA, CUSUM, run-length state machines) is not
+expressible as a streaming SQL aggregate and needs the arbitrary-state
+API. This module holds those, written stream-batch dual like the rest of
+the package:
+
+  - streaming: ``applyInPandasWithState`` keeps one small state row per
+    key (GroupState, survives across micro-batches, bounded by key
+    cardinality — the same state envelope as any streaming agg).
+  - batch: ``applyInPandas`` over the same per-key pandas function with
+    empty initial state — identical code path, exact oracle for the
+    streaming run.
+
+State per key is O(1) (the running value + last timestamp), so unlike
+per-window aggregations there is nothing for a watermark to evict; state
+size is bounded by |keys| exactly like the reference's per-strata tables
+(ratatool-sampling/README.md:118-120 documents the same envelope).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EWMA_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ewma", T.DoubleType()),
+        T.StructField("last_ts", T.DoubleType()),
+    ]
+)
+
+
+def _ewma_rows(rows: pd.DataFrame, alpha: float, prev: float | None):
+    """Run the recurrence over one key's time-ordered rows."""
+    rows = rows.sort_values("ts")
+    out = []
+    for v in rows["value"]:
+        v = float(v)
+        prev = v if prev is None else alpha * v + (1.0 - alpha) * prev
+        out.append(prev)
+    rows = rows.copy()
+    rows["ewma"] = out
+    return rows, prev
+
+
+def ewma_by_key(
+    df: DataFrame,
+    alpha: float = 0.3,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key exponentially weighted moving average of ``value_col`` in
+    event-time order: ewma_i = alpha * v_i + (1-alpha) * ewma_{i-1}.
+
+    Streaming input → ``applyInPandasWithState`` (running value carried
+    across micro-batches; rows within a batch are ordered by event time —
+    exact total ordering per key additionally requires per-key ordered
+    delivery, e.g. a keyed Kafka topic, the standard streaming contract).
+    Batch input → ``applyInPandas`` with the same per-key function, which
+    is the streaming run's oracle."""
+    cols = df.select(key_col, ts_col, value_col)
+
+    if df.isStreaming:
+
+        def update(key, pdf_iter, state: GroupState):
+            prev = state.get[0] if state.exists else None
+            for pdf in pdf_iter:
+                pdf.columns = ["user_id", "ts", "value"]
+                out, prev = _ewma_rows(pdf, alpha, prev)
+                yield out
+            state.update((prev, 0.0))
+
+        return cols.groupBy(key_col).applyInPandasWithState(
+            update,
+            outputStructType=EWMA_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    def batch_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf.columns = ["user_id", "ts", "value"]
+        out, _ = _ewma_rows(pdf, alpha, None)
+        return out
+
+    return cols.groupBy(key_col).applyInPandas(batch_fn, schema=EWMA_SCHEMA)

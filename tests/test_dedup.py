@@ -167,3 +167,25 @@ def test_ivf_topk_recall(embeddings):
     # recall@5 against brute force with half the cells probed
     hits = sum(1 for key in bf if key in {(r["query_id"], r["neighbor_id"]) for r in ivf})
     assert hits / len(bf) >= 0.5
+
+
+def test_kmeans_ivf_training(embeddings):
+    """Lloyd's iterations are deterministic and keep IVF results exact
+    (cosines still true pairwise values); trained cells at equal probe
+    budget reach at least the recall floor."""
+    from ratatool_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        train_centroids,
+    )
+
+    c1 = train_centroids(embeddings, n_centroids=8, iters=2)
+    c2 = train_centroids(embeddings, n_centroids=8, iters=2)
+    assert c1 == c2
+    assert len(c1) == 8 and all(len(v) == 64 for _, v in c1)
+
+    q = embeddings.where(F.col("vec_id") < 10)
+    bf = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(embeddings, q, k=5).collect()}
+    ivf = ivf_topk(embeddings, q, k=5, n_centroids=8, n_probe=4, train_iters=2).collect()
+    hits = sum(1 for key in bf if key in {(r["query_id"], r["neighbor_id"]) for r in ivf})
+    assert hits / len(bf) >= 0.5

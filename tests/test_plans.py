@@ -14,11 +14,15 @@ import re
 import pytest
 
 import __spark_entry__ as entry
-from tests.conftest import SF_SMOKE
+
+# sf0.01, NOT the smoke SF: conftest fixtures .cache() the sf0.001 tables,
+# and a cached table turns the scan into InMemoryRelation — which would
+# hide the FileScan pushdown/pruning evidence these tests assert on
+from tests.conftest import SF_CORRECT
 
 
 def plan_of(spark, name: str) -> str:
-    df = entry.queries()[name](spark, SF_SMOKE)
+    df = entry.queries()[name](spark, SF_CORRECT)
     return df._jdf.queryExecution().executedPlan().toString()
 
 

@@ -93,3 +93,62 @@ def test_real_stream_run(spark, tmp_path):
     # every finalized window agrees exactly with the batch ground truth
     open_windows = b - g
     assert all(w[0] >= max(x[0] for x in g) for w in open_windows)
+
+def test_ewma_batch_matches_pandas(events):
+    """Batch EWMA equals the plain-pandas recurrence per user."""
+    from ratatool_spark.streaming.stateful import ewma_by_key
+
+    sub = events.where(F.col("user_id") < 20).select("user_id", "ts", "value")
+    got = ewma_by_key(sub, alpha=0.4).toPandas()
+    pdf = sub.toPandas()
+    for uid, g in pdf.groupby("user_id"):
+        g = g.sort_values("ts")
+        prev, exp = None, []
+        for v in g["value"]:
+            prev = float(v) if prev is None else 0.4 * float(v) + 0.6 * prev
+            exp.append(prev)
+        mine = got[got["user_id"] == uid].sort_values("ts")["ewma"].tolist()
+        assert mine == pytest.approx(exp), uid
+
+
+def test_ewma_stateful_stream_matches_batch(spark, tmp_path):
+    """Real applyInPandasWithState run (availableNow over the file source)
+    produces the same final EWMA per user as the batch oracle when each
+    user's rows arrive in one ordered partition stream."""
+    from ratatool_spark.streaming.stateful import ewma_by_key
+
+    batch = load_tables(spark, SF, names=("events",))["events"].where(
+        F.col("user_id") < 50
+    )
+    # single ordered file => in-order per-key delivery, the streaming contract
+    src = str(tmp_path / "src")
+    batch.orderBy("ts").coalesce(1).write.parquet(src)
+
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    out = ewma_by_key(stream, alpha=0.3)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "out"))
+    want = ewma_by_key(spark.read.parquet(src), alpha=0.3)
+    # compare the LAST ewma per user (the carried state)
+    last = lambda df: {  # noqa: E731
+        r["user_id"]: round(r["ewma"], 9)
+        for r in df.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("user_id")
+                .orderBy(F.desc("ts"))
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .collect()
+    }
+    assert last(got) == last(want)
