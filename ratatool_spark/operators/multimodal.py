@@ -126,6 +126,51 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(run, _FEATURES_SCHEMA)
 
 
+_RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame, width: int, height: int, fake: bool = True
+) -> DataFrame:
+    """Resize image rows to (width, height): binary in → binary out, the
+    same mapInPandas batch shape as decode_media. Stub codec: the fake
+    payload is a deterministic function of (content, width, height) so
+    re-runs and retries produce identical bytes — idempotent-sink safe."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for content in pdf["content"]:
+                if not fake:
+                    raise NotImplementedError(
+                        "real resize requires an image library (PIL); "
+                        "install one and replace this branch"
+                    )
+                h = hashlib.md5(
+                    (content or b"") + f"{width}x{height}".encode()
+                ).digest()
+                out.append(h * ((width * height * 3) // len(h) + 1))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": out,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(run, _RESIZED_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame,
     n: int = 4,

@@ -193,3 +193,26 @@ def test_cli_generate(spark, tmp_path):
     rc = main(["generate", "--schema", "a bigint, b string", "-n", "100", "--output", out])
     assert rc == 0
     assert spark.read.parquet(out).count() == 100
+
+
+def test_resize_media_deterministic_shape(spark):
+    from ratatool_spark.operators.multimodal import fake_media_table, resize_media
+
+    media = fake_media_table(spark, n=30)
+    out = resize_media(media, 8, 8)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert len(rows) == 30
+    assert all(r["width"] == 8 and r["height"] == 8 for r in rows.values())
+    assert all(len(r["content"]) >= 8 * 8 * 3 for r in rows.values())
+    again = {r["media_id"]: r for r in resize_media(media, 8, 8).collect()}
+    assert all(bytes(rows[k]["content"]) == bytes(again[k]["content"]) for k in rows)
+
+
+def test_resize_media_real_codec_gated(spark):
+    import pytest
+
+    from ratatool_spark.operators.multimodal import fake_media_table, resize_media
+
+    media = fake_media_table(spark, n=3)
+    with pytest.raises(Exception, match="NotImplementedError|image library"):
+        resize_media(media, 8, 8, fake=False).collect()
