@@ -1270,6 +1270,28 @@ SELECT doc_id, n_tokens, quality FROM deduped WHERE rn = 1
 """
 
 
+def _q_cube_pricing(spark, sf_dir):
+    """CUBE over (returnflag, linestatus): all four grouping sets in one
+    pass — Spark expands the cube map-side, still a single shuffle."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(28,4)")).alias("sum_qty"),
+        )
+    )
+
+
+_SQL_CUBE = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       SUM(CAST(l_quantity AS DECIMAL(28,4))) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 def _q_events_ewma(spark, sf_dir):
     """Per-user event-time EWMA — custom stateful operator
     (applyInPandasWithState on streams, applyInPandas in batch). The
@@ -1344,6 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean_corpus": _q_clean_corpus,
         "events_ewma_stateful": _q_events_ewma,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "cube_pricing": _q_cube_pricing,
     }
 
 
@@ -1383,4 +1406,5 @@ def oracle_sql() -> dict[str, str]:
         "quantiles_per_flag": _SQL_QUANTILES,
         "pivot_status_qty": _SQL_PIVOT,
         "pipeline_clean_corpus": _sql_clean_corpus(),
+        "cube_pricing": _SQL_CUBE,
     }

@@ -103,6 +103,32 @@ def write_table(
     return True
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "error",
+    fmt: str = "parquet",
+) -> None:
+    """Persist a table bucketed (hash-clustered) by join/group keys.
+
+    Bucketing is the at-rest co-location strategy for 100 TB fact tables:
+    two tables bucketed the same way join with NO shuffle exchange on
+    either side (Catalyst recognizes the matching output partitioning),
+    and aggregations on the bucket keys skip their shuffle too. Use for
+    every large table that is repeatedly joined on the same key — the
+    shuffle is paid once at write time, not per query. ``sort_cols``
+    additionally sorts within buckets (sort-merge join without a sort
+    step). Requires the session's warehouse catalog (saveAsTable — the
+    bucket metadata lives in the catalog, not the files)."""
+    writer = df.write.mode(mode).format(fmt).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def strip_quote_wrap(s: str) -> str:
     """`'x'` / `"x"` / `` `x` `` → x — the reference's rowRestriction
     argument cleanup (BigDiffy.stripQuoteWrap:364-374)."""

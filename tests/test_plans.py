@@ -93,3 +93,43 @@ def test_text_metrics_scan_only(spark):
 )
 def test_groupby_family_shuffle_budget(spark, q, max_shuffles):
     assert n_exchanges(plan_of(spark, q)) <= max_shuffles
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key join with zero shuffle
+    exchanges — the at-rest co-location contract write_bucketed exists
+    for. (Warehouse tables are dropped afterwards to keep the session
+    catalog clean.)"""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.sources.io import write_bucketed
+
+    orders = spark.read.parquet(f"{SF_CORRECT}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet")
+    try:
+        write_bucketed(
+            orders, "b_orders", ["o_orderkey"], 8, sort_cols=["o_orderkey"]
+        )
+        write_bucketed(
+            lineitem, "b_lineitem", ["l_orderkey"], 8, sort_cols=["l_orderkey"]
+        )
+        joined = (
+            spark.table("b_lineitem")
+            .join(
+                spark.table("b_orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert joined.count() > 0
+        p = joined._jdf.queryExecution().executedPlan().toString()
+        # the join itself introduces no exchange; only the tiny final
+        # aggregate on o_orderpriority shuffles
+        join_part = p.split("SortMergeJoin")[-1]
+        assert "Exchange hashpartitioning(l_orderkey" not in p
+        assert "Exchange hashpartitioning(o_orderkey" not in p
+        assert "SelectedBucketsCount" in join_part or "Bucketed: true" in p
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
