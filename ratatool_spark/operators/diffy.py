@@ -254,6 +254,27 @@ def _keyed_array_deltas(
     return F.flatten(F.transform(union_keys, deltas_for_key))
 
 
+def _align_to(df: DataFrame, merged: T.StructType) -> DataFrame:
+    """Project ``df`` onto the merged schema: fields it lacks become typed
+    nulls, column order follows the merge (lhs fields, then rhs-only)."""
+    from ratatool_spark.plans.schema import SchemaCompatibilityError
+
+    have = {f.name: f for f in df.schema.fields}
+    cols = []
+    for f in merged.fields:
+        mine = have.get(f.name)
+        if mine is None:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        elif mine.dataType != f.dataType:
+            raise SchemaCompatibilityError(
+                f"nested evolution of field {f.name!r} not supported: "
+                f"{mine.dataType} vs merged {f.dataType}"
+            )
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
+
+
 class BigDiffy:
     """Pairwise keyed dataset diff with field-level statistics (D1).
 
@@ -279,6 +300,20 @@ class BigDiffy:
         self.keys = list(keys)
         self.cfg = DiffConfig(frozenset(ignore), frozenset(unordered), ignore_nan)
         self.unordered_keys = dict(unordered_keys or {})
+
+        # Schema evolution (BigDiffy.scala:765-772 canRead validation +
+        # mergeFields:549-579): when the sides differ, diff over the merged
+        # schema — a field absent on one side reads as null there (exactly
+        # what an evolved-schema reader does), so added/removed fields
+        # surface as UNKNOWN deltas instead of erroring. Top-level only;
+        # a changed *type* for a common field is a hard error from
+        # merge_schemas, same as the reference's mode/type assertion.
+        if lhs.schema != rhs.schema:
+            from ratatool_spark.plans.schema import merge_schemas
+
+            merged = merge_schemas(lhs.schema, rhs.schema)
+            lhs = _align_to(lhs, merged)
+            rhs = _align_to(rhs, merged)
 
         if check_unique_keys:
             for side, df in (("lhs", lhs), ("rhs", rhs)):

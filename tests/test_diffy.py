@@ -160,3 +160,45 @@ def test_save_stats_tsv(spark, base, tmp_path):
     files = glob.glob(str(tmp_path / "out" / "global" / "*.csv"))
     text = open(files[0]).read()
     assert "num_total" in text and "1000" in text
+
+
+def test_schema_evolution_diff(spark, tmp_path):
+    """The reference's Parquet schema-evolution e2e (BigDiffyTest:397-446):
+    rhs written with an added field diffs cleanly against the old lhs —
+    the added field reads as null on the old side and surfaces as deltas,
+    while common fields diff normally."""
+    from ratatool_spark.operators.diffy import diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "id bigint, price double"
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 25.0, "b")], "id bigint, price double, label string"
+    )
+    old.write.parquet(str(tmp_path / "lhs"))
+    new.write.parquet(str(tmp_path / "rhs"))
+    d = diff(
+        spark.read.parquet(str(tmp_path / "lhs")),
+        spark.read.parquet(str(tmp_path / "rhs")),
+        ["id"],
+    )
+    deltas = {(r["key"], r["field"]): r for r in d.deltas.collect()}
+    # evolved field: old side is null -> UNKNOWN delta for every key
+    assert deltas[("1", "label")]["delta_type"] == "UNKNOWN"
+    assert deltas[("1", "label")]["left"] is None
+    assert deltas[("1", "label")]["right"] == "a"
+    # common field still diffs numerically
+    assert deltas[("2", "price")]["delta"] == 5.0
+    assert ("1", "price") not in deltas  # identical values -> no delta row
+    g = d.global_stats.collect()[0]
+    assert g["num_total"] == 2 and g["num_missing_lhs"] == 0
+
+
+def test_schema_evolution_type_change_raises(spark):
+    from ratatool_spark.operators.diffy import diff
+    from ratatool_spark.plans.schema import SchemaCompatibilityError
+
+    a = spark.createDataFrame([(1, 1.0)], "id bigint, v double")
+    b = spark.createDataFrame([(1, "x")], "id bigint, v string")
+    with pytest.raises(SchemaCompatibilityError):
+        diff(a, b, ["id"])
