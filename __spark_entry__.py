@@ -1270,6 +1270,39 @@ SELECT doc_id, n_tokens, quality FROM deduped WHERE rn = 1
 """
 
 
+def _q_text_fingerprints(spark, sf_dir):
+    """Rolling-hash (Rabin-Karp) document fingerprint + BPE-ish token
+    count — the order-sensitive complements to the set-style text_metrics
+    fingerprint."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.functions.text import bpe_tokens, rolling_fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        rolling_fingerprint(F.col("text")).alias("rolling_fp"),
+        F.size(bpe_tokens(F.col("text"))).alias("n_bpe_tokens"),
+    )
+
+
+def _sql_text_fingerprints() -> str:
+    tok_hash = _PH64_SQL.format(x="t")
+    return f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(string_split(trim(text), ' '),
+                          t -> {tok_hash} % 2147483647)),
+         (acc, x) -> (acc * 31 + x) % 2147483647) AS rolling_fp,
+       len(list_filter(
+         string_split_regex(
+           trim(regexp_replace(text, '([^\\w\\s])', ' \\1 ', 'g')), '\\s+'),
+         t -> t != '')) AS n_bpe_tokens
+FROM documents
+"""
+
+
 def _q_cube_pricing(spark, sf_dir):
     """CUBE over (returnflag, linestatus): all four grouping sets in one
     pass — Spark expands the cube map-side, still a single shuffle."""
@@ -1367,6 +1400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ewma_stateful": _q_events_ewma,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "cube_pricing": _q_cube_pricing,
+        "text_fingerprints": _q_text_fingerprints,
     }
 
 
@@ -1407,4 +1441,5 @@ def oracle_sql() -> dict[str, str]:
         "pivot_status_qty": _SQL_PIVOT,
         "pipeline_clean_corpus": _sql_clean_corpus(),
         "cube_pricing": _SQL_CUBE,
+        "text_fingerprints": _sql_text_fingerprints(),
     }

@@ -40,6 +40,39 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+def bpe_tokens(text: Column) -> Column:
+    """BPE-ish pre-tokenization: punctuation split into its own tokens
+    (the GPT-style pre-tokenizer shape, minus byte-level merges).
+    Implemented as space-insertion + whitespace split rather than a
+    lookahead regex so any RE2-based engine (DuckDB oracle) can compute
+    the identical token stream."""
+    spaced = F.regexp_replace(text, r"([^\w\s])", r" $1 ")
+    return F.filter(F.split(F.trim(spaced), r"\s+"), lambda t: t != "")
+
+
+# Polynomial rolling-hash parameters: Mersenne prime modulus keeps every
+# intermediate under 2^36 (no bigint overflow in any engine), base 31 is
+# the classic Rabin-Karp choice.
+ROLL_P = 2_147_483_647
+ROLL_B = 31
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Order-sensitive document fingerprint: Rabin-Karp polynomial rolling
+    hash folded over the token stream, h = (h*31 + hash(token)) mod P.
+
+    Unlike the set-style shingle/minhash fingerprints this distinguishes
+    permutations of the same tokens — the primitive for content-defined
+    chunking and incremental re-fingerprinting (update by one token in
+    O(1)). Left-fold via F.aggregate, reproducible in SQL with
+    list_reduce."""
+    return F.aggregate(
+        F.transform(tokens(text), lambda t: portable_hash64(t) % ROLL_P),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * ROLL_B + x) % ROLL_P,
+    )
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-grams — the dedup shingle set. Array-expression only:
     zip the token array with its n-1 shifted copies, concat each tuple.

@@ -189,3 +189,23 @@ def test_kmeans_ivf_training(embeddings):
     ivf = ivf_topk(embeddings, q, k=5, n_centroids=8, n_probe=4, train_iters=2).collect()
     hits = sum(1 for key in bf if key in {(r["query_id"], r["neighbor_id"]) for r in ivf})
     assert hits / len(bf) >= 0.5
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    from ratatool_spark.functions.text import rolling_fingerprint
+
+    df = spark.createDataFrame(
+        [("a b c",), ("a b c",), ("c b a",), ("a  b c",)], "t string"
+    )
+    fps = [r[0] for r in df.select(rolling_fingerprint(F.col("t"))).collect()]
+    assert fps[0] == fps[1]          # deterministic
+    assert fps[0] != fps[2]          # permutation changes the hash
+    assert 0 <= fps[0] < 2_147_483_647
+
+
+def test_bpe_tokens_split_punctuation(spark):
+    from ratatool_spark.functions.text import bpe_tokens
+
+    df = spark.createDataFrame([("Hello, world! (ok)",)], "t string")
+    toks = df.select(bpe_tokens(F.col("t"))).collect()[0][0]
+    assert toks == ["Hello", ",", "world", "!", "(", "ok", ")"]
