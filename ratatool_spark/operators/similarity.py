@@ -150,6 +150,49 @@ def _seed_centroids(
     return [(i, list(r[vec_col])) for i, r in enumerate(cents)]
 
 
+def _gemm_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str,
+    id_col: str,
+    n_probe: int,
+) -> DataFrame:
+    """(id, vec, cells): the ``n_probe`` nearest centroid ids per vector by
+    cosine, via one numpy GEMM per Arrow batch. Centroids ride in the
+    closure (k·d floats); the expression twin (ivf_assign_cells) computes
+    identical cells but pays plan-compilation + interpreted-HOF cost per
+    centroid — measurable even at k=8 (see PERF.md kernel notes)."""
+    import numpy as np
+    import pandas as pd
+
+    cid_arr = np.asarray([cid for cid, _ in centroids])
+    cmat = np.asarray([v for _, v in centroids], dtype=np.float64)
+    cn = np.sqrt((cmat * cmat).sum(axis=1))
+    cn[cn == 0] = 1.0
+    cmat = cmat / cn[:, None]
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    id_t = base.schema["id"].dataType.simpleString()
+    v_t = base.schema["v"].dataType.simpleString()
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            chunk = np.asarray([list(v) for v in pdf["v"]], dtype=np.float64)
+            an = np.sqrt((chunk * chunk).sum(axis=1))
+            an[an == 0] = 1.0
+            sims = (chunk / an[:, None]) @ cmat.T
+            # stable n_probe ranking: by -cosine, ties by centroid id
+            order = np.lexsort((cid_arr[None, :].repeat(len(sims), 0), -sims))
+            cells = cid_arr[order[:, :n_probe]].astype(np.int32)
+            yield pd.DataFrame(
+                {"id": pdf["id"], "v": pdf["v"], "cells": list(cells)}
+            )
+
+    return base.mapInPandas(gen, schema=f"id {id_t}, v {v_t}, cells array<int>")
+
+
 def train_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -172,9 +215,8 @@ def train_centroids(
     (corpus, seed)."""
     centroids = _seed_centroids(corpus, n_centroids, vec_col, id_col, seed)
     for _ in range(iters):
-        assigned = corpus.select(
-            F.col(vec_col).alias("v"),
-            ivf_assign_cells(corpus, centroids, vec_col, n_probe=1)[0].alias("cell"),
+        assigned = _gemm_assign(corpus, centroids, vec_col, id_col, 1).select(
+            "v", F.col("cells")[0].alias("cell")
         )
         means = (
             assigned.select("cell", F.posexplode("v").alias("pos", "x"))
@@ -225,17 +267,15 @@ def ivf_topk(
     else:
         centroids = _seed_centroids(corpus, n_centroids, vec_col, id_col, seed)
 
-    cb = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        ivf_assign_cells(corpus, centroids, vec_col, n_probe=1)[0].alias("cell"),
+    cb = _gemm_assign(corpus, centroids, vec_col, id_col, 1).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("cells")[0].alias("cell"),
     )
-    qb = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        F.explode(ivf_assign_cells(queries, centroids, vec_col, n_probe=n_probe)).alias(
-            "cell"
-        ),
+    qb = _gemm_assign(queries, centroids, vec_col, id_col, n_probe).select(
+        F.col("id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.explode("cells").alias("cell"),
     )
     sim = cosine_sim(F.col("qv"), F.col("cv"))
     w = Window.partitionBy("query_id").orderBy(
