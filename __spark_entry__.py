@@ -1270,6 +1270,59 @@ SELECT doc_id, n_tokens, quality FROM deduped WHERE rn = 1
 """
 
 
+def _q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5-style local-supplier revenue: 6-table join where customer
+    and supplier must share a nation. All dimension chains broadcast;
+    lineitem (the 100 TB side) joins orders on its own key and never
+    moves for the dimension lookups."""
+    from pyspark.sql import functions as F
+
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,4)"
+    )
+    nations_in_region = (
+        rd("nation")
+        .join(
+            F.broadcast(rd("region").where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        rd("lineitem")
+        .join(rd("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(rd("customer")), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(
+            F.broadcast(rd("supplier")), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(nations_in_region),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+_SQL_TPCH_Q5 = """
+SELECT n_name,
+       SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
 def _q_text_fingerprints(spark, sf_dir):
     """Rolling-hash (Rabin-Karp) document fingerprint + BPE-ish token
     count — the order-sensitive complements to the set-style text_metrics
@@ -1401,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "cube_pricing": _q_cube_pricing,
         "text_fingerprints": _q_text_fingerprints,
+        "tpch_q5_local_supplier": _q_tpch_q5,
     }
 
 
@@ -1442,4 +1496,5 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_clean_corpus": _sql_clean_corpus(),
         "cube_pricing": _SQL_CUBE,
         "text_fingerprints": _sql_text_fingerprints(),
+        "tpch_q5_local_supplier": _SQL_TPCH_Q5,
     }

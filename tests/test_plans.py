@@ -133,3 +133,11 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_tpch_q5_deep_join_no_cartesian(spark):
+    p = plan_of(spark, "tpch_q5_local_supplier")
+    assert "CartesianProduct" not in p and "NestedLoopJoin" not in p
+    # dimension chains broadcast; the region filter reaches its scan
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "EqualTo(r_name,ASIA)" in p
