@@ -141,3 +141,24 @@ def test_tpch_q5_deep_join_no_cartesian(spark):
     # dimension chains broadcast; the region filter reaches its scan
     assert p.count("BroadcastHashJoin") >= 3
     assert "EqualTo(r_name,ASIA)" in p
+
+
+def test_partitioned_sink_prunes_partitions(spark, tmp_path):
+    """write_table(partition_by=...) produces a layout where a filter on
+    the partition column turns into PartitionFilters — directories never
+    read, the time-partitioned-sink payoff (S11)."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.sources.io import write_table
+
+    orders = spark.read.parquet(f"{SF_CORRECT}/orders.parquet").withColumn(
+        "prio", F.substring("o_orderpriority", 1, 1)
+    )
+    out = str(tmp_path / "by_prio")
+    write_table(orders, out, fmt="parquet", partition_by=["prio"])
+    q = spark.read.parquet(out).where(F.col("prio") == "1").select("o_orderkey")
+    p = q._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert m and "prio" in m.group(1)
+    # and the data filter list does NOT carry it (it's pruned, not scanned)
+    assert q.count() > 0

@@ -152,3 +152,78 @@ def test_ewma_stateful_stream_matches_batch(spark, tmp_path):
         .collect()
     }
     assert last(got) == last(want)
+
+
+def test_stream_exact_dedup_matches_batch(spark, tmp_path):
+    """Streaming first-occurrence dedup (dropDuplicatesWithinWatermark)
+    admits exactly the batch-distinct set when input fits one horizon."""
+    from ratatool_spark.streaming.dedup import stream_exact_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(200)
+    ev = load_tables(spark, SF, names=("events",))["events"].limit(400)
+    # duplicated corpus with event times attached (each text twice)
+    base = (
+        docs.join(ev.select("ts"), how="cross")
+        .limit(400)
+        .select("ts", "text")
+    )
+    src = str(tmp_path / "src")
+    base.unionByName(base).coalesce(1).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(src)
+    )
+    out = stream_exact_dedup(stream, watermark="10 seconds")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "out"))
+    want = stream_exact_dedup(spark.read.parquet(src))
+    assert got.count() == want.count()
+    assert {r["text"] for r in got.collect()} == {
+        r["text"] for r in want.collect()
+    }
+
+
+def test_sampler_is_stream_batch_agnostic(spark, tmp_path):
+    """SA2 (deterministic hash dice) is stateless, so the same sample()
+    call runs on a readStream and selects the identical cohort as batch —
+    membership is a pure function of the record."""
+    from ratatool_spark.operators.sampler import sample
+
+    src = f"{SF}/events.parquet"
+    batch_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF)
+    )
+    sampled = sample(stream, 0.2, fields=["event_id"], seed=7)
+    assert sampled.isStreaming
+    q = (
+        sampled.select("event_id")
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r[0] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    want = {
+        r[0]
+        for r in sample(
+            spark.read.parquet(src), 0.2, fields=["event_id"], seed=7
+        )
+        .select("event_id")
+        .collect()
+    }
+    assert got == want
