@@ -112,6 +112,22 @@ def dice(
     return bound01(hash_cols(cols, seed=seed, dtypes=dtypes))
 
 
+def text_hash64(s: Column, hasher: str = "portable") -> Column:
+    """60-bit string hash with a speed/portability switch.
+
+    ``"portable"`` (default) = md5-based, reproducible in any engine with
+    md5 (the DuckDB oracles and BigQuery-style warehouse re-derivation
+    depend on it). ``"xx"`` = xxhash64 masked to the same 60-bit range —
+    Spark-native, several times faster, NOT cross-engine. Every
+    shingle-hashing dedup operator threads this through as ``hasher=``;
+    default answers stay oracle-reproducible."""
+    if hasher == "xx":
+        return F.xxhash64(s).bitwiseAND(F.lit((1 << 60) - 1))
+    if hasher != "portable":
+        raise ValueError(f"unknown hasher {hasher!r} (use 'portable' or 'xx')")
+    return portable_hash64(s)
+
+
 def xxhash_cols(cols: Sequence[Column | str], seed: int = 42) -> Column:
     """Spark-native fast path: xxhash64 over the columns. Deterministic
     within Spark, not portable to other engines. Full 64-bit signed range."""

@@ -143,9 +143,12 @@ def lang_id(text: Column) -> Column:
     return result
 
 
-def fingerprint(text: Column) -> Column:
+def fingerprint(text: Column, hasher: str = "portable") -> Column:
     """Deterministic 60-bit document fingerprint over normalized text
     (lowercase, collapsed whitespace) — content-addressable doc identity for
-    exact dedup at scale."""
+    exact dedup at scale. ``hasher="xx"`` for the Spark-native fast path
+    (see functions.hashing.text_hash64)."""
+    from ratatool_spark.functions.hashing import text_hash64
+
     normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
-    return portable_hash64(normalized)
+    return text_hash64(normalized, hasher)

@@ -25,19 +25,22 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ratatool_spark.functions.hashing import portable_hash64
+from ratatool_spark.functions.hashing import portable_hash64, text_hash64
 from ratatool_spark.functions.text import fingerprint, word_shingles
 from ratatool_spark.functions.vectors import cosine_sim
 
 
 def exact_dedup(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hasher: str = "portable",
 ) -> DataFrame:
     """Keep one representative (min id) per exact-content group. The winner
     choice is deterministic so re-runs are stable."""
     w = Window.partitionBy("__fp").orderBy(id_col)
     return (
-        df.withColumn("__fp", fingerprint(F.col(text_col)))
+        df.withColumn("__fp", fingerprint(F.col(text_col), hasher=hasher))
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .drop("__fp", "__rn")
@@ -68,14 +71,19 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     shingle_n: int = 3,
+    hasher: str = "portable",
 ) -> DataFrame:
     """(id, sig_0..sig_{k-1}): per-doc minhash signature. One explode over
-    distinct shingles, one portable hash per shingle, then k ``min``
-    aggregates of universal-hash permutations in a single groupBy — fully
-    reproducible in any SQL engine."""
+    distinct shingles, one string hash per shingle (``hasher="xx"`` for
+    the Spark-native fast path), then k ``min`` aggregates of
+    universal-hash permutations in a single groupBy — the default is
+    fully reproducible in any SQL engine."""
     sh = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__s")
-    ).select(F.col(id_col), (portable_hash64(F.col("__s")) % MINHASH_P).alias("__h"))
+    ).select(
+        F.col(id_col),
+        (text_hash64(F.col("__s"), hasher) % MINHASH_P).alias("__h"),
+    )
     aggs = [
         F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"sig_{i}")
         for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
@@ -91,6 +99,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     min_est_jaccard: float = 0.0,
+    hasher: str = "portable",
 ) -> DataFrame:
     """Candidate near-duplicate pairs (a < b) via banded minhash LSH.
 
@@ -102,7 +111,7 @@ def minhash_lsh_pairs(
     if num_hashes % bands != 0:
         raise ValueError("bands must divide num_hashes")
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, hasher)
 
     band_structs = []
     for b in range(bands):
@@ -153,6 +162,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.1,
+    hasher: str = "portable",
 ) -> DataFrame:
     """Exact Jaccard similarity pairs (a < b) over distinct word-n-gram
     sets: explode shingles, self-join on shingle, |A∩B| from the join,
@@ -164,7 +174,7 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__s"),
-    ).select("id", portable_hash64(F.col("__s")).alias("s"))
+    ).select("id", text_hash64(F.col("__s"), hasher).alias("s"))
     # grouping on the 60-bit shingle hash instead of the shingle string:
     # same pairs (collisions are identical on both sides of any comparison
     # because the hash is deterministic), ~3x narrower shuffle.
@@ -220,6 +230,7 @@ def simhash(
     id_col: str = "doc_id",
     bits: int = 32,
     shingle_n: int = 1,
+    hasher: str = "portable",
 ) -> DataFrame:
     """(id, simhash): sign-of-sum fingerprint. Explode distinct shingles
     once; for each bit j, sum ±1 according to bit j of the shingle hash;
@@ -228,7 +239,7 @@ def simhash(
     sh = df.select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__s"),
-    ).select(F.col(id_col), portable_hash64(F.col("__s")).alias("h"))
+    ).select(F.col(id_col), text_hash64(F.col("__s"), hasher).alias("h"))
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -253,6 +264,7 @@ def simhash_pairs(
     bits: int = 32,
     max_hamming: int = 3,
     shingle_n: int = 1,
+    hasher: str = "portable",
 ) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance ≤ max_hamming.
 
@@ -263,7 +275,7 @@ def simhash_pairs(
     block table and matched in a single self-join: the two sides are
     identical subplans, so the signature pipeline runs once through one
     reused exchange (a union of per-half joins would shuffle it twice)."""
-    s = simhash(df, text_col, id_col, bits, shingle_n)
+    s = simhash(df, text_col, id_col, bits, shingle_n, hasher)
     half = bits // 2
     blocks = F.array(
         F.struct(F.lit(0).alias("kind"), F.shiftright("simhash", half).alias("val")),

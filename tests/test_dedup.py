@@ -209,3 +209,32 @@ def test_bpe_tokens_split_punctuation(spark):
     df = spark.createDataFrame([("Hello, world! (ok)",)], "t string")
     toks = df.select(bpe_tokens(F.col("t"))).collect()[0][0]
     assert toks == ["Hello", ",", "world", "!", "(", "ok", ")"]
+
+
+def test_xx_hasher_fast_path(documents):
+    """hasher='xx': exact metrics (jaccard pairs, exact-dedup survivors)
+    are hash-choice invariant; estimates (minhash) stay sane."""
+    from ratatool_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    keep_p = {r[0] for r in exact_dedup(documents).select("doc_id").collect()}
+    keep_x = {
+        r[0] for r in exact_dedup(documents, hasher="xx").select("doc_id").collect()
+    }
+    assert keep_p == keep_x
+
+    jp = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_pairs(documents, threshold=0.2).collect()
+    }
+    jx = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_pairs(documents, threshold=0.2, hasher="xx").collect()
+    }
+    assert jp == jx
+
+    mh = minhash_lsh_pairs(documents, min_est_jaccard=0.5, hasher="xx").collect()
+    assert all(0 <= r["est_jaccard"] <= 1 for r in mh)
