@@ -537,6 +537,66 @@ WHERE common / CAST(na.n + nb.n - common AS DOUBLE) >= 0.1
 """
 
 
+def _q_dedup_cluster(spark, sf_dir):
+    """Duplicate-cluster resolution: exact-Jaccard pairs (≥ 0.3) →
+    connected components (hash-min label propagation, operators/dedup.py)
+    → per-doc cluster label + canonical (min-id) flag over the corpus."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3)
+    comp = connected_components(pairs)
+    component = F.coalesce("component", "doc_id")
+    return docs.join(comp, docs["doc_id"] == comp["id"], "left").select(
+        "doc_id",
+        component.alias("component"),
+        (component == F.col("doc_id")).cast("int").alias("is_canonical"),
+    )
+
+
+# Transitive closure by recursive CTE (set-semantics UNION terminates it);
+# component = min reachable id — same fixpoint the Spark label propagation
+# converges to.
+_SQL_DEDUP_CLUSTER = f"""
+WITH RECURSIVE shingled0 AS (
+  SELECT doc_id, UNNEST({_SHINGLES3_SQL}) AS s0 FROM documents
+), shingled AS (
+  SELECT doc_id, {_PH64_SQL.format(x='s0')} AS s FROM shingled0
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM shingled GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM shingled a JOIN shingled b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes na ON na.doc_id = id_a
+  JOIN sizes nb ON nb.doc_id = id_b
+  WHERE common / CAST(na.n + nb.n - common AS DOUBLE) >= 0.3
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u AS u, e.v AS v FROM reach r JOIN edges e ON r.v = e.u
+), comp AS (
+  SELECT u AS doc_id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+)
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id) AS component,
+       CAST(COALESCE(c.component, d.doc_id) = d.doc_id AS INT) AS is_canonical
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+"""
+
+
 _SIMHASH_BITS = 32
 
 
@@ -1427,6 +1487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "dedup_cluster": _q_dedup_cluster,
         "dedup_simhash": _q_dedup_simhash,
         "ann_brute_force_topk": _q_ann_brute_force,
         "ann_lsh_buckets": _q_ann_lsh_buckets,
@@ -1471,6 +1532,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _sql_dedup_exact(),
         "dedup_minhash_lsh": _sql_dedup_minhash(),
         "dedup_ngram_jaccard": _SQL_DEDUP_JACCARD,
+        "dedup_cluster": _SQL_DEDUP_CLUSTER,
         "dedup_simhash": _sql_dedup_simhash(),
         "ann_brute_force_topk": _SQL_ANN_BRUTE,
         "ann_lsh_buckets": _sql_ann_lsh_buckets(),

@@ -224,6 +224,129 @@ def ngram_jaccard_pairs(
     return j.where(F.col("jaccard") >= threshold)
 
 
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    hasher: str = "portable",
+) -> DataFrame:
+    """Exact Jaccard for an explicit candidate-pair list — the verify stage
+    after LSH. Returns (id_a, id_b, jaccard).
+
+    Unlike ngram_jaccard_pairs (inverted index over ALL pairs sharing a
+    shingle), this shingles each doc once into a distinct-hash set and
+    joins the sets onto the candidates — cost O(|candidates|·doc_len), so
+    at 100 TB the quadratic term is confined to whatever LSH emitted.
+    Set size is bounded by document length, so rows stay executor-sized."""
+    sets = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__s"),
+        )
+        .select("id", text_hash64(F.col("__s"), hasher).alias("s"))
+        .groupBy("id")
+        .agg(F.collect_set("s").alias("ss"))
+    )
+    inter = F.size(F.array_intersect(F.col("a.ss"), F.col("b.ss")))
+    union = F.size(F.col("a.ss")) + F.size(F.col("b.ss")) - inter
+    return (
+        pairs.select("id_a", "id_b")
+        .join(sets.alias("a"), F.col("id_a") == F.col("a.id"))
+        .join(sets.alias("b"), F.col("id_b") == F.col("b.id"))
+        .select(
+            "id_a",
+            "id_b",
+            (inter / union.cast("double")).alias("jaccard"),
+        )
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """(id, component) for every vertex in the pair list; component = min
+    vertex id reachable through the undirected pair graph.
+
+    Hash-min label propagation: each round every vertex takes the min of
+    its own label and its neighbors' labels — one join + one groupBy per
+    round, converging in O(graph diameter) rounds with an exact
+    no-change stopping test. Duplicate-cluster graphs are near-cliques
+    (diameter 1-2 from LSH banding), so this settles in 2-3 rounds; for
+    adversarial long-path graphs swap in large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce"), which is
+    O(log n) rounds of the same join shape. Labels are localCheckpointed
+    per round so the plan doesn't grow with iteration count."""
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    edges.persist()
+    labels = edges.select(F.col("u").alias("id"), F.col("u").alias("component")).distinct()
+    labels = labels.localCheckpoint()
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges["v"] == labels["id"])
+            .groupBy("u")
+            .agg(F.min("component").alias("nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["u"], "left")
+            .select(
+                F.col("id"),
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr"), F.col("component"))
+                ).alias("component"),
+            )
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def near_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    hasher: str = "portable",
+) -> DataFrame:
+    """End-to-end near-duplicate removal — the composed 100 TB pipeline:
+    minhash-LSH candidates → exact-Jaccard verify on candidates only →
+    connected components over verified pairs → keep the min-id doc per
+    duplicate cluster. Returns the surviving rows of ``df`` unchanged.
+
+    Every stage is linear-ish: LSH confines the quadratic term to band
+    collisions, verify touches only candidates, clustering joins only the
+    verified pair graph (tiny relative to the corpus)."""
+    cand = minhash_lsh_pairs(
+        df, text_col, id_col, num_hashes, bands, shingle_n, hasher=hasher
+    )
+    verified = jaccard_verify(df, cand, text_col, id_col, shingle_n, hasher).where(
+        F.col("jaccard") >= threshold
+    )
+    comp = connected_components(verified)
+    losers = comp.where(F.col("id") != F.col("component")).select("id")
+    return df.join(losers, df[id_col] == losers["id"], "left_anti")
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

@@ -238,3 +238,49 @@ def test_xx_hasher_fast_path(documents):
 
     mh = minhash_lsh_pairs(documents, min_est_jaccard=0.5, hasher="xx").collect()
     assert all(0 <= r["est_jaccard"] <= 1 for r in mh)
+
+
+def test_connected_components_chain_and_singleton(spark):
+    """Chain 1-2-3 collapses to component 1 (needs >1 propagation round);
+    pair (10,11) is its own component; vertex 99 absent from pairs is
+    absent from output."""
+    from ratatool_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_jaccard_verify_matches_exact_pairs(documents):
+    """jaccard_verify on the full exact-pair candidate list reproduces
+    ngram_jaccard_pairs values exactly (same shingle hashing)."""
+    from ratatool_spark.operators.dedup import jaccard_verify, ngram_jaccard_pairs
+
+    exact = ngram_jaccard_pairs(documents, threshold=0.2)
+    verified = jaccard_verify(documents, exact.select("id_a", "id_b"))
+    e = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9) for r in exact.collect()}
+    v = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9) for r in verified.collect()}
+    assert e == v
+
+
+def test_near_dedup_keeps_cluster_minimum(documents):
+    """near_dedup drops exactly the non-min members of each verified
+    duplicate cluster; survivors ∪ dropped = corpus."""
+    from ratatool_spark.operators.dedup import (
+        connected_components,
+        jaccard_verify,
+        minhash_lsh_pairs,
+        near_dedup,
+    )
+
+    threshold = 0.5
+    survivors = {r["doc_id"] for r in near_dedup(documents, threshold=threshold).collect()}
+    cand = minhash_lsh_pairs(documents)
+    verified = jaccard_verify(documents, cand).where(F.col("jaccard") >= threshold)
+    comp = connected_components(verified)
+    losers = {r["id"] for r in comp.collect() if r["id"] != r["component"]}
+    all_ids = {r["doc_id"] for r in documents.select("doc_id").collect()}
+    assert survivors == all_ids - losers
+    assert losers, "fixture should contain at least one near-dup cluster"
