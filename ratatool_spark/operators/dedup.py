@@ -281,14 +281,22 @@ def connected_components(
     (Kiveris et al., "Connected Components in MapReduce"), which is
     O(log n) rounds of the same join shape. Labels are localCheckpointed
     per round so the plan doesn't grow with iteration count."""
-    edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
-    )
+    # Materialize the pair list once before the symmetric union — the two
+    # union branches would otherwise each re-evaluate the (often expensive:
+    # jaccard/LSH) upstream plan, and every propagation round re-reads edges.
+    p = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
+    edges = p.union(
+        p.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
     edges.persist()
-    labels = edges.select(F.col("u").alias("id"), F.col("u").alias("component")).distinct()
-    labels = labels.localCheckpoint()
+    # Initial labels already carry round 1: component = min(self, neighbors).
+    # The symmetric edge set lists every vertex as `u`, so this one groupBy
+    # both enumerates vertices and performs the first propagation.
+    labels = (
+        edges.groupBy("u")
+        .agg(F.least(F.first("u"), F.min("v")).alias("component"))
+        .select(F.col("u").alias("id"), "component")
+    ).localCheckpoint()
     for _ in range(max_iters):
         nbr_min = (
             edges.join(labels, edges["v"] == labels["id"])
