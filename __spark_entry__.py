@@ -537,6 +537,42 @@ WHERE common / CAST(na.n + nb.n - common AS DOUBLE) >= 0.1
 """
 
 
+def _q_range_join_windows(spark, sf_dir):
+    """Bucketed range join (operators/rangejoin.py): events matched to
+    overlapping 36-hour windows anchored at each distinct day — every
+    event lands in 1-2 windows, so this is a true interval join, not a
+    disguised groupBy. Bucket = 1 day; hash join on bucket, never a
+    nested-loop cartesian."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.rangejoin import range_join
+    from ratatool_spark.sources.io import load_tables
+
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    wins = (
+        ev.select(F.date_trunc("day", "ts").alias("w_start"))
+        .distinct()
+        .select("w_start", (F.col("w_start") + F.expr("INTERVAL 36 HOURS")).alias("w_end"))
+    )
+    joined = range_join(ev, wins, "ts", "w_start", "w_end", bucket_width=86400.0)
+    return joined.groupBy("w_start").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(28,6)")).alias("sum_value"),
+    )
+
+
+_SQL_RANGE_JOIN = """
+WITH wins AS (
+  SELECT w_start, w_start + INTERVAL 36 HOUR AS w_end
+  FROM (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start FROM events)
+)
+SELECT w.w_start, COUNT(*) AS n_events,
+       SUM(CAST(value AS DECIMAL(28,6))) AS sum_value
+FROM wins w JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
+GROUP BY w.w_start
+"""
+
+
 def _q_dedup_cluster(spark, sf_dir):
     """Duplicate-cluster resolution: exact-Jaccard pairs (≥ 0.3) →
     connected components (hash-min label propagation, operators/dedup.py)
@@ -1504,6 +1540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_uniform_deterministic": _q_sample_uniform_det,
         "sample_uniform_exact": _q_sample_uniform_exact,
         "asof_join_events": _q_asof,
+        "range_join_event_windows": _q_range_join_windows,
         "distinct_users_per_type": _q_distinct_users,
         "dedup_simhash_pairs": _q_simhash_pairs,
         "dedup_embedding_neardup": _q_embedding_neardup,
@@ -1549,6 +1586,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_uniform_deterministic": _SQL_SAMPLE_UNIFORM_DET,
         "sample_uniform_exact": _SQL_SAMPLE_UNIFORM_EXACT,
         "asof_join_events": _SQL_ASOF,
+        "range_join_event_windows": _SQL_RANGE_JOIN,
         "distinct_users_per_type": _SQL_DISTINCT_USERS,
         "dedup_simhash_pairs": _sql_simhash_pairs(),
         "dedup_embedding_neardup": _SQL_EMBEDDING_NEARDUP,

@@ -163,14 +163,21 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.1,
     hasher: str = "portable",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity pairs (a < b) over distinct word-n-gram
     sets: explode shingles, self-join on shingle, |A∩B| from the join,
     |A|+|B| from per-doc counts, keep J ≥ threshold.
 
     Cost is Σ_shingle df(shingle)² — inverted-index join, the exact-verify
-    companion to minhash. Hot shingles should be rare at high n; for skew,
-    drop top-frequency shingles first (stopword-shingle pruning)."""
+    companion to minhash. ``max_doc_freq`` is the skew guard for the df²
+    term: shingles appearing in more than that many docs (stopword
+    shingles — boilerplate headers, license blocks) are dropped from the
+    index before pair generation, capping any posting list's contribution
+    at max_doc_freq². Jaccard then slightly *underestimates* on the
+    affected pairs (per-doc sizes still count pruned shingles as
+    non-shared), so it never promotes a pair across the threshold —
+    pruning can only drop candidates, never invent them."""
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__s"),
@@ -201,9 +208,13 @@ def ngram_jaccard_pairs(
             ),
         )
     )
+    pair_source = grouped.where(F.size("ids") >= 2)
+    if max_doc_freq is not None:
+        # Sizes above were already computed from the unpruned index, so
+        # pruning here only removes intersection evidence (conservative).
+        pair_source = pair_source.where(F.size("ids") <= max_doc_freq)
     inter = (
-        grouped.where(F.size("ids") >= 2)
-        .select(F.explode(combos).alias("p"))
+        pair_source.select(F.explode(combos).alias("p"))
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )

@@ -118,3 +118,58 @@ def test_two_stage_agg_equals_plain(spark, lineitem):
         ).collect()
     }
     assert two == plain
+
+
+# ---- range join (operators/rangejoin.py) ----
+
+
+def test_range_join_matches_naive_cross(spark):
+    """Bucketed range join = cross-join + range filter, for every bucket
+    width (including widths smaller and larger than the intervals)."""
+    from ratatool_spark.operators.rangejoin import range_join
+
+    pts = spark.createDataFrame([(i, float(i)) for i in range(20)], "pid long, x double")
+    ivs = spark.createDataFrame(
+        [(100, 2.0, 7.0), (200, 5.0, 5.0), (300, 6.5, 18.0), (400, 19.0, 25.0)],
+        "iid long, s double, e double",
+    )
+    naive = (
+        pts.crossJoin(ivs)
+        .where((F.col("x") >= F.col("s")) & (F.col("x") < F.col("e")))
+        .select("pid", "iid")
+    )
+    expected = {(r["pid"], r["iid"]) for r in naive.collect()}
+    assert expected, "fixture must produce matches"
+    for w in (0.5, 3.0, 100.0):
+        got = {
+            (r["pid"], r["iid"])
+            for r in range_join(pts, ivs, "x", "s", "e", bucket_width=w).collect()
+        }
+        assert got == expected, f"bucket_width={w}"
+
+
+def test_range_join_left_keeps_unmatched(spark):
+    from ratatool_spark.operators.rangejoin import range_join
+
+    pts = spark.createDataFrame([(1, 1.0), (2, 10.0)], "pid long, x double")
+    ivs = spark.createDataFrame([(7, 0.0, 2.0)], "iid long, s double, e double")
+    rows = {
+        r["pid"]: r["iid"]
+        for r in range_join(pts, ivs, "x", "s", "e", 1.0, how="left").collect()
+    }
+    assert rows == {1: 7, 2: None}
+
+
+def test_range_join_plan_has_no_nested_loop(spark):
+    """The bucket equi-key must make this a hash/sort-merge join — a
+    BroadcastNestedLoopJoin or CartesianProduct means the scale path broke."""
+    from ratatool_spark.operators.rangejoin import range_join
+
+    pts = spark.range(100).select(F.col("id").alias("pid"), F.col("id").cast("double").alias("x"))
+    ivs = spark.range(10).select(
+        F.col("id").alias("iid"),
+        (F.col("id") * 10.0).alias("s"),
+        (F.col("id") * 10.0 + 15.0).alias("e"),
+    )
+    plan = range_join(pts, ivs, "x", "s", "e", 10.0)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan

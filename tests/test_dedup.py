@@ -284,3 +284,67 @@ def test_near_dedup_keeps_cluster_minimum(documents):
     all_ids = {r["doc_id"] for r in documents.select("doc_id").collect()}
     assert survivors == all_ids - losers
     assert losers, "fixture should contain at least one near-dup cluster"
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Distributed label propagation agrees with driver-side union-find on
+    seeded random graphs (sparse, dense, and long-path shapes)."""
+    import random
+
+    from ratatool_spark.operators.dedup import connected_components
+
+    def union_find_components(edges, vertices):
+        parent = {v: v for v in vertices}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # resolve every vertex to its component's min id
+        comp = {}
+        for v in vertices:
+            root = find(v)
+            members = comp.setdefault(root, [])
+            members.append(v)
+        return {v: min(ms) for ms in comp.values() for v in ms}
+
+    rng = random.Random(42)
+    shapes = [
+        [(rng.randrange(50), rng.randrange(50)) for _ in range(30)],  # sparse
+        [(rng.randrange(12), rng.randrange(12)) for _ in range(60)],  # dense
+        [(i, i + 1) for i in range(40)],  # one long path (worst diameter)
+    ]
+    for edges in shapes:
+        edges = [(a, b) for a, b in edges if a != b]
+        vertices = {v for e in edges for v in e}
+        expected = union_find_components(edges, vertices)
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r["id"]: r["component"] for r in connected_components(pairs, max_iters=64).collect()}
+        assert got == expected
+
+
+def test_jaccard_max_doc_freq_pruning_is_conservative(documents):
+    """Stopword-shingle pruning never promotes a pair: pruned pairs are a
+    subset of the full set and each pruned jaccard <= the full jaccard."""
+    from ratatool_spark.operators.dedup import ngram_jaccard_pairs
+
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(documents, threshold=0.05).collect()
+    }
+    pruned = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            documents, threshold=0.05, max_doc_freq=3
+        ).collect()
+    }
+    assert set(pruned) <= set(full)
+    assert len(pruned) < len(full), "cap of 3 should actually prune on this corpus"
+    for k, j in pruned.items():
+        assert j <= full[k] + 1e-12
