@@ -537,6 +537,104 @@ WHERE common / CAST(na.n + nb.n - common AS DOUBLE) >= 0.1
 """
 
 
+def _q_time_rollup(spark, sf_dir):
+    """Hypertable-style hierarchical rollup (operators/timeagg.py): hour
+    partials scan the fact table once; the day grain re-aggregates the
+    hour partials (ReusedExchange dedupes the shared subplan)."""
+    from ratatool_spark.operators.timeagg import time_rollup
+    from ratatool_spark.sources.io import load_tables
+
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    return time_rollup(ev, grains=("hour", "day"))
+
+
+_SQL_TIME_ROLLUP = """
+SELECT 'hour' AS grain, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+       COUNT(*) AS n_events, SUM(CAST(value AS DECIMAL(28,6))) AS sum_value,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'day', CAST(date_trunc('day', ts) AS TIMESTAMP),
+       COUNT(*), SUM(CAST(value AS DECIMAL(28,6))), MIN(value), MAX(value)
+FROM events GROUP BY 2
+"""
+
+
+def _q_top_tokens(spark, sf_dir):
+    """Corpus vocabulary head: top-50 whitespace tokens by document
+    frequency-weighted count, deterministic tiebreak on the token."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.functions.text import tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(50)
+    )
+
+
+_SQL_TOP_TOKENS = f"""
+SELECT token, COUNT(*) AS n
+FROM (SELECT UNNEST({_WORDS_SQL}) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 50
+"""
+
+
+def _q_user_sequences(spark, sf_dir):
+    """Training-sequence construction: per user, total event count and the
+    '|'-joined type sequence of the first 25 events by (ts, event_id) —
+    the groupBy-collect shape that turns event logs into model inputs."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.sources.io import load_tables
+
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("cnt"),
+    )
+    seq = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda x: x["event_type"],
+        ),
+        "|",
+    )
+    return (
+        ranked.where(F.col("rn") <= 25)
+        .groupBy("user_id")
+        .agg(F.max("cnt").alias("n_events"), seq.alias("seq"))
+    )
+
+
+_SQL_USER_SEQUENCES = """
+WITH ranked AS (
+  SELECT user_id, ts, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events
+)
+SELECT user_id, MAX(n_events) AS n_events,
+       STRING_AGG(event_type, '|' ORDER BY ts, event_id) AS seq
+FROM ranked WHERE rn <= 25
+GROUP BY user_id
+"""
+
+
 def _q_range_join_windows(spark, sf_dir):
     """Bucketed range join (operators/rangejoin.py): events matched to
     overlapping 36-hour windows anchored at each distinct day — every
@@ -1541,6 +1639,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_uniform_exact": _q_sample_uniform_exact,
         "asof_join_events": _q_asof,
         "range_join_event_windows": _q_range_join_windows,
+        "time_rollup_events": _q_time_rollup,
+        "top_tokens": _q_top_tokens,
+        "user_event_sequences": _q_user_sequences,
         "distinct_users_per_type": _q_distinct_users,
         "dedup_simhash_pairs": _q_simhash_pairs,
         "dedup_embedding_neardup": _q_embedding_neardup,
@@ -1587,6 +1688,9 @@ def oracle_sql() -> dict[str, str]:
         "sample_uniform_exact": _SQL_SAMPLE_UNIFORM_EXACT,
         "asof_join_events": _SQL_ASOF,
         "range_join_event_windows": _SQL_RANGE_JOIN,
+        "time_rollup_events": _SQL_TIME_ROLLUP,
+        "top_tokens": _SQL_TOP_TOKENS,
+        "user_event_sequences": _SQL_USER_SEQUENCES,
         "distinct_users_per_type": _SQL_DISTINCT_USERS,
         "dedup_simhash_pairs": _sql_simhash_pairs(),
         "dedup_embedding_neardup": _SQL_EMBEDDING_NEARDUP,

@@ -1,0 +1,63 @@
+"""Hierarchical time-grain rollup (hypertable-style continuous aggregate).
+
+The shape TimescaleDB calls a continuous aggregate and OLAP stores call a
+rollup cube over time: the same measures at minute/hour/day/... grains.
+The scale property: only the finest grain ever scans the fact table —
+every coarser grain re-aggregates the next finer grain's partials
+(sum-of-sums, sum-of-counts, min-of-mins), so a 100 TB scan produces a
+~minutes-cardinality partial once and the rest is cheap. All measures
+here are decomposable aggregates, which is exactly what makes the
+re-aggregation exact (decimal sums are associative; float sums would
+drift, which is why value is cast to decimal first).
+
+Within one union query Spark evaluates each branch, but the finest-grain
+aggregate is an identical subplan in all of them — ReusedExchange
+dedupes it at execution. For repeated/incremental use, persist the
+finest grain or write it as a table and roll up from there.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Coarse-to-fine validation order; date_trunc accepts all of these.
+GRAINS = ("minute", "hour", "day", "week", "month", "quarter", "year")
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    grains: tuple[str, ...] = ("minute", "hour", "day"),
+) -> DataFrame:
+    """(grain, bucket, n_events, sum_value, min_value, max_value) at every
+    requested grain, finest listed first. Coarser grains are computed from
+    the finer partial aggregate, not from ``df``."""
+    order = {g: i for i, g in enumerate(GRAINS)}
+    for g in grains:
+        if g not in order:
+            raise ValueError(f"unknown grain {g!r} (use one of {GRAINS})")
+    if list(grains) != sorted(grains, key=order.get):
+        raise ValueError("grains must be ordered finest to coarsest")
+
+    fine = df.groupBy(F.date_trunc(grains[0], F.col(ts_col)).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(28,6)")).alias("sum_value"),
+        F.min(F.col(value_col)).alias("min_value"),
+        F.max(F.col(value_col)).alias("max_value"),
+    )
+    parts = [fine.select(F.lit(grains[0]).alias("grain"), "*")]
+    prev = fine
+    for g in grains[1:]:
+        prev = prev.groupBy(F.date_trunc(g, F.col("bucket")).alias("bucket")).agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").cast("decimal(38,6)").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        parts.append(prev.select(F.lit(g).alias("grain"), "*"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p.select(out.columns))
+    return out

@@ -227,3 +227,65 @@ def test_sampler_is_stream_batch_agnostic(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+# ---- hierarchical time rollup (operators/timeagg.py) ----
+
+
+def test_time_rollup_reaggregation_matches_direct(spark, events):
+    """The day grain computed from hour partials equals a direct day
+    aggregate over the fact table (decimal sums are associative)."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.timeagg import time_rollup
+
+    rolled = time_rollup(events, grains=("hour", "day"))
+    day_rolled = {
+        r["bucket"]: (r["n_events"], r["sum_value"], r["min_value"], r["max_value"])
+        for r in rolled.where(F.col("grain") == "day").collect()
+    }
+    direct = {
+        r["bucket"]: (r["n_events"], r["sum_value"], r["min_value"], r["max_value"])
+        for r in events.groupBy(F.date_trunc("day", "ts").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("decimal(38,6)").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert day_rolled == direct
+
+
+def test_time_rollup_reuses_fine_grain_exchange(spark):
+    """Over a file scan (the 100 TB case), the fine-grain aggregate
+    exchange appears once; coarser grains consume it via ReusedExchange
+    instead of rescanning. (A cached input splits the adaptive plan at
+    the cache stage and skips the reuse — but then the rescan is the
+    in-memory cache, which is the already-amortized case.)"""
+    from ratatool_spark.operators.timeagg import time_rollup
+
+    # A projection distinct from the cached fixture's plan — the
+    # CacheManager substitutes InMemoryTableScan for any matching subtree,
+    # which would split the adaptive plan and mask the reuse under test.
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("ts"), "value"
+    )
+    df = time_rollup(ev, grains=("hour", "day"))
+    df.collect()  # AQE only materializes ReusedExchange in the final plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final_section = plan.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final_section
+    assert final_section.count("FileScan parquet") == 1
+
+
+def test_time_rollup_validates_grain_order(spark, events):
+    import pytest
+
+    from ratatool_spark.operators.timeagg import time_rollup
+
+    with pytest.raises(ValueError):
+        time_rollup(events, grains=("day", "hour"))
+    with pytest.raises(ValueError):
+        time_rollup(events, grains=("fortnight",))
