@@ -51,6 +51,27 @@ def build_parser() -> argparse.ArgumentParser:
     ds.add_argument("--head", action="store_true")
     ds.add_argument("--seed", type=int, default=42)
 
+    nd = sub.add_parser(
+        "nearDedup",
+        help="near-duplicate removal: minhash-LSH -> jaccard verify -> "
+        "connected components -> keep min-id doc per cluster",
+    )
+    nd.add_argument("--input", required=True)
+    nd.add_argument("--output", required=True)
+    nd.add_argument("--textField", default="text")
+    nd.add_argument("--idField", default="doc_id")
+    nd.add_argument("--threshold", type=float, default=0.7, help="jaccard keep-threshold")
+    nd.add_argument("--numHashes", type=int, default=16)
+    nd.add_argument("--bands", type=int, default=4)
+    nd.add_argument("--shingleN", type=int, default=3)
+    nd.add_argument(
+        "--hasher",
+        choices=["portable", "xx"],
+        default="portable",
+        help="xx = Spark-native fast path (not cross-engine reproducible)",
+    )
+    nd.add_argument("--format", default=None, help="override input format sniffing")
+
     g = sub.add_parser("generate", help="schema-driven random records")
     g.add_argument("--schema", required=True, help="DDL string, e.g. 'a bigint, b string'")
     g.add_argument("-n", type=int, required=True)
@@ -100,6 +121,21 @@ def main(argv: list[str] | None = None) -> int:
 
             df = read_table(spark, args.input)
             out = head_sample(df, args.n) if args.head else reservoir_sample(df, args.n, args.seed)
+            write_table(out, args.output, mode="overwrite")
+        elif args.command == "nearDedup":
+            from ratatool_spark.operators.dedup import near_dedup
+
+            df = read_table(spark, args.input, fmt=args.format)
+            out = near_dedup(
+                df,
+                text_col=args.textField,
+                id_col=args.idField,
+                num_hashes=args.numHashes,
+                bands=args.bands,
+                shingle_n=args.shingleN,
+                threshold=args.threshold,
+                hasher=args.hasher,
+            )
             write_table(out, args.output, mode="overwrite")
         elif args.command == "generate":
             from ratatool_spark.generators import random_dataframe

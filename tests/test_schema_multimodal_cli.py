@@ -216,3 +216,25 @@ def test_resize_media_real_codec_gated(spark):
     media = fake_media_table(spark, n=3)
     with pytest.raises(Exception, match="NotImplementedError|image library"):
         resize_media(media, 8, 8, fake=False).collect()
+
+
+def test_cli_near_dedup(spark, tmp_path):
+    """nearDedup verb: survivors written, fewer or equal rows, schema kept."""
+    from ratatool_spark.cli import main
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "deduped")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.parquet(src)
+    rc = main(
+        [
+            "nearDedup",
+            "--input", src,
+            "--output", out,
+            "--threshold", "0.5",
+        ]
+    )
+    assert rc == 0
+    result = spark.read.parquet(out)
+    assert result.schema == docs.schema
+    assert 0 < result.count() < docs.count()
