@@ -560,6 +560,19 @@ FROM events GROUP BY 2
 """
 
 
+def _q_distinct_rollup(spark, sf_dir):
+    """Mergeable-sketch distinct rollup (operators/timeagg.py): per-hour
+    HLL user sketches, day grain = sketch union. No oracle_sql twin —
+    DuckDB's approx_count_distinct is a different HLL implementation, so
+    the driver records the weaker rows-only check; exactness of the
+    union (== direct day sketch) is pinned in tests."""
+    from ratatool_spark.operators.timeagg import distinct_rollup
+    from ratatool_spark.sources.io import load_tables
+
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    return distinct_rollup(ev, grains=("hour", "day"))
+
+
 def _q_top_tokens(spark, sf_dir):
     """Corpus vocabulary head: top-50 whitespace tokens by document
     frequency-weighted count, deterministic tiebreak on the token."""
@@ -1640,6 +1653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": _q_asof,
         "range_join_event_windows": _q_range_join_windows,
         "time_rollup_events": _q_time_rollup,
+        "events_distinct_rollup": _q_distinct_rollup,
         "top_tokens": _q_top_tokens,
         "user_event_sequences": _q_user_sequences,
         "distinct_users_per_type": _q_distinct_users,

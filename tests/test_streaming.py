@@ -289,3 +289,38 @@ def test_time_rollup_validates_grain_order(spark, events):
         time_rollup(events, grains=("day", "hour"))
     with pytest.raises(ValueError):
         time_rollup(events, grains=("fortnight",))
+
+
+def test_distinct_rollup_union_matches_direct_sketch(spark, events):
+    """Day-grain estimate from unioned hour sketches equals sketching the
+    day directly (HLL register union is exact), and tracks the true
+    distinct count within HLL error (~2% at lg_k=12)."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.timeagg import distinct_rollup
+
+    rolled = {
+        r["bucket"]: r["n_distinct"]
+        for r in distinct_rollup(events, grains=("hour", "day"))
+        .where(F.col("grain") == "day")
+        .collect()
+    }
+    direct = {
+        r["bucket"]: r["n_distinct"]
+        for r in events.groupBy(F.date_trunc("day", "ts").alias("bucket"))
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("user_id"), F.lit(12))
+            ).alias("n_distinct")
+        )
+        .collect()
+    }
+    assert rolled == direct
+    exact = {
+        r["bucket"]: r["n"]
+        for r in events.groupBy(F.date_trunc("day", "ts").alias("bucket"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for b, est in rolled.items():
+        assert abs(est - exact[b]) <= max(2, 0.05 * exact[b])
