@@ -560,6 +560,35 @@ FROM events GROUP BY 2
 """
 
 
+def _q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling (Efraimidis–Spirakis with the
+    portable dice as the uniform): 100 docs with inclusion probability
+    ∝ token count — the corpus mixture-sampling primitive, reproducible
+    in any md5-capable engine."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.functions.text import token_count
+    from ratatool_spark.operators.sampler import weighted_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", (token_count(F.col("text")) + 1).alias("w")
+    )
+    return weighted_sample(docs, 100, "w", fields=["doc_id"], seed=42).select(
+        "doc_id", (F.col("w") - 1).alias("n_tokens")
+    )
+
+
+_SQL_WEIGHTED_SAMPLE = f"""
+WITH scored AS (
+  SELECT doc_id, len({_WORDS_SQL}) AS n_tokens,
+         POW({_DICE_SQL.format(seed=42, fields="CAST(doc_id AS VARCHAR)")},
+             1.0 / (len({_WORDS_SQL}) + 1)) AS k
+  FROM documents
+)
+SELECT doc_id, n_tokens FROM scored ORDER BY k DESC, doc_id LIMIT 100
+"""
+
+
 def _q_distinct_rollup(spark, sf_dir):
     """Mergeable-sketch distinct rollup (operators/timeagg.py): per-hour
     HLL user sketches, day grain = sketch union. No oracle_sql twin —
@@ -1654,6 +1683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_event_windows": _q_range_join_windows,
         "time_rollup_events": _q_time_rollup,
         "events_distinct_rollup": _q_distinct_rollup,
+        "weighted_sample_docs": _q_weighted_sample,
         "top_tokens": _q_top_tokens,
         "user_event_sequences": _q_user_sequences,
         "distinct_users_per_type": _q_distinct_users,
@@ -1703,6 +1733,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_events": _SQL_ASOF,
         "range_join_event_windows": _SQL_RANGE_JOIN,
         "time_rollup_events": _SQL_TIME_ROLLUP,
+        "weighted_sample_docs": _SQL_WEIGHTED_SAMPLE,
         "top_tokens": _SQL_TOP_TOKENS,
         "user_event_sequences": _SQL_USER_SEQUENCES,
         "distinct_users_per_type": _SQL_DISTINCT_USERS,

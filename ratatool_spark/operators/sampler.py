@@ -287,3 +287,39 @@ def reservoir_sample(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
     reservoir, no driver loop, no per-file Futures."""
     keep = df.columns
     return df.withColumn(_ROLL, F.rand(seed)).orderBy(_ROLL).limit(n).select(*keep)
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    fields: list[str] | None = None,
+    seed: int = 42,
+    portable: bool = True,
+) -> DataFrame:
+    """Weighted sampling without replacement (extension; not in the
+    reference) — the mixture-sampling primitive for corpus construction
+    ("sample n docs with probability ∝ quality/length/domain weight").
+
+    Efraimidis–Spirakis A-Res: each row gets key ``u^(1/w)`` with
+    ``u ∈ [0,1)``; the n largest keys are the sample. With ``fields``
+    the uniform is the portable field-hash dice — the identical cohort
+    is re-derivable in any engine with md5 (and is this operator's
+    oracle); otherwise ``F.rand(seed)``. Rows with weight <= 0 are
+    excluded (their key is undefined).
+
+    Physical plan: TakeOrderedAndProject — per-partition top-n, single
+    driver merge; no global sort, same n-fits-in-memory envelope as the
+    reference's reservoir (AvroSampler.scala:105-148)."""
+    keep = df.columns
+    u = _resolve_dice(df, fields, seed, portable)
+    w = F.col(weight_col).cast("double")
+    key = F.pow(u, F.lit(1.0) / w)
+    tiebreak = [F.col(f) for f in (fields or [])]
+    return (
+        df.where(w > 0)
+        .withColumn(_ROLL, key)
+        .orderBy(F.desc(_ROLL), *tiebreak)
+        .limit(n)
+        .select(*keep)
+    )

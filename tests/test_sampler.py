@@ -108,3 +108,47 @@ def test_sample_preserves_schema(lineitem):
         lineitem, 0.1, strata=["l_returnflag"], uniform=True, exact=True, seed=42
     )
     assert out2.columns == lineitem.columns
+
+
+def test_weighted_sample_matches_driver_side_recompute(documents):
+    """Deterministic weighted sample (u^(1/w), u = portable dice on
+    doc_id) equals an exact driver-side recompute of the same formula."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.functions.text import token_count
+    from ratatool_spark.operators.sampler import weighted_sample
+
+    docs = documents.select(
+        "doc_id", "text", (token_count(F.col("text")) + 1).alias("w")
+    )
+    got = [
+        r["doc_id"]
+        for r in weighted_sample(docs, 50, "w", fields=["doc_id"], seed=42)
+        .select("doc_id")
+        .collect()
+    ]
+
+    rows = docs.select("doc_id", "w").collect()
+    space = float(1 << 60)
+
+    def key(r):
+        feed = "\x01".join(["42", str(r["doc_id"])])
+        u = int(hashlib.md5(feed.encode()).hexdigest()[:15], 16) / space
+        return u ** (1.0 / r["w"])
+
+    want = [r["doc_id"] for r in sorted(rows, key=lambda r: (-key(r), r["doc_id"]))[:50]]
+    assert set(got) == set(want)
+
+
+def test_weighted_sample_excludes_nonpositive_and_favors_heavy(spark):
+    from ratatool_spark.operators.sampler import weighted_sample
+
+    rows = [(i, 100.0 if i < 10 else 0.01) for i in range(1000)] + [(9999, 0.0)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    # statistical check over the rand path: heavy rows (10 of 1000) should
+    # dominate a size-20 sample at 10000:1 weight ratio
+    got = {r["id"] for r in weighted_sample(df, 20, "w", seed=7).collect()}
+    assert 9999 not in got
+    assert len(got & set(range(10))) == 10, "all heavy rows selected"
