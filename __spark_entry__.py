@@ -94,6 +94,42 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def _q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style forecast-revenue aggregate: every predicate reaches
+    the parquet scan (PushedFilters), zero joins, one partial->final agg —
+    the pure scan-throughput benchmark."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                    "decimal(28,4)"
+                )
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_SQL_TPCH_Q6 = """
+SELECT SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,4))) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
 def _q_sample_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SA2: deterministic hash-dice sample, 10%, portable md5 hash
     (BigSampler.scala:385-391). Exactly reproducible in any SQL engine."""
@@ -1653,6 +1689,7 @@ def _q_ann_ivf_topk(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": _q_tpch_q1,
+        "tpch_q6_forecast_revenue": _q_tpch_q6,
         "sample_deterministic": _q_sample_det,
         "sample_exact_stratified": _q_sample_exact_stratified,
         "diffy_deltas": _q_diffy_deltas,
@@ -1704,6 +1741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "tpch_q1_pricing_summary": _SQL_TPCH_Q1,
+        "tpch_q6_forecast_revenue": _SQL_TPCH_Q6,
         "sample_deterministic": _SQL_SAMPLE_DET,
         "sample_exact_stratified": _SQL_SAMPLE_EXACT_STRAT,
         "diffy_deltas": _SQL_DIFFY_DELTAS,
