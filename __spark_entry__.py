@@ -66,17 +66,23 @@ def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     dec = lambda c: F.col(c).cast("decimal(28,4)")  # noqa: E731
+    # Sum in DECIMAL for bit-identical totals, but emit DOUBLE: the
+    # harness hashes pandas-rendered frames and DuckDB's .df() renders
+    # DECIMAL as float64, so a Decimal('153078.0000') vs 153078.0 would
+    # hash-mismatch on identical values.
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
             F.sum(
                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
                     "decimal(28,4)"
                 )
-            ).alias("sum_disc_price"),
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -84,9 +90,10 @@ def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_TPCH_Q1 = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS DECIMAL(28,4))) AS sum_qty,
-       SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS sum_base_price,
-       SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE)
+         AS sum_disc_price,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -101,10 +108,12 @@ def _q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # window chosen inside the testdata's shipdate span
+    # (1995-01-02 .. 2001-11-04) so the aggregate is non-vacuous
     return (
         li.where(
-            (F.col("l_shipdate") >= F.lit("1994-01-01"))
-            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
             & (F.col("l_discount") >= 0.05)
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
@@ -113,18 +122,21 @@ def _q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("l_extendedprice") * F.col("l_discount")).cast(
                     "decimal(28,4)"
                 )
-            ).alias("revenue"),
+            )
+            .cast("double")
+            .alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
 
 
 _SQL_TPCH_Q6 = """
-SELECT SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,4))) AS revenue,
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,4))) AS DOUBLE)
+         AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
-  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
   AND l_discount BETWEEN 0.05 AND 0.07
   AND l_quantity < 24
 """
@@ -331,10 +343,14 @@ SELECT key, diff_type FROM classified
 _SQL_DIFFY_GLOBAL = f"""
 WITH {_SQL_DIFFY_SRC}
 SELECT COUNT(*) AS num_total,
-       SUM(CASE WHEN diff_type = 'SAME' THEN 1 ELSE 0 END) AS num_same,
-       SUM(CASE WHEN diff_type = 'DIFFERENT' THEN 1 ELSE 0 END) AS num_diff,
-       SUM(CASE WHEN diff_type = 'MISSING_LHS' THEN 1 ELSE 0 END) AS num_missing_lhs,
-       SUM(CASE WHEN diff_type = 'MISSING_RHS' THEN 1 ELSE 0 END) AS num_missing_rhs
+       CAST(SUM(CASE WHEN diff_type = 'SAME' THEN 1 ELSE 0 END) AS BIGINT)
+         AS num_same,
+       CAST(SUM(CASE WHEN diff_type = 'DIFFERENT' THEN 1 ELSE 0 END) AS BIGINT)
+         AS num_diff,
+       CAST(SUM(CASE WHEN diff_type = 'MISSING_LHS' THEN 1 ELSE 0 END) AS BIGINT)
+         AS num_missing_lhs,
+       CAST(SUM(CASE WHEN diff_type = 'MISSING_RHS' THEN 1 ELSE 0 END) AS BIGINT)
+         AS num_missing_rhs
 FROM classified
 """
 
@@ -577,21 +593,34 @@ def _q_time_rollup(spark, sf_dir):
     """Hypertable-style hierarchical rollup (operators/timeagg.py): hour
     partials scan the fact table once; the day grain re-aggregates the
     hour partials (ReusedExchange dedupes the shared subplan)."""
+    from pyspark.sql import functions as F
+
     from ratatool_spark.operators.timeagg import time_rollup
     from ratatool_spark.sources.io import load_tables
 
     ev = load_tables(spark, sf_dir, names=("events",))["events"]
-    return time_rollup(ev, grains=("hour", "day"))
+    out = time_rollup(ev, grains=("hour", "day"))
+    return out.select(
+        "grain",
+        "bucket",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "min_value",
+        "max_value",
+    )
 
 
 _SQL_TIME_ROLLUP = """
 SELECT 'hour' AS grain, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
-       COUNT(*) AS n_events, SUM(CAST(value AS DECIMAL(28,6))) AS sum_value,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
        MIN(value) AS min_value, MAX(value) AS max_value
 FROM events GROUP BY 2
 UNION ALL
 SELECT 'day', CAST(date_trunc('day', ts) AS TIMESTAMP),
-       COUNT(*), SUM(CAST(value AS DECIMAL(28,6))), MIN(value), MAX(value)
+       COUNT(*),
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE),
+       MIN(value), MAX(value)
 FROM events GROUP BY 2
 """
 
@@ -733,7 +762,9 @@ def _q_range_join_windows(spark, sf_dir):
     joined = range_join(ev, wins, "ts", "w_start", "w_end", bucket_width=86400.0)
     return joined.groupBy("w_start").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(28,6)")).alias("sum_value"),
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sum_value"),
     )
 
 
@@ -743,7 +774,7 @@ WITH wins AS (
   FROM (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start FROM events)
 )
 SELECT w.w_start, COUNT(*) AS n_events,
-       SUM(CAST(value AS DECIMAL(28,6))) AS sum_value
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
 FROM wins w JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
 GROUP BY w.w_start
 """
@@ -921,18 +952,25 @@ def _sql_ann_lsh_buckets() -> str:
 def _q_events_windowed(spark, sf_dir):
     """Event-time tumbling-window stats (stream-batch agnostic plan; batch
     run is the oracle for the streaming run)."""
+    from pyspark.sql import functions as F
+
     from ratatool_spark.sources.io import load_tables
     from ratatool_spark.streaming.events import windowed_event_stats
 
     ev = load_tables(spark, sf_dir, names=("events",))["events"]
     out = windowed_event_stats(ev, window="1 hour")
-    return out.select("window_start", "event_type", "n_events", "sum_value")
+    return out.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
 
 
 _SQL_EVENTS_WINDOWED = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(value AS DECIMAL(28,6))) AS sum_value
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2
 """
@@ -941,11 +979,20 @@ GROUP BY 1, 2
 def _q_events_sessionize(spark, sf_dir):
     """Per-user session windows (30-min gap) via F.session_window; the
     lag+cumsum SQL formulation is the exact batch equivalent."""
+    from pyspark.sql import functions as F
+
     from ratatool_spark.sources.io import load_tables
     from ratatool_spark.streaming.events import sessionize
 
     ev = load_tables(spark, sf_dir, names=("events",))["events"]
-    return sessionize(ev, gap="30 minutes")
+    out = sessionize(ev, gap="30 minutes")
+    return out.select(
+        "user_id",
+        "first_ts",
+        "last_ts",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
 
 
 _SQL_EVENTS_SESSIONIZE = """
@@ -962,7 +1009,8 @@ WITH flagged AS (
   FROM flagged
 )
 SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
-       COUNT(*) AS n_events, SUM(CAST(value AS DECIMAL(28,6))) AS sum_value
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
 FROM sessions GROUP BY user_id, session_id
 """
 
@@ -989,7 +1037,7 @@ def _q_events_json_props(spark, sf_dir):
 
 _SQL_EVENTS_JSON = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
@@ -1069,7 +1117,8 @@ def _q_tpch_q3(spark, sf_dir):
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("o_orderkey", "o_orderpriority")
-        .agg(F.sum(rev).alias("revenue"))
+        # decimal-exact sum, double-rendered output (harness hash parity)
+        .agg(F.sum(rev).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
     )
@@ -1077,7 +1126,8 @@ def _q_tpch_q3(spark, sf_dir):
 
 _SQL_TPCH_Q3 = """
 SELECT o_orderkey, o_orderpriority,
-       SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS revenue
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE)
+         AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1102,14 +1152,16 @@ def _q_star_join(spark, sf_dir):
         .groupBy(F.col("r_name").alias("region_name"))
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.sum(F.col("c_acctbal").cast("decimal(28,4)")).alias("sum_acctbal"),
+            F.sum(F.col("c_acctbal").cast("decimal(28,4)"))
+            .cast("double")
+            .alias("sum_acctbal"),
         )
     )
 
 
 _SQL_STAR_JOIN = """
 SELECT r_name AS region_name, COUNT(*) AS n_customers,
-       SUM(CAST(c_acctbal AS DECIMAL(28,4))) AS sum_acctbal
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS sum_acctbal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -1203,14 +1255,16 @@ def _q_rollup(spark, sf_dir):
         .rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("l_quantity").cast("decimal(28,4)")).alias("sum_qty"),
+            F.sum(F.col("l_quantity").cast("decimal(28,4)"))
+            .cast("double")
+            .alias("sum_qty"),
         )
     )
 
 
 _SQL_ROLLUP = """
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-       SUM(CAST(l_quantity AS DECIMAL(28,4))) AS sum_qty
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
@@ -1481,21 +1535,26 @@ def _q_pivot(spark, sf_dir):
     from pyspark.sql import functions as F
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    return (
+    out = (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
         .agg(F.sum(F.col("l_quantity").cast("decimal(28,4)")))
         .withColumnRenamed("O", "qty_open")
         .withColumnRenamed("F", "qty_filled")
     )
+    return out.select(
+        "l_returnflag",
+        F.col("qty_open").cast("double").alias("qty_open"),
+        F.col("qty_filled").cast("double").alias("qty_filled"),
+    )
 
 
 _SQL_PIVOT = """
 SELECT l_returnflag,
-       SUM(CASE WHEN l_linestatus = 'O'
-                THEN CAST(l_quantity AS DECIMAL(28,4)) END) AS qty_open,
-       SUM(CASE WHEN l_linestatus = 'F'
-                THEN CAST(l_quantity AS DECIMAL(28,4)) END) AS qty_filled
+       CAST(SUM(CASE WHEN l_linestatus = 'O'
+                THEN CAST(l_quantity AS DECIMAL(28,4)) END) AS DOUBLE) AS qty_open,
+       CAST(SUM(CASE WHEN l_linestatus = 'F'
+                THEN CAST(l_quantity AS DECIMAL(28,4)) END) AS DOUBLE) AS qty_filled
 FROM lineitem GROUP BY l_returnflag
 """
 
@@ -1576,13 +1635,17 @@ def _q_tpch_q5(spark, sf_dir):
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
         .groupBy("n_name")
-        .agg(F.sum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
     )
 
 
 _SQL_TPCH_Q5 = """
 SELECT n_name,
-       SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS revenue,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE)
+         AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -1638,14 +1701,16 @@ def _q_cube_pricing(spark, sf_dir):
         li.cube("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("l_quantity").cast("decimal(28,4)")).alias("sum_qty"),
+            F.sum(F.col("l_quantity").cast("decimal(28,4)"))
+            .cast("double")
+            .alias("sum_qty"),
         )
     )
 
 
 _SQL_CUBE = """
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-       SUM(CAST(l_quantity AS DECIMAL(28,4))) AS sum_qty
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 

@@ -162,6 +162,12 @@ def load_tables(
 
     from ratatool_spark import TABLES
 
+    # events.parquet carries INT64 TIMESTAMP(NANOS), which vanilla Spark
+    # rejects (PARQUET_TYPE_ILLEGAL). The conf is runtime-settable, so set
+    # it here rather than at session build time — callers (e.g. an external
+    # harness) may hand us a session we didn't construct.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
     out = {}
     for name in names or TABLES:
         p = os.path.join(sf_dir, f"{name}.parquet")
