@@ -1734,21 +1734,74 @@ def _q_events_ewma(spark, sf_dir):
 
 
 def _q_ann_ivf_topk(spark, sf_dir):
-    """IVF approximate top-k with 2 Lloyd's training iterations. The
-    centroid training is an iterative algorithm (driver loop over
-    assignment/update jobs) with no single-statement SQL equivalent, so
-    this entry is rows-only checked; exactness of the returned cosines
-    and recall floors are covered by tests/test_dedup.py."""
+    """IVF approximate top-k with deterministic seed centroids
+    (train_iters=0: centroids = hash-sample of corpus vectors, so the
+    whole pipeline — centroid choice, cell assignment, probe, re-rank —
+    is expressible in the DuckDB oracle). The Lloyd's-trained variant
+    (train_iters>0) is an iterative driver-loop algorithm with no
+    single-statement SQL equivalent; its recall and exactness are pinned
+    in tests/test_dedup.py (test_kmeans_ivf_training) instead."""
     from pyspark.sql import functions as F
 
     from ratatool_spark.operators.similarity import ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.where(F.col("vec_id") < 5)
-    out = ivf_topk(emb, q, k=3, n_centroids=8, n_probe=3, train_iters=2)
+    out = ivf_topk(emb, q, k=3, n_centroids=8, n_probe=3, train_iters=0)
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
     )
+
+
+def _sql_ann_ivf_topk() -> str:
+    # hash_cols([vec_id], seed=13) twin: the centroid sample order
+    h = (
+        "(('0x' || substr(md5(concat_ws(chr(1), '13', "
+        "CAST(vec_id AS VARCHAR))), 1, 15))::BIGINT)"
+    )
+    cos_vc = _COS_AB_SQL.replace("a.embedding", "v.embedding").replace(
+        "b.embedding", "ct.embedding"
+    )
+    cos_qc = _COS_AB_SQL.replace("a.embedding", "q_emb").replace(
+        "b.embedding", "c_emb"
+    )
+    return f"""
+WITH cents AS (
+  SELECT rn - 1 AS cell, embedding FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY {h}) AS rn, embedding FROM embeddings
+  ) WHERE rn <= 8
+),
+corpus_assign AS (
+  SELECT neighbor_id, c_emb, cell FROM (
+    SELECT v.vec_id AS neighbor_id, v.embedding AS c_emb, ct.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {cos_vc} DESC, ct.cell) AS arn
+    FROM embeddings v CROSS JOIN cents ct
+  ) WHERE arn = 1
+),
+query_assign AS (
+  SELECT query_id, q_emb, cell FROM (
+    SELECT v.vec_id AS query_id, v.embedding AS q_emb, ct.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {cos_vc} DESC, ct.cell) AS arn
+    FROM embeddings v CROSS JOIN cents ct
+    WHERE v.vec_id < 5
+  ) WHERE arn <= 3
+),
+cand AS (
+  SELECT DISTINCT q.query_id, c.neighbor_id, {cos_qc} AS cosine
+  FROM query_assign q JOIN corpus_assign c USING (cell)
+  WHERE q.query_id <> c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= 3
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1843,6 +1896,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": _sql_simhash_pairs(),
         "dedup_embedding_neardup": _SQL_EMBEDDING_NEARDUP,
         "ann_lsh_topk": _sql_ann_lsh_topk(),
+        "ann_ivf_topk": _sql_ann_ivf_topk(),
         "quantiles_per_flag": _SQL_QUANTILES,
         "pivot_status_qty": _SQL_PIVOT,
         "pipeline_clean_corpus": _sql_clean_corpus(),
