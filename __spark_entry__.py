@@ -1405,21 +1405,29 @@ def _q_simhash_pairs(spark, sf_dir):
 
 
 def _sql_simhash_pairs() -> str:
+    from ratatool_spark.operators.dedup import simhash_block_layout
+
     sim = _sql_dedup_simhash().strip()
+    # mirror simhash_pairs' Manku-style chunking: max_hamming+1 = 7 blocks
+    layout = simhash_block_layout(_SIMHASH_BITS, 7)
+    block_cols = ", ".join(
+        f"(simhash >> {off}) & {(1 << w) - 1} AS blk_{i}"
+        for i, (off, w) in enumerate(layout)
+    )
+    joins = "\n  UNION\n".join(
+        f"""  SELECT a.id AS id_a, b.id AS id_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM split a JOIN split b ON a.blk_{i} = b.blk_{i} AND a.id < b.id"""
+        for i in range(len(layout))
+    )
     return f"""
 WITH sim AS ({sim}),
 split AS (
-  SELECT doc_id AS id, simhash,
-         simhash >> 16 AS hi, simhash & 65535 AS lo
+  SELECT doc_id AS id, simhash, {block_cols}
   FROM sim
 ),
 cand AS (
-  SELECT a.id AS id_a, b.id AS id_b,
-         bit_count(xor(a.simhash, b.simhash)) AS hamming
-  FROM split a JOIN split b ON a.hi = b.hi AND a.id < b.id
-  UNION
-  SELECT a.id, b.id, bit_count(xor(a.simhash, b.simhash))
-  FROM split a JOIN split b ON a.lo = b.lo AND a.id < b.id
+{joins}
 )
 SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 6
 """

@@ -60,7 +60,10 @@ def serialize_for_hash(col: Column | str, dtype: T.DataType | None = None) -> Co
     if isinstance(dtype, T.BinaryType):
         return F.lower(F.hex(c))
     if isinstance(dtype, T.TimestampType):
-        return (c.cast("double") * F.lit(1000000)).cast("long").cast("string")
+        # exact integer epoch-micros: the double round-trip
+        # (cast('double')*1e6) is off by ±1us at current epochs (double has
+        # ~0.4us resolution there), breaking cross-engine reproducibility
+        return F.unix_micros(c).cast("string")
     if isinstance(dtype, (T.DoubleType, T.FloatType)):
         return c.cast(T.DecimalType(28, 9)).cast("string")
     if isinstance(dtype, T.BooleanType):

@@ -399,6 +399,32 @@ def simhash(
     return agg.select(F.col(id_col), fp.alias("simhash"))
 
 
+def simhash_block_layout(bits: int, n_blocks: int) -> list[tuple[int, int]]:
+    """(offset, width) for each of ``n_blocks`` contiguous chunks covering
+    ``bits`` fingerprint bits, widths as even as possible (first blocks get
+    the remainder bit). Shared with the SQL oracle twin so both engines
+    block identically."""
+    base, rem = divmod(bits, n_blocks)
+    layout, off = [], 0
+    for i in range(n_blocks):
+        w = base + (1 if i < rem else 0)
+        layout.append((off, w))
+        off += w
+    return layout
+
+
+def _simhash_blocks(bits: int, n_blocks: int) -> list[Column]:
+    return [
+        F.struct(
+            F.lit(i).alias("kind"),
+            F.shiftright("simhash", off)
+            .bitwiseAND(F.lit((1 << w) - 1))
+            .alias("val"),
+        )
+        for i, (off, w) in enumerate(simhash_block_layout(bits, n_blocks))
+    ]
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -410,22 +436,23 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance ≤ max_hamming.
 
-    Scale path: self-join blocked on fingerprint halves (pigeonhole:
-    ≤ max_hamming differing bits can't hit both halves when max_hamming <
-    bits/2 — the standard simhash chunk trick), Hamming via
-    ``bit_count(xor)``. Both halves are exploded into one (kind, val)
+    Scale path: self-join blocked on ``max_hamming + 1`` contiguous
+    fingerprint chunks (Manku/Jain/Sarma, WWW'07: with k blocks and at
+    most k-1 differing bits, pigeonhole forces at least one block to
+    match exactly — so recall is 1.0 by construction), Hamming via
+    ``bit_count(xor)``. All chunks are exploded into one (kind, val)
     block table and matched in a single self-join: the two sides are
     identical subplans, so the signature pipeline runs once through one
-    reused exchange (a union of per-half joins would shuffle it twice)."""
+    reused exchange (a union of per-chunk joins would shuffle it k
+    times)."""
+    n_blocks = max_hamming + 1
+    if n_blocks > bits:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {n_blocks} blocks but the "
+            f"fingerprint has only {bits} bits"
+        )
     s = simhash(df, text_col, id_col, bits, shingle_n, hasher)
-    half = bits // 2
-    blocks = F.array(
-        F.struct(F.lit(0).alias("kind"), F.shiftright("simhash", half).alias("val")),
-        F.struct(
-            F.lit(1).alias("kind"),
-            F.col("simhash").bitwiseAND(F.lit((1 << half) - 1)).alias("val"),
-        ),
-    )
+    blocks = F.array(*_simhash_blocks(bits, n_blocks))
     s = s.select(
         F.col(id_col).alias("id"), "simhash", F.explode(blocks).alias("b")
     ).select("id", "simhash", F.col("b.kind").alias("kind"), F.col("b.val").alias("val"))

@@ -51,6 +51,7 @@ _PROB = "__rt_prob"
 _TARGET = "__rt_target"
 _RN = "__rt_rn"
 _CNT = "__rt_cnt"
+_BOUND = "__rt_bound"
 
 
 @dataclass
@@ -184,10 +185,12 @@ def _exact_sample(
 
     target per stratum: ceil(n_k * fraction) (uniform: the equal share
     min(total*f/nKeys, n_k)). The Chernoff prefilter keeps the window input
-    at ~f·n rows; correctness is unaffected because every kept row has
-    roll < bound by construction (bound chosen so undershoot prob < 1e-6;
-    if a stratum *does* undershoot we top up by re-ranking without the
-    prefilter for that stratum — detected via the audit).
+    at ~f·n rows; the bound is computed PER STRATUM from that stratum's own
+    count and effective fraction (getUpperBound,
+    SamplerSCollectionFunctions.scala:174-182 — a single bound from the
+    largest stratum would be the tightest one and over-filter small
+    strata). Undershoot probability per stratum is < 1e-6 by construction;
+    if one does undershoot, the audit (audit=True) detects and raises.
     """
     key = [F.col(s) for s in strata] if strata else [F.lit(1)]
     counts = (
@@ -209,14 +212,23 @@ def _exact_sample(
                 F.col(_CNT),
                 F.ceil(F.col(_CNT) * F.lit(fraction)).cast("long").alias(_TARGET),
             )
-        max_n = targets.agg(F.max(_CNT)).collect()[0][0] or 0
-        bound = _chernoff_upper(fraction, max_n) if not uniform else 1.0
+        # Per-stratum Chernoff threshold (column form of _chernoff_upper,
+        # effective fraction = target/n_k so it is also valid for uniform
+        # mode where the per-stratum rate differs from `fraction`).
+        eff = F.col(_TARGET).cast("double") / F.col(_CNT)
+        log_term = math.log(2.0 / 1e-6)  # ln(2/δ), δ=1e-6
+        bound_col = F.least(
+            F.lit(1.0),
+            eff
+            + F.sqrt(F.lit(3.0 * log_term) * eff / F.col(_CNT))
+            + F.lit(8.0) / F.col(_CNT),
+        ).alias(_BOUND)
+        targets = targets.select(*strata, F.col(_TARGET), bound_col)
         w = Window.partitionBy(*strata).orderBy(_ROLL)
-        cand = df.withColumn(_ROLL, roll)
-        if bound < 1.0:
-            cand = cand.where(F.col(_ROLL) < F.lit(bound))
         return (
-            cand.join(F.broadcast(targets.drop(_CNT)), strata)
+            df.withColumn(_ROLL, roll)
+            .join(F.broadcast(targets), strata)
+            .where(F.col(_ROLL) < F.col(_BOUND))
             .withColumn(_RN, F.row_number().over(w))
             .where(F.col(_RN) <= F.col(_TARGET))
             .select(*df.columns)

@@ -36,7 +36,17 @@ def salted_join(
     The small side grows ×salt — keep it the dimension side. (With an
     explicitly skew-resistant broadcast — ``F.broadcast(small)`` — salting
     is unnecessary; use this when the small side is too big to broadcast
-    but small enough to replicate S-way.)"""
+    but small enough to replicate S-way.)
+
+    Only ``inner`` and ``left`` (big-side-preserving) joins are
+    row-identical to the plain join: with ``right``/``full``, an unmatched
+    small-side row would surface once per salt bucket."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: "
+            "right/full would duplicate unmatched small-side rows per salt "
+            "bucket"
+        )
     big_s = big.withColumn(_SALT, (F.rand() * salt).cast("int"))
     small_s = small.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

@@ -27,14 +27,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-EWMA_SCHEMA = T.StructType(
-    [
-        T.StructField("user_id", T.LongType()),
-        T.StructField("ts", T.TimestampType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("ewma", T.DoubleType()),
-    ]
-)
+def _ewma_schema(df: DataFrame, key_col: str, ts_col: str, value_col: str):
+    """Output StructType built from the caller's column names (types copied
+    from the input schema) — a hardcoded name set would silently rename
+    non-default columns in the result."""
+    return T.StructType(
+        [
+            T.StructField(key_col, df.schema[key_col].dataType),
+            T.StructField(ts_col, df.schema[ts_col].dataType),
+            T.StructField(value_col, df.schema[value_col].dataType),
+            T.StructField("ewma", T.DoubleType()),
+        ]
+    )
 
 _STATE_SCHEMA = T.StructType(
     [
@@ -44,11 +48,11 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
-def _ewma_rows(rows: pd.DataFrame, alpha: float, prev: float | None):
+def _ewma_rows(rows: pd.DataFrame, alpha: float, prev: float | None, ts_col: str, value_col: str):
     """Run the recurrence over one key's time-ordered rows."""
-    rows = rows.sort_values("ts")
+    rows = rows.sort_values(ts_col)
     out = []
-    for v in rows["value"]:
+    for v in rows[value_col]:
         v = float(v)
         prev = v if prev is None else alpha * v + (1.0 - alpha) * prev
         out.append(prev)
@@ -74,28 +78,27 @@ def ewma_by_key(
     Batch input → ``applyInPandas`` with the same per-key function, which
     is the streaming run's oracle."""
     cols = df.select(key_col, ts_col, value_col)
+    out_schema = _ewma_schema(df, key_col, ts_col, value_col)
 
     if df.isStreaming:
 
         def update(key, pdf_iter, state: GroupState):
             prev = state.get[0] if state.exists else None
             for pdf in pdf_iter:
-                pdf.columns = ["user_id", "ts", "value"]
-                out, prev = _ewma_rows(pdf, alpha, prev)
+                out, prev = _ewma_rows(pdf, alpha, prev, ts_col, value_col)
                 yield out
             state.update((prev, 0.0))
 
         return cols.groupBy(key_col).applyInPandasWithState(
             update,
-            outputStructType=EWMA_SCHEMA,
+            outputStructType=out_schema,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
 
     def batch_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf.columns = ["user_id", "ts", "value"]
-        out, _ = _ewma_rows(pdf, alpha, None)
+        out, _ = _ewma_rows(pdf, alpha, None, ts_col, value_col)
         return out
 
-    return cols.groupBy(key_col).applyInPandas(batch_fn, schema=EWMA_SCHEMA)
+    return cols.groupBy(key_col).applyInPandas(batch_fn, schema=out_schema)

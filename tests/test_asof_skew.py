@@ -173,3 +173,13 @@ def test_range_join_plan_has_no_nested_loop(spark):
     )
     plan = range_join(pts, ivs, "x", "s", "e", 10.0)._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_salted_join_rejects_small_side_preserving_how(lineitem, orders):
+    with pytest.raises(ValueError):
+        salted_join(
+            lineitem,
+            orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+            ["l_orderkey"],
+            how="full",
+        )

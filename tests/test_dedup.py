@@ -348,3 +348,28 @@ def test_jaccard_max_doc_freq_pruning_is_conservative(documents):
     assert len(pruned) < len(full), "cap of 3 should actually prune on this corpus"
     for k, j in pruned.items():
         assert j <= full[k] + 1e-12
+
+
+def test_simhash_pairs_blocked_equals_exact_hamming(documents):
+    """Manku-chunk blocking has recall 1.0: the blocked self-join finds
+    EVERY pair within max_hamming (the old 2-half blocking silently dropped
+    pairs whose differing bits straddled both halves)."""
+    docs = documents.limit(60)
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    for mh in (2, 3):
+        exact = {
+            (a, b)
+            for a in fps
+            for b in fps
+            if a < b and bin(fps[a] ^ fps[b]).count("1") <= mh
+        }
+        blocked = {
+            (r["id_a"], r["id_b"])
+            for r in simhash_pairs(docs, max_hamming=mh).collect()
+        }
+        assert blocked == exact, f"max_hamming={mh}"
+
+
+def test_simhash_pairs_rejects_impossible_blocking(corpus):
+    with pytest.raises(ValueError):
+        simhash_pairs(corpus, bits=4, max_hamming=4)

@@ -64,3 +64,25 @@ def test_xxdice_range(spark, lineitem):
 
 def test_hash_space_is_60_bits():
     assert HASH_SPACE == float(1 << 60)
+
+
+def test_serialize_timestamp_exact_integer_micros(spark):
+    """Timestamps feed the hash as exact integer epoch-micros (the old
+    double round-trip was off by ±1us at current epochs — double has only
+    ~0.4us resolution there — breaking cross-engine dice reproducibility)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from ratatool_spark.functions.hashing import serialize_for_hash
+
+    ts = dt.datetime(2024, 5, 17, 13, 45, 1, 999999, tzinfo=dt.timezone.utc)
+    df = spark.createDataFrame([(ts,)], "t timestamp")
+    got = df.select(
+        serialize_for_hash(F.col("t"), T.TimestampType()).alias("s")
+    ).collect()[0]["s"]
+    # exact integer micros, computed independently of Spark
+    import calendar
+
+    micros = calendar.timegm(ts.utctimetuple()) * 1_000_000 + ts.microsecond
+    assert got == str(micros)

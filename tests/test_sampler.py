@@ -152,3 +152,22 @@ def test_weighted_sample_excludes_nonpositive_and_favors_heavy(spark):
     got = {r["id"] for r in weighted_sample(df, 20, "w", seed=7).collect()}
     assert 9999 not in got
     assert len(got & set(range(10))) == 10, "all heavy rows selected"
+
+
+def test_exact_small_stratum_not_overfiltered(spark):
+    """The Chernoff prefilter bound is per-stratum: a 50-row stratum next
+    to a 100k-row one must still yield its exact ceil(n*f) target (a single
+    bound derived from the max stratum count is the tightest of all bounds
+    and starves small strata ~40% of the time)."""
+    big = spark.range(100_000).select(
+        F.lit("big").alias("g"), F.col("id").alias("v")
+    )
+    small = spark.range(50).select(
+        F.lit("small").alias("g"), (F.col("id") + 200_000).alias("v")
+    )
+    out = sample(
+        big.union(small), 0.1, fields=["v"], strata=["g"], exact=True, seed=7
+    )
+    counts = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts["small"] == 5  # ceil(50 * 0.1)
+    assert counts["big"] == 10_000

@@ -324,3 +324,21 @@ def test_distinct_rollup_union_matches_direct_sketch(spark, events):
     }
     for b, est in rolled.items():
         assert abs(est - exact[b]) <= max(2, 0.05 * exact[b])
+
+
+def test_ewma_custom_column_names(events):
+    """Output schema follows the caller's column names (a hardcoded
+    user_id/ts/value StructType silently renamed them before)."""
+    from ratatool_spark.streaming.stateful import ewma_by_key
+
+    sub = (
+        events.where(F.col("user_id") < 5)
+        .select(
+            F.col("user_id").alias("k"),
+            F.col("ts").alias("t"),
+            F.col("value").alias("x"),
+        )
+    )
+    out = ewma_by_key(sub, alpha=0.4, key_col="k", ts_col="t", value_col="x")
+    assert out.columns == ["k", "t", "x", "ewma"]
+    assert out.count() == sub.count()
