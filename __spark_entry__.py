@@ -1322,6 +1322,29 @@ def _q_sample_uniform_exact(spark, sf_dir):
     return out.select("l_orderkey", "l_linenumber", "l_returnflag")
 
 
+def _q_sample_exact_global(spark, sf_dir):
+    """SA7 global exact sample (no strata): the ceil(n·f) smallest dice
+    rolls, selected by distributed bucket-selection (value-range buckets
+    over the dice + per-bucket local rank — no single-reducer top-t, see
+    operators/sampler.py _exact_sample)."""
+    from ratatool_spark.operators.sampler import sample
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = sample(li, 0.05, fields=["l_orderkey", "l_linenumber"], exact=True, seed=42)
+    return out.select("l_orderkey", "l_linenumber", "l_returnflag")
+
+
+_SQL_SAMPLE_EXACT_GLOBAL = f"""
+SELECT l_orderkey, l_linenumber, l_returnflag FROM (
+  SELECT l_orderkey, l_linenumber, l_returnflag,
+         ROW_NUMBER() OVER (
+           ORDER BY {_dice_sql(['l_orderkey', 'l_linenumber'])}) AS rn,
+         COUNT(*) OVER () AS n
+  FROM lineitem
+) WHERE rn <= CEIL(n * 0.05)
+"""
+
+
 _SQL_SAMPLE_UNIFORM_EXACT = f"""
 WITH counts AS (
   SELECT l_returnflag, COUNT(*) AS n_k FROM lineitem GROUP BY l_returnflag
@@ -1842,6 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_pricing": _q_rollup,
         "sample_uniform_deterministic": _q_sample_uniform_det,
         "sample_uniform_exact": _q_sample_uniform_exact,
+        "sample_exact_global": _q_sample_exact_global,
         "asof_join_events": _q_asof,
         "range_join_event_windows": _q_range_join_windows,
         "time_rollup_events": _q_time_rollup,
@@ -1894,6 +1918,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_pricing": _SQL_ROLLUP,
         "sample_uniform_deterministic": _SQL_SAMPLE_UNIFORM_DET,
         "sample_uniform_exact": _SQL_SAMPLE_UNIFORM_EXACT,
+        "sample_exact_global": _SQL_SAMPLE_EXACT_GLOBAL,
         "asof_join_events": _SQL_ASOF,
         "range_join_event_windows": _SQL_RANGE_JOIN,
         "time_rollup_events": _SQL_TIME_ROLLUP,

@@ -163,7 +163,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.1,
     hasher: str = "portable",
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Exact Jaccard similarity pairs (a < b) over distinct word-n-gram
     sets: explode shingles, self-join on shingle, |A∩B| from the join,
@@ -174,8 +174,13 @@ def ngram_jaccard_pairs(
     term: shingles appearing in more than that many docs (stopword
     shingles — boilerplate headers, license blocks) are dropped from the
     index before pair generation, capping any posting list's contribution
-    at max_doc_freq². Jaccard then slightly *underestimates* on the
-    affected pairs (per-doc sizes still count pruned shingles as
+    at max_doc_freq². It DEFAULTS ON (1000): one boilerplate shingle in a
+    100 TB corpus otherwise collects a posting array of millions of ids —
+    a single executor-killing row whose in-array pair expansion is df²/2
+    structs (at the default cap: ≤ 500k structs ≈ 8 MB, executor-sized).
+    Pass ``None`` only for small corpora where exactness on stopword
+    shingles matters more than skew. Jaccard slightly *underestimates* on
+    the affected pairs (per-doc sizes still count pruned shingles as
     non-shared), so it never promotes a pair across the threshold —
     pruning can only drop candidates, never invent them."""
     sh = df.select(
@@ -482,28 +487,50 @@ def embedding_neardup_pairs(
     min_cosine: float = 0.95,
     block_col: str | None = None,
     kernel: str = "blas",
+    max_broadcast_rows: int = 500_000,
+    lsh_planes: int = 8,
+    lsh_seed: int = 7,
 ) -> DataFrame:
     """Embedding near-duplicates: pairs with cosine ≥ min_cosine.
 
     Exact all-pairs is intrinsically O(n²) similarity evaluations; what
-    matters is the constant and the distribution. Two kernels:
+    matters is the constant and the distribution. Kernels:
 
-      - ``kernel="blas"`` (default, unblocked): broadcast the L2-normalized
-        corpus matrix (the build side, like any broadcast join), then
-        ``mapInPandas`` over row chunks computing ``chunk @ corpus.T`` with
-        numpy — one BLAS GEMM per partition instead of per-pair
-        higher-order-function evaluation (~100× on the bench corpus).
-        Envelope: the corpus matrix must fit in executor memory (n·d·8
-        bytes — 10⁶ vectors × 128 dims ≈ 1 GB), the same
+      - ``kernel="blas"`` up to ``max_broadcast_rows`` (exact): broadcast
+        the L2-normalized corpus matrix (the build side, like any
+        broadcast join), then ``mapInPandas`` over row chunks computing
+        ``chunk @ corpus.T`` with numpy — one BLAS GEMM per partition
+        instead of per-pair higher-order-function evaluation (~100× on the
+        bench corpus). Envelope: the corpus matrix must fit in executor
+        memory (n·d·8 bytes — 500k vectors × 128 dims ≈ 0.5 GB), the same
         build-side-fits-in-memory constraint as the reference's hashJoin
-        strata table (ratatool-sampling/README.md:118-120). Beyond that,
-        pre-block.
+        strata table (ratatool-sampling/README.md:118-120).
+      - past the threshold the DEFAULT auto-switches to LSH blocking
+        (random-hyperplane buckets from similarity.lsh_bucket) — the
+        100 TB path: shuffle by bucket, quadratic only within buckets. At
+        min_cosine ≥ 0.95 near-identical vectors land in the same bucket
+        with high probability, but blocking is approximate: cross-bucket
+        pairs are missed (lower recall, tunable via ``lsh_planes`` —
+        fewer planes → bigger buckets → higher recall/cost). The corpus
+        never goes to the driver.
       - ``kernel="expr"`` / ``block_col`` given: pure-expression self-join,
-        per-block when ``block_col`` (e.g. similarity.lsh_bucket) is set —
-        the 100 TB path: shuffle by block, quadratic only within blocks.
+        per-block when ``block_col`` is set — bring-your-own blocking
+        (e.g. a shard or language column) with the same within-block
+        quadratic profile.
     """
     if block_col is None and kernel == "blas":
-        return _blas_all_pairs(df, vec_col, id_col, min_cosine)
+        if df.count() <= max_broadcast_rows:
+            return _blas_all_pairs(df, vec_col, id_col, min_cosine)
+        from ratatool_spark.operators.similarity import lsh_bucket
+
+        dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+        blocked = df.withColumn(
+            "__rt_blk",
+            lsh_bucket(df, vec_col, num_planes=lsh_planes, seed=lsh_seed, dim=dim),
+        )
+        return embedding_neardup_pairs(
+            blocked, vec_col, id_col, min_cosine, block_col="__rt_blk", kernel="expr"
+        )
     cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
     if block_col:
         cols.append(F.col(block_col).alias("blk"))

@@ -52,6 +52,8 @@ _TARGET = "__rt_target"
 _RN = "__rt_rn"
 _CNT = "__rt_cnt"
 _BOUND = "__rt_bound"
+_BKT = "__rt_bucket"
+_OFF = "__rt_offset"
 
 
 @dataclass
@@ -234,19 +236,57 @@ def _exact_sample(
             .select(*df.columns)
         )
 
-    # Global exact: distributed top-t by roll (TakeOrderedAndProject — each
-    # partition contributes its local top-t, merged on one reducer; t must
-    # fit in memory, same envelope as the reference's 1e6/1e9 heap cap,
-    # BigSampler.scala:181).
+    # Global exact: the t = ceil(n·f) smallest rolls, WITHOUT a
+    # single-reducer top-t (orderBy().limit(t) merges t rows in one place —
+    # a scale-killer at 100 TB × f=0.1; the reference caps the same heap at
+    # 1e6/1e9, BigSampler.scala:181). Distributed selection instead:
+    #   1. Chernoff prefilter to ~f·n candidates (P(losing a top-t row)
+    #      < 1e-6, same bound as the stratified path);
+    #   2. value-range buckets over the dice (uniform → balanced), counted
+    #      with one tiny aggregate → cumulative offsets per bucket;
+    #   3. local row_number within each bucket (each bucket is one window
+    #      group of ~f·n/P rows) and keep offset + rank ≤ t.
+    # No task ever holds more than ~f·n/P rows; results are identical to
+    # the single-reducer top-t.
     n = df.count()
     target = int(math.ceil(n * fraction))
+    if target <= 0:
+        return df.where(F.lit(False))
     keep_cols = df.columns
-    return (
-        df.withColumn(_ROLL, roll)
-        .orderBy(_ROLL)
-        .limit(target)
-        .select(*keep_cols)
+    n_buckets = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
+    for bound in (_chernoff_upper(fraction, n), 1.0):
+        cand = df.withColumn(_ROLL, roll)
+        if bound < 1.0:
+            cand = cand.where(F.col(_ROLL) < F.lit(bound))
+        bucket = F.least(
+            F.floor(F.col(_ROLL) / F.lit(bound) * n_buckets),
+            F.lit(n_buckets - 1),
+        ).cast("int")
+        cand = cand.withColumn(_BKT, bucket)
+        counts = {
+            r[_BKT]: r["cnt"]
+            for r in cand.groupBy(_BKT).agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        if sum(counts.values()) < target:
+            continue  # prefilter undershot (prob < 1e-6): retry unfiltered
+        offsets, acc = {}, 0
+        for b in range(n_buckets):
+            offsets[b] = acc
+            acc += counts.get(b, 0)
+        off_df = df.sparkSession.createDataFrame(
+            [(b, o) for b, o in offsets.items() if counts.get(b, 0)],
+            f"{_BKT} int, {_OFF} long",
+        )
+        w = Window.partitionBy(_BKT).orderBy(_ROLL)
+        return (
+            cand.join(F.broadcast(off_df), _BKT)
+            .withColumn(_RN, F.row_number().over(w))
+            .where(F.col(_OFF) + F.col(_RN) <= F.lit(target))
+            .select(*keep_cols)
+        )
+    raise AssertionError("unreachable: unfiltered pass covers all rows")
 
 
 def _audit(

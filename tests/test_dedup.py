@@ -373,3 +373,20 @@ def test_simhash_pairs_blocked_equals_exact_hamming(documents):
 def test_simhash_pairs_rejects_impossible_blocking(corpus):
     with pytest.raises(ValueError):
         simhash_pairs(corpus, bits=4, max_hamming=4)
+
+
+def test_embedding_neardup_autoblocks_past_threshold(embeddings):
+    """Past max_broadcast_rows the default path must NOT collect the corpus
+    to the driver: it auto-switches to LSH blocking. Identical vectors (the
+    J=1 near-dups that matter most) always share a bucket, so they survive
+    blocking."""
+    from pyspark.sql import functions as F
+
+    dup = embeddings.limit(1).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding", "label"
+    )
+    df = embeddings.unionByName(dup)
+    out = embedding_neardup_pairs(df, min_cosine=0.999, max_broadcast_rows=10)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    orig = embeddings.limit(1).collect()[0]["vec_id"]
+    assert (orig, orig + 100_000) in pairs

@@ -171,3 +171,30 @@ def test_exact_small_stratum_not_overfiltered(spark):
     counts = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
     assert counts["small"] == 5  # ceil(50 * 0.1)
     assert counts["big"] == 10_000
+
+
+def test_exact_global_matches_single_reducer_topt(lineitem):
+    """Distributed bucket-selection top-t returns exactly the t smallest
+    rolls — identical rows to the single-reducer orderBy().limit() it
+    replaced."""
+    from ratatool_spark.functions.hashing import dice
+
+    f = 0.07
+    out = sample(lineitem, f, fields=["l_orderkey", "l_linenumber"], exact=True, seed=11)
+    got = {
+        (r["l_orderkey"], r["l_linenumber"])
+        for r in out.select("l_orderkey", "l_linenumber").collect()
+    }
+    rolls = lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        dice([F.col("l_orderkey"), F.col("l_linenumber")], seed=11).alias("r"),
+    ).collect()
+    import math as m
+
+    t = m.ceil(len(rolls) * f)
+    exp = {
+        (r["l_orderkey"], r["l_linenumber"])
+        for r in sorted(rolls, key=lambda r: r["r"])[:t]
+    }
+    assert got == exp
