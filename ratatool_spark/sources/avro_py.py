@@ -1,0 +1,524 @@
+"""Dependency-free Avro object-container codec + Spark integration.
+
+The container ships no spark-avro connector jar and no fastavro/avro
+Python package, and has no network to fetch one — but Avro's binary
+encoding (zigzag varints, length-prefixed bytes, sync-marked blocks;
+https://avro.apache.org/docs/1.12.0/specification/) is small enough to
+implement directly. This module is that implementation, plus the Spark
+plumbing that makes it a real distributed source/sink:
+
+  - **scan**: ``spark.read.format("binaryFile")`` lists and ships whole
+    ``.avro`` files to executors; a ``mapInPandas`` kernel decodes each
+    file's blocks into rows. One task per file — the same distribution
+    unit as the reference's local Avro reads (AvroIO.scala:38-72), and
+    files are decoded where they land, never on the driver. (With a real
+    connector jar, swap to ``spark.read.format("avro")`` — this is the
+    jar-free fallback, Python-speed decode is its documented cost.)
+  - **sink**: one Avro container file per partition via
+    ``foreachPartition`` + an atomic rename, ``_SUCCESS`` on commit —
+    the same layout a connector writes.
+  - byte-level format parity with the JVM: tests round-trip files
+    through ``org.apache.avro.file.DataFileReader/Writer`` (the avro
+    core jar IS bundled with Spark) via py4j.
+
+Schema subset: null/boolean/int/long/float/double/string/bytes, records,
+arrays, maps, and 2-branch null unions (nullable fields) — the closure of
+what the reference's AvroIO/AvroDiffy/AvroGenerator handle for flat and
+nested records (AvroDiffy.scala:40-85). Codecs: null and deflate.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import zlib
+
+MAGIC = b"Obj\x01"
+
+# ---------------------------------------------------------------- encoding
+
+
+def write_long(buf: io.BytesIO, n: int) -> None:
+    # zigzag (sign-safe for python's arbitrary-precision ints)
+    z = (n << 1) if n >= 0 else ((-n) << 1) - 1
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            buf.write(bytes([b | 0x80]))
+        else:
+            buf.write(bytes([b]))
+            break
+
+
+def read_long(buf) -> int:
+    shift, acc = 0, 0
+    while True:
+        (b,) = buf.read(1)
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1)  # un-zigzag
+
+
+def _write_bytes(buf: io.BytesIO, b: bytes) -> None:
+    write_long(buf, len(b))
+    buf.write(b)
+
+
+def _read_bytes(buf) -> bytes:
+    return buf.read(read_long(buf))
+
+
+def _encode_value(buf: io.BytesIO, schema, v) -> None:
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if isinstance(t, list):  # union — branch index then value
+        t = schema
+    if isinstance(t, list):
+        if v is None:
+            idx = t.index("null")
+            write_long(buf, idx)
+            return
+        idx = next(i for i, b in enumerate(t) if b != "null")
+        write_long(buf, idx)
+        _encode_value(buf, t[idx], v)
+    elif t == "null":
+        pass
+    elif t == "boolean":
+        buf.write(b"\x01" if v else b"\x00")
+    elif t in ("int", "long"):
+        write_long(buf, int(v))
+    elif t == "float":
+        buf.write(struct.pack("<f", float(v)))
+    elif t == "double":
+        buf.write(struct.pack("<d", float(v)))
+    elif t == "string":
+        _write_bytes(buf, v.encode("utf-8"))
+    elif t == "bytes":
+        _write_bytes(buf, bytes(v))
+    elif t == "record":
+        for f in schema["fields"]:
+            _encode_value(buf, f["type"], v[f["name"]])
+    elif t == "array":
+        items = list(v)
+        if items:
+            write_long(buf, len(items))
+            for x in items:
+                _encode_value(buf, schema["items"], x)
+        write_long(buf, 0)
+    elif t == "map":
+        entries = dict(v)
+        if entries:
+            write_long(buf, len(entries))
+            for k, x in entries.items():
+                _write_bytes(buf, k.encode("utf-8"))
+                _encode_value(buf, schema["values"], x)
+        write_long(buf, 0)
+    else:
+        raise NotImplementedError(f"avro type {t!r}")
+
+
+def _decode_value(buf, schema):
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if isinstance(t, list):
+        t = schema
+    if isinstance(t, list):
+        idx = read_long(buf)
+        branch = t[idx]
+        return None if branch == "null" else _decode_value(buf, branch)
+    if t == "null":
+        return None
+    if t == "boolean":
+        return buf.read(1) == b"\x01"
+    if t in ("int", "long"):
+        return read_long(buf)
+    if t == "float":
+        return struct.unpack("<f", buf.read(4))[0]
+    if t == "double":
+        return struct.unpack("<d", buf.read(8))[0]
+    if t == "string":
+        return _read_bytes(buf).decode("utf-8")
+    if t == "bytes":
+        return _read_bytes(buf)
+    if t == "record":
+        return {f["name"]: _decode_value(buf, f["type"]) for f in schema["fields"]}
+    if t == "array":
+        out = []
+        while True:
+            n = read_long(buf)
+            if n == 0:
+                break
+            if n < 0:  # block with byte-size prefix
+                read_long(buf)
+                n = -n
+            for _ in range(n):
+                out.append(_decode_value(buf, schema["items"]))
+        return out
+    if t == "map":
+        out = {}
+        while True:
+            n = read_long(buf)
+            if n == 0:
+                break
+            if n < 0:
+                read_long(buf)
+                n = -n
+            for _ in range(n):
+                k = _read_bytes(buf).decode("utf-8")
+                out[k] = _decode_value(buf, schema["values"])
+        return out
+    raise NotImplementedError(f"avro type {t!r}")
+
+
+# ----------------------------------------------------------- container file
+
+
+def write_container(
+    path: str,
+    schema: dict,
+    rows: list[dict] | "iter",
+    codec: str = "deflate",
+    sync: bytes | None = None,
+    rows_per_block: int = 4096,
+) -> int:
+    """Write an Avro object-container file; returns row count."""
+    sync = sync or os.urandom(16)
+    n_total = 0
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        meta = io.BytesIO()
+        write_long(meta, 2)
+        _write_bytes(meta, b"avro.schema")
+        _write_bytes(meta, json.dumps(schema).encode())
+        _write_bytes(meta, b"avro.codec")
+        _write_bytes(meta, codec.encode())
+        write_long(meta, 0)
+        f.write(meta.getvalue())
+        f.write(sync)
+
+        block: list[dict] = []
+
+        def flush():
+            nonlocal n_total
+            if not block:
+                return
+            body = io.BytesIO()
+            for r in block:
+                _encode_value(body, schema, r)
+            data = body.getvalue()
+            if codec == "deflate":
+                data = zlib.compress(data)[2:-4]  # raw deflate per spec
+            head = io.BytesIO()
+            write_long(head, len(block))
+            write_long(head, len(data))
+            f.write(head.getvalue())
+            f.write(data)
+            f.write(sync)
+            n_total += len(block)
+            block.clear()
+
+        for r in rows:
+            block.append(r)
+            if len(block) >= rows_per_block:
+                flush()
+        flush()
+    return n_total
+
+
+def read_container_bytes(raw: bytes) -> tuple[dict, list[dict]]:
+    """Decode a whole container from bytes → (schema, rows)."""
+    buf = io.BytesIO(raw)
+    if buf.read(4) != MAGIC:
+        raise ValueError("not an Avro object container (bad magic)")
+    meta = {}
+    while True:
+        n = read_long(buf)
+        if n == 0:
+            break
+        if n < 0:
+            read_long(buf)
+            n = -n
+        for _ in range(n):
+            k = _read_bytes(buf).decode()
+            meta[k] = _read_bytes(buf)
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    sync = buf.read(16)
+    rows = []
+    while True:
+        first = buf.read(1)
+        if not first:
+            break
+        buf.seek(-1, 1)
+        n = read_long(buf)
+        size = read_long(buf)
+        data = buf.read(size)
+        if codec == "deflate":
+            data = zlib.decompress(data, -15)
+        elif codec != "null":
+            raise NotImplementedError(f"avro codec {codec!r}")
+        body = io.BytesIO(data)
+        for _ in range(n):
+            rows.append(_decode_value(body, schema))
+        if buf.read(16) != sync:
+            raise ValueError("sync marker mismatch (corrupt block)")
+    return schema, rows
+
+
+def read_container(path: str) -> tuple[dict, list[dict]]:
+    with open(path, "rb") as f:
+        return read_container_bytes(f.read())
+
+
+def read_schema(path: str) -> dict:
+    """Header-only read: the writer schema without decoding any block
+    (schema-from-file, S15 — AvroIO.scala:96-109)."""
+    with open(path, "rb") as f:
+        head = f.read(1 << 20)
+    buf = io.BytesIO(head)
+    if buf.read(4) != MAGIC:
+        raise ValueError("not an Avro object container (bad magic)")
+    while True:
+        n = read_long(buf)
+        if n == 0:
+            break
+        if n < 0:
+            read_long(buf)
+            n = -n
+        for _ in range(n):
+            k = _read_bytes(buf).decode()
+            v = _read_bytes(buf)
+            if k == "avro.schema":
+                return json.loads(v)
+    raise ValueError("no avro.schema in header")
+
+
+# ------------------------------------------------------- Spark <-> Avro
+
+
+def avro_schema_of(spark_schema, name: str = "record") -> dict:
+    """StructType → Avro record schema (nullable fields as null unions)."""
+    from pyspark.sql import types as T
+
+    def conv(dt, nullable, field_name):
+        if isinstance(dt, T.StructType):
+            s = {
+                "type": "record",
+                "name": field_name,
+                "fields": [
+                    {"name": f.name, "type": conv(f.dataType, f.nullable, f.name + "_r")}
+                    for f in dt.fields
+                ],
+            }
+        elif isinstance(dt, T.ArrayType):
+            s = {"type": "array", "items": conv(dt.elementType, dt.containsNull, field_name + "_i")}
+        elif isinstance(dt, T.MapType):
+            s = {"type": "map", "values": conv(dt.valueType, dt.valueContainsNull, field_name + "_v")}
+        else:
+            prim = {
+                T.BooleanType: "boolean",
+                T.IntegerType: "int",
+                T.ShortType: "int",
+                T.ByteType: "int",
+                T.LongType: "long",
+                T.FloatType: "float",
+                T.DoubleType: "double",
+                T.StringType: "string",
+                T.BinaryType: "bytes",
+            }.get(type(dt))
+            if prim is None:
+                if isinstance(dt, T.TimestampType):
+                    s = {"type": "long", "logicalType": "timestamp-micros"}
+                    return ["null", s] if nullable else s
+                if isinstance(dt, T.TimestampNTZType):
+                    s = {"type": "long", "logicalType": "local-timestamp-micros"}
+                    return ["null", s] if nullable else s
+                if isinstance(dt, T.DateType):
+                    s = {"type": "int", "logicalType": "date"}
+                    return ["null", s] if nullable else s
+                raise NotImplementedError(f"no avro mapping for {dt}")
+            s = prim
+        return ["null", s] if nullable else s
+
+    return {
+        "type": "record",
+        "name": name,
+        "fields": [
+            {"name": f.name, "type": conv(f.dataType, f.nullable, f.name)}
+            for f in spark_schema.fields
+        ],
+    }
+
+
+def spark_schema_of(avro_schema: dict):
+    """Avro record schema → StructType (inverse of avro_schema_of)."""
+    from pyspark.sql import types as T
+
+    def conv(s):
+        nullable = False
+        if isinstance(s, list):
+            nullable = "null" in s
+            branches = [b for b in s if b != "null"]
+            if len(branches) != 1:
+                raise NotImplementedError(f"multi-type union {s}")
+            s = branches[0]
+        t = s["type"] if isinstance(s, dict) else s
+        if isinstance(s, dict) and s.get("logicalType") == "timestamp-micros":
+            return T.TimestampType(), nullable
+        if isinstance(s, dict) and s.get("logicalType") == "local-timestamp-micros":
+            return T.TimestampNTZType(), nullable
+        if isinstance(s, dict) and s.get("logicalType") == "date":
+            return T.DateType(), nullable
+        if t == "record":
+            fields = []
+            for f in s["fields"]:
+                ft, fn = conv(f["type"])
+                fields.append(T.StructField(f["name"], ft, fn))
+            return T.StructType(fields), nullable
+        if t == "array":
+            et, en = conv(s["items"])
+            return T.ArrayType(et, en), nullable
+        if t == "map":
+            vt, vn = conv(s["values"])
+            return T.MapType(T.StringType(), vt, vn), nullable
+        prim = {
+            "boolean": T.BooleanType(),
+            "int": T.IntegerType(),
+            "long": T.LongType(),
+            "float": T.FloatType(),
+            "double": T.DoubleType(),
+            "string": T.StringType(),
+            "bytes": T.BinaryType(),
+        }
+        if t in prim:
+            return prim[t], nullable
+        raise NotImplementedError(f"avro type {t!r}")
+
+    st, _ = conv(avro_schema)
+    return st
+
+
+def _to_py(v, schema):
+    """Row value → avro-encodable python value (timestamps → micros)."""
+    import datetime as dt
+
+    if v is None:
+        return None
+    t = schema
+    if isinstance(t, list):
+        t = next(b for b in t if b != "null")
+    lt = t.get("logicalType") if isinstance(t, dict) else None
+    if lt in ("timestamp-micros", "local-timestamp-micros") and isinstance(
+        v, dt.datetime
+    ):
+        epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=dt.timezone.utc)
+        return int((v - epoch).total_seconds()) * 1_000_000 + v.microsecond
+    if lt == "date" and isinstance(v, dt.date):
+        return (v - dt.date(1970, 1, 1)).days
+    tt = t["type"] if isinstance(t, dict) else t
+    if tt == "record":
+        return {f["name"]: _to_py(v[f["name"]], f["type"]) for f in t["fields"]}
+    if tt == "array":
+        return [_to_py(x, t["items"]) for x in v]
+    if tt == "map":
+        return {k: _to_py(x, t["values"]) for k, x in dict(v).items()}
+    return v
+
+
+def _from_py(v, schema):
+    """avro-decoded python value → Spark row value (micros → datetime)."""
+    import datetime as dt
+
+    if v is None:
+        return None
+    t = schema
+    if isinstance(t, list):
+        t = next(b for b in t if b != "null")
+    lt = t.get("logicalType") if isinstance(t, dict) else None
+    if lt in ("timestamp-micros", "local-timestamp-micros"):
+        epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+        return (epoch + dt.timedelta(microseconds=v)).replace(tzinfo=None)
+    if lt == "date":
+        return dt.date(1970, 1, 1) + dt.timedelta(days=v)
+    tt = t["type"] if isinstance(t, dict) else t
+    if tt == "record":
+        return {f["name"]: _from_py(v.get(f["name"]), f["type"]) for f in t["fields"]}
+    if tt == "array":
+        return [_from_py(x, t["items"]) for x in v]
+    if tt == "map":
+        return {k: _from_py(x, t["values"]) for k, x in v.items()}
+    return v
+
+
+def read_avro(spark, path: str):
+    """Distributed Avro scan without a connector jar.
+
+    ``binaryFile`` lists the ``.avro`` files and ships each to an executor
+    (one task per file, same parallelism unit as a connector's file
+    splits for unsplittable-codec files); a mapInPandas kernel runs the
+    pure-Python block decoder where the bytes land. The result schema
+    comes from one driver-side HEADER read (read_schema — no data blocks
+    decoded on the driver)."""
+    import glob as g
+
+    from pyspark.sql import functions as F
+
+    files = sorted(g.glob(os.path.join(path, "*.avro"))) if os.path.isdir(path) else [path]
+    if not files:
+        raise FileNotFoundError(f"no .avro files under {path}")
+    schema = read_schema(files[0])
+    out_schema = spark_schema_of(schema)
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for raw in pdf["content"]:
+                _, rows = read_container_bytes(bytes(raw))
+                recs = [_from_py(r, schema) for r in rows]
+                # dtype=object: pandas would otherwise coerce an int column
+                # containing a None to float64, corrupting longs > 2^53
+                yield pd.DataFrame(
+                    {
+                        f.name: pd.Series([r[f.name] for r in recs], dtype=object)
+                        for f in out_schema.fields
+                    }
+                )
+
+    return (
+        spark.read.format("binaryFile")
+        .load(files)
+        .select("content")
+        .mapInPandas(decode, schema=out_schema)
+    )
+
+
+def write_avro(df, path: str, codec: str = "deflate") -> None:
+    """Distributed Avro sink without a connector jar: one container file
+    per partition written by the executor that owns it (shared filesystem,
+    like any Spark sink), then ``_SUCCESS`` on commit."""
+    os.makedirs(path, exist_ok=True)
+    schema = avro_schema_of(df.schema)
+    names = [f.name for f in df.schema.fields]
+
+    def write_part(idx, it):
+        rows = ({n: r[n] for n in names} for r in it)
+        tmp = os.path.join(path, f".part-{idx:05d}.avro.tmp")
+        n = write_container(
+            tmp, schema, (_to_py(r, schema) for r in rows), codec=codec
+        )
+        final = os.path.join(path, f"part-{idx:05d}.avro")
+        if n:
+            os.rename(tmp, final)
+        else:
+            os.remove(tmp)
+        return iter(())
+
+    df.rdd.mapPartitionsWithIndex(write_part).count()
+    with open(os.path.join(path, "_SUCCESS"), "w"):
+        pass

@@ -15,8 +15,11 @@ owning is:
   - one `read/write` chokepoint so every operator gets pushdown-friendly
     scans and consistent write options.
 
-Avro support is gated: the spark-avro package may be absent in a given
-deployment; parquet and json always work.
+Avro support: ``spark.read.format("avro")`` is used when the spark-avro
+connector jar is present; when it is absent (as in this container — no
+network to fetch it), read/write route through the dependency-free codec
+in ``avro_py.py`` (distributed binaryFile+mapInPandas scan, per-partition
+container sink, JVM byte-parity pinned in tests/test_avro.py).
 """
 
 from __future__ import annotations
@@ -53,6 +56,10 @@ def read_table(
     everywhere.
     """
     fmt = fmt or sniff_format(path)
+    if fmt == AVRO and not _has_spark_avro(spark):
+        from ratatool_spark.sources.avro_py import read_avro
+
+        return read_avro(spark, path)
     reader = spark.read
     if fmt == JSON:
         reader = reader.option("multiLine", "false")
@@ -61,6 +68,27 @@ def read_table(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.format(fmt).load(path)
+
+
+_SPARK_AVRO: bool | None = None
+
+
+def _has_spark_avro(spark: SparkSession) -> bool:
+    """True when the 'avro' data source is actually registered (the
+    connector jar on the classpath AND service-registered — a bare
+    Class.forName succeeds on some distributions whose jars carry the
+    classes without the DataSourceRegister entry)."""
+    global _SPARK_AVRO
+    if _SPARK_AVRO is None:
+        try:
+            jvm = spark._jvm
+            jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+                "avro", jvm.org.apache.spark.sql.internal.SQLConf.get()
+            )
+            _SPARK_AVRO = True
+        except Exception:
+            _SPARK_AVRO = False
+    return _SPARK_AVRO
 
 
 def write_table(
@@ -91,6 +119,17 @@ def write_table(
     if reuse and is_done(path):
         return False
     fmt = fmt or sniff_format(path)
+    if fmt == AVRO and not _has_spark_avro(df.sparkSession):
+        from ratatool_spark.sources.avro_py import write_avro
+
+        if partition_by:
+            raise NotImplementedError(
+                "partition_by with the jar-free avro sink: add spark-avro"
+            )
+        if mode == "error" and os.path.exists(path) and os.listdir(path):
+            raise FileExistsError(path)
+        write_avro(df, path)
+        return True
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

@@ -69,3 +69,19 @@ def test_tsv_header_write(spark, orders, tmp_path):
     write_table(orders.limit(5).select("o_orderkey"), p, header="x")
     f = glob.glob(p + "/*.csv")[0]
     assert open(f).readline().strip() == "o_orderkey"
+
+
+def test_avro_routes_through_io_chokepoint(spark, lineitem, tmp_path):
+    """read_table/write_table serve .avro end-to-end even without the
+    spark-avro connector jar (jar-free codec fallback)."""
+    from pyspark.testing import assertDataFrameEqual
+
+    from ratatool_spark.sources.io import is_done, read_table, write_table
+
+    sub = lineitem.select("l_orderkey", "l_linenumber", "l_returnflag").limit(200)
+    out = str(tmp_path / "t.avro")
+    assert write_table(sub, out)
+    assert is_done(out)
+    assert not write_table(sub, out, reuse=True)  # memoized skip
+    back = read_table(spark, out)
+    assertDataFrameEqual(back, sub)
