@@ -206,6 +206,13 @@ def load_tables(
     # it here rather than at session build time — callers (e.g. an external
     # harness) may hand us a session we didn't construct.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Pin the session to UTC for the same reason: events.ts is converted
+    # from epoch-nanos (instant semantics), and a non-UTC session would
+    # render/bucket it shifted by the local offset — DuckDB reads the same
+    # column as naive UTC wall clock. The other tables store naive
+    # timestamps, whose literal comparisons and rendering are
+    # session-tz-invariant, so this pin is a no-op for them.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     out = {}
     for name in names or TABLES:
