@@ -1835,6 +1835,110 @@ FROM ranked WHERE rank <= 3
 """
 
 
+# ------------------------------------------- jar-free format round-trips
+# S1/S7/S9 (avro) and S5/D4 (protobuf) exercised at the oracle gate, not
+# just in pytest: Spark pushes rows through the pure-Python container
+# codecs (executor-side encode, one file per partition; distributed
+# binaryFile+mapInPandas decode) while the DuckDB oracle reads the same
+# rows straight from parquet. Hash equality therefore proves the wire
+# round-trip is value-faithful for longs, doubles, strings and timestamps
+# — the property the reference's IO layer guarantees
+# (AvroIO.scala:38-109, ProtoBufDiffy.scala:29-130).
+
+
+def _q_avro_roundtrip(spark, sf_dir):
+    """S1+S7+S9: parquet → jar-free Avro container sink → distributed
+    Avro scan. Both halves parallelize per partition/file at cluster
+    scale; only the schema touches the driver. The l_orderkey % 97 slice
+    keeps the fixture small while covering every lineitem column type."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.sources.io import load_tables, read_table, write_table
+
+    li = load_tables(spark, sf_dir, names=("lineitem",))["lineitem"]
+    sl = li.where(F.col("l_orderkey") % 97 == 0)
+    out = os.path.join(tempfile.mkdtemp(prefix="rt_avro_"), "lineitem.avro")
+    write_table(sl, out, fmt="avro")
+    return read_table(spark, out, fmt="avro")
+
+
+_SQL_AVRO_ROUNDTRIP = "SELECT * FROM lineitem WHERE l_orderkey % 97 = 0"
+
+
+_PROTO_ORDERS_DESC = {
+    "name": "Order",
+    "fields": [
+        {"tag": 1, "name": "o_orderkey", "type": "int64"},
+        {"tag": 2, "name": "o_custkey", "type": "int64"},
+        {"tag": 3, "name": "o_orderstatus", "type": "string"},
+        {"tag": 4, "name": "o_totalprice", "type": "double"},
+        {"tag": 5, "name": "o_orderpriority", "type": "string"},
+    ],
+}
+
+
+def _q_proto_roundtrip(spark, sf_dir):
+    """S5: parquet → delimited-protobuf sink → distributed proto scan
+    (BigSampler/BigDiffy proto mode, BigSampler.scala:262-273)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.sources.io import load_tables
+    from ratatool_spark.sources.proto_py import read_proto, write_proto
+
+    od = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    cols = [f["name"] for f in _PROTO_ORDERS_DESC["fields"]]
+    sl = od.where(F.col("o_orderkey") % 97 == 0).select(cols)
+    out = os.path.join(tempfile.mkdtemp(prefix="rt_proto_"), "orders.pb")
+    write_proto(sl, out, _PROTO_ORDERS_DESC)
+    return read_proto(spark, out, _PROTO_ORDERS_DESC)
+
+
+_SQL_PROTO_ROUNDTRIP = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+FROM orders WHERE o_orderkey % 97 = 0
+"""
+
+
+_PROTO_DIFF_DESC = {
+    "name": "OrderDiff",
+    "fields": [
+        {"tag": 1, "name": "o_orderkey", "type": "int64"},
+        {"tag": 2, "name": "o_totalprice", "type": "double"},
+        {"tag": 3, "name": "o_orderstatus", "type": "string"},
+    ],
+}
+
+
+def _q_proto_diff(spark, sf_dir):
+    """D4: BigDiffy over protobuf records — the diffy fixture pair is
+    serialized to the wire format and the diff runs on the decoded scans
+    (ProtoBufDiffy.scala:29-130, BigDiffy.scala:339). The oracle is the
+    parquet-direct diffy deltas: equality holds iff the wire round-trip
+    is lossless (doubles bit-identical, strings byte-identical)."""
+    import os
+    import tempfile
+
+    from ratatool_spark.operators.diffy import diff
+    from ratatool_spark.sources.proto_py import read_proto, write_proto
+
+    lhs, rhs = _perturbed_pair(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="rt_pbdiff_")
+    ld, rd = os.path.join(base, "lhs.pb"), os.path.join(base, "rhs.pb")
+    write_proto(lhs, ld, _PROTO_DIFF_DESC)
+    write_proto(rhs, rd, _PROTO_DIFF_DESC)
+    return diff(
+        read_proto(spark, ld, _PROTO_DIFF_DESC),
+        read_proto(spark, rd, _PROTO_DIFF_DESC),
+        ["o_orderkey"],
+    ).deltas
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": _q_tpch_q1,
@@ -1885,6 +1989,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_pricing": _q_cube_pricing,
         "text_fingerprints": _q_text_fingerprints,
         "tpch_q5_local_supplier": _q_tpch_q5,
+        "avro_roundtrip_lineitem": _q_avro_roundtrip,
+        "proto_roundtrip_orders": _q_proto_roundtrip,
+        "proto_diff_deltas": _q_proto_diff,
     }
 
 
@@ -1936,4 +2043,7 @@ def oracle_sql() -> dict[str, str]:
         "cube_pricing": _SQL_CUBE,
         "text_fingerprints": _sql_text_fingerprints(),
         "tpch_q5_local_supplier": _SQL_TPCH_Q5,
+        "avro_roundtrip_lineitem": _SQL_AVRO_ROUNDTRIP,
+        "proto_roundtrip_orders": _SQL_PROTO_ROUNDTRIP,
+        "proto_diff_deltas": _SQL_DIFFY_DELTAS,
     }
