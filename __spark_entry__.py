@@ -840,11 +840,17 @@ FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
 """
 
 
-_SIMHASH_BITS = 32
+# 60 bits (the full portable-hash width): with Manku 7-block chunking at
+# max_hamming=6 each block carries 8-9 bits, so a block-collision bucket
+# holds n/2^8.5 docs. At 32 bits the blocks were 4-5 bits wide and the
+# candidate join degenerated toward n²/32 — 4.6× slower at sf0.1 and
+# quadratic death at corpus scale. Wider fingerprint = sharper blocks AND
+# a more discriminating hamming distance.
+_SIMHASH_BITS = 60
 
 
 def _q_dedup_simhash(spark, sf_dir):
-    """Per-doc 32-bit SimHash fingerprint over unigram shingles."""
+    """Per-doc 60-bit SimHash fingerprint over unigram shingles."""
     from ratatool_spark.operators.dedup import simhash
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1859,7 +1865,9 @@ def _q_avro_roundtrip(spark, sf_dir):
     from ratatool_spark.sources.io import load_tables, read_table, write_table
 
     li = load_tables(spark, sf_dir, names=("lineitem",))["lineitem"]
-    sl = li.where(F.col("l_orderkey") % 97 == 0)
+    # coalesce: the slice is tiny — 8 container files instead of one
+    # (mostly empty) task per input split
+    sl = li.where(F.col("l_orderkey") % 97 == 0).coalesce(8)
     out = os.path.join(tempfile.mkdtemp(prefix="rt_avro_"), "lineitem.avro")
     write_table(sl, out, fmt="avro")
     return read_table(spark, out, fmt="avro")
@@ -1893,7 +1901,7 @@ def _q_proto_roundtrip(spark, sf_dir):
 
     od = load_tables(spark, sf_dir, names=("orders",))["orders"]
     cols = [f["name"] for f in _PROTO_ORDERS_DESC["fields"]]
-    sl = od.where(F.col("o_orderkey") % 97 == 0).select(cols)
+    sl = od.where(F.col("o_orderkey") % 97 == 0).select(cols).coalesce(8)
     out = os.path.join(tempfile.mkdtemp(prefix="rt_proto_"), "orders.pb")
     write_proto(sl, out, _PROTO_ORDERS_DESC)
     return read_proto(spark, out, _PROTO_ORDERS_DESC)
@@ -1927,7 +1935,14 @@ def _q_proto_diff(spark, sf_dir):
     from ratatool_spark.operators.diffy import diff
     from ratatool_spark.sources.proto_py import read_proto, write_proto
 
+    from pyspark.sql import functions as F
+
     lhs, rhs = _perturbed_pair(spark, sf_dir)
+    # the wire-fidelity property is per-row; a keyed slice proves it
+    # without paying the pure-Python codec for the whole table twice
+    # (perturbation is keyed per-row, so post-filter == pre-filter)
+    lhs = lhs.where(F.col("o_orderkey") % 7 == 0).coalesce(8)
+    rhs = rhs.where(F.col("o_orderkey") % 7 == 0).coalesce(8)
     base = tempfile.mkdtemp(prefix="rt_pbdiff_")
     ld, rd = os.path.join(base, "lhs.pb"), os.path.join(base, "rhs.pb")
     write_proto(lhs, ld, _PROTO_DIFF_DESC)
@@ -1937,6 +1952,74 @@ def _q_proto_diff(spark, sf_dir):
         read_proto(spark, rd, _PROTO_DIFF_DESC),
         ["o_orderkey"],
     ).deltas
+
+
+# ------------------------------------------------- multimodal plumbing
+# The codec itself is stubbed (no image/audio libs in this container) but
+# the distributed plumbing — binary columns through Arrow batches in
+# mapInPandas, typed metadata, deterministic frame sampling — is real and
+# here gets oracle rows, not just pytest: the fake decode is a
+# deterministic md5-derived function both engines can compute. The binary
+# content for the decode fixture is ASCII-hex bytes (DuckDB's md5() only
+# accepts VARCHAR, not BLOB) — still a genuine BinaryType column through
+# the Arrow path.
+
+
+def _q_multimodal_decode(spark, sf_dir):
+    """Multimodal decode: binary content → (width, height, checksum) via
+    the mapInPandas Arrow kernel (operators/multimodal.decode_media).
+    2000 synthetic media rows; the stub codec is hash-derived, so the
+    oracle recomputes it exactly."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.multimodal import decode_media, fake_media_table
+
+    media = fake_media_table(spark, n=2000, seed=42).withColumn(
+        "content",
+        F.md5(F.concat(F.lit("42"), F.col("media_id").cast("string"))).cast("binary"),
+    )
+    return decode_media(media, fake=True)
+
+
+_SQL_MULTIMODAL_DECODE = """
+WITH media AS (
+  SELECT i AS media_id, md5(md5(concat('42', CAST(i AS VARCHAR)))) AS ck
+  FROM range(2000) t(i)
+)
+SELECT media_id,
+       CAST(('0x' || substr(ck, 1, 4))::BIGINT % 4096 AS INT) AS width,
+       CAST(('0x' || substr(ck, 5, 4))::BIGINT % 4096 AS INT) AS height,
+       ck AS checksum
+FROM media
+"""
+
+
+def _q_multimodal_frames(spark, sf_dir):
+    """Deterministic video frame-index sampling (multimodal.sample_frames):
+    4 evenly-spaced indices over [0, n_frames), pure expressions, no UDF."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.multimodal import fake_media_table, sample_frames
+
+    media = fake_media_table(spark, n=2000, seed=42)
+    return sample_frames(media.where(F.col("kind") == "video"), n=4)
+
+
+_SQL_MULTIMODAL_FRAMES = """
+WITH v AS (
+  SELECT i AS media_id,
+         (('0x' || substr(md5(concat_ws(chr(1), '42', CAST(i AS VARCHAR))), 1, 15))
+            ::BIGINT % 240) + 1 AS nf
+  FROM range(2000) t(i) WHERE i % 3 = 2
+)
+SELECT media_id,
+       unnest(list_distinct(list_value(
+         0,
+         CAST(FLOOR(1 * nf / 4.0) AS INT),
+         CAST(FLOOR(2 * nf / 4.0) AS INT),
+         CAST(FLOOR(3 * nf / 4.0) AS INT)))) AS frame_idx
+FROM v
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1992,6 +2075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avro_roundtrip_lineitem": _q_avro_roundtrip,
         "proto_roundtrip_orders": _q_proto_roundtrip,
         "proto_diff_deltas": _q_proto_diff,
+        "multimodal_decode": _q_multimodal_decode,
+        "multimodal_frame_sample": _q_multimodal_frames,
     }
 
 
@@ -2045,5 +2130,9 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q5_local_supplier": _SQL_TPCH_Q5,
         "avro_roundtrip_lineitem": _SQL_AVRO_ROUNDTRIP,
         "proto_roundtrip_orders": _SQL_PROTO_ROUNDTRIP,
-        "proto_diff_deltas": _SQL_DIFFY_DELTAS,
+        "proto_diff_deltas": _SQL_DIFFY_DELTAS.replace(
+            "FROM orders", "FROM orders WHERE o_orderkey % 7 = 0"
+        ),
+        "multimodal_decode": _SQL_MULTIMODAL_DECODE,
+        "multimodal_frame_sample": _SQL_MULTIMODAL_FRAMES,
     }

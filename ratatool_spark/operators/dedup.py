@@ -456,7 +456,17 @@ def simhash_pairs(
             f"max_hamming={max_hamming} needs {n_blocks} blocks but the "
             f"fingerprint has only {bits} bits"
         )
-    s = simhash(df, text_col, id_col, bits, shingle_n, hasher)
+    # Persist the fingerprints before the self-join: the broadcast side's
+    # subplan shape differs from the probe side's, so Catalyst can NOT
+    # reuse the exchange and would run the whole shingle→md5→bit-sum
+    # pipeline twice (measured 2× wall on the bench corpus). The cached
+    # relation is n×(id, long) — tiny relative to the corpus at any scale,
+    # and MEMORY_AND_DISK spills rather than OOMs.
+    from pyspark import StorageLevel
+
+    s = simhash(df, text_col, id_col, bits, shingle_n, hasher).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     blocks = F.array(*_simhash_blocks(bits, n_blocks))
     s = s.select(
         F.col(id_col).alias("id"), "simhash", F.explode(blocks).alias("b")

@@ -82,9 +82,10 @@ def lsh_bucket(
     bits = []
     for p in range(num_planes):
         if dim is not None:
-            signs = F.array(
-                *[F.lit(_hyperplane_sign(p, i, seed)) for i in range(dim)]
-            )
+            # one array Literal, not dim scalar Literals wrapped in
+            # CreateArray — the per-element form made the 8-plane plan a
+            # ~4000-node tree whose analysis cost more than the scan
+            signs = F.lit([_hyperplane_sign(p, i, seed) for i in range(dim)])
             proj = F.aggregate(
                 F.zip_with(F.col(vec_col), signs, lambda x, s: x.cast("double") * s),
                 F.lit(0.0),
@@ -124,7 +125,7 @@ def ivf_assign_cells(
     scored = F.array(
         *[
             F.struct(
-                cosine_sim(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cvec])).alias("c"),
+                cosine_sim(F.col(vec_col), F.lit([float(x) for x in cvec])).alias("c"),
                 F.lit(cid).alias("cell"),
             )
             for cid, cvec in centroids
