@@ -319,23 +319,21 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("component").alias("nbr"))
         )
-        new_labels = (
+        # carry the previous label through the update so convergence is a
+        # filter over the checkpointed rows — not an extra labels⋈labels
+        # join job per round
+        upd = (
             labels.join(nbr_min, labels["id"] == nbr_min["u"], "left")
             .select(
                 F.col("id"),
+                F.col("component").alias("__prev"),
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr"), F.col("component"))
                 ).alias("component"),
             )
         ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = upd.where(F.col("component") < F.col("__prev")).limit(1).count()
+        labels = upd.select("id", "component")
         if changed == 0:
             break
     edges.unpersist()

@@ -73,6 +73,29 @@ def _read_bytes(buf) -> bytes:
     return buf.read(read_long(buf))
 
 
+def _branch_matches(branch, v) -> bool:
+    """Does python value ``v`` belong to union branch ``branch``?  Used to
+    pick the encode branch of a multi-type union (AvroDiffy.scala:73-85
+    reads these; see spark_schema_of for the member-struct mapping).
+    bool is checked before int (bool ⊂ int in Python)."""
+    bt = branch["type"] if isinstance(branch, dict) else branch
+    if bt == "boolean":
+        return isinstance(v, bool)
+    if bt in ("int", "long"):
+        return isinstance(v, int) and not isinstance(v, bool)
+    if bt in ("float", "double"):
+        return isinstance(v, float)
+    if bt == "string":
+        return isinstance(v, str)
+    if bt == "bytes":
+        return isinstance(v, (bytes, bytearray))
+    if bt in ("record", "map"):
+        return isinstance(v, dict)
+    if bt == "array":
+        return isinstance(v, (list, tuple))
+    return False
+
+
 def _encode_value(buf: io.BytesIO, schema, v) -> None:
     t = schema["type"] if isinstance(schema, dict) else schema
     if isinstance(t, list):  # union — branch index then value
@@ -82,7 +105,12 @@ def _encode_value(buf: io.BytesIO, schema, v) -> None:
             idx = t.index("null")
             write_long(buf, idx)
             return
-        idx = next(i for i, b in enumerate(t) if b != "null")
+        # multi-type unions: choose the branch whose type matches the
+        # value; single-non-null unions reduce to "the non-null branch"
+        idx = next(
+            (i for i, b in enumerate(t) if b != "null" and _branch_matches(b, v)),
+            next(i for i, b in enumerate(t) if b != "null"),
+        )
         write_long(buf, idx)
         _encode_value(buf, t[idx], v)
     elif t == "null":
@@ -363,7 +391,17 @@ def spark_schema_of(avro_schema: dict):
             nullable = "null" in s
             branches = [b for b in s if b != "null"]
             if len(branches) != 1:
-                raise NotImplementedError(f"multi-type union {s}")
+                # multi-type union → struct<member0, member1, ...>, one
+                # nullable field per non-null branch with exactly one set —
+                # the spark-avro convention, and the shape AvroDiffy diffs
+                # recursively (AvroDiffy.scala:73-85). Read-path only:
+                # Spark has no union type, so writing this struct back
+                # produces a plain record (documented asymmetry).
+                fields = []
+                for i, b in enumerate(branches):
+                    bt, _ = conv(b)
+                    fields.append(T.StructField(f"member{i}", bt, True))
+                return T.StructType(fields), nullable
             s = branches[0]
         t = s["type"] if isinstance(s, dict) else s
         if isinstance(s, dict) and s.get("logicalType") == "timestamp-micros":
@@ -409,7 +447,15 @@ def _to_py(v, schema):
         return None
     t = schema
     if isinstance(t, list):
-        t = next(b for b in t if b != "null")
+        branches = [b for b in t if b != "null"]
+        if len(branches) > 1:
+            # member struct (see spark_schema_of) → the single set branch
+            for i, b in enumerate(branches):
+                mv = v[f"member{i}"] if f"member{i}" in v else None
+                if mv is not None:
+                    return _to_py(mv, b)
+            return None
+        t = branches[0]
     lt = t.get("logicalType") if isinstance(t, dict) else None
     if lt in ("timestamp-micros", "local-timestamp-micros") and isinstance(
         v, dt.datetime
@@ -438,7 +484,19 @@ def _from_py(v, schema):
         return None
     t = schema
     if isinstance(t, list):
-        t = next(b for b in t if b != "null")
+        branches = [b for b in t if b != "null"]
+        if len(branches) > 1:
+            # decoded branch value → member struct with that branch set
+            # (branch identity recovered by python type — same rule the
+            # encoder uses, so round-trips are stable)
+            out = {f"member{i}": None for i in range(len(branches))}
+            for i, b in enumerate(branches):
+                if _branch_matches(b, v):
+                    out[f"member{i}"] = _from_py(v, b)
+                    return out
+            out["member0"] = _from_py(v, branches[0])
+            return out
+        t = branches[0]
     lt = t.get("logicalType") if isinstance(t, dict) else None
     if lt in ("timestamp-micros", "local-timestamp-micros"):
         epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)

@@ -153,3 +153,48 @@ def test_spark_avro_timestamps(spark, tmp_path):
 def test_schema_conversion_inverse(spark, lineitem):
     st = lineitem.schema
     assert spark_schema_of(avro_schema_of(st)).fieldNames() == st.fieldNames()
+
+
+UNION_SCHEMA = {
+    "type": "record",
+    "name": "u",
+    "fields": [
+        {"name": "id", "type": "long"},
+        # multi-type union: null | long | string (AvroDiffy.scala:73-85)
+        {"name": "val", "type": ["null", "long", "string"]},
+    ],
+}
+
+UNION_ROWS = [
+    {"id": 1, "val": 42},
+    {"id": 2, "val": "forty-two"},
+    {"id": 3, "val": None},
+]
+
+
+def test_multi_type_union_codec_roundtrip(tmp_path):
+    """Wire round-trip of a multi-type union preserves branch + value."""
+    p = str(tmp_path / "u.avro")
+    write_container(p, UNION_SCHEMA, UNION_ROWS)
+    _, rows = read_container(p)
+    assert rows == UNION_ROWS
+
+
+def test_multi_type_union_spark_scan(spark, tmp_path):
+    """Spark reads a multi-union field as struct<member0,member1> with
+    exactly one member set per row — the spark-avro convention, the shape
+    the diffy engine recurses into (D2 over AvroDiffy §1.2 semantics)."""
+    d = tmp_path / "u_avro"
+    d.mkdir()
+    write_container(str(d / "part-0.avro"), UNION_SCHEMA, UNION_ROWS)
+    back = read_avro(spark, str(d))
+    assert back.schema["val"].dataType.simpleString() == (
+        "struct<member0:bigint,member1:string>"
+    )
+    got = {
+        r["id"]: None
+        if r["val"] is None
+        else (r["val"]["member0"], r["val"]["member1"])
+        for r in back.collect()
+    }
+    assert got == {1: (42, None), 2: (None, "forty-two"), 3: None}
