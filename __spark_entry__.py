@@ -840,6 +840,83 @@ FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
 """
 
 
+def _q_near_dedup(spark, sf_dir):
+    """The composed near-duplicate removal pipeline end-to-end
+    (operators/dedup.near_dedup): minhash-LSH candidates → exact-Jaccard
+    verify on candidates only → connected components over verified pairs
+    → keep the min-id doc per duplicate cluster. This is the flagship
+    100 TB shape — every quadratic term confined to LSH band collisions."""
+    from ratatool_spark.operators.dedup import near_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return near_dedup(docs, threshold=0.7).select("doc_id", "lang", "source")
+
+
+def _sql_near_dedup() -> str:
+    from ratatool_spark.operators.dedup import MINHASH_P, minhash_coeffs
+
+    k, bands = 16, 4  # near_dedup defaults
+    rpb = k // bands
+    sig_exprs = ", ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_P}) AS sig_{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(k))
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, ".format(b=b)
+        + _PH64_SQL.format(
+            x="concat_ws('|', "
+            + ", ".join(f"CAST(sig_{i} AS VARCHAR)" for i in range(b * rpb, (b + 1) * rpb))
+            + ")"
+        )
+        + " AS bh FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+WITH RECURSIVE shingled0 AS (
+  SELECT doc_id, UNNEST({_SHINGLES3_SQL}) AS s0 FROM documents
+), shingled AS (
+  SELECT doc_id, {_PH64_SQL.format(x='s0')} AS s FROM shingled0
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM shingled GROUP BY doc_id
+), hashed AS (
+  SELECT doc_id, s % {MINHASH_P} AS h FROM shingled
+), sigs AS (
+  SELECT doc_id, {sig_exprs} FROM hashed GROUP BY doc_id
+), banded AS (
+  {band_rows}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+), jinter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS common
+  FROM cand c
+  JOIN shingled a ON a.doc_id = c.id_a
+  JOIN shingled b ON b.doc_id = c.id_b AND b.s = a.s
+  GROUP BY c.id_a, c.id_b
+), verified AS (
+  SELECT j.id_a, j.id_b
+  FROM jinter j
+  JOIN sizes na ON na.doc_id = j.id_a
+  JOIN sizes nb ON nb.doc_id = j.id_b
+  WHERE j.common / CAST(na.n + nb.n - j.common AS DOUBLE) >= 0.7
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM verified
+  UNION
+  SELECT id_b AS u, id_a AS v FROM verified
+), reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u AS u, e.v AS v FROM reach r JOIN edges e ON r.v = e.u
+), comp AS (
+  SELECT u AS doc_id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+WHERE COALESCE(c.component, d.doc_id) = d.doc_id
+"""
+
+
 # 60 bits (the full portable-hash width): with Manku 7-block chunking at
 # max_hamming=6 each block carries 8-9 bits, so a block-collision bucket
 # holds n/2^8.5 docs. At 32 bits the blocks were 4-5 bits wide and the
@@ -2077,6 +2154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proto_diff_deltas": _q_proto_diff,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_frame_sample": _q_multimodal_frames,
+        "near_dedup_survivors": _q_near_dedup,
     }
 
 
@@ -2135,4 +2213,5 @@ def oracle_sql() -> dict[str, str]:
         ),
         "multimodal_decode": _SQL_MULTIMODAL_DECODE,
         "multimodal_frame_sample": _SQL_MULTIMODAL_FRAMES,
+        "near_dedup_survivors": _sql_near_dedup(),
     }
