@@ -840,6 +840,49 @@ FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
 """
 
 
+def _q_skew_salted_pricing(spark, sf_dir):
+    """Manual skew mitigation end-to-end (operators/skew.py): fact-dim
+    join through salted_join (each hot key spread over 8 salt buckets)
+    feeding two_stage_agg (partial per (key, salt), exact merge per key).
+    Both are row-identical to their plain forms by construction — the
+    oracle computes the PLAIN join+agg, so the gate checks exactly that
+    identity. Sums are DECIMAL partials so the two-stage merge is exact."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.skew import salted_join, two_stage_agg
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    j = salted_join(li, od, ["l_orderkey"], salt=8)
+    out = two_stage_agg(
+        j,
+        ["o_orderpriority"],
+        {
+            "n_items": (F.count(F.lit(1)), F.sum("n_items").cast("long")),
+            "sum_qty": (
+                F.sum(F.col("l_quantity").cast("decimal(28,4)")),
+                F.sum("sum_qty"),
+            ),
+        },
+        salt=8,
+    )
+    return out.select(
+        "o_orderpriority", "n_items", F.col("sum_qty").cast("double").alias("sum_qty")
+    )
+
+
+_SQL_SKEW_SALTED = """
+SELECT o.o_orderpriority, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
 def _q_near_dedup(spark, sf_dir):
     """The composed near-duplicate removal pipeline end-to-end
     (operators/dedup.near_dedup): minhash-LSH candidates → exact-Jaccard
@@ -1175,6 +1218,58 @@ SELECT
        WHEN {sel} <= 5 THEN {word}
        ELSE {tok} END AS c_str
 FROM ids
+"""
+
+
+def _q_generator_corr(spark, sf_dir):
+    """G4/G5 (amend2): two generated datasets correlated on a shared key
+    column — the key is an override expression over the row index, so
+    both sides agree with no generation-time join
+    (scalacheck/package.scala:136-158). The query joins them back on the
+    key: n rows out iff the correlation held row-for-row."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.generators import correlated_pair
+
+    a, b = correlated_pair(
+        spark, "k bigint, va double", "k bigint, vb bigint", "k", _GEN_N,
+        seed=_GEN_SEED,
+    )
+    return a.join(b, "k").select("k", "va", "vb")
+
+
+def _sql_generator_corr() -> str:
+    n, seed = _GEN_N, _GEN_SEED
+
+    def h(seed_, path, salt):
+        feed = (
+            f"concat_ws(chr(1), '{seed_}', '{path}', '{salt}', "
+            "CAST(__gen_id AS VARCHAR))"
+        )
+        return f"(('0x' || substr(md5({feed}), 1, 15))::BIGINT)"
+
+    def u(seed_, path, salt):
+        return f"({h(seed_, path, salt)}::DOUBLE / 1152921504606846976.0)"
+
+    key = (
+        f"(('0x' || substr(md5(concat_ws(chr(1), '{seed}', 'corrkey', "
+        "CAST(__gen_id AS VARCHAR))), 1, 15))::BIGINT)"
+    )
+    return f"""
+WITH ids AS (SELECT UNNEST(range(0, {n})) AS __gen_id),
+a AS (
+  SELECT {key} AS k,
+         CASE WHEN {u(seed, 'va', 'null')} < 0.1 THEN NULL
+              ELSE ({u(seed, 'va', 'v')} - 0.5) * 2000.0 END AS va
+  FROM ids
+),
+b AS (
+  SELECT {key} AS k,
+         CASE WHEN {u(seed + 1, 'vb', 'null')} < 0.1 THEN NULL
+              ELSE {h(seed + 1, 'vb', '')} END AS vb
+  FROM ids
+)
+SELECT k, va, vb FROM a JOIN b USING (k)
 """
 
 
@@ -2155,6 +2250,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_frame_sample": _q_multimodal_frames,
         "near_dedup_survivors": _q_near_dedup,
+        "skew_salted_pricing": _q_skew_salted_pricing,
+        "generator_correlated_join": _q_generator_corr,
     }
 
 
@@ -2214,4 +2311,6 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": _SQL_MULTIMODAL_DECODE,
         "multimodal_frame_sample": _SQL_MULTIMODAL_FRAMES,
         "near_dedup_survivors": _sql_near_dedup(),
+        "skew_salted_pricing": _SQL_SKEW_SALTED,
+        "generator_correlated_join": _sql_generator_corr(),
     }
