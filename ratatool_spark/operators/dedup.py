@@ -111,7 +111,15 @@ def minhash_lsh_pairs(
     if num_hashes % bands != 0:
         raise ValueError("bands must divide num_hashes")
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, hasher)
+    # persist: the two self-join sides have different physical shapes
+    # (broadcast vs probe), so without caching the whole shingle→md5→k-min
+    # signature pipeline runs once per side. n×(k+1) longs — tiny at any
+    # corpus scale, spills rather than OOMs.
+    from pyspark import StorageLevel
+
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_n, hasher
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     band_structs = []
     for b in range(bands):
@@ -198,11 +206,21 @@ def ngram_jaccard_pairs(
     # in-array i<j combinations: identical multiset to the equi-self-join,
     # and the shuffle carries one row per shingle, not one per posting.
     posting = F.array_sort(F.collect_list("id"))
-    grouped = sh.groupBy("s").agg(posting.alias("ids"))
+    # persist both intermediates: `grouped` feeds the pair branch AND the
+    # sizes branch, and `sizes` is broadcast twice (na, nb) — unpersisted,
+    # the shingle→md5→collect_list pipeline evaluates up to 4× (measured
+    # 6 parquet scans in the physical plan). The posting index is one row
+    # per distinct shingle (≤ corpus token count), sizes one row per doc.
+    from pyspark import StorageLevel
+
+    grouped = (
+        sh.groupBy("s").agg(posting.alias("ids")).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sizes = (
         grouped.select(F.explode("ids").alias("id"))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     combos = F.flatten(
         F.transform(
@@ -256,6 +274,9 @@ def jaccard_verify(
     joins the sets onto the candidates — cost O(|candidates|·doc_len), so
     at 100 TB the quadratic term is confined to whatever LSH emitted.
     Set size is bounded by document length, so rows stay executor-sized."""
+    from pyspark import StorageLevel
+
+    # persisted: joined twice (a and b side of every candidate pair)
     sets = (
         df.select(
             F.col(id_col).alias("id"),
@@ -264,6 +285,7 @@ def jaccard_verify(
         .select("id", text_hash64(F.col("__s"), hasher).alias("s"))
         .groupBy("id")
         .agg(F.collect_set("s").alias("ss"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     inter = F.size(F.array_intersect(F.col("a.ss"), F.col("b.ss")))
     union = F.size(F.col("a.ss")) + F.size(F.col("b.ss")) - inter
