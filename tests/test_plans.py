@@ -162,3 +162,26 @@ def test_partitioned_sink_prunes_partitions(spark, tmp_path):
     assert m and "prio" in m.group(1)
     # and the data filter list does NOT carry it (it's pruned, not scanned)
     assert q.count() > 0
+
+
+@pytest.mark.parametrize(
+    "q,max_scans",
+    [
+        # shared dedup subplans (inverted index / sizes / minhash sigs /
+        # simhash fingerprints) are persisted — without the cache the
+        # shingle pipeline re-evaluates per join side (jaccard measured 6
+        # parquet scans). InMemoryTableScan replaces all but the first.
+        # (InMemoryRelation prints its build plan, so each cached relation
+        # contributes one textual "Scan parquet" — the pinned numbers are
+        # the cached-plan measurements; the regressed plans measure 4-6)
+        ("dedup_ngram_jaccard", 3),
+        ("dedup_minhash_lsh", 2),
+        ("dedup_simhash_pairs", 2),
+    ],
+)
+def test_dedup_shared_subplans_cached(spark, q, max_scans):
+    plan = plan_of(spark, q)
+    assert plan.count("Scan parquet") <= max_scans, (
+        f"{q}: shared subplan re-evaluated — persist() dropped?"
+    )
+    assert "InMemoryTableScan" in plan
