@@ -840,6 +840,45 @@ FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
 """
 
 
+def _q_sequence_packing(spark, sf_dir):
+    """Training-sequence packing (operators/packing.py): concatenate docs
+    per source in doc_id order, chunk at a 2048-token budget; each doc is
+    assigned the chunk where its first token lands plus its start offset.
+    Pure window expressions — one shuffle by source, parallel across
+    sources at any scale."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.functions.text import token_count
+    from ratatool_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tok")
+    )
+    return pack_sequences(
+        docs, "n_tok", 2048, ["doc_id"], ["source"], offset_col="tok_offset"
+    )
+
+
+def _sql_sequence_packing() -> str:
+    # token_count twin: size of the whitespace token split
+    ntok = f"CAST(len({_WORDS_SQL}) AS BIGINT)"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, {ntok} AS n_tok FROM documents
+)
+SELECT doc_id, source, n_tok,
+       CAST(FLOOR(COALESCE(SUM(n_tok) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0)
+         AS BIGINT) AS bin_id,
+       CAST(COALESCE(SUM(n_tok) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS tok_offset
+FROM toks
+"""
+
+
 def _q_skew_salted_pricing(spark, sf_dir):
     """Manual skew mitigation end-to-end (operators/skew.py): fact-dim
     join through salted_join (each hot key spread over 8 salt buckets)
@@ -2252,6 +2291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dedup_survivors": _q_near_dedup,
         "skew_salted_pricing": _q_skew_salted_pricing,
         "generator_correlated_join": _q_generator_corr,
+        "sequence_packing": _q_sequence_packing,
     }
 
 
@@ -2313,4 +2353,5 @@ def oracle_sql() -> dict[str, str]:
         "near_dedup_survivors": _sql_near_dedup(),
         "skew_salted_pricing": _SQL_SKEW_SALTED,
         "generator_correlated_join": _sql_generator_corr(),
+        "sequence_packing": _sql_sequence_packing(),
     }
