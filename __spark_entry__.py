@@ -840,6 +840,74 @@ FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
 """
 
 
+def _q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization (functions/vectors.py): 4×
+    smaller at-rest vectors for the ANN corpus. Per vector: the scale,
+    the max reconstruction error (bounded by scale/2 by construction) and
+    the quantized-vs-full cosine — all pure expressions; rounding is
+    floor(x/scale + 0.5) so every engine computes identical codes."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.functions.vectors import (
+        cosine_sim,
+        dequantize,
+        quantize_int8,
+        quantize_scale,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        quantize_scale(F.col("embedding")).alias("scale"),
+    )
+    dq = dequantize(quantize_int8(F.col("v"), F.col("scale")), F.col("scale"))
+    with_dq = base.withColumn("w", dq)
+    err = F.aggregate(
+        F.zip_with(F.col("v"), F.col("w"), lambda x, y: F.abs(x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    return with_dq.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.round(err, 6).alias("max_err"),
+        F.round(cosine_sim(F.col("v"), F.col("w")), 6).alias("cos_qf"),
+    )
+
+
+_SQL_EMBEDDING_QUANTIZE = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), sc AS (
+  SELECT vec_id, v, CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END AS scale
+  FROM (
+    SELECT vec_id, v,
+           list_reduce(list_transform(v, x -> abs(x)),
+                       (a, b) -> greatest(a, b)) AS m
+    FROM base
+  )
+), dq AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT) * scale) AS w
+  FROM sc
+)
+SELECT vec_id,
+       ROUND(scale, 6) AS scale,
+       ROUND(list_reduce(list_transform(range(1, 65), i -> abs(v[i] - w[i])),
+                         (a, b) -> greatest(a, b)), 6) AS max_err,
+       ROUND(
+         list_reduce(list_transform(range(1, 65), i -> v[i] * w[i]),
+                     (a, b) -> a + b)
+         / (sqrt(list_reduce(list_transform(range(1, 65), i -> v[i] * v[i]),
+                             (a, b) -> a + b))
+          * sqrt(list_reduce(list_transform(range(1, 65), i -> w[i] * w[i]),
+                             (a, b) -> a + b))), 6) AS cos_qf
+FROM dq
+"""
+
+
 def _q_sequence_packing(spark, sf_dir):
     """Training-sequence packing (operators/packing.py): concatenate docs
     per source in doc_id order, chunk at a 2048-token budget; each doc is
@@ -2292,6 +2360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_pricing": _q_skew_salted_pricing,
         "generator_correlated_join": _q_generator_corr,
         "sequence_packing": _q_sequence_packing,
+        "embedding_quantize": _q_embedding_quantize,
     }
 
 
@@ -2354,4 +2423,5 @@ def oracle_sql() -> dict[str, str]:
         "skew_salted_pricing": _SQL_SKEW_SALTED,
         "generator_correlated_join": _sql_generator_corr(),
         "sequence_packing": _sql_sequence_packing(),
+        "embedding_quantize": _SQL_EMBEDDING_QUANTIZE,
     }

@@ -58,3 +58,68 @@ def test_deterministic_and_group_independent(spark, docs):
 def test_budget_validation(spark, docs):
     with pytest.raises(ValueError):
         pack_sequences(docs, "tok", 0, ["doc_id"])
+
+
+# ---------------------------------- int8 embedding quantization invariants
+
+
+def test_quantization_error_bounded(spark):
+    """|x - dequant(quant(x))| <= scale/2 + eps for every element, and the
+    quantized-vs-full cosine stays near 1 for non-degenerate vectors."""
+    from pyspark.sql import Row
+
+    from ratatool_spark.functions.vectors import (
+        cosine_sim,
+        dequantize,
+        quantize_int8,
+        quantize_scale,
+    )
+
+    vecs = [
+        [1.0, -1.0, 0.5, 0.25],
+        [0.0, 0.0, 0.0, 0.0],  # all-zero: scale fallback 1.0, codes 0
+        [127.0, -127.0, 63.5, 0.1],
+        [1e-4, -1e-4, 5e-5, 0.0],
+    ]
+    df = spark.createDataFrame(
+        [Row(i=i, v=v) for i, v in enumerate(vecs)], "i long, v array<double>"
+    )
+    nonzero = F.aggregate(
+        F.col("v"), F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))
+    ) > 0
+    out = (
+        df.select(
+            "i",
+            "v",
+            quantize_scale(F.col("v")).alias("s"),
+            dequantize(
+                quantize_int8(F.col("v"), quantize_scale(F.col("v"))),
+                quantize_scale(F.col("v")),
+            ).alias("w"),
+        )
+        # zero vector → zero norms → ANSI division error; guard the cosine
+        .withColumn(
+            "cos", F.when(nonzero, cosine_sim(F.col("v"), F.col("w")))
+        )
+        .collect()
+    )
+    for r in out:
+        for x, y in zip(r["v"], r["w"], strict=True):
+            assert abs(x - y) <= r["s"] / 2 + 1e-12
+        if any(x != 0 for x in r["v"]):
+            assert r["cos"] > 0.999
+
+
+def test_quantize_codes_in_int8_range(spark):
+    from pyspark.sql import Row
+
+    from ratatool_spark.functions.vectors import quantize_int8, quantize_scale
+
+    df = spark.createDataFrame(
+        [Row(v=[3.7, -3.7, 1.23, -0.004, 0.0])], "v array<double>"
+    )
+    codes = df.select(
+        quantize_int8(F.col("v"), quantize_scale(F.col("v"))).alias("q")
+    ).first()["q"]
+    assert all(-127 <= c <= 127 for c in codes)
+    assert 127 in (max(codes), -min(codes))  # the max-|x| element saturates
