@@ -77,6 +77,20 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("-n", type=int, required=True)
     g.add_argument("--output", required=True)
     g.add_argument("--seed", type=int, default=42)
+
+    pk = sub.add_parser(
+        "packSequences",
+        help="assign docs to fixed-token-budget training bins "
+        "(concat-and-chunk; grouped windows, parallel by group)",
+    )
+    pk.add_argument("--input", required=True)
+    pk.add_argument("--output", required=True)
+    pk.add_argument("--tokenField", required=True)
+    pk.add_argument("--budget", type=int, required=True)
+    pk.add_argument("--orderBy", type=_csv, required=True)
+    pk.add_argument("--groupBy", type=_csv, default=None)
+    pk.add_argument("--offsetField", default=None)
+    pk.add_argument("--format", default=None, help="override input format sniffing")
     return p
 
 
@@ -145,6 +159,19 @@ def main(argv: list[str] | None = None) -> int:
                 args.output,
                 mode="overwrite",
             )
+        elif args.command == "packSequences":
+            from ratatool_spark.operators.packing import pack_sequences
+
+            df = read_table(spark, args.input, fmt=args.format)
+            out = pack_sequences(
+                df,
+                args.tokenField,
+                args.budget,
+                order_cols=args.orderBy,
+                group_cols=args.groupBy,
+                offset_col=args.offsetField,
+            )
+            write_table(out, args.output, mode="overwrite")
         return 0
     finally:
         if not preexisting:  # don't tear down a session we joined

@@ -238,3 +238,40 @@ def test_cli_near_dedup(spark, tmp_path):
     result = spark.read.parquet(out)
     assert result.schema == docs.schema
     assert 0 < result.count() < docs.count()
+
+
+def test_cli_pack_sequences(spark, tmp_path):
+    """packSequences verb: bin + offset columns appended, bins respect the
+    concat-and-chunk assignment within each group."""
+    from ratatool_spark.cli import main
+
+    src = str(tmp_path / "docs_pack")
+    out = str(tmp_path / "packed")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.parquet(src)
+    rc = main(
+        [
+            "packSequences",
+            "--input", src,
+            "--output", out,
+            "--tokenField", "n_chars",
+            "--budget", "4096",
+            "--orderBy", "doc_id",
+            "--groupBy", "source",
+            "--offsetField", "off",
+        ]
+    )
+    assert rc == 0
+    result = spark.read.parquet(out)
+    assert result.count() == docs.count()
+    assert {"bin_id", "off"} <= set(result.columns)
+    rows = sorted(
+        result.select("source", "doc_id", "n_chars", "bin_id", "off").collect(),
+        key=lambda r: (r["source"], r["doc_id"]),
+    )
+    run: dict = {}
+    for r in rows:
+        exp = run.get(r["source"], 0)
+        assert r["off"] == exp
+        assert r["bin_id"] == exp // 4096
+        run[r["source"]] = exp + r["n_chars"]
