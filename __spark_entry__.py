@@ -1748,8 +1748,27 @@ def _q_embedding_neardup(spark, sf_dir):
     from ratatool_spark.operators.dedup import embedding_neardup_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    out = embedding_neardup_pairs(emb, min_cosine=0.6)
+    # Kernel dispatch size hint from parquet footer metadata — driver-side
+    # metadata read, no Spark job (vs the count() pre-scan fallback).
+    out = embedding_neardup_pairs(
+        emb, min_cosine=0.6, n_rows=_parquet_num_rows(f"{sf_dir}/embeddings.parquet")
+    )
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _parquet_num_rows(path):
+    """Exact row count from parquet footers (file or directory of parts)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = (
+        sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
 _COS_AB_SQL = """

@@ -18,6 +18,12 @@ path except nothing — every one is built-in expressions):
 At 100 TB the shape that matters: every strategy reduces to
 (shuffle-by-small-key, aggregate) or (explode, shuffle-by-token, count) —
 no cross joins except within LSH buckets, and bucket width is tunable.
+
+Cached intermediates (minhash signatures, posting index, shingle sets,
+simhash fingerprints) are tracked; long-lived sessions that call these
+operators repeatedly should call :func:`unpersist_intermediates` after
+materializing results — DataFrame cache entries are held by the session's
+CacheManager and are NOT freed by driver GC.
 """
 
 from __future__ import annotations
@@ -28,6 +34,31 @@ from pyspark.sql import functions as F
 from ratatool_spark.functions.hashing import portable_hash64, text_hash64
 from ratatool_spark.functions.text import fingerprint, word_shingles
 from ratatool_spark.functions.vectors import cosine_sim
+
+_CACHED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    """persist(MEMORY_AND_DISK) + register for unpersist_intermediates()."""
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _CACHED.append(df)
+    return df
+
+
+def unpersist_intermediates() -> int:
+    """Unpersist every intermediate cached by the dedup operators since the
+    last call. Returns how many relations were released. Call after the
+    downstream action in long-lived sessions."""
+    n = 0
+    while _CACHED:
+        try:
+            _CACHED.pop().unpersist(blocking=False)
+            n += 1
+        except Exception:  # session already stopped — nothing to release
+            pass
+    return n
 
 
 def exact_dedup(
@@ -115,11 +146,9 @@ def minhash_lsh_pairs(
     # (broadcast vs probe), so without caching the whole shingle→md5→k-min
     # signature pipeline runs once per side. n×(k+1) longs — tiny at any
     # corpus scale, spills rather than OOMs.
-    from pyspark import StorageLevel
-
-    sigs = minhash_signatures(
-        df, text_col, id_col, num_hashes, shingle_n, hasher
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = _persist(
+        minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, hasher)
+    )
 
     band_structs = []
     for b in range(bands):
@@ -211,16 +240,11 @@ def ngram_jaccard_pairs(
     # the shingle→md5→collect_list pipeline evaluates up to 4× (measured
     # 6 parquet scans in the physical plan). The posting index is one row
     # per distinct shingle (≤ corpus token count), sizes one row per doc.
-    from pyspark import StorageLevel
-
-    grouped = (
-        sh.groupBy("s").agg(posting.alias("ids")).persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    sizes = (
+    grouped = _persist(sh.groupBy("s").agg(posting.alias("ids")))
+    sizes = _persist(
         grouped.select(F.explode("ids").alias("id"))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     combos = F.flatten(
         F.transform(
@@ -274,10 +298,8 @@ def jaccard_verify(
     joins the sets onto the candidates — cost O(|candidates|·doc_len), so
     at 100 TB the quadratic term is confined to whatever LSH emitted.
     Set size is bounded by document length, so rows stay executor-sized."""
-    from pyspark import StorageLevel
-
     # persisted: joined twice (a and b side of every candidate pair)
-    sets = (
+    sets = _persist(
         df.select(
             F.col(id_col).alias("id"),
             F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__s"),
@@ -285,7 +307,6 @@ def jaccard_verify(
         .select("id", text_hash64(F.col("__s"), hasher).alias("s"))
         .groupBy("id")
         .agg(F.collect_set("s").alias("ss"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     inter = F.size(F.array_intersect(F.col("a.ss"), F.col("b.ss")))
     union = F.size(F.col("a.ss")) + F.size(F.col("b.ss")) - inter
@@ -482,11 +503,7 @@ def simhash_pairs(
     # pipeline twice (measured 2× wall on the bench corpus). The cached
     # relation is n×(id, long) — tiny relative to the corpus at any scale,
     # and MEMORY_AND_DISK spills rather than OOMs.
-    from pyspark import StorageLevel
-
-    s = simhash(df, text_col, id_col, bits, shingle_n, hasher).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    s = _persist(simhash(df, text_col, id_col, bits, shingle_n, hasher))
     blocks = F.array(*_simhash_blocks(bits, n_blocks))
     s = s.select(
         F.col(id_col).alias("id"), "simhash", F.explode(blocks).alias("b")
@@ -520,6 +537,7 @@ def embedding_neardup_pairs(
     max_broadcast_rows: int = 500_000,
     lsh_planes: int = 8,
     lsh_seed: int = 7,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicates: pairs with cosine ≥ min_cosine.
 
@@ -547,9 +565,19 @@ def embedding_neardup_pairs(
         per-block when ``block_col`` is set — bring-your-own blocking
         (e.g. a shard or language column) with the same within-block
         quadratic profile.
+
+    ``n_rows``: corpus-size hint for the kernel dispatch (from the caller
+    or catalog stats). When omitted the dispatch falls back to a
+    ``df.count()`` pre-scan — avoid that at scale.
     """
     if block_col is None and kernel == "blas":
-        if df.count() <= max_broadcast_rows:
+        # Kernel dispatch needs the corpus size. Callers that know it (or
+        # have catalog stats) pass n_rows and skip the pre-scan; a count()
+        # here is the last resort only — at 100 TB an extra full pass just
+        # to pick a kernel is a wasted job.
+        if n_rows is None:
+            n_rows = df.count()
+        if n_rows <= max_broadcast_rows:
             return _blas_all_pairs(df, vec_col, id_col, min_cosine)
         from ratatool_spark.operators.similarity import lsh_bucket
 

@@ -42,13 +42,27 @@ def pack_sequences(
 
     ``offset_col`` additionally emits the document's starting token
     offset within the group's concatenated stream (what a loader needs to
-    slice the chunk)."""
+    slice the chunk).
+
+    Calling without ``group_cols`` uses ONE global window partition — a
+    single-task funnel at scale — and emits a ``RuntimeWarning``; pass a
+    grouping column (or a synthesized hash bucket) on real data."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     tok = F.col(token_col) if isinstance(token_col, str) else token_col
-    w = Window.orderBy(*order_cols)
     if group_cols:
         w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    else:
+        import warnings
+
+        warnings.warn(
+            "pack_sequences without group_cols funnels the whole dataset "
+            "through one window partition (single task); pass group_cols "
+            "(e.g. a shard/date column or a hash bucket) at scale",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        w = Window.orderBy(*order_cols)
     prefix = F.coalesce(
         F.sum(tok).over(w.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0).cast("long"),

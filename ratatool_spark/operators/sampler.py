@@ -264,7 +264,14 @@ def _exact_sample(
             F.floor(F.col(_ROLL) / F.lit(bound) * n_buckets),
             F.lit(n_buckets - 1),
         ).cast("int")
-        cand = cand.withColumn(_BKT, bucket)
+        # Freeze the rolls: the bucket-count collect below and the returned
+        # plan are separate jobs, and with the F.rand dice a recompute (task
+        # retry, upstream reorder) would re-roll — making the collected
+        # offsets inconsistent with the final bucket assignment.
+        # localCheckpoint materializes the ~f·n candidate rows once
+        # (executor memory/disk) and truncates lineage; blocks are freed by
+        # the ContextCleaner when the plan is dropped, so nothing leaks.
+        cand = cand.withColumn(_BKT, bucket).localCheckpoint()
         counts = {
             r[_BKT]: r["cnt"]
             for r in cand.groupBy(_BKT).agg(F.count(F.lit(1)).alias("cnt")).collect()

@@ -463,7 +463,11 @@ def _to_py(v, schema):
         epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
         if v.tzinfo is None:
             v = v.replace(tzinfo=dt.timezone.utc)
-        return int((v - epoch).total_seconds()) * 1_000_000 + v.microsecond
+        # timedelta fields are normalized (days may be negative, seconds/
+        # microseconds always >= 0), so this is exact for pre-epoch values —
+        # int(total_seconds()) truncates toward zero and breaks them
+        td = v - epoch
+        return (td.days * 86400 + td.seconds) * 1_000_000 + td.microseconds
     if lt == "date" and isinstance(v, dt.date):
         return (v - dt.date(1970, 1, 1)).days
     tt = t["type"] if isinstance(t, dict) else t
@@ -556,6 +560,48 @@ def read_avro(spark, path: str):
     )
 
 
+def _has_tz_timestamp(dt):
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.TimestampType):
+        return True
+    if isinstance(dt, T.StructType):
+        return any(_has_tz_timestamp(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _has_tz_timestamp(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _has_tz_timestamp(dt.valueType)
+    return False
+
+
+def _ts_to_micros_col(col, dtype):
+    """Rewrite every TimestampType leaf to unix_micros (JVM-side, exact).
+
+    df.rdd materializes TimestampType as naive datetimes in the *system
+    local* timezone, which only round-trips when system TZ == UTC;
+    converting to epoch micros before leaving the JVM removes the
+    dependency on either timezone setting."""
+    from pyspark.sql import functions as F, types as T
+
+    if isinstance(dtype, T.TimestampType):
+        return F.unix_micros(col)
+    if isinstance(dtype, T.StructType):
+        rebuilt = F.struct(
+            *[
+                _ts_to_micros_col(col[f.name], f.dataType).alias(f.name)
+                for f in dtype.fields
+            ]
+        )
+        return F.when(col.isNull(), F.lit(None)).otherwise(rebuilt)
+    if isinstance(dtype, T.ArrayType):
+        return F.transform(col, lambda x: _ts_to_micros_col(x, dtype.elementType))
+    if isinstance(dtype, T.MapType):
+        return F.transform_values(
+            col, lambda k, v: _ts_to_micros_col(v, dtype.valueType)
+        )
+    return col
+
+
 def write_avro(df, path: str, codec: str = "deflate") -> None:
     """Distributed Avro sink without a connector jar: one container file
     per partition written by the executor that owns it (shared filesystem,
@@ -563,6 +609,16 @@ def write_avro(df, path: str, codec: str = "deflate") -> None:
     os.makedirs(path, exist_ok=True)
     schema = avro_schema_of(df.schema)
     names = [f.name for f in df.schema.fields]
+    from pyspark.sql import functions as F
+
+    df = df.select(
+        *[
+            _ts_to_micros_col(F.col(f.name), f.dataType).alias(f.name)
+            if _has_tz_timestamp(f.dataType)
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+    )
 
     def write_part(idx, it):
         rows = ({n: r[n] for n in names} for r in it)

@@ -269,8 +269,11 @@ def spark_schema_of(desc: dict):
         "int64": T.LongType(),
         "sint64": T.LongType(),
         "sfixed64": T.LongType(),
-        "uint64": T.LongType(),
-        "fixed64": T.LongType(),
+        # full uint64 range: values >= 2^63 are legal on the wire and would
+        # overflow LongType at Arrow materialization, so these land as
+        # DECIMAL(20,0) (Arrow accepts plain ints; encode_message int()s them)
+        "uint64": T.DecimalType(20, 0),
+        "fixed64": T.DecimalType(20, 0),
         "enum": T.IntegerType(),
         "bool": T.BooleanType(),
         "float": T.FloatType(),
