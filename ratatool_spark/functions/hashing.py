@@ -22,8 +22,10 @@ Spark-first redesign, two tiers:
    determinism within Spark, NOT cross-engine portable. Use for internal
    shuffles/dedup where external reproducibility is not required.
 
-FarmHash parity itself is available only if ``pyfarmhash`` is installed
-(gated import; not in this container) — see ``farmhash_udf``.
+FarmHash fingerprint64 parity (exact BigQuery FARM_FINGERPRINT) ships
+jar-free via the pure-Python port in ``functions.farmhash`` — see
+``farmhash_udf`` / ``farm_dice``; ``pyfarmhash`` is used as a C fast path
+when installed.
 
 Null semantics match the reference: null fields are skipped from the hash
 feed (BigSamplerAvro.scala:66-71 logs-and-skips) — ``concat_ws`` drops
@@ -146,27 +148,68 @@ def xxdice(cols: Sequence[Column | str], seed: int = 42) -> Column:
     return (h.cast("double") - F.lit(lmin)) / (F.lit(lmax) - F.lit(lmin))
 
 
-def farmhash_udf():
-    """FarmHash fingerprint64 UDF for exact BigQuery FARM_FINGERPRINT parity
-    (Util.scala:85-92). Requires ``pyfarmhash``; gated because the container
-    does not ship it. Prefer ``portable_hash64`` — it provides the same
-    warehouse-reproducibility property via md5."""
-    try:
-        import farmhash  # type: ignore
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError(
-            "pyfarmhash not installed; use portable_hash64 (md5-based, "
-            "cross-engine) or xxhash_cols (Spark-native) instead"
-        ) from e
+def farmhash_udf(seed: int | None = None):
+    """FarmHash Fingerprint64 UDF — exact BigQuery ``FARM_FINGERPRINT``
+    parity (Util.scala:93-98). Signed 64-bit output over the column's UTF-8
+    bytes; ``seed`` (when given) is prepended as 4 little-endian bytes, the
+    reference's ``newHasher().putInt(seed)`` layout (README.md:90-97).
+
+    Backend: ``pyfarmhash`` (C speed) when installed, else the pure-Python
+    ``functions.farmhash`` port — bit-identical (both are property-tested
+    against Guava's FarmHashFingerprint64 in tests/test_farmhash.py). For
+    sampling dice that don't need BigQuery bit parity prefer
+    ``portable_hash64`` — JVM md5 inside whole-stage codegen."""
+    import struct
+
+    prefix = b"" if seed is None else struct.pack("<i", seed)
+    try:  # C fast path — only when the optional wheel is present
+        import farmhash as _c  # type: ignore
+
+        def _fp(b: bytes) -> int:
+            u = _c.fingerprint64(b.decode("utf-8", "surrogateescape"))
+            return u - (1 << 64) if u >= (1 << 63) else u
+
+        # pyfarmhash takes str, not bytes — with a seed prefix the bytes
+        # aren't valid UTF-8, so the pure port handles seeded hashing
+        if seed is not None:
+            _fp = None
+    except ImportError:
+        _fp = None
+    if _fp is None:
+        from ratatool_spark.functions.farmhash import fingerprint64
+
+        def _fp(b: bytes) -> int:
+            u = fingerprint64(b)
+            return u - (1 << 64) if u >= (1 << 63) else u
 
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf(T.LongType())
-    def _farm(s: pd.Series) -> pd.Series:  # pragma: no cover
-        return s.map(lambda x: farmhash.fingerprint64(x) - (1 << 64) if x is not None and farmhash.fingerprint64(x) >= (1 << 63) else (farmhash.fingerprint64(x) if x is not None else None))
+    def _farm(s):
+        return s.map(
+            lambda x: None if x is None else _fp(prefix + x.encode("utf-8"))
+        )
 
-    return _farm
+    # real (non-string) hints: the module's `from __future__ import
+    # annotations` would leave pandas_udf unable to resolve 'pd.Series'
+    _farm.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(T.LongType())(_farm)
+
+
+def farm_dice(col: Column | str, seed: int | None = None) -> Column:
+    """Reference-exact sampling dice: FARM_FINGERPRINT(seed_le4 + utf8) →
+    [0,1) via the signed-range affine map (BigSampler.scala:74-75
+    ``boundLong``). A cohort drawn with this dice is reproducible in
+    BigQuery with the README's CONCAT(b'..le-seed..', field) recipe.
+
+    Non-string columns are rendered via ``CAST(.. AS STRING)`` (JVM-side)
+    before hashing — the BigQuery twin is
+    ``FARM_FINGERPRINT(CONCAT(<le-seed bytes>, CAST(CAST(f AS STRING) AS BYTES)))``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    h = farmhash_udf(seed)(c.cast("string"))
+    lmin, lmax = float(-(2**63)), float(2**63 - 1)
+    return (h.cast("double") - F.lit(lmin)) / (F.lit(lmax) - F.lit(lmin))
 
 
 def duckdb_dice_sql(field_sql: Sequence[str], seed: int = 0) -> str:

@@ -219,12 +219,21 @@ def load_tables(
         p = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(p):
             df = spark.read.parquet(p)
-            # events.ts is parquet TIMESTAMP(NANOS) → read as long under
-            # nanosAsLong; convert to micros timestamp (what DuckDB also
-            # does when it truncates nanos → its micros TIMESTAMP).
-            if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-                # integer div — double division of epoch-nanos loses microseconds
-                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # events.ts encoding varies by generator version: INT64
+            # TIMESTAMP(NANOS) → read as long under nanosAsLong; naive
+            # TIMESTAMP(MICROS) → TimestampNTZ under inferTimestampNTZ.
+            # Both mean "instant, UTC wall clock" (DuckDB reads the same
+            # column as naive UTC) — normalize to TimestampType so
+            # watermarks / window() / unix_* behave identically either way.
+            if name == "events":
+                if isinstance(df.schema["ts"].dataType, T.LongType):
+                    # integer div — double division of epoch-nanos loses micros
+                    df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+                elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+                    # session TZ is pinned UTC above, so this cast attaches
+                    # UTC to the naive value — instant-identical to the
+                    # nanos path
+                    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
             df.createOrReplaceTempView(name)
             out[name] = df
     return out

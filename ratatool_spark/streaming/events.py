@@ -44,10 +44,15 @@ def read_event_stream(
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     stream = reader.parquet(path)
+    # Normalize ts to TimestampType (watermarks reject TIMESTAMP_NTZ):
     # TIMESTAMP(NANOS) parquet arrives as long under nanosAsLong — convert
-    # (same rule as sources.io.load_tables; integer div keeps microseconds)
-    if "ts" in stream.columns and isinstance(stream.schema["ts"].dataType, T.LongType):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # (same rule as sources.io.load_tables; integer div keeps microseconds);
+    # naive TIMESTAMP(MICROS) arrives as NTZ — attach the session TZ (UTC).
+    if "ts" in stream.columns:
+        if isinstance(stream.schema["ts"].dataType, T.LongType):
+            stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(stream.schema["ts"].dataType, T.TimestampNTZType):
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

@@ -269,9 +269,15 @@ def test_time_rollup_reuses_fine_grain_exchange(spark):
     # A projection distinct from the cached fixture's plan — the
     # CacheManager substitutes InMemoryTableScan for any matching subtree,
     # which would split the adaptive plan and mask the reuse under test.
-    ev = spark.read.parquet(f"{SF}/events.parquet").select(
-        F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("ts"), "value"
+    from pyspark.sql import types as T
+
+    raw = spark.read.parquet(f"{SF}/events.parquet")
+    ts = (
+        F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        if isinstance(raw.schema["ts"].dataType, T.LongType)
+        else F.col("ts").cast("timestamp")
     )
+    ev = raw.select(ts.alias("ts"), "value")
     df = time_rollup(ev, grains=("hour", "day"))
     df.collect()  # AQE only materializes ReusedExchange in the final plan
     plan = df._jdf.queryExecution().executedPlan().toString()
