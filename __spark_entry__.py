@@ -625,6 +625,38 @@ FROM events GROUP BY 2
 """
 
 
+# Exact twin of the rollup-from-partials structure: per-grain
+# COUNT(DISTINCT) — identical to counting the deduped (bucket,key) partial.
+_SQL_DISTINCT_ROLLUP = """
+SELECT 'hour' AS grain, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+       COUNT(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'day', CAST(date_trunc('day', ts) AS TIMESTAMP),
+       COUNT(DISTINCT user_id)
+FROM events GROUP BY 2
+"""
+
+# Sequential-recurrence replay: list_reduce is a left fold with the first
+# element as the initial accumulator — exactly the Python recurrence's
+# prev=None start (streaming/stateful.py _ewma_rows). All literals cast to
+# DOUBLE: bare 0.3/0.7 are DECIMALs in DuckDB and would truncate.
+_SQL_EWMA = """
+WITH e AS (
+  SELECT user_id, ts, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS i
+  FROM events WHERE user_id < 100
+), g AS (
+  SELECT user_id, list(value ORDER BY i) AS vs FROM e GROUP BY user_id
+)
+SELECT e.user_id, e.ts,
+       ROUND(list_reduce(g.vs[1:e.i],
+             (acc, x) -> 0.3::DOUBLE * x + (1.0::DOUBLE - 0.3::DOUBLE) * acc),
+             6) AS ewma
+FROM e JOIN g USING (user_id)
+"""
+
+
 def _q_weighted_sample(spark, sf_dir):
     """Deterministic weighted sampling (Efraimidis–Spirakis with the
     portable dice as the uniform): 100 docs with inclusion probability
@@ -655,16 +687,19 @@ SELECT doc_id, n_tokens FROM scored ORDER BY k DESC, doc_id LIMIT 100
 
 
 def _q_distinct_rollup(spark, sf_dir):
-    """Mergeable-sketch distinct rollup (operators/timeagg.py): per-hour
-    HLL user sketches, day grain = sketch union. No oracle_sql twin —
-    DuckDB's approx_count_distinct is a different HLL implementation, so
-    the driver records the weaker rows-only check; exactness of the
-    union (== direct day sketch) is pinned in tests."""
-    from ratatool_spark.operators.timeagg import distinct_rollup
+    """Distinct-keys-per-time-bucket rollup (operators/timeagg.py), exact
+    mergeable-partial form: the fact table dedups once to (hour-bucket,
+    user) pairs and the day grain re-dedups those pairs — same
+    rollup-from-partials shape as the HLL sketch variant, with exact
+    counts, so the whole structure is oracle-gated (COUNT(DISTINCT) per
+    grain in DuckDB). The sketch variant (``distinct_rollup`` — the 100 TB
+    path, sketches can't hash-match across engines) stays pinned in
+    tests/test_streaming.py: union-of-hour-sketches == direct day sketch."""
+    from ratatool_spark.operators.timeagg import distinct_rollup_exact
     from ratatool_spark.sources.io import load_tables
 
     ev = load_tables(spark, sf_dir, names=("events",))["events"]
-    return distinct_rollup(ev, grains=("hour", "day"))
+    return distinct_rollup_exact(ev, grains=("hour", "day"))
 
 
 def _q_top_tokens(spark, sf_dir):
@@ -2053,11 +2088,12 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 def _q_events_ewma(spark, sf_dir):
     """Per-user event-time EWMA — custom stateful operator
     (applyInPandasWithState on streams, applyInPandas in batch). The
-    running recurrence is not expressible in ANSI SQL without
-    overflow-prone power tricks, so this entry has no oracle_sql twin:
-    the driver records the weaker rows-only check; exact-value coverage
-    lives in tests/test_streaming.py (batch == pandas recurrence ==
-    stateful streaming run)."""
+    oracle twin replays the *same sequential recurrence* in DuckDB via
+    ``list_reduce`` over the time-ordered value list (left fold, first
+    element as initial state — exactly ``_ewma_rows``'s ``prev=None``
+    start), with every literal cast to DOUBLE so both engines execute
+    identical IEEE operations in identical order. Streaming==batch parity
+    lives in tests/test_streaming.py (stateful run == pandas recurrence)."""
     from pyspark.sql import functions as F
 
     from ratatool_spark.sources.io import load_tables
@@ -2417,6 +2453,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_events": _SQL_ASOF,
         "range_join_event_windows": _SQL_RANGE_JOIN,
         "time_rollup_events": _SQL_TIME_ROLLUP,
+        "events_distinct_rollup": _SQL_DISTINCT_ROLLUP,
+        "events_ewma_stateful": _SQL_EWMA,
         "weighted_sample_docs": _SQL_WEIGHTED_SAMPLE,
         "top_tokens": _SQL_TOP_TOKENS,
         "user_event_sequences": _SQL_USER_SEQUENCES,

@@ -101,3 +101,49 @@ def distinct_rollup(
     return out.select(
         "grain", "bucket", F.hll_sketch_estimate("sk").alias("n_distinct")
     )
+
+
+def distinct_rollup_exact(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    grains: tuple[str, ...] = ("hour", "day"),
+) -> DataFrame:
+    """Exact twin of :func:`distinct_rollup` — same rollup-from-partials
+    shape, with distinct *(bucket, key)* pairs as the mergeable partial
+    instead of HLL registers.
+
+    The fact table is still scanned once: the finest grain dedups to
+    (bucket, key) pairs, and every coarser grain re-dedups the finer
+    pairs (distinct day-keys derive exactly from distinct hour-keys).
+    Partial size is Σ|keys per bucket| rows — unbounded by design, which
+    is precisely the memory blow-up the sketch variant exists to avoid at
+    100 TB; use this form when exact counts are required (or as the
+    engine-portable oracle for the sketch, which is how the driver gate
+    consumes it)."""
+    order = {g: i for i, g in enumerate(GRAINS)}
+    if list(grains) != sorted(grains, key=order.get):
+        raise ValueError("grains must be ordered finest to coarsest")
+
+    pairs = df.select(
+        F.date_trunc(grains[0], F.col(ts_col)).alias("bucket"), F.col(key_col)
+    ).distinct()
+    parts = [
+        pairs.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+        .select(F.lit(grains[0]).alias("grain"), "bucket", "n_distinct")
+    ]
+    prev = pairs
+    for g in grains[1:]:
+        prev = prev.select(
+            F.date_trunc(g, F.col("bucket")).alias("bucket"), F.col(key_col)
+        ).distinct()
+        parts.append(
+            prev.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_distinct"))
+            .select(F.lit(g).alias("grain"), "bucket", "n_distinct")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
