@@ -198,3 +198,49 @@ def test_multi_type_union_spark_scan(spark, tmp_path):
         for r in back.collect()
     }
     assert got == {1: (42, None), 2: (None, "forty-two"), 3: None}
+
+
+def test_multi_type_union_diff_end_to_end(spark, tmp_path):
+    """D2 over multi-type unions end-to-end (AvroDiffy.scala:73-85): two
+    avro files whose union branches differ, diffed through the expression
+    compiler. Branch changes surface as member-struct deltas —
+    one-sided member occupancy is an UNKNOWN delta on that member's path
+    (Diffy.scala one-sided-null rule) — while same-branch value changes
+    are ordinary typed deltas on the member's path."""
+    from ratatool_spark.operators.diffy import diff
+
+    lhs_rows = [
+        {"id": 1, "val": 42},            # long -> string branch flip
+        {"id": 2, "val": "alpha"},       # string -> string value change
+        {"id": 3, "val": None},          # null -> long
+        {"id": 4, "val": 7},             # unchanged
+    ]
+    rhs_rows = [
+        {"id": 1, "val": "forty-two"},
+        {"id": 2, "val": "beta"},
+        {"id": 3, "val": 5},
+        {"id": 4, "val": 7},
+    ]
+    dl, dr = tmp_path / "l", tmp_path / "r"
+    dl.mkdir(), dr.mkdir()
+    write_container(str(dl / "part-0.avro"), UNION_SCHEMA, lhs_rows)
+    write_container(str(dr / "part-0.avro"), UNION_SCHEMA, rhs_rows)
+
+    d = diff(read_avro(spark, str(dl)), read_avro(spark, str(dr)), ["id"])
+    got = {
+        (r["key"], r["field"]): r["delta_type"] for r in d.deltas.collect()
+    }
+    assert got == {
+        ("1", "val.member0"): "UNKNOWN",   # long branch vacated
+        ("1", "val.member1"): "UNKNOWN",   # string branch adopted
+        ("2", "val.member1"): "STRING",    # same-branch string delta
+        ("3", "val.member0"): "UNKNOWN",   # null -> long
+    }
+    # the same-branch change carries the levenshtein distance
+    row2 = {
+        r["field"]: r
+        for r in d.deltas.where(F.col("key") == "2").collect()
+    }
+    assert row2["val.member1"]["delta"] == 4.0  # lev(alpha, beta)
+    g = d.global_stats.collect()[0]
+    assert (g["num_total"], g["num_same"], g["num_diff"]) == (4, 1, 3)
