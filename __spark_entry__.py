@@ -2356,6 +2356,202 @@ FROM v
 """
 
 
+# ------------------------------------------------------------------ corpus
+# curation operators (operators/corpus.py): repetition, mixture, leakage
+
+_NGRAMS2_SQL = (
+    "list_transform(range(1, greatest(len({w}) - 1, 1) + 1), "
+    "i -> concat_ws(' ', {w}[i], {w}[i+1]))"
+).format(w=_WORDS_SQL)
+
+_MIXTURE_SHARES = {"src0": 0.4, "src1": 0.4, "src2": 0.2}
+
+
+def _q_corpus_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (operators/corpus.py): per-doc
+    bigram occurrence totals + top-bigram / duplicated-bigram fractions.
+    One explode, two keyed aggregations — partial agg collapses each
+    doc's gram counts map-side."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.corpus import repetition_metrics
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = repetition_metrics(docs, n=2)
+    return out.select(
+        "doc_id",
+        "n_ngrams",
+        F.round("top_ngram_frac", 6).alias("top_ngram_frac"),
+        F.round("dup_ngram_frac", 6).alias("dup_ngram_frac"),
+    )
+
+
+_SQL_CORPUS_REPETITION = f"""
+WITH ex AS (
+  SELECT doc_id, UNNEST({_NGRAMS2_SQL}) AS g FROM documents
+), per AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM ex GROUP BY doc_id, g
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_ngrams,
+       ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_ngram_frac,
+       ROUND(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) / CAST(SUM(c) AS DOUBLE), 6)
+         AS dup_ngram_frac
+FROM per GROUP BY doc_id
+"""
+
+
+def _q_corpus_mixture(spark, sf_dir):
+    """Deterministic source-mixture resampling (operators/corpus.py):
+    target shares src0:src1:src2 = 2:2:1, keep-rates derived from a tiny
+    broadcast-joined aggregate (no driver collect), portable-dice
+    selection — the kept set reproduces in any engine."""
+    from ratatool_spark.operators.corpus import mixture_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = mixture_sample(
+        docs, _MIXTURE_SHARES, dice_cols=("doc_id",), seed=7
+    )
+    return out.select("doc_id", "source", "lang")
+
+
+def _sql_corpus_mixture() -> str:
+    cases = " ".join(
+        f"WHEN '{s}' THEN {t}::DOUBLE" for s, t in _MIXTURE_SHARES.items()
+    )
+    return f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+), t AS (
+  SELECT source, n, CASE source {cases} END AS tgt FROM counts
+  WHERE CASE source {cases} END IS NOT NULL
+), k AS (
+  SELECT MIN(n / tgt) AS kv FROM t
+), rates AS (
+  SELECT source, (SELECT kv FROM k) * tgt / n AS rate FROM t
+)
+SELECT d.doc_id, d.source, d.lang
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE {_dice_sql(['doc_id'], seed=7)} < r.rate
+"""
+
+
+def _q_corpus_contamination(spark, sf_dir):
+    """Benchmark-contamination check (operators/corpus.py): fraction of
+    each doc's 3-gram shingles found in a small benchmark slice
+    (doc_id % 101 == 0) — the n-gram-overlap train/test leakage method.
+    Benchmark shingles broadcast; corpus side never shuffles before the
+    per-doc re-agg."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.corpus import contamination
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 101 == 0)
+    out = contamination(docs, bench, n=3)
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        F.round("contamination", 6).alias("contamination"),
+    )
+
+
+_SQL_CORPUS_CONTAMINATION = f"""
+WITH ds AS (
+  SELECT doc_id, UNNEST({_SHINGLES3_SQL}) AS s FROM documents
+), bs AS (
+  SELECT DISTINCT UNNEST({_SHINGLES3_SQL}) AS s FROM documents
+  WHERE doc_id % 101 = 0
+), j AS (
+  SELECT ds.doc_id, CASE WHEN bs.s IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM ds LEFT JOIN bs ON ds.s = bs.s
+)
+SELECT doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(hit) AS BIGINT) AS n_contaminated,
+       ROUND(SUM(hit) / CAST(COUNT(*) AS DOUBLE), 6) AS contamination
+FROM j GROUP BY doc_id
+"""
+
+
+def _q_pii_redact(spark, sf_dir):
+    """PII scrub (functions/text.py): RE2-compatible email/IP/phone
+    patterns, fixed replace order, match-count audit columns. The corpus
+    has no organic PII, so deterministic synthetic PII is appended
+    in-query — the redaction chain and counts are what's under test, and
+    the identical expression runs in the DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.functions.text import pii_counts, redact_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 tel 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("txt"),
+    )
+    n_email, n_ip, n_phone = pii_counts(F.col("txt"))
+    return salted.select(
+        "doc_id",
+        n_email.alias("n_emails"),
+        n_ip.alias("n_ipv4"),
+        n_phone.alias("n_phones"),
+        redact_pii(F.col("txt")).alias("clean"),
+    )
+
+
+_SQL_PII_REDACT = r"""
+WITH salted AS (
+  SELECT doc_id,
+         concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                '@example.com ip 10.0.', CAST(doc_id % 256 AS VARCHAR),
+                '.1 tel 555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+           AS txt
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(txt, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+       CAST(len(regexp_extract_all(txt, '\b\d{3}-\d{4}\b')) AS INT) AS n_phones,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+         '\b\d{3}-\d{4}\b', '[PHONE]', 'g') AS clean
+FROM salted
+"""
+
+
+def _q_orc_roundtrip(spark, sf_dir):
+    """S-family extension: parquet → ORC sink → ORC scan (Spark-native
+    columnar format, zero extra deps). Same envelope as the avro/proto
+    round-trips: executors write one file per partition, the read is a
+    parallel columnar scan with pushdown."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.sources.io import read_table, write_table
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    sl = part.where(F.col("p_partkey") % 13 == 0).coalesce(8)
+    out = os.path.join(tempfile.mkdtemp(prefix="rt_orc_"), "part.orc")
+    write_table(sl, out, fmt="orc")
+    return read_table(spark, out, fmt="orc")
+
+
+_SQL_ORC_ROUNDTRIP = "SELECT * FROM part WHERE p_partkey % 13 = 0"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": _q_tpch_q1,
@@ -2416,6 +2612,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "generator_correlated_join": _q_generator_corr,
         "sequence_packing": _q_sequence_packing,
         "embedding_quantize": _q_embedding_quantize,
+        "corpus_repetition": _q_corpus_repetition,
+        "corpus_mixture_sample": _q_corpus_mixture,
+        "corpus_contamination": _q_corpus_contamination,
+        "text_pii_redact": _q_pii_redact,
+        "orc_roundtrip_part": _q_orc_roundtrip,
     }
 
 
@@ -2481,4 +2682,9 @@ def oracle_sql() -> dict[str, str]:
         "generator_correlated_join": _sql_generator_corr(),
         "sequence_packing": _sql_sequence_packing(),
         "embedding_quantize": _SQL_EMBEDDING_QUANTIZE,
+        "corpus_repetition": _SQL_CORPUS_REPETITION,
+        "corpus_mixture_sample": _sql_corpus_mixture(),
+        "corpus_contamination": _SQL_CORPUS_CONTAMINATION,
+        "text_pii_redact": _SQL_PII_REDACT,
+        "orc_roundtrip_part": _SQL_ORC_ROUNDTRIP,
     }

@@ -91,6 +91,44 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def word_ngrams(text: Column, n: int = 2) -> Column:
+    """All word n-gram occurrences, duplicates preserved — the repetition
+    counter's input (``word_shingles`` minus the ``array_distinct``; same
+    zip-of-slices shape, see that docstring for why)."""
+    w = tokens(text)
+    m = F.greatest(F.size(w) - (n - 1), F.lit(1))
+    z = F.arrays_zip(*[F.slice(w, j + 1, m).alias(f"w{j}") for j in range(n)])
+    return F.transform(z, lambda s: F.concat_ws(" ", *[s[f"w{j}"] for j in range(n)]))
+
+
+# PII patterns, deliberately RE2-compatible (no lookaround/backrefs) so the
+# exact same regex runs in Spark (Java regex), DuckDB (RE2), and BigQuery
+# (RE2) — the redaction is warehouse-reproducible like the sampling dice.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+
+def pii_counts(text: Column) -> tuple[Column, Column, Column]:
+    """(n_emails, n_ipv4, n_phones) match counts — audit columns for a
+    redaction pass. Pure ``regexp_extract_all`` expressions."""
+    return (
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), F.lit(0))),
+        F.size(F.regexp_extract_all(text, F.lit(IPV4_RE), F.lit(0))),
+        F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), F.lit(0))),
+    )
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails / IPv4s / phone-like numbers with typed placeholder
+    tokens. Order matters and is fixed: emails first (they contain dots
+    and digits), then IPs, then phones — the same chain must run in any
+    oracle engine for byte parity."""
+    out = F.regexp_replace(text, EMAIL_RE, "[EMAIL]")
+    out = F.regexp_replace(out, IPV4_RE, "[IP]")
+    return F.regexp_replace(out, PHONE_RE, "[PHONE]")
+
+
 def stopword_ratio(text: Column) -> Column:
     w = tokens(text)
     stop = F.filter(w, lambda t: t.isin(*STOPWORDS))

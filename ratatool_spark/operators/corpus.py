@@ -1,0 +1,151 @@
+"""Training-corpus curation operators: repetition metrics, source-mixture
+resampling, benchmark-contamination checks.
+
+These extend the reference's sampling family (BigSampler's deterministic
+dice, `ratatool-sampling/README.md` reproducibility contract) to the
+curation steps an LLM data pipeline runs between raw crawl and training
+shards. All pure DataFrame ops — the shapes below are the 100 TB designs:
+
+* ``repetition_metrics`` — Gopher-style repetition signals (fraction of
+  the document covered by its most frequent word n-gram; fraction covered
+  by n-grams occurring more than once). One explode + two hash
+  aggregations; the shuffle key is (doc, gram) so partial aggregation
+  (map-side combine) collapses each document's gram counts before the
+  exchange.
+* ``mixture_sample`` — resample to a target per-source mixture with the
+  deterministic hash dice (same dice as ``operators.sampler``, so the
+  kept set is reproducible in any engine). Per-source keep-rates are
+  derived from a tiny groupBy(source) aggregate joined back via
+  broadcast — **no driver collect**, the fact table never shuffles.
+  Rates are scaled so the largest-deficit source is kept whole
+  (rate_s = K·t_s/n_s with K = min_s n_s/t_s): the output achieves the
+  exact target mixture in expectation at the maximum total volume.
+* ``contamination`` — fraction of each document's word n-gram shingles
+  that appear in a benchmark/eval set (train-test leakage detector,
+  n-gram-overlap method). The benchmark shingle set is deduped and
+  broadcast (eval suites are small by construction); the corpus side
+  never shuffles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ratatool_spark.functions.hashing import dice
+from ratatool_spark.functions.text import word_ngrams, word_shingles
+
+
+def repetition_metrics(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Per-document n-gram repetition signals: ``n_ngrams`` (total n-gram
+    occurrences), ``top_ngram_frac`` (share of the most frequent n-gram),
+    ``dup_ngram_frac`` (share of occurrences whose n-gram repeats).
+
+    High values of either fraction flag boilerplate / spam / degenerate
+    text (the duplicate-line and top-n-gram filters of the Gopher and C4
+    cleaning rules, restated over word n-grams). Documents shorter than
+    one token still emit one (padded) n-gram, so every input row appears
+    in the output."""
+    g = word_ngrams(F.col(text_col), n)
+    per = (
+        df.select(F.col(id_col), F.explode(g).alias("__g"))
+        .groupBy(id_col, "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    return per.groupBy(id_col).agg(
+        F.sum("__c").alias("n_ngrams"),
+        (F.max("__c") / F.sum("__c")).alias("top_ngram_frac"),
+        (
+            F.sum(F.when(F.col("__c") > 1, F.col("__c")).otherwise(F.lit(0)))
+            / F.sum("__c")
+        ).alias("dup_ngram_frac"),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    target_shares: dict[str, float],
+    source_col: str = "source",
+    dice_cols: Sequence[str | Column] = ("doc_id",),
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministically resample ``df`` toward a target per-source mixture.
+
+    ``target_shares`` maps source value → desired share of the output
+    (shares need not sum to 1 — only ratios matter). Sources absent from
+    the map are dropped. Keep-rates are ``rate_s = K·t_s/n_s`` with
+    ``K = min_s(n_s/t_s)``: every rate ≤ 1, at least one source is kept
+    in full, and the expected output hits the target ratios at maximum
+    volume. Selection uses the portable hash dice over ``dice_cols`` +
+    ``seed`` (BigSampler's reproducible-dice contract), so the kept set
+    is stable across runs/engines and independent of partitioning.
+
+    Plan shape: one tiny groupBy(source) count, a 1-row global min, and
+    a broadcast join of the per-source rates back onto the fact table —
+    the fact table itself never shuffles and is scanned once."""
+    if not target_shares:
+        raise ValueError("target_shares must be non-empty")
+    tgt = F.create_map(
+        *[F.lit(x) for kv in target_shares.items() for x in kv]
+    )
+    counts = (
+        df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__t", tgt[F.col(source_col)])
+        .where(F.col("__t").isNotNull() & (F.col("__t") > 0))
+    )
+    kmin = counts.agg(F.min(F.col("__n") / F.col("__t")).alias("__k"))
+    rates = counts.crossJoin(F.broadcast(kmin)).select(
+        source_col,
+        (F.col("__k") * F.col("__t") / F.col("__n")).alias("__rate"),
+    )
+    roll = dice(list(dice_cols), seed=seed)
+    return (
+        df.join(F.broadcast(rates), source_col, "inner")
+        .where(roll < F.col("__rate"))
+        .drop("__rate")
+    )
+
+
+def contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document benchmark-contamination score: the fraction of the
+    document's distinct word ``n``-gram shingles that occur anywhere in
+    ``benchmark``'s text (the n-gram-overlap train/test-leakage check).
+
+    Output: (id, ``n_shingles``, ``n_contaminated``, ``contamination``).
+    The benchmark shingle set is distinct-ed and **broadcast** — eval
+    suites are MBs against a TB corpus — so the corpus side is a single
+    scan + explode + map-side broadcast probe; the only shuffle is the
+    per-document re-aggregation, keyed by id."""
+    doc_sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("__s")
+    )
+    bench_sh = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(text_col), n)).alias("__s")
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    joined = doc_sh.join(F.broadcast(bench_sh), "__s", "left")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_contaminated"),
+        (
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            / F.count(F.lit(1))
+        ).alias("contamination"),
+    )

@@ -1,0 +1,111 @@
+"""Corpus-curation operators (operators/corpus.py + the PII columns in
+functions/text.py): repetition metrics, mixture resampling, contamination,
+redaction. Hand-computable fixtures pin exact values; the sf-table oracle
+parity lives in the driver queries (corpus_*, text_pii_redact)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from ratatool_spark.functions.text import pii_counts, redact_pii
+from ratatool_spark.operators.corpus import (
+    contamination,
+    mixture_sample,
+    repetition_metrics,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+
+def test_repetition_exact_values(spark):
+    # "a b a b a": bigrams = [a b, b a, a b, b a] → top 2/4, dup 4/4
+    # "x y z":     bigrams = [x y, y z]           → top 1/2, dup 0
+    df = _docs(spark, [(1, "a b a b a"), (2, "x y z")])
+    got = {r["doc_id"]: r for r in repetition_metrics(df, n=2).collect()}
+    assert got[1]["n_ngrams"] == 4
+    assert got[1]["top_ngram_frac"] == pytest.approx(0.5)
+    assert got[1]["dup_ngram_frac"] == pytest.approx(1.0)
+    assert got[2]["n_ngrams"] == 2
+    assert got[2]["top_ngram_frac"] == pytest.approx(0.5)
+    assert got[2]["dup_ngram_frac"] == 0.0
+
+
+def test_repetition_short_doc_still_emits(spark):
+    df = _docs(spark, [(1, "solo")])
+    rows = repetition_metrics(df, n=3).collect()
+    assert len(rows) == 1 and rows[0]["n_ngrams"] == 1
+
+
+def test_mixture_hits_target_ratios(spark, documents):
+    shares = {"src0": 0.5, "src1": 0.25, "src2": 0.25}
+    out = mixture_sample(documents, shares, seed=3)
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(got) <= set(shares)
+    n0 = got["src0"]
+    # dice is uniform; each kept count concentrates near rate*n. 2:1:1
+    # ratios within a generous tolerance at fixture size.
+    assert got["src1"] == pytest.approx(n0 / 2, rel=0.5)
+    assert got["src2"] == pytest.approx(n0 / 2, rel=0.5)
+
+
+def test_mixture_is_deterministic_and_subset(spark, documents):
+    shares = {"src0": 0.5, "src3": 0.5}
+    a = sorted(r["doc_id"] for r in mixture_sample(documents, shares, seed=9)
+               .select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in mixture_sample(documents, shares, seed=9)
+               .select("doc_id").collect())
+    assert a == b and len(a) > 0
+    all_ids = {r["doc_id"] for r in documents.select("doc_id").collect()}
+    assert set(a) <= all_ids
+
+
+def test_mixture_full_keep_source(spark):
+    # one source has the binding deficit → kept in full (rate exactly 1)
+    df = _docs(spark, [(i, "t") for i in range(40)]).withColumn(
+        "source", F.when(F.col("doc_id") < 10, "rare").otherwise("common")
+    )
+    out = mixture_sample(df, {"rare": 0.5, "common": 0.5},
+                         dice_cols=("doc_id",), seed=1)
+    kept = out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    got = {r["source"]: r["n"] for r in kept}
+    assert got["rare"] == 10  # K = 10/0.5 binds on the rare source
+
+
+def test_mixture_empty_shares_raises(spark, documents):
+    with pytest.raises(ValueError):
+        mixture_sample(documents, {})
+
+
+def test_contamination_bounds_and_self_hit(spark):
+    df = _docs(spark, [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma epsilon"),
+        (3, "zeta eta theta iota"),
+    ])
+    bench = df.where(F.col("doc_id") == 1)
+    got = {r["doc_id"]: r for r in contamination(df, bench, n=3).collect()}
+    assert got[1]["contamination"] == pytest.approx(1.0)  # self
+    # doc2 shares shingle "alpha beta gamma" only → 1/2
+    assert got[2]["n_shingles"] == 2
+    assert got[2]["n_contaminated"] == 1
+    assert got[3]["contamination"] == 0.0
+
+
+def test_pii_redact_and_counts(spark):
+    df = _docs(spark, [
+        (1, "mail bob@x.org or alice.smith@mail.example.com now"),
+        (2, "server 192.168.0.1 then call 555-0100"),
+        (3, "clean text no pii"),
+    ])
+    n_email, n_ip, n_phone = pii_counts(F.col("text"))
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", n_email.alias("e"), n_ip.alias("i"), n_phone.alias("p"),
+        redact_pii(F.col("text")).alias("clean")).collect()}
+    assert (out[1]["e"], out[1]["i"], out[1]["p"]) == (2, 0, 0)
+    assert out[1]["clean"] == "mail [EMAIL] or [EMAIL] now"
+    assert (out[2]["e"], out[2]["i"], out[2]["p"]) == (0, 1, 1)
+    assert out[2]["clean"] == "server [IP] then call [PHONE]"
+    assert out[3]["clean"] == "clean text no pii"
