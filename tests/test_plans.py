@@ -185,3 +185,32 @@ def test_dedup_shared_subplans_cached(spark, q, max_scans):
         f"{q}: shared subplan re-evaluated — persist() dropped?"
     )
     assert "InMemoryTableScan" in plan
+
+
+def test_mixture_sample_fact_never_shuffles(spark):
+    """mixture_sample: rates reach the fact table via BroadcastHashJoin;
+    the only nested-loop is the deliberate 1-row global-K broadcast. The
+    fact side is scan → broadcast probe → filter (no exchange)."""
+    p = plan_of(spark, "corpus_mixture_sample")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 1
+    # the K join is a 1-row broadcast — allowed; anything larger is not
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_contamination_benchmark_broadcasts(spark):
+    """contamination: the benchmark shingle set broadcasts; the corpus
+    side never shuffles before the per-doc aggregation."""
+    p = plan_of(spark, "corpus_contamination")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert p.count("BroadcastHashJoin") == 1
+
+
+def test_repetition_two_aggregations_only(spark):
+    """repetition_metrics: explode + (doc,gram) agg + (doc) agg — two
+    shuffles, no joins, scan pruned to (doc_id, text)."""
+    p = plan_of(spark, "corpus_repetition")
+    assert "Join" not in p
+    import re as _re
+    m = _re.search(r"FileScan parquet \[([^\]]*)\]", p)
+    assert m and len(m.group(1).split(",")) <= 2
