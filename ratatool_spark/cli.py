@@ -91,6 +91,35 @@ def build_parser() -> argparse.ArgumentParser:
     pk.add_argument("--groupBy", type=_csv, default=None)
     pk.add_argument("--offsetField", default=None)
     pk.add_argument("--format", default=None, help="override input format sniffing")
+
+    mx = sub.add_parser(
+        "mixtureSample",
+        help="resample toward a target per-source mixture "
+        "(deterministic portable dice; broadcast rates, no driver collect)",
+    )
+    mx.add_argument("--input", required=True)
+    mx.add_argument("--output", required=True)
+    mx.add_argument(
+        "--shares",
+        required=True,
+        help="comma list source=share, e.g. web=0.6,books=0.3,code=0.1",
+    )
+    mx.add_argument("--sourceField", default="source")
+    mx.add_argument("--diceFields", type=_csv, default=["doc_id"])
+    mx.add_argument("--seed", type=int, default=0)
+    mx.add_argument("--format", default=None, help="override input format sniffing")
+
+    ct = sub.add_parser(
+        "contamination",
+        help="n-gram-overlap train/test leakage check against a benchmark set",
+    )
+    ct.add_argument("--input", required=True)
+    ct.add_argument("--benchmark", required=True)
+    ct.add_argument("--output", required=True)
+    ct.add_argument("--textField", default="text")
+    ct.add_argument("--idField", default="doc_id")
+    ct.add_argument("--shingleN", type=int, default=3)
+    ct.add_argument("--format", default=None, help="override input format sniffing")
     return p
 
 
@@ -170,6 +199,35 @@ def main(argv: list[str] | None = None) -> int:
                 order_cols=args.orderBy,
                 group_cols=args.groupBy,
                 offset_col=args.offsetField,
+            )
+            write_table(out, args.output, mode="overwrite")
+        elif args.command == "mixtureSample":
+            from ratatool_spark.operators.corpus import mixture_sample
+
+            shares = {}
+            for kv in _csv(args.shares):
+                k, _, v = kv.partition("=")
+                shares[k] = float(v)
+            df = read_table(spark, args.input, fmt=args.format)
+            out = mixture_sample(
+                df,
+                shares,
+                source_col=args.sourceField,
+                dice_cols=args.diceFields,
+                seed=args.seed,
+            )
+            write_table(out, args.output, mode="overwrite")
+        elif args.command == "contamination":
+            from ratatool_spark.operators.corpus import contamination
+
+            df = read_table(spark, args.input, fmt=args.format)
+            bench = read_table(spark, args.benchmark, fmt=args.format)
+            out = contamination(
+                df,
+                bench,
+                text_col=args.textField,
+                id_col=args.idField,
+                n=args.shingleN,
             )
             write_table(out, args.output, mode="overwrite")
         return 0

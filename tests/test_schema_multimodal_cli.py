@@ -275,3 +275,44 @@ def test_cli_pack_sequences(spark, tmp_path):
         assert r["off"] == exp
         assert r["bin_id"] == exp // 4096
         run[r["source"]] = exp + r["n_chars"]
+
+
+def test_cli_mixture_and_contamination(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.cli import main
+
+    src = str(tmp_path / "docs.parquet")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").write.parquet(src)
+
+    out1 = str(tmp_path / "mixed")
+    rc = main(
+        [
+            "mixtureSample",
+            "--input", src,
+            "--output", out1,
+            "--shares", "src0=0.5,src1=0.5",
+            "--seed", "3",
+        ]
+    )
+    assert rc == 0
+    got = spark.read.parquet(out1)
+    srcs = {r["source"] for r in got.select("source").distinct().collect()}
+    assert srcs <= {"src0", "src1"} and got.count() > 0
+
+    bench = str(tmp_path / "bench.parquet")
+    spark.read.parquet(src).where(F.col("doc_id") % 7 == 0).write.parquet(bench)
+    out2 = str(tmp_path / "contam")
+    rc = main(
+        [
+            "contamination",
+            "--input", src,
+            "--benchmark", bench,
+            "--output", out2,
+        ]
+    )
+    assert rc == 0
+    c = spark.read.parquet(out2)
+    assert c.count() > 0
+    mx = c.agg(F.max("contamination")).collect()[0][0]
+    assert mx == 1.0  # benchmark docs are contaminated with themselves
