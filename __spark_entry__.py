@@ -2367,6 +2367,90 @@ _NGRAMS2_SQL = (
 _MIXTURE_SHARES = {"src0": 0.4, "src1": 0.4, "src2": 0.2}
 
 
+def _q_dedup_incremental(spark, sf_dir):
+    """Incremental near-dedup (operators/dedup.dedup_against): odd-id docs
+    (the "new crawl") LSH-joined against even-id docs (the "existing
+    corpus"), candidates verified with exact Jaccard. Cross-side banded
+    equi-join — cost scales with the new batch, never corpus²."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.dedup import dedup_against
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    out = dedup_against(new, corpus, num_hashes=_MINHASH_K, bands=8,
+                        threshold=0.3)
+    return out.select(
+        "id_new",
+        "id_corpus",
+        F.round("est_jaccard", 6).alias("est_jaccard"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def _sql_dedup_incremental() -> str:
+    from ratatool_spark.operators.dedup import MINHASH_P, minhash_coeffs
+
+    k, bands = _MINHASH_K, 8
+    rpb = k // bands
+    sig_exprs = ", ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_P}) AS sig_{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(k))
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, ".format(b=b)
+        + _PH64_SQL.format(
+            x="concat_ws('|', "
+            + ", ".join(f"CAST(sig_{i} AS VARCHAR)" for i in range(b * rpb, (b + 1) * rpb))
+            + ")"
+        )
+        + " AS bh, "
+        + ", ".join(f"sig_{i}" for i in range(k))
+        + " FROM sigs"
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"CASE WHEN l.sig_{i} = r.sig_{i} THEN 1 ELSE 0 END" for i in range(k)
+    )
+    return f"""
+WITH shingled0 AS (
+  SELECT doc_id, UNNEST({_SHINGLES3_SQL}) AS s0 FROM documents
+), shingled AS (
+  SELECT doc_id, {_PH64_SQL.format(x='s0')} % {MINHASH_P} AS h FROM shingled0
+), sigs AS (
+  SELECT doc_id, {sig_exprs} FROM shingled GROUP BY doc_id
+), banded AS (
+  {band_rows}
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id_new, r.doc_id AS id_corpus,
+         ROUND(({matches}) / {float(k)}, 6) AS est_jaccard
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.bh = r.bh
+  WHERE l.doc_id % 2 = 1 AND r.doc_id % 2 = 0
+), dsh AS (
+  SELECT DISTINCT doc_id, {_PH64_SQL.format(x='s0')} AS s FROM shingled0
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_new, b.doc_id AS id_corpus, COUNT(*) AS common
+  FROM dsh a JOIN dsh b ON a.s = b.s
+  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT c.id_new, c.id_corpus, c.est_jaccard,
+       ROUND(COALESCE(i.common, 0)
+             / CAST(na.n + nb.n - COALESCE(i.common, 0) AS DOUBLE), 6)
+         AS jaccard
+FROM cand c
+LEFT JOIN inter i ON i.id_new = c.id_new AND i.id_corpus = c.id_corpus
+JOIN sizes na ON na.doc_id = c.id_new
+JOIN sizes nb ON nb.doc_id = c.id_corpus
+WHERE COALESCE(i.common, 0)
+      / CAST(na.n + nb.n - COALESCE(i.common, 0) AS DOUBLE) >= 0.3
+"""
+
+
 def _q_corpus_repetition(spark, sf_dir):
     """Gopher-style repetition signals (operators/corpus.py): per-doc
     bigram occurrence totals + top-bigram / duplicated-bigram fractions.
@@ -2612,6 +2696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "generator_correlated_join": _q_generator_corr,
         "sequence_packing": _q_sequence_packing,
         "embedding_quantize": _q_embedding_quantize,
+        "dedup_incremental": _q_dedup_incremental,
         "corpus_repetition": _q_corpus_repetition,
         "corpus_mixture_sample": _q_corpus_mixture,
         "corpus_contamination": _q_corpus_contamination,
@@ -2682,6 +2767,7 @@ def oracle_sql() -> dict[str, str]:
         "generator_correlated_join": _sql_generator_corr(),
         "sequence_packing": _sql_sequence_packing(),
         "embedding_quantize": _SQL_EMBEDDING_QUANTIZE,
+        "dedup_incremental": _sql_dedup_incremental(),
         "corpus_repetition": _SQL_CORPUS_REPETITION,
         "corpus_mixture_sample": _sql_corpus_mixture(),
         "corpus_contamination": _SQL_CORPUS_CONTAMINATION,

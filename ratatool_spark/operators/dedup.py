@@ -122,6 +122,32 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def _banded(
+    sigs: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """Explode a signature frame into (id, sig_*, band, bh) LSH-band rows.
+
+    ``bh`` hashes the band's signature slice; colliding (band, bh) keys
+    are the LSH candidates. Shared by the within-corpus self-join
+    (:func:`minhash_lsh_pairs`) and the cross-corpus incremental join
+    (:func:`dedup_against`)."""
+    rows_per_band = num_hashes // bands
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"sig_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                portable_hash64(F.concat_ws("|", *[c.cast("string") for c in cols])).alias("bh"),
+            )
+        )
+    return sigs.select(
+        F.col(id_col),
+        *[F.col(f"sig_{i}") for i in range(num_hashes)],
+        F.explode(F.array(*band_structs)).alias("__b"),
+    ).select(id_col, *[f"sig_{i}" for i in range(num_hashes)], "__b.band", "__b.bh")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -149,21 +175,7 @@ def minhash_lsh_pairs(
     sigs = _persist(
         minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, hasher)
     )
-
-    band_structs = []
-    for b in range(bands):
-        cols = [F.col(f"sig_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_structs.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                portable_hash64(F.concat_ws("|", *[c.cast("string") for c in cols])).alias("bh"),
-            )
-        )
-    banded = sigs.select(
-        F.col(id_col),
-        *[F.col(f"sig_{i}") for i in range(num_hashes)],
-        F.explode(F.array(*band_structs)).alias("__b"),
-    ).select(id_col, *[f"sig_{i}" for i in range(num_hashes)], "__b.band", "__b.bh")
+    banded = _banded(sigs, id_col, num_hashes, bands)
 
     l = banded.alias("l")
     r = banded.alias("r")
@@ -319,6 +331,105 @@ def jaccard_verify(
             "id_b",
             (inter / union.cast("double")).alias("jaccard"),
         )
+    )
+
+
+def dedup_against(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+    hasher: str = "portable",
+    verify: bool = True,
+) -> DataFrame:
+    """Incremental near-dedup: candidate/verified matches of a NEW batch
+    against an EXISTING corpus — "is this crawl shard already in the
+    training set?". Returns (``id_new``, ``id_corpus``, ``est_jaccard``
+    [, ``jaccard`` when ``verify``]) with ``jaccard >= threshold``.
+
+    Both sides get minhash signatures; the LSH join is banded
+    *new × corpus* (shuffle by (band, band-hash), never all-pairs), so
+    cost scales with the new batch, not the corpus — the corpus side in
+    production would read precomputed signatures. ``verify`` recomputes
+    exact Jaccard on the candidates only, each side shingled once
+    (same envelope as :func:`jaccard_verify`). Ids may overlap between
+    sides — sides are tracked positionally, never by id comparison."""
+    sigs_new = _persist(
+        minhash_signatures(new_df, text_col, id_col, num_hashes, shingle_n, hasher)
+    )
+    sigs_corp = _persist(
+        minhash_signatures(corpus_df, text_col, id_col, num_hashes, shingle_n, hasher)
+    )
+    ln = _banded(sigs_new, id_col, num_hashes, bands).alias("l")
+    rc = _banded(sigs_corp, id_col, num_hashes, bands).alias("r")
+    cand = (
+        ln.join(
+            rc,
+            (F.col("l.band") == F.col("r.band")) & (F.col("l.bh") == F.col("r.bh")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_new"),
+            F.col(f"r.{id_col}").alias("id_corpus"),
+            *[
+                (F.col(f"l.sig_{i}") == F.col(f"r.sig_{i}")).cast("int").alias(f"m_{i}")
+                for i in range(num_hashes)
+            ],
+        )
+        .distinct()
+    )
+    est = sum([F.col(f"m_{i}") for i in range(num_hashes)], F.lit(0)) / F.lit(
+        float(num_hashes)
+    )
+    out = cand.select("id_new", "id_corpus", est.alias("est_jaccard"))
+    if not verify:
+        return out.where(F.col("est_jaccard") >= threshold) if threshold > 0 else out
+
+    def shingle_sets(df):
+        return _persist(
+            df.select(
+                F.col(id_col).alias("id"),
+                F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__s"),
+            )
+            .select("id", text_hash64(F.col("__s"), hasher).alias("s"))
+            .groupBy("id")
+            .agg(F.collect_set("s").alias("ss"))
+        )
+
+    sn, sc = shingle_sets(new_df).alias("a"), shingle_sets(corpus_df).alias("b")
+    inter = F.size(F.array_intersect(F.col("a.ss"), F.col("b.ss")))
+    union = F.size(F.col("a.ss")) + F.size(F.col("b.ss")) - inter
+    verified = (
+        out.join(sn, F.col("id_new") == F.col("a.id"))
+        .join(sc, F.col("id_corpus") == F.col("b.id"))
+        .select(
+            "id_new",
+            "id_corpus",
+            "est_jaccard",
+            (inter / union.cast("double")).alias("jaccard"),
+        )
+    )
+    return verified.where(F.col("jaccard") >= threshold) if threshold > 0 else verified
+
+
+def filter_against(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    threshold: float = 0.7,
+    **kwargs,
+) -> DataFrame:
+    """The keep-set: rows of ``new_df`` with no verified near-duplicate in
+    ``corpus_df`` at ``jaccard >= threshold`` (left-anti join on the
+    :func:`dedup_against` matches) — the batch that's safe to append."""
+    id_col = kwargs.get("id_col", "doc_id")
+    hits = dedup_against(
+        new_df, corpus_df, threshold=threshold, **kwargs
+    ).select(F.col("id_new").alias("__hit_id")).distinct()
+    return new_df.join(
+        hits, new_df[id_col] == F.col("__hit_id"), "left_anti"
     )
 
 

@@ -109,3 +109,55 @@ def test_pii_redact_and_counts(spark):
     assert (out[2]["e"], out[2]["i"], out[2]["p"]) == (0, 1, 1)
     assert out[2]["clean"] == "server [IP] then call [PHONE]"
     assert out[3]["clean"] == "clean text no pii"
+
+
+# ---------------------------------------------------------- incremental dedup
+
+
+def test_dedup_against_finds_cross_side_dup(spark):
+    from ratatool_spark.operators.dedup import dedup_against, filter_against
+
+    corpus = _docs(spark, [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"
+            " while birds sing in the tall green trees above the quiet"
+            " meadow path"),
+        (2, "completely unrelated corpus document about spark physical plans"
+            " and shuffle exchanges"),
+    ])
+    new = _docs(spark, [
+        # near-identical to corpus doc 1 (one word changed, J ≈ 0.78)
+        (10, "the quick brown fox jumps over the lazy cat near the river bank"
+             " while birds sing in the tall green trees above the quiet"
+             " meadow path"),
+        (11, "fresh novel content with no counterpart in the existing corpus"
+             " at all"),
+    ])
+    # 8 bands of 2 rows: collision prob at J=0.78 is 1-(1-J²)⁸ ≈ 0.999,
+    # and with the fixed portable hasher the outcome is deterministic.
+    hits = dedup_against(new, corpus, bands=8, threshold=0.5).collect()
+    assert {(r["id_new"], r["id_corpus"]) for r in hits} == {(10, 1)}
+    assert all(0.5 <= r["jaccard"] <= 1.0 for r in hits)
+
+    kept = {r["doc_id"] for r in filter_against(new, corpus, bands=8,
+                                                threshold=0.5)
+            .select("doc_id").collect()}
+    assert kept == {11}
+
+
+def test_dedup_against_id_overlap_is_safe(spark):
+    from ratatool_spark.operators.dedup import dedup_against
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = _docs(spark, [(1, text)])
+    new = _docs(spark, [(1, text)])  # same id on both sides
+    hits = dedup_against(new, corpus, threshold=0.9).collect()
+    assert len(hits) == 1
+    assert (hits[0]["id_new"], hits[0]["id_corpus"]) == (1, 1)
+    assert hits[0]["jaccard"] == pytest.approx(1.0)
+
+
+def test_minhash_lsh_pairs_unchanged_after_band_refactor(spark, documents):
+    from ratatool_spark.operators.dedup import minhash_lsh_pairs
+
+    got = minhash_lsh_pairs(documents, num_hashes=16, bands=4).count()
+    assert got > 0  # fixture contains near-dups; exact parity is driver-gated
