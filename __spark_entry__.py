@@ -2614,6 +2614,60 @@ FROM salted
 """
 
 
+_SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def _q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment (corpus.assign_splits):
+    one portable-dice roll per row against cumulative weight boundaries —
+    membership is stable across runs/engines/partitionings and splits
+    are disjoint by construction. Pure CASE expression, no shuffle."""
+    from ratatool_spark.operators.corpus import assign_splits
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return assign_splits(docs, _SPLIT_WEIGHTS, seed=11).select(
+        "doc_id", "source", "split"
+    )
+
+
+def _sql_split_assign() -> str:
+    # boundaries emitted from the SAME accumulated python floats the Spark
+    # side uses, so both engines compare the dice against bit-identical
+    # doubles (0.9 + 0.05 != 0.95 in IEEE — repr() keeps the exact value)
+    total = sum(_SPLIT_WEIGHTS.values())
+    items = list(_SPLIT_WEIGHTS.items())
+    acc, whens = 0.0, []
+    d = _dice_sql(["doc_id"], seed=11)
+    for name, w in items[:-1]:
+        acc += w / total
+        whens.append(f"WHEN {d} < {acc!r} THEN '{name}'")
+    return f"""
+SELECT doc_id, source,
+       CASE {' '.join(whens)} ELSE '{items[-1][0]}' END AS split
+FROM documents
+"""
+
+
+def _q_shuffle_order(spark, sf_dir):
+    """Reproducible training-order shuffle (corpus.deterministic_shuffle):
+    global position by portable hash, materialized WITHOUT a
+    single-partition window (range partition → parallel per-partition
+    rank → broadcast exclusive prefix-sum of partition counts)."""
+    from ratatool_spark.operators.corpus import deterministic_shuffle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return deterministic_shuffle(
+        docs, dice_cols=("doc_id",), seed=5, rank_col="pos"
+    ).select("pos", "doc_id")
+
+
+_SQL_SHUFFLE_ORDER = f"""
+SELECT row_number() OVER (ORDER BY {_dice_sql(['doc_id'], seed=5)}) AS pos,
+       doc_id
+FROM documents
+"""
+
+
 def _q_orc_roundtrip(spark, sf_dir):
     """S-family extension: parquet → ORC sink → ORC scan (Spark-native
     columnar format, zero extra deps). Same envelope as the avro/proto
@@ -2701,6 +2755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mixture_sample": _q_corpus_mixture,
         "corpus_contamination": _q_corpus_contamination,
         "text_pii_redact": _q_pii_redact,
+        "corpus_split_assign": _q_split_assign,
+        "corpus_shuffle_order": _q_shuffle_order,
         "orc_roundtrip_part": _q_orc_roundtrip,
     }
 
@@ -2772,5 +2828,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_mixture_sample": _sql_corpus_mixture(),
         "corpus_contamination": _SQL_CORPUS_CONTAMINATION,
         "text_pii_redact": _SQL_PII_REDACT,
+        "corpus_split_assign": _sql_split_assign(),
+        "corpus_shuffle_order": _SQL_SHUFFLE_ORDER,
         "orc_roundtrip_part": _SQL_ORC_ROUNDTRIP,
     }

@@ -114,6 +114,99 @@ def mixture_sample(
     )
 
 
+def assign_splits(
+    df: DataFrame,
+    weights: dict[str, float],
+    dice_cols: Sequence[str | Column] = ("doc_id",),
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment: each row lands in
+    exactly one named split with probability proportional to its weight,
+    decided by the portable hash dice over ``dice_cols`` — so membership
+    is stable across runs, engines, and repartitionings, and disjointness
+    is by construction (one dice roll, contiguous intervals).
+
+    Pure column expression (a CASE over cumulative weight boundaries) —
+    no shuffle, no UDF; survives whole-stage codegen at any scale."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = float(sum(weights.values()))
+    roll = dice(list(dice_cols), seed=seed)
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        cond = roll < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    dice_cols: Sequence[str | Column] = ("doc_id",),
+    seed: int = 0,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Reproducible corpus-order randomization (training-order shuffle):
+    orders rows by the portable hash of ``dice_cols`` + ``seed``. The
+    permutation is a pure function of keys and seed — identical on every
+    run, engine, and cluster size.
+
+    With ``rank_col`` set, a dense global position is materialized
+    WITHOUT a single-partition window: range-partition by the hash, rank
+    within each partition (parallel window keyed by partition id), then
+    add the exclusive prefix sum of partition counts — the tiny
+    (#partitions-row) offset table is computed with its own window and
+    broadcast back. Same pattern as ``operators.packing``'s per-group
+    prefix sums; every stage is distributed."""
+    h = dice(list(dice_cols), seed=seed)
+    if rank_col is None:
+        return df.orderBy(h.asc())
+
+    from pyspark.sql import Window
+
+    from pyspark import StorageLevel
+
+    # persisted: __pid feeds both the local ranks and the offset table —
+    # two independent evaluations could range-partition differently and
+    # disagree on partition ids, corrupting the global rank.
+    tagged = (
+        df.withColumn("__h", h)
+        .repartitionByRange(F.col("__h"))
+        .sortWithinPartitions("__h")
+        .withColumn("__pid", F.spark_partition_id())
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    local = tagged.withColumn(
+        "__local",
+        F.row_number().over(Window.partitionBy("__pid").orderBy("__h")),
+    )
+    offs = (
+        tagged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__off")
+    )
+    return (
+        local.join(F.broadcast(offs), "__pid")
+        .withColumn(rank_col, (F.col("__local") + F.col("__off")).cast("long"))
+        .drop("__h", "__pid", "__local", "__off")
+    )
+
+
 def contamination(
     df: DataFrame,
     benchmark: DataFrame,

@@ -161,3 +161,50 @@ def test_minhash_lsh_pairs_unchanged_after_band_refactor(spark, documents):
 
     got = minhash_lsh_pairs(documents, num_hashes=16, bands=4).count()
     assert got > 0  # fixture contains near-dups; exact parity is driver-gated
+
+
+# ----------------------------------------------------- splits / shuffle order
+
+
+def test_assign_splits_disjoint_exhaustive_stable(spark, documents):
+    from ratatool_spark.operators.corpus import assign_splits
+
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = assign_splits(documents, w, seed=11)
+    n = documents.count()
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == n          # exhaustive: every row assigned
+    assert set(counts) <= set(w)              # only named splits
+    assert counts["train"] > counts["val"]    # roughly proportional
+    # stable: same seed → identical assignment
+    again = assign_splits(documents, w, seed=11)
+    assert out.select("doc_id", "split").exceptAll(
+        again.select("doc_id", "split")).count() == 0
+    # different seed → different assignment (overwhelmingly)
+    other = assign_splits(documents, w, seed=12)
+    assert out.select("doc_id", "split").exceptAll(
+        other.select("doc_id", "split")).count() > 0
+
+
+def test_assign_splits_weights_normalize(spark):
+    from ratatool_spark.operators.corpus import assign_splits
+
+    df = _docs(spark, [(i, "t") for i in range(100)])
+    a = assign_splits(df, {"x": 1.0, "y": 1.0}, seed=2)
+    b = assign_splits(df, {"x": 50.0, "y": 50.0}, seed=2)
+    assert a.select("doc_id", "split").exceptAll(
+        b.select("doc_id", "split")).count() == 0
+
+
+def test_deterministic_shuffle_rank_is_dense_permutation(spark, documents):
+    from ratatool_spark.operators.corpus import deterministic_shuffle
+
+    out = deterministic_shuffle(documents, seed=5, rank_col="pos")
+    n = documents.count()
+    rows = out.select("pos", "doc_id").collect()
+    assert sorted(r["pos"] for r in rows) == list(range(1, n + 1))
+    # reproducible: same seed, same permutation
+    again = deterministic_shuffle(documents, seed=5, rank_col="pos")
+    assert out.select("pos", "doc_id").exceptAll(
+        again.select("pos", "doc_id")).count() == 0
