@@ -120,6 +120,17 @@ def build_parser() -> argparse.ArgumentParser:
     ct.add_argument("--idField", default="doc_id")
     ct.add_argument("--shingleN", type=int, default=3)
     ct.add_argument("--format", default=None, help="override input format sniffing")
+
+    cp = sub.add_parser(
+        "compact",
+        help="small-files compaction: rewrite a table into size-targeted, "
+        "optionally sort-clustered files (min/max pruning locality)",
+    )
+    cp.add_argument("--input", required=True)
+    cp.add_argument("--output", required=True)
+    cp.add_argument("--sortBy", type=_csv, default=None)
+    cp.add_argument("--targetFileMb", type=float, default=128)
+    cp.add_argument("--format", default=None, help="override input format sniffing")
     return p
 
 
@@ -230,6 +241,18 @@ def main(argv: list[str] | None = None) -> int:
                 n=args.shingleN,
             )
             write_table(out, args.output, mode="overwrite")
+        elif args.command == "compact":
+            from ratatool_spark.sources.io import compact_files
+
+            compact_files(
+                spark,
+                args.input,
+                args.output,
+                sort_cols=args.sortBy,
+                target_file_mb=args.targetFileMb,
+                fmt=args.format,
+                mode="overwrite",
+            )
         return 0
     finally:
         if not preexisting:  # don't tear down a session we joined

@@ -85,3 +85,53 @@ def test_avro_routes_through_io_chokepoint(spark, lineitem, tmp_path):
     assert not write_table(sub, out, reuse=True)  # memoized skip
     back = read_table(spark, out)
     assertDataFrameEqual(back, sub)
+
+
+def test_compact_files_layout_and_parity(spark, lineitem, tmp_path):
+    """compact_files: fragmented table → fewer, sort-clustered files with
+    disjoint sort-key ranges (parquet min/max prune whole files), rows
+    identical."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from ratatool_spark.sources.io import compact_files, read_table
+
+    frag = str(tmp_path / "fragmented")
+    lineitem.repartition(16).write.parquet(frag)
+    assert len(glob.glob(frag + "/*.parquet")) == 16
+
+    out = str(tmp_path / "compacted")
+    # tiny target forces >1 output file so the range-disjointness of the
+    # sort clustering is actually exercised
+    n = compact_files(spark, frag, out, sort_cols=["l_orderkey"],
+                      target_file_mb=0.05)
+    files = sorted(glob.glob(out + "/*.parquet"))
+    assert 1 < len(files) <= max(n, 1) + 1
+    # row parity
+    assert read_table(spark, out).count() == lineitem.count()
+    # disjoint l_orderkey ranges across files (order files by their min)
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        col = [md.schema.column(i).name for i in range(md.num_columns)].index("l_orderkey")
+        mins = min(md.row_group(g).column(col).statistics.min for g in range(md.num_row_groups))
+        maxs = max(md.row_group(g).column(col).statistics.max for g in range(md.num_row_groups))
+        ranges.append((mins, maxs))
+    ranges.sort()
+    for (a_min, a_max), (b_min, b_max) in zip(ranges, ranges[1:]):
+        assert a_max <= b_min  # clustered: no overlap beyond the boundary
+
+
+def test_cli_compact(spark, lineitem, tmp_path):
+    from ratatool_spark.cli import main
+
+    frag = str(tmp_path / "frag")
+    lineitem.repartition(8).write.parquet(frag)
+    out = str(tmp_path / "opt")
+    rc = main(["compact", "--input", frag, "--output", out,
+               "--sortBy", "l_orderkey"])
+    assert rc == 0
+    import glob
+    assert len(glob.glob(out + "/*.parquet")) == 1  # tiny table → one file
+    assert spark.read.parquet(out).count() == lineitem.count()
