@@ -214,3 +214,13 @@ def test_repetition_two_aggregations_only(spark):
     import re as _re
     m = _re.search(r"FileScan parquet \[([^\]]*)\]", p)
     assert m and len(m.group(1).split(",")) <= 2
+
+
+def test_shuffle_order_rank_not_single_partition(spark):
+    """deterministic_shuffle's dense rank must not funnel the data through
+    a global window: the only SinglePartition exchange allowed is the
+    tiny per-partition-count offset table (#partitions rows)."""
+    p = plan_of(spark, "corpus_shuffle_order")
+    assert p.count("SinglePartition") <= 1
+    # the data-side rank is a partition-local window over __pid
+    assert "row_number" in p

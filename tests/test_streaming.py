@@ -348,3 +348,43 @@ def test_ewma_custom_column_names(events):
     out = ewma_by_key(sub, alpha=0.4, key_col="k", ts_col="t", value_col="x")
     assert out.columns == ["k", "t", "x", "ewma"]
     assert out.count() == sub.count()
+
+
+def test_corpus_filters_are_stream_batch_agnostic(spark, tmp_path):
+    """assign_splits + redact_pii are stateless column expressions, so the
+    identical call runs on a readStream and assigns the same splits /
+    redactions as batch — corpus curation composes onto live ingest."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.functions.text import redact_pii
+    from ratatool_spark.operators.corpus import assign_splits
+
+    src_dir = "/root/testdata/sf0.001"
+    batch = spark.read.parquet(f"{src_dir}/documents.parquet")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(src_dir)
+    )
+    w = {"train": 0.9, "val": 0.1}
+
+    def curate(df):
+        return assign_splits(df, w, seed=4).select(
+            "doc_id", "split", redact_pii(F.col("text")).alias("clean")
+        )
+
+    out = curate(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "out"))
+    expected = curate(batch)
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
