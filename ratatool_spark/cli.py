@@ -129,6 +129,7 @@ def build_parser() -> argparse.ArgumentParser:
     cp.add_argument("--input", required=True)
     cp.add_argument("--output", required=True)
     cp.add_argument("--sortBy", type=_csv, default=None)
+    cp.add_argument("--zorderBy", type=_csv, default=None)
     cp.add_argument("--targetFileMb", type=float, default=128)
     cp.add_argument("--format", default=None, help="override input format sniffing")
     return p
@@ -249,6 +250,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.input,
                 args.output,
                 sort_cols=args.sortBy,
+                zorder_cols=args.zorderBy,
                 target_file_mb=args.targetFileMb,
                 fmt=args.format,
                 mode="overwrite",

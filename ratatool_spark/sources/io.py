@@ -168,30 +168,69 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def zorder_value(
+    df: DataFrame, cols: list[str], bits_per_col: int = 4
+) -> "Column":
+    """Z-order (Morton) key as a pure column expression: each column is
+    quantile-bucketed into ``2^bits_per_col`` ranks (boundaries from
+    ``approxQuantile`` — a bounded driver-side list, baked into the plan
+    as literals), and the rank bits are interleaved. Rows close in
+    z-value are close in EVERY clustered dimension, so sorting files by
+    z-value gives usable min/max pruning on all of them — the multi-column
+    generalization of single-key sort clustering.
+
+    All integer expressions (when-chain bucketing + shifts/ORs) — fully
+    codegen'd; the only non-expression step is the one-time quantile
+    sample per column."""
+    from pyspark.sql import functions as F
+
+    n_buckets = 1 << bits_per_col
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    z = F.lit(0)
+    for ci, c in enumerate(cols):
+        bounds = df.approxQuantile(c, probs, 0.001)
+        bucket = F.lit(0)
+        for b in bounds:  # rank = #boundaries below the value
+            bucket = bucket + (F.col(c) > F.lit(b)).cast("int")
+        # interleave: bit i of column ci lands at position i*len(cols)+ci
+        for bit in range(bits_per_col):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(bucket, bit).bitwiseAND(F.lit(1)),
+                    bit * len(cols) + ci,
+                )
+            )
+    return z
+
+
 def compact_files(
     spark: SparkSession,
     input_path: str,
     output_path: str,
     sort_cols: list[str] | None = None,
+    zorder_cols: list[str] | None = None,
     target_file_mb: float = 128,
     fmt: str | None = None,
     mode: str = "error",
 ) -> int:
-    """Small-files compaction with optional sort clustering (the
-    OPTIMIZE/rewrite maintenance pass every long-lived lakehouse table
-    needs). Returns the number of output files targeted.
+    """Small-files compaction with optional sort or Z-order clustering
+    (the OPTIMIZE/rewrite maintenance pass every long-lived lakehouse
+    table needs). Returns the number of output files targeted.
 
     File count = ceil(input bytes / ``target_file_mb``) from filesystem
-    metadata — no data scan to size the job. With ``sort_cols``,
+    metadata — no data scan to size the job. ``sort_cols``:
     ``repartitionByRange`` + ``sortWithinPartitions`` produce files with
-    disjoint sort-key ranges, so parquet min/max statistics prune whole
-    files for range predicates on those columns (the practical subset of
-    Z-ordering for a leading-column workload); without, a plain
-    ``repartition`` balances bytes. Both are one range/round-robin
-    exchange — at 100 TB this is the table rewrite's unavoidable cost,
-    paid once, amortized over every later pruned scan."""
+    disjoint sort-key ranges — parquet min/max statistics prune whole
+    files for predicates on the leading column. ``zorder_cols``: cluster
+    by the interleaved :func:`zorder_value` instead, trading perfect
+    pruning on one column for good pruning on all of them. Without
+    either, a plain ``repartition`` balances bytes. Each is one
+    range/round-robin exchange — at 100 TB this is the table rewrite's
+    unavoidable cost, paid once, amortized over every later pruned scan."""
     import math
 
+    if sort_cols and zorder_cols:
+        raise ValueError("pass sort_cols or zorder_cols, not both")
     total = 0
     for root, _dirs, files in os.walk(input_path):
         for f in files:
@@ -199,7 +238,15 @@ def compact_files(
                 total += os.path.getsize(os.path.join(root, f))
     n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
     df = read_table(spark, input_path, fmt=fmt)
-    if sort_cols:
+    if zorder_cols:
+        z = zorder_value(df, zorder_cols)
+        out = (
+            df.withColumn("__z", z)
+            .repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    elif sort_cols:
         out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
             *sort_cols
         )

@@ -135,3 +135,53 @@ def test_cli_compact(spark, lineitem, tmp_path):
     import glob
     assert len(glob.glob(out + "/*.parquet")) == 1  # tiny table → one file
     assert spark.read.parquet(out).count() == lineitem.count()
+
+
+def test_zorder_prunes_on_both_dims(spark, lineitem, tmp_path):
+    """Z-order clustering: after compaction by the interleaved key, file
+    min/max statistics can skip files for predicates on EITHER clustered
+    column; a plain leading-column sort prunes only its own column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from ratatool_spark.sources.io import compact_files
+
+    frag = str(tmp_path / "frag")
+    lineitem.repartition(4).write.parquet(frag)
+
+    def file_ranges(path, col_name):
+        rng = []
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            ci = [md.schema.column(i).name for i in range(md.num_columns)].index(col_name)
+            st = [md.row_group(g).column(ci).statistics for g in range(md.num_row_groups)]
+            rng.append((min(s.min for s in st), max(s.max for s in st)))
+        return rng
+
+    def skip_frac(ranges, v):
+        return sum(1 for lo, hi in ranges if not (lo <= v <= hi)) / len(ranges)
+
+    # ~12 files over the 8-bit z-space: enough for the curve to localize
+    # (with ~3 files each spans several z-quadrants and nothing prunes)
+    zdir = str(tmp_path / "zorder")
+    compact_files(spark, frag, zdir, zorder_cols=["l_partkey", "l_suppkey"],
+                  target_file_mb=0.012)
+    sdir = str(tmp_path / "sorted")
+    compact_files(spark, frag, sdir, sort_cols=["l_partkey"],
+                  target_file_mb=0.012)
+
+    # probe at the 25th percentile — clearly inside the lower quadrant
+    pk = lineitem.approxQuantile("l_partkey", [0.25], 0.01)[0]
+    sk = lineitem.approxQuantile("l_suppkey", [0.25], 0.01)[0]
+
+    z_pk = skip_frac(file_ranges(zdir, "l_partkey"), pk)
+    z_sk = skip_frac(file_ranges(zdir, "l_suppkey"), sk)
+    s_pk = skip_frac(file_ranges(sdir, "l_partkey"), pk)
+    s_sk = skip_frac(file_ranges(sdir, "l_suppkey"), sk)
+
+    assert s_pk > 0.5          # plain sort prunes its own column well
+    assert s_sk == 0.0         # ...and nothing on the other column
+    assert z_pk > 0.25 and z_sk > 0.25   # z-order prunes on BOTH
+    # row parity
+    assert spark.read.parquet(zdir).count() == lineitem.count()
