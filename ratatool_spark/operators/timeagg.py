@@ -125,19 +125,32 @@ def distinct_rollup_exact(
     if list(grains) != sorted(grains, key=order.get):
         raise ValueError("grains must be ordered finest to coarsest")
 
-    pairs = df.select(
-        F.date_trunc(grains[0], F.col(ts_col)).alias("bucket"), F.col(key_col)
-    ).distinct()
+    # lazy localCheckpoint: every non-final grain's pairs feed TWO
+    # consumers (its own count and the next grain's derivation) in one
+    # union plan, and the union branches do NOT get ReusedExchange
+    # (measured: 4 FileScans without this, 2.7 s → ~1.4 s cold at sf0.1).
+    # Checkpoint materializes the distinct once; lazy so plan building
+    # stays job-free.
+    pairs = (
+        df.select(
+            F.date_trunc(grains[0], F.col(ts_col)).alias("bucket"),
+            F.col(key_col),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     parts = [
         pairs.groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_distinct"))
         .select(F.lit(grains[0]).alias("grain"), "bucket", "n_distinct")
     ]
     prev = pairs
-    for g in grains[1:]:
+    for i, g in enumerate(grains[1:]):
         prev = prev.select(
             F.date_trunc(g, F.col("bucket")).alias("bucket"), F.col(key_col)
         ).distinct()
+        if i < len(grains) - 2:  # non-final grains feed two consumers too
+            prev = prev.localCheckpoint(eager=False)
         parts.append(
             prev.groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("n_distinct"))
