@@ -358,12 +358,30 @@ def dedup_against(
     exact Jaccard on the candidates only, each side shingled once
     (same envelope as :func:`jaccard_verify`). Ids may overlap between
     sides — sides are tracked positionally, never by id comparison."""
-    sigs_new = _persist(
-        minhash_signatures(new_df, text_col, id_col, num_hashes, shingle_n, hasher)
-    )
-    sigs_corp = _persist(
-        minhash_signatures(corpus_df, text_col, id_col, num_hashes, shingle_n, hasher)
-    )
+
+    def shingled(df):
+        # one shingle+hash pass per side, shared by the signature AND the
+        # verify-set aggregations (the two heaviest subplans)
+        return _persist(
+            df.select(
+                F.col(id_col),
+                F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__s"),
+            ).select(F.col(id_col), text_hash64(F.col("__s"), hasher).alias("__sh"))
+        )
+
+    sh_new, sh_corp = shingled(new_df), shingled(corpus_df)
+
+    def sigs_of(sh):
+        aggs = [
+            F.min(
+                (F.lit(a) * (F.col("__sh") % MINHASH_P) + F.lit(b)) % F.lit(MINHASH_P)
+            ).alias(f"sig_{i}")
+            for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+        ]
+        return sh.groupBy(id_col).agg(*aggs)
+
+    sigs_new = _persist(sigs_of(sh_new))
+    sigs_corp = _persist(sigs_of(sh_corp))
     ln = _banded(sigs_new, id_col, num_hashes, bands).alias("l")
     rc = _banded(sigs_corp, id_col, num_hashes, bands).alias("r")
     cand = (
@@ -388,18 +406,14 @@ def dedup_against(
     if not verify:
         return out.where(F.col("est_jaccard") >= threshold) if threshold > 0 else out
 
-    def shingle_sets(df):
-        return _persist(
-            df.select(
-                F.col(id_col).alias("id"),
-                F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__s"),
-            )
-            .select("id", text_hash64(F.col("__s"), hasher).alias("s"))
+    def shingle_sets(sh):
+        return (
+            sh.select(F.col(id_col).alias("id"), F.col("__sh").alias("s"))
             .groupBy("id")
             .agg(F.collect_set("s").alias("ss"))
         )
 
-    sn, sc = shingle_sets(new_df).alias("a"), shingle_sets(corpus_df).alias("b")
+    sn, sc = shingle_sets(sh_new).alias("a"), shingle_sets(sh_corp).alias("b")
     inter = F.size(F.array_intersect(F.col("a.ss"), F.col("b.ss")))
     union = F.size(F.col("a.ss")) + F.size(F.col("b.ss")) - inter
     verified = (
