@@ -121,6 +121,23 @@ def build_parser() -> argparse.ArgumentParser:
     ct.add_argument("--shingleN", type=int, default=3)
     ct.add_argument("--format", default=None, help="override input format sniffing")
 
+    da = sub.add_parser(
+        "dedupAgainst",
+        help="incremental near-dedup: drop new-batch docs that "
+        "near-duplicate an existing corpus (banded LSH + verified Jaccard)",
+    )
+    da.add_argument("--input", required=True, help="the new batch")
+    da.add_argument("--corpus", required=True, help="the existing corpus")
+    da.add_argument("--output", required=True, help="kept (non-duplicate) rows")
+    da.add_argument("--textField", default="text")
+    da.add_argument("--idField", default="doc_id")
+    da.add_argument("--threshold", type=float, default=0.7)
+    da.add_argument("--numHashes", type=int, default=16)
+    da.add_argument("--bands", type=int, default=8)
+    da.add_argument("--shingleN", type=int, default=3)
+    da.add_argument("--hasher", choices=["portable", "xx"], default="portable")
+    da.add_argument("--format", default=None, help="override input format sniffing")
+
     cp = sub.add_parser(
         "compact",
         help="small-files compaction: rewrite a table into size-targeted, "
@@ -240,6 +257,23 @@ def main(argv: list[str] | None = None) -> int:
                 text_col=args.textField,
                 id_col=args.idField,
                 n=args.shingleN,
+            )
+            write_table(out, args.output, mode="overwrite")
+        elif args.command == "dedupAgainst":
+            from ratatool_spark.operators.dedup import filter_against
+
+            new = read_table(spark, args.input, fmt=args.format)
+            corpus = read_table(spark, args.corpus, fmt=args.format)
+            out = filter_against(
+                new,
+                corpus,
+                threshold=args.threshold,
+                text_col=args.textField,
+                id_col=args.idField,
+                num_hashes=args.numHashes,
+                bands=args.bands,
+                shingle_n=args.shingleN,
+                hasher=args.hasher,
             )
             write_table(out, args.output, mode="overwrite")
         elif args.command == "compact":

@@ -208,3 +208,28 @@ def test_deterministic_shuffle_rank_is_dense_permutation(spark, documents):
     again = deterministic_shuffle(documents, seed=5, rank_col="pos")
     assert out.select("pos", "doc_id").exceptAll(
         again.select("pos", "doc_id")).count() == 0
+
+
+def test_cli_dedup_against(spark, tmp_path):
+    from ratatool_spark.cli import main
+
+    corpus_rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"
+            " while birds sing in the tall green trees above the quiet"
+            " meadow path"),
+    ]
+    new_rows = [
+        (10, "the quick brown fox jumps over the lazy cat near the river bank"
+             " while birds sing in the tall green trees above the quiet"
+             " meadow path"),
+        (11, "fresh novel content with no counterpart in the existing corpus"
+             " at all"),
+    ]
+    cdir, ndir, odir = (str(tmp_path / x) for x in ("c", "n", "o"))
+    _docs(spark, corpus_rows).write.parquet(cdir)
+    _docs(spark, new_rows).write.parquet(ndir)
+    rc = main(["dedupAgainst", "--input", ndir, "--corpus", cdir,
+               "--output", odir, "--threshold", "0.5"])
+    assert rc == 0
+    kept = {r["doc_id"] for r in spark.read.parquet(odir).collect()}
+    assert kept == {11}
