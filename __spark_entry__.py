@@ -2668,6 +2668,35 @@ FROM documents
 """
 
 
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+def _q_profile_orders(spark, sf_dir):
+    """Single-pass table profiler (operators/profile.py): per-column
+    completeness / cardinality / range as ONE scan + ONE aggregation
+    (map-side partials) + plan-side unpivot. exact_distinct for the
+    engine-portable oracle; the default approx HLL is the 100 TB mode."""
+    from ratatool_spark.operators.profile import profile_table
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return profile_table(orders, _PROFILE_COLS, exact_distinct=True)
+
+
+def _sql_profile_orders() -> str:
+    parts = [
+        f"""
+SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_nulls,
+       (COUNT(*) - COUNT({c})) / CAST(COUNT(*) AS DOUBLE) AS null_frac,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_value,
+       CAST(MAX({c}) AS VARCHAR) AS max_value
+FROM orders"""
+        for c in _PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
 def _q_orc_roundtrip(spark, sf_dir):
     """S-family extension: parquet → ORC sink → ORC scan (Spark-native
     columnar format, zero extra deps). Same envelope as the avro/proto
@@ -2757,6 +2786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_redact": _q_pii_redact,
         "corpus_split_assign": _q_split_assign,
         "corpus_shuffle_order": _q_shuffle_order,
+        "profile_orders": _q_profile_orders,
         "orc_roundtrip_part": _q_orc_roundtrip,
     }
 
@@ -2830,5 +2860,6 @@ def oracle_sql() -> dict[str, str]:
         "text_pii_redact": _SQL_PII_REDACT,
         "corpus_split_assign": _sql_split_assign(),
         "corpus_shuffle_order": _SQL_SHUFFLE_ORDER,
+        "profile_orders": _sql_profile_orders(),
         "orc_roundtrip_part": _SQL_ORC_ROUNDTRIP,
     }

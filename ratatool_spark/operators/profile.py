@@ -1,0 +1,76 @@
+"""Single-pass table profiler: per-column completeness / cardinality /
+range statistics — the "analyze" step before any large-scale ingest,
+and a standalone generalization of the diff engine's per-field stats
+(BigDiffy fieldStats, `operators/diffy.py`).
+
+Shape: ONE scan, ONE aggregation producing every column's statistics as
+a single wide row (map-side partial aggregation does the heavy lifting),
+then a plan-side unpivot (``stack``) to one output row per column — no
+per-column jobs, no driver loops. At 100 TB the scan dominates and is
+paid exactly once.
+
+``exact_distinct=False`` (default) uses ``approx_count_distinct`` (HLL,
+mergeable, constant memory) — the 100 TB setting. ``True`` computes
+exact distincts (Spark expands one pass per distinct aggregate) — the
+engine-portable setting the DuckDB oracle twin checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """Profile ``cols`` (default: all) → one row per column:
+    (``col_name``, ``n_rows``, ``n_nulls``, ``null_frac``, ``n_distinct``,
+    ``min_value``, ``max_value``) with min/max rendered as strings so the
+    output schema is column-type-independent."""
+    cols = list(cols) if cols is not None else [f.name for f in df.schema.fields]
+    if not cols:
+        raise ValueError("no columns to profile")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        col = F.col(c)
+        aggs.append(F.count(col).alias(f"__nn_{c}"))
+        aggs.append(
+            (
+                F.count_distinct(col)
+                if exact_distinct
+                else F.approx_count_distinct(col)
+            ).alias(f"__nd_{c}")
+        )
+        aggs.append(F.min(col).cast("string").alias(f"__min_{c}"))
+        aggs.append(F.max(col).cast("string").alias(f"__max_{c}"))
+    wide = df.agg(*aggs)
+    stack_args = []
+    for c in cols:
+        stack_args.extend(
+            [
+                F.lit(c),
+                F.col(f"__nn_{c}"),
+                F.col(f"__nd_{c}"),
+                F.col(f"__min_{c}"),
+                F.col(f"__max_{c}"),
+            ]
+        )
+    unpivoted = wide.select(
+        F.col("__n"),
+        F.stack(
+            F.lit(len(cols)),
+            *stack_args,
+        ).alias("col_name", "__nn", "n_distinct", "min_value", "max_value"),
+    )
+    return unpivoted.select(
+        "col_name",
+        F.col("__n").alias("n_rows"),
+        (F.col("__n") - F.col("__nn")).alias("n_nulls"),
+        ((F.col("__n") - F.col("__nn")) / F.col("__n")).alias("null_frac"),
+        "n_distinct",
+        "min_value",
+        "max_value",
+    )
