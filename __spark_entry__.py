@@ -2668,6 +2668,33 @@ FROM documents
 """
 
 
+def _q_bpe_pairs(spark, sf_dir):
+    """BPE-training pair statistics (corpus.bpe_pair_counts): corpus
+    collapses to distinct words + frequencies, then weighted adjacent
+    char-pair counts — top 50 with deterministic tiebreak."""
+    from ratatool_spark.operators.corpus import bpe_pair_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_pair_counts(docs, top_k=50)
+
+
+_SQL_BPE_PAIRS = f"""
+WITH words AS (
+  SELECT UNNEST({_WORDS_SQL}) AS w FROM documents
+), wf AS (
+  SELECT w, COUNT(*) AS freq FROM words GROUP BY w
+), pairs AS (
+  SELECT freq,
+         UNNEST(list_transform(range(1, greatest(length(w) - 1, 1) + 1),
+                               i -> substr(w, CAST(i AS INT), 2))) AS pair
+  FROM wf
+)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+FROM pairs WHERE length(pair) = 2
+GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 50
+"""
+
+
 _PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
 
 
@@ -2787,6 +2814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split_assign": _q_split_assign,
         "corpus_shuffle_order": _q_shuffle_order,
         "profile_orders": _q_profile_orders,
+        "bpe_pair_stats": _q_bpe_pairs,
         "orc_roundtrip_part": _q_orc_roundtrip,
     }
 
@@ -2861,5 +2889,6 @@ def oracle_sql() -> dict[str, str]:
         "corpus_split_assign": _sql_split_assign(),
         "corpus_shuffle_order": _SQL_SHUFFLE_ORDER,
         "profile_orders": _sql_profile_orders(),
+        "bpe_pair_stats": _SQL_BPE_PAIRS,
         "orc_roundtrip_part": _SQL_ORC_ROUNDTRIP,
     }

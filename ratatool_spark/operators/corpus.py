@@ -35,7 +35,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ratatool_spark.functions.hashing import dice
-from ratatool_spark.functions.text import word_ngrams, word_shingles
+from ratatool_spark.functions.text import tokens, word_ngrams, word_shingles
 
 
 def repetition_metrics(
@@ -112,6 +112,44 @@ def mixture_sample(
         .where(roll < F.col("__rate"))
         .drop("__rate")
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Corpus-wide adjacent character-pair frequencies — the inner loop of
+    BPE tokenizer training (the statistic a merge step maximizes),
+    distributed: tokenize → collapse to DISTINCT words with frequencies
+    (the standard BPE corpus compression — pair work scales with
+    |vocabulary|, not corpus size) → explode each word's adjacent char
+    pairs → weight by word frequency → one keyed sum.
+
+    Output: (``pair``, ``cnt``), optionally top-``top_k`` by count with a
+    deterministic (cnt desc, pair asc) tiebreak. Pure expressions
+    (``substr`` over a ``sequence``) — engine-portable, no UDFs."""
+    words = df.select(F.explode(tokens(F.col(text_col))).alias("__w"))
+    wf = words.groupBy("__w").agg(F.count(F.lit(1)).alias("__freq"))
+    pairs = wf.select(
+        "__freq",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length("__w") - 1, F.lit(1))
+                ),
+                lambda i: F.col("__w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    out = (
+        pairs.where(F.length("pair") == 2)
+        .groupBy("pair")
+        .agg(F.sum("__freq").alias("cnt"))
+    )
+    if top_k is not None:
+        out = out.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(top_k)
+    return out
 
 
 def assign_splits(

@@ -233,3 +233,21 @@ def test_cli_dedup_against(spark, tmp_path):
     assert rc == 0
     kept = {r["doc_id"] for r in spark.read.parquet(odir).collect()}
     assert kept == {11}
+
+
+def test_bpe_pair_counts_exact(spark):
+    from ratatool_spark.operators.corpus import bpe_pair_counts
+
+    # "aba ab" ×2 docs: distinct words {aba:2, ab:2} (freq over corpus)
+    # aba → ab, ba ; ab → ab  ⇒ ab: 2+2=4... weighted: aba freq2 → ab:2,ba:2; ab freq2 → ab:2
+    df = _docs(spark, [(1, "aba ab"), (2, "aba ab")])
+    got = {r["pair"]: r["cnt"] for r in bpe_pair_counts(df).collect()}
+    assert got == {"ab": 4, "ba": 2}
+
+
+def test_bpe_pair_counts_single_char_words_ignored(spark):
+    from ratatool_spark.operators.corpus import bpe_pair_counts
+
+    df = _docs(spark, [(1, "a b c xy")])
+    got = {r["pair"]: r["cnt"] for r in bpe_pair_counts(df).collect()}
+    assert got == {"xy": 1}
