@@ -152,6 +152,75 @@ def bpe_pair_counts(
     return out
 
 
+def bpe_learn(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges over the corpus — the full iterative
+    tokenizer-training loop, distributed like the IVF k-means trainer
+    (``operators/similarity.train_centroids``): per round, one keyed
+    aggregation finds the most frequent adjacent symbol pair (1-row
+    driver collect, deterministic max-count/lexicographic tiebreak), and
+    a pure ``aggregate`` fold greedily merges that pair left-to-right
+    inside every word's symbol array. State (distinct words × symbol
+    arrays × frequencies) is ``localCheckpoint``-ed per round so the plan
+    doesn't grow with iterations — the same guard as
+    ``connected_components``. Returns the merge list in order."""
+    words = df.select(F.explode(tokens(F.col(text_col))).alias("__w"))
+    wf = (
+        words.groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__freq"))
+        .select(
+            "__freq",
+            F.transform(
+                F.sequence(F.lit(1), F.length("__w")),
+                lambda i: F.col("__w").substr(i, F.lit(1)),
+            ).alias("__sym"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    empty = F.array().cast("array<string>")
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        z = F.arrays_zip(
+            F.slice(F.col("__sym"), 1, F.greatest(F.size("__sym") - 1, F.lit(1))).alias("a"),
+            F.slice(F.col("__sym"), 2, F.greatest(F.size("__sym") - 1, F.lit(1))).alias("b"),
+        )
+        pc = (
+            wf.where(F.size("__sym") >= 2)
+            .select("__freq", F.explode(z).alias("__p"))
+            .where(F.col("__p.b").isNotNull())
+            .groupBy(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
+            .agg(F.sum("__freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not pc:
+            break
+        a, b = pc[0]["a"], pc[0]["b"]
+        merges.append((a, b))
+        la, lb = F.lit(a), F.lit(b)
+        merged = F.aggregate(
+            F.col("__sym"),
+            empty,
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == la)
+                & (s == lb),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(F.element_at(acc, -1), s)),
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        wf = wf.select("__freq", merged.alias("__sym")).localCheckpoint(
+            eager=False
+        )
+    return merges
+
+
 def assign_splits(
     df: DataFrame,
     weights: dict[str, float],

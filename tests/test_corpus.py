@@ -251,3 +251,32 @@ def test_bpe_pair_counts_single_char_words_ignored(spark):
     df = _docs(spark, [(1, "a b c xy")])
     got = {r["pair"]: r["cnt"] for r in bpe_pair_counts(df).collect()}
     assert got == {"xy": 1}
+
+
+def test_bpe_learn_merges_hand_computed(spark):
+    from ratatool_spark.operators.corpus import bpe_learn
+
+    # words: abab ×2, ab ×1. round1 pairs: (a,b)=2·2+1=5, (b,a)=2 → merge (a,b)
+    # round2 symbols: abab=[ab,ab], ab=[ab] → (ab,ab)=2 → merge (ab,ab)
+    df = _docs(spark, [(1, "abab abab ab")])
+    merges = bpe_learn(df, n_merges=2)
+    assert merges == [("a", "b"), ("ab", "ab")]
+
+
+def test_bpe_learn_greedy_left_to_right(spark):
+    from ratatool_spark.operators.corpus import bpe_learn
+
+    # "aaaa": round1 (a,a)=3 → merge; greedy fold gives [aa, aa], so
+    # round2's top pair is (aa, aa)
+    df = _docs(spark, [(1, "aaaa aaaa")])
+    merges = bpe_learn(df, n_merges=2)
+    assert merges == [("a", "a"), ("aa", "aa")]
+
+
+def test_bpe_learn_stops_when_exhausted(spark):
+    from ratatool_spark.operators.corpus import bpe_learn
+
+    df = _docs(spark, [(1, "ab")])
+    merges = bpe_learn(df, n_merges=10)
+    # ab → [ab] after one merge; nothing pairable remains → early stop
+    assert merges == [("a", "b")]
