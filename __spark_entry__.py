@@ -2668,6 +2668,66 @@ FROM documents
 """
 
 
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def _q_funnel(spark, sf_dir):
+    """Ordered funnel conversion (operators/funnels.py): sequential-min
+    step timestamps per user (step i strictly after step i-1), counts of
+    users reaching each step. Every join is per-user-aggregate sized."""
+    from ratatool_spark.operators.funnels import funnel_counts
+    from ratatool_spark.sources.io import load_tables
+
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    return funnel_counts(ev, _FUNNEL_STEPS)
+
+
+def _sql_funnel() -> str:
+    steps = _FUNNEL_STEPS
+    ctes = [
+        f"s0 AS (SELECT user_id, MIN(ts) AS t0 FROM events "
+        f"WHERE event_type = '{steps[0]}' GROUP BY user_id)"
+    ]
+    for i in range(1, len(steps)):
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, MIN(e.ts) AS t{i} FROM events e "
+            f"JOIN s{i - 1} p ON e.user_id = p.user_id "
+            f"WHERE e.event_type = '{steps[i]}' AND e.ts > p.t{i - 1} "
+            f"GROUP BY e.user_id)"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS step, '{s}' AS step_name, "
+        f"(SELECT COUNT(*) FROM s{i}) AS n_users"
+        for i, s in enumerate(steps)
+    )
+    return f"WITH {', '.join(ctes)} {selects}"
+
+
+def _q_retention(spark, sf_dir):
+    """Cohort retention triangle (operators/funnels.py): first-active-day
+    cohorts × day offsets, one distinct + one per-user min + one join."""
+    from ratatool_spark.operators.funnels import retention_cohorts
+    from ratatool_spark.sources.io import load_tables
+
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    return retention_cohorts(ev, grain="day")
+
+
+_SQL_RETENTION = """
+WITH per AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS p
+  FROM events
+), firsts AS (
+  SELECT user_id, MIN(p) AS cohort FROM per GROUP BY user_id
+)
+SELECT f.cohort,
+       CAST((epoch(per.p) - epoch(f.cohort)) / 86400 AS BIGINT) AS period_offset,
+       COUNT(*) AS n_users
+FROM per JOIN firsts f ON per.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
 def _q_bpe_pairs(spark, sf_dir):
     """BPE-training pair statistics (corpus.bpe_pair_counts): corpus
     collapses to distinct words + frequencies, then weighted adjacent
@@ -2815,6 +2875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle_order": _q_shuffle_order,
         "profile_orders": _q_profile_orders,
         "bpe_pair_stats": _q_bpe_pairs,
+        "funnel_conversion": _q_funnel,
+        "retention_cohorts": _q_retention,
         "orc_roundtrip_part": _q_orc_roundtrip,
     }
 
@@ -2890,5 +2952,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_shuffle_order": _SQL_SHUFFLE_ORDER,
         "profile_orders": _sql_profile_orders(),
         "bpe_pair_stats": _SQL_BPE_PAIRS,
+        "funnel_conversion": _sql_funnel(),
+        "retention_cohorts": _SQL_RETENTION,
         "orc_roundtrip_part": _SQL_ORC_ROUNDTRIP,
     }
