@@ -2668,6 +2668,62 @@ FROM documents
 """
 
 
+def _q_quality_checks(spark, sf_dir):
+    """Declarative data-quality gate (operators/checks.py): row-level
+    predicates fuse into one scan+agg; uniqueness is one keyed groupBy;
+    referential integrity is one broadcast anti-join. Mix of passing and
+    failing constraints over lineitem→orders."""
+    from ratatool_spark.operators.checks import run_checks
+    from ratatool_spark.sources.io import load_tables
+
+    t = load_tables(spark, sf_dir, names=("lineitem", "orders"))
+    li, orders = t["lineitem"], t["orders"]
+    return run_checks(
+        li,
+        [
+            {"kind": "not_null", "col": "l_orderkey"},
+            {"kind": "in_range", "col": "l_discount", "lo": 0.0, "hi": 0.1},
+            {"kind": "in_range", "col": "l_quantity", "lo": 1.0, "hi": 30.0},
+            {"kind": "accepted_values", "col": "l_returnflag",
+             "values": ["A", "N", "R"]},
+            {"kind": "unique", "cols": ["l_orderkey", "l_linenumber"]},
+            {"kind": "foreign_key", "col": "l_orderkey", "ref": orders,
+             "ref_col": "o_orderkey"},
+        ],
+    )
+
+
+_SQL_QUALITY_CHECKS = """
+WITH rowchecks AS (
+  SELECT
+    CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+    CAST(SUM(CASE WHEN NOT COALESCE(l_discount >= 0.0 AND l_discount <= 0.1, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+    CAST(SUM(CASE WHEN NOT COALESCE(l_quantity >= 1.0 AND l_quantity <= 30.0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+    CAST(SUM(CASE WHEN NOT COALESCE(l_returnflag IN ('A','N','R'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v3
+  FROM lineitem
+), uniq AS (
+  SELECT COALESCE(CAST(SUM(n) AS BIGINT), 0) AS v FROM (
+    SELECT COUNT(*) AS n FROM lineitem
+    GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1
+  )
+), fk AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v
+  FROM lineitem l
+  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+    ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
+)
+SELECT * FROM (
+  SELECT 'not_null:l_orderkey' AS check_name, 'not_null' AS kind, v0 AS n_violations, v0 = 0 AS passed FROM rowchecks
+  UNION ALL SELECT 'in_range:l_discount', 'in_range', v1, v1 = 0 FROM rowchecks
+  UNION ALL SELECT 'in_range:l_quantity', 'in_range', v2, v2 = 0 FROM rowchecks
+  UNION ALL SELECT 'accepted_values:l_returnflag', 'accepted_values', v3, v3 = 0 FROM rowchecks
+  UNION ALL SELECT 'unique:l_orderkey,l_linenumber', 'unique', v, v = 0 FROM uniq
+  UNION ALL SELECT 'foreign_key:l_orderkey', 'foreign_key', v, v = 0 FROM fk
+)
+"""
+
+
 _FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
@@ -2875,6 +2931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle_order": _q_shuffle_order,
         "profile_orders": _q_profile_orders,
         "bpe_pair_stats": _q_bpe_pairs,
+        "quality_checks": _q_quality_checks,
         "funnel_conversion": _q_funnel,
         "retention_cohorts": _q_retention,
         "orc_roundtrip_part": _q_orc_roundtrip,
@@ -2952,6 +3009,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_shuffle_order": _SQL_SHUFFLE_ORDER,
         "profile_orders": _sql_profile_orders(),
         "bpe_pair_stats": _SQL_BPE_PAIRS,
+        "quality_checks": _SQL_QUALITY_CHECKS,
         "funnel_conversion": _sql_funnel(),
         "retention_cohorts": _SQL_RETENTION,
         "orc_roundtrip_part": _SQL_ORC_ROUNDTRIP,

@@ -1,0 +1,113 @@
+"""Declarative data-quality checks — the validation gate a pipeline runs
+before promoting a table (deequ-style constraints, restated as one-pass
+DataFrame aggregations).
+
+A check suite compiles into the cheapest plan that answers it:
+
+* row-level predicates (``not_null``, ``in_range``, ``accepted_values``,
+  ``matches``) fuse into ONE scan + ONE aggregation — each check is a
+  conditional-sum column, so adding checks adds expressions, not passes;
+* ``unique`` is one groupBy on the key columns counting keys seen twice;
+* ``foreign_key`` is one left-anti join against the (deduped, usually
+  broadcast) referenced keys.
+
+Output: (``check_name``, ``kind``, ``n_violations``, ``passed``) — one row per
+check, engine-portable (the oracle twin is plain SQL counts)."""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_ROW_KINDS = ("not_null", "in_range", "accepted_values", "matches")
+
+
+def run_checks(df: DataFrame, checks: list[dict[str, Any]]) -> DataFrame:
+    """Run a check suite. Each check is a dict with ``kind`` plus:
+
+    - ``not_null``: ``col``
+    - ``in_range``: ``col``, ``lo``, ``hi`` (inclusive; nulls violate)
+    - ``accepted_values``: ``col``, ``values`` (nulls violate)
+    - ``matches``: ``col``, ``pattern`` (regex full/partial per ``rlike``;
+      nulls violate)
+    - ``unique``: ``cols`` (list)
+    - ``foreign_key``: ``col``, ``ref`` (DataFrame), ``ref_col``
+
+    ``name`` is optional (defaults to a kind:col label)."""
+    if not checks:
+        raise ValueError("checks must be non-empty")
+    row_aggs, results = [], []
+    for c in checks:
+        kind = c["kind"]
+        name = c.get("name") or f"{kind}:{c.get('col') or ','.join(c.get('cols', []))}"
+        if kind in _ROW_KINDS:
+            col = F.col(c["col"])
+            if kind == "not_null":
+                bad = col.isNull()
+            elif kind == "in_range":
+                ok = (col >= F.lit(c["lo"])) & (col <= F.lit(c["hi"]))
+                bad = ~F.coalesce(ok, F.lit(False))
+            elif kind == "accepted_values":
+                bad = ~F.coalesce(col.isin(*c["values"]), F.lit(False))
+            else:  # matches
+                bad = ~F.coalesce(col.rlike(c["pattern"]), F.lit(False))
+            row_aggs.append(
+                F.sum(bad.cast("long")).alias(f"__v_{len(row_aggs)}")
+            )
+            results.append(("row", name, kind, len(row_aggs) - 1))
+        elif kind == "unique":
+            dups = (
+                df.groupBy(*c["cols"])
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .where(F.col("__n") > 1)
+                .agg(F.coalesce(F.sum("__n"), F.lit(0)).alias("__v"))
+                .select(
+                    F.lit(name).alias("check_name"),
+                    F.lit(kind).alias("kind"),
+                    F.col("__v").alias("n_violations"),
+                )
+            )
+            results.append(("df", dups, None, None))
+        elif kind == "foreign_key":
+            refs = c["ref"].select(
+                F.col(c["ref_col"]).alias(c["col"])
+            ).distinct()
+            orphans = (
+                df.where(F.col(c["col"]).isNotNull())
+                .join(F.broadcast(refs), c["col"], "left_anti")
+                .agg(F.count(F.lit(1)).alias("__v"))
+                .select(
+                    F.lit(name).alias("check_name"),
+                    F.lit(kind).alias("kind"),
+                    F.col("__v").alias("n_violations"),
+                )
+            )
+            results.append(("df", orphans, None, None))
+        else:
+            raise ValueError(f"unknown check kind {kind!r}")
+
+    parts = []
+    if row_aggs:
+        wide = df.agg(*row_aggs)
+        stack_args = []
+        n_row = 0
+        for tag, name, kind, idx in results:
+            if tag == "row":
+                stack_args.extend(
+                    [F.lit(name), F.lit(kind), F.col(f"__v_{idx}")]
+                )
+                n_row += 1
+        parts.append(
+            wide.select(
+                F.stack(F.lit(n_row), *stack_args).alias(
+                    "check_name", "kind", "n_violations"
+                )
+            )
+        )
+    parts.extend(d for tag, d, _k, _i in results if tag == "df")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn("passed", F.col("n_violations") == 0)
