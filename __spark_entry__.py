@@ -2668,6 +2668,30 @@ FROM documents
 """
 
 
+def _q_histogram(spark, sf_dir):
+    """Single-pass equi-width histogram (operators/profile.histogram):
+    caller-provided bounds keep it one scan + one keyed agg; empty
+    buckets materialize via a range-frame left join."""
+    from ratatool_spark.operators.profile import histogram
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return histogram(li, "l_quantity", lo=1.0, hi=51.0, n_buckets=10)
+
+
+_SQL_HISTOGRAM = """
+WITH counts AS (
+  SELECT CAST(LEAST(GREATEST(FLOOR((l_quantity - 1.0::DOUBLE) / 5.0::DOUBLE), 0), 9) AS INT) AS bucket,
+         COUNT(*) AS cnt
+  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1
+)
+SELECT CAST(t.i AS INT) AS bucket,
+       1.0::DOUBLE + t.i * 5.0::DOUBLE AS lo,
+       1.0::DOUBLE + (t.i + 1) * 5.0::DOUBLE AS hi,
+       COALESCE(c.cnt, 0) AS cnt
+FROM range(10) t(i) LEFT JOIN counts c ON c.bucket = t.i
+"""
+
+
 def _q_quality_checks(spark, sf_dir):
     """Declarative data-quality gate (operators/checks.py): row-level
     predicates fuse into one scan+agg; uniqueness is one keyed groupBy;
@@ -2930,6 +2954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split_assign": _q_split_assign,
         "corpus_shuffle_order": _q_shuffle_order,
         "profile_orders": _q_profile_orders,
+        "histogram_quantity": _q_histogram,
         "bpe_pair_stats": _q_bpe_pairs,
         "quality_checks": _q_quality_checks,
         "funnel_conversion": _q_funnel,
@@ -3008,6 +3033,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_split_assign": _sql_split_assign(),
         "corpus_shuffle_order": _SQL_SHUFFLE_ORDER,
         "profile_orders": _sql_profile_orders(),
+        "histogram_quantity": _SQL_HISTOGRAM,
         "bpe_pair_stats": _SQL_BPE_PAIRS,
         "quality_checks": _SQL_QUALITY_CHECKS,
         "funnel_conversion": _sql_funnel(),

@@ -21,6 +21,48 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Equi-width histogram with caller-provided bounds — single pass,
+    one keyed aggregation. Output: (``bucket``, ``lo``, ``hi``, ``cnt``)
+    for every bucket 0..n-1 (empty buckets included, so the shape is
+    stable for plotting/monitoring). Values outside [lo, hi) clamp into
+    the edge buckets; nulls are dropped.
+
+    Bounds come from the caller (a prior :func:`profile_table` run or
+    domain knowledge) precisely so the histogram itself stays one pass —
+    the classic two-pass min/max+bucket split into two explicit calls."""
+    if not n_buckets > 0 or not hi > lo:
+        raise ValueError("need n_buckets > 0 and hi > lo")
+    w = (hi - lo) / n_buckets
+    c = F.col(col)
+    b = F.least(
+        F.greatest(F.floor((c - F.lit(lo)) / F.lit(w)), F.lit(0)),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    counts = (
+        df.where(c.isNotNull())
+        .groupBy(b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spark = df.sparkSession
+    frame = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    return (
+        frame.join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            (F.lit(lo) + F.col("bucket") * F.lit(w)).alias("lo"),
+            (F.lit(lo) + (F.col("bucket") + 1) * F.lit(w)).alias("hi"),
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        )
+    )
+
+
 def profile_table(
     df: DataFrame,
     cols: list[str] | None = None,

@@ -50,3 +50,37 @@ def test_profile_approx_mode_close(spark, orders):
 def test_profile_empty_cols_raises(spark, orders):
     with pytest.raises(ValueError):
         profile_table(orders, [])
+
+
+def test_histogram_exact_and_clamping(spark):
+    from ratatool_spark.operators.profile import histogram
+
+    df = spark.createDataFrame(
+        [Row(v=float(x)) for x in [0.5, 1.0, 4.9, 5.0, 9.9, 100.0]]
+        + [Row(v=None)]
+    )
+    got = {r["bucket"]: r for r in
+           histogram(df, "v", lo=0.0, hi=10.0, n_buckets=2).collect()}
+    assert len(got) == 2
+    # [0,5): 0.5(clamped in), 1.0, 4.9 ; [5,10): 5.0, 9.9, 100.0(clamped)
+    assert got[0]["cnt"] == 3 and got[1]["cnt"] == 3
+    assert (got[0]["lo"], got[0]["hi"]) == (0.0, 5.0)
+    assert (got[1]["lo"], got[1]["hi"]) == (5.0, 10.0)
+
+
+def test_histogram_empty_buckets_present(spark):
+    from ratatool_spark.operators.profile import histogram
+
+    df = spark.createDataFrame([Row(v=1.0)])
+    rows = histogram(df, "v", lo=0.0, hi=100.0, n_buckets=10).collect()
+    assert len(rows) == 10
+    assert sum(r["cnt"] for r in rows) == 1
+
+
+def test_histogram_bad_args_raise(spark):
+    from ratatool_spark.operators.profile import histogram
+
+    df = spark.createDataFrame([Row(v=1.0)])
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        histogram(df, "v", lo=5.0, hi=5.0)
