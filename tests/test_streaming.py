@@ -388,3 +388,54 @@ def test_corpus_filters_are_stream_batch_agnostic(spark, tmp_path):
     expected = curate(batch)
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_funnel_stage_stream_matches_batch(spark, tmp_path):
+    """Live funnel state machine (applyInPandasWithState) reaches the same
+    per-user depth as the batch sequential-min funnel, across multiple
+    micro-batches carrying state."""
+    from ratatool_spark.operators.funnels import funnel
+    from ratatool_spark.streaming.funnel_stream import funnel_stage_stream
+
+    steps = ["view", "click", "purchase"]
+    batch = load_tables(spark, SF, names=("events",))["events"].where(
+        F.col("user_id") < 40
+    )
+    src = str(tmp_path / "src")
+    batch.orderBy("ts").coalesce(1).write.parquet(src)
+
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    out = funnel_stage_stream(stream, steps)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "out"))
+    stream_depth = {
+        r["user_id"]: r["d"]
+        for r in got.groupBy("user_id").agg(F.max("stage").alias("d")).collect()
+    }
+
+    per_user = funnel(spark.read.parquet(src), steps)
+    batch_depth = {}
+    for r in per_user.collect():
+        d = 0
+        for i in range(len(steps)):
+            if r[f"ts_{i}"] is not None:
+                d = i + 1
+        batch_depth[r["user_id"]] = d
+    # batch emits rows only for users who reached step 0 — same keys
+    assert stream_depth == {u: d for u, d in batch_depth.items() if d > 0}
+
+    # batch mode of the same operator agrees too (applyInPandas path)
+    bmode = funnel_stage_stream(spark.read.parquet(src), steps)
+    bdepth = {
+        r["user_id"]: r["d"]
+        for r in bmode.groupBy("user_id").agg(F.max("stage").alias("d")).collect()
+    }
+    assert bdepth == stream_depth
