@@ -2668,6 +2668,73 @@ FROM documents
 """
 
 
+def _q_training_prep(spark, sf_dir):
+    """Composed training-data preparation (the corpus operators chained
+    end-to-end): drop high-repetition docs (dup-bigram fraction > 0.5),
+    scrub PII, assign train/val/test splits with the deterministic dice,
+    and report per-split document/token budgets. One repetition shuffle +
+    pure expressions — the composition stays as scan-friendly as its
+    parts."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.functions.text import redact_pii, token_count
+    from ratatool_spark.operators.corpus import assign_splits, repetition_metrics
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rep = repetition_metrics(docs, n=2).select(
+        "doc_id", "dup_ngram_frac"
+    )
+    kept = (
+        docs.join(rep, "doc_id")
+        .where(F.col("dup_ngram_frac") <= 0.5)
+        .withColumn("clean", redact_pii(F.col("text")))
+    )
+    split = assign_splits(kept, _SPLIT_WEIGHTS, seed=11)
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(F.col("clean"))).alias("n_tokens"),
+        )
+    )
+
+
+def _sql_training_prep() -> str:
+    total = sum(_SPLIT_WEIGHTS.values())
+    items = list(_SPLIT_WEIGHTS.items())
+    acc, whens = 0.0, []
+    d = _dice_sql(["doc_id"], seed=11)
+    for name, w in items[:-1]:
+        acc += w / total
+        whens.append(f"WHEN {d} < {acc!r} THEN '{name}'")
+    case = f"CASE {' '.join(whens)} ELSE '{items[-1][0]}' END"
+    return f"""
+WITH ex AS (
+  SELECT doc_id, UNNEST({_NGRAMS2_SQL}) AS g FROM documents
+), per AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM ex GROUP BY doc_id, g
+), rep AS (
+  SELECT doc_id,
+         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) / CAST(SUM(c) AS DOUBLE)
+           AS dup_frac
+  FROM per GROUP BY doc_id
+), kept AS (
+  SELECT d.doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(d.text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+             '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '[IP]', 'g'),
+           '\\b\\d{{3}}-\\d{{4}}\\b', '[PHONE]', 'g') AS clean
+  FROM documents d JOIN rep r ON d.doc_id = r.doc_id
+  WHERE r.dup_frac <= 0.5
+)
+SELECT {case} AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(trim(clean), ' '))) AS BIGINT) AS n_tokens
+FROM kept GROUP BY 1
+"""
+
+
 def _q_histogram(spark, sf_dir):
     """Single-pass equi-width histogram (operators/profile.histogram):
     caller-provided bounds keep it one scan + one keyed agg; empty
@@ -2955,6 +3022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle_order": _q_shuffle_order,
         "profile_orders": _q_profile_orders,
         "histogram_quantity": _q_histogram,
+        "pipeline_training_prep": _q_training_prep,
         "bpe_pair_stats": _q_bpe_pairs,
         "quality_checks": _q_quality_checks,
         "funnel_conversion": _q_funnel,
@@ -3034,6 +3102,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_shuffle_order": _SQL_SHUFFLE_ORDER,
         "profile_orders": _sql_profile_orders(),
         "histogram_quantity": _SQL_HISTOGRAM,
+        "pipeline_training_prep": _sql_training_prep(),
         "bpe_pair_stats": _SQL_BPE_PAIRS,
         "quality_checks": _SQL_QUALITY_CHECKS,
         "funnel_conversion": _sql_funnel(),

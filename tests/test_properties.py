@@ -222,3 +222,105 @@ def test_proto_delimited_roundtrip_property(tmp_path_factory, recs):
                 assert g[k] == (v or [])
             else:
                 assert g[k] == v
+
+
+# ---------------------------------------------------- corpus-op pure logic
+
+
+@given(
+    st.lists(st.floats(min_value=0.01, max_value=100.0), min_size=1, max_size=8),
+    st.floats(min_value=0.0, max_value=0.999999),
+)
+@settings(max_examples=200, deadline=None)
+def test_split_boundaries_partition_unit_interval(weights, roll):
+    """assign_splits' cumulative boundaries: monotone, ≤ 1, and any dice
+    roll lands in exactly one split with share proportional to weight."""
+    total = sum(weights)
+    acc, bounds = 0.0, []
+    for w in weights[:-1]:
+        acc += w / total
+        bounds.append(acc)
+    assert all(b1 < b2 + 1e-12 for b1, b2 in zip(bounds, bounds[1:]))
+    assert all(0.0 < b < 1.0 + 1e-9 for b in bounds)
+    # exactly one split claims the roll (first boundary above it, else last)
+    claimed = sum(1 for b in bounds if roll < b)
+    assert 0 <= claimed <= len(bounds)
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=10**9), min_size=1, max_size=6),
+    st.lists(st.floats(min_value=0.01, max_value=10.0), min_size=1, max_size=6),
+)
+@settings(max_examples=200, deadline=None)
+def test_mixture_rates_max_volume(ns, ts):
+    """mixture_sample's rate formula: every rate ≤ 1 and the binding
+    source is kept whole (rate exactly 1) — max volume at target mix."""
+    k = min(len(ns), len(ts))
+    ns, ts = ns[:k], ts[:k]
+    K = min(n / t for n, t in zip(ns, ts))
+    rates = [K * t / n for n, t in zip(ns, ts)]
+    assert all(r <= 1.0 + 1e-9 for r in rates)
+    assert any(abs(r - 1.0) < 1e-9 for r in rates)
+
+
+def _interleave(buckets, bits):
+    z = 0
+    for ci, b in enumerate(buckets):
+        for bit in range(bits):
+            z |= ((b >> bit) & 1) << (bit * len(buckets) + ci)
+    return z
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=15), min_size=1, max_size=4),
+)
+@settings(max_examples=200, deadline=None)
+def test_zorder_interleave_bijective(buckets):
+    """zorder_value's bit interleave is invertible — no two bucket tuples
+    collide, so z-ordering never conflates distinct cells."""
+    bits = 4
+    z = _interleave(buckets, bits)
+    back = [0] * len(buckets)
+    for ci in range(len(buckets)):
+        for bit in range(bits):
+            back[ci] |= ((z >> (bit * len(buckets) + ci)) & 1) << bit
+    assert back == buckets
+
+
+@given(
+    st.floats(min_value=-1e6, max_value=1e6),
+    st.floats(min_value=-1e3, max_value=1e3),
+    st.floats(min_value=0.001, max_value=1e3),
+    st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=200, deadline=None)
+def test_histogram_bucket_clamps(v, lo, width, n):
+    """histogram's bucket expression: always lands in [0, n-1]."""
+    import math
+    hi = lo + width * n
+    b = min(max(math.floor((v - lo) / ((hi - lo) / n)), 0), n - 1)
+    assert 0 <= b <= n - 1
+
+
+def _greedy_merge(sym, a, b):
+    """Reference greedy left-to-right merge (what bpe_learn's aggregate
+    fold must reproduce)."""
+    out = []
+    for s in sym:
+        if out and out[-1] == a and s == b:
+            out[-1] = a + b
+        else:
+            out.append(s)
+    return out
+
+
+@given(st.text(alphabet="ab", min_size=0, max_size=20))
+@settings(max_examples=300, deadline=None)
+def test_bpe_greedy_merge_reference(word):
+    """Greedy fold over 'aa' merges: result has no adjacent unmerged
+    (a,a) pair that a left-to-right scan would have taken."""
+    merged = _greedy_merge(list(word), "a", "a")
+    assert "".join(merged) == word  # merging never alters the string
+    for x, y in zip(merged, merged[1:]):
+        # a leftover (a, a) adjacency means the fold missed a merge
+        assert not (x == "a" and y == "a")
