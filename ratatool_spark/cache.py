@@ -1,0 +1,36 @@
+"""Shared registry for operator-internal cached intermediates.
+
+Operators that must materialize a shared subplan (minhash signatures,
+shingle sets, the shuffle-rank partition tags, …) persist it here so
+long-lived sessions have ONE release point: DataFrame cache entries are
+held by the session's CacheManager and are NOT freed by driver GC, so a
+service calling these operators in a loop should call
+:func:`unpersist_intermediates` after materializing each result."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_CACHED: list[DataFrame] = []
+
+
+def persist_tracked(df: DataFrame) -> DataFrame:
+    """persist(MEMORY_AND_DISK) + register for unpersist_intermediates()."""
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _CACHED.append(df)
+    return df
+
+
+def unpersist_intermediates() -> int:
+    """Unpersist every tracked intermediate since the last call. Returns
+    how many relations were released."""
+    n = 0
+    while _CACHED:
+        try:
+            _CACHED.pop().unpersist(blocking=False)
+            n += 1
+        except Exception:  # session already stopped — nothing to release
+            pass
+    return n

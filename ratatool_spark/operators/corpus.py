@@ -276,17 +276,18 @@ def deterministic_shuffle(
 
     from pyspark.sql import Window
 
-    from pyspark import StorageLevel
+    from ratatool_spark.cache import persist_tracked
 
     # persisted: __pid feeds both the local ranks and the offset table —
     # two independent evaluations could range-partition differently and
-    # disagree on partition ids, corrupting the global rank.
-    tagged = (
+    # disagree on partition ids, corrupting the global rank. Tracked in
+    # the shared registry (cache.unpersist_intermediates releases it).
+    tagged = persist_tracked(
         df.withColumn("__h", h)
         .repartitionByRange(F.col("__h"))
         .sortWithinPartitions("__h")
         .withColumn("__pid", F.spark_partition_id())
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     local = tagged.withColumn(
         "__local",
         F.row_number().over(Window.partitionBy("__pid").orderBy("__h")),

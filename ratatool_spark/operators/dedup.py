@@ -35,30 +35,12 @@ from ratatool_spark.functions.hashing import portable_hash64, text_hash64
 from ratatool_spark.functions.text import fingerprint, word_shingles
 from ratatool_spark.functions.vectors import cosine_sim
 
-_CACHED: list[DataFrame] = []
-
-
-def _persist(df: DataFrame) -> DataFrame:
-    """persist(MEMORY_AND_DISK) + register for unpersist_intermediates()."""
-    from pyspark import StorageLevel
-
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _CACHED.append(df)
-    return df
-
-
-def unpersist_intermediates() -> int:
-    """Unpersist every intermediate cached by the dedup operators since the
-    last call. Returns how many relations were released. Call after the
-    downstream action in long-lived sessions."""
-    n = 0
-    while _CACHED:
-        try:
-            _CACHED.pop().unpersist(blocking=False)
-            n += 1
-        except Exception:  # session already stopped — nothing to release
-            pass
-    return n
+# shared registry (ratatool_spark.cache) — re-exported here for backwards
+# compatibility with callers using dedup.unpersist_intermediates()
+from ratatool_spark.cache import (  # noqa: E402
+    persist_tracked as _persist,
+    unpersist_intermediates,
+)
 
 
 def exact_dedup(
