@@ -33,7 +33,10 @@ def run_checks(df: DataFrame, checks: list[dict[str, Any]]) -> DataFrame:
     - ``matches``: ``col``, ``pattern`` (regex full/partial per ``rlike``;
       nulls violate)
     - ``unique``: ``cols`` (list)
-    - ``foreign_key``: ``col``, ``ref`` (DataFrame), ``ref_col``
+    - ``foreign_key``: ``col``, ``ref`` (DataFrame), ``ref_col``,
+      optional ``broadcast`` (default True — dimension-sized refs; set
+      False when the referenced key set is itself fact-sized and must
+      shuffle-anti-join instead of broadcasting)
 
     ``name`` is optional (defaults to a kind:col label)."""
     if not checks:
@@ -74,9 +77,11 @@ def run_checks(df: DataFrame, checks: list[dict[str, Any]]) -> DataFrame:
             refs = c["ref"].select(
                 F.col(c["ref_col"]).alias(c["col"])
             ).distinct()
+            if c.get("broadcast", True):
+                refs = F.broadcast(refs)
             orphans = (
                 df.where(F.col(c["col"]).isNotNull())
-                .join(F.broadcast(refs), c["col"], "left_anti")
+                .join(refs, c["col"], "left_anti")
                 .agg(F.count(F.lit(1)).alias("__v"))
                 .select(
                     F.lit(name).alias("check_name"),

@@ -186,9 +186,12 @@ def zorder_value(
 
     n_buckets = 1 << bits_per_col
     probs = [i / n_buckets for i in range(1, n_buckets)]
+    # ONE approxQuantile call for all columns — a single sampling pass,
+    # not one scan per clustered column
+    all_bounds = df.approxQuantile(list(cols), probs, 0.001)
     z = F.lit(0)
     for ci, c in enumerate(cols):
-        bounds = df.approxQuantile(c, probs, 0.001)
+        bounds = all_bounds[ci]
         bucket = F.lit(0)
         for b in bounds:  # rank = #boundaries below the value
             bucket = bucket + (F.col(c) > F.lit(b)).cast("int")
