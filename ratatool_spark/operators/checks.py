@@ -24,6 +24,57 @@ from pyspark.sql import functions as F
 _ROW_KINDS = ("not_null", "in_range", "accepted_values", "matches")
 
 
+def _row_violation(c: dict[str, Any]):
+    """Violation indicator Column for one row-level check."""
+    kind = c["kind"]
+    col = F.col(c["col"])
+    if kind == "not_null":
+        return col.isNull()
+    if kind == "in_range":
+        ok = (col >= F.lit(c["lo"])) & (col <= F.lit(c["hi"]))
+        return ~F.coalesce(ok, F.lit(False))
+    if kind == "accepted_values":
+        return ~F.coalesce(col.isin(*c["values"]), F.lit(False))
+    if kind == "matches":
+        return ~F.coalesce(col.rlike(c["pattern"]), F.lit(False))
+    raise ValueError(f"{kind!r} is not a row-level check")
+
+
+def observe_checks(df: DataFrame, checks: list[dict[str, Any]], name: str = "quality"):
+    """Attach row-level checks as OBSERVABLE METRICS — violation counters
+    computed as a side effect of whatever action the caller runs next, at
+    ZERO extra scans (``df.observe`` rides the existing plan; this is the
+    monitoring mode of :func:`run_checks`, which spends a pass to get a
+    report table).
+
+    Batch: returns ``(df, Observation)`` — run any action on ``df``, then
+    ``observation.get`` yields ``{label: n_violations, ..., rows: n}``.
+    Streaming: returns ``(df, None)`` with the metrics attached under
+    ``name`` — read them per micro-batch from
+    ``StreamingQueryProgress.observedMetrics`` (the standard streaming
+    observability channel). Only row-level kinds are supported — unique /
+    foreign_key need their own shuffle and belong to :func:`run_checks`."""
+    if not checks:
+        raise ValueError("checks must be non-empty")
+    exprs = []
+    for c in checks:
+        if c["kind"] not in _ROW_KINDS:
+            raise ValueError(
+                f"observe_checks supports row-level kinds only, got {c['kind']!r}"
+            )
+        label = c.get("name") or f"{c['kind']}:{c['col']}"
+        exprs.append(
+            F.sum(_row_violation(c).cast("long")).alias(label)
+        )
+    exprs.append(F.count(F.lit(1)).alias("rows"))
+    if df.isStreaming:
+        return df.observe(name, *exprs), None
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *exprs), obs
+
+
 def run_checks(df: DataFrame, checks: list[dict[str, Any]]) -> DataFrame:
     """Run a check suite. Each check is a dict with ``kind`` plus:
 
@@ -46,18 +97,10 @@ def run_checks(df: DataFrame, checks: list[dict[str, Any]]) -> DataFrame:
         kind = c["kind"]
         name = c.get("name") or f"{kind}:{c.get('col') or ','.join(c.get('cols', []))}"
         if kind in _ROW_KINDS:
-            col = F.col(c["col"])
-            if kind == "not_null":
-                bad = col.isNull()
-            elif kind == "in_range":
-                ok = (col >= F.lit(c["lo"])) & (col <= F.lit(c["hi"]))
-                bad = ~F.coalesce(ok, F.lit(False))
-            elif kind == "accepted_values":
-                bad = ~F.coalesce(col.isin(*c["values"]), F.lit(False))
-            else:  # matches
-                bad = ~F.coalesce(col.rlike(c["pattern"]), F.lit(False))
             row_aggs.append(
-                F.sum(bad.cast("long")).alias(f"__v_{len(row_aggs)}")
+                F.sum(_row_violation(c).cast("long")).alias(
+                    f"__v_{len(row_aggs)}"
+                )
             )
             results.append(("row", name, kind, len(row_aggs) - 1))
         elif kind == "unique":

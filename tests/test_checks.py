@@ -82,3 +82,60 @@ def test_row_checks_single_scan(spark):
     )
     p = out._jdf.queryExecution().executedPlan().toString()
     assert p.count("FileScan") == 1
+
+
+def test_observe_checks_batch_rides_existing_action(spark, dirty):
+    """Observable metrics: violation counters come back from the caller's
+    OWN action — no extra scan/job for monitoring."""
+    from ratatool_spark.operators.checks import observe_checks
+
+    out, obs = observe_checks(
+        dirty,
+        [
+            {"kind": "not_null", "col": "v"},
+            {"kind": "in_range", "col": "v", "lo": 0.0, "hi": 10.0},
+        ],
+    )
+    n = out.count()  # the caller's action
+    m = obs.get
+    assert n == 4 and m["rows"] == 4
+    assert m["not_null:v"] == 1
+    assert m["in_range:v"] == 2
+
+
+def test_observe_checks_streaming_metrics(spark, tmp_path):
+    """Streaming: metrics surface through observedMetrics per batch."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.checks import observe_checks
+
+    src = str(tmp_path / "src")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    )
+    out, _ = observe_checks(
+        stream, [{"kind": "not_null", "col": "text"}], name="q"
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    metrics = [p.observedMetrics.get("q") for p in q.recentProgress
+               if p.observedMetrics.get("q") is not None]
+    assert metrics, "no observed metrics surfaced"
+    assert sum(m["rows"] for m in metrics) == spark.read.parquet(src).count()
+    assert all(m["not_null:text"] == 0 for m in metrics)
+
+
+def test_observe_checks_rejects_non_row_kinds(spark, dirty):
+    from ratatool_spark.operators.checks import observe_checks
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        observe_checks(dirty, [{"kind": "unique", "cols": ["id"]}])
