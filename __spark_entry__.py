@@ -2668,6 +2668,36 @@ FROM documents
 """
 
 
+def _q_sliding_windows(spark, sf_dir):
+    """Context-window training examples (corpus.sliding_windows): per-user
+    ordered event-type windows of 8 with stride 4 — one per-group
+    collect + arithmetic-sequence starts + array slices, parallel by
+    user."""
+    from ratatool_spark.operators.corpus import sliding_windows
+    from ratatool_spark.sources.io import load_tables
+
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    return sliding_windows(
+        ev, "user_id", "ts", "event_type", size=8, stride=4,
+        out_col="win_text",
+    )
+
+
+_SQL_SLIDING_WINDOWS = """
+WITH seq AS (
+  SELECT user_id, list(event_type ORDER BY ts) AS l
+  FROM events GROUP BY user_id
+), starts AS (
+  SELECT user_id, l, UNNEST(range(1, len(l) - 8 + 2, 4)) AS s
+  FROM seq WHERE len(l) >= 8
+)
+SELECT user_id,
+       CAST((s - 1) // 4 AS INT) AS win_idx,
+       array_to_string(l[s : s + 7], ' ') AS win_text
+FROM starts
+"""
+
+
 def _q_training_prep(spark, sf_dir):
     """Composed training-data preparation (the corpus operators chained
     end-to-end): drop high-repetition docs (dup-bigram fraction > 0.5),
@@ -3023,6 +3053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_orders": _q_profile_orders,
         "histogram_quantity": _q_histogram,
         "pipeline_training_prep": _q_training_prep,
+        "sliding_window_examples": _q_sliding_windows,
         "bpe_pair_stats": _q_bpe_pairs,
         "quality_checks": _q_quality_checks,
         "funnel_conversion": _q_funnel,
@@ -3103,6 +3134,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_orders": _sql_profile_orders(),
         "histogram_quantity": _SQL_HISTOGRAM,
         "pipeline_training_prep": _sql_training_prep(),
+        "sliding_window_examples": _SQL_SLIDING_WINDOWS,
         "bpe_pair_stats": _SQL_BPE_PAIRS,
         "quality_checks": _SQL_QUALITY_CHECKS,
         "funnel_conversion": _sql_funnel(),

@@ -315,6 +315,54 @@ def deterministic_shuffle(
     )
 
 
+def sliding_windows(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    size: int,
+    stride: int = 1,
+    out_col: str = "window",
+) -> DataFrame:
+    """Fixed-size sliding windows over each group's ordered values —
+    context-window / next-token training-example construction (windows of
+    ``size`` values, advancing by ``stride``; trailing partials dropped).
+
+    Output: (group, ``win_idx``, ``out_col`` = space-joined window).
+    One groupBy collects each group's ordered list (state bounded by the
+    group's row count — the same per-key envelope as
+    ``user_event_sequences``), then window starts come from an arithmetic
+    ``sequence`` and each window is an array ``slice`` — pure expressions,
+    parallel by group."""
+    if size <= 0 or stride <= 0:
+        raise ValueError("size and stride must be positive")
+    seq = (
+        df.groupBy(group_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(order_col), F.col(value_col)))
+            ).alias("__z")
+        )
+        .select(
+            group_col,
+            F.transform("__z", lambda s: s[value_col]).alias("__l"),
+        )
+        .where(F.size("__l") >= size)
+    )
+    starts = F.sequence(
+        F.lit(1), F.size("__l") - F.lit(size - 1), F.lit(stride)
+    )
+    return seq.select(
+        group_col,
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda s: F.concat_ws(" ", F.slice("__l", s, size)),
+            )
+        ).alias("win_idx", out_col),
+    )
+
+
 def contamination(
     df: DataFrame,
     benchmark: DataFrame,

@@ -280,3 +280,39 @@ def test_bpe_learn_stops_when_exhausted(spark):
     merges = bpe_learn(df, n_merges=10)
     # ab → [ab] after one merge; nothing pairable remains → early stop
     assert merges == [("a", "b")]
+
+
+def test_sliding_windows_exact(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row as R
+
+    from ratatool_spark.operators.corpus import sliding_windows
+
+    rows = [R(u=1, t=dt.datetime(2024, 1, 1, h), v=chr(ord("a") + h))
+            for h in range(5)]           # a b c d e
+    rows += [R(u=2, t=dt.datetime(2024, 1, 1), v="x")]  # too short → dropped
+    df = spark.createDataFrame(rows)
+    got = {(r["u"], r["win_idx"]): r["w"] for r in
+           sliding_windows(df, "u", "t", "v", size=3, stride=2,
+                           out_col="w").collect()}
+    assert got == {(1, 0): "a b c", (1, 1): "c d e"}
+
+
+def test_sliding_windows_stride_one_counts(spark, documents):
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.corpus import sliding_windows
+
+    # token windows per doc: explode tokens with an order index first
+    toks = documents.select(
+        "doc_id", F.posexplode(F.split(F.trim("text"), " ")).alias("i", "tok")
+    )
+    w = sliding_windows(toks, "doc_id", "i", "tok", size=10, stride=1,
+                        out_col="w")
+    one = w.where(F.col("doc_id") == 0).count()
+    n_toks = toks.where(F.col("doc_id") == 0).count()
+    assert one == max(n_toks - 9, 0)
+
+    with __import__("pytest").raises(ValueError):
+        sliding_windows(toks, "doc_id", "i", "tok", size=0)
