@@ -2668,6 +2668,38 @@ FROM documents
 """
 
 
+def _q_shard_roundtrip(spark, sf_dir):
+    """Training-shard sink round-trip (sources/shards.py): deterministic
+    portable-hash shard assignment + partitioned layout + manifest; the
+    oracle recomputes the shard of every row from the same md5 hash, so
+    the assignment itself is cross-engine-gated, not just the rows."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.sources.shards import write_training_shards
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    sl = orders.where(F.col("o_orderkey") % 11 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="rt_shards_"), "shards")
+    write_training_shards(sl, out, n_shards=4, key_cols=["o_orderkey"])
+    back = spark.read.parquet(out)
+    return back.select(
+        "o_orderkey", "o_custkey", "o_orderpriority",
+        F.col("shard").cast("int").alias("shard"),
+    )
+
+
+_SQL_SHARD_ROUNDTRIP = f"""
+SELECT o_orderkey, o_custkey, o_orderpriority,
+       CAST({_PH64_SQL.format(x="concat_ws(chr(1), '13', CAST(o_orderkey AS VARCHAR))")} % 4 AS INT) AS shard
+FROM orders WHERE o_orderkey % 11 = 0
+"""
+
+
 def _q_sliding_windows(spark, sf_dir):
     """Context-window training examples (corpus.sliding_windows): per-user
     ordered event-type windows of 8 with stride 4 — one per-group
@@ -3054,6 +3086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_quantity": _q_histogram,
         "pipeline_training_prep": _q_training_prep,
         "sliding_window_examples": _q_sliding_windows,
+        "shard_roundtrip_orders": _q_shard_roundtrip,
         "bpe_pair_stats": _q_bpe_pairs,
         "quality_checks": _q_quality_checks,
         "funnel_conversion": _q_funnel,
@@ -3135,6 +3168,7 @@ def oracle_sql() -> dict[str, str]:
         "histogram_quantity": _SQL_HISTOGRAM,
         "pipeline_training_prep": _sql_training_prep(),
         "sliding_window_examples": _SQL_SLIDING_WINDOWS,
+        "shard_roundtrip_orders": _SQL_SHARD_ROUNDTRIP,
         "bpe_pair_stats": _SQL_BPE_PAIRS,
         "quality_checks": _SQL_QUALITY_CHECKS,
         "funnel_conversion": _sql_funnel(),

@@ -138,6 +138,19 @@ def build_parser() -> argparse.ArgumentParser:
     da.add_argument("--hasher", choices=["portable", "xx"], default="portable")
     da.add_argument("--format", default=None, help="override input format sniffing")
 
+    ws = sub.add_parser(
+        "writeShards",
+        help="write deterministic training shards + integrity manifest "
+        "(portable-hash assignment, shard=N layout, per-shard checksums)",
+    )
+    ws.add_argument("--input", required=True)
+    ws.add_argument("--output", required=True)
+    ws.add_argument("--numShards", type=int, required=True)
+    ws.add_argument("--keyFields", type=_csv, required=True)
+    ws.add_argument("--verify", action="store_true",
+                    help="re-read and verify against the manifest after writing")
+    ws.add_argument("--format", default=None, help="override input format sniffing")
+
     cp = sub.add_parser(
         "compact",
         help="small-files compaction: rewrite a table into size-targeted, "
@@ -276,6 +289,19 @@ def main(argv: list[str] | None = None) -> int:
                 hasher=args.hasher,
             )
             write_table(out, args.output, mode="overwrite")
+        elif args.command == "writeShards":
+            from ratatool_spark.sources.shards import (
+                verify_shards,
+                write_training_shards,
+            )
+
+            df = read_table(spark, args.input, fmt=args.format)
+            write_training_shards(
+                df, args.output, args.numShards, args.keyFields,
+                mode="overwrite",
+            )
+            if args.verify and not verify_shards(spark, args.output)["ok"]:
+                return 1
         elif args.command == "compact":
             from ratatool_spark.sources.io import compact_files
 

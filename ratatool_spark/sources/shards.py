@@ -1,0 +1,100 @@
+"""Training-shard writer/verifier: the hand-off from the data engine to a
+trainer's data loader.
+
+``write_training_shards`` assigns every row to a deterministic shard
+(portable hash of the key columns mod ``n_shards`` — stable across runs,
+engines, and partitionings, like every dice in this package), writes a
+``shard=N/`` partitioned layout (downstream loaders read shards
+independently — the partitioned-sink pruning path, S11), and records a
+``_manifest.json`` with per-shard row counts and an ORDER-INDEPENDENT
+content checksum (sum of per-row portable hashes over all columns, exact
+integer arithmetic via DECIMAL aggregation).
+
+``verify_shards`` recomputes both from the files and compares — the
+integrity gate a trainer runs before touching a multi-TB shard set.
+One scan writes, one scan verifies; the manifest aggregation is the same
+single pass as the write's shard stats (no extra full read)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ratatool_spark.functions.hashing import hash_cols
+
+MANIFEST = "_manifest.json"
+
+
+def _shard_stats(df: DataFrame, data_cols: list[str]) -> dict[str, dict]:
+    """Per-shard (rows, checksum) in one aggregation. The checksum sums
+    60-bit row hashes into a DECIMAL(38,0) — exact, order-independent,
+    mergeable (it's just an integer sum)."""
+    row_hash = hash_cols([F.col(c) for c in data_cols], seed=7)
+    stats = (
+        df.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(row_hash.cast("decimal(38,0)")).alias("checksum"),
+        )
+        .collect()
+    )
+    return {
+        str(r["shard"]): {"rows": r["rows"], "checksum": str(r["checksum"])}
+        for r in stats
+    }
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key_cols: list[str],
+    fmt: str = "parquet",
+    mode: str = "error",
+) -> dict:
+    """Write ``df`` as ``n_shards`` deterministic shards + manifest.
+    Returns the manifest dict. Key columns must identify a row's shard
+    stably — any stable id works; rows with equal keys land together."""
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    data_cols = df.columns
+    shard = F.pmod(hash_cols([F.col(c) for c in key_cols], seed=13), F.lit(n_shards))
+    sharded = df.withColumn("shard", shard.cast("int"))
+    shards = _shard_stats(sharded, data_cols)
+    (
+        sharded.repartition(n_shards, "shard")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .format(fmt)
+        .save(path)
+    )
+    manifest = {
+        "n_shards": n_shards,
+        "key_cols": key_cols,
+        "data_cols": data_cols,
+        "format": fmt,
+        "total_rows": sum(s["rows"] for s in shards.values()),
+        "shards": shards,
+    }
+    with open(os.path.join(path, MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def verify_shards(spark: SparkSession, path: str) -> dict:
+    """Recompute counts + checksums from the written files and compare to
+    the manifest. Returns {"ok": bool, "mismatches": [shard, ...],
+    "manifest": dict}. One scan."""
+    with open(os.path.join(path, MANIFEST)) as f:
+        manifest = json.load(f)
+    df = spark.read.format(manifest["format"]).load(path)
+    got = _shard_stats(df, manifest["data_cols"])
+    want = manifest["shards"]
+    mismatches = sorted(
+        set(got) ^ set(want)
+        | {s for s in set(got) & set(want) if got[s] != want[s]}
+    )
+    return {"ok": not mismatches, "mismatches": mismatches, "manifest": manifest}
