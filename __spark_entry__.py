@@ -2930,7 +2930,8 @@ WITH per AS (
   SELECT user_id, MIN(p) AS cohort FROM per GROUP BY user_id
 )
 SELECT f.cohort,
-       CAST((epoch(per.p) - epoch(f.cohort)) / 86400 AS BIGINT) AS period_offset,
+       CAST(date_diff('day', CAST(f.cohort AS DATE), CAST(per.p AS DATE)) AS BIGINT)
+         AS period_offset,
        COUNT(*) AS n_users
 FROM per JOIN firsts f ON per.user_id = f.user_id
 GROUP BY 1, 2

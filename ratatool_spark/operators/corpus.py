@@ -51,9 +51,10 @@ def repetition_metrics(
     High values of either fraction flag boilerplate / spam / degenerate
     text (the duplicate-line and top-n-gram filters of the Gopher and C4
     cleaning rules, restated over word n-grams). Documents shorter than
-    one token still emit one (padded) n-gram, so every input row appears
-    in the output."""
-    g = word_ngrams(F.col(text_col), n)
+    one token still emit one (padded) n-gram, and NULL text is treated
+    as empty, so every input row appears in the output — a downstream
+    inner join on the metrics never silently drops documents."""
+    g = word_ngrams(F.coalesce(F.col(text_col), F.lit("")), n)
     per = (
         df.select(F.col(id_col), F.explode(g).alias("__g"))
         .groupBy(id_col, "__g")

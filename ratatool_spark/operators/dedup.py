@@ -387,15 +387,26 @@ def dedup_against(
     out = cand.select("id_new", "id_corpus", est.alias("est_jaccard"))
     if not verify:
         return out.where(F.col("est_jaccard") >= threshold) if threshold > 0 else out
+    # three consumers below (two id-projections + the final join) — persist
+    # so the banded join runs once
+    out = _persist(out)
 
-    def shingle_sets(sh):
+    def shingle_sets(sh, cand_ids):
+        # semi-join to the candidate ids BEFORE aggregating: only LSH
+        # candidates need verify sets — without this the corpus side
+        # would shuffle its entire shingle stream into per-doc arrays,
+        # breaking the "cost scales with the new batch" property
         return (
-            sh.select(F.col(id_col).alias("id"), F.col("__sh").alias("s"))
+            sh.join(cand_ids, id_col, "left_semi")
+            .select(F.col(id_col).alias("id"), F.col("__sh").alias("s"))
             .groupBy("id")
             .agg(F.collect_set("s").alias("ss"))
         )
 
-    sn, sc = shingle_sets(sh_new).alias("a"), shingle_sets(sh_corp).alias("b")
+    ids_new = out.select(F.col("id_new").alias(id_col)).distinct()
+    ids_corp = out.select(F.col("id_corpus").alias(id_col)).distinct()
+    sn = shingle_sets(sh_new, ids_new).alias("a")
+    sc = shingle_sets(sh_corp, ids_corp).alias("b")
     inter = F.size(F.array_intersect(F.col("a.ss"), F.col("b.ss")))
     union = F.size(F.col("a.ss")) + F.size(F.col("b.ss")) - inter
     verified = (

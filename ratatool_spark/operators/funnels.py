@@ -91,13 +91,20 @@ def retention_cohorts(
         F.col(user_col), F.date_trunc(grain, F.col(ts_col)).alias("__p")
     ).distinct()
     firsts = per.groupBy(user_col).agg(F.min("__p").alias("cohort"))
-    secs = {"day": 86400, "hour": 3600, "week": 604800}
-    if grain not in secs:
+    if grain not in ("day", "hour", "week"):
         raise ValueError(f"unsupported grain {grain!r}")
-    offset = (
-        (F.unix_timestamp("__p") - F.unix_timestamp("cohort"))
-        / F.lit(secs[grain])
-    ).cast("long")
+    if grain == "hour":
+        # hour buckets are whole epoch-hours apart in any fixed-offset tz;
+        # epoch arithmetic is exact here
+        offset = (
+            (F.unix_timestamp("__p") - F.unix_timestamp("cohort")) / F.lit(3600)
+        ).cast("long")
+    else:
+        # calendar difference, not epoch seconds: under a DST session
+        # timezone a day is sometimes 23/25 h and epoch//86400 would be
+        # off by one across the transition
+        days = F.datediff(F.col("__p").cast("date"), F.col("cohort").cast("date"))
+        offset = (days / F.lit(7)).cast("long") if grain == "week" else days.cast("long")
     return (
         per.join(firsts, user_col)
         .groupBy("cohort", offset.alias("period_offset"))

@@ -111,7 +111,11 @@ def profile_table(
         "col_name",
         F.col("__n").alias("n_rows"),
         (F.col("__n") - F.col("__nn")).alias("n_nulls"),
-        ((F.col("__n") - F.col("__nn")) / F.col("__n")).alias("null_frac"),
+        # try_divide: profiling an EMPTY (or fully filtered) table must
+        # return a row with null_frac NULL, not throw ANSI DIVIDE_BY_ZERO
+        F.try_divide(F.col("__n") - F.col("__nn"), F.col("__n")).alias(
+            "null_frac"
+        ),
         "n_distinct",
         "min_value",
         "max_value",

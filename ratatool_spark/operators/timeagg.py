@@ -25,6 +25,28 @@ from pyspark.sql import functions as F
 GRAINS = ("minute", "hour", "day", "week", "month", "quarter", "year")
 
 
+def _validate_grains(grains: tuple[str, ...]) -> None:
+    """Rollup chains must NEST: each coarser grain is derived by
+    truncating the previous grain's bucket, which is only correct when
+    every finer bucket lies wholly inside one coarser bucket. All grains
+    nest left-to-right along GRAINS except ``week``: weeks contain whole
+    days (so week may be derived FROM day/hour/minute) but cross
+    month/quarter/year boundaries — deriving those from week buckets
+    would count a March event into February. Hence week is only legal as
+    the LAST grain of a chain."""
+    order = {g: i for i, g in enumerate(GRAINS)}
+    for g in grains:
+        if g not in order:
+            raise ValueError(f"unknown grain {g!r} (use one of {GRAINS})")
+    if list(grains) != sorted(grains, key=order.get):
+        raise ValueError("grains must be ordered finest to coarsest")
+    if "week" in grains[:-1]:
+        raise ValueError(
+            "'week' does not nest into month/quarter/year — it may only be "
+            "the coarsest grain of a rollup chain"
+        )
+
+
 def time_rollup(
     df: DataFrame,
     ts_col: str = "ts",
@@ -34,12 +56,7 @@ def time_rollup(
     """(grain, bucket, n_events, sum_value, min_value, max_value) at every
     requested grain, finest listed first. Coarser grains are computed from
     the finer partial aggregate, not from ``df``."""
-    order = {g: i for i, g in enumerate(GRAINS)}
-    for g in grains:
-        if g not in order:
-            raise ValueError(f"unknown grain {g!r} (use one of {GRAINS})")
-    if list(grains) != sorted(grains, key=order.get):
-        raise ValueError("grains must be ordered finest to coarsest")
+    _validate_grains(grains)
 
     fine = df.groupBy(F.date_trunc(grains[0], F.col(ts_col)).alias("bucket")).agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -81,9 +98,7 @@ def distinct_rollup(
     estimates to sketching the coarse grain directly (union of HLL
     registers is exact), at 1/scan-count of the IO — the OLAP cube /
     streaming-state pattern for distinct users at 100 TB."""
-    order = {g: i for i, g in enumerate(GRAINS)}
-    if list(grains) != sorted(grains, key=order.get):
-        raise ValueError("grains must be ordered finest to coarsest")
+    _validate_grains(grains)
 
     fine = df.groupBy(F.date_trunc(grains[0], F.col(ts_col)).alias("bucket")).agg(
         F.hll_sketch_agg(F.col(key_col), F.lit(lg_k)).alias("sk")
@@ -121,9 +136,7 @@ def distinct_rollup_exact(
     100 TB; use this form when exact counts are required (or as the
     engine-portable oracle for the sketch, which is how the driver gate
     consumes it)."""
-    order = {g: i for i, g in enumerate(GRAINS)}
-    if list(grains) != sorted(grains, key=order.get):
-        raise ValueError("grains must be ordered finest to coarsest")
+    _validate_grains(grains)
 
     # lazy localCheckpoint: every non-final grain's pairs feed TWO
     # consumers (its own count and the next grain's derivation) in one

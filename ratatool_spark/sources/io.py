@@ -168,6 +168,26 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def _input_bytes(spark: SparkSession, path: str) -> int:
+    """Total data bytes under ``path`` from FILESYSTEM METADATA (no data
+    scan). Local paths walk the OS tree; any URI scheme (s3a://, hdfs://,
+    …) goes through the Hadoop FileSystem so remote tables size correctly
+    instead of silently reporting 0 (which would collapse a compaction to
+    one partition)."""
+    if "://" in path and not path.startswith("file://"):
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        return int(fs.getContentSummary(p).getLength())
+    local = path[len("file://"):] if path.startswith("file://") else path
+    total = 0
+    for root, _dirs, files in os.walk(local):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
 def zorder_value(
     df: DataFrame, cols: list[str], bits_per_col: int = 4
 ) -> "Column":
@@ -189,17 +209,19 @@ def zorder_value(
     # ONE approxQuantile call for all columns — a single sampling pass,
     # not one scan per clustered column
     all_bounds = df.approxQuantile(list(cols), probs, 0.001)
-    z = F.lit(0)
+    # long arithmetic throughout: with enough cols×bits the interleaved
+    # position reaches >= 31 and int shiftleft would wrap the sign bit
+    z = F.lit(0).cast("long")
     for ci, c in enumerate(cols):
         bounds = all_bounds[ci]
-        bucket = F.lit(0)
+        bucket = F.lit(0).cast("long")
         for b in bounds:  # rank = #boundaries below the value
-            bucket = bucket + (F.col(c) > F.lit(b)).cast("int")
+            bucket = bucket + (F.col(c) > F.lit(b)).cast("long")
         # interleave: bit i of column ci lands at position i*len(cols)+ci
         for bit in range(bits_per_col):
             z = z.bitwiseOR(
                 F.shiftleft(
-                    F.shiftright(bucket, bit).bitwiseAND(F.lit(1)),
+                    F.shiftright(bucket, bit).bitwiseAND(F.lit(1).cast("long")),
                     bit * len(cols) + ci,
                 )
             )
@@ -234,11 +256,7 @@ def compact_files(
 
     if sort_cols and zorder_cols:
         raise ValueError("pass sort_cols or zorder_cols, not both")
-    total = 0
-    for root, _dirs, files in os.walk(input_path):
-        for f in files:
-            if not f.startswith(("_", ".")):
-                total += os.path.getsize(os.path.join(root, f))
+    total = _input_bytes(spark, input_path)
     n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
     df = read_table(spark, input_path, fmt=fmt)
     if zorder_cols:

@@ -12,8 +12,10 @@ integer arithmetic via DECIMAL aggregation).
 
 ``verify_shards`` recomputes both from the files and compares — the
 integrity gate a trainer runs before touching a multi-TB shard set.
-One scan writes, one scan verifies; the manifest aggregation is the same
-single pass as the write's shard stats (no extra full read)."""
+One scan writes; the manifest is then aggregated from the WRITTEN files
+(one cheap columnar read-back — certifying the bytes on disk, which is
+the only thing a manifest can honestly certify), and verification is one
+more scan whenever the trainer wants the gate."""
 
 from __future__ import annotations
 
@@ -63,13 +65,19 @@ def write_training_shards(
     data_cols = df.columns
     shard = F.pmod(hash_cols([F.col(c) for c in key_cols], seed=13), F.lit(n_shards))
     sharded = df.withColumn("shard", shard.cast("int"))
-    shards = _shard_stats(sharded, data_cols)
     (
         sharded.repartition(n_shards, "shard")
         .write.mode(mode)
         .partitionBy("shard")
         .format(fmt)
         .save(path)
+    )
+    # manifest stats come from the WRITTEN files, not the input plan: a
+    # nondeterministic input (rand columns, changing source) evaluated in
+    # a second job could certify rows that were never written. One cheap
+    # columnar scan of the output, identical to what verify_shards does.
+    shards = _shard_stats(
+        df.sparkSession.read.format(fmt).load(path), data_cols
     )
     manifest = {
         "n_shards": n_shards,

@@ -316,3 +316,13 @@ def test_sliding_windows_stride_one_counts(spark, documents):
 
     with __import__("pytest").raises(ValueError):
         sliding_windows(toks, "doc_id", "i", "tok", size=0)
+
+
+def test_repetition_null_text_not_dropped(spark):
+    from pyspark.sql import Row as R
+
+    from ratatool_spark.operators.corpus import repetition_metrics
+
+    df = spark.createDataFrame([R(doc_id=1, text="a b"), R(doc_id=2, text=None)])
+    got = {r["doc_id"] for r in repetition_metrics(df, n=2).collect()}
+    assert got == {1, 2}

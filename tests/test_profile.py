@@ -84,3 +84,14 @@ def test_histogram_bad_args_raise(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         histogram(df, "v", lo=5.0, hi=5.0)
+
+
+def test_profile_empty_table_returns_rows(spark):
+    """ANSI mode: profiling an empty table must not throw DIVIDE_BY_ZERO."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("a", T.LongType())])
+    rows = profile_table(spark.createDataFrame([], schema),
+                         exact_distinct=True).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_rows"] == 0 and rows[0]["null_frac"] is None

@@ -439,3 +439,23 @@ def test_funnel_stage_stream_matches_batch(spark, tmp_path):
         for r in bmode.groupBy("user_id").agg(F.max("stage").alias("d")).collect()
     }
     assert bdepth == stream_depth
+
+
+def test_rollup_rejects_non_nesting_week_chain(spark):
+    import pytest as _pt
+
+    from ratatool_spark.operators.timeagg import (
+        distinct_rollup_exact,
+        time_rollup,
+    )
+    from ratatool_spark.sources.io import load_tables
+
+    ev = load_tables(spark, SF, names=("events",))["events"]
+    with _pt.raises(ValueError, match="week"):
+        time_rollup(ev, grains=("day", "week", "month"))
+    with _pt.raises(ValueError, match="week"):
+        distinct_rollup_exact(ev, grains=("week", "month"))
+    with _pt.raises(ValueError, match="unknown grain"):
+        distinct_rollup_exact(ev, grains=("hour", "decade"))
+    # week as the coarsest grain stays legal
+    assert time_rollup(ev, grains=("day", "week")).count() > 0
