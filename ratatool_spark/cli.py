@@ -138,6 +138,27 @@ def build_parser() -> argparse.ArgumentParser:
     da.add_argument("--hasher", choices=["portable", "xx"], default="portable")
     da.add_argument("--format", default=None, help="override input format sniffing")
 
+    pf = sub.add_parser(
+        "profile",
+        help="single-pass per-column profile (completeness/cardinality/range)",
+    )
+    pf.add_argument("--input", required=True)
+    pf.add_argument("--output", required=True)
+    pf.add_argument("--columns", type=_csv, default=None)
+    pf.add_argument("--exactDistinct", action="store_true")
+    pf.add_argument("--format", default=None, help="override input format sniffing")
+
+    rc_ = sub.add_parser(
+        "runChecks",
+        help="declarative data-quality gate from a JSON check-suite file; "
+        "exit 1 if any check fails",
+    )
+    rc_.add_argument("--input", required=True)
+    rc_.add_argument("--checks", required=True,
+                     help="JSON file: list of check dicts (see operators/checks.py)")
+    rc_.add_argument("--output", required=True)
+    rc_.add_argument("--format", default=None, help="override input format sniffing")
+
     ws = sub.add_parser(
         "writeShards",
         help="write deterministic training shards + integrity manifest "
@@ -289,6 +310,32 @@ def main(argv: list[str] | None = None) -> int:
                 hasher=args.hasher,
             )
             write_table(out, args.output, mode="overwrite")
+        elif args.command == "profile":
+            from ratatool_spark.operators.profile import profile_table
+
+            df = read_table(spark, args.input, fmt=args.format)
+            out = profile_table(
+                df, cols=args.columns, exact_distinct=args.exactDistinct
+            )
+            write_table(out, args.output, mode="overwrite")
+        elif args.command == "runChecks":
+            import json as _json
+
+            from ratatool_spark.operators.checks import run_checks
+
+            with open(args.checks) as f:
+                suite = _json.load(f)
+            # foreign_key refs come as paths in the JSON form
+            for c in suite:
+                if c.get("kind") == "foreign_key" and isinstance(c.get("ref"), str):
+                    c["ref"] = read_table(spark, c["ref"])
+            df = read_table(spark, args.input, fmt=args.format)
+            report = run_checks(df, suite)
+            write_table(report, args.output, mode="overwrite")
+            from pyspark.sql import functions as SF
+
+            if report.where(~SF.col("passed")).limit(1).count() > 0:
+                return 1
         elif args.command == "writeShards":
             from ratatool_spark.sources.shards import (
                 verify_shards,

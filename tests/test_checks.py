@@ -139,3 +139,36 @@ def test_observe_checks_rejects_non_row_kinds(spark, dirty):
     import pytest as _pt
     with _pt.raises(ValueError):
         observe_checks(dirty, [{"kind": "unique", "cols": ["id"]}])
+
+
+def test_cli_profile_and_run_checks(spark, tmp_path):
+    import json
+
+    from ratatool_spark.cli import main
+
+    src = str(tmp_path / "in.parquet")
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet").write.parquet(src)
+
+    out1 = str(tmp_path / "prof")
+    assert main(["profile", "--input", src, "--output", out1,
+                 "--columns", "o_orderkey,o_orderstatus"]) == 0
+    prof = spark.read.parquet(out1)
+    assert prof.count() == 2
+
+    # passing suite → rc 0
+    suite = [{"kind": "not_null", "col": "o_orderkey"}]
+    cf = tmp_path / "checks.json"
+    cf.write_text(json.dumps(suite))
+    out2 = str(tmp_path / "rep0")
+    assert main(["runChecks", "--input", src, "--checks", str(cf),
+                 "--output", out2]) == 0
+
+    # failing suite → rc 1, report still written
+    suite = [{"kind": "accepted_values", "col": "o_orderstatus",
+              "values": ["NOPE"]}]
+    cf.write_text(json.dumps(suite))
+    out3 = str(tmp_path / "rep1")
+    assert main(["runChecks", "--input", src, "--checks", str(cf),
+                 "--output", out3]) == 1
+    rep = spark.read.parquet(out3).collect()
+    assert len(rep) == 1 and not rep[0]["passed"]
