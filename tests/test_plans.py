@@ -224,3 +224,14 @@ def test_shuffle_order_rank_not_single_partition(spark):
     assert p.count("SinglePartition") <= 1
     # the data-side rank is a partition-local window over __pid
     assert "row_number" in p
+
+
+def test_driver_contract_key_parity():
+    """Every queries() entry has an oracle_sql() twin and vice versa —
+    the driver's correctness gate covers the full query surface (the r2
+    verdict's gate-coverage action item, pinned as a test)."""
+    import __spark_entry__ as m
+
+    q, o = set(m.queries()), set(m.oracle_sql())
+    assert q == o, f"only-in-queries={q - o}, only-in-oracles={o - q}"
+    assert len(q) >= 75
