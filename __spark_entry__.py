@@ -2499,13 +2499,13 @@ def _q_corpus_mixture(spark, sf_dir):
     return out.select("doc_id", "source", "lang")
 
 
-def _sql_corpus_mixture() -> str:
+def _sql_corpus_mixture(n_expr: str = "COUNT(*)", seed: int = 7) -> str:
     cases = " ".join(
         f"WHEN '{s}' THEN {t}::DOUBLE" for s, t in _MIXTURE_SHARES.items()
     )
     return f"""
 WITH counts AS (
-  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+  SELECT source, {n_expr} AS n FROM documents GROUP BY source
 ), t AS (
   SELECT source, n, CASE source {cases} END AS tgt FROM counts
   WHERE CASE source {cases} END IS NOT NULL
@@ -2516,8 +2516,29 @@ WITH counts AS (
 )
 SELECT d.doc_id, d.source, d.lang
 FROM documents d JOIN rates r ON d.source = r.source
-WHERE {_dice_sql(['doc_id'], seed=7)} < r.rate
+WHERE {_dice_sql(['doc_id'], seed=seed)} < r.rate
 """
+
+
+def _q_corpus_mixture_tokens(spark, sf_dir):
+    """Token-weighted mixture resampling: the same deterministic
+    keep-rate machinery with per-source TOKEN sums as the mixture unit —
+    what LLM data recipes actually specify. Each row keeps all-or-none
+    of its weight; expected kept tokens hit the target ratios."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.functions.text import token_count
+    from ratatool_spark.operators.corpus import mixture_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = mixture_sample(
+        docs,
+        _MIXTURE_SHARES,
+        dice_cols=("doc_id",),
+        seed=21,
+        weight_col=token_count(F.col("text")),
+    )
+    return out.select("doc_id", "source", "lang")
 
 
 def _q_corpus_contamination(spark, sf_dir):
@@ -3079,6 +3100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _q_dedup_incremental,
         "corpus_repetition": _q_corpus_repetition,
         "corpus_mixture_sample": _q_corpus_mixture,
+        "corpus_mixture_by_tokens": _q_corpus_mixture_tokens,
         "corpus_contamination": _q_corpus_contamination,
         "text_pii_redact": _q_pii_redact,
         "corpus_split_assign": _q_split_assign,
@@ -3161,6 +3183,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": _sql_dedup_incremental(),
         "corpus_repetition": _SQL_CORPUS_REPETITION,
         "corpus_mixture_sample": _sql_corpus_mixture(),
+        "corpus_mixture_by_tokens": _sql_corpus_mixture(
+            n_expr="CAST(SUM(len(string_split(trim(text), ' '))) AS DOUBLE)",
+            seed=21,
+        ),
         "corpus_contamination": _SQL_CORPUS_CONTAMINATION,
         "text_pii_redact": _SQL_PII_REDACT,
         "corpus_split_assign": _sql_split_assign(),

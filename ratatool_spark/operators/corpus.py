@@ -76,6 +76,7 @@ def mixture_sample(
     source_col: str = "source",
     dice_cols: Sequence[str | Column] = ("doc_id",),
     seed: int = 0,
+    weight_col: str | Column | None = None,
 ) -> DataFrame:
     """Deterministically resample ``df`` toward a target per-source mixture.
 
@@ -88,6 +89,13 @@ def mixture_sample(
     ``seed`` (BigSampler's reproducible-dice contract), so the kept set
     is stable across runs/engines and independent of partitioning.
 
+    ``weight_col`` switches the mixture's unit from documents to any
+    additive weight — pass a token-count column (or expression, e.g.
+    ``token_count(F.col("text"))``) to target TOKEN shares, which is what
+    LLM data mixtures actually specify. Keep-rates then equalize expected
+    kept weight per source; selection stays per-row (each row keeps all
+    or none of its weight, unbiased in expectation).
+
     Plan shape: one tiny groupBy(source) count, a 1-row global min, and
     a broadcast join of the per-source rates back onto the fact table —
     the fact table itself never shuffles and is scanned once."""
@@ -96,9 +104,15 @@ def mixture_sample(
     tgt = F.create_map(
         *[F.lit(x) for kv in target_shares.items() for x in kv]
     )
+    if weight_col is None:
+        w = F.lit(1).cast("double")
+    elif isinstance(weight_col, str):
+        w = F.col(weight_col).cast("double")
+    else:
+        w = weight_col.cast("double")
     counts = (
         df.groupBy(source_col)
-        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.sum(w).alias("__n"))
         .withColumn("__t", tgt[F.col(source_col)])
         .where(F.col("__t").isNotNull() & (F.col("__t") > 0))
     )

@@ -326,3 +326,20 @@ def test_repetition_null_text_not_dropped(spark):
     df = spark.createDataFrame([R(doc_id=1, text="a b"), R(doc_id=2, text=None)])
     got = {r["doc_id"] for r in repetition_metrics(df, n=2).collect()}
     assert got == {1, 2}
+
+
+def test_mixture_token_weighted_ratios(spark, documents):
+    from ratatool_spark.functions.text import token_count
+    from ratatool_spark.operators.corpus import mixture_sample
+
+    shares = {"src0": 0.5, "src1": 0.5}
+    out = mixture_sample(documents, shares, seed=2,
+                         weight_col=token_count(F.col("text")))
+    toks = {r["source"]: r["t"] for r in
+            out.groupBy("source")
+               .agg(F.sum(token_count(F.col("text"))).alias("t")).collect()}
+    assert set(toks) <= set(shares)
+    # equal target shares → kept token masses roughly equal
+    a, b = toks.get("src0", 0), toks.get("src1", 0)
+    assert a > 0 and b > 0
+    assert abs(a - b) / max(a, b) < 0.5
