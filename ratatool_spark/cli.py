@@ -33,6 +33,13 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--distributionFields", type=_csv, default=None)
     s.add_argument("--exact", action="store_true")
     s.add_argument("--seed", type=int, default=42)
+    s.add_argument(
+        "--hashAlgorithm",
+        choices=["portable", "xx", "farm", "murmur"],
+        default="portable",
+        help="dice hash backend (Util.scala:85-103 farm|murmur parity; "
+        "portable = md5 cross-engine default, xx = fastest Spark-native)",
+    )
     s.add_argument("--format", default=None, help="override input format sniffing")
 
     d = sub.add_parser("bigDiffy", help="pairwise keyed dataset diff")
@@ -208,6 +215,7 @@ def main(argv: list[str] | None = None) -> int:
                 uniform=args.distribution == "uniform",
                 exact=args.exact,
                 seed=args.seed,
+                hasher=args.hashAlgorithm,
             )
             write_table(out, args.output, mode="overwrite")
         elif args.command == "bigDiffy":

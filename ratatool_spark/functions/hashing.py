@@ -212,6 +212,91 @@ def farm_dice(col: Column | str, seed: int | None = None) -> Column:
     return (h.cast("double") - F.lit(lmin)) / (F.lit(lmax) - F.lit(lmin))
 
 
+def murmur_udf(seed: int = 0):
+    """Guava ``murmur3_128(seed).hashBytes(utf8).asLong()`` UDF — the
+    reference's alternate CLI hasher (``--hashAlgorithm=murmur``,
+    Util.scala:89-91). Unlike farmhash's ``putInt(seed)`` byte-prefix
+    layout, the murmur seed initialises the hash state.
+
+    The reference defaults the murmur seed to ``currentTimeMillis`` when
+    none is given (Util.scala:91) — deliberately non-reproducible; we
+    default to 0 instead so unseeded runs stay deterministic.
+
+    Backend: the pure-Python ``functions.murmur3`` port, bit-identical to
+    Guava (property-tested through the Spark JVM in tests/test_murmur3.py),
+    Arrow-batched. Prefer ``portable_hash64`` (JVM md5 in whole-stage
+    codegen) when murmur bit parity is not required."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ratatool_spark.functions.murmur3 import murmur3_128_aslong
+
+    def _mm(s):
+        return s.map(
+            lambda x: None if x is None else murmur3_128_aslong(x, seed=seed)
+        )
+
+    # real hints: `from __future__ import annotations` would leave
+    # pandas_udf unable to resolve the string 'pd.Series'
+    _mm.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(T.LongType())(_mm)
+
+
+def murmur_dice(col: Column | str, seed: int = 0) -> Column:
+    """Murmur sampling dice: murmur3_128 asLong → [0,1) via the reference's
+    signed-range affine map (BigSampler.scala:74-75 ``boundLong``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = murmur_udf(seed)(c.cast("string"))
+    lmin, lmax = float(-(2**63)), float(2**63 - 1)
+    return (h.cast("double") - F.lit(lmin)) / (F.lit(lmax) - F.lit(lmin))
+
+
+def hash_feed(
+    cols: Sequence[Column | str],
+    dtypes: Sequence[T.DataType | None] | None = None,
+) -> Column:
+    """The canonical multi-field string feed: per-type rendering joined on
+    the unit separator, nulls skipped — shared by every hasher backend so a
+    cohort is defined by (fields, seed, hasher) alone."""
+    if dtypes is not None:
+        rendered = [serialize_for_hash(c, t) for c, t in zip(cols, dtypes)]
+    else:
+        rendered = [serialize_for_hash(c) for c in cols]
+    return F.concat_ws(FIELD_SEP, *rendered)
+
+
+def dice_for(
+    hasher: str,
+    cols: Sequence[Column | str],
+    seed: int = 0,
+    dtypes: Sequence[T.DataType | None] | None = None,
+) -> Column:
+    """Uniform [0,1) dice over the fields with a selectable hash backend —
+    the Spark face of the reference's ``--hashAlgorithm`` switch
+    (Util.scala:85-103 farm|murmur) plus our two native tiers:
+
+    * ``portable`` — md5-based, JVM-side, cross-engine reproducible (default)
+    * ``xx``       — xxhash64, JVM-side, Spark-only, fastest
+    * ``farm``     — FARM_FINGERPRINT parity (BigQuery-reproducible cohorts)
+    * ``murmur``   — Guava murmur3_128(seed) parity
+    """
+    if hasher == "portable":
+        return dice(cols, seed=seed, dtypes=dtypes)
+    if hasher == "xx":
+        return xxdice(cols, seed=seed)
+    lmin, lmax = float(-(2**63)), float(2**63 - 1)
+    feed = hash_feed(cols, dtypes)
+    if hasher == "farm":
+        h = farmhash_udf(seed)(feed)
+    elif hasher == "murmur":
+        h = murmur_udf(seed)(feed)
+    else:
+        raise ValueError(
+            f"unknown hasher {hasher!r} (use portable|xx|farm|murmur)"
+        )
+    return (h.cast("double") - F.lit(lmin)) / (F.lit(lmax) - F.lit(lmin))
+
+
 def duckdb_dice_sql(field_sql: Sequence[str], seed: int = 0) -> str:
     """Emit the DuckDB SQL expression equivalent to ``dice`` over the given
     already-rendered field expressions. Used by the oracle harness; kept here

@@ -43,8 +43,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ratatool_spark.functions.hashing import dice as hash_dice
-from ratatool_spark.functions.hashing import xxdice
+from ratatool_spark.functions.hashing import dice_for
 
 _ROLL = "__rt_roll"
 _PROB = "__rt_prob"
@@ -76,18 +75,20 @@ def _resolve_dice(
     fields: list[str] | None,
     seed: int,
     portable: bool,
+    hasher: str | None = None,
 ) -> Column:
     """Dice column: deterministic field-hash when ``fields`` given, else
     per-row random. Matches diceElement (BigSampler.scala:83-90) /
-    assignRandomRoll (Random.scala:84-105)."""
+    assignRandomRoll (Random.scala:84-105). ``hasher`` (portable|xx|farm|
+    murmur) is the reference's ``--hashAlgorithm`` switch (Util.scala:85-103)
+    and overrides the legacy ``portable`` flag when given."""
     if fields:
         dtypes = []
         for f_name in fields:
             dtypes.append(df.schema[f_name].dataType if "." not in f_name else None)
         cols = [F.col(f_name) for f_name in fields]
-        if portable:
-            return hash_dice(cols, seed=seed, dtypes=dtypes)
-        return xxdice(cols, seed=seed)
+        backend = hasher if hasher is not None else ("portable" if portable else "xx")
+        return dice_for(backend, cols, seed=seed, dtypes=dtypes)
     return F.rand(seed)
 
 
@@ -110,6 +111,7 @@ def sample(
     exact: bool = False,
     seed: int = 42,
     portable: bool = True,
+    hasher: str | None = None,
     audit: bool = False,
     error_tolerance: float = 1e-2,
 ) -> DataFrame | tuple[DataFrame, SampleAudit]:
@@ -119,7 +121,10 @@ def sample(
     (``--fields``); ``strata`` ⇒ stratified distribution
     (``--distribution=stratified --distributionFields``); ``uniform`` ⇒ equal
     target per stratum; ``exact`` ⇒ exact counts (``--exact``). ``portable``
-    selects the md5 cross-engine hash vs the faster Spark-native xxhash64.
+    selects the md5 cross-engine hash vs the faster Spark-native xxhash64;
+    ``hasher`` (portable|xx|farm|murmur) is the reference's
+    ``--hashAlgorithm`` switch (Util.scala:85-103) and wins over
+    ``portable`` when given.
 
     Returns the sampled DataFrame (same schema as input); with
     ``audit=True`` also returns a :class:`SampleAudit` and, in exact mode,
@@ -131,7 +136,7 @@ def sample(
     if uniform and not strata:
         raise ValueError("uniform distribution requires strata fields")
 
-    roll = _resolve_dice(df, fields, seed, portable)
+    roll = _resolve_dice(df, fields, seed, portable, hasher=hasher)
 
     if not exact:
         out = _approx_sample(df, roll, fraction, strata, uniform, seed)
