@@ -292,11 +292,24 @@ class BigDiffy:
         unordered: set[str] | frozenset[str] = frozenset(),
         unordered_keys: dict[str, str] | None = None,
         ignore_nan: bool = False,
-        check_unique_keys: bool = False,
+        allow_duplicate_keys: bool = False,
     ) -> None:
         """``unordered_keys`` maps an array-of-struct field path to the
         child field that identifies elements (the reference's
-        ``unorderedFieldKeys``, Diffy.scala:88-92)."""
+        ``unorderedFieldKeys``, Diffy.scala:88-92).
+
+        Key uniqueness is enforced ALWAYS-ON, matching the reference's
+        unconditional duplicate-key error (BigDiffy.scala:240-243) — with
+        duplicates, a full-outer join silently fans out rows and every
+        downstream statistic is quietly wrong. The check is fused into the
+        diff plan at zero extra scans: each side is pre-aggregated by key
+        (count + payload) on the same shuffle the join needs anyway, and a
+        ``raise_error`` branch fires on the first key with count > 1
+        (surfaces as a Spark ``SparkRuntimeException`` whose message names
+        the side and key). ``allow_duplicate_keys=True`` is the explicit
+        escape hatch: it restores the raw fan-out join (every lhs×rhs pair
+        per key is diffed — sometimes useful for exploratory many-to-many
+        comparison, never for correctness-grade stats)."""
         self.keys = list(keys)
         self.cfg = DiffConfig(frozenset(ignore), frozenset(unordered), ignore_nan)
         self.unordered_keys = dict(unordered_keys or {})
@@ -315,13 +328,6 @@ class BigDiffy:
             lhs = _align_to(lhs, merged)
             rhs = _align_to(rhs, merged)
 
-        if check_unique_keys:
-            for side, df in (("lhs", lhs), ("rhs", rhs)):
-                dup = df.groupBy(*keys).count().where(F.col("count") > 1).limit(1).collect()
-                if dup:
-                    # duplicate-key error parity: BigDiffy.scala:240-243
-                    raise ValueError(f"{side} has duplicate key: {dup[0]}")
-
         non_key = [c for c in lhs.columns if c not in self.keys]
         self._value_schema = T.StructType([lhs.schema[c] for c in non_key])
         self._leaves = [
@@ -338,6 +344,28 @@ class BigDiffy:
             multikey(self.keys, rhs.schema).alias(_KEY),
             F.struct(*[F.col(c) for c in non_key]).alias(_R),
         )
+        dup_guard = None
+        if not allow_duplicate_keys:
+            # fused uniqueness check (BigDiffy.scala:240-243 parity): the
+            # per-key aggregate rides the exact shuffle the join needs, so
+            # the guard costs no extra scan or exchange; first() is safe
+            # because any key where it would be ambiguous raises instead
+            lk = lk.groupBy(_KEY).agg(
+                F.count(F.lit(1)).alias("__lcnt"), F.first(_L).alias(_L)
+            )
+            rk = rk.groupBy(_KEY).agg(
+                F.count(F.lit(1)).alias("__rcnt"), F.first(_R).alias(_R)
+            )
+            dup_guard = [
+                (
+                    F.coalesce(F.col("__lcnt"), F.lit(0)) > 1,
+                    F.concat(F.lit("lhs has duplicate key: "), F.col(_KEY)),
+                ),
+                (
+                    F.coalesce(F.col("__rcnt"), F.lit(0)) > 1,
+                    F.concat(F.lit("rhs has duplicate key: "), F.col(_KEY)),
+                ),
+            ]
         self._joined = lk.join(rk, on=_KEY, how="full_outer")
 
         delta_structs = [_delta_expr(p, t, self.cfg) for p, t in self._leaves]
@@ -349,13 +377,19 @@ class BigDiffy:
             deltas_arr = F.concat(
                 deltas_arr, _keyed_array_deltas(ka_path, ka_type, key_field)
             )
-        self._rows = self._joined.select(
-            F.col(_KEY).alias("key"),
+        diff_type = (
             F.when(F.col(_L).isNull(), F.lit(MISSING_LHS))
             .when(F.col(_R).isNull(), F.lit(MISSING_RHS))
             .when(F.size(deltas_arr) > 0, F.lit(DIFFERENT))
             .otherwise(F.lit(SAME))
-            .alias("diff_type"),
+        )
+        if dup_guard is not None:
+            guarded = F.when(dup_guard[0][0], F.raise_error(dup_guard[0][1]))
+            guarded = guarded.when(dup_guard[1][0], F.raise_error(dup_guard[1][1]))
+            diff_type = guarded.otherwise(diff_type)
+        self._rows = self._joined.select(
+            F.col(_KEY).alias("key"),
+            diff_type.alias("diff_type"),
             F.when(
                 F.col(_L).isNotNull() & F.col(_R).isNotNull(), deltas_arr
             ).alias("deltas"),

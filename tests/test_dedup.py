@@ -350,6 +350,18 @@ def test_jaccard_max_doc_freq_pruning_is_conservative(documents):
         assert j <= full[k] + 1e-12
 
 
+def test_jaccard_df_cap_defaults_finite():
+    """The Σdf² skew guard must be ON by default — a stopword shingle at
+    corpus scale is a hot-key bomb (r3 verdict wrong-#2, pinned). Opting
+    out requires an explicit max_doc_freq=None."""
+    import inspect
+
+    from ratatool_spark.operators.dedup import ngram_jaccard_pairs
+
+    default = inspect.signature(ngram_jaccard_pairs).parameters["max_doc_freq"].default
+    assert default is not None and default <= 100_000
+
+
 def test_simhash_pairs_blocked_equals_exact_hamming(documents):
     """Manku-chunk blocking has recall 1.0: the blocked self-join finds
     EVERY pair within max_hamming (the old 2-half blocking silently dropped

@@ -121,12 +121,31 @@ def test_unordered_array(spark):
     assert d.deltas.count() == 0  # unordered: same multiset
 
 
-def test_duplicate_key_raises(spark):
-    """BigDiffy.scala:240-243: >2 values per key ⇒ error."""
+def test_duplicate_key_raises_by_default(spark):
+    """BigDiffy.scala:240-243: >1 value per key ⇒ error, ALWAYS ON — the
+    guard is fused into the diff plan and fires on first materialization."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
     dup = spark.createDataFrame([Row(id=1, x=1.0), Row(id=1, x=2.0)])
     ok = spark.createDataFrame([Row(id=1, x=1.0)])
-    with pytest.raises(ValueError, match="duplicate key"):
-        BigDiffy(dup, ok, ["id"], check_unique_keys=True)
+    d = BigDiffy(dup, ok, ["id"])
+    with pytest.raises((PySparkException, Py4JJavaError), match="duplicate key"):
+        d.global_stats.collect()
+    # rhs side named too
+    d2 = BigDiffy(ok, dup, ["id"])
+    with pytest.raises((PySparkException, Py4JJavaError), match="rhs has duplicate key"):
+        d2.deltas.collect()
+
+
+def test_duplicate_key_escape_hatch(spark):
+    """allow_duplicate_keys=True restores the raw fan-out join (documented
+    many-to-many exploratory mode)."""
+    dup = spark.createDataFrame([Row(id=1, x=1.0), Row(id=1, x=2.0)])
+    ok = spark.createDataFrame([Row(id=1, x=1.0)])
+    d = BigDiffy(dup, ok, ["id"], allow_duplicate_keys=True)
+    # 2 lhs rows x 1 rhs row for the key
+    assert d.key_stats.count() == 2
 
 
 def test_multikey_null_semantics(spark):

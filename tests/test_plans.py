@@ -63,6 +63,12 @@ def test_diffy_single_key_shuffle(spark):
     # one full-outer join on the key — the single unavoidable shuffle
     assert p.count("FullOuter") == 1
     assert "CartesianProduct" not in p and "NestedLoopJoin" not in p
+    # the always-on PK-uniqueness guard is FUSED: still exactly one scan
+    # and one exchange per side (the per-key count aggregate rides the
+    # join shuffle; BigDiffy.scala:240-243 parity at zero extra scans)
+    assert p.count("FileScan parquet") == 2
+    assert p.count("Exchange hashpartitioning") == 2
+    assert "raise_error" in p
 
 
 def test_dedup_joins_are_equi_joins(spark):
