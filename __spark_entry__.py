@@ -3132,6 +3132,40 @@ FROM (VALUES
 """
 
 
+def _q_multimodal_decode_real(spark, sf_dir):
+    """REAL multimodal codec path (closes the r3 stub): deterministic BMP
+    and WAV bytes are synthesized distributed (mapInPandas), then decode_real
+    PARSES the actual container formats — BMP header/stride/bottom-up rows,
+    WAV RIFF chunks — recovering dimensions, rates, and the md5 of the raw
+    payload. The oracle reconstructs every value from the generation
+    formulas with pure string math (payloads are md5-digest repetitions),
+    so a stride/row-order/channel-swap bug in the decoder hash-mismatches
+    while the Spark side can't shortcut past real parsing."""
+    from ratatool_spark.operators.multimodal import decode_real, make_test_media
+
+    return decode_real(make_test_media(spark, n=48, seed=42))
+
+
+_SQL_MULTIMODAL_DECODE_REAL = """
+WITH base AS (
+  SELECT range AS media_id,
+    md5(concat('42:', range)) AS d,
+    CASE WHEN range % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+    CASE WHEN range % 2 = 0 THEN CAST(3 + range % 8 AS INT) END AS width,
+    CASE WHEN range % 2 = 0 THEN CAST(2 + range % 5 AS INT) END AS height,
+    CASE WHEN range % 2 = 1 THEN CAST(8000 + (range % 4) * 4000 AS INT) END AS sample_rate,
+    CASE WHEN range % 2 = 1 THEN CAST(64 + range % 33 AS INT) END AS n_samples
+  FROM range(48)
+)
+SELECT media_id, kind, width, height, sample_rate, n_samples,
+  md5(substr(repeat(d, 80),
+             1,
+             CASE WHEN kind = 'image' THEN 6 * width * height
+                  ELSE 4 * n_samples END)) AS payload_md5
+FROM base
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is the driver's verification priority.
 
@@ -3152,6 +3186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round 4: new or behaviour-changed this round ---------------
         "hash_cols_murmur": _q_hash_murmur,
+        "multimodal_decode_real": _q_multimodal_decode_real,
         "diffy_deltas": _q_diffy_deltas,
         "diffy_key_stats": _q_diffy_key_stats,
         "diffy_global_stats": _q_diffy_global_stats,
@@ -3236,6 +3271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "hash_cols_murmur": _SQL_HASH_MURMUR,
+        "multimodal_decode_real": _SQL_MULTIMODAL_DECODE_REAL,
         "tpch_q1_pricing_summary": _SQL_TPCH_Q1,
         "tpch_q6_forecast_revenue": _SQL_TPCH_Q6,
         "sample_deterministic": _SQL_SAMPLE_DET,
