@@ -339,10 +339,17 @@ def main(argv: list[str] | None = None) -> int:
                     c["ref"] = read_table(spark, c["ref"])
             df = read_table(spark, args.input, fmt=args.format)
             report = run_checks(df, suite)
-            write_table(report, args.output, mode="overwrite")
-            from pyspark.sql import functions as SF
-
-            if report.where(~SF.col("passed")).limit(1).count() > 0:
+            # the report is one row per check — collect it ONCE, then both
+            # write and derive the exit status from the collected rows
+            # (write_table(report) + a second .count() would re-execute
+            # the whole suite: full scan, unique groupBy, FK anti-join)
+            rows = report.collect()
+            write_table(
+                spark.createDataFrame(rows, report.schema),
+                args.output,
+                mode="overwrite",
+            )
+            if any(not r["passed"] for r in rows):
                 return 1
         elif args.command == "writeShards":
             from ratatool_spark.sources.shards import (

@@ -47,19 +47,40 @@ HASH_SPACE = float(1 << HASH_BITS)
 FIELD_SEP = "\x01"
 
 
-def serialize_for_hash(col: Column | str, dtype: T.DataType | None = None) -> Column:
+def serialize_for_hash(
+    col: Column | str,
+    dtype: T.DataType | None = None,
+    byte_encoding: str = "hex",
+) -> Column:
     """Canonical string rendering of a column for hash feeding.
 
     Mirrors the reference's per-type feed rules (BigSamplerAvro.scala:161-185):
-    int widened to long (same decimal string), boolean as true/false, bytes as
-    lower hex, enum/string as-is, timestamp as epoch micros (engine-neutral —
-    avoids format differences). Doubles are rendered via a fixed-scale decimal
-    cast so the text form is engine-independent.
-    """
+    int widened to long (same decimal string), boolean as true/false, bytes
+    per ``byte_encoding``, enum/string as-is, timestamp as epoch micros
+    (engine-neutral — avoids format differences). Doubles are rendered via a
+    fixed-scale decimal cast so the text form is engine-independent.
+
+    ``byte_encoding`` is the reference's ``--byteEncoding`` switch
+    (ByteHasher.scala:24-71): ``hex`` = lowercase base16 (our default,
+    their HexEncoding), ``base64`` = standard padded base64 (their
+    Base64Encoding, Guava ``BaseEncoding.base64`` ≡ Spark ``F.base64``).
+    The reference's ``raw`` mode feeds unencoded bytes into the hasher —
+    incompatible with this string-feed design (arbitrary bytes are not
+    valid UTF-8), so it raises with that explanation."""
     c = F.col(col) if isinstance(col, str) else col
     if dtype is None:
         return c.cast("string")
     if isinstance(dtype, T.BinaryType):
+        if byte_encoding == "base64":
+            return F.base64(c)
+        if byte_encoding == "raw":
+            raise ValueError(
+                "raw byte feeding is incompatible with the string-feed "
+                "hash design (arbitrary bytes are not valid UTF-8); use "
+                "'hex' or 'base64' (ByteHasher.scala:24-71 parity modes)"
+            )
+        if byte_encoding != "hex":
+            raise ValueError(f"unknown byte_encoding {byte_encoding!r}")
         return F.lower(F.hex(c))
     if isinstance(dtype, T.TimestampType):
         # exact integer epoch-micros: the double round-trip
@@ -86,15 +107,20 @@ def hash_cols(
     cols: Sequence[Column | str],
     seed: int = 0,
     dtypes: Sequence[T.DataType] | None = None,
+    byte_encoding: str = "hex",
 ) -> Column:
     """Hash a tuple of field columns with a seed into [0, 2^60).
 
     The seed is prepended to the feed the way the reference prepends its
     int seed to the hasher (Util.scala:94-97). Fields are joined with an
     ASCII unit separator; nulls are skipped (see module docstring).
+    ``byte_encoding`` selects the binary-field pre-hash rendering
+    (ByteHasher.scala:24-71: hex | base64).
     """
     if dtypes is not None:
-        rendered = [serialize_for_hash(c, t) for c, t in zip(cols, dtypes)]
+        rendered = [
+            serialize_for_hash(c, t, byte_encoding) for c, t in zip(cols, dtypes)
+        ]
     else:
         rendered = [serialize_for_hash(c) for c in cols]
     feed = F.concat_ws(FIELD_SEP, F.lit(str(seed)), *rendered)
@@ -111,10 +137,11 @@ def dice(
     cols: Sequence[Column | str],
     seed: int = 0,
     dtypes: Sequence[T.DataType] | None = None,
+    byte_encoding: str = "hex",
 ) -> Column:
     """The deterministic sampling dice: uniform [0,1) per record, derived
     only from the named fields + seed (BigSampler.diceElement:83-90)."""
-    return bound01(hash_cols(cols, seed=seed, dtypes=dtypes))
+    return bound01(hash_cols(cols, seed=seed, dtypes=dtypes, byte_encoding=byte_encoding))
 
 
 def text_hash64(s: Column, hasher: str = "portable") -> Column:
@@ -254,12 +281,15 @@ def murmur_dice(col: Column | str, seed: int = 0) -> Column:
 def hash_feed(
     cols: Sequence[Column | str],
     dtypes: Sequence[T.DataType | None] | None = None,
+    byte_encoding: str = "hex",
 ) -> Column:
     """The canonical multi-field string feed: per-type rendering joined on
     the unit separator, nulls skipped — shared by every hasher backend so a
-    cohort is defined by (fields, seed, hasher) alone."""
+    cohort is defined by (fields, seed, hasher, byte_encoding) alone."""
     if dtypes is not None:
-        rendered = [serialize_for_hash(c, t) for c, t in zip(cols, dtypes)]
+        rendered = [
+            serialize_for_hash(c, t, byte_encoding) for c, t in zip(cols, dtypes)
+        ]
     else:
         rendered = [serialize_for_hash(c) for c in cols]
     return F.concat_ws(FIELD_SEP, *rendered)
@@ -270,6 +300,7 @@ def dice_for(
     cols: Sequence[Column | str],
     seed: int = 0,
     dtypes: Sequence[T.DataType | None] | None = None,
+    byte_encoding: str = "hex",
 ) -> Column:
     """Uniform [0,1) dice over the fields with a selectable hash backend —
     the Spark face of the reference's ``--hashAlgorithm`` switch
@@ -281,11 +312,11 @@ def dice_for(
     * ``murmur``   — Guava murmur3_128(seed) parity
     """
     if hasher == "portable":
-        return dice(cols, seed=seed, dtypes=dtypes)
+        return dice(cols, seed=seed, dtypes=dtypes, byte_encoding=byte_encoding)
     if hasher == "xx":
         return xxdice(cols, seed=seed)
     lmin, lmax = float(-(2**63)), float(2**63 - 1)
-    feed = hash_feed(cols, dtypes)
+    feed = hash_feed(cols, dtypes, byte_encoding)
     if hasher == "farm":
         h = farmhash_udf(seed)(feed)
     elif hasher == "murmur":

@@ -57,12 +57,22 @@ def observe_checks(df: DataFrame, checks: list[dict[str, Any]], name: str = "qua
     if not checks:
         raise ValueError("checks must be non-empty")
     exprs = []
+    seen: set[str] = set()
     for c in checks:
         if c["kind"] not in _ROW_KINDS:
             raise ValueError(
                 f"observe_checks supports row-level kinds only, got {c['kind']!r}"
             )
         label = c.get("name") or f"{c['kind']}:{c['col']}"
+        if label in seen:
+            # two same-kind checks on one column (e.g. two in_range bands)
+            # would collide in the Observation metrics map and silently
+            # drop a violation counter — force distinct names instead
+            raise ValueError(
+                f"duplicate check label {label!r}; give one of the checks "
+                "an explicit distinct 'name'"
+            )
+        seen.add(label)
         exprs.append(
             F.sum(_row_violation(c).cast("long")).alias(label)
         )

@@ -20,7 +20,6 @@ more scan whenever the trainer wants the gate."""
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -28,6 +27,50 @@ from pyspark.sql import functions as F
 from ratatool_spark.functions.hashing import hash_cols
 
 MANIFEST = "_manifest.json"
+
+
+def _write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small text file at any URI the cluster can reach: local
+    paths via open(); any scheme (s3a://, hdfs://, …) through the Hadoop
+    FileSystem — same routing as sources.io._input_bytes, so the manifest
+    works wherever the shards themselves land."""
+    if "://" in path and not path.startswith("file://"):
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        out = fs.create(p, True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        return
+    local = path[len("file://"):] if path.startswith("file://") else path
+    with open(local, "w") as f:
+        f.write(text)
+
+
+def _read_text(spark: SparkSession, path: str) -> str:
+    if "://" in path and not path.startswith("file://"):
+        # direct FS stream: the text datasource can't be used here — its
+        # file index silently drops underscore-prefixed files like ours
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        stream = fs.open(p)
+        try:
+            n = int(fs.getFileStatus(p).getLen())
+            buf = bytearray(n)
+            stream.readFully(0, buf)
+            return bytes(buf).decode("utf-8")
+        finally:
+            stream.close()
+    local = path[len("file://"):] if path.startswith("file://") else path
+    with open(local) as f:
+        return f.read()
+
+
+def _join(path: str, name: str) -> str:
+    return path.rstrip("/") + "/" + name
 
 
 def _shard_stats(df: DataFrame, data_cols: list[str]) -> dict[str, dict]:
@@ -87,8 +130,11 @@ def write_training_shards(
         "total_rows": sum(s["rows"] for s in shards.values()),
         "shards": shards,
     }
-    with open(os.path.join(path, MANIFEST), "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
+    _write_text(
+        df.sparkSession,
+        _join(path, MANIFEST),
+        json.dumps(manifest, indent=1, sort_keys=True),
+    )
     return manifest
 
 
@@ -96,8 +142,7 @@ def verify_shards(spark: SparkSession, path: str) -> dict:
     """Recompute counts + checksums from the written files and compare to
     the manifest. Returns {"ok": bool, "mismatches": [shard, ...],
     "manifest": dict}. One scan."""
-    with open(os.path.join(path, MANIFEST)) as f:
-        manifest = json.load(f)
+    manifest = json.loads(_read_text(spark, _join(path, MANIFEST)))
     df = spark.read.format(manifest["format"]).load(path)
     got = _shard_stats(df, manifest["data_cols"])
     want = manifest["shards"]

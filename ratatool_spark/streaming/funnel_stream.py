@@ -93,7 +93,15 @@ def funnel_stage_stream(
 
         def update(key, pdf_iter, state: GroupState):
             stage, last_ts = state.get if state.exists else (0, float("-inf"))
-            for pdf in pdf_iter:
+            # Materialize the whole group before sorting: Arrow can split
+            # one key's micro-batch into several chunks that are NOT
+            # mutually time-ordered, so per-chunk sorting would silently
+            # skip an earlier-timestamp event arriving in a later chunk.
+            # One user's events per micro-batch always fit the executor
+            # (the group already had to co-locate there).
+            chunks = list(pdf_iter)
+            if chunks:
+                pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
                 adv, stage, last_ts = _advance(
                     pdf, steps, stage, last_ts, ts_col, type_col
                 )
@@ -109,7 +117,7 @@ def funnel_stage_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
 
-    def batch_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def batch_fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         adv, _stage, _ts = _advance(
             pdf, steps, 0, float("-inf"), ts_col, type_col
         )

@@ -84,7 +84,11 @@ def ewma_by_key(
 
         def update(key, pdf_iter, state: GroupState):
             prev = state.get[0] if state.exists else None
-            for pdf in pdf_iter:
+            # whole group per micro-batch before sorting — Arrow chunks of
+            # one key are not mutually time-ordered (see funnel_stream)
+            chunks = list(pdf_iter)
+            if chunks:
+                pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
                 out, prev = _ewma_rows(pdf, alpha, prev, ts_col, value_col)
                 yield out
             state.update((prev, 0.0))

@@ -125,6 +125,40 @@ def test_serialize_bytes_hex(spark):
     assert r[0]["s"] == "deadbeef"
 
 
+def test_serialize_bytes_base64(spark):
+    """ByteHasher.scala:24-71 Base64Encoding parity: binary fields render
+    as standard padded base64 (Guava BaseEncoding.base64 ≡ F.base64);
+    'raw' is rejected with the documented string-feed explanation; the two
+    encodings of one value hash differently (they define distinct cohorts,
+    matching the reference where the encoding changes the hash feed)."""
+    import base64
+
+    import pytest
+    from pyspark.sql import types as T
+
+    from ratatool_spark.functions.hashing import hash_cols
+
+    payload = b"\xde\xad\xbe\xef\x00\xff"
+    df = spark.createDataFrame([(payload,)], "b binary")
+    r = df.select(
+        serialize_for_hash(F.col("b"), T.BinaryType(), "base64").alias("s")
+    ).collect()
+    assert r[0]["s"] == base64.b64encode(payload).decode()
+    h_hex, h_b64 = df.select(
+        hash_cols(["b"], dtypes=[T.BinaryType()]).alias("h1"),
+        hash_cols(["b"], dtypes=[T.BinaryType()], byte_encoding="base64").alias("h2"),
+    ).collect()[0]
+    assert h_hex != h_b64
+    # determinism across engines: the base64 feed equals what DuckDB's
+    # base64() would produce for the same blob (standard alphabet, padded)
+    import duckdb
+
+    d = duckdb.sql("SELECT base64('\\xDE\\xAD\\xBE\\xEF\\x00\\xFF'::BLOB) AS s").fetchone()[0]
+    assert d == r[0]["s"]
+    with pytest.raises(ValueError, match="raw byte feeding"):
+        serialize_for_hash(F.col("b"), T.BinaryType(), "raw")
+
+
 # ------------------------- wire-codec round-trip properties (S1/S5, r2)
 # Pure-Python codec invariants: any generated record survives
 # encode→decode bit-for-bit. Driver-side (no Spark session) — the

@@ -441,6 +441,72 @@ def test_funnel_stage_stream_matches_batch(spark, tmp_path):
     assert bdepth == stream_depth
 
 
+def test_funnel_stream_multi_chunk_groups_stay_ordered(spark, tmp_path):
+    """One key's micro-batch can arrive as SEVERAL Arrow chunks that are
+    not mutually time-ordered; the state machine must sort the whole
+    group, not each chunk (r3 advice finding). Forced here by a 3-row
+    maxRecordsPerBatch over a deliberately reverse-ordered file."""
+    from ratatool_spark.streaming.funnel_stream import funnel_stage_stream
+
+    steps = ["a", "b", "c"]
+    rows = [(1, float(t), e) for t, e in enumerate(["a", "b", "c", "x", "x", "x", "x", "x"])]
+    df = spark.createDataFrame(rows, "user_id int, ts double, event_type string")
+    src = str(tmp_path / "src")
+    # write the file in REVERSE time order so the first Arrow chunk holds
+    # the latest events
+    df.orderBy(F.desc("ts")).coalesce(1).write.parquet(src)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        stream = (
+            spark.readStream.schema(df.schema).parquet(src)
+        )
+        out = funnel_stage_stream(stream, steps)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(str(tmp_path / "out")).collect()
+        # all three stages must advance despite the chunk split
+        assert sorted((r["stage"], r["ts"]) for r in got) == [
+            (1, 0.0),
+            (2, 1.0),
+            (3, 2.0),
+        ]
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_observe_checks_duplicate_label_raises(spark):
+    """Two same-kind checks on one column would collide in the Observation
+    metrics map — must raise instead of silently dropping one (r3 advice)."""
+    import pytest as _pytest
+
+    from ratatool_spark.operators.checks import observe_checks
+
+    df = spark.range(5).select(F.col("id").cast("double").alias("v"))
+    checks = [
+        {"kind": "in_range", "col": "v", "lo": 0, "hi": 10},
+        {"kind": "in_range", "col": "v", "lo": 2, "hi": 3},
+    ]
+    with _pytest.raises(ValueError, match="duplicate check label"):
+        observe_checks(df, checks)
+    # distinct explicit names are fine
+    checks[1]["name"] = "v_band2"
+    _df, obs = observe_checks(df, checks)
+    _df.collect()
+    assert obs.get["v_band2"] == 3  # ids 0,1,4 outside [2,3]
+
+
 def test_rollup_rejects_non_nesting_week_chain(spark):
     import pytest as _pt
 
