@@ -3166,6 +3166,213 @@ FROM base
 """
 
 
+def _q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4-style priority count over late-shipping orders: left-semi
+    join (equi key + non-equi ship-lag predicate pushed into the join
+    filter) then a tiny agg. At scale the semi join never materializes
+    lineitem payload columns — the scan is pruned to two columns + date."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.sources.io import load_tables
+
+    t = load_tables(spark, sf_dir, names=("orders", "lineitem"))
+    late = t["orders"].join(
+        t["lineitem"],
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_SQL_TPCH_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def _q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13-style customer order-count distribution: left outer join
+    + two-level aggregation. The first groupBy reuses the join's
+    partitioning on the customer key (no second exchange before it); only
+    the tiny (c_count, custdist) re-agg shuffles again."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.sources.io import load_tables
+
+    t = load_tables(spark, sf_dir, names=("customer", "orders"))
+    per_cust = (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_SQL_TPCH_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def _q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14-style promo revenue share over one ship-year: broadcast
+    part into the pruned lineitem scan; numerator/denominator summed as
+    exact decimals, the share derived with ONE double division so both
+    engines agree bit-for-bit (decimal-division scale rules differ between
+    engines — never let the oracle depend on them)."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.sources.io import load_tables
+
+    t = load_tables(spark, sf_dir, names=("lineitem", "part"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,4)")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(28,4)"))
+    yr = t["lineitem"].where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    agg = (
+        yr.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")).alias(
+            "promo_share"
+        ),
+    )
+
+
+_SQL_TPCH_Q14 = """
+WITH agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN p_type = 'PROMO'
+        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))
+        ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE) AS promo_revenue,
+    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE)
+      AS total_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+)
+SELECT promo_revenue, total_revenue,
+       100.0 * promo_revenue / total_revenue AS promo_share
+FROM agg
+"""
+
+
+def _q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22-style idle rich customers: scalar threshold (exact
+    decimal sum → one double division, broadcast as a 1-row frame) +
+    anti join against RECENT orders (no order since mid-2000), grouped by
+    segment. The anti join is the scale shape for "has no recent orders" — never a NOT IN materialization."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.sources.io import load_tables
+
+    t = load_tables(spark, sf_dir, names=("customer", "orders"))
+    bal = F.col("c_acctbal").cast("decimal(28,4)")
+    thr = (
+        t["customer"]
+        .where(F.col("c_acctbal") > 0)
+        .agg((F.sum(bal).cast("double") / F.count(F.lit(1))).alias("__thr"))
+    )
+    rich = t["customer"].join(F.broadcast(thr)).where(F.col("c_acctbal") > F.col("__thr"))
+    recent = t["orders"].where(F.col("o_orderdate") >= "2000-06-01")
+    idle = rich.join(
+        recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        idle.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(bal).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_SQL_TPCH_Q22 = """
+WITH thr AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS t
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS totacctbal
+FROM customer, thr
+WHERE c_acctbal > t
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-06-01')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def _q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10-style returned-item revenue ranking: the returnflag
+    filter prunes lineitem at the scan, orders/customer join up the star,
+    nation broadcasts, top-20 via TakeOrderedAndProject (per-partition
+    heads + single driver merge — no global sort)."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.sources.io import load_tables
+
+    t = load_tables(spark, sf_dir, names=("customer", "orders", "lineitem", "nation"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,4)")
+    return (
+        t["lineitem"]
+        .where(F.col("l_returnflag") == "R")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+_SQL_TPCH_Q10 = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is the driver's verification priority.
 
@@ -3187,6 +3394,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round 4: new or behaviour-changed this round ---------------
         "hash_cols_murmur": _q_hash_murmur,
         "multimodal_decode_real": _q_multimodal_decode_real,
+        "tpch_q4_priority_late": _q_tpch_q4,
+        "tpch_q13_order_distribution": _q_tpch_q13,
+        "tpch_q14_promo_share": _q_tpch_q14,
+        "tpch_q22_idle_rich_customers": _q_tpch_q22,
+        "tpch_q10_returned_revenue": _q_tpch_q10,
         "diffy_deltas": _q_diffy_deltas,
         "diffy_key_stats": _q_diffy_key_stats,
         "diffy_global_stats": _q_diffy_global_stats,
@@ -3272,6 +3484,11 @@ def oracle_sql() -> dict[str, str]:
     return {
         "hash_cols_murmur": _SQL_HASH_MURMUR,
         "multimodal_decode_real": _SQL_MULTIMODAL_DECODE_REAL,
+        "tpch_q4_priority_late": _SQL_TPCH_Q4,
+        "tpch_q13_order_distribution": _SQL_TPCH_Q13,
+        "tpch_q14_promo_share": _SQL_TPCH_Q14,
+        "tpch_q22_idle_rich_customers": _SQL_TPCH_Q22,
+        "tpch_q10_returned_revenue": _SQL_TPCH_Q10,
         "tpch_q1_pricing_summary": _SQL_TPCH_Q1,
         "tpch_q6_forecast_revenue": _SQL_TPCH_Q6,
         "sample_deterministic": _SQL_SAMPLE_DET,
