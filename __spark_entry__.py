@@ -3373,6 +3373,34 @@ LIMIT 20
 """
 
 
+def _q_dedup_exact_bloom(spark, sf_dir):
+    """Bloom-routed EXACT incremental dedup (operators/dedup.py
+    exact_filter_against): new batch (doc_id % 7 == 0) filtered against
+    the corpus (the rest) on an exact key WITHOUT shuffling the corpus —
+    Bloom prefilter (no false negatives) routes rows: definite-absent rows
+    skip the join entirely; the small maybe-set is verified by broadcast
+    semi/anti joins riding plain corpus scans. Result is EXACT: the
+    oracle is the plain NOT EXISTS anti-join."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.dedup import exact_filter_against
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new_b = docs.where(F.col("doc_id") % 7 == 0)
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    return exact_filter_against(new_b, corpus, cols=["n_chars"])
+
+
+_SQL_DEDUP_EXACT_BLOOM = """
+SELECT n.*
+FROM documents n
+WHERE n.doc_id % 7 = 0
+  AND NOT EXISTS (
+    SELECT 1 FROM documents c
+    WHERE c.doc_id % 7 <> 0 AND c.n_chars = n.n_chars)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is the driver's verification priority.
 
@@ -3399,6 +3427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14_promo_share": _q_tpch_q14,
         "tpch_q22_idle_rich_customers": _q_tpch_q22,
         "tpch_q10_returned_revenue": _q_tpch_q10,
+        "dedup_exact_incremental_bloom": _q_dedup_exact_bloom,
         "diffy_deltas": _q_diffy_deltas,
         "diffy_key_stats": _q_diffy_key_stats,
         "diffy_global_stats": _q_diffy_global_stats,
@@ -3489,6 +3518,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q14_promo_share": _SQL_TPCH_Q14,
         "tpch_q22_idle_rich_customers": _SQL_TPCH_Q22,
         "tpch_q10_returned_revenue": _SQL_TPCH_Q10,
+        "dedup_exact_incremental_bloom": _SQL_DEDUP_EXACT_BLOOM,
         "tpch_q1_pricing_summary": _SQL_TPCH_Q1,
         "tpch_q6_forecast_revenue": _SQL_TPCH_Q6,
         "sample_deterministic": _SQL_SAMPLE_DET,

@@ -422,6 +422,168 @@ def dedup_against(
     return verified.where(F.col("jaccard") >= threshold) if threshold > 0 else verified
 
 
+class BloomFilter:
+    """Immutable Bloom filter over 64-bit fingerprints (no false
+    negatives; false-positive rate ≈ ``fpp`` at the sized ``n``).
+
+    Bit positions use Kirsch–Mitzenmacher double hashing over the two
+    halves of the (already md5-uniform) fingerprint: pos_i =
+    (h1 + i*h2) mod m — k positions from zero additional hashing,
+    vectorized in numpy at both build and probe time."""
+
+    __slots__ = ("bits", "m", "k", "n")
+
+    def __init__(self, bits: bytes, m: int, k: int, n: int) -> None:
+        self.bits, self.m, self.k, self.n = bits, m, k, n
+
+    @staticmethod
+    def params(n: int, fpp: float) -> tuple[int, int]:
+        import math
+
+        n = max(n, 1)
+        m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+        m = (m + 7) & ~7  # whole bytes
+        k = max(1, round(m / n * math.log(2)))
+        return m, k
+
+    @staticmethod
+    def _positions(fps, m: int, k: int):
+        """(len(fps), k) int64 position matrix for 60-bit fingerprints."""
+        import numpy as np
+
+        v = np.asarray(fps, dtype=np.int64)
+        h1 = v & 0xFFFFFFFF
+        h2 = ((v >> 28) | 1) & 0x7FFFFFFF  # odd → walks all residues for m=2^j; well-spread otherwise
+        i = np.arange(k, dtype=np.int64)
+        return (h1[:, None] + i[None, :] * h2[:, None]) % m
+
+    def contains_many(self, fps):
+        """Vectorized membership over an int sequence → bool numpy array."""
+        import numpy as np
+
+        arr = np.frombuffer(self.bits, dtype=np.uint8)
+        pos = self._positions(fps, self.m, self.k)
+        got = (arr[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        return got.all(axis=1)
+
+
+def build_bloom(fps_df: DataFrame, fp_col: str = "__fp", fpp: float = 0.01) -> BloomFilter:
+    """Distributed Bloom build over a fingerprint column: each partition
+    folds its rows into one m-bit bitmap inside mapInPandas, the driver
+    ORs the ≤ num_partitions partials streamed via toLocalIterator (two
+    bitmaps in memory at any moment — never the data). One cheap count
+    sizes (m, k).
+
+    At 100 TB the corpus fingerprints are a precomputed compact table;
+    the build cost is one scan of that table and the result is an
+    executor-broadcastable byte string (1.2 MB per 1M keys at 1% fpp)."""
+    import numpy as np
+
+    n = fps_df.count()
+    m, k = BloomFilter.params(n, fpp)
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([T.StructField("partial", T.BinaryType())])
+
+    def fold(batches):
+        import pandas as pd
+
+        bitmap = np.zeros(m // 8, dtype=np.uint8)
+        any_rows = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            any_rows = True
+            pos = BloomFilter._positions(pdf[fp_col].to_numpy(), m, k).ravel()
+            np.bitwise_or.at(bitmap, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        if any_rows:
+            yield pd.DataFrame({"partial": [bitmap.tobytes()]})
+
+    acc = np.zeros(m // 8, dtype=np.uint8)
+    for row in fps_df.select(F.col(fp_col)).mapInPandas(fold, out_schema).toLocalIterator():
+        acc |= np.frombuffer(row["partial"], dtype=np.uint8)
+    return BloomFilter(acc.tobytes(), m, k, n)
+
+
+def bloom_contains(spark, bloom: BloomFilter, fp: Column) -> Column:
+    """Boolean membership column for a LongType fingerprint expression.
+    The bitmap ships once per executor as a SparkContext broadcast; the
+    probe is numpy-vectorized over Arrow batches (no per-row Python)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    b = spark.sparkContext.broadcast((bloom.bits, bloom.m, bloom.k))
+
+    def _probe(s):
+        bits, m, k = b.value
+        bf = BloomFilter(bits, m, k, 0)
+        return pd.Series(bf.contains_many(s.to_numpy()))
+
+    _probe.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(T.BooleanType())(_probe)(fp)
+
+
+def exact_filter_against(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    cols: list[str],
+    fpp: float = 0.01,
+    use_bloom: bool = True,
+) -> DataFrame:
+    """EXACT incremental dedup: rows of ``new_df`` whose key ``cols`` have
+    no exact match in ``corpus_df`` — without ever shuffling the corpus.
+
+    The naive anti-join hash-shuffles BOTH sides; at 100 TB the corpus
+    shuffle dominates everything. The Bloom path never shuffles anything
+    wide:
+
+      1. build a Bloom over corpus fingerprints (one corpus scan,
+         byte-string result);
+      2. bloom-test the new batch — rows failing the test are DEFINITELY
+         absent (no false negatives): done, no join at all;
+      3. the small bloom-positive remainder (true hits + ~fpp false
+         positives) is verified exactly: its fingerprints broadcast into
+         a corpus scan (semi-join, no corpus shuffle), the confirmed set
+         broadcasts back into an anti-join on the new batch.
+
+    Total cost: 2 corpus scans + 1 new-batch scan + two broadcasts sized
+    by the hit rate — vs a full corpus shuffle. The result is EXACT (the
+    oracle is the plain NOT EXISTS anti-join); the Bloom only routes.
+    ``use_bloom=False`` falls back to the plain anti-join (right when the
+    new batch is comparable in size to the corpus)."""
+    fp = portable_hash64(
+        F.concat_ws("\x01", *[F.col(c).cast("string") for c in cols])
+    )
+    if not use_bloom:
+        return new_df.join(
+            corpus_df.select(*[F.col(c) for c in cols]), cols, "left_anti"
+        )
+    spark = new_df.sparkSession
+    bloom = build_bloom(corpus_df.select(fp.alias("__fp")), "__fp", fpp)
+    tagged = _persist(
+        new_df.withColumn("__fp", fp).withColumn(
+            "__maybe", bloom_contains(spark, bloom, F.col("__fp"))
+        )
+    )
+    positives = tagged.where(F.col("__maybe"))
+    confirmed = (
+        corpus_df.select(fp.alias("__cfp"))
+        .join(
+            F.broadcast(positives.select(F.col("__fp").alias("__cfp")).distinct()),
+            "__cfp",
+            "left_semi",
+        )
+        .distinct()
+    )
+    kept_positives = positives.join(
+        F.broadcast(confirmed), positives["__fp"] == confirmed["__cfp"], "left_anti"
+    )
+    definite = tagged.where(~F.col("__maybe"))
+    return definite.unionByName(kept_positives).drop("__fp", "__maybe")
+
+
 def filter_against(
     new_df: DataFrame,
     corpus_df: DataFrame,

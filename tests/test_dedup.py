@@ -350,6 +350,80 @@ def test_jaccard_max_doc_freq_pruning_is_conservative(documents):
         assert j <= full[k] + 1e-12
 
 
+def test_bloom_filter_no_false_negatives_and_low_fpp():
+    """Core Bloom invariants on the raw structure: every inserted key
+    tests positive; absent-key positives stay near the sized fpp."""
+    import numpy as np
+
+    from ratatool_spark.operators.dedup import BloomFilter
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 1 << 60, size=5000, dtype=np.int64)
+    m, k = BloomFilter.params(len(keys), 0.01)
+    bitmap = np.zeros(m // 8, dtype=np.uint8)
+    pos = BloomFilter._positions(keys, m, k).ravel()
+    np.bitwise_or.at(bitmap, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+    bf = BloomFilter(bitmap.tobytes(), m, k, len(keys))
+    assert bf.contains_many(keys).all()  # no false negatives, ever
+    probes = rng.integers(0, 1 << 60, size=20000, dtype=np.int64)
+    probes = np.setdiff1d(probes, keys)
+    fpp = bf.contains_many(probes).mean()
+    assert fpp < 0.03, fpp
+
+
+def test_build_bloom_distributed_and_exact_filter(spark, documents):
+    """build_bloom over a DataFrame matches a driver-side build; the
+    bloom-routed exact_filter_against equals the plain anti-join and the
+    bloom=False fallback."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.functions.hashing import portable_hash64
+    from ratatool_spark.operators.dedup import (
+        build_bloom,
+        bloom_contains,
+        exact_filter_against,
+    )
+
+    new_b = documents.where(F.col("doc_id") % 3 == 0)
+    corpus = documents.where(F.col("doc_id") % 3 != 0)
+
+    fp = portable_hash64(F.col("n_chars").cast("string"))
+    bloom = build_bloom(corpus.select(fp.alias("__fp")).repartition(8))
+    corpus_fps = {r[0] for r in corpus.select(fp.alias("f")).collect()}
+    # no false negatives against the actual key set
+    assert bloom.contains_many(sorted(corpus_fps)).all()
+    # probe column agrees with driver-side membership for present keys
+    probed = new_b.select(
+        fp.alias("f"), bloom_contains(spark, bloom, fp).alias("maybe")
+    ).collect()
+    for r in probed:
+        if r["f"] in corpus_fps:
+            assert r["maybe"]
+
+    got = {
+        r["doc_id"]
+        for r in exact_filter_against(new_b, corpus, cols=["n_chars"]).collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in exact_filter_against(
+            new_b, corpus, cols=["n_chars"], use_bloom=False
+        ).collect()
+    }
+    assert got == want
+    assert 0 < len(got) < new_b.count()  # non-trivial both ways
+
+
+def test_exact_filter_against_empty_corpus(spark, documents):
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.dedup import exact_filter_against
+
+    empty = documents.where(F.lit(False))
+    got = exact_filter_against(documents, empty, cols=["n_chars"])
+    assert got.count() == documents.count()
+
+
 def test_jaccard_df_cap_defaults_finite():
     """The Σdf² skew guard must be ON by default — a stopword shingle at
     corpus scale is a hot-key bomb (r3 verdict wrong-#2, pinned). Opting

@@ -232,6 +232,17 @@ def test_shuffle_order_rank_not_single_partition(spark):
     assert "row_number" in p
 
 
+def test_bloom_filter_against_never_shuffles_corpus(spark):
+    """The Bloom-routed exact incremental dedup must verify via broadcast
+    joins riding plain corpus scans — a SortMergeJoin would mean the
+    corpus got hash-shuffled, the exact cost the operator exists to avoid.
+    The only exchanges allowed are the tiny maybe-set distincts."""
+    p = plan_of(spark, "dedup_exact_incremental_bloom")
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") == 2
+    assert "CartesianProduct" not in p
+
+
 def test_driver_contract_key_parity():
     """Every queries() entry has an oracle_sql() twin and vice versa —
     the driver's correctness gate covers the full query surface (the r2
