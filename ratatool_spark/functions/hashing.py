@@ -66,13 +66,21 @@ def serialize_for_hash(
     Base64Encoding, Guava ``BaseEncoding.base64`` ≡ Spark ``F.base64``).
     The reference's ``raw`` mode feeds unencoded bytes into the hasher —
     incompatible with this string-feed design (arbitrary bytes are not
-    valid UTF-8), so it raises with that explanation."""
+    valid UTF-8), so it raises with that explanation.
+
+    Chunking hazard: depending on version and
+    ``spark.sql.legacy.chunkBase64String``, Spark's ``base64`` may use
+    the MIME encoder, inserting a line break every 76 chars for blobs
+    > 57 bytes (SPARK-47307) — live on this very build. The rendering
+    strips CR/LF in the expression, so the feed equals the non-chunked
+    RFC 4648 form on every Spark version/conf (pinned by a 200-byte
+    payload in tests/test_properties.py::test_serialize_bytes_base64)."""
     c = F.col(col) if isinstance(col, str) else col
     if dtype is None:
         return c.cast("string")
     if isinstance(dtype, T.BinaryType):
         if byte_encoding == "base64":
-            return F.base64(c)
+            return F.regexp_replace(F.base64(c), "[\r\n]", "")
         if byte_encoding == "raw":
             raise ValueError(
                 "raw byte feeding is incompatible with the string-feed "
@@ -117,12 +125,12 @@ def hash_cols(
     ``byte_encoding`` selects the binary-field pre-hash rendering
     (ByteHasher.scala:24-71: hex | base64).
     """
-    if dtypes is not None:
-        rendered = [
-            serialize_for_hash(c, t, byte_encoding) for c, t in zip(cols, dtypes)
-        ]
-    else:
-        rendered = [serialize_for_hash(c) for c in cols]
+    # NOTE: deliberately NOT composed as concat_ws(SEP, seed,
+    # hash_feed(...)): the inner concat_ws renders an all-null field list
+    # as "" (not NULL), so nesting would append a trailing separator and
+    # change every null-field hash — the flat feed is the compatibility
+    # contract the oracles pin.
+    rendered = _render(cols, dtypes, byte_encoding)
     feed = F.concat_ws(FIELD_SEP, F.lit(str(seed)), *rendered)
     return portable_hash64(feed)
 
@@ -131,6 +139,14 @@ def bound01(hash_col: Column) -> Column:
     """Map a 60-bit hash to [0.0, 1.0) — the reference's ``boundLong``
     (BigSampler.scala:74-75) re-ranged for the portable hash space."""
     return hash_col.cast("double") / F.lit(HASH_SPACE)
+
+
+def bound_signed64(h: Column) -> Column:
+    """Map a full signed-64 hash to [0,1): the reference's ``boundLong``
+    affine map (BigSampler.scala:74-75) — shared by every signed-range
+    backend (xx / farm / murmur) so the map can never drift between them."""
+    lmin, lmax = float(-(2**63)), float(2**63 - 1)
+    return (h.cast("double") - F.lit(lmin)) / (F.lit(lmax) - F.lit(lmin))
 
 
 def dice(
@@ -170,9 +186,7 @@ def xxhash_cols(cols: Sequence[Column | str], seed: int = 42) -> Column:
 def xxdice(cols: Sequence[Column | str], seed: int = 42) -> Column:
     """xxhash64 mapped to [0,1): affine map of the signed 64-bit range,
     exactly the reference's boundLong (BigSampler.scala:74-75)."""
-    h = xxhash_cols(cols, seed=seed)
-    lmin, lmax = float(-(2**63)), float(2**63 - 1)
-    return (h.cast("double") - F.lit(lmin)) / (F.lit(lmax) - F.lit(lmin))
+    return bound_signed64(xxhash_cols(cols, seed=seed))
 
 
 def farmhash_udf(seed: int | None = None):
@@ -234,9 +248,7 @@ def farm_dice(col: Column | str, seed: int | None = None) -> Column:
     ``FARM_FINGERPRINT(CONCAT(<le-seed bytes>, CAST(CAST(f AS STRING) AS BYTES)))``.
     """
     c = F.col(col) if isinstance(col, str) else col
-    h = farmhash_udf(seed)(c.cast("string"))
-    lmin, lmax = float(-(2**63)), float(2**63 - 1)
-    return (h.cast("double") - F.lit(lmin)) / (F.lit(lmax) - F.lit(lmin))
+    return bound_signed64(farmhash_udf(seed)(c.cast("string")))
 
 
 def murmur_udf(seed: int = 0):
@@ -273,9 +285,19 @@ def murmur_dice(col: Column | str, seed: int = 0) -> Column:
     """Murmur sampling dice: murmur3_128 asLong → [0,1) via the reference's
     signed-range affine map (BigSampler.scala:74-75 ``boundLong``)."""
     c = F.col(col) if isinstance(col, str) else col
-    h = murmur_udf(seed)(c.cast("string"))
-    lmin, lmax = float(-(2**63)), float(2**63 - 1)
-    return (h.cast("double") - F.lit(lmin)) / (F.lit(lmax) - F.lit(lmin))
+    return bound_signed64(murmur_udf(seed)(c.cast("string")))
+
+
+def _render(
+    cols: Sequence[Column | str],
+    dtypes: Sequence[T.DataType | None] | None = None,
+    byte_encoding: str = "hex",
+) -> list[Column]:
+    """Per-type string rendering of each field — the one place the feed
+    rules live (hash_cols and hash_feed both join these)."""
+    if dtypes is not None:
+        return [serialize_for_hash(c, t, byte_encoding) for c, t in zip(cols, dtypes)]
+    return [serialize_for_hash(c) for c in cols]
 
 
 def hash_feed(
@@ -286,13 +308,7 @@ def hash_feed(
     """The canonical multi-field string feed: per-type rendering joined on
     the unit separator, nulls skipped — shared by every hasher backend so a
     cohort is defined by (fields, seed, hasher, byte_encoding) alone."""
-    if dtypes is not None:
-        rendered = [
-            serialize_for_hash(c, t, byte_encoding) for c, t in zip(cols, dtypes)
-        ]
-    else:
-        rendered = [serialize_for_hash(c) for c in cols]
-    return F.concat_ws(FIELD_SEP, *rendered)
+    return F.concat_ws(FIELD_SEP, *_render(cols, dtypes, byte_encoding))
 
 
 def dice_for(
@@ -315,7 +331,6 @@ def dice_for(
         return dice(cols, seed=seed, dtypes=dtypes, byte_encoding=byte_encoding)
     if hasher == "xx":
         return xxdice(cols, seed=seed)
-    lmin, lmax = float(-(2**63)), float(2**63 - 1)
     feed = hash_feed(cols, dtypes, byte_encoding)
     if hasher == "farm":
         h = farmhash_udf(seed)(feed)
@@ -325,7 +340,7 @@ def dice_for(
         raise ValueError(
             f"unknown hasher {hasher!r} (use portable|xx|farm|murmur)"
         )
-    return (h.cast("double") - F.lit(lmin)) / (F.lit(lmax) - F.lit(lmin))
+    return bound_signed64(h)
 
 
 def duckdb_dice_sql(field_sql: Sequence[str], seed: int = 0) -> str:

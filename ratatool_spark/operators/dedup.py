@@ -544,15 +544,20 @@ def exact_filter_against(
       2. bloom-test the new batch — rows failing the test are DEFINITELY
          absent (no false negatives): done, no join at all;
       3. the small bloom-positive remainder (true hits + ~fpp false
-         positives) is verified exactly: its fingerprints broadcast into
-         a corpus scan (semi-join, no corpus shuffle), the confirmed set
-         broadcasts back into an anti-join on the new batch.
+         positives) is verified exactly ON THE REAL KEY COLUMNS: its
+         distinct key tuples broadcast into a corpus scan (semi-join, no
+         corpus shuffle), the confirmed key set broadcasts back into an
+         anti-join on the new batch.
 
     Total cost: 2 corpus scans + 1 new-batch scan + two broadcasts sized
     by the hit rate — vs a full corpus shuffle. The result is EXACT (the
-    oracle is the plain NOT EXISTS anti-join); the Bloom only routes.
-    ``use_bloom=False`` falls back to the plain anti-join (right when the
-    new batch is comparable in size to the corpus)."""
+    oracle is the plain NOT EXISTS anti-join): the fingerprint/Bloom only
+    ROUTE — a hash collision or the null-skipping feed can only send an
+    extra row through verification, never change the answer, because the
+    final joins compare the actual columns with standard SQL equality
+    (NULL keys never match, same as NOT EXISTS). ``use_bloom=False``
+    falls back to the plain anti-join (right when the new batch is
+    comparable in size to the corpus)."""
     fp = portable_hash64(
         F.concat_ws("\x01", *[F.col(c).cast("string") for c in cols])
     )
@@ -563,25 +568,21 @@ def exact_filter_against(
     spark = new_df.sparkSession
     bloom = build_bloom(corpus_df.select(fp.alias("__fp")), "__fp", fpp)
     tagged = _persist(
-        new_df.withColumn("__fp", fp).withColumn(
-            "__maybe", bloom_contains(spark, bloom, F.col("__fp"))
+        new_df.withColumn(
+            "__maybe", bloom_contains(spark, bloom, fp)
         )
     )
     positives = tagged.where(F.col("__maybe"))
-    confirmed = (
-        corpus_df.select(fp.alias("__cfp"))
-        .join(
-            F.broadcast(positives.select(F.col("__fp").alias("__cfp")).distinct()),
-            "__cfp",
-            "left_semi",
-        )
+    confirmed_keys = (
+        corpus_df.select(*[F.col(c) for c in cols])
+        .join(F.broadcast(positives.select(*cols).distinct()), cols, "left_semi")
         .distinct()
     )
     kept_positives = positives.join(
-        F.broadcast(confirmed), positives["__fp"] == confirmed["__cfp"], "left_anti"
+        F.broadcast(confirmed_keys), cols, "left_anti"
     )
     definite = tagged.where(~F.col("__maybe"))
-    return definite.unionByName(kept_positives).drop("__fp", "__maybe")
+    return definite.unionByName(kept_positives).drop("__maybe")
 
 
 def filter_against(

@@ -298,6 +298,14 @@ class BigDiffy:
         child field that identifies elements (the reference's
         ``unorderedFieldKeys``, Diffy.scala:88-92).
 
+        Key identity is the STRINGIFIED multikey — deliberate reference
+        parity: BigDiffy's MultiKey is the '_'-joined string of the key
+        fields (BigDiffy.scala:64-70) with String.valueOf null rendering
+        (:631-634), so distinct tuples like ('a_b','c') vs ('a','b_c')
+        conflate there exactly as here (and the duplicate guard below
+        sees them as one key). Pick keys without '_' collisions, as
+        reference users must.
+
         Key uniqueness is enforced ALWAYS-ON, matching the reference's
         unconditional duplicate-key error (BigDiffy.scala:240-243) — with
         duplicates, a full-outer join silently fans out rows and every

@@ -29,20 +29,44 @@ from ratatool_spark.functions.hashing import hash_cols
 MANIFEST = "_manifest.json"
 
 
+def _hadoop_write(spark: SparkSession, uri: str, text: str) -> None:
+    """Write a small text file through the Hadoop FileSystem (any scheme
+    the cluster can reach: s3a://, hdfs://, file://, …)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(uri)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _hadoop_read(spark: SparkSession, uri: str) -> str:
+    """Read a small text file through the Hadoop FileSystem. The text
+    datasource can't be used here — its file index silently drops
+    underscore-prefixed files like ours. Bytes come back via
+    IOUtils.toByteArray: a RETURNED byte[] converts to Python bytes
+    correctly, whereas passing a Python bytearray into readFully would
+    mutate only the Java-side copy (py4j is by-value)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(uri)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(p)
+    try:
+        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        return bytes(data).decode("utf-8")
+    finally:
+        stream.close()
+
+
 def _write_text(spark: SparkSession, path: str, text: str) -> None:
     """Write a small text file at any URI the cluster can reach: local
     paths via open(); any scheme (s3a://, hdfs://, …) through the Hadoop
     FileSystem — same routing as sources.io._input_bytes, so the manifest
     works wherever the shards themselves land."""
     if "://" in path and not path.startswith("file://"):
-        jvm = spark._jvm
-        p = jvm.org.apache.hadoop.fs.Path(path)
-        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-        out = fs.create(p, True)
-        try:
-            out.write(bytearray(text.encode("utf-8")))
-        finally:
-            out.close()
+        _hadoop_write(spark, path, text)
         return
     local = path[len("file://"):] if path.startswith("file://") else path
     with open(local, "w") as f:
@@ -51,19 +75,7 @@ def _write_text(spark: SparkSession, path: str, text: str) -> None:
 
 def _read_text(spark: SparkSession, path: str) -> str:
     if "://" in path and not path.startswith("file://"):
-        # direct FS stream: the text datasource can't be used here — its
-        # file index silently drops underscore-prefixed files like ours
-        jvm = spark._jvm
-        p = jvm.org.apache.hadoop.fs.Path(path)
-        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-        stream = fs.open(p)
-        try:
-            n = int(fs.getFileStatus(p).getLen())
-            buf = bytearray(n)
-            stream.readFully(0, buf)
-            return bytes(buf).decode("utf-8")
-        finally:
-            stream.close()
+        return _hadoop_read(spark, path)
     local = path[len("file://"):] if path.startswith("file://") else path
     with open(local) as f:
         return f.read()

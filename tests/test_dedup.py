@@ -414,6 +414,27 @@ def test_build_bloom_distributed_and_exact_filter(spark, documents):
     assert 0 < len(got) < new_b.count()  # non-trivial both ways
 
 
+def test_exact_filter_against_verifies_real_columns(spark):
+    """The Bloom/fingerprint layer only ROUTES — rows whose null-skipping
+    concat feed collides (separator injection, NULL asymmetry) must still
+    survive because verification compares the actual columns (r4 review
+    finding: a fingerprint-equality verify silently dropped them)."""
+    from ratatool_spark.operators.dedup import exact_filter_against
+
+    new_b = spark.createDataFrame(
+        [("x\x01y", "z"), (None, "x"), ("same", "same")], "a string, b string"
+    )
+    corpus = spark.createDataFrame(
+        [("x", "y\x01z"), ("x", None), ("same", "same")], "a string, b string"
+    )
+    got = {
+        (r["a"], r["b"])
+        for r in exact_filter_against(new_b, corpus, cols=["a", "b"]).collect()
+    }
+    # the colliding-feed rows survive; only the genuine duplicate is dropped
+    assert got == {("x\x01y", "z"), (None, "x")}
+
+
 def test_exact_filter_against_empty_corpus(spark, documents):
     from pyspark.sql import functions as F
 

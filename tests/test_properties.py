@@ -155,6 +155,16 @@ def test_serialize_bytes_base64(spark):
 
     d = duckdb.sql("SELECT base64('\\xDE\\xAD\\xBE\\xEF\\x00\\xFF'::BLOB) AS s").fetchone()[0]
     assert d == r[0]["s"]
+    # >57-byte payload: the legacy MIME encoder (Spark <3.5.2 /
+    # chunkBase64String=true) would insert a CRLF every 76 chars here and
+    # break cross-engine parity — pin the modern non-chunked behavior
+    big = bytes(range(200))
+    big_df = spark.createDataFrame([(big,)], "b binary")
+    got = big_df.select(
+        serialize_for_hash(F.col("b"), T.BinaryType(), "base64").alias("s")
+    ).collect()[0]["s"]
+    assert got == base64.b64encode(big).decode()
+    assert "\r" not in got and "\n" not in got
     with pytest.raises(ValueError, match="raw byte feeding"):
         serialize_for_hash(F.col("b"), T.BinaryType(), "raw")
 

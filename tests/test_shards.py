@@ -70,3 +70,16 @@ def test_cli_write_shards(spark, orders, tmp_path):
                "--numShards", "3", "--keyFields", "o_orderkey", "--verify"])
     assert rc == 0
     assert os.path.exists(os.path.join(out, MANIFEST))
+
+
+def test_manifest_hadoop_fs_roundtrip(spark):
+    """The remote-URI manifest path goes through the Hadoop FileSystem —
+    exercised here via a file:/// URI (the JVM LocalFileSystem): bytes
+    must round-trip exactly (py4j mutates byte[] by value, so a readFully
+    into a Python bytearray would return NULs — r4 review finding)."""
+    from ratatool_spark.sources.shards import _hadoop_read, _hadoop_write
+
+    uri = "file:///tmp/_rt_manifest_test.json"
+    payload = '{"k": [1, 2, 3], "s": "héllo\\n"}'
+    _hadoop_write(spark, uri, payload)
+    assert _hadoop_read(spark, uri) == payload
