@@ -3401,6 +3401,25 @@ WHERE n.doc_id % 7 = 0
 """
 
 
+def _q_csv_roundtrip(spark, sf_dir):
+    """S-family breadth: the S12 header-TSV sink → text scan with an
+    EXPLICIT schema (no inference job — at scale, csv/json schema
+    inference is a full extra data pass). Doubles print at full precision
+    so the typed round-trip is lossless; the oracle is the source table."""
+    import os
+    import tempfile
+
+    from ratatool_spark.sources.io import read_table, write_table
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    out = os.path.join(tempfile.mkdtemp(prefix="rt_csv_"), "customer.tsv")
+    write_table(cust.coalesce(4), out, header="")  # header= → TSV+header sink (S12)
+    return read_table(spark, out, fmt="csv", schema=cust.schema, sep="\t")
+
+
+_SQL_CSV_ROUNDTRIP = "SELECT * FROM customer"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is the driver's verification priority.
 
@@ -3428,6 +3447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22_idle_rich_customers": _q_tpch_q22,
         "tpch_q10_returned_revenue": _q_tpch_q10,
         "dedup_exact_incremental_bloom": _q_dedup_exact_bloom,
+        "csv_roundtrip_customer": _q_csv_roundtrip,
         "diffy_deltas": _q_diffy_deltas,
         "diffy_key_stats": _q_diffy_key_stats,
         "diffy_global_stats": _q_diffy_global_stats,
@@ -3519,6 +3539,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q22_idle_rich_customers": _SQL_TPCH_Q22,
         "tpch_q10_returned_revenue": _SQL_TPCH_Q10,
         "dedup_exact_incremental_bloom": _SQL_DEDUP_EXACT_BLOOM,
+        "csv_roundtrip_customer": _SQL_CSV_ROUNDTRIP,
         "tpch_q1_pricing_summary": _SQL_TPCH_Q1,
         "tpch_q6_forecast_revenue": _SQL_TPCH_Q6,
         "sample_deterministic": _SQL_SAMPLE_DET,

@@ -61,10 +61,17 @@ def read_table(
 
         return read_avro(spark, path)
     reader = spark.read
+    schema = options.pop("schema", None)
+    if schema is not None:
+        # explicit schema: no inference job (a full extra data pass at
+        # scale) and exact types on text formats (csv/json)
+        reader = reader.schema(schema)
     if fmt == JSON:
         reader = reader.option("multiLine", "false")
-    if fmt == CSV:
+    if fmt == CSV and schema is None:
         reader = reader.option("header", "true").option("inferSchema", "true")
+    elif fmt == CSV:
+        reader = reader.option("header", "true")
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.format(fmt).load(path)
