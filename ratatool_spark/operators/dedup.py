@@ -316,6 +316,59 @@ def jaccard_verify(
     )
 
 
+def save_signatures(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    hasher: str = "portable",
+    mode: str = "error",
+) -> dict:
+    """Persist the corpus minhash signature table — the production
+    at-rest artifact that makes per-batch incremental dedup cost
+    independent of corpus size (the corpus is shingled ONCE here, not
+    once per arriving batch). Writes parquet (id, sig_0..sig_{k-1}) plus
+    a ``_signatures.json`` sidecar pinning (num_hashes, shingle_n,
+    hasher, text/id cols) so a mismatched reuse fails loudly instead of
+    silently degrading recall. Returns the meta dict."""
+    import json
+
+    from ratatool_spark.sources.shards import _join, _write_text
+
+    sh = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__s"),
+    ).select(F.col(id_col), text_hash64(F.col("__s"), hasher).alias("__sh"))
+    aggs = [
+        F.min(
+            (F.lit(a) * (F.col("__sh") % MINHASH_P) + F.lit(b)) % F.lit(MINHASH_P)
+        ).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    ]
+    sh.groupBy(id_col).agg(*aggs).write.mode(mode).parquet(path)
+    meta = {
+        "num_hashes": num_hashes,
+        "shingle_n": shingle_n,
+        "hasher": hasher,
+        "text_col": text_col,
+        "id_col": id_col,
+    }
+    _write_text(df.sparkSession, _join(path, "_signatures.json"), json.dumps(meta, sort_keys=True))
+    return meta
+
+
+def load_signatures(spark, path: str) -> tuple[DataFrame, dict]:
+    """Read a :func:`save_signatures` table + its parameter sidecar."""
+    import json
+
+    from ratatool_spark.sources.shards import _join, _read_text
+
+    meta = json.loads(_read_text(spark, _join(path, "_signatures.json")))
+    return spark.read.parquet(path), meta
+
+
 def dedup_against(
     new_df: DataFrame,
     corpus_df: DataFrame,
@@ -327,6 +380,7 @@ def dedup_against(
     threshold: float = 0.0,
     hasher: str = "portable",
     verify: bool = True,
+    corpus_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dedup: candidate/verified matches of a NEW batch
     against an EXISTING corpus — "is this crawl shard already in the
@@ -335,11 +389,18 @@ def dedup_against(
 
     Both sides get minhash signatures; the LSH join is banded
     *new × corpus* (shuffle by (band, band-hash), never all-pairs), so
-    cost scales with the new batch, not the corpus — the corpus side in
-    production would read precomputed signatures. ``verify`` recomputes
-    exact Jaccard on the candidates only, each side shingled once
-    (same envelope as :func:`jaccard_verify`). Ids may overlap between
-    sides — sides are tracked positionally, never by id comparison."""
+    cost scales with the new batch, not the corpus. ``verify`` recomputes
+    exact Jaccard on the candidates only (same envelope as
+    :func:`jaccard_verify`). Ids may overlap between sides — sides are
+    tracked positionally, never by id comparison.
+
+    ``corpus_sigs`` is the production path: pass the precomputed
+    signature table from :func:`save_signatures`/:func:`load_signatures`
+    (same num_hashes/shingle_n/hasher — the sidecar pins them) and the
+    corpus is NEVER re-shingled for candidate generation; the verify step
+    then shingles only the candidate corpus docs (a semi-joined slice of
+    ``corpus_df``), so total per-batch corpus cost is one signature-table
+    scan plus |candidates| documents — independent of corpus size."""
 
     def shingled(df):
         # one shingle+hash pass per side, shared by the signature AND the
@@ -351,7 +412,7 @@ def dedup_against(
             ).select(F.col(id_col), text_hash64(F.col("__s"), hasher).alias("__sh"))
         )
 
-    sh_new, sh_corp = shingled(new_df), shingled(corpus_df)
+    sh_new = shingled(new_df)
 
     def sigs_of(sh):
         aggs = [
@@ -363,7 +424,20 @@ def dedup_against(
         return sh.groupBy(id_col).agg(*aggs)
 
     sigs_new = _persist(sigs_of(sh_new))
-    sigs_corp = _persist(sigs_of(sh_corp))
+    if corpus_sigs is not None:
+        want = {f"sig_{i}" for i in range(num_hashes)} | {id_col}
+        have = set(corpus_sigs.columns)
+        if want - have:
+            raise ValueError(
+                f"corpus_sigs missing columns {sorted(want - have)} — was it "
+                f"saved with a different num_hashes/id_col? (sidecar "
+                f"_signatures.json pins the parameters)"
+            )
+        sh_corp = None  # verify shingles only the candidate slice below
+        sigs_corp = corpus_sigs
+    else:
+        sh_corp = shingled(corpus_df)
+        sigs_corp = _persist(sigs_of(sh_corp))
     ln = _banded(sigs_new, id_col, num_hashes, bands).alias("l")
     rc = _banded(sigs_corp, id_col, num_hashes, bands).alias("r")
     cand = (
@@ -405,6 +479,10 @@ def dedup_against(
 
     ids_new = out.select(F.col("id_new").alias(id_col)).distinct()
     ids_corp = out.select(F.col("id_corpus").alias(id_col)).distinct()
+    if sh_corp is None:
+        # precomputed-signature path: shingle ONLY the candidate corpus
+        # docs (a semi-joined slice) — the full corpus text is never read
+        sh_corp = shingled(corpus_df.join(ids_corp, id_col, "left_semi"))
     sn = shingle_sets(sh_new, ids_new).alias("a")
     sc = shingle_sets(sh_corp, ids_corp).alias("b")
     inter = F.size(F.array_intersect(F.col("a.ss"), F.col("b.ss")))

@@ -350,6 +350,40 @@ def test_jaccard_max_doc_freq_pruning_is_conservative(documents):
         assert j <= full[k] + 1e-12
 
 
+def test_dedup_against_precomputed_signatures_parity(spark, documents, tmp_path):
+    """The production path — corpus signatures saved once, reused per
+    batch — must produce byte-identical matches to the fresh-computation
+    path, and a mismatched signature table must fail loudly."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.dedup import (
+        dedup_against,
+        load_signatures,
+        save_signatures,
+    )
+
+    new_b = documents.where(F.col("doc_id") % 4 == 0)
+    corpus = documents.where(F.col("doc_id") % 4 != 0)
+    path = str(tmp_path / "sigs")
+    meta = save_signatures(corpus, path, num_hashes=16)
+    sigs, loaded_meta = load_signatures(spark, path)
+    assert loaded_meta == meta and loaded_meta["num_hashes"] == 16
+
+    def key(df):
+        return {
+            (r["id_new"], r["id_corpus"], round(r["est_jaccard"], 9), round(r["jaccard"], 9))
+            for r in df.collect()
+        }
+
+    fresh = key(dedup_against(new_b, corpus, threshold=0.2))
+    stored = key(dedup_against(new_b, corpus, threshold=0.2, corpus_sigs=sigs))
+    assert fresh == stored and fresh
+
+    with _pytest.raises(ValueError, match="corpus_sigs missing columns"):
+        dedup_against(new_b, corpus, num_hashes=32, corpus_sigs=sigs).collect()
+
+
 def test_bloom_filter_no_false_negatives_and_low_fpp():
     """Core Bloom invariants on the raw structure: every inserted key
     tests positive; absent-key positives stay near the sized fpp."""
