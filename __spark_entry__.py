@@ -3420,6 +3420,92 @@ def _q_csv_roundtrip(spark, sf_dir):
 _SQL_CSV_ROUNDTRIP = "SELECT * FROM customer"
 
 
+def _q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15-style top supplier: quarterly revenue per supplier, keep
+    the argmax rows. The scalar max broadcasts back over the tiny agg
+    (never a re-scan of lineitem); supplier joins by broadcast."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.sources.io import load_tables
+
+    t = load_tables(spark, sf_dir, names=("supplier", "lineitem"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,4)")
+    q = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(rev).cast("double").alias("total_revenue"))
+    )
+    mx = q.agg(F.max("total_revenue").alias("__mx"))
+    top = q.join(F.broadcast(mx)).where(F.col("total_revenue") == F.col("__mx"))
+    return (
+        top.join(
+            F.broadcast(t["supplier"]), F.col("supplier_no") == F.col("s_suppkey")
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+_SQL_TPCH_Q15 = """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def _q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18-style large-volume orders: HAVING-filtered lineitem agg
+    (map-side combine does the heavy lifting; only per-order partials
+    shuffle), then the small big-order set broadcasts up the star to
+    orders/customer; top-100 via TakeOrderedAndProject."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.sources.io import load_tables
+
+    t = load_tables(spark, sf_dir, names=("customer", "orders", "lineitem"))
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,4)")).cast("double").alias("sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+    return (
+        t["orders"]
+        .join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+_SQL_TPCH_Q18 = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) > 300
+) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is the driver's verification priority.
 
@@ -3448,6 +3534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10_returned_revenue": _q_tpch_q10,
         "dedup_exact_incremental_bloom": _q_dedup_exact_bloom,
         "csv_roundtrip_customer": _q_csv_roundtrip,
+        "tpch_q15_top_supplier": _q_tpch_q15,
+        "tpch_q18_large_orders": _q_tpch_q18,
         "diffy_deltas": _q_diffy_deltas,
         "diffy_key_stats": _q_diffy_key_stats,
         "diffy_global_stats": _q_diffy_global_stats,
@@ -3540,6 +3628,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q10_returned_revenue": _SQL_TPCH_Q10,
         "dedup_exact_incremental_bloom": _SQL_DEDUP_EXACT_BLOOM,
         "csv_roundtrip_customer": _SQL_CSV_ROUNDTRIP,
+        "tpch_q15_top_supplier": _SQL_TPCH_Q15,
+        "tpch_q18_large_orders": _SQL_TPCH_Q18,
         "tpch_q1_pricing_summary": _SQL_TPCH_Q1,
         "tpch_q6_forecast_revenue": _SQL_TPCH_Q6,
         "sample_deterministic": _SQL_SAMPLE_DET,

@@ -143,7 +143,27 @@ def build_parser() -> argparse.ArgumentParser:
     da.add_argument("--bands", type=int, default=8)
     da.add_argument("--shingleN", type=int, default=3)
     da.add_argument("--hasher", choices=["portable", "xx"], default="portable")
+    da.add_argument(
+        "--corpusSigs",
+        default=None,
+        help="path of a saveSignatures table: skips the per-batch corpus "
+        "shingle/signature pass (parameters validated from the sidecar)",
+    )
     da.add_argument("--format", default=None, help="override input format sniffing")
+
+    sg = sub.add_parser(
+        "saveSignatures",
+        help="persist a corpus minhash signature table (+ parameter "
+        "sidecar) for corpus-size-independent incremental dedup",
+    )
+    sg.add_argument("--input", required=True)
+    sg.add_argument("--output", required=True)
+    sg.add_argument("--textField", default="text")
+    sg.add_argument("--idField", default="doc_id")
+    sg.add_argument("--numHashes", type=int, default=16)
+    sg.add_argument("--shingleN", type=int, default=3)
+    sg.add_argument("--hasher", choices=["portable", "xx"], default="portable")
+    sg.add_argument("--format", default=None, help="override input format sniffing")
 
     pf = sub.add_parser(
         "profile",
@@ -302,10 +322,24 @@ def main(argv: list[str] | None = None) -> int:
             )
             write_table(out, args.output, mode="overwrite")
         elif args.command == "dedupAgainst":
-            from ratatool_spark.operators.dedup import filter_against
+            from ratatool_spark.operators.dedup import filter_against, load_signatures
 
             new = read_table(spark, args.input, fmt=args.format)
             corpus = read_table(spark, args.corpus, fmt=args.format)
+            corpus_sigs = None
+            if args.corpusSigs:
+                corpus_sigs, meta = load_signatures(spark, args.corpusSigs)
+                for cli_v, meta_k in (
+                    (args.numHashes, "num_hashes"),
+                    (args.shingleN, "shingle_n"),
+                    (args.hasher, "hasher"),
+                ):
+                    if meta.get(meta_k) != cli_v:
+                        raise SystemExit(
+                            f"--corpusSigs was saved with {meta_k}="
+                            f"{meta.get(meta_k)!r} but the command asks for "
+                            f"{cli_v!r}; align the flags or resave"
+                        )
             out = filter_against(
                 new,
                 corpus,
@@ -316,8 +350,23 @@ def main(argv: list[str] | None = None) -> int:
                 bands=args.bands,
                 shingle_n=args.shingleN,
                 hasher=args.hasher,
+                corpus_sigs=corpus_sigs,
             )
             write_table(out, args.output, mode="overwrite")
+        elif args.command == "saveSignatures":
+            from ratatool_spark.operators.dedup import save_signatures
+
+            df = read_table(spark, args.input, fmt=args.format)
+            save_signatures(
+                df,
+                args.output,
+                text_col=args.textField,
+                id_col=args.idField,
+                num_hashes=args.numHashes,
+                shingle_n=args.shingleN,
+                hasher=args.hasher,
+                mode="overwrite",
+            )
         elif args.command == "profile":
             from ratatool_spark.operators.profile import profile_table
 

@@ -296,6 +296,34 @@ def test_resize_media_real_codec_gated(spark):
         resize_media(media, 8, 8, fake=False).collect()
 
 
+def test_cli_save_signatures_and_dedup_against(spark, tmp_path):
+    """saveSignatures → dedupAgainst --corpusSigs: the precomputed path
+    keeps the same rows as the fresh path; mismatched flags exit loudly."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.cli import main
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    newp, corpp = str(tmp_path / "new"), str(tmp_path / "corpus")
+    docs.where(F.col("doc_id") % 4 == 0).write.parquet(newp)
+    docs.where(F.col("doc_id") % 4 != 0).write.parquet(corpp)
+    sigs = str(tmp_path / "sigs")
+    assert main(["saveSignatures", "--input", corpp, "--output", sigs]) == 0
+
+    out1, out2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+    base = ["dedupAgainst", "--input", newp, "--corpus", corpp, "--threshold", "0.4"]
+    assert main(base + ["--output", out1]) == 0
+    assert main(base + ["--output", out2, "--corpusSigs", sigs]) == 0
+    a = {r["doc_id"] for r in spark.read.parquet(out1).collect()}
+    b = {r["doc_id"] for r in spark.read.parquet(out2).collect()}
+    assert a == b and a
+
+    with _pytest.raises(SystemExit, match="num_hashes"):
+        main(base + ["--output", str(tmp_path / "o3"), "--corpusSigs", sigs,
+                     "--numHashes", "32"])
+
+
 def test_cli_near_dedup(spark, tmp_path):
     """nearDedup verb: survivors written, fewer or equal rows, schema kept."""
     from ratatool_spark.cli import main
