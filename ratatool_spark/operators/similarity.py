@@ -240,6 +240,90 @@ def train_centroids(
     return centroids
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 13,
+    train_iters: int = 0,
+    mode: str = "error",
+) -> list[tuple[int, list[float]]]:
+    """Persist the IVF index — the production build-once/query-many ANN
+    artifact: the cell-assigned corpus as parquet (neighbor_id, cv, cell;
+    one corpus scan + optional Lloyd's training here, NEVER per query
+    batch) plus an ``_ivf.json`` sidecar holding the centroids and
+    parameters. Cell is a low-cardinality partition column, so a probe
+    of n_probe cells prunes the index scan to those directories."""
+    import json
+
+    from ratatool_spark.sources.shards import _join, _write_text
+
+    if train_iters > 0:
+        centroids = train_centroids(
+            corpus, n_centroids, train_iters, vec_col, id_col, seed
+        )
+    else:
+        centroids = _seed_centroids(corpus, n_centroids, vec_col, id_col, seed)
+    cb = _gemm_assign(corpus, centroids, vec_col, id_col, 1).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("cells")[0].alias("cell"),
+    )
+    cb.write.mode(mode).partitionBy("cell").parquet(path)
+    meta = {
+        "n_centroids": n_centroids,
+        "vec_col": vec_col,
+        "id_col": id_col,
+        "seed": seed,
+        "train_iters": train_iters,
+        "centroids": centroids,
+    }
+    _write_text(corpus.sparkSession, _join(path, "_ivf.json"), json.dumps(meta))
+    return centroids
+
+
+def query_ivf_index(
+    spark,
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Probe a :func:`build_ivf_index` index: assign each query to its
+    ``n_probe`` nearest stored centroids and exact-re-rank inside those
+    cells only. The cell equi-join prunes the partitioned index scan to
+    the probed cells; identical results to :func:`ivf_topk` with the
+    same parameters (parity-tested)."""
+    import json
+
+    from ratatool_spark.sources.shards import _join, _read_text
+
+    meta = json.loads(_read_text(spark, _join(path, "_ivf.json")))
+    centroids = [(int(c), v) for c, v in meta["centroids"]]
+    cb = spark.read.parquet(path)
+    qb = _gemm_assign(
+        queries, centroids, meta["vec_col"], meta["id_col"], n_probe
+    ).select(
+        F.col("id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.explode("cells").alias("cell"),
+    )
+    sim = cosine_sim(F.col("qv"), F.col("cv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cb.join(F.broadcast(qb), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -169,6 +169,36 @@ def test_ivf_topk_recall(embeddings):
     assert hits / len(bf) >= 0.5
 
 
+def test_ivf_index_persistence_parity(spark, embeddings, tmp_path):
+    """build_ivf_index → query_ivf_index equals the one-shot ivf_topk
+    with identical parameters, and the stored index is cell-partitioned
+    (probe-time partition pruning)."""
+    import os
+
+    from ratatool_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        query_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(embeddings, path, n_centroids=8, seed=13, train_iters=2)
+    q = embeddings.where(F.col("vec_id") < 10)
+
+    def key(rows):
+        return {(r["query_id"], r["neighbor_id"], r["rank"]) for r in rows}
+
+    stored = key(query_ivf_index(spark, q, path, k=5, n_probe=4).collect())
+    fresh = key(
+        ivf_topk(
+            embeddings, q, k=5, n_centroids=8, n_probe=4, seed=13, train_iters=2
+        ).collect()
+    )
+    assert stored == fresh and stored
+    # partitioned layout: cell=N directories on disk
+    assert any(d.startswith("cell=") for d in os.listdir(path))
+
+
 def test_kmeans_ivf_training(embeddings):
     """Lloyd's iterations are deterministic and keep IVF results exact
     (cosines still true pairwise values); trained cells at equal probe
