@@ -151,6 +151,21 @@ def build_parser() -> argparse.ArgumentParser:
     )
     da.add_argument("--format", default=None, help="override input format sniffing")
 
+    ef = sub.add_parser(
+        "exactDedupAgainst",
+        help="exact incremental dedup: keep new-batch rows whose key "
+        "columns have no exact match in the corpus (Bloom-routed — the "
+        "corpus is scanned, never shuffled)",
+    )
+    ef.add_argument("--input", required=True, help="the new batch")
+    ef.add_argument("--corpus", required=True, help="the existing corpus")
+    ef.add_argument("--output", required=True)
+    ef.add_argument("--keyFields", type=_csv, required=True)
+    ef.add_argument("--fpp", type=float, default=0.01, help="Bloom false-positive rate")
+    ef.add_argument("--noBloom", action="store_true",
+                    help="plain anti-join (new batch comparable to corpus size)")
+    ef.add_argument("--format", default=None, help="override input format sniffing")
+
     sg = sub.add_parser(
         "saveSignatures",
         help="persist a corpus minhash signature table (+ parameter "
@@ -351,6 +366,19 @@ def main(argv: list[str] | None = None) -> int:
                 shingle_n=args.shingleN,
                 hasher=args.hasher,
                 corpus_sigs=corpus_sigs,
+            )
+            write_table(out, args.output, mode="overwrite")
+        elif args.command == "exactDedupAgainst":
+            from ratatool_spark.operators.dedup import exact_filter_against
+
+            new = read_table(spark, args.input, fmt=args.format)
+            corpus = read_table(spark, args.corpus, fmt=args.format)
+            out = exact_filter_against(
+                new,
+                corpus,
+                cols=args.keyFields,
+                fpp=args.fpp,
+                use_bloom=not args.noBloom,
             )
             write_table(out, args.output, mode="overwrite")
         elif args.command == "saveSignatures":

@@ -296,6 +296,26 @@ def test_resize_media_real_codec_gated(spark):
         resize_media(media, 8, 8, fake=False).collect()
 
 
+def test_cli_exact_dedup_against(spark, tmp_path):
+    """exactDedupAgainst verb: bloom and plain paths keep identical rows."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.cli import main
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    newp, corpp = str(tmp_path / "new"), str(tmp_path / "corpus")
+    docs.where(F.col("doc_id") % 5 == 0).write.parquet(newp)
+    docs.where(F.col("doc_id") % 5 != 0).write.parquet(corpp)
+    base = ["exactDedupAgainst", "--input", newp, "--corpus", corpp,
+            "--keyFields", "n_chars"]
+    o1, o2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+    assert main(base + ["--output", o1]) == 0
+    assert main(base + ["--output", o2, "--noBloom"]) == 0
+    a = {r["doc_id"] for r in spark.read.parquet(o1).collect()}
+    b = {r["doc_id"] for r in spark.read.parquet(o2).collect()}
+    assert a == b
+
+
 def test_cli_save_signatures_and_dedup_against(spark, tmp_path):
     """saveSignatures → dedupAgainst --corpusSigs: the precomputed path
     keeps the same rows as the fresh path; mismatched flags exit loudly."""
