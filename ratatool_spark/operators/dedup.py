@@ -751,15 +751,23 @@ def near_dedup(
     shingle_n: int = 3,
     threshold: float = 0.7,
     hasher: str = "portable",
+    score_col: str | None = None,
 ) -> DataFrame:
     """End-to-end near-duplicate removal — the composed 100 TB pipeline:
     minhash-LSH candidates → exact-Jaccard verify on candidates only →
-    connected components over verified pairs → keep the min-id doc per
-    duplicate cluster. Returns the surviving rows of ``df`` unchanged.
+    connected components over verified pairs → keep ONE doc per duplicate
+    cluster. Returns the surviving rows of ``df`` unchanged.
+
+    Survivor rule: min id by default; with ``score_col`` the cluster's
+    best-scoring doc survives instead (max score, ties broken by min id) —
+    the quality-aware variant a curation pipeline wants, so near-dedup
+    keeps the cleanest copy rather than an arbitrary one. Either way the
+    choice is deterministic, so re-runs are stable.
 
     Every stage is linear-ish: LSH confines the quadratic term to band
     collisions, verify touches only candidates, clustering joins only the
-    verified pair graph (tiny relative to the corpus)."""
+    verified pair graph (tiny relative to the corpus); the survivor pick
+    is a window over that same tiny cluster frame."""
     cand = minhash_lsh_pairs(
         df, text_col, id_col, num_hashes, bands, shingle_n, hasher=hasher
     )
@@ -767,8 +775,99 @@ def near_dedup(
         F.col("jaccard") >= threshold
     )
     comp = connected_components(verified)
-    losers = comp.where(F.col("id") != F.col("component")).select("id")
+    if score_col is None:
+        losers = comp.where(F.col("id") != F.col("component")).select("id")
+        return df.join(losers, df[id_col] == losers["id"], "left_anti")
+    members = comp.join(
+        df.select(F.col(id_col).alias("id"), F.col(score_col).alias("__score")), "id"
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("__score"), F.col("id"))
+    losers = (
+        members.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") > 1)
+        .select("id")
+    )
     return df.join(losers, df[id_col] == losers["id"], "left_anti")
+
+
+def substring_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_len: int = 8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """(contained_id, container_id) pairs where one document's token
+    sequence occurs verbatim (word-boundary-aligned) inside another's —
+    the document-level analogue of suffix-array substring dedup
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"), re-expressed as a distributed anchored inverted index.
+
+    Soundness: if A's token sequence is a contiguous run of B's and A has
+    ≥ ``shingle_len`` tokens, every ``shingle_len``-gram of A is also a
+    ``shingle_len``-gram of B — so joining ONE anchor shingle per A
+    against the full shingle index finds every such pair. The anchor is
+    A's globally rarest shingle (min (doc-freq, shingle)), which bounds
+    candidate fan-out at Σ df(anchor) instead of Σ df² — a document only
+    becomes expensive if even its rarest 8-gram is corpus-common.
+    Documents with fewer than ``shingle_len`` tokens are out of scope
+    (their pseudo-shingles are not n-grams of their containers);
+    filter/handle short docs with exact_dedup.
+
+    At 100 TB: two shuffles on the shingle key (df count + index join),
+    one shuffle on the id key to attach texts for the verify; the verify
+    itself (``instr`` on ' '-joined tokens) touches candidates only.
+    ``max_doc_freq`` caps the anchor df — a doc whose RAREST shingle is
+    hotter than the cap is skipped (documented recall envelope, same
+    convention as ngram_jaccard_pairs).
+    """
+    from ratatool_spark.functions.text import tokens
+
+    eligible = (
+        df.where(F.size(tokens(F.col(text_col))) >= shingle_len)
+        .select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), shingle_len)).alias("__s"),
+        )
+    )
+    sh = _persist(eligible.distinct())
+    dfreq = sh.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    anchors = (
+        sh.join(dfreq, "__s")
+        .groupBy(id_col)
+        .agg(F.min(F.struct(F.col("__df"), F.col("__s"))).alias("__a"))
+        .select(
+            F.col(id_col).alias("a_id"),
+            F.col("__a.__s").alias("__s"),
+            F.col("__a.__df").alias("__adf"),
+        )
+    )
+    if max_doc_freq is not None:
+        anchors = anchors.where(F.col("__adf") <= max_doc_freq)
+    cand = (
+        anchors.join(sh.select(F.col(id_col).alias("b_id"), "__s"), "__s")
+        .where(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    norm = df.select(
+        F.col(id_col), F.concat_ws(" ", tokens(F.col(text_col))).alias("__t")
+    )
+    a = norm.select(F.col(id_col).alias("a_id"), F.col("__t").alias("__ta"))
+    b = norm.select(F.col(id_col).alias("b_id"), F.col("__t").alias("__tb"))
+    pad = lambda c: F.concat(F.lit(" "), c, F.lit(" "))  # noqa: E731
+    return (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .where(F.instr(pad(F.col("__tb")), pad(F.col("__ta"))) > 0)
+        .where(
+            (F.length("__ta") < F.length("__tb"))
+            | ((F.col("__ta") == F.col("__tb")) & (F.col("a_id") > F.col("b_id")))
+        )
+        .select(
+            F.col("a_id").alias("contained_id"), F.col("b_id").alias("container_id")
+        )
+    )
 
 
 def simhash(

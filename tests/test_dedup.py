@@ -561,3 +561,79 @@ def test_embedding_neardup_autoblocks_past_threshold(embeddings):
     pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
     orig = embeddings.limit(1).collect()[0]["vec_id"]
     assert (orig, orig + 100_000) in pairs
+
+
+# ------------------------------------------------ substring containment
+
+
+@pytest.fixture(scope="module")
+def containment_corpus(spark):
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        Row(doc_id=1, text=base),
+        # 1's full token sequence embedded mid-document
+        Row(doc_id=2, text="prefix words " + base + " suffix words"),
+        # token-aligned containment of an 8+-token run that is NOT doc 1
+        Row(doc_id=3, text="zulu yankee xray whiskey victor uniform tango sierra"),
+        Row(doc_id=4, text="lead-in zulu yankee xray whiskey victor uniform tango sierra out"),
+        # char-substring but NOT token-aligned: 'india' vs 'indiana'
+        Row(doc_id=5, text="alpha bravo charlie delta echo foxtrot golf hotel indiana juliet"),
+        # exact duplicate pair: contained = larger id
+        Row(doc_id=6, text=base),
+        # too short to index (< 8 tokens): out of scope
+        Row(doc_id=7, text="alpha bravo charlie"),
+        Row(doc_id=8, text="unrelated content entirely different words here again more filler"),
+    ]
+    return spark.createDataFrame(rows).cache()
+
+
+def test_substring_containment_finds_aligned_pairs(containment_corpus):
+    from ratatool_spark.operators.dedup import substring_containment_pairs
+
+    pairs = {
+        (r["contained_id"], r["container_id"])
+        for r in substring_containment_pairs(containment_corpus).collect()
+    }
+    assert (1, 2) in pairs  # embedded mid-document
+    assert (3, 4) in pairs
+    assert (6, 2) in pairs  # dup of 1, also contained in 2
+    assert (6, 1) in pairs  # exact tie: larger id is the contained one
+    assert (1, 6) not in pairs
+    # 'indiana' != 'india' at the token level: no pair with doc 5
+    assert not any(5 in p for p in pairs)
+    # short doc 7 out of scope even though its text occurs inside doc 1
+    assert not any(7 in p for p in pairs)
+
+
+def test_substring_containment_max_doc_freq_is_conservative(containment_corpus):
+    """The df cap may only DROP pairs (recall envelope), never invent them."""
+    from ratatool_spark.operators.dedup import substring_containment_pairs
+
+    full = {
+        (r["contained_id"], r["container_id"])
+        for r in substring_containment_pairs(containment_corpus).collect()
+    }
+    capped = {
+        (r["contained_id"], r["container_id"])
+        for r in substring_containment_pairs(
+            containment_corpus, max_doc_freq=1
+        ).collect()
+    }
+    assert capped <= full
+
+
+def test_near_dedup_keep_best_survivor(spark):
+    from ratatool_spark.operators.dedup import near_dedup
+
+    rows = [
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog", score=10),
+        Row(doc_id=2, text="the quick brown fox jumps over the lazy dog", score=99),
+        Row(doc_id=3, text="totally unrelated document about query engines", score=1),
+    ]
+    df = spark.createDataFrame(rows)
+    kept_min = sorted(r["doc_id"] for r in near_dedup(df, threshold=0.9).collect())
+    assert kept_min == [1, 3]
+    kept_best = sorted(
+        r["doc_id"] for r in near_dedup(df, threshold=0.9, score_col="score").collect()
+    )
+    assert kept_best == [2, 3]  # cluster keeps the max-score doc instead
