@@ -78,6 +78,31 @@ def build_parser() -> argparse.ArgumentParser:
         help="xx = Spark-native fast path (not cross-engine reproducible)",
     )
     nd.add_argument("--format", default=None, help="override input format sniffing")
+    nd.add_argument(
+        "--scoreField",
+        default=None,
+        help="quality column: each duplicate cluster keeps its max-score doc "
+        "(ties -> min id) instead of the min-id doc",
+    )
+
+    sd = sub.add_parser(
+        "substringDedup",
+        help="substring-containment pairs: docs whose token sequence occurs "
+        "verbatim inside another doc (anchored inverted index + verify)",
+    )
+    sd.add_argument("--input", required=True)
+    sd.add_argument("--output", required=True)
+    sd.add_argument("--textField", default="text")
+    sd.add_argument("--idField", default="doc_id")
+    sd.add_argument("--shingleLen", type=int, default=8)
+    sd.add_argument(
+        "--maxDocFreq",
+        type=int,
+        default=None,
+        help="skip docs whose rarest anchor shingle is hotter than this "
+        "(recall envelope; bounds candidate fan-out)",
+    )
+    sd.add_argument("--format", default=None, help="override input format sniffing")
 
     g = sub.add_parser("generate", help="schema-driven random records")
     g.add_argument("--schema", required=True, help="DDL string, e.g. 'a bigint, b string'")
@@ -284,6 +309,19 @@ def main(argv: list[str] | None = None) -> int:
                 shingle_n=args.shingleN,
                 threshold=args.threshold,
                 hasher=args.hasher,
+                score_col=args.scoreField,
+            )
+            write_table(out, args.output, mode="overwrite")
+        elif args.command == "substringDedup":
+            from ratatool_spark.operators.dedup import substring_containment_pairs
+
+            df = read_table(spark, args.input, fmt=args.format)
+            out = substring_containment_pairs(
+                df,
+                text_col=args.textField,
+                id_col=args.idField,
+                shingle_len=args.shingleLen,
+                max_doc_freq=args.maxDocFreq,
             )
             write_table(out, args.output, mode="overwrite")
         elif args.command == "generate":

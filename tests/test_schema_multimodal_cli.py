@@ -366,6 +366,55 @@ def test_cli_near_dedup(spark, tmp_path):
     assert 0 < result.count() < docs.count()
 
 
+def test_cli_near_dedup_score_field(spark, tmp_path):
+    """--scoreField survivor rule: clusters keep the max-score doc."""
+    from ratatool_spark.cli import main
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "deduped")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.parquet(src)
+    rc = main(
+        [
+            "nearDedup",
+            "--input", src,
+            "--output", out,
+            "--threshold", "0.5",
+            "--scoreField", "n_chars",
+        ]
+    )
+    assert rc == 0
+    result = spark.read.parquet(out)
+    assert result.schema == docs.schema
+    assert 0 < result.count() < docs.count()
+
+
+def test_cli_substring_dedup(spark, tmp_path):
+    """substringDedup verb: containment pairs written with the two id cols."""
+    from pyspark.sql import Row
+
+    from ratatool_spark.cli import main
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "pairs")
+    rows = [
+        Row(doc_id=1, text="alpha bravo charlie delta echo foxtrot golf hotel india"),
+        Row(
+            doc_id=2,
+            text="pre alpha bravo charlie delta echo foxtrot golf hotel india post",
+        ),
+        Row(doc_id=3, text="one two three four five six seven eight nine ten"),
+    ]
+    spark.createDataFrame(rows).write.parquet(src)
+    rc = main(["substringDedup", "--input", src, "--output", out])
+    assert rc == 0
+    got = {
+        (r["contained_id"], r["container_id"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(1, 2)}
+
+
 def test_cli_pack_sequences(spark, tmp_path):
     """packSequences verb: bin + offset columns appended, bins respect the
     concat-and-chunk assignment within each group."""
