@@ -4223,7 +4223,8 @@ def _q_near_dedup_keep_best(spark, sf_dir):
 
 def _sql_near_dedup_keep_best() -> str:
     base = _sql_near_dedup()
-    head, _, _ = base.rpartition("SELECT d.doc_id")
+    head, sep, _ = base.rpartition("SELECT d.doc_id")
+    assert sep, "_sql_near_dedup no longer ends with the expected final SELECT"
     return (
         head
         + """, best AS (
@@ -4269,6 +4270,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q8_market_share": _q_tpch_q8,
         "tpch_q9_product_profit": _q_tpch_q9,
         "tpch_q11_important_stock": _q_tpch_q11,
+        "tpch_q12_ship_priority": _q_tpch_q12,
+        "tpch_q16_supplier_part_counts": _q_tpch_q16,
+        "tpch_q17_small_qty_revenue": _q_tpch_q17,
+        "tpch_q19_disjunctive_revenue": _q_tpch_q19,
         "tpch_q20_promotion_suppliers": _q_tpch_q20,
         "tpch_q21_waiting_suppliers": _q_tpch_q21,
         "hash_cols_murmur": _q_hash_murmur,
@@ -4282,12 +4287,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_roundtrip_customer": _q_csv_roundtrip,
         "tpch_q15_top_supplier": _q_tpch_q15,
         "tpch_q18_large_orders": _q_tpch_q18,
-        "diffy_deltas": _q_diffy_deltas,
-        "diffy_key_stats": _q_diffy_key_stats,
-        "diffy_global_stats": _q_diffy_global_stats,
-        "diffy_field_stats": _q_diffy_field_stats,
-        "dedup_ngram_jaccard": _q_dedup_jaccard,
-        "dedup_cluster": _q_dedup_cluster,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_frame_sample": _q_multimodal_frames,
         # --- round 3 additions: never checked by the driver's gate ------
@@ -4315,18 +4314,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": _q_funnel,
         "retention_cohorts": _q_retention,
         "orc_roundtrip_part": _q_orc_roundtrip,
-        # --- gate-window overflow: new this round but deliberately placed
-        # past the driver's ~50-entry correctness window — the window can't
-        # hold all 54 unblessed entries, and these four duplicate the
-        # physical shape of an in-window twin (q12≈q4 semi/late-interval,
-        # q19≈q14 broadcast-join+decimal-sum, q16≈distinct_users_per_type
-        # countDistinct, q17≈window-agg family). All four are
-        # tools/compare.py oracle-green; pinned in tests/test_plans.py.
-        "tpch_q12_ship_priority": _q_tpch_q12,
-        "tpch_q16_supplier_part_counts": _q_tpch_q16,
-        "tpch_q17_small_qty_revenue": _q_tpch_q17,
-        "tpch_q19_disjunctive_revenue": _q_tpch_q19,
-        # --- veterans: driver-green for 2+ rounds -----------------------
+        # --- veterans: driver-green in a prior round --------------------
+        "diffy_deltas": _q_diffy_deltas,
+        "diffy_key_stats": _q_diffy_key_stats,
+        "diffy_global_stats": _q_diffy_global_stats,
+        "diffy_field_stats": _q_diffy_field_stats,
+        "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "dedup_cluster": _q_dedup_cluster,
         "tpch_q1_pricing_summary": _q_tpch_q1,
         "tpch_q6_forecast_revenue": _q_tpch_q6,
         "sample_deterministic": _q_sample_det,

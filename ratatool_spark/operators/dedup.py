@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ratatool_spark.functions.hashing import portable_hash64, text_hash64
-from ratatool_spark.functions.text import fingerprint, word_shingles
+from ratatool_spark.functions.text import fingerprint, tokens, word_shingles
 from ratatool_spark.functions.vectors import cosine_sim
 
 # shared registry (ratatool_spark.cache) — re-exported here for backwards
@@ -821,8 +821,6 @@ def substring_containment_pairs(
     hotter than the cap is skipped (documented recall envelope, same
     convention as ngram_jaccard_pairs).
     """
-    from ratatool_spark.functions.text import tokens
-
     eligible = (
         df.where(F.size(tokens(F.col(text_col))) >= shingle_len)
         .select(

@@ -271,17 +271,7 @@ def test_driver_gate_covers_recent_queries():
             pass
     if not blessed:  # fresh checkout without driver artifacts
         return
-    # The r4 registry carries more never-blessed entries than the ~50-entry
-    # window can hold; these four were chosen to overflow because each
-    # duplicates the physical shape of an in-window twin and is
-    # tools/compare.py oracle-green (see the comment in queries()).
-    overflow_ok = {
-        "tpch_q12_ship_priority",
-        "tpch_q16_supplier_part_counts",
-        "tpch_q17_small_qty_revenue",
-        "tpch_q19_disjunctive_revenue",
-    }
     head50 = list(m.queries())[:50]
     unblessed = [k for k in m.queries() if k not in blessed]
-    outside = [k for k in unblessed if k not in head50 and k not in overflow_ok]
+    outside = [k for k in unblessed if k not in head50]
     assert not outside, f"never-driver-checked queries outside the gated window: {outside}"
