@@ -23,6 +23,8 @@ def main() -> None:
     spark = get_spark("ratatool_spark_bench")
     load_tables(spark, sf_dir)
 
+    from ratatool_spark.cache import unpersist_intermediates
+
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
     # warm the JVM + file listing once with a trivial action
@@ -41,6 +43,12 @@ def main() -> None:
             timings[name] = -1.0
             print(f"# bench error {name}: {e}", file=sys.stderr)
             continue
+        finally:
+            # operator-internal persists (minhash sigs, shingle indexes, …)
+            # are per-query working sets — released here so 100 queries of
+            # cached relations don't accumulate into executor memory
+            # pressure that uniformly drags the suite's tail
+            unpersist_intermediates()
         timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -173,3 +173,70 @@ def distinct_rollup_exact(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ------------------------------------------------- persisted sketch tables
+#
+# The build-once artifact for incremental distinct counting: sketch each
+# batch ONCE into a tiny per-group HLL table, persist it, and answer
+# "distinct keys over any batch union" later by merging sketches — the raw
+# batches are never rescanned. Completes the production-artifact family
+# (minhash signature tables, IVF index, bloom filters).
+
+
+def build_distinct_sketches(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """(group_cols..., hll binary, lg_k) — one mergeable Datasketches HLL
+    per group. ~KB per group regardless of group size; one shuffle on the
+    group key with map-side partial sketching."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(F.col(key_col), F.lit(lg_k)).alias("hll"),
+        F.first(F.lit(lg_k)).alias("lg_k"),
+    )
+
+
+def save_distinct_sketches(
+    df: DataFrame,
+    path: str,
+    group_cols: list[str],
+    key_col: str,
+    lg_k: int = 12,
+) -> None:
+    build_distinct_sketches(df, group_cols, key_col, lg_k).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_distinct_sketches(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def merge_distinct_sketches(*sketch_dfs: DataFrame) -> DataFrame:
+    """Union any number of sketch tables (e.g. one per ingested batch) and
+    merge per group. HLL register union is lossless for a common lg_k, so
+    the merged estimate equals sketching the concatenated batches
+    directly; ``hll_union_agg`` raises on mismatched lg_k (sketches built
+    with different precisions are not comparable — rebuild instead of
+    silently degrading)."""
+    if not sketch_dfs:
+        raise ValueError("need at least one sketch table")
+    u = sketch_dfs[0]
+    for s in sketch_dfs[1:]:
+        u = u.unionByName(s)
+    group_cols = [c for c in u.columns if c not in ("hll", "lg_k")]
+    return u.groupBy(*group_cols).agg(
+        F.hll_union_agg(F.col("hll"), F.lit(False)).alias("hll"),
+        F.first("lg_k").alias("lg_k"),
+    )
+
+
+def estimate_distinct(sketch_df: DataFrame) -> DataFrame:
+    """Replace the sketch column with its cardinality estimate."""
+    group_cols = [c for c in sketch_df.columns if c not in ("hll", "lg_k")]
+    return sketch_df.select(
+        *group_cols, F.hll_sketch_estimate("hll").alias("n_distinct")
+    )

@@ -275,3 +275,40 @@ def test_driver_gate_covers_recent_queries():
     unblessed = [k for k in m.queries() if k not in blessed]
     outside = [k for k in unblessed if k not in head50]
     assert not outside, f"never-driver-checked queries outside the gated window: {outside}"
+
+
+@pytest.mark.parametrize(
+    "name,max_shuffles,min_bhj",
+    [
+        # late-r4 TPC-H batch: every dim broadcasts; shuffles are only the
+        # unavoidable fact-side join/agg/window exchanges
+        ("tpch_q2_min_cost_supplier", 3, 4),
+        ("tpch_q7_volume_shipping", 3, 5),
+        ("tpch_q8_market_share", 4, 6),
+        ("tpch_q9_product_profit", 3, 4),
+        ("tpch_q12_ship_priority", 2, 1),
+        ("tpch_q16_supplier_part_counts", 3, 2),
+        ("tpch_q17_small_qty_revenue", 2, 1),
+        ("tpch_q19_disjunctive_revenue", 1, 1),
+        ("tpch_q20_promotion_suppliers", 4, 3),
+        ("tpch_q21_waiting_suppliers", 3, 3),
+    ],
+)
+def test_tpch_r4_plan_budgets(spark, name, max_shuffles, min_bhj):
+    """The late-r4 TPC-H queries: shuffle budget + broadcast strategy are
+    the properties that survive a 100x scale-up. No cartesian products
+    anywhere; q11 is excluded here because its single-row scalar
+    broadcast is a deliberate BroadcastNestedLoopJoin (same as q22)."""
+    p = plan_of(spark, name)
+    assert "CartesianProduct" not in p, name
+    assert n_exchanges(p) <= max_shuffles, f"{name}: {n_exchanges(p)} shuffles"
+    assert p.count("BroadcastHashJoin") >= min_bhj, name
+
+
+def test_substring_containment_no_cartesian_and_bounded_candidates(spark):
+    """Candidate generation must be the anchored equi-join on the shingle
+    key — never an all-pairs product; the anchor agg rides the shingle
+    shuffle."""
+    p = plan_of(spark, "dedup_substring_containment")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

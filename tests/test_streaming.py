@@ -525,3 +525,68 @@ def test_rollup_rejects_non_nesting_week_chain(spark):
         distinct_rollup_exact(ev, grains=("hour", "decade"))
     # week as the coarsest grain stays legal
     assert time_rollup(ev, grains=("day", "week")).count() > 0
+
+
+def test_distinct_sketch_artifact_roundtrip(spark, tmp_path):
+    """Persisted HLL sketch tables: save two batches, merge, estimate —
+    the merged estimate must EQUAL sketching the concatenated batches
+    directly (register union is lossless at a common lg_k), and land
+    within the HLL error envelope of the exact count."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.timeagg import (
+        build_distinct_sketches,
+        estimate_distinct,
+        load_distinct_sketches,
+        merge_distinct_sketches,
+        save_distinct_sketches,
+    )
+    from ratatool_spark.sources.io import load_tables
+
+    ev = load_tables(spark, SF, names=("events",))["events"]
+    batch_a = ev.where(F.col("event_id") % 2 == 0)
+    batch_b = ev.where(F.col("event_id") % 2 == 1)
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    save_distinct_sketches(batch_a, pa, ["event_type"], "user_id")
+    save_distinct_sketches(batch_b, pb, ["event_type"], "user_id")
+
+    merged = merge_distinct_sketches(
+        load_distinct_sketches(spark, pa), load_distinct_sketches(spark, pb)
+    )
+    est = {
+        r["event_type"]: r["n_distinct"]
+        for r in estimate_distinct(merged).collect()
+    }
+    direct = {
+        r["event_type"]: r["n_distinct"]
+        for r in estimate_distinct(
+            build_distinct_sketches(ev, ["event_type"], "user_id")
+        ).collect()
+    }
+    assert est == direct  # lossless merge
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(est[k] - n) <= max(3, 0.05 * n), (k, est[k], n)
+
+
+def test_distinct_sketch_merge_rejects_mixed_lg_k(spark, tmp_path):
+    import pytest as _pt
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from ratatool_spark.operators.timeagg import (
+        build_distinct_sketches,
+        estimate_distinct,
+        merge_distinct_sketches,
+    )
+    from ratatool_spark.sources.io import load_tables
+
+    ev = load_tables(spark, SF, names=("events",))["events"]
+    a = build_distinct_sketches(ev, ["event_type"], "user_id", lg_k=12)
+    b = build_distinct_sketches(ev, ["event_type"], "user_id", lg_k=13)
+    with _pt.raises(Exception, match="(?i)lgconfigk|union"):
+        estimate_distinct(merge_distinct_sketches(a, b)).collect()
