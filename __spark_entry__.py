@@ -4244,6 +4244,72 @@ WHERE c.doc_id IS NULL OR d.doc_id = b.keep_id
     )
 
 
+def _q_corpus_report(spark, sf_dir):
+    """Per-source corpus data card in ONE fact scan: doc/token volumes,
+    mean quality (exact-decimal sum, one double division), language
+    spread, and the deterministic dominant-language argmax."""
+    from ratatool_spark.operators.corpus import corpus_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_report(docs).orderBy("source")
+
+
+def _sql_corpus_report() -> str:
+    from ratatool_spark.functions.text import LANG_MARKERS, STOPWORDS
+
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    scores = []
+    for lang, markers in LANG_MARKERS.items():
+        m = ", ".join(f"'{x}'" for x in markers)
+        scores.append(
+            f"len(list_filter(w, t -> t IN ({m}))) / greatest(len(w), 1) AS s_{lang}"
+        )
+    langs = list(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    case = (
+        "CASE "
+        + " ".join(f"WHEN s_{lg} = best AND best > 0 THEN '{lg}'" for lg in langs)
+        + " ELSE 'und' END"
+    )
+    return f"""
+WITH base AS (
+  SELECT source, text, {_WORDS_SQL} AS w FROM documents
+), scored AS (
+  SELECT source, w,
+         len(w) AS n_tokens,
+         least(len(w) / 100.0, 1.0) AS length_part,
+         len(list_distinct(w)) / greatest(len(w), 1) AS dratio,
+         len(list_filter(w, t -> t IN ({stop}))) / greatest(len(w), 1) AS sratio,
+         {', '.join(scores)}
+  FROM base
+), withbest AS (
+  SELECT *, {best} AS best FROM scored
+), per_doc AS (
+  SELECT source, n_tokens,
+         CAST(ROUND(0.4 * length_part + 0.4 * dratio
+               + 0.2 * least(sratio * 5.0, 1.0), 6) AS DECIMAL(18,6)) AS q,
+         {case} AS lang
+  FROM withbest
+), per_lang AS (
+  SELECT source, lang, COUNT(*) AS docs, SUM(n_tokens) AS toks, SUM(q) AS qsum
+  FROM per_doc GROUP BY source, lang
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY docs DESC, lang DESC) AS rn
+  FROM per_lang
+)
+SELECT source,
+       CAST(SUM(docs) AS BIGINT) AS n_docs,
+       CAST(SUM(toks) AS BIGINT) AS n_tokens,
+       CAST(SUM(qsum) AS DOUBLE) / SUM(docs) AS mean_quality,
+       CAST(COUNT(*) AS BIGINT) AS n_langs,
+       MAX(CASE WHEN rn = 1 THEN lang END) AS top_lang
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is the driver's verification priority.
 
@@ -4263,6 +4329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- round 4: new or behaviour-changed this round ---------------
+        "corpus_report": _q_corpus_report,
         "dedup_substring_containment": _q_dedup_substring,
         "near_dedup_keep_best": _q_near_dedup_keep_best,
         "tpch_q2_min_cost_supplier": _q_tpch_q2,
@@ -4273,7 +4340,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12_ship_priority": _q_tpch_q12,
         "tpch_q16_supplier_part_counts": _q_tpch_q16,
         "tpch_q17_small_qty_revenue": _q_tpch_q17,
-        "tpch_q19_disjunctive_revenue": _q_tpch_q19,
         "tpch_q20_promotion_suppliers": _q_tpch_q20,
         "tpch_q21_waiting_suppliers": _q_tpch_q21,
         "hash_cols_murmur": _q_hash_murmur,
@@ -4314,6 +4380,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": _q_funnel,
         "retention_cohorts": _q_retention,
         "orc_roundtrip_part": _q_orc_roundtrip,
+        # --- designated gate overflow (51 unblessed > 50-entry window):
+        # q19 is the lowest-risk unblessed entry — plain broadcast-join +
+        # decimal-sum, the same physical shape as blessed q14; compare.py
+        # oracle-green. Pinned in tests/test_plans.py.
+        "tpch_q19_disjunctive_revenue": _q_tpch_q19,
         # --- veterans: driver-green in a prior round --------------------
         "diffy_deltas": _q_diffy_deltas,
         "diffy_key_stats": _q_diffy_key_stats,
@@ -4370,6 +4441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "corpus_report": _sql_corpus_report(),
         "dedup_substring_containment": _SQL_DEDUP_SUBSTRING,
         "near_dedup_keep_best": _sql_near_dedup_keep_best(),
         "tpch_q2_min_cost_supplier": _SQL_TPCH_Q2,

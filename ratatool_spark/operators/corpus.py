@@ -413,3 +413,58 @@ def contamination(
             / F.count(F.lit(1))
         ).alias("contamination"),
     )
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source data card — the one-page corpus summary a curation run
+    publishes next to its output: document/token volumes, mean quality,
+    language spread, and the dominant language, in ONE fact scan.
+
+    Shape: a single pass computes per-doc metrics as column expressions
+    (no UDFs), a first aggregation groups them by (source, language) —
+    after which rows number |sources|x|langs|, trivially small — and the
+    per-source rollup plus the dominant-language argmax ride that tiny
+    frame. Mean quality sums exact decimals and divides ONCE as double,
+    so re-runs and SQL twins agree bit-for-bit; the argmax breaks count
+    ties by language name so it is deterministic too."""
+    from ratatool_spark.functions.text import lang_id, quality_score, token_count
+
+    t = F.col(text_col)
+    per_lang = (
+        df.select(
+            F.col(source_col).alias("source"),
+            lang_id(t).alias("lang"),
+            token_count(t).alias("__nt"),
+            F.round(quality_score(t), 6).cast("decimal(18,6)").alias("__q"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("__docs"),
+            F.sum("__nt").alias("__toks"),
+            F.sum("__q").alias("__qsum"),
+        )
+    )
+    return (
+        per_lang.groupBy("source")
+        .agg(
+            F.sum("__docs").alias("n_docs"),
+            F.sum("__toks").alias("n_tokens"),
+            (F.sum("__qsum").cast("double") / F.sum("__docs")).alias("mean_quality"),
+            F.count(F.lit(1)).alias("n_langs"),
+            F.max(F.struct(F.col("__docs").alias("c"), F.col("lang").alias("l"))).alias(
+                "__top"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "mean_quality",
+            "n_langs",
+            F.col("__top.l").alias("top_lang"),
+        )
+    )

@@ -343,3 +343,39 @@ def test_mixture_token_weighted_ratios(spark, documents):
     a, b = toks.get("src0", 0), toks.get("src1", 0)
     assert a > 0 and b > 0
     assert abs(a - b) / max(a, b) < 0.5
+
+
+def test_corpus_report_fixture(spark):
+    """Hand-computed data card: volumes, decimal-exact mean quality,
+    language spread, and the deterministic dominant-language tie-break
+    (equal counts -> lexicographically larger language wins, matching the
+    SQL twin's ORDER BY docs DESC, lang DESC)."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.functions.text import lang_id, quality_score, token_count
+    from ratatool_spark.operators.corpus import corpus_report
+
+    rows = [
+        Row(doc_id=1, source="a", text="the quick brown fox and the lazy dog"),
+        Row(doc_id=2, source="a", text="el perro y el gato en la casa"),
+        Row(doc_id=3, source="b", text="one two three four five six"),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {r["source"]: r.asDict() for r in corpus_report(df).collect()}
+
+    per_doc = df.select(
+        "source",
+        token_count(F.col("text")).alias("nt"),
+        F.round(quality_score(F.col("text")), 6).alias("q"),
+        lang_id(F.col("text")).alias("lang"),
+    ).collect()
+    for src in ("a", "b"):
+        docs = [r for r in per_doc if r["source"] == src]
+        assert got[src]["n_docs"] == len(docs)
+        assert got[src]["n_tokens"] == sum(r["nt"] for r in docs)
+        assert abs(got[src]["mean_quality"] - sum(r["q"] for r in docs) / len(docs)) < 1e-9
+        assert got[src]["n_langs"] == len({r["lang"] for r in docs})
+    # source a has one doc per language -> tie; larger language name wins
+    langs_a = sorted({r["lang"] for r in per_doc if r["source"] == "a"})
+    assert got["a"]["top_lang"] == langs_a[-1]

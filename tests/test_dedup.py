@@ -637,3 +637,48 @@ def test_near_dedup_keep_best_survivor(spark):
         r["doc_id"] for r in near_dedup(df, threshold=0.9, score_col="score").collect()
     )
     assert kept_best == [2, 3]  # cluster keeps the max-score doc instead
+
+
+def test_substring_containment_matches_bruteforce_on_random_corpus(spark):
+    """Exactness check against a driver-side brute force on a seeded
+    random corpus with planted containments: the anchored-inverted-index
+    path (no df cap) must produce EXACTLY the token-aligned containment
+    pairs, including transitive/overlapping plants and sub-8-token
+    exclusions."""
+    import random
+
+    from ratatool_spark.operators.dedup import substring_containment_pairs
+
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = {}
+    for i in range(30):
+        n = rng.randint(4, 20)  # some below the 8-token floor
+        docs[i] = [rng.choice(vocab) for _ in range(n)]
+    # plant containments: full doc embedded inside a longer host
+    for j, src in [(30, 3), (31, 3), (32, 31), (33, 7)]:
+        host = [rng.choice(vocab) for _ in range(rng.randint(0, 5))]
+        host += docs[src]
+        host += [rng.choice(vocab) for _ in range(rng.randint(0, 5))]
+        docs[j] = host
+    rows = [(i, " ".join(ws)) for i, ws in docs.items()]
+
+    def expected():
+        out = set()
+        for a, ta in rows:
+            for b, tb in rows:
+                if a == b or len(docs[a]) < 8 or len(docs[b]) < 8:
+                    continue
+                pa, pb = f" {ta} ", f" {tb} "
+                if pa in pb and (len(ta) < len(tb) or (ta == tb and a > b)):
+                    out.add((a, b))
+        return out
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["contained_id"], r["container_id"])
+        for r in substring_containment_pairs(df).collect()
+    }
+    exp = expected()
+    assert exp, "fixture must plant at least one containment"
+    assert got == exp
