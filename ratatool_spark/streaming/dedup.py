@@ -42,3 +42,60 @@ def stream_exact_dedup(
             ["__fp"]
         ).drop("__fp")
     return out.dropDuplicates(["__fp"]).drop("__fp")
+
+
+def stream_filter_against(
+    stream_df: DataFrame,
+    corpus_df: DataFrame,
+    output_path: str,
+    checkpoint: str,
+    corpus_sigs: DataFrame | None = None,
+    threshold: float = 0.7,
+    fmt: str = "parquet",
+    available_now: bool = True,
+    **kwargs,
+):
+    """Streaming ingest gate: per micro-batch, drop rows with a verified
+    near-duplicate in the EXISTING corpus and append the survivors —
+    "never admit a known near-duplicate" as a live pipeline.
+
+    Runs :func:`~ratatool_spark.operators.dedup.filter_against` inside
+    ``foreachBatch``: the banded LSH join is new-batch x corpus, so each
+    micro-batch costs O(batch), and with ``corpus_sigs`` (the persisted
+    signature table from ``save_signatures``) the corpus is never
+    re-shingled — one signature-table scan plus |candidates| corpus docs
+    per batch, independent of corpus size. State lives in the corpus
+    artifact, not the stream — restarts are safe because the checkpoint
+    replays only unprocessed files.
+
+    Note the gate is against the STATIC corpus: duplicates arriving twice
+    within the stream itself are admitted twice (compose with
+    :func:`stream_exact_dedup` upstream for within-stream exactness, or
+    re-run batch near_dedup on the appended output periodically — the
+    standard ingest sandwich).
+
+    Returns the started ``StreamingQuery``.
+    """
+    from ratatool_spark.cache import unpersist_intermediates
+    from ratatool_spark.operators.dedup import filter_against
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        kept = filter_against(
+            batch_df,
+            corpus_df,
+            threshold=threshold,
+            corpus_sigs=corpus_sigs,
+            **kwargs,
+        )
+        kept.write.mode("append").format(fmt).save(output_path)
+        # per-batch working sets (shingle frames, signature caches) —
+        # released so a long-running stream's executors don't accumulate
+        # one cached relation per micro-batch
+        unpersist_intermediates()
+
+    writer = stream_df.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

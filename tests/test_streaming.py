@@ -590,3 +590,52 @@ def test_distinct_sketch_merge_rejects_mixed_lg_k(spark, tmp_path):
     b = build_distinct_sketches(ev, ["event_type"], "user_id", lg_k=13)
     with _pt.raises(Exception, match="(?i)lgconfigk|union"):
         estimate_distinct(merge_distinct_sketches(a, b)).collect()
+
+
+def test_stream_filter_against_matches_batch(spark, tmp_path):
+    """Streaming ingest gate == batch filter_against on the same input,
+    including with a precomputed corpus signature table."""
+    from ratatool_spark.operators.dedup import filter_against, save_signatures
+    from ratatool_spark.streaming.dedup import stream_filter_against
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus = docs.where(docs.doc_id % 2 == 0)
+    # new batch: half fresh docs, half exact copies of corpus docs
+    fresh = docs.where(docs.doc_id % 2 == 1).limit(40)
+    copies = corpus.limit(20).select(
+        (docs.doc_id + 500000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    new = fresh.unionByName(copies)
+    src = str(tmp_path / "src")
+    new.coalesce(2).write.parquet(src)
+
+    sig_path = str(tmp_path / "sigs")
+    save_signatures(corpus, sig_path)
+    from ratatool_spark.operators.dedup import load_signatures
+
+    sigs, meta = load_signatures(spark, sig_path)
+
+    stream = spark.readStream.schema(new.schema).parquet(src)
+    q = stream_filter_against(
+        stream,
+        corpus,
+        output_path=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"),
+        corpus_sigs=sigs,
+        threshold=0.7,
+    )
+    q.awaitTermination(180)
+
+    got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    want = {
+        r["doc_id"]
+        for r in filter_against(
+            spark.read.parquet(src), corpus, threshold=0.7, corpus_sigs=sigs
+        ).collect()
+    }
+    assert got == want
+    # every exact corpus copy rejected; some genuinely-fresh docs admitted
+    # (a few odd docs legitimately near-match even corpus docs in the
+    # synthetic table, so admitted ⊊ fresh)
+    assert not any(d >= 500000 for d in got)
+    assert got and got < {r["doc_id"] for r in new.collect()}
