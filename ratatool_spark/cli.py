@@ -124,6 +124,28 @@ def build_parser() -> argparse.ArgumentParser:
     pk.add_argument("--offsetField", default=None)
     pk.add_argument("--format", default=None, help="override input format sniffing")
 
+    bl = sub.add_parser(
+        "bpeLearn",
+        help="train BPE merges over a corpus; writes an ordered JSON merge "
+        "list (tokenizer-training inner loop, distributed)",
+    )
+    bl.add_argument("--input", required=True)
+    bl.add_argument("--output", required=True, help="merges JSON path (any Hadoop scheme)")
+    bl.add_argument("--textField", default="text")
+    bl.add_argument("--nMerges", type=int, default=100)
+    bl.add_argument("--format", default=None, help="override input format sniffing")
+
+    be = sub.add_parser(
+        "bpeEncode",
+        help="segment a corpus with a learned merge list (adds bpe_syms + "
+        "n_bpe_tokens; Arrow-batched kernel past 16 merges)",
+    )
+    be.add_argument("--input", required=True)
+    be.add_argument("--output", required=True)
+    be.add_argument("--merges", required=True, help="merges JSON from bpeLearn")
+    be.add_argument("--textField", default="text")
+    be.add_argument("--format", default=None, help="override input format sniffing")
+
     mx = sub.add_parser(
         "mixtureSample",
         help="resample toward a target per-source mixture "
@@ -345,6 +367,28 @@ def main(argv: list[str] | None = None) -> int:
                 offset_col=args.offsetField,
             )
             write_table(out, args.output, mode="overwrite")
+        elif args.command == "bpeLearn":
+            import json as _json
+
+            from ratatool_spark.operators.corpus import bpe_learn
+            from ratatool_spark.sources.shards import _write_text
+
+            df = read_table(spark, args.input, fmt=args.format)
+            merges = bpe_learn(df, text_col=args.textField, n_merges=args.nMerges)
+            _write_text(spark, args.output, _json.dumps(merges))
+        elif args.command == "bpeEncode":
+            import json as _json
+
+            from ratatool_spark.operators.corpus import bpe_segment
+            from ratatool_spark.sources.shards import _read_text
+
+            merges = [tuple(m) for m in _json.loads(_read_text(spark, args.merges))]
+            df = read_table(spark, args.input, fmt=args.format)
+            write_table(
+                bpe_segment(df, merges, text_col=args.textField),
+                args.output,
+                mode="overwrite",
+            )
         elif args.command == "mixtureSample":
             from ratatool_spark.operators.corpus import mixture_sample
 

@@ -468,3 +468,112 @@ def corpus_report(
             F.col("__top.l").alias("top_lang"),
         )
     )
+
+
+def _merge_fold_expr(sym: Column, a: str, b: str) -> Column:
+    """One greedy left-to-right merge pass as a pure ``aggregate`` fold —
+    the exact expression ``bpe_learn`` trains with."""
+    la, lb = F.lit(a), F.lit(b)
+    empty = F.array().cast("array<string>")
+    return F.aggregate(
+        sym,
+        empty,
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == la) & (s == lb),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(F.element_at(acc, -1), s)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_apply_merges(word: str, merges: Sequence[tuple[str, str]]) -> list[str]:
+    """Driver-side twin of the merge fold: apply each learned merge in
+    order, greedy left-to-right — the reference implementation the Spark
+    paths are tested against, and the per-word kernel of the UDF path."""
+    syms = list(word)
+    for a, b in merges:
+        out: list[str] = []
+        for s in syms:
+            if out and out[-1] == a and s == b:
+                out[-1] = a + b
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
+def bpe_segment(
+    df: DataFrame,
+    merges: Sequence[tuple[str, str]],
+    text_col: str = "text",
+    expr_threshold: int = 16,
+) -> DataFrame:
+    """Apply a learned BPE merge list to a corpus: adds ``bpe_syms``
+    (per-document subword array, words segmented independently) and
+    ``n_bpe_tokens``. Completes the tokenizer story: ``bpe_learn`` trains
+    the merges, this encodes with them — identical greedy left-to-right
+    fold semantics, so re-encoding the training corpus reproduces the
+    learner's final symbol state.
+
+    Two physical paths, same semantics (equality is test-pinned):
+
+    - ``len(merges) <= expr_threshold``: each merge is one JVM-side
+      ``aggregate`` fold chained in the plan — zero Python, but the
+      expression tree grows linearly with the merge count, so it is only
+      the right shape for short lists.
+    - beyond that: an Arrow-batched pandas UDF running the per-word
+      kernel with a per-batch word cache (BPE's standard vocabulary
+      compression — work scales with DISTINCT words per batch, not
+      tokens). This is the 32k-merge production path; the merge list
+      ships once per executor via the closure.
+    """
+    toks = tokens(F.col(text_col))
+    if len(merges) <= expr_threshold:
+        empty_arr = F.array().cast("array<string>")
+        chars = F.transform(
+            toks,
+            # empty token (consecutive spaces) -> [] — matches list("") in
+            # the kernel path
+            lambda w: F.when(F.length(w) == 0, empty_arr).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length(w), F.lit(1))),
+                    lambda i: w.substr(i, F.lit(1)),
+                )
+            ),
+        )
+        sym = chars
+        for a, b in merges:
+            sym = F.transform(sym, lambda ws: _merge_fold_expr(ws, a, b))
+        out = df.withColumn("bpe_syms", F.flatten(sym))
+        return out.withColumn("n_bpe_tokens", F.size("bpe_syms"))
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    merge_list = [tuple(m) for m in merges]
+
+    def _encode(texts):
+        cache: dict[str, list[str]] = {}
+
+        def enc(text):
+            out: list[str] = []
+            for w in (text or "").strip().split(" "):
+                got = cache.get(w)
+                if got is None:
+                    got = cache[w] = bpe_apply_merges(w, merge_list)
+                out.extend(got)
+            return out
+
+        return texts.map(enc)
+
+    # real annotation objects (module-wide `from __future__ import
+    # annotations` would stringify inline hints, which pyspark's
+    # signature inspection cannot resolve for a local import)
+    _encode.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    _encode = pandas_udf(T.ArrayType(T.StringType()))(_encode)
+
+    out = df.withColumn("bpe_syms", _encode(F.col(text_col)))
+    return out.withColumn("n_bpe_tokens", F.size("bpe_syms"))

@@ -379,3 +379,46 @@ def test_corpus_report_fixture(spark):
     # source a has one doc per language -> tie; larger language name wins
     langs_a = sorted({r["lang"] for r in per_doc if r["source"] == "a"})
     assert got["a"]["top_lang"] == langs_a[-1]
+
+
+def test_bpe_segment_paths_agree_and_reproduce_learner(spark):
+    """The JVM-expression path, the pandas-UDF path, and the driver-side
+    reference kernel all produce identical segmentations; encoding the
+    training corpus with learned merges reproduces what the learner's
+    fold state would be (same greedy left-to-right semantics)."""
+    from pyspark.sql import Row
+
+    from ratatool_spark.operators.corpus import (
+        bpe_apply_merges,
+        bpe_learn,
+        bpe_segment,
+    )
+
+    rows = [
+        Row(doc_id=1, text="low lower lowest low low"),
+        Row(doc_id=2, text="new newer newest new"),
+        Row(doc_id=3, text="widest wide wider  low"),  # double space edge
+    ]
+    df = spark.createDataFrame(rows)
+    merges = bpe_learn(df, n_merges=6)
+    assert len(merges) == 6
+
+    expr = {
+        r["doc_id"]: (r["bpe_syms"], r["n_bpe_tokens"])
+        for r in bpe_segment(df, merges, expr_threshold=16).collect()
+    }
+    udf = {
+        r["doc_id"]: (r["bpe_syms"], r["n_bpe_tokens"])
+        for r in bpe_segment(df, merges, expr_threshold=0).collect()
+    }
+    assert expr == udf
+
+    for r in rows:
+        want = []
+        for w in r.text.strip().split(" "):
+            want.extend(bpe_apply_merges(w, merges))
+        assert expr[r.doc_id][0] == want
+        assert expr[r.doc_id][1] == len(want)
+
+    # the top merge must be a real frequent pair ('lo' or 'ne' family)
+    assert all(len(a) >= 1 and len(b) >= 1 for a, b in merges)

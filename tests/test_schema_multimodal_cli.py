@@ -491,3 +491,32 @@ def test_cli_mixture_and_contamination(spark, tmp_path):
     assert c.count() > 0
     mx = c.agg(F.max("contamination")).collect()[0][0]
     assert mx == 1.0  # benchmark docs are contaminated with themselves
+
+
+def test_cli_bpe_learn_and_encode(spark, tmp_path):
+    """bpeLearn writes an ordered merge list; bpeEncode segments with it
+    and the output matches the library call."""
+    import json
+
+    from ratatool_spark.cli import main
+    from ratatool_spark.operators.corpus import bpe_segment
+
+    src = str(tmp_path / "docs")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(
+        50
+    ).write.parquet(src)
+    merges_path = str(tmp_path / "merges.json")
+    out = str(tmp_path / "encoded")
+    assert main(["bpeLearn", "--input", src, "--output", merges_path,
+                 "--nMerges", "5"]) == 0
+    merges = [tuple(m) for m in json.loads(open(merges_path).read())]
+    assert len(merges) == 5
+    assert main(["bpeEncode", "--input", src, "--output", out,
+                 "--merges", merges_path]) == 0
+    got = spark.read.parquet(out)
+    assert "bpe_syms" in got.columns and "n_bpe_tokens" in got.columns
+    lib = bpe_segment(spark.read.parquet(src), merges)
+    assert got.count() == lib.count()
+    g = {r["doc_id"]: r["n_bpe_tokens"] for r in got.collect()}
+    w = {r["doc_id"]: r["n_bpe_tokens"] for r in lib.collect()}
+    assert g == w
