@@ -124,6 +124,18 @@ def build_parser() -> argparse.ArgumentParser:
     pk.add_argument("--offsetField", default=None)
     pk.add_argument("--format", default=None, help="override input format sniffing")
 
+    up = sub.add_parser(
+        "upsert",
+        help="keyed upsert into a stored table (replace same-key rows, "
+        "append new keys, optional delete flag; tmp-write + rename swap)",
+    )
+    up.add_argument("--base", required=True, help="table path to merge into")
+    up.add_argument("--updates", required=True)
+    up.add_argument("--keys", type=_csv, required=True)
+    up.add_argument("--deleteField", default=None)
+    up.add_argument("--format", default="parquet")
+    up.add_argument("--updatesFormat", default=None, help="override sniffing")
+
     bl = sub.add_parser(
         "bpeLearn",
         help="train BPE merges over a corpus; writes an ordered JSON merge "
@@ -367,6 +379,20 @@ def main(argv: list[str] | None = None) -> int:
                 offset_col=args.offsetField,
             )
             write_table(out, args.output, mode="overwrite")
+        elif args.command == "upsert":
+            import json as _json
+
+            from ratatool_spark.sources.io import upsert_table
+
+            stats = upsert_table(
+                spark,
+                args.base,
+                read_table(spark, args.updates, fmt=args.updatesFormat),
+                args.keys,
+                fmt=args.format,
+                delete_col=args.deleteField,
+            )
+            print(_json.dumps(stats))
         elif args.command == "bpeLearn":
             import json as _json
 

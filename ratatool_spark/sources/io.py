@@ -353,3 +353,77 @@ def load_tables(
             df.createOrReplaceTempView(name)
             out[name] = df
     return out
+
+
+def upsert_table(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    fmt: str = "parquet",
+    delete_col: str | None = None,
+) -> dict:
+    """Keyed upsert into a stored table — the corpus-maintenance merge for
+    plain columnar storage (no transaction log): rows of ``updates``
+    replace base rows with the same key, new keys append, and rows where
+    ``delete_col`` is true delete their key. Returns
+    ``{"inserted", "updated", "deleted", "total"}`` counts.
+
+    Shape: ONE left-anti join of base against the update keys (shuffle on
+    the key; the update side is usually small enough for Catalyst to
+    broadcast it) + a union — never a row-at-a-time path. The rewrite
+    goes to a temp directory first and swaps in atomically-enough via two
+    renames (the pre-Delta/Iceberg pattern; readers racing the swap see
+    the old or the new snapshot, not a mix — a table format with a
+    transaction log is the upgrade path when concurrent writers exist).
+
+    Duplicate keys WITHIN ``updates`` are rejected (same contract as
+    BigDiffy's PK guard) — last-writer-wins across duplicate update rows
+    would be nondeterministic under shuffles.
+    """
+    from pyspark.sql import functions as F
+
+    if updates.select(keys).distinct().count() != updates.count():
+        raise ValueError("updates carry duplicate keys; dedupe before upsert")
+
+    base = read_table(spark, path, fmt=fmt)
+    upd_keys = updates.select(*keys)
+    survivors = base.join(upd_keys, keys, "left_anti")
+    if delete_col is not None:
+        delete_keys = updates.where(F.col(delete_col)).select(*keys)
+        writes = updates.where(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
+    else:
+        delete_keys = updates.limit(0).select(*keys)
+        writes = updates
+    n_base = base.count()
+    n_deleted = base.join(delete_keys, keys, "left_semi").count()
+    n_writes = writes.count()
+    n_updated = base.join(writes.select(*keys), keys, "left_semi").count()
+
+    merged = survivors.unionByName(writes)
+
+    # tmp-write + double rename through the Hadoop FileSystem (any scheme)
+    jvm = spark.sparkContext._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p_final = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p_final.getFileSystem(conf)
+    p_tmp = jvm.org.apache.hadoop.fs.Path(path + ".__upsert_tmp__")
+    p_old = jvm.org.apache.hadoop.fs.Path(path + ".__upsert_old__")
+    fs.delete(p_tmp, True)
+    fs.delete(p_old, True)
+    write_table(merged, path + ".__upsert_tmp__", fmt=fmt, mode="overwrite")
+    if not fs.rename(p_final, p_old):
+        raise IOError(f"could not stage old snapshot of {path}")
+    if not fs.rename(p_tmp, p_final):
+        fs.rename(p_old, p_final)  # roll back
+        raise IOError(f"could not swap new snapshot into {path}")
+    fs.delete(p_old, True)
+
+    return {
+        "inserted": n_writes - n_updated,
+        "updated": n_updated,
+        "deleted": n_deleted,
+        "total": n_base - n_updated - n_deleted + n_writes,
+    }

@@ -185,3 +185,40 @@ def test_zorder_prunes_on_both_dims(spark, lineitem, tmp_path):
     assert z_pk > 0.25 and z_sk > 0.25   # z-order prunes on BOTH
     # row parity
     assert spark.read.parquet(zdir).count() == lineitem.count()
+
+
+def test_upsert_table_insert_update_delete(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.sources.io import upsert_table
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    ).write.parquet(path)
+
+    updates = spark.createDataFrame(
+        [(2, "B", False), (4, "d", False), (3, None, True)],
+        "k int, v string, __del boolean",
+    )
+    stats = upsert_table(spark, path, updates, ["k"], delete_col="__del")
+    assert stats == {"inserted": 1, "updated": 1, "deleted": 1, "total": 3}
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "B", 4: "d"}
+    # no stray staging dirs left behind
+    leftovers = [p for p in tmp_path.iterdir() if "__upsert" in p.name]
+    assert not leftovers
+
+    # plain upsert without deletes; deleting a missing key is a no-op
+    more = spark.createDataFrame([(5, "e")], "k int, v string")
+    stats2 = upsert_table(spark, path, more, ["k"])
+    assert stats2 == {"inserted": 1, "updated": 0, "deleted": 0, "total": 4}
+    assert spark.read.parquet(path).count() == 4
+
+    dup = spark.createDataFrame([(7, "x"), (7, "y")], "k int, v string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="duplicate keys"):
+        upsert_table(spark, path, dup, ["k"])
+    # failed upsert must leave the table untouched
+    assert spark.read.parquet(path).count() == 4

@@ -520,3 +520,19 @@ def test_cli_bpe_learn_and_encode(spark, tmp_path):
     g = {r["doc_id"]: r["n_bpe_tokens"] for r in got.collect()}
     w = {r["doc_id"]: r["n_bpe_tokens"] for r in lib.collect()}
     assert g == w
+
+
+def test_cli_upsert(spark, tmp_path, capsys):
+    import json
+
+    from ratatool_spark.cli import main
+
+    base = str(tmp_path / "base")
+    upd = str(tmp_path / "upd")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string").write.parquet(base)
+    spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string").write.parquet(upd)
+    assert main(["upsert", "--base", base, "--updates", upd, "--keys", "k"]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats == {"inserted": 1, "updated": 1, "deleted": 0, "total": 3}
+    got = {r["k"]: r["v"] for r in spark.read.parquet(base).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
