@@ -26,8 +26,22 @@ def persist_tracked(df: DataFrame) -> DataFrame:
 def unpersist_intermediates() -> int:
     """Unpersist every tracked intermediate since the last call. Returns
     how many relations were released."""
+    return release_since(0)
+
+
+def registry_mark() -> int:
+    """Snapshot the registry position; pass to :func:`release_since` to
+    release only the intermediates registered after this point — the
+    concurrency-safe scope for callers (e.g. a streaming micro-batch)
+    that must not drop caches a concurrent operator still depends on."""
+    return len(_CACHED)
+
+
+def release_since(mark: int) -> int:
+    """Unpersist intermediates registered after ``mark`` (a
+    :func:`registry_mark` snapshot). Returns how many were released."""
     n = 0
-    while _CACHED:
+    while len(_CACHED) > mark:
         try:
             _CACHED.pop().unpersist(blocking=False)
             n += 1

@@ -195,7 +195,6 @@ def bpe_learn(
         )
         .localCheckpoint(eager=False)
     )
-    empty = F.array().cast("array<string>")
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         z = F.arrays_zip(
@@ -216,23 +215,12 @@ def bpe_learn(
             break
         a, b = pc[0]["a"], pc[0]["b"]
         merges.append((a, b))
-        la, lb = F.lit(a), F.lit(b)
-        merged = F.aggregate(
-            F.col("__sym"),
-            empty,
-            lambda acc, s: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == la)
-                & (s == lb),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1),
-                    F.array(F.concat(F.element_at(acc, -1), s)),
-                ),
-            ).otherwise(F.concat(acc, F.array(s))),
-        )
-        wf = wf.select("__freq", merged.alias("__sym")).localCheckpoint(
-            eager=False
-        )
+        # the SAME fold bpe_segment encodes with — one definition, so the
+        # "re-encoding reproduces the learner's state" contract is
+        # enforced structurally, not by parallel-maintained copies
+        wf = wf.select(
+            "__freq", _merge_fold_expr(F.col("__sym"), a, b).alias("__sym")
+        ).localCheckpoint(eager=False)
     return merges
 
 
@@ -559,8 +547,13 @@ def bpe_segment(
         cache: dict[str, list[str]] = {}
 
         def enc(text):
+            if text is None:
+                return None  # matches the expression path's null propagation
             out: list[str] = []
-            for w in (text or "").strip().split(" "):
+            # strip(' ') — SPACES ONLY, the exact twin of F.trim (which
+            # strips 0x20 only); Python's default strip() would also eat
+            # tabs/newlines and silently diverge from the expression path
+            for w in text.strip(" ").split(" "):
                 got = cache.get(w)
                 if got is None:
                     got = cache[w] = bpe_apply_merges(w, merge_list)

@@ -367,54 +367,86 @@ def upsert_table(
     plain columnar storage (no transaction log): rows of ``updates``
     replace base rows with the same key, new keys append, and rows where
     ``delete_col`` is true delete their key. Returns
-    ``{"inserted", "updated", "deleted", "total"}`` counts.
+    ``{"inserted", "updated", "deleted", "total"}`` counts (key-based).
 
     Shape: ONE left-anti join of base against the update keys (shuffle on
     the key; the update side is usually small enough for Catalyst to
-    broadcast it) + a union — never a row-at-a-time path. The rewrite
-    goes to a temp directory first and swaps in atomically-enough via two
-    renames (the pre-Delta/Iceberg pattern; readers racing the swap see
-    the old or the new snapshot, not a mix — a table format with a
-    transaction log is the upgrade path when concurrent writers exist).
+    broadcast it) + a union — never a row-at-a-time path. ``updates`` and
+    the merged result are persisted for the duration of the call, so the
+    guard, the counters, and the write share one evaluation each instead
+    of rescanning the inputs per action.
+
+    Swap protocol: the rewrite lands in ``<path>.__upsert_tmp__``, then
+    two renames swap it in (the pre-Delta pattern). Between the renames
+    there is a brief window where ``path`` does not exist — readers see
+    old, new, or not-found, never a mix; concurrent WRITERS need a real
+    table format. A crash inside the window leaves the data staged at
+    ``<path>.__upsert_old__``; the next call (or any call) detects the
+    orphaned snapshot and restores it before proceeding, so no state is
+    ever deleted while it is the only copy.
 
     Duplicate keys WITHIN ``updates`` are rejected (same contract as
     BigDiffy's PK guard) — last-writer-wins across duplicate update rows
-    would be nondeterministic under shuffles.
+    would be nondeterministic under shuffles. A base table that itself
+    carries duplicate keys (nothing enforces a PK on plain files) also
+    raises: silently collapsing its copies would misreport every counter.
     """
     from pyspark.sql import functions as F
 
-    if updates.select(keys).distinct().count() != updates.count():
-        raise ValueError("updates carry duplicate keys; dedupe before upsert")
-
-    base = read_table(spark, path, fmt=fmt)
-    upd_keys = updates.select(*keys)
-    survivors = base.join(upd_keys, keys, "left_anti")
-    if delete_col is not None:
-        delete_keys = updates.where(F.col(delete_col)).select(*keys)
-        writes = updates.where(
-            ~F.coalesce(F.col(delete_col), F.lit(False))
-        ).drop(delete_col)
-    else:
-        delete_keys = updates.limit(0).select(*keys)
-        writes = updates
-    n_base = base.count()
-    n_deleted = base.join(delete_keys, keys, "left_semi").count()
-    n_writes = writes.count()
-    n_updated = base.join(writes.select(*keys), keys, "left_semi").count()
-
-    merged = survivors.unionByName(writes)
-
-    # tmp-write + double rename through the Hadoop FileSystem (any scheme)
     jvm = spark.sparkContext._jvm
     conf = spark._jsc.hadoopConfiguration()
     p_final = jvm.org.apache.hadoop.fs.Path(path)
     fs = p_final.getFileSystem(conf)
     p_tmp = jvm.org.apache.hadoop.fs.Path(path + ".__upsert_tmp__")
     p_old = jvm.org.apache.hadoop.fs.Path(path + ".__upsert_old__")
+
+    # crash recovery: a previous call that died between its two renames
+    # left the ONLY snapshot at p_old — restore it rather than delete it
+    if fs.exists(p_old):
+        if not fs.exists(p_final):
+            if not fs.rename(p_old, p_final):
+                raise IOError(f"could not restore orphaned snapshot of {path}")
+        else:
+            fs.delete(p_old, True)  # post-swap leftover: final is current
     fs.delete(p_tmp, True)
-    fs.delete(p_old, True)
-    write_table(merged, path + ".__upsert_tmp__", fmt=fmt, mode="overwrite")
+
+    updates = updates.persist()
+    try:
+        if updates.select(keys).distinct().count() != updates.count():
+            raise ValueError("updates carry duplicate keys; dedupe before upsert")
+
+        base = read_table(spark, path, fmt=fmt)
+        base_keys = base.select(*keys).distinct()
+        n_base = base.count()
+        if base_keys.count() != n_base:
+            raise ValueError(
+                f"base table {path} carries duplicate keys; upsert counters "
+                "would be wrong — repair with exact_dedup/groupBy first"
+            )
+        upd_keys = updates.select(*keys)
+        survivors = base.join(upd_keys, keys, "left_anti")
+        if delete_col is not None:
+            delete_keys = updates.where(F.col(delete_col)).select(*keys)
+            writes = updates.where(
+                ~F.coalesce(F.col(delete_col), F.lit(False))
+            ).drop(delete_col)
+        else:
+            delete_keys = updates.limit(0).select(*keys)
+            writes = updates
+        n_deleted = base_keys.join(delete_keys, keys, "left_semi").count()
+        n_writes = writes.count()
+        n_updated = base_keys.join(writes.select(*keys), keys, "left_semi").count()
+
+        merged = survivors.unionByName(writes)
+        write_table(merged, path + ".__upsert_tmp__", fmt=fmt, mode="overwrite")
+    except BaseException:
+        updates.unpersist(blocking=False)
+        fs.delete(p_tmp, True)
+        raise
+    updates.unpersist(blocking=False)
+
     if not fs.rename(p_final, p_old):
+        fs.delete(p_tmp, True)
         raise IOError(f"could not stage old snapshot of {path}")
     if not fs.rename(p_tmp, p_final):
         fs.rename(p_old, p_final)  # roll back

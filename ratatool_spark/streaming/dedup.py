@@ -64,9 +64,14 @@ def stream_filter_against(
     micro-batch costs O(batch), and with ``corpus_sigs`` (the persisted
     signature table from ``save_signatures``) the corpus is never
     re-shingled — one signature-table scan plus |candidates| corpus docs
-    per batch, independent of corpus size. State lives in the corpus
-    artifact, not the stream — restarts are safe because the checkpoint
-    replays only unprocessed files.
+    per batch, independent of corpus size.
+
+    Restart safety: ``foreachBatch`` is at-least-once, so each batch's
+    survivors land in their own ``batch_id=<n>`` subdirectory written
+    with overwrite — a replayed batch rewrites the same directory instead
+    of appending duplicates (idempotent sink keyed by batch id). Read the
+    output with plain ``spark.read.<fmt>(output_path)``; partition
+    discovery exposes ``batch_id`` as a column.
 
     Note the gate is against the STATIC corpus: duplicates arriving twice
     within the stream itself are admitted twice (compose with
@@ -76,22 +81,29 @@ def stream_filter_against(
 
     Returns the started ``StreamingQuery``.
     """
-    from ratatool_spark.cache import unpersist_intermediates
+    from ratatool_spark.cache import registry_mark, release_since
     from ratatool_spark.operators.dedup import filter_against
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        kept = filter_against(
-            batch_df,
-            corpus_df,
-            threshold=threshold,
-            corpus_sigs=corpus_sigs,
-            **kwargs,
-        )
-        kept.write.mode("append").format(fmt).save(output_path)
-        # per-batch working sets (shingle frames, signature caches) —
-        # released so a long-running stream's executors don't accumulate
-        # one cached relation per micro-batch
-        unpersist_intermediates()
+        mark = registry_mark()
+        try:
+            kept = filter_against(
+                batch_df,
+                corpus_df,
+                threshold=threshold,
+                corpus_sigs=corpus_sigs,
+                **kwargs,
+            )
+            # idempotent sink: one overwritten directory per batch id, so
+            # an at-least-once replay rewrites rather than duplicates
+            kept.write.mode("overwrite").format(fmt).save(
+                f"{output_path}/batch_id={batch_id}"
+            )
+        finally:
+            # release ONLY this batch's working sets (shingle frames,
+            # signature caches) — a global release would drop caches a
+            # concurrent operator in the same session still depends on
+            release_since(mark)
 
     writer = stream_df.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint

@@ -222,3 +222,40 @@ def test_upsert_table_insert_update_delete(spark, tmp_path):
         upsert_table(spark, path, dup, ["k"])
     # failed upsert must leave the table untouched
     assert spark.read.parquet(path).count() == 4
+
+
+def test_upsert_table_crash_recovery_and_base_pk_guard(spark, tmp_path):
+    """A crash between the two swap renames strands the table at
+    __upsert_old__; the next call must RESTORE it (never delete the only
+    copy). A base table with duplicate keys is rejected up front."""
+    import pytest as _pt
+
+    from ratatool_spark.sources.io import upsert_table
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string").write.parquet(path)
+
+    # simulate the crash window: final renamed away, new never swapped in
+    jvm = spark.sparkContext._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    assert fs.rename(
+        jvm.org.apache.hadoop.fs.Path(path),
+        jvm.org.apache.hadoop.fs.Path(path + ".__upsert_old__"),
+    )
+    upd = spark.createDataFrame([(3, "c")], "k int, v string")
+    stats = upsert_table(spark, path, upd, ["k"])
+    assert stats["total"] == 3  # recovered the stranded snapshot, then merged
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}
+
+    # duplicate keys in the BASE are rejected (counters would lie)
+    dup_path = str(tmp_path / "dup")
+    spark.createDataFrame([(1, "a"), (1, "b")], "k int, v string").write.parquet(
+        dup_path
+    )
+    with _pt.raises(ValueError, match="base table .* duplicate keys"):
+        upsert_table(spark, dup_path, upd, ["k"])
+    # and the reject left the base untouched
+    assert spark.read.parquet(dup_path).count() == 2

@@ -279,7 +279,12 @@ def test_driver_gate_covers_recent_queries():
     # and is tools/compare.py oracle-green. Keep this set at the absolute
     # minimum: it must only ever contain (n_unblessed - 50) entries.
     overflow = {"tpch_q19_disjunctive_revenue"}
-    assert len(overflow) >= len(unblessed) - 50, "grow the documented overflow"
+    # exact-size cap: the exemption set may hold ONLY the entries that
+    # physically cannot fit (window erosion guard — a floor would let
+    # names accumulate here forever)
+    assert len(overflow) == max(0, len(unblessed) - 50), (
+        "overflow set must exactly match the (n_unblessed - 50) excess"
+    )
     outside = [k for k in unblessed if k not in head50 and k not in overflow]
     assert not outside, f"never-driver-checked queries outside the gated window: {outside}"
 

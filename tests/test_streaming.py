@@ -624,9 +624,11 @@ def test_stream_filter_against_matches_batch(spark, tmp_path):
         corpus_sigs=sigs,
         threshold=0.7,
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not finish within timeout"
 
-    got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    out_df = spark.read.parquet(str(tmp_path / "out"))
+    assert "batch_id" in out_df.columns  # idempotent per-batch sink layout
+    got = {r["doc_id"] for r in out_df.collect()}
     want = {
         r["doc_id"]
         for r in filter_against(
