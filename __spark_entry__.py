@@ -4310,6 +4310,60 @@ ORDER BY source
 """
 
 
+def _q_bootstrap_sample(spark, sf_dir):
+    """Deterministic Poisson bootstrap (rate 1.0 on the order key) feeding
+    a per-priority replicate aggregate. The Poisson inverse-CDF thresholds
+    are driver-computed literals shared with the oracle, so parity never
+    depends on either engine's exp(); zero shuffles before the tiny agg."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.sampler import bootstrap_sample
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    boot = bootstrap_sample(orders, rate=1.0, fields=["o_orderkey"], seed=11)
+    return (
+        boot.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_replicates"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _sql_bootstrap_sample() -> str:
+    from ratatool_spark.operators.sampler import poisson_thresholds
+
+    cum = poisson_thresholds(1.0, 8)
+    dice = _dice_sql(["o_orderkey"], 11)
+    case = (
+        "CASE "
+        + " ".join(f"WHEN u < {c!r} THEN {j}" for j, c in enumerate(cum))
+        + " ELSE 8 END"
+    )
+    return f"""
+WITH diced AS (
+  SELECT *, {dice} AS u FROM orders
+), drawn AS (
+  SELECT *, {case} AS k FROM diced
+), boot AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         unnest(range(1, k + 1)) AS copy
+  FROM drawn WHERE k > 0
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_replicates,
+       COUNT(DISTINCT o_orderkey) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price
+FROM boot
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is the driver's verification priority.
 
@@ -4329,6 +4383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- round 4: new or behaviour-changed this round ---------------
+        "bootstrap_sample_orders": _q_bootstrap_sample,
         "corpus_report": _q_corpus_report,
         "dedup_substring_containment": _q_dedup_substring,
         "near_dedup_keep_best": _q_near_dedup_keep_best,
@@ -4338,7 +4393,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q9_product_profit": _q_tpch_q9,
         "tpch_q11_important_stock": _q_tpch_q11,
         "tpch_q12_ship_priority": _q_tpch_q12,
-        "tpch_q16_supplier_part_counts": _q_tpch_q16,
         "tpch_q17_small_qty_revenue": _q_tpch_q17,
         "tpch_q20_promotion_suppliers": _q_tpch_q20,
         "tpch_q21_waiting_suppliers": _q_tpch_q21,
@@ -4380,10 +4434,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": _q_funnel,
         "retention_cohorts": _q_retention,
         "orc_roundtrip_part": _q_orc_roundtrip,
-        # --- designated gate overflow (51 unblessed > 50-entry window):
-        # q19 is the lowest-risk unblessed entry — plain broadcast-join +
-        # decimal-sum, the same physical shape as blessed q14; compare.py
-        # oracle-green. Pinned in tests/test_plans.py.
+        # --- designated gate overflow (52 unblessed > 50-entry window):
+        # the two lowest-risk unblessed entries — q19 is a plain
+        # broadcast-join + decimal-sum (same physical shape as blessed
+        # q14); q16 is a broadcast-join + countDistinct (same shape as
+        # blessed distinct_users_per_type). Both compare.py oracle-green.
+        # Pinned (exact-size cap) in tests/test_plans.py.
+        "tpch_q16_supplier_part_counts": _q_tpch_q16,
         "tpch_q19_disjunctive_revenue": _q_tpch_q19,
         # --- veterans: driver-green in a prior round --------------------
         "diffy_deltas": _q_diffy_deltas,
@@ -4441,6 +4498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bootstrap_sample_orders": _sql_bootstrap_sample(),
         "corpus_report": _sql_corpus_report(),
         "dedup_substring_containment": _SQL_DEDUP_SUBSTRING,
         "near_dedup_keep_best": _sql_near_dedup_keep_best(),

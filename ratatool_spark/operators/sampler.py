@@ -387,3 +387,51 @@ def weighted_sample(
         .limit(n)
         .select(*keep)
     )
+
+
+def poisson_thresholds(rate: float, max_k: int = 8) -> list[float]:
+    """Cumulative Poisson(rate) probabilities P(X <= k) for k in
+    [0, max_k), computed ON THE DRIVER and embedded as plan literals —
+    both engines compare the dice against the SAME double constants, so
+    bootstrap parity never depends on either engine's exp/factorial."""
+    if rate <= 0:
+        raise ValueError("rate must be positive")
+    import math
+
+    p = math.exp(-rate)
+    cum, out = p, [p]
+    for k in range(1, max_k):
+        p *= rate / k
+        cum += p
+        out.append(cum)
+    return out
+
+
+def bootstrap_sample(
+    df: DataFrame,
+    rate: float = 1.0,
+    fields: list[str] | None = None,
+    seed: int = 42,
+    max_k: int = 8,
+    copy_col: str = "copy",
+) -> DataFrame:
+    """Poisson bootstrap resample: each row is emitted k ~ Poisson(rate)
+    times with a ``copy`` index (1..k) — the distributed bootstrap for
+    confidence intervals / bagging over data that never fits one machine
+    (per-row independent draws; no global resample-with-replacement
+    shuffle). With ``fields``, the draw is the deterministic portable
+    dice, so the SAME replicate set is re-derivable in any engine (and
+    is this operator's oracle); k is capped at ``max_k`` (cumulative tail
+    beyond is assigned to max_k — at rate 1, P(X > 8) < 1e-6).
+
+    Zero shuffles: dice + CASE + explode(sequence) in the scan stage.
+    """
+    u = _resolve_dice(df, fields, seed, portable=True)
+    cum = poisson_thresholds(rate, max_k)
+    k = F.lit(max_k)
+    for j in range(max_k - 1, -1, -1):
+        k = F.when(u < F.lit(cum[j]), F.lit(j)).otherwise(k)
+    out = df.withColumn("__k", k).where(F.col("__k") > 0)
+    return out.select(
+        *df.columns, F.explode(F.sequence(F.lit(1), F.col("__k"))).alias(copy_col)
+    )

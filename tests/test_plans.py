@@ -278,7 +278,7 @@ def test_driver_gate_covers_recent_queries():
     # broadcast-join + decimal-sum (same physical shape as blessed q14)
     # and is tools/compare.py oracle-green. Keep this set at the absolute
     # minimum: it must only ever contain (n_unblessed - 50) entries.
-    overflow = {"tpch_q19_disjunctive_revenue"}
+    overflow = {"tpch_q19_disjunctive_revenue", "tpch_q16_supplier_part_counts"}
     # exact-size cap: the exemption set may hold ONLY the entries that
     # physically cannot fit (window erosion guard — a floor would let
     # names accumulate here forever)

@@ -198,3 +198,39 @@ def test_exact_global_matches_single_reducer_topt(lineitem):
         for r in sorted(rolls, key=lambda r: r["r"])[:t]
     }
     assert got == exp
+
+
+def test_bootstrap_sample_deterministic_poisson(spark):
+    """Deterministic field-hash bootstrap: stable across runs, replicate
+    copies are 1..k, k respects the max_k cap, and the replicate total is
+    within a loose Poisson envelope of rate * n."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.sampler import bootstrap_sample, poisson_thresholds
+
+    from tests.conftest import SF_SMOKE
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    n = orders.count()
+    a = bootstrap_sample(orders, rate=1.0, fields=["o_orderkey"], seed=3)
+    b = bootstrap_sample(orders, rate=1.0, fields=["o_orderkey"], seed=3)
+    ca, cb = a.count(), b.count()
+    assert ca == cb  # deterministic
+    assert abs(ca - n) < 4 * (n ** 0.5) + 10  # E[total] = rate*n
+    per = a.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("k"), F.max("copy").alias("mx"), F.min("copy").alias("mn")
+    )
+    bad = per.where((F.col("mx") != F.col("k")) | (F.col("mn") != 1)).count()
+    assert bad == 0  # copies are exactly 1..k per key
+    assert per.agg(F.max("k")).collect()[0][0] <= 8  # max_k cap
+
+    cum = poisson_thresholds(1.0, 8)
+    assert len(cum) == 8 and all(cum[i] < cum[i + 1] for i in range(7))
+    import math
+
+    assert abs(cum[0] - math.exp(-1)) < 1e-15
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        poisson_thresholds(0.0)
