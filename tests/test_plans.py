@@ -317,6 +317,24 @@ def test_tpch_r4_plan_budgets(spark, name, max_shuffles, min_bhj):
     assert p.count("BroadcastHashJoin") >= min_bhj, name
 
 
+def test_bootstrap_sample_scan_stage_only(spark):
+    """Dice + literal CASE + explode run in the scan stage; the only
+    exchange is the tiny per-priority aggregate."""
+    p = plan_of(spark, "bootstrap_sample_orders")
+    assert "CartesianProduct" not in p and "NestedLoopJoin" not in p
+    # countDistinct two-phase ((prio, key) then prio) + the final orderBy
+    # range partition — all over post-aggregate rows, never the fact scan
+    assert n_exchanges(p) <= 3
+
+
+def test_corpus_report_single_scan(spark):
+    """The data card reads the fact table ONCE; everything after the
+    (source, lang) aggregate is tiny."""
+    p = plan_of(spark, "corpus_report")
+    assert p.count("FileScan parquet") == 1
+    assert n_exchanges(p) <= 3
+
+
 def test_substring_containment_no_cartesian_and_bounded_candidates(spark):
     """Candidate generation must be the anchored equi-join on the shingle
     key — never an all-pairs product; the anchor agg rides the shingle
