@@ -389,6 +389,9 @@ def weighted_sample(
     )
 
 
+_BOOT_K = "__rt_boot_k"
+
+
 def poisson_thresholds(rate: float, max_k: int = 8) -> list[float]:
     """Cumulative Poisson(rate) probabilities P(X <= k) for k in
     [0, max_k), computed ON THE DRIVER and embedded as plan literals —
@@ -396,8 +399,6 @@ def poisson_thresholds(rate: float, max_k: int = 8) -> list[float]:
     bootstrap parity never depends on either engine's exp/factorial."""
     if rate <= 0:
         raise ValueError("rate must be positive")
-    import math
-
     p = math.exp(-rate)
     cum, out = p, [p]
     for k in range(1, max_k):
@@ -421,17 +422,23 @@ def bootstrap_sample(
     (per-row independent draws; no global resample-with-replacement
     shuffle). With ``fields``, the draw is the deterministic portable
     dice, so the SAME replicate set is re-derivable in any engine (and
-    is this operator's oracle); k is capped at ``max_k`` (cumulative tail
-    beyond is assigned to max_k — at rate 1, P(X > 8) < 1e-6).
+    is this operator's oracle); k is capped at ``max_k`` — the whole tail
+    P(X >= max_k) collapses onto max_k, a bias of 1 - cdf(max_k - 1)
+    (at rate 1, max_k 8: ~1.0e-5; raise max_k for tighter budgets).
 
     Zero shuffles: dice + CASE + explode(sequence) in the scan stage.
     """
+    if copy_col in df.columns or _BOOT_K in df.columns:
+        raise ValueError(
+            f"input already has a {copy_col!r}/{_BOOT_K!r} column — pass a "
+            "different copy_col"
+        )
     u = _resolve_dice(df, fields, seed, portable=True)
     cum = poisson_thresholds(rate, max_k)
     k = F.lit(max_k)
     for j in range(max_k - 1, -1, -1):
         k = F.when(u < F.lit(cum[j]), F.lit(j)).otherwise(k)
-    out = df.withColumn("__k", k).where(F.col("__k") > 0)
+    out = df.withColumn(_BOOT_K, k).where(F.col(_BOOT_K) > 0)
     return out.select(
-        *df.columns, F.explode(F.sequence(F.lit(1), F.col("__k"))).alias(copy_col)
+        *df.columns, F.explode(F.sequence(F.lit(1), F.col(_BOOT_K))).alias(copy_col)
     )
