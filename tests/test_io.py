@@ -259,3 +259,41 @@ def test_upsert_table_crash_recovery_and_base_pk_guard(spark, tmp_path):
         upsert_table(spark, dup_path, upd, ["k"])
     # and the reject left the base untouched
     assert spark.read.parquet(dup_path).count() == 2
+
+
+def test_upsert_table_random_op_sequence_matches_model(spark, tmp_path):
+    """Model-based check: a seeded random sequence of upsert batches
+    (mixed inserts/updates/deletes) applied through upsert_table must
+    track a driver-side dict model exactly, including every returned
+    counter, at every step."""
+    import random
+
+    from ratatool_spark.sources.io import upsert_table
+
+    rng = random.Random(7)
+    path = str(tmp_path / "tbl")
+    model = {k: f"v{k}" for k in range(10)}
+    spark.createDataFrame(
+        sorted(model.items()), "k int, v string"
+    ).write.parquet(path)
+
+    for step in range(5):
+        keys = rng.sample(range(25), rng.randint(1, 8))
+        batch, expect = [], {"inserted": 0, "updated": 0, "deleted": 0}
+        for k in keys:
+            if rng.random() < 0.3:
+                batch.append((k, None, True))
+                if k in model:
+                    expect["deleted"] += 1
+                    del model[k]
+            else:
+                v = f"s{step}k{k}"
+                batch.append((k, v, False))
+                expect["updated" if k in model else "inserted"] += 1
+                model[k] = v
+        updates = spark.createDataFrame(batch, "k int, v string, __del boolean")
+        stats = upsert_table(spark, path, updates, ["k"], delete_col="__del")
+        expect["total"] = len(model)
+        assert stats == expect, f"step {step}"
+        got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+        assert got == model, f"step {step}"
