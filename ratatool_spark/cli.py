@@ -27,7 +27,13 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("bigSampler", help="distributed sampling")
     s.add_argument("--input", required=True)
     s.add_argument("--output", required=True)
-    s.add_argument("--fraction", type=float, required=True)
+    s.add_argument(
+        "--fraction",
+        "--sample",  # the reference's flag name (BigSampler usage: --sample=<pct>)
+        dest="fraction",
+        type=float,
+        required=True,
+    )
     s.add_argument("--fields", type=_csv, default=None, help="deterministic hash fields")
     s.add_argument("--distribution", choices=["stratified", "uniform"], default=None)
     s.add_argument("--distributionFields", type=_csv, default=None)
@@ -40,6 +46,19 @@ def build_parser() -> argparse.ArgumentParser:
         help="dice hash backend (Util.scala:85-103 farm|murmur parity; "
         "portable = md5 cross-engine default, xx = fastest Spark-native)",
     )
+    s.add_argument(
+        "--byteEncoding",
+        choices=["hex", "base64"],
+        default="hex",
+        help="bytes-field pre-hash encoding (ByteHasher.scala parity; "
+        "raw is documented-rejected — see functions/hashing.py)",
+    )
+    s.add_argument(
+        "--rowRestriction",
+        default=None,
+        help="SQL predicate applied at the scan (the reference's BigQuery "
+        "row restriction, pushed into the parquet read here)",
+    )
     s.add_argument("--format", default=None, help="override input format sniffing")
 
     d = sub.add_parser("bigDiffy", help="pairwise keyed dataset diff")
@@ -49,6 +68,18 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--output", required=True)
     d.add_argument("--ignore", type=_csv, default=[])
     d.add_argument("--unordered", type=_csv, default=[])
+    d.add_argument(
+        "--unorderedFieldKey",
+        type=_csv,
+        default=[],
+        help="path:key pairs for keyed unordered nested-record arrays "
+        "(BigDiffy --unorderedFieldKey=fieldPath:fieldKey,...)",
+    )
+    d.add_argument(
+        "--rowRestriction",
+        default=None,
+        help="SQL predicate applied to BOTH sides at the scan",
+    )
     d.add_argument("--ignoreNan", action="store_true")
 
     ds = sub.add_parser("directSampler", help="local head/random sample")
@@ -299,8 +330,11 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if args.command == "bigSampler":
             from ratatool_spark.operators.sampler import sample
+            from ratatool_spark.sources.io import row_restriction
 
             df = read_table(spark, args.input, fmt=args.format)
+            if args.rowRestriction:
+                df = row_restriction(df, args.rowRestriction)
             out = sample(
                 df,
                 args.fraction,
@@ -310,17 +344,33 @@ def main(argv: list[str] | None = None) -> int:
                 exact=args.exact,
                 seed=args.seed,
                 hasher=args.hashAlgorithm,
+                byte_encoding=args.byteEncoding,
             )
             write_table(out, args.output, mode="overwrite")
         elif args.command == "bigDiffy":
             from ratatool_spark.operators.diffy import BigDiffy
+            from ratatool_spark.sources.io import row_restriction
 
+            unordered_keys = {}
+            for pair in args.unorderedFieldKey:
+                path, sep, key = pair.partition(":")
+                if not sep:
+                    raise SystemExit(
+                        f"--unorderedFieldKey expects path:key pairs, got {pair!r}"
+                    )
+                unordered_keys[path] = key
+            lhs = read_table(spark, args.lhs)
+            rhs = read_table(spark, args.rhs)
+            if args.rowRestriction:
+                lhs = row_restriction(lhs, args.rowRestriction)
+                rhs = row_restriction(rhs, args.rowRestriction)
             d = BigDiffy(
-                read_table(spark, args.lhs),
-                read_table(spark, args.rhs),
+                lhs,
+                rhs,
                 keys=args.key,
                 ignore=set(args.ignore),
                 unordered=set(args.unordered),
+                unordered_keys=unordered_keys or None,
                 ignore_nan=args.ignoreNan,
             )
             d.save_stats(args.output)

@@ -76,6 +76,7 @@ def _resolve_dice(
     seed: int,
     portable: bool,
     hasher: str | None = None,
+    byte_encoding: str = "hex",
 ) -> Column:
     """Dice column: deterministic field-hash when ``fields`` given, else
     per-row random. Matches diceElement (BigSampler.scala:83-90) /
@@ -88,7 +89,9 @@ def _resolve_dice(
             dtypes.append(df.schema[f_name].dataType if "." not in f_name else None)
         cols = [F.col(f_name) for f_name in fields]
         backend = hasher if hasher is not None else ("portable" if portable else "xx")
-        return dice_for(backend, cols, seed=seed, dtypes=dtypes)
+        return dice_for(
+            backend, cols, seed=seed, dtypes=dtypes, byte_encoding=byte_encoding
+        )
     return F.rand(seed)
 
 
@@ -114,6 +117,7 @@ def sample(
     hasher: str | None = None,
     audit: bool = False,
     error_tolerance: float = 1e-2,
+    byte_encoding: str = "hex",
 ) -> DataFrame | tuple[DataFrame, SampleAudit]:
     """The 8-way sampling matrix (BigSampler.sample:349-435).
 
@@ -136,7 +140,9 @@ def sample(
     if uniform and not strata:
         raise ValueError("uniform distribution requires strata fields")
 
-    roll = _resolve_dice(df, fields, seed, portable, hasher=hasher)
+    roll = _resolve_dice(
+        df, fields, seed, portable, hasher=hasher, byte_encoding=byte_encoding
+    )
 
     if not exact:
         out = _approx_sample(df, roll, fraction, strata, uniform, seed)

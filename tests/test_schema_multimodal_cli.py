@@ -536,3 +536,56 @@ def test_cli_upsert(spark, tmp_path, capsys):
     assert stats == {"inserted": 1, "updated": 1, "deleted": 0, "total": 3}
     got = {r["k"]: r["v"] for r in spark.read.parquet(base).collect()}
     assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_cli_reference_flag_parity(spark, tmp_path):
+    """Reference-CLI spellings work end-to-end: bigSampler --sample (alias
+    of --fraction) + --byteEncoding + --rowRestriction; bigDiffy
+    --unorderedFieldKey path:key + --rowRestriction."""
+    from ratatool_spark.cli import main
+
+    src = str(tmp_path / "orders")
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet").write.parquet(src)
+
+    out = str(tmp_path / "sampled")
+    rc = main(
+        [
+            "bigSampler",
+            "--input", src,
+            "--output", out,
+            "--sample", "0.5",
+            "--fields", "o_orderkey",
+            "--byteEncoding", "base64",
+            "--rowRestriction", "o_totalprice > 100000",
+        ]
+    )
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert 0 < got.count() < spark.read.parquet(src).count()
+    assert got.where("o_totalprice <= 100000").count() == 0
+
+    # keyed unordered arrays through the CLI spelling
+    lhs = str(tmp_path / "lhs")
+    rhs = str(tmp_path / "rhs")
+    schema = "id int, rep array<struct<k:string, v:int>>"
+    spark.createDataFrame([(1, [("a", 1), ("b", 2)])], schema).write.parquet(lhs)
+    spark.createDataFrame([(1, [("b", 2), ("a", 1)])], schema).write.parquet(rhs)
+    stats = str(tmp_path / "stats")
+    rc = main(
+        [
+            "bigDiffy",
+            "--lhs", lhs,
+            "--rhs", rhs,
+            "--key", "id",
+            "--output", stats,
+            "--unorderedFieldKey", "rep:k",
+        ]
+    )
+    assert rc == 0
+    import glob
+
+    txt = "".join(
+        open(f).read() for f in glob.glob(f"{stats}/global/*.csv")
+        + glob.glob(f"{stats}/global/part-*")
+    )
+    assert "SAME" in txt or "1" in txt  # reordered keyed array diffs as SAME
