@@ -414,6 +414,16 @@ def upsert_table(
     try:
         if updates.select(keys).distinct().count() != updates.count():
             raise ValueError("updates carry duplicate keys; dedupe before upsert")
+        # NULL never equals NULL under join semantics, so a null-keyed
+        # update row could never replace anything — it would silently
+        # append forever. Reject it (the reference's keyFn warns on null
+        # keys for the same reason; we make it an error).
+        null_pred = None
+        for k in keys:
+            c = F.col(k).isNull()
+            null_pred = c if null_pred is None else (null_pred | c)
+        if updates.where(null_pred).limit(1).count():
+            raise ValueError("updates carry NULL key values; keys must be non-null")
 
         base = read_table(spark, path, fmt=fmt)
         base_keys = base.select(*keys).distinct()

@@ -297,3 +297,19 @@ def test_upsert_table_random_op_sequence_matches_model(spark, tmp_path):
         assert stats == expect, f"step {step}"
         got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
         assert got == model, f"step {step}"
+
+
+def test_upsert_table_rejects_null_keys(spark, tmp_path):
+    """NULL never equals NULL under join semantics — a null-keyed update
+    could never replace anything and would append forever, so it is
+    rejected up front."""
+    import pytest as _pt
+
+    from ratatool_spark.sources.io import upsert_table
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "a")], "k int, v string").write.parquet(path)
+    upd = spark.createDataFrame([(None, "x")], "k int, v string")
+    with _pt.raises(ValueError, match="NULL key"):
+        upsert_table(spark, path, upd, ["k"])
+    assert spark.read.parquet(path).count() == 1
