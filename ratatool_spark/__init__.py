@@ -25,7 +25,7 @@ broadcast joins and whole-stage codegen all apply; Python UDFs appear only
 where semantics genuinely require them (and then vectorized via Arrow).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"
 
 TABLES = (
     "region",

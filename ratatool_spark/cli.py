@@ -354,9 +354,13 @@ def main(argv: list[str] | None = None) -> int:
             unordered_keys = {}
             for pair in args.unorderedFieldKey:
                 path, sep, key = pair.partition(":")
-                if not sep:
+                if not sep or not path or not key:
                     raise SystemExit(
-                        f"--unorderedFieldKey expects path:key pairs, got {pair!r}"
+                        f"--unorderedFieldKey expects non-empty path:key pairs, got {pair!r}"
+                    )
+                if path in unordered_keys:
+                    raise SystemExit(
+                        f"--unorderedFieldKey repeats path {path!r}"
                     )
                 unordered_keys[path] = key
             lhs = read_table(spark, args.lhs)

@@ -412,18 +412,24 @@ def upsert_table(
 
     updates = updates.persist()
     try:
-        if updates.select(keys).distinct().count() != updates.count():
-            raise ValueError("updates carry duplicate keys; dedupe before upsert")
-        # NULL never equals NULL under join semantics, so a null-keyed
-        # update row could never replace anything — it would silently
-        # append forever. Reject it (the reference's keyFn warns on null
-        # keys for the same reason; we make it an error).
+        # ONE aggregation answers both input guards: duplicate keys
+        # (nondeterministic last-writer-wins) and NULL keys (NULL never
+        # equals NULL in a join — a null-keyed update could never replace
+        # anything and would silently append forever; the reference's
+        # keyFn warns on null keys, we make it an error).
         null_pred = None
         for k in keys:
             c = F.col(k).isNull()
             null_pred = c if null_pred is None else (null_pred | c)
-        if updates.where(null_pred).limit(1).count():
+        g = updates.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.countDistinct(F.struct(*keys)).alias("__dk"),
+            F.sum(F.when(null_pred, 1).otherwise(0)).alias("__nulls"),
+        ).collect()[0]
+        if g["__nulls"]:
             raise ValueError("updates carry NULL key values; keys must be non-null")
+        if g["__dk"] != g["__n"]:
+            raise ValueError("updates carry duplicate keys; dedupe before upsert")
 
         base = read_table(spark, path, fmt=fmt)
         base_keys = base.select(*keys).distinct()

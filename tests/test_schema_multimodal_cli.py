@@ -582,10 +582,22 @@ def test_cli_reference_flag_parity(spark, tmp_path):
         ]
     )
     assert rc == 0
-    import glob
-
-    txt = "".join(
-        open(f).read() for f in glob.glob(f"{stats}/global/*.csv")
-        + glob.glob(f"{stats}/global/part-*")
+    g = (
+        spark.read.option("header", True)
+        .option("sep", "\t")
+        .csv(f"{stats}/global")
+        .collect()[0]
     )
-    assert "SAME" in txt or "1" in txt  # reordered keyed array diffs as SAME
+    # reordered keyed array must diff as SAME — the flag's whole point
+    assert int(g["num_same"]) == 1 and int(g["num_diff"]) == 0
+
+    # malformed pairs rejected cleanly
+    import pytest as _pt
+
+    with _pt.raises(SystemExit, match="non-empty path:key"):
+        main(["bigDiffy", "--lhs", lhs, "--rhs", rhs, "--key", "id",
+              "--output", str(tmp_path / "s2"), "--unorderedFieldKey", "rep:"])
+    with _pt.raises(SystemExit, match="repeats path"):
+        main(["bigDiffy", "--lhs", lhs, "--rhs", rhs, "--key", "id",
+              "--output", str(tmp_path / "s3"),
+              "--unorderedFieldKey", "rep:k,rep:v"])
