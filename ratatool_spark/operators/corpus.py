@@ -570,3 +570,61 @@ def bpe_segment(
 
     out = df.withColumn("bpe_syms", _encode(F.col(text_col)))
     return out.withColumn("n_bpe_tokens", F.size("bpe_syms"))
+
+
+def build_token_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(token, cnt) unigram counts over the corpus — the reference
+    distribution for :func:`unigram_logprob_score`. Persist this once per
+    reference corpus (plain parquet) and score every future batch under
+    the frozen distribution."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .where(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    freq_df: DataFrame | None = None,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """(id, n_tokens, mean_logprob): mean per-token unigram
+    log-probability — the simplest useful LM-based quality filter (the
+    CCNet/KenLM perplexity-bucket technique with a unigram model): docs
+    whose tokens are systematically improbable under a clean reference
+    corpus (gibberish, boilerplate, wrong language) score low and can be
+    thresholded or bucketed.
+
+    ``freq_df`` is the production path: pass :func:`build_token_freqs`
+    output computed ONCE on the reference corpus (saved as parquet), and
+    each new batch is scored against the frozen distribution — the score
+    then has stable meaning across batches. Without it, the corpus
+    scores itself (self-perplexity). Unseen tokens get the additive
+    ``smoothing`` mass (Lidstone): log((cnt + s) / (total + s * (V + 1))).
+
+    Shape: explode -> one token-keyed join against the freq table -> one
+    doc-keyed mean. The two scalar normalizers (total, V) are a one-row
+    aggregate collected on the driver. Empty/whitespace-only docs score
+    NULL (no tokens).
+    """
+    freqs = freq_df if freq_df is not None else build_token_freqs(df, text_col)
+    tot = freqs.agg(
+        F.sum("cnt").alias("__t"), F.count(F.lit(1)).alias("__v")
+    ).collect()[0]
+    denom = float(tot["__t"] or 0) + smoothing * (float(tot["__v"] or 0) + 1.0)
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    ).where(F.length("token") > 0)
+    logp = F.log((F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(smoothing)) / F.lit(denom))
+    return (
+        toks.join(freqs, "token", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(logp).alias("mean_logprob"),
+        )
+    )

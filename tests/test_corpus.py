@@ -422,3 +422,92 @@ def test_bpe_segment_paths_agree_and_reproduce_learner(spark):
 
     # the top merge must be a real frequent pair ('lo' or 'ne' family)
     assert all(len(a) >= 1 and len(b) >= 1 for a, b in merges)
+
+
+def test_bpe_segment_paths_agree_on_random_whitespace_corpus(spark):
+    """Path equality on a seeded random corpus with adversarial
+    whitespace: double spaces, leading/trailing spaces, tabs/newlines
+    embedded in tokens (which the space-only tokenizer must NOT split),
+    and null text."""
+    import random
+
+    from pyspark.sql import Row
+
+    from ratatool_spark.operators.corpus import bpe_learn, bpe_segment
+
+    rng = random.Random(99)
+    vocab = ["ab", "abc", "aab", "b\tc", "x\ny", "zz", "a", ""]
+    rows = []
+    for i in range(25):
+        words = [rng.choice(vocab) for _ in range(rng.randint(0, 9))]
+        text = " ".join(words)
+        if rng.random() < 0.3:
+            text = " " + text + "  "
+        rows.append(Row(doc_id=i, text=text))
+    rows.append(Row(doc_id=100, text=None))
+    df = spark.createDataFrame(rows)
+    merges = bpe_learn(df.where(df.text.isNotNull()), n_merges=4)
+
+    expr = {
+        r["doc_id"]: r["bpe_syms"]
+        for r in bpe_segment(df, merges, expr_threshold=16).collect()
+    }
+    udf = {
+        r["doc_id"]: r["bpe_syms"]
+        for r in bpe_segment(df, merges, expr_threshold=0).collect()
+    }
+    assert expr == udf
+    assert expr[100] is None  # null propagates on both paths
+
+
+def test_unigram_logprob_score_matches_reference(spark):
+    """Hand-computed Lidstone unigram log-probs; OOV tokens get smoothing
+    mass; batch scored under a frozen reference distribution matches the
+    driver-side model; whitespace-only docs drop out (no tokens)."""
+    import math
+
+    from pyspark.sql import Row
+
+    from ratatool_spark.operators.corpus import (
+        build_token_freqs,
+        unigram_logprob_score,
+    )
+
+    corpus = spark.createDataFrame(
+        [Row(doc_id=1, text="a a b"), Row(doc_id=2, text="a c")]
+    )
+    freqs = build_token_freqs(corpus)
+    got_freqs = {r["token"]: r["cnt"] for r in freqs.collect()}
+    assert got_freqs == {"a": 3, "b": 1, "c": 1}
+
+    s = 0.5
+    total, v = 5, 3
+    denom = total + s * (v + 1)
+
+    def lp(cnt):
+        return math.log((cnt + s) / denom)
+
+    batch = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="a b"),
+            Row(doc_id=11, text="zzz a"),  # OOV token
+            Row(doc_id=12, text="   "),  # no tokens -> absent from output
+        ]
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["mean_logprob"])
+        for r in unigram_logprob_score(batch, freq_df=freqs).collect()
+    }
+    assert set(got) == {10, 11}
+    assert got[10][0] == 2
+    assert abs(got[10][1] - (lp(3) + lp(1)) / 2) < 1e-12
+    assert abs(got[11][1] - (lp(0) + lp(3)) / 2) < 1e-12
+    # self-scoring path (no freq_df): clean doc outranks gibberish
+    mixed = corpus.unionByName(
+        spark.createDataFrame([Row(doc_id=9, text="qq ww ee rr")])
+    )
+    scores = {
+        r["doc_id"]: r["mean_logprob"]
+        for r in unigram_logprob_score(mixed).collect()
+    }
+    assert scores[1] > scores[9]
