@@ -607,24 +607,45 @@ def unigram_logprob_score(
     ``smoothing`` mass (Lidstone): log((cnt + s) / (total + s * (V + 1))).
 
     Shape: explode -> one token-keyed join against the freq table -> one
-    doc-keyed mean. The two scalar normalizers (total, V) are a one-row
-    aggregate collected on the driver. Empty/whitespace-only docs score
-    NULL (no tokens).
+    doc-keyed mean -> a left join back onto the input ids, so EVERY input
+    row appears in the output (empty/whitespace-only/NULL-text docs get
+    n_tokens=0 and mean_logprob NULL — the same every-row guarantee as
+    repetition_metrics; a downstream inner join never silently drops
+    documents). The two scalar normalizers (total, V) are a one-row
+    aggregate collected on the driver; a self-built freq table is
+    localCheckpointed so the corpus is scanned once, not once for the
+    normalizers and again for the join.
     """
-    freqs = freq_df if freq_df is not None else build_token_freqs(df, text_col)
+    if smoothing <= 0:
+        raise ValueError(
+            "smoothing must be > 0 (MLE would log(0) OOV tokens into NULLs "
+            "that avg() silently skips — inflating gibberish scores)"
+        )
+    if freq_df is not None:
+        freqs = freq_df
+    else:
+        freqs = build_token_freqs(df, text_col).localCheckpoint(eager=False)
     tot = freqs.agg(
         F.sum("cnt").alias("__t"), F.count(F.lit(1)).alias("__v")
     ).collect()[0]
     denom = float(tot["__t"] or 0) + smoothing * (float(tot["__v"] or 0) + 1.0)
+    f = freqs.select(F.col("token").alias("__tok"), F.col("cnt").alias("__cnt"))
     toks = df.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
-    ).where(F.length("token") > 0)
-    logp = F.log((F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(smoothing)) / F.lit(denom))
-    return (
-        toks.join(freqs, "token", "left")
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__tok")
+    ).where(F.length("__tok") > 0)
+    logp = F.log(
+        (F.coalesce(F.col("__cnt"), F.lit(0)) + F.lit(smoothing)) / F.lit(denom)
+    )
+    scores = (
+        toks.join(f, "__tok", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.avg(logp).alias("mean_logprob"),
         )
+    )
+    return df.select(id_col).join(scores, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+        "mean_logprob",
     )

@@ -491,15 +491,21 @@ def test_unigram_logprob_score_matches_reference(spark):
         [
             Row(doc_id=10, text="a b"),
             Row(doc_id=11, text="zzz a"),  # OOV token
-            Row(doc_id=12, text="   "),  # no tokens -> absent from output
+            Row(doc_id=12, text="   "),  # no tokens -> n_tokens 0, NULL score
         ]
     )
     got = {
         r["doc_id"]: (r["n_tokens"], r["mean_logprob"])
         for r in unigram_logprob_score(batch, freq_df=freqs).collect()
     }
-    assert set(got) == {10, 11}
+    assert set(got) == {10, 11, 12}  # every input row appears
+    assert got[12] == (0, None)
     assert got[10][0] == 2
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="smoothing"):
+        unigram_logprob_score(batch, freq_df=freqs, smoothing=0)
     assert abs(got[10][1] - (lp(3) + lp(1)) / 2) < 1e-12
     assert abs(got[11][1] - (lp(0) + lp(3)) / 2) < 1e-12
     # self-scoring path (no freq_df): clean doc outranks gibberish
