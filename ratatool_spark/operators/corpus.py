@@ -649,3 +649,78 @@ def unigram_logprob_score(
         F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
         "mean_logprob",
     )
+
+
+def remove_duplicate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_occurrences: int = 1,
+    min_line_chars: int = 1,
+    sep: str = "\n",
+) -> DataFrame:
+    """C4's corpus-level line dedup: drop every line that occurs more than
+    ``max_occurrences`` times ACROSS the corpus (boilerplate headers,
+    cookie banners, navigation junk repeat verbatim on thousands of
+    pages), then reassemble each document from its surviving lines in
+    their original order. Lines shorter than ``min_line_chars`` are kept
+    as-is (never counted — "." or "" would alias unrelated docs).
+
+    Adds ``n_lines_removed``; ``text_col`` is replaced by the cleaned
+    text. Every input row survives (a fully-boilerplate doc comes back
+    with empty text, for downstream length filters to judge).
+
+    Shape: explode lines with their position -> one count aggregation
+    shuffled by line content -> join survivors back -> per-doc ordered
+    reassembly via sort_array over (pos, line) structs — no window, no
+    Python. Line-content skew (the whole point: some lines repeat a lot)
+    is bounded because the count aggregate map-side combines before the
+    exchange.
+    """
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+    exploded = df.select(
+        F.col(id_col), F.posexplode(lines).alias("__pos", "__line")
+    )
+    countable = F.length(F.col("__line")) >= min_line_chars
+    counts = (
+        exploded.where(countable)
+        .groupBy("__line")
+        .agg(F.count(F.lit(1)).alias("__lc"))
+    )
+    kept = (
+        exploded.join(counts, "__line", "left")
+        .where(
+            ~countable | F.col("__lc").isNull() | (F.col("__lc") <= max_occurrences)
+        )
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__pos"), F.col("__line")))
+            ).alias("__kept")
+        )
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                sep, F.transform(F.col("__kept"), lambda s: s["__line"])
+            ).alias("__clean"),
+            F.size("__kept").alias("__nkept"),
+        )
+    )
+    n_lines = F.size(lines)
+    # a doc whose EVERY countable line was removed has no surviving rows
+    # to group — it re-enters via the left join with an empty text
+    out_cols = [
+        F.col(c)
+        if c != text_col
+        else F.coalesce(F.col("__clean"), F.lit("")).alias(text_col)
+        for c in df.columns
+    ]
+    return (
+        df.join(kept, id_col, "left")
+        .select(
+            *out_cols,
+            (n_lines - F.coalesce(F.col("__nkept"), F.lit(0))).alias(
+                "n_lines_removed"
+            ),
+        )
+    )

@@ -517,3 +517,41 @@ def test_unigram_logprob_score_matches_reference(spark):
         for r in unigram_logprob_score(mixed).collect()
     }
     assert scores[1] > scores[9]
+
+
+def test_remove_duplicate_lines_c4_rule(spark):
+    """Corpus-level line dedup: a boilerplate line repeated across docs is
+    removed everywhere; unique lines survive in original order; a fully
+    boilerplate doc comes back empty (but still present); short lines are
+    never counted."""
+    from pyspark.sql import Row
+
+    from ratatool_spark.operators.corpus import remove_duplicate_lines
+
+    boiler = "accept all cookies to continue"
+    rows = [
+        Row(doc_id=1, text=f"{boiler}\nunique first line\n.\nunique second line"),
+        Row(doc_id=2, text=f"real content here\n{boiler}"),
+        Row(doc_id=3, text=boiler),
+        Row(doc_id=4, text="totally unique document"),
+        Row(doc_id=5, text="."),  # short line: kept, never counted
+    ]
+    out = {
+        r["doc_id"]: (r["text"], r["n_lines_removed"])
+        for r in remove_duplicate_lines(
+            spark.createDataFrame(rows), min_line_chars=2
+        ).collect()
+    }
+    assert out[1] == ("unique first line\n.\nunique second line", 1)
+    assert out[2] == ("real content here", 1)
+    assert out[3] == ("", 1)  # fully boilerplate, still present
+    assert out[4] == ("totally unique document", 0)
+    assert out[5] == (".", 0)
+    # max_occurrences=3 tolerates the 3-fold boilerplate
+    out3 = {
+        r["doc_id"]: r["n_lines_removed"]
+        for r in remove_duplicate_lines(
+            spark.createDataFrame(rows), min_line_chars=2, max_occurrences=3
+        ).collect()
+    }
+    assert all(v == 0 for v in out3.values())
