@@ -658,6 +658,7 @@ def remove_duplicate_lines(
     max_occurrences: int = 1,
     min_line_chars: int = 1,
     sep: str = "\n",
+    scope: str = "corpus",
 ) -> DataFrame:
     """C4's corpus-level line dedup: drop every line that occurs more than
     ``max_occurrences`` times ACROSS the corpus (boilerplate headers,
@@ -665,6 +666,12 @@ def remove_duplicate_lines(
     pages), then reassemble each document from its surviving lines in
     their original order. Lines shorter than ``min_line_chars`` are kept
     as-is (never counted — "." or "" would alias unrelated docs).
+
+    ``scope="document"`` switches to the Gopher intra-document rule: a
+    line is dropped only when repeated too often WITHIN its own document
+    (all occurrences go — the repeated line is itself the junk signal);
+    the count then shuffles on (doc, line), so cross-doc boilerplate is
+    untouched.
 
     Adds ``n_lines_removed``; ``text_col`` is replaced by the cleaned
     text. Every input row survives (a fully-boilerplate doc comes back
@@ -677,18 +684,21 @@ def remove_duplicate_lines(
     is bounded because the count aggregate map-side combines before the
     exchange.
     """
+    if scope not in ("corpus", "document"):
+        raise ValueError(f"scope must be 'corpus' or 'document', got {scope!r}")
     lines = F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
     exploded = df.select(
         F.col(id_col), F.posexplode(lines).alias("__pos", "__line")
     )
     countable = F.length(F.col("__line")) >= min_line_chars
+    count_keys = ["__line"] if scope == "corpus" else [id_col, "__line"]
     counts = (
         exploded.where(countable)
-        .groupBy("__line")
+        .groupBy(*count_keys)
         .agg(F.count(F.lit(1)).alias("__lc"))
     )
     kept = (
-        exploded.join(counts, "__line", "left")
+        exploded.join(counts, count_keys, "left")
         .where(
             ~countable | F.col("__lc").isNull() | (F.col("__lc") <= max_occurrences)
         )

@@ -555,3 +555,32 @@ def test_remove_duplicate_lines_c4_rule(spark):
         ).collect()
     }
     assert all(v == 0 for v in out3.values())
+
+
+def test_remove_duplicate_lines_document_scope(spark):
+    """Gopher intra-document rule: a line repeated within ONE doc is
+    dropped there (all occurrences), while the same line appearing once
+    each in many docs is untouched."""
+    from pyspark.sql import Row
+
+    from ratatool_spark.operators.corpus import remove_duplicate_lines
+
+    rows = [
+        Row(doc_id=1, text="spam line\ncontent\nspam line"),  # intra-doc dup
+        Row(doc_id=2, text="shared line\nalpha"),
+        Row(doc_id=3, text="shared line\nbeta"),  # cross-doc only: kept
+    ]
+    out = {
+        r["doc_id"]: (r["text"], r["n_lines_removed"])
+        for r in remove_duplicate_lines(
+            spark.createDataFrame(rows), scope="document"
+        ).collect()
+    }
+    assert out[1] == ("content", 2)
+    assert out[2] == ("shared line\nalpha", 0)
+    assert out[3] == ("shared line\nbeta", 0)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="scope"):
+        remove_duplicate_lines(spark.createDataFrame(rows), scope="global")
