@@ -155,6 +155,20 @@ def build_parser() -> argparse.ArgumentParser:
     pk.add_argument("--offsetField", default=None)
     pk.add_argument("--format", default=None, help="override input format sniffing")
 
+    dl = sub.add_parser(
+        "dedupLines",
+        help="C4/Gopher line dedup: drop lines repeated past a threshold "
+        "(corpus-wide boilerplate or intra-document junk), reassemble docs",
+    )
+    dl.add_argument("--input", required=True)
+    dl.add_argument("--output", required=True)
+    dl.add_argument("--textField", default="text")
+    dl.add_argument("--idField", default="doc_id")
+    dl.add_argument("--maxOccurrences", type=int, default=1)
+    dl.add_argument("--minLineChars", type=int, default=1)
+    dl.add_argument("--scope", choices=["corpus", "document"], default="corpus")
+    dl.add_argument("--format", default=None, help="override input format sniffing")
+
     up = sub.add_parser(
         "upsert",
         help="keyed upsert into a stored table (replace same-key rows, "
@@ -431,6 +445,19 @@ def main(argv: list[str] | None = None) -> int:
                 order_cols=args.orderBy,
                 group_cols=args.groupBy,
                 offset_col=args.offsetField,
+            )
+            write_table(out, args.output, mode="overwrite")
+        elif args.command == "dedupLines":
+            from ratatool_spark.operators.corpus import remove_duplicate_lines
+
+            df = read_table(spark, args.input, fmt=args.format)
+            out = remove_duplicate_lines(
+                df,
+                text_col=args.textField,
+                id_col=args.idField,
+                max_occurrences=args.maxOccurrences,
+                min_line_chars=args.minLineChars,
+                scope=args.scope,
             )
             write_table(out, args.output, mode="overwrite")
         elif args.command == "upsert":

@@ -601,3 +601,23 @@ def test_cli_reference_flag_parity(spark, tmp_path):
         main(["bigDiffy", "--lhs", lhs, "--rhs", rhs, "--key", "id",
               "--output", str(tmp_path / "s3"),
               "--unorderedFieldKey", "rep:k,rep:v"])
+
+
+def test_cli_dedup_lines(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from ratatool_spark.cli import main
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "clean")
+    spark.createDataFrame(
+        [
+            Row(doc_id=1, text="boiler plate line\nreal content"),
+            Row(doc_id=2, text="boiler plate line\nother words"),
+        ]
+    ).write.parquet(src)
+    rc = main(["dedupLines", "--input", src, "--output", out])
+    assert rc == 0
+    got = {r["doc_id"]: (r["text"], r["n_lines_removed"])
+           for r in spark.read.parquet(out).collect()}
+    assert got == {1: ("real content", 1), 2: ("other words", 1)}
