@@ -146,3 +146,48 @@ def write_stream_to_parquet(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lag: str = "5 minutes",
+    watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream interval join: for each left event, the right-side
+    events of the SAME key whose timestamp falls in
+    ``[left_ts - lag, left_ts]`` — the ad-impression⋈click / trigger⋈
+    outcome enrichment shape. On streaming inputs both sides carry
+    watermarks and the time-range predicate bounds the join state (Spark
+    evicts right rows older than ``left_ts - lag`` past the watermark);
+    without the range condition a stream-stream join would buffer
+    forever. The SAME call works on batch frames (watermarks are a no-op
+    there), which is the parity oracle.
+
+    Output columns: the key, ``left_ts``/``right_ts`` as ``l_<ts>`` /
+    ``r_<ts>``, and every other column prefixed ``l_``/``r_``.
+    """
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (
+            F.col(f"r.{right_ts}")
+            >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {lag}")
+        )
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+    )
+    out_cols = [F.col(f"l.{key}").alias(key)]
+    out_cols.append(F.col(f"l.{left_ts}").alias(f"l_{left_ts}"))
+    out_cols.append(F.col(f"r.{right_ts}").alias(f"r_{right_ts}"))
+    for c in left.columns:
+        if c not in (key, left_ts):
+            out_cols.append(F.col(f"l.{c}").alias(f"l_{c}"))
+    for c in right.columns:
+        if c not in (key, right_ts):
+            out_cols.append(F.col(f"r.{c}").alias(f"r_{c}"))
+    return lw.join(rw, cond, how).select(*out_cols)

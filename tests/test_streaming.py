@@ -641,3 +641,45 @@ def test_stream_filter_against_matches_batch(spark, tmp_path):
     # synthetic table, so admitted ⊊ fresh)
     assert not any(d >= 500000 for d in got)
     assert got and got < {r["doc_id"] for r in new.collect()}
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """The watermarked stream-stream interval join produces exactly the
+    batch join's row multiset on the same files — and the streaming plan
+    really is a stream-stream join (state bounded by the time-range
+    condition), not a static shortcut."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.streaming.events import interval_join
+
+    ev = load_tables(spark, SF, names=("events",))["events"].limit(600)
+    left = ev.where(F.col("event_type") == "view").select("user_id", "ts", "value")
+    right = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    left.coalesce(1).write.parquet(lsrc)
+    right.coalesce(1).write.parquet(rsrc)
+
+    want = interval_join(
+        spark.read.parquet(lsrc), spark.read.parquet(rsrc), lag="30 minutes"
+    )
+    w = sorted(map(tuple, want.collect()))
+    assert w, "fixture must produce at least one joined pair"
+
+    ls = spark.readStream.schema(left.schema).parquet(lsrc)
+    rs = spark.readStream.schema(right.schema).parquet(rsrc)
+    q = (
+        interval_join(ls, rs, lag="30 minutes")
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = sorted(
+        map(tuple, spark.read.parquet(str(tmp_path / "out")).select(*want.columns).collect())
+    )
+    assert got == w
