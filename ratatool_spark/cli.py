@@ -165,7 +165,7 @@ def build_parser() -> argparse.ArgumentParser:
     dl.add_argument("--textField", default="text")
     dl.add_argument("--idField", default="doc_id")
     dl.add_argument("--maxOccurrences", type=int, default=1)
-    dl.add_argument("--minLineChars", type=int, default=1)
+    dl.add_argument("--minLineChars", type=int, default=2)
     dl.add_argument("--scope", choices=["corpus", "document"], default="corpus")
     dl.add_argument("--format", default=None, help="override input format sniffing")
 

@@ -656,7 +656,7 @@ def remove_duplicate_lines(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_occurrences: int = 1,
-    min_line_chars: int = 1,
+    min_line_chars: int = 2,
     sep: str = "\n",
     scope: str = "corpus",
 ) -> DataFrame:
@@ -664,8 +664,9 @@ def remove_duplicate_lines(
     ``max_occurrences`` times ACROSS the corpus (boilerplate headers,
     cookie banners, navigation junk repeat verbatim on thousands of
     pages), then reassemble each document from its surviving lines in
-    their original order. Lines shorter than ``min_line_chars`` are kept
-    as-is (never counted — "." or "" would alias unrelated docs).
+    their original order. Lines shorter than ``min_line_chars`` (default
+    2) are kept as-is and never counted — "." or "" occurring in
+    unrelated docs must not alias them together.
 
     ``scope="document"`` switches to the Gopher intra-document rule: a
     line is dropped only when repeated too often WITHIN its own document
@@ -674,8 +675,12 @@ def remove_duplicate_lines(
     untouched.
 
     Adds ``n_lines_removed``; ``text_col`` is replaced by the cleaned
-    text. Every input row survives (a fully-boilerplate doc comes back
-    with empty text, for downstream length filters to judge).
+    text. Every input row survives: a fully-boilerplate doc comes back
+    with empty text (for downstream length filters to judge) and a
+    NULL-text doc stays NULL — the null-vs-emptied distinction is
+    preserved. ``id_col`` must be unique (checked): duplicate ids would
+    interleave unrelated rows' lines during reassembly. ``sep`` is a
+    literal separator (regex metachars are escaped before the split).
 
     Shape: explode lines with their position -> one count aggregation
     shuffled by line content -> join survivors back -> per-doc ordered
@@ -686,7 +691,15 @@ def remove_duplicate_lines(
     """
     if scope not in ("corpus", "document"):
         raise ValueError(f"scope must be 'corpus' or 'document', got {scope!r}")
-    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+    import re as _re
+
+    if df.select(id_col).distinct().count() != df.count():
+        raise ValueError(
+            f"{id_col!r} is not unique; duplicate ids would interleave "
+            "unrelated rows' lines during reassembly"
+        )
+    # F.split takes a Java regex; the separator is a LITERAL
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep))
     exploded = df.select(
         F.col(id_col), F.posexplode(lines).alias("__pos", "__line")
     )
@@ -719,10 +732,11 @@ def remove_duplicate_lines(
     n_lines = F.size(lines)
     # a doc whose EVERY countable line was removed has no surviving rows
     # to group — it re-enters via the left join with an empty text
+    cleaned = F.when(
+        F.col(text_col).isNull(), F.lit(None).cast("string")
+    ).otherwise(F.coalesce(F.col("__clean"), F.lit("")))
     out_cols = [
-        F.col(c)
-        if c != text_col
-        else F.coalesce(F.col("__clean"), F.lit("")).alias(text_col)
+        F.col(c) if c != text_col else cleaned.alias(text_col)
         for c in df.columns
     ]
     return (

@@ -181,7 +181,9 @@ def interval_join(
         )
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
     )
-    out_cols = [F.col(f"l.{key}").alias(key)]
+    # outer joins surface unmatched rows from either side — take the key
+    # from whichever side is present, never NULL for a known row
+    out_cols = [F.coalesce(F.col(f"l.{key}"), F.col(f"r.{key}")).alias(key)]
     out_cols.append(F.col(f"l.{left_ts}").alias(f"l_{left_ts}"))
     out_cols.append(F.col(f"r.{right_ts}").alias(f"r_{right_ts}"))
     for c in left.columns:

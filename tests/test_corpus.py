@@ -584,3 +584,39 @@ def test_remove_duplicate_lines_document_scope(spark):
 
     with _pt.raises(ValueError, match="scope"):
         remove_duplicate_lines(spark.createDataFrame(rows), scope="global")
+
+
+def test_remove_duplicate_lines_edge_contracts(spark):
+    """Review-pinned contracts: regex-metachar separators are literal,
+    NULL text stays NULL, single-char lines are safe by DEFAULT, and
+    duplicate ids are rejected."""
+    from pyspark.sql import Row
+
+    from ratatool_spark.operators.corpus import remove_duplicate_lines
+
+    # literal '|' separator (regex alternation if unescaped)
+    rows = [Row(doc_id=1, text="keep me|dup line"), Row(doc_id=2, text="dup line|solo")]
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicate_lines(
+            spark.createDataFrame(rows), sep="|"
+        ).collect()
+    }
+    assert out == {1: "keep me", 2: "solo"}
+
+    # NULL text preserved as NULL; '.' lines safe with the default floor
+    rows2 = [Row(doc_id=1, text=None), Row(doc_id=2, text="."), Row(doc_id=3, text=".")]
+    out2 = {
+        r["doc_id"]: (r["text"], r["n_lines_removed"])
+        for r in remove_duplicate_lines(spark.createDataFrame(rows2)).collect()
+    }
+    assert out2[1] == (None, 0)
+    assert out2[2] == (".", 0) and out2[3] == (".", 0)
+
+    import pytest as _pt
+
+    dup = spark.createDataFrame(
+        [Row(doc_id=1, text="aaa\nbbb"), Row(doc_id=1, text="ccc\nddd")]
+    )
+    with _pt.raises(ValueError, match="not unique"):
+        remove_duplicate_lines(dup)
