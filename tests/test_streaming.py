@@ -683,3 +683,27 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         map(tuple, spark.read.parquet(str(tmp_path / "out")).select(*want.columns).collect())
     )
     assert got == w
+
+
+def test_interval_join_outer_keys_never_null(spark):
+    """fullOuter surfaces unmatched rows from both sides with their own
+    key (coalesced), never NULL for a known row."""
+    import datetime as dt
+
+    from ratatool_spark.streaming.events import interval_join
+
+    base = dt.datetime(2024, 1, 1, 12, 0)
+    left = spark.createDataFrame(
+        [(1, base, 1.0)], "user_id long, ts timestamp, value double"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, base - dt.timedelta(minutes=2), 100),  # matches
+            (2, base, 200),  # unmatched right: own key must survive
+        ],
+        "user_id long, ts timestamp, event_id long",
+    )
+    rows = interval_join(left, right, lag="5 minutes", how="fullOuter").collect()
+    keys = sorted(r["user_id"] for r in rows)
+    assert keys == [1, 2]
+    assert all(r["user_id"] is not None for r in rows)
