@@ -4364,6 +4364,403 @@ ORDER BY o_orderpriority
 """
 
 
+# ------------------------------------------------- round 5: oracle gates
+# for the operators that landed after r4's final bench (the r4 verdict's
+# #2 action item): line dedup, interval join, unigram LM score, upsert,
+# bpe_segment kernel path, streaming ingest gate, HLL sketch merge.
+
+
+def _q_line_dedup_corpus(spark, sf_dir):
+    """C4 corpus-level line dedup (operators/corpus.remove_duplicate_lines,
+    corpus scope): documents are space-separated word streams, so sep=' '
+    makes every word a 'line' — words occurring >900 times across the
+    corpus are boilerplate and get dropped, docs reassemble in original
+    word order. Exercises the violator-only join + fused duplicate-id
+    guard (the r4-verdict scale fix)."""
+    from ratatool_spark.operators.corpus import remove_duplicate_lines
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = remove_duplicate_lines(
+        docs, text_col="text", id_col="doc_id", max_occurrences=900, sep=" "
+    )
+    return out.select("doc_id", "text", "n_lines_removed")
+
+
+_SQL_LINE_DEDUP_CORPUS = """
+WITH lx AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ls FROM documents
+), ex AS (
+  SELECT doc_id, ls[pos] AS line, pos
+  FROM lx, UNNEST(range(1, len(ls) + 1)) AS t(pos)
+), viol AS (
+  SELECT line FROM ex WHERE LENGTH(line) >= 2
+  GROUP BY line HAVING COUNT(*) > 900
+), kept AS (
+  SELECT e.doc_id,
+         COALESCE(STRING_AGG(e.line, ' ' ORDER BY e.pos)
+                  FILTER (WHERE v.line IS NULL), '') AS text,
+         COUNT(*) FILTER (WHERE v.line IS NOT NULL) AS n_lines_removed
+  FROM ex e LEFT JOIN viol v ON e.line = v.line
+  GROUP BY e.doc_id
+)
+SELECT d.doc_id, k.text, k.n_lines_removed
+FROM documents d JOIN kept k ON d.doc_id = k.doc_id
+"""
+
+
+def _q_line_dedup_document(spark, sf_dir):
+    """Gopher intra-document scope: a word repeated >2 times WITHIN its own
+    document is the junk signal and every occurrence goes; cross-doc
+    repetition is untouched. Count shuffles on (doc, line)."""
+    from ratatool_spark.operators.corpus import remove_duplicate_lines
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = remove_duplicate_lines(
+        docs,
+        text_col="text",
+        id_col="doc_id",
+        max_occurrences=2,
+        sep=" ",
+        scope="document",
+    )
+    return out.select("doc_id", "text", "n_lines_removed")
+
+
+_SQL_LINE_DEDUP_DOCUMENT = """
+WITH lx AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ls FROM documents
+), ex AS (
+  SELECT doc_id, ls[pos] AS line, pos
+  FROM lx, UNNEST(range(1, len(ls) + 1)) AS t(pos)
+), viol AS (
+  SELECT doc_id, line FROM ex WHERE LENGTH(line) >= 2
+  GROUP BY doc_id, line HAVING COUNT(*) > 2
+), kept AS (
+  SELECT e.doc_id,
+         COALESCE(STRING_AGG(e.line, ' ' ORDER BY e.pos)
+                  FILTER (WHERE v.line IS NULL), '') AS text,
+         COUNT(*) FILTER (WHERE v.line IS NOT NULL) AS n_lines_removed
+  FROM ex e LEFT JOIN viol v ON e.doc_id = v.doc_id AND e.line = v.line
+  GROUP BY e.doc_id
+)
+SELECT d.doc_id, k.text, k.n_lines_removed
+FROM documents d JOIN kept k ON d.doc_id = k.doc_id
+"""
+
+
+def _q_interval_join_events(spark, sf_dir):
+    """Stream-stream interval join (streaming/events.interval_join) run in
+    its batch-parity mode: click events matched to the same user's view
+    events within the preceding 2 hours — the ad-attribution shape. The
+    range predicate is what bounds streaming state; on batch it is a
+    plain range condition on the user-keyed join."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.streaming.events import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    out = interval_join(
+        clicks, views, key="user_id", lag="2 hours", watermark="1 hour"
+    )
+    return out.select(
+        "user_id",
+        F.col("l_ts"),
+        F.col("r_ts"),
+        F.col("l_event_id"),
+        F.col("r_event_id"),
+    )
+
+
+_SQL_INTERVAL_JOIN = """
+SELECT l.user_id, l.ts AS l_ts, r.ts AS r_ts,
+       l.event_id AS l_event_id, r.event_id AS r_event_id
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts - INTERVAL 2 HOUR AND r.ts <= l.ts
+WHERE l.event_type = 'click' AND r.event_type = 'view'
+"""
+
+
+def _q_unigram_logprob(spark, sf_dir):
+    """Unigram-LM quality score (operators/corpus.unigram_logprob_score,
+    self-scoring mode): mean per-token log-probability under the corpus's
+    own unigram distribution with Lidstone smoothing 0.5 — the
+    CCNet-style perplexity bucket with a unigram model."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.corpus import unigram_logprob_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = unigram_logprob_score(docs, smoothing=0.5)
+    return out.select(
+        "doc_id", "n_tokens", F.round("mean_logprob", 6).alias("mean_logprob")
+    )
+
+
+_SQL_UNIGRAM_LOGPROB = """
+WITH toks AS (
+  SELECT doc_id, t.tok AS tok
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS ls FROM documents),
+       UNNEST(ls) AS t(tok)
+  WHERE LENGTH(t.tok) > 0
+), freqs AS (
+  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+), norm AS (
+  SELECT SUM(cnt) AS total, COUNT(*) AS v FROM freqs
+), scores AS (
+  SELECT t.doc_id, COUNT(*) AS n_tokens,
+         AVG(LN((f.cnt + 0.5) / (norm.total + 0.5 * (norm.v + 1))))
+           AS mean_logprob
+  FROM toks t JOIN freqs f USING (tok), norm
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id, COALESCE(s.n_tokens, 0) AS n_tokens,
+       ROUND(s.mean_logprob, 6) AS mean_logprob
+FROM documents d LEFT JOIN scores s USING (doc_id)
+"""
+
+
+def _q_upsert_orders(spark, sf_dir):
+    """Keyed upsert with swap protocol (sources/io.upsert_table): base =
+    orders with key%7=0, updates = doubled-price rows (key%14=0, minus
+    the delete set), inserts (key%7=3, never in base), deletes (key%21=0,
+    always in base). The returned table is the post-merge state read back
+    from disk — the oracle replays the merge relationally. All guards and
+    counters ride ONE fused full-outer aggregation (r5 fix)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.sources.io import upsert_table, write_table
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    base = orders.where(F.col("o_orderkey") % 7 == 0).select(*cols)
+    upd = (
+        orders.where(
+            (F.col("o_orderkey") % 14 == 0) & (F.col("o_orderkey") % 21 != 0)
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        )
+        .withColumn("is_delete", F.lit(False))
+    )
+    ins = (
+        orders.where(F.col("o_orderkey") % 7 == 3)
+        .select(*cols)
+        .withColumn("is_delete", F.lit(False))
+    )
+    dels = (
+        orders.where(F.col("o_orderkey") % 21 == 0)
+        .select(*cols)
+        .withColumn("is_delete", F.lit(True))
+    )
+    updates = upd.unionByName(ins).unionByName(dels)
+
+    path = os.path.join(tempfile.mkdtemp(prefix="rt_upsert_"), "orders_base")
+    write_table(base, path, fmt="parquet", mode="overwrite")
+    upsert_table(
+        spark, path, updates, keys=["o_orderkey"], delete_col="is_delete"
+    )
+    back = spark.read.parquet(path)
+    return back.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+_SQL_UPSERT_ORDERS = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 7 = 0
+), upd AS (
+  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+  FROM orders WHERE o_orderkey % 14 = 0 AND o_orderkey % 21 <> 0
+), ins AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 7 = 3
+), touched AS (
+  SELECT o_orderkey FROM upd
+  UNION ALL SELECT o_orderkey FROM ins
+  UNION ALL SELECT o_orderkey FROM orders WHERE o_orderkey % 21 = 0
+)
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice FROM (
+  SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM touched)
+  UNION ALL SELECT * FROM upd
+  UNION ALL SELECT * FROM ins
+)
+"""
+
+
+# >16 merges forces the Arrow-batched per-word-cache kernel path (the
+# expression-fold path handles short lists); the oracle replays the greedy
+# left-to-right fold in SQL via pipe-wrapped symbols + chained REPLACE —
+# full '|a| |b|' delimiters anchor whole symbols, and the consumed trailing
+# pipe makes non-overlapping left-to-right replacement coincide with greedy
+# pairwise merging (equivalence spot-checked over chain/overlap cases).
+_BPE_MERGES = [
+    ("j", "o"), ("jo", "i"), ("joi", "n"),
+    ("h", "a"), ("ha", "s"), ("has", "h"),
+    ("t", "h"), ("th", "e"),
+    ("s", "c"), ("sc", "a"), ("sca", "n"),
+    ("s", "o"), ("so", "r"), ("sor", "t"),
+    ("k", "e"), ("ke", "y"),
+    ("r", "o"), ("ro", "w"),
+]
+
+
+def _q_bpe_segment(spark, sf_dir):
+    """BPE encode (operators/corpus.bpe_segment) with an 18-merge list —
+    above the expression-fold threshold, so this gates the Arrow kernel
+    path with its per-batch word cache (work scales with DISTINCT words
+    per batch, not tokens)."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.corpus import bpe_segment
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = bpe_segment(docs, _BPE_MERGES, text_col="text")
+    return out.select(
+        "doc_id",
+        F.array_join("bpe_syms", " ").alias("segmented"),
+        "n_bpe_tokens",
+    )
+
+
+def _sql_bpe_segment() -> str:
+    expr = "'|' || array_to_string(string_split(w, ''), '| |') || '|'"
+    for a, b in _BPE_MERGES:
+        expr = f"replace({expr}, '|{a}| |{b}|', '|{a}{b}|')"
+    return f"""
+WITH words AS (
+  SELECT doc_id, t.pos AS pos, ls[t.pos] AS w
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS ls FROM documents),
+       UNNEST(range(1, len(ls) + 1)) AS t(pos)
+), seg AS (
+  SELECT doc_id, pos, replace({expr}, '|', '') AS sw,
+         len(string_split(replace({expr}, '|', ''), ' ')) AS nsyms
+  FROM words WHERE LENGTH(w) > 0
+)
+SELECT d.doc_id,
+       COALESCE(s.segmented, '') AS segmented,
+       CAST(COALESCE(s.n_bpe_tokens, 0) AS INT) AS n_bpe_tokens
+FROM documents d LEFT JOIN (
+  SELECT doc_id, STRING_AGG(sw, ' ' ORDER BY pos) AS segmented,
+         SUM(nsyms) AS n_bpe_tokens
+  FROM seg GROUP BY doc_id
+) s USING (doc_id)
+"""
+
+
+def _q_stream_gate(spark, sf_dir):
+    """Streaming ingest gate (streaming/dedup.stream_filter_against) run
+    for real: odd-id documents arrive as a file stream (availableNow) and
+    are admitted only if they have no verified near-duplicate (jaccard >=
+    0.3) in the even-id corpus; survivors land in per-batch-id idempotent
+    directories. The oracle is the batch keep-set — same LSH + verify
+    arithmetic as dedup_incremental, inverted to the anti-join side."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.streaming.dedup import stream_filter_against
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    root = tempfile.mkdtemp(prefix="rt_gate_")
+    # the file-stream source requires a DIRECTORY — stage the incoming
+    # batch as one (in production this is the landing zone the crawler
+    # drops files into)
+    in_dir = os.path.join(root, "incoming")
+    docs.where(F.col("doc_id") % 2 == 1).write.parquet(in_dir)
+    stream = spark.readStream.schema(docs.schema).parquet(in_dir)
+    out_path = os.path.join(root, "admitted")
+    q = stream_filter_against(
+        stream,
+        corpus,
+        out_path,
+        checkpoint=os.path.join(root, "ckpt"),
+        threshold=0.3,
+        num_hashes=_MINHASH_K,
+        bands=8,
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out_path)
+    return back.select("doc_id", "lang", "source", "n_chars")
+
+
+def _sql_stream_gate() -> str:
+    inner = _sql_dedup_incremental()
+    return f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE doc_id % 2 = 1
+  AND doc_id NOT IN (SELECT id_new FROM ({inner}) hits)
+"""
+
+
+def _q_hll_sketch_merge(spark, sf_dir):
+    """Persisted HLL sketch tables (operators/timeagg): per-event-type
+    user sketches built on two disjoint event slices, merged via lossless
+    register union, vs a sketch built over the whole table in one pass
+    and vs the exact count. Gates the two invariants that make sketch
+    tables safe at 100 TB: merge-losslessness (merged estimate ==
+    direct-build estimate, exactly) and estimate accuracy (within 5% of
+    exact; lg_k=12 keeps the sketch in its exact sparse regime at gate
+    cardinalities). n_users_exact is the driver-checked real value."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.timeagg import (
+        build_distinct_sketches,
+        estimate_distinct,
+        merge_distinct_sketches,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    merged = merge_distinct_sketches(
+        build_distinct_sketches(a, ["event_type"], "user_id", lg_k=12),
+        build_distinct_sketches(b, ["event_type"], "user_id", lg_k=12),
+    )
+    est_m = estimate_distinct(merged).withColumnRenamed("n_distinct", "est_merged")
+    est_d = estimate_distinct(
+        build_distinct_sketches(ev, ["event_type"], "user_id", lg_k=12)
+    ).withColumnRenamed("n_distinct", "est_direct")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact")
+    )
+    return (
+        est_m.join(est_d, "event_type")
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_users_exact",
+            (F.col("est_merged") == F.col("est_direct")).alias("merge_lossless"),
+            (
+                F.abs(F.col("est_merged") - F.col("n_users_exact"))
+                <= 0.05 * F.col("n_users_exact")
+            ).alias("within_tol"),
+        )
+    )
+
+
+_SQL_HLL_SKETCH_MERGE = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users_exact,
+       TRUE AS merge_lossless, TRUE AS within_tol
+FROM events GROUP BY event_type
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is the driver's verification priority.
 
@@ -4382,7 +4779,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     query sits inside the gated window.
     """
     return {
-        # --- round 4: new or behaviour-changed this round ---------------
+        # --- round 5: new or behaviour-changed this round ---------------
+        "line_dedup_corpus": _q_line_dedup_corpus,
+        "line_dedup_document": _q_line_dedup_document,
+        "interval_join_events": _q_interval_join_events,
+        "unigram_logprob": _q_unigram_logprob,
+        "upsert_orders": _q_upsert_orders,
+        "bpe_segment_docs": _q_bpe_segment,
+        "stream_gate_admitted": _q_stream_gate,
+        "hll_sketch_merge": _q_hll_sketch_merge,
+        # --- r4 additions never driver-blessed (r4 overflow, rotated in) -
+        "tpch_q16_supplier_part_counts": _q_tpch_q16,
+        "tpch_q19_disjunctive_revenue": _q_tpch_q19,
+        # --- round 4: driver-blessed in CORRECTNESS_r04 ------------------
         "bootstrap_sample_orders": _q_bootstrap_sample,
         "corpus_report": _q_corpus_report,
         "dedup_substring_containment": _q_dedup_substring,
@@ -4434,14 +4843,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": _q_funnel,
         "retention_cohorts": _q_retention,
         "orc_roundtrip_part": _q_orc_roundtrip,
-        # --- designated gate overflow (52 unblessed > 50-entry window):
-        # the two lowest-risk unblessed entries — q19 is a plain
-        # broadcast-join + decimal-sum (same physical shape as blessed
-        # q14); q16 is a broadcast-join + countDistinct (same shape as
-        # blessed distinct_users_per_type). Both compare.py oracle-green.
-        # Pinned (exact-size cap) in tests/test_plans.py.
-        "tpch_q16_supplier_part_counts": _q_tpch_q16,
-        "tpch_q19_disjunctive_revenue": _q_tpch_q19,
         # --- veterans: driver-green in a prior round --------------------
         "diffy_deltas": _q_diffy_deltas,
         "diffy_key_stats": _q_diffy_key_stats,
@@ -4498,6 +4899,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "line_dedup_corpus": _SQL_LINE_DEDUP_CORPUS,
+        "line_dedup_document": _SQL_LINE_DEDUP_DOCUMENT,
+        "interval_join_events": _SQL_INTERVAL_JOIN,
+        "unigram_logprob": _SQL_UNIGRAM_LOGPROB,
+        "upsert_orders": _SQL_UPSERT_ORDERS,
+        "bpe_segment_docs": _sql_bpe_segment(),
+        "stream_gate_admitted": _sql_stream_gate(),
+        "hll_sketch_merge": _SQL_HLL_SKETCH_MERGE,
         "bootstrap_sample_orders": _sql_bootstrap_sample(),
         "corpus_report": _sql_corpus_report(),
         "dedup_substring_containment": _SQL_DEDUP_SUBSTRING,

@@ -31,9 +31,12 @@ def unpersist_intermediates() -> int:
 
 def registry_mark() -> int:
     """Snapshot the registry position; pass to :func:`release_since` to
-    release only the intermediates registered after this point — the
-    concurrency-safe scope for callers (e.g. a streaming micro-batch)
-    that must not drop caches a concurrent operator still depends on."""
+    release the intermediates registered after this point. This protects
+    caches registered BEFORE the mark; entries a concurrent operator
+    registers after the mark are released too (the registry is a stack,
+    not per-owner — an early unpersist only forces that operator to
+    recompute, never changes results). Callers needing true ownership
+    scoping should persist/unpersist their frames directly."""
     return len(_CACHED)
 
 

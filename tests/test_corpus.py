@@ -615,8 +615,10 @@ def test_remove_duplicate_lines_edge_contracts(spark):
 
     import pytest as _pt
 
+    # the duplicate-id guard is FUSED into the reassembly aggregate (no
+    # eager pre-scan), so it fires at action time as a raise_error
     dup = spark.createDataFrame(
         [Row(doc_id=1, text="aaa\nbbb"), Row(doc_id=1, text="ccc\nddd")]
     )
-    with _pt.raises(ValueError, match="not unique"):
-        remove_duplicate_lines(dup)
+    with _pt.raises(Exception, match="not unique"):
+        remove_duplicate_lines(dup).collect()
