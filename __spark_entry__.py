@@ -4761,6 +4761,95 @@ FROM events GROUP BY event_type
 """
 
 
+def _q_quantile_sketch_merge(spark, sf_dir):
+    """Mergeable quantile sketch tables (operators/timeagg
+    build/merge/estimate_quantile_sketches): deterministic bottom-k (KMV)
+    value samples per event_type, built on two disjoint event slices and
+    MERGED — the driver-gated values are the merge-then-estimate
+    quantiles, and the oracle computes the direct single-pass build, so
+    the hash gate pins merge-losslessness AND the exact portable-hash
+    sample arithmetic cross-engine (no tolerance band: the estimate picks
+    stored values, no fp math)."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.timeagg import (
+        build_quantile_sketches,
+        estimate_quantiles,
+        merge_quantile_sketches,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    merged = merge_quantile_sketches(
+        build_quantile_sketches(a, ["event_type"], "value", ["event_id"], k=1024),
+        build_quantile_sketches(b, ["event_type"], "value", ["event_id"], k=1024),
+    )
+    return estimate_quantiles(merged, [0.25, 0.5, 0.9])
+
+
+def _sql_quantile_sketch_merge() -> str:
+    h = "('0x' || substr(md5(concat_ws(chr(1), '0', CAST(event_id AS VARCHAR))), 1, 15))::BIGINT"
+    picks = ", ".join(
+        f"MAX(CASE WHEN vr = 1 + FLOOR({q} * (m - 1)) THEN v END) AS q_{int(q*100):02d}"
+        for q in (0.25, 0.5, 0.9)
+    )
+    return f"""
+WITH h AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v, {h} AS hh FROM events
+), samp AS (
+  SELECT event_type, v FROM (
+    SELECT event_type, v,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hh) AS rn
+    FROM h
+  ) WHERE rn <= 1024
+), ranked AS (
+  SELECT event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS vr,
+         COUNT(*) OVER (PARTITION BY event_type) AS m
+  FROM samp
+)
+SELECT event_type, {picks} FROM ranked GROUP BY event_type
+"""
+
+
+def _q_multimodal_decode_png(spark, sf_dir):
+    """PNG decode path (r5: stdlib zlib codec — IHDR/IDAT/IEND chunks,
+    CRC verification, all five scanline filters): a three-format media
+    mix (BMP / WAV / PNG by id%3) synthesized distributed, then
+    decode_real parses each real container. The PNG encoder cycles
+    filters 0-4 per row, so a wrong Sub/Up/Average/Paeth reconstruction
+    changes the recovered pixels and hash-mismatches the oracle's pure
+    string-math payload."""
+    from ratatool_spark.operators.multimodal import decode_real, make_test_media
+
+    return decode_real(
+        make_test_media(spark, n=48, seed=7, formats=("bmp", "wav", "png"))
+    )
+
+
+_SQL_MULTIMODAL_DECODE_PNG = """
+WITH base AS (
+  SELECT range AS media_id,
+    md5(concat('7:', range)) AS d,
+    CASE WHEN range % 3 = 1 THEN 'audio' ELSE 'image' END AS kind,
+    CASE WHEN range % 3 <> 1 THEN CAST(3 + range % 8 AS INT) END AS width,
+    CASE WHEN range % 3 <> 1 THEN CAST(2 + range % 5 AS INT) END AS height,
+    CASE WHEN range % 3 = 1 THEN CAST(8000 + (range % 4) * 4000 AS INT) END AS sample_rate,
+    CASE WHEN range % 3 = 1 THEN CAST(64 + range % 33 AS INT) END AS n_samples
+  FROM range(48)
+)
+SELECT media_id, kind, width, height, sample_rate, n_samples,
+  md5(substr(repeat(d, 80),
+             1,
+             CASE WHEN kind = 'image' THEN 6 * width * height
+                  ELSE 4 * n_samples END)) AS payload_md5
+FROM base
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is the driver's verification priority.
 
@@ -4788,6 +4877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_segment_docs": _q_bpe_segment,
         "stream_gate_admitted": _q_stream_gate,
         "hll_sketch_merge": _q_hll_sketch_merge,
+        "multimodal_decode_png": _q_multimodal_decode_png,
+        "quantile_sketch_merge": _q_quantile_sketch_merge,
         # --- r4 additions never driver-blessed (r4 overflow, rotated in) -
         "tpch_q16_supplier_part_counts": _q_tpch_q16,
         "tpch_q19_disjunctive_revenue": _q_tpch_q19,
@@ -4907,6 +4998,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_segment_docs": _sql_bpe_segment(),
         "stream_gate_admitted": _sql_stream_gate(),
         "hll_sketch_merge": _SQL_HLL_SKETCH_MERGE,
+        "multimodal_decode_png": _SQL_MULTIMODAL_DECODE_PNG,
+        "quantile_sketch_merge": _sql_quantile_sketch_merge(),
         "bootstrap_sample_orders": _sql_bootstrap_sample(),
         "corpus_report": _sql_corpus_report(),
         "dedup_substring_containment": _SQL_DEDUP_SUBSTRING,

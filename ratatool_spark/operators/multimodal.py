@@ -74,20 +74,23 @@ def _decode_bytes(content: bytes, fake: bool) -> tuple[int, int, str]:
     hash-derived result so the distributed plumbing is testable without
     any codec. ``fake=False`` performs a REAL decode for the two formats
     a Python stdlib can parse — BMP (struct) and WAV (wave module) — and
-    raises ``NotImplementedError`` for anything else (JPEG/PNG/mp3/mp4
-    need PIL/libav, not in this container; swap this branch in a real
+    raises ``NotImplementedError`` for anything else (JPEG/mp3/mp4 need
+    PIL/libav, not in this container; swap this branch in a real
     deployment, nothing else changes)."""
     if not fake:
         if content and content[:2] == b"BM":
             w, h, pixels = decode_bmp(content)
             return w, h, hashlib.md5(pixels.hex().encode()).hexdigest()
+        if content and content[:8] == _PNG_SIG:
+            w, h, pixels = decode_png(content)
+            return w, h, hashlib.md5(pixels.hex().encode()).hexdigest()
         if content and content[:4] == b"RIFF" and content[8:12] == b"WAVE":
             rate, nframes, _ch, pcm = decode_wav(content)
             return rate, nframes, hashlib.md5(pcm.hex().encode()).hexdigest()
         raise NotImplementedError(
-            "real decoding implemented for BMP and WAV only; other formats "
-            "require an image/audio library (PIL, torchaudio, pyav) — "
-            "install one and extend _decode_bytes"
+            "real decoding implemented for BMP, PNG, and WAV only; other "
+            "formats require an image/audio library (PIL, torchaudio, "
+            "pyav) — install one and extend _decode_bytes"
         )
     h = hashlib.md5(content or b"").hexdigest()
     return int(h[:4], 16) % 4096, int(h[4:8], 16) % 4096, h
@@ -149,6 +152,151 @@ def decode_bmp(data: bytes) -> tuple[int, int, bytes]:
         rows.append(_swap_rb(data[src : src + width * 3]))
     if not top_down:
         rows.reverse()
+    return width, height, b"".join(rows)
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_filter_row(ftype: int, raw: bytes, prior: bytes, bpp: int) -> bytes:
+    """Apply PNG scanline filter ``ftype`` to one raw row (encoder side)."""
+    out = bytearray(len(raw))
+    for x in range(len(raw)):
+        a = raw[x - bpp] if x >= bpp else 0  # left
+        b = prior[x]  # up
+        c = prior[x - bpp] if x >= bpp else 0  # upper-left
+        if ftype == 0:
+            p = raw[x]
+        elif ftype == 1:
+            p = (raw[x] - a) & 0xFF
+        elif ftype == 2:
+            p = (raw[x] - b) & 0xFF
+        elif ftype == 3:
+            p = (raw[x] - ((a + b) >> 1)) & 0xFF
+        elif ftype == 4:
+            pp = a + b - c
+            pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            p = (raw[x] - pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[x] = p
+    return bytes(out)
+
+
+def _png_unfilter_row(ftype: int, filt: bytes, prior: bytes, bpp: int) -> bytes:
+    """Invert PNG scanline filter ``ftype`` (decoder side). Reconstruction
+    must read already-reconstructed neighbors, so it is sequential in x."""
+    out = bytearray(len(filt))
+    for x in range(len(filt)):
+        a = out[x - bpp] if x >= bpp else 0
+        b = prior[x]
+        c = prior[x - bpp] if x >= bpp else 0
+        if ftype == 0:
+            v = filt[x]
+        elif ftype == 1:
+            v = (filt[x] + a) & 0xFF
+        elif ftype == 2:
+            v = (filt[x] + b) & 0xFF
+        elif ftype == 3:
+            v = (filt[x] + ((a + b) >> 1)) & 0xFF
+        elif ftype == 4:
+            pp = a + b - c
+            pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            v = (filt[x] + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter type {ftype} not in spec")
+        out[x] = v
+    return bytes(out)
+
+
+def encode_png(
+    width: int, height: int, rgb: bytes, filter_type: int | None = None
+) -> bytes:
+    """8-bit truecolor (color type 2, no alpha/interlace) PNG from
+    top-down row-major RGB bytes — pure stdlib (zlib + struct), per the
+    public PNG spec (RFC 2083 §6: IHDR/IDAT/IEND chunk layout, §6.3-6.6
+    scanline filters). ``filter_type=None`` cycles filters 0-4 by row so
+    every decoder filter path is exercised on round-trip; pass an int to
+    pin one."""
+    import zlib
+
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} pixel bytes, got {len(rgb)}")
+    bpp, stride = 3, width * 3
+    prior = b"\x00" * stride
+    scan = bytearray()
+    for y in range(height):
+        row = rgb[y * stride : (y + 1) * stride]
+        ft = (y % 5) if filter_type is None else filter_type
+        scan.append(ft)
+        scan += _png_filter_row(ft, row, prior, bpp)
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> tuple[int, int, bytes]:
+    """Parse an 8-bit truecolor PNG → (width, height, top-down row-major
+    RGB bytes). Implements all five scanline filters; multi-IDAT streams
+    are concatenated per spec. CRCs are verified; palette/alpha/16-bit/
+    interlaced images raise NotImplementedError (the PIL seam)."""
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, width, height, idat = 8, None, None, bytearray()
+    while pos < len(data):
+        (clen,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + clen]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + clen)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            width, height, depth, ctype_col, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if depth != 8 or ctype_col != 2 or interlace != 0:
+                raise NotImplementedError(
+                    "only 8-bit truecolor non-interlaced PNGs supported "
+                    f"(depth={depth}, color={ctype_col}, interlace={interlace})"
+                )
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    bpp, stride = 3, width * 3
+    scan = zlib.decompress(bytes(idat))
+    if len(scan) != height * (1 + stride):
+        raise ValueError("PNG scanline data has wrong length")
+    prior = b"\x00" * stride
+    rows = []
+    for y in range(height):
+        off = y * (1 + stride)
+        row = _png_unfilter_row(scan[off], scan[off + 1 : off + 1 + stride], prior, bpp)
+        rows.append(row)
+        prior = row
     return width, height, b"".join(rows)
 
 
@@ -232,6 +380,10 @@ def decode_real(df: DataFrame) -> DataFrame:
                     w, h, pixels = decode_bmp(b)
                     md5 = hashlib.md5(pixels.hex().encode()).hexdigest()
                     rows.append((mid, "image", w, h, None, None, md5))
+                elif b[:8] == _PNG_SIG:
+                    w, h, pixels = decode_png(b)
+                    md5 = hashlib.md5(pixels.hex().encode()).hexdigest()
+                    rows.append((mid, "image", w, h, None, None, md5))
                 elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
                     rate, nframes, _ch, pcm = decode_wav(b)
                     md5 = hashlib.md5(pcm.hex().encode()).hexdigest()
@@ -239,20 +391,25 @@ def decode_real(df: DataFrame) -> DataFrame:
                 else:
                     raise NotImplementedError(
                         f"media_id={mid}: unknown format "
-                        f"(magic={b[:4]!r}); only BMP/WAV decodable here"
+                        f"(magic={b[:4]!r}); only BMP/PNG/WAV decodable here"
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in _DECODED_REAL_SCHEMA])
 
     return df.select("media_id", "content").mapInPandas(run, _DECODED_REAL_SCHEMA)
 
 
-def make_test_media(spark, n: int = 48, seed: int = 42) -> DataFrame:
-    """Deterministic REAL media rows: even ids are 24-bit BMPs, odd ids
-    mono 16-bit WAVs. Payloads are md5-digest repetitions so an external
-    engine can reconstruct the expected checksums with pure string math
-    (the oracle for ``multimodal_decode_real``), while the Spark side must
+def make_test_media(
+    spark, n: int = 48, seed: int = 42, formats: tuple[str, ...] = ("bmp", "wav")
+) -> DataFrame:
+    """Deterministic REAL media rows, format cycling by ``media_id %
+    len(formats)`` over ``formats`` (any of "bmp", "wav", "png" — the
+    default pair keeps the r4 oracle fixture byte-stable). Payloads are
+    md5-digest repetitions so an external engine can reconstruct the
+    expected checksums with pure string math (the oracles for
+    ``multimodal_decode_real`` / ``_png``), while the Spark side must
     genuinely encode and re-parse the container format. Widths cycle
-    through non-multiple-of-4 strides so BMP row padding is exercised."""
+    through non-multiple-of-4 strides so BMP row padding is exercised;
+    PNG rows cycle all five scanline filters."""
     import pandas as pd
 
     def gen(batches: Iterator) -> Iterator:
@@ -260,12 +417,17 @@ def make_test_media(spark, n: int = 48, seed: int = 42) -> DataFrame:
             rows = []
             for mid in pdf["id"]:
                 digest = hashlib.md5(f"{seed}:{mid}".encode()).digest()
-                if mid % 2 == 0:
+                fmt = formats[mid % len(formats)]
+                if fmt in ("bmp", "png"):
                     w, h = 3 + mid % 8, 2 + mid % 5
                     need = w * h * 3
                     rgb = (digest * (need // 16 + 1))[:need]
-                    content, kind = encode_bmp(w, h, rgb), "image"
-                    meta = ("image/bmp", w, h, None, None)
+                    if fmt == "bmp":
+                        content, mime = encode_bmp(w, h, rgb), "image/bmp"
+                    else:
+                        content, mime = encode_png(w, h, rgb), "image/png"
+                    kind = "image"
+                    meta = (mime, w, h, None, None)
                 else:
                     rate = 8000 + int(mid % 4) * 4000
                     nframes = 64 + mid % 33

@@ -240,3 +240,126 @@ def estimate_distinct(sketch_df: DataFrame) -> DataFrame:
     return sketch_df.select(
         *group_cols, F.hll_sketch_estimate("hll").alias("n_distinct")
     )
+
+
+# ------------------------------------------------ quantile sketch tables
+# The quantile twin of the HLL tables above: persisted, mergeable,
+# per-group summaries that let daily batches answer "p95 over any grouping
+# of batches" without rescanning them. Instead of an opaque KLL/t-digest
+# blob, the sketch is a deterministic bottom-k (KMV) sample: each row gets
+# the portable 60-bit md5 hash of its key columns, and the sketch keeps
+# the k rows with the smallest hashes plus their values. Properties that
+# matter at 100 TB:
+#   - mergeable and LOSSLESS under merge: bottom-k of a union == bottom-k
+#     of the concatenated bottom-ks (min is associative), so merged
+#     estimates are bit-identical to a direct build over all batches;
+#   - deterministic and cross-engine: any warehouse can re-derive the
+#     exact sample (and therefore the exact estimates) from the same md5
+#     arithmetic — the property the portable sampling dice provides, and
+#     what makes a full-strength DuckDB oracle possible (approx sketches
+#     only gate within tolerance);
+#   - the build is a windowed top-k: `row_number() <= k` over the hash
+#     order, which Spark rewrites to WindowGroupLimit — each map task
+#     keeps a k-row heap before the shuffle, so the exchange carries
+#     O(k · partitions), never the fact table.
+# Accuracy is that of a uniform k-sample (hash order is uniform over
+# rows): quantile standard error ~ sqrt(q(1-q)/k) — k=1024 gives ~1.5
+# points at the median. For exact quantiles use percentile() directly.
+
+
+def build_quantile_sketches(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    key_cols: list[str],
+    k: int = 1024,
+    seed: int = 0,
+) -> DataFrame:
+    """(group_cols..., sample array<struct<h,v>>, k) — one deterministic
+    bottom-k value sample per group. ``key_cols`` must uniquely identify
+    rows (they seed the per-row hash; duplicates would correlate the
+    sample). The sample is stored hash-sorted so merge is a linear
+    array merge conceptually — though re-ranking does it declaratively."""
+    from pyspark.sql import Window
+
+    from ratatool_spark.functions.hashing import hash_cols
+
+    h = hash_cols(list(key_cols), seed=seed)
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    return (
+        df.select(
+            *group_cols,
+            h.alias("__h"),
+            F.col(value_col).cast("double").alias("__v"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .groupBy(*group_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__h").alias("h"), F.col("__v").alias("v")))
+            ).alias("sample"),
+            F.first(F.lit(k)).alias("k"),
+        )
+    )
+
+
+def merge_quantile_sketches(*sketch_dfs: DataFrame) -> DataFrame:
+    """Union any number of sketch tables and keep each group's bottom-k of
+    the combined samples. Lossless: equals building one sketch over the
+    concatenated inputs. Mismatched k raises (a smaller-k sketch has
+    already discarded rows a larger-k merge would need)."""
+    from pyspark.sql import Window
+
+    if not sketch_dfs:
+        raise ValueError("need at least one sketch table")
+    u = sketch_dfs[0]
+    for s in sketch_dfs[1:]:
+        u = u.unionByName(s)
+    group_cols = [c for c in u.columns if c not in ("sample", "k")]
+    w = Window.partitionBy(*group_cols).orderBy("e.h")
+    merged = (
+        u.select(*group_cols, "k", F.explode("sample").alias("e"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= F.col("k"))
+        .groupBy(*group_cols)
+        .agg(
+            F.array_sort(F.collect_list("e")).alias("sample"),
+            F.min("k").alias("__kmin"),
+            F.max("k").alias("__kmax"),
+        )
+    )
+    guard = F.when(
+        F.col("__kmin") != F.col("__kmax"),
+        F.raise_error(
+            F.concat(
+                F.lit("merge_quantile_sketches: mismatched k ("),
+                F.col("__kmin").cast("string"),
+                F.lit(" vs "),
+                F.col("__kmax").cast("string"),
+                F.lit(") — sketches are not mergeable; rebuild at one k"),
+            )
+        ),
+    ).otherwise(F.col("__kmin"))
+    return merged.select(*group_cols, "sample", guard.alias("k"))
+
+
+def estimate_quantiles(
+    sketch_df: DataFrame, qs: list[float]
+) -> DataFrame:
+    """(group_cols..., q_<nn> ...) — nearest-rank quantiles from each
+    group's sample: sorted_values[1 + floor(q * (m - 1))]. Deterministic,
+    so a merge-then-estimate equals a direct-build-then-estimate exactly
+    (pinned by the oracle)."""
+    group_cols = [c for c in sketch_df.columns if c not in ("sample", "k")]
+    vals = F.array_sort(F.transform("sample", lambda e: e["v"]))
+    m = F.size("sample")
+    out = [F.col(c) for c in group_cols]
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {q} outside [0, 1]")
+        idx = (F.lit(1) + F.floor(F.lit(q) * (m - F.lit(1)))).cast("int")
+        out.append(
+            F.element_at(vals, idx).alias(f"q_{int(round(q * 100)):02d}")
+        )
+    return sketch_df.select(*out)

@@ -165,6 +165,92 @@ def test_wav_codec_roundtrip():
         assert (r, n, ch, out) == (rate, 256, 1, pcm)
 
 
+def test_png_codec_roundtrip_all_filters():
+    """Real stdlib PNG codec (zlib): 8-bit truecolor, filters 0-4 each
+    pinned individually AND the cycling default; decode inverts encode
+    exactly, including the sequential Paeth/Average reconstruction."""
+    from ratatool_spark.operators.multimodal import decode_png, encode_png
+
+    for w, h in [(1, 1), (3, 2), (5, 3), (7, 4), (10, 6)]:
+        rgb = bytes((i * 31 + 7) % 256 for i in range(w * h * 3))
+        for ft in [None, 0, 1, 2, 3, 4]:
+            enc = encode_png(w, h, rgb, filter_type=ft)
+            assert enc[:8] == b"\x89PNG\r\n\x1a\n"
+            assert decode_png(enc) == (w, h, rgb), (w, h, ft)
+
+
+def test_png_decode_handmade_minimal():
+    """Decode a PNG built by hand (not by our encoder): 2x1 image, filter
+    0, known pixel bytes — pins the chunk layout and unfiltering against
+    the spec rather than against our own encoder."""
+    import struct
+    import zlib
+
+    from ratatool_spark.operators.multimodal import decode_png
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(
+            ">I", zlib.crc32(t + d) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)
+    scan = b"\x00" + bytes([10, 20, 30, 40, 50, 60])  # filter 0 + 2 px RGB
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png(png) == (2, 1, bytes([10, 20, 30, 40, 50, 60]))
+
+
+def test_png_decode_guards():
+    """Corrupt CRC and unsupported color types raise, not mis-decode."""
+    import struct
+
+    import pytest as _pt
+
+    from ratatool_spark.operators.multimodal import decode_png, encode_png
+
+    enc = bytearray(encode_png(3, 2, bytes(range(18))))
+    enc[20] ^= 0xFF  # flip a byte inside IHDR -> CRC mismatch
+    with _pt.raises(ValueError, match="CRC"):
+        decode_png(bytes(enc))
+    # unsupported: color type 6 (RGBA) in an otherwise-valid header
+    good = bytearray(encode_png(3, 2, bytes(range(18))))
+    # IHDR body starts at offset 16; color type is byte 9 of the body
+    good[16 + 9] = 6
+    import zlib
+
+    body = bytes(good[16 : 16 + 13])
+    struct.pack_into(
+        ">I", good, 16 + 13, zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF
+    )
+    with _pt.raises(NotImplementedError, match="truecolor"):
+        decode_png(bytes(good))
+
+
+def test_png_bmp_payload_agreement(spark):
+    """The same RGB payload encoded as BMP and as PNG decodes to the same
+    checksum through decode_real — two independent container paths
+    agreeing pins both codecs (BMP is already JVM/oracle-validated)."""
+    from ratatool_spark.operators.multimodal import decode_real, make_test_media
+
+    bmp = {
+        r["media_id"]: r["payload_md5"]
+        for r in decode_real(
+            make_test_media(spark, 12, seed=9, formats=("bmp",))
+        ).collect()
+    }
+    png = {
+        r["media_id"]: r["payload_md5"]
+        for r in decode_real(
+            make_test_media(spark, 12, seed=9, formats=("png",))
+        ).collect()
+    }
+    assert bmp == png and len(bmp) == 12
+
+
 def test_decode_real_end_to_end(spark):
     """make_test_media synthesizes real BMP/WAV bytes; decode_real parses
     them back — dimensions and payload checksums match the generation
@@ -195,7 +281,7 @@ def test_decode_real_end_to_end(spark):
 def test_decode_real_unknown_format_raises(spark):
     from ratatool_spark.operators.multimodal import decode_real, fake_media_table
 
-    with pytest.raises(Exception, match="only BMP/WAV|NotImplementedError"):
+    with pytest.raises(Exception, match="only BMP/PNG/WAV|NotImplementedError"):
         decode_real(fake_media_table(spark, 2)).collect()
 
 

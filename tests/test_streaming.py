@@ -592,6 +592,77 @@ def test_distinct_sketch_merge_rejects_mixed_lg_k(spark, tmp_path):
         estimate_distinct(merge_distinct_sketches(a, b)).collect()
 
 
+def test_quantile_sketch_merge_lossless_and_plan(spark):
+    """KMV quantile sketch tables: merge-then-estimate must EQUAL the
+    direct single-build estimate bit-for-bit (bottom-k of a union ==
+    bottom-k of concatenated bottom-ks), sit within the k-sample error
+    envelope of exact quantiles, and the build's row_number filter must
+    compile to WindowGroupLimit (per-map-task top-k heap — the shape that
+    keeps the exchange at O(k·partitions) instead of the fact table)."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.timeagg import (
+        build_quantile_sketches,
+        estimate_quantiles,
+        merge_quantile_sketches,
+    )
+    from ratatool_spark.sources.io import load_tables
+
+    ev = load_tables(spark, SF, names=("events",))["events"].select(
+        "event_id", "event_type", "value"
+    )
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    build = lambda d: build_quantile_sketches(  # noqa: E731
+        d, ["event_type"], "value", ["event_id"], k=256
+    )
+    qs = [0.25, 0.5, 0.9]
+    merged_est = {
+        r["event_type"]: (r["q_25"], r["q_50"], r["q_90"])
+        for r in estimate_quantiles(
+            merge_quantile_sketches(build(a), build(b)), qs
+        ).collect()
+    }
+    direct_est = {
+        r["event_type"]: (r["q_25"], r["q_50"], r["q_90"])
+        for r in estimate_quantiles(build(ev), qs).collect()
+    }
+    assert merged_est == direct_est  # lossless merge, exact equality
+    # accuracy envelope vs exact quantiles: se ~ sqrt(q(1-q)/k) of the
+    # value RANGE is loose; compare on rank error instead via percentile
+    exact = {
+        r["event_type"]: r["qs"]
+        for r in ev.groupBy("event_type")
+        .agg(F.percentile("value", qs).alias("qs"))
+        .collect()
+    }
+    for et, (e25, e50, e90) in merged_est.items():
+        x25, x50, x90 = exact[et]
+        spread = max(x90 - x25, 1e-9)
+        for got, want in [(e25, x25), (e50, x50), (e90, x90)]:
+            assert abs(got - want) <= 0.15 * spread, (et, got, want)
+    # plan shape: the top-k filter compiles to WindowGroupLimit
+    plan = build(ev)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_quantile_sketch_merge_rejects_mixed_k(spark):
+    import pytest as _pt
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from ratatool_spark.operators.timeagg import (
+        build_quantile_sketches,
+        merge_quantile_sketches,
+    )
+    from ratatool_spark.sources.io import load_tables
+
+    ev = load_tables(spark, SF, names=("events",))["events"]
+    a = build_quantile_sketches(ev, ["event_type"], "value", ["event_id"], k=64)
+    b = build_quantile_sketches(ev, ["event_type"], "value", ["event_id"], k=128)
+    with _pt.raises(Exception, match="mismatched k"):
+        merge_quantile_sketches(a, b).collect()
+
+
 def test_stream_filter_against_matches_batch(spark, tmp_path):
     """Streaming ingest gate == batch filter_against on the same input,
     including with a precomputed corpus signature table."""
