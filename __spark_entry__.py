@@ -4815,6 +4815,116 @@ SELECT event_type, {picks} FROM ranked GROUP BY event_type
 """
 
 
+def _q_rollup_incremental(spark, sf_dir):
+    """Incremental continuous-aggregate maintenance (operators/timeagg
+    build_rollup_partial + rollup_from_partials): two event slices each
+    build a persistable hour-grain partial; the merge + ladder serves
+    hour AND day grains without re-scanning either batch. The oracle is
+    the DIRECT rollup over all events — equality is exact (decimal sums,
+    idempotent min/max), so the hash gate pins the merge algebra."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.timeagg import (
+        build_rollup_partial,
+        rollup_from_partials,
+    )
+    from ratatool_spark.sources.io import load_tables
+
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    a = build_rollup_partial(ev.where(F.col("event_id") % 2 == 0), grain="hour")
+    b = build_rollup_partial(ev.where(F.col("event_id") % 2 == 1), grain="hour")
+    out = rollup_from_partials([a, b], grains=("hour", "day"))
+    return out.select(
+        "grain",
+        "bucket",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "min_value",
+        "max_value",
+    )
+
+
+def _q_split_grouped(spark, sf_dir):
+    """Leakage-free grouped splits: assign_splits diced on SOURCE instead
+    of doc id, so every document of one source lands in the same split —
+    the contamination guard for URL-domain / near-duplicate groups
+    (leakage between train and eval happens through groups, not rows).
+    Output is the per-(source, split) contingency — the oracle recomputes
+    the dice per source, and any source spanning two splits would change
+    the row count itself."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.corpus import assign_splits
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = assign_splits(
+        docs,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        dice_cols=("source",),
+        seed=5,
+    )
+    return out.groupBy("source", "split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def _sql_split_grouped() -> str:
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(weights.values())
+    items = list(weights.items())
+    acc, whens = 0.0, []
+    d = _dice_sql(["source"], seed=5)
+    for name, w in items[:-1]:
+        acc += w / total
+        whens.append(f"WHEN {d} < {acc!r} THEN '{name}'")
+    return f"""
+SELECT source,
+       CASE {' '.join(whens)} ELSE '{items[-1][0]}' END AS split,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY 1, 2
+"""
+
+
+def _q_tfidf_cosine(spark, sf_dir):
+    """Sparse TF-IDF cosine near-dup pairs (operators/dedup
+    tfidf_cosine_pairs): inverted-index equi-join on terms, idf-weighted
+    so ubiquitous words drop out — threshold 0.9 (nearest sub-threshold
+    pair sits at 0.8996, so the fp boundary is safe cross-engine)."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.dedup import tfidf_cosine_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = tfidf_cosine_pairs(docs, threshold=0.9)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+_SQL_TFIDF_COSINE = """
+WITH toks AS (
+  SELECT doc_id, t.tok AS tok
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS ls FROM documents),
+       UNNEST(ls) AS t(tok)
+  WHERE LENGTH(t.tok) > 0
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+), dfreq AS (
+  SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok HAVING COUNT(*) <= 1000
+), n AS (SELECT COUNT(*) AS n FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.tok, tf.tf * LN(n.n / dfreq.df) AS w
+  FROM tf JOIN dfreq USING (tok), n
+), norm AS (
+  SELECT doc_id, SQRT(SUM(w * w)) AS nrm FROM w GROUP BY doc_id
+), wn AS (
+  SELECT w.doc_id, w.tok, w.w / norm.nrm AS w
+  FROM w JOIN norm USING (doc_id) WHERE norm.nrm > 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(SUM(a.w * b.w), 6) AS cosine
+FROM wn a JOIN wn b ON a.tok = b.tok AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING SUM(a.w * b.w) >= 0.9
+"""
+
+
 def _q_multimodal_decode_png(spark, sf_dir):
     """PNG decode path (r5: stdlib zlib codec — IHDR/IDAT/IEND chunks,
     CRC verification, all five scanline filters): a three-format media
@@ -4879,6 +4989,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_sketch_merge": _q_hll_sketch_merge,
         "multimodal_decode_png": _q_multimodal_decode_png,
         "quantile_sketch_merge": _q_quantile_sketch_merge,
+        "tfidf_cosine_pairs": _q_tfidf_cosine,
+        "rollup_incremental": _q_rollup_incremental,
+        "corpus_split_grouped": _q_split_grouped,
         # --- r4 additions never driver-blessed (r4 overflow, rotated in) -
         "tpch_q16_supplier_part_counts": _q_tpch_q16,
         "tpch_q19_disjunctive_revenue": _q_tpch_q19,
@@ -5000,6 +5113,9 @@ def oracle_sql() -> dict[str, str]:
         "hll_sketch_merge": _SQL_HLL_SKETCH_MERGE,
         "multimodal_decode_png": _SQL_MULTIMODAL_DECODE_PNG,
         "quantile_sketch_merge": _sql_quantile_sketch_merge(),
+        "tfidf_cosine_pairs": _SQL_TFIDF_COSINE,
+        "rollup_incremental": _SQL_TIME_ROLLUP,
+        "corpus_split_grouped": _sql_split_grouped(),
         "bootstrap_sample_orders": _sql_bootstrap_sample(),
         "corpus_report": _sql_corpus_report(),
         "dedup_substring_containment": _SQL_DEDUP_SUBSTRING,

@@ -1108,3 +1108,82 @@ def _blas_all_pairs(
     out_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
     n_parts = max(spark.sparkContext.defaultParallelism, 1)
     return base.repartition(n_parts).mapInPandas(gen, schema=out_schema)
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_doc_freq: int | None = 1000,
+) -> DataFrame:
+    """Sparse TF-IDF cosine near-duplicate pairs — the bag-of-words twin
+    of :func:`embedding_neardup_pairs` (no embedding model needed) and
+    the weighted complement of :func:`ngram_jaccard_pairs`: Jaccard
+    treats every shingle equally, TF-IDF down-weights ubiquitous terms,
+    so template pages differing only in boilerplate separate cleanly.
+
+    (id_a, id_b, cosine) for all pairs with cosine >= ``threshold``,
+    where cosine is over L2-normalized tf·idf vectors, idf = ln(N/df).
+    Terms appearing in every document get idf 0 and drop out of the
+    similarity automatically — the idf form is its own boilerplate
+    filter.
+
+    Shape (all equi-joins, candidate-bound — never all-pairs):
+      1. term frequencies: one (doc, term) aggregate off the exploded
+         scan; document frequencies and the corpus size re-aggregate it.
+      2. N joins in as a broadcast one-row scalar (the q11/q22 pattern).
+      3. the pair enumeration is an inverted-index self-join on the term
+         — cost is sum over terms of df(term)^2, with ``max_doc_freq``
+         (default 1000) pruning hot terms exactly like
+         ngram_jaccard_pairs: a term in >max_doc_freq docs contributes
+         df^2 pairs but near-zero idf weight, so dropping it changes
+         ranking negligibly and caps the join fan-out. Pass None only on
+         corpora known to have no hot terms.
+      4. one (id_a, id_b) sum-aggregate with map-side combine.
+
+    At 100 TB: every stage shuffles on (doc) or (term) keys; the only
+    skew risk is the term join, which max_doc_freq bounds by
+    construction. Reference parity: BigDiffy's COSINE_DISTANCE field
+    comparator (ratatool-diffy CosineDistance.scala) lifts to a
+    corpus-level pairing here.
+    """
+    from ratatool_spark.functions.text import tokens
+
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(F.col(text_col))).alias("__tok"),
+    ).where(F.length("__tok") > 0)
+    tf = toks.groupBy("__id", "__tok").agg(F.count(F.lit(1)).alias("__tf"))
+    dfreq = tf.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    if max_doc_freq is not None:
+        dfreq = dfreq.where(F.col("__df") <= max_doc_freq)
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+    w = (
+        tf.join(dfreq, "__tok")
+        .join(F.broadcast(n_docs))
+        .select(
+            "__id",
+            "__tok",
+            (F.col("__tf") * F.log(F.col("__n") / F.col("__df"))).alias("__w"),
+        )
+    )
+    norm = w.groupBy("__id").agg(F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__nrm"))
+    wn = (
+        w.join(norm, "__id")
+        .where(F.col("__nrm") > 0)
+        .select("__id", "__tok", (F.col("__w") / F.col("__nrm")).alias("__w"))
+    )
+    a = wn.select(
+        F.col("__id").alias("id_a"), F.col("__tok"), F.col("__w").alias("__wa")
+    )
+    b = wn.select(
+        F.col("__id").alias("id_b"), F.col("__tok"), F.col("__w").alias("__wb")
+    )
+    return (
+        a.join(b, "__tok")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("__wa") * F.col("__wb")).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

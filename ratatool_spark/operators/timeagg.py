@@ -58,12 +58,13 @@ def time_rollup(
     the finer partial aggregate, not from ``df``."""
     _validate_grains(grains)
 
-    fine = df.groupBy(F.date_trunc(grains[0], F.col(ts_col)).alias("bucket")).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col(value_col).cast("decimal(28,6)")).alias("sum_value"),
-        F.min(F.col(value_col)).alias("min_value"),
-        F.max(F.col(value_col)).alias("max_value"),
-    )
+    fine = build_rollup_partial(df, ts_col, value_col, grains[0])
+    return _rollup_ladder(fine, grains)
+
+
+def _rollup_ladder(fine: DataFrame, grains: tuple[str, ...]) -> DataFrame:
+    """Stack (grain, bucket, measures) rows from a finest-grain partial,
+    each coarser grain re-aggregating the previous one."""
     parts = [fine.select(F.lit(grains[0]).alias("grain"), "*")]
     prev = fine
     for g in grains[1:]:
@@ -78,6 +79,53 @@ def time_rollup(
     for p in parts[1:]:
         out = out.unionByName(p.select(out.columns))
     return out
+
+
+def build_rollup_partial(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    grain: str = "minute",
+) -> DataFrame:
+    """(bucket, n_events, sum_value, min_value, max_value) at one grain —
+    the persistable unit of an INCREMENTAL continuous aggregate: each
+    ingested batch writes its own partial (one scan of the batch, ever),
+    and :func:`rollup_from_partials` serves any grain over any subset of
+    batches without touching the fact data again. All measures are
+    decomposable, and the sum is decimal-cast, so re-aggregation is
+    exact — merged results equal a direct rollup bit-for-bit."""
+    _validate_grains((grain,))
+    return df.groupBy(F.date_trunc(grain, F.col(ts_col)).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(28,6)")).alias("sum_value"),
+        F.min(F.col(value_col)).alias("min_value"),
+        F.max(F.col(value_col)).alias("max_value"),
+    )
+
+
+def rollup_from_partials(
+    partials: list[DataFrame], grains: tuple[str, ...] = ("minute", "hour", "day")
+) -> DataFrame:
+    """Merge per-batch finest-grain partials (all built at ``grains[0]``)
+    and produce the full grain ladder — the maintenance path of the
+    hypertable continuous aggregate: a new day's batch costs one
+    batch-sized scan plus a buckets-sized merge, never a historical
+    rescan. Exactness: counts/sums are associative (decimal), min/max
+    idempotent, so this EQUALS time_rollup over the concatenated batches
+    (pinned by the oracle gate)."""
+    _validate_grains(grains)
+    if not partials:
+        raise ValueError("need at least one partial")
+    u = partials[0]
+    for p in partials[1:]:
+        u = u.unionByName(p)
+    merged = u.groupBy("bucket").agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_value").cast("decimal(28,6)").alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+    return _rollup_ladder(merged, grains)
 
 
 def distinct_rollup(

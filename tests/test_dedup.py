@@ -682,3 +682,68 @@ def test_substring_containment_matches_bruteforce_on_random_corpus(spark):
     exp = expected()
     assert exp, "fixture must plant at least one containment"
     assert got == exp
+
+
+def test_tfidf_cosine_matches_bruteforce_on_random_corpus(spark):
+    """tfidf_cosine_pairs == a driver-side numpy tf-idf cosine on a
+    seeded random corpus (every pair, not just candidates — the inverted
+    index enumerates ALL co-term pairs, so this pins both the weighting
+    arithmetic and completeness)."""
+    import math
+    import random
+
+    from pyspark.sql import Row
+
+    from ratatool_spark.operators.dedup import tfidf_cosine_pairs
+
+    rng = random.Random(77)
+    vocab = [f"w{i}" for i in range(25)]
+    rows = [
+        Row(doc_id=i, text=" ".join(rng.choices(vocab, k=rng.randint(5, 30))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows)
+
+    # driver-side reference
+    tf = {}
+    for r in rows:
+        counts = {}
+        for t in r.text.split(" "):
+            counts[t] = counts.get(t, 0) + 1
+        tf[r.doc_id] = counts
+    n = len(rows)
+    dfreq = {}
+    for counts in tf.values():
+        for t in counts:
+            dfreq[t] = dfreq.get(t, 0) + 1
+    vecs = {}
+    for did, counts in tf.items():
+        v = {t: c * math.log(n / dfreq[t]) for t, c in counts.items()}
+        nrm = math.sqrt(sum(x * x for x in v.values()))
+        vecs[did] = {t: x / nrm for t, x in v.items()} if nrm > 0 else {}
+    expect = {}
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            cos = sum(w * vecs[b].get(t, 0.0) for t, w in vecs[a].items())
+            if cos >= 0.3:
+                expect[(a, b)] = round(cos, 6)
+
+    got = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 6)
+        for r in tfidf_cosine_pairs(df, threshold=0.3, max_doc_freq=None).collect()
+    }
+    assert got == expect and len(expect) > 5
+
+    # plan shape: inverted-index equi-join, never a cartesian pair space
+    plan = (
+        tfidf_cosine_pairs(df, threshold=0.3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+
+    # max_doc_freq prunes hot terms: with the cap at 1 every shared term
+    # is gone, so no pairs survive
+    assert tfidf_cosine_pairs(df, threshold=0.0, max_doc_freq=0).count() == 0

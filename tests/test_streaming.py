@@ -778,3 +778,68 @@ def test_interval_join_outer_keys_never_null(spark):
     keys = sorted(r["user_id"] for r in rows)
     assert keys == [1, 2]
     assert all(r["user_id"] is not None for r in rows)
+
+
+def test_rollup_from_partials_equals_direct(spark):
+    """Incremental continuous aggregate: per-batch hour partials merged +
+    laddered == time_rollup over the concatenated batches, bit-exact
+    (decimal sums, idempotent min/max). Also the ValueError guards."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.timeagg import (
+        build_rollup_partial,
+        rollup_from_partials,
+        time_rollup,
+    )
+    from ratatool_spark.sources.io import load_tables
+
+    ev = load_tables(spark, SF, names=("events",))["events"]
+    a = build_rollup_partial(ev.where(F.col("event_id") % 3 == 0), grain="hour")
+    b = build_rollup_partial(ev.where(F.col("event_id") % 3 == 1), grain="hour")
+    c = build_rollup_partial(ev.where(F.col("event_id") % 3 == 2), grain="hour")
+    inc = {
+        (r["grain"], r["bucket"]): (
+            r["n_events"],
+            r["sum_value"],
+            r["min_value"],
+            r["max_value"],
+        )
+        for r in rollup_from_partials([a, b, c], grains=("hour", "day")).collect()
+    }
+    direct = {
+        (r["grain"], r["bucket"]): (
+            r["n_events"],
+            r["sum_value"],
+            r["min_value"],
+            r["max_value"],
+        )
+        for r in time_rollup(ev, grains=("hour", "day")).collect()
+    }
+    assert inc == direct and len(direct) > 10
+    with _pt.raises(ValueError, match="at least one"):
+        rollup_from_partials([], grains=("hour",))
+    with _pt.raises(ValueError, match="unknown grain"):
+        build_rollup_partial(ev, grain="fortnight")
+
+
+def test_grouped_split_no_leakage(spark):
+    """assign_splits diced on a GROUP column sends every row of a group
+    to one split (the contamination guard shape)."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.corpus import assign_splits
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = assign_splits(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, dice_cols=("source",), seed=5
+    )
+    spans = (
+        out.groupBy("source")
+        .agg(F.countDistinct("split").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+    )
+    assert spans == 0
+    # and with multiple sources, more than one split is actually used
+    assert out.select("split").distinct().count() >= 2
