@@ -772,7 +772,7 @@ WITH ranked AS (
 )
 SELECT user_id, MAX(n_events) AS n_events,
        STRING_AGG(event_type, '|' ORDER BY ts, event_id) AS seq
-FROM ranked WHERE rn <= 25
+FROM ranked WHERE rn <= 10
 GROUP BY user_id
 """
 
@@ -4815,6 +4815,32 @@ SELECT event_type, {picks} FROM ranked GROUP BY event_type
 """
 
 
+def _q_cap_per_source(spark, sf_dir):
+    """Per-domain document cap (operators/corpus.cap_per_group): at most
+    10 docs per source, kept by smallest portable hash — a uniform,
+    engine-re-derivable subsample of each over-cap group. The rn<=k
+    filter compiles to WindowGroupLimit (per-map-task heap)."""
+    from ratatool_spark.operators.corpus import cap_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = cap_per_group(docs, group_col="source", max_rows=10, seed=3)
+    return out.select("doc_id", "source", "lang")
+
+
+_SQL_CAP_PER_SOURCE = """
+WITH h AS (
+  SELECT doc_id, source, lang,
+         ('0x' || substr(md5(concat_ws(chr(1), '3', CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT AS hh
+  FROM documents
+)
+SELECT doc_id, source, lang FROM (
+  SELECT doc_id, source, lang,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY hh) AS rn
+  FROM h
+) WHERE rn <= 10
+"""
+
+
 def _q_rollup_incremental(spark, sf_dir):
     """Incremental continuous-aggregate maintenance (operators/timeagg
     build_rollup_partial + rollup_from_partials): two event slices each
@@ -4992,6 +5018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_cosine_pairs": _q_tfidf_cosine,
         "rollup_incremental": _q_rollup_incremental,
         "corpus_split_grouped": _q_split_grouped,
+        "cap_per_source": _q_cap_per_source,
         # --- r4 additions never driver-blessed (r4 overflow, rotated in) -
         "tpch_q16_supplier_part_counts": _q_tpch_q16,
         "tpch_q19_disjunctive_revenue": _q_tpch_q19,
@@ -5116,6 +5143,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_cosine_pairs": _SQL_TFIDF_COSINE,
         "rollup_incremental": _SQL_TIME_ROLLUP,
         "corpus_split_grouped": _sql_split_grouped(),
+        "cap_per_source": _SQL_CAP_PER_SOURCE,
         "bootstrap_sample_orders": _sql_bootstrap_sample(),
         "corpus_report": _sql_corpus_report(),
         "dedup_substring_containment": _SQL_DEDUP_SUBSTRING,

@@ -203,6 +203,39 @@ def build_parser() -> argparse.ArgumentParser:
     be.add_argument("--textField", default="text")
     be.add_argument("--format", default=None, help="override input format sniffing")
 
+    td = sub.add_parser(
+        "tfidfDedup",
+        help="sparse TF-IDF cosine near-dup pairs (inverted-index term "
+        "join; idf auto-drops corpus-wide boilerplate)",
+    )
+    td.add_argument("--input", required=True)
+    td.add_argument("--output", required=True)
+    td.add_argument("--textField", default="text")
+    td.add_argument("--idField", default="doc_id")
+    td.add_argument("--threshold", type=float, default=0.5)
+    td.add_argument("--maxDocFreq", type=int, default=1000)
+    td.add_argument("--format", default=None, help="override input format sniffing")
+
+    qs_ = sub.add_parser(
+        "quantileSketch",
+        help="mergeable deterministic bottom-k (KMV) quantile sketch "
+        "tables: build per-batch, merge losslessly, estimate any quantile",
+    )
+    qs_.add_argument(
+        "--mode", choices=["build", "merge", "estimate"], required=True
+    )
+    qs_.add_argument("--input", help="input table (build/estimate)")
+    qs_.add_argument("--inputs", type=_csv, help="sketch tables to merge")
+    qs_.add_argument("--output", required=True)
+    qs_.add_argument("--groupBy", type=_csv, default=["__all__"], help="group columns (build)")
+    qs_.add_argument("--valueField", default="value")
+    qs_.add_argument("--keyFields", type=_csv, default=None, help="unique row key columns (build)")
+    qs_.add_argument("--k", type=int, default=1024)
+    qs_.add_argument(
+        "--quantiles", type=_csv, default=["0.5", "0.9", "0.99"], help="estimate mode"
+    )
+    qs_.add_argument("--format", default=None, help="override input format sniffing")
+
     mx = sub.add_parser(
         "mixtureSample",
         help="resample toward a target per-source mixture "
@@ -496,6 +529,50 @@ def main(argv: list[str] | None = None) -> int:
                 args.output,
                 mode="overwrite",
             )
+        elif args.command == "tfidfDedup":
+            from ratatool_spark.operators.dedup import tfidf_cosine_pairs
+
+            df = read_table(spark, args.input, fmt=args.format)
+            out = tfidf_cosine_pairs(
+                df,
+                text_col=args.textField,
+                id_col=args.idField,
+                threshold=args.threshold,
+                max_doc_freq=args.maxDocFreq,
+            )
+            write_table(out, args.output, mode="overwrite")
+        elif args.command == "quantileSketch":
+            from pyspark.sql import functions as F
+
+            from ratatool_spark.operators.timeagg import (
+                build_quantile_sketches,
+                estimate_quantiles,
+                merge_quantile_sketches,
+            )
+
+            if args.mode == "build":
+                if not args.input or not args.keyFields:
+                    raise SystemExit("build mode needs --input and --keyFields")
+                df = read_table(spark, args.input, fmt=args.format)
+                if args.groupBy == ["__all__"]:
+                    df = df.withColumn("__all__", F.lit("all"))
+                out = build_quantile_sketches(
+                    df, args.groupBy, args.valueField, args.keyFields, k=args.k
+                )
+            elif args.mode == "merge":
+                if not args.inputs or len(args.inputs) < 2:
+                    raise SystemExit("merge mode needs --inputs a,b[,...]")
+                out = merge_quantile_sketches(
+                    *(read_table(spark, p, fmt="parquet") for p in args.inputs)
+                )
+            else:
+                if not args.input:
+                    raise SystemExit("estimate mode needs --input (a sketch table)")
+                out = estimate_quantiles(
+                    read_table(spark, args.input, fmt="parquet"),
+                    [float(q) for q in args.quantiles],
+                )
+            write_table(out, args.output, mode="overwrite")
         elif args.command == "mixtureSample":
             from ratatool_spark.operators.corpus import mixture_sample
 

@@ -789,3 +789,39 @@ def remove_duplicate_lines(
             ),
         )
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str = "source",
+    max_rows: int = 100,
+    dice_cols: Sequence[str] = ("doc_id",),
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic per-group document cap — the C4/Gopher "at most N
+    pages per domain" rule that stops a single crawler-friendly site from
+    dominating the corpus. Keeps the ``max_rows`` rows of each group with
+    the smallest portable-hash dice over ``dice_cols``, so (a) membership
+    is a pure function of the record — stable across runs, engines, and
+    repartitionings, re-derivable in any warehouse; (b) the kept subset
+    is a uniform random sample of the group (hash order is uniform), not
+    a storage-order prefix.
+
+    Shape: one row_number window over (group, hash) — Spark compiles the
+    ``rn <= k`` filter to WindowGroupLimit, so each map task keeps a
+    k-row heap per group before the shuffle and the exchange carries
+    O(k · partitions · groups_per_partition), never the over-cap bulk.
+    Skewed groups (the whole point: one domain with millions of pages)
+    are bounded by the same mechanism.
+    """
+    from pyspark.sql import Window
+
+    from ratatool_spark.functions.hashing import hash_cols
+
+    w = Window.partitionBy(group_col).orderBy("__dice")
+    return (
+        df.withColumn("__dice", hash_cols(list(dice_cols), seed=seed))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= max_rows)
+        .drop("__dice", "__rn")
+    )

@@ -1169,7 +1169,11 @@ def tfidf_cosine_pairs(
         )
     )
     norm = w.groupBy("__id").agg(F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__nrm"))
-    wn = (
+    # both sides of the self-join consume wn; without a persist each side
+    # re-evaluates the whole tf->df->weight->norm chain (measured: 12 file
+    # scans / 19 shuffles in the un-persisted plan) — the same
+    # shared-subplan rule as the minhash/jaccard operators
+    wn = _persist(
         w.join(norm, "__id")
         .where(F.col("__nrm") > 0)
         .select("__id", "__tok", (F.col("__w") / F.col("__nrm")).alias("__w"))

@@ -622,3 +622,32 @@ def test_remove_duplicate_lines_edge_contracts(spark):
     )
     with _pt.raises(Exception, match="not unique"):
         remove_duplicate_lines(dup).collect()
+
+
+def test_cap_per_group_uniform_and_stable(spark):
+    """cap_per_group: every group capped at N, kept set independent of
+    partitioning (pure hash function of the row), WindowGroupLimit plan."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.corpus import cap_per_group
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = cap_per_group(docs, group_col="source", max_rows=3, seed=9)
+    per = out.groupBy("source").count().collect()
+    assert per and all(r["count"] <= 3 for r in per)
+    # groups smaller than the cap are kept whole
+    sizes = {r["source"]: r["count"] for r in docs.groupBy("source").count().collect()}
+    kept = {r["source"]: r["count"] for r in per}
+    for s, n in sizes.items():
+        assert kept.get(s, 0) == min(n, 3), s
+    # partitioning-independence: same kept ids after a repartition
+    ids1 = {r["doc_id"] for r in out.select("doc_id").collect()}
+    ids2 = {
+        r["doc_id"]
+        for r in cap_per_group(
+            docs.repartition(7), group_col="source", max_rows=3, seed=9
+        ).select("doc_id").collect()
+    }
+    assert ids1 == ids2
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan

@@ -345,3 +345,29 @@ def test_substring_containment_no_cartesian_and_bounded_candidates(spark):
     p = plan_of(spark, "dedup_substring_containment")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_tfidf_pairs_shared_subplan_cached_no_cartesian(spark):
+    """tfidf_cosine_pairs: the normalized-weights frame is persisted, so
+    BOTH self-join sides read one InMemoryTableScan instead of
+    re-evaluating the tf->df->weight->norm chain (the r2 shared-subplan
+    rule); pair enumeration is an equi-join on the term — no cartesian.
+    The only nested-loop is the one-row n_docs broadcast scalar (q11/q22
+    pattern)."""
+    p = plan_of(spark, "tfidf_cosine_pairs")
+    assert "CartesianProduct" not in p
+    assert p.count("InMemoryTableScan") == 2
+
+
+def test_line_dedup_violator_join_broadcasts(spark):
+    """remove_duplicate_lines (r5 shape fix): the ONLY thing joined back
+    onto the exploded lines is the tiny violator set — both plan joins
+    are broadcast hash joins, so the maximally-hot boilerplate line never
+    skews a shuffled probe side; the duplicate-id guard rides the
+    reassembly aggregate (raise_error in-plan, no eager action)."""
+    for q in ("line_dedup_corpus", "line_dedup_document"):
+        p = plan_of(spark, q)
+        assert "SortMergeJoin" not in p, q
+        assert p.count("BroadcastHashJoin") == 2, q
+        assert "raise_error" in p, q
+        assert "CartesianProduct" not in p and "NestedLoopJoin" not in p, q

@@ -707,3 +707,65 @@ def test_cli_dedup_lines(spark, tmp_path):
     got = {r["doc_id"]: (r["text"], r["n_lines_removed"])
            for r in spark.read.parquet(out).collect()}
     assert got == {1: ("real content", 1), 2: ("other words", 1)}
+
+
+def test_cli_tfidf_dedup(spark, tmp_path):
+    from ratatool_spark.cli import main
+
+    src = str(tmp_path / "docs")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").write.parquet(src)
+    out = str(tmp_path / "pairs")
+    rc = main(["tfidfDedup", "--input", src, "--output", out,
+               "--threshold", "0.9"])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"id_a", "id_b", "cosine"}
+    assert got.where("cosine < 0.9").count() == 0
+
+
+def test_cli_quantile_sketch_pipeline(spark, tmp_path):
+    """build x2 -> merge -> estimate through the CLI equals a direct
+    build+estimate (the lossless-merge contract, exercised end-to-end
+    through parquet artifacts)."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.cli import main
+    from ratatool_spark.operators.timeagg import (
+        build_quantile_sketches,
+        estimate_quantiles,
+    )
+    from ratatool_spark.sources.io import load_tables
+
+    ev = load_tables(spark, "/root/testdata/sf0.001", names=("events",))[
+        "events"
+    ].select("event_id", "event_type", "value")
+    a_src, b_src = str(tmp_path / "a"), str(tmp_path / "b")
+    ev.where(F.col("event_id") % 2 == 0).write.parquet(a_src)
+    ev.where(F.col("event_id") % 2 == 1).write.parquet(b_src)
+    sa, sb = str(tmp_path / "sa"), str(tmp_path / "sb")
+    for src, dst in [(a_src, sa), (b_src, sb)]:
+        assert main([
+            "quantileSketch", "--mode", "build", "--input", src,
+            "--output", dst, "--groupBy", "event_type",
+            "--valueField", "value", "--keyFields", "event_id", "--k", "128",
+        ]) == 0
+    merged = str(tmp_path / "merged")
+    assert main(["quantileSketch", "--mode", "merge",
+                 "--inputs", f"{sa},{sb}", "--output", merged]) == 0
+    est = str(tmp_path / "est")
+    assert main(["quantileSketch", "--mode", "estimate", "--input", merged,
+                 "--output", est, "--quantiles", "0.5,0.9"]) == 0
+    got = {
+        r["event_type"]: (r["q_50"], r["q_90"])
+        for r in spark.read.parquet(est).collect()
+    }
+    want = {
+        r["event_type"]: (r["q_50"], r["q_90"])
+        for r in estimate_quantiles(
+            build_quantile_sketches(
+                ev, ["event_type"], "value", ["event_id"], k=128
+            ),
+            [0.5, 0.9],
+        ).collect()
+    }
+    assert got == want

@@ -843,3 +843,52 @@ def test_grouped_split_no_leakage(spark):
     assert spans == 0
     # and with multiple sources, more than one split is actually used
     assert out.select("split").distinct().count() >= 2
+
+
+def test_stream_quantile_sketches_match_batch(spark, tmp_path):
+    """Per-micro-batch KMV sketch partials merged at read equal the batch
+    build over the whole input — the streaming sketch-maintenance loop,
+    run for real (multi-batch file stream, availableNow)."""
+    from ratatool_spark.operators.timeagg import (
+        build_quantile_sketches,
+        estimate_quantiles,
+    )
+    from ratatool_spark.streaming.events import read_event_stream
+    from ratatool_spark.streaming.sketches import (
+        read_stream_quantile_sketches,
+        stream_quantile_sketches,
+    )
+
+    ev = load_tables(spark, SF, names=("events",))["events"].select(
+        "event_id", "ts", "event_type", "value"
+    )
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)  # several files -> several batches
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+
+    q = stream_quantile_sketches(
+        stream.select("event_id", "event_type", "value"),
+        str(tmp_path / "sk"),
+        str(tmp_path / "ckpt"),
+        group_cols=["event_type"],
+        value_col="value",
+        key_cols=["event_id"],
+        k=128,
+    )
+    q.awaitTermination(120)
+
+    merged = read_stream_quantile_sketches(spark, str(tmp_path / "sk"))
+    got = {
+        r["event_type"]: (r["q_50"], r["q_90"])
+        for r in estimate_quantiles(merged, [0.5, 0.9]).collect()
+    }
+    want = {
+        r["event_type"]: (r["q_50"], r["q_90"])
+        for r in estimate_quantiles(
+            build_quantile_sketches(
+                ev, ["event_type"], "value", ["event_id"], k=128
+            ),
+            [0.5, 0.9],
+        ).collect()
+    }
+    assert got == want and len(got) > 1
