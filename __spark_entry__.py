@@ -4815,6 +4815,85 @@ SELECT event_type, {picks} FROM ranked GROUP BY event_type
 """
 
 
+def _q_set_overlap(spark, sf_dir):
+    """KMV set-overlap sketch tables (operators/timeagg build/merge/
+    set_overlap_estimates): per-event-type distinct-user samples built on
+    two disjoint slices, merged losslessly, then pairwise audience
+    Jaccard/intersection estimates — the question HLL cannot answer.
+    k=64 < the true per-type cardinality, so the estimator path (not the
+    exact small-set path) is what gates; everything is deterministic
+    portable-hash arithmetic, so the DuckDB oracle reproduces the
+    ESTIMATES exactly — no tolerance band."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.timeagg import (
+        build_set_sketches,
+        merge_set_sketches,
+        set_overlap_estimates,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "user_id"
+    )
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    merged = merge_set_sketches(
+        build_set_sketches(a, ["event_type"], "user_id", k=64),
+        build_set_sketches(b, ["event_type"], "user_id", k=64),
+    )
+    out = set_overlap_estimates(merged)
+    return out.select(
+        F.col("ga.event_type").alias("type_a"),
+        F.col("gb.event_type").alias("type_b"),
+        F.round("est_jaccard", 6).alias("est_jaccard"),
+        F.round("est_intersection", 4).alias("est_intersection"),
+    )
+
+
+_SQL_SET_OVERLAP = """
+WITH h AS (
+  SELECT DISTINCT event_type AS g,
+         ('0x' || substr(md5(concat_ws(chr(1), '0', CAST(user_id AS VARCHAR))), 1, 15))::BIGINT AS hh
+  FROM events
+), samp AS (
+  SELECT g, hh FROM (
+    SELECT g, hh, ROW_NUMBER() OVER (PARTITION BY g ORDER BY hh) AS rn FROM h
+  ) WHERE rn <= 64
+), grps AS (SELECT DISTINCT g FROM samp),
+pairs AS (
+  SELECT a.g AS ga, b.g AS gb FROM grps a JOIN grps b ON a.g < b.g
+), uni0 AS (
+  SELECT DISTINCT p.ga, p.gb, s.hh
+  FROM pairs p JOIN samp s ON s.g = p.ga OR s.g = p.gb
+), kset AS (
+  SELECT ga, gb, hh FROM (
+    SELECT ga, gb, hh,
+           ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY hh) AS rn
+    FROM uni0
+  ) WHERE rn <= 64
+), stats AS (
+  SELECT u.ga, u.gb, COUNT(*) AS ksize, MAX(u.hh) AS ukth,
+         COUNT(*) FILTER (
+           WHERE ia.hh IS NOT NULL AND ib.hh IS NOT NULL
+         ) AS ninter
+  FROM kset u
+  LEFT JOIN samp ia ON ia.g = u.ga AND ia.hh = u.hh
+  LEFT JOIN samp ib ON ib.g = u.gb AND ib.hh = u.hh
+  GROUP BY u.ga, u.gb
+)
+SELECT ga AS type_a, gb AS type_b,
+       ROUND(ninter / CAST(ksize AS DOUBLE), 6) AS est_jaccard,
+       ROUND(
+         (ninter / CAST(ksize AS DOUBLE)) *
+         CASE WHEN ksize >= 64
+              THEN 63 / (CAST(ukth AS DOUBLE) / 1152921504606846976.0)
+              ELSE CAST(ksize AS DOUBLE) END,
+         4
+       ) AS est_intersection
+FROM stats
+"""
+
+
 def _q_cap_per_source(spark, sf_dir):
     """Per-domain document cap (operators/corpus.cap_per_group): at most
     10 docs per source, kept by smallest portable hash — a uniform,
@@ -5019,6 +5098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_incremental": _q_rollup_incremental,
         "corpus_split_grouped": _q_split_grouped,
         "cap_per_source": _q_cap_per_source,
+        "set_overlap_estimates": _q_set_overlap,
         # --- r4 additions never driver-blessed (r4 overflow, rotated in) -
         "tpch_q16_supplier_part_counts": _q_tpch_q16,
         "tpch_q19_disjunctive_revenue": _q_tpch_q19,
@@ -5144,6 +5224,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_incremental": _SQL_TIME_ROLLUP,
         "corpus_split_grouped": _sql_split_grouped(),
         "cap_per_source": _SQL_CAP_PER_SOURCE,
+        "set_overlap_estimates": _SQL_SET_OVERLAP,
         "bootstrap_sample_orders": _sql_bootstrap_sample(),
         "corpus_report": _sql_corpus_report(),
         "dedup_substring_containment": _SQL_DEDUP_SUBSTRING,

@@ -411,3 +411,123 @@ def estimate_quantiles(
             F.element_at(vals, idx).alias(f"q_{int(round(q * 100)):02d}")
         )
     return sketch_df.select(*out)
+
+
+# ------------------------------------------------ set-overlap sketch tables
+# The third sketch family: distinct-SET samples that support intersection /
+# Jaccard estimates between groups — the "audience overlap" question HLL
+# cannot answer (register unions give |A∪B| but never |A∩B|). A KMV
+# (k-minimum-values) sketch keeps the k smallest distinct portable hashes
+# of each group's keys; because min-of-union = union-of-mins it merges
+# losslessly, and because the hash is the deterministic portable md5, any
+# engine re-derives the SAME sample — estimates gate exactly cross-engine,
+# not within a tolerance band. Estimator (Beyer et al., SIGMOD'07): with
+# K = k smallest of K_A ∪ K_B, J_est = |K ∩ K_A ∩ K_B| / |K|.
+
+
+def build_set_sketches(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    k: int = 1024,
+    seed: int = 0,
+) -> DataFrame:
+    """(group_cols..., kmv array<bigint> sorted ascending, k) — the k
+    smallest distinct key hashes per group. One distinct aggregate + a
+    WindowGroupLimit top-k: the exchange carries O(k·partitions), and the
+    distinct pre-aggregate map-side-combines duplicate keys before it."""
+    from pyspark.sql import Window
+
+    from ratatool_spark.functions.hashing import hash_cols
+
+    h = hash_cols([key_col], seed=seed)
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    return (
+        df.select(*group_cols, h.alias("__h"))
+        .distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .groupBy(*group_cols)
+        .agg(
+            F.array_sort(F.collect_list("__h")).alias("kmv"),
+            F.first(F.lit(k)).alias("k"),
+        )
+    )
+
+
+def merge_set_sketches(*sketch_dfs: DataFrame) -> DataFrame:
+    """Union sketch tables and keep each group's k smallest distinct
+    hashes — lossless (bottom-k of a union == bottom-k of concatenated
+    bottom-ks). Mismatched k raises via the same fused guard as
+    merge_quantile_sketches."""
+    if not sketch_dfs:
+        raise ValueError("need at least one sketch table")
+    u = sketch_dfs[0]
+    for s in sketch_dfs[1:]:
+        u = u.unionByName(s)
+    group_cols = [c for c in u.columns if c not in ("kmv", "k")]
+    merged = u.groupBy(*group_cols).agg(
+        F.flatten(F.collect_list("kmv")).alias("__all"),
+        F.min("k").alias("__kmin"),
+        F.max("k").alias("__kmax"),
+    )
+    guard = F.when(
+        F.col("__kmin") != F.col("__kmax"),
+        F.raise_error(
+            F.concat(
+                F.lit("merge_set_sketches: mismatched k ("),
+                F.col("__kmin").cast("string"),
+                F.lit(" vs "),
+                F.col("__kmax").cast("string"),
+                F.lit(") — rebuild at one k"),
+            )
+        ),
+    ).otherwise(F.col("__kmin"))
+    return merged.select(
+        *group_cols,
+        F.slice(
+            F.array_sort(F.array_distinct("__all")), 1, F.col("__kmin")
+        ).alias("kmv"),
+        guard.alias("k"),
+    )
+
+
+def set_overlap_estimates(sketch_df: DataFrame) -> DataFrame:
+    """Pairwise Jaccard / intersection estimates between every two groups
+    of a KMV sketch table: for groups a < b, with K = the k smallest of
+    kmv_a ∪ kmv_b, ``est_jaccard = |K ∩ kmv_a ∩ kmv_b| / |K|`` and
+    ``est_intersection = est_jaccard · est_union`` (union cardinality
+    from the KMV estimator (k-1)/U_k when the union sample is full,
+    exact |K| when it is not).
+
+    The pair enumeration is a self cross-join of the SKETCH TABLE —
+    O(groups²) rows of k-length arrays, the deliberate envelope of a
+    pairwise-overlap report (hundreds of groups, not the fact table).
+    Deterministic end-to-end: the same report is re-derivable in any
+    engine from the same md5 arithmetic."""
+    group_cols = [c for c in sketch_df.columns if c not in ("kmv", "k")]
+    a = sketch_df.select(
+        F.struct(*group_cols).alias("ga"), F.col("kmv").alias("__ka"), "k"
+    )
+    b = sketch_df.select(
+        F.struct(*group_cols).alias("gb"), F.col("kmv").alias("__kb")
+    )
+    pairs = a.join(b, F.col("ga") < F.col("gb"))
+    union_k = F.slice(
+        F.array_sort(F.array_distinct(F.concat("__ka", "__kb"))), 1, F.col("k")
+    )
+    inter = F.array_intersect(F.array_intersect(union_k, "__ka"), "__kb")
+    est_j = F.size(inter) / F.size(union_k)
+    from ratatool_spark.functions.hashing import HASH_SPACE
+
+    full = F.size(union_k) >= F.col("k")
+    u_k = F.element_at(union_k, F.col("k")).cast("double") / F.lit(HASH_SPACE)
+    est_union = F.when(full, (F.col("k") - 1) / u_k).otherwise(
+        F.size(union_k).cast("double")
+    )
+    return pairs.select(
+        "ga",
+        "gb",
+        est_j.alias("est_jaccard"),
+        (est_j * est_union).alias("est_intersection"),
+    )

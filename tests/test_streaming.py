@@ -892,3 +892,77 @@ def test_stream_quantile_sketches_match_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 1
+
+
+def test_set_overlap_sketch_lossless_exact_smallset_and_estimates(spark):
+    """KMV set sketches: merge-then-estimate == direct-build estimate
+    (lossless bottom-k union); with k >= true cardinality the 'estimate'
+    IS the exact jaccard/intersection; with k below it, estimates land
+    within the KMV error envelope."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.timeagg import (
+        build_set_sketches,
+        merge_set_sketches,
+        set_overlap_estimates,
+    )
+    from ratatool_spark.sources.io import load_tables
+
+    ev = load_tables(spark, SF, names=("events",))["events"].select(
+        "event_id", "event_type", "user_id"
+    )
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+
+    def est_map(sketch):
+        return {
+            (r["ga"]["event_type"], r["gb"]["event_type"]): (
+                round(r["est_jaccard"], 9),
+                round(r["est_intersection"], 6),
+            )
+            for r in set_overlap_estimates(sketch).collect()
+        }
+
+    for k in (64, 4096):
+        merged = merge_set_sketches(
+            build_set_sketches(a, ["event_type"], "user_id", k=k),
+            build_set_sketches(b, ["event_type"], "user_id", k=k),
+        )
+        direct = build_set_sketches(ev, ["event_type"], "user_id", k=k)
+        assert est_map(merged) == est_map(direct)  # lossless merge
+
+    # exact ground truth per pair
+    users = {
+        r["event_type"]: set()
+        for r in ev.select("event_type").distinct().collect()
+    }
+    for r in ev.select("event_type", "user_id").distinct().collect():
+        users[r["event_type"]].add(r["user_id"])
+    exact = {}
+    for ta in users:
+        for tb in users:
+            if ta < tb:
+                i = len(users[ta] & users[tb])
+                u = len(users[ta] | users[tb])
+                exact[(ta, tb)] = (i / u, i)
+
+    # k above every cardinality: estimates are EXACT
+    big = est_map(build_set_sketches(ev, ["event_type"], "user_id", k=4096))
+    for pair, (ej, ei) in big.items():
+        assert ej == pytest.approx(exact[pair][0], abs=1e-9), pair
+        assert ei == pytest.approx(exact[pair][1], rel=1e-9), pair
+
+    # k=64 < cardinalities: within the KMV envelope (se ~ J/sqrt(k))
+    small = est_map(build_set_sketches(ev, ["event_type"], "user_id", k=64))
+    for pair, (ej, ei) in small.items():
+        assert abs(ej - exact[pair][0]) <= 0.25, (pair, ej, exact[pair][0])
+        assert abs(ei - exact[pair][1]) <= 0.4 * max(exact[pair][1], 25), pair
+
+    # mismatched k raises via the fused guard
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="mismatched k"):
+        merge_set_sketches(
+            build_set_sketches(ev, ["event_type"], "user_id", k=32),
+            build_set_sketches(ev, ["event_type"], "user_id", k=64),
+        ).collect()
