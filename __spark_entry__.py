@@ -4894,6 +4894,61 @@ FROM stats
 """
 
 
+def _q_rollup_anomalies(spark, sf_dir):
+    """Trailing z-score anomaly flags over the hour-grain continuous
+    aggregate (operators/timeagg.rollup_anomalies): each bucket vs the
+    mean +- 2 sigma of its preceding 24 buckets; warm-up buckets get a
+    NULL flag. The fact table never enters — anomaly detection runs on
+    the buckets-cardinality aggregate."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.timeagg import rollup_anomalies, time_rollup
+    from ratatool_spark.sources.io import load_tables
+
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    roll = time_rollup(ev, grains=("hour",))
+    out = rollup_anomalies(roll, trailing=24, min_periods=8, z=2.0)
+    # floor-truncate for display: ROUND on a half-boundary (decimal sums
+    # divided by power-of-two counts hit exact .xxxx5 values) disagrees
+    # between engines' tie rules; floor of identical doubles cannot
+    return out.select(
+        "bucket",
+        "n_events",
+        (F.floor(F.col("trailing_mean") * 10000) / 10000).alias("trailing_mean"),
+        (F.floor(F.col("trailing_std") * 10000) / 10000).alias("trailing_std"),
+        "is_anomaly",
+    )
+
+
+_SQL_ROLLUP_ANOMALIES = """
+WITH roll AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+         COUNT(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(28,6))) AS vd
+  FROM events GROUP BY 1
+), win AS (
+  SELECT bucket, n_events, CAST(vd AS DOUBLE) AS v,
+         CAST(COUNT(vd) OVER w AS DOUBLE) AS n,
+         CAST(SUM(vd) OVER w AS DOUBLE) AS s1,
+         CAST(SUM(CAST(vd * vd AS DECIMAL(38,12))) OVER w AS DOUBLE) AS s2
+  FROM roll
+  WINDOW w AS (ORDER BY bucket ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+), fin AS (
+  SELECT bucket, n_events, v, n,
+         CASE WHEN n >= 8 THEN s1 / n END AS m,
+         CASE WHEN n >= 8
+              THEN SQRT(GREATEST(s2 - s1 * s1 / n, 0.0) / (n - 1)) END AS s
+  FROM win
+)
+SELECT bucket, n_events,
+       FLOOR(m * 10000) / 10000 AS trailing_mean,
+       FLOOR(s * 10000) / 10000 AS trailing_std,
+       CASE WHEN n >= 8 AND s IS NOT NULL AND s > 0
+            THEN ABS(v - m) > 2.0 * s END AS is_anomaly
+FROM fin
+"""
+
+
 def _q_cap_per_source(spark, sf_dir):
     """Per-domain document cap (operators/corpus.cap_per_group): at most
     10 docs per source, kept by smallest portable hash — a uniform,
@@ -5099,6 +5154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split_grouped": _q_split_grouped,
         "cap_per_source": _q_cap_per_source,
         "set_overlap_estimates": _q_set_overlap,
+        "rollup_anomalies": _q_rollup_anomalies,
         # --- r4 additions never driver-blessed (r4 overflow, rotated in) -
         "tpch_q16_supplier_part_counts": _q_tpch_q16,
         "tpch_q19_disjunctive_revenue": _q_tpch_q19,
@@ -5225,6 +5281,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_split_grouped": _sql_split_grouped(),
         "cap_per_source": _SQL_CAP_PER_SOURCE,
         "set_overlap_estimates": _SQL_SET_OVERLAP,
+        "rollup_anomalies": _SQL_ROLLUP_ANOMALIES,
         "bootstrap_sample_orders": _sql_bootstrap_sample(),
         "corpus_report": _sql_corpus_report(),
         "dedup_substring_containment": _SQL_DEDUP_SUBSTRING,

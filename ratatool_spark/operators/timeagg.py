@@ -531,3 +531,65 @@ def set_overlap_estimates(sketch_df: DataFrame) -> DataFrame:
         est_j.alias("est_jaccard"),
         (est_j * est_union).alias("est_intersection"),
     )
+
+
+def rollup_anomalies(
+    rollup_df: DataFrame,
+    value_col: str = "sum_value",
+    trailing: int = 24,
+    min_periods: int = 8,
+    z: float = 3.0,
+    grain_col: str | None = "grain",
+) -> DataFrame:
+    """Trailing z-score anomaly flags over a rollup / continuous
+    aggregate: each bucket's value is compared to the mean ± z·stddev of
+    the preceding ``trailing`` buckets (its own bucket excluded — the
+    monitored point must not contaminate its baseline). Buckets with
+    fewer than ``min_periods`` trailing samples get a NULL flag (not
+    false: "unknown" and "normal" must stay distinguishable while the
+    baseline warms up).
+
+    The input is time_rollup / rollup_from_partials output (or any
+    (bucket, value) frame; pass ``grain_col=None`` if there is no grain
+    column). Adds ``trailing_mean``, ``trailing_std``, ``is_anomaly``.
+
+    Shape: one window per grain ordered by bucket with a ROWS frame —
+    the rollup is already buckets-cardinality (~minutes of a year, not
+    the fact table), so the per-grain sort is tiny; at 100 TB the fact
+    data never enters this operator, only the continuous aggregate."""
+    from pyspark.sql import Window
+
+    parts = [grain_col] if grain_col else []
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy("bucket")
+        .rowsBetween(-trailing, -1)
+    )
+    # mean/std from EXACT decimal window sums with a fixed finishing
+    # formula — a float AVG/STDDEV over the frame is summation-order
+    # dependent and drifts ~1e-10 between engines, which a rounded gate
+    # can still split; decimal Σv and Σv² are order-free, and the single
+    # fp finish below is the same op sequence everywhere
+    vd = F.col(value_col).cast("decimal(28,6)")
+    v = vd.cast("double")
+    n = F.count(vd).over(w).cast("double")
+    s1 = F.sum(vd).over(w).cast("double")
+    s2 = F.sum((vd * vd).cast("decimal(38,12)")).over(w).cast("double")
+    # CASE-gate the whole finish on the warm-up condition: below
+    # min_periods every output is NULL (baseline unknown), and the
+    # divisions never execute on empty/1-row frames (ANSI div-by-zero)
+    warm = n >= F.lit(float(max(min_periods, 2)))
+    mean = F.when(warm, s1 / n)
+    std = F.when(
+        warm, F.sqrt(F.greatest(s2 - s1 * s1 / n, F.lit(0.0)) / (n - 1))
+    )
+    flag = F.when(
+        warm & std.isNotNull() & (std > 0),
+        F.abs(v - mean) > F.lit(z) * std,
+    )
+    return rollup_df.select(
+        "*",
+        mean.alias("trailing_mean"),
+        std.alias("trailing_std"),
+        flag.alias("is_anomaly"),
+    )

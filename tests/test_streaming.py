@@ -966,3 +966,37 @@ def test_set_overlap_sketch_lossless_exact_smallset_and_estimates(spark):
             build_set_sketches(ev, ["event_type"], "user_id", k=32),
             build_set_sketches(ev, ["event_type"], "user_id", k=64),
         ).collect()
+
+
+def test_rollup_anomalies_flags_injected_spike(spark):
+    """A synthetic spike 10x the baseline is flagged; steady buckets are
+    not; warm-up buckets (insufficient trailing history) get NULL."""
+    import datetime as dt
+
+    from ratatool_spark.operators.timeagg import rollup_anomalies
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(40):
+        v = 100.0 + (i % 3)  # steady baseline with tiny wiggle
+        if i == 30:
+            v = 1000.0  # spike
+        rows.append((base + dt.timedelta(hours=i), 1, v))
+    roll = spark.createDataFrame(
+        rows, "bucket timestamp, n_events long, sum_value double"
+    )
+    out = {
+        r["bucket"]: r["is_anomaly"]
+        for r in rollup_anomalies(
+            roll, trailing=24, min_periods=8, z=3.0, grain_col=None
+        ).collect()
+    }
+    spike = base + dt.timedelta(hours=30)
+    assert out[spike] is True
+    # warm-up rows are NULL, not False
+    assert out[base] is None and out[base + dt.timedelta(hours=3)] is None
+    # steady rows well past warm-up and before the spike are not flagged
+    assert out[base + dt.timedelta(hours=20)] is False
+    # the bucket right after the spike is judged against a baseline that
+    # now CONTAINS the spike — it must not be flagged (std inflated)
+    assert out[base + dt.timedelta(hours=31)] is False
