@@ -772,7 +772,7 @@ WITH ranked AS (
 )
 SELECT user_id, MAX(n_events) AS n_events,
        STRING_AGG(event_type, '|' ORDER BY ts, event_id) AS seq
-FROM ranked WHERE rn <= 10
+FROM ranked WHERE rn <= 25
 GROUP BY user_id
 """
 

@@ -236,6 +236,19 @@ def build_parser() -> argparse.ArgumentParser:
     )
     qs_.add_argument("--format", default=None, help="override input format sniffing")
 
+    cg = sub.add_parser(
+        "capPerGroup",
+        help="deterministic 'at most N rows per group' cap (C4 per-domain "
+        "rule): keeps each group's smallest-hash rows",
+    )
+    cg.add_argument("--input", required=True)
+    cg.add_argument("--output", required=True)
+    cg.add_argument("--groupField", default="source")
+    cg.add_argument("--maxRows", type=int, default=100)
+    cg.add_argument("--diceFields", type=_csv, default=["doc_id"])
+    cg.add_argument("--seed", type=int, default=0)
+    cg.add_argument("--format", default=None, help="override input format sniffing")
+
     mx = sub.add_parser(
         "mixtureSample",
         help="resample toward a target per-source mixture "
@@ -572,6 +585,18 @@ def main(argv: list[str] | None = None) -> int:
                     read_table(spark, args.input, fmt="parquet"),
                     [float(q) for q in args.quantiles],
                 )
+            write_table(out, args.output, mode="overwrite")
+        elif args.command == "capPerGroup":
+            from ratatool_spark.operators.corpus import cap_per_group
+
+            df = read_table(spark, args.input, fmt=args.format)
+            out = cap_per_group(
+                df,
+                group_col=args.groupField,
+                max_rows=args.maxRows,
+                dice_cols=args.diceFields,
+                seed=args.seed,
+            )
             write_table(out, args.output, mode="overwrite")
         elif args.command == "mixtureSample":
             from ratatool_spark.operators.corpus import mixture_sample

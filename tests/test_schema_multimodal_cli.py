@@ -769,3 +769,16 @@ def test_cli_quantile_sketch_pipeline(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_cli_cap_per_group(spark, tmp_path):
+    from ratatool_spark.cli import main
+
+    src = str(tmp_path / "docs")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").write.parquet(src)
+    out = str(tmp_path / "capped")
+    rc = main(["capPerGroup", "--input", src, "--output", out,
+               "--groupField", "source", "--maxRows", "2"])
+    assert rc == 0
+    got = spark.read.parquet(out).groupBy("source").count().collect()
+    assert got and all(r["count"] <= 2 for r in got)
