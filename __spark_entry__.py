@@ -4949,6 +4949,50 @@ FROM fin
 """
 
 
+def _q_quality_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing, composed end-to-end from this
+    round's pieces: unigram-LM score every doc (self-scoring mode), rank
+    into quartiles (ntile over (score, doc_id) — the doc_id tiebreak
+    makes the split deterministic cross-engine), report each bucket's
+    volume and score range. Downstream mixtures sample by bucket (keep
+    more mid-perplexity, downweight both gibberish and boilerplate)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.corpus import unigram_logprob_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = unigram_logprob_score(docs, smoothing=0.5)
+    w = Window.orderBy(F.col("mean_logprob").asc(), F.col("doc_id").asc())
+    b = scored.where(F.col("mean_logprob").isNotNull()).withColumn(
+        "bucket", F.ntile(4).over(w)
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.min("mean_logprob"), 6).alias("min_score"),
+        F.round(F.max("mean_logprob"), 6).alias("max_score"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+
+
+def _sql_quality_buckets() -> str:
+    inner = _SQL_UNIGRAM_LOGPROB.replace(
+        "ROUND(s.mean_logprob, 6) AS mean_logprob", "s.mean_logprob AS mean_logprob"
+    )
+    return f"""
+WITH scored AS ({inner}), bucketed AS (
+  SELECT doc_id, n_tokens, mean_logprob,
+         NTILE(4) OVER (ORDER BY mean_logprob ASC, doc_id ASC) AS bucket
+  FROM scored WHERE mean_logprob IS NOT NULL
+)
+SELECT bucket, COUNT(*) AS n_docs,
+       ROUND(MIN(mean_logprob), 6) AS min_score,
+       ROUND(MAX(mean_logprob), 6) AS max_score,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM bucketed GROUP BY bucket
+"""
+
+
 def _q_cap_per_source(spark, sf_dir):
     """Per-domain document cap (operators/corpus.cap_per_group): at most
     10 docs per source, kept by smallest portable hash — a uniform,
@@ -5155,6 +5199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_source": _q_cap_per_source,
         "set_overlap_estimates": _q_set_overlap,
         "rollup_anomalies": _q_rollup_anomalies,
+        "pipeline_quality_buckets": _q_quality_buckets,
         # --- r4 additions never driver-blessed (r4 overflow, rotated in) -
         "tpch_q16_supplier_part_counts": _q_tpch_q16,
         "tpch_q19_disjunctive_revenue": _q_tpch_q19,
@@ -5282,6 +5327,7 @@ def oracle_sql() -> dict[str, str]:
         "cap_per_source": _SQL_CAP_PER_SOURCE,
         "set_overlap_estimates": _SQL_SET_OVERLAP,
         "rollup_anomalies": _SQL_ROLLUP_ANOMALIES,
+        "pipeline_quality_buckets": _sql_quality_buckets(),
         "bootstrap_sample_orders": _sql_bootstrap_sample(),
         "corpus_report": _sql_corpus_report(),
         "dedup_substring_containment": _SQL_DEDUP_SUBSTRING,

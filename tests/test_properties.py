@@ -368,3 +368,94 @@ def test_bpe_greedy_merge_reference(word):
     for x, y in zip(merged, merged[1:]):
         # a leftover (a, a) adjacency means the fold missed a merge
         assert not (x == "a" and y == "a")
+
+
+# ------------------------------------------------ r5 operator properties
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "x", ""]),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+@settings(max_examples=25, deadline=None)
+def test_remove_duplicate_lines_matches_reference_model(docs, max_occ):
+    """remove_duplicate_lines == the obvious python model (count lines
+    corpus-wide, drop over-cap countable lines, reassemble in order)
+    over random small corpora — any separator-joined doc shape."""
+    from pyspark.sql import Row
+
+    from ratatool_spark.operators.corpus import remove_duplicate_lines
+    from ratatool_spark.session import get_spark
+
+    spark = get_spark("ratatool_spark_tests", shuffle_partitions=8)
+    rows = [Row(doc_id=i, text="\n".join(lines)) for i, lines in enumerate(docs)]
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines_removed"])
+        for r in remove_duplicate_lines(
+            spark.createDataFrame(rows), max_occurrences=max_occ
+        ).collect()
+    }
+    # reference model
+    from collections import Counter
+
+    counts = Counter(
+        ln
+        for lines in docs
+        for ln in ("\n".join(lines)).split("\n")
+        if len(ln) >= 2
+    )
+    for i, lines in enumerate(docs):
+        src = ("\n".join(lines)).split("\n")
+        kept = [
+            ln
+            for ln in src
+            if len(ln) < 2 or counts[ln] <= max_occ
+        ]
+        assert got[i] == ("\n".join(kept), len(src) - len(kept)), (i, docs)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=120),
+    st.integers(min_value=2, max_value=5),
+    st.integers(min_value=4, max_value=32),
+)
+@settings(max_examples=15, deadline=None)
+def test_kmv_quantile_sketch_merge_lossless_any_split(keys, n_splits, k):
+    """Bottom-k losslessness holds for ANY partition of the rows into
+    batches: merge(sketch(batch_i)) == sketch(all) — the property that
+    makes per-day sketch tables sound."""
+    from pyspark.sql import Row
+
+    from ratatool_spark.operators.timeagg import (
+        build_quantile_sketches,
+        merge_quantile_sketches,
+    )
+    from ratatool_spark.session import get_spark
+
+    spark = get_spark("ratatool_spark_tests", shuffle_partitions=8)
+    rows = [
+        Row(rid=i, g="g", v=float(kv)) for i, kv in enumerate(keys)
+    ]
+    df = spark.createDataFrame(rows)
+    build = lambda d: build_quantile_sketches(  # noqa: E731
+        d, ["g"], "v", ["rid"], k=k
+    )
+    parts = [
+        df.where((df.rid % n_splits) == j) for j in range(n_splits)
+    ]
+    merged = merge_quantile_sketches(
+        *[build(p) for p in parts if p.count() > 0]
+    ).collect()
+    direct = build(df).collect()
+    gm = {tuple(r["g"]): None for r in []}  # noqa: F841
+    assert len(merged) == len(direct) == 1
+    assert merged[0]["sample"] == direct[0]["sample"]
+    assert merged[0]["k"] == direct[0]["k"]
