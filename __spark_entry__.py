@@ -4993,6 +4993,96 @@ FROM bucketed GROUP BY bucket
 """
 
 
+def _q_corpus_build(spark, sf_dir):
+    """End-to-end corpus build composing the r5 curation operators in
+    production order: corpus-level line dedup (drop >900-occurrence
+    boilerplate words, reassemble) -> per-source cap (15 docs, smallest
+    portable hash) -> leakage-free grouped split (diced on source) ->
+    per-split report (volume, surviving tokens, source spread). One
+    lineage, no intermediate materialization — Catalyst fuses the whole
+    chain; the oracle replays every stage in SQL."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.corpus import (
+        assign_splits,
+        cap_per_group,
+        remove_duplicate_lines,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cleaned = remove_duplicate_lines(
+        docs, text_col="text", id_col="doc_id", max_occurrences=900, sep=" "
+    )
+    capped = cap_per_group(cleaned, group_col="source", max_rows=15, seed=3)
+    split = assign_splits(
+        capped,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        dice_cols=("source",),
+        seed=5,
+    )
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), " "), lambda t: F.length(t) > 0
+    )
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).alias("n_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_lines_removed").alias("n_words_removed"),
+    )
+
+
+def _sql_corpus_build() -> str:
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(weights.values())
+    items = list(weights.items())
+    acc, whens = 0.0, []
+    d = _dice_sql(["source"], seed=5)
+    for name, w in items[:-1]:
+        acc += w / total
+        whens.append(f"WHEN {d} < {acc!r} THEN '{name}'")
+    split_case = f"CASE {' '.join(whens)} ELSE '{items[-1][0]}' END"
+    cap_hash = (
+        "('0x' || substr(md5(concat_ws(chr(1), '3', "
+        "CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT"
+    )
+    return f"""
+WITH lx AS (
+  SELECT doc_id, source, string_split(COALESCE(text, ''), ' ') AS ls
+  FROM documents
+), ex AS (
+  SELECT doc_id, ls[pos] AS line, pos
+  FROM lx, UNNEST(range(1, len(ls) + 1)) AS t(pos)
+), viol AS (
+  SELECT line FROM ex WHERE LENGTH(line) >= 2
+  GROUP BY line HAVING COUNT(*) > 900
+), kept AS (
+  SELECT e.doc_id,
+         COALESCE(STRING_AGG(e.line, ' ' ORDER BY e.pos)
+                  FILTER (WHERE v.line IS NULL), '') AS text,
+         COUNT(*) FILTER (WHERE v.line IS NOT NULL) AS n_words_removed
+  FROM ex e LEFT JOIN viol v ON e.line = v.line
+  GROUP BY e.doc_id
+), cleaned AS (
+  SELECT d.doc_id, d.source, k.text, k.n_words_removed
+  FROM documents d JOIN kept k ON d.doc_id = k.doc_id
+), capped AS (
+  SELECT doc_id, source, text, n_words_removed FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY source ORDER BY {cap_hash}
+    ) AS rn FROM cleaned
+  ) WHERE rn <= 15
+), split AS (
+  SELECT *, {split_case} AS split FROM capped
+)
+SELECT split, COUNT(*) AS n_docs,
+       CAST(SUM(len(list_filter(string_split(trim(text), ' '),
+                                x -> LENGTH(x) > 0))) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(SUM(n_words_removed) AS BIGINT) AS n_words_removed
+FROM split GROUP BY split
+"""
+
+
 def _q_cap_per_source(spark, sf_dir):
     """Per-domain document cap (operators/corpus.cap_per_group): at most
     10 docs per source, kept by smallest portable hash — a uniform,
@@ -5200,6 +5290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_overlap_estimates": _q_set_overlap,
         "rollup_anomalies": _q_rollup_anomalies,
         "pipeline_quality_buckets": _q_quality_buckets,
+        "pipeline_corpus_build": _q_corpus_build,
         # --- r4 additions never driver-blessed (r4 overflow, rotated in) -
         "tpch_q16_supplier_part_counts": _q_tpch_q16,
         "tpch_q19_disjunctive_revenue": _q_tpch_q19,
@@ -5328,6 +5419,7 @@ def oracle_sql() -> dict[str, str]:
         "set_overlap_estimates": _SQL_SET_OVERLAP,
         "rollup_anomalies": _SQL_ROLLUP_ANOMALIES,
         "pipeline_quality_buckets": _sql_quality_buckets(),
+        "pipeline_corpus_build": _sql_corpus_build(),
         "bootstrap_sample_orders": _sql_bootstrap_sample(),
         "corpus_report": _sql_corpus_report(),
         "dedup_substring_containment": _SQL_DEDUP_SUBSTRING,
