@@ -5083,6 +5083,72 @@ FROM split GROUP BY split
 """
 
 
+def _q_pii_luhn_audit(spark, sf_dir):
+    """Extended PII audit (functions/text pii_counts_extended +
+    luhn_valid): SSN- and card-shaped strings are synthesized
+    deterministically from order keys (so Luhn validity varies row to
+    row), then counted and Luhn-verified with pure expressions. The
+    oracle rebuilds the same strings and replays the checksum fold with
+    list_reduce — a wrong double/overflow rule in either engine flips
+    n_card_valid and hash-mismatches."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.functions.text import pii_counts_extended
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderkey") % 31 == 0
+    )
+    ssn9 = F.lpad((F.col("o_orderkey") % 1000000000).cast("string"), 9, "0")
+    card16 = F.lpad(
+        ((F.col("o_orderkey") * 7919 + F.col("o_custkey")) % 10000000000000000)
+        .cast("string"),
+        16,
+        "0",
+    )
+    text = F.concat(
+        F.lit("ssn "),
+        F.substring(ssn9, 1, 3),
+        F.lit("-"),
+        F.substring(ssn9, 4, 2),
+        F.lit("-"),
+        F.substring(ssn9, 6, 4),
+        F.lit(" card "),
+        card16,
+    )
+    n_ssn, n_card, n_valid = pii_counts_extended(text)
+    return orders.select(
+        "o_orderkey",
+        n_ssn.alias("n_ssn"),
+        n_card.alias("n_card"),
+        n_valid.alias("n_card_valid"),
+    )
+
+
+_SQL_PII_LUHN = """
+WITH built AS (
+  SELECT o_orderkey,
+         lpad(CAST((o_orderkey * 7919 + o_custkey) % 10000000000000000 AS VARCHAR),
+              16, '0') AS card
+  FROM orders WHERE o_orderkey % 31 = 0
+), luhn AS (
+  SELECT o_orderkey,
+         list_reduce(
+           list_transform(range(1, 17), i ->
+             CASE WHEN i % 2 = 0
+                  THEN CASE WHEN CAST(reverse(card)[i] AS INT) * 2 > 9
+                            THEN CAST(reverse(card)[i] AS INT) * 2 - 9
+                            ELSE CAST(reverse(card)[i] AS INT) * 2 END
+                  ELSE CAST(reverse(card)[i] AS INT) END),
+           (a, b) -> a + b
+         ) AS chk
+  FROM built
+)
+SELECT o_orderkey, 1 AS n_ssn, 1 AS n_card,
+       CASE WHEN chk % 10 = 0 THEN 1 ELSE 0 END AS n_card_valid
+FROM luhn
+"""
+
+
 def _q_cap_per_source(spark, sf_dir):
     """Per-domain document cap (operators/corpus.cap_per_group): at most
     10 docs per source, kept by smallest portable hash — a uniform,
@@ -5291,6 +5357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_anomalies": _q_rollup_anomalies,
         "pipeline_quality_buckets": _q_quality_buckets,
         "pipeline_corpus_build": _q_corpus_build,
+        "text_pii_luhn_audit": _q_pii_luhn_audit,
         # --- r4 additions never driver-blessed (r4 overflow, rotated in) -
         "tpch_q16_supplier_part_counts": _q_tpch_q16,
         "tpch_q19_disjunctive_revenue": _q_tpch_q19,
@@ -5420,6 +5487,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_anomalies": _SQL_ROLLUP_ANOMALIES,
         "pipeline_quality_buckets": _sql_quality_buckets(),
         "pipeline_corpus_build": _sql_corpus_build(),
+        "text_pii_luhn_audit": _SQL_PII_LUHN,
         "bootstrap_sample_orders": _sql_bootstrap_sample(),
         "corpus_report": _sql_corpus_report(),
         "dedup_substring_containment": _SQL_DEDUP_SUBSTRING,

@@ -190,3 +190,56 @@ def fingerprint(text: Column, hasher: str = "portable") -> Column:
 
     normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     return text_hash64(normalized, hasher)
+
+
+SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
+CARD_RE = r"\b\d{4}-\d{4}-\d{4}-\d{4}\b|\b\d{16}\b"
+
+
+def luhn_valid(s: Column) -> Column:
+    """True when the digit content of ``s`` passes the Luhn checksum and
+    has a plausible PAN length (13-19 digits) — the audit companion to
+    card-shaped regex matches: a 16-digit run that fails Luhn is almost
+    always an ID/hash, not a card, and should not be counted as PII.
+
+    Pure expressions (reverse + per-position fold via ``aggregate``), so
+    it runs inside whole-stage codegen and replays exactly in any engine
+    with list folds (the oracle uses DuckDB ``list_reduce``)."""
+    digits = F.regexp_replace(s, r"[^0-9]", "")
+    n = F.length(digits)
+    rev = F.reverse(digits)
+    chars = F.split(rev, "")
+    d = lambda i: F.element_at(chars, i).cast("int")  # noqa: E731
+    term = lambda i: F.when(  # noqa: E731
+        i % 2 == 0,
+        F.when(d(i) * 2 > 9, d(i) * 2 - 9).otherwise(d(i) * 2),
+    ).otherwise(d(i))
+    total = F.aggregate(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        F.lit(0),
+        lambda acc, i: acc + term(i),
+    )
+    return (n >= 13) & (n <= 19) & (total % 10 == 0)
+
+
+def pii_counts_extended(text: Column) -> tuple[Column, Column, Column]:
+    """(n_ssn, n_card_shaped, n_card_luhn_valid) — the US-SSN and
+    payment-card audit columns. ``n_card_shaped`` counts regex matches;
+    ``n_card_luhn_valid`` counts the subset passing :func:`luhn_valid`
+    (the number a compliance report should cite)."""
+    cards = F.regexp_extract_all(text, F.lit(CARD_RE), F.lit(0))
+    return (
+        F.size(F.regexp_extract_all(text, F.lit(SSN_RE), F.lit(0))),
+        F.size(cards),
+        F.size(F.filter(cards, luhn_valid)),
+    )
+
+
+def redact_pii_extended(text: Column) -> Column:
+    """:func:`redact_pii` plus SSN and card-shaped redaction. The card
+    rule is regex-shaped (every 16-digit run goes — over-redaction is the
+    safe failure mode for training data); use ``pii_counts_extended`` for
+    the Luhn-verified audit number."""
+    out = redact_pii(text)
+    out = F.regexp_replace(out, SSN_RE, "[SSN]")
+    return F.regexp_replace(out, CARD_RE, "[CARD]")

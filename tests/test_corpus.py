@@ -651,3 +651,48 @@ def test_cap_per_group_uniform_and_stable(spark):
     assert ids1 == ids2
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_luhn_and_extended_pii(spark):
+    """luhn_valid accepts known-good PANs, rejects off-by-one; extended
+    redaction covers SSN and both card shapes; the Luhn-verified count is
+    a subset of the shaped count."""
+    from ratatool_spark.functions.text import (
+        luhn_valid,
+        pii_counts_extended,
+        redact_pii_extended,
+    )
+
+    rows = [
+        Row(i=1, t="pay 4539-1488-0343-6467 now"),      # valid (test PAN)
+        Row(i=2, t="pay 4539-1488-0343-6468 now"),      # checksum broken
+        Row(i=3, t="raw 4111111111111111 and ssn 078-05-1120"),  # both
+        Row(i=4, t="order id 1234567890123456"),        # card-shaped, invalid
+        Row(i=5, t="no pii at all"),
+    ]
+    df = spark.createDataFrame(rows)
+    n_ssn, n_card, n_ok = pii_counts_extended(F.col("t"))
+    got = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            n_ssn.alias("s"),
+            n_card.alias("c"),
+            n_ok.alias("ok"),
+            redact_pii_extended(F.col("t")).alias("r"),
+        ).collect()
+    }
+    assert (got[1]["c"], got[1]["ok"]) == (1, 1)
+    assert (got[2]["c"], got[2]["ok"]) == (1, 0)
+    assert (got[3]["s"], got[3]["c"], got[3]["ok"]) == (1, 1, 1)
+    assert (got[4]["c"], got[4]["ok"]) == (1, 0)
+    assert got[3]["r"] == "raw [CARD] and ssn [SSN]"
+    assert got[5]["r"] == "no pii at all"
+    # direct luhn on loose strings, including length bounds
+    probe = spark.createDataFrame(
+        [Row(s="49927398716"), Row(s="4992739871698"), Row(s="79927398713x")]
+    ).select("s", luhn_valid(F.col("s")).alias("v")).collect()
+    vals = {r["s"]: r["v"] for r in probe}
+    assert vals["49927398716"] is False   # valid checksum but 11 digits
+    assert vals["4992739871698"] is False  # 13 digits, checksum 87 != 0 mod 10
+    assert vals["79927398713x"] is False  # non-digits stripped -> 11 digits
