@@ -412,3 +412,34 @@ def lsh_topk(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def topk_recall(
+    truth_df: DataFrame,
+    approx_df: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+) -> DataFrame:
+    """(query, n_truth, n_hit, recall) — per-query recall of an
+    approximate top-k result against the exact one: the measurement that
+    turns "LSH/IVF is faster" into an accountable trade (recall@k vs
+    probe cost). Pass :func:`brute_force_topk` output as ``truth_df`` on
+    a held-out query sample; both frames only need (query, neighbor)
+    columns. One left join on (query, neighbor) + one per-query
+    aggregate — at scale the truth side is |queries|·k rows, never the
+    corpus."""
+    t = truth_df.select(query_col, id_col)
+    a = (
+        approx_df.select(query_col, id_col)
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        t.join(a, [query_col, id_col], "left")
+        .groupBy(query_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.count("__hit").alias("n_hit"),
+            F.round(F.count("__hit") / F.count(F.lit(1)), 6).alias("recall"),
+        )
+    )

@@ -747,3 +747,20 @@ def test_tfidf_cosine_matches_bruteforce_on_random_corpus(spark):
     # max_doc_freq prunes hot terms: with the cap at 1 every shared term
     # is gone, so no pairs survive
     assert tfidf_cosine_pairs(df, threshold=0.0, max_doc_freq=0).count() == 0
+
+
+def test_topk_recall_bounds_and_exact_self(spark, embeddings):
+    """recall(truth, truth) == 1.0 everywhere; recall against a
+    truncated approx is the expected fraction; values bounded [0,1]."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.similarity import brute_force_topk, topk_recall
+
+    q = embeddings.where(F.col("vec_id") < 4)
+    truth = brute_force_topk(embeddings, q, k=4)
+    self_r = topk_recall(truth, truth).collect()
+    assert self_r and all(r["recall"] == 1.0 for r in self_r)
+    # approx = truth minus rank-4 rows -> recall exactly 0.75
+    approx = truth.where(F.col("rank") <= 3)
+    part = topk_recall(truth, approx).collect()
+    assert all(r["recall"] == 0.75 and r["n_truth"] == 4 for r in part)
