@@ -5185,6 +5185,39 @@ GROUP BY t.query_id
 """
 
 
+def _q_ann_ivf_recall(spark, sf_dir):
+    """Same recall accounting for the IVF path (seed-centroid variant so
+    the oracle can replay it): probing 3 of 8 cells, how much of the
+    exact top-3 survives — the partition-pruning trade made auditable."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        topk_recall,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    truth = brute_force_topk(emb, q, k=3)
+    approx = ivf_topk(emb, q, k=3, n_centroids=8, n_probe=3, train_iters=0)
+    return topk_recall(truth, approx)
+
+
+def _sql_ann_ivf_recall() -> str:
+    truth = _SQL_ANN_BRUTE.strip()
+    approx = _sql_ann_ivf_topk().strip()
+    return f"""
+WITH truth AS ({truth}), approx AS ({approx})
+SELECT t.query_id, COUNT(*) AS n_truth,
+       COUNT(a.neighbor_id) AS n_hit,
+       ROUND(COUNT(a.neighbor_id) / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+FROM truth t LEFT JOIN approx a
+  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+GROUP BY t.query_id
+"""
+
+
 def _q_cap_per_source(spark, sf_dir):
     """Per-domain document cap (operators/corpus.cap_per_group): at most
     10 docs per source, kept by smallest portable hash — a uniform,
@@ -5395,6 +5428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_corpus_build": _q_corpus_build,
         "text_pii_luhn_audit": _q_pii_luhn_audit,
         "ann_recall_report": _q_ann_recall,
+        "ann_ivf_recall_report": _q_ann_ivf_recall,
         # --- r4 additions never driver-blessed (r4 overflow, rotated in) -
         "tpch_q16_supplier_part_counts": _q_tpch_q16,
         "tpch_q19_disjunctive_revenue": _q_tpch_q19,
@@ -5526,6 +5560,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_corpus_build": _sql_corpus_build(),
         "text_pii_luhn_audit": _SQL_PII_LUHN,
         "ann_recall_report": _sql_ann_recall(),
+        "ann_ivf_recall_report": _sql_ann_ivf_recall(),
         "bootstrap_sample_orders": _sql_bootstrap_sample(),
         "corpus_report": _sql_corpus_report(),
         "dedup_substring_containment": _SQL_DEDUP_SUBSTRING,
