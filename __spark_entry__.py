@@ -5218,6 +5218,71 @@ GROUP BY t.query_id
 """
 
 
+def _q_jsonl_roundtrip(spark, sf_dir):
+    """JSON-lines IO round-trip (sources/io S6): documents written as
+    JSONL and read back through the sniffing reader must preserve values
+    AND integer types (Spark's JSON reader infers long for integral
+    columns; a silent double inference would change hashes). Oracle =
+    the original table."""
+    import os
+    import tempfile
+
+    from ratatool_spark.sources.io import read_table, write_table
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = os.path.join(tempfile.mkdtemp(prefix="rt_jsonl_"), "docs_jsonl")
+    write_table(docs, out, fmt="json", mode="overwrite")
+    back = read_table(spark, out, fmt="json")
+    return back.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+_SQL_JSONL_ROUNDTRIP = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+
+def _q_partitioned_roundtrip(spark, sf_dir):
+    """Partitioned-sink round-trip (S11): events written partitioned by
+    event_type, read back via partition discovery — the partition column
+    must come back with its VALUES intact (it lives in directory names,
+    not data files; a broken basePath or type inference shows up here),
+    and partition pruning on read is plan-pinned in tests. Aggregated so
+    the gate hashes every partition's contents."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.sources.io import load_tables, write_table
+
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    out = os.path.join(tempfile.mkdtemp(prefix="rt_part_"), "by_type")
+    write_table(
+        ev.select("event_id", "user_id", "value", "event_type"),
+        out,
+        fmt="parquet",
+        partition_by=["event_type"],
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").alias("sum_ids"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+_SQL_PARTITIONED_ROUNDTRIP = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
 def _q_cap_per_source(spark, sf_dir):
     """Per-domain document cap (operators/corpus.cap_per_group): at most
     10 docs per source, kept by smallest portable hash — a uniform,
@@ -5429,6 +5494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_luhn_audit": _q_pii_luhn_audit,
         "ann_recall_report": _q_ann_recall,
         "ann_ivf_recall_report": _q_ann_ivf_recall,
+        "jsonl_roundtrip_documents": _q_jsonl_roundtrip,
+        "partitioned_roundtrip_events": _q_partitioned_roundtrip,
         # --- r4 additions never driver-blessed (r4 overflow, rotated in) -
         "tpch_q16_supplier_part_counts": _q_tpch_q16,
         "tpch_q19_disjunctive_revenue": _q_tpch_q19,
@@ -5561,6 +5628,8 @@ def oracle_sql() -> dict[str, str]:
         "text_pii_luhn_audit": _SQL_PII_LUHN,
         "ann_recall_report": _sql_ann_recall(),
         "ann_ivf_recall_report": _sql_ann_ivf_recall(),
+        "jsonl_roundtrip_documents": _SQL_JSONL_ROUNDTRIP,
+        "partitioned_roundtrip_events": _SQL_PARTITIONED_ROUNDTRIP,
         "bootstrap_sample_orders": _sql_bootstrap_sample(),
         "corpus_report": _sql_corpus_report(),
         "dedup_substring_containment": _SQL_DEDUP_SUBSTRING,
