@@ -5283,6 +5283,39 @@ FROM events GROUP BY event_type
 """
 
 
+def _q_row_restriction(spark, sf_dir):
+    """rowRestriction predicate plumbing (sources/io.row_restriction —
+    the reference's BigQuery --rowRestriction adapted onto file scans):
+    the SQL-string predicate must parse, push to the scan (plan-pinned in
+    tests), and select exactly the oracle's WHERE set, including the
+    quote-strip rule on string literals."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.sources.io import row_restriction
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = row_restriction(
+        orders,
+        "o_orderkey % 13 = 0 AND o_totalprice > 1000.0 "
+        "AND o_orderpriority = '1-URGENT'",
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+
+
+_SQL_ROW_RESTRICTION = """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice,
+       o_orderpriority
+FROM orders
+WHERE o_orderkey % 13 = 0 AND o_totalprice > 1000.0
+  AND o_orderpriority = '1-URGENT'
+"""
+
+
 def _q_cap_per_source(spark, sf_dir):
     """Per-domain document cap (operators/corpus.cap_per_group): at most
     10 docs per source, kept by smallest portable hash — a uniform,
@@ -5496,6 +5529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_recall_report": _q_ann_ivf_recall,
         "jsonl_roundtrip_documents": _q_jsonl_roundtrip,
         "partitioned_roundtrip_events": _q_partitioned_roundtrip,
+        "row_restriction_scan": _q_row_restriction,
         # --- r4 additions never driver-blessed (r4 overflow, rotated in) -
         "tpch_q16_supplier_part_counts": _q_tpch_q16,
         "tpch_q19_disjunctive_revenue": _q_tpch_q19,
@@ -5630,6 +5664,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_recall_report": _sql_ann_ivf_recall(),
         "jsonl_roundtrip_documents": _SQL_JSONL_ROUNDTRIP,
         "partitioned_roundtrip_events": _SQL_PARTITIONED_ROUNDTRIP,
+        "row_restriction_scan": _SQL_ROW_RESTRICTION,
         "bootstrap_sample_orders": _sql_bootstrap_sample(),
         "corpus_report": _sql_corpus_report(),
         "dedup_substring_containment": _SQL_DEDUP_SUBSTRING,
