@@ -5316,6 +5316,48 @@ WHERE o_orderkey % 13 = 0 AND o_totalprice > 1000.0
 """
 
 
+def _q_stream_quantile_sketches(spark, sf_dir):
+    """Streaming sketch maintenance run for REAL (streaming/sketches):
+    events staged into a multi-file landing zone, streamed one file per
+    trigger (availableNow), each micro-batch writing its own KMV partial;
+    the read side merges every partial and estimates. Because bottom-k
+    merge is lossless under ANY batching, the oracle is simply the
+    direct single-pass KMV quantile SQL — the gate fails if the
+    streaming path drops, duplicates, or mis-merges any batch."""
+    import os
+    import tempfile
+
+    from ratatool_spark.operators.timeagg import estimate_quantiles
+    from ratatool_spark.streaming.sketches import (
+        read_stream_quantile_sketches,
+        stream_quantile_sketches,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="rt_qsk_")
+    src = os.path.join(root, "incoming")
+    ev.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_quantile_sketches(
+        stream,
+        os.path.join(root, "sk"),
+        os.path.join(root, "ckpt"),
+        group_cols=["event_type"],
+        value_col="value",
+        key_cols=["event_id"],
+        k=1024,
+    )
+    q.awaitTermination()
+    merged = read_stream_quantile_sketches(spark, os.path.join(root, "sk"))
+    return estimate_quantiles(merged, [0.25, 0.5, 0.9])
+
+
 def _q_cap_per_source(spark, sf_dir):
     """Per-domain document cap (operators/corpus.cap_per_group): at most
     10 docs per source, kept by smallest portable hash — a uniform,
@@ -5530,6 +5572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_roundtrip_documents": _q_jsonl_roundtrip,
         "partitioned_roundtrip_events": _q_partitioned_roundtrip,
         "row_restriction_scan": _q_row_restriction,
+        "stream_quantile_sketches": _q_stream_quantile_sketches,
         # --- r4 additions never driver-blessed (r4 overflow, rotated in) -
         "tpch_q16_supplier_part_counts": _q_tpch_q16,
         "tpch_q19_disjunctive_revenue": _q_tpch_q19,
@@ -5665,6 +5708,7 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_roundtrip_documents": _SQL_JSONL_ROUNDTRIP,
         "partitioned_roundtrip_events": _SQL_PARTITIONED_ROUNDTRIP,
         "row_restriction_scan": _SQL_ROW_RESTRICTION,
+        "stream_quantile_sketches": _sql_quantile_sketch_merge(),
         "bootstrap_sample_orders": _sql_bootstrap_sample(),
         "corpus_report": _sql_corpus_report(),
         "dedup_substring_containment": _SQL_DEDUP_SUBSTRING,
