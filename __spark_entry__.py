@@ -5358,6 +5358,118 @@ def _q_stream_quantile_sketches(spark, sf_dir):
     return estimate_quantiles(merged, [0.25, 0.5, 0.9])
 
 
+def _q_profile_pii(spark, sf_dir):
+    """Column-level PII scan (operators/profile.profile_pii): documents
+    get a synthesized `contact` column cycling email / SSN / Luhn-varying
+    card / clean by doc id; the profiler reports per-column,
+    per-pattern match-bearing-row counts in ONE aggregation over one
+    scan. The oracle rebuilds the same strings and replays every regex
+    (and the Luhn fold) in DuckDB."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.profile import profile_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ssn9 = F.lpad((F.col("doc_id") * 37 % 1000000000).cast("string"), 9, "0")
+    card16 = F.lpad(
+        ((F.col("doc_id") * 7919 + 11) % 10000000000000000).cast("string"),
+        16,
+        "0",
+    )
+    contact = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("u"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.substring(ssn9, 1, 3),
+                F.lit("-"),
+                F.substring(ssn9, 4, 2),
+                F.lit("-"),
+                F.substring(ssn9, 6, 4),
+            ),
+        )
+        .when(F.col("doc_id") % 4 == 2, card16)
+        .otherwise(F.lit("no contact on file"))
+    )
+    return profile_pii(
+        docs.select("doc_id", "text", contact.alias("contact")),
+        columns=["text", "contact"],
+    )
+
+
+_SQL_PROFILE_PII = r"""
+WITH built AS (
+  SELECT doc_id, text,
+         CASE
+           WHEN doc_id % 4 = 0 THEN 'u' || CAST(doc_id AS VARCHAR) || '@example.com'
+           WHEN doc_id % 4 = 1 THEN
+             substr(lpad(CAST(doc_id * 37 % 1000000000 AS VARCHAR), 9, '0'), 1, 3)
+             || '-' ||
+             substr(lpad(CAST(doc_id * 37 % 1000000000 AS VARCHAR), 9, '0'), 4, 2)
+             || '-' ||
+             substr(lpad(CAST(doc_id * 37 % 1000000000 AS VARCHAR), 9, '0'), 6, 4)
+           WHEN doc_id % 4 = 2 THEN
+             lpad(CAST((doc_id * 7919 + 11) % 10000000000000000 AS VARCHAR), 16, '0')
+           ELSE 'no contact on file'
+         END AS contact
+  FROM documents
+), pats AS (
+  SELECT
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}' AS email,
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b' AS ipv4,
+    '\b\d{3}-\d{4}\b' AS phone,
+    '\b\d{3}-\d{2}-\d{4}\b' AS ssn,
+    '\b\d{4}-\d{4}-\d{4}-\d{4}\b|\b\d{16}\b' AS card
+), counted AS (
+  SELECT
+    COUNT(*) AS n,
+    COUNT(CASE WHEN regexp_matches(text, p.email) THEN 1 END) AS t_email,
+    COUNT(CASE WHEN regexp_matches(text, p.ipv4) THEN 1 END) AS t_ipv4,
+    COUNT(CASE WHEN regexp_matches(text, p.phone) THEN 1 END) AS t_phone,
+    COUNT(CASE WHEN regexp_matches(text, p.ssn) THEN 1 END) AS t_ssn,
+    COUNT(CASE WHEN regexp_matches(text, p.card) THEN 1 END) AS t_card,
+    COUNT(CASE WHEN len(list_filter(
+        regexp_extract_all(text, p.card),
+        x -> len(replace(x, '-', '')) = 16 AND
+             list_reduce(list_transform(range(1, 17), i ->
+               CASE WHEN i % 2 = 0
+                    THEN CASE WHEN CAST(reverse(replace(x, '-', ''))[i] AS INT) * 2 > 9
+                              THEN CAST(reverse(replace(x, '-', ''))[i] AS INT) * 2 - 9
+                              ELSE CAST(reverse(replace(x, '-', ''))[i] AS INT) * 2 END
+                    ELSE CAST(reverse(replace(x, '-', ''))[i] AS INT) END),
+               (a, b) -> a + b) % 10 = 0
+      )) > 0 THEN 1 END) AS t_luhn,
+    COUNT(CASE WHEN regexp_matches(contact, p.email) THEN 1 END) AS c_email,
+    COUNT(CASE WHEN regexp_matches(contact, p.ipv4) THEN 1 END) AS c_ipv4,
+    COUNT(CASE WHEN regexp_matches(contact, p.phone) THEN 1 END) AS c_phone,
+    COUNT(CASE WHEN regexp_matches(contact, p.ssn) THEN 1 END) AS c_ssn,
+    COUNT(CASE WHEN regexp_matches(contact, p.card) THEN 1 END) AS c_card,
+    COUNT(CASE WHEN len(list_filter(
+        regexp_extract_all(contact, p.card),
+        x -> len(replace(x, '-', '')) = 16 AND
+             list_reduce(list_transform(range(1, 17), i ->
+               CASE WHEN i % 2 = 0
+                    THEN CASE WHEN CAST(reverse(replace(x, '-', ''))[i] AS INT) * 2 > 9
+                              THEN CAST(reverse(replace(x, '-', ''))[i] AS INT) * 2 - 9
+                              ELSE CAST(reverse(replace(x, '-', ''))[i] AS INT) * 2 END
+                    ELSE CAST(reverse(replace(x, '-', ''))[i] AS INT) END),
+               (a, b) -> a + b) % 10 = 0
+      )) > 0 THEN 1 END) AS c_luhn
+  FROM built, pats p
+)
+SELECT 'text' AS column, n AS n_scanned, t_email AS n_email, t_ipv4 AS n_ipv4,
+       t_phone AS n_phone, t_ssn AS n_ssn, t_card AS n_card_shaped,
+       t_luhn AS n_card_luhn
+FROM counted
+UNION ALL
+SELECT 'contact', n, c_email, c_ipv4, c_phone, c_ssn, c_card, c_luhn
+FROM counted
+"""
+
+
 def _q_cap_per_source(spark, sf_dir):
     """Per-domain document cap (operators/corpus.cap_per_group): at most
     10 docs per source, kept by smallest portable hash — a uniform,
@@ -5573,6 +5685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partitioned_roundtrip_events": _q_partitioned_roundtrip,
         "row_restriction_scan": _q_row_restriction,
         "stream_quantile_sketches": _q_stream_quantile_sketches,
+        "profile_pii_columns": _q_profile_pii,
         # --- r4 additions never driver-blessed (r4 overflow, rotated in) -
         "tpch_q16_supplier_part_counts": _q_tpch_q16,
         "tpch_q19_disjunctive_revenue": _q_tpch_q19,
@@ -5709,6 +5822,7 @@ def oracle_sql() -> dict[str, str]:
         "partitioned_roundtrip_events": _SQL_PARTITIONED_ROUNDTRIP,
         "row_restriction_scan": _SQL_ROW_RESTRICTION,
         "stream_quantile_sketches": _sql_quantile_sketch_merge(),
+        "profile_pii_columns": _SQL_PROFILE_PII,
         "bootstrap_sample_orders": _sql_bootstrap_sample(),
         "corpus_report": _sql_corpus_report(),
         "dedup_substring_containment": _SQL_DEDUP_SUBSTRING,

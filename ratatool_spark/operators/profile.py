@@ -120,3 +120,84 @@ def profile_table(
         "min_value",
         "max_value",
     )
+
+
+def profile_pii(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    sample_fraction: float | None = None,
+    dice_cols: list[str] | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Column-level PII scan — the governance question "WHICH columns
+    carry emails / IPs / phones / SSNs / card numbers, and how often":
+    one row per scanned string column with the rows-scanned count and
+    per-pattern match-bearing-row counts (``n_email``, ``n_ipv4``,
+    ``n_phone``, ``n_ssn``, ``n_card_shaped``, ``n_card_luhn`` — the
+    Luhn-verified subset separates real PANs from id-shaped noise).
+
+    ``sample_fraction`` scans a deterministic hash-dice cohort instead of
+    the full table (``dice_cols`` defaults to the scanned columns'
+    values, so membership is content-stable) — at 100 TB a 0.1% sample
+    bounds the scan while rates stay estimable; the counts are over the
+    sample and reproducible in any engine.
+
+    Shape: ONE pass — every (column × pattern) counter is a conditional
+    aggregate in a single aggregation over a single scan; the unpivot to
+    one-row-per-column happens on the 1-row aggregate result (stack),
+    never on data."""
+    from ratatool_spark.functions.hashing import dice
+    from ratatool_spark.functions.text import (
+        CARD_RE,
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+        SSN_RE,
+        luhn_valid,
+    )
+
+    if columns is None:
+        columns = [
+            f.name for f in df.schema.fields if f.dataType.simpleString() == "string"
+        ]
+    if not columns:
+        raise ValueError("no string columns to scan")
+    scan = df
+    if sample_fraction is not None:
+        dcols = dice_cols if dice_cols is not None else columns
+        scan = df.where(dice([F.col(c) for c in dcols], seed=seed) < sample_fraction)
+
+    pats = {
+        "n_email": EMAIL_RE,
+        "n_ipv4": IPV4_RE,
+        "n_phone": PHONE_RE,
+        "n_ssn": SSN_RE,
+        "n_card_shaped": CARD_RE,
+    }
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in columns:
+        for name, pat in pats.items():
+            aggs.append(
+                F.count(
+                    F.when(F.col(c).rlike(pat), F.lit(1))
+                ).alias(f"__{name}__{c}")
+            )
+        cards = F.regexp_extract_all(F.col(c), F.lit(CARD_RE), F.lit(0))
+        aggs.append(
+            F.count(
+                F.when(F.size(F.filter(cards, luhn_valid)) > 0, F.lit(1))
+            ).alias(f"__n_card_luhn__{c}")
+        )
+    row = scan.agg(*aggs)
+    names = [*pats.keys(), "n_card_luhn"]
+    stack_args = []
+    for c in columns:
+        stack_args.append(f"'{c}'")
+        stack_args.extend(f"`__{n}__{c}`" for n in names)
+    expr = (
+        f"stack({len(columns)}, {', '.join(stack_args)}) as "
+        f"(column, {', '.join(names)})"
+    )
+    return row.select(F.col("__n").alias("n_scanned"), F.expr(expr)).select(
+        "column", "n_scanned", *names
+    )

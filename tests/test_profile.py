@@ -95,3 +95,40 @@ def test_profile_empty_table_returns_rows(spark):
                          exact_distinct=True).collect()
     assert len(rows) == 1
     assert rows[0]["n_rows"] == 0 and rows[0]["null_frac"] is None
+
+
+def test_profile_pii_single_pass_and_sampling(spark):
+    """profile_pii: per-column pattern counts from ONE scan/aggregation
+    (plan-pinned), Luhn-verified subset <= shaped count, deterministic
+    hash-dice sampling scans a stable strict subset."""
+    from pyspark.sql import Row
+
+    from ratatool_spark.operators.profile import profile_pii
+
+    rows = [
+        Row(i=i, a=f"user{i}@mail.com" if i % 2 == 0 else "plain",
+            b="4539-1488-0343-6467" if i % 3 == 0 else f"id {i}")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r["column"]: r for r in profile_pii(df, columns=["a", "b"]).collect()}
+    assert out["a"]["n_email"] == 30 and out["a"]["n_card_shaped"] == 0
+    assert out["b"]["n_card_shaped"] == 20 == out["b"]["n_card_luhn"]
+    assert all(r["n_scanned"] == 60 for r in out.values())
+    # single scan, single aggregate
+    plan = (
+        profile_pii(df, columns=["a", "b"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan ExistingRDD") + plan.count("FileScan") <= 1
+    # deterministic sample: same cohort twice, smaller than full
+    s1 = profile_pii(df, columns=["a", "b"], sample_fraction=0.5).collect()
+    s2 = profile_pii(df, columns=["a", "b"], sample_fraction=0.5).collect()
+    assert s1 == s2
+    assert 0 < s1[0]["n_scanned"] < 60
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="no string columns"):
+        profile_pii(df.select("i"))
