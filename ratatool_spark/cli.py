@@ -249,6 +249,19 @@ def build_parser() -> argparse.ArgumentParser:
     cg.add_argument("--seed", type=int, default=0)
     cg.add_argument("--format", default=None, help="override input format sniffing")
 
+    pp = sub.add_parser(
+        "profilePii",
+        help="column-level PII scan: per-column email/IP/phone/SSN/card "
+        "match counts (+ Luhn-verified cards), one pass, optional "
+        "deterministic sample",
+    )
+    pp.add_argument("--input", required=True)
+    pp.add_argument("--output", required=True)
+    pp.add_argument("--columns", type=_csv, default=None, help="default: all string columns")
+    pp.add_argument("--sampleFraction", type=float, default=None)
+    pp.add_argument("--seed", type=int, default=0)
+    pp.add_argument("--format", default=None, help="override input format sniffing")
+
     mx = sub.add_parser(
         "mixtureSample",
         help="resample toward a target per-source mixture "
@@ -595,6 +608,17 @@ def main(argv: list[str] | None = None) -> int:
                 group_col=args.groupField,
                 max_rows=args.maxRows,
                 dice_cols=args.diceFields,
+                seed=args.seed,
+            )
+            write_table(out, args.output, mode="overwrite")
+        elif args.command == "profilePii":
+            from ratatool_spark.operators.profile import profile_pii
+
+            df = read_table(spark, args.input, fmt=args.format)
+            out = profile_pii(
+                df,
+                columns=args.columns,
+                sample_fraction=args.sampleFraction,
                 seed=args.seed,
             )
             write_table(out, args.output, mode="overwrite")

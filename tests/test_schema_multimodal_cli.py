@@ -782,3 +782,16 @@ def test_cli_cap_per_group(spark, tmp_path):
     assert rc == 0
     got = spark.read.parquet(out).groupBy("source").count().collect()
     assert got and all(r["count"] <= 2 for r in got)
+
+
+def test_cli_profile_pii(spark, tmp_path):
+    from ratatool_spark.cli import main
+
+    src = str(tmp_path / "docs")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").write.parquet(src)
+    out = str(tmp_path / "pii")
+    rc = main(["profilePii", "--input", src, "--output", out])
+    assert rc == 0
+    got = {r["column"]: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == {"text", "lang", "source"}
+    assert all(r["n_email"] == 0 for r in got.values())
