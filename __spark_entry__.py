@@ -5470,6 +5470,45 @@ FROM counted
 """
 
 
+def _q_interval_join_outer(spark, sf_dir):
+    """Left-outer branch of the stream-stream interval join: clicks with
+    NO view in the preceding 2 hours surface with NULL right columns —
+    gates the outer-path key coalescing (the l/r key merge that r4's
+    review pinned) against a plain SQL LEFT JOIN."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.streaming.events import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    out = interval_join(
+        clicks, views, key="user_id", lag="2 hours", watermark="1 hour",
+        how="left_outer",
+    )
+    return out.select(
+        "user_id",
+        F.col("l_ts"),
+        F.col("r_ts"),
+        F.col("l_event_id"),
+        F.col("r_event_id"),
+    )
+
+
+_SQL_INTERVAL_JOIN_OUTER = """
+SELECT l.user_id, l.ts AS l_ts, r.ts AS r_ts,
+       l.event_id AS l_event_id, r.event_id AS r_event_id
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts - INTERVAL 2 HOUR AND r.ts <= l.ts
+"""
+
+
 def _q_cap_per_source(spark, sf_dir):
     """Per-domain document cap (operators/corpus.cap_per_group): at most
     10 docs per source, kept by smallest portable hash — a uniform,
@@ -5686,6 +5725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_restriction_scan": _q_row_restriction,
         "stream_quantile_sketches": _q_stream_quantile_sketches,
         "profile_pii_columns": _q_profile_pii,
+        "interval_join_left_outer": _q_interval_join_outer,
         # --- r4 additions never driver-blessed (r4 overflow, rotated in) -
         "tpch_q16_supplier_part_counts": _q_tpch_q16,
         "tpch_q19_disjunctive_revenue": _q_tpch_q19,
@@ -5823,6 +5863,7 @@ def oracle_sql() -> dict[str, str]:
         "row_restriction_scan": _SQL_ROW_RESTRICTION,
         "stream_quantile_sketches": _sql_quantile_sketch_merge(),
         "profile_pii_columns": _SQL_PROFILE_PII,
+        "interval_join_left_outer": _SQL_INTERVAL_JOIN_OUTER,
         "bootstrap_sample_orders": _sql_bootstrap_sample(),
         "corpus_report": _sql_corpus_report(),
         "dedup_substring_containment": _SQL_DEDUP_SUBSTRING,
