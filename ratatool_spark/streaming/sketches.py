@@ -61,7 +61,14 @@ def stream_quantile_sketches(
 def read_stream_quantile_sketches(spark, output_path: str) -> DataFrame:
     """Merge every micro-batch's sketch partial into one sketch table
     (drops the partition-discovery ``batch_id`` column first — it is sink
-    bookkeeping, not a group key)."""
+    bookkeeping, not a group key).
+
+    Read cost grows with the number of accumulated partials (groups ×
+    batches rows). For long-lived streams, compact periodically: because
+    the merge is lossless, writing ``merge_quantile_sketches(partials)``
+    over a fresh base directory and truncating the batch dirs preserves
+    every estimate exactly — the same partial-compaction move as the
+    rollup tables."""
     from ratatool_spark.operators.timeagg import merge_quantile_sketches
 
     parts = spark.read.parquet(output_path).drop("batch_id")

@@ -459,3 +459,97 @@ def test_kmv_quantile_sketch_merge_lossless_any_split(keys, n_splits, k):
     assert len(merged) == len(direct) == 1
     assert merged[0]["sample"] == direct[0]["sample"]
     assert merged[0]["k"] == direct[0]["k"]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["s0", "s1", "s2"]),
+            st.integers(min_value=0, max_value=10**6),
+        ),
+        min_size=1,
+        max_size=80,
+        unique_by=lambda t: t[1],
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=12, deadline=None)
+def test_cap_per_group_is_k_smallest_hashes(rows, cap):
+    """cap_per_group keeps EXACTLY each group's k smallest portable
+    hashes of the dice columns — verified against a python recomputation
+    of the same md5 arithmetic."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from ratatool_spark.operators.corpus import cap_per_group
+    from ratatool_spark.session import get_spark
+
+    spark = get_spark("ratatool_spark_tests", shuffle_partitions=8)
+    df = spark.createDataFrame([Row(source=s, doc_id=i) for s, i in rows])
+    got = {
+        (r["source"], r["doc_id"])
+        for r in cap_per_group(
+            df, group_col="source", max_rows=cap, seed=4
+        ).collect()
+    }
+
+    def ph(i):
+        feed = f"4\x01{i}".encode()
+        return int(hashlib.md5(feed).hexdigest()[:15], 16)
+
+    expect = set()
+    groups: dict = {}
+    for s, i in rows:
+        groups.setdefault(s, []).append(i)
+    for s, ids in groups.items():
+        for i in sorted(ids, key=ph)[:cap]:
+            expect.add((s, i))
+    assert got == expect
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=300), min_size=2, max_size=60),
+    st.lists(st.integers(min_value=0, max_value=300), min_size=2, max_size=60),
+)
+@settings(max_examples=10, deadline=None)
+def test_set_overlap_estimates_match_python_model(a_keys, b_keys):
+    """set_overlap_estimates == a python replay of the KMV estimator on
+    random key sets (k chosen below the union size so the estimator path,
+    not the exact small-set shortcut, is what's checked)."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from ratatool_spark.operators.timeagg import (
+        build_set_sketches,
+        set_overlap_estimates,
+    )
+    from ratatool_spark.session import get_spark
+
+    spark = get_spark("ratatool_spark_tests", shuffle_partitions=8)
+    k = 16
+    rows = [Row(g="a", key=x) for x in a_keys] + [
+        Row(g="b", key=x) for x in b_keys
+    ]
+    df = spark.createDataFrame(rows)
+    out = set_overlap_estimates(
+        build_set_sketches(df, ["g"], "key", k=k)
+    ).collect()
+    assert len(out) == 1
+    got = (round(out[0]["est_jaccard"], 9), round(out[0]["est_intersection"], 6))
+
+    def ph(x):
+        return int(hashlib.md5(f"0\x01{x}".encode()).hexdigest()[:15], 16)
+
+    ka = sorted({ph(x) for x in set(a_keys)})[:k]
+    kb = sorted({ph(x) for x in set(b_keys)})[:k]
+    union_k = sorted(set(ka) | set(kb))[:k]
+    inter = [h for h in union_k if h in set(ka) and h in set(kb)]
+    ej = len(inter) / len(union_k)
+    if len(union_k) >= k:
+        eu = (k - 1) / (union_k[k - 1] / float(1 << 60))
+    else:
+        eu = float(len(union_k))
+    want = (round(ej, 9), round(ej * eu, 6))
+    assert got == want
