@@ -4943,8 +4943,7 @@ WITH roll AS (
 SELECT bucket, n_events,
        FLOOR(m * 10000) / 10000 AS trailing_mean,
        FLOOR(s * 10000) / 10000 AS trailing_std,
-       CASE WHEN n >= 8 AND s IS NOT NULL AND s > 0
-            THEN ABS(v - m) > 2.0 * s END AS is_anomaly
+       CASE WHEN n >= 8 THEN ABS(v - m) > 2.0 * s END AS is_anomaly
 FROM fin
 """
 

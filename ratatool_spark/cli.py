@@ -588,14 +588,15 @@ def main(argv: list[str] | None = None) -> int:
             elif args.mode == "merge":
                 if not args.inputs or len(args.inputs) < 2:
                     raise SystemExit("merge mode needs --inputs a,b[,...]")
+                fmt = args.format or "parquet"
                 out = merge_quantile_sketches(
-                    *(read_table(spark, p, fmt="parquet") for p in args.inputs)
+                    *(read_table(spark, p, fmt=fmt) for p in args.inputs)
                 )
             else:
                 if not args.input:
                     raise SystemExit("estimate mode needs --input (a sketch table)")
                 out = estimate_quantiles(
-                    read_table(spark, args.input, fmt="parquet"),
+                    read_table(spark, args.input, fmt=args.format or "parquet"),
                     [float(q) for q in args.quantiles],
                 )
             write_table(out, args.output, mode="overwrite")

@@ -807,6 +807,13 @@ def cap_per_group(
     is a uniform random sample of the group (hash order is uniform), not
     a storage-order prefix.
 
+    ``dice_cols`` should uniquely identify rows (same contract as
+    ``build_quantile_sketches``): the window breaks hash ties on the dice
+    column values, so WHICH identities are kept is deterministic even
+    under collisions, but two physically different rows carrying the same
+    dice values are interchangeable to the cap — dedupe first if that
+    distinction matters.
+
     Shape: one row_number window over (group, hash) — Spark compiles the
     ``rn <= k`` filter to WindowGroupLimit, so each map task keeps a
     k-row heap per group before the shuffle and the exchange carries
@@ -818,7 +825,9 @@ def cap_per_group(
 
     from ratatool_spark.functions.hashing import hash_cols
 
-    w = Window.partitionBy(group_col).orderBy("__dice")
+    w = Window.partitionBy(group_col).orderBy(
+        "__dice", *[F.col(c) for c in dice_cols]
+    )
     return (
         df.withColumn("__dice", hash_cols(list(dice_cols), seed=seed))
         .withColumn("__rn", F.row_number().over(w))

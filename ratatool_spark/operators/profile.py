@@ -162,6 +162,13 @@ def profile_pii(
         ]
     if not columns:
         raise ValueError("no string columns to scan")
+    for c in columns:
+        if "'" in c or "`" in c:
+            raise ValueError(
+                f"column name {c!r} contains a quote/backtick — it would "
+                "break the generated stack() unpivot; rename the column "
+                "(withColumnRenamed) before scanning"
+            )
     scan = df
     if sample_fraction is not None:
         dcols = dice_cols if dice_cols is not None else columns

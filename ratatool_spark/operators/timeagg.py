@@ -121,7 +121,10 @@ def rollup_from_partials(
         u = u.unionByName(p)
     merged = u.groupBy("bucket").agg(
         F.sum("n_events").alias("n_events"),
-        F.sum("sum_value").cast("decimal(28,6)").alias("sum_value"),
+        # decimal(38,6): the same width the direct path's sum carries —
+        # a narrower cast would overflow (NULL/error) at per-bucket sums
+        # the ladder itself handles, breaking the bit-for-bit claim
+        F.sum("sum_value").cast("decimal(38,6)").alias("sum_value"),
         F.min("min_value").alias("min_value"),
         F.max("max_value").alias("max_value"),
     )
@@ -374,17 +377,21 @@ def merge_quantile_sketches(*sketch_dfs: DataFrame) -> DataFrame:
         .agg(
             F.array_sort(F.collect_list("e")).alias("sample"),
             F.min("k").alias("__kmin"),
-            F.max("k").alias("__kmax"),
         )
     )
+    # the k guard is GLOBAL (one-row broadcast of the whole union's
+    # min/max) — a per-group check would silently pass when the
+    # differing-k tables carry DISJOINT groups, shipping a mixed-k output
+    gk = u.agg(F.min("k").alias("__gkmin"), F.max("k").alias("__gkmax"))
+    merged = merged.crossJoin(F.broadcast(gk))
     guard = F.when(
-        F.col("__kmin") != F.col("__kmax"),
+        F.col("__gkmin") != F.col("__gkmax"),
         F.raise_error(
             F.concat(
                 F.lit("merge_quantile_sketches: mismatched k ("),
-                F.col("__kmin").cast("string"),
+                F.col("__gkmin").cast("string"),
                 F.lit(" vs "),
-                F.col("__kmax").cast("string"),
+                F.col("__gkmax").cast("string"),
                 F.lit(") — sketches are not mergeable; rebuild at one k"),
             )
         ),
@@ -403,13 +410,18 @@ def estimate_quantiles(
     vals = F.array_sort(F.transform("sample", lambda e: e["v"]))
     m = F.size("sample")
     out = [F.col(c) for c in group_cols]
-    for q in qs:
+    labels = [f"q_{int(round(q * 100)):02d}" for q in qs]
+    if len(set(labels)) != len(labels):
+        raise ValueError(
+            f"quantile labels collide ({labels}): output columns are named "
+            "by integer percent — request quantiles at least 1 point apart "
+            "(duplicate column names break parquet writes and selects)"
+        )
+    for q, label in zip(qs, labels):
         if not 0.0 <= q <= 1.0:
             raise ValueError(f"quantile {q} outside [0, 1]")
         idx = (F.lit(1) + F.floor(F.lit(q) * (m - F.lit(1)))).cast("int")
-        out.append(
-            F.element_at(vals, idx).alias(f"q_{int(round(q * 100)):02d}")
-        )
+        out.append(F.element_at(vals, idx).alias(label))
     return sketch_df.select(*out)
 
 
@@ -469,16 +481,18 @@ def merge_set_sketches(*sketch_dfs: DataFrame) -> DataFrame:
     merged = u.groupBy(*group_cols).agg(
         F.flatten(F.collect_list("kmv")).alias("__all"),
         F.min("k").alias("__kmin"),
-        F.max("k").alias("__kmax"),
     )
+    # global (not per-group) guard — see merge_quantile_sketches
+    gk = u.agg(F.min("k").alias("__gkmin"), F.max("k").alias("__gkmax"))
+    merged = merged.crossJoin(F.broadcast(gk))
     guard = F.when(
-        F.col("__kmin") != F.col("__kmax"),
+        F.col("__gkmin") != F.col("__gkmax"),
         F.raise_error(
             F.concat(
                 F.lit("merge_set_sketches: mismatched k ("),
-                F.col("__kmin").cast("string"),
+                F.col("__gkmin").cast("string"),
                 F.lit(" vs "),
-                F.col("__kmax").cast("string"),
+                F.col("__gkmax").cast("string"),
                 F.lit(") — rebuild at one k"),
             )
         ),
@@ -583,10 +597,11 @@ def rollup_anomalies(
     std = F.when(
         warm, F.sqrt(F.greatest(s2 - s1 * s1 / n, F.lit(0.0)) / (n - 1))
     )
-    flag = F.when(
-        warm & std.isNotNull() & (std > 0),
-        F.abs(v - mean) > F.lit(z) * std,
-    )
+    # NOTE: no std > 0 guard — against a CONSTANT warm baseline (std = 0)
+    # any deviation IS the anomaly (|v - m| > z·0 ⇔ v ≠ m); gating on
+    # positive std would return NULL for exactly the spike a monitoring
+    # consumer filtering is_anomaly = TRUE must see
+    flag = F.when(warm, F.abs(v - mean) > F.lit(z) * std)
     return rollup_df.select(
         "*",
         mean.alias("trailing_mean"),

@@ -1000,3 +1000,74 @@ def test_rollup_anomalies_flags_injected_spike(spark):
     # the bucket right after the spike is judged against a baseline that
     # now CONTAINS the spike — it must not be flagged (std inflated)
     assert out[base + dt.timedelta(hours=31)] is False
+
+
+def test_rollup_anomalies_constant_baseline_flags_spike(spark):
+    """Against a CONSTANT warm baseline (trailing std == 0), a deviation
+    must flag TRUE (not NULL) — the r5-review finding: a monitoring
+    consumer filtering is_anomaly = TRUE must see this spike."""
+    import datetime as dt
+
+    from ratatool_spark.operators.timeagg import rollup_anomalies
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (base + dt.timedelta(hours=i), 1, 100.0 if i != 20 else 500.0)
+        for i in range(30)
+    ]
+    roll = spark.createDataFrame(
+        rows, "bucket timestamp, n_events long, sum_value double"
+    )
+    out = {
+        r["bucket"]: r["is_anomaly"]
+        for r in rollup_anomalies(
+            roll, trailing=10, min_periods=5, z=3.0, grain_col=None
+        ).collect()
+    }
+    assert out[base + dt.timedelta(hours=20)] is True
+    assert out[base + dt.timedelta(hours=15)] is False  # constant, warm
+
+
+def test_estimate_quantiles_rejects_colliding_labels(spark):
+    from pyspark.sql import functions as F
+
+    import pytest as _pt
+
+    from ratatool_spark.operators.timeagg import (
+        build_quantile_sketches,
+        estimate_quantiles,
+    )
+    from ratatool_spark.sources.io import load_tables
+
+    ev = load_tables(spark, SF, names=("events",))["events"]
+    sk = build_quantile_sketches(ev, ["event_type"], "value", ["event_id"], k=32)
+    with _pt.raises(ValueError, match="collide"):
+        estimate_quantiles(sk, [0.995, 0.999])
+
+
+def test_merge_sketches_mixed_k_disjoint_groups_still_raises(spark):
+    """The k guard is GLOBAL: tables with different k whose groups are
+    DISJOINT must still raise (the per-group check would pass silently)."""
+    from pyspark.sql import functions as F
+
+    import pytest as _pt
+
+    from ratatool_spark.operators.timeagg import (
+        build_quantile_sketches,
+        build_set_sketches,
+        merge_quantile_sketches,
+        merge_set_sketches,
+    )
+    from ratatool_spark.sources.io import load_tables
+
+    ev = load_tables(spark, SF, names=("events",))["events"]
+    a = ev.where(F.col("event_type") == "click")
+    b = ev.where(F.col("event_type") == "view")
+    qa = build_quantile_sketches(a, ["event_type"], "value", ["event_id"], k=32)
+    qb = build_quantile_sketches(b, ["event_type"], "value", ["event_id"], k=64)
+    with _pt.raises(Exception, match="mismatched k"):
+        merge_quantile_sketches(qa, qb).collect()
+    sa = build_set_sketches(a, ["event_type"], "user_id", k=32)
+    sb = build_set_sketches(b, ["event_type"], "user_id", k=64)
+    with _pt.raises(Exception, match="mismatched k"):
+        merge_set_sketches(sa, sb).collect()
