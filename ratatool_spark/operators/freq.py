@@ -1,0 +1,282 @@
+"""Frequency estimation: exact heavy hitters, skew diagnostics, and
+mergeable count-min frequency sketch tables.
+
+The fourth sketch family next to the HLL distinct / KMV quantile / KMV
+set-overlap tables in ``operators/timeagg``: persisted, mergeable,
+per-group COUNT-MIN sketches that answer "how often does key X occur in
+any union of batches" without rescanning them. Count-min merge is an
+element-wise counter sum, so a merged estimate equals a direct build over
+the concatenated batches EXACTLY — and because the row hash is the
+portable md5 hash (functions/hashing) and the per-depth bucket map is
+plain modular arithmetic, any SQL engine re-derives the same counters and
+the same estimates: the DuckDB oracle gates exact values, not a tolerance
+band (Cormode & Muthukrishnan, J.Alg 2005 for the ±eps·N error envelope;
+the arithmetic itself is deterministic).
+
+Alongside the sketches, two exact one-scan diagnostics a 100 TB operator
+reaches for before picking join/salting strategy:
+
+- :func:`heavy_hitters` — top-k most frequent keys per group, two-stage
+  aggregate + WindowGroupLimit (the exchange carries per-partition
+  (group, key) partials, then k rows per group).
+- :func:`skew_report` — per-column value histogram heads with share and
+  skew ratio, one scan over a column melt; the report that tells you
+  which join keys need salting (operators/skew.salted_join) and how hot
+  the hottest key is.
+
+Scale shapes: the sketch build explodes each row into ``depth`` (group,
+slot) units BEFORE the group aggregate, so map-side combine collapses the
+shuffle to at most groups x depth x width partial counters per task —
+the fact table itself never shuffles. A sketch row is depth*width int64s
+(default 4x1024 = 32 KB/group).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Bucket-map constants, shared verbatim by the DuckDB oracle replay:
+# slot(j) = ((h mod P) * (2j+3) + ((j+1) * MIX mod P)) mod P mod width.
+# P = 2^31 - 1 (prime) keeps every product under 2^63 in engines that
+# error on BIGINT overflow rather than wrap (DuckDB); h is the 60-bit
+# portable md5 hash, already uniform, so the affine map only needs to
+# decorrelate the depth rows, not supply randomness.
+CMS_P = 2147483647
+CMS_MIX = 1013904223
+
+
+def _cms_slot(h, j, width):
+    """0-based bucket of hash ``h`` in depth-row ``j`` (Column exprs).
+    All terms are widened to long first: ``j`` arrives as a 32-bit int
+    from ``sequence`` and ``(j+1) * MIX`` overflows int32 at j >= 2."""
+    jl = (j + F.lit(0)).cast("long")
+    a = jl * 2 + 3
+    b = ((jl + 1) * F.lit(CMS_MIX)) % F.lit(CMS_P)
+    return ((h % F.lit(CMS_P)) * a + b) % F.lit(CMS_P) % width
+
+
+def cms_slot_sql(h_sql: str, j_sql: str, width: int) -> str:
+    """The DuckDB twin of :func:`_cms_slot` — kept beside it so the two
+    implementations cannot drift."""
+    return (
+        f"((({h_sql}) % {CMS_P}) * ({j_sql} * 2 + 3) + "
+        f"(({j_sql} + 1) * {CMS_MIX}) % {CMS_P}) % {CMS_P} % {width}"
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """(group_cols..., key_col, cnt, rank) — the k most frequent keys per
+    group, exact. Ties break on the smaller key so the result is fully
+    deterministic (rank is ``row_number``, not ``rank``).
+
+    Two map-side-combined shuffles: groupBy(group+key) count, then a
+    ``row_number() <= k`` window that Spark rewrites to WindowGroupLimit —
+    each task keeps a k-row heap per group before the second exchange, so
+    it carries O(k x partitions), never the distinct-key table."""
+    counts = df.groupBy(*group_cols, key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy(*group_cols).orderBy(F.desc("cnt"), F.col(key_col))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def skew_report(df: DataFrame, cols: list[str], top_k: int = 5) -> DataFrame:
+    """(column, value, cnt, share, skew_ratio, rank, n_distinct) — the
+    ``top_k`` hottest values of each named column, with the numbers that
+    drive a salting decision: ``share`` = cnt / rows, ``skew_ratio`` =
+    cnt / (rows / n_distinct) (how many times hotter than a uniform key;
+    a skew_ratio of 40 on a join key means the hot task does 40x the
+    average work). Values are compared in their string rendering so one
+    report covers heterogeneous columns; NULL stays a (grouped) NULL row.
+
+    One scan: the columns melt into (column, value) pairs via a map
+    explode, partial-aggregate map-side, and every window (rank, totals,
+    distinct count) shares the single ``column`` partitioning of the
+    already-aggregated value histogram — the fact table shuffles once as
+    counts, never as rows."""
+    if not cols:
+        raise ValueError("skew_report needs at least one column")
+    pairs = []
+    for c in cols:
+        pairs += [F.lit(c), F.col(c).cast("string")]
+    melted = df.select(
+        F.explode(F.create_map(*pairs)).alias("column", "value")
+    )
+    counts = melted.groupBy("column", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wcol = Window.partitionBy("column")
+    wrank = wcol.orderBy(F.desc("cnt"), F.col("value"))
+    n_total = F.sum("cnt").over(wcol)
+    n_distinct = F.count(F.lit(1)).over(wcol)
+    return (
+        counts.withColumn("rank", F.row_number().over(wrank))
+        .withColumn("n_distinct", n_distinct)
+        .withColumn("share", F.col("cnt").cast("double") / n_total)
+        .withColumn(
+            "skew_ratio",
+            (F.col("cnt") * F.col("n_distinct")).cast("double") / n_total,
+        )
+        .where(F.col("rank") <= top_k)
+        .select(
+            "column", "value", "cnt", "share", "skew_ratio", "rank", "n_distinct"
+        )
+    )
+
+
+# ------------------------------------------------ count-min sketch tables
+
+
+def build_freq_sketches(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 0,
+) -> DataFrame:
+    """(group_cols..., cms array<bigint> of depth*width counters, depth,
+    width, n_rows) — one count-min sketch per group. Point-query error
+    envelope: est is never below the true count and exceeds it by more
+    than 2n/width with probability < (1/2)^depth (uniform hash rows).
+
+    The build explodes each row into ``depth`` slot ids before the group
+    aggregate — map-side combine collapses the exchange to at most
+    groups x depth x width partial counters per task. The dense counter
+    array is assembled from the sparse (slot, count) pairs per group;
+    ``n_rows`` falls out of the same aggregate (sum of counters in one
+    depth row equals the row count)."""
+    from ratatool_spark.functions.hashing import hash_cols
+
+    if depth < 1 or width < 1:
+        raise ValueError(f"need depth >= 1 and width >= 1, got {depth}x{width}")
+    h = hash_cols([key_col], seed=seed)
+    slots = F.transform(
+        F.sequence(F.lit(0), F.lit(depth - 1)),
+        lambda j: (j * width + _cms_slot(F.col("__h"), j, width)).cast("int"),
+    )
+    sparse = (
+        df.select(*group_cols, h.alias("__h"))
+        .select(*group_cols, F.explode(slots).alias("__slot"))
+        .groupBy(*group_cols, "__slot")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    m = F.map_from_entries(
+        F.collect_list(F.struct(F.col("__slot"), F.col("__c")))
+    )
+    return sparse.groupBy(*group_cols).agg(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(depth * width - 1)),
+            lambda i: F.coalesce(F.element_at(m, i), F.lit(0)).cast("long"),
+        ).alias("cms"),
+        F.first(F.lit(depth)).alias("depth"),
+        F.first(F.lit(width)).alias("width"),
+        (F.sum("__c") / depth).cast("long").alias("n_rows"),
+    )
+
+
+def merge_freq_sketches(*sketch_dfs: DataFrame) -> DataFrame:
+    """Union sketch tables and sum counters element-wise per group.
+    Count-min merge is LOSSLESS in the estimate sense: the merged sketch
+    is identical to building one sketch over the concatenated inputs
+    (counter addition is associative), pinned exactly by the oracle gate.
+    Mismatched depth/width raises via the same global fused guard as the
+    KMV merges (a per-group check would pass silently when differing
+    geometries carry disjoint groups)."""
+    if not sketch_dfs:
+        raise ValueError("need at least one sketch table")
+    u = sketch_dfs[0]
+    for s in sketch_dfs[1:]:
+        u = u.unionByName(s)
+    group_cols = [
+        c for c in u.columns if c not in ("cms", "depth", "width", "n_rows")
+    ]
+    merged = u.groupBy(*group_cols).agg(
+        F.aggregate(
+            F.collect_list("cms"),
+            F.array_repeat(
+                F.lit(0).cast("long"),
+                (F.first("depth") * F.first("width")).cast("int"),
+            ),
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+        ).alias("cms"),
+        F.first("depth").alias("depth"),
+        F.first("width").alias("width"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+    gk = u.agg(
+        F.min("depth").alias("__dmin"),
+        F.max("depth").alias("__dmax"),
+        F.min("width").alias("__wmin"),
+        F.max("width").alias("__wmax"),
+    )
+    merged = merged.crossJoin(F.broadcast(gk))
+    guard = F.when(
+        (F.col("__dmin") != F.col("__dmax"))
+        | (F.col("__wmin") != F.col("__wmax")),
+        F.raise_error(
+            F.concat(
+                F.lit("merge_freq_sketches: mismatched geometry ("),
+                F.col("__dmin").cast("string"),
+                F.lit("x"),
+                F.col("__wmin").cast("string"),
+                F.lit(" vs "),
+                F.col("__dmax").cast("string"),
+                F.lit("x"),
+                F.col("__wmax").cast("string"),
+                F.lit(") — sketches are not mergeable; rebuild at one size"),
+            )
+        ),
+    ).otherwise(F.col("depth"))
+    return merged.select(
+        *group_cols, "cms", guard.alias("depth"), "width", "n_rows"
+    )
+
+
+def estimate_freqs(
+    sketch_df: DataFrame,
+    keys_df: DataFrame,
+    key_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """(group_cols..., key_col, est_count) — count-min point estimates of
+    each probe key in each group: min over depth rows of the key's bucket
+    counter. ``keys_df`` is the (small) probe list; it broadcasts onto
+    the sketch table, so the cost is groups x probes array lookups —
+    the fact data is never touched. ``seed`` must match the build.
+
+    Estimates are deterministic: never below the true count, above it
+    only by hash collisions that any engine replaying the same arithmetic
+    reproduces bit-for-bit."""
+    from ratatool_spark.functions.hashing import hash_cols
+
+    group_cols = [
+        c
+        for c in sketch_df.columns
+        if c not in ("cms", "depth", "width", "n_rows")
+    ]
+    probes = keys_df.select(
+        F.col(key_col), hash_cols([key_col], seed=seed).alias("__qh")
+    )
+    joined = sketch_df.crossJoin(F.broadcast(probes))
+    est = F.array_min(
+        F.transform(
+            F.sequence(F.lit(0), F.col("depth") - 1),
+            lambda j: F.element_at(
+                "cms",
+                (
+                    j * F.col("width")
+                    + _cms_slot(F.col("__qh"), j, F.col("width"))
+                    + 1
+                ).cast("int"),
+            ),
+        )
+    )
+    return joined.select(*group_cols, key_col, est.alias("est_count"))

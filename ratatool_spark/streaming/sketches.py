@@ -73,3 +73,48 @@ def read_stream_quantile_sketches(spark, output_path: str) -> DataFrame:
 
     parts = spark.read.parquet(output_path).drop("batch_id")
     return merge_quantile_sketches(parts)
+
+
+def stream_freq_sketches(
+    stream_df: DataFrame,
+    output_path: str,
+    checkpoint: str,
+    group_cols: list[str],
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 0,
+    available_now: bool = True,
+):
+    """Maintain per-batch count-min frequency sketch partials from a
+    stream (operators/freq.build_freq_sketches per micro-batch, one
+    ``batch_id=<n>`` directory each — the same idempotent at-least-once
+    sink contract as the quantile path above). Count-min merge is an
+    element-wise counter sum, so the read-side merge equals a batch build
+    over everything the stream delivered, exactly."""
+    from ratatool_spark.operators.freq import build_freq_sketches
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        sk = build_freq_sketches(
+            batch_df, group_cols, key_col, depth=depth, width=width, seed=seed
+        )
+        sk.write.mode("overwrite").parquet(
+            f"{output_path}/batch_id={batch_id}"
+        )
+
+    writer = stream_df.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_stream_freq_sketches(spark, output_path: str) -> DataFrame:
+    """Merge every micro-batch's count-min partial into one sketch table
+    (same compaction guidance as :func:`read_stream_quantile_sketches` —
+    the merge is exact, so periodic compaction preserves estimates)."""
+    from ratatool_spark.operators.freq import merge_freq_sketches
+
+    parts = spark.read.parquet(output_path).drop("batch_id")
+    return merge_freq_sketches(parts)

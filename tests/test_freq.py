@@ -1,0 +1,170 @@
+"""Heavy hitters, skew report, and count-min frequency sketch tables."""
+
+import collections
+import hashlib
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from ratatool_spark.operators.freq import (
+    CMS_MIX,
+    CMS_P,
+    build_freq_sketches,
+    estimate_freqs,
+    heavy_hitters,
+    merge_freq_sketches,
+    skew_report,
+)
+
+
+def _phash(v, seed=0):
+    return int(hashlib.md5(f"{seed}\x01{v}".encode()).hexdigest()[:15], 16)
+
+
+def _slot(h, j, width):
+    return ((h % CMS_P) * (j * 2 + 3) + ((j + 1) * CMS_MIX) % CMS_P) % CMS_P % width
+
+
+def _toy(spark):
+    rows = []
+    for g, key, n in [
+        ("a", "x", 5), ("a", "y", 3), ("a", "z", 3), ("a", "w", 1),
+        ("b", "x", 7), ("b", "q", 2),
+    ]:
+        rows += [(g, key)] * n
+    return spark.createDataFrame(rows, "g string, k string")
+
+
+def test_heavy_hitters_exact_and_tiebreak(spark):
+    df = _toy(spark)
+    out = {
+        (r["g"], r["rank"]): (r["k"], r["cnt"])
+        for r in heavy_hitters(df, ["g"], "k", k=2).collect()
+    }
+    # ties (y=3, z=3) break on the smaller key
+    assert out == {
+        ("a", 1): ("x", 5), ("a", 2): ("y", 3),
+        ("b", 1): ("x", 7), ("b", 2): ("q", 2),
+    }
+
+
+def test_skew_report_values_and_nulls(spark):
+    df = spark.createDataFrame(
+        [("hot", 1), ("hot", 2), ("hot", 3), ("cold", 4), (None, 5)],
+        "k string, v long",
+    )
+    out = {r["value"]: r for r in skew_report(df, ["k"], top_k=10).collect()}
+    assert set(out) == {"hot", "cold", None}
+    hot = out["hot"]
+    assert (hot["cnt"], hot["rank"], hot["n_distinct"]) == (3, 1, 3)
+    assert hot["share"] == pytest.approx(3 / 5)
+    # 3x hotter than uniform (5 rows / 3 distinct)
+    assert hot["skew_ratio"] == pytest.approx(3 * 3 / 5)
+    # NULL values survive as a grouped row, not dropped
+    assert out[None]["cnt"] == 1
+
+
+def test_skew_report_multi_column_one_value_space(spark):
+    df = spark.createDataFrame([(1, "1")], "a long, b string")
+    out = skew_report(df, ["a", "b"], top_k=1).collect()
+    # both columns report, compared in string space
+    assert {(r["column"], r["value"]) for r in out} == {("a", "1"), ("b", "1")}
+
+
+def test_cms_build_matches_python_replay(spark):
+    df = _toy(spark)
+    sk = {r["g"]: r for r in
+          build_freq_sketches(df, ["g"], "k", depth=3, width=16).collect()}
+    pdf = df.collect()
+    for g in ("a", "b"):
+        cnt = collections.Counter()
+        for row in pdf:
+            if row["g"] != g:
+                continue
+            h = _phash(row["k"])
+            for j in range(3):
+                cnt[j * 16 + _slot(h, j, 16)] += 1
+        cms = sk[g]["cms"]
+        assert len(cms) == 48
+        assert {i: c for i, c in enumerate(cms) if c} == dict(cnt)
+        assert sk[g]["n_rows"] == sum(1 for r in pdf if r["g"] == g)
+
+
+def test_cms_merge_equals_direct_build(spark):
+    df = _toy(spark).withColumn("i", F.monotonically_increasing_id())
+    parts = [df.where(F.col("i") % 3 == m).drop("i") for m in range(3)]
+    direct = build_freq_sketches(df.drop("i"), ["g"], "k", depth=4, width=32)
+    merged = merge_freq_sketches(
+        *[build_freq_sketches(p, ["g"], "k", depth=4, width=32) for p in parts]
+    )
+    d = {r["g"]: (r["cms"], r["depth"], r["width"], r["n_rows"])
+         for r in direct.collect()}
+    m = {r["g"]: (r["cms"], r["depth"], r["width"], r["n_rows"])
+         for r in merged.collect()}
+    assert d == m
+
+
+def test_cms_estimate_upper_bounds_truth(spark):
+    df = _toy(spark)
+    sk = build_freq_sketches(df, ["g"], "k", depth=4, width=64)
+    keys = spark.createDataFrame(
+        [("x",), ("y",), ("absent",)], "k string"
+    )
+    est = {(r["g"], r["k"]): r["est_count"]
+           for r in estimate_freqs(sk, keys, "k").collect()}
+    true = collections.Counter((r["g"], r["k"]) for r in df.collect())
+    assert len(est) == 6  # 2 groups x 3 probes
+    for gk, e in est.items():
+        assert e >= true.get(gk, 0)
+    # wide sketch over 5 keys: the known-hot probes are exact
+    assert est[("a", "x")] == 5 and est[("b", "x")] == 7
+
+
+def test_cms_geometry_guard_raises(spark):
+    df = _toy(spark)
+    a = build_freq_sketches(df, ["g"], "k", depth=4, width=32)
+    b = build_freq_sketches(df, ["g"], "k", depth=4, width=16)
+    with pytest.raises(Exception, match="mismatched geometry"):
+        merge_freq_sketches(a, b).collect()
+
+
+def test_cms_rejects_bad_geometry_args(spark):
+    df = _toy(spark)
+    with pytest.raises(ValueError, match="depth"):
+        build_freq_sketches(df, ["g"], "k", depth=0, width=8)
+
+
+def test_stream_freq_sketches_equals_batch(spark):
+    from ratatool_spark.streaming.sketches import (
+        read_stream_freq_sketches,
+        stream_freq_sketches,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_type", "user_id"
+    )
+    root = tempfile.mkdtemp(prefix="rt_fsk_")
+    src = os.path.join(root, "in")
+    ev.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_freq_sketches(
+        stream,
+        os.path.join(root, "sk"),
+        os.path.join(root, "ckpt"),
+        group_cols=["event_type"],
+        key_col="user_id",
+        depth=4,
+        width=128,
+    )
+    q.awaitTermination()
+    merged = read_stream_freq_sketches(spark, os.path.join(root, "sk"))
+    direct = build_freq_sketches(ev, ["event_type"], "user_id", depth=4, width=128)
+    m = {r["event_type"]: (r["cms"], r["n_rows"]) for r in merged.collect()}
+    d = {r["event_type"]: (r["cms"], r["n_rows"]) for r in direct.collect()}
+    assert m == d
