@@ -5357,6 +5357,183 @@ def _q_stream_quantile_sketches(spark, sf_dir):
     return estimate_quantiles(merged, [0.25, 0.5, 0.9])
 
 
+_CMS_PROBES = (1, 2, 3, 4, 5, 6, 999999)
+
+
+def _q_freq_sketch_merge(spark, sf_dir):
+    """Mergeable count-min frequency sketch tables (operators/freq
+    build/merge/estimate_freq_sketches): per-event-type sketches built on
+    two disjoint event slices and MERGED, then point estimates for a
+    probe key list (6 live users + one absent). Count-min merge is an
+    element-wise counter sum, so the gated values pin merge ==
+    direct-build EXACTLY, and because the row hash is the portable md5
+    hash and the bucket map plain modular arithmetic, the DuckDB oracle
+    replays the whole sketch — estimates gate exactly, no tolerance band
+    (width 256 << distinct users, so collisions are live in the gate)."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.freq import (
+        build_freq_sketches,
+        estimate_freqs,
+        merge_freq_sketches,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "user_id"
+    )
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    merged = merge_freq_sketches(
+        build_freq_sketches(a, ["event_type"], "user_id", depth=4, width=256),
+        build_freq_sketches(b, ["event_type"], "user_id", depth=4, width=256),
+    )
+    keys = spark.createDataFrame([(i,) for i in _CMS_PROBES], "user_id long")
+    return estimate_freqs(merged, keys, "user_id")
+
+
+def _sql_freq_sketch_merge() -> str:
+    from ratatool_spark.operators.freq import cms_slot_sql
+
+    slot = cms_slot_sql("hh", "j", 256)
+    probe_list = ", ".join(str(p) for p in _CMS_PROBES)
+    h = (
+        "('0x' || substr(md5(concat_ws(chr(1), '0', "
+        "CAST({v} AS VARCHAR))), 1, 15))::BIGINT"
+    )
+    return f"""
+WITH h AS (
+  SELECT event_type, {h.format(v="user_id")} AS hh FROM events
+), slots AS (
+  SELECT event_type, j, {slot} AS slot
+  FROM h CROSS JOIN (SELECT unnest(range(4)) AS j)
+), counts AS (
+  SELECT event_type, j, slot, COUNT(*) AS c FROM slots GROUP BY 1, 2, 3
+), probes AS (
+  SELECT CAST(u AS BIGINT) AS user_id, {h.format(v="u")} AS hh
+  FROM (SELECT unnest([{probe_list}]) AS u)
+), pslots AS (
+  SELECT user_id, j, {slot} AS slot
+  FROM probes CROSS JOIN (SELECT unnest(range(4)) AS j)
+), grp AS (SELECT DISTINCT event_type FROM events)
+SELECT g.event_type, p.user_id,
+       CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) AS est_count
+FROM grp g
+CROSS JOIN pslots p
+LEFT JOIN counts c
+  ON c.event_type = g.event_type AND c.j = p.j AND c.slot = p.slot
+GROUP BY 1, 2
+"""
+
+
+def _q_stream_freq_sketches(spark, sf_dir):
+    """Streaming count-min maintenance run for REAL (streaming/sketches
+    stream_freq_sketches): events staged into a multi-file landing zone,
+    streamed one file per trigger (availableNow), each micro-batch
+    writing its own counter partial; the read side sums every partial and
+    estimates the same probe list as freq_sketch_merge. Counter addition
+    is associative, so the oracle is the direct single-pass replay — the
+    gate fails if the streaming path drops, duplicates, or mis-merges any
+    batch."""
+    import os
+    import tempfile
+
+    from ratatool_spark.operators.freq import estimate_freqs
+    from ratatool_spark.streaming.sketches import (
+        read_stream_freq_sketches,
+        stream_freq_sketches,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "user_id"
+    )
+    root = tempfile.mkdtemp(prefix="rt_fsk_")
+    src = os.path.join(root, "incoming")
+    ev.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_freq_sketches(
+        stream,
+        os.path.join(root, "sk"),
+        os.path.join(root, "ckpt"),
+        group_cols=["event_type"],
+        key_col="user_id",
+        depth=4,
+        width=256,
+    )
+    q.awaitTermination()
+    merged = read_stream_freq_sketches(spark, os.path.join(root, "sk"))
+    keys = spark.createDataFrame([(i,) for i in _CMS_PROBES], "user_id long")
+    return estimate_freqs(merged, keys, "user_id")
+
+
+def _q_heavy_hitters(spark, sf_dir):
+    """Exact per-group heavy hitters (operators/freq.heavy_hitters): the
+    8 most frequent suppliers per returnflag, deterministic tie-break on
+    the smaller key. Two map-side-combined shuffles + WindowGroupLimit —
+    the second exchange carries k rows per group, never the distinct-key
+    table."""
+    from ratatool_spark.operators.freq import heavy_hitters
+    from ratatool_spark.sources.io import load_tables
+
+    t = load_tables(spark, sf_dir, names=("lineitem",))
+    return heavy_hitters(t["lineitem"], ["l_returnflag"], "l_suppkey", k=8)
+
+
+_SQL_HEAVY_HITTERS = """
+SELECT l_returnflag, l_suppkey, cnt, "rank" FROM (
+  SELECT l_returnflag, l_suppkey, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY COUNT(*) DESC, l_suppkey) AS "rank"
+  FROM lineitem GROUP BY l_returnflag, l_suppkey
+) WHERE "rank" <= 8
+"""
+
+
+def _q_skew_report(spark, sf_dir):
+    """Per-column skew diagnostic (operators/freq.skew_report): the 5
+    hottest values of three lineitem columns with share and
+    skew-vs-uniform ratio — the one-scan report that decides whether a
+    join key needs salting (operators/skew.salted_join) before a 100 TB
+    join. One melt scan; every window shares the single `column`
+    partitioning of the aggregated value histogram."""
+    from ratatool_spark.operators.freq import skew_report
+    from ratatool_spark.sources.io import load_tables
+
+    t = load_tables(spark, sf_dir, names=("lineitem",))
+    return skew_report(
+        t["lineitem"], ["l_returnflag", "l_linestatus", "l_suppkey"], top_k=5
+    )
+
+
+_SQL_SKEW_REPORT = """
+WITH melted AS (
+  SELECT 'l_returnflag' AS "column", CAST(l_returnflag AS VARCHAR) AS value
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+), counts AS (
+  SELECT "column", value, COUNT(*) AS cnt FROM melted GROUP BY 1, 2
+), stats AS (
+  SELECT "column", value, cnt,
+         ROW_NUMBER() OVER (PARTITION BY "column"
+                            ORDER BY cnt DESC, value) AS "rank",
+         COUNT(*) OVER (PARTITION BY "column") AS n_distinct,
+         SUM(cnt) OVER (PARTITION BY "column") AS n_total
+  FROM counts
+)
+SELECT "column", value, cnt,
+       CAST(cnt AS DOUBLE) / n_total AS share,
+       CAST(cnt * n_distinct AS DOUBLE) / n_total AS skew_ratio,
+       "rank", n_distinct
+FROM stats WHERE "rank" <= 5
+"""
+
+
 def _q_profile_pii(spark, sf_dir):
     """Column-level PII scan (operators/profile.profile_pii): documents
     get a synthesized `contact` column cycling email / SSN / Luhn-varying
@@ -5698,6 +5875,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- round 5: new or behaviour-changed this round ---------------
+        "freq_sketch_merge": _q_freq_sketch_merge,
+        "stream_freq_sketches": _q_stream_freq_sketches,
+        "heavy_hitters_suppliers": _q_heavy_hitters,
+        "skew_report_lineitem": _q_skew_report,
         "line_dedup_corpus": _q_line_dedup_corpus,
         "line_dedup_document": _q_line_dedup_document,
         "interval_join_events": _q_interval_join_events,
@@ -5846,6 +6027,10 @@ def oracle_sql() -> dict[str, str]:
         "hll_sketch_merge": _SQL_HLL_SKETCH_MERGE,
         "multimodal_decode_png": _SQL_MULTIMODAL_DECODE_PNG,
         "quantile_sketch_merge": _sql_quantile_sketch_merge(),
+        "freq_sketch_merge": _sql_freq_sketch_merge(),
+        "stream_freq_sketches": _sql_freq_sketch_merge(),
+        "heavy_hitters_suppliers": _SQL_HEAVY_HITTERS,
+        "skew_report_lineitem": _SQL_SKEW_REPORT,
         "tfidf_cosine_pairs": _SQL_TFIDF_COSINE,
         "rollup_incremental": _SQL_TIME_ROLLUP,
         "corpus_split_grouped": _sql_split_grouped(),
