@@ -236,6 +236,52 @@ def build_parser() -> argparse.ArgumentParser:
     )
     qs_.add_argument("--format", default=None, help="override input format sniffing")
 
+    fs = sub.add_parser(
+        "freqSketch",
+        help="mergeable count-min frequency sketch tables: build "
+        "per-batch, merge (exact counter sum), estimate key counts",
+    )
+    fs.add_argument(
+        "--mode", choices=["build", "merge", "estimate"], required=True
+    )
+    fs.add_argument("--input", help="input table (build/estimate)")
+    fs.add_argument("--inputs", type=_csv, help="sketch tables to merge")
+    fs.add_argument("--output", required=True)
+    fs.add_argument(
+        "--groupBy", type=_csv, default=["__all__"], help="group columns (build)"
+    )
+    fs.add_argument("--keyField", default="key", help="counted key column")
+    fs.add_argument("--depth", type=int, default=4)
+    fs.add_argument("--width", type=int, default=1024)
+    fs.add_argument("--seed", type=int, default=0)
+    fs.add_argument(
+        "--keys", type=_csv, default=None, help="probe keys (estimate mode)"
+    )
+    fs.add_argument("--format", default=None, help="override input format sniffing")
+
+    hh = sub.add_parser(
+        "heavyHitters",
+        help="exact top-k most frequent keys per group (two-stage "
+        "aggregate + window group limit; deterministic tie-break)",
+    )
+    hh.add_argument("--input", required=True)
+    hh.add_argument("--output", required=True)
+    hh.add_argument("--groupBy", type=_csv, default=[], help="group columns")
+    hh.add_argument("--keyField", required=True)
+    hh.add_argument("--k", type=int, default=10)
+    hh.add_argument("--format", default=None, help="override input format sniffing")
+
+    sk = sub.add_parser(
+        "skewReport",
+        help="per-column hot-value report (share + skew-vs-uniform "
+        "ratio): the pre-salting join-key diagnostic, one scan",
+    )
+    sk.add_argument("--input", required=True)
+    sk.add_argument("--output", required=True)
+    sk.add_argument("--columns", type=_csv, required=True)
+    sk.add_argument("--topK", type=int, default=5)
+    sk.add_argument("--format", default=None, help="override input format sniffing")
+
     cg = sub.add_parser(
         "capPerGroup",
         help="deterministic 'at most N rows per group' cap (C4 per-domain "
@@ -599,6 +645,63 @@ def main(argv: list[str] | None = None) -> int:
                     read_table(spark, args.input, fmt=args.format or "parquet"),
                     [float(q) for q in args.quantiles],
                 )
+            write_table(out, args.output, mode="overwrite")
+        elif args.command == "freqSketch":
+            from pyspark.sql import functions as F
+
+            from ratatool_spark.operators.freq import (
+                build_freq_sketches,
+                estimate_freqs,
+                merge_freq_sketches,
+            )
+
+            if args.mode == "build":
+                if not args.input:
+                    raise SystemExit("build mode needs --input")
+                df = read_table(spark, args.input, fmt=args.format)
+                if args.groupBy == ["__all__"]:
+                    df = df.withColumn("__all__", F.lit("all"))
+                out = build_freq_sketches(
+                    df,
+                    args.groupBy,
+                    args.keyField,
+                    depth=args.depth,
+                    width=args.width,
+                    seed=args.seed,
+                )
+            elif args.mode == "merge":
+                if not args.inputs or len(args.inputs) < 2:
+                    raise SystemExit("merge mode needs --inputs a,b[,...]")
+                fmt = args.format or "parquet"
+                out = merge_freq_sketches(
+                    *(read_table(spark, p, fmt=fmt) for p in args.inputs)
+                )
+            else:
+                if not args.input or not args.keys:
+                    raise SystemExit(
+                        "estimate mode needs --input (a sketch table) and --keys"
+                    )
+                keys_df = spark.createDataFrame(
+                    [(k,) for k in args.keys], f"{args.keyField} string"
+                )
+                out = estimate_freqs(
+                    read_table(spark, args.input, fmt=args.format or "parquet"),
+                    keys_df,
+                    args.keyField,
+                    seed=args.seed,
+                )
+            write_table(out, args.output, mode="overwrite")
+        elif args.command == "heavyHitters":
+            from ratatool_spark.operators.freq import heavy_hitters
+
+            df = read_table(spark, args.input, fmt=args.format)
+            out = heavy_hitters(df, args.groupBy, args.keyField, k=args.k)
+            write_table(out, args.output, mode="overwrite")
+        elif args.command == "skewReport":
+            from ratatool_spark.operators.freq import skew_report
+
+            df = read_table(spark, args.input, fmt=args.format)
+            out = skew_report(df, args.columns, top_k=args.topK)
             write_table(out, args.output, mode="overwrite")
         elif args.command == "capPerGroup":
             from ratatool_spark.operators.corpus import cap_per_group

@@ -168,3 +168,56 @@ def test_stream_freq_sketches_equals_batch(spark):
     m = {r["event_type"]: (r["cms"], r["n_rows"]) for r in merged.collect()}
     d = {r["event_type"]: (r["cms"], r["n_rows"]) for r in direct.collect()}
     assert m == d
+
+
+def test_cli_freq_sketch_pipeline(spark, tmp_path):
+    """build x2 -> merge -> estimate through the CLI equals a direct
+    build+estimate (string-probe form: build keys hash via their string
+    rendering, so string probes match a bigint-keyed build)."""
+    from ratatool_spark.cli import main
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "event_type", "user_id"
+    )
+    a_src, b_src = str(tmp_path / "a"), str(tmp_path / "b")
+    ev.where(F.col("event_id") % 2 == 0).write.parquet(a_src)
+    ev.where(F.col("event_id") % 2 == 1).write.parquet(b_src)
+    sa, sb = str(tmp_path / "sa"), str(tmp_path / "sb")
+    for src, dst in [(a_src, sa), (b_src, sb)]:
+        assert main([
+            "freqSketch", "--mode", "build", "--input", src,
+            "--output", dst, "--groupBy", "event_type",
+            "--keyField", "user_id", "--depth", "4", "--width", "64",
+        ]) == 0
+    merged = str(tmp_path / "merged")
+    assert main(["freqSketch", "--mode", "merge",
+                 "--inputs", f"{sa},{sb}", "--output", merged]) == 0
+    est = str(tmp_path / "est")
+    assert main(["freqSketch", "--mode", "estimate", "--input", merged,
+                 "--output", est, "--keyField", "user_id",
+                 "--keys", "1,2,999999"]) == 0
+    got = {(r["event_type"], r["user_id"]): r["est_count"]
+           for r in spark.read.parquet(est).collect()}
+    direct = build_freq_sketches(ev, ["event_type"], "user_id", depth=4, width=64)
+    keys = spark.createDataFrame([("1",), ("2",), ("999999",)], "user_id string")
+    want = {(r["event_type"], r["user_id"]): r["est_count"]
+            for r in estimate_freqs(direct, keys, "user_id").collect()}
+    assert got == want and len(got) == 15
+
+
+def test_cli_heavy_hitters_and_skew_report(spark, tmp_path):
+    from ratatool_spark.cli import main
+
+    src = str(tmp_path / "src")
+    _toy(spark).write.parquet(src)
+    hh_out = str(tmp_path / "hh")
+    assert main(["heavyHitters", "--input", src, "--output", hh_out,
+                 "--groupBy", "g", "--keyField", "k", "--k", "1"]) == 0
+    top = {(r["g"], r["k"]) for r in spark.read.parquet(hh_out).collect()}
+    assert top == {("a", "x"), ("b", "x")}
+
+    sk_out = str(tmp_path / "sk")
+    assert main(["skewReport", "--input", src, "--output", sk_out,
+                 "--columns", "g,k", "--topK", "1"]) == 0
+    rows = {r["column"]: r["value"] for r in spark.read.parquet(sk_out).collect()}
+    assert rows == {"g": "a", "k": "x"}
