@@ -29,8 +29,15 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
-PARQUET, AVRO, JSON, CSV = "parquet", "avro", "json", "csv"
-_EXT = {".parquet": PARQUET, ".avro": AVRO, ".json": JSON, ".ndjson": JSON, ".csv": CSV}
+PARQUET, AVRO, JSON, CSV, ORC = "parquet", "avro", "json", "csv", "orc"
+_EXT = {
+    ".parquet": PARQUET,
+    ".avro": AVRO,
+    ".json": JSON,
+    ".ndjson": JSON,
+    ".csv": CSV,
+    ".orc": ORC,
+}
 
 
 def sniff_format(path: str) -> str:

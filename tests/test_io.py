@@ -313,3 +313,15 @@ def test_upsert_table_rejects_null_keys(spark, tmp_path):
     with _pt.raises(ValueError, match="NULL key"):
         upsert_table(spark, path, upd, ["k"])
     assert spark.read.parquet(path).count() == 1
+
+
+def test_sniff_format_orc(spark, tmp_path):
+    from ratatool_spark.sources.io import read_table, sniff_format, write_table
+
+    assert sniff_format("/x/y/part.orc") == "orc"
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    out = str(tmp_path / "t.orc")
+    write_table(df, out, mode="overwrite")
+    back = read_table(spark, out)
+    assert back.schema == df.schema
+    assert sorted((r["k"], r["v"]) for r in back.collect()) == [(1, "a"), (2, "b")]
