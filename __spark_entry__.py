@@ -5448,6 +5448,87 @@ GROUP BY 1, 2
 """
 
 
+def _q_sketch_heavy_hitters(spark, sf_dir):
+    """Heavy hitters FROM sketch artifacts (operators/freq
+    sketch_heavy_hitters): per-slice exact top-12 candidate keys union +
+    merged count-min re-estimate + top-5 rank — the pattern that answers
+    'global heavy hitters over any union of batches' without a fact
+    rescan. The oracle replays candidates, counters, estimates, and the
+    final ranking, all from the same deterministic arithmetic."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.freq import (
+        build_freq_sketches,
+        heavy_hitters,
+        merge_freq_sketches,
+        sketch_heavy_hitters,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "user_id"
+    )
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    cand = (
+        heavy_hitters(a, ["event_type"], "user_id", k=12)
+        .select("user_id")
+        .union(heavy_hitters(b, ["event_type"], "user_id", k=12).select("user_id"))
+    )
+    merged = merge_freq_sketches(
+        build_freq_sketches(a, ["event_type"], "user_id", depth=4, width=256),
+        build_freq_sketches(b, ["event_type"], "user_id", depth=4, width=256),
+    )
+    return sketch_heavy_hitters(merged, cand, "user_id", k=5)
+
+
+def _sql_sketch_heavy_hitters() -> str:
+    from ratatool_spark.operators.freq import cms_slot_sql
+
+    slot = cms_slot_sql("hh", "j", 256)
+    h = (
+        "('0x' || substr(md5(concat_ws(chr(1), '0', "
+        "CAST({v} AS VARCHAR))), 1, 15))::BIGINT"
+    )
+    return f"""
+WITH h AS (
+  SELECT event_type, {h.format(v="user_id")} AS hh FROM events
+), slots AS (
+  SELECT event_type, j, {slot} AS slot
+  FROM h CROSS JOIN (SELECT unnest(range(4)) AS j)
+), counts AS (
+  SELECT event_type, j, slot, COUNT(*) AS c FROM slots GROUP BY 1, 2, 3
+), cand AS (
+  SELECT DISTINCT user_id FROM (
+    SELECT slice, event_type, user_id,
+           ROW_NUMBER() OVER (PARTITION BY slice, event_type
+                              ORDER BY COUNT(*) DESC, user_id) AS rn
+    FROM (SELECT event_id % 2 AS slice, event_type, user_id FROM events)
+    GROUP BY slice, event_type, user_id
+  ) WHERE rn <= 12
+), probes AS (
+  SELECT user_id, {h.format(v="user_id")} AS hh FROM cand
+), pslots AS (
+  SELECT user_id, j, {slot} AS slot
+  FROM probes CROSS JOIN (SELECT unnest(range(4)) AS j)
+), grp AS (SELECT DISTINCT event_type FROM events)
+, est AS (
+  SELECT g.event_type, p.user_id,
+         CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) AS est_count
+  FROM grp g
+  CROSS JOIN pslots p
+  LEFT JOIN counts c
+    ON c.event_type = g.event_type AND c.j = p.j AND c.slot = p.slot
+  GROUP BY 1, 2
+)
+SELECT event_type, user_id, est_count, "rank" FROM (
+  SELECT event_type, user_id, est_count,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY est_count DESC, user_id) AS "rank"
+  FROM est
+) WHERE "rank" <= 5
+"""
+
+
 def _q_stream_freq_sketches(spark, sf_dir):
     """Streaming count-min maintenance run for REAL (streaming/sketches
     stream_freq_sketches): events staged into a multi-file landing zone,
@@ -5901,6 +5982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freq_sketch_merge": _q_freq_sketch_merge,
         "orc_roundtrip_part": _q_orc_roundtrip,
         "stream_freq_sketches": _q_stream_freq_sketches,
+        "sketch_heavy_hitters": _q_sketch_heavy_hitters,
         "heavy_hitters_suppliers": _q_heavy_hitters,
         "skew_report_lineitem": _q_skew_report,
         "line_dedup_corpus": _q_line_dedup_corpus,
@@ -6054,6 +6136,7 @@ def oracle_sql() -> dict[str, str]:
         "freq_sketch_merge": _sql_freq_sketch_merge(),
         "orc_roundtrip_part": _SQL_ORC_ROUNDTRIP,
         "stream_freq_sketches": _sql_freq_sketch_merge(),
+        "sketch_heavy_hitters": _sql_sketch_heavy_hitters(),
         "heavy_hitters_suppliers": _SQL_HEAVY_HITTERS,
         "skew_report_lineitem": _SQL_SKEW_REPORT,
         "tfidf_cosine_pairs": _SQL_TFIDF_COSINE,

@@ -280,3 +280,37 @@ def estimate_freqs(
         )
     )
     return joined.select(*group_cols, key_col, est.alias("est_count"))
+
+
+def sketch_heavy_hitters(
+    sketch_df: DataFrame,
+    candidates_df: DataFrame,
+    key_col: str,
+    k: int = 10,
+    seed: int = 0,
+) -> DataFrame:
+    """(group_cols..., key_col, est_count, rank) — top-k keys per group
+    estimated FROM sketch artifacts, no fact-table rescan: the standard
+    CMS + candidate-set pattern for heavy hitters over any union of
+    batches. ``candidates_df`` is one column of candidate keys —
+    typically the union of each batch's exact :func:`heavy_hitters` keys
+    (a true global top-k key is a top-(k·overcount) key of at least one
+    batch whenever batches are balanced; widen per-batch k for safety).
+
+    Estimates are count-min upper bounds, so ranking inherits CMS
+    determinism: ties break on the smaller key. Cost: groups x
+    candidates array lookups + a WindowGroupLimit — both sketch-sized."""
+    group_cols = [
+        c
+        for c in sketch_df.columns
+        if c not in ("cms", "depth", "width", "n_rows")
+    ]
+    cands = candidates_df.select(key_col).distinct()
+    est = estimate_freqs(sketch_df, cands, key_col, seed=seed)
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc("est_count"), F.col(key_col)
+    )
+    return (
+        est.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -221,3 +221,21 @@ def test_cli_heavy_hitters_and_skew_report(spark, tmp_path):
                  "--columns", "g,k", "--topK", "1"]) == 0
     rows = {r["column"]: r["value"] for r in spark.read.parquet(sk_out).collect()}
     assert rows == {"g": "a", "k": "x"}
+
+
+def test_sketch_heavy_hitters_matches_exact_on_wide_sketch(spark):
+    """With a sketch wide enough to be collision-free over the toy key
+    space, sketch-based heavy hitters == exact heavy hitters."""
+    from ratatool_spark.operators.freq import sketch_heavy_hitters
+
+    df = _toy(spark)
+    parts = [df.where(F.col("k") != "q"), df.where(F.col("k") == "q")]
+    merged = merge_freq_sketches(
+        *[build_freq_sketches(p, ["g"], "k", depth=4, width=512) for p in parts]
+    )
+    cands = df.select("k")  # duplicates on purpose: distinct is internal
+    got = {(r["g"], r["rank"]): (r["k"], r["est_count"])
+           for r in sketch_heavy_hitters(merged, cands, "k", k=2).collect()}
+    want = {(r["g"], r["rank"]): (r["k"], r["cnt"])
+            for r in heavy_hitters(df, ["g"], "k", k=2).collect()}
+    assert got == want

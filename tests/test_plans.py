@@ -371,3 +371,31 @@ def test_line_dedup_violator_join_broadcasts(spark):
         assert p.count("BroadcastHashJoin") == 2, q
         assert "raise_error" in p, q
         assert "CartesianProduct" not in p and "NestedLoopJoin" not in p, q
+
+
+def test_heavy_hitters_two_stage_window_group_limit(spark):
+    """heavy_hitters: two map-side-combined shuffles, WindowGroupLimit
+    rewrite active (each task keeps a k-row heap pre-shuffle), no NLJ."""
+    p = plan_of(spark, "heavy_hitters_suppliers")
+    assert "CartesianProduct" not in p and "NestedLoopJoin" not in p
+    assert n_exchanges(p) == 2
+    assert "WindowGroupLimit" in p
+
+
+def test_skew_report_single_melt_shuffle(spark):
+    """skew_report: the fact table shuffles ONCE (as melted counts); the
+    rank/total/distinct windows all reuse the `column` partitioning."""
+    p = plan_of(spark, "skew_report_lineitem")
+    assert "CartesianProduct" not in p and "NestedLoopJoin" not in p
+    assert n_exchanges(p) == 2  # melt-count agg + the shared window partition
+    assert p.count("FileScan parquet") == 1
+
+
+def test_cms_sketch_joins_are_broadcast_only(spark):
+    """freq_sketch_merge: fact data never joins — the only joins are the
+    sketch-sized probe broadcast and the one-row merge guard."""
+    p = plan_of(spark, "freq_sketch_merge")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    # every nested-loop is a broadcast of a tiny side (guard row / probes)
+    assert p.count("BroadcastNestedLoopJoin") <= 2
