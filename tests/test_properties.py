@@ -553,3 +553,56 @@ def test_set_overlap_estimates_match_python_model(a_keys, b_keys):
         eu = float(len(union_k))
     want = (round(ej, 9), round(ej * eu, 6))
     assert got == want
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=100),
+    st.integers(min_value=2, max_value=4),
+    st.integers(min_value=2, max_value=3),
+    st.integers(min_value=4, max_value=32),
+)
+@settings(max_examples=12, deadline=None)
+def test_cms_merge_equals_direct_and_python_replay_any_split(
+    keys, n_splits, depth, width
+):
+    """Count-min counter addition is associative: merging per-batch
+    sketches over ANY partition of the rows equals the direct build, and
+    both equal the pure-python CMS replay (portable hash + affine bucket
+    map) — the property the exact DuckDB oracle relies on."""
+    import collections
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from ratatool_spark.operators.freq import (
+        CMS_MIX,
+        CMS_P,
+        build_freq_sketches,
+        merge_freq_sketches,
+    )
+    from ratatool_spark.session import get_spark
+
+    spark = get_spark("ratatool_spark_tests", shuffle_partitions=8)
+    rows = [Row(rid=i, g="g", k=str(kv)) for i, kv in enumerate(keys)]
+    df = spark.createDataFrame(rows)
+    build = lambda d: build_freq_sketches(  # noqa: E731
+        d, ["g"], "k", depth=depth, width=width
+    )
+    parts = [df.where((df.rid % n_splits) == j) for j in range(n_splits)]
+    merged = merge_freq_sketches(
+        *[build(p) for p in parts if p.count() > 0]
+    ).collect()
+    direct = build(df).collect()
+    assert len(merged) == len(direct) == 1
+    assert merged[0]["cms"] == direct[0]["cms"]
+    assert merged[0]["n_rows"] == direct[0]["n_rows"] == len(keys)
+
+    cnt = collections.Counter()
+    for kv in keys:
+        h = int(hashlib.md5(f"0\x01{kv}".encode()).hexdigest()[:15], 16)
+        for j in range(depth):
+            slot = (
+                (h % CMS_P) * (j * 2 + 3) + ((j + 1) * CMS_MIX) % CMS_P
+            ) % CMS_P % width
+            cnt[j * width + slot] += 1
+    assert {i: c for i, c in enumerate(direct[0]["cms"]) if c} == dict(cnt)
