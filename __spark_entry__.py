@@ -5217,29 +5217,6 @@ GROUP BY t.query_id
 """
 
 
-def _q_orc_roundtrip(spark, sf_dir):
-    """ORC IO round-trip (sources/io, native Spark ORC source): part
-    written as ORC through write_table's extension sniffing (.orc) and
-    read back the same way — values and types must survive the columnar
-    encoding. ORC completes the format matrix next to parquet / avro /
-    jsonl / csv for warehouses standardized on Hive-era layouts. Oracle =
-    the original table."""
-    import os
-    import tempfile
-
-    from ratatool_spark.sources.io import read_table, write_table
-
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
-    out = os.path.join(tempfile.mkdtemp(prefix="rt_orc_"), "part.orc")
-    write_table(part, out, mode="overwrite")
-    return read_table(spark, out)
-
-
-_SQL_ORC_ROUNDTRIP = """
-SELECT * FROM part
-"""
-
-
 def _q_jsonl_roundtrip(spark, sf_dir):
     """JSON-lines IO round-trip (sources/io S6): documents written as
     JSONL and read back through the sniffing reader must preserve values
@@ -5980,7 +5957,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round 5: new or behaviour-changed this round ---------------
         "freq_sketch_merge": _q_freq_sketch_merge,
-        "orc_roundtrip_part": _q_orc_roundtrip,
         "stream_freq_sketches": _q_stream_freq_sketches,
         "sketch_heavy_hitters": _q_sketch_heavy_hitters,
         "heavy_hitters_suppliers": _q_heavy_hitters,
@@ -6134,7 +6110,6 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode_png": _SQL_MULTIMODAL_DECODE_PNG,
         "quantile_sketch_merge": _sql_quantile_sketch_merge(),
         "freq_sketch_merge": _sql_freq_sketch_merge(),
-        "orc_roundtrip_part": _SQL_ORC_ROUNDTRIP,
         "stream_freq_sketches": _sql_freq_sketch_merge(),
         "sketch_heavy_hitters": _sql_sketch_heavy_hitters(),
         "heavy_hitters_suppliers": _SQL_HEAVY_HITTERS,
