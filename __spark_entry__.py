@@ -5357,6 +5357,64 @@ def _q_stream_quantile_sketches(spark, sf_dir):
     return estimate_quantiles(merged, [0.25, 0.5, 0.9])
 
 
+def _q_fuzzy_join(spark, sf_dir):
+    """Blocked fuzzy join / entity resolution (operators/fuzzy):
+    customers linked to a perturbed twin of themselves ('1' -> 'l' typo
+    noise in every name, re-keyed ids) — block on nationality, verify by
+    normalized Levenshtein, keep each left id's best link. The classic
+    record-linkage block-then-verify shape: candidates come from the
+    block equi-join, never all pairs, and the oversized-block guard is
+    live in the plan. Similarity arithmetic (1 - lev/maxlen, identical
+    op order) replays exactly in DuckDB — no tolerance band."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.fuzzy import fuzzy_join
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    left = cust.select(
+        F.col("c_custkey").alias("lid"),
+        F.col("c_nationkey").alias("blk"),
+        "c_name",
+    )
+    right = cust.select(
+        (F.col("c_custkey") + 1000000).alias("rid"),
+        F.col("c_nationkey").alias("blk"),
+        F.translate("c_name", "1", "l").alias("c_name"),
+    )
+    return fuzzy_join(
+        left,
+        right,
+        "lid",
+        "rid",
+        "blk",
+        [("c_name", "c_name")],
+        threshold=0.9,
+        keep_best=True,
+    )
+
+
+_SQL_FUZZY_JOIN = """
+WITH l AS (
+  SELECT c_custkey AS lid, c_nationkey AS blk, c_name FROM customer
+), r AS (
+  SELECT c_custkey + 1000000 AS rid, c_nationkey AS blk,
+         replace(c_name, '1', 'l') AS c_name
+  FROM customer
+), cand AS (
+  SELECT l.lid, r.rid,
+         COALESCE(CAST(1.0 - levenshtein(l.c_name, r.c_name)
+                        / greatest(length(l.c_name), length(r.c_name), 1)
+                   AS DOUBLE), 0.0) AS sim
+  FROM l JOIN r USING (blk)
+)
+SELECT lid, rid, sim FROM (
+  SELECT lid, rid, sim,
+         ROW_NUMBER() OVER (PARTITION BY lid ORDER BY sim DESC, rid) AS rn
+  FROM cand WHERE sim >= 0.9
+) WHERE rn = 1
+"""
+
+
 _CMS_PROBES = (1, 2, 3, 4, 5, 6, 999999)
 
 
@@ -5956,6 +6014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- round 5: new or behaviour-changed this round ---------------
+        "fuzzy_join_customers": _q_fuzzy_join,
         "freq_sketch_merge": _q_freq_sketch_merge,
         "stream_freq_sketches": _q_stream_freq_sketches,
         "sketch_heavy_hitters": _q_sketch_heavy_hitters,
@@ -6109,6 +6168,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_sketch_merge": _SQL_HLL_SKETCH_MERGE,
         "multimodal_decode_png": _SQL_MULTIMODAL_DECODE_PNG,
         "quantile_sketch_merge": _sql_quantile_sketch_merge(),
+        "fuzzy_join_customers": _SQL_FUZZY_JOIN,
         "freq_sketch_merge": _sql_freq_sketch_merge(),
         "stream_freq_sketches": _sql_freq_sketch_merge(),
         "sketch_heavy_hitters": _sql_sketch_heavy_hitters(),

@@ -1,0 +1,138 @@
+"""Blocked fuzzy join — entity resolution / record linkage.
+
+The missing sibling of the keyed diff (operators/diffy, BigDiffy.scala
+parity): BigDiffy compares records that share an EXACT key; real datasets
+often need to link records whose keys drifted (typos, re-keyed ids,
+OCR/entry noise). The classic scalable shape is block-then-verify, the
+same candidate-bounding discipline as the dedup family
+(operators/dedup):
+
+  1. **block** — an equality key both sides can compute (phone/zip
+     prefix, soundex, shingle band): candidates come from an EQUI-join on
+     the block key, never an all-pairs comparison;
+  2. **guard** — blocks bigger than ``max_block_size`` on either side are
+     dropped (with the violator set tiny and broadcastable), the same
+     finite-frequency guard as ``ngram_jaccard_pairs``'s ``max_doc_freq``
+     — a degenerate block ("UNKNOWN", empty string) would otherwise
+     re-create the n² join this operator exists to avoid;
+  3. **verify** — per candidate pair, JVM-side similarity expressions
+     (no Python): normalized Levenshtein ratio
+     ``1 - lev(a,b) / greatest(len(a), len(b), 1)`` or whitespace-token
+     Jaccard; the overall score is the mean over the compared column
+     pairs. Both are engine-portable (DuckDB: ``levenshtein``,
+     ``list_intersect``), so the oracle gates values exactly.
+
+At 100 TB both joins shuffle once on the block key with sizes bounded by
+Σ_b |L_b|·|R_b| ≤ max_block_size · min(|L|,|R|); the guard converts an
+adversarial block distribution into bounded work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+METHODS = ("lev_ratio", "token_jaccard")
+
+
+def _sim(lc: Column, rc: Column, method: str) -> Column:
+    """Similarity in [0, 1] between two string columns; NULL on either
+    side scores 0 (a missing field can't attest a match)."""
+    if method == "lev_ratio":
+        s = F.lit(1.0) - F.levenshtein(lc, rc) / F.greatest(
+            F.length(lc), F.length(rc), F.lit(1)
+        )
+    elif method == "token_jaccard":
+        lt = F.array_distinct(F.split(lc, r"\s+"))
+        rt = F.array_distinct(F.split(rc, r"\s+"))
+        union = F.size(F.array_union(lt, rt))
+        s = F.when(
+            union > 0, F.size(F.array_intersect(lt, rt)) / union
+        ).otherwise(F.lit(0.0))
+    else:
+        raise ValueError(f"unknown method {method!r} (use one of {METHODS})")
+    return F.coalesce(s.cast("double"), F.lit(0.0))
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    block_col: str,
+    compare_cols: list[tuple[str, str]],
+    method: str = "lev_ratio",
+    threshold: float = 0.85,
+    keep_best: bool = False,
+    max_block_size: int = 1000,
+) -> DataFrame:
+    """(left_id, right_id, sim) — candidate links whose mean column
+    similarity reaches ``threshold``. ``block_col`` must exist on both
+    sides (callers derive it: phone prefix, soundex, shingle band);
+    ``compare_cols`` pairs (left_col, right_col) to verify.
+
+    ``keep_best=True`` keeps each left id's single best link (ties break
+    on the smaller right id — deterministic), via WindowGroupLimit.
+    ``max_block_size`` caps the per-side block population; oversized
+    blocks are dropped on BOTH sides (the violator set is aggregated —
+    tiny — and broadcast as an anti-join). Raise it consciously: the
+    join cost envelope is max_block_size x the smaller side."""
+    if not compare_cols:
+        raise ValueError("fuzzy_join needs at least one compare_cols pair")
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold {threshold} outside [0, 1]")
+    _sim(F.lit("a"), F.lit("a"), method)  # validate method eagerly
+
+    lsel = left.select(
+        F.col(left_id).alias("__lid"),
+        F.col(block_col).alias("__block"),
+        *[F.col(lc).alias(f"__l{i}") for i, (lc, _) in enumerate(compare_cols)],
+    )
+    rsel = right.select(
+        F.col(right_id).alias("__rid"),
+        F.col(block_col).alias("__rblock"),
+        *[F.col(rc).alias(f"__r{i}") for i, (_, rc) in enumerate(compare_cols)],
+    )
+    if max_block_size is not None:
+        # blocks too big on EITHER side are dropped from BOTH: a one-sided
+        # drop would silently halve the guard (the join pairs l x r)
+        big = (
+            lsel.groupBy(F.col("__block").alias("__b")).count()
+            .unionByName(rsel.groupBy(F.col("__rblock").alias("__b")).count())
+            .groupBy("__b")
+            .agg(F.max("count").alias("__n"))
+            .where(F.col("__n") > max_block_size)
+            .select("__b")
+        )
+        lsel = lsel.join(
+            F.broadcast(big), lsel["__block"] == big["__b"], "left_anti"
+        )
+        rsel = rsel.join(
+            F.broadcast(big), rsel["__rblock"] == big["__b"], "left_anti"
+        )
+
+    cand = lsel.join(rsel, lsel["__block"] == rsel["__rblock"])
+    sims = [
+        _sim(F.col(f"__l{i}"), F.col(f"__r{i}"), method)
+        for i in range(len(compare_cols))
+    ]
+    total = sims[0]
+    for s in sims[1:]:
+        total = total + s
+    score = total / F.lit(float(len(compare_cols)))
+    out = (
+        cand.select(
+            F.col("__lid").alias(left_id),
+            F.col("__rid").alias(right_id),
+            score.alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
+    if keep_best:
+        w = Window.partitionBy(left_id).orderBy(F.desc("sim"), F.col(right_id))
+        out = (
+            out.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    return out

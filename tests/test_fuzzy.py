@@ -1,0 +1,114 @@
+"""Blocked fuzzy join (entity resolution)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ratatool_spark.operators.fuzzy import fuzzy_join
+
+
+def _sides(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "b1", "alice smith"),
+            (2, "b1", "bob jones"),
+            (3, "b2", "carol white"),
+            (4, "b3", "dan brown"),
+        ],
+        "lid long, blk string, name string",
+    )
+    right = spark.createDataFrame(
+        [
+            (11, "b1", "alice smyth"),   # 1 edit of 1 -> matches
+            (12, "b1", "zzzzzzzzz"),     # garbage, same block
+            (13, "b2", "carol white"),   # exact
+            (14, "b9", "dan brown"),     # exact text but different block
+        ],
+        "rid long, blk string, name string",
+    )
+    return left, right
+
+
+def test_fuzzy_join_blocks_and_threshold(spark):
+    left, right = _sides(spark)
+    out = {(r["lid"], r["rid"]): r["sim"] for r in fuzzy_join(
+        left, right, "lid", "rid", "blk", [("name", "name")],
+        threshold=0.8,
+    ).collect()}
+    # alice~alice (1 edit / 11 chars), carol exact; dan never pairs
+    # (blocking), garbage never passes the threshold
+    assert set(out) == {(1, 11), (3, 13)}
+    assert out[(3, 13)] == 1.0
+    assert out[(1, 11)] == pytest.approx(1 - 1 / 11)
+
+
+def test_fuzzy_join_keep_best_deterministic(spark):
+    left = spark.createDataFrame([(1, "b", "aaaa")], "lid long, blk string, name string")
+    right = spark.createDataFrame(
+        [(21, "b", "aaaa"), (22, "b", "aaaa"), (23, "b", "aaab")],
+        "rid long, blk string, name string",
+    )
+    out = fuzzy_join(
+        left, right, "lid", "rid", "blk", [("name", "name")],
+        threshold=0.5, keep_best=True,
+    ).collect()
+    # two perfect ties -> the smaller right id wins
+    assert [(r["lid"], r["rid"], r["sim"]) for r in out] == [(1, 21, 1.0)]
+
+
+def test_fuzzy_join_block_size_guard_drops_both_sides(spark):
+    left = spark.createDataFrame(
+        [(i, "hot", "x") for i in range(5)] + [(99, "cold", "y")],
+        "lid long, blk string, name string",
+    )
+    right = spark.createDataFrame(
+        [(100, "hot", "x"), (101, "cold", "y")],
+        "rid long, blk string, name string",
+    )
+    out = fuzzy_join(
+        left, right, "lid", "rid", "blk", [("name", "name")],
+        threshold=0.9, max_block_size=4,
+    ).collect()
+    # the hot block (5 on the left) is dropped entirely, even though the
+    # right side held only one row of it
+    assert [(r["lid"], r["rid"]) for r in out] == [(99, 101)]
+
+
+def test_fuzzy_join_token_jaccard_and_nulls(spark):
+    left = spark.createDataFrame(
+        [(1, "b", "red green blue"), (2, "b", None)],
+        "lid long, blk string, name string",
+    )
+    right = spark.createDataFrame(
+        [(11, "b", "blue red yellow"), (12, "b", "anything")],
+        "rid long, blk string, name string",
+    )
+    out = {(r["lid"], r["rid"]): r["sim"] for r in fuzzy_join(
+        left, right, "lid", "rid", "blk", [("name", "name")],
+        method="token_jaccard", threshold=0.4,
+    ).collect()}
+    # {red,green,blue} vs {blue,red,yellow}: 2/4; NULL scores 0 everywhere
+    assert set(out) == {(1, 11)}
+    assert out[(1, 11)] == pytest.approx(0.5)
+
+
+def test_fuzzy_join_multi_column_mean(spark):
+    left = spark.createDataFrame(
+        [(1, "b", "abcd", "wxyz")], "lid long, blk string, a string, b string"
+    )
+    right = spark.createDataFrame(
+        [(11, "b", "abcd", "wxyQ")], "rid long, blk string, a string, b string"
+    )
+    out = fuzzy_join(
+        left, right, "lid", "rid", "blk", [("a", "a"), ("b", "b")],
+        threshold=0.5,
+    ).collect()
+    assert out[0]["sim"] == pytest.approx((1.0 + 0.75) / 2)
+
+
+def test_fuzzy_join_validates_args(spark):
+    left, right = _sides(spark)
+    with pytest.raises(ValueError, match="compare_cols"):
+        fuzzy_join(left, right, "lid", "rid", "blk", [])
+    with pytest.raises(ValueError, match="method"):
+        fuzzy_join(left, right, "lid", "rid", "blk", [("name", "name")],
+                   method="soundexish")
