@@ -5587,7 +5587,9 @@ def _q_stream_freq_sketches(spark, sf_dir):
     )
     root = tempfile.mkdtemp(prefix="rt_fsk_")
     src = os.path.join(root, "incoming")
-    ev.repartition(4).write.parquet(src)
+    # 2 staged files -> 2 real micro-batches: enough to prove the
+    # per-batch partial + merge path without doubling the gate's cost
+    ev.repartition(2).write.parquet(src)
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)

@@ -236,6 +236,30 @@ def build_parser() -> argparse.ArgumentParser:
     )
     qs_.add_argument("--format", default=None, help="override input format sniffing")
 
+    fz = sub.add_parser(
+        "fuzzyJoin",
+        help="blocked fuzzy join (entity resolution): equality blocking "
+        "key + Levenshtein/token-Jaccard verify, optional best link per "
+        "left id",
+    )
+    fz.add_argument("--leftInput", required=True)
+    fz.add_argument("--rightInput", required=True)
+    fz.add_argument("--output", required=True)
+    fz.add_argument("--leftId", required=True)
+    fz.add_argument("--rightId", required=True)
+    fz.add_argument("--blockField", required=True, help="must exist on both sides")
+    fz.add_argument(
+        "--compare", type=_csv, required=True,
+        help="column pairs left:right (e.g. name:name,addr:address)",
+    )
+    fz.add_argument(
+        "--method", choices=["lev_ratio", "token_jaccard"], default="lev_ratio"
+    )
+    fz.add_argument("--threshold", type=float, default=0.85)
+    fz.add_argument("--keepBest", action="store_true")
+    fz.add_argument("--maxBlockSize", type=int, default=1000)
+    fz.add_argument("--format", default=None, help="override input format sniffing")
+
     fs = sub.add_parser(
         "freqSketch",
         help="mergeable count-min frequency sketch tables: build "
@@ -645,6 +669,26 @@ def main(argv: list[str] | None = None) -> int:
                     read_table(spark, args.input, fmt=args.format or "parquet"),
                     [float(q) for q in args.quantiles],
                 )
+            write_table(out, args.output, mode="overwrite")
+        elif args.command == "fuzzyJoin":
+            from ratatool_spark.operators.fuzzy import fuzzy_join
+
+            pairs = []
+            for spec in args.compare:
+                lc, sep, rc = spec.partition(":")
+                pairs.append((lc, rc if sep else lc))
+            out = fuzzy_join(
+                read_table(spark, args.leftInput, fmt=args.format),
+                read_table(spark, args.rightInput, fmt=args.format),
+                args.leftId,
+                args.rightId,
+                args.blockField,
+                pairs,
+                method=args.method,
+                threshold=args.threshold,
+                keep_best=args.keepBest,
+                max_block_size=args.maxBlockSize,
+            )
             write_table(out, args.output, mode="overwrite")
         elif args.command == "freqSketch":
             from pyspark.sql import functions as F

@@ -112,3 +112,21 @@ def test_fuzzy_join_validates_args(spark):
     with pytest.raises(ValueError, match="method"):
         fuzzy_join(left, right, "lid", "rid", "blk", [("name", "name")],
                    method="soundexish")
+
+
+def test_cli_fuzzy_join(spark, tmp_path):
+    from ratatool_spark.cli import main
+
+    left, right = _sides(spark)
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    left.write.parquet(lp)
+    right.write.parquet(rp)
+    out = str(tmp_path / "out")
+    assert main([
+        "fuzzyJoin", "--leftInput", lp, "--rightInput", rp,
+        "--output", out, "--leftId", "lid", "--rightId", "rid",
+        "--blockField", "blk", "--compare", "name:name",
+        "--threshold", "0.8", "--keepBest",
+    ]) == 0
+    got = {(r["lid"], r["rid"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, 11), (3, 13)}
