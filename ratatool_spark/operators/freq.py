@@ -262,6 +262,11 @@ def estimate_freqs(
         for c in sketch_df.columns
         if c not in ("cms", "depth", "width", "n_rows")
     ]
+    if key_col in group_cols:
+        raise ValueError(
+            f"probe column {key_col!r} collides with a sketch group column "
+            "— alias the probe list before estimating"
+        )
     probes = keys_df.select(
         F.col(key_col), hash_cols([key_col], seed=seed).alias("__qh")
     )

@@ -239,3 +239,11 @@ def test_sketch_heavy_hitters_matches_exact_on_wide_sketch(spark):
     want = {(r["g"], r["rank"]): (r["k"], r["cnt"])
             for r in heavy_hitters(df, ["g"], "k", k=2).collect()}
     assert got == want
+
+
+def test_estimate_rejects_group_column_collision(spark):
+    df = _toy(spark)
+    sk = build_freq_sketches(df, ["g"], "k", depth=2, width=8)
+    probes = spark.createDataFrame([("a",)], "g string")
+    with pytest.raises(ValueError, match="collides"):
+        estimate_freqs(sk, probes, "g")
