@@ -5400,16 +5400,29 @@ WITH l AS (
   SELECT c_custkey + 1000000 AS rid, c_nationkey AS blk,
          replace(c_name, '1', 'l') AS c_name
   FROM customer
+), big AS (
+  -- the max_block_size guard, replayed: blocks oversized on EITHER side
+  -- are dropped from both (Spark side runs the default cap of 1000 --
+  -- inert at gate SF, but the twin must scale with it)
+  SELECT blk FROM (
+    SELECT blk, COUNT(*) AS n FROM l GROUP BY blk
+    UNION ALL
+    SELECT blk, COUNT(*) AS n FROM r GROUP BY blk
+  ) GROUP BY blk HAVING MAX(n) > 1000
 ), cand AS (
   SELECT l.lid, r.rid,
-         COALESCE(CAST(1.0 - levenshtein(l.c_name, r.c_name)
-                        / greatest(length(l.c_name), length(r.c_name), 1)
-                   AS DOUBLE), 0.0) AS sim
+         COALESCE(CASE WHEN length(l.c_name) > 0 AND length(r.c_name) > 0
+                       THEN CAST(1.0 - levenshtein(l.c_name, r.c_name)
+                                  / greatest(length(l.c_name),
+                                             length(r.c_name), 1)
+                             AS DOUBLE)
+                       ELSE 0.0 END, 0.0) AS sim
   FROM l JOIN r USING (blk)
+  WHERE blk NOT IN (SELECT blk FROM big)
 )
 SELECT lid, rid, sim FROM (
   SELECT lid, rid, sim,
-         ROW_NUMBER() OVER (PARTITION BY lid ORDER BY sim DESC, rid) AS rn
+         ROW_NUMBER() OVER (PARTITION BY lid ORDER BY sim DESC, rid NULLS FIRST) AS rn
   FROM cand WHERE sim >= 0.9
 ) WHERE rn = 1
 """
@@ -5558,7 +5571,7 @@ WITH h AS (
 SELECT event_type, user_id, est_count, "rank" FROM (
   SELECT event_type, user_id, est_count,
          ROW_NUMBER() OVER (PARTITION BY event_type
-                            ORDER BY est_count DESC, user_id) AS "rank"
+                            ORDER BY est_count DESC, user_id NULLS FIRST) AS "rank"
   FROM est
 ) WHERE "rank" <= 5
 """
@@ -5627,7 +5640,7 @@ _SQL_HEAVY_HITTERS = """
 SELECT l_returnflag, l_suppkey, cnt, "rank" FROM (
   SELECT l_returnflag, l_suppkey, COUNT(*) AS cnt,
          ROW_NUMBER() OVER (PARTITION BY l_returnflag
-                            ORDER BY COUNT(*) DESC, l_suppkey) AS "rank"
+                            ORDER BY COUNT(*) DESC, l_suppkey NULLS FIRST) AS "rank"
   FROM lineitem GROUP BY l_returnflag, l_suppkey
 ) WHERE "rank" <= 8
 """
@@ -5662,7 +5675,7 @@ WITH melted AS (
 ), stats AS (
   SELECT "column", value, cnt,
          ROW_NUMBER() OVER (PARTITION BY "column"
-                            ORDER BY cnt DESC, value) AS "rank",
+                            ORDER BY cnt DESC, value NULLS FIRST) AS "rank",
          COUNT(*) OVER (PARTITION BY "column") AS n_distinct,
          SUM(cnt) OVER (PARTITION BY "column") AS n_total
   FROM counts

@@ -218,6 +218,10 @@ def merge_freq_sketches(*sketch_dfs: DataFrame) -> DataFrame:
         F.max("width").alias("__wmax"),
     )
     merged = merged.crossJoin(F.broadcast(gk))
+    # the guard is fused into the PAYLOAD column (cms), not a metadata
+    # column: Catalyst prunes unreferenced columns, so a guard riding
+    # `depth` would silently vanish for any consumer that selects only
+    # cms/n_rows — and return positionally-summed garbage counters
     guard = F.when(
         (F.col("__dmin") != F.col("__dmax"))
         | (F.col("__wmin") != F.col("__wmax")),
@@ -233,10 +237,10 @@ def merge_freq_sketches(*sketch_dfs: DataFrame) -> DataFrame:
                 F.col("__wmax").cast("string"),
                 F.lit(") — sketches are not mergeable; rebuild at one size"),
             )
-        ),
-    ).otherwise(F.col("depth"))
+        ).cast("array<bigint>"),
+    ).otherwise(F.col("cms"))
     return merged.select(
-        *group_cols, "cms", guard.alias("depth"), "width", "n_rows"
+        *group_cols, guard.alias("cms"), "depth", "width", "n_rows"
     )
 
 

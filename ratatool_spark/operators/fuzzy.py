@@ -36,8 +36,11 @@ METHODS = ("lev_ratio", "token_jaccard")
 
 
 def _sim(lc: Column, rc: Column, method: str) -> Column:
-    """Similarity in [0, 1] between two string columns; NULL on either
-    side scores 0 (a missing field can't attest a match)."""
+    """Similarity in [0, 1] between two string columns; NULL *or empty*
+    on either side scores 0 — a missing field can't attest a match, and
+    CSV-style ingests encode missing as '' (two blank fields would
+    otherwise score a perfect 1.0 and, under keep_best, outrank genuine
+    partial matches)."""
     if method == "lev_ratio":
         s = F.lit(1.0) - F.levenshtein(lc, rc) / F.greatest(
             F.length(lc), F.length(rc), F.lit(1)
@@ -51,7 +54,10 @@ def _sim(lc: Column, rc: Column, method: str) -> Column:
         ).otherwise(F.lit(0.0))
     else:
         raise ValueError(f"unknown method {method!r} (use one of {METHODS})")
-    return F.coalesce(s.cast("double"), F.lit(0.0))
+    populated = (F.length(lc) > 0) & (F.length(rc) > 0)
+    return F.coalesce(
+        F.when(populated, s.cast("double")).otherwise(F.lit(0.0)), F.lit(0.0)
+    )
 
 
 def fuzzy_join(
@@ -76,12 +82,25 @@ def fuzzy_join(
     ``max_block_size`` caps the per-side block population; oversized
     blocks are dropped on BOTH sides (the violator set is aggregated —
     tiny — and broadcast as an anti-join). Raise it consciously: the
-    join cost envelope is max_block_size x the smaller side."""
+    join cost envelope is max_block_size x the smaller side.
+
+    When both sides key on the SAME column name (the common linkage
+    case), the output disambiguates to ``<left_id>_l`` / ``<right_id>_r``
+    — otherwise the result would carry two identically-named columns
+    (unwritable) and keep_best's window would be ambiguous."""
     if not compare_cols:
         raise ValueError("fuzzy_join needs at least one compare_cols pair")
     if not 0.0 <= threshold <= 1.0:
         raise ValueError(f"threshold {threshold} outside [0, 1]")
     _sim(F.lit("a"), F.lit("a"), method)  # validate method eagerly
+    out_left, out_right = left_id, right_id
+    if left_id == right_id:
+        out_left, out_right = f"{left_id}_l", f"{right_id}_r"
+    if "sim" in (out_left, out_right):
+        raise ValueError(
+            "id output column named 'sim' collides with the score column "
+            "— alias the id before joining"
+        )
 
     lsel = left.select(
         F.col(left_id).alias("__lid"),
@@ -122,14 +141,14 @@ def fuzzy_join(
     score = total / F.lit(float(len(compare_cols)))
     out = (
         cand.select(
-            F.col("__lid").alias(left_id),
-            F.col("__rid").alias(right_id),
+            F.col("__lid").alias(out_left),
+            F.col("__rid").alias(out_right),
             score.alias("sim"),
         )
         .where(F.col("sim") >= threshold)
     )
     if keep_best:
-        w = Window.partitionBy(left_id).orderBy(F.desc("sim"), F.col(right_id))
+        w = Window.partitionBy(out_left).orderBy(F.desc("sim"), F.col(out_right))
         out = (
             out.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)

@@ -384,6 +384,9 @@ def merge_quantile_sketches(*sketch_dfs: DataFrame) -> DataFrame:
     # differing-k tables carry DISJOINT groups, shipping a mixed-k output
     gk = u.agg(F.min("k").alias("__gkmin"), F.max("k").alias("__gkmax"))
     merged = merged.crossJoin(F.broadcast(gk))
+    # guard fused into the PAYLOAD column (sample): a guard riding `k`
+    # is pruned away by any consumer that doesn't select k — which
+    # estimate_quantiles doesn't — and would silently mix-k merge
     guard = F.when(
         F.col("__gkmin") != F.col("__gkmax"),
         F.raise_error(
@@ -394,9 +397,11 @@ def merge_quantile_sketches(*sketch_dfs: DataFrame) -> DataFrame:
                 F.col("__gkmax").cast("string"),
                 F.lit(") — sketches are not mergeable; rebuild at one k"),
             )
-        ),
-    ).otherwise(F.col("__kmin"))
-    return merged.select(*group_cols, "sample", guard.alias("k"))
+        ).cast("array<struct<h:bigint,v:double>>"),
+    ).otherwise(F.col("sample"))
+    return merged.select(
+        *group_cols, guard.alias("sample"), F.col("__kmin").alias("k")
+    )
 
 
 def estimate_quantiles(
@@ -482,9 +487,11 @@ def merge_set_sketches(*sketch_dfs: DataFrame) -> DataFrame:
         F.flatten(F.collect_list("kmv")).alias("__all"),
         F.min("k").alias("__kmin"),
     )
-    # global (not per-group) guard — see merge_quantile_sketches
+    # global (not per-group) guard — see merge_quantile_sketches; fused
+    # into the kmv PAYLOAD so column pruning can never elide it
     gk = u.agg(F.min("k").alias("__gkmin"), F.max("k").alias("__gkmax"))
     merged = merged.crossJoin(F.broadcast(gk))
+    kmv = F.slice(F.array_sort(F.array_distinct("__all")), 1, F.col("__kmin"))
     guard = F.when(
         F.col("__gkmin") != F.col("__gkmax"),
         F.raise_error(
@@ -495,14 +502,12 @@ def merge_set_sketches(*sketch_dfs: DataFrame) -> DataFrame:
                 F.col("__gkmax").cast("string"),
                 F.lit(") — rebuild at one k"),
             )
-        ),
-    ).otherwise(F.col("__kmin"))
+        ).cast("array<bigint>"),
+    ).otherwise(kmv)
     return merged.select(
         *group_cols,
-        F.slice(
-            F.array_sort(F.array_distinct("__all")), 1, F.col("__kmin")
-        ).alias("kmv"),
-        guard.alias("k"),
+        guard.alias("kmv"),
+        F.col("__kmin").alias("k"),
     )
 
 

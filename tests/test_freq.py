@@ -128,6 +128,10 @@ def test_cms_geometry_guard_raises(spark):
     b = build_freq_sketches(df, ["g"], "k", depth=4, width=16)
     with pytest.raises(Exception, match="mismatched geometry"):
         merge_freq_sketches(a, b).collect()
+    # the guard rides the PAYLOAD column: selecting only cms (pruning
+    # depth/width away) must still raise, never return summed garbage
+    with pytest.raises(Exception, match="mismatched geometry"):
+        merge_freq_sketches(a, b).select("g", "cms").collect()
 
 
 def test_cms_rejects_bad_geometry_args(spark):

@@ -130,3 +130,23 @@ def test_cli_fuzzy_join(spark, tmp_path):
     ]) == 0
     got = {(r["lid"], r["rid"]) for r in spark.read.parquet(out).collect()}
     assert got == {(1, 11), (3, 13)}
+
+
+def test_fuzzy_join_same_id_name_disambiguates(spark):
+    left = spark.createDataFrame([(1, "b", "abcd")], "id long, blk string, name string")
+    right = spark.createDataFrame([(9, "b", "abcd")], "id long, blk string, name string")
+    out = fuzzy_join(
+        left, right, "id", "id", "blk", [("name", "name")],
+        threshold=0.5, keep_best=True,
+    )
+    assert out.columns == ["id_l", "id_r", "sim"]
+    assert [(r["id_l"], r["id_r"]) for r in out.collect()] == [(1, 9)]
+
+
+def test_fuzzy_join_empty_strings_score_zero(spark):
+    left = spark.createDataFrame([(1, "b", "")], "lid long, blk string, name string")
+    right = spark.createDataFrame([(9, "b", "")], "rid long, blk string, name string")
+    # two blank fields must NOT link as a perfect match
+    assert fuzzy_join(
+        left, right, "lid", "rid", "blk", [("name", "name")], threshold=0.5
+    ).count() == 0
