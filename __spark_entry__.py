@@ -5370,15 +5370,19 @@ def _q_fuzzy_join(spark, sf_dir):
 
     from ratatool_spark.operators.fuzzy import fuzzy_join
 
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").where(
+        F.col("c_custkey") % 5 == 0
+    )
+    # block on (nation, segment): the block key must be typo-stable and
+    # FINE — coarse blocks are the fuzzy-join cost envelope (pairs grow
+    # as n²/blocks; nation-only blocking measured 25 s at sf0.1)
+    blk = F.concat_ws("|", "c_nationkey", "c_mktsegment")
     left = cust.select(
-        F.col("c_custkey").alias("lid"),
-        F.col("c_nationkey").alias("blk"),
-        "c_name",
+        F.col("c_custkey").alias("lid"), blk.alias("blk"), "c_name"
     )
     right = cust.select(
         (F.col("c_custkey") + 1000000).alias("rid"),
-        F.col("c_nationkey").alias("blk"),
+        blk.alias("blk"),
         F.translate("c_name", "1", "l").alias("c_name"),
     )
     return fuzzy_join(
@@ -5394,12 +5398,17 @@ def _q_fuzzy_join(spark, sf_dir):
 
 
 _SQL_FUZZY_JOIN = """
-WITH l AS (
-  SELECT c_custkey AS lid, c_nationkey AS blk, c_name FROM customer
+WITH base AS (
+  SELECT * FROM customer WHERE c_custkey % 5 = 0
+), l AS (
+  SELECT c_custkey AS lid,
+         concat_ws('|', c_nationkey, c_mktsegment) AS blk, c_name
+  FROM base
 ), r AS (
-  SELECT c_custkey + 1000000 AS rid, c_nationkey AS blk,
+  SELECT c_custkey + 1000000 AS rid,
+         concat_ws('|', c_nationkey, c_mktsegment) AS blk,
          replace(c_name, '1', 'l') AS c_name
-  FROM customer
+  FROM base
 ), big AS (
   -- the max_block_size guard, replayed: blocks oversized on EITHER side
   -- are dropped from both (Spark side runs the default cap of 1000 --
