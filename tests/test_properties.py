@@ -5,6 +5,7 @@ invariants re-expressed with hypothesis: hash determinism + bounds, dice
 
 import hashlib
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -606,3 +607,72 @@ def test_cms_merge_equals_direct_and_python_replay_any_split(
             ) % CMS_P % width
             cnt[j * width + slot] += 1
     assert {i: c for i, c in enumerate(direct[0]["cms"]) if c} == dict(cnt)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["b0", "b1", "b2"]),
+            st.text(alphabet="abc ", max_size=6),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.lists(
+        st.tuples(
+            st.sampled_from(["b0", "b1", "b2"]),
+            st.text(alphabet="abc ", max_size=6),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.floats(min_value=0.0, max_value=1.0),
+)
+@settings(max_examples=12, deadline=None)
+def test_fuzzy_join_matches_python_replay(lrows, rrows, threshold):
+    """fuzzy_join (lev_ratio, no guard) == the quadratic python replay
+    within each block: same pair set, same similarity values, including
+    the NULL/empty-scores-zero rule."""
+    from pyspark.sql import Row
+
+    from ratatool_spark.operators.fuzzy import fuzzy_join
+    from ratatool_spark.session import get_spark
+
+    spark = get_spark("ratatool_spark_tests", shuffle_partitions=8)
+    left = spark.createDataFrame(
+        [Row(lid=i, blk=b, name=t) for i, (b, t) in enumerate(lrows)]
+    )
+    right = spark.createDataFrame(
+        [Row(rid=i, blk=b, name=t) for i, (b, t) in enumerate(rrows)]
+    )
+    got = {
+        (r["lid"], r["rid"]): r["sim"]
+        for r in fuzzy_join(
+            left, right, "lid", "rid", "blk", [("name", "name")],
+            threshold=threshold, max_block_size=None,
+        ).collect()
+    }
+    want = {}
+    for i, (lb, lt) in enumerate(lrows):
+        for j, (rb, rt) in enumerate(rrows):
+            if lb != rb:
+                continue
+            if not lt or not rt:
+                sim = 0.0
+            else:
+                sim = 1.0 - _lev(lt, rt) / max(len(lt), len(rt), 1)
+            if sim >= threshold:
+                want[(i, j)] = sim
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k])
