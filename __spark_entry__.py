@@ -5655,6 +5655,46 @@ SELECT l_returnflag, l_suppkey, cnt, "rank" FROM (
 """
 
 
+def _q_revenue_heavy_hitters(spark, sf_dir):
+    """Measure-mode heavy hitters (operators/freq.heavy_hitters with a
+    SUM measure): the 5 suppliers contributing the most discounted
+    revenue per returnflag — 'top contributors by metric', the
+    cost-attribution twin of the frequency form. Revenue decimal-cast
+    per row before the sum so the aggregate is exact and
+    order-independent (the established oracle-parity discipline)."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.freq import heavy_hitters
+    from ratatool_spark.sources.io import load_tables
+
+    t = load_tables(spark, sf_dir, names=("lineitem",))
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(28,6)")
+    from pyspark.sql import functions as F2
+
+    # exact decimal ranking inside; double for the gated output (the
+    # established cross-engine finishing convention)
+    return heavy_hitters(
+        t["lineitem"], ["l_returnflag"], "l_suppkey", k=5, measure=rev
+    ).withColumn("total", F2.col("total").cast("double"))
+
+
+_SQL_REVENUE_HEAVY_HITTERS = """
+SELECT l_returnflag, l_suppkey, total, "rank" FROM (
+  SELECT l_returnflag, l_suppkey,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                       AS DECIMAL(28,6))) AS DOUBLE) AS total,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_returnflag
+           ORDER BY SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                             AS DECIMAL(28,6))) DESC,
+                    l_suppkey NULLS FIRST) AS "rank"
+  FROM lineitem GROUP BY l_returnflag, l_suppkey
+) WHERE "rank" <= 5
+"""
+
+
 def _q_skew_report(spark, sf_dir):
     """Per-column skew diagnostic (operators/freq.skew_report): the 5
     hottest values of three lineitem columns with share and
@@ -6043,6 +6083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_freq_sketches": _q_stream_freq_sketches,
         "sketch_heavy_hitters": _q_sketch_heavy_hitters,
         "heavy_hitters_suppliers": _q_heavy_hitters,
+        "revenue_heavy_hitters": _q_revenue_heavy_hitters,
         "skew_report_lineitem": _q_skew_report,
         "line_dedup_corpus": _q_line_dedup_corpus,
         "line_dedup_document": _q_line_dedup_document,
@@ -6197,6 +6238,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_freq_sketches": _sql_freq_sketch_merge(),
         "sketch_heavy_hitters": _sql_sketch_heavy_hitters(),
         "heavy_hitters_suppliers": _SQL_HEAVY_HITTERS,
+        "revenue_heavy_hitters": _SQL_REVENUE_HEAVY_HITTERS,
         "skew_report_lineitem": _SQL_SKEW_REPORT,
         "tfidf_cosine_pairs": _SQL_TFIDF_COSINE,
         "rollup_incremental": _SQL_TIME_ROLLUP,

@@ -33,7 +33,7 @@ the fact table itself never shuffles. A sketch row is depth*width int64s
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Bucket-map constants, shared verbatim by the DuckDB oracle replay:
@@ -70,17 +70,25 @@ def heavy_hitters(
     group_cols: list[str],
     key_col: str,
     k: int = 10,
+    measure: Column | None = None,
 ) -> DataFrame:
-    """(group_cols..., key_col, cnt, rank) — the k most frequent keys per
-    group, exact. Ties break on the smaller key so the result is fully
-    deterministic (rank is ``row_number``, not ``rank``).
+    """(group_cols..., key_col, cnt|total, rank) — the k heaviest keys
+    per group, exact. By frequency (``cnt``) by default; pass ``measure``
+    (a Column) to rank by SUM of a metric instead (``total`` — top
+    contributors by revenue / bytes / tokens). Decimal-cast the measure
+    for exact, order-independent sums. Ties break on the smaller key so
+    the result is fully deterministic (rank is ``row_number``).
 
-    Two map-side-combined shuffles: groupBy(group+key) count, then a
+    Two map-side-combined shuffles: groupBy(group+key) aggregate, then a
     ``row_number() <= k`` window that Spark rewrites to WindowGroupLimit —
     each task keeps a k-row heap per group before the second exchange, so
     it carries O(k x partitions), never the distinct-key table."""
-    counts = df.groupBy(*group_cols, key_col).agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.partitionBy(*group_cols).orderBy(F.desc("cnt"), F.col(key_col))
+    val = "cnt" if measure is None else "total"
+    agg = (
+        F.count(F.lit(1)) if measure is None else F.sum(measure)
+    ).alias(val)
+    counts = df.groupBy(*group_cols, key_col).agg(agg)
+    w = Window.partitionBy(*group_cols).orderBy(F.desc(val), F.col(key_col))
     return (
         counts.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)

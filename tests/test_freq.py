@@ -251,3 +251,18 @@ def test_estimate_rejects_group_column_collision(spark):
     probes = spark.createDataFrame([("a",)], "g string")
     with pytest.raises(ValueError, match="collides"):
         estimate_freqs(sk, probes, "g")
+
+
+def test_heavy_hitters_by_measure(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "x", 2.0), ("a", "y", 10.0), ("a", "z", 4.0)],
+        "g string, k string, v double",
+    )
+    out = [
+        (r["k"], float(r["total"]), r["rank"])
+        for r in heavy_hitters(
+            df, ["g"], "k", k=2, measure=F.col("v").cast("decimal(18,2)")
+        ).collect()
+    ]
+    # ranked by sum(v), not by row count (x has 2 rows but less weight)
+    assert out == [("y", 10.0, 1), ("z", 4.0, 2)]
