@@ -399,3 +399,20 @@ def test_cms_sketch_joins_are_broadcast_only(spark):
     assert "SortMergeJoin" not in p
     # every nested-loop is a broadcast of a tiny side (guard row / probes)
     assert p.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_fuzzy_join_is_blocked_equi_join(spark):
+    """fuzzy_join: candidates come from the block EQUI-join, never a
+    cartesian; the oversized-block guard's violator sides broadcast."""
+    p = plan_of(spark, "fuzzy_join_customers")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # block join + two anti-joins, all hash-based on the block key
+    assert p.count("BroadcastHashJoin") + p.count("SortMergeJoin") >= 3
+    assert "LeftAnti" in p
+
+
+def test_revenue_heavy_hitters_same_shape_as_frequency(spark):
+    p = plan_of(spark, "revenue_heavy_hitters")
+    assert "CartesianProduct" not in p and "NestedLoopJoin" not in p
+    assert n_exchanges(p) == 2
+    assert "WindowGroupLimit" in p
