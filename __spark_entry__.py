@@ -5357,6 +5357,69 @@ def _q_stream_quantile_sketches(spark, sf_dir):
     return estimate_quantiles(merged, [0.25, 0.5, 0.9])
 
 
+def _q_dsir_select(spark, sf_dir):
+    """DSIR-style data selection (operators/corpus dsir_weights/
+    dsir_select; Xie et al. NeurIPS'23): English docs as the target
+    distribution, the whole pool as raw; every doc weighted by the
+    unigram log-likelihood ratio and the top-150 chosen by Gumbel-top-k
+    with the portable-hash dice as the uniform — importance resampling
+    without replacement, reproducible anywhere from (corpus, seed). The
+    oracle replays tokenization, both smoothed models, the ratio sum,
+    the Gumbel keys, and the final ranked cut; floats finish at
+    ROUND(...,6) (the unigram-gate convention)."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.corpus import build_token_freqs, dsir_select
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tf = build_token_freqs(docs.where(F.col("lang") == "en"))
+    rf = build_token_freqs(docs)
+    sel = dsir_select(docs, tf, rf, 150, seed=0)
+    return sel.select(
+        "doc_id",
+        "n_tokens",
+        F.round("log_ratio", 6).alias("log_ratio"),
+        F.round("sample_key", 6).alias("sample_key"),
+    )
+
+
+_SQL_DSIR_SELECT = """
+WITH toks AS (
+  SELECT doc_id, t.tok AS tok
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS ls FROM documents),
+       UNNEST(ls) AS t(tok)
+  WHERE LENGTH(t.tok) > 0
+), tfreqs AS (
+  SELECT tok, COUNT(*) AS cnt FROM toks JOIN documents USING (doc_id)
+  WHERE lang = 'en' GROUP BY tok
+), rfreqs AS (
+  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+), tn AS (SELECT SUM(cnt) AS total, COUNT(*) AS v FROM tfreqs),
+   rn AS (SELECT SUM(cnt) AS total, COUNT(*) AS v FROM rfreqs),
+scores AS (
+  SELECT t.doc_id, COUNT(*) AS n_tokens,
+         SUM(LN((COALESCE(tf.cnt, 0) + 0.5) / (tn.total + 0.5 * (tn.v + 1)))
+           - LN((COALESCE(rf.cnt, 0) + 0.5) / (rn.total + 0.5 * (rn.v + 1))))
+           AS log_ratio
+  FROM toks t
+  LEFT JOIN tfreqs tf USING (tok)
+  LEFT JOIN rfreqs rf USING (tok), tn, rn
+  GROUP BY t.doc_id
+), keyed AS (
+  SELECT doc_id, n_tokens, log_ratio,
+         log_ratio + (-LN(-LN(
+           (('0x' || substr(md5(concat_ws(chr(1), '0',
+              CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT)::DOUBLE
+           / 1152921504606846976.0
+         ))) AS sample_key
+  FROM scores
+)
+SELECT doc_id, n_tokens, ROUND(log_ratio, 6) AS log_ratio,
+       ROUND(sample_key, 6) AS sample_key
+FROM keyed ORDER BY sample_key DESC, doc_id LIMIT 150
+"""
+
+
 def _q_fuzzy_join(spark, sf_dir):
     """Blocked fuzzy join / entity resolution (operators/fuzzy):
     customers linked to a perturbed twin of themselves ('1' -> 'l' typo
@@ -6078,6 +6141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- round 5: new or behaviour-changed this round ---------------
+        "dsir_select_docs": _q_dsir_select,
         "fuzzy_join_customers": _q_fuzzy_join,
         "freq_sketch_merge": _q_freq_sketch_merge,
         "stream_freq_sketches": _q_stream_freq_sketches,
@@ -6233,6 +6297,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_sketch_merge": _SQL_HLL_SKETCH_MERGE,
         "multimodal_decode_png": _SQL_MULTIMODAL_DECODE_PNG,
         "quantile_sketch_merge": _sql_quantile_sketch_merge(),
+        "dsir_select_docs": _SQL_DSIR_SELECT,
         "fuzzy_join_customers": _SQL_FUZZY_JOIN,
         "freq_sketch_merge": _sql_freq_sketch_merge(),
         "stream_freq_sketches": _sql_freq_sketch_merge(),

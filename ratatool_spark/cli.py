@@ -236,6 +236,22 @@ def build_parser() -> argparse.ArgumentParser:
     )
     qs_.add_argument("--format", default=None, help="override input format sniffing")
 
+    ds_ = sub.add_parser(
+        "dsirSelect",
+        help="DSIR importance resampling: weight docs by target-vs-raw "
+        "unigram log-ratio, select top-n by deterministic Gumbel-top-k",
+    )
+    ds_.add_argument("--input", required=True)
+    ds_.add_argument("--targetFreqs", required=True, help="build_token_freqs parquet of the target corpus")
+    ds_.add_argument("--rawFreqs", required=True, help="build_token_freqs parquet of the raw pool")
+    ds_.add_argument("--output", required=True)
+    ds_.add_argument("--n", type=int, required=True)
+    ds_.add_argument("--textField", default="text")
+    ds_.add_argument("--idField", default="doc_id")
+    ds_.add_argument("--smoothing", type=float, default=0.5)
+    ds_.add_argument("--seed", type=int, default=0)
+    ds_.add_argument("--format", default=None, help="override input format sniffing")
+
     fz = sub.add_parser(
         "fuzzyJoin",
         help="blocked fuzzy join (entity resolution): equality blocking "
@@ -669,6 +685,20 @@ def main(argv: list[str] | None = None) -> int:
                     read_table(spark, args.input, fmt=args.format or "parquet"),
                     [float(q) for q in args.quantiles],
                 )
+            write_table(out, args.output, mode="overwrite")
+        elif args.command == "dsirSelect":
+            from ratatool_spark.operators.corpus import dsir_select
+
+            out = dsir_select(
+                read_table(spark, args.input, fmt=args.format),
+                read_table(spark, args.targetFreqs, fmt="parquet"),
+                read_table(spark, args.rawFreqs, fmt="parquet"),
+                args.n,
+                text_col=args.textField,
+                id_col=args.idField,
+                smoothing=args.smoothing,
+                seed=args.seed,
+            )
             write_table(out, args.output, mode="overwrite")
         elif args.command == "fuzzyJoin":
             from ratatool_spark.operators.fuzzy import fuzzy_join

@@ -834,3 +834,108 @@ def cap_per_group(
         .where(F.col("__rn") <= max_rows)
         .drop("__dice", "__rn")
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_freq_df: DataFrame,
+    raw_freq_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """(id, n_tokens, log_ratio) — per-document importance weight for
+    DSIR-style data selection (Xie et al., NeurIPS'23: Data Selection
+    via Importance Resampling): log_ratio = Σ_tokens [ln p_target(t) −
+    ln p_raw(t)] under Lidstone-smoothed unigram models of a TARGET
+    corpus (what you want more of) and the RAW pool. Positive = looks
+    more like the target than the pool.
+
+    Same conventions as :func:`unigram_logprob_score`: freq tables come
+    from :func:`build_token_freqs` (persist once per corpus), are
+    defensively re-aggregated, and EVERY input row appears in the output
+    (token-free docs get n_tokens=0, log_ratio NULL). One explode, ONE
+    token-keyed join (the two vocabularies are pre-merged full-outer —
+    vocab-sized, usually broadcastable), one per-doc aggregate."""
+    if smoothing <= 0:
+        raise ValueError("smoothing must be > 0 (MLE log(0) on OOV)")
+
+    def _norm(freq_df: DataFrame):
+        f = freq_df.groupBy("token").agg(F.sum("cnt").alias("cnt"))
+        t = f.agg(
+            F.sum("cnt").alias("__t"), F.count(F.lit(1)).alias("__v")
+        ).collect()[0]
+        denom = float(t["__t"] or 0) + smoothing * (float(t["__v"] or 0) + 1.0)
+        return f, denom
+
+    tf, tdenom = _norm(target_freq_df)
+    rf, rdenom = _norm(raw_freq_df)
+    vocab = (
+        tf.select(F.col("token").alias("__tok"), F.col("cnt").alias("__ct"))
+        .join(
+            rf.select(
+                F.col("token").alias("__tok"), F.col("cnt").alias("__cr")
+            ),
+            "__tok",
+            "full_outer",
+        )
+    )
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__tok")
+    ).where(F.length("__tok") > 0)
+    lr = F.log(
+        (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(smoothing))
+        / F.lit(tdenom)
+    ) - F.log(
+        (F.coalesce(F.col("__cr"), F.lit(0)) + F.lit(smoothing))
+        / F.lit(rdenom)
+    )
+    scores = (
+        toks.join(vocab, "__tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(lr).alias("log_ratio"),
+        )
+    )
+    return df.select(id_col).join(scores, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        "log_ratio",
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target_freq_df: DataFrame,
+    raw_freq_df: DataFrame,
+    n_select: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 0.5,
+    seed: int = 0,
+) -> DataFrame:
+    """(id, n_tokens, log_ratio, sample_key) — the ``n_select`` documents
+    chosen by Gumbel-top-k importance resampling: sampling WITHOUT
+    replacement with probability ∝ exp(log_ratio) equals taking the top
+    k of ``log_ratio + Gumbel(u)`` with u uniform (the Gumbel-max trick),
+    and u here is the deterministic portable dice on the doc id — so the
+    selected set is reproducible anywhere from (corpus, seed), the same
+    property as every sampling cohort in this package.
+
+    Distributed shape: the weights job (one explode + vocab join + doc
+    aggregate), then a global top-k — Spark's TakeOrderedAndProject
+    (per-partition k-heap, single k·partitions merge; the corpus never
+    sorts globally). Token-free docs (log_ratio NULL) order last and are
+    only selected once scored docs are exhausted."""
+    w = dsir_weights(
+        df, target_freq_df, raw_freq_df, text_col, id_col, smoothing
+    )
+    u = dice([id_col], seed=seed)
+    gumbel = -F.log(-F.log(u))
+    key = (F.col("log_ratio") + gumbel).alias("sample_key")
+    return (
+        w.select(id_col, "n_tokens", "log_ratio", key)
+        .orderBy(F.desc_nulls_last("sample_key"), F.col(id_col))
+        .limit(n_select)
+    )

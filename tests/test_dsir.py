@@ -1,0 +1,142 @@
+"""DSIR importance weighting + Gumbel-top-k selection."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ratatool_spark.operators.corpus import (
+    build_token_freqs,
+    dsir_select,
+    dsir_weights,
+)
+
+S = 0.5
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "good good signal"),
+            (2, "noise noise noise"),
+            (3, "good noise"),
+            (4, ""),  # token-free: every-row guarantee
+        ],
+        "doc_id long, text string",
+    )
+
+
+def _target(spark):
+    # the target distribution loves "good"
+    return spark.createDataFrame(
+        [(10, "good good good signal")], "doc_id long, text string"
+    )
+
+
+def _py_weights(docs, target_toks, raw_toks):
+    import collections
+
+    tf = collections.Counter(target_toks)
+    rf = collections.Counter(raw_toks)
+    td = sum(tf.values()) + S * (len(tf) + 1)
+    rd = sum(rf.values()) + S * (len(rf) + 1)
+    out = {}
+    for did, text in docs:
+        toks = [t for t in text.strip().split(" ") if t]
+        if not toks:
+            out[did] = (0, None)
+            continue
+        lr = sum(
+            math.log((tf.get(t, 0) + S) / td) - math.log((rf.get(t, 0) + S) / rd)
+            for t in toks
+        )
+        out[did] = (len(toks), lr)
+    return out
+
+
+def test_dsir_weights_match_python_replay(spark):
+    docs = _docs(spark)
+    w = {
+        r["doc_id"]: (r["n_tokens"], r["log_ratio"])
+        for r in dsir_weights(
+            docs, build_token_freqs(_target(spark)), build_token_freqs(docs)
+        ).collect()
+    }
+    raw_toks = "good good signal noise noise noise good noise".split()
+    want = _py_weights(
+        [(1, "good good signal"), (2, "noise noise noise"),
+         (3, "good noise"), (4, "")],
+        "good good good signal".split(),
+        raw_toks,
+    )
+    assert set(w) == {1, 2, 3, 4}
+    for did, (n, lr) in want.items():
+        assert w[did][0] == n
+        if lr is None:
+            assert w[did][1] is None
+        else:
+            assert w[did][1] == pytest.approx(lr)
+    # target-like doc outranks pool-like doc
+    assert w[1][1] > w[2][1]
+
+
+def test_dsir_select_gumbel_topk_deterministic(spark):
+    docs = _docs(spark)
+    tf, rf = build_token_freqs(_target(spark)), build_token_freqs(docs)
+    a = [r["doc_id"] for r in dsir_select(docs, tf, rf, 2, seed=7).collect()]
+    b = [r["doc_id"] for r in dsir_select(docs, tf, rf, 2, seed=7).collect()]
+    assert a == b and len(a) == 2
+    # python replay of the gumbel keys
+    w = {r["doc_id"]: r["log_ratio"]
+         for r in dsir_weights(docs, tf, rf).collect()}
+    keys = {}
+    for did, lr in w.items():
+        if lr is None:
+            continue
+        h = int(hashlib.md5(f"7\x01{did}".encode()).hexdigest()[:15], 16)
+        u = h / float(1 << 60)
+        keys[did] = lr + (-math.log(-math.log(u)))
+    want = [d for d, _ in sorted(keys.items(), key=lambda kv: (-kv[1], kv[0]))][:2]
+    assert a == want
+    # sample_key matches the replay
+    got_keys = {r["doc_id"]: r["sample_key"]
+                for r in dsir_select(docs, tf, rf, 4, seed=7).collect()}
+    for d in want:
+        assert got_keys[d] == pytest.approx(keys[d])
+
+
+def test_dsir_tokenless_docs_order_last(spark):
+    docs = _docs(spark)
+    tf, rf = build_token_freqs(_target(spark)), build_token_freqs(docs)
+    out = [r["doc_id"] for r in dsir_select(docs, tf, rf, 4).collect()]
+    assert out[-1] == 4  # the empty doc only once scored docs exhausted
+    assert set(out) == {1, 2, 3, 4}
+
+
+def test_dsir_rejects_bad_smoothing(spark):
+    docs = _docs(spark)
+    f = build_token_freqs(docs)
+    with pytest.raises(ValueError, match="smoothing"):
+        dsir_weights(docs, f, f, smoothing=0.0)
+
+
+def test_cli_dsir_select(spark, tmp_path):
+    from ratatool_spark.cli import main
+
+    docs, target = _docs(spark), _target(spark)
+    dp, tp, rp = str(tmp_path / "d"), str(tmp_path / "t"), str(tmp_path / "r")
+    docs.write.parquet(dp)
+    build_token_freqs(target).write.parquet(tp)
+    build_token_freqs(docs).write.parquet(rp)
+    out = str(tmp_path / "out")
+    assert main([
+        "dsirSelect", "--input", dp, "--targetFreqs", tp, "--rawFreqs", rp,
+        "--output", out, "--n", "2", "--seed", "7",
+    ]) == 0
+    got = [r["doc_id"] for r in
+           spark.read.parquet(out).orderBy(F.desc("sample_key")).collect()]
+    want = [r["doc_id"] for r in dsir_select(
+        docs, build_token_freqs(target), build_token_freqs(docs), 2, seed=7
+    ).collect()]
+    assert got == want
