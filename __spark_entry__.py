@@ -5406,17 +5406,20 @@ scores AS (
   LEFT JOIN rfreqs rf USING (tok), tn, rn
   GROUP BY t.doc_id
 ), keyed AS (
-  SELECT doc_id, n_tokens, log_ratio,
-         log_ratio + (-LN(-LN(
+  -- LEFT JOIN from documents: token-free docs keep NULL log_ratio and a
+  -- NULL key, order last, and are still selectable once scored docs run
+  -- out -- the operator's every-row semantics
+  SELECT d.doc_id, COALESCE(s.n_tokens, 0) AS n_tokens, s.log_ratio,
+         s.log_ratio + (-LN(-LN(
            (('0x' || substr(md5(concat_ws(chr(1), '0',
-              CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT)::DOUBLE
+              CAST(d.doc_id AS VARCHAR))), 1, 15))::BIGINT)::DOUBLE
            / 1152921504606846976.0
          ))) AS sample_key
-  FROM scores
+  FROM documents d LEFT JOIN scores s USING (doc_id)
 )
 SELECT doc_id, n_tokens, ROUND(log_ratio, 6) AS log_ratio,
        ROUND(sample_key, 6) AS sample_key
-FROM keyed ORDER BY sample_key DESC, doc_id LIMIT 150
+FROM keyed ORDER BY sample_key DESC NULLS LAST, doc_id LIMIT 150
 """
 
 
@@ -5734,13 +5737,11 @@ def _q_revenue_heavy_hitters(spark, sf_dir):
     rev = (
         F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     ).cast("decimal(28,6)")
-    from pyspark.sql import functions as F2
-
     # exact decimal ranking inside; double for the gated output (the
     # established cross-engine finishing convention)
     return heavy_hitters(
         t["lineitem"], ["l_returnflag"], "l_suppkey", k=5, measure=rev
-    ).withColumn("total", F2.col("total").cast("double"))
+    ).withColumn("total", F.col("total").cast("double"))
 
 
 _SQL_REVENUE_HEAVY_HITTERS = """

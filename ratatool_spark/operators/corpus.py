@@ -861,7 +861,14 @@ def dsir_weights(
         raise ValueError("smoothing must be > 0 (MLE log(0) on OOV)")
 
     def _norm(freq_df: DataFrame):
-        f = freq_df.groupBy("token").agg(F.sum("cnt").alias("cnt"))
+        # localCheckpoint so an inline-built freq table's corpus lineage
+        # runs ONCE, not once for the normalizer collect and again for
+        # the vocab join (the unigram_logprob_score discipline)
+        f = (
+            freq_df.groupBy("token")
+            .agg(F.sum("cnt").alias("cnt"))
+            .localCheckpoint(eager=False)
+        )
         t = f.agg(
             F.sum("cnt").alias("__t"), F.count(F.lit(1)).alias("__v")
         ).collect()[0]

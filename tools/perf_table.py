@@ -20,7 +20,9 @@ def main() -> None:
     mins: dict[str, float] = {}
     for r in runs:
         for q, s in r["queries"].items():
-            if isinstance(s, (int, float)):
+            # bench.py writes -1.0 for a query that raised; a sentinel
+            # must never poison the min or shrink the total
+            if isinstance(s, (int, float)) and s > 0:
                 mins[q] = min(mins.get(q, float("inf")), s)
     items = sorted(mins.items(), key=lambda kv: -kv[1])
     total = sum(mins.values())
