@@ -5769,10 +5769,14 @@ def _q_skew_report(spark, sf_dir):
     from ratatool_spark.operators.freq import skew_report
     from ratatool_spark.sources.io import load_tables
 
+    from pyspark.sql import functions as F
+
     t = load_tables(spark, sf_dir, names=("lineitem",))
-    return skew_report(
+    out = skew_report(
         t["lineitem"], ["l_returnflag", "l_linestatus", "l_suppkey"], top_k=5
     )
+    # entropy is a window-summed ln series -> ROUND(...,6) finishing
+    return out.withColumn("entropy", F.round("entropy", 6))
 
 
 _SQL_SKEW_REPORT = """
@@ -5792,12 +5796,18 @@ WITH melted AS (
          COUNT(*) OVER (PARTITION BY "column") AS n_distinct,
          SUM(cnt) OVER (PARTITION BY "column") AS n_total
   FROM counts
+), shared AS (
+  SELECT "column", value, cnt, "rank", n_distinct,
+         CAST(cnt AS DOUBLE) / n_total AS share,
+         CAST(cnt * n_distinct AS DOUBLE) / n_total AS skew_ratio
+  FROM stats
+), with_entropy AS (
+  SELECT *, ROUND(-SUM(share * LN(share))
+                  OVER (PARTITION BY "column"), 6) AS entropy
+  FROM shared
 )
-SELECT "column", value, cnt,
-       CAST(cnt AS DOUBLE) / n_total AS share,
-       CAST(cnt * n_distinct AS DOUBLE) / n_total AS skew_ratio,
-       "rank", n_distinct
-FROM stats WHERE "rank" <= 5
+SELECT "column", value, cnt, share, skew_ratio, "rank", n_distinct, entropy
+FROM with_entropy WHERE "rank" <= 5
 """
 
 

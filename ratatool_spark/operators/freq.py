@@ -96,19 +96,23 @@ def heavy_hitters(
 
 
 def skew_report(df: DataFrame, cols: list[str], top_k: int = 5) -> DataFrame:
-    """(column, value, cnt, share, skew_ratio, rank, n_distinct) — the
-    ``top_k`` hottest values of each named column, with the numbers that
-    drive a salting decision: ``share`` = cnt / rows, ``skew_ratio`` =
-    cnt / (rows / n_distinct) (how many times hotter than a uniform key;
-    a skew_ratio of 40 on a join key means the hot task does 40x the
-    average work). Values are compared in their string rendering so one
-    report covers heterogeneous columns; NULL stays a (grouped) NULL row.
+    """(column, value, cnt, share, skew_ratio, rank, n_distinct,
+    entropy) — the ``top_k`` hottest values of each named column, with
+    the numbers that drive a salting/partition-key decision: ``share`` =
+    cnt / rows, ``skew_ratio`` = cnt / (rows / n_distinct) (how many
+    times hotter than a uniform key; a skew_ratio of 40 on a join key
+    means the hot task does 40x the average work), and ``entropy`` = the
+    column's Shannon entropy in nats over its FULL value distribution
+    (same value on every row of a column; ln(n_distinct) = perfectly
+    uniform — the higher, the better the column spreads a shuffle).
+    Values are compared in their string rendering so one report covers
+    heterogeneous columns; NULL stays a (grouped) NULL row.
 
     One scan: the columns melt into (column, value) pairs via a map
     explode, partial-aggregate map-side, and every window (rank, totals,
-    distinct count) shares the single ``column`` partitioning of the
-    already-aggregated value histogram — the fact table shuffles once as
-    counts, never as rows."""
+    distinct count, entropy) shares the single ``column`` partitioning of
+    the already-aggregated value histogram — the fact table shuffles once
+    as counts, never as rows."""
     if not cols:
         raise ValueError("skew_report needs at least one column")
     pairs = []
@@ -124,7 +128,7 @@ def skew_report(df: DataFrame, cols: list[str], top_k: int = 5) -> DataFrame:
     wrank = wcol.orderBy(F.desc("cnt"), F.col("value"))
     n_total = F.sum("cnt").over(wcol)
     n_distinct = F.count(F.lit(1)).over(wcol)
-    return (
+    with_share = (
         counts.withColumn("rank", F.row_number().over(wrank))
         .withColumn("n_distinct", n_distinct)
         .withColumn("share", F.col("cnt").cast("double") / n_total)
@@ -132,9 +136,17 @@ def skew_report(df: DataFrame, cols: list[str], top_k: int = 5) -> DataFrame:
             "skew_ratio",
             (F.col("cnt") * F.col("n_distinct")).cast("double") / n_total,
         )
+    )
+    # second window pass over the same partitioning (no extra shuffle):
+    # H = -Σ p ln p across the column's WHOLE histogram, computed before
+    # the top_k filter drops the tail rows
+    entropy = -F.sum(F.col("share") * F.log("share")).over(wcol)
+    return (
+        with_share.withColumn("entropy", entropy)
         .where(F.col("rank") <= top_k)
         .select(
-            "column", "value", "cnt", "share", "skew_ratio", "rank", "n_distinct"
+            "column", "value", "cnt", "share", "skew_ratio", "rank",
+            "n_distinct", "entropy",
         )
     )
 

@@ -64,6 +64,11 @@ def test_skew_report_values_and_nulls(spark):
     assert hot["skew_ratio"] == pytest.approx(3 * 3 / 5)
     # NULL values survive as a grouped row, not dropped
     assert out[None]["cnt"] == 1
+    # Shannon entropy over the FULL histogram {3/5, 1/5, 1/5}, in nats
+    import math
+
+    want_h = -sum(p * math.log(p) for p in (3 / 5, 1 / 5, 1 / 5))
+    assert hot["entropy"] == pytest.approx(want_h)
 
 
 def test_skew_report_multi_column_one_value_space(spark):
