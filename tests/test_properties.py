@@ -676,3 +676,49 @@ def test_fuzzy_join_matches_python_replay(lrows, rrows, threshold):
     assert got.keys() == want.keys()
     for k in want:
         assert got[k] == pytest.approx(want[k])
+
+
+@given(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d", None]),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=12, deadline=None)
+def test_skew_report_matches_python_replay(values, top_k):
+    """skew_report == the python replay on one column: counts, shares,
+    skew ratios, entropy over the FULL histogram, deterministic ranking
+    (count desc, value asc with None first), and the top_k cut."""
+    import collections
+    import math
+
+    from pyspark.sql import Row
+
+    from ratatool_spark.operators.freq import skew_report
+    from ratatool_spark.session import get_spark
+
+    spark = get_spark("ratatool_spark_tests", shuffle_partitions=8)
+    df = spark.createDataFrame(
+        [Row(i=i, k=v) for i, v in enumerate(values)],
+        "i long, k string",
+    )
+    got = {
+        r["rank"]: r
+        for r in skew_report(df, ["k"], top_k=top_k).collect()
+    }
+    cnt = collections.Counter(values)
+    n, nd = len(values), len(cnt)
+    h = -sum((c / n) * math.log(c / n) for c in cnt.values())
+    ranked = sorted(
+        cnt.items(),
+        key=lambda kv: (-kv[1], kv[0] is not None, kv[0] or ""),
+    )[:top_k]
+    assert len(got) == len(ranked)
+    for rank, (v, c) in enumerate(ranked, 1):
+        r = got[rank]
+        assert (r["value"], r["cnt"], r["n_distinct"]) == (v, c, nd)
+        assert r["share"] == pytest.approx(c / n)
+        assert r["skew_ratio"] == pytest.approx(c * nd / n)
+        assert r["entropy"] == pytest.approx(h)
