@@ -5423,6 +5423,92 @@ FROM keyed ORDER BY sample_key DESC NULLS LAST, doc_id LIMIT 150
 """
 
 
+def _q_dsir_hashed_select(spark, sf_dir):
+    """DSIR with the paper's actual featurization (operators/corpus
+    build_hashed_ngram_freqs / dsir_hashed_weights): hashed word-BIGRAM
+    features over a fixed 512-bucket space (collisions live in the gate,
+    like the CMS width choice) — no vocabulary to collect, closed-form
+    Lidstone denominators. English docs = target, pool = raw; Gumbel
+    top-150 with the portable dice. Oracle replays bigram construction,
+    bucket hashing, both models, Gumbel keys, and the ranked cut."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.functions.hashing import dice
+    from ratatool_spark.operators.corpus import (
+        build_hashed_ngram_freqs,
+        dsir_hashed_weights,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tf = build_hashed_ngram_freqs(
+        docs.where(F.col("lang") == "en"), n=2, n_buckets=512
+    )
+    rf = build_hashed_ngram_freqs(docs, n=2, n_buckets=512)
+    w = dsir_hashed_weights(docs, tf, rf, n=2, n_buckets=512)
+    gumbel = -F.log(-F.log(dice(["doc_id"], seed=0)))
+    return (
+        w.select(
+            "doc_id",
+            "n_features",
+            (F.col("log_ratio") + gumbel).alias("sample_key"),
+            "log_ratio",
+        )
+        .orderBy(F.desc_nulls_last("sample_key"), F.col("doc_id"))
+        .limit(150)
+        .select(
+            "doc_id",
+            "n_features",
+            F.round("log_ratio", 6).alias("log_ratio"),
+            F.round("sample_key", 6).alias("sample_key"),
+        )
+    )
+
+
+_SQL_DSIR_HASHED_SELECT = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(text), ' '),
+                     x -> LENGTH(x) > 0) AS ls
+  FROM documents
+), grams AS (
+  SELECT doc_id, ls[i] || ' ' || ls[i + 1] AS g
+  FROM base, UNNEST(range(1, len(ls))) AS t(i)
+), feats AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(concat_ws(chr(1), '0', g)), 1, 15))::BIGINT)
+           % 512 AS b
+  FROM grams
+), tfreqs AS (
+  SELECT b, COUNT(*) AS cnt FROM feats JOIN documents USING (doc_id)
+  WHERE lang = 'en' GROUP BY b
+), rfreqs AS (
+  SELECT b, COUNT(*) AS cnt FROM feats GROUP BY b
+), tn AS (SELECT SUM(cnt) AS total FROM tfreqs),
+   rn AS (SELECT SUM(cnt) AS total FROM rfreqs),
+scores AS (
+  SELECT f.doc_id, COUNT(*) AS n_features,
+         SUM(LN((COALESCE(tf.cnt, 0) + 0.5) / (tn.total + 0.5 * 512))
+           - LN((COALESCE(rf.cnt, 0) + 0.5) / (rn.total + 0.5 * 512)))
+           AS log_ratio
+  FROM feats f
+  LEFT JOIN tfreqs tf USING (b)
+  LEFT JOIN rfreqs rf USING (b), tn, rn
+  GROUP BY f.doc_id
+), keyed AS (
+  SELECT d.doc_id, COALESCE(s.n_features, 0) AS n_features, s.log_ratio,
+         s.log_ratio + (-LN(-LN(
+           (('0x' || substr(md5(concat_ws(chr(1), '0',
+              CAST(d.doc_id AS VARCHAR))), 1, 15))::BIGINT)::DOUBLE
+           / 1152921504606846976.0
+         ))) AS sample_key
+  FROM documents d LEFT JOIN scores s USING (doc_id)
+)
+SELECT doc_id, n_features, ROUND(log_ratio, 6) AS log_ratio,
+       ROUND(sample_key, 6) AS sample_key
+FROM keyed ORDER BY sample_key DESC NULLS LAST, doc_id LIMIT 150
+"""
+
+
 def _q_fuzzy_join(spark, sf_dir):
     """Blocked fuzzy join / entity resolution (operators/fuzzy):
     customers linked to a perturbed twin of themselves ('1' -> 'l' typo
@@ -6153,6 +6239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round 5: new or behaviour-changed this round ---------------
         "dsir_select_docs": _q_dsir_select,
+        "dsir_hashed_select_docs": _q_dsir_hashed_select,
         "fuzzy_join_customers": _q_fuzzy_join,
         "freq_sketch_merge": _q_freq_sketch_merge,
         "stream_freq_sketches": _q_stream_freq_sketches,
@@ -6309,6 +6396,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode_png": _SQL_MULTIMODAL_DECODE_PNG,
         "quantile_sketch_merge": _sql_quantile_sketch_merge(),
         "dsir_select_docs": _SQL_DSIR_SELECT,
+        "dsir_hashed_select_docs": _SQL_DSIR_HASHED_SELECT,
         "fuzzy_join_customers": _SQL_FUZZY_JOIN,
         "freq_sketch_merge": _sql_freq_sketch_merge(),
         "stream_freq_sketches": _sql_freq_sketch_merge(),

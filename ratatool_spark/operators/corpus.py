@@ -946,3 +946,128 @@ def dsir_select(
         .orderBy(F.desc_nulls_last("sample_key"), F.col(id_col))
         .limit(n_select)
     )
+
+
+def build_hashed_ngram_freqs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    n_buckets: int = 10_000,
+    seed: int = 0,
+) -> DataFrame:
+    """(bucket, cnt) — hashed word-n-gram feature counts over a corpus,
+    the DSIR paper's actual featurization (hashed n-grams instead of a
+    raw vocabulary): each n-gram maps to ``portable_hash64 % n_buckets``,
+    so the model is a fixed-width count vector with no vocab to collect
+    (the Lidstone denominator is total + s·n_buckets, a constant).
+    n-grams are built zip-of-slices style on the pre-filtered token
+    array — no per-element re-tokenization."""
+    from ratatool_spark.functions.hashing import FIELD_SEP, portable_hash64
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    ls = F.filter(tokens(F.col(text_col)), lambda x: F.length(x) > 0)
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — short
+    # docs must produce an explicitly empty index array
+    n_grams = F.size(ls) - (n - 1)
+    idx = F.when(
+        n_grams >= 1, F.sequence(F.lit(1), n_grams)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ls, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    feed = F.concat_ws(FIELD_SEP, F.lit(str(seed)), F.col("__g"))
+    return (
+        df.select(F.explode(grams).alias("__g"))
+        .select((portable_hash64(feed) % n_buckets).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dsir_hashed_weights(
+    df: DataFrame,
+    target_freq_df: DataFrame,
+    raw_freq_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    n_buckets: int = 10_000,
+    smoothing: float = 0.5,
+    seed: int = 0,
+) -> DataFrame:
+    """(id, n_features, log_ratio) — :func:`dsir_weights` over HASHED
+    n-gram features (:func:`build_hashed_ngram_freqs` tables): log_ratio
+    = Σ_features [ln p_target(b) − ln p_raw(b)] with Lidstone smoothing
+    over the fixed ``n_buckets`` feature space. No vocabulary collect:
+    both denominators are closed-form (total + s·n_buckets). Same
+    every-row guarantee as the unigram path (feature-free docs get
+    n_features=0, log_ratio NULL)."""
+    from ratatool_spark.functions.hashing import FIELD_SEP, portable_hash64
+
+    if smoothing <= 0:
+        raise ValueError("smoothing must be > 0 (MLE log(0) on OOV)")
+
+    def _norm(freq_df: DataFrame):
+        f = (
+            freq_df.groupBy("bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+            .localCheckpoint(eager=False)
+        )
+        t = f.agg(F.sum("cnt").alias("__t")).collect()[0]
+        return f, float(t["__t"] or 0) + smoothing * float(n_buckets)
+
+    tf, tdenom = _norm(target_freq_df)
+    rf, rdenom = _norm(raw_freq_df)
+    vocab = (
+        tf.select(F.col("bucket").alias("__b"), F.col("cnt").alias("__ct"))
+        .join(
+            rf.select(
+                F.col("bucket").alias("__b"), F.col("cnt").alias("__cr")
+            ),
+            "__b",
+            "full_outer",
+        )
+    )
+    ls = F.filter(tokens(F.col(text_col)), lambda x: F.length(x) > 0)
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — short
+    # docs must produce an explicitly empty index array
+    n_grams = F.size(ls) - (n - 1)
+    idx = F.when(
+        n_grams >= 1, F.sequence(F.lit(1), n_grams)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ls, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    feed = F.concat_ws(FIELD_SEP, F.lit(str(seed)), F.col("__g"))
+    feats = df.select(
+        F.col(id_col), F.explode(grams).alias("__g")
+    ).select(F.col(id_col), (portable_hash64(feed) % n_buckets).alias("__b"))
+    lr = F.log(
+        (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(smoothing))
+        / F.lit(tdenom)
+    ) - F.log(
+        (F.coalesce(F.col("__cr"), F.lit(0)) + F.lit(smoothing))
+        / F.lit(rdenom)
+    )
+    scores = (
+        feats.join(vocab, "__b", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum(lr).alias("log_ratio"),
+        )
+    )
+    return df.select(id_col).join(scores, id_col, "left").select(
+        id_col,
+        F.coalesce("n_features", F.lit(0)).alias("n_features"),
+        "log_ratio",
+    )

@@ -140,3 +140,63 @@ def test_cli_dsir_select(spark, tmp_path):
         docs, build_token_freqs(target), build_token_freqs(docs), 2, seed=7
     ).collect()]
     assert got == want
+
+
+def test_dsir_hashed_weights_match_python_replay(spark):
+    import collections
+
+    from ratatool_spark.operators.corpus import (
+        build_hashed_ngram_freqs,
+        dsir_hashed_weights,
+    )
+
+    B = 64
+    docs = spark.createDataFrame(
+        [(1, "good signal good signal"), (2, "noise bad noise"), (3, "")],
+        "doc_id long, text string",
+    )
+    tgt = spark.createDataFrame(
+        [(9, "good signal good")], "doc_id long, text string"
+    )
+    tf = build_hashed_ngram_freqs(tgt, n=2, n_buckets=B)
+    rf = build_hashed_ngram_freqs(docs, n=2, n_buckets=B)
+    got = {r["doc_id"]: (r["n_features"], r["log_ratio"])
+           for r in dsir_hashed_weights(docs, tf, rf, n=2, n_buckets=B).collect()}
+
+    def bigrams(text):
+        ws = [w for w in text.strip().split(" ") if w]
+        return [f"{ws[i]} {ws[i+1]}" for i in range(len(ws) - 1)]
+
+    def bucket(g):
+        return int(hashlib.md5(f"0\x01{g}".encode()).hexdigest()[:15], 16) % B
+
+    texts = {1: "good signal good signal", 2: "noise bad noise", 3: ""}
+    tcnt = collections.Counter(bucket(g) for g in bigrams("good signal good"))
+    rcnt = collections.Counter(
+        bucket(g) for t in texts.values() for g in bigrams(t)
+    )
+    td = sum(tcnt.values()) + S * B
+    rd = sum(rcnt.values()) + S * B
+    for did, text in texts.items():
+        bs = [bucket(g) for g in bigrams(text)]
+        if not bs:
+            assert got[did] == (0, None)
+        else:
+            lr = sum(
+                math.log((tcnt.get(b, 0) + S) / td)
+                - math.log((rcnt.get(b, 0) + S) / rd)
+                for b in bs
+            )
+            assert got[did][0] == len(bs)
+            assert got[did][1] == pytest.approx(lr)
+
+
+def test_hashed_ngram_freqs_short_docs_empty(spark):
+    from ratatool_spark.operators.corpus import build_hashed_ngram_freqs
+
+    # docs shorter than n produce NO grams (sequence(1,0) descends in
+    # Spark -- the guard pins the empty case)
+    df = spark.createDataFrame(
+        [(1, "one"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    assert build_hashed_ngram_freqs(df, n=2, n_buckets=8).count() == 0
