@@ -948,6 +948,26 @@ def dsir_select(
     )
 
 
+def _filtered_word_grams(text_col: str, n: int):
+    """All word n-grams over EMPTY-FILTERED tokens; sub-n docs produce an
+    EMPTY array (no padded gram). Zip-of-slices shape — the token array
+    is evaluated n times per ROW and the per-element lambda touches only
+    struct fields (an element_at(ls, i) form with ls as an inline
+    expression re-evaluates the tokenize+filter per ELEMENT — measured
+    ~6x slower on the hashed-DSIR gate)."""
+    ls = F.filter(tokens(F.col(text_col)), lambda x: F.length(x) > 0)
+    m = F.size(ls) - (n - 1)
+    z = F.arrays_zip(
+        *[F.slice(ls, j + 1, F.greatest(m, F.lit(0))) for j in range(n)]
+    )
+    grams = F.transform(
+        z, lambda s: F.concat_ws(" ", *[s[f"{i}"] for i in range(n)])
+    )
+    return F.when(m >= 1, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def build_hashed_ngram_freqs(
     df: DataFrame,
     text_col: str = "text",
@@ -968,19 +988,7 @@ def build_hashed_ngram_freqs(
         raise ValueError(f"n must be >= 1, got {n}")
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
-    ls = F.filter(tokens(F.col(text_col)), lambda x: F.length(x) > 0)
-    # sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — short
-    # docs must produce an explicitly empty index array
-    n_grams = F.size(ls) - (n - 1)
-    idx = F.when(
-        n_grams >= 1, F.sequence(F.lit(1), n_grams)
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(ls, (i + j).cast("int")) for j in range(n)]
-        ),
-    )
+    grams = _filtered_word_grams(text_col, n)
     feed = F.concat_ws(FIELD_SEP, F.lit(str(seed)), F.col("__g"))
     return (
         df.select(F.explode(grams).alias("__g"))
@@ -1034,19 +1042,7 @@ def dsir_hashed_weights(
             "full_outer",
         )
     )
-    ls = F.filter(tokens(F.col(text_col)), lambda x: F.length(x) > 0)
-    # sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — short
-    # docs must produce an explicitly empty index array
-    n_grams = F.size(ls) - (n - 1)
-    idx = F.when(
-        n_grams >= 1, F.sequence(F.lit(1), n_grams)
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(ls, (i + j).cast("int")) for j in range(n)]
-        ),
-    )
+    grams = _filtered_word_grams(text_col, n)
     feed = F.concat_ws(FIELD_SEP, F.lit(str(seed)), F.col("__g"))
     feats = df.select(
         F.col(id_col), F.explode(grams).alias("__g")
@@ -1058,8 +1054,11 @@ def dsir_hashed_weights(
         (F.coalesce(F.col("__cr"), F.lit(0)) + F.lit(smoothing))
         / F.lit(rdenom)
     )
+    # vocab is bounded by n_buckets rows BY CONSTRUCTION -- always
+    # broadcast (the un-hinted plan sort-merge-joined the corpus-sized
+    # feats against a 512-row table: 3 shuffles for nothing)
     scores = (
-        feats.join(vocab, "__b", "left")
+        feats.join(F.broadcast(vocab), "__b", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_features"),
