@@ -4403,7 +4403,12 @@ WITH lx AS (
   FROM ex e LEFT JOIN viol v ON e.line = v.line
   GROUP BY e.doc_id
 )
-SELECT d.doc_id, k.text, k.n_lines_removed
+-- mirror the operator's null-vs-emptied distinction: a NULL-text doc
+-- stays NULL (the COALESCE above fed '' into the split only so the row
+-- survives; the output must not promote NULL to '')
+SELECT d.doc_id,
+       CASE WHEN d.text IS NULL THEN NULL ELSE k.text END AS text,
+       k.n_lines_removed
 FROM documents d JOIN kept k ON d.doc_id = k.doc_id
 """
 
@@ -4443,7 +4448,9 @@ WITH lx AS (
   FROM ex e LEFT JOIN viol v ON e.doc_id = v.doc_id AND e.line = v.line
   GROUP BY e.doc_id
 )
-SELECT d.doc_id, k.text, k.n_lines_removed
+SELECT d.doc_id,
+       CASE WHEN d.text IS NULL THEN NULL ELSE k.text END AS text,
+       k.n_lines_removed
 FROM documents d JOIN kept k ON d.doc_id = k.doc_id
 """
 
@@ -5062,7 +5069,9 @@ WITH lx AS (
   FROM ex e LEFT JOIN viol v ON e.line = v.line
   GROUP BY e.doc_id
 ), cleaned AS (
-  SELECT d.doc_id, d.source, k.text, k.n_words_removed
+  SELECT d.doc_id, d.source,
+         CASE WHEN d.text IS NULL THEN NULL ELSE k.text END AS text,
+         k.n_words_removed
   FROM documents d JOIN kept k ON d.doc_id = k.doc_id
 ), capped AS (
   SELECT doc_id, source, text, n_words_removed FROM (
@@ -5421,6 +5430,34 @@ SELECT doc_id, n_tokens, ROUND(log_ratio, 6) AS log_ratio,
        ROUND(sample_key, 6) AS sample_key
 FROM keyed ORDER BY sample_key DESC NULLS LAST, doc_id LIMIT 150
 """
+
+
+def _q_dsir_select_large(spark, sf_dir):
+    """DSIR selection at a LARGE selected fraction (60% of the pool) via
+    the scale path: ``small_k_threshold=0`` forces
+    operators/sampler.distributed_top_k — value-range buckets on the
+    Gumbel sample_key + exact cumulative offsets + per-bucket rank, no
+    TakeOrderedAndProject over the selected set (DSIR's real use selects
+    10⁸–10⁹ docs; a single k-row merge point is a scale-killer there).
+    Row-for-row identical to the orderBy+limit path, which the oracle
+    (same SQL as dsir_select_docs at LIMIT 300) pins."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.corpus import build_token_freqs, dsir_select
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tf = build_token_freqs(docs.where(F.col("lang") == "en"))
+    rf = build_token_freqs(docs)
+    sel = dsir_select(docs, tf, rf, 300, seed=0, small_k_threshold=0)
+    return sel.select(
+        "doc_id",
+        "n_tokens",
+        F.round("log_ratio", 6).alias("log_ratio"),
+        F.round("sample_key", 6).alias("sample_key"),
+    )
+
+
+_SQL_DSIR_SELECT_LARGE = _SQL_DSIR_SELECT.replace("LIMIT 150", "LIMIT 300")
 
 
 def _q_dsir_hashed_select(spark, sf_dir):
@@ -5875,25 +5912,25 @@ WITH melted AS (
   SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
 ), counts AS (
   SELECT "column", value, COUNT(*) AS cnt FROM melted GROUP BY 1, 2
-), stats AS (
+), totals AS (
+  -- grouped aggregate, not a window: mirrors the operator's scale-safe
+  -- shape.  H = ln N - (1/N) * SUM(cnt * ln cnt)  (exact algebra)
+  SELECT "column", SUM(cnt) AS n_total, COUNT(*) AS n_distinct,
+         SUM(cnt * LN(CAST(cnt AS DOUBLE))) AS sum_clnc
+  FROM counts GROUP BY 1
+), ranked AS (
   SELECT "column", value, cnt,
          ROW_NUMBER() OVER (PARTITION BY "column"
-                            ORDER BY cnt DESC, value NULLS FIRST) AS "rank",
-         COUNT(*) OVER (PARTITION BY "column") AS n_distinct,
-         SUM(cnt) OVER (PARTITION BY "column") AS n_total
+                            ORDER BY cnt DESC, value NULLS FIRST) AS "rank"
   FROM counts
-), shared AS (
-  SELECT "column", value, cnt, "rank", n_distinct,
-         CAST(cnt AS DOUBLE) / n_total AS share,
-         CAST(cnt * n_distinct AS DOUBLE) / n_total AS skew_ratio
-  FROM stats
-), with_entropy AS (
-  SELECT *, ROUND(-SUM(share * LN(share))
-                  OVER (PARTITION BY "column"), 6) AS entropy
-  FROM shared
 )
-SELECT "column", value, cnt, share, skew_ratio, "rank", n_distinct, entropy
-FROM with_entropy WHERE "rank" <= 5
+SELECT r."column", r.value, r.cnt,
+       CAST(r.cnt AS DOUBLE) / t.n_total AS share,
+       CAST(r.cnt AS DOUBLE) * t.n_distinct / t.n_total AS skew_ratio,
+       r."rank", t.n_distinct,
+       ROUND(LN(CAST(t.n_total AS DOUBLE)) - t.sum_clnc / t.n_total, 6)
+         AS entropy
+FROM ranked r JOIN totals t USING ("column") WHERE r."rank" <= 5
 """
 
 
@@ -6237,6 +6274,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     query sits inside the gated window.
     """
     return {
+        # --- round 6: new or behaviour-changed this round ---------------
+        "dsir_select_large": _q_dsir_select_large,
         # --- round 5: new or behaviour-changed this round ---------------
         "dsir_select_docs": _q_dsir_select,
         "dsir_hashed_select_docs": _q_dsir_hashed_select,
@@ -6395,6 +6434,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_sketch_merge": _SQL_HLL_SKETCH_MERGE,
         "multimodal_decode_png": _SQL_MULTIMODAL_DECODE_PNG,
         "quantile_sketch_merge": _sql_quantile_sketch_merge(),
+        "dsir_select_large": _SQL_DSIR_SELECT_LARGE,
         "dsir_select_docs": _SQL_DSIR_SELECT,
         "dsir_hashed_select_docs": _SQL_DSIR_HASHED_SELECT,
         "fuzzy_join_customers": _SQL_FUZZY_JOIN,

@@ -52,6 +52,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     total = round(sum(v for v in timings.values() if v > 0), 3)
     print(
         json.dumps(
@@ -60,7 +61,23 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+            }
+        )
+    )
+    # A second, COMPACT summary line AFTER the big one: the driver's
+    # capture tail-truncates long output (BENCH_r03-r05 all recorded
+    # "parsed": null because the totals lead the per-query dict), so the
+    # last line must parse on its own.
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_sec",
+                "value": total,
+                "unit": "sec",
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "n_errors": sum(1 for v in timings.values() if v < 0),
             }
         )
     )

@@ -214,10 +214,17 @@ def luhn_valid(s: Column) -> Column:
         i % 2 == 0,
         F.when(d(i) * 2 > 9, d(i) * 2 - 9).otherwise(d(i) * 2),
     ).otherwise(d(i))
-    total = F.aggregate(
-        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
-        F.lit(0),
-        lambda acc, i: acc + term(i),
+    # The fold is gated on the 13-19 digit window: with no digits at all
+    # split("") yields [''] and element_at('').cast(int) RAISES under
+    # ANSI mode (Spark 4 default) — a public helper must return false on
+    # arbitrary strings, not error. when() short-circuits per-row.
+    total = F.when(
+        (n >= 13) & (n <= 19),
+        F.aggregate(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            F.lit(0),
+            lambda acc, i: acc + term(i),
+        ),
     )
     return (n >= 13) & (n <= 19) & (total % 10 == 0)
 

@@ -921,6 +921,7 @@ def dsir_select(
     id_col: str = "doc_id",
     smoothing: float = 0.5,
     seed: int = 0,
+    small_k_threshold: int = 100_000,
 ) -> DataFrame:
     """(id, n_tokens, log_ratio, sample_key) — the ``n_select`` documents
     chosen by Gumbel-top-k importance resampling: sampling WITHOUT
@@ -931,21 +932,32 @@ def dsir_select(
     property as every sampling cohort in this package.
 
     Distributed shape: the weights job (one explode + vocab join + doc
-    aggregate), then a global top-k — Spark's TakeOrderedAndProject
-    (per-partition k-heap, single k·partitions merge; the corpus never
-    sorts globally). Token-free docs (log_ratio NULL) order last and are
-    only selected once scored docs are exhausted."""
+    aggregate), then a global top-k. For ``n_select <=
+    small_k_threshold`` that is Spark's TakeOrderedAndProject
+    (per-partition k-heap, single k·partitions merge — optimal for small
+    k). DSIR's real use selects a large FRACTION of the pool (10⁸–10⁹
+    docs from a 10¹⁰ pool), where a single merge point holding the whole
+    selected set is a scale-killer — past the threshold selection
+    switches to :func:`~ratatool_spark.operators.sampler.distributed_top_k`
+    (value-range buckets on ``sample_key`` + exact cumulative offsets +
+    per-bucket rank; row-for-row identical result, no single-point
+    merge). Token-free docs (log_ratio NULL) order last in both paths
+    and are only selected once scored docs are exhausted."""
     w = dsir_weights(
         df, target_freq_df, raw_freq_df, text_col, id_col, smoothing
     )
     u = dice([id_col], seed=seed)
     gumbel = -F.log(-F.log(u))
     key = (F.col("log_ratio") + gumbel).alias("sample_key")
-    return (
-        w.select(id_col, "n_tokens", "log_ratio", key)
-        .orderBy(F.desc_nulls_last("sample_key"), F.col(id_col))
-        .limit(n_select)
-    )
+    scored = w.select(id_col, "n_tokens", "log_ratio", key)
+    if n_select <= small_k_threshold:
+        return (
+            scored.orderBy(F.desc_nulls_last("sample_key"), F.col(id_col))
+            .limit(n_select)
+        )
+    from ratatool_spark.operators.sampler import distributed_top_k
+
+    return distributed_top_k(scored, "sample_key", [id_col], n_select)
 
 
 def _filtered_word_grams(text_col: str, n: int):

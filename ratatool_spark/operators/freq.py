@@ -108,11 +108,18 @@ def skew_report(df: DataFrame, cols: list[str], top_k: int = 5) -> DataFrame:
     Values are compared in their string rendering so one report covers
     heterogeneous columns; NULL stays a (grouped) NULL row.
 
-    One scan: the columns melt into (column, value) pairs via a map
-    explode, partial-aggregate map-side, and every window (rank, totals,
-    distinct count, entropy) shares the single ``column`` partitioning of
-    the already-aggregated value histogram — the fact table shuffles once
-    as counts, never as rows."""
+    Scale shape: the columns melt into (column, value) pairs via a map
+    explode and partial-aggregate map-side into the value histogram.
+    From there the per-column totals (`n_total`, `n_distinct`, and the
+    entropy sum) come from a ``groupBy("column")`` AGGREGATE — map-side
+    combined, parallel across the histogram partitions — broadcast-joined
+    back onto the top-k rows. Entropy decomposes exactly so no
+    full-histogram window is needed:  H = ln N − (1/N)·Σ cnt·ln cnt.
+    The only window left is the ``row_number`` rank, which Spark rewrites
+    to WindowGroupLimit (per-task k-heaps) once it is the sole window —
+    so profiling a 10⁹-distinct join key never funnels the histogram
+    through one task. The two consumers of the histogram share its
+    (column, value) exchange via ReuseExchange: one fact scan."""
     if not cols:
         raise ValueError("skew_report needs at least one column")
     pairs = []
@@ -124,30 +131,35 @@ def skew_report(df: DataFrame, cols: list[str], top_k: int = 5) -> DataFrame:
     counts = melted.groupBy("column", "value").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    wcol = Window.partitionBy("column")
-    wrank = wcol.orderBy(F.desc("cnt"), F.col("value"))
-    n_total = F.sum("cnt").over(wcol)
-    n_distinct = F.count(F.lit(1)).over(wcol)
-    with_share = (
-        counts.withColumn("rank", F.row_number().over(wrank))
-        .withColumn("n_distinct", n_distinct)
-        .withColumn("share", F.col("cnt").cast("double") / n_total)
-        .withColumn(
-            "skew_ratio",
-            (F.col("cnt") * F.col("n_distinct")).cast("double") / n_total,
-        )
+    # per-column totals as a plain aggregate (NOT a window): map-side
+    # combined, parallel; one row per profiled column -> broadcast
+    totals = counts.groupBy("column").agg(
+        F.sum("cnt").alias("__n_total"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("cnt") * F.log(F.col("cnt").cast("double"))).alias(
+            "__sum_clnc"
+        ),
     )
-    # second window pass over the same partitioning (no extra shuffle):
-    # H = -Σ p ln p across the column's WHOLE histogram, computed before
-    # the top_k filter drops the tail rows
-    entropy = -F.sum(F.col("share") * F.log("share")).over(wcol)
-    return (
-        with_share.withColumn("entropy", entropy)
+    wrank = Window.partitionBy("column").orderBy(
+        F.desc("cnt"), F.col("value")
+    )
+    ranked = (
+        counts.withColumn("rank", F.row_number().over(wrank))
         .where(F.col("rank") <= top_k)
-        .select(
-            "column", "value", "cnt", "share", "skew_ratio", "rank",
-            "n_distinct", "entropy",
-        )
+    )
+    n = F.col("__n_total")
+    return ranked.join(F.broadcast(totals), "column").select(
+        "column",
+        "value",
+        "cnt",
+        (F.col("cnt").cast("double") / n).alias("share"),
+        (F.col("cnt").cast("double") * F.col("n_distinct") / n).alias(
+            "skew_ratio"
+        ),
+        "rank",
+        "n_distinct",
+        # H = -Σ p ln p  ==  ln N − (1/N)·Σ cnt·ln cnt  (exact algebra)
+        (F.log(n.cast("double")) - F.col("__sum_clnc") / n).alias("entropy"),
     )
 
 
@@ -286,9 +298,10 @@ def estimate_freqs(
         for c in sketch_df.columns
         if c not in ("cms", "depth", "width", "n_rows")
     ]
-    if key_col in group_cols:
+    if key_col in group_cols or key_col in ("cms", "depth", "width", "n_rows"):
         raise ValueError(
-            f"probe column {key_col!r} collides with a sketch group column "
+            f"probe column {key_col!r} collides with a sketch column "
+            "(a group column or the reserved cms/depth/width/n_rows) "
             "— alias the probe list before estimating"
         )
     probes = keys_df.select(

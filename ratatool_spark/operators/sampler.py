@@ -448,3 +448,76 @@ def bootstrap_sample(
     return out.select(
         *df.columns, F.explode(F.sequence(F.lit(1), F.col(_BOOT_K))).alias(copy_col)
     )
+
+
+def distributed_top_k(
+    df: DataFrame,
+    key_col: str,
+    tie_cols: list[str],
+    k: int,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Exact global top-k by ``key_col`` DESC (ties broken by
+    ``tie_cols`` ASC; NULL keys order LAST) with NO single-point merge —
+    the scale path for selections where k itself is huge (10⁸⁺ rows),
+    where ``orderBy().limit(k)``'s TakeOrderedAndProject would funnel the
+    whole selected set through one merge.
+
+    The same bucket/offset machinery as the global exact sampler above,
+    generalized from the [0,1) dice to an arbitrary real key:
+
+    1. freeze the scored rows once (``localCheckpoint`` — the bucket
+       counts and the returned plan are separate jobs; without it the
+       upstream scoring job runs twice);
+    2. approximate value-range bucket boundaries from
+       ``percentile_approx`` (approximation affects only bucket BALANCE,
+       never correctness — offsets are exact counts);
+    3. per-bucket counts via one tiny aggregate → cumulative offsets
+       from the top bucket down; buckets entirely below rank k are
+       dropped before the window;
+    4. local ``row_number`` within each surviving bucket, keep
+       ``offset + rank <= k``.
+
+    Equal keys always share a bucket (assignment is by value), so the
+    result is row-for-row identical to ``orderBy(desc_nulls_last(key),
+    *ties).limit(k)``. No task ever holds more than ~n/P + k/P rows."""
+    spark = df.sparkSession
+    keep_cols = df.columns
+    if k <= 0:
+        return df.where(F.lit(False))
+    if n_buckets is None:
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    frozen = df.localCheckpoint()
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    row = frozen.agg(
+        F.percentile_approx(F.col(key_col).cast("double"), qs, 10_000).alias("b")
+    ).collect()[0]
+    bounds = sorted({float(b) for b in (row["b"] or []) if b is not None})
+    if bounds:
+        lit_bounds = F.array(*[F.lit(b) for b in bounds])
+        n_below = F.size(
+            F.filter(lit_bounds, lambda b: b < F.col(key_col).cast("double"))
+        )
+    else:
+        n_below = F.lit(0)  # degenerate key distribution: single bucket
+    bkt = F.when(F.col(key_col).isNull(), F.lit(-1)).otherwise(n_below)
+    cand = frozen.withColumn(_BKT, bkt)
+    counts = {
+        r[_BKT]: r["cnt"]
+        for r in cand.groupBy(_BKT).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(counts, reverse=True):  # top bucket first; NULL (-1) last
+        offsets[b] = acc
+        acc += counts[b]
+    live = [(b, o) for b, o in offsets.items() if o < k]
+    off_df = spark.createDataFrame(live, f"{_BKT} int, {_OFF} long")
+    w = Window.partitionBy(_BKT).orderBy(
+        F.desc_nulls_last(key_col), *[F.col(c) for c in tie_cols]
+    )
+    return (
+        cand.join(F.broadcast(off_df), _BKT)
+        .withColumn(_RN, F.row_number().over(w))
+        .where(F.col(_OFF) + F.col(_RN) <= F.lit(k))
+        .select(*keep_cols)
+    )

@@ -428,7 +428,10 @@ def topk_recall(
     columns. One left join on (query, neighbor) + one per-query
     aggregate — at scale the truth side is |queries|·k rows, never the
     corpus."""
-    t = truth_df.select(query_col, id_col)
+    # BOTH sides deduplicate: duplicate (query, neighbor) rows in the
+    # truth frame would silently inflate n_truth and deflate recall
+    # (and a duplicated approx row would double-count n_hit).
+    t = truth_df.select(query_col, id_col).distinct()
     a = (
         approx_df.select(query_col, id_col)
         .distinct()

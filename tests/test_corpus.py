@@ -696,3 +696,9 @@ def test_luhn_and_extended_pii(spark):
     assert vals["49927398716"] is False   # valid checksum but 11 digits
     assert vals["4992739871698"] is False  # 13 digits, checksum 87 != 0 mod 10
     assert vals["79927398713x"] is False  # non-digits stripped -> 11 digits
+    # digit-FREE input must return false, not raise: under ANSI mode the
+    # unguarded fold cast '' to int and threw (r5 ADVICE finding)
+    nodigit = spark.createDataFrame(
+        [Row(s="no digits at all"), Row(s=""), Row(s=None)]
+    ).select(luhn_valid(F.col("s")).alias("v")).collect()
+    assert [r["v"] for r in nodigit] == [False, False, None]

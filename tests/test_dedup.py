@@ -764,3 +764,7 @@ def test_topk_recall_bounds_and_exact_self(spark, embeddings):
     approx = truth.where(F.col("rank") <= 3)
     part = topk_recall(truth, approx).collect()
     assert all(r["recall"] == 0.75 and r["n_truth"] == 4 for r in part)
+    # duplicate (query, neighbor) rows on EITHER side must not skew the
+    # numbers (r5 ADVICE: truth-side dupes inflated n_truth silently)
+    dup = topk_recall(truth.unionAll(truth), approx.unionAll(approx)).collect()
+    assert all(r["recall"] == 0.75 and r["n_truth"] == 4 for r in dup)

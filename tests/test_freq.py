@@ -256,6 +256,13 @@ def test_estimate_rejects_group_column_collision(spark):
     probes = spark.createDataFrame([("a",)], "g string")
     with pytest.raises(ValueError, match="collides"):
         estimate_freqs(sk, probes, "g")
+    # the four reserved sketch columns are rejected too (r5 ADVICE): a
+    # probe list named cms/depth/width/n_rows would duplicate-name after
+    # the crossJoin
+    for reserved in ("cms", "depth", "width", "n_rows"):
+        bad = spark.createDataFrame([("a",)], f"{reserved} string")
+        with pytest.raises(ValueError, match="collides"):
+            estimate_freqs(sk, bad, reserved)
 
 
 def test_heavy_hitters_by_measure(spark):

@@ -234,3 +234,57 @@ def test_bootstrap_sample_deterministic_poisson(spark):
 
     with _pt.raises(ValueError):
         poisson_thresholds(0.0)
+
+
+def test_distributed_top_k_matches_orderby_limit(lineitem, spark):
+    """Bucket/offset top-k is row-for-row identical to
+    orderBy(desc_nulls_last(key), ties).limit(k) — including NULL keys
+    (ordered last), value ties (share a bucket, id tie-break), k = 0,
+    and k > n (returns everything)."""
+    from ratatool_spark.operators.sampler import distributed_top_k
+
+    # key with ties (l_quantity repeats heavily) and injected NULLs
+    df = lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_orderkey") % 7 != 0, F.col("l_quantity"))
+        .cast("double")
+        .alias("key"),
+    )
+    n = df.count()
+    for k in (0, 25, 500, n + 10):
+        got = distributed_top_k(
+            df, "key", ["l_orderkey", "l_linenumber"], k
+        ).collect()
+        exp = (
+            df.orderBy(
+                F.desc_nulls_last("key"), "l_orderkey", "l_linenumber"
+            )
+            .limit(k)
+            .collect()
+        )
+        key_of = lambda r: (  # noqa: E731
+            r["key"] is None,
+            -(r["key"] or 0.0),
+            r["l_orderkey"],
+            r["l_linenumber"],
+        )
+        assert sorted(got, key=key_of) == sorted(exp, key=key_of), k
+        assert len(got) == min(k, n)
+
+
+def test_dsir_select_large_path_no_single_point_merge(documents, spark):
+    """dsir_select past small_k_threshold routes through
+    distributed_top_k: same selected set as the orderBy+limit path, and
+    the selecting plan carries no TakeOrderedAndProject over it."""
+    from ratatool_spark.operators.corpus import build_token_freqs, dsir_select
+
+    tf = build_token_freqs(documents.where(F.col("lang") == "en"))
+    rf = build_token_freqs(documents)
+    small = dsir_select(documents, tf, rf, 60, seed=0)
+    large = dsir_select(documents, tf, rf, 60, seed=0, small_k_threshold=0)
+    assert "TakeOrderedAndProject" not in (
+        large._jdf.queryExecution().executedPlan().toString()
+    )
+    ids = lambda df: sorted(r["doc_id"] for r in df.collect())  # noqa: E731
+    assert ids(large) == ids(small)
