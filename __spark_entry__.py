@@ -5546,6 +5546,82 @@ FROM keyed ORDER BY sample_key DESC NULLS LAST, doc_id LIMIT 150
 """
 
 
+def _q_quality_classifier(spark, sf_dir):
+    """Trained quality classifier (operators/corpus train_quality_weights
+    + quality_classifier_score; NBSVM-style per-bucket log-odds, Wang &
+    Manning ACL'12): English docs are the positive class, the rest the
+    negative; hashed word-bigram features over 512 buckets (the
+    dsir_hashed featurization); every doc scored with mean log-odds +
+    sigmoid. Weights "train" as two count aggregates, so the whole model
+    — training included — replays exactly in the oracle; floats finish
+    at ROUND(...,6)."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.corpus import (
+        build_hashed_ngram_freqs,
+        quality_classifier_score,
+        train_quality_weights,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pos = build_hashed_ngram_freqs(
+        docs.where(F.col("lang") == "en"), n=2, n_buckets=512
+    )
+    neg = build_hashed_ngram_freqs(
+        docs.where(F.col("lang") != "en"), n=2, n_buckets=512
+    )
+    w = train_quality_weights(pos, neg, n_buckets=512)
+    out = quality_classifier_score(docs, w, n_buckets=512, n=2)
+    return out.select(
+        "doc_id",
+        "n_features",
+        F.round("logit", 6).alias("logit"),
+        F.round("prob", 6).alias("prob"),
+    )
+
+
+_SQL_QUALITY_CLASSIFIER = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(text), ' '),
+                     x -> LENGTH(x) > 0) AS ls
+  FROM documents
+), grams AS (
+  SELECT doc_id, ls[i] || ' ' || ls[i + 1] AS g
+  FROM base, UNNEST(range(1, len(ls))) AS t(i)
+), feats AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(concat_ws(chr(1), '0', g)), 1, 15))::BIGINT)
+           % 512 AS b
+  FROM grams
+), pfreqs AS (
+  SELECT b, COUNT(*) AS cnt FROM feats JOIN documents USING (doc_id)
+  WHERE lang = 'en' GROUP BY b
+), nfreqs AS (
+  SELECT b, COUNT(*) AS cnt FROM feats JOIN documents USING (doc_id)
+  WHERE lang <> 'en' GROUP BY b
+), pn AS (SELECT SUM(cnt) AS total FROM pfreqs),
+   nn AS (SELECT SUM(cnt) AS total FROM nfreqs),
+scores AS (
+  -- per-feature NB log-odds averaged per doc: identical to joining the
+  -- COMPLETE 512-row trained weight table (unseen buckets carry the
+  -- smoothed prior ratio, which the same formula yields at cnt = 0)
+  SELECT f.doc_id, COUNT(*) AS n_features,
+         AVG(LN((COALESCE(pf.cnt, 0) + 0.5) / (pn.total + 0.5 * 512))
+           - LN((COALESCE(nf.cnt, 0) + 0.5) / (nn.total + 0.5 * 512)))
+           AS logit
+  FROM feats f
+  LEFT JOIN pfreqs pf USING (b)
+  LEFT JOIN nfreqs nf USING (b), pn, nn
+  GROUP BY f.doc_id
+)
+SELECT d.doc_id, COALESCE(s.n_features, 0) AS n_features,
+       ROUND(s.logit, 6) AS logit,
+       ROUND(1.0 / (1.0 + EXP(-s.logit)), 6) AS prob
+FROM documents d LEFT JOIN scores s USING (doc_id)
+"""
+
+
 def _q_fuzzy_join(spark, sf_dir):
     """Blocked fuzzy join / entity resolution (operators/fuzzy):
     customers linked to a perturbed twin of themselves ('1' -> 'l' typo
@@ -6275,6 +6351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- round 6: new or behaviour-changed this round ---------------
+        "quality_classifier_en": _q_quality_classifier,
         "dsir_select_large": _q_dsir_select_large,
         # --- round 5: new or behaviour-changed this round ---------------
         "dsir_select_docs": _q_dsir_select,
@@ -6434,6 +6511,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_sketch_merge": _SQL_HLL_SKETCH_MERGE,
         "multimodal_decode_png": _SQL_MULTIMODAL_DECODE_PNG,
         "quantile_sketch_merge": _sql_quantile_sketch_merge(),
+        "quality_classifier_en": _SQL_QUALITY_CLASSIFIER,
         "dsir_select_large": _SQL_DSIR_SELECT_LARGE,
         "dsir_select_docs": _SQL_DSIR_SELECT,
         "dsir_hashed_select_docs": _SQL_DSIR_HASHED_SELECT,

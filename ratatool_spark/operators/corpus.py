@@ -585,6 +585,40 @@ def build_token_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _normalized_freqs(
+    freq_df: DataFrame,
+    key_col: str,
+    smoothing: float,
+    n_buckets: int | None = None,
+) -> tuple[DataFrame, float]:
+    """The shared freq-table discipline behind every Lidstone-smoothed
+    model in this module (unigram LM score, DSIR raw + hashed, the NB
+    quality classifier): defensively re-aggregate by ``key_col`` (caller
+    tables with duplicate rows must not skew normalizers or fan out the
+    join), truncate lineage with a LAZY localCheckpoint (an inline-built
+    table's corpus scan runs ONCE, not once for the normalizer collect
+    and again for the join), then collect the scalar normalizers.
+
+    Returns (clean table, Lidstone denominator): ``total + s·(V+1)`` for
+    an open vocabulary (an unseen token is the +1 outcome), or
+    ``total + s·n_buckets`` closed-form for the hashed feature space
+    (every bucket exists; nothing is out-of-vocabulary)."""
+    f = (
+        freq_df.groupBy(key_col)
+        .agg(F.sum("cnt").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    if n_buckets is None:
+        t = f.agg(
+            F.sum("cnt").alias("__t"), F.count(F.lit(1)).alias("__v")
+        ).collect()[0]
+        denom = float(t["__t"] or 0) + smoothing * (float(t["__v"] or 0) + 1.0)
+    else:
+        t = f.agg(F.sum("cnt").alias("__t")).collect()[0]
+        denom = float(t["__t"] or 0) + smoothing * float(n_buckets)
+    return f, denom
+
+
 def unigram_logprob_score(
     df: DataFrame,
     text_col: str = "text",
@@ -626,19 +660,11 @@ def unigram_logprob_score(
             "smoothing must be > 0 (MLE would log(0) OOV tokens into NULLs "
             "that avg() silently skips — inflating gibberish scores)"
         )
-    if freq_df is not None:
-        # defensive re-aggregation: a caller-supplied table with duplicate
-        # token rows would silently inflate both the normalizers and the
-        # join (each duplicate multiplies its token's matched rows); the
-        # groupBy collapses them and is a no-op shuffle on an
-        # already-clean vocab-sized table
-        freqs = freq_df.groupBy("token").agg(F.sum("cnt").alias("cnt"))
-    else:
-        freqs = build_token_freqs(df, text_col).localCheckpoint(eager=False)
-    tot = freqs.agg(
-        F.sum("cnt").alias("__t"), F.count(F.lit(1)).alias("__v")
-    ).collect()[0]
-    denom = float(tot["__t"] or 0) + smoothing * (float(tot["__v"] or 0) + 1.0)
+    freqs, denom = _normalized_freqs(
+        freq_df if freq_df is not None else build_token_freqs(df, text_col),
+        "token",
+        smoothing,
+    )
     f = freqs.select(F.col("token").alias("__tok"), F.col("cnt").alias("__cnt"))
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__tok")
@@ -859,24 +885,8 @@ def dsir_weights(
     vocab-sized, usually broadcastable), one per-doc aggregate."""
     if smoothing <= 0:
         raise ValueError("smoothing must be > 0 (MLE log(0) on OOV)")
-
-    def _norm(freq_df: DataFrame):
-        # localCheckpoint so an inline-built freq table's corpus lineage
-        # runs ONCE, not once for the normalizer collect and again for
-        # the vocab join (the unigram_logprob_score discipline)
-        f = (
-            freq_df.groupBy("token")
-            .agg(F.sum("cnt").alias("cnt"))
-            .localCheckpoint(eager=False)
-        )
-        t = f.agg(
-            F.sum("cnt").alias("__t"), F.count(F.lit(1)).alias("__v")
-        ).collect()[0]
-        denom = float(t["__t"] or 0) + smoothing * (float(t["__v"] or 0) + 1.0)
-        return f, denom
-
-    tf, tdenom = _norm(target_freq_df)
-    rf, rdenom = _norm(raw_freq_df)
+    tf, tdenom = _normalized_freqs(target_freq_df, "token", smoothing)
+    rf, rdenom = _normalized_freqs(raw_freq_df, "token", smoothing)
     vocab = (
         tf.select(F.col("token").alias("__tok"), F.col("cnt").alias("__ct"))
         .join(
@@ -1032,18 +1042,12 @@ def dsir_hashed_weights(
 
     if smoothing <= 0:
         raise ValueError("smoothing must be > 0 (MLE log(0) on OOV)")
-
-    def _norm(freq_df: DataFrame):
-        f = (
-            freq_df.groupBy("bucket")
-            .agg(F.sum("cnt").alias("cnt"))
-            .localCheckpoint(eager=False)
-        )
-        t = f.agg(F.sum("cnt").alias("__t")).collect()[0]
-        return f, float(t["__t"] or 0) + smoothing * float(n_buckets)
-
-    tf, tdenom = _norm(target_freq_df)
-    rf, rdenom = _norm(raw_freq_df)
+    tf, tdenom = _normalized_freqs(
+        target_freq_df, "bucket", smoothing, n_buckets=n_buckets
+    )
+    rf, rdenom = _normalized_freqs(
+        raw_freq_df, "bucket", smoothing, n_buckets=n_buckets
+    )
     vocab = (
         tf.select(F.col("bucket").alias("__b"), F.col("cnt").alias("__ct"))
         .join(
@@ -1081,4 +1085,118 @@ def dsir_hashed_weights(
         id_col,
         F.coalesce("n_features", F.lit(0)).alias("n_features"),
         "log_ratio",
+    )
+
+
+def train_quality_weights(
+    pos_freq_df: DataFrame,
+    neg_freq_df: DataFrame,
+    n_buckets: int,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """(bucket, weight) — a TRAINED linear quality classifier over the
+    hashed-n-gram feature space (:func:`build_hashed_ngram_freqs`
+    tables): per-bucket Naive-Bayes log-odds  w(b) = ln p_pos(b) −
+    ln p_neg(b)  under Lidstone smoothing with the closed-form hashed
+    denominators — the NBSVM/fastText-style linear text classifier
+    (Wang & Manning, ACL'12) whose sufficient statistics are exactly two
+    count tables, so "training" is one aggregate pass per corpus and the
+    model replays bit-for-bit in any engine (this operator's oracle).
+    The CCNet-style quality tier above the heuristic
+    ``functions/text.quality_score``: positives = a trusted corpus
+    (wiki/books), negatives = the raw pool.
+
+    The returned table is COMPLETE — one row for every bucket in
+    [0, n_buckets), including buckets seen in neither corpus (their
+    weight is the smoothed prior ratio ln(neg_denom/pos_denom)) — so
+    scoring never needs an OOV branch and the broadcast side is exactly
+    ``n_buckets`` rows by construction."""
+    if smoothing <= 0:
+        raise ValueError("smoothing must be > 0 (MLE log(0) on unseen)")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    pf, pdenom = _normalized_freqs(
+        pos_freq_df, "bucket", smoothing, n_buckets=n_buckets
+    )
+    nf, ndenom = _normalized_freqs(
+        neg_freq_df, "bucket", smoothing, n_buckets=n_buckets
+    )
+    space = pos_freq_df.sparkSession.range(n_buckets).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    w = F.log(
+        (F.coalesce(F.col("__cp"), F.lit(0)) + F.lit(smoothing))
+        / F.lit(pdenom)
+    ) - F.log(
+        (F.coalesce(F.col("__cn"), F.lit(0)) + F.lit(smoothing))
+        / F.lit(ndenom)
+    )
+    return (
+        space.join(
+            F.broadcast(pf.select("bucket", F.col("cnt").alias("__cp"))),
+            "bucket",
+            "left",
+        )
+        .join(
+            F.broadcast(nf.select("bucket", F.col("cnt").alias("__cn"))),
+            "bucket",
+            "left",
+        )
+        .select("bucket", w.alias("weight"))
+    )
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    weights_df: DataFrame,
+    n_buckets: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    bias: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """(id, n_features, logit, prob) — apply a trained hashed-feature
+    linear quality model (:func:`train_quality_weights`, or any
+    (bucket, weight) table — e.g. logistic weights trained offline) to
+    every document: ``logit = bias + mean(weight of the doc's hashed
+    n-gram features)``, ``prob = sigmoid(logit)``. The MEAN (not sum)
+    makes the score length-invariant — a long document is not
+    automatically "higher quality" — matching fastText's averaged
+    feature-vector scoring. ``n``/``n_buckets``/``seed`` must match the
+    featurization the weights were trained on.
+
+    Scale shape: one explode into hashed features, one broadcast join
+    against the ≤n_buckets-row weight table, one per-doc aggregate, and
+    the every-row guarantee shared by all scorers in this module
+    (feature-free docs return n_features=0, logit/prob NULL). Pure
+    expressions end-to-end — no Python boundary; the sigmoid finish is
+    one exp per doc, cross-engine-replayable (the oracle pins it with a
+    ROUND(...,6) finishing convention)."""
+    from ratatool_spark.functions.hashing import FIELD_SEP, portable_hash64
+
+    grams = _filtered_word_grams(text_col, n)
+    feed = F.concat_ws(FIELD_SEP, F.lit(str(seed)), F.col("__g"))
+    feats = df.select(
+        F.col(id_col), F.explode(grams).alias("__g")
+    ).select(F.col(id_col), (portable_hash64(feed) % n_buckets).alias("bucket"))
+    # weights are defensively deduped like every freq table (duplicate
+    # bucket rows would fan out the join); ≤n_buckets rows -> broadcast
+    w = weights_df.groupBy("bucket").agg(F.avg("weight").alias("weight"))
+    scored = (
+        feats.join(F.broadcast(w), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            (F.lit(bias) + F.avg(F.coalesce("weight", F.lit(0.0)))).alias(
+                "logit"
+            ),
+        )
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit")))
+    return df.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_features", F.lit(0)).alias("n_features"),
+        "logit",
+        prob.alias("prob"),
     )

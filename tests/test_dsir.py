@@ -200,3 +200,58 @@ def test_hashed_ngram_freqs_short_docs_empty(spark):
         [(1, "one"), (2, ""), (3, None)], "doc_id long, text string"
     )
     assert build_hashed_ngram_freqs(df, n=2, n_buckets=8).count() == 0
+
+
+def test_quality_classifier_weights_complete_and_separates(spark):
+    """train_quality_weights emits one row per bucket (complete closed
+    feature space); quality_classifier_score gives higher prob to docs
+    that look like the positive class, prob = sigmoid(logit) exactly,
+    and feature-free docs keep the every-row NULL contract."""
+    from ratatool_spark.operators.corpus import (
+        build_hashed_ngram_freqs,
+        quality_classifier_score,
+        train_quality_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "good clean prose flows here", "pos"),
+            (2, "good clean text reads well", "pos"),
+            (3, "spam junk garbage spam junk", "neg"),
+            (4, "junk spam garbage noise junk", "neg"),
+            (5, "good clean prose reads well", "?"),
+            (6, "spam garbage noise spam junk", "?"),
+            (7, "solo", "?"),  # sub-bigram: 0 features
+        ],
+        "doc_id long, text string, label string",
+    )
+    B = 64
+    pos = build_hashed_ngram_freqs(docs.where(F.col("label") == "pos"), n=2, n_buckets=B)
+    neg = build_hashed_ngram_freqs(docs.where(F.col("label") == "neg"), n=2, n_buckets=B)
+    w = train_quality_weights(pos, neg, n_buckets=B)
+    rows = w.collect()
+    assert len(rows) == B
+    assert sorted(r["bucket"] for r in rows) == list(range(B))
+    assert all(r["weight"] is not None for r in rows)
+
+    out = {
+        r["doc_id"]: r
+        for r in quality_classifier_score(docs, w, n_buckets=B, n=2).collect()
+    }
+    assert len(out) == 7
+    assert out[5]["prob"] > 0.5 > out[6]["prob"]  # separates the classes
+    assert out[7]["n_features"] == 0 and out[7]["logit"] is None and out[7]["prob"] is None
+    for r in out.values():
+        if r["logit"] is not None:
+            assert abs(r["prob"] - 1.0 / (1.0 + math.exp(-r["logit"]))) < 1e-12
+
+    # duplicate weight rows must not fan out the feature join
+    out_dup = {
+        r["doc_id"]: r
+        for r in quality_classifier_score(
+            docs, w.unionAll(w), n_buckets=B, n=2
+        ).collect()
+    }
+    for k in out:
+        assert out_dup[k]["n_features"] == out[k]["n_features"]
+        assert out_dup[k]["logit"] == out[k]["logit"]
