@@ -6332,6 +6332,65 @@ FROM base
 """
 
 
+def _q_image_dhash_pairs(spark, sf_dir):
+    """Perceptual image dedup (operators/multimodal image_dhash /
+    image_near_dup_pairs + operators/dedup.fingerprint_pairs): 40 real
+    BMP images in 20 near-duplicate pairs (odd twins carry a one-byte
+    payload bump), REALLY encoded and re-decoded on the Spark side, then
+    60-bit dHash fingerprints (integer nearest-neighbor luma grid,
+    adjacent comparisons) matched through the Manku blocked self-join at
+    Hamming <= 6. The oracle rebuilds the exact pixels from the
+    md5-digest payload with pure string math, replays the identical
+    integer dHash arithmetic, and verifies pairs all-pairs (40 rows) —
+    wrong stride, row un-flip, luma rule, or block layout all
+    hash-mismatch."""
+    from ratatool_spark.operators.multimodal import (
+        image_near_dup_pairs,
+        make_near_dup_media,
+    )
+
+    media = make_near_dup_media(spark, n_groups=20, seed=42)
+    return image_near_dup_pairs(media, max_hamming=6)
+
+
+_SQL_IMAGE_DHASH_PAIRS = """
+WITH imgs AS (
+  SELECT t.mid AS mid, t.mid % 2 AS twin,
+         4 + (t.mid // 2) % 7 AS w, 3 + (t.mid // 2) % 4 AS h,
+         md5('42:' || CAST(t.mid // 2 AS VARCHAR)) AS dg
+  FROM range(40) t(mid)
+), cells AS (
+  -- integer nearest-neighbor sample of a 7x10 luma grid (dhash_bits)
+  SELECT i.mid, i.twin, i.dg, c1.cy AS cy, c2.cx AS cx,
+         3 * ((((2 * c1.cy + 1) * i.h) // 20) * i.w
+              + (((2 * c2.cx + 1) * i.w) // 14)) AS j
+  FROM imgs i, range(10) c1(cy), range(7) c2(cx)
+), lum AS (
+  -- payload byte k = hex pair (k % 16) of the group digest; the odd
+  -- twin's byte 0 is bumped +8 mod 256 (make_near_dup_media)
+  SELECT mid, cy, cx,
+         (299 * (CASE WHEN twin = 1 AND j = 0
+                      THEN (('0x' || substr(dg, 2*(j % 16) + 1, 2))::INT + 8) % 256
+                      ELSE ('0x' || substr(dg, 2*(j % 16) + 1, 2))::INT END)
+          + 587 * ('0x' || substr(dg, 2*((j+1) % 16) + 1, 2))::INT
+          + 114 * ('0x' || substr(dg, 2*((j+2) % 16) + 1, 2))::INT) // 1000
+           AS luma
+  FROM cells
+), bits AS (
+  SELECT mid, cy, cx,
+         CASE WHEN LEAD(luma) OVER (PARTITION BY mid, cy ORDER BY cx) > luma
+              THEN CAST(1 AS BIGINT) << (cy * 6 + cx) ELSE 0 END AS bit
+  FROM lum
+), fps AS (
+  SELECT mid, CAST(SUM(bit) AS BIGINT) AS fp FROM bits GROUP BY mid
+)
+SELECT a.mid AS id_a, b.mid AS id_b,
+       bit_count(xor(a.fp, b.fp)) AS hamming
+FROM fps a JOIN fps b ON a.mid < b.mid
+WHERE bit_count(xor(a.fp, b.fp)) <= 6
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is the driver's verification priority.
 
@@ -6352,6 +6411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round 6: new or behaviour-changed this round ---------------
         "quality_classifier_en": _q_quality_classifier,
+        "image_dhash_pairs": _q_image_dhash_pairs,
         "dsir_select_large": _q_dsir_select_large,
         # --- round 5: new or behaviour-changed this round ---------------
         "dsir_select_docs": _q_dsir_select,
@@ -6512,6 +6572,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode_png": _SQL_MULTIMODAL_DECODE_PNG,
         "quantile_sketch_merge": _sql_quantile_sketch_merge(),
         "quality_classifier_en": _SQL_QUALITY_CLASSIFIER,
+        "image_dhash_pairs": _SQL_IMAGE_DHASH_PAIRS,
         "dsir_select_large": _SQL_DSIR_SELECT_LARGE,
         "dsir_select_docs": _SQL_DSIR_SELECT,
         "dsir_hashed_select_docs": _SQL_DSIR_HASHED_SELECT,

@@ -915,56 +915,52 @@ def simhash_block_layout(bits: int, n_blocks: int) -> list[tuple[int, int]]:
     return layout
 
 
-def _simhash_blocks(bits: int, n_blocks: int) -> list[Column]:
-    return [
-        F.struct(
-            F.lit(i).alias("kind"),
-            F.shiftright("simhash", off)
-            .bitwiseAND(F.lit((1 << w) - 1))
-            .alias("val"),
-        )
-        for i, (off, w) in enumerate(simhash_block_layout(bits, n_blocks))
-    ]
-
-
-def simhash_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    bits: int = 32,
+def fingerprint_pairs(
+    fp_df: DataFrame,
+    id_col: str,
+    fp_col: str,
+    bits: int,
     max_hamming: int = 3,
-    shingle_n: int = 1,
-    hasher: str = "portable",
 ) -> DataFrame:
-    """Near-dup pairs by simhash Hamming distance ≤ max_hamming.
+    """(id_a, id_b, hamming) — all pairs of rows whose ``bits``-wide
+    integer fingerprints differ in at most ``max_hamming`` bits. The
+    Manku/Jain/Sarma (WWW'07) blocked self-join shared by every Hamming
+    family here (text simhash, perceptual image dhash): with
+    ``max_hamming + 1`` contiguous chunks and at most ``max_hamming``
+    differing bits, pigeonhole forces at least one chunk to match
+    exactly — recall 1.0 by construction, candidates bounded by chunk
+    collisions, never all pairs. Hamming via ``bit_count(xor)``.
 
-    Scale path: self-join blocked on ``max_hamming + 1`` contiguous
-    fingerprint chunks (Manku/Jain/Sarma, WWW'07: with k blocks and at
-    most k-1 differing bits, pigeonhole forces at least one block to
-    match exactly — so recall is 1.0 by construction), Hamming via
-    ``bit_count(xor)``. All chunks are exploded into one (kind, val)
-    block table and matched in a single self-join: the two sides are
-    identical subplans, so the signature pipeline runs once through one
-    reused exchange (a union of per-chunk joins would shuffle it k
-    times)."""
+    All chunks are exploded into one (kind, val) block table and matched
+    in a single equi-self-join: the two sides are identical subplans, so
+    the fingerprint pipeline runs once through one reused exchange (a
+    union of per-chunk joins would shuffle it k times). Persist the
+    fingerprint table BEFORE calling when its lineage is expensive
+    (simhash_pairs does)."""
     n_blocks = max_hamming + 1
     if n_blocks > bits:
         raise ValueError(
             f"max_hamming={max_hamming} needs {n_blocks} blocks but the "
             f"fingerprint has only {bits} bits"
         )
-    # Persist the fingerprints before the self-join: the broadcast side's
-    # subplan shape differs from the probe side's, so Catalyst can NOT
-    # reuse the exchange and would run the whole shingle→md5→bit-sum
-    # pipeline twice (measured 2× wall on the bench corpus). The cached
-    # relation is n×(id, long) — tiny relative to the corpus at any scale,
-    # and MEMORY_AND_DISK spills rather than OOMs.
-    s = _persist(simhash(df, text_col, id_col, bits, shingle_n, hasher))
-    blocks = F.array(*_simhash_blocks(bits, n_blocks))
-    s = s.select(
-        F.col(id_col).alias("id"), "simhash", F.explode(blocks).alias("b")
-    ).select("id", "simhash", F.col("b.kind").alias("kind"), F.col("b.val").alias("val"))
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    s = fp_df.select(
+        F.col(id_col).alias("id"), F.col(fp_col).alias("__fp")
+    )
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("kind"),
+                F.shiftright("__fp", off)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("val"),
+            )
+            for i, (off, w) in enumerate(simhash_block_layout(bits, n_blocks))
+        ]
+    )
+    s = s.select("id", "__fp", F.explode(blocks).alias("b")).select(
+        "id", "__fp", F.col("b.kind").alias("kind"), F.col("b.val").alias("val")
+    )
+    ham = F.bit_count(F.col("a.__fp").bitwiseXOR(F.col("b.__fp")))
     return (
         s.alias("a")
         .join(
@@ -981,6 +977,28 @@ def simhash_pairs(
         )
         .distinct()
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    shingle_n: int = 1,
+    hasher: str = "portable",
+) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance ≤ max_hamming — the
+    text instantiation of :func:`fingerprint_pairs` (see there for the
+    Manku blocked-join shape)."""
+    # Persist the fingerprints before the self-join: the broadcast side's
+    # subplan shape differs from the probe side's, so Catalyst can NOT
+    # reuse the exchange and would run the whole shingle→md5→bit-sum
+    # pipeline twice (measured 2× wall on the bench corpus). The cached
+    # relation is n×(id, long) — tiny relative to the corpus at any scale,
+    # and MEMORY_AND_DISK spills rather than OOMs.
+    s = _persist(simhash(df, text_col, id_col, bits, shingle_n, hasher))
+    return fingerprint_pairs(s, id_col, "simhash", bits, max_hamming)
 
 
 def embedding_neardup_pairs(

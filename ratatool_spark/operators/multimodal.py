@@ -564,3 +564,141 @@ def fake_media_table(spark, n: int = 100, seed: int = 42) -> DataFrame:
             F.when(F.col("kind") == "audio", F.lit(16000)).alias("sample_rate"),
         ).alias("meta"),
     )
+
+
+_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("dhash", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def dhash_bits(
+    width: int, height: int, luma_at, rows: int = 10, cols: int = 6
+) -> int:
+    """The dHash fingerprint arithmetic, shared verbatim with the DuckDB
+    oracle twin: sample a (cols+1) x rows luma grid by INTEGER
+    nearest-neighbor (px = ((2*cx+1)*w) // (2*(cols+1)), py = ((2*cy+1)*h)
+    // (2*rows) — pure integer math, so any engine replays it exactly; a
+    box-filter resize would drag in float resampling conventions), then
+    bit (cy*cols + cx) = 1 iff luma(cx+1) > luma(cx) in row cy — the
+    classic difference hash (Krawetz, "Kind of Like That", 2013).
+    ``luma_at(px, py)`` supplies the integer luma of a source pixel.
+    rows*cols defaults to 60 bits: fits a signed 64-bit long in every
+    engine (bit 63 would overflow DuckDB's checked BIGINT) and rides the
+    same Manku block layout as the 60-bit text simhash."""
+    fp = 0
+    for cy in range(rows):
+        py = ((2 * cy + 1) * height) // (2 * rows)
+        lumas = [
+            luma_at(((2 * cx + 1) * width) // (2 * (cols + 1)), py)
+            for cx in range(cols + 1)
+        ]
+        for cx in range(cols):
+            if lumas[cx + 1] > lumas[cx]:
+                fp |= 1 << (cy * cols + cx)
+    return fp
+
+
+def image_dhash(df: DataFrame, rows: int = 10, cols: int = 6) -> DataFrame:
+    """(media_id, dhash, width, height) — perceptual difference-hash
+    fingerprints over the REAL image decoders (BMP/PNG stdlib codecs
+    above; the PIL seam for other formats): decode to RGB, integer luma
+    (ITU-R 601: (299r + 587g + 114b) // 1000), nearest-neighbor sample
+    onto a (cols+1) x rows grid, adjacent-comparison bits. Two images
+    whose content differs by noise/recompression land within a few bits;
+    pair them with ``operators.dedup.fingerprint_pairs`` (the Manku
+    blocked equi-join — no all-pairs scan) for near-duplicate image
+    dedup at corpus scale. Non-image rows (NULL/audio magic) yield NULL
+    dhash. Same Arrow-batch envelope as decode_real."""
+    if rows < 1 or cols < 1 or rows * cols > 63:
+        raise ValueError(
+            f"need 1 <= rows*cols <= 63 signed-long bits, got {rows}x{cols}"
+        )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content) if content is not None else None
+                if b is None:
+                    out.append((mid, None, None, None))
+                    continue
+                if b[:2] == b"BM":
+                    w, h, pixels = decode_bmp(b)
+                elif b[:8] == _PNG_SIG:
+                    w, h, pixels = decode_png(b)
+                else:
+                    out.append((mid, None, None, None))
+                    continue
+
+                def luma_at(px, py, _p=pixels, _w=w):
+                    i = 3 * (py * _w + px)
+                    return (
+                        299 * _p[i] + 587 * _p[i + 1] + 114 * _p[i + 2]
+                    ) // 1000
+
+                out.append((mid, dhash_bits(w, h, luma_at, rows, cols), w, h))
+            yield pd.DataFrame(out, columns=[f.name for f in _DHASH_SCHEMA])
+
+    return df.select("media_id", "content").mapInPandas(run, _DHASH_SCHEMA)
+
+
+def image_near_dup_pairs(
+    df: DataFrame, max_hamming: int = 6, rows: int = 10, cols: int = 6
+) -> DataFrame:
+    """(id_a, id_b, hamming) — near-duplicate IMAGE pairs: dHash
+    fingerprints + the Manku blocked self-join
+    (:func:`~ratatool_spark.operators.dedup.fingerprint_pairs`).
+    Fingerprints are persisted before the self-join (the simhash_pairs
+    discipline: the two join sides are different subplans, so without it
+    the decode pipeline — the expensive part here — would run twice).
+    Non-image rows drop out (NULL dhash)."""
+    from ratatool_spark.cache import persist_tracked as _persist
+    from ratatool_spark.operators.dedup import fingerprint_pairs
+
+    fps = _persist(image_dhash(df, rows, cols).where(F.col("dhash").isNotNull()))
+    return fingerprint_pairs(fps, "media_id", "dhash", rows * cols, max_hamming)
+
+
+def make_near_dup_media(spark, n_groups: int = 20, seed: int = 42) -> DataFrame:
+    """(media_id, content) — a deterministic near-duplicate IMAGE
+    fixture: ``2*n_groups`` real BMP rows where ids (2k, 2k+1) share the
+    md5-digest-derived pixel payload of group k, the odd twin with its
+    first payload byte bumped by +8 (mod 256) — a perceptually-invisible
+    perturbation that leaves the twins within a few dHash bits while
+    unrelated groups sit ~rows*cols/2 bits apart. Payload construction is
+    pure string math (the make_test_media convention), so an external
+    engine can rebuild the exact pixels — and therefore the exact
+    fingerprints — without a BMP codec; the Spark side must genuinely
+    encode and re-decode the container. Sizes vary per GROUP
+    (w = 4 + k%7, h = 3 + k%4, non-multiple-of-4 strides exercise BMP
+    row padding)."""
+    import pandas as pd
+
+    def gen(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                grp = int(mid) // 2
+                digest = hashlib.md5(f"{seed}:{grp}".encode()).digest()
+                w, h = 4 + grp % 7, 3 + grp % 4
+                need = w * h * 3
+                rgb = bytearray((digest * (need // 16 + 1))[:need])
+                if mid % 2 == 1:
+                    rgb[0] = (rgb[0] + 8) % 256
+                rows.append((mid, encode_bmp(w, h, bytes(rgb))))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+    return spark.range(2 * n_groups).mapInPandas(gen, schema)

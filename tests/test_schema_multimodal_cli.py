@@ -795,3 +795,85 @@ def test_cli_profile_pii(spark, tmp_path):
     got = {r["column"]: r for r in spark.read.parquet(out).collect()}
     assert set(got) == {"text", "lang", "source"}
     assert all(r["n_email"] == 0 for r in got.values())
+
+
+def test_image_dhash_format_invariant_and_near_dup(spark):
+    """dHash is a function of PIXELS, not the container: the same RGB
+    payload encoded as BMP and as PNG fingerprints identically; a
+    one-byte payload bump stays within a few bits; unrelated images sit
+    far apart; non-image/NULL rows give NULL dhash."""
+    import hashlib
+
+    from ratatool_spark.operators.multimodal import (
+        encode_bmp,
+        encode_png,
+        encode_wav,
+        image_dhash,
+        image_near_dup_pairs,
+        make_near_dup_media,
+    )
+
+    w, h = 9, 7
+    need = w * h * 3
+    digest = hashlib.md5(b"dhash-fixture").digest()
+    rgb = (digest * (need // 16 + 1))[:need]
+    bumped = bytes([(rgb[0] + 8) % 256]) + rgb[1:]
+    rows = [
+        (1, bytearray(encode_bmp(w, h, rgb))),
+        (2, bytearray(encode_png(w, h, rgb))),
+        (3, bytearray(encode_bmp(w, h, bumped))),
+        (4, bytearray(encode_wav(8000, b"\x00\x01" * 64))),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r for r in image_dhash(df).collect()}
+    assert got[1]["dhash"] == got[2]["dhash"]  # BMP == PNG, same pixels
+    assert got[1]["width"] == w and got[1]["height"] == h
+    assert got[4]["dhash"] is None and got[5]["dhash"] is None
+    ham = bin(got[1]["dhash"] ^ got[3]["dhash"]).count("1")
+    assert ham <= 6
+
+    # the pair operator finds exactly the near-dup clique {1,2,3}
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_near_dup_pairs(df, max_hamming=6).collect()
+    }
+    assert set(pairs) == {(1, 2), (1, 3), (2, 3)}
+    assert pairs[(1, 2)] == 0
+
+    # the oracle fixture: every twin pair is found, nothing else
+    media = make_near_dup_media(spark, n_groups=8, seed=42)
+    got_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in image_near_dup_pairs(media, max_hamming=6).collect()
+    }
+    assert got_pairs == {(2 * k, 2 * k + 1) for k in range(8)}
+
+
+def test_fingerprint_pairs_matches_brute_force(spark):
+    """The Manku blocked join returns EXACTLY the Hamming <= t pairs a
+    brute-force all-pairs scan finds (recall 1.0 by pigeonhole, no
+    spurious extras), on fingerprints engineered to straddle the
+    threshold."""
+    from ratatool_spark.operators.dedup import fingerprint_pairs
+
+    base = 0b10110110_01011011_00110101_11001010
+    rows = [
+        (1, base),
+        (2, base ^ 0b1),  # ham 1
+        (3, base ^ 0b111000),  # ham 3
+        (4, base ^ 0b11111),  # ham 5 -> out at t=3
+        (5, 0),  # far
+    ]
+    df = spark.createDataFrame(rows, "id long, fp long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in fingerprint_pairs(df, "id", "fp", bits=32, max_hamming=3).collect()
+    }
+    exp = {}
+    for i, (ia, fa) in enumerate(rows):
+        for ib, fb in rows[i + 1 :]:
+            d = bin(fa ^ fb).count("1")
+            if d <= 3:
+                exp[(ia, ib)] = d
+    assert got == exp and (1, 2) in got and (1, 4) not in got
