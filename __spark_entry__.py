@@ -6332,6 +6332,77 @@ FROM base
 """
 
 
+def _q_nb_lang_classify(spark, sf_dir):
+    """Trained multi-class language classifier (operators/corpus
+    train_nb_class_weights + nb_classify; Cavnar-Trenkle textcat
+    modernized to hashed word features): the documents table trains a
+    5-class NB model from its own lang labels (two aggregate passes),
+    then every doc is scored per class (ln prior + sum of per-feature
+    ln p_class) and argmax-classified with a deterministic label
+    tie-break. Training AND inference replay exactly in the oracle;
+    scores finish at ROUND(...,6)."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.corpus import (
+        nb_classify,
+        train_nb_class_weights,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w, pri = train_nb_class_weights(docs, "lang", n=1, n_buckets=256)
+    out = nb_classify(docs, w, pri, 256, n=1)
+    return out.select(
+        "doc_id",
+        "pred_label",
+        F.round("score", 6).alias("score"),
+        "n_features",
+    )
+
+
+_SQL_NB_LANG_CLASSIFY = """
+WITH toks AS (
+  SELECT doc_id, t.tok AS tok
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS ls FROM documents),
+       UNNEST(ls) AS t(tok)
+  WHERE LENGTH(t.tok) > 0
+), feats AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(concat_ws(chr(1), '0', tok)), 1, 15))::BIGINT)
+           % 256 AS b
+  FROM toks
+), cnts AS (
+  SELECT d.lang, f.b, COUNT(*) AS cnt
+  FROM feats f JOIN documents d USING (doc_id) GROUP BY 1, 2
+), tots AS (
+  SELECT lang, SUM(cnt) AS tot FROM cnts GROUP BY 1
+), langs AS (
+  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1
+), total AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT f.doc_id, l.lang, COUNT(*) AS n_features,
+         SUM(LN((COALESCE(c.cnt, 0) + 0.5) / (t.tot + 0.5 * 256))) AS ll
+  FROM feats f
+  CROSS JOIN langs l
+  JOIN tots t ON t.lang = l.lang
+  LEFT JOIN cnts c ON c.lang = l.lang AND c.b = f.b
+  GROUP BY 1, 2
+), with_prior AS (
+  SELECT d.doc_id, l.lang,
+         LN(CAST(l.n_docs AS DOUBLE) / total.n) + COALESCE(s.ll, 0)
+           AS score,
+         COALESCE(s.n_features, 0) AS n_features
+  FROM documents d CROSS JOIN langs l CROSS JOIN total
+  LEFT JOIN scored s ON s.doc_id = d.doc_id AND s.lang = l.lang
+)
+SELECT doc_id, lang AS pred_label, ROUND(score, 6) AS score, n_features
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, lang
+  ) AS rn FROM with_prior
+) WHERE rn = 1
+"""
+
+
 def _q_image_dhash_pairs(spark, sf_dir):
     """Perceptual image dedup (operators/multimodal image_dhash /
     image_near_dup_pairs + operators/dedup.fingerprint_pairs): 40 real
@@ -6411,6 +6482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round 6: new or behaviour-changed this round ---------------
         "quality_classifier_en": _q_quality_classifier,
+        "nb_lang_classify": _q_nb_lang_classify,
         "image_dhash_pairs": _q_image_dhash_pairs,
         "dsir_select_large": _q_dsir_select_large,
         # --- round 5: new or behaviour-changed this round ---------------
@@ -6572,6 +6644,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode_png": _SQL_MULTIMODAL_DECODE_PNG,
         "quantile_sketch_merge": _sql_quantile_sketch_merge(),
         "quality_classifier_en": _SQL_QUALITY_CLASSIFIER,
+        "nb_lang_classify": _SQL_NB_LANG_CLASSIFY,
         "image_dhash_pairs": _SQL_IMAGE_DHASH_PAIRS,
         "dsir_select_large": _SQL_DSIR_SELECT_LARGE,
         "dsir_select_docs": _SQL_DSIR_SELECT,

@@ -1200,3 +1200,143 @@ def quality_classifier_score(
         "logit",
         prob.alias("prob"),
     )
+
+
+def train_nb_class_weights(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    n: int = 1,
+    n_buckets: int = 10_000,
+    smoothing: float = 0.5,
+    seed: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """(weights_df, priors_df) — a MULTI-CLASS Naive-Bayes text
+    classifier over hashed word-n-gram features, trained from a labeled
+    corpus in two aggregate passes (the trained-language-ID tier above
+    the marker-list heuristic ``functions/text.lang_id``; textcat-style,
+    Cavnar & Trenkle '94 modernized to hashed features):
+
+    - ``weights_df`` (label, bucket, weight): ``weight = ln p_label(b)``
+      under Lidstone smoothing with the closed-form hashed denominator —
+      COMPLETE per label (one row for every bucket in [0, n_buckets), so
+      scoring has no OOV branch and the broadcast side is exactly
+      ``n_labels x n_buckets`` rows).
+    - ``priors_df`` (label, ln_prior): document-count class priors.
+
+    Sufficient statistics are one (label, bucket) count aggregate (map-
+    side combined; the corpus shuffles only as counts) and one label
+    count — so the "training" replays exactly in any engine, which is
+    this operator's oracle. NULL labels are excluded (unlabeled rows
+    cannot train)."""
+    if smoothing <= 0:
+        raise ValueError("smoothing must be > 0 (MLE log(0) on unseen)")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    from ratatool_spark.functions.hashing import FIELD_SEP, portable_hash64
+
+    labeled = df.where(F.col(label_col).isNotNull())
+    grams = _filtered_word_grams(text_col, n)
+    feed = F.concat_ws(FIELD_SEP, F.lit(str(seed)), F.col("__g"))
+    feats = labeled.select(
+        F.col(label_col).alias("label"), F.explode(grams).alias("__g")
+    ).select("label", (portable_hash64(feed) % n_buckets).alias("bucket"))
+    cnts = feats.groupBy("label", "bucket").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    tots = cnts.groupBy("label").agg(F.sum("__c").alias("__tot"))
+    space = df.sparkSession.range(n_buckets).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    weights = (
+        tots.crossJoin(space)  # n_labels x n_buckets: the COMPLETE grid
+        .join(F.broadcast(cnts), ["label", "bucket"], "left")
+        .select(
+            "label",
+            "bucket",
+            F.log(
+                (F.coalesce(F.col("__c"), F.lit(0)) + F.lit(smoothing))
+                / (F.col("__tot") + F.lit(smoothing * n_buckets))
+            ).alias("weight"),
+        )
+    )
+    n_docs = labeled.count()
+    priors = labeled.groupBy(F.col(label_col).alias("label")).agg(
+        F.log(F.count(F.lit(1)).cast("double") / F.lit(float(n_docs))).alias(
+            "ln_prior"
+        )
+    )
+    return weights, priors
+
+
+def nb_classify(
+    df: DataFrame,
+    weights_df: DataFrame,
+    priors_df: DataFrame,
+    n_buckets: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 1,
+    seed: int = 0,
+) -> DataFrame:
+    """(id, pred_label, score, n_features) — classify every document
+    with a trained multi-class NB model (:func:`train_nb_class_weights`):
+    per class, ``score = ln_prior + Σ_features ln p_class(b)``; the
+    prediction is the argmax (ties break on the smaller label — fully
+    deterministic). ``n``/``n_buckets``/``seed`` must match training.
+
+    Scale shape: one explode into hashed features, ONE broadcast join
+    against the n_labels x n_buckets weight grid (each feature row fans
+    out to n_labels scored rows — the classic NB scoring cost; partial
+    aggregation collapses them map-side before the (doc, label)
+    exchange), a per-doc argmax via ``row_number`` over n_labels rows
+    per doc (WindowGroupLimit; doc-keyed partitions, maximally spread),
+    and the every-row guarantee: feature-free docs are classified by
+    prior alone with n_features = 0."""
+    from ratatool_spark.functions.hashing import FIELD_SEP, portable_hash64
+
+    grams = _filtered_word_grams(text_col, n)
+    feed = F.concat_ws(FIELD_SEP, F.lit(str(seed)), F.col("__g"))
+    feats = df.select(
+        F.col(id_col), F.explode(grams).alias("__g")
+    ).select(F.col(id_col), (portable_hash64(feed) % n_buckets).alias("bucket"))
+    w = weights_df.groupBy("label", "bucket").agg(
+        F.avg("weight").alias("weight")
+    )
+    scored = (
+        feats.join(F.broadcast(w), "bucket")
+        .groupBy(id_col, "label")
+        .agg(
+            F.count(F.lit(1)).alias("__nf"),
+            F.sum("weight").alias("__ll"),
+        )
+    )
+    pri = priors_df.groupBy("label").agg(F.avg("ln_prior").alias("ln_prior"))
+    full = (
+        df.select(id_col)
+        .crossJoin(F.broadcast(pri))
+        .join(scored, [id_col, "label"], "left")
+        .select(
+            F.col(id_col),
+            "label",
+            (F.col("ln_prior") + F.coalesce("__ll", F.lit(0.0))).alias(
+                "score"
+            ),
+            F.coalesce("__nf", F.lit(0)).alias("n_features"),
+        )
+    )
+    from pyspark.sql import Window
+
+    rank = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(F.desc("score"), F.col("label"))
+    )
+    return (
+        full.withColumn("__rn", rank)
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("label").alias("pred_label"),
+            "score",
+            "n_features",
+        )
+    )

@@ -255,3 +255,45 @@ def test_quality_classifier_weights_complete_and_separates(spark):
     for k in out:
         assert out_dup[k]["n_features"] == out[k]["n_features"]
         assert out_dup[k]["logit"] == out[k]["logit"]
+
+
+def test_nb_classify_separable_and_prior_fallback(spark):
+    """Multi-class NB: on a class-separable vocabulary the held-out docs
+    classify correctly; a feature-free doc falls back to the prior
+    argmax with n_features = 0; the weight grid is complete
+    (n_labels x n_buckets)."""
+    from ratatool_spark.operators.corpus import (
+        nb_classify,
+        train_nb_class_weights,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "gato perro casa sol", "es"),
+            (2, "perro sol gato luna", "es"),
+            (3, "gato casa luna perro", "es"),
+            (4, "cat dog house sun", "en"),
+            (5, "dog sun cat moon", "en"),
+            (6, None, None),  # unlabeled: excluded from training
+        ],
+        "doc_id long, text string, lang string",
+    )
+    B = 128
+    w, pri = train_nb_class_weights(train, "lang", n=1, n_buckets=B)
+    assert w.count() == 2 * B  # complete grid per label
+    probe = spark.createDataFrame(
+        [
+            (10, "gato luna sol"),
+            (11, "dog cat moon"),
+            (12, ""),  # feature-free
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in nb_classify(probe, w, pri, B, n=1).collect()}
+    assert got[10]["pred_label"] == "es"
+    assert got[11]["pred_label"] == "en"
+    # prior argmax: es has 3 training docs vs en's 2
+    assert got[12]["pred_label"] == "es" and got[12]["n_features"] == 0
+    import math as m
+
+    assert abs(got[12]["score"] - m.log(3 / 5)) < 1e-12
