@@ -6332,6 +6332,68 @@ FROM base
 """
 
 
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (operators/dedup.semantic_dedup; Abbas et al. 2023):
+    embeddings cluster to 8 seed centroids (oracle-replayable
+    train_iters=0 mode), near-dup candidates enumerate within cells
+    only, and each vector is kept unless a (centroid_cos, id)-lower
+    near-dup at cosine >= 0.4 exists in its cell — keeping the
+    duplicate farthest from its centroid. The oracle replays centroid
+    sampling, argmax assignment, the within-cell pair predicate, and the
+    keep rule; cosines compare UNROUNDED (bit-exact expression twins)
+    and finish at ROUND(...,6) for display."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = semantic_dedup(emb, tau=0.4, n_centroids=8)
+    return out.select(
+        "vec_id",
+        "cell",
+        F.round("centroid_cos", 6).alias("centroid_cos"),
+        "kept",
+    )
+
+
+def _sql_semantic_dedup() -> str:
+    h = (
+        "(('0x' || substr(md5(concat_ws(chr(1), '13', "
+        "CAST(vec_id AS VARCHAR))), 1, 15))::BIGINT)"
+    )
+    cos_vc = _COS_AB_SQL.replace("a.embedding", "v.embedding").replace(
+        "b.embedding", "ct.embedding"
+    )
+    cos_ab = _COS_AB_SQL.replace("a.embedding", "a.v").replace(
+        "b.embedding", "b.v"
+    )
+    return f"""
+WITH cents AS (
+  SELECT rn - 1 AS cell, embedding FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY {h}) AS rn, embedding FROM embeddings
+  ) WHERE rn <= 8
+),
+assign AS (
+  SELECT vec_id, v, centroid_cos, cell FROM (
+    SELECT v.vec_id, v.embedding AS v, {cos_vc} AS centroid_cos, ct.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {cos_vc} DESC, ct.cell) AS arn
+    FROM embeddings v CROSS JOIN cents ct
+  ) WHERE arn = 1
+),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM assign a JOIN assign b ON a.cell = b.cell
+   AND (b.centroid_cos < a.centroid_cos
+        OR (b.centroid_cos = a.centroid_cos AND b.vec_id < a.vec_id))
+  WHERE {cos_ab} >= 0.4
+)
+SELECT a.vec_id, a.cell, ROUND(a.centroid_cos, 6) AS centroid_cos,
+       (d.vec_id IS NULL) AS kept
+FROM assign a LEFT JOIN dropped d USING (vec_id)
+"""
+
+
 def _q_nb_lang_classify(spark, sf_dir):
     """Trained multi-class language classifier (operators/corpus
     train_nb_class_weights + nb_classify; Cavnar-Trenkle textcat
@@ -6483,6 +6545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round 6: new or behaviour-changed this round ---------------
         "quality_classifier_en": _q_quality_classifier,
         "nb_lang_classify": _q_nb_lang_classify,
+        "semantic_dedup_embeddings": _q_semantic_dedup,
         "image_dhash_pairs": _q_image_dhash_pairs,
         "dsir_select_large": _q_dsir_select_large,
         # --- round 5: new or behaviour-changed this round ---------------
@@ -6645,6 +6708,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_sketch_merge": _sql_quantile_sketch_merge(),
         "quality_classifier_en": _SQL_QUALITY_CLASSIFIER,
         "nb_lang_classify": _SQL_NB_LANG_CLASSIFY,
+        "semantic_dedup_embeddings": _sql_semantic_dedup(),
         "image_dhash_pairs": _SQL_IMAGE_DHASH_PAIRS,
         "dsir_select_large": _SQL_DSIR_SELECT_LARGE,
         "dsir_select_docs": _SQL_DSIR_SELECT,

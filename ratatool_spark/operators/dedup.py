@@ -1209,3 +1209,93 @@ def tfidf_cosine_pairs(
         .agg(F.sum(F.col("__wa") * F.col("__wb")).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def semantic_dedup(
+    emb_df: DataFrame,
+    tau: float,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_iters: int = 0,
+    seed: int = 13,
+) -> DataFrame:
+    """(id, cell, centroid_cos, kept) — SemDeDup (Abbas et al.,
+    arXiv:2303.09540): semantic deduplication over an embedding column.
+    Vectors are clustered into ``n_centroids`` cells (seed-sampled
+    centroids at ``train_iters=0`` — fully engine-replayable, this
+    operator's oracle mode; Lloyd-trained via
+    ``similarity.train_centroids`` beyond); near-duplicate candidates
+    are enumerated ONLY within a cell (the paper's cost model: Σ|cell|²
+    pairwise cosines instead of n²), and within each cell a vector is
+    DROPPED when some near-duplicate (cosine ≥ tau) ranks below it by
+    (centroid_cos, id) — keeping, per the paper, the duplicate farthest
+    from its centroid (the most diverse representative). The greedy
+    by-rank rule (rather than connected-components + argmin) makes the
+    decision local to each pair, deterministic, and expressible as one
+    self-join — a doc survives iff NO lower-ranked near-dup exists.
+
+    Every input row appears in the output with a boolean ``kept``;
+    filter ``kept`` for the surviving corpus. Scale shape: one
+    assignment map over centroid literals (no shuffle), one cell-keyed
+    self-join bounded by cluster sizes (pick n_centroids ~ n/target_cell
+    for the Σ|cell|² envelope), no all-pairs anything."""
+    from ratatool_spark.operators.similarity import (
+        _seed_centroids,
+        train_centroids,
+    )
+
+    if not (0.0 < tau <= 1.0):
+        raise ValueError(f"tau must be in (0, 1], got {tau}")
+    if train_iters > 0:
+        centroids = train_centroids(
+            emb_df, n_centroids, train_iters, vec_col, id_col, seed
+        )
+    else:
+        centroids = _seed_centroids(emb_df, n_centroids, vec_col, id_col, seed)
+    # argmax-cosine assignment over centroid literals; ties break to the
+    # SMALLEST cell id (the ivf oracle convention: cos DESC, cell ASC) —
+    # struct sort on (c, -cell) reversed
+    scored = F.array(
+        *[
+            F.struct(
+                cosine_sim(F.col(vec_col), F.lit([float(x) for x in cvec])).alias("c"),
+                F.lit(-cid).alias("nc"),
+                F.lit(cid).alias("cell"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+    best = F.reverse(F.array_sort(scored))[0]
+    assigned = _persist(
+        emb_df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            best["c"].alias("centroid_cos"),
+            best["cell"].alias("cell"),
+        )
+    )
+    lower_ranked = (F.col("b.centroid_cos") < F.col("a.centroid_cos")) | (
+        (F.col("b.centroid_cos") == F.col("a.centroid_cos"))
+        & (F.col("b.id") < F.col("a.id"))
+    )
+    dropped = (
+        assigned.alias("a")
+        .join(
+            assigned.alias("b"),
+            (F.col("a.cell") == F.col("b.cell")) & lower_ranked,
+        )
+        .where(cosine_sim(F.col("a.v"), F.col("b.v")) >= tau)
+        .select(F.col("a.id").alias("id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cell",
+            "centroid_cos",
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
+        )
+    )

@@ -768,3 +768,39 @@ def test_topk_recall_bounds_and_exact_self(spark, embeddings):
     # numbers (r5 ADVICE: truth-side dupes inflated n_truth silently)
     dup = topk_recall(truth.unionAll(truth), approx.unionAll(approx)).collect()
     assert all(r["recall"] == 0.75 and r["n_truth"] == 4 for r in dup)
+
+
+def test_semantic_dedup_keep_rule_and_every_row(spark):
+    """SemDeDup keep rule: within a cell, a vector is dropped iff a
+    near-dup (cos >= tau) with lower (centroid_cos, id) exists — the
+    survivor of a duplicate pair is the one FARTHER from its centroid;
+    vectors with no near-dup are kept; every input row appears."""
+    from ratatool_spark.operators.dedup import semantic_dedup
+
+    # two tight clusters in 4-d; ids 1,2 near-identical; 3 nearby but
+    # below tau; 10,11 near-identical in the other cluster
+    rows = [
+        (1, [1.0, 0.02, 0.0, 0.0]),
+        (2, [1.0, 0.00, 0.0, 0.0]),
+        (3, [0.6, 0.8, 0.0, 0.0]),
+        (10, [0.0, 0.0, 1.0, 0.03]),
+        (11, [0.0, 0.0, 1.0, 0.00]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(emb, tau=0.995, n_centroids=2).collect()
+    }
+    assert len(out) == 5
+    # exactly one of each near-identical pair is dropped
+    assert out[1]["kept"] != out[2]["kept"]
+    assert out[10]["kept"] != out[11]["kept"]
+    assert out[3]["kept"] is True
+    # the dropped one is the one CLOSER to its centroid (higher
+    # centroid_cos ranks higher -> gets dropped by the lower-ranked twin)
+    for a, b in ((1, 2), (10, 11)):
+        hi = a if out[a]["centroid_cos"] > out[b]["centroid_cos"] else b
+        assert out[hi]["kept"] is False
+    # pair mates landed in the same cell (sanity of the fixture)
+    assert out[1]["cell"] == out[2]["cell"]
+    assert out[10]["cell"] == out[11]["cell"]
