@@ -6332,6 +6332,64 @@ FROM base
 """
 
 
+def _q_dedup_spans(spark, sf_dir):
+    """Exact duplicated-span removal (operators/corpus
+    remove_duplicate_spans; Lee et al. ACL'22 restated as a distributed
+    n-gram join): every word TRIGRAM occurring more than 3 times across
+    the corpus marks its 3 positions for removal, overlapping grams
+    merge into maximal spans via the position-range window, docs
+    reassemble from surviving tokens. The oracle replays gram
+    construction, the violator count, the EXISTS-in-range removal mask,
+    and ordered reassembly — including the NULL-text preservation and
+    all-occurrences-removed semantics."""
+    from ratatool_spark.operators.corpus import remove_duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = remove_duplicate_spans(
+        docs, text_col="text", id_col="doc_id", span_tokens=3,
+        max_occurrences=3,
+    )
+    return out.select("doc_id", "text", "n_tokens_removed")
+
+
+_SQL_DEDUP_SPANS = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(text), ' '),
+                     x -> LENGTH(x) > 0) AS ls
+  FROM documents
+), toks AS (
+  SELECT doc_id, i - 1 AS pos, ls[i] AS tok
+  FROM base, UNNEST(range(1, len(ls) + 1)) AS t(i)
+), grams AS (
+  SELECT doc_id, i - 1 AS gpos,
+         ls[i] || ' ' || ls[i + 1] || ' ' || ls[i + 2] AS g
+  FROM base, UNNEST(range(1, len(ls) - 1)) AS t(i)
+), viol AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(*) > 3
+), starts AS (
+  SELECT DISTINCT gr.doc_id, gr.gpos FROM grams gr JOIN viol USING (g)
+), marked AS (
+  SELECT t.doc_id, t.pos, t.tok,
+         EXISTS (SELECT 1 FROM starts s
+                 WHERE s.doc_id = t.doc_id
+                   AND s.gpos BETWEEN t.pos - 2 AND t.pos) AS removed
+  FROM toks t
+), kept AS (
+  SELECT doc_id,
+         COALESCE(STRING_AGG(tok, ' ' ORDER BY pos)
+                  FILTER (WHERE NOT removed), '') AS text,
+         COUNT(*) FILTER (WHERE removed) AS n_tokens_removed
+  FROM marked GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE COALESCE(k.text, '') END AS text,
+       COALESCE(k.n_tokens_removed, 0) AS n_tokens_removed
+FROM documents d LEFT JOIN kept k USING (doc_id)
+"""
+
+
 def _q_semantic_dedup(spark, sf_dir):
     """SemDeDup (operators/dedup.semantic_dedup; Abbas et al. 2023):
     embeddings cluster to 8 seed centroids (oracle-replayable
@@ -6545,6 +6603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round 6: new or behaviour-changed this round ---------------
         "quality_classifier_en": _q_quality_classifier,
         "nb_lang_classify": _q_nb_lang_classify,
+        "dedup_spans_corpus": _q_dedup_spans,
         "semantic_dedup_embeddings": _q_semantic_dedup,
         "image_dhash_pairs": _q_image_dhash_pairs,
         "dsir_select_large": _q_dsir_select_large,
@@ -6708,6 +6767,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_sketch_merge": _sql_quantile_sketch_merge(),
         "quality_classifier_en": _SQL_QUALITY_CLASSIFIER,
         "nb_lang_classify": _SQL_NB_LANG_CLASSIFY,
+        "dedup_spans_corpus": _SQL_DEDUP_SPANS,
         "semantic_dedup_embeddings": _sql_semantic_dedup(),
         "image_dhash_pairs": _SQL_IMAGE_DHASH_PAIRS,
         "dsir_select_large": _SQL_DSIR_SELECT_LARGE,

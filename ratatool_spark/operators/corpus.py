@@ -1241,8 +1241,13 @@ def train_nb_class_weights(
     feats = labeled.select(
         F.col(label_col).alias("label"), F.explode(grams).alias("__g")
     ).select("label", (portable_hash64(feed) % n_buckets).alias("bucket"))
-    cnts = feats.groupBy("label", "bucket").agg(
-        F.count(F.lit(1)).alias("__c")
+    # lazy checkpoint: the (label, bucket) counts feed BOTH the per-label
+    # totals and the weight-grid join — without it the corpus feature
+    # explode runs once per consumer (the _normalized_freqs discipline)
+    cnts = (
+        feats.groupBy("label", "bucket")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=False)
     )
     tots = cnts.groupBy("label").agg(F.sum("__c").alias("__tot"))
     space = df.sparkSession.range(n_buckets).select(
@@ -1339,4 +1344,117 @@ def nb_classify(
             "score",
             "n_features",
         )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 50,
+    max_occurrences: int = 1,
+    scope: str = "corpus",
+) -> DataFrame:
+    """Exact duplicated-SPAN removal — the dedup tier between line dedup
+    and full-document dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", ACL'22: remove every substring of >=
+    50 tokens that repeats in the corpus; their suffix-array pass
+    restated as a distributed n-gram join): every word ``span_tokens``-
+    gram occurring more than ``max_occurrences`` times (across the
+    corpus, or within its own document with ``scope="document"``) marks
+    its ``span_tokens`` positions for removal; overlapping duplicated
+    grams merge into maximal spans by construction; documents reassemble
+    from surviving tokens in order. ALL occurrences of a duplicated span
+    are removed (the paper's semantics — the span is boilerplate, like
+    the line-dedup rule).
+
+    Adds ``n_tokens_removed``; ``text_col`` is replaced by the cleaned
+    text. Every input row survives; NULL text stays NULL and sub-
+    ``span_tokens`` docs pass through untouched (no gram to match). The
+    null-vs-emptied distinction and the unique-``id_col`` contract match
+    :func:`remove_duplicate_lines`.
+
+    Shape (the line-dedup scale discipline, one gram wider): grams build
+    zip-of-slices (no per-element re-tokenization) -> ONE count
+    aggregation shuffled by gram -> only the VIOLATOR grams come back
+    (boilerplate-sized; AQE broadcasts) -> the token-level removal mask
+    is a per-doc ``max`` window over a ``span_tokens``-wide position
+    RANGE (doc-sized partitions, no second corpus shuffle) -> ordered
+    reassembly via array_sort over (pos, token) structs. A true
+    suffix-array finds variable-length repeats in one pass; the fixed-L
+    gram join finds exactly the same >= L-token repeats at DataFrame
+    cost — repeats of m >= L tokens appear as m-L+1 overlapping violator
+    grams that merge into the same maximal span."""
+    if scope not in ("corpus", "document"):
+        raise ValueError(f"scope must be 'corpus' or 'document', got {scope!r}")
+    if span_tokens < 1:
+        raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
+    from pyspark.sql import Window
+
+    ls = F.filter(tokens(F.col(text_col)), lambda x: F.length(x) > 0)
+    toks = df.select(
+        F.col(id_col), F.posexplode(ls).alias("__pos", "__tok")
+    )
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(_filtered_word_grams(text_col, span_tokens)).alias(
+            "__gpos", "__g"
+        ),
+    )
+    count_keys = ["__g"] if scope == "corpus" else [id_col, "__g"]
+    violators = (
+        grams.groupBy(*count_keys)
+        .agg(F.count(F.lit(1)).alias("__gc"))
+        .where(F.col("__gc") > max_occurrences)
+        .select(*count_keys)
+    )
+    starts = (
+        grams.join(violators, count_keys)
+        .select(F.col(id_col), F.col("__gpos"))
+        .distinct()
+        .withColumn("__start", F.lit(1))
+    )
+    # token t is removed iff a duplicated gram STARTS in
+    # [t - span_tokens + 1, t]: a max over a position-range window per
+    # doc — overlapping grams merge into maximal spans for free
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("__pos")
+        .rangeBetween(-(span_tokens - 1), 0)
+    )
+    marked = (
+        toks.join(
+            starts,
+            (toks[id_col] == starts[id_col])
+            & (toks["__pos"] == starts["__gpos"]),
+            "left",
+        )
+        .select(toks[id_col].alias(id_col), "__pos", "__tok", "__start")
+        .withColumn("__rm", F.max(F.coalesce("__start", F.lit(0))).over(w))
+    )
+    kept = marked.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("__rm") == 0, F.struct(F.col("__pos"), F.col("__tok"))
+                )
+            )
+        ).alias("__kept"),
+        F.sum(F.col("__rm")).cast("long").alias("__nrm"),
+    )
+    rebuilt = F.concat_ws(
+        " ", F.transform(F.col("__kept"), lambda s: s["__tok"])
+    )
+    cleaned = F.when(
+        F.col(text_col).isNull(), F.lit(None).cast("string")
+    ).otherwise(F.coalesce(rebuilt, F.lit("")))
+    out_cols = [
+        F.col(c) if c != text_col else cleaned.alias(text_col)
+        for c in df.columns
+    ]
+    return df.join(kept, id_col, "left").select(
+        *out_cols,
+        F.coalesce(F.col("__nrm"), F.lit(0)).cast("long").alias(
+            "n_tokens_removed"
+        ),
     )

@@ -702,3 +702,56 @@ def test_luhn_and_extended_pii(spark):
         [Row(s="no digits at all"), Row(s=""), Row(s=None)]
     ).select(luhn_valid(F.col("s")).alias("v")).collect()
     assert [r["v"] for r in nodigit] == [False, False, None]
+
+
+def test_remove_duplicate_spans_semantics(spark):
+    """Duplicated >= L-token spans: overlapping violator grams merge
+    into ONE maximal span; all occurrences are removed; sub-L docs,
+    NULL, and empty text pass through under the every-row +
+    null-preservation contract; document scope only counts
+    within-doc repeats."""
+    from ratatool_spark.operators.corpus import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),
+            (2, "x y z a b c d q r"),  # shares the 4-token span a b c d
+            (3, "unique tokens only here"),
+            (4, None),
+            (5, ""),
+            (6, "p q"),  # sub-L: no gram, untouched
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(
+            docs, span_tokens=3, max_occurrences=1
+        ).collect()
+    }
+    assert len(out) == 6
+    # the 4-token repeat (two overlapping trigrams) merged to ONE span
+    assert out[1]["text"] == "e f g" and out[1]["n_tokens_removed"] == 4
+    assert out[2]["text"] == "x y z q r" and out[2]["n_tokens_removed"] == 4
+    assert out[3]["text"] == "unique tokens only here"
+    assert out[4]["text"] is None and out[4]["n_tokens_removed"] == 0
+    assert out[5]["text"] == "" and out[5]["n_tokens_removed"] == 0
+    assert out[6]["text"] == "p q"
+
+    # document scope: cross-doc repetition untouched, intra-doc removed
+    docs2 = spark.createDataFrame(
+        [
+            (1, "m n o m n o m n o"),  # trigram "m n o" 3x within doc
+            (2, "m n o z z2 z3"),  # one occurrence: survives
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(
+            docs2, span_tokens=3, max_occurrences=1, scope="document"
+        ).collect()
+    }
+    # every position of doc 1 is covered by a repeated trigram start
+    assert got[1]["text"] == "" and got[1]["n_tokens_removed"] == 9
+    assert got[2]["text"] == "m n o z z2 z3" and got[2]["n_tokens_removed"] == 0
