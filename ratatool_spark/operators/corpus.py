@@ -1441,9 +1441,28 @@ def remove_duplicate_spans(
             )
         ).alias("__kept"),
         F.sum(F.col("__rm")).cast("long").alias("__nrm"),
+        # fused duplicate-id guard (the remove_duplicate_lines pattern):
+        # every doc contributes exactly one pos-0 token row, so >1 inside
+        # a group means duplicate ids whose tokens would interleave
+        F.count(F.when(F.col("__pos") == 0, F.lit(1))).alias("__n0"),
     )
-    rebuilt = F.concat_ws(
-        " ", F.transform(F.col("__kept"), lambda s: s["__tok"])
+    rebuilt = F.when(
+        F.col("__n0") > 1,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"remove_duplicate_spans: {id_col!r} is not unique "
+                    "(duplicate id: "
+                ),
+                F.col(id_col).cast("string"),
+                F.lit(
+                    "); duplicate ids would interleave unrelated rows' "
+                    "tokens during reassembly"
+                ),
+            )
+        ),
+    ).otherwise(
+        F.concat_ws(" ", F.transform(F.col("__kept"), lambda s: s["__tok"]))
     )
     cleaned = F.when(
         F.col(text_col).isNull(), F.lit(None).cast("string")

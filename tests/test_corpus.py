@@ -755,3 +755,13 @@ def test_remove_duplicate_spans_semantics(spark):
     # every position of doc 1 is covered by a repeated trigram start
     assert got[1]["text"] == "" and got[1]["n_tokens_removed"] == 9
     assert got[2]["text"] == "m n o z z2 z3" and got[2]["n_tokens_removed"] == 0
+
+
+def test_remove_duplicate_spans_duplicate_id_raises(spark):
+    from ratatool_spark.operators.corpus import remove_duplicate_spans
+
+    dup = spark.createDataFrame(
+        [(1, "a b c"), (1, "d e f")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="not unique"):
+        remove_duplicate_spans(dup, span_tokens=2).collect()

@@ -427,3 +427,47 @@ def test_revenue_heavy_hitters_same_shape_as_frequency(spark):
     assert "CartesianProduct" not in p and "NestedLoopJoin" not in p
     assert n_exchanges(p) == 2
     assert "WindowGroupLimit" in p
+
+
+def test_r6_classifier_plans_broadcast_no_python(spark):
+    """quality_classifier_en / nb_lang_classify: weight tables ride
+    broadcast joins; the only nested-loop joins are the tiny scalar /
+    priors broadcasts (<= 5 rows); no cartesian products, no Python
+    boundary in the data path."""
+    p = plan_of(spark, "quality_classifier_en")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p
+    assert "mapInPandas" not in p and "BatchEvalPython" not in p
+    p = plan_of(spark, "nb_lang_classify")
+    assert "CartesianProduct" not in p
+    # priors (n_labels rows) + the n_docs scalar: at most 2 tiny NLJs
+    assert p.count("BroadcastNestedLoopJoin") <= 2
+    assert "mapInPandas" not in p and "BatchEvalPython" not in p
+
+
+def test_image_dhash_pairs_equi_join_no_nlj(spark):
+    """image_dhash_pairs: the Manku chunk match is an EQUI self-join on
+    (kind, val) — no nested loop, no cartesian; fingerprints persist so
+    the decode pipeline runs once."""
+    p = plan_of(spark, "image_dhash_pairs")
+    assert "CartesianProduct" not in p and "NestedLoopJoin" not in p
+    assert "InMemoryTableScan" in p  # persisted fingerprint table
+
+
+def test_dedup_spans_violator_join_and_guard(spark):
+    """dedup_spans_corpus: only the violator gram set joins back (no
+    corpus-sized counts table), the duplicate-id guard rides the
+    reassembly aggregate, and the removal mask is ONE range window."""
+    p = plan_of(spark, "dedup_spans_corpus")
+    assert "CartesianProduct" not in p and "NestedLoopJoin" not in p
+    assert "raise_error" in p
+    assert len(re.findall(r"\bWindow\b", p)) == 1
+
+
+def test_semantic_dedup_cell_equi_join(spark):
+    """semantic_dedup_embeddings: candidates come from the cell
+    equi-self-join — no all-pairs cartesian; assignment is centroid
+    literals (no join for the centroids)."""
+    p = plan_of(spark, "semantic_dedup_embeddings")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
