@@ -474,6 +474,87 @@ def build_parser() -> argparse.ArgumentParser:
     cp.add_argument("--zorderBy", type=_csv, default=None)
     cp.add_argument("--targetFileMb", type=float, default=128)
     cp.add_argument("--format", default=None, help="override input format sniffing")
+
+    dspan = sub.add_parser(
+        "dedupSpans",
+        help="exact duplicated-span removal (Lee et al. substring dedup): "
+        "drop every word span of >= L tokens repeated past a threshold, "
+        "reassemble docs from surviving tokens",
+    )
+    dspan.add_argument("--input", required=True)
+    dspan.add_argument("--output", required=True)
+    dspan.add_argument("--textField", default="text")
+    dspan.add_argument("--idField", default="doc_id")
+    dspan.add_argument("--spanTokens", type=int, default=50)
+    dspan.add_argument("--maxOccurrences", type=int, default=1)
+    dspan.add_argument("--scope", choices=["corpus", "document"], default="corpus")
+    dspan.add_argument("--format", default=None, help="override input format sniffing")
+
+    sdd = sub.add_parser(
+        "semanticDedup",
+        help="SemDeDup: cluster embeddings, drop within-cell near-dups "
+        "(cosine >= tau), keeping the duplicate farthest from its centroid",
+    )
+    sdd.add_argument("--input", required=True)
+    sdd.add_argument("--output", required=True)
+    sdd.add_argument("--tau", type=float, required=True)
+    sdd.add_argument("--idField", default="vec_id")
+    sdd.add_argument("--vecField", default="embedding")
+    sdd.add_argument("--nCentroids", type=int, default=8)
+    sdd.add_argument("--trainIters", type=int, default=0)
+    sdd.add_argument("--seed", type=int, default=13)
+    sdd.add_argument(
+        "--keptOnly", action="store_true",
+        help="write only surviving rows instead of the full kept-flag report",
+    )
+    sdd.add_argument("--format", default=None, help="override input format sniffing")
+
+    nbc = sub.add_parser(
+        "nbClassify",
+        help="train a multi-class NB text classifier over hashed word "
+        "n-grams from a labeled table, then classify an input table",
+    )
+    nbc.add_argument("--train", required=True, help="labeled training table")
+    nbc.add_argument("--labelField", required=True)
+    nbc.add_argument("--input", required=True, help="table to classify")
+    nbc.add_argument("--output", required=True)
+    nbc.add_argument("--textField", default="text")
+    nbc.add_argument("--idField", default="doc_id")
+    nbc.add_argument("--n", type=int, default=1, help="word n-gram order")
+    nbc.add_argument("--nBuckets", type=int, default=10000)
+    nbc.add_argument("--smoothing", type=float, default=0.5)
+    nbc.add_argument("--seed", type=int, default=0)
+    nbc.add_argument("--format", default=None, help="override input format sniffing")
+
+    qcl = sub.add_parser(
+        "qualityClassify",
+        help="train an NBSVM-style quality classifier (positive corpus vs "
+        "negative/raw pool) over hashed n-grams, score every input doc "
+        "with mean log-odds + sigmoid",
+    )
+    qcl.add_argument("--posInput", required=True, help="trusted/positive corpus")
+    qcl.add_argument("--negInput", required=True, help="negative / raw pool")
+    qcl.add_argument("--input", required=True, help="docs to score")
+    qcl.add_argument("--output", required=True)
+    qcl.add_argument("--textField", default="text")
+    qcl.add_argument("--idField", default="doc_id")
+    qcl.add_argument("--n", type=int, default=2, help="word n-gram order")
+    qcl.add_argument("--nBuckets", type=int, default=10000)
+    qcl.add_argument("--bias", type=float, default=0.0)
+    qcl.add_argument("--seed", type=int, default=0)
+    qcl.add_argument("--format", default=None, help="override input format sniffing")
+
+    idd = sub.add_parser(
+        "imageDedup",
+        help="perceptual image near-dup pairs: dHash over the real "
+        "decoders + Manku Hamming-blocked self-join",
+    )
+    idd.add_argument("--input", required=True, help="media table (media_id, content)")
+    idd.add_argument("--output", required=True)
+    idd.add_argument("--maxHamming", type=int, default=6)
+    idd.add_argument("--gridRows", type=int, default=10)
+    idd.add_argument("--gridCols", type=int, default=6)
+    idd.add_argument("--format", default=None, help="override input format sniffing")
     return p
 
 
@@ -947,6 +1028,116 @@ def main(argv: list[str] | None = None) -> int:
                 fmt=args.format,
                 mode="overwrite",
             )
+        elif args.command == "dedupSpans":
+            from ratatool_spark.operators.corpus import remove_duplicate_spans
+
+            df = read_table(spark, args.input, fmt=args.format)
+            out = remove_duplicate_spans(
+                df,
+                text_col=args.textField,
+                id_col=args.idField,
+                span_tokens=args.spanTokens,
+                max_occurrences=args.maxOccurrences,
+                scope=args.scope,
+            )
+            write_table(out, args.output, mode="overwrite")
+        elif args.command == "semanticDedup":
+            from pyspark.sql import functions as F
+
+            from ratatool_spark.operators.dedup import semantic_dedup
+
+            df = read_table(spark, args.input, fmt=args.format)
+            rep = semantic_dedup(
+                df,
+                tau=args.tau,
+                n_centroids=args.nCentroids,
+                id_col=args.idField,
+                vec_col=args.vecField,
+                train_iters=args.trainIters,
+                seed=args.seed,
+            )
+            if args.keptOnly:
+                out = df.join(
+                    rep.where(F.col("kept")).select(args.idField),
+                    args.idField,
+                    "left_semi",
+                )
+            else:
+                out = rep
+            write_table(out, args.output, mode="overwrite")
+        elif args.command == "nbClassify":
+            from ratatool_spark.operators.corpus import (
+                nb_classify,
+                train_nb_class_weights,
+            )
+
+            train_df = read_table(spark, args.train, fmt=args.format)
+            w, pri = train_nb_class_weights(
+                train_df,
+                args.labelField,
+                text_col=args.textField,
+                n=args.n,
+                n_buckets=args.nBuckets,
+                smoothing=args.smoothing,
+                seed=args.seed,
+            )
+            df = read_table(spark, args.input, fmt=args.format)
+            out = nb_classify(
+                df,
+                w,
+                pri,
+                args.nBuckets,
+                text_col=args.textField,
+                id_col=args.idField,
+                n=args.n,
+                seed=args.seed,
+            )
+            write_table(out, args.output, mode="overwrite")
+        elif args.command == "qualityClassify":
+            from ratatool_spark.operators.corpus import (
+                build_hashed_ngram_freqs,
+                quality_classifier_score,
+                train_quality_weights,
+            )
+
+            pos = build_hashed_ngram_freqs(
+                read_table(spark, args.posInput, fmt=args.format),
+                text_col=args.textField,
+                n=args.n,
+                n_buckets=args.nBuckets,
+                seed=args.seed,
+            )
+            neg = build_hashed_ngram_freqs(
+                read_table(spark, args.negInput, fmt=args.format),
+                text_col=args.textField,
+                n=args.n,
+                n_buckets=args.nBuckets,
+                seed=args.seed,
+            )
+            w = train_quality_weights(pos, neg, n_buckets=args.nBuckets)
+            df = read_table(spark, args.input, fmt=args.format)
+            out = quality_classifier_score(
+                df,
+                w,
+                n_buckets=args.nBuckets,
+                text_col=args.textField,
+                id_col=args.idField,
+                n=args.n,
+                bias=args.bias,
+                seed=args.seed,
+            )
+            write_table(out, args.output, mode="overwrite")
+        elif args.command == "imageDedup":
+            from ratatool_spark.operators.multimodal import image_near_dup_pairs
+
+            df = read_table(spark, args.input, fmt=args.format)
+            out = image_near_dup_pairs(
+                df,
+                max_hamming=args.maxHamming,
+                rows=args.gridRows,
+                cols=args.gridCols,
+            )
+            write_table(out, args.output, mode="overwrite")
         return 0
     finally:
         if not preexisting:  # don't tear down a session we joined

@@ -877,3 +877,75 @@ def test_fingerprint_pairs_matches_brute_force(spark):
             if d <= 3:
                 exp[(ia, ib)] = d
     assert got == exp and (1, 2) in got and (1, 4) not in got
+
+
+def test_cli_r6_classifiers_and_dedup(spark, tmp_path):
+    """The five r6 subcommands round-trip through the CLI and match
+    their operator outputs: dedupSpans, semanticDedup (--keptOnly),
+    nbClassify, qualityClassify, imageDedup."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.cli import main
+    from ratatool_spark.operators.multimodal import make_near_dup_media
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g", "es"),
+            (2, "x y z a b c d q r", "es"),
+            (3, "unique tokens only here", "en"),
+            (4, "more unique english prose", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+
+    out = str(tmp_path / "spans")
+    assert main([
+        "dedupSpans", "--input", src, "--output", out,
+        "--spanTokens", "3", "--maxOccurrences", "1",
+    ]) == 0
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert got[1] == "e f g" and got[2] == "x y z q r"
+
+    out = str(tmp_path / "nb")
+    assert main([
+        "nbClassify", "--train", src, "--labelField", "lang",
+        "--input", src, "--output", out, "--nBuckets", "64",
+    ]) == 0
+    assert spark.read.parquet(out).count() == 4
+
+    out = str(tmp_path / "qc")
+    assert main([
+        "qualityClassify", "--posInput", src, "--negInput", src,
+        "--input", src, "--output", out, "--nBuckets", "64",
+    ]) == 0
+    qc = spark.read.parquet(out)
+    assert qc.count() == 4 and "prob" in qc.columns
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.02, 0.0, 0.0]),
+            (2, [1.0, 0.00, 0.0, 0.0]),
+            (3, [0.0, 0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    esrc = str(tmp_path / "emb")
+    emb.write.parquet(esrc)
+    out = str(tmp_path / "sdd")
+    assert main([
+        "semanticDedup", "--input", esrc, "--output", out,
+        "--tau", "0.995", "--nCentroids", "2", "--keptOnly",
+    ]) == 0
+    kept = {r["vec_id"] for r in spark.read.parquet(out).collect()}
+    assert 3 in kept and len(kept) == 2  # one of the twins dropped
+
+    msrc = str(tmp_path / "media")
+    make_near_dup_media(spark, n_groups=4, seed=42).write.parquet(msrc)
+    out = str(tmp_path / "idd")
+    assert main(["imageDedup", "--input", msrc, "--output", out]) == 0
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in spark.read.parquet(out).collect()
+    }
+    assert pairs == {(2 * k, 2 * k + 1) for k in range(4)}
