@@ -1219,6 +1219,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     train_iters: int = 0,
     seed: int = 13,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """(id, cell, centroid_cos, kept) — SemDeDup (Abbas et al.,
     arXiv:2303.09540): semantic deduplication over an embedding column.
@@ -1239,7 +1240,16 @@ def semantic_dedup(
     filter ``kept`` for the surviving corpus. Scale shape: one
     assignment map over centroid literals (no shuffle), one cell-keyed
     self-join bounded by cluster sizes (pick n_centroids ~ n/target_cell
-    for the Σ|cell|² envelope), no all-pairs anything."""
+    for the Σ|cell|² envelope), no all-pairs anything.
+
+    ``max_cell_size`` is the skew guard (the fuzzy-join discipline:
+    blocking granularity IS the cost envelope): cells above the cap are
+    EXCLUDED from pair enumeration — their members are all kept
+    unexamined (the conservative failure: no false drops, some missed
+    dups) instead of detonating a |cell|² join on a degenerate
+    clustering. The cap converts adversarial skew into bounded work:
+    Σ|cell|² ≤ max_cell_size · n. Rerun with more centroids (or trained
+    ones) to actually examine an over-dense region."""
     from ratatool_spark.operators.similarity import (
         _seed_centroids,
         train_centroids,
@@ -1275,14 +1285,23 @@ def semantic_dedup(
             best["cell"].alias("cell"),
         )
     )
+    probe = assigned
+    if max_cell_size is not None:
+        oversized = (
+            assigned.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("__cn"))
+            .where(F.col("__cn") > max_cell_size)
+            .select("cell")
+        )
+        probe = assigned.join(F.broadcast(oversized), "cell", "left_anti")
     lower_ranked = (F.col("b.centroid_cos") < F.col("a.centroid_cos")) | (
         (F.col("b.centroid_cos") == F.col("a.centroid_cos"))
         & (F.col("b.id") < F.col("a.id"))
     )
     dropped = (
-        assigned.alias("a")
+        probe.alias("a")
         .join(
-            assigned.alias("b"),
+            probe.alias("b"),
             (F.col("a.cell") == F.col("b.cell")) & lower_ranked,
         )
         .where(cosine_sim(F.col("a.v"), F.col("b.v")) >= tau)

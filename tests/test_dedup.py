@@ -804,3 +804,38 @@ def test_semantic_dedup_keep_rule_and_every_row(spark):
     # pair mates landed in the same cell (sanity of the fixture)
     assert out[1]["cell"] == out[2]["cell"]
     assert out[10]["cell"] == out[11]["cell"]
+
+
+def test_semantic_dedup_max_cell_size_guard(spark):
+    """Cells above the cap are excluded from pair enumeration — their
+    members are kept unexamined (conservative), other cells dedupe
+    normally; no cap == r6 gate behavior."""
+    from ratatool_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.02, 0.0, 0.0]),
+        (2, [1.0, 0.00, 0.0, 0.0]),
+        (3, [1.0, 0.01, 0.0, 0.0]),
+        (10, [0.0, 0.0, 1.0, 0.03]),
+        (11, [0.0, 0.0, 1.0, 0.00]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # with these seed centroids the cells come out {2, 10, 11} and
+    # {1, 3} (verified by inspection — assignment is deterministic)
+    capped = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            emb, tau=0.995, n_centroids=2, max_cell_size=2
+        ).collect()
+    }
+    cells = {k: r["cell"] for k, r in capped.items()}
+    assert cells[2] == cells[10] == cells[11] != cells[1] == cells[3]
+    # the 3-member cell is over the cap: all kept unexamined
+    assert capped[2]["kept"] and capped[10]["kept"] and capped[11]["kept"]
+    # the 2-member cell still dedupes: the twin closer to the centroid drops
+    assert capped[1]["kept"] is True and capped[3]["kept"] is False
+    uncapped = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(emb, tau=0.995, n_centroids=2).collect()
+    }
+    assert sum(uncapped.values()) < sum(r["kept"] for r in capped.values())
