@@ -6390,6 +6390,100 @@ FROM documents d LEFT JOIN kept k USING (doc_id)
 """
 
 
+def _q_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (operators/similarity train_pq_codebooks
+    / pq_encode / pq_topk; Jégou et al. TPAMI'11): the corpus compresses
+    to 8 codes per vector (16-centroid codebooks over 8-dim subspaces,
+    seed-sampled — the oracle-replayable train_iters=0 mode), queries
+    rank candidates by ASYMMETRIC distance (exact query slice vs the
+    row's quantized centroid, left-fold squared L2 with explicit
+    multiply). The oracle rebuilds the codebooks from the hash-ordered
+    sample, replays per-subspace argmin encoding, and pins ADC ranking
+    with an ORDER-PINNED ordered-list fold (matching Spark's
+    left-associated term chain) — distances compare unrounded, display
+    rounds at 6."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = train_pq_codebooks(emb, m=8, k=16, seed=13, train_iters=0)
+    codes = pq_encode(emb, books)
+    q = emb.where(F.col("vec_id") < 5)
+    out = pq_topk(codes, q, books, k=3)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("adc_dist", 6).alias("adc_dist"),
+        "rank",
+    )
+
+
+def _sql_pq_topk() -> str:
+    h = (
+        "(('0x' || substr(md5(concat_ws(chr(1), '13', "
+        "CAST(vec_id AS VARCHAR))), 1, 15))::BIGINT)"
+    )
+
+    def subdist(a: str, b: str, j: str) -> str:
+        # Σ_t (a[j*8+t] − b[j*8+t])² with explicit multiply, left fold —
+        # the _sq_l2 twin over one 8-dim subspace
+        d = (
+            f"(CAST({a}[{j} * 8 + t] AS DOUBLE) - "
+            f"CAST({b}[{j} * 8 + t] AS DOUBLE))"
+        )
+        return (
+            f"list_reduce(list_transform(range(1, 9), t -> {d} * {d}), "
+            "(x, y) -> x + y)"
+        )
+
+    return f"""
+WITH cents AS (
+  SELECT rn - 1 AS c, embedding FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY {h}) AS rn, embedding FROM embeddings
+  ) WHERE rn <= 16
+),
+enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT v.vec_id, s.sub, ct.c AS code,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id, s.sub
+             ORDER BY {subdist('v.embedding', 'ct.embedding', 's.sub')}, ct.c
+           ) AS rn
+    FROM embeddings v, range(8) s(sub), cents ct
+  ) WHERE rn = 1
+),
+terms AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, e.sub,
+         {subdist('q.embedding', 'ct.embedding', 'e.sub')} AS term
+  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+  CROSS JOIN enc e
+  JOIN cents ct ON ct.c = e.code
+  WHERE q.vec_id <> e.vec_id
+),
+adc AS (
+  -- ORDER-PINNED fold: Spark chains the m terms left-associated, so the
+  -- oracle folds the sub-ordered list the same way (plain SUM would
+  -- re-associate and drift in the low bits)
+  SELECT query_id, neighbor_id,
+         list_reduce(list(term ORDER BY sub), (x, y) -> x + y) AS adc_dist
+  FROM terms GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, neighbor_id) AS rank
+  FROM adc
+)
+SELECT query_id, neighbor_id, ROUND(adc_dist, 6) AS adc_dist, rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 def _q_semantic_dedup(spark, sf_dir):
     """SemDeDup (operators/dedup.semantic_dedup; Abbas et al. 2023):
     embeddings cluster to 8 seed centroids (oracle-replayable
@@ -6602,6 +6696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round 6: new or behaviour-changed this round ---------------
         "quality_classifier_en": _q_quality_classifier,
+        "ann_pq_topk": _q_pq_topk,
         "nb_lang_classify": _q_nb_lang_classify,
         "dedup_spans_corpus": _q_dedup_spans,
         "semantic_dedup_embeddings": _q_semantic_dedup,
@@ -6766,6 +6861,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode_png": _SQL_MULTIMODAL_DECODE_PNG,
         "quantile_sketch_merge": _sql_quantile_sketch_merge(),
         "quality_classifier_en": _SQL_QUALITY_CLASSIFIER,
+        "ann_pq_topk": _sql_pq_topk(),
         "nb_lang_classify": _SQL_NB_LANG_CLASSIFY,
         "dedup_spans_corpus": _SQL_DEDUP_SPANS,
         "semantic_dedup_embeddings": _sql_semantic_dedup(),

@@ -446,3 +446,200 @@ def topk_recall(
             F.round(F.count("__hit") / F.count(F.lit(1)), 6).alias("recall"),
         )
     )
+
+
+# ------------------------------------------------- product quantization
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 13,
+    train_iters: int = 0,
+) -> list[list[list[float]]]:
+    """``m`` codebooks of ``k`` centroids each over the vector's ``m``
+    contiguous subspaces — product quantization (Jégou/Douze/Schmid,
+    TPAMI'11): a d-dim float vector compresses to m small codes (m bytes
+    at k<=256), an n·d·4-byte ANN corpus becomes n·m bytes, and
+    asymmetric distance (ADC) needs m lookups per candidate instead of d
+    multiplies.
+
+    ``train_iters=0`` (the oracle mode, the IVF seed-centroid
+    convention): codebook j's centroids are the j-th subvector slices of
+    the same ``k`` hash-sampled corpus rows — fully engine-replayable.
+    ``train_iters>0`` runs Lloyd's per subspace (squared-L2 assignment,
+    mean update) — the production path, deterministic for a fixed
+    (corpus, seed). Vector length must be divisible by ``m``."""
+    rows = _seed_centroids(corpus, k, vec_col, id_col, seed)
+    if not rows:
+        raise ValueError("empty corpus: nothing to sample codebooks from")
+    d = len(rows[0][1])
+    if d % m != 0:
+        raise ValueError(f"vector dim {d} not divisible by m={m}")
+    sub = d // m
+    books = [
+        [list(vec[j * sub : (j + 1) * sub]) for _, vec in rows]
+        for j in range(m)
+    ]
+    for _ in range(train_iters):
+        codes = pq_encode(corpus, books, vec_col, id_col)
+        joined = corpus.select(
+            F.col(id_col), F.col(vec_col).alias("__v")
+        ).join(codes, id_col)
+        means = (
+            joined.select(
+                F.posexplode("__v").alias("pos", "x"), F.col("codes")
+            )
+            .select(
+                (F.col("pos") / sub).cast("int").alias("sub"),
+                (F.col("pos") % sub).alias("dim"),
+                F.element_at("codes", (F.col("pos") / sub).cast("int") + 1).alias(
+                    "code"
+                ),
+                F.col("x").cast("double").alias("x"),
+            )
+            .groupBy("sub", "code", "dim")
+            .agg(F.avg("x").alias("mu"))
+            .collect()
+        )
+        got: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            got.setdefault((r["sub"], r["code"]), {})[r["dim"]] = r["mu"]
+        books = [
+            [
+                [got[(j, c)][t] for t in range(sub)]
+                if (j, c) in got
+                else books[j][c]
+                for c in range(k)
+            ]
+            for j in range(m)
+        ]
+    return books
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Σ (a_i - b_i)² — left-fold order and EXPLICIT multiply (pow(x, 2)
+    is not guaranteed bit-identical to x*x across engines), shared
+    verbatim with the SQL twin."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    kernel: bool = True,
+) -> DataFrame:
+    """(id, codes array<int>) — each vector's per-subspace argmin-
+    squared-L2 centroid index (ties to the smaller index).
+
+    Default path: one numpy GEMM per Arrow batch per subspace (the
+    `_gemm_assign` discipline — codebooks ride in the closure; m·k
+    interpreted HOF folds per ROW measured ~4x the whole gate's wall).
+    ``kernel=False`` is the expression twin: codebooks as plan LITERALS
+    (m·k·sub doubles), a narrow zero-shuffle map that any SQL engine
+    replays fold-for-fold — the oracle pins both paths agree (argmin can
+    only differ on exact distance ties, measure-zero for real
+    embeddings; ties break to the smaller index in both)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    if kernel:
+        import numpy as np
+        import pandas as pd
+
+        cmats = [np.asarray(book, dtype=np.float64) for book in codebooks]
+        base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        id_t = base.schema["id"].dataType.simpleString()
+
+        def gen(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                x = np.asarray([list(v) for v in pdf["v"]], dtype=np.float64)
+                codes = np.empty((len(x), m), dtype=np.int32)
+                for j, cmat in enumerate(cmats):
+                    s = x[:, j * sub : (j + 1) * sub]
+                    # ||s-c||² per centroid; argmin ties -> smaller index
+                    d = (
+                        (s * s).sum(axis=1)[:, None]
+                        - 2.0 * (s @ cmat.T)
+                        + (cmat * cmat).sum(axis=1)[None, :]
+                    )
+                    codes[:, j] = np.argmin(d, axis=1)  # first min = smallest c
+                yield pd.DataFrame({"id": pdf["id"], "codes": list(codes)})
+
+        return base.mapInPandas(gen, schema=f"id {id_t}, codes array<int>").select(
+            F.col("id").alias(id_col), "codes"
+        )
+    code_cols = []
+    for j, book in enumerate(codebooks):
+        s = F.slice(F.col(vec_col), j * sub + 1, sub)
+        scored = F.array(
+            *[
+                F.struct(
+                    _sq_l2(s, F.lit([float(x) for x in cent])).alias("d"),
+                    F.lit(c).alias("c"),
+                )
+                for c, cent in enumerate(book)
+            ]
+        )
+        code_cols.append(F.array_min(scored)["c"])
+    return df.select(F.col(id_col), F.array(*code_cols).alias("codes"))
+
+
+def pq_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(query_id, neighbor_id, adc_dist, rank) — approximate top-k by
+    ASYMMETRIC distance: the exact query vector against each corpus
+    row's quantized reconstruction, dist = Σ_j ||q_sub_j −
+    codebook_j[code_j]||². The corpus side carries ONLY (id, m codes) —
+    the compressed representation is all that is scanned; queries
+    broadcast; per-query rank via WindowGroupLimit. Ties break on the
+    smaller neighbor id. Re-rank the result's ids against raw vectors
+    when exact order matters (the standard PQ + re-rank pipeline);
+    measure with :func:`topk_recall`."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    dist = None
+    for j, book in enumerate(codebooks):
+        qs = F.slice(F.col("qv"), j * sub + 1, sub)
+        # per-subspace distance of the query slice to the row's centroid:
+        # centroid chosen by the row's j-th code via a literal lookup table
+        lut = F.array(*[F.lit([float(x) for x in cent]) for cent in book])
+        term = _sq_l2(qs, F.element_at(lut, F.element_at("codes", j + 1) + 1))
+        dist = term if dist is None else dist + term
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        corpus_codes.select(
+            F.col(id_col).alias("neighbor_id"), F.col("codes")
+        )
+        .crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", dist.alias("adc_dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

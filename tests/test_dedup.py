@@ -839,3 +839,68 @@ def test_semantic_dedup_max_cell_size_guard(spark):
         for r in semantic_dedup(emb, tau=0.995, n_centroids=2).collect()
     }
     assert sum(uncapped.values()) < sum(r["kept"] for r in capped.values())
+
+
+def test_pq_adc_recall_on_clustered_vectors(spark):
+    """PQ on data WITH neighbor structure: 8 well-separated clusters of
+    near-identical unit vectors; trained codebooks reconstruct cluster
+    members, so ADC top-k recovers each query's true (cosine) neighbors.
+    Also pins: codes are within [0, k), encoding is deterministic, and a
+    non-divisible m raises."""
+    import math
+    import random
+
+    import pytest as _pytest
+
+    from ratatool_spark.operators.similarity import (
+        brute_force_topk,
+        pq_encode,
+        pq_topk,
+        topk_recall,
+        train_pq_codebooks,
+    )
+
+    rng = random.Random(7)
+    dim, n_clusters, per = 16, 8, 8
+    bases = []
+    for c in range(n_clusters):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        bases.append([x / n for x in v])
+    rows = []
+    for c, base in enumerate(bases):
+        for i in range(per):
+            v = [x + rng.gauss(0, 0.01) for x in base]
+            n = math.sqrt(sum(x * x for x in v))
+            rows.append((c * per + i, [x / n for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    books = train_pq_codebooks(emb, m=4, k=16, train_iters=2, seed=3)
+    codes = pq_encode(emb, books)
+    got = codes.collect()
+    assert all(0 <= c < 16 for r in got for c in r["codes"])
+    again = {r["vec_id"]: r["codes"] for r in pq_encode(emb, books).collect()}
+    assert all(again[r["vec_id"]] == r["codes"] for r in got)
+
+    q = emb.where(F.col("vec_id") % per == 0)  # one query per cluster
+    truth = brute_force_topk(emb, q, k=per - 1)
+    approx = pq_topk(codes, q, books, k=per - 1)
+    r = topk_recall(truth, approx).agg(F.avg("recall")).collect()[0][0]
+    assert r >= 0.9  # clusters are far apart; quantization keeps them
+
+    with _pytest.raises(ValueError, match="divisible"):
+        train_pq_codebooks(emb, m=5, k=4)
+
+
+def test_pq_encode_kernel_matches_expression_twin(embeddings):
+    """The GEMM encode kernel and the plan-literal expression twin give
+    identical codes on real embeddings (argmin can differ only on exact
+    distance ties)."""
+    from ratatool_spark.operators.similarity import pq_encode, train_pq_codebooks
+
+    books = train_pq_codebooks(embeddings, m=8, k=16, seed=13)
+    kern = {r["vec_id"]: list(r["codes"])
+            for r in pq_encode(embeddings, books, kernel=True).collect()}
+    expr = {r["vec_id"]: list(r["codes"])
+            for r in pq_encode(embeddings, books, kernel=False).collect()}
+    assert kern == expr and len(kern) > 0
