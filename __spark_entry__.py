@@ -6484,6 +6484,112 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def _q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composition (operators/similarity.ivfpq_topk; FAISS
+    IndexIVFPQ shape): the IVF tier bounds WHICH candidates each query
+    scores (3 of 8 probed cells), the PQ tier bounds WHAT a candidate
+    costs (8 codes, not 64 floats); ranking is asymmetric distance over
+    probed candidates only. Seed mode end-to-end: both centroid sets
+    come from the same hash-ordered sample (first 8 rows = IVF cells,
+    first 16 = PQ codebooks), so the oracle replays cell assignment,
+    probe, encode, candidate join, and the order-pinned ADC fold."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.similarity import ivfpq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    out = ivfpq_topk(
+        emb, q, k=3, n_centroids=8, n_probe=3, m=8, pq_k=16, seed=13
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("adc_dist", 6).alias("adc_dist"),
+        "rank",
+    )
+
+
+def _sql_ivfpq_topk() -> str:
+    h = (
+        "(('0x' || substr(md5(concat_ws(chr(1), '13', "
+        "CAST(vec_id AS VARCHAR))), 1, 15))::BIGINT)"
+    )
+    cos_vc = _COS_AB_SQL.replace("a.embedding", "v.embedding").replace(
+        "b.embedding", "ct.embedding"
+    )
+
+    def subdist(a: str, b: str, j: str) -> str:
+        d = (
+            f"(CAST({a}[{j} * 8 + t] AS DOUBLE) - "
+            f"CAST({b}[{j} * 8 + t] AS DOUBLE))"
+        )
+        return (
+            f"list_reduce(list_transform(range(1, 9), t -> {d} * {d}), "
+            "(x, y) -> x + y)"
+        )
+
+    return f"""
+WITH ord AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY {h}) AS rn, embedding FROM embeddings
+),
+icents AS (SELECT rn - 1 AS cell, embedding FROM ord WHERE rn <= 8),
+pcents AS (SELECT rn - 1 AS c, embedding FROM ord WHERE rn <= 16),
+corpus_assign AS (
+  SELECT vec_id AS neighbor_id, cell FROM (
+    SELECT v.vec_id, ct.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {cos_vc} DESC, ct.cell) AS arn
+    FROM embeddings v CROSS JOIN icents ct
+  ) WHERE arn = 1
+),
+enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT v.vec_id, s.sub, ct.c AS code,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id, s.sub
+             ORDER BY {subdist('v.embedding', 'ct.embedding', 's.sub')}, ct.c
+           ) AS rn
+    FROM embeddings v, range(8) s(sub), pcents ct
+  ) WHERE rn = 1
+),
+query_assign AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT v.vec_id, ct.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {cos_vc} DESC, ct.cell) AS arn
+    FROM embeddings v CROSS JOIN icents ct WHERE v.vec_id < 5
+  ) WHERE arn <= 3
+),
+cand AS (
+  SELECT DISTINCT q.query_id, c.neighbor_id
+  FROM query_assign q JOIN corpus_assign c USING (cell)
+  WHERE q.query_id <> c.neighbor_id
+),
+terms AS (
+  SELECT cd.query_id, cd.neighbor_id, e.sub,
+         {subdist('q.embedding', 'ct.embedding', 'e.sub')} AS term
+  FROM cand cd
+  JOIN embeddings q ON q.vec_id = cd.query_id
+  JOIN enc e ON e.vec_id = cd.neighbor_id
+  JOIN pcents ct ON ct.c = e.code
+),
+adc AS (
+  SELECT query_id, neighbor_id,
+         list_reduce(list(term ORDER BY sub), (x, y) -> x + y) AS adc_dist
+  FROM terms GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, neighbor_id) AS rank
+  FROM adc
+)
+SELECT query_id, neighbor_id, ROUND(adc_dist, 6) AS adc_dist, rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 def _q_semantic_dedup(spark, sf_dir):
     """SemDeDup (operators/dedup.semantic_dedup; Abbas et al. 2023):
     embeddings cluster to 8 seed centroids (oracle-replayable
@@ -6697,6 +6803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round 6: new or behaviour-changed this round ---------------
         "quality_classifier_en": _q_quality_classifier,
         "ann_pq_topk": _q_pq_topk,
+        "ann_ivfpq_topk": _q_ivfpq_topk,
         "nb_lang_classify": _q_nb_lang_classify,
         "dedup_spans_corpus": _q_dedup_spans,
         "semantic_dedup_embeddings": _q_semantic_dedup,
@@ -6862,6 +6969,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_sketch_merge": _sql_quantile_sketch_merge(),
         "quality_classifier_en": _SQL_QUALITY_CLASSIFIER,
         "ann_pq_topk": _sql_pq_topk(),
+        "ann_ivfpq_topk": _sql_ivfpq_topk(),
         "nb_lang_classify": _SQL_NB_LANG_CLASSIFY,
         "dedup_spans_corpus": _SQL_DEDUP_SPANS,
         "semantic_dedup_embeddings": _sql_semantic_dedup(),

@@ -622,14 +622,7 @@ def pq_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    dist = None
-    for j, book in enumerate(codebooks):
-        qs = F.slice(F.col("qv"), j * sub + 1, sub)
-        # per-subspace distance of the query slice to the row's centroid:
-        # centroid chosen by the row's j-th code via a literal lookup table
-        lut = F.array(*[F.lit([float(x) for x in cent]) for cent in book])
-        term = _sq_l2(qs, F.element_at(lut, F.element_at("codes", j + 1) + 1))
-        dist = term if dist is None else dist + term
+    dist = _adc_dist(codebooks, "qv", "codes")
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id")
     )
@@ -640,6 +633,95 @@ def pq_topk(
         .crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", dist.alias("adc_dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _adc_dist(codebooks, qv_col: str, codes_col: str) -> Column:
+    """Left-associated ADC term chain Σ_j ||q_sub_j − book_j[code_j]||²
+    — shared by pq_topk / ivfpq_topk and replayed order-pinned in the
+    oracle."""
+    sub = len(codebooks[0][0])
+    dist = None
+    for j, book in enumerate(codebooks):
+        qs = F.slice(F.col(qv_col), j * sub + 1, sub)
+        lut = F.array(*[F.lit([float(x) for x in cent]) for cent in book])
+        term = _sq_l2(
+            qs, F.element_at(lut, F.element_at(codes_col, j + 1) + 1)
+        )
+        dist = term if dist is None else dist + term
+    return dist
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 3,
+    m: int = 8,
+    pq_k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 13,
+    train_iters: int = 0,
+    pq_train_iters: int = 0,
+) -> DataFrame:
+    """(query_id, neighbor_id, adc_dist, rank) — IVF-PQ, the standard
+    billion-scale ANN composition (FAISS IndexIVFPQ; Jégou et al.
+    TPAMI'11): the IVF tier bounds WHICH candidates are scored (each
+    query probes its ``n_probe`` nearest cells — candidates ≈
+    n·n_probe/n_centroids instead of n), and the PQ tier bounds WHAT is
+    scanned per candidate (m small codes instead of d floats — the
+    index holds n·m bytes, not n·d·4). Ranking is asymmetric distance
+    over the probed candidates only.
+
+    ``train_iters``/``pq_train_iters`` = 0 is the fully
+    engine-replayable seed mode (this operator's oracle); Lloyd-train
+    both for production recall. Codebooks here are GLOBAL (non-
+    residual); classic residual encoding (quantize x − centroid[cell])
+    buys recall at the same m and drops in by training the books on
+    residual vectors — kept out of the oracle path for replayability.
+    Re-rank the returned ids against raw vectors when exact order
+    matters; measure with :func:`topk_recall`."""
+    if train_iters > 0:
+        centroids = train_centroids(
+            corpus, n_centroids, train_iters, vec_col, id_col, seed
+        )
+    else:
+        centroids = _seed_centroids(corpus, n_centroids, vec_col, id_col, seed)
+    books = train_pq_codebooks(
+        corpus, m, pq_k, vec_col, id_col, seed, pq_train_iters
+    )
+    codes = pq_encode(corpus, books, vec_col, id_col)
+    cb = (
+        _gemm_assign(corpus, centroids, vec_col, id_col, 1)
+        .select(F.col("id").alias("neighbor_id"), F.col("cells")[0].alias("cell"))
+        .join(
+            codes.select(
+                F.col(id_col).alias("neighbor_id"), F.col("codes")
+            ),
+            "neighbor_id",
+        )
+    )
+    qb = _gemm_assign(queries, centroids, vec_col, id_col, n_probe).select(
+        F.col("id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.explode("cells").alias("cell"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        cb.join(F.broadcast(qb), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _adc_dist(books, "qv", "codes").alias("adc_dist"),
+        )
+        .distinct()  # a neighbor can appear via several probed cells
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )

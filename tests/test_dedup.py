@@ -904,3 +904,39 @@ def test_pq_encode_kernel_matches_expression_twin(embeddings):
     expr = {r["vec_id"]: list(r["codes"])
             for r in pq_encode(embeddings, books, kernel=False).collect()}
     assert kern == expr and len(kern) > 0
+
+
+def test_ivfpq_subset_of_pq_and_timing_shape(embeddings):
+    """IVF-PQ results are PQ-ADC results restricted to probed cells:
+    every (query, neighbor) it returns carries the SAME adc_dist as the
+    full PQ scan, and full-probe IVF-PQ (n_probe = n_centroids) equals
+    plain PQ top-k exactly."""
+    from ratatool_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    books = train_pq_codebooks(embeddings, m=8, k=16, seed=13)
+    codes = pq_encode(embeddings, books)
+    q = embeddings.where(F.col("vec_id") < 5)
+    full = {
+        (r["query_id"], r["neighbor_id"]): r["adc_dist"]
+        for r in pq_topk(codes, q, books, k=500).collect()
+    }
+    part = ivfpq_topk(embeddings, q, k=3, n_centroids=8, n_probe=3).collect()
+    assert part
+    for r in part:
+        assert r["adc_dist"] == full[(r["query_id"], r["neighbor_id"])]
+    allprobe = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ivfpq_topk(
+            embeddings, q, k=3, n_centroids=8, n_probe=8
+        ).collect()
+    }
+    exact_pq = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in pq_topk(codes, q, books, k=3).collect()
+    }
+    assert allprobe == exact_pq
