@@ -6590,6 +6590,67 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def _q_audio_fp_pairs(spark, sf_dir):
+    """Audio near-dup dedup (operators/multimodal audio_fingerprint /
+    audio_near_dup_pairs): 40 real WAV clips in 20 near-duplicate pairs
+    (odd twins carry a one-byte PCM bump), REALLY encoded and re-parsed
+    on the Spark side, then 60-bit energy-difference fingerprints
+    (integer segment energies over the int16 stream, adjacent
+    comparisons — the image-dHash analogue for audio) matched through
+    the Manku blocked self-join at Hamming <= 6. The oracle rebuilds the
+    exact PCM samples from the md5-digest payload with string math
+    (int16 little-endian reassembly included), replays the identical
+    integer segmentation + energy + comparison arithmetic, and verifies
+    pairs all-pairs."""
+    from ratatool_spark.operators.multimodal import (
+        audio_near_dup_pairs,
+        make_near_dup_media,
+    )
+
+    media = make_near_dup_media(spark, n_groups=20, seed=42, fmt="wav")
+    return audio_near_dup_pairs(media, max_hamming=6)
+
+
+_SQL_AUDIO_FP_PAIRS = """
+WITH auds AS (
+  SELECT t.mid AS mid, t.mid % 2 AS twin,
+         64 + (t.mid // 2) % 33 AS n,
+         md5('42:' || CAST(t.mid // 2 AS VARCHAR)) AS dg
+  FROM range(40) t(mid)
+), samples AS (
+  -- sample j = int16 LE at payload bytes (2j, 2j+1); payload byte k =
+  -- hex pair (k % 16) of the group digest; odd twin's byte 0 bumped +8
+  SELECT mid, ((61 * jj) // n) AS seg,
+         CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+  FROM (
+    SELECT a.mid, a.n, j.j AS jj,
+           (CASE WHEN a.twin = 1 AND j.j = 0
+                 THEN (('0x' || substr(a.dg, 2*((2*j.j) % 16) + 1, 2))::INT
+                       + 8) % 256
+                 ELSE ('0x' || substr(a.dg, 2*((2*j.j) % 16) + 1, 2))::INT
+            END
+            + 256 * ('0x' || substr(a.dg, 2*((2*j.j + 1) % 16) + 1, 2))::INT)
+             AS v
+    FROM auds a, UNNEST(range(0, a.n)) AS j(j)
+  )
+), energies AS (
+  SELECT mid, seg, CAST(SUM(ABS(s)) AS BIGINT) AS e
+  FROM samples GROUP BY 1, 2
+), bits AS (
+  SELECT mid, seg,
+         CASE WHEN LEAD(e) OVER (PARTITION BY mid ORDER BY seg) > e
+              THEN CAST(1 AS BIGINT) << seg ELSE 0 END AS bit
+  FROM energies
+), fps AS (
+  SELECT mid, CAST(SUM(bit) AS BIGINT) AS fp FROM bits GROUP BY mid
+)
+SELECT a.mid AS id_a, b.mid AS id_b,
+       bit_count(xor(a.fp, b.fp)) AS hamming
+FROM fps a JOIN fps b ON a.mid < b.mid
+WHERE bit_count(xor(a.fp, b.fp)) <= 6
+"""
+
+
 def _q_semantic_dedup(spark, sf_dir):
     """SemDeDup (operators/dedup.semantic_dedup; Abbas et al. 2023):
     embeddings cluster to 8 seed centroids (oracle-replayable
@@ -6804,6 +6865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_en": _q_quality_classifier,
         "ann_pq_topk": _q_pq_topk,
         "ann_ivfpq_topk": _q_ivfpq_topk,
+        "audio_fingerprint_pairs": _q_audio_fp_pairs,
         "nb_lang_classify": _q_nb_lang_classify,
         "dedup_spans_corpus": _q_dedup_spans,
         "semantic_dedup_embeddings": _q_semantic_dedup,
@@ -6970,6 +7032,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier_en": _SQL_QUALITY_CLASSIFIER,
         "ann_pq_topk": _sql_pq_topk(),
         "ann_ivfpq_topk": _sql_ivfpq_topk(),
+        "audio_fingerprint_pairs": _SQL_AUDIO_FP_PAIRS,
         "nb_lang_classify": _SQL_NB_LANG_CLASSIFY,
         "dedup_spans_corpus": _SQL_DEDUP_SPANS,
         "semantic_dedup_embeddings": _sql_semantic_dedup(),

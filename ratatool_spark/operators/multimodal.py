@@ -666,9 +666,13 @@ def image_near_dup_pairs(
     return fingerprint_pairs(fps, "media_id", "dhash", rows * cols, max_hamming)
 
 
-def make_near_dup_media(spark, n_groups: int = 20, seed: int = 42) -> DataFrame:
-    """(media_id, content) — a deterministic near-duplicate IMAGE
-    fixture: ``2*n_groups`` real BMP rows where ids (2k, 2k+1) share the
+def make_near_dup_media(
+    spark, n_groups: int = 20, seed: int = 42, fmt: str = "bmp"
+) -> DataFrame:
+    """(media_id, content) — a deterministic near-duplicate MEDIA
+    fixture: ``2*n_groups`` real BMP rows (or WAV with ``fmt="wav"``:
+    nframes = 64 + k%33 int16 mono frames at 8 kHz, the odd twin's first
+    PCM byte bumped +8 mod 256) where ids (2k, 2k+1) share the
     md5-digest-derived pixel payload of group k, the odd twin with its
     first payload byte bumped by +8 (mod 256) — a perceptually-invisible
     perturbation that leaves the twins within a few dHash bits while
@@ -687,6 +691,15 @@ def make_near_dup_media(spark, n_groups: int = 20, seed: int = 42) -> DataFrame:
             for mid in pdf["id"]:
                 grp = int(mid) // 2
                 digest = hashlib.md5(f"{seed}:{grp}".encode()).digest()
+                if fmt == "wav":
+                    nframes = 64 + grp % 33
+                    pcm = bytearray(
+                        (digest * (nframes * 2 // 16 + 1))[: nframes * 2]
+                    )
+                    if mid % 2 == 1:
+                        pcm[0] = (pcm[0] + 8) % 256
+                    rows.append((mid, encode_wav(8000, bytes(pcm))))
+                    continue
                 w, h = 4 + grp % 7, 3 + grp % 4
                 need = w * h * 3
                 rgb = bytearray((digest * (need // 16 + 1))[:need])
@@ -702,3 +715,74 @@ def make_near_dup_media(spark, n_groups: int = 20, seed: int = 42) -> DataFrame:
         ]
     )
     return spark.range(2 * n_groups).mapInPandas(gen, schema)
+
+
+_AFP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("afp", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.IntegerType(), True),
+    ]
+)
+
+
+def audio_fingerprint(df: DataFrame, bits: int = 60) -> DataFrame:
+    """(media_id, afp, sample_rate, n_samples) — a 60-bit ENERGY-
+    DIFFERENCE fingerprint over the real WAV decoder: the PCM stream is
+    cut into ``bits + 1`` segments (sample j → segment (bits+1)·j // n —
+    pure integer math, engine-replayable), each segment's energy is the
+    integer sum of absolute int16 amplitudes, and bit i = 1 iff
+    energy(i+1) > energy(i) — the audio analogue of the image dHash
+    (time-envelope shape, invariant to container details and robust to
+    small amplitude perturbations; a spectral fingerprint is the
+    higher-fidelity tier and drops in behind the same (id, 60-bit)
+    contract). Clips shorter than ``bits + 1`` samples, non-audio magic,
+    and NULL content yield NULL afp. Same Arrow-batch envelope as
+    decode_real; pair with ``operators.dedup.fingerprint_pairs``."""
+    if not (1 <= bits <= 63):
+        raise ValueError(f"need 1 <= bits <= 63 signed-long bits, got {bits}")
+    nseg = bits + 1
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content) if content is not None else None
+                if b is None or not (b[:4] == b"RIFF" and b[8:12] == b"WAVE"):
+                    out.append((mid, None, None, None))
+                    continue
+                rate, nframes, _ch, pcm = decode_wav(b)
+                s = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+                n = len(s)
+                if n < nseg:
+                    out.append((mid, None, rate, n))
+                    continue
+                seg = (nseg * np.arange(n)) // n
+                e = np.bincount(seg, weights=np.abs(s), minlength=nseg)
+                fp = 0
+                for i in range(bits):
+                    if e[i + 1] > e[i]:
+                        fp |= 1 << i
+                out.append((mid, fp, rate, n))
+            yield pd.DataFrame(out, columns=[f.name for f in _AFP_SCHEMA])
+
+    return df.select("media_id", "content").mapInPandas(run, _AFP_SCHEMA)
+
+
+def audio_near_dup_pairs(df: DataFrame, max_hamming: int = 6, bits: int = 60) -> DataFrame:
+    """(id_a, id_b, hamming) — near-duplicate AUDIO pairs: energy-
+    difference fingerprints + the Manku blocked self-join (the
+    image_near_dup_pairs shape for the audio modality). Non-audio rows
+    drop out (NULL afp); fingerprints persist so the decode pipeline
+    runs once across the two join sides."""
+    from ratatool_spark.cache import persist_tracked as _persist
+    from ratatool_spark.operators.dedup import fingerprint_pairs
+
+    fps = _persist(
+        audio_fingerprint(df, bits).where(F.col("afp").isNotNull())
+    )
+    return fingerprint_pairs(fps, "media_id", "afp", bits, max_hamming)

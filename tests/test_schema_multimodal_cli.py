@@ -949,3 +949,45 @@ def test_cli_r6_classifiers_and_dedup(spark, tmp_path):
         (r["id_a"], r["id_b"]) for r in spark.read.parquet(out).collect()
     }
     assert pairs == {(2 * k, 2 * k + 1) for k in range(4)}
+
+
+def test_audio_fingerprint_semantics(spark):
+    """Energy-difference fingerprint: identical PCM -> identical afp; a
+    one-byte amplitude bump stays within a few bits; non-audio, NULL,
+    and sub-61-sample clips yield NULL afp; the wav near-dup fixture's
+    twin pairs are exactly what the pair operator returns."""
+    import hashlib
+
+    from ratatool_spark.operators.multimodal import (
+        audio_fingerprint,
+        audio_near_dup_pairs,
+        encode_bmp,
+        encode_wav,
+        make_near_dup_media,
+    )
+
+    digest = hashlib.md5(b"afp-fixture").digest()
+    pcm = (digest * 12)[:180]  # 90 samples
+    bumped = bytes([(pcm[0] + 8) % 256]) + pcm[1:]
+    rows = [
+        (1, bytearray(encode_wav(8000, pcm))),
+        (2, bytearray(encode_wav(16000, pcm))),  # rate differs, PCM same
+        (3, bytearray(encode_wav(8000, bumped))),
+        (4, bytearray(encode_wav(8000, pcm[:40]))),  # 20 samples: too short
+        (5, bytearray(encode_bmp(3, 2, bytes(18)))),  # image, not audio
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r for r in audio_fingerprint(df).collect()}
+    assert got[1]["afp"] == got[2]["afp"]  # fingerprint is of the PCM
+    assert got[1]["n_samples"] == 90 and got[1]["sample_rate"] == 8000
+    assert bin(got[1]["afp"] ^ got[3]["afp"]).count("1") <= 6
+    assert got[4]["afp"] is None and got[4]["n_samples"] == 20
+    assert got[5]["afp"] is None and got[6]["afp"] is None
+
+    media = make_near_dup_media(spark, n_groups=6, seed=42, fmt="wav")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in audio_near_dup_pairs(media, max_hamming=6).collect()
+    }
+    assert pairs == {(2 * k, 2 * k + 1) for k in range(6)}
