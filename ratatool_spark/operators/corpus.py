@@ -1477,3 +1477,54 @@ def remove_duplicate_spans(
             "n_tokens_removed"
         ),
     )
+
+
+def save_classifier_model(
+    path: str,
+    weights_df: DataFrame,
+    params: dict,
+    priors_df: DataFrame | None = None,
+    mode: str = "error",
+) -> None:
+    """Persist a trained hashed-feature classifier as a build-once /
+    apply-many artifact (the save_signatures / build_ivf_index
+    convention): the weight table (+ priors for the multi-class model)
+    as parquet, plus a ``_model.json`` sidecar pinning the FEATURIZATION
+    parameters (``n``, ``n_buckets``, ``seed``, ...). Scoring with
+    mismatched featurization is the classifier foot-gun — the hash
+    space silently changes and every score is garbage — so the loader
+    echoes the params and the scoring helpers take them from the
+    artifact, not from the caller."""
+    import json
+
+    from ratatool_spark.sources.shards import _join, _write_text
+
+    spark = weights_df.sparkSession
+    weights_df.write.mode(mode).parquet(_join(path, "weights"))
+    if priors_df is not None:
+        priors_df.write.mode(mode).parquet(_join(path, "priors"))
+    meta = dict(params)
+    meta["has_priors"] = priors_df is not None
+    _write_text(spark, _join(path, "_model.json"), json.dumps(meta))
+
+
+def load_classifier_model(
+    spark, path: str
+) -> tuple[DataFrame, DataFrame | None, dict]:
+    """(weights_df, priors_df | None, params) — load a
+    :func:`save_classifier_model` artifact. ``params`` carries the
+    pinned featurization (n / n_buckets / seed); pass them through to
+    :func:`quality_classifier_score` / :func:`nb_classify` rather than
+    re-typing them."""
+    import json
+
+    from ratatool_spark.sources.shards import _join, _read_text
+
+    params = json.loads(_read_text(spark, _join(path, "_model.json")))
+    weights = spark.read.parquet(_join(path, "weights"))
+    priors = (
+        spark.read.parquet(_join(path, "priors"))
+        if params.get("has_priors")
+        else None
+    )
+    return weights, priors, params

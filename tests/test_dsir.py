@@ -297,3 +297,53 @@ def test_nb_classify_separable_and_prior_fallback(spark):
     import math as m
 
     assert abs(got[12]["score"] - m.log(3 / 5)) < 1e-12
+
+
+def test_classifier_model_roundtrip(spark, tmp_path):
+    """save/load round-trip: scores from the loaded artifact (params
+    taken from the sidecar) equal scores from the in-memory model."""
+    from ratatool_spark.operators.corpus import (
+        build_hashed_ngram_freqs,
+        load_classifier_model,
+        nb_classify,
+        quality_classifier_score,
+        save_classifier_model,
+        train_nb_class_weights,
+        train_quality_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "good clean prose flows here", "pos"),
+            (2, "spam junk garbage spam junk", "neg"),
+            (3, "good clean text reads well", "pos"),
+        ],
+        "doc_id long, text string, label string",
+    )
+    B = 64
+    pos = build_hashed_ngram_freqs(docs.where(F.col("label") == "pos"), n=2, n_buckets=B)
+    neg = build_hashed_ngram_freqs(docs.where(F.col("label") == "neg"), n=2, n_buckets=B)
+    qw = train_quality_weights(pos, neg, n_buckets=B)
+    qp = str(tmp_path / "qmodel")
+    save_classifier_model(qp, qw, {"n": 2, "n_buckets": B, "seed": 0})
+    w2, pri2, params = load_classifier_model(spark, qp)
+    assert pri2 is None and params["n_buckets"] == B
+    direct = {r["doc_id"]: r["logit"]
+              for r in quality_classifier_score(docs, qw, n_buckets=B, n=2).collect()}
+    loaded = {r["doc_id"]: r["logit"]
+              for r in quality_classifier_score(
+                  docs, w2, n_buckets=params["n_buckets"], n=params["n"],
+                  seed=params["seed"]).collect()}
+    assert direct == loaded
+
+    nw, npri = train_nb_class_weights(docs, "label", n=1, n_buckets=B)
+    np_ = str(tmp_path / "nbmodel")
+    save_classifier_model(np_, nw, {"n": 1, "n_buckets": B, "seed": 0}, priors_df=npri)
+    w3, pri3, params3 = load_classifier_model(spark, np_)
+    assert pri3 is not None
+    d1 = {(r["doc_id"], r["pred_label"])
+          for r in nb_classify(docs, nw, npri, B, n=1).collect()}
+    d2 = {(r["doc_id"], r["pred_label"])
+          for r in nb_classify(docs, w3, pri3, params3["n_buckets"],
+                               n=params3["n"], seed=params3["seed"]).collect()}
+    assert d1 == d2
