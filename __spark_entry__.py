@@ -6713,6 +6713,57 @@ FROM assign a LEFT JOIN dropped d USING (vec_id)
 """
 
 
+def _q_stream_quality_scores(spark, sf_dir):
+    """Streaming classifier inference (streaming/classify
+    .stream_quality_scores) run for REAL: the quality model trains on
+    the static corpus (en = positive, rest = negative — the
+    quality_classifier_en setup), then every document arrives as a file
+    stream (availableNow) and is scored per micro-batch with the batch
+    operator unchanged — train-offline / apply-online, idempotent
+    batch_id sink. The oracle is the BATCH scoring SQL: stream == batch
+    is the gated invariant."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.corpus import (
+        build_hashed_ngram_freqs,
+        train_quality_weights,
+    )
+    from ratatool_spark.streaming.classify import stream_quality_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pos = build_hashed_ngram_freqs(
+        docs.where(F.col("lang") == "en"), n=2, n_buckets=512
+    )
+    neg = build_hashed_ngram_freqs(
+        docs.where(F.col("lang") != "en"), n=2, n_buckets=512
+    )
+    w = train_quality_weights(pos, neg, n_buckets=512)
+    root = tempfile.mkdtemp(prefix="rt_squal_")
+    in_dir = os.path.join(root, "incoming")
+    docs.write.parquet(in_dir)
+    stream = spark.readStream.schema(docs.schema).parquet(in_dir)
+    out_path = os.path.join(root, "scored")
+    q = stream_quality_scores(
+        stream,
+        w,
+        out_path,
+        checkpoint=os.path.join(root, "ckpt"),
+        n_buckets=512,
+        n=2,
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out_path)
+    return back.select(
+        "doc_id",
+        "n_features",
+        F.round("logit", 6).alias("logit"),
+        F.round("prob", 6).alias("prob"),
+    )
+
+
 def _q_nb_lang_classify(spark, sf_dir):
     """Trained multi-class language classifier (operators/corpus
     train_nb_class_weights + nb_classify; Cavnar-Trenkle textcat
@@ -6866,6 +6917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": _q_pq_topk,
         "ann_ivfpq_topk": _q_ivfpq_topk,
         "audio_fingerprint_pairs": _q_audio_fp_pairs,
+        "stream_quality_scores": _q_stream_quality_scores,
         "nb_lang_classify": _q_nb_lang_classify,
         "dedup_spans_corpus": _q_dedup_spans,
         "semantic_dedup_embeddings": _q_semantic_dedup,
@@ -7033,6 +7085,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_topk": _sql_pq_topk(),
         "ann_ivfpq_topk": _sql_ivfpq_topk(),
         "audio_fingerprint_pairs": _SQL_AUDIO_FP_PAIRS,
+        "stream_quality_scores": _SQL_QUALITY_CLASSIFIER,
         "nb_lang_classify": _SQL_NB_LANG_CLASSIFY,
         "dedup_spans_corpus": _SQL_DEDUP_SPANS,
         "semantic_dedup_embeddings": _sql_semantic_dedup(),

@@ -1071,3 +1071,48 @@ def test_merge_sketches_mixed_k_disjoint_groups_still_raises(spark):
     sb = build_set_sketches(b, ["event_type"], "user_id", k=64)
     with _pt.raises(Exception, match="mismatched k"):
         merge_set_sketches(sa, sb).collect()
+
+
+def test_stream_quality_scores_equals_batch(spark, tmp_path):
+    """Streaming classifier inference == the batch operator on the same
+    docs (train-offline / apply-online parity), with the idempotent
+    batch_id partition exposed on read-back."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.corpus import (
+        build_hashed_ngram_freqs,
+        quality_classifier_score,
+        train_quality_weights,
+    )
+    from ratatool_spark.streaming.classify import stream_quality_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "good clean prose flows here", "pos"),
+            (2, "spam junk garbage spam junk", "neg"),
+            (3, "good clean text reads well", "pos"),
+            (4, "junk spam noise garbage junk", "neg"),
+            (5, "good clean prose reads well", "?"),
+        ],
+        "doc_id long, text string, label string",
+    )
+    B = 64
+    pos = build_hashed_ngram_freqs(docs.where(F.col("label") == "pos"), n=2, n_buckets=B)
+    neg = build_hashed_ngram_freqs(docs.where(F.col("label") == "neg"), n=2, n_buckets=B)
+    w = train_quality_weights(pos, neg, n_buckets=B)
+    in_dir = str(tmp_path / "incoming")
+    docs.write.parquet(in_dir)
+    stream = spark.readStream.schema(docs.schema).parquet(in_dir)
+    out = str(tmp_path / "scored")
+    q = stream_quality_scores(
+        stream, w, out, checkpoint=str(tmp_path / "ckpt"), n_buckets=B, n=2
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    assert "batch_id" in back.columns
+    streamed = {r["doc_id"]: (r["n_features"], r["logit"]) for r in back.collect()}
+    batch = {
+        r["doc_id"]: (r["n_features"], r["logit"])
+        for r in quality_classifier_score(docs, w, n_buckets=B, n=2).collect()
+    }
+    assert streamed == batch
