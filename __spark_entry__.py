@@ -6894,6 +6894,152 @@ WHERE bit_count(xor(a.fp, b.fp)) <= 6
 """
 
 
+def _q_chunk_documents(spark, sf_dir):
+    """Context-window chunking (corpus.chunk_documents): every document
+    split into 32-token chunks with 8-token overlap, trailing partial
+    kept — zero-shuffle narrow plan (tokenize + arithmetic sequence +
+    slice/explode)."""
+    from ratatool_spark.operators.corpus import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(docs, chunk_size=32, overlap=8)
+
+
+def _sql_chunk_documents() -> str:
+    # stride = 32 - 8 = 24; DuckDB range() is stop-exclusive, list
+    # slicing is 1-based inclusive and clamps at the list end (= Spark
+    # slice(toks, st, 32)).
+    return """
+WITH t AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks
+  FROM documents
+  WHERE length(trim(text)) > 0
+), s AS (
+  SELECT doc_id, toks, len(toks) AS n FROM t
+)
+SELECT doc_id,
+       CAST((st - 1) // 24 AS INT) AS chunk_idx,
+       array_to_string(toks[st:st+31], ' ') AS chunk,
+       CAST(len(toks[st:st+31]) AS INT) AS n_chunk_tokens
+FROM s, UNNEST(range(1, greatest(1, n - 8) + 1, 24)) AS u(st)
+"""
+
+
+def _q_vocab_oov_rate(spark, sf_dir):
+    """Tokenizer-vocab coverage (corpus.vocab_coverage): per-document
+    token/OOV counts against the corpus's own top-500 unigram vocab —
+    the vocab side is deduped + broadcast, the exploded corpus never
+    shuffles for the membership probe."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.corpus import build_token_freqs, vocab_coverage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = (
+        build_token_freqs(docs)
+        .orderBy(F.desc("cnt"), "token")
+        .limit(500)
+    )
+    return vocab_coverage(docs, vocab)
+
+
+def _sql_vocab_oov_rate() -> str:
+    return """
+WITH tok AS (
+  SELECT doc_id, t AS token
+  FROM documents, UNNEST(string_split(trim(text), ' ')) AS u(t)
+  WHERE length(t) > 0
+), vocab AS (
+  SELECT token FROM (
+    SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+  ) ORDER BY cnt DESC, token LIMIT 500
+)
+SELECT tok.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       ROUND(CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS oov_rate
+FROM tok LEFT JOIN vocab v ON tok.token = v.token
+GROUP BY tok.doc_id
+"""
+
+
+def _q_k_anonymity(spark, sf_dir):
+    """k-anonymity audit (profile.k_anonymity): equivalence-class sizes
+    over the (nation, market-segment) quasi-identifiers with the at-risk
+    flag at k=10 — one map-side-combined hash aggregation."""
+    from ratatool_spark.operators.profile import k_anonymity
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return k_anonymity(cust, ["c_nationkey", "c_mktsegment"], k=10)
+
+
+def _sql_k_anonymity() -> str:
+    return """
+SELECT c_nationkey, c_mktsegment,
+       COUNT(*) AS class_size,
+       COUNT(*) < 10 AS at_risk
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+"""
+
+
+def _q_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup (streaming/dedup.stream_exact_dedup) run for
+    real: a 20%-duplicated corpus arrives as a file stream (availableNow)
+    and dropDuplicatesWithinWatermark admits exactly one row per content
+    fingerprint; the admitted set's fingerprints are compared against the
+    batch DISTINCT — one output row per distinct fingerprint, so a
+    double-admit would fail the row-count, not hide behind a DISTINCT."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.functions.hashing import dice
+    from ratatool_spark.functions.text import fingerprint
+    from ratatool_spark.streaming.dedup import stream_exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dupes = docs.where(dice([F.col("doc_id")], seed=7) < 0.2).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    corpus = docs.unionByName(dupes).withColumn(
+        "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id"))
+    )
+    root = tempfile.mkdtemp(prefix="rt_sdedup_")
+    in_dir = os.path.join(root, "incoming")
+    corpus.write.parquet(in_dir)
+    stream = spark.readStream.schema(corpus.schema).parquet(in_dir)
+    admitted = stream_exact_dedup(stream, watermark="1 hour")
+    out_path = os.path.join(root, "admitted")
+    q = (
+        admitted.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out_path)
+    return back.select(fingerprint(F.col("text")).alias("fp"))
+
+
+def _sql_stream_dedup() -> str:
+    dice7 = _dice_sql(["doc_id"], 7)
+    fp = _PH64_SQL.format(x="regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE {dice7} < 0.2
+)
+SELECT DISTINCT {fp} AS fp FROM corpus
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is the driver's verification priority.
 
@@ -6913,6 +7059,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- round 6: new or behaviour-changed this round ---------------
+        "chunk_documents": _q_chunk_documents,
+        "vocab_oov_rate": _q_vocab_oov_rate,
+        "k_anonymity_audit": _q_k_anonymity,
+        "stream_dedup_admitted": _q_stream_dedup,
         "quality_classifier_en": _q_quality_classifier,
         "ann_pq_topk": _q_pq_topk,
         "ann_ivfpq_topk": _q_ivfpq_topk,
@@ -7071,6 +7221,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "chunk_documents": _sql_chunk_documents(),
+        "vocab_oov_rate": _sql_vocab_oov_rate(),
+        "k_anonymity_audit": _sql_k_anonymity(),
+        "stream_dedup_admitted": _sql_stream_dedup(),
         "line_dedup_corpus": _SQL_LINE_DEDUP_CORPUS,
         "line_dedup_document": _SQL_LINE_DEDUP_DOCUMENT,
         "interval_join_events": _SQL_INTERVAL_JOIN,

@@ -366,6 +366,59 @@ def sliding_windows(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 256,
+    overlap: int = 32,
+    out_col: str = "chunk",
+) -> DataFrame:
+    """Split each document into fixed-token-count chunks with overlap —
+    context-window construction for pretraining / RAG indexing. Unlike
+    :func:`sliding_windows` (grouped rows, partials dropped), this is
+    per-document and KEEPS the trailing partial chunk, so every token of
+    every document lands in at least one chunk.
+
+    Chunk starts are ``1, 1+stride, …`` (stride = chunk_size − overlap)
+    up to ``max(1, n_tokens − overlap)``: the last chunk may be shorter
+    than ``chunk_size`` but never consists solely of tokens the previous
+    chunk already covered. Documents with no tokens are dropped.
+
+    Output: (id, ``chunk_idx`` 0-based, ``out_col``, ``n_chunk_tokens``).
+
+    100 TB shape: a pure narrow plan — tokenize, an arithmetic
+    ``sequence`` of starts, ``slice`` + explode per document. Zero
+    shuffles, zero Python; chunking rides whatever partitioning the scan
+    produced and composes with a repartition-on-write shard sink."""
+    if overlap < 0 or chunk_size <= 0 or overlap >= chunk_size:
+        raise ValueError("need chunk_size > 0 and 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.lit(1), n - F.lit(overlap)), F.lit(stride)
+    )
+    return (
+        df.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    starts,
+                    lambda s: F.slice(toks, s, chunk_size),
+                )
+            ).alias("chunk_idx", "__toks"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.concat_ws(" ", "__toks").alias(out_col),
+            F.size("__toks").alias("n_chunk_tokens"),
+        )
+    )
+
+
 def contamination(
     df: DataFrame,
     benchmark: DataFrame,
@@ -582,6 +635,49 @@ def build_token_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
         .where(F.length("token") > 0)
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_col: str = "token",
+) -> DataFrame:
+    """Per-document tokenizer-vocabulary coverage: token count, OOV count
+    and OOV rate against a frozen vocab table — the pre-flight check
+    before committing a corpus to a tokenizer (high OOV = wrong vocab or
+    wrong-language contamination).
+
+    Output: (id, ``n_tokens``, ``n_oov``, ``oov_rate``) for every
+    document with at least one token.
+
+    100 TB shape: tokenizer vocabularies are bounded by construction
+    (32k–256k entries), so the vocab side is deduped and BROADCAST — the
+    exploded corpus never shuffles for the membership test; the only
+    exchange is the groupBy(doc) roll-up, map-side combined."""
+    vocab = F.broadcast(
+        vocab_df.select(F.col(token_col).alias("__v")).distinct()
+    )
+    ex = (
+        df.select(
+            id_col, F.explode(tokens(F.col(text_col))).alias("__tok")
+        )
+        .where(F.length("__tok") > 0)
+    )
+    return (
+        ex.join(vocab, ex["__tok"] == vocab["__v"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__v").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate", F.round(F.col("n_oov") / F.col("n_tokens"), 6)
+        )
     )
 
 

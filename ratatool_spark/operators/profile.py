@@ -208,3 +208,63 @@ def profile_pii(
     return row.select(F.col("__n").alias("n_scanned"), F.expr(expr)).select(
         "column", "n_scanned", *names
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """k-anonymity audit over a set of quasi-identifier columns: one row
+    per equivalence class (distinct quasi-identifier combination) with
+    its size and an ``at_risk`` flag (``class_size < k``) — the release
+    gate before publishing a dataset keyed on indirect identifiers
+    (Sweeney's k-anonymity; rows in classes smaller than k are
+    re-identifiable by linking on the quasi-identifiers).
+
+    Summarize with :func:`k_anonymity_summary` for the one-row verdict
+    (``k_min`` — the dataset's actual anonymity parameter — plus the
+    at-risk row count and rate).
+
+    100 TB shape: ONE hash aggregation on the quasi-identifier key,
+    map-side combined (class counts collapse per partition before the
+    exchange); output cardinality is the number of classes, not rows."""
+    if not quasi_cols:
+        raise ValueError("need at least one quasi-identifier column")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .withColumn("at_risk", F.col("class_size") < k)
+    )
+
+
+def k_anonymity_summary(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """One-row k-anonymity verdict: ``k_min`` (smallest class — the value
+    of k the dataset ACTUALLY satisfies), class counts, and the number /
+    rate of rows living in classes below the target ``k``. Second
+    aggregation runs over the class table (bounded by class cardinality),
+    not the data."""
+    classes = k_anonymity(df, quasi_cols, k)
+    return classes.agg(
+        F.min("class_size").alias("k_min"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(F.when(F.col("at_risk"), F.lit(1)).otherwise(F.lit(0))).alias(
+            "n_classes_at_risk"
+        ),
+        F.sum(
+            F.when(F.col("at_risk"), F.col("class_size")).otherwise(F.lit(0))
+        ).alias("n_rows_at_risk"),
+        F.round(
+            F.sum(
+                F.when(F.col("at_risk"), F.col("class_size")).otherwise(
+                    F.lit(0)
+                )
+            )
+            / F.sum("class_size"),
+            6,
+        ).alias("at_risk_rate"),
+    )

@@ -765,3 +765,90 @@ def test_remove_duplicate_spans_duplicate_id_raises(spark):
     )
     with pytest.raises(Exception, match="not unique"):
         remove_duplicate_spans(dup, span_tokens=2).collect()
+
+
+def test_chunk_documents_exact(spark):
+    # 10 tokens, size 4, overlap 1 (stride 3): starts 1,4,7 → full cover
+    from ratatool_spark.operators.corpus import chunk_documents
+
+    df = _docs(spark, [(1, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")])
+    got = sorted(
+        (r["chunk_idx"], r["chunk"], r["n_chunk_tokens"])
+        for r in chunk_documents(df, chunk_size=4, overlap=1).collect()
+    )
+    assert got == [
+        (0, "t1 t2 t3 t4", 4),
+        (1, "t4 t5 t6 t7", 4),
+        (2, "t7 t8 t9 t10", 4),
+    ]
+
+
+def test_chunk_documents_partial_tail_and_short_doc(spark):
+    from ratatool_spark.operators.corpus import chunk_documents
+
+    # 5 tokens, size 4, overlap 2 (stride 2): starts 1,3 → tail len 3
+    # 2 tokens (< size): single partial chunk
+    # empty/whitespace text: dropped
+    df = _docs(spark, [(1, "a b c d e"), (2, "x y"), (3, "   ")])
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk"], r["n_chunk_tokens"])
+        for r in chunk_documents(df, chunk_size=4, overlap=2).collect()
+    }
+    assert got == {
+        (1, 0): ("a b c d", 4),
+        (1, 1): ("c d e", 3),
+        (2, 0): ("x y", 2),
+    }
+
+
+def test_chunk_documents_covers_every_token(spark, documents):
+    # every document's token count == sum of chunk sizes minus the overlap
+    # paid once per chunk boundary (no token lost, no token double-missed)
+    from ratatool_spark.operators.corpus import chunk_documents
+
+    size, ov = 16, 4
+    chunks = chunk_documents(documents, chunk_size=size, overlap=ov)
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.sum("n_chunk_tokens").alias("tok_sum"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.max("n_chunk_tokens").alias("max_len"),
+    )
+    base = documents.where(F.length(F.trim("text")) > 0).select(
+        "doc_id", F.size(F.split(F.trim("text"), " ")).alias("n_tokens")
+    )
+    joined = base.join(per_doc, "doc_id").collect()
+    assert len(joined) == base.count()
+    for r in joined:
+        assert r["max_len"] <= size
+        assert r["tok_sum"] == r["n_tokens"] + ov * (r["n_chunks"] - 1)
+
+
+def test_chunk_documents_validation(spark):
+    from ratatool_spark.operators.corpus import chunk_documents
+
+    df = _docs(spark, [(1, "a b")])
+    for size, ov in [(0, 0), (4, -1), (4, 4), (4, 5)]:
+        with pytest.raises(ValueError):
+            chunk_documents(df, chunk_size=size, overlap=ov)
+
+
+def test_vocab_coverage_exact(spark):
+    from ratatool_spark.operators.corpus import vocab_coverage
+
+    df = _docs(spark, [(1, "a b a zz"), (2, "zz qq"), (3, "a a a")])
+    vocab = spark.createDataFrame([Row(token="a"), Row(token="b")])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_rate"])
+        for r in vocab_coverage(df, vocab).collect()
+    }
+    assert got == {1: (4, 1, 0.25), 2: (2, 2, 1.0), 3: (3, 0, 0.0)}
+
+
+def test_vocab_coverage_duplicate_vocab_rows_no_fanout(spark):
+    # vocab table with duplicate tokens must not double-count matches
+    from ratatool_spark.operators.corpus import vocab_coverage
+
+    df = _docs(spark, [(1, "a a b")])
+    vocab = spark.createDataFrame([Row(token="a"), Row(token="a")])
+    [r] = vocab_coverage(df, vocab).collect()
+    assert (r["n_tokens"], r["n_oov"]) == (3, 1)

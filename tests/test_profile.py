@@ -132,3 +132,44 @@ def test_profile_pii_single_pass_and_sampling(spark):
 
     with _pt.raises(ValueError, match="no string columns"):
         profile_pii(df.select("i"))
+
+
+def test_k_anonymity_classes_and_summary(spark):
+    from pyspark.sql import Row
+
+    from ratatool_spark.operators.profile import (
+        k_anonymity,
+        k_anonymity_summary,
+    )
+
+    rows = (
+        [Row(age=30, zip="111") for _ in range(5)]
+        + [Row(age=30, zip="222") for _ in range(2)]
+        + [Row(age=40, zip="111")]
+    )
+    df = spark.createDataFrame(rows)
+    classes = {
+        (r["age"], r["zip"]): (r["class_size"], r["at_risk"])
+        for r in k_anonymity(df, ["age", "zip"], k=3).collect()
+    }
+    assert classes == {
+        (30, "111"): (5, False),
+        (30, "222"): (2, True),
+        (40, "111"): (1, True),
+    }
+    [s] = k_anonymity_summary(df, ["age", "zip"], k=3).collect()
+    assert s["k_min"] == 1
+    assert s["n_classes"] == 3
+    assert s["n_classes_at_risk"] == 2
+    assert s["n_rows_at_risk"] == 3
+    assert s["at_risk_rate"] == 0.375
+
+
+def test_k_anonymity_requires_columns(spark):
+    from ratatool_spark.operators.profile import k_anonymity
+
+    df = spark.range(3)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        k_anonymity(df, [])
