@@ -6894,6 +6894,99 @@ WHERE bit_count(xor(a.fp, b.fp)) <= 6
 """
 
 
+def _q_kmeans_cells(spark, sf_dir):
+    """Bit-reproducible distributed k-means (similarity.
+    train_centroids_exact): ONE full Lloyd's iteration — expression-path
+    cosine assignment (left-to-right IEEE folds) + FIXED-POINT centroid
+    update (floor(x·10⁶) summed as longs, so the update is partition-
+    order-independent) — then the final cell assignment, reported as
+    per-cell counts + vec_id checksums. The float-avg variant
+    (train_centroids) has no SQL twin because double summation order is
+    engine- and partition-dependent; this gate pins that the fixed-point
+    trainer replays EXACTLY in a second engine, which is the same
+    property that makes it replay exactly across cluster topologies."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.similarity import (
+        ivf_assign_cells,
+        train_centroids_exact,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = train_centroids_exact(emb, n_centroids=8, iters=1, seed=13)
+    return (
+        emb.select(
+            "vec_id",
+            F.element_at(ivf_assign_cells(emb, cents), 1).alias("cell"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("vec_id").alias("id_sum"),
+        )
+    )
+
+
+def _sql_kmeans_cells() -> str:
+    # hash_cols([vec_id], seed=13) twin — same seed-sample as the IVF gate
+    h = (
+        "(('0x' || substr(md5(concat_ws(chr(1), '13', "
+        "CAST(vec_id AS VARCHAR))), 1, 15))::BIGINT)"
+    )
+    cos_vc = _COS_AB_SQL.replace("a.embedding", "v.embedding").replace(
+        "b.embedding", "ct.embedding"
+    )
+    # ivf_assign_cells ties break toward the LARGER cell id
+    # (reverse(array_sort(struct(cos, cell)))) — mirror with cell DESC.
+    return f"""
+WITH cents0 AS (
+  SELECT rn - 1 AS cell, embedding FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY {h}) AS rn, embedding FROM embeddings
+  ) WHERE rn <= 8
+),
+assign0 AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT v.vec_id, v.embedding, ct.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {cos_vc} DESC, ct.cell DESC) AS arn
+    FROM embeddings v CROSS JOIN cents0 ct
+  ) WHERE arn = 1
+),
+expl AS (
+  SELECT cell, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+  FROM assign0, UNNEST(range(1, 65)) AS r(i)
+),
+sums AS (
+  SELECT cell, pos,
+         CAST(SUM(CAST(FLOOR(x * 1000000.0) AS BIGINT)) AS BIGINT) AS s,
+         COUNT(*) AS n
+  FROM expl GROUP BY cell, pos
+),
+cents1 AS (
+  SELECT c0.cell,
+         COALESCE(m.vec,
+                  list_transform(c0.embedding, e -> CAST(e AS DOUBLE)))
+           AS embedding
+  FROM cents0 c0 LEFT JOIN (
+    SELECT cell,
+           list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+                ORDER BY pos) AS vec
+    FROM sums GROUP BY cell
+  ) m USING (cell)
+),
+final AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, ct.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {cos_vc} DESC, ct.cell DESC) AS arn
+    FROM embeddings v CROSS JOIN cents1 ct
+  ) WHERE arn = 1
+)
+SELECT cell, COUNT(*) AS n_vectors, CAST(SUM(vec_id) AS BIGINT) AS id_sum
+FROM final GROUP BY cell
+"""
+
+
 def _q_chunk_documents(spark, sf_dir):
     """Context-window chunking (corpus.chunk_documents): every document
     split into 32-token chunks with 8-token overlap, trailing partial
@@ -7059,6 +7152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- round 6: new or behaviour-changed this round ---------------
+        "kmeans_cells_fixed_point": _q_kmeans_cells,
         "chunk_documents": _q_chunk_documents,
         "vocab_oov_rate": _q_vocab_oov_rate,
         "k_anonymity_audit": _q_k_anonymity,
@@ -7221,6 +7315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "kmeans_cells_fixed_point": _sql_kmeans_cells(),
         "chunk_documents": _sql_chunk_documents(),
         "vocab_oov_rate": _sql_vocab_oov_rate(),
         "k_anonymity_audit": _sql_k_anonymity(),

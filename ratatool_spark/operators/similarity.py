@@ -240,6 +240,68 @@ def train_centroids(
     return centroids
 
 
+def train_centroids_exact(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 13,
+    scale: int = 1_000_000,
+) -> list[tuple[int, list[float]]]:
+    """Bit-reproducible Lloyd's k-means — the deterministic sibling of
+    :func:`train_centroids`.
+
+    Floating-point centroid updates are partition-order-dependent
+    (``avg`` sums doubles in whatever order the shuffle delivers them),
+    so on a 1000-executor cluster every run of plain k-means trains
+    slightly different centroids. This variant removes the
+    nondeterminism — and with it, engine dependence:
+
+      - assignment: the expression cosine path (left-to-right folds,
+        :func:`ivf_assign_cells`) instead of the GEMM kernel — every
+        engine evaluates the identical IEEE sequence;
+      - update: FIXED-POINT accumulation — each element is snapped to an
+        integer grid (``floor(x·scale)`` as a long), summed EXACTLY
+        (integer addition is order-independent), and the mean finished
+        with one fixed double-op sequence ``s / n / scale``.
+
+    The cost is a 1/scale quantization of each centroid update —
+    irrelevant next to k-means' own convergence tolerance. Same
+    empty-cell rule as :func:`train_centroids` (keep previous)."""
+    centroids = _seed_centroids(corpus, n_centroids, vec_col, id_col, seed)
+    dim = len(centroids[0][1])
+    for _ in range(iters):
+        # two selects: a generator (posexplode) analyzed alongside the
+        # struct-lambda argmax loses the lambda's struct field names
+        assigned = corpus.select(
+            F.element_at(
+                ivf_assign_cells(corpus, centroids, vec_col, 1), 1
+            ).alias("cell"),
+            F.col(vec_col).alias("__v"),
+        ).select("cell", F.posexplode("__v").alias("pos", "x"))
+        sums = (
+            assigned.groupBy("cell", "pos")
+            .agg(
+                F.sum(
+                    F.floor(F.col("x").cast("double") * F.lit(float(scale)))
+                    .cast("long")
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        by_cell: dict[int, list[float]] = {}
+        for r in sums:
+            vec = by_cell.setdefault(r["cell"], [0.0] * dim)
+            vec[r["pos"]] = float(r["s"]) / float(r["n"]) / float(scale)
+        centroids = [
+            (cid, by_cell[cid]) if cid in by_cell else (cid, prev)
+            for cid, prev in centroids
+        ]
+    return centroids
+
+
 def build_ivf_index(
     corpus: DataFrame,
     path: str,

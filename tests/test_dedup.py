@@ -940,3 +940,40 @@ def test_ivfpq_subset_of_pq_and_timing_shape(embeddings):
         for r in pq_topk(codes, q, books, k=3).collect()
     }
     assert allprobe == exact_pq
+
+
+def test_kmeans_fixed_point_partition_order_independent(embeddings):
+    """The fixed-point trainer's claim: identical centroids regardless of
+    how the corpus is partitioned (integer accumulation commutes), and the
+    update actually moves centroids off their seeds."""
+    from ratatool_spark.operators.similarity import (
+        _seed_centroids,
+        train_centroids_exact,
+    )
+
+    a = train_centroids_exact(
+        embeddings.repartition(7), n_centroids=4, iters=2
+    )
+    b = train_centroids_exact(
+        embeddings.repartition(3, "vec_id"), n_centroids=4, iters=2
+    )
+    assert a == b  # bit-for-bit, not approximately
+    assert len(a) == 4 and all(len(v) == 64 for _, v in a)
+    seeds = _seed_centroids(embeddings, 4, "embedding", "vec_id", 13)
+    assert [v for _, v in a] != [v for _, v in seeds]
+
+
+def test_kmeans_fixed_point_tracks_float_trainer(embeddings):
+    """Quantized updates stay within the fixed-point grid of the float
+    trainer's centroids after one iteration (they diverge on later
+    iterations only if an assignment flips at a cell boundary)."""
+    from ratatool_spark.operators.similarity import (
+        train_centroids,
+        train_centroids_exact,
+    )
+
+    fx = train_centroids_exact(embeddings, n_centroids=4, iters=1)
+    fl = train_centroids(embeddings, n_centroids=4, iters=1)
+    for (_, ve), (_, vf) in zip(fx, fl):
+        for x, y in zip(ve, vf):
+            assert abs(x - y) <= 1e-6 + 1e-9
