@@ -6894,6 +6894,128 @@ WHERE bit_count(xor(a.fp, b.fp)) <= 6
 """
 
 
+def _q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (similarity.hard_negatives): top-3
+    most-similar DIFFERENT-label vectors per query — the label-mismatch
+    predicate fused into the broadcast join, ranked after filtering."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.similarity import hard_negatives
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    out = hard_negatives(emb, q, k=3)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def _sql_hard_negatives() -> str:
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_COS_SQL} AS cosine
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id AND q.label <> c.label
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def _q_gopher_rules(spark, sf_dir):
+    """Gopher rule-based quality filters (corpus.gopher_quality_flags):
+    per-rule metrics + the AND verdict as pure column expressions — zero
+    shuffles, zero Python. Ratios are floor-scaled to 6dp (ROUND tie
+    behaviour diverges between engines on power-of-two denominators)."""
+    from ratatool_spark.operators.corpus import gopher_quality_flags
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gopher_quality_flags(docs, min_words=30).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_to_word_ratio",
+        "bullet_line_ratio",
+        "ellipsis_line_ratio",
+        "alpha_word_ratio",
+        "n_stop_hits",
+        "passes_gopher",
+    )
+
+
+def _sql_gopher_rules() -> str:
+    return """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(text), ' '),
+                     x -> length(x) > 0) AS toks,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    l -> trim(l)),
+                     l -> length(l) > 0) AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         CASE WHEN len(toks) > 0 THEN
+           FLOOR((list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                      list_transform(toks,
+                                     x -> CAST(length(x) AS BIGINT))),
+                    (a, b) -> a + b)
+                  / len(toks)) * 1000000.0) / 1000000.0
+         END AS mean_word_len,
+         CASE WHEN len(toks) > 0 THEN
+           FLOOR((len(list_filter(toks,
+                    x -> contains(x, '#') OR contains(x, '...')))
+                  / len(toks)) * 1000000.0) / 1000000.0
+         END AS symbol_to_word_ratio,
+         CASE WHEN len(lines) > 0 THEN
+           FLOOR((len(list_filter(lines,
+                    l -> starts_with(l, '-') OR starts_with(l, '*')
+                         OR starts_with(l, '•')))
+                  / len(lines)) * 1000000.0) / 1000000.0
+         END AS bullet_line_ratio,
+         CASE WHEN len(lines) > 0 THEN
+           FLOOR((len(list_filter(lines,
+                    l -> ends_with(l, '...') OR ends_with(l, '…')))
+                  / len(lines)) * 1000000.0) / 1000000.0
+         END AS ellipsis_line_ratio,
+         CASE WHEN len(toks) > 0 THEN
+           FLOOR((len(list_filter(toks,
+                    x -> regexp_matches(x, '[A-Za-z]')))
+                  / len(toks)) * 1000000.0) / 1000000.0
+         END AS alpha_word_ratio,
+         (CASE WHEN list_contains(list_transform(toks, x -> lower(x)), 'the')  THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(list_transform(toks, x -> lower(x)), 'be')   THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(list_transform(toks, x -> lower(x)), 'to')   THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(list_transform(toks, x -> lower(x)), 'of')   THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(list_transform(toks, x -> lower(x)), 'and')  THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(list_transform(toks, x -> lower(x)), 'that') THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(list_transform(toks, x -> lower(x)), 'have') THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(list_transform(toks, x -> lower(x)), 'with') THEN 1 ELSE 0 END
+         ) AS n_stop_hits
+  FROM t
+)
+SELECT doc_id, n_words, mean_word_len, symbol_to_word_ratio,
+       bullet_line_ratio, ellipsis_line_ratio, alpha_word_ratio,
+       n_stop_hits,
+       COALESCE(n_words >= 30 AND n_words <= 100000
+                AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                AND symbol_to_word_ratio <= 0.1
+                AND bullet_line_ratio <= 0.9
+                AND ellipsis_line_ratio <= 0.3
+                AND alpha_word_ratio >= 0.8
+                AND n_stop_hits >= 2, FALSE) AS passes_gopher
+FROM m
+"""
+
+
 def _q_kmeans_cells(spark, sf_dir):
     """Bit-reproducible distributed k-means (similarity.
     train_centroids_exact): ONE full Lloyd's iteration — expression-path
@@ -7152,6 +7274,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- round 6: new or behaviour-changed this round ---------------
+        "hard_negatives_topk": _q_hard_negatives,
+        "gopher_quality_rules": _q_gopher_rules,
         "kmeans_cells_fixed_point": _q_kmeans_cells,
         "chunk_documents": _q_chunk_documents,
         "vocab_oov_rate": _q_vocab_oov_rate,
@@ -7315,6 +7439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "hard_negatives_topk": _sql_hard_negatives(),
+        "gopher_quality_rules": _sql_gopher_rules(),
         "kmeans_cells_fixed_point": _sql_kmeans_cells(),
         "chunk_documents": _sql_chunk_documents(),
         "vocab_oov_rate": _sql_vocab_oov_rate(),

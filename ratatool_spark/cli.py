@@ -555,6 +555,47 @@ def build_parser() -> argparse.ArgumentParser:
     idd.add_argument("--gridRows", type=int, default=10)
     idd.add_argument("--gridCols", type=int, default=6)
     idd.add_argument("--format", default=None, help="override input format sniffing")
+
+    ch = sub.add_parser(
+        "chunkDocs",
+        help="split documents into fixed-token-count chunks with overlap "
+        "(context-window construction; trailing partial kept)",
+    )
+    ch.add_argument("--input", required=True)
+    ch.add_argument("--output", required=True)
+    ch.add_argument("--textField", default="text")
+    ch.add_argument("--idField", default="doc_id")
+    ch.add_argument("--chunkSize", type=int, default=256)
+    ch.add_argument("--overlap", type=int, default=32)
+    ch.add_argument("--format", default=None, help="override input format sniffing")
+
+    vc = sub.add_parser(
+        "vocabCoverage",
+        help="per-document OOV rate against a frozen vocab table "
+        "(vocab side broadcast; column named by --tokenField)",
+    )
+    vc.add_argument("--input", required=True)
+    vc.add_argument("--vocab", required=True, help="vocab table path")
+    vc.add_argument("--output", required=True)
+    vc.add_argument("--textField", default="text")
+    vc.add_argument("--idField", default="doc_id")
+    vc.add_argument("--tokenField", default="token")
+    vc.add_argument("--format", default=None, help="override input format sniffing")
+
+    ka = sub.add_parser(
+        "kAnonymity",
+        help="k-anonymity audit over quasi-identifier columns: "
+        "per-class sizes + at-risk flags, or the one-row summary",
+    )
+    ka.add_argument("--input", required=True)
+    ka.add_argument("--output", required=True)
+    ka.add_argument("--quasiFields", type=_csv, required=True)
+    ka.add_argument("--k", type=int, default=10)
+    ka.add_argument(
+        "--summary", action="store_true",
+        help="write the one-row verdict instead of per-class rows",
+    )
+    ka.add_argument("--format", default=None, help="override input format sniffing")
     return p
 
 
@@ -1137,6 +1178,41 @@ def main(argv: list[str] | None = None) -> int:
                 rows=args.gridRows,
                 cols=args.gridCols,
             )
+            write_table(out, args.output, mode="overwrite")
+        elif args.command == "chunkDocs":
+            from ratatool_spark.operators.corpus import chunk_documents
+
+            df = read_table(spark, args.input, fmt=args.format)
+            out = chunk_documents(
+                df,
+                text_col=args.textField,
+                id_col=args.idField,
+                chunk_size=args.chunkSize,
+                overlap=args.overlap,
+            )
+            write_table(out, args.output, mode="overwrite")
+        elif args.command == "vocabCoverage":
+            from ratatool_spark.operators.corpus import vocab_coverage
+
+            df = read_table(spark, args.input, fmt=args.format)
+            vocab = read_table(spark, args.vocab, fmt=args.format)
+            out = vocab_coverage(
+                df,
+                vocab,
+                text_col=args.textField,
+                id_col=args.idField,
+                token_col=args.tokenField,
+            )
+            write_table(out, args.output, mode="overwrite")
+        elif args.command == "kAnonymity":
+            from ratatool_spark.operators.profile import (
+                k_anonymity,
+                k_anonymity_summary,
+            )
+
+            df = read_table(spark, args.input, fmt=args.format)
+            fn = k_anonymity_summary if args.summary else k_anonymity
+            out = fn(df, args.quasiFields, k=args.k)
             write_table(out, args.output, mode="overwrite")
         return 0
     finally:

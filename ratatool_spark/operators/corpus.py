@@ -638,6 +638,122 @@ def build_token_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher rule-based quality filters (Rae et al. 2021, App. A1.1) as
+    per-rule metrics + flags — the explainable tier next to the composite
+    ``quality_score`` heuristic and the trained classifiers: each rule is
+    a separate column, so curation reports can say WHICH rule dropped a
+    document, not just that something did.
+
+    Metrics: word count, mean word length, symbol-to-word ratio (# and
+    ellipsis), bullet-start and ellipsis-end line ratios, alphabetic-word
+    ratio, stop-word hits (of Gopher's 8). ``passes_gopher`` is the AND
+    of all rules; empty documents fail with NULL metrics.
+
+    100 TB shape: pure column expressions over one scan — no shuffle, no
+    Python, no joins; flags ride whatever partitioning the scan has."""
+    def _f6(x):
+        # floor-scaled 6dp: ROUND's half-up/half-even tie behaviour
+        # differs between engines exactly when an integer sum divides a
+        # power-of-two count; floor(x*1e6)/1e6 is a fixed IEEE sequence
+        return F.floor(x * F.lit(1000000.0)) / F.lit(1000000.0)
+
+    toks = F.filter(tokens(F.col(text_col)), lambda t: F.length(t) > 0)
+    n = F.size(toks)
+    mean_len = _f6(
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        )
+        / n
+    )
+    n_symbolish = F.size(
+        F.filter(
+            toks,
+            lambda t: t.contains("#") | t.contains("..."),
+        )
+    )
+    lines = F.filter(
+        F.transform(
+            F.split(F.col(text_col), "\n"), lambda ln: F.trim(ln)
+        ),
+        lambda ln: F.length(ln) > 0,
+    )
+    n_lines = F.size(lines)
+    bullet_ratio = _f6(
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: ln.startswith("-")
+                | ln.startswith("*")
+                | ln.startswith("•"),
+            )
+        )
+        / n_lines
+    )
+    ellipsis_ratio = _f6(
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: ln.endswith("...") | ln.endswith("…"),
+            )
+        )
+        / n_lines
+    )
+    alpha_ratio = _f6(
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / n
+    )
+    stops = ("the", "be", "to", "of", "and", "that", "have", "with")
+    lowered = F.transform(toks, lambda t: F.lower(t))
+    n_stop_hits = sum(
+        [
+            F.when(F.array_contains(lowered, s), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+            for s in stops
+        ],
+        F.lit(0),
+    )
+    has_toks = n > 0
+    out = df.select(
+        "*",
+        n.alias("n_words"),
+        F.when(has_toks, mean_len).alias("mean_word_len"),
+        F.when(has_toks, _f6(n_symbolish / n)).alias(
+            "symbol_to_word_ratio"
+        ),
+        F.when(n_lines > 0, bullet_ratio).alias("bullet_line_ratio"),
+        F.when(n_lines > 0, ellipsis_ratio).alias("ellipsis_line_ratio"),
+        F.when(has_toks, alpha_ratio).alias("alpha_word_ratio"),
+        n_stop_hits.alias("n_stop_hits"),
+    )
+    passes = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_to_word_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_line_ratio") <= max_bullet_ratio)
+        & (F.col("ellipsis_line_ratio") <= max_ellipsis_ratio)
+        & (F.col("alpha_word_ratio") >= min_alpha_ratio)
+        & (F.col("n_stop_hits") >= min_stop_hits)
+    )
+    return out.withColumn(
+        "passes_gopher", F.coalesce(passes, F.lit(False))
+    )
+
+
 def vocab_coverage(
     df: DataFrame,
     vocab_df: DataFrame,

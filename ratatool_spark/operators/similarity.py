@@ -52,6 +52,51 @@ def brute_force_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive / retrieval training: for
+    each query, the top-k most-similar corpus vectors with a DIFFERENT
+    label — the near-misses a bi-encoder must learn to push apart
+    (random negatives are trivially far; hard ones carry the gradient).
+
+    (query_id, neighbor_id, cosine, rank); ties broken by neighbor id.
+    Same shape as :func:`brute_force_topk` — the query side is broadcast
+    and the corpus never moves — with the label-mismatch predicate fused
+    into the join, so same-label pairs are dropped BEFORE ranking. For
+    corpora past brute-force scale, pre-bucket with the IVF/LSH paths
+    and apply the same predicate inside each bucket."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col(label_col).alias("q_label"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col(label_col).alias("c_label"),
+    )
+    sim = cosine_sim(F.col("qv"), F.col("cv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .where(
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("q_label") != F.col("c_label"))
+        )
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def _hyperplane_sign(plane: int, dim: int, seed: int) -> float:
     """Deterministic ±1 from the portable hash of (seed, plane, dim) —
     computed at plan-build time with the same md5 formula as

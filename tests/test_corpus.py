@@ -852,3 +852,44 @@ def test_vocab_coverage_duplicate_vocab_rows_no_fanout(spark):
     vocab = spark.createDataFrame([Row(token="a"), Row(token="a")])
     [r] = vocab_coverage(df, vocab).collect()
     assert (r["n_tokens"], r["n_oov"]) == (3, 1)
+
+
+def test_gopher_quality_flags_exact(spark):
+    from ratatool_spark.operators.corpus import gopher_quality_flags
+
+    good = " ".join(["the", "be", "to", "of"] * 15)          # 60 words
+    bullety = "- one two\n- three four\n* five six"          # all bullets
+    symbolic = " ".join(["ab#c"] * 40)                       # all symbols
+    df = _docs(spark, [(1, good), (2, bullety), (3, symbolic)])
+    got = {
+        r["doc_id"]: r
+        for r in gopher_quality_flags(df, min_words=50).collect()
+    }
+    g = got[1]
+    assert g["n_words"] == 60
+    assert g["mean_word_len"] == 2.25  # (3+2+2+2)·15 / 60
+    assert g["n_stop_hits"] == 4
+    assert g["symbol_to_word_ratio"] == 0.0
+    assert not g["passes_gopher"]  # mean word length < 3
+    b = got[2]
+    assert b["bullet_line_ratio"] == 1.0 and not b["passes_gopher"]
+    s = got[3]
+    assert s["symbol_to_word_ratio"] == 1.0 and not s["passes_gopher"]
+
+
+def test_gopher_quality_flags_pass_case(spark):
+    from ratatool_spark.operators.corpus import gopher_quality_flags
+
+    text = " ".join(["the", "and", "word", "also", "more"] * 12)
+    [r] = gopher_quality_flags(_docs(spark, [(1, text)]), min_words=50).collect()
+    assert r["n_words"] == 60
+    assert r["passes_gopher"], dict(r.asDict())
+
+
+def test_gopher_quality_flags_empty_doc_fails(spark):
+    from ratatool_spark.operators.corpus import gopher_quality_flags
+
+    [r] = gopher_quality_flags(_docs(spark, [(1, "   ")])).collect()
+    assert r["n_words"] == 0
+    assert r["mean_word_len"] is None
+    assert r["passes_gopher"] is False

@@ -977,3 +977,30 @@ def test_kmeans_fixed_point_tracks_float_trainer(embeddings):
     for (_, ve), (_, vf) in zip(fx, fl):
         for x, y in zip(ve, vf):
             assert abs(x - y) <= 1e-6 + 1e-9
+
+
+def test_hard_negatives_excludes_same_label(embeddings):
+    from ratatool_spark.operators.similarity import (
+        brute_force_topk,
+        hard_negatives,
+    )
+
+    q = embeddings.where(F.col("vec_id") < 8)
+    hn = hard_negatives(embeddings, q, k=4).collect()
+    labels = {r["vec_id"]: r["label"] for r in embeddings.select("vec_id", "label").collect()}
+    assert hn
+    for r in hn:
+        assert labels[r["query_id"]] != labels[r["neighbor_id"]]
+        assert r["rank"] <= 4
+    # equals brute-force ranking restricted to cross-label pairs
+    bf = brute_force_topk(embeddings, q, k=len(labels)).collect()
+    expect = {}
+    for r in sorted(bf, key=lambda r: (r["query_id"], r["rank"])):
+        if labels[r["query_id"]] != labels[r["neighbor_id"]]:
+            lst = expect.setdefault(r["query_id"], [])
+            if len(lst) < 4:
+                lst.append(r["neighbor_id"])
+    got = {}
+    for r in sorted(hn, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert got == expect
