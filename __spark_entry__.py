@@ -6894,6 +6894,51 @@ WHERE bit_count(xor(a.fp, b.fp)) <= 6
 """
 
 
+def _q_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled source rebalancing (corpus.temperature_mixture,
+    α=0.5): keep-rate_s = sqrt(n_min/n_s) — targets derived from the
+    corpus itself, broadcast rates, reproducible dice; sqrt is IEEE-
+    correctly-rounded so the kept set replays bit-for-bit in DuckDB."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.corpus import temperature_mixture
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the fixture's sources are near-uniform (rates ≈ 1, nothing to
+    # verify) — collapse 6/7 of the corpus into one dominant source so
+    # the sqrt keep-rates actually discriminate
+    skewed = docs.withColumn(
+        "source",
+        F.when(F.col("doc_id") % 7 == 0, F.col("source")).otherwise(
+            F.lit("common")
+        ),
+    )
+    return temperature_mixture(skewed, alpha=0.5, seed=11).select(
+        "doc_id", "source"
+    )
+
+
+def _sql_temperature_mixture() -> str:
+    dice11 = _dice_sql(["doc_id"], 11)
+    return f"""
+WITH skewed AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN source ELSE 'common' END AS source
+  FROM documents
+), counts AS (
+  SELECT source, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM skewed GROUP BY source
+), m AS (
+  SELECT MIN(n) AS mn FROM counts
+), rates AS (
+  SELECT source, sqrt(mn / n) AS rate FROM counts, m
+)
+SELECT d.doc_id, d.source
+FROM skewed d JOIN rates r USING (source)
+WHERE {dice11} < r.rate
+"""
+
+
 def _q_hard_negatives(spark, sf_dir):
     """Hard-negative mining (similarity.hard_negatives): top-3
     most-similar DIFFERENT-label vectors per query — the label-mismatch
@@ -7274,6 +7319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- round 6: new or behaviour-changed this round ---------------
+        "temperature_mixture_sample": _q_temperature_mixture,
         "hard_negatives_topk": _q_hard_negatives,
         "gopher_quality_rules": _q_gopher_rules,
         "kmeans_cells_fixed_point": _q_kmeans_cells,
@@ -7439,6 +7485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "temperature_mixture_sample": _sql_temperature_mixture(),
         "hard_negatives_topk": _sql_hard_negatives(),
         "gopher_quality_rules": _sql_gopher_rules(),
         "kmeans_cells_fixed_point": _sql_kmeans_cells(),

@@ -129,6 +129,55 @@ def mixture_sample(
     )
 
 
+def temperature_mixture(
+    df: DataFrame,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    dice_cols: Sequence[str | Column] = ("doc_id",),
+    seed: int = 0,
+    weight_col: str | Column | None = None,
+) -> DataFrame:
+    """Temperature-scaled source rebalancing — the multilingual-LM
+    mixture rule (sample source s ∝ n_s^α): instead of a hand-written
+    target dict (:func:`mixture_sample`), the targets come from the
+    corpus itself, flattened by exponent α. Closed form: keep-rate_s =
+    ``(n_min / n_s)^(1-α)`` — α=1 keeps the natural mixture (all rows),
+    α→0 equalizes sources; the smallest source is always kept whole.
+
+    Same reproducible-dice selection and same plan shape as
+    ``mixture_sample``: one tiny groupBy(source) aggregate, a 1-row min,
+    broadcast rates joined back — the fact table never shuffles.
+    ``weight_col`` switches the unit from rows to tokens/bytes.
+
+    α=0.5 routes through ``sqrt`` (IEEE-correctly-rounded, so rates are
+    bit-identical in every engine); other α use ``pow`` (last-ulp
+    variance across libm implementations — harmless for sampling, but
+    the α=0.5 path is the cross-engine-exact one)."""
+    if not (0.0 <= alpha <= 1.0):
+        raise ValueError("alpha must be in [0, 1]")
+    if weight_col is None:
+        w = F.lit(1).cast("double")
+    elif isinstance(weight_col, str):
+        w = F.col(weight_col).cast("double")
+    else:
+        w = weight_col.cast("double")
+    counts = df.groupBy(source_col).agg(F.sum(w).alias("__n"))
+    nmin = counts.agg(F.min("__n").alias("__m"))
+    ratio = F.col("__m") / F.col("__n")
+    rate = (
+        F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
+    )
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        source_col, rate.alias("__rate")
+    )
+    roll = dice(list(dice_cols), seed=seed)
+    return (
+        df.join(F.broadcast(rates), source_col, "inner")
+        .where(roll < F.col("__rate"))
+        .drop("__rate")
+    )
+
+
 def bpe_pair_counts(
     df: DataFrame,
     text_col: str = "text",

@@ -893,3 +893,27 @@ def test_gopher_quality_flags_empty_doc_fails(spark):
     assert r["n_words"] == 0
     assert r["mean_word_len"] is None
     assert r["passes_gopher"] is False
+
+
+def test_temperature_mixture_rates_and_extremes(spark):
+    from ratatool_spark.operators.corpus import temperature_mixture
+
+    rows = [(i, "big") for i in range(400)] + [
+        (i + 1000, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # alpha=1: natural mixture — everything kept
+    assert temperature_mixture(df, alpha=1.0).count() == 500
+    # alpha=0.5: smallest source kept whole, big downsampled ~sqrt(100/400)=0.5
+    kept = temperature_mixture(df, alpha=0.5, seed=3)
+    by_src = {r["source"]: r["n"] for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by_src["small"] == 100
+    assert 150 <= by_src["big"] <= 250  # E=200, binomial spread
+    # deterministic
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(r["doc_id"] for r in temperature_mixture(df, alpha=0.5, seed=3).collect())
+    assert a == b
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        temperature_mixture(df, alpha=1.5)
