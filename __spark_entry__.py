@@ -6894,6 +6894,85 @@ WHERE bit_count(xor(a.fp, b.fp)) <= 6
 """
 
 
+_NGRAMS3_SQL = (
+    "list_transform(range(1, greatest(len({w}) - 2, 1) + 1), "
+    "i -> concat_ws(' ', {w}[i], {w}[i+1], {w}[i+2]))"
+).format(w="string_split(trim(text), ' ')")
+
+
+def _q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (functions/text.winnow_fingerprints, MOSS
+    leftmost-min variant): word-3-gram hashes, window-4 minima with gram
+    positions — pure expressions, distinct (doc, pos, fp) rows."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.functions.text import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(winnow_fingerprints(F.col("text"), 3, 4)).alias("f"),
+        )
+        .select("doc_id", F.col("f.pos").alias("pos"), F.col("f.fp").alias("fp"))
+        .distinct()
+    )
+
+
+def _sql_winnow_fingerprints() -> str:
+    g_hash = _PH64_SQL.format(x="g")
+    return f"""
+WITH hs AS (
+  SELECT doc_id,
+         list_transform({_NGRAMS3_SQL}, g -> {g_hash}) AS h
+  FROM documents
+), wins AS (
+  SELECT doc_id,
+         CAST(s AS BIGINT) + list_position(h[s:s+3], list_min(h[s:s+3])) - 1
+           AS pos,
+         list_min(h[s:s+3]) AS fp
+  FROM hs, UNNEST(range(1, greatest(1, len(h) - 3) + 1)) r(s)
+)
+SELECT DISTINCT doc_id, pos, fp FROM wins
+"""
+
+
+def _q_winnow_pairs(spark, sf_dir):
+    """MOSS candidate pairs (dedup.winnow_candidate_pairs): one posting
+    exchange over the winnowed index (~1/window of gram hashes),
+    in-array pair expansion, distinct-shared-fingerprint counts."""
+    from ratatool_spark.operators.dedup import winnow_candidate_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnow_candidate_pairs(docs, k=3, window=4, min_shared=2)
+
+
+def _sql_winnow_pairs() -> str:
+    g_hash = _PH64_SQL.format(x="g")
+    return f"""
+WITH hs AS (
+  SELECT doc_id,
+         list_transform({_NGRAMS3_SQL}, g -> {g_hash}) AS h
+  FROM documents
+), wins AS (
+  SELECT doc_id, list_min(h[s:s+3]) AS fp
+  FROM hs, UNNEST(range(1, greatest(1, len(h) - 3) + 1)) r(s)
+), fps AS (
+  SELECT DISTINCT doc_id, fp FROM wins
+), capped AS (
+  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 1000
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       COUNT(*) AS n_shared
+FROM fps a
+JOIN fps b USING (fp)
+JOIN capped USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 2
+"""
+
+
 def _q_temperature_mixture(spark, sf_dir):
     """Temperature-scaled source rebalancing (corpus.temperature_mixture,
     α=0.5): keep-rate_s = sqrt(n_min/n_s) — targets derived from the
@@ -7319,6 +7398,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- round 6: new or behaviour-changed this round ---------------
+        "winnow_fingerprints_docs": _q_winnow_fingerprints,
+        "winnow_candidate_pairs": _q_winnow_pairs,
         "temperature_mixture_sample": _q_temperature_mixture,
         "hard_negatives_topk": _q_hard_negatives,
         "gopher_quality_rules": _q_gopher_rules,
@@ -7485,6 +7566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "winnow_fingerprints_docs": _sql_winnow_fingerprints(),
+        "winnow_candidate_pairs": _sql_winnow_pairs(),
         "temperature_mixture_sample": _sql_temperature_mixture(),
         "hard_negatives_topk": _sql_hard_negatives(),
         "gopher_quality_rules": _sql_gopher_rules(),

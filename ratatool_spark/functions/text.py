@@ -73,6 +73,43 @@ def rolling_fingerprint(text: Column) -> Column:
     )
 
 
+def winnow_fingerprints(
+    text: Column, k: int = 3, window: int = 4
+) -> Column:
+    """Winnowing fingerprints (Schleimer et al. SIGMOD'03, the MOSS
+    algorithm, leftmost-min variant): hash every word k-gram, slide a
+    window of ``window`` consecutive gram hashes, and keep each window's
+    minimum (with its gram position). Guarantees: any shared run of
+    ``k + window - 1`` words between two documents shares at least one
+    fingerprint — the position-aware candidate primitive between
+    whole-document hashing (``rolling_fingerprint``) and per-gram
+    inverted indexes (which keep every gram).
+
+    Returns ``array<struct<pos,fp>>`` with duplicates (adjacent windows
+    picking the same minimum) preserved — ``array_distinct`` or a
+    downstream DISTINCT collapses them. Pure expressions: grams, a
+    left-to-right hash map, arithmetic window starts, ``array_min`` +
+    ``array_position`` per window — engine-reproducible."""
+    if k <= 0 or window <= 0:
+        raise ValueError("k and window must be positive")
+    hashes = F.transform(word_ngrams(text, k), lambda g: portable_hash64(g))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.lit(1), F.size(hashes) - F.lit(window - 1))
+    )
+
+    def _fp(s):
+        win = F.slice(hashes, s, window)
+        m = F.array_min(win)
+        return F.struct(
+            (s.cast("long") + F.array_position(win, m) - F.lit(1)).alias(
+                "pos"
+            ),
+            m.alias("fp"),
+        )
+
+    return F.transform(starts, _fp)
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-grams — the dedup shingle set. Array-expression only:
     zip the token array with its n-1 shifted copies, concat each tuple.

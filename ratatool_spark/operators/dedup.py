@@ -1318,3 +1318,62 @@ def semantic_dedup(
             F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def winnow_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_freq: int | None = 1000,
+) -> DataFrame:
+    """Shared-winnowing-fingerprint candidate pairs (a < b) — the MOSS
+    pipeline (Schleimer et al. SIGMOD'03) distributed: winnow each
+    document (functions/text.winnow_fingerprints — any shared run of
+    ``k + window - 1`` words guarantees a shared fingerprint), invert the
+    fingerprint index, count distinct shared fingerprints per pair.
+
+    Output: (id_a, id_b, ``n_shared``). Positions are dropped here (the
+    candidate set is what scales); re-join fingerprints on the surviving
+    pairs for position-level span alignment.
+
+    100 TB shape: identical discipline to :func:`ngram_jaccard_pairs` —
+    ONE posting-list exchange feeds pair generation, winnowing keeps only
+    ~1/window of gram hashes in the index, and ``max_fp_freq`` caps any
+    posting's df² contribution (boilerplate fingerprints dropped BEFORE
+    pair expansion). Never all-pairs."""
+    from ratatool_spark.functions.text import winnow_fingerprints
+
+    fps = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                winnow_fingerprints(F.col(text_col), k, window)
+            ).alias("__f"),
+        )
+        .select("id", F.col("__f.fp").alias("fp"))
+        .distinct()
+    )
+    grouped = _persist(
+        fps.groupBy("fp").agg(F.array_sort(F.collect_list("id")).alias("ids"))
+    )
+    if max_fp_freq is not None:
+        grouped = grouped.where(F.size("ids") <= max_fp_freq)
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(combos).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
