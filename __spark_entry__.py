@@ -6900,6 +6900,36 @@ _NGRAMS3_SQL = (
 ).format(w="string_split(trim(text), ' ')")
 
 
+def _q_perplexity_buckets(spark, sf_dir):
+    """CCNet quality tiers (corpus.perplexity_buckets): unigram-LM scores
+    → DISTRIBUTED global rank (range partition + broadcast prefix
+    offsets, no single-task ORDER BY window) → 3 equal-population
+    buckets via exact integer arithmetic."""
+    from ratatool_spark.operators.corpus import perplexity_buckets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return perplexity_buckets(docs, n_buckets=3).select(
+        "doc_id", "n_tokens", "mean_logprob", "rank", "bucket"
+    )
+
+
+def _sql_perplexity_buckets() -> str:
+    return f"""
+WITH scored AS ({_SQL_UNIGRAM_LOGPROB}),
+ranked AS (
+  SELECT doc_id, n_tokens, mean_logprob,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY mean_logprob DESC NULLS LAST, doc_id) AS BIGINT)
+           AS rank,
+         COUNT(*) OVER () AS n
+  FROM scored
+)
+SELECT doc_id, n_tokens, mean_logprob, rank,
+       CAST(((rank - 1) * 3) // n AS INT) AS bucket
+FROM ranked
+"""
+
+
 def _q_winnow_fingerprints(spark, sf_dir):
     """Winnowing fingerprints (functions/text.winnow_fingerprints, MOSS
     leftmost-min variant): word-3-gram hashes, window-4 minima with gram
@@ -7398,6 +7428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- round 6: new or behaviour-changed this round ---------------
+        "perplexity_buckets_docs": _q_perplexity_buckets,
         "winnow_fingerprints_docs": _q_winnow_fingerprints,
         "winnow_candidate_pairs": _q_winnow_pairs,
         "temperature_mixture_sample": _q_temperature_mixture,
@@ -7566,6 +7597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "perplexity_buckets_docs": _sql_perplexity_buckets(),
         "winnow_fingerprints_docs": _sql_winnow_fingerprints(),
         "winnow_candidate_pairs": _sql_winnow_pairs(),
         "temperature_mixture_sample": _sql_temperature_mixture(),

@@ -304,6 +304,96 @@ def assign_splits(
     return df.withColumn(split_col, expr)
 
 
+def _global_rank(
+    df: DataFrame, sort_cols: Sequence[Column], rank_col: str
+) -> DataFrame:
+    """Dense global 1-based rank over ``sort_cols`` WITHOUT a
+    single-partition window: range-partition on the sort key, rank
+    within each partition (parallel, keyed by partition id), add the
+    exclusive prefix sum of partition counts (a #partitions-row table,
+    broadcast back). The same pattern as ``deterministic_shuffle``'s
+    rank mode, generalized to any sort key. Ties must be broken by the
+    caller (include a unique id in ``sort_cols``) or ranks are
+    nondeterministic."""
+    from pyspark.sql import Window
+
+    from ratatool_spark.cache import persist_tracked
+
+    sort_cols = list(sort_cols)
+    tagged = persist_tracked(
+        df.repartitionByRange(*sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    local = tagged.withColumn(
+        "__local",
+        F.row_number().over(Window.partitionBy("__pid").orderBy(*sort_cols)),
+    )
+    offs = (
+        tagged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__off")
+    )
+    return (
+        local.join(F.broadcast(offs), "__pid")
+        .withColumn(rank_col, (F.col("__local") + F.col("__off")).cast("long"))
+        .drop("__pid", "__local", "__off")
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    freq_df: DataFrame | None = None,
+    n_buckets: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. LREC'20): score every
+    document under a (frozen) LM via :func:`unigram_logprob_score`, then
+    split the corpus into ``n_buckets`` equal-population tiers by global
+    score rank — bucket 0 = head (most probable), last = tail. CCNet
+    trains on head/middle and drops tail; the bucket column makes that a
+    filter.
+
+    Output: every input row with (``n_tokens``, ``mean_logprob`` rounded
+    6dp, ``rank``, ``bucket``). NULL scores (empty docs) rank last.
+
+    100 TB shape: the global rank is DISTRIBUTED (range partition +
+    per-partition rank + broadcast prefix offsets — ``_global_rank``),
+    never a single-task ORDER BY window; bucket = ((rank-1)·n) div N is
+    exact integer arithmetic, engine-portable."""
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    scored = unigram_logprob_score(
+        df, text_col, id_col, freq_df, smoothing
+    ).withColumn("mean_logprob", F.round("mean_logprob", 6))
+    from ratatool_spark.cache import persist_tracked
+
+    scored = persist_tracked(scored)
+    n = scored.count() or 1  # empty input: no rows to bucket, avoid DIV 0
+    ranked = _global_rank(
+        scored,
+        [F.col("mean_logprob").desc_nulls_last(), F.col(id_col)],
+        "rank",
+    )
+    return ranked.withColumn(
+        "bucket",
+        F.expr(f"CAST(((rank - 1) * {n_buckets}) DIV {n} AS INT)"),
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame,
     dice_cols: Sequence[str | Column] = ("doc_id",),

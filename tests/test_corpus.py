@@ -917,3 +917,34 @@ def test_temperature_mixture_rates_and_extremes(spark):
 
     with _pt.raises(ValueError):
         temperature_mixture(df, alpha=1.5)
+
+
+def test_perplexity_buckets_equal_population_and_order(spark, documents):
+    from ratatool_spark.operators.corpus import perplexity_buckets
+
+    out = perplexity_buckets(documents, n_buckets=4).collect()
+    n = len(out)
+    assert n == documents.count()
+    sizes = {}
+    for r in out:
+        sizes[r["bucket"]] = sizes.get(r["bucket"], 0) + 1
+    assert set(sizes) == {0, 1, 2, 3}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # rank is a dense permutation and ordered by score desc
+    ranks = sorted(r["rank"] for r in out)
+    assert ranks == list(range(1, n + 1))
+    by_rank = sorted(out, key=lambda r: r["rank"])
+    scores = [r["mean_logprob"] for r in by_rank if r["mean_logprob"] is not None]
+    assert scores == sorted(scores, reverse=True)
+    # head bucket scores >= tail bucket scores
+    head = [r["mean_logprob"] for r in out if r["bucket"] == 0]
+    tail = [r["mean_logprob"] for r in out if r["bucket"] == 3 and r["mean_logprob"] is not None]
+    if head and tail:
+        assert min(head) >= max(tail)
+
+
+def test_perplexity_buckets_validation(spark, documents):
+    from ratatool_spark.operators.corpus import perplexity_buckets
+
+    with pytest.raises(ValueError):
+        perplexity_buckets(documents, n_buckets=0)
