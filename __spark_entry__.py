@@ -6900,6 +6900,27 @@ _NGRAMS3_SQL = (
 ).format(w="string_split(trim(text), ' ')")
 
 
+def _q_tfrecord_roundtrip(spark, sf_dir):
+    """TFRecord-of-Example roundtrip (sources/tfrecord_py): documents
+    written as CRC-verified framed tf.train.Example protos (one shard per
+    partition, on the executors) and scanned back via binaryFile +
+    mapInPandas — the training-shard container TF/JAX consumers read,
+    produced jar-free."""
+    import os
+    import tempfile
+
+    from ratatool_spark.sources.tfrecord_py import read_tfrecord, write_tfrecord
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = os.path.join(tempfile.mkdtemp(prefix="rt_tfr_"), "docs")
+    write_tfrecord(docs.repartition(4, "doc_id"), path)
+    return read_tfrecord(spark, path, docs.schema)
+
+
+def _sql_tfrecord_roundtrip() -> str:
+    return "SELECT doc_id, text, lang, source, n_chars FROM documents"
+
+
 def _q_perplexity_buckets(spark, sf_dir):
     """CCNet quality tiers (corpus.perplexity_buckets): unigram-LM scores
     → DISTRIBUTED global rank (range partition + broadcast prefix
@@ -7428,6 +7449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- round 6: new or behaviour-changed this round ---------------
+        "tfrecord_roundtrip_documents": _q_tfrecord_roundtrip,
         "perplexity_buckets_docs": _q_perplexity_buckets,
         "winnow_fingerprints_docs": _q_winnow_fingerprints,
         "winnow_candidate_pairs": _q_winnow_pairs,
@@ -7597,6 +7619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "tfrecord_roundtrip_documents": _sql_tfrecord_roundtrip(),
         "perplexity_buckets_docs": _sql_perplexity_buckets(),
         "winnow_fingerprints_docs": _sql_winnow_fingerprints(),
         "winnow_candidate_pairs": _sql_winnow_pairs(),

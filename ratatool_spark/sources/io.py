@@ -30,6 +30,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 PARQUET, AVRO, JSON, CSV, ORC = "parquet", "avro", "json", "csv", "orc"
+TFRECORD = "tfrecord"
 _EXT = {
     ".parquet": PARQUET,
     ".avro": AVRO,
@@ -37,6 +38,7 @@ _EXT = {
     ".ndjson": JSON,
     ".csv": CSV,
     ".orc": ORC,
+    ".tfrecord": TFRECORD,
 }
 
 
@@ -67,6 +69,17 @@ def read_table(
         from ratatool_spark.sources.avro_py import read_avro
 
         return read_avro(spark, path)
+    if fmt == TFRECORD:
+        from ratatool_spark.sources.tfrecord_py import read_tfrecord
+
+        schema = options.pop("schema", None)
+        if schema is None:
+            raise ValueError(
+                "tfrecord reads need an explicit schema= (tf.train.Example "
+                "carries no file-level schema — same contract as "
+                "parse_example)"
+            )
+        return read_tfrecord(spark, path, schema)
     reader = spark.read
     schema = options.pop("schema", None)
     if schema is not None:
@@ -143,6 +156,18 @@ def write_table(
         if mode == "error" and os.path.exists(path) and os.listdir(path):
             raise FileExistsError(path)
         write_avro(df, path)
+        return True
+    if fmt == TFRECORD:
+        from ratatool_spark.sources.tfrecord_py import write_tfrecord
+
+        if partition_by:
+            raise NotImplementedError(
+                "partition_by with the tfrecord sink: shard by key "
+                "upstream (sources/shards.py) instead"
+            )
+        if mode == "error" and os.path.exists(path) and os.listdir(path):
+            raise FileExistsError(path)
+        write_tfrecord(df, path)
         return True
     writer = df.write.mode(mode)
     if partition_by:
