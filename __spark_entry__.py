@@ -6900,6 +6900,75 @@ _NGRAMS3_SQL = (
 ).format(w="string_split(trim(text), ' ')")
 
 
+def _q_bm25_topk(spark, sf_dir):
+    """BM25 top-k retrieval (operators/retrieval.bm25_topk): Lucene-form
+    idf, fixed-point micro-unit score sums (order-independent), postings
+    never shuffled on term — the enriched query-term table (idf
+    precomputed) is broadcast into them. Queries = the first 6 tokens of
+    docs 0-4 (self-retrieval shape)."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.retrieval import _terms, bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = docs.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(_terms(F.col("text")), 1, 6)).alias("qtext"),
+    )
+    return bm25_topk(docs, q, k=5)
+
+
+def _sql_bm25_topk() -> str:
+    return """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(lower(text)), ' '),
+                     t -> len(t) > 0) AS ls
+  FROM documents
+), dl AS (
+  SELECT doc_id, len(ls) AS dl, ls FROM base WHERE len(ls) >= 1
+), tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(ls) AS term FROM dl)
+  GROUP BY doc_id, dl, term
+), dfreq AS (
+  SELECT term, count(*) AS dfreq FROM tf GROUP BY term
+), stats AS (
+  SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dl
+), q AS (
+  SELECT doc_id AS query_id,
+         (list_filter(string_split(trim(lower(text)), ' '),
+                      t -> len(t) > 0))[1:6] AS qls
+  FROM documents WHERE doc_id < 5
+), qtf AS (
+  SELECT query_id, term, count(*) AS qtf
+  FROM (SELECT query_id, unnest(qls) AS term FROM q)
+  GROUP BY query_id, term
+), scored AS (
+  SELECT qtf.query_id, tf.doc_id,
+         SUM(CAST(ROUND(
+           ln((stats.n_docs - dfreq.dfreq + 0.5::DOUBLE)
+              / (dfreq.dfreq + 0.5::DOUBLE) + 1.0::DOUBLE)
+           * (tf.tf * (1.2::DOUBLE + 1.0::DOUBLE))
+           / (tf.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+              + 0.75::DOUBLE * tf.dl * stats.n_docs / stats.total_dl))
+           * qtf.qtf * 1000000.0::DOUBLE, 0) AS BIGINT)) AS score_fx
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN qtf USING (term)
+  CROSS JOIN stats
+  GROUP BY qtf.query_id, tf.doc_id
+), ranked AS (
+  SELECT query_id, doc_id,
+         CAST(score_fx AS DOUBLE) / 1000000.0::DOUBLE AS score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_fx DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 5
+"""
+
+
 def _q_tfrecord_roundtrip(spark, sf_dir):
     """TFRecord-of-Example roundtrip (sources/tfrecord_py): documents
     written as CRC-verified framed tf.train.Example protos (one shard per
@@ -7449,6 +7518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- round 6: new or behaviour-changed this round ---------------
+        "bm25_topk_docs": _q_bm25_topk,
         "tfrecord_roundtrip_documents": _q_tfrecord_roundtrip,
         "perplexity_buckets_docs": _q_perplexity_buckets,
         "winnow_fingerprints_docs": _q_winnow_fingerprints,
@@ -7619,6 +7689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bm25_topk_docs": _sql_bm25_topk(),
         "tfrecord_roundtrip_documents": _sql_tfrecord_roundtrip(),
         "perplexity_buckets_docs": _sql_perplexity_buckets(),
         "winnow_fingerprints_docs": _sql_winnow_fingerprints(),

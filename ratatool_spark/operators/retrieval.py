@@ -1,0 +1,245 @@
+"""BM25 full-text retrieval over a document corpus.
+
+Extension family (no spotify/ratatool counterpart): lexical top-k
+retrieval — the text-side twin of the embedding ANN operators in
+``operators/similarity.py`` — for RAG candidate generation and
+text-based hard-negative mining over a training corpus.
+
+Scoring is Lucene-style BM25 (Robertson/Sparck Jones probabilistic
+relevance, the ``+1`` idf form that never goes negative)::
+
+    idf(t)  = ln((N - df + 0.5) / (df + 0.5) + 1)
+    s(q, d) = sum_t qtf * idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+Plan shape (the 100 TB story):
+
+* postings are built with ONE map-side-combined ``groupBy(doc_id, term)``
+  — ``dl`` rides along from the tokenize projection, so document length
+  never needs a second join against the fact table;
+* term statistics (``df``) are a vocab-sized aggregate; the QUERY terms
+  (small) are broadcast into it, and the tiny enriched result
+  (one row per distinct query term, idf precomputed) is broadcast into
+  the postings — the posting table itself is **never shuffled on term**,
+  so stopword-skewed posting lists cannot create a hot task;
+* per-term contributions are quantized to fixed-point micro-units
+  (``round(contrib * 1e6) :: long``) and summed as exact integers, so
+  the score is independent of float summation order (cross-engine /
+  cross-run bit-stable); ties rank deterministically by ``doc_id``;
+* the final rank is the SOLE window function (``row_number`` per
+  query), which Spark rewrites to WindowGroupLimit per-task k-heaps.
+
+``max_df`` optionally drops ultra-common terms from the index — at corpus
+scale the posting list of a stopword is O(N) rows and contributes ~0
+score (idf ≈ ln(1) for df ≈ N); capping it bounds the broadcast-join
+fan-out per query term.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Fixed-point scale for per-term score contributions: micro-units keep
+# the cross-engine ln() ULP wiggle (~1e-15 absolute) five orders of
+# magnitude away from a rounding boundary while 6-decimal score output
+# stays exact.
+_SCALE = 1_000_000.0
+
+
+def _terms(text: Column, lowercase: bool = True) -> Column:
+    """Empty-filtered whitespace terms (optionally lowercased) — the
+    repo's standard ``functions.text.tokens`` split with the empty
+    tokens from runs of spaces removed."""
+    t = F.lower(text) if lowercase else text
+    return F.filter(F.split(F.trim(t), " "), lambda x: F.length(x) > 0)
+
+
+def build_bm25_postings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(postings, dfreq, stats) for a BM25 index.
+
+    ``postings``: (doc_id, dl, term, tf) — one map-side-combined
+    aggregate; ``dl`` (document length) rides along from the tokenize
+    projection. ``dfreq``: (term, dfreq) vocab-sized. ``stats``: ONE row
+    (n_docs, total_dl). Empty/NULL-text documents are excluded from the
+    index and from the corpus statistics.
+    """
+    base = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            _terms(F.col(text_col), lowercase).alias("__ls"),
+        )
+        .where(F.size("__ls") >= 1)
+        .withColumn("dl", F.size("__ls"))
+    )
+    postings = (
+        base.select("doc_id", "dl", F.explode("__ls").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
+    return postings, dfreq, stats
+
+
+def _score_postings(
+    postings: DataFrame,
+    dfreq: DataFrame,
+    stats: DataFrame,
+    queries: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+    query_id_col: str,
+    query_text_col: str,
+    lowercase: bool,
+    max_df: int | None,
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    qt = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(_terms(F.col(query_text_col), lowercase)).alias("term"),
+        )
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).alias("qtf"))
+    )
+    if max_df is not None:
+        dfreq = dfreq.where(F.col("dfreq") <= max_df)
+    # Query terms (small) broadcast into the vocab-sized df table, the
+    # one-row stats broadcast on top: the enriched result is one row per
+    # distinct (query, term) with idf precomputed.
+    idf = F.log(
+        (F.col("n_docs") - F.col("dfreq") + F.lit(0.5))
+        / (F.col("dfreq") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    enriched = (
+        dfreq.join(F.broadcast(qt), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("term", "query_id", "qtf", "n_docs", "total_dl", idf.alias("idf"))
+    )
+    # Broadcast the enriched query terms into the postings: the posting
+    # table is filtered+scored in place, never shuffled on term.
+    norm = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0)
+        - F.lit(b)
+        + F.lit(b) * F.col("dl") * F.col("n_docs") / F.col("total_dl")
+    )
+    contrib = (
+        F.col("idf") * (F.col("tf") * (F.lit(k1) + F.lit(1.0))) / norm
+    ) * F.col("qtf")
+    fx = F.round(contrib * F.lit(_SCALE), 0).cast("long")
+    scored = (
+        postings.join(F.broadcast(enriched), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(fx).alias("score_fx"))
+    )
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy(F.desc("score_fx"), F.asc("doc_id"))
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("score_fx").cast("double") / F.lit(_SCALE)).alias("score"),
+            "rank",
+        )
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+    lowercase: bool = True,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Top-k BM25 matches per query: (query_id, doc_id, score, rank).
+
+    ``queries`` is a (small) table of raw query strings; it is tokenized
+    with the same analyzer as the documents. Scores are exact
+    fixed-point micro-unit sums (order-independent); ties break on
+    ``doc_id`` so ranks are deterministic.
+    """
+    postings, dfreq, stats = build_bm25_postings(docs, id_col, text_col, lowercase)
+    return _score_postings(
+        postings, dfreq, stats, queries, k, k1, b,
+        query_id_col, query_text_col, lowercase, max_df,
+    )
+
+
+def save_bm25_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> dict:
+    """Persist a build-once/query-many BM25 index: ``postings/`` and
+    ``dfreq/`` parquet plus a ``stats.json`` sidecar carrying the corpus
+    statistics AND the analyzer parameter, so a query-time mismatch
+    (different lowercase setting than the build) is impossible rather
+    than silently wrong — same sidecar pattern as the classifier model
+    artifacts (``operators/corpus.py``)."""
+    postings, dfreq, stats = build_bm25_postings(docs, id_col, text_col, lowercase)
+    postings.write.mode("overwrite").parquet(os.path.join(path, "postings"))
+    dfreq.write.mode("overwrite").parquet(os.path.join(path, "dfreq"))
+    row = stats.collect()[0]
+    side = {
+        "n_docs": row["n_docs"],
+        "total_dl": int(row["total_dl"]),
+        "lowercase": lowercase,
+        "format_version": 1,
+    }
+    with open(os.path.join(path, "stats.json"), "w") as fh:
+        json.dump(side, fh)
+    return side
+
+
+def bm25_topk_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Query a persisted BM25 index (see :func:`save_bm25_index`)
+    without re-tokenizing the corpus."""
+    with open(os.path.join(path, "stats.json")) as fh:
+        side = json.load(fh)
+    postings = spark.read.parquet(os.path.join(path, "postings"))
+    dfreq = spark.read.parquet(os.path.join(path, "dfreq"))
+    stats = spark.range(1).select(
+        F.lit(side["n_docs"]).cast("long").alias("n_docs"),
+        F.lit(side["total_dl"]).cast("long").alias("total_dl"),
+    )
+    return _score_postings(
+        postings, dfreq, stats, queries, k, k1, b,
+        query_id_col, query_text_col, bool(side["lowercase"]), max_df,
+    )

@@ -1,0 +1,129 @@
+"""BM25 retrieval (operators/retrieval): scoring sanity, python replay,
+determinism, max_df capping, persisted-index equivalence."""
+
+import math
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from ratatool_spark.operators.retrieval import (
+    bm25_topk,
+    bm25_topk_index,
+    build_bm25_postings,
+    save_bm25_index,
+)
+
+DOCS = [
+    (0, "the cat sat on the mat"),
+    (1, "the dog chased the cat"),
+    (2, "a quick brown fox"),
+    (3, "the quick  dog"),  # double space -> empty token filtered
+    (4, ""),  # empty: excluded from index and stats
+    (5, None),  # NULL: excluded
+]
+QUERIES = [(100, "quick dog"), (101, "CAT"), (102, "zzz-unseen")]
+
+
+def _py_bm25(docs, queries, k1=1.2, b=0.75):
+    """Row-at-a-time reference implementation."""
+    toks = {
+        i: [t for t in (s or "").strip().lower().split(" ") if t]
+        for i, s in docs
+    }
+    toks = {i: ls for i, ls in toks.items() if ls}
+    n = len(toks)
+    avgdl = sum(len(ls) for ls in toks.values()) / n
+    df = {}
+    for ls in toks.values():
+        for t in set(ls):
+            df[t] = df.get(t, 0) + 1
+    out = {}
+    for qid, qs in queries:
+        for i, ls in toks.items():
+            s = 0.0
+            for t in [x for x in qs.strip().lower().split(" ") if x]:
+                if t not in df:
+                    continue
+                tf = ls.count(t)
+                if tf == 0:
+                    continue
+                idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+                contrib = idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * len(ls) / avgdl)
+                )
+                s += round(contrib * 1e6)
+            if s:
+                out[(qid, i)] = s / 1e6
+    return out
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    q = spark.createDataFrame(QUERIES, "query_id long, qtext string")
+    return docs, q
+
+
+def test_bm25_matches_python_replay(tables):
+    docs, q = tables
+    got = {
+        (r.query_id, r.doc_id): r.score
+        for r in bm25_topk(docs, q, k=10).collect()
+    }
+    want = _py_bm25(DOCS, QUERIES)
+    assert got == pytest.approx(want)
+
+
+def test_bm25_rank_deterministic_and_bounded(tables):
+    docs, q = tables
+    rows = bm25_topk(docs, q, k=2).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        assert len(rs) <= 2
+    # unseen-term query matches nothing
+    assert 102 not in by_q
+
+
+def test_bm25_stats_exclude_empty_docs(tables):
+    docs, _ = tables
+    _, _, stats = build_bm25_postings(docs)
+    row = stats.collect()[0]
+    assert row.n_docs == 4  # doc 4 (empty) and 5 (NULL) excluded
+    assert row.total_dl == 6 + 5 + 4 + 3
+
+
+def test_bm25_max_df_drops_stopword(tables):
+    docs, q = tables
+    # "the" has df=3; cap at 2 removes it from the index entirely
+    full = bm25_topk(docs, q, k=10).collect()
+    capped = bm25_topk(docs, q, k=10, max_df=2).collect()
+    # query terms here have df <= 2, so results identical
+    assert sorted(map(tuple, full)) == sorted(map(tuple, capped))
+    the_q = docs.sparkSession.createDataFrame(
+        [(0, "the")], "query_id long, qtext string"
+    )
+    assert bm25_topk(docs, the_q, k=10, max_df=2).count() == 0
+    assert bm25_topk(docs, the_q, k=10).count() == 3
+
+
+def test_bm25_index_roundtrip_matches_direct(tables):
+    docs, q = tables
+    path = os.path.join(tempfile.mkdtemp(), "bm25_idx")
+    side = save_bm25_index(docs, path)
+    assert side["n_docs"] == 4 and side["lowercase"] is True
+    spark = docs.sparkSession
+    direct = sorted(map(tuple, bm25_topk(docs, q, k=10).collect()))
+    via_idx = sorted(map(tuple, bm25_topk_index(spark, path, q, k=10).collect()))
+    assert direct == via_idx
+
+
+def test_bm25_k_validation(tables):
+    docs, q = tables
+    with pytest.raises(ValueError, match="k must be"):
+        bm25_topk(docs, q, k=0)
