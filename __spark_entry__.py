@@ -6918,9 +6918,9 @@ def _q_bm25_topk(spark, sf_dir):
     return bm25_topk(docs, q, k=5)
 
 
-def _sql_bm25_topk() -> str:
-    return """
-WITH base AS (
+# Shared BM25 CTE chain (tokenize -> postings -> df/stats -> query terms
+# -> fixed-point scores -> ranks); reused by the hybrid-fusion twin.
+_BM25_CTES = """base AS (
   SELECT doc_id,
          list_filter(string_split(trim(lower(text)), ' '),
                      t -> len(t) > 0) AS ls
@@ -6964,9 +6964,78 @@ WITH base AS (
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY score_fx DESC, doc_id) AS rank
   FROM scored
+)"""
+
+
+def _sql_bm25_topk() -> str:
+    return (
+        "WITH " + _BM25_CTES
+        + "\nSELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 5"
+    )
+
+
+def _q_hybrid_retrieval(spark, sf_dir):
+    """Hybrid retrieval (retrieval.rrf_fuse): reciprocal-rank fusion of
+    BM25 lexical top-5 and exact-cosine embedding top-5 per query
+    (queries = ids 0-4, the doc/vec id spaces are aligned). RRF
+    contributions quantized to exact nano-units so fused scores are
+    order- and engine-independent; fusion input is top-k-bounded so the
+    combine is O(queries*k*systems) regardless of corpus size."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.retrieval import _terms, bm25_topk, rrf_fuse
+    from ratatool_spark.operators.similarity import brute_force_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q_lex = docs.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(_terms(F.col("text")), 1, 6)).alias("qtext"),
+    )
+    lex = bm25_topk(docs, q_lex, k=5)
+    vec = brute_force_topk(
+        emb, emb.where(F.col("vec_id") < 5), k=5
+    ).withColumnRenamed("neighbor_id", "doc_id")
+    return rrf_fuse([lex, vec], k_rrf=60, topk=5)
+
+
+def _sql_hybrid_retrieval() -> str:
+    return (
+        "WITH " + _BM25_CTES
+        + f""", lex AS (
+  SELECT query_id, doc_id, rank FROM ranked WHERE rank <= 5
+), vecscored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         {_COS_SQL} AS cosine
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+), vecranked AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, doc_id) AS rank
+  FROM vecscored
+), unioned AS (
+  SELECT query_id, doc_id,
+         CAST(ROUND(1000000000.0::DOUBLE / (60 + rank), 0) AS BIGINT) AS fx
+  FROM lex
+  UNION ALL
+  SELECT query_id, doc_id,
+         CAST(ROUND(1000000000.0::DOUBLE / (60 + rank), 0) AS BIGINT) AS fx
+  FROM vecranked WHERE rank <= 5
+), fused AS (
+  SELECT query_id, doc_id, SUM(fx) AS score_fx, COUNT(*) AS n_systems
+  FROM unioned GROUP BY query_id, doc_id
+), franked AS (
+  SELECT query_id, doc_id,
+         CAST(score_fx AS DOUBLE) / 1000000000.0::DOUBLE AS rrf_score,
+         n_systems,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_fx DESC, doc_id) AS rank
+  FROM fused
 )
-SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 5
-"""
+SELECT query_id, doc_id, rrf_score, n_systems, rank
+FROM franked WHERE rank <= 5"""
+    )
 
 
 def _q_tfrecord_roundtrip(spark, sf_dir):
@@ -7519,6 +7588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round 6: new or behaviour-changed this round ---------------
         "bm25_topk_docs": _q_bm25_topk,
+        "hybrid_retrieval_rrf": _q_hybrid_retrieval,
         "tfrecord_roundtrip_documents": _q_tfrecord_roundtrip,
         "perplexity_buckets_docs": _q_perplexity_buckets,
         "winnow_fingerprints_docs": _q_winnow_fingerprints,
@@ -7690,6 +7760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk_docs": _sql_bm25_topk(),
+        "hybrid_retrieval_rrf": _sql_hybrid_retrieval(),
         "tfrecord_roundtrip_documents": _sql_tfrecord_roundtrip(),
         "perplexity_buckets_docs": _sql_perplexity_buckets(),
         "winnow_fingerprints_docs": _sql_winnow_fingerprints(),

@@ -190,6 +190,65 @@ def bm25_topk(
     )
 
 
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    k_rrf: int = 60,
+    topk: int | None = None,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al.) of N per-query rankings —
+    the standard hybrid-retrieval combiner (e.g. BM25 lexical ranks +
+    embedding ANN ranks): ``score(d) = sum_systems 1/(k_rrf + rank_s(d))``.
+
+    Each input exposes (query_col, id_col, rank_col); rename upstream if
+    a ranker uses different names (e.g. ANN's ``neighbor_id``).
+    Contributions are quantized to exact nano-units
+    (``round(1e9/(k+rank)) :: long``) before summing, so fused scores
+    are order- and engine-independent; ties rank by id. Per-ranking
+    candidate lists are top-k-bounded upstream, so the union + one
+    map-side-combined aggregate is tiny relative to the corpora —
+    fusion cost is O(queries · k · systems) regardless of corpus size.
+    """
+    from functools import reduce
+
+    from pyspark.sql.window import Window
+
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    if k_rrf < 1:
+        raise ValueError(f"k_rrf must be >= 1, got {k_rrf}")
+    parts = [
+        r.select(
+            F.col(query_col).alias("query_id"),
+            F.col(id_col).alias("doc_id"),
+            F.round(
+                F.lit(1.0e9) / (F.lit(k_rrf) + F.col(rank_col)), 0
+            ).cast("long").alias("__fx"),
+        )
+        for r in rankings
+    ]
+    unioned = reduce(lambda a, b: a.unionByName(b), parts)
+    fused = unioned.groupBy("query_id", "doc_id").agg(
+        F.sum("__fx").alias("score_fx"),
+        F.count(F.lit(1)).alias("n_systems"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_fx"), F.asc("doc_id")
+    )
+    out = fused.withColumn("rank", F.row_number().over(w))
+    if topk is not None:
+        out = out.where(F.col("rank") <= topk)
+    return out.select(
+        "query_id",
+        "doc_id",
+        (F.col("score_fx").cast("double") / F.lit(1.0e9)).alias("rrf_score"),
+        "n_systems",
+        "rank",
+    )
+
+
 def save_bm25_index(
     docs: DataFrame,
     path: str,

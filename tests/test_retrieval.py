@@ -123,6 +123,46 @@ def test_bm25_index_roundtrip_matches_direct(tables):
     assert direct == via_idx
 
 
+def test_rrf_fuse_matches_python_replay(spark):
+    from ratatool_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 20, 1)],
+        "query_id long, doc_id long, rank long",
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 12, 2), (2, 20, 1)],
+        "query_id long, doc_id long, rank long",
+    )
+    rows = {
+        (r.query_id, r.doc_id): (r.rrf_score, r.n_systems, r.rank)
+        for r in rrf_fuse([a, b], k_rrf=60).collect()
+    }
+
+    def s(*ranks):
+        return sum(round(1e9 / (60 + r)) for r in ranks) / 1e9
+
+    # doc 11 appears in both systems -> highest fused score for query 1
+    assert rows[(1, 11)] == (pytest.approx(s(2, 1)), 2, 1)
+    assert rows[(1, 10)] == (pytest.approx(s(1)), 1, 2)
+    assert rows[(1, 12)] == (pytest.approx(s(2)), 1, 3)
+    assert rows[(2, 20)] == (pytest.approx(s(1, 1)), 2, 1)
+
+
+def test_rrf_fuse_topk_and_validation(spark):
+    from ratatool_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, doc_id long, rank long",
+    )
+    assert rrf_fuse([a], topk=2).count() == 2
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+    with pytest.raises(ValueError, match="k_rrf"):
+        rrf_fuse([a], k_rrf=0)
+
+
 def test_bm25_k_validation(tables):
     docs, q = tables
     with pytest.raises(ValueError, match="k must be"):
