@@ -6974,6 +6974,99 @@ def _sql_bm25_topk() -> str:
     )
 
 
+def _q_c4_page_filter(spark, sf_dir):
+    """C4 page/line cleaning (corpus.c4_page_filter, Raffel et al. §2.2):
+    terminal-punctuation + min-words line filter, lorem-ipsum / brace /
+    badword page flags. The flat synthetic text has no newlines or
+    punctuation, so the gate builds a deterministic multi-line fixture
+    from token slices (short line, unterminated line, parity-gated
+    terminal line, mod-gated lorem/brace/badword lines) — every rule
+    fires on some documents. Pure expressions over one scan."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.corpus import c4_page_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ls = F.filter(
+        F.split(F.trim(F.col("text")), " "), lambda t: F.length(t) > 0
+    )
+    did = F.col("doc_id")
+    text2 = F.concat(
+        F.concat_ws(" ", F.slice(ls, 1, 6)), F.lit(".\n"),
+        F.concat_ws(" ", F.slice(ls, 7, 3)), F.lit("!\n"),
+        F.concat_ws(" ", F.slice(ls, 10, 7)), F.lit("\n"),
+        F.concat_ws(" ", F.slice(ls, 17, 8)),
+        F.when(did % 2 == 0, F.lit("?")).otherwise(F.lit("")),
+        F.when(did % 17 == 0, F.lit("\nlorem ipsum dolor sit amet."))
+        .otherwise(F.lit("")),
+        F.when(did % 13 == 0, F.lit("\nvar x = { a: 1 };"))
+        .otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.lit("\nthis page mentions badword1 five times total."),
+        ).otherwise(F.lit("")),
+    )
+    fixture = docs.select("doc_id", text2.alias("text"))
+    return c4_page_filter(
+        fixture,
+        min_words_per_line=5,
+        min_kept_lines=2,
+        badwords=("badword1", "badword2"),
+    )
+
+
+def _sql_c4_page_filter() -> str:
+    return """
+WITH src AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(text), ' '), t -> len(t) > 0) AS ls
+  FROM documents
+), built AS (
+  SELECT doc_id,
+    coalesce(array_to_string(ls[1:6], ' '), '') || '.' || chr(10) ||
+    coalesce(array_to_string(ls[7:9], ' '), '') || '!' || chr(10) ||
+    coalesce(array_to_string(ls[10:16], ' '), '') || chr(10) ||
+    coalesce(array_to_string(ls[17:24], ' '), '') ||
+    CASE WHEN doc_id % 2 = 0 THEN '?' ELSE '' END ||
+    CASE WHEN doc_id % 17 = 0
+         THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END ||
+    CASE WHEN doc_id % 13 = 0
+         THEN chr(10) || 'var x = { a: 1 };' ELSE '' END ||
+    CASE WHEN doc_id % 11 = 0
+         THEN chr(10) || 'this page mentions badword1 five times total.'
+         ELSE '' END AS text2
+  FROM src
+), kept AS (
+  SELECT doc_id, text2,
+    string_split(text2, chr(10)) AS lns,
+    list_filter(list_transform(string_split(text2, chr(10)), x -> trim(x)),
+      ln -> len(list_filter(string_split(ln, ' '), t -> len(t) > 0)) >= 5
+            AND regexp_matches(ln, '[.!?"]$')) AS keptl
+  FROM built
+)
+SELECT doc_id,
+  array_to_string(keptl, chr(10)) AS clean_text,
+  len(lns) AS n_lines,
+  len(keptl) AS n_kept_lines,
+  contains(lower(text2), 'lorem ipsum') AS has_lorem_ipsum,
+  contains(lower(text2), '{') AS has_brace,
+  len(list_intersect(
+    list_filter(
+      string_split(regexp_replace(lower(text2), chr(10), ' ', 'g'), ' '),
+      t -> len(t) > 0),
+    ['badword1', 'badword2'])) > 0 AS has_badword,
+  (len(keptl) >= 2
+   AND NOT contains(lower(text2), 'lorem ipsum')
+   AND NOT contains(lower(text2), '{')
+   AND NOT len(list_intersect(
+     list_filter(
+       string_split(regexp_replace(lower(text2), chr(10), ' ', 'g'), ' '),
+       t -> len(t) > 0),
+     ['badword1', 'badword2'])) > 0) AS keep
+FROM kept
+"""
+
+
 def _q_hybrid_retrieval(spark, sf_dir):
     """Hybrid retrieval (retrieval.rrf_fuse): reciprocal-rank fusion of
     BM25 lexical top-5 and exact-cosine embedding top-5 per query
@@ -7589,6 +7682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round 6: new or behaviour-changed this round ---------------
         "bm25_topk_docs": _q_bm25_topk,
         "hybrid_retrieval_rrf": _q_hybrid_retrieval,
+        "c4_page_filter_docs": _q_c4_page_filter,
         "tfrecord_roundtrip_documents": _q_tfrecord_roundtrip,
         "perplexity_buckets_docs": _q_perplexity_buckets,
         "winnow_fingerprints_docs": _q_winnow_fingerprints,
@@ -7761,6 +7855,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk_docs": _sql_bm25_topk(),
         "hybrid_retrieval_rrf": _sql_hybrid_retrieval(),
+        "c4_page_filter_docs": _sql_c4_page_filter(),
         "tfrecord_roundtrip_documents": _sql_tfrecord_roundtrip(),
         "perplexity_buckets_docs": _sql_perplexity_buckets(),
         "winnow_fingerprints_docs": _sql_winnow_fingerprints(),

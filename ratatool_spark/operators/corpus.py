@@ -558,6 +558,73 @@ def chunk_documents(
     )
 
 
+def c4_page_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+    badwords: Sequence[str] = (),
+) -> DataFrame:
+    """C4 page/line cleaning (Raffel et al. 2020, §2.2) — the named
+    pipeline the original T5 corpus was built with, as per-rule columns:
+
+    * line filter: keep only lines with >= ``min_words_per_line`` words
+      that end in terminal punctuation (``. ! ?`` or a closing double
+      quote); ``clean_text`` is the kept lines re-joined;
+    * page filters: ``has_lorem_ipsum`` (placeholder text),
+      ``has_brace`` (``{`` — code leakage), ``has_badword`` (word-level
+      match against the provided list), and fewer than
+      ``min_kept_lines`` surviving lines (C4 uses a 3-sentence minimum;
+      lines stand in for sentences here, documented divergence);
+    * ``keep`` is the AND of all page rules.
+
+    Word matching for badwords is token-exact (not substring), so
+    "Scunthorpe" survives a "horse"-style list.
+
+    100 TB shape: pure column expressions (split / higher-order filter /
+    array ops) over one scan — no shuffle, no Python, no joins."""
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    trimmed = F.transform(lines, lambda ln: F.trim(ln))
+
+    def _nwords(ln):
+        return F.size(F.filter(F.split(ln, " "), lambda t: F.length(t) > 0))
+
+    kept = F.filter(
+        trimmed,
+        lambda ln: (_nwords(ln) >= min_words_per_line)
+        & ln.rlike('[.!?"]$'),
+    )
+    toks_lower = F.filter(
+        F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"[ \n]"),
+        lambda t: F.length(t) > 0,
+    )
+    bad = (
+        F.arrays_overlap(
+            toks_lower, F.array(*[F.lit(w.lower()) for w in badwords])
+        )
+        if badwords
+        else F.lit(False)
+    )
+    low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    out = df.select(
+        F.col(id_col).alias(id_col),
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        low.contains("lorem ipsum").alias("has_lorem_ipsum"),
+        low.contains("{").alias("has_brace"),
+        bad.alias("has_badword"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("n_kept_lines") >= min_kept_lines)
+        & ~F.col("has_lorem_ipsum")
+        & ~F.col("has_brace")
+        & ~F.col("has_badword"),
+    )
+
+
 def contamination(
     df: DataFrame,
     benchmark: DataFrame,

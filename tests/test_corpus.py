@@ -948,3 +948,51 @@ def test_perplexity_buckets_validation(spark, documents):
 
     with pytest.raises(ValueError):
         perplexity_buckets(documents, n_buckets=0)
+
+
+def test_c4_page_filter_rules(spark):
+    from ratatool_spark.operators.corpus import c4_page_filter
+
+    docs = spark.createDataFrame(
+        [
+            # 2 good lines (>=5 words, terminal punct) -> kept
+            (0, 'one two three four five ok.\nsix seven eight nine ten done?'),
+            # short line + unterminated line -> nothing kept
+            (1, 'too short.\nfive words but no terminal punct here'),
+            # lorem ipsum page flag
+            (2, 'one two three four five ok.\nlorem ipsum dolor sit amet.'),
+            # brace page flag (line itself dropped, flag sticks)
+            (3, 'one two three four five ok.\nsix seven eight nine ten done?\nvar x = { 1 };'),
+            # badword is token-exact: "badword1x" does NOT match
+            (4, 'one two three badword1x five ok.\nsix seven eight nine ten done?'),
+            (5, 'one two three badword1 five ok.\nsix seven eight nine ten done?'),
+            (6, None),  # NULL text
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in c4_page_filter(
+            docs, min_kept_lines=2, badwords=("badword1",)
+        ).collect()
+    }
+    assert rows[0].keep and rows[0].n_kept_lines == 2
+    assert rows[0].clean_text.count("\n") == 1
+    assert not rows[1].keep and rows[1].n_kept_lines == 0
+    assert rows[2].has_lorem_ipsum and not rows[2].keep
+    assert rows[3].has_brace and not rows[3].keep
+    assert rows[3].n_kept_lines == 2  # brace line dropped by line rule
+    assert not rows[4].has_badword and rows[4].keep
+    assert rows[5].has_badword and not rows[5].keep
+    assert not rows[6].keep and rows[6].n_kept_lines == 0
+
+
+def test_c4_page_filter_quote_terminal_and_min_words(spark):
+    from ratatool_spark.operators.corpus import c4_page_filter
+
+    docs = spark.createDataFrame(
+        [(0, 'he said "one two three four five."\nsix seven eight nine ten done?')],
+        "doc_id long, text string",
+    )
+    r = c4_page_filter(docs, min_kept_lines=2).collect()[0]
+    assert r.n_kept_lines == 2 and r.keep
