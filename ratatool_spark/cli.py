@@ -596,6 +596,56 @@ def build_parser() -> argparse.ArgumentParser:
         help="write the one-row verdict instead of per-class rows",
     )
     ka.add_argument("--format", default=None, help="override input format sniffing")
+
+    bm = sub.add_parser(
+        "bm25Search",
+        help="BM25 top-k lexical retrieval (fixed-point scores); "
+        "optionally against / into a persisted parquet index",
+    )
+    bm.add_argument("--corpus", help="document table (or use --index)")
+    bm.add_argument("--queries", required=True, help="(query_id, qtext) table")
+    bm.add_argument("--output", required=True)
+    bm.add_argument("--index", help="persisted index dir (see --saveIndex)")
+    bm.add_argument("--saveIndex", help="build + persist the index here first")
+    bm.add_argument("--k", type=int, default=10)
+    bm.add_argument("--k1", type=float, default=1.2)
+    bm.add_argument("--b", type=float, default=0.75)
+    bm.add_argument("--textField", default="text")
+    bm.add_argument("--idField", default="doc_id")
+    bm.add_argument("--maxDf", type=int, default=None)
+    bm.add_argument("--format", default=None, help="override input format sniffing")
+
+    rf = sub.add_parser(
+        "rrfFuse",
+        help="reciprocal-rank fusion of N per-query rankings "
+        "(hybrid lexical + vector retrieval)",
+    )
+    rf.add_argument(
+        "--inputs", type=_csv, required=True,
+        help="comma-separated ranking tables (query_id, doc_id, rank)",
+    )
+    rf.add_argument("--output", required=True)
+    rf.add_argument("--kRrf", type=int, default=60)
+    rf.add_argument("--topk", type=int, default=None)
+    rf.add_argument("--format", default=None, help="override input format sniffing")
+
+    c4 = sub.add_parser(
+        "c4Filter",
+        help="C4 page/line cleaning (terminal-punct line filter, "
+        "lorem-ipsum/brace/badword page flags)",
+    )
+    c4.add_argument("--input", required=True)
+    c4.add_argument("--output", required=True)
+    c4.add_argument("--textField", default="text")
+    c4.add_argument("--idField", default="doc_id")
+    c4.add_argument("--minWordsPerLine", type=int, default=5)
+    c4.add_argument("--minKeptLines", type=int, default=3)
+    c4.add_argument("--badwords", type=_csv, default=[])
+    c4.add_argument(
+        "--keepOnly", action="store_true",
+        help="write only pages passing every rule",
+    )
+    c4.add_argument("--format", default=None, help="override input format sniffing")
     return p
 
 
@@ -1213,6 +1263,62 @@ def main(argv: list[str] | None = None) -> int:
             df = read_table(spark, args.input, fmt=args.format)
             fn = k_anonymity_summary if args.summary else k_anonymity
             out = fn(df, args.quasiFields, k=args.k)
+            write_table(out, args.output, mode="overwrite")
+        elif args.command == "bm25Search":
+            from ratatool_spark.operators.retrieval import (
+                bm25_topk,
+                bm25_topk_index,
+                save_bm25_index,
+            )
+
+            q = read_table(spark, args.queries, fmt=args.format)
+            if args.index and not args.corpus:
+                out = bm25_topk_index(
+                    spark, args.index, q,
+                    k=args.k, k1=args.k1, b=args.b, max_df=args.maxDf,
+                )
+            else:
+                if not args.corpus:
+                    raise SystemExit("bm25Search needs --corpus or --index")
+                docs = read_table(spark, args.corpus, fmt=args.format)
+                if args.saveIndex:
+                    save_bm25_index(
+                        docs, args.saveIndex,
+                        id_col=args.idField, text_col=args.textField,
+                    )
+                    out = bm25_topk_index(
+                        spark, args.saveIndex, q,
+                        k=args.k, k1=args.k1, b=args.b, max_df=args.maxDf,
+                    )
+                else:
+                    out = bm25_topk(
+                        docs, q, k=args.k, k1=args.k1, b=args.b,
+                        id_col=args.idField, text_col=args.textField,
+                        max_df=args.maxDf,
+                    )
+            write_table(out, args.output, mode="overwrite")
+        elif args.command == "rrfFuse":
+            from ratatool_spark.operators.retrieval import rrf_fuse
+
+            rankings = [
+                read_table(spark, p, fmt=args.format) for p in args.inputs
+            ]
+            out = rrf_fuse(rankings, k_rrf=args.kRrf, topk=args.topk)
+            write_table(out, args.output, mode="overwrite")
+        elif args.command == "c4Filter":
+            from ratatool_spark.operators.corpus import c4_page_filter
+
+            df = read_table(spark, args.input, fmt=args.format)
+            out = c4_page_filter(
+                df,
+                id_col=args.idField,
+                text_col=args.textField,
+                min_words_per_line=args.minWordsPerLine,
+                min_kept_lines=args.minKeptLines,
+                badwords=tuple(args.badwords),
+            )
+            if args.keepOnly:
+                out = out.where("keep")
             write_table(out, args.output, mode="overwrite")
         return 0
     finally:

@@ -991,3 +991,63 @@ def test_audio_fingerprint_semantics(spark):
         for r in audio_near_dup_pairs(media, max_hamming=6).collect()
     }
     assert pairs == {(2 * k, 2 * k + 1) for k in range(6)}
+
+
+def test_cli_bm25_rrf_c4(spark, tmp_path):
+    from ratatool_spark.cli import main
+
+    docs = str(tmp_path / "docs.parquet")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").write.parquet(docs)
+    q = str(tmp_path / "q.parquet")
+    spark.createDataFrame(
+        [(1, "table scan fast"), (2, "window agg")],
+        "query_id long, qtext string",
+    ).write.parquet(q)
+
+    # direct search
+    out1 = str(tmp_path / "bm25_direct")
+    assert main(
+        ["bm25Search", "--corpus", docs, "--queries", q,
+         "--output", out1, "--k", "3"]
+    ) == 0
+    direct = spark.read.parquet(out1)
+    assert direct.count() == 6
+    assert set(direct.columns) == {"query_id", "doc_id", "score", "rank"}
+
+    # build index, then query it without --corpus
+    idx = str(tmp_path / "bm25_idx")
+    out2 = str(tmp_path / "bm25_via_idx")
+    assert main(
+        ["bm25Search", "--corpus", docs, "--queries", q,
+         "--saveIndex", idx, "--output", out2, "--k", "3"]
+    ) == 0
+    out3 = str(tmp_path / "bm25_idx_only")
+    assert main(
+        ["bm25Search", "--index", idx, "--queries", q,
+         "--output", out3, "--k", "3"]
+    ) == 0
+    a = sorted(map(tuple, spark.read.parquet(out1).collect()))
+    c = sorted(map(tuple, spark.read.parquet(out3).collect()))
+    assert a == c
+
+    # fuse the ranking with itself: same order, doubled contributions
+    fused = str(tmp_path / "fused")
+    assert main(
+        ["rrfFuse", "--inputs", f"{out1},{out3}", "--output", fused,
+         "--topk", "2"]
+    ) == 0
+    fdf = spark.read.parquet(fused)
+    assert fdf.count() == 4
+    assert fdf.where("n_systems != 2").count() == 0
+
+    # c4 filter: the flat corpus has no terminal punctuation -> keepOnly
+    # drops everything; without it every page row survives with flags
+    out4 = str(tmp_path / "c4")
+    assert main(
+        ["c4Filter", "--input", docs, "--output", out4,
+         "--minKeptLines", "1", "--badwords", "table,scan"]
+    ) == 0
+    cdf = spark.read.parquet(out4)
+    assert cdf.count() == spark.read.parquet(docs).count()
+    assert cdf.where("has_badword").count() > 0
+    assert cdf.where("keep").count() == 0
