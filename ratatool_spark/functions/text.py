@@ -87,27 +87,34 @@ def winnow_fingerprints(
 
     Returns ``array<struct<pos,fp>>`` with duplicates (adjacent windows
     picking the same minimum) preserved — ``array_distinct`` or a
-    downstream DISTINCT collapses them. Pure expressions: grams, a
-    left-to-right hash map, arithmetic window starts, ``array_min`` +
-    ``array_position`` per window — engine-reproducible."""
+    downstream DISTINCT collapses them. Pure expressions, zip-of-slices
+    shape: the windows are ``arrays_zip`` of ``window`` shifted copies of
+    the gram-hash array, so the hash array is evaluated ``window`` times
+    per ROW — a ``slice(hashes, start, window)`` inside the per-window
+    lambda re-evaluates the whole md5 gram-hash array per WINDOW
+    (O(grams^2) hashes per document; measured 50x slower on the sf0.1
+    gate). Per-window min via ``least``, leftmost position via a
+    coalesced when-chain — engine-reproducible."""
     if k <= 0 or window <= 0:
         raise ValueError("k and window must be positive")
     hashes = F.transform(word_ngrams(text, k), lambda g: portable_hash64(g))
-    starts = F.sequence(
-        F.lit(1), F.greatest(F.lit(1), F.size(hashes) - F.lit(window - 1))
+    m = F.greatest(F.lit(1), F.size(hashes) - F.lit(window - 1))
+    z = F.arrays_zip(
+        *[F.slice(hashes, j + 1, m).alias(f"h{j}") for j in range(window)]
     )
 
-    def _fp(s):
-        win = F.slice(hashes, s, window)
-        m = F.array_min(win)
+    def _fp(s, i):
+        # arrays_zip pads trailing slices with NULL when the doc has
+        # fewer than `window` grams; least() skips them, as array_min did.
+        fp = F.least(*[s[f"h{j}"] for j in range(window)])
+        j0 = F.coalesce(
+            *[F.when(s[f"h{j}"] == fp, F.lit(j)) for j in range(window)]
+        )
         return F.struct(
-            (s.cast("long") + F.array_position(win, m) - F.lit(1)).alias(
-                "pos"
-            ),
-            m.alias("fp"),
+            (i.cast("long") + 1 + j0).alias("pos"), fp.alias("fp")
         )
 
-    return F.transform(starts, _fp)
+    return F.transform(z, _fp)
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
