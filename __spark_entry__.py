@@ -6974,6 +6974,35 @@ def _sql_bm25_topk() -> str:
     )
 
 
+def _q_bm25_incremental(spark, sf_dir):
+    """Incremental BM25 indexing (retrieval.update_bm25_index): build the
+    index on the first half of the corpus, add the second half without
+    re-tokenizing the first (vocab-to-vocab df merge, fused duplicate-id
+    guard riding the stored-postings scan, two-rename swap), then query.
+    The oracle is the FULL-build SQL — add-equivalence is the claim."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.retrieval import (
+        _terms,
+        bm25_topk_index,
+        save_bm25_index,
+        update_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = os.path.join(tempfile.mkdtemp(prefix="rt_bm25_"), "idx")
+    save_bm25_index(docs.where(F.col("doc_id") < 250), path)
+    update_bm25_index(spark, path, docs.where(F.col("doc_id") >= 250))
+    q = docs.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(_terms(F.col("text")), 1, 6)).alias("qtext"),
+    )
+    return bm25_topk_index(spark, path, q, k=5)
+
+
 def _q_c4_page_filter(spark, sf_dir):
     """C4 page/line cleaning (corpus.c4_page_filter, Raffel et al. §2.2):
     terminal-punctuation + min-words line filter, lorem-ipsum / brace /
@@ -7682,6 +7711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round 6: new or behaviour-changed this round ---------------
         "bm25_topk_docs": _q_bm25_topk,
         "hybrid_retrieval_rrf": _q_hybrid_retrieval,
+        "bm25_index_incremental": _q_bm25_incremental,
         "c4_page_filter_docs": _q_c4_page_filter,
         "tfrecord_roundtrip_documents": _q_tfrecord_roundtrip,
         "perplexity_buckets_docs": _q_perplexity_buckets,
@@ -7855,6 +7885,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk_docs": _sql_bm25_topk(),
         "hybrid_retrieval_rrf": _sql_hybrid_retrieval(),
+        "bm25_index_incremental": _sql_bm25_topk(),
         "c4_page_filter_docs": _sql_c4_page_filter(),
         "tfrecord_roundtrip_documents": _sql_tfrecord_roundtrip(),
         "perplexity_buckets_docs": _sql_perplexity_buckets(),

@@ -277,6 +277,113 @@ def save_bm25_index(
     return side
 
 
+def update_bm25_index(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Incrementally add documents to a persisted BM25 index (see
+    :func:`save_bm25_index`) without re-tokenizing the existing corpus.
+
+    * new postings/df/stats come from one pass over ``new_docs`` only;
+    * the stored postings are scanned EXACTLY once: the duplicate-id
+      guard rides the ``tf`` payload column of that same scan (a
+      left join against the broadcast new-id set + ``raise_error`` —
+      fused, not a separate count action), so an id that is already
+      indexed fails the write rather than double-counting;
+    * ``df`` is merged vocab-to-vocab (full-outer on term, counts
+      added) — the big posting table is never re-aggregated;
+    * the analyzer setting comes from the stored sidecar, so the update
+      cannot tokenize differently than the build;
+    * the rewrite lands in a tmp dir and is swapped in with the same
+      two-rename + orphan-recovery protocol as ``sources.io.upsert_table``
+      (a crash between the renames leaves the only snapshot at
+      ``<path>.__old__``; the next call restores it).
+    """
+    jvm = spark.sparkContext._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p_final = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p_final.getFileSystem(conf)
+    p_tmp = jvm.org.apache.hadoop.fs.Path(path + ".__update_tmp__")
+    p_old = jvm.org.apache.hadoop.fs.Path(path + ".__old__")
+    # orphan recovery BEFORE touching the sidecar: a crash between the
+    # two renames left the only snapshot at p_old
+    if fs.exists(p_old):
+        if not fs.exists(p_final):
+            if not fs.rename(p_old, p_final):
+                raise IOError(f"could not restore orphaned index at {path}")
+        else:
+            fs.delete(p_old, True)
+    fs.delete(p_tmp, True)
+
+    with open(os.path.join(path, "stats.json")) as fh:
+        side = json.load(fh)
+    lowercase = bool(side["lowercase"])
+    new_post, new_dfreq, new_stats = build_bm25_postings(
+        new_docs, id_col, text_col, lowercase
+    )
+    new_post = new_post.persist()
+    try:
+        nrow = new_stats.collect()[0]
+        n_new, dl_new = nrow["n_docs"], int(nrow["total_dl"] or 0)
+
+        old_post = spark.read.parquet(os.path.join(path, "postings"))
+        new_ids = new_post.select("doc_id").distinct()
+        guard_tf = F.when(
+            F.col("__dup").isNotNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("update_bm25_index: doc_id already indexed: "),
+                    F.col("doc_id").cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("tf"))
+        merged_post = (
+            old_post.join(
+                F.broadcast(new_ids.withColumn("__dup", F.lit(1))),
+                "doc_id",
+                "left",
+            )
+            .select("doc_id", "dl", "term", guard_tf.alias("tf"))
+            .unionByName(new_post)
+        )
+        old_dfreq = spark.read.parquet(os.path.join(path, "dfreq"))
+        merged_dfreq = (
+            old_dfreq.withColumnRenamed("dfreq", "__a")
+            .join(new_dfreq.withColumnRenamed("dfreq", "__b"), "term", "full_outer")
+            .select(
+                "term",
+                (
+                    F.coalesce(F.col("__a"), F.lit(0))
+                    + F.coalesce(F.col("__b"), F.lit(0))
+                ).alias("dfreq"),
+            )
+        )
+
+        tmp = path + ".__update_tmp__"
+        merged_post.write.parquet(os.path.join(tmp, "postings"))
+        merged_dfreq.write.parquet(os.path.join(tmp, "dfreq"))
+        out = {
+            "n_docs": side["n_docs"] + n_new,
+            "total_dl": side["total_dl"] + dl_new,
+            "lowercase": lowercase,
+            "format_version": side.get("format_version", 1),
+        }
+        with open(os.path.join(tmp, "stats.json"), "w") as fh:
+            json.dump(out, fh)
+
+        if not fs.rename(p_final, p_old):
+            raise IOError(f"could not stage old index at {path}.__old__")
+        if not fs.rename(p_tmp, p_final):
+            raise IOError(f"could not swap updated index into {path}")
+        fs.delete(p_old, True)
+        return {**out, "docs_added": n_new}
+    finally:
+        new_post.unpersist()
+
+
 def bm25_topk_index(
     spark: SparkSession,
     path: str,

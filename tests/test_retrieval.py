@@ -163,6 +163,66 @@ def test_rrf_fuse_topk_and_validation(spark):
         rrf_fuse([a], k_rrf=0)
 
 
+def test_bm25_incremental_update_matches_full_build(spark):
+    from ratatool_spark.operators.retrieval import (
+        bm25_topk_index,
+        save_bm25_index,
+        update_bm25_index,
+    )
+
+    docs = spark.createDataFrame(DOCS[:6], "doc_id long, text string")
+    first = docs.where("doc_id < 2")
+    rest = docs.where("doc_id >= 2")
+    q = spark.createDataFrame(QUERIES, "query_id long, qtext string")
+
+    inc = os.path.join(tempfile.mkdtemp(), "inc_idx")
+    save_bm25_index(first, inc)
+    out = update_bm25_index(spark, inc, rest)
+    assert out["docs_added"] == 2  # docs 4 (empty) and 5 (NULL) excluded
+    assert out["n_docs"] == 4
+
+    full = os.path.join(tempfile.mkdtemp(), "full_idx")
+    save_bm25_index(docs, full)
+    a = sorted(map(tuple, bm25_topk_index(spark, inc, q, k=10).collect()))
+    b = sorted(map(tuple, bm25_topk_index(spark, full, q, k=10).collect()))
+    assert a == b
+
+
+def test_bm25_incremental_update_rejects_duplicate_ids(spark):
+    from ratatool_spark.operators.retrieval import (
+        save_bm25_index,
+        update_bm25_index,
+    )
+
+    docs = spark.createDataFrame(DOCS[:4], "doc_id long, text string")
+    idx = os.path.join(tempfile.mkdtemp(), "dup_idx")
+    save_bm25_index(docs, idx)
+    with pytest.raises(Exception, match="already indexed"):
+        update_bm25_index(spark, idx, docs.where("doc_id = 1"))
+
+
+def test_bm25_incremental_update_restores_orphaned_snapshot(spark):
+    import shutil
+
+    from ratatool_spark.operators.retrieval import (
+        bm25_topk_index,
+        save_bm25_index,
+        update_bm25_index,
+    )
+
+    docs = spark.createDataFrame(DOCS[:4], "doc_id long, text string")
+    root = tempfile.mkdtemp()
+    idx = os.path.join(root, "orph_idx")
+    save_bm25_index(docs.where("doc_id < 2"), idx)
+    # simulate a crash between the two renames: only snapshot at __old__
+    shutil.move(idx, idx + ".__old__")
+    out = update_bm25_index(spark, idx, docs.where("doc_id >= 2"))
+    assert out["n_docs"] == 4
+    q = spark.createDataFrame(QUERIES, "query_id long, qtext string")
+    assert bm25_topk_index(spark, idx, q, k=10).count() > 0
+    assert not os.path.exists(idx + ".__old__")
+
+
 def test_bm25_k_validation(tables):
     docs, q = tables
     with pytest.raises(ValueError, match="k must be"):
