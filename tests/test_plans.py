@@ -471,3 +471,41 @@ def test_semantic_dedup_cell_equi_join(spark):
     literals (no join for the centroids)."""
     p = plan_of(spark, "semantic_dedup_embeddings")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_bm25_postings_never_shuffle_on_term(spark):
+    """bm25_topk_docs: the posting table's only exchange keys are the
+    tf-aggregate (doc_id, dl, term) and the final (query_id, doc_id)
+    score aggregate — scoring joins the broadcast enriched query-term
+    table into the postings (BroadcastHashJoin on term), the lone NLJ is
+    the one-row corpus-stats broadcast, and the rank is the sole window
+    (WindowGroupLimit k-heaps)."""
+    p = plan_of(spark, "bm25_topk_docs")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") == 1  # one-row stats
+    assert "BroadcastHashJoin" in p
+    assert "WindowGroupLimit" in p
+    assert len(re.findall(r"\bWindow\b", p)) == 1
+    assert "mapInPandas" not in p and "BatchEvalPython" not in p
+    # at most ONE term-keyed exchange: the vocab-sized dfreq partial
+    # aggregate (map-side combined — (term, count) partials move, not
+    # postings). The scoring path itself joins term via broadcast, so a
+    # second term exchange would mean the posting table shuffled.
+    term_only = [
+        m
+        for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p)
+        # (query_id, term) is the tiny query-side qtf aggregate;
+        # (doc_id, dl, term) is the tf aggregate — both expected
+        if "term" in m and "doc_id" not in m and "query_id" not in m
+    ]
+    assert len(term_only) <= 1, f"posting shuffle on term: {term_only}"
+
+
+def test_c4_page_filter_scan_only(spark):
+    """c4_page_filter_docs: pure expressions — zero exchanges, zero
+    joins, no Python boundary; reads only (doc_id, text)."""
+    p = plan_of(spark, "c4_page_filter_docs")
+    assert n_exchanges(p) == 0
+    assert "Join" not in p
+    assert "mapInPandas" not in p and "BatchEvalPython" not in p
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
