@@ -6974,6 +6974,55 @@ def _sql_bm25_topk() -> str:
     )
 
 
+def _q_normalize_text(spark, sf_dir):
+    """Unicode normalization (corpus.normalize_text): NFC via the
+    documented Arrow-batched unicodedata seam + expression-side control
+    strip and whitespace squash. Fixture appends a decomposed é
+    (e + U+0301), a BEL control char, and ragged spacing to each doc so
+    every rule fires; the oracle replays with DuckDB's nfc_normalize
+    (both sides implement UAX#15)."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.corpus import normalize_text
+    from ratatool_spark.operators.retrieval import _terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    text4 = F.concat(
+        F.concat_ws(" ", F.slice(_terms(F.col("text")), 1, 6)),
+        F.lit(" café x\x07y  tab\tend "),
+    )
+    fixture = docs.select("doc_id", text4.alias("text"))
+    out = normalize_text(fixture, form="NFC")
+    return out.select("doc_id", "text", "changed")
+
+
+def _sql_normalize_text() -> str:
+    return r"""
+WITH src AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(lower(text)), ' '),
+                     t -> len(t) > 0) AS ls
+  FROM documents
+), built AS (
+  SELECT doc_id,
+         coalesce(array_to_string(ls[1:6], ' '), '')
+         || ' cafe' || chr(769) || ' x' || chr(7) || 'y  tab' || chr(9)
+         || 'end ' AS t
+  FROM src
+)
+SELECT doc_id,
+  trim(regexp_replace(
+    regexp_replace(nfc_normalize(t), '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]',
+                   '', 'g'),
+    '\s+', ' ', 'g')) AS text,
+  (trim(regexp_replace(
+    regexp_replace(nfc_normalize(t), '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]',
+                   '', 'g'),
+    '\s+', ' ', 'g')) IS DISTINCT FROM t) AS changed
+FROM built
+"""
+
+
 def _q_bm25_incremental(spark, sf_dir):
     """Incremental BM25 indexing (retrieval.update_bm25_index): build the
     index on the first half of the corpus, add the second half without
@@ -7712,6 +7761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_docs": _q_bm25_topk,
         "hybrid_retrieval_rrf": _q_hybrid_retrieval,
         "bm25_index_incremental": _q_bm25_incremental,
+        "normalize_text_docs": _q_normalize_text,
         "c4_page_filter_docs": _q_c4_page_filter,
         "tfrecord_roundtrip_documents": _q_tfrecord_roundtrip,
         "perplexity_buckets_docs": _q_perplexity_buckets,
@@ -7886,6 +7936,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_docs": _sql_bm25_topk(),
         "hybrid_retrieval_rrf": _sql_hybrid_retrieval(),
         "bm25_index_incremental": _sql_bm25_topk(),
+        "normalize_text_docs": _sql_normalize_text(),
         "c4_page_filter_docs": _sql_c4_page_filter(),
         "tfrecord_roundtrip_documents": _sql_tfrecord_roundtrip(),
         "perplexity_buckets_docs": _sql_perplexity_buckets(),

@@ -646,6 +646,22 @@ def build_parser() -> argparse.ArgumentParser:
         help="write only pages passing every rule",
     )
     c4.add_argument("--format", default=None, help="override input format sniffing")
+
+    nt = sub.add_parser(
+        "normalizeText",
+        help="unicode normalization (NFC/NFKC), control-char strip, "
+        "whitespace squash — the pre-dedup canonicalization pass",
+    )
+    nt.add_argument("--input", required=True)
+    nt.add_argument("--output", required=True)
+    nt.add_argument("--textField", default="text")
+    nt.add_argument(
+        "--form", default="NFC", choices=["NFC", "NFD", "NFKC", "NFKD", "none"]
+    )
+    nt.add_argument("--keepControls", action="store_true")
+    nt.add_argument("--keepWhitespace", action="store_true")
+    nt.add_argument("--lowercase", action="store_true")
+    nt.add_argument("--format", default=None, help="override input format sniffing")
     return p
 
 
@@ -1319,6 +1335,19 @@ def main(argv: list[str] | None = None) -> int:
             )
             if args.keepOnly:
                 out = out.where("keep")
+            write_table(out, args.output, mode="overwrite")
+        elif args.command == "normalizeText":
+            from ratatool_spark.operators.corpus import normalize_text
+
+            df = read_table(spark, args.input, fmt=args.format)
+            out = normalize_text(
+                df,
+                text_col=args.textField,
+                form=None if args.form == "none" else args.form,
+                strip_controls=not args.keepControls,
+                squash_whitespace=not args.keepWhitespace,
+                lowercase=args.lowercase,
+            )
             write_table(out, args.output, mode="overwrite")
         return 0
     finally:

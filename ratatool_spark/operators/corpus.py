@@ -558,6 +558,67 @@ def chunk_documents(
     )
 
 
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    form: str | None = "NFC",
+    strip_controls: bool = True,
+    squash_whitespace: bool = True,
+    lowercase: bool = False,
+) -> DataFrame:
+    """Unicode text normalization — the CCNet-style cleanup pass that runs
+    BEFORE hashing/dedup so that byte-different, render-identical texts
+    (combining marks vs precomposed, stray control chars, ragged
+    whitespace) collapse to one canonical form:
+
+    * ``form``: UAX#15 normalization (NFC/NFD/NFKC/NFKD) — Spark has no
+      built-in normalizer, so this one step is an Arrow-batched pandas
+      UDF over ``unicodedata`` (a documented slow-path seam, same as the
+      BPE >16-merge kernel; pass ``form=None`` for a pure-expression
+      pipeline);
+    * control-char strip (C0 minus tab/newline/CR, plus DEL) and
+      whitespace squash+trim are JVM ``regexp_replace`` expressions;
+    * ``changed`` flags rows the pass altered (null-safe).
+
+    The ``text_col`` is replaced in place; all other columns ride along.
+    100 TB shape: one scan, zero shuffles; the UDF is the only Python
+    boundary and vanishes when ``form=None``."""
+    col = F.col(text_col)
+    if form is not None:
+        if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+            raise ValueError(f"unknown normalization form: {form!r}")
+        import pandas as pd
+        from pyspark.sql import types as T
+        from pyspark.sql.functions import pandas_udf
+
+        def _norm(texts):
+            import unicodedata
+
+            return texts.map(
+                lambda t: None if t is None else unicodedata.normalize(form, t)
+            )
+
+        _norm.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+        _norm = pandas_udf(T.StringType())(_norm)
+        col = _norm(col)
+    if strip_controls:
+        col = F.regexp_replace(
+            col, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", ""
+        )
+    if squash_whitespace:
+        col = F.trim(F.regexp_replace(col, r"\s+", " "))
+    if lowercase:
+        col = F.lower(col)
+    tmp = df.withColumn("__norm", col)
+    return (
+        tmp.withColumn(
+            "changed", ~F.col("__norm").eqNullSafe(F.col(text_col))
+        )
+        .withColumn(text_col, F.col("__norm"))
+        .drop("__norm")
+    )
+
+
 def c4_page_filter(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -996,3 +996,40 @@ def test_c4_page_filter_quote_terminal_and_min_words(spark):
     )
     r = c4_page_filter(docs, min_kept_lines=2).collect()[0]
     assert r.n_kept_lines == 2 and r.keep
+
+
+def test_normalize_text_rules(spark):
+    import unicodedata
+
+    from ratatool_spark.operators.corpus import normalize_text
+
+    decomposed = "café"
+    docs = spark.createDataFrame(
+        [
+            (0, decomposed + "  x"),     # NFC + squash
+            (1, "a\x07b\x00c"),          # control strip
+            (2, " already clean"),        # trim only
+            (3, "already clean"),         # unchanged
+            (4, None),                    # NULL rides through, not changed
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in normalize_text(docs).collect()}
+    assert rows[0].text == unicodedata.normalize("NFC", decomposed) + " x"
+    assert rows[0].text.startswith("caf\xe9") and rows[0].changed
+    assert rows[1].text == "abc" and rows[1].changed
+    assert rows[2].text == "already clean" and rows[2].changed
+    assert rows[3].text == "already clean" and not rows[3].changed
+    assert rows[4].text is None and not rows[4].changed
+
+
+def test_normalize_text_pure_expression_when_no_form(spark):
+    from ratatool_spark.operators.corpus import normalize_text
+
+    docs = spark.createDataFrame([(0, "a  b")], "doc_id long, text string")
+    out = normalize_text(docs, form=None)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert out.collect()[0].text == "a b"
+    with pytest.raises(ValueError, match="normalization form"):
+        normalize_text(docs, form="NFX")

@@ -1051,3 +1051,16 @@ def test_cli_bm25_rrf_c4(spark, tmp_path):
     assert cdf.count() == spark.read.parquet(docs).count()
     assert cdf.where("has_badword").count() > 0
     assert cdf.where("keep").count() == 0
+
+
+def test_cli_normalize_text(spark, tmp_path):
+    from ratatool_spark.cli import main
+
+    src = str(tmp_path / "in.parquet")
+    spark.createDataFrame(
+        [(0, "a  b\x07c")], "doc_id long, text string"
+    ).write.parquet(src)
+    out = str(tmp_path / "norm")
+    assert main(["normalizeText", "--input", src, "--output", out]) == 0
+    r = spark.read.parquet(out).collect()[0]
+    assert r.text == "a bc" and r.changed
