@@ -6974,6 +6974,46 @@ def _sql_bm25_topk() -> str:
     )
 
 
+def _q_calibration_report(spark, sf_dir):
+    """Classifier calibration (profile.calibration_report): reliability
+    table of the trained quality classifier's probabilities vs the
+    observed English rate per bin — fixed-point nano-unit prob sums so
+    mean_prob is aggregation-order independent. Reuses the
+    quality_classifier_en pipeline (training replays in the oracle)."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.profile import calibration_report
+
+    probs = _q_quality_classifier(spark, sf_dir)
+    labels = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", (F.col("lang") == "en").alias("label")
+    )
+    return calibration_report(
+        probs.join(labels, "doc_id"), prob_col="prob", label_col="label"
+    )
+
+
+def _sql_calibration_report() -> str:
+    return f"""
+WITH probs AS ({_SQL_QUALITY_CLASSIFIER}),
+lab AS (
+  SELECT p.prob, (d.lang = 'en') AS y
+  FROM probs p JOIN documents d USING (doc_id)
+), binned AS (
+  SELECT LEAST(CAST(FLOOR(prob * 10) AS BIGINT), 9) AS bin,
+         count(*) AS n,
+         CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(SUM(CAST(ROUND(prob * 1000000000.0, 0) AS BIGINT)) AS BIGINT)
+           AS p_fx
+  FROM lab GROUP BY bin
+)
+SELECT bin, n, n_pos,
+       CAST(n_pos AS DOUBLE) / n AS frac_pos,
+       CAST(p_fx AS DOUBLE) / 1000000000.0 / n AS mean_prob
+FROM binned
+"""
+
+
 def _q_normalize_text(spark, sf_dir):
     """Unicode normalization (corpus.normalize_text): NFC via the
     documented Arrow-batched unicodedata seam + expression-side control
@@ -7762,6 +7802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_retrieval_rrf": _q_hybrid_retrieval,
         "bm25_index_incremental": _q_bm25_incremental,
         "normalize_text_docs": _q_normalize_text,
+        "calibration_report_en": _q_calibration_report,
         "c4_page_filter_docs": _q_c4_page_filter,
         "tfrecord_roundtrip_documents": _q_tfrecord_roundtrip,
         "perplexity_buckets_docs": _q_perplexity_buckets,
@@ -7937,6 +7978,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_retrieval_rrf": _sql_hybrid_retrieval(),
         "bm25_index_incremental": _sql_bm25_topk(),
         "normalize_text_docs": _sql_normalize_text(),
+        "calibration_report_en": _sql_calibration_report(),
         "c4_page_filter_docs": _sql_c4_page_filter(),
         "tfrecord_roundtrip_documents": _sql_tfrecord_roundtrip(),
         "perplexity_buckets_docs": _sql_perplexity_buckets(),

@@ -63,6 +63,52 @@ def histogram(
     )
 
 
+def calibration_report(
+    df: DataFrame,
+    prob_col: str = "prob",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Classifier calibration (reliability) table: bucket predictions by
+    predicted probability and compare the mean prediction against the
+    observed positive rate per bucket — the eval step between training a
+    quality/language classifier and trusting its threshold at corpus
+    scale. Output one row per non-empty bin:
+    (bin, n, n_pos, frac_pos, mean_prob); |frac_pos − mean_prob|
+    weighted by n/Σn is the bin's ECE contribution.
+
+    Probabilities sum as fixed-point nano-units (exact longs), so
+    ``mean_prob`` is independent of aggregation order — cross-engine /
+    cross-run stable. ``prob == 1.0`` lands in the top bin.
+
+    100 TB shape: one scan + ONE map-side-combined aggregate over at
+    most ``n_bins`` groups."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    b = F.least(
+        F.floor(F.col(prob_col) * n_bins), F.lit(n_bins - 1)
+    ).cast("long")
+    return (
+        df.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(label_col).cast("int")).alias("n_pos"),
+            F.sum(
+                F.round(F.col(prob_col) * F.lit(1.0e9), 0).cast("long")
+            ).alias("__p_fx"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            (F.col("n_pos").cast("double") / F.col("n")).alias("frac_pos"),
+            (
+                F.col("__p_fx").cast("double") / F.lit(1.0e9) / F.col("n")
+            ).alias("mean_prob"),
+        )
+    )
+
+
 def profile_table(
     df: DataFrame,
     cols: list[str] | None = None,

@@ -173,3 +173,26 @@ def test_k_anonymity_requires_columns(spark):
 
     with _pt.raises(ValueError):
         k_anonymity(df, [])
+
+
+def test_calibration_report_hand_computed(spark):
+    from ratatool_spark.operators.profile import calibration_report
+
+    rows = [
+        (0.05, False), (0.08, True),        # bin 0: n=2, pos=1
+        (0.95, True), (0.97, True), (0.93, False),  # bin 9: n=3, pos=2
+        (1.0, True),                         # prob==1.0 -> top bin
+        (0.55, True),                        # bin 5
+    ]
+    df = spark.createDataFrame(rows, "prob double, label boolean")
+    got = {r.bin: r for r in calibration_report(df).collect()}
+    assert set(got) == {0, 5, 9}
+    assert (got[0].n, got[0].n_pos) == (2, 1) and got[0].frac_pos == 0.5
+    assert got[0].mean_prob == pytest.approx((0.05 + 0.08) / 2, abs=1e-9)
+    assert (got[9].n, got[9].n_pos) == (4, 3)
+    assert got[9].mean_prob == pytest.approx((0.95 + 0.97 + 0.93 + 1.0) / 4, abs=1e-9)
+    assert got[5].frac_pos == 1.0
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="n_bins"):
+        calibration_report(df, n_bins=0)
