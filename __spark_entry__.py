@@ -6974,6 +6974,42 @@ def _sql_bm25_topk() -> str:
     )
 
 
+def _q_rbo_overlap(spark, sf_dir):
+    """Rank-biased overlap (retrieval.rbo_overlap, Webber et al.):
+    per-query RBO@5 between the BM25 lexical top-5 and the fused hybrid
+    top-5 — each joined id contributes its closed-form tail
+    (1-p)·Σ_{i=max(ra,rb)}^{d} p^(i-1)/i, quantized to nano-units so the
+    per-query sum is order-independent; zero-overlap queries report 0."""
+    from ratatool_spark.operators.retrieval import rbo_overlap
+
+    lex = _q_bm25_topk(spark, sf_dir)
+    fused = _q_hybrid_retrieval(spark, sf_dir)
+    return rbo_overlap(lex, fused, p=0.9, depth=5)
+
+
+def _sql_rbo_overlap() -> str:
+    return f"""
+WITH a AS ({_sql_bm25_topk()}),
+b AS ({_sql_hybrid_retrieval()}),
+j AS (
+  SELECT a.query_id, GREATEST(a.rank, b.rank) AS m
+  FROM a JOIN b ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+), per AS (
+  SELECT query_id,
+         SUM(CAST(ROUND((1.0::DOUBLE - 0.9::DOUBLE)
+           * list_reduce(list_transform(range(m, 6),
+               i -> power(0.9::DOUBLE, i - 1) / i), (x, y) -> x + y)
+           * 1000000000.0::DOUBLE, 0) AS BIGINT)) AS fx
+  FROM j GROUP BY query_id
+), q AS (
+  SELECT query_id FROM a UNION SELECT query_id FROM b
+)
+SELECT q.query_id,
+       CAST(COALESCE(per.fx, 0) AS DOUBLE) / 1000000000.0::DOUBLE AS rbo
+FROM q LEFT JOIN per USING (query_id)
+"""
+
+
 def _q_calibration_report(spark, sf_dir):
     """Classifier calibration (profile.calibration_report): reliability
     table of the trained quality classifier's probabilities vs the
@@ -7803,6 +7839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_incremental": _q_bm25_incremental,
         "normalize_text_docs": _q_normalize_text,
         "calibration_report_en": _q_calibration_report,
+        "rbo_lexical_vs_hybrid": _q_rbo_overlap,
         "c4_page_filter_docs": _q_c4_page_filter,
         "tfrecord_roundtrip_documents": _q_tfrecord_roundtrip,
         "perplexity_buckets_docs": _q_perplexity_buckets,
@@ -7979,6 +8016,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_index_incremental": _sql_bm25_topk(),
         "normalize_text_docs": _sql_normalize_text(),
         "calibration_report_en": _sql_calibration_report(),
+        "rbo_lexical_vs_hybrid": _sql_rbo_overlap(),
         "c4_page_filter_docs": _sql_c4_page_filter(),
         "tfrecord_roundtrip_documents": _sql_tfrecord_roundtrip(),
         "perplexity_buckets_docs": _sql_perplexity_buckets(),

@@ -249,6 +249,71 @@ def rrf_fuse(
     )
 
 
+def rbo_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    p: float = 0.9,
+    depth: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Rank-biased overlap (Webber et al. TOIS'10), prefix-truncated at
+    ``depth``: per-query agreement of two top-k rankings,
+    ``RBO@d = (1-p) * sum_{i=1..d} p^(i-1) * |A_:i ∩ B_:i| / i`` —
+    the ranking-vs-ranking companion to ``topk_recall`` (set-vs-set),
+    e.g. "how much did adding the vector retriever change the order".
+
+    Distributed-exact without a per-depth loop: an id in both prefixes
+    first counts at depth ``m = max(rank_a, rank_b)``, so its total
+    contribution is ``(1-p) * sum_{i=m..d} p^(i-1)/i`` — ONE inner join
+    on (query, id) plus a per-row sequence fold, quantized to nano-unit
+    longs so the per-query sum is order- and engine-independent.
+    Queries with zero overlap report rbo = 0.0. Duplicate (query, id)
+    rows collapse to their best rank before joining.
+
+    100 TB shape: rankings are top-k-bounded upstream, so both sides are
+    O(queries * k); one equi-join + two tiny aggregates."""
+    if not 0.0 < p < 1.0:
+        raise ValueError(f"p must be in (0, 1), got {p}")
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+
+    def _side(r: DataFrame, alias: str) -> DataFrame:
+        return (
+            r.where(F.col(rank_col) <= depth)
+            .groupBy(
+                F.col(query_col).alias("query_id"),
+                F.col(id_col).alias("doc_id"),
+            )
+            .agg(F.min(rank_col).alias(alias))
+        )
+
+    j = _side(a, "__ra").join(_side(b, "__rb"), ["query_id", "doc_id"])
+    m = F.greatest(F.col("__ra"), F.col("__rb"))
+    tail = F.aggregate(
+        F.sequence(m, F.lit(depth)),
+        F.lit(0.0),
+        lambda acc, i: acc + F.pow(F.lit(p), i - 1) / i,
+    )
+    fx = F.round(
+        (F.lit(1.0) - F.lit(p)) * tail * F.lit(1.0e9), 0
+    ).cast("long")
+    per = j.groupBy("query_id").agg(F.sum(fx).alias("__fx"))
+    queries = (
+        a.select(F.col(query_col).alias("query_id"))
+        .unionByName(b.select(F.col(query_col).alias("query_id")))
+        .distinct()
+    )
+    return queries.join(per, "query_id", "left").select(
+        "query_id",
+        (
+            F.coalesce(F.col("__fx"), F.lit(0)).cast("double")
+            / F.lit(1.0e9)
+        ).alias("rbo"),
+    )
+
+
 def save_bm25_index(
     docs: DataFrame,
     path: str,

@@ -223,6 +223,36 @@ def test_bm25_incremental_update_restores_orphaned_snapshot(spark):
     assert not os.path.exists(idx + ".__old__")
 
 
+def test_rbo_overlap_hand_computed(spark):
+    from ratatool_spark.operators.retrieval import rbo_overlap
+
+    a = spark.createDataFrame(
+        [(1, "x", 1), (1, "y", 2), (1, "z", 3), (2, "only_a", 1)],
+        "query_id long, doc_id string, rank long",
+    )
+    b = spark.createDataFrame(
+        [(1, "x", 1), (1, "z", 2), (1, "w", 3)],
+        "query_id long, doc_id string, rank long",
+    )
+    got = {r.query_id: r.rbo for r in rbo_overlap(a, b, p=0.5, depth=3).collect()}
+    # X1=1, X2=1, X3=2 -> 0.5*(1 + 0.5*1/2 + 0.25*2/3)
+    assert got[1] == pytest.approx(0.5 * (1 + 0.25 + 0.5 / 3), abs=1e-8)
+    assert got[2] == 0.0  # query with zero overlap still reported
+
+
+def test_rbo_overlap_identical_rankings_approach_one(spark):
+    from ratatool_spark.operators.retrieval import rbo_overlap
+
+    rows = [(1, f"d{i}", i) for i in range(1, 6)]
+    a = spark.createDataFrame(rows, "query_id long, doc_id string, rank long")
+    got = rbo_overlap(a, a, p=0.9, depth=5).collect()[0].rbo
+    # identical prefixes: RBO@d = (1-p) * sum p^(i-1) (X_i = i)
+    want = 0.1 * sum(0.9 ** (i - 1) for i in range(1, 6))
+    assert got == pytest.approx(want, abs=1e-8)
+    with pytest.raises(ValueError, match="p must be"):
+        rbo_overlap(a, a, p=1.0)
+
+
 def test_bm25_k_validation(tables):
     docs, q = tables
     with pytest.raises(ValueError, match="k must be"):
