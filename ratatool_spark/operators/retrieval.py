@@ -103,8 +103,15 @@ def _score_postings(
     query_text_col: str,
     lowercase: bool,
     max_df: int | None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     from pyspark.sql.window import Window
+
+    def _bq(df):
+        # the broadcast hint assumes a bounded query set; for a huge
+        # query batch (tens of millions of query-term rows) pass
+        # broadcast_queries=False and let AQE pick the term-shuffle join
+        return F.broadcast(df) if broadcast_queries else df
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -127,7 +134,7 @@ def _score_postings(
         + F.lit(1.0)
     )
     enriched = (
-        dfreq.join(F.broadcast(qt), "term")
+        dfreq.join(_bq(qt), "term")
         .crossJoin(F.broadcast(stats))
         .select("term", "query_id", "qtf", "n_docs", "total_dl", idf.alias("idf"))
     )
@@ -143,7 +150,7 @@ def _score_postings(
     ) * F.col("qtf")
     fx = F.round(contrib * F.lit(_SCALE), 0).cast("long")
     scored = (
-        postings.join(F.broadcast(enriched), "term")
+        postings.join(_bq(enriched), "term")
         .groupBy("query_id", "doc_id")
         .agg(F.sum(fx).alias("score_fx"))
     )
@@ -175,6 +182,7 @@ def bm25_topk(
     query_text_col: str = "qtext",
     lowercase: bool = True,
     max_df: int | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Top-k BM25 matches per query: (query_id, doc_id, score, rank).
 
@@ -187,6 +195,7 @@ def bm25_topk(
     return _score_postings(
         postings, dfreq, stats, queries, k, k1, b,
         query_id_col, query_text_col, lowercase, max_df,
+        broadcast_queries,
     )
 
 
@@ -407,7 +416,10 @@ def update_bm25_index(
         ).otherwise(F.col("tf"))
         merged_post = (
             old_post.join(
-                F.broadcast(new_ids.withColumn("__dup", F.lit(1))),
+                # hint only; a huge added batch still works — AQE falls
+                # back to a shuffle join when the id set exceeds the
+                # broadcast threshold at plan time
+                new_ids.withColumn("__dup", F.lit(1)).hint("broadcast"),
                 "doc_id",
                 "left",
             )
@@ -459,6 +471,7 @@ def bm25_topk_index(
     query_id_col: str = "query_id",
     query_text_col: str = "qtext",
     max_df: int | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Query a persisted BM25 index (see :func:`save_bm25_index`)
     without re-tokenizing the corpus."""
@@ -473,4 +486,5 @@ def bm25_topk_index(
     return _score_postings(
         postings, dfreq, stats, queries, k, k1, b,
         query_id_col, query_text_col, bool(side["lowercase"]), max_df,
+        broadcast_queries,
     )

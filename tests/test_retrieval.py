@@ -257,3 +257,12 @@ def test_bm25_k_validation(tables):
     docs, q = tables
     with pytest.raises(ValueError, match="k must be"):
         bm25_topk(docs, q, k=0)
+
+
+def test_bm25_no_broadcast_hint_same_results(tables):
+    docs, q = tables
+    a = sorted(map(tuple, bm25_topk(docs, q, k=10).collect()))
+    b = sorted(
+        map(tuple, bm25_topk(docs, q, k=10, broadcast_queries=False).collect())
+    )
+    assert a == b
