@@ -5770,6 +5770,78 @@ GROUP BY 1, 2
 """
 
 
+def _q_sketch_join_size(spark, sf_dir):
+    """CMS inner-product join-size estimation (operators/freq
+    sketch_join_size): per-event-type estimate of |A ⋈ B on user_id|
+    for two disjoint event slices, from their count-min sketches alone —
+    the pre-join planning signal (provision partitions / pick a skew
+    strategy) computed without rescanning either side. The estimate is
+    min over depth rows of the counter dot product; every term is
+    deterministic modular arithmetic on the portable md5 hash, so the
+    DuckDB oracle replays it exactly — no tolerance band (width 256 <<
+    distinct users keeps collisions, and therefore the overestimate,
+    live in the gate)."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.freq import (
+        build_freq_sketches,
+        sketch_join_size,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "user_id"
+    )
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    return sketch_join_size(
+        build_freq_sketches(a, ["event_type"], "user_id", depth=4, width=256),
+        build_freq_sketches(b, ["event_type"], "user_id", depth=4, width=256),
+    )
+
+
+def _sql_sketch_join_size() -> str:
+    from ratatool_spark.operators.freq import cms_slot_sql
+
+    slot = cms_slot_sql("hh", "j", 256)
+    h = (
+        "('0x' || substr(md5(concat_ws(chr(1), '0', "
+        "CAST(user_id AS VARCHAR))), 1, 15))::BIGINT"
+    )
+    return f"""
+WITH h AS (
+  SELECT event_id % 2 AS s, event_type, {h} AS hh FROM events
+), slots AS (
+  SELECT s, event_type, j, {slot} AS slot
+  FROM h CROSS JOIN (SELECT unnest(range(4)) AS j)
+), counts AS (
+  SELECT s, event_type, j, slot, COUNT(*) AS c
+  FROM slots GROUP BY 1, 2, 3, 4
+), grid AS (
+  SELECT a.event_type, j
+  FROM (SELECT DISTINCT event_type FROM counts WHERE s = 0) a
+  JOIN (SELECT DISTINCT event_type FROM counts WHERE s = 1) b
+    ON a.event_type = b.event_type
+  CROSS JOIN (SELECT unnest(range(4)) AS j)
+), dots AS (
+  SELECT g.event_type, g.j, CAST(COALESCE(SUM(a.c * b.c), 0) AS BIGINT) AS dot
+  FROM grid g
+  LEFT JOIN counts a ON a.s = 0 AND a.event_type = g.event_type AND a.j = g.j
+  LEFT JOIN counts b ON b.s = 1 AND b.event_type = a.event_type
+                     AND b.j = a.j AND b.slot = a.slot
+  GROUP BY 1, 2
+), nrows AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN s = 0 THEN c ELSE 0 END) / 4 AS BIGINT) AS n_rows_a,
+         CAST(SUM(CASE WHEN s = 1 THEN c ELSE 0 END) / 4 AS BIGINT) AS n_rows_b
+  FROM counts GROUP BY 1
+)
+SELECT d.event_type, MIN(d.dot) AS est_join_rows,
+       ANY_VALUE(n.n_rows_a) AS n_rows_a, ANY_VALUE(n.n_rows_b) AS n_rows_b
+FROM dots d JOIN nrows n ON n.event_type = d.event_type
+GROUP BY 1
+"""
+
+
 def _q_sketch_heavy_hitters(spark, sf_dir):
     """Heavy hitters FROM sketch artifacts (operators/freq
     sketch_heavy_hitters): per-slice exact top-12 candidate keys union +
@@ -7834,6 +7906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- round 6: new or behaviour-changed this round ---------------
+        "sketch_join_size_events": _q_sketch_join_size,
         "bm25_topk_docs": _q_bm25_topk,
         "hybrid_retrieval_rrf": _q_hybrid_retrieval,
         "bm25_index_incremental": _q_bm25_incremental,
@@ -8011,6 +8084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "sketch_join_size_events": _sql_sketch_join_size(),
         "bm25_topk_docs": _sql_bm25_topk(),
         "hybrid_retrieval_rrf": _sql_hybrid_retrieval(),
         "bm25_index_incremental": _sql_bm25_topk(),

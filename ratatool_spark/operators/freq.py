@@ -324,6 +324,97 @@ def estimate_freqs(
     return joined.select(*group_cols, key_col, est.alias("est_count"))
 
 
+def sketch_join_size(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+) -> DataFrame:
+    """(group_cols..., est_join_rows, n_rows_a, n_rows_b) — estimated
+    equi-join output cardinality |A ⋈ B| per group from two count-min
+    sketch tables built on the join key (:func:`build_freq_sketches` with
+    the same depth/width/seed): the CMS inner-product estimate
+    ``min over depth rows j of Σ_slot a[j,slot]·b[j,slot]``, which
+    estimates Σ_key f_A(key)·f_B(key) — exactly the number of rows the
+    equi-join emits (Cormode & Muthukrishnan, J.Alg 2005 §4.2; error
+    envelope +eps·|A|·|B| with eps = 2/width, never an underestimate in
+    expectation and gated here as exact deterministic arithmetic).
+
+    This is the 100 TB *planning* tool: decide whether a join needs a
+    skew strategy (salting, AQE skew hints) or how many output partitions
+    to provision, from two depth×width counter arrays — the fact tables
+    are never rescanned, and sketches from any union of batches merge
+    first via :func:`merge_freq_sketches`.
+
+    Sketch tables join on their shared group columns (inner — a group
+    absent from either side has no estimate); group-less global sketches
+    (one row each) cross-join. Geometry mismatch raises via a guard fused
+    into the output column — per-row is sound here (unlike the merge
+    guard) because both geometries sit on the same joined row. Products
+    are long arithmetic: counters up to ~3e9 per (bucket, bucket) pair
+    are overflow-safe; past that ANSI mode raises rather than wraps."""
+    reserved = ("cms", "depth", "width", "n_rows")
+    ga = [c for c in sketch_a.columns if c not in reserved]
+    gb = [c for c in sketch_b.columns if c not in reserved]
+    if set(ga) != set(gb):
+        raise ValueError(
+            f"sketch group columns differ: {sorted(ga)} vs {sorted(gb)} "
+            "— join-size estimation needs identically-grouped sketches"
+        )
+    a = sketch_a.select(
+        *ga,
+        F.col("cms").alias("__cms_a"),
+        F.col("depth").alias("__d_a"),
+        F.col("width").alias("__w_a"),
+        F.col("n_rows").alias("n_rows_a"),
+    )
+    b = sketch_b.select(
+        *gb,
+        F.col("cms").alias("__cms_b"),
+        F.col("depth").alias("__d_b"),
+        F.col("width").alias("__w_b"),
+        F.col("n_rows").alias("n_rows_b"),
+    )
+    joined = a.join(b, ga) if ga else a.crossJoin(b)
+    # materialize the element-wise products as a NAMED column first:
+    # slice() over an inline zip_with tree inside the per-depth transform
+    # would re-evaluate all depth*width multiplies per depth row
+    joined = joined.withColumn(
+        "__prods",
+        F.zip_with("__cms_a", "__cms_b", lambda x, y: x * y),
+    )
+    dot_rows = F.transform(
+        F.sequence(F.lit(0), F.col("__d_a") - 1),
+        lambda j: F.aggregate(
+            F.slice(
+                F.col("__prods"),
+                (j * F.col("__w_a") + 1).cast("int"),
+                F.col("__w_a").cast("int"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    est = F.array_min(dot_rows)
+    guarded = F.when(
+        (F.col("__d_a") != F.col("__d_b")) | (F.col("__w_a") != F.col("__w_b")),
+        F.raise_error(
+            F.concat(
+                F.lit("sketch_join_size: mismatched geometry ("),
+                F.col("__d_a").cast("string"),
+                F.lit("x"),
+                F.col("__w_a").cast("string"),
+                F.lit(" vs "),
+                F.col("__d_b").cast("string"),
+                F.lit("x"),
+                F.col("__w_b").cast("string"),
+                F.lit(") — rebuild both sketches at one size"),
+            )
+        ).cast("long"),
+    ).otherwise(est)
+    return joined.select(
+        *ga, guarded.alias("est_join_rows"), "n_rows_a", "n_rows_b"
+    )
+
+
 def sketch_heavy_hitters(
     sketch_df: DataFrame,
     candidates_df: DataFrame,

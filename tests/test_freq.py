@@ -278,3 +278,66 @@ def test_heavy_hitters_by_measure(spark):
     ]
     # ranked by sum(v), not by row count (x has 2 rows but less weight)
     assert out == [("y", 10.0, 1), ("z", 4.0, 2)]
+
+
+def test_sketch_join_size_exact_on_wide_sketch(spark):
+    """With width >> distinct keys (collision-free over the toy space),
+    the CMS inner-product estimate equals the TRUE per-group equi-join
+    cardinality Σ_key f_A(key)·f_B(key)."""
+    from ratatool_spark.operators.freq import sketch_join_size
+
+    a = _toy(spark)
+    b = _toy(spark).union(spark.createDataFrame([("a", "x")], "g string, k string"))
+    sa = build_freq_sketches(a, ["g"], "k", depth=4, width=512)
+    sb = build_freq_sketches(b, ["g"], "k", depth=4, width=512)
+    got = {r["g"]: (r["est_join_rows"], r["n_rows_a"], r["n_rows_b"])
+           for r in sketch_join_size(sa, sb).collect()}
+    want = {
+        r["g"]: r["n"]
+        for r in a.join(b, ["g", "k"]).groupBy("g").agg(F.count("*").alias("n")).collect()
+    }
+    assert {g: v[0] for g, v in got.items()} == want
+    assert got["a"][1] == 12 and got["a"][2] == 13  # n_rows ride along
+
+
+def test_sketch_join_size_overestimates_under_collisions(spark):
+    """A deliberately narrow sketch can only OVERestimate (counters are
+    sums over colliding keys; products are monotone in the counters)."""
+    from ratatool_spark.operators.freq import sketch_join_size
+
+    df = _toy(spark)
+    sa = build_freq_sketches(df, ["g"], "k", depth=2, width=2)
+    est = {r["g"]: r["est_join_rows"]
+           for r in sketch_join_size(sa, sa).collect()}
+    exact = {
+        r["g"]: r["n"]
+        for r in df.alias("x").join(df.alias("y"), ["g", "k"])
+        .groupBy("g").agg(F.count("*").alias("n")).collect()
+    }
+    for g in exact:
+        assert est[g] >= exact[g]
+
+
+def test_sketch_join_size_global_cross_join_path(spark):
+    from ratatool_spark.operators.freq import sketch_join_size
+
+    df = _toy(spark)
+    s = build_freq_sketches(df, [], "k", depth=4, width=512)
+    [row] = sketch_join_size(s, s).collect()
+    # Σ f(k)^2 over the toy counts: x:12, y:3, z:3, w:1, q:2
+    assert row["est_join_rows"] == 12 * 12 + 3 * 3 + 3 * 3 + 1 * 1 + 2 * 2
+    assert row["n_rows_a"] == row["n_rows_b"] == 21
+
+
+def test_sketch_join_size_guards(spark):
+    from ratatool_spark.operators.freq import sketch_join_size
+
+    df = _toy(spark)
+    s1 = build_freq_sketches(df, ["g"], "k", depth=4, width=512)
+    s2 = build_freq_sketches(df, ["g"], "k", depth=4, width=256)
+    with pytest.raises(Exception, match="mismatched geometry"):
+        sketch_join_size(s1, s2).collect()
+    s3 = build_freq_sketches(df.withColumnRenamed("g", "h"), ["h"], "k",
+                             depth=4, width=512)
+    with pytest.raises(ValueError, match="group columns differ"):
+        sketch_join_size(s1, s3)
