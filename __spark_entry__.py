@@ -2175,6 +2175,54 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def _q_ivf_index_incremental(spark, sf_dir):
+    """Incremental IVF index maintenance (operators/similarity
+    update_ivf_index): build the persisted index on the even-id half of
+    the corpus (centroids = deterministic hash-sample of THAT slice,
+    train_iters=0), append the odd-id half against the frozen sidecar
+    centroids, reload, query. The gate pins the maintenance contract:
+    update(B) after build(A) is row-identical to one build over A ∪ B
+    with the A-seeded centroids — which is exactly what the oracle
+    replays (centroid sample restricted to even ids; assignment over
+    the full table). New-batch work is one GEMM pass; the stored index
+    is only scanned id-pruned for the fused duplicate-id guard."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.similarity import (
+        build_ivf_index,
+        query_ivf_index,
+        update_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.where(F.col("vec_id") % 2 == 0)
+    b = emb.where(F.col("vec_id") % 2 == 1)
+    path = tempfile.mkdtemp(prefix="ivf_incr_") + "/index"
+    build_ivf_index(a, path, n_centroids=8, train_iters=0)
+    update_ivf_index(spark, path, b)
+    q = emb.where(F.col("vec_id") < 5)
+    out = query_ivf_index(spark, q, path, k=3, n_probe=3)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def _sql_ivf_index_incremental() -> str:
+    # ann_ivf_topk's replay with ONE change: the centroid hash-sample is
+    # restricted to the even-id build slice (assignment still covers the
+    # full table) — update-after-build == build-over-union, A-seeded.
+    base = _sql_ann_ivf_topk()
+    out = base.replace(
+        ") AS rn, embedding FROM embeddings",
+        ") AS rn, embedding FROM embeddings WHERE vec_id % 2 = 0",
+        1,
+    )
+    assert out != base
+    return out
+
+
 # ------------------------------------------- jar-free format round-trips
 # S1/S7/S9 (avro) and S5/D4 (protobuf) exercised at the oracle gate, not
 # just in pytest: Spark pushes rows through the pure-Python container
@@ -7907,6 +7955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round 6: new or behaviour-changed this round ---------------
         "sketch_join_size_events": _q_sketch_join_size,
+        "ivf_index_incremental": _q_ivf_index_incremental,
         "bm25_topk_docs": _q_bm25_topk,
         "hybrid_retrieval_rrf": _q_hybrid_retrieval,
         "bm25_index_incremental": _q_bm25_incremental,
@@ -8085,6 +8134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "sketch_join_size_events": _sql_sketch_join_size(),
+        "ivf_index_incremental": _sql_ivf_index_incremental(),
         "bm25_topk_docs": _sql_bm25_topk(),
         "hybrid_retrieval_rrf": _sql_hybrid_retrieval(),
         "bm25_index_incremental": _sql_bm25_topk(),

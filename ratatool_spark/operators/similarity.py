@@ -431,6 +431,75 @@ def query_ivf_index(
     )
 
 
+def update_ivf_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+) -> dict:
+    """Incrementally add vectors to a persisted IVF index (see
+    :func:`build_ivf_index`) WITHOUT retraining or rescanning the stored
+    corpus — the standard IVF maintenance contract: centroids are frozen
+    at build time (they live in the ``_ivf.json`` sidecar, so the update
+    cannot assign differently than the build), inserts are appended to
+    their nearest cell's partition directory, and a periodic full
+    rebuild/retrain is an explicit separate :func:`build_ivf_index` call.
+    ``update(A); update(B)`` is row-identical to building once over
+    A ∪ B with the same (A-seeded) centroids — pinned by the
+    ``ivf_index_incremental`` oracle gate.
+
+    Scale shape: one GEMM-assign pass over the NEW batch only; the
+    stored index is scanned once, id column only (column-pruned), to
+    feed the duplicate-id guard — which rides the appended rows'
+    ``cv`` payload (existing-id ∩ new-id set, small by construction,
+    broadcast onto the new batch + ``raise_error``; no separate count
+    action). The append job stages files under ``_temporary`` until job
+    commit, so a mid-write crash leaves the index readable and the
+    retry clean. Returns ``{"n_added": ..., "n_cells_touched": ...}``
+    from one aggregate of the assigned batch."""
+    import json
+
+    from ratatool_spark.sources.shards import _join, _read_text
+
+    meta = json.loads(_read_text(spark, _join(path, "_ivf.json")))
+    centroids = [(int(c), v) for c, v in meta["centroids"]]
+    vec_col, id_col = meta["vec_col"], meta["id_col"]
+    assigned = _gemm_assign(new_vectors, centroids, vec_col, id_col, 1).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("cells")[0].alias("cell"),
+    )
+    new_ids = assigned.select("neighbor_id").distinct()
+    dups = (
+        spark.read.parquet(path)
+        .select("neighbor_id")
+        .join(new_ids.hint("broadcast"), "neighbor_id")
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    guard_cv = F.when(
+        F.col("__dup").isNotNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("update_ivf_index: id already indexed: "),
+                F.col("neighbor_id").cast("string"),
+            )
+        ).cast(assigned.schema["cv"].dataType),
+    ).otherwise(F.col("cv"))
+    guarded = assigned.join(dups.hint("broadcast"), "neighbor_id", "left").select(
+        "neighbor_id", guard_cv.alias("cv"), "cell"
+    )
+    guarded = guarded.persist()
+    try:
+        stats = guarded.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("cell").alias("c"),
+        ).collect()[0]
+        guarded.write.mode("append").partitionBy("cell").parquet(path)
+    finally:
+        guarded.unpersist()
+    return {"n_added": stats["n"], "n_cells_touched": stats["c"]}
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -199,6 +199,52 @@ def test_ivf_index_persistence_parity(spark, embeddings, tmp_path):
     assert any(d.startswith("cell=") for d in os.listdir(path))
 
 
+def test_ivf_index_incremental_update(spark, embeddings, tmp_path):
+    """update_ivf_index appends against the FROZEN build-time centroids:
+    build(A) + update(B) query-equals one build over A ∪ B seeded from A;
+    a duplicate id fails the write via the fused guard; counters report
+    the assigned batch."""
+    from ratatool_spark.operators.similarity import (
+        build_ivf_index,
+        query_ivf_index,
+        update_ivf_index,
+    )
+
+    a = embeddings.where(F.col("vec_id") % 2 == 0)
+    b = embeddings.where(F.col("vec_id") % 2 == 1)
+    p_incr = str(tmp_path / "incr")
+    cents = build_ivf_index(a, p_incr, n_centroids=8, seed=13, train_iters=0)
+    stats = update_ivf_index(spark, p_incr, b)
+    assert stats["n_added"] == b.count() and stats["n_cells_touched"] >= 1
+
+    # reference: assign the union against the SAME A-seeded centroids by
+    # building on A then appending B — compare against a direct union
+    # build with identical centroids (seed mode over A gives the same
+    # sample regardless of what is appended later)
+    p_full = str(tmp_path / "full")
+    build_ivf_index(a, p_full, n_centroids=8, seed=13, train_iters=0)
+    update_ivf_index(spark, p_full, b.limit(0))  # no-op update is safe
+    q = embeddings.where(F.col("vec_id") < 10)
+
+    def key(rows):
+        return {(r["query_id"], r["neighbor_id"], r["rank"]) for r in rows}
+
+    # incremental index must contain BOTH halves: a neighbor with an odd
+    # id can only come from the appended batch
+    got = query_ivf_index(spark, q, p_incr, k=5, n_probe=8)
+    rows = got.collect()
+    assert any(r["neighbor_id"] % 2 == 1 for r in rows)
+    # and with all cells probed, equals brute force over the union
+    from ratatool_spark.operators.similarity import brute_force_topk
+
+    bf = brute_force_topk(embeddings, q, k=5)
+    assert key(rows) == key(bf.collect())
+
+    # duplicate id → the fused guard raises during the update
+    with pytest.raises(Exception, match="already indexed"):
+        update_ivf_index(spark, p_incr, b.limit(1))
+
+
 def test_kmeans_ivf_training(embeddings):
     """Lloyd's iterations are deterministic and keep IVF results exact
     (cosines still true pairwise values); trained cells at equal probe
