@@ -2175,6 +2175,122 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def _q_url_normalize(spark, sf_dir):
+    """URL canonicalization (functions/urls): messy crawl-style URLs —
+    mixed-case scheme/host, www variants, default and non-default ports,
+    tracking parameters in shuffled order, fragments — synthesized
+    deterministically from the documents table, then normalized to the
+    canonical crawl-identity key plus host and eTLD+1 registered domain
+    (two-level-suffix heuristic: the fixture exercises both .co.uk and
+    .com hosts). Everything is one expression tree (0 py boundaries, no
+    shuffle — embarrassingly parallel over a 100 TB frontier), and the
+    DuckDB oracle replays every rule, so canonical keys agree across
+    engines — the property URL-level dedup and per-domain caps rest on."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.functions.urls import (
+        normalize_url,
+        registered_domain,
+        url_host,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.upper(F.col("source")),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(".Example.CO.UK")).otherwise(
+            F.lit(".example.COM")
+        ),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(":8080"))
+        .when(F.col("doc_id") % 5 == 0, F.lit(":443"))
+        .otherwise(F.lit("")),
+        F.lit("/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit("?utm_source=x&ref=abc&utm_medium=y"),
+        )
+        .when(F.col("doc_id") % 4 == 1, F.lit("?b=2&a=1"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    with_url = d.select("doc_id", url.alias("url"))
+    return with_url.select(
+        "doc_id",
+        normalize_url(F.col("url")).alias("url_norm"),
+        url_host(F.col("url")).alias("host"),
+        registered_domain(url_host(F.col("url"))).alias("domain"),
+    )
+
+
+def _sql_url_normalize() -> str:
+    from ratatool_spark.functions.urls import (
+        TRACKING_NAMES,
+        TWO_LEVEL_SUFFIXES,
+    )
+
+    names = ", ".join(f"'{n}'" for n in TRACKING_NAMES)
+    suffixes = ", ".join(f"'{s}'" for s in TWO_LEVEL_SUFFIXES)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    'HTTPS://' || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+    UPPER(source) ||
+    CASE WHEN doc_id % 2 = 0 THEN '.Example.CO.UK' ELSE '.example.COM' END ||
+    CASE WHEN doc_id % 11 = 0 THEN ':8080'
+         WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+    '/' || lang || '/' || CAST(doc_id AS VARCHAR) ||
+    CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&ref=abc&utm_medium=y'
+         WHEN doc_id % 4 = 1 THEN '?b=2&a=1' ELSE '' END ||
+    CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END AS url
+  FROM documents
+), parsed AS (
+  SELECT doc_id, url,
+    LOWER(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS authority,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+    regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM base
+), hp AS (
+  SELECT doc_id, scheme, path, query,
+    LOWER(string_split(authority, ':')[1]) AS host,
+    CASE WHEN len(string_split(authority, ':')) > 1
+         THEN string_split(authority, ':')[2] ELSE NULL END AS port
+  FROM parsed
+), np AS (
+  SELECT doc_id, scheme, host, path,
+    CASE WHEN port IS NOT NULL
+              AND NOT ((scheme = 'http' AND port = '80')
+                       OR (scheme = 'https' AND port = '443'))
+         THEN ':' || port ELSE '' END AS port_part,
+    list_sort(list_filter(string_split(query, '&'),
+        p -> NOT starts_with(string_split(p, '=')[1], 'utm_')
+             AND string_split(p, '=')[1] NOT IN ({names})
+             AND p <> '')) AS kept
+  FROM hp
+), dom AS (
+  SELECT doc_id, scheme, host, port_part, kept,
+    CASE WHEN path = '' THEN '/' ELSE path END AS path_part,
+    string_split(host, '.') AS labels
+  FROM np
+)
+SELECT doc_id,
+  scheme || '://' || host || port_part || path_part ||
+    CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+         ELSE '' END AS url_norm,
+  host,
+  CASE WHEN len(labels) <= 2 THEN host
+       WHEN labels[-2] || '.' || labels[-1] IN ({suffixes})
+            AND len(labels) >= 3
+       THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+       ELSE labels[-2] || '.' || labels[-1] END AS domain
+FROM dom
+"""
+
+
 def _q_ivf_index_incremental(spark, sf_dir):
     """Incremental IVF index maintenance (operators/similarity
     update_ivf_index): build the persisted index on the even-id half of
@@ -7956,6 +8072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round 6: new or behaviour-changed this round ---------------
         "sketch_join_size_events": _q_sketch_join_size,
         "ivf_index_incremental": _q_ivf_index_incremental,
+        "url_normalize_docs": _q_url_normalize,
         "bm25_topk_docs": _q_bm25_topk,
         "hybrid_retrieval_rrf": _q_hybrid_retrieval,
         "bm25_index_incremental": _q_bm25_incremental,
@@ -8135,6 +8252,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "sketch_join_size_events": _sql_sketch_join_size(),
         "ivf_index_incremental": _sql_ivf_index_incremental(),
+        "url_normalize_docs": _sql_url_normalize(),
         "bm25_topk_docs": _sql_bm25_topk(),
         "hybrid_retrieval_rrf": _sql_hybrid_retrieval(),
         "bm25_index_incremental": _sql_bm25_topk(),
