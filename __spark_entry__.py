@@ -2175,6 +2175,64 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def _q_pagerank(spark, sf_dir):
+    """Fixed-point PageRank (operators/graph.pagerank): link-graph
+    centrality as a corpus-quality prior, run on a 59-node supplier→part
+    projection of lineitem (distinct edges, self-loops dropped). Every
+    superstep is integer arithmetic — rank div out_degree contributions,
+    rational damping, integer dangling redistribution — so 4 iterations
+    replay BIT-IDENTICALLY in DuckDB as chained unrolled CTEs: the gate
+    pins the whole iterative computation exactly, not within a band.
+    Scale shape: one edge-shuffle join + one aggregate per superstep,
+    rank state hash-partitioned by node, lineage cut per iteration."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.graph import pagerank
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        (F.col("l_suppkey") % 59).alias("src"),
+        (F.col("l_partkey") % 59).alias("dst"),
+    )
+    return pagerank(li, iterations=4).select("node", "rank_fx")
+
+
+def _sql_pagerank() -> str:
+    S, num, den, K = 10**9, 85, 100, 4
+    # CAST the literals: bare 1000000000 parses as INT32 in DuckDB and
+    # the *15 product overflows before promotion
+    base = (
+        f"((CAST({S} AS BIGINT) * {den - num}) // {den}) // (SELECT n FROM nn)"
+    )
+    parts = [
+        "WITH e AS (SELECT DISTINCT l_suppkey % 59 AS src, "
+        "l_partkey % 59 AS dst FROM lineitem "
+        "WHERE l_suppkey % 59 <> l_partkey % 59)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "deg AS (SELECT src, COUNT(*) AS outd FROM e GROUP BY 1)",
+        f"r0 AS (SELECT node, CAST({S} AS BIGINT) // (SELECT n FROM nn) AS r FROM nodes)",
+    ]
+    for i in range(1, K + 1):
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS node, SUM(r.r // d.outd) AS s "
+            f"FROM r{i-1} r JOIN e ON e.src = r.node "
+            f"JOIN deg d ON d.src = e.src GROUP BY 1)"
+        )
+        parts.append(
+            f"d{i} AS (SELECT COALESCE(SUM(r.r), 0) AS dang FROM r{i-1} r "
+            f"WHERE r.node NOT IN (SELECT src FROM e))"
+        )
+        parts.append(
+            f"r{i} AS (SELECT n.node, {base} + ({num} * (COALESCE(c.s, 0) "
+            f"+ ((SELECT dang FROM d{i}) // (SELECT n FROM nn)))) // {den} AS r "
+            f"FROM nodes n LEFT JOIN c{i} c ON c.node = n.node)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node, CAST(r AS BIGINT) AS rank_fx FROM r{K}"
+    )
+
+
 def _q_url_normalize(spark, sf_dir):
     """URL canonicalization (functions/urls): messy crawl-style URLs —
     mixed-case scheme/host, www variants, default and non-default ports,
@@ -8073,6 +8131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_join_size_events": _q_sketch_join_size,
         "ivf_index_incremental": _q_ivf_index_incremental,
         "url_normalize_docs": _q_url_normalize,
+        "pagerank_lineitem_graph": _q_pagerank,
         "bm25_topk_docs": _q_bm25_topk,
         "hybrid_retrieval_rrf": _q_hybrid_retrieval,
         "bm25_index_incremental": _q_bm25_incremental,
@@ -8253,6 +8312,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_join_size_events": _sql_sketch_join_size(),
         "ivf_index_incremental": _sql_ivf_index_incremental(),
         "url_normalize_docs": _sql_url_normalize(),
+        "pagerank_lineitem_graph": _sql_pagerank(),
         "bm25_topk_docs": _sql_bm25_topk(),
         "hybrid_retrieval_rrf": _sql_hybrid_retrieval(),
         "bm25_index_incremental": _sql_bm25_topk(),
