@@ -2175,6 +2175,80 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def _q_mutual_info(spark, sf_dir):
+    """Mutual-information leakage audit (operators/profile
+    mutual_information): pairwise MI / marginal entropies / normalized
+    score over orders columns, including one engineered leak
+    (o_orderpriority vs its own first character — nmi must be 1.0 by
+    determinism) next to two organic pairs. Pure entropy algebra from
+    ONE melt + groupBy counts table re-aggregated three ways — no
+    windows, no single-task stage at any cardinality; DuckDB replays the
+    identical ln/ROUND arithmetic."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.profile import mutual_information
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.substring("o_orderpriority", 1, 1).alias("o_prio_head"),
+    )
+    return mutual_information(
+        o,
+        [
+            ("o_orderstatus", "o_orderpriority"),
+            ("o_orderpriority", "o_prio_head"),
+            ("o_orderstatus", "o_orderstatus"),
+        ],
+    )
+
+
+def _sql_mutual_info() -> str:
+    pair_sql = []
+    for x, y in [
+        ("o_orderstatus", "o_orderpriority"),
+        ("o_orderpriority", "o_prio_head"),
+        ("o_orderstatus", "o_orderstatus"),
+    ]:
+        pair_sql.append(
+            f"SELECT '{x}' AS x_col, '{y}' AS y_col, "
+            f"CAST({x} AS VARCHAR) AS x, CAST({y} AS VARCHAR) AS y FROM o"
+        )
+    melted = " UNION ALL ".join(pair_sql)
+    return f"""
+WITH o AS (
+  SELECT o_orderstatus, o_orderpriority,
+         substr(o_orderpriority, 1, 1) AS o_prio_head
+  FROM orders
+), melted AS ({melted}),
+counts AS (
+  SELECT x_col, y_col, x, y, COUNT(*) AS c FROM melted GROUP BY 1, 2, 3, 4
+), joint AS (
+  SELECT x_col, y_col, CAST(SUM(c) AS BIGINT) AS n,
+         SUM(c * ln(c)) AS j FROM counts GROUP BY 1, 2
+), mx AS (
+  SELECT x_col, y_col, SUM(c * ln(c)) AS m FROM (
+    SELECT x_col, y_col, x, SUM(c) AS c FROM counts GROUP BY 1, 2, 3
+  ) GROUP BY 1, 2
+), my AS (
+  SELECT x_col, y_col, SUM(c * ln(c)) AS m FROM (
+    SELECT x_col, y_col, y, SUM(c) AS c FROM counts GROUP BY 1, 2, 3
+  ) GROUP BY 1, 2
+)
+SELECT j.x_col, j.y_col, j.n,
+  ROUND(ln(j.n) - mx.m / j.n, 6) AS h_x,
+  ROUND(ln(j.n) - my.m / j.n, 6) AS h_y,
+  ROUND(ln(j.n) + (j.j - mx.m - my.m) / j.n, 6) AS mi,
+  ROUND(CASE WHEN LEAST(ln(j.n) - mx.m / j.n, ln(j.n) - my.m / j.n) > 0
+             THEN (ln(j.n) + (j.j - mx.m - my.m) / j.n)
+                  / LEAST(ln(j.n) - mx.m / j.n, ln(j.n) - my.m / j.n)
+             ELSE 0.0 END, 6) AS nmi
+FROM joint j
+JOIN mx ON mx.x_col = j.x_col AND mx.y_col = j.y_col
+JOIN my ON my.x_col = j.x_col AND my.y_col = j.y_col
+"""
+
+
 def _q_pagerank(spark, sf_dir):
     """Fixed-point PageRank (operators/graph.pagerank): link-graph
     centrality as a corpus-quality prior, run on a 59-node supplier→part
@@ -8132,6 +8206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_index_incremental": _q_ivf_index_incremental,
         "url_normalize_docs": _q_url_normalize,
         "pagerank_lineitem_graph": _q_pagerank,
+        "mutual_info_orders": _q_mutual_info,
         "bm25_topk_docs": _q_bm25_topk,
         "hybrid_retrieval_rrf": _q_hybrid_retrieval,
         "bm25_index_incremental": _q_bm25_incremental,
@@ -8313,6 +8388,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_index_incremental": _sql_ivf_index_incremental(),
         "url_normalize_docs": _sql_url_normalize(),
         "pagerank_lineitem_graph": _sql_pagerank(),
+        "mutual_info_orders": _sql_mutual_info(),
         "bm25_topk_docs": _sql_bm25_topk(),
         "hybrid_retrieval_rrf": _sql_hybrid_retrieval(),
         "bm25_index_incremental": _sql_bm25_topk(),

@@ -314,3 +314,87 @@ def k_anonymity_summary(
             6,
         ).alias("at_risk_rate"),
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    pairs: list[tuple[str, str]],
+) -> DataFrame:
+    """(x_col, y_col, n, h_x, h_y, mi, nmi) — Shannon mutual information
+    in nats between each requested column pair, plus the marginal
+    entropies and the min-entropy-normalized score ``nmi = mi /
+    min(h_x, h_y)`` in [0, 1].
+
+    The **leakage audit** for a training pipeline: a feature column with
+    nmi ≈ 1 against the label (or against a held-out-split assignment)
+    determines it — the classic target-leak / split-contamination
+    signal; nmi ≈ 0 means the pair is independent. Values compare in
+    their string rendering (heterogeneous column types, NULL is a
+    category), like :func:`ratatool_spark.operators.freq.skew_report`.
+
+    Exact algebra, no windows, no collect: with pair counts c_xy and
+    marginals c_x, c_y over n rows,
+
+        MI = ln n + (Σ c_xy·ln c_xy − Σ c_x·ln c_x − Σ c_y·ln c_y) / n
+
+    so everything reduces to ONE groupBy(pair, x, y) aggregate over a
+    struct-explode melt (one scan covers every pair; map-side combined)
+    and three re-aggregations of that counts table — each parallel over
+    the value partitions, joined back as 1-row-per-pair broadcasts. A
+    10⁹-distinct pair never funnels through a single task. The counts
+    subplan is shared via persist."""
+    from ratatool_spark.cache import persist_tracked
+
+    if not pairs:
+        raise ValueError("mutual_information needs at least one column pair")
+    structs = [
+        F.struct(
+            F.lit(x).alias("x_col"),
+            F.lit(y).alias("y_col"),
+            F.col(x).cast("string").alias("x"),
+            F.col(y).cast("string").alias("y"),
+        )
+        for x, y in pairs
+    ]
+    melted = df.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+    counts = persist_tracked(
+        melted.groupBy("x_col", "y_col", "x", "y").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+    )
+    clnc = F.sum(F.col("c") * F.log(F.col("c").cast("double")))
+    joint = counts.groupBy("x_col", "y_col").agg(
+        F.sum("c").alias("n"), clnc.alias("__j")
+    )
+    mx = (
+        counts.groupBy("x_col", "y_col", "x")
+        .agg(F.sum("c").alias("c"))
+        .groupBy("x_col", "y_col")
+        .agg(clnc.alias("__mx"))
+    )
+    my = (
+        counts.groupBy("x_col", "y_col", "y")
+        .agg(F.sum("c").alias("c"))
+        .groupBy("x_col", "y_col")
+        .agg(clnc.alias("__my"))
+    )
+    n = F.col("n").cast("double")
+    h_x = F.log(n) - F.col("__mx") / n
+    h_y = F.log(n) - F.col("__my") / n
+    mi = F.log(n) + (F.col("__j") - F.col("__mx") - F.col("__my")) / n
+    min_h = F.least(h_x, h_y)
+    return (
+        joint.join(mx, ["x_col", "y_col"])
+        .join(my, ["x_col", "y_col"])
+        .select(
+            "x_col",
+            "y_col",
+            "n",
+            F.round(h_x, 6).alias("h_x"),
+            F.round(h_y, 6).alias("h_y"),
+            F.round(mi, 6).alias("mi"),
+            F.round(
+                F.when(min_h > 0, mi / min_h).otherwise(F.lit(0.0)), 6
+            ).alias("nmi"),
+        )
+    )

@@ -196,3 +196,54 @@ def test_calibration_report_hand_computed(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="n_bins"):
         calibration_report(df, n_bins=0)
+
+
+def test_mutual_information_replay_and_bounds(spark):
+    import math
+
+    from ratatool_spark.operators.profile import mutual_information
+
+    rows = [("a", 1, "x"), ("a", 1, "y"), ("b", 2, "x"),
+            ("b", 2, "y"), ("c", 1, "x"), ("c", 2, None)]
+    df = spark.createDataFrame(rows, "u string, v int, w string")
+    got = {(r["x_col"], r["y_col"]): r
+           for r in mutual_information(df, [("u", "v"), ("v", "w"), ("v", "v")]).collect()}
+
+    def ref(xs, ys):
+        n = len(xs)
+        from collections import Counter
+        cj, cx, cy = Counter(zip(xs, ys)), Counter(xs), Counter(ys)
+        j = sum(c * math.log(c) for c in cj.values())
+        mx = sum(c * math.log(c) for c in cx.values())
+        my = sum(c * math.log(c) for c in cy.values())
+        mi = math.log(n) + (j - mx - my) / n
+        hx = math.log(n) - mx / n
+        hy = math.log(n) - my / n
+        return round(hx, 6), round(hy, 6), round(mi, 6)
+
+    us = [r[0] for r in rows]; vs = [str(r[1]) for r in rows]
+    ws = [str(r[2]) for r in rows]  # NULL renders as its own category
+    assert (got[("u", "v")]["h_x"], got[("u", "v")]["h_y"], got[("u", "v")]["mi"]) == ref(us, vs)
+    assert (got[("v", "w")]["h_x"], got[("v", "w")]["h_y"], got[("v", "w")]["mi"]) == ref(vs, ws)
+    # self-MI == entropy, nmi == 1 (the determinism bound)
+    assert got[("v", "v")]["mi"] == got[("v", "v")]["h_x"]
+    assert got[("v", "v")]["nmi"] == 1.0
+    # MI never exceeds min entropy
+    for r in got.values():
+        assert r["mi"] <= min(r["h_x"], r["h_y"]) + 1e-9
+
+
+def test_mutual_information_independent_and_constant(spark):
+    from ratatool_spark.operators.profile import mutual_information
+
+    # perfectly independent 2x2 grid, and a constant column (H=0)
+    rows = [(x, y, "k") for x in ("a", "b") for y in ("p", "q")] * 3
+    df = spark.createDataFrame(rows, "x string, y string, z string")
+    got = {(r["x_col"], r["y_col"]): r
+           for r in mutual_information(df, [("x", "y"), ("x", "z")]).collect()}
+    assert got[("x", "y")]["mi"] == 0.0
+    # constant column: zero entropy, nmi guarded to 0 (not NaN)
+    assert got[("x", "z")]["h_y"] == 0.0 and got[("x", "z")]["nmi"] == 0.0
+    import pytest as _pt
+    with _pt.raises(ValueError, match="at least one"):
+        mutual_information(df, [])
