@@ -2175,6 +2175,61 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def _q_mad_outliers(spark, sf_dir):
+    """Robust MAD outlier flags (operators/profile.mad_outliers):
+    Iglewicz–Hoaglin modified z over l_extendedprice per returnflag,
+    exact-percentile mode (the oracle-portable setting; percentile_approx
+    is the constant-memory 100 TB default), summarized per group. Values
+    quantize to fixed-point longs before any quantile, so median, MAD
+    and every z are deterministic engine-portable arithmetic — DuckDB
+    replays them exactly via quantile_cont."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.profile import mad_outliers
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    flagged = mad_outliers(li, "l_extendedprice", ["l_returnflag"])
+    return flagged.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("is_outlier"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_outliers"),
+        F.round(F.max(F.abs(F.col("robust_z"))), 6).alias("max_abs_z"),
+        F.round(F.min("robust_z"), 6).alias("min_z"),
+    )
+
+
+def _sql_mad_outliers() -> str:
+    return """
+WITH v AS (
+  SELECT l_returnflag AS g,
+         CAST(ROUND(l_extendedprice * 1000000) AS BIGINT) AS v
+  FROM lineitem
+), med AS (
+  SELECT g, quantile_cont(v, 0.5) AS med FROM v GROUP BY 1
+), mad AS (
+  SELECT v.g, quantile_cont(ABS(v.v - m.med), 0.5) AS mad,
+         ANY_VALUE(m.med) AS med
+  FROM v JOIN med m ON m.g = v.g GROUP BY v.g
+), z AS (
+  SELECT v.g,
+    CASE WHEN d.mad > 0
+         THEN ROUND(0.6745 * (v.v - d.med) / d.mad, 6) END AS z,
+    CASE WHEN d.mad > 0
+         THEN ABS(ROUND(0.6745 * (v.v - d.med) / d.mad, 6)) > 3.5
+         ELSE (v.v - d.med) <> 0 END AS f
+  FROM v JOIN mad d ON d.g = v.g
+)
+SELECT g AS l_returnflag, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       ROUND(MAX(ABS(z)), 6) AS max_abs_z,
+       ROUND(MIN(z), 6) AS min_z
+FROM z GROUP BY 1
+"""
+
+
 def _q_mutual_info(spark, sf_dir):
     """Mutual-information leakage audit (operators/profile
     mutual_information): pairwise MI / marginal entropies / normalized
@@ -8207,6 +8262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize_docs": _q_url_normalize,
         "pagerank_lineitem_graph": _q_pagerank,
         "mutual_info_orders": _q_mutual_info,
+        "mad_outliers_lineitem": _q_mad_outliers,
         "bm25_topk_docs": _q_bm25_topk,
         "hybrid_retrieval_rrf": _q_hybrid_retrieval,
         "bm25_index_incremental": _q_bm25_incremental,
@@ -8389,6 +8445,7 @@ def oracle_sql() -> dict[str, str]:
         "url_normalize_docs": _sql_url_normalize(),
         "pagerank_lineitem_graph": _sql_pagerank(),
         "mutual_info_orders": _sql_mutual_info(),
+        "mad_outliers_lineitem": _sql_mad_outliers(),
         "bm25_topk_docs": _sql_bm25_topk(),
         "hybrid_retrieval_rrf": _sql_hybrid_retrieval(),
         "bm25_index_incremental": _sql_bm25_topk(),

@@ -398,3 +398,63 @@ def mutual_information(
             ).alias("nmi"),
         )
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: float = 3.5,
+    approx: bool = False,
+    quantize_scale: int = 10**6,
+) -> DataFrame:
+    """Input rows + (``robust_z``, ``is_outlier``) — robust per-group
+    outlier flags via the Iglewicz–Hoaglin modified z-score
+    ``0.6745·(x − median) / MAD`` with cutoff ``|z| > k`` (their
+    recommended 3.5 default). Median/MAD resist the very outliers a
+    mean/std filter would absorb — the numeric-QC pass to run on metric
+    and feature columns before training.
+
+    Values are quantized to ``quantize_scale`` fixed-point longs FIRST,
+    so every downstream quantity (median of longs, |x − med| halves,
+    the z formula) is deterministic, engine-portable arithmetic — the
+    oracle gates exact values. When ``MAD = 0`` (over half the group
+    identical) ``robust_z`` is NULL and any value off the median is
+    flagged — the conservative reading of a degenerate spread.
+
+    Two aggregates over the group (median, then MAD around it) with the
+    1-row-per-group results broadcast back; nothing else shuffles.
+    ``approx=False`` uses exact ``percentile`` — per-group memory, the
+    oracle-portable mode; ``approx=True`` switches both quantiles to
+    ``percentile_approx`` (mergeable sketch, constant memory — the
+    100 TB setting; flags near the cutoff may differ by the sketch
+    tolerance)."""
+    gcols = list(group_cols or [])
+    q = F.percentile_approx if approx else F.percentile
+    v_fx = F.round(F.col(value_col) * quantize_scale).cast("long")
+    with_fx = df.withColumn("__v_fx", v_fx)
+    med = with_fx.groupBy(*gcols).agg(
+        q(F.col("__v_fx"), F.lit(0.5)).alias("__med")
+    )
+    j1 = (
+        with_fx.join(F.broadcast(med), gcols)
+        if gcols
+        else with_fx.crossJoin(F.broadcast(med))
+    )
+    mad = j1.groupBy(*gcols).agg(
+        q(F.abs(F.col("__v_fx") - F.col("__med")), F.lit(0.5)).alias("__mad"),
+        F.first("__med").alias("__med2"),
+    )
+    j2 = (
+        with_fx.join(F.broadcast(mad), gcols)
+        if gcols
+        else with_fx.crossJoin(F.broadcast(mad))
+    )
+    dev = F.col("__v_fx") - F.col("__med2")
+    z = F.when(
+        F.col("__mad") > 0, F.round(F.lit(0.6745) * dev / F.col("__mad"), 6)
+    )
+    flag = F.when(F.col("__mad") > 0, F.abs(z) > k).otherwise(dev != 0)
+    return j2.select(
+        *df.columns, z.alias("robust_z"), flag.alias("is_outlier")
+    )

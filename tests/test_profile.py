@@ -247,3 +247,37 @@ def test_mutual_information_independent_and_constant(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="at least one"):
         mutual_information(df, [])
+
+
+def test_mad_outliers_replay_and_degenerate_group(spark):
+    import statistics
+
+    from ratatool_spark.operators.profile import mad_outliers
+
+    vals = [1.0, 2.0, 2.0, 3.0, 2.0, 2.0, 1.0, 3.0, 2.0, 100.0]
+    rows = [("g", v) for v in vals] + [("h", 5.0)] * 5 + [("h", 6.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {(r["g"], r["v"], r["robust_z"], r["is_outlier"])
+           for r in mad_outliers(df, "v", ["g"]).collect()}
+
+    fx = [round(v * 10**6) for v in vals]
+    med = statistics.median(fx)
+    mad = statistics.median(abs(x - med) for x in fx)
+    for v in set(vals):
+        z = round(0.6745 * (round(v * 10**6) - med) / mad, 6)
+        assert ("g", v, z, abs(z) > 3.5) in got
+    # MAD = 0 group: z is NULL, off-median rows flagged
+    assert ("h", 5.0, None, False) in got and ("h", 6.0, None, True) in got
+
+
+def test_mad_outliers_global_and_approx_modes(spark):
+    from ratatool_spark.operators.profile import mad_outliers
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in list(range(100)) + [10**6]], "v double"
+    )
+    exact = mad_outliers(df, "v")          # no grouping: global median
+    assert [r["is_outlier"] for r in exact.orderBy("v").collect()][-1] is True
+    approx = mad_outliers(df, "v", approx=True)
+    # sketch mode flags the same gross outlier
+    assert [r["is_outlier"] for r in approx.orderBy("v").collect()][-1] is True
