@@ -662,6 +662,77 @@ def build_parser() -> argparse.ArgumentParser:
     nt.add_argument("--keepWhitespace", action="store_true")
     nt.add_argument("--lowercase", action="store_true")
     nt.add_argument("--format", default=None, help="override input format sniffing")
+
+    pr = sub.add_parser(
+        "pageRank",
+        help="fixed-point PageRank over an edge list "
+        "(link-graph quality prior; bit-reproducible)",
+    )
+    pr.add_argument("--input", required=True, help="edge table")
+    pr.add_argument("--output", required=True)
+    pr.add_argument("--srcField", default="src")
+    pr.add_argument("--dstField", default="dst")
+    pr.add_argument("--iterations", type=int, default=10)
+    pr.add_argument("--dampingNum", type=int, default=85)
+    pr.add_argument("--dampingDen", type=int, default=100)
+    pr.add_argument("--format", default=None, help="override input format sniffing")
+
+    un = sub.add_parser(
+        "urlNormalize",
+        help="canonicalize a URL column (scheme/host case, default "
+        "ports, tracking params, fragments) + host and eTLD+1 domain",
+    )
+    un.add_argument("--input", required=True)
+    un.add_argument("--output", required=True)
+    un.add_argument("--urlField", default="url")
+    un.add_argument("--format", default=None, help="override input format sniffing")
+
+    mi = sub.add_parser(
+        "mutualInfo",
+        help="pairwise mutual information / entropies / normalized "
+        "leakage score between column pairs",
+    )
+    mi.add_argument("--input", required=True)
+    mi.add_argument(
+        "--pairs", type=_csv, required=True,
+        help="colon-separated column pairs, comma-delimited: a:b,c:d",
+    )
+    mi.add_argument("--output", required=True)
+    mi.add_argument("--format", default=None, help="override input format sniffing")
+
+    mo = sub.add_parser(
+        "madOutliers",
+        help="robust per-group outlier flags via the MAD modified "
+        "z-score (Iglewicz-Hoaglin)",
+    )
+    mo.add_argument("--input", required=True)
+    mo.add_argument("--output", required=True)
+    mo.add_argument("--valueField", required=True)
+    mo.add_argument("--groupBy", type=_csv, default=[])
+    mo.add_argument("--cutoff", type=float, default=3.5)
+    mo.add_argument(
+        "--exact", action="store_true",
+        help="exact percentiles (default: mergeable approx sketches)",
+    )
+    mo.add_argument("--format", default=None, help="override input format sniffing")
+
+    sj = sub.add_parser(
+        "sketchJoinSize",
+        help="estimate equi-join output cardinality from two count-min "
+        "sketch tables (no fact rescan)",
+    )
+    sj.add_argument("--sketchA", required=True)
+    sj.add_argument("--sketchB", required=True)
+    sj.add_argument("--output", required=True)
+
+    iu = sub.add_parser(
+        "updateIvfIndex",
+        help="append vectors to a persisted IVF ANN index against its "
+        "frozen centroids (no retrain)",
+    )
+    iu.add_argument("--index", required=True)
+    iu.add_argument("--input", required=True, help="new vector table")
+    iu.add_argument("--format", default=None, help="override input format sniffing")
     return p
 
 
@@ -1349,6 +1420,81 @@ def main(argv: list[str] | None = None) -> int:
                 lowercase=args.lowercase,
             )
             write_table(out, args.output, mode="overwrite")
+        elif args.command == "pageRank":
+            from ratatool_spark.operators.graph import pagerank
+
+            df = read_table(spark, args.input, fmt=args.format)
+            out = pagerank(
+                df,
+                src=args.srcField,
+                dst=args.dstField,
+                iterations=args.iterations,
+                damping_num=args.dampingNum,
+                damping_den=args.dampingDen,
+            )
+            write_table(out, args.output, mode="overwrite")
+        elif args.command == "urlNormalize":
+            from pyspark.sql import functions as F
+
+            from ratatool_spark.functions.urls import (
+                normalize_url,
+                registered_domain,
+                url_host,
+            )
+
+            df = read_table(spark, args.input, fmt=args.format)
+            u = F.col(args.urlField)
+            out = df.withColumns(
+                {
+                    "url_norm": normalize_url(u),
+                    "host": url_host(u),
+                    "domain": registered_domain(url_host(u)),
+                }
+            )
+            write_table(out, args.output, mode="overwrite")
+        elif args.command == "mutualInfo":
+            from ratatool_spark.operators.profile import mutual_information
+
+            pairs = []
+            for p_ in args.pairs:
+                x, sep, y = p_.partition(":")
+                if not sep or not x or not y:
+                    raise SystemExit(
+                        f"--pairs expects colon-separated pairs, got {p_!r}"
+                    )
+                pairs.append((x, y))
+            df = read_table(spark, args.input, fmt=args.format)
+            write_table(
+                mutual_information(df, pairs), args.output, mode="overwrite"
+            )
+        elif args.command == "madOutliers":
+            from ratatool_spark.operators.profile import mad_outliers
+
+            df = read_table(spark, args.input, fmt=args.format)
+            out = mad_outliers(
+                df,
+                args.valueField,
+                args.groupBy or None,
+                k=args.cutoff,
+                approx=not args.exact,
+            )
+            write_table(out, args.output, mode="overwrite")
+        elif args.command == "sketchJoinSize":
+            from ratatool_spark.operators.freq import sketch_join_size
+
+            sa = spark.read.parquet(args.sketchA)
+            sb = spark.read.parquet(args.sketchB)
+            write_table(
+                sketch_join_size(sa, sb), args.output, mode="overwrite"
+            )
+        elif args.command == "updateIvfIndex":
+            import json
+
+            from ratatool_spark.operators.similarity import update_ivf_index
+
+            df = read_table(spark, args.input, fmt=args.format)
+            stats = update_ivf_index(spark, args.index, df)
+            print(json.dumps(stats))
         return 0
     finally:
         if not preexisting:  # don't tear down a session we joined

@@ -1064,3 +1064,71 @@ def test_cli_normalize_text(spark, tmp_path):
     assert main(["normalizeText", "--input", src, "--output", out]) == 0
     r = spark.read.parquet(out).collect()[0]
     assert r.text == "a bc" and r.changed
+
+
+def test_cli_graph_url_profile_verbs(spark, tmp_path):
+    """The r6 planning/QC verbs: pageRank, urlNormalize, mutualInfo,
+    madOutliers, sketchJoinSize, updateIvfIndex."""
+    import json as _json
+
+    from ratatool_spark.cli import main
+
+    edges = str(tmp_path / "edges")
+    spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 1)], "src long, dst long"
+    ).write.parquet(edges)
+    pr_out = str(tmp_path / "pr")
+    assert main(["pageRank", "--input", edges, "--output", pr_out,
+                 "--iterations", "3"]) == 0
+    ranks = {r["node"]: r["rank_fx"] for r in spark.read.parquet(pr_out).collect()}
+    assert len(ranks) == 4 and all(v > 0 for v in ranks.values())
+
+    urls = str(tmp_path / "urls")
+    spark.createDataFrame(
+        [("HTTP://WWW.Ex.CO.UK:80/A?utm_x=1&b=2#f",)], "url string"
+    ).write.parquet(urls)
+    un_out = str(tmp_path / "un")
+    assert main(["urlNormalize", "--input", urls, "--output", un_out]) == 0
+    r = spark.read.parquet(un_out).collect()[0]
+    assert r["url_norm"] == "http://www.ex.co.uk/A?b=2"
+    assert r["domain"] == "ex.co.uk"
+
+    tbl = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [("a", "a", 1.0), ("b", "b", 2.0), ("a", "a", 3.0), ("b", "b", 100.0)],
+        "x string, y string, v double",
+    ).write.parquet(tbl)
+    mi_out = str(tmp_path / "mi")
+    assert main(["mutualInfo", "--input", tbl, "--pairs", "x:y",
+                 "--output", mi_out]) == 0
+    assert spark.read.parquet(mi_out).collect()[0]["nmi"] == 1.0
+    mo_out = str(tmp_path / "mo")
+    assert main(["madOutliers", "--input", tbl, "--valueField", "v",
+                 "--exact", "--output", mo_out]) == 0
+    assert {r["is_outlier"] for r in spark.read.parquet(mo_out).collect()} == {True, False}
+
+    # sketchJoinSize over two persisted sketch tables
+    from ratatool_spark.operators.freq import build_freq_sketches
+
+    ev = spark.createDataFrame([("g", i % 3) for i in range(30)], "g string, k long")
+    ska, skb = str(tmp_path / "ska"), str(tmp_path / "skb")
+    build_freq_sketches(ev, ["g"], "k", depth=4, width=64).write.parquet(ska)
+    build_freq_sketches(ev, ["g"], "k", depth=4, width=64).write.parquet(skb)
+    sj_out = str(tmp_path / "sj")
+    assert main(["sketchJoinSize", "--sketchA", ska, "--sketchB", skb,
+                 "--output", sj_out]) == 0
+    assert spark.read.parquet(sj_out).collect()[0]["est_join_rows"] == 300
+
+    # updateIvfIndex appends against the stored sidecar centroids
+    from ratatool_spark.operators.similarity import build_ivf_index
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(vecs.where("vec_id < 10"), idx, n_centroids=2, train_iters=0)
+    newv = str(tmp_path / "newv")
+    vecs.where("vec_id >= 10").write.parquet(newv)
+    assert main(["updateIvfIndex", "--index", idx, "--input", newv]) == 0
+    assert spark.read.parquet(idx).count() == 20
