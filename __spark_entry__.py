@@ -2175,6 +2175,96 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def _q_drift_report(spark, sf_dir):
+    """Snapshot drift report (operators/profile.drift_report): PSI
+    between the even-orderkey half of orders and an ENGINEERED drifted
+    snapshot (odd half restricted to totalprice > 100k) — numeric PSI
+    over 10 equi-width buckets of the combined range must light up,
+    categorical o_orderpriority stays near zero. Laplace-smoothed
+    shares, grid-completed bins, no window beyond the top-k
+    WindowGroupLimit; DuckDB replays the smoothing, bucketing and
+    ln-sum exactly (literals CAST to DOUBLE — bare 0.5 would parse as
+    DECIMAL and change the arithmetic)."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.profile import drift_report
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    a = o.where(F.col("o_orderkey") % 2 == 0)
+    b = o.where(
+        (F.col("o_orderkey") % 2 == 1) & (F.col("o_totalprice") > 100000)
+    )
+    return drift_report(
+        a, b, categorical=["o_orderpriority"], numeric=["o_totalprice"]
+    )
+
+
+def _sql_drift_report() -> str:
+    return """
+WITH a0 AS (
+  SELECT o_orderpriority AS cp, CAST(o_totalprice AS DOUBLE) AS v,
+         0 AS side
+  FROM orders WHERE o_orderkey % 2 = 0
+), b0 AS (
+  SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE), 1
+  FROM orders WHERE o_orderkey % 2 = 1 AND o_totalprice > 100000
+), ab AS (SELECT * FROM a0 UNION ALL SELECT * FROM b0),
+ccounts AS (
+  SELECT 'o_orderpriority' AS col, cp AS value, side, COUNT(*) AS c
+  FROM ab GROUP BY 1, 2, 3
+), topv AS (
+  SELECT col, value FROM (
+    SELECT col, value,
+           ROW_NUMBER() OVER (PARTITION BY col
+                              ORDER BY SUM(c) DESC, value) AS rk
+    FROM ccounts GROUP BY col, value
+  ) WHERE rk <= 20
+), cbuck AS (
+  SELECT c.col, 'categorical' AS kind,
+         CASE WHEN t.value IS NOT NULL THEN c.value
+              ELSE '__other__' END AS bucket,
+         c.side, SUM(c.c) AS c
+  FROM ccounts c LEFT JOIN topv t ON t.col = c.col AND t.value = c.value
+  GROUP BY 1, 2, 3, 4
+), rng AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM ab),
+nbuck AS (
+  SELECT 'o_totalprice' AS col, 'numeric' AS kind,
+         CAST(CAST(LEAST(GREATEST(
+           FLOOR((v - lo) / ((hi - lo) / 10)), 0), 9) AS BIGINT)
+           AS VARCHAR) AS bucket,
+         side, COUNT(*) AS c
+  FROM ab, rng GROUP BY 1, 2, 3, 4
+), binned AS (
+  SELECT * FROM cbuck UNION ALL SELECT * FROM nbuck
+), grid AS (SELECT DISTINCT col, kind, bucket FROM binned),
+fullg AS (
+  SELECT g.col, g.kind, g.bucket, s.side, COALESCE(b.c, 0) AS c
+  FROM grid g
+  CROSS JOIN (SELECT 0 AS side UNION ALL SELECT 1) s
+  LEFT JOIN binned b ON b.col = g.col AND b.bucket = g.bucket
+                     AND b.side = s.side
+), tot AS (
+  SELECT col, side, SUM(c) AS n, COUNT(*) AS n_bins
+  FROM fullg GROUP BY 1, 2
+), p AS (
+  SELECT f.col, f.kind, f.bucket, f.side,
+         (f.c + CAST(0.5 AS DOUBLE))
+           / (t.n + CAST(0.5 AS DOUBLE) * t.n_bins) AS p,
+         t.n, t.n_bins
+  FROM fullg f JOIN tot t ON t.col = f.col AND t.side = f.side
+)
+SELECT pa.col AS "column", ANY_VALUE(pa.kind) AS kind,
+       ANY_VALUE(pa.n_bins) AS n_bins,
+       CAST(ANY_VALUE(pa.n) AS BIGINT) AS n_a,
+       CAST(ANY_VALUE(pb.n) AS BIGINT) AS n_b,
+       ROUND(SUM((pa.p - pb.p) * ln(pa.p / pb.p)), 6) AS psi
+FROM p pa
+JOIN p pb ON pb.col = pa.col AND pb.bucket = pa.bucket
+         AND pa.side = 0 AND pb.side = 1
+GROUP BY 1
+"""
+
+
 def _q_mad_outliers(spark, sf_dir):
     """Robust MAD outlier flags (operators/profile.mad_outliers):
     Iglewicz–Hoaglin modified z over l_extendedprice per returnflag,
@@ -8263,6 +8353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_lineitem_graph": _q_pagerank,
         "mutual_info_orders": _q_mutual_info,
         "mad_outliers_lineitem": _q_mad_outliers,
+        "drift_report_orders": _q_drift_report,
         "bm25_topk_docs": _q_bm25_topk,
         "hybrid_retrieval_rrf": _q_hybrid_retrieval,
         "bm25_index_incremental": _q_bm25_incremental,
@@ -8446,6 +8537,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_lineitem_graph": _sql_pagerank(),
         "mutual_info_orders": _sql_mutual_info(),
         "mad_outliers_lineitem": _sql_mad_outliers(),
+        "drift_report_orders": _sql_drift_report(),
         "bm25_topk_docs": _sql_bm25_topk(),
         "hybrid_retrieval_rrf": _sql_hybrid_retrieval(),
         "bm25_index_incremental": _sql_bm25_topk(),

@@ -725,6 +725,20 @@ def build_parser() -> argparse.ArgumentParser:
     sj.add_argument("--sketchB", required=True)
     sj.add_argument("--output", required=True)
 
+    dr = sub.add_parser(
+        "driftReport",
+        help="PSI drift between two table snapshots "
+        "(categorical top-k pooled bins, numeric equi-width bins)",
+    )
+    dr.add_argument("--lhs", required=True)
+    dr.add_argument("--rhs", required=True)
+    dr.add_argument("--output", required=True)
+    dr.add_argument("--categorical", type=_csv, default=[])
+    dr.add_argument("--numeric", type=_csv, default=[])
+    dr.add_argument("--buckets", type=int, default=10)
+    dr.add_argument("--topK", type=int, default=20)
+    dr.add_argument("--format", default=None, help="override input format sniffing")
+
     iu = sub.add_parser(
         "updateIvfIndex",
         help="append vectors to a persisted IVF ANN index against its "
@@ -1487,6 +1501,20 @@ def main(argv: list[str] | None = None) -> int:
             write_table(
                 sketch_join_size(sa, sb), args.output, mode="overwrite"
             )
+        elif args.command == "driftReport":
+            from ratatool_spark.operators.profile import drift_report
+
+            lhs = read_table(spark, args.lhs, fmt=args.format)
+            rhs = read_table(spark, args.rhs, fmt=args.format)
+            out = drift_report(
+                lhs,
+                rhs,
+                categorical=args.categorical or None,
+                numeric=args.numeric or None,
+                n_buckets=args.buckets,
+                top_k=args.topK,
+            )
+            write_table(out, args.output, mode="overwrite")
         elif args.command == "updateIvfIndex":
             import json
 

@@ -17,7 +17,7 @@ engine-portable setting the DuckDB oracle twin checks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -457,4 +457,160 @@ def mad_outliers(
     flag = F.when(F.col("__mad") > 0, F.abs(z) > k).otherwise(dev != 0)
     return j2.select(
         *df.columns, z.alias("robust_z"), flag.alias("is_outlier")
+    )
+
+
+def drift_report(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    categorical: list[str] | None = None,
+    numeric: list[str] | None = None,
+    n_buckets: int = 10,
+    top_k: int = 20,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """(column, kind, n_bins, n_a, n_b, psi) — population stability
+    index between two table snapshots per column: the standard
+    train-vs-serve / snapshot-vs-snapshot drift metric,
+
+        PSI = Σ_bins (p_a − p_b) · ln(p_a / p_b)
+
+    (≈0 stable; >0.1 drifting; >0.25 re-examine — the usual reading).
+    Categorical columns bucket by value string with the combined top-``top_k``
+    kept and the tail pooled into ``__other__`` (stable bin structure no
+    matter how many new values snapshot B invents). Numeric columns
+    bucket equi-width over the COMBINED min/max (same bins both sides by
+    construction). Shares are Laplace-smoothed — ``(c + s)/(N + s·B)``
+    — so empty bins contribute finite, deterministic terms instead of
+    ±inf; with s = 0.5 a bin present in A and absent in B is charged
+    sharply but boundedly.
+
+    One melt + one (column, bucket, side) aggregate per column family,
+    map-side combined; the per-column reductions (totals, bin counts,
+    the PSI sum) are plain groupBy aggregates broadcast-joined — the
+    same no-window-funnel discipline as
+    :func:`ratatool_spark.operators.freq.skew_report`, so a
+    high-cardinality categorical column costs its distinct-count
+    aggregate plus a top-k WindowGroupLimit, never a single-task sort.
+    The combined numeric min/max ride a broadcast 1-row aggregate (no
+    driver collect)."""
+    from ratatool_spark.cache import persist_tracked
+
+    cats = list(categorical or [])
+    nums = list(numeric or [])
+    if not cats and not nums:
+        raise ValueError("drift_report needs at least one column")
+    both = df_a.select(
+        *(F.col(c).cast("string").alias(c) for c in cats),
+        *(F.col(c).cast("double").alias(c) for c in nums),
+        F.lit(0).alias("__side"),
+    ).unionByName(
+        df_b.select(
+            *(F.col(c).cast("string").alias(c) for c in cats),
+            *(F.col(c).cast("double").alias(c) for c in nums),
+            F.lit(1).alias("__side"),
+        )
+    )
+
+    frames = []
+    if cats:
+        pairs = []
+        for c in cats:
+            pairs += [F.lit(c), F.col(c)]
+        melted = both.select(
+            "__side", F.explode(F.create_map(*pairs)).alias("column", "value")
+        )
+        counts = persist_tracked(
+            melted.groupBy("column", "value", "__side").agg(
+                F.count(F.lit(1)).alias("c")
+            )
+        )
+        w = Window.partitionBy("column").orderBy(
+            F.desc("tot"), F.col("value")
+        )
+        top = (
+            counts.groupBy("column", "value")
+            .agg(F.sum("c").alias("tot"))
+            .withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= top_k)
+            .select("column", "value", F.lit(1).alias("__keep"))
+        )
+        bucketed = (
+            counts.join(F.broadcast(top), ["column", "value"], "left")
+            .select(
+                "column",
+                F.when(F.col("__keep").isNotNull(), F.col("value"))
+                .otherwise(F.lit("__other__"))
+                .alias("bucket"),
+                "__side",
+                "c",
+            )
+            .groupBy("column", "bucket", "__side")
+            .agg(F.sum("c").alias("c"))
+        )
+        frames.append(bucketed.withColumn("kind", F.lit("categorical")))
+    if nums:
+        pairs = []
+        for c in nums:
+            pairs += [F.lit(c), F.col(c)]
+        meltedn = both.select(
+            "__side", F.explode(F.create_map(*pairs)).alias("column", "v")
+        ).where(F.col("v").isNotNull())
+        rng = meltedn.groupBy("column").agg(
+            F.min("v").alias("__lo"), F.max("v").alias("__hi")
+        )
+        width = (F.col("__hi") - F.col("__lo")) / n_buckets
+        bucket_id = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+            F.least(
+                F.greatest(
+                    F.floor((F.col("v") - F.col("__lo")) / width), F.lit(0)
+                ),
+                F.lit(n_buckets - 1),
+            )
+        )
+        bucketedn = (
+            meltedn.join(F.broadcast(rng), "column")
+            .select(
+                "column",
+                bucket_id.cast("string").alias("bucket"),
+                "__side",
+            )
+            .groupBy("column", "bucket", "__side")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        frames.append(bucketedn.withColumn("kind", F.lit("numeric")))
+
+    binned = frames[0]
+    for f in frames[1:]:
+        binned = binned.unionByName(f)
+    # bin-count table is bins-sized — persist it: every consumer below
+    # would otherwise re-derive the melt + aggregates (a branch-doubling
+    # subtree; measured 9.7 s -> 0.9 s at sf0.1 with the pivot + persist)
+    binned = persist_tracked(binned)
+    # pivot sides into columns in ONE aggregate — no grid cross-join, no
+    # self-join: a bin absent from a side smooths from c = 0 naturally
+    side_c = lambda s: F.coalesce(
+        F.max(F.when(F.col("__side") == s, F.col("c"))), F.lit(0)
+    )
+    pivoted = binned.groupBy("column", "kind", "bucket").agg(
+        side_c(0).alias("ca"), side_c(1).alias("cb")
+    )
+    tot = pivoted.groupBy("column").agg(
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+    s = F.lit(smoothing)
+    pa = (F.col("ca") + s) / (F.col("n_a") + s * F.col("n_bins"))
+    pb = (F.col("cb") + s) / (F.col("n_b") + s * F.col("n_bins"))
+    return (
+        pivoted.join(F.broadcast(tot), "column")
+        .groupBy("column")
+        .agg(
+            F.first("kind").alias("kind"),
+            F.first("n_bins").alias("n_bins"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+            F.round(F.sum((pa - pb) * F.log(pa / pb)), 6).alias("psi"),
+        )
     )

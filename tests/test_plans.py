@@ -570,3 +570,18 @@ def test_pagerank_superstep_shapes(spark):
     out = pagerank(edges, iterations=1)
     # correctness of shape: rank state is one row per node
     assert out.count() == out.select("node").distinct().count()
+
+
+def test_drift_report_pivot_no_self_join(spark):
+    """drift_report_orders: sides pivot inside ONE aggregate over the
+    persisted bin table — no bucket self-join, no grid cross-join; the
+    only window is the categorical top-k rank."""
+    p = plan_of(spark, "drift_report_orders")
+    assert "CartesianProduct" not in p
+    assert "mapInPandas" not in p and "BatchEvalPython" not in p
+    # ONE logical window (the categorical top-k rank). Pre-materialization
+    # explain prints the persisted bin table's build subtree under both
+    # pivoted consumers, so the node can appear twice; at runtime the
+    # second consumer reads the cache (InMemoryTableScan pinned below).
+    assert len(re.findall(r"\bWindow\b", p)) <= 2
+    assert "InMemoryTableScan" in p  # persisted bin table

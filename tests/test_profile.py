@@ -281,3 +281,59 @@ def test_mad_outliers_global_and_approx_modes(spark):
     approx = mad_outliers(df, "v", approx=True)
     # sketch mode flags the same gross outlier
     assert [r["is_outlier"] for r in approx.orderBy("v").collect()][-1] is True
+
+
+def test_drift_report_python_replay(spark):
+    import math
+    from collections import Counter
+
+    from ratatool_spark.operators.profile import drift_report
+
+    a_rows = [("x", 1.0)] * 50 + [("y", 2.0)] * 50
+    b_rows = [("x", 1.0)] * 80 + [("y", 5.0)] * 20
+    a = spark.createDataFrame(a_rows, "c string, v double")
+    b = spark.createDataFrame(b_rows, "c string, v double")
+    got = {r["column"]: r
+           for r in drift_report(a, b, categorical=["c"], numeric=["v"],
+                                 n_buckets=4).collect()}
+
+    def psi(ca, cb, bins):
+        na, nb, s, B = sum(ca.values()), sum(cb.values()), 0.5, len(bins)
+        tot = 0.0
+        for bin_ in bins:
+            pa = (ca.get(bin_, 0) + s) / (na + s * B)
+            pb = (cb.get(bin_, 0) + s) / (nb + s * B)
+            tot += (pa - pb) * math.log(pa / pb)
+        return round(tot, 6)
+
+    ca, cb = Counter(r[0] for r in a_rows), Counter(r[0] for r in b_rows)
+    assert got["c"]["psi"] == psi(ca, cb, {"x", "y"})
+    # numeric: combined range [1,5], 4 equi-width buckets -> 1.0->0, 2.0->1, 5.0->3
+    na = Counter({"0": 50, "1": 50})
+    nb = Counter({"0": 80, "3": 20})
+    assert got["v"]["psi"] == psi(na, nb, {"0", "1", "3"})
+    assert got["v"]["n_bins"] == 3 and got["c"]["n_a"] == 100
+
+    # identical snapshots -> exactly zero drift everywhere
+    same = drift_report(a, a, categorical=["c"], numeric=["v"])
+    assert {r["psi"] for r in same.collect()} == {0.0}
+
+
+def test_drift_report_top_k_pooling_and_validation(spark):
+    import pytest as _pt
+
+    from ratatool_spark.operators.profile import drift_report
+
+    # 30 distinct tail values pool into __other__, keeping bins stable
+    a = spark.createDataFrame(
+        [("hot",)] * 50 + [(f"t{i}",) for i in range(30)], "c string"
+    )
+    b = spark.createDataFrame(
+        [("hot",)] * 50 + [(f"u{i}",) for i in range(30)], "c string"
+    )
+    [row] = drift_report(a, b, categorical=["c"], top_k=5).collect()
+    assert row["n_bins"] <= 11  # 5 kept per... combined top-5 + __other__ + ties
+    # same tail MASS both sides: pooled drift stays small
+    assert row["psi"] < 0.2
+    with _pt.raises(ValueError, match="at least one"):
+        drift_report(a, b)

@@ -1132,3 +1132,19 @@ def test_cli_graph_url_profile_verbs(spark, tmp_path):
     vecs.where("vec_id >= 10").write.parquet(newv)
     assert main(["updateIvfIndex", "--index", idx, "--input", newv]) == 0
     assert spark.read.parquet(idx).count() == 20
+
+
+def test_cli_drift_report(spark, tmp_path):
+    from ratatool_spark.cli import main
+
+    lhs, rhs = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame([("x", 1.0)] * 10 + [("y", 2.0)] * 10,
+                          "c string, v double").write.parquet(lhs)
+    spark.createDataFrame([("x", 9.0)] * 18 + [("y", 2.0)] * 2,
+                          "c string, v double").write.parquet(rhs)
+    out = str(tmp_path / "drift")
+    assert main(["driftReport", "--lhs", lhs, "--rhs", rhs,
+                 "--categorical", "c", "--numeric", "v",
+                 "--output", out]) == 0
+    rows = {r["column"]: r["psi"] for r in spark.read.parquet(out).collect()}
+    assert rows["v"] > 1.0 and rows["c"] > 0.1
