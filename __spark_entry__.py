@@ -2175,6 +2175,55 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def _q_lsh_recall_by_band(spark, sf_dir):
+    """LSH S-curve accounting (operators/dedup.pair_recall_by_band):
+    recall of the banded-minhash candidate set against exact n-gram
+    Jaccard truth pairs, bucketed by true similarity — the text-dedup
+    twin of the ANN recall reports, and the measurement that justifies
+    a (num_hashes, bands) choice. The oracle recomputes BOTH pair sets
+    (the existing minhash and jaccard gate replays verbatim as nested
+    CTEs) and the band aggregate."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        pair_recall_by_band,
+    )
+
+    # a doc_id % 3 slice keeps the gate inside the bench envelope at
+    # sf0.1 (5.1 s full-table -> 3.0 s) while both S-curve ends stay
+    # populated (thousands of low-band pairs, the full top band)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") % 3 == 0
+    )
+    # band on the ROUND(6) similarity so the banding input is the same
+    # literal value the oracle's jaccard CTE produces
+    truth = ngram_jaccard_pairs(docs, threshold=0.02).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+    cands = minhash_lsh_pairs(docs, num_hashes=_MINHASH_K, bands=_MINHASH_BANDS)
+    return pair_recall_by_band(truth, cands, sim_col="jaccard", n_bands=10)
+
+
+def _sql_lsh_recall_by_band() -> str:
+    return f"""
+WITH truth AS ({_SQL_DEDUP_JACCARD.replace('>= 0.1', '>= 0.02').replace('FROM documents', 'FROM documents WHERE doc_id % 3 = 0')}),
+cand AS ({_sql_dedup_minhash().replace('FROM documents', 'FROM documents WHERE doc_id % 3 = 0')}),
+t AS (SELECT DISTINCT id_a, id_b, jaccard AS s FROM truth),
+c AS (SELECT DISTINCT id_a, id_b, 1 AS hit FROM cand),
+joined AS (
+  SELECT LEAST(CAST(FLOOR(t.s * 10) AS INT), 9) AS b, c.hit
+  FROM t LEFT JOIN c ON c.id_a = t.id_a AND c.id_b = t.id_b
+)
+SELECT ROUND(CAST(b AS DOUBLE) / 10, 6) AS band_lo,
+       COUNT(*) AS n_truth,
+       COUNT(hit) AS n_hit,
+       ROUND(COUNT(hit) / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+FROM joined GROUP BY b
+"""
+
+
 def _q_drift_report(spark, sf_dir):
     """Snapshot drift report (operators/profile.drift_report): PSI
     between the even-orderkey half of orders and an ENGINEERED drifted
@@ -8354,6 +8403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_info_orders": _q_mutual_info,
         "mad_outliers_lineitem": _q_mad_outliers,
         "drift_report_orders": _q_drift_report,
+        "lsh_recall_by_band": _q_lsh_recall_by_band,
         "bm25_topk_docs": _q_bm25_topk,
         "hybrid_retrieval_rrf": _q_hybrid_retrieval,
         "bm25_index_incremental": _q_bm25_incremental,
@@ -8538,6 +8588,7 @@ def oracle_sql() -> dict[str, str]:
         "mutual_info_orders": _sql_mutual_info(),
         "mad_outliers_lineitem": _sql_mad_outliers(),
         "drift_report_orders": _sql_drift_report(),
+        "lsh_recall_by_band": _sql_lsh_recall_by_band(),
         "bm25_topk_docs": _sql_bm25_topk(),
         "hybrid_retrieval_rrf": _sql_hybrid_retrieval(),
         "bm25_index_incremental": _sql_bm25_topk(),

@@ -1377,3 +1377,48 @@ def winnow_candidate_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def pair_recall_by_band(
+    truth_pairs: DataFrame,
+    candidate_pairs: DataFrame,
+    sim_col: str = "jaccard",
+    n_bands: int = 10,
+) -> DataFrame:
+    """(band_lo, n_truth, n_hit, recall) — recall of a candidate pair
+    set against an exact-similarity truth set, bucketed by the truth
+    similarity: the measured **S-curve** of a banded-LSH configuration
+    (recall should climb from ~(r·s^b)-ish at low similarity toward 1.0
+    near the top band), the accounting that turns "LSH found the dups"
+    into a parameter choice you can defend — the text-dedup twin of
+    :func:`ratatool_spark.operators.similarity.topk_recall`.
+
+    Both inputs are (id_a, id_b[, sim]) with id_a < id_b (every pair
+    operator here emits that ordering); both sides deduplicate before
+    the join so repeated pairs cannot inflate either count. Cost: one
+    left join on the truth set (|truth| rows, never the corpus) + one
+    band aggregate."""
+    if n_bands < 1:
+        raise ValueError(f"need n_bands >= 1, got {n_bands}")
+    t = truth_pairs.select("id_a", "id_b", F.col(sim_col).alias("__s")).distinct()
+    c = candidate_pairs.select("id_a", "id_b").distinct().withColumn(
+        "__hit", F.lit(1)
+    )
+    band = F.least(
+        F.floor(F.col("__s") * n_bands).cast("int"), F.lit(n_bands - 1)
+    )
+    return (
+        t.join(c, ["id_a", "id_b"], "left")
+        .groupBy(band.alias("__b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.count("__hit").alias("n_hit"),
+            F.round(F.count("__hit") / F.count(F.lit(1)), 6).alias("recall"),
+        )
+        .select(
+            F.round(F.col("__b").cast("double") / n_bands, 6).alias("band_lo"),
+            "n_truth",
+            "n_hit",
+            "recall",
+        )
+    )

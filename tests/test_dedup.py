@@ -1109,3 +1109,24 @@ def test_winnow_candidate_pairs_finds_plagiarism(spark):
     got = winnow_candidate_pairs(df, k=3, window=4, min_shared=2).collect()
     assert {(r["id_a"], r["id_b"]) for r in got} == {(1, 2)}
     assert got[0]["n_shared"] >= 2
+
+
+def test_pair_recall_by_band(spark):
+    from ratatool_spark.operators.dedup import pair_recall_by_band
+
+    t = spark.createDataFrame(
+        [(1, 2, 0.95), (3, 4, 0.55), (5, 6, 0.52), (7, 8, 0.15),
+         (1, 2, 0.95), (9, 10, 1.0)],  # duplicate truth row + sim == 1.0
+        "id_a long, id_b long, jaccard double",
+    )
+    c = spark.createDataFrame(
+        [(1, 2), (5, 6), (9, 10), (9, 10), (11, 12)],  # dup cand + non-truth
+        "id_a long, id_b long",
+    )
+    got = {r["band_lo"]: (r["n_truth"], r["n_hit"], r["recall"])
+           for r in pair_recall_by_band(t, c).collect()}
+    # dedup on both sides; sim==1.0 clamps into the top band
+    assert got == {0.1: (1, 0, 0.0), 0.5: (2, 1, 0.5), 0.9: (2, 2, 1.0)}
+    import pytest as _pt
+    with _pt.raises(ValueError, match="n_bands"):
+        pair_recall_by_band(t, c, n_bands=0)
