@@ -2175,6 +2175,112 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def _q_stream_drift(spark, sf_dir):
+    """Streaming drift monitor run for REAL (streaming/drift): the
+    even-event_id half of events is the batch REFERENCE (fixed_bins
+    once); the odd half — value-shifted (> 150) to engineer numeric
+    drift while the event_type mix stays stable — is staged into a
+    2-file landing zone and streamed one file per trigger, each
+    micro-batch writing its own bin partial; the read side merges
+    partials by count addition and scores PSI per column. Fixed binning
+    spec (explicit bounds) is what makes partials mergeable; the oracle
+    is the direct batch replay, so the gate fails if the streaming path
+    drops, duplicates, or mis-merges any batch."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.profile import fixed_bins
+    from ratatool_spark.streaming.drift import (
+        read_stream_drift,
+        stream_drift_bins,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    spec = dict(
+        categorical=["event_type"],
+        numeric_bounds={"value": (0.0, 500.0)},
+        n_buckets=10,
+    )
+    ref = fixed_bins(ev.where(F.col("event_id") % 2 == 0), **spec)
+    live_src = ev.where(
+        (F.col("event_id") % 2 == 1) & (F.col("value") > 150)
+    )
+    root = tempfile.mkdtemp(prefix="rt_drift_")
+    src = os.path.join(root, "incoming")
+    live_src.repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema(live_src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_drift_bins(
+        stream,
+        os.path.join(root, "bins"),
+        os.path.join(root, "ckpt"),
+        **spec,
+    )
+    q.awaitTermination()
+    return read_stream_drift(spark, os.path.join(root, "bins"), ref)
+
+
+def _sql_stream_drift() -> str:
+    return """
+WITH ref0 AS (
+  SELECT event_type, value FROM events WHERE event_id % 2 = 0
+), live0 AS (
+  SELECT event_type, value FROM events
+  WHERE event_id % 2 = 1 AND value > 150
+), rbins AS (
+  SELECT "column", kind, bucket, COUNT(*) AS ca FROM (
+    SELECT 'event_type' AS "column", 'categorical' AS kind,
+           CAST(event_type AS VARCHAR) AS bucket FROM ref0
+    UNION ALL
+    SELECT 'value', 'numeric',
+           CAST(CAST(LEAST(GREATEST(FLOOR((value - CAST(0.0 AS DOUBLE))
+             / CAST(50.0 AS DOUBLE)), 0), 9) AS BIGINT) AS VARCHAR)
+    FROM ref0
+  ) GROUP BY 1, 2, 3
+), lbins AS (
+  SELECT "column", kind, bucket, COUNT(*) AS cb FROM (
+    SELECT 'event_type' AS "column", 'categorical' AS kind,
+           CAST(event_type AS VARCHAR) AS bucket FROM live0
+    UNION ALL
+    SELECT 'value', 'numeric',
+           CAST(CAST(LEAST(GREATEST(FLOOR((value - CAST(0.0 AS DOUBLE))
+             / CAST(50.0 AS DOUBLE)), 0), 9) AS BIGINT) AS VARCHAR)
+    FROM live0
+  ) GROUP BY 1, 2, 3
+), pv AS (
+  SELECT COALESCE(r."column", l."column") AS "column",
+         COALESCE(r.kind, l.kind) AS kind,
+         COALESCE(r.bucket, l.bucket) AS bucket,
+         COALESCE(r.ca, 0) AS ca, COALESCE(l.cb, 0) AS cb
+  FROM rbins r FULL OUTER JOIN lbins l
+    ON l."column" = r."column" AND l.bucket = r.bucket
+), tot AS (
+  SELECT "column", SUM(ca) AS n_ref, SUM(cb) AS n_live,
+         COUNT(*) AS n_bins
+  FROM pv GROUP BY 1
+)
+SELECT pv."column", ANY_VALUE(pv.kind) AS kind,
+       ANY_VALUE(t.n_bins) AS n_bins,
+       CAST(ANY_VALUE(t.n_ref) AS BIGINT) AS n_ref,
+       CAST(ANY_VALUE(t.n_live) AS BIGINT) AS n_live,
+       ROUND(SUM(
+         ((pv.ca + CAST(0.5 AS DOUBLE)) / (t.n_ref + CAST(0.5 AS DOUBLE) * t.n_bins)
+          - (pv.cb + CAST(0.5 AS DOUBLE)) / (t.n_live + CAST(0.5 AS DOUBLE) * t.n_bins))
+         * ln((pv.ca + CAST(0.5 AS DOUBLE)) / (t.n_ref + CAST(0.5 AS DOUBLE) * t.n_bins)
+              / ((pv.cb + CAST(0.5 AS DOUBLE)) / (t.n_live + CAST(0.5 AS DOUBLE) * t.n_bins)))
+       ), 6) AS psi
+FROM pv JOIN tot t ON t."column" = pv."column"
+GROUP BY 1
+"""
+
+
 def _q_lsh_recall_by_band(spark, sf_dir):
     """LSH S-curve accounting (operators/dedup.pair_recall_by_band):
     recall of the banded-minhash candidate set against exact n-gram
@@ -8404,6 +8510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers_lineitem": _q_mad_outliers,
         "drift_report_orders": _q_drift_report,
         "lsh_recall_by_band": _q_lsh_recall_by_band,
+        "stream_drift_psi": _q_stream_drift,
         "bm25_topk_docs": _q_bm25_topk,
         "hybrid_retrieval_rrf": _q_hybrid_retrieval,
         "bm25_index_incremental": _q_bm25_incremental,
@@ -8589,6 +8696,7 @@ def oracle_sql() -> dict[str, str]:
         "mad_outliers_lineitem": _sql_mad_outliers(),
         "drift_report_orders": _sql_drift_report(),
         "lsh_recall_by_band": _sql_lsh_recall_by_band(),
+        "stream_drift_psi": _sql_stream_drift(),
         "bm25_topk_docs": _sql_bm25_topk(),
         "hybrid_retrieval_rrf": _sql_hybrid_retrieval(),
         "bm25_index_incremental": _sql_bm25_topk(),

@@ -614,3 +614,103 @@ def drift_report(
             F.round(F.sum((pa - pb) * F.log(pa / pb)), 6).alias("psi"),
         )
     )
+
+
+def fixed_bins(
+    df: DataFrame,
+    categorical: list[str] | None = None,
+    numeric_bounds: dict | None = None,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """(column, kind, bucket, c) — bin counts under a FIXED binning
+    spec: categorical columns bucket by raw value string, numeric
+    columns equi-width over caller-provided ``(lo, hi)`` bounds with
+    clamping. The streaming-safe sibling of :func:`drift_report`'s
+    internal binning — fixed bounds mean partials from any data slice
+    (a micro-batch, a snapshot) are mergeable by plain count addition,
+    which is what :mod:`ratatool_spark.streaming.drift` relies on.
+    One melt + one map-side-combined aggregate."""
+    cats = list(categorical or [])
+    bounds = dict(numeric_bounds or {})
+    if not cats and not bounds:
+        raise ValueError("fixed_bins needs at least one column")
+    structs = []
+    for c in cats:
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit("categorical").alias("kind"),
+                F.col(c).cast("string").alias("bucket"),
+            )
+        )
+    for c, (lo, hi) in bounds.items():
+        if not hi > lo:
+            raise ValueError(f"need hi > lo for {c!r}, got ({lo}, {hi})")
+        width = (hi - lo) / n_buckets
+        b = F.least(
+            F.greatest(
+                F.floor((F.col(c).cast("double") - lo) / width), F.lit(0)
+            ),
+            F.lit(n_buckets - 1),
+        )
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit("numeric").alias("kind"),
+                b.cast("string").alias("bucket"),
+            )
+        )
+    return (
+        df.select(F.explode(F.array(*structs)).alias("p"))
+        .select("p.*")
+        .groupBy("column", "kind", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def psi_from_bins(
+    ref_bins: DataFrame,
+    live_bins: DataFrame,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """(column, kind, n_bins, n_ref, n_live, psi) — population
+    stability index between two :func:`fixed_bins` tables over the
+    UNION bucket grid with Laplace-smoothed shares (same algebra and
+    reading as :func:`drift_report`; this entry point takes
+    pre-binned counts so the reference can be computed once and the
+    live side can come from merged streaming partials)."""
+    r = ref_bins.groupBy("column", "kind", "bucket").agg(
+        F.sum("c").alias("ca")
+    )
+    l = live_bins.groupBy("column", "kind", "bucket").agg(
+        F.sum("c").alias("cb")
+    )
+    pivoted = (
+        r.join(l, ["column", "kind", "bucket"], "full_outer")
+        .select(
+            "column",
+            "kind",
+            "bucket",
+            F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+            F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+        )
+    )
+    tot = pivoted.groupBy("column").agg(
+        F.sum("ca").alias("n_ref"),
+        F.sum("cb").alias("n_live"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+    s = F.lit(smoothing)
+    pa = (F.col("ca") + s) / (F.col("n_ref") + s * F.col("n_bins"))
+    pb = (F.col("cb") + s) / (F.col("n_live") + s * F.col("n_bins"))
+    return (
+        pivoted.join(F.broadcast(tot), "column")
+        .groupBy("column")
+        .agg(
+            F.first("kind").alias("kind"),
+            F.first("n_bins").alias("n_bins"),
+            F.first("n_ref").alias("n_ref"),
+            F.first("n_live").alias("n_live"),
+            F.round(F.sum((pa - pb) * F.log(pa / pb)), 6).alias("psi"),
+        )
+    )

@@ -1116,3 +1116,57 @@ def test_stream_quality_scores_equals_batch(spark, tmp_path):
         for r in quality_classifier_score(docs, w, n_buckets=B, n=2).collect()
     }
     assert streamed == batch
+
+
+def test_stream_drift_equals_batch(spark, tmp_path):
+    """Streaming bin partials merged across micro-batches == one batch
+    binning of everything delivered; PSI vs the reference matches the
+    direct psi_from_bins computation."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.profile import fixed_bins, psi_from_bins
+    from ratatool_spark.streaming.drift import (
+        read_stream_drift,
+        stream_drift_bins,
+    )
+
+    ref_df = spark.createDataFrame(
+        [("a", float(v % 10)) for v in range(100)], "k string, v double"
+    )
+    live_df = spark.createDataFrame(
+        [("a", 9.0)] * 60 + [("b", 1.0)] * 40, "k string, v double"
+    )
+    spec = dict(categorical=["k"], numeric_bounds={"v": (0.0, 10.0)},
+                n_buckets=5)
+    src = str(tmp_path / "in")
+    live_df.repartition(3).write.parquet(src)  # 3 real micro-batches
+    stream = (
+        spark.readStream.schema(live_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_drift_bins(stream, str(tmp_path / "bins"),
+                          str(tmp_path / "ckpt"), **spec)
+    q.awaitTermination()
+    ref = fixed_bins(ref_df, **spec)
+    got = {r["column"]: r
+           for r in read_stream_drift(spark, str(tmp_path / "bins"), ref).collect()}
+    want = {r["column"]: r
+            for r in psi_from_bins(ref, fixed_bins(live_df, **spec)).collect()}
+    assert got.keys() == want.keys()
+    for c in want:
+        assert got[c]["psi"] == want[c]["psi"]
+        assert got[c]["n_live"] == want[c]["n_live"] == 100
+    assert got["k"]["psi"] > 0.1  # the engineered category shift registers
+
+
+def test_fixed_bins_validation(spark):
+    import pytest as _pt
+
+    from ratatool_spark.operators.profile import fixed_bins
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with _pt.raises(ValueError, match="at least one"):
+        fixed_bins(df)
+    with _pt.raises(ValueError, match="hi > lo"):
+        fixed_bins(df, numeric_bounds={"v": (5.0, 5.0)})
