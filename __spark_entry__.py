@@ -2309,10 +2309,14 @@ def _q_lsh_recall_by_band(spark, sf_dir):
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
     cands = minhash_lsh_pairs(docs, num_hashes=_MINHASH_K, bands=_MINHASH_BANDS)
-    return pair_recall_by_band(truth, cands, sim_col="jaccard", n_bands=10)
+    return pair_recall_by_band(
+        truth, cands, sim_col="jaccard", n_bands=10,
+        lsh_params=(_MINHASH_K // _MINHASH_BANDS, _MINHASH_BANDS),
+    )
 
 
 def _sql_lsh_recall_by_band() -> str:
+    rpb, bands = _MINHASH_K // _MINHASH_BANDS, _MINHASH_BANDS
     return f"""
 WITH truth AS ({_SQL_DEDUP_JACCARD.replace('>= 0.1', '>= 0.02').replace('FROM documents', 'FROM documents WHERE doc_id % 3 = 0')}),
 cand AS ({_sql_dedup_minhash().replace('FROM documents', 'FROM documents WHERE doc_id % 3 = 0')}),
@@ -2325,7 +2329,9 @@ joined AS (
 SELECT ROUND(CAST(b AS DOUBLE) / 10, 6) AS band_lo,
        COUNT(*) AS n_truth,
        COUNT(hit) AS n_hit,
-       ROUND(COUNT(hit) / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+       ROUND(COUNT(hit) / CAST(COUNT(*) AS DOUBLE), 6) AS recall,
+       ROUND(1 - POWER(1 - POWER(ROUND(CAST(b AS DOUBLE) / 10, 6)
+         + CAST(0.05 AS DOUBLE), {rpb}), {bands}), 6) AS expected_recall
 FROM joined GROUP BY b
 """
 

@@ -1384,6 +1384,7 @@ def pair_recall_by_band(
     candidate_pairs: DataFrame,
     sim_col: str = "jaccard",
     n_bands: int = 10,
+    lsh_params: tuple[int, int] | None = None,
 ) -> DataFrame:
     """(band_lo, n_truth, n_hit, recall) — recall of a candidate pair
     set against an exact-similarity truth set, bucketed by the truth
@@ -1392,6 +1393,12 @@ def pair_recall_by_band(
     near the top band), the accounting that turns "LSH found the dups"
     into a parameter choice you can defend — the text-dedup twin of
     :func:`ratatool_spark.operators.similarity.topk_recall`.
+
+    Pass ``lsh_params = (rows_per_band, bands)`` to add the THEORETICAL
+    banded-LSH collision probability ``expected_recall = 1 − (1 − s^r)^b``
+    at each band's midpoint similarity — measured-vs-theory side by side
+    is the tuning view (measured below theory = estimator bias or shingle
+    mismatch, above = correlated shingles).
 
     Both inputs are (id_a, id_b[, sim]) with id_a < id_b (every pair
     operator here emits that ordering); both sides deduplicate before
@@ -1407,7 +1414,7 @@ def pair_recall_by_band(
     band = F.least(
         F.floor(F.col("__s") * n_bands).cast("int"), F.lit(n_bands - 1)
     )
-    return (
+    out = (
         t.join(c, ["id_a", "id_b"], "left")
         .groupBy(band.alias("__b"))
         .agg(
@@ -1421,4 +1428,16 @@ def pair_recall_by_band(
             "n_hit",
             "recall",
         )
+    )
+    if lsh_params is not None:
+        rpb, nb = lsh_params
+        out = _with_expected(out, n_bands, rpb, nb)
+    return out
+
+
+def _with_expected(ranked: DataFrame, n_bands: int, r: int, b: int) -> DataFrame:
+    mid = F.col("band_lo") + F.lit(1.0 / (2 * n_bands))
+    return ranked.withColumn(
+        "expected_recall",
+        F.round(1 - F.pow(1 - F.pow(mid, F.lit(r)), F.lit(b)), 6),
     )

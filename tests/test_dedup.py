@@ -1130,3 +1130,18 @@ def test_pair_recall_by_band(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="n_bands"):
         pair_recall_by_band(t, c, n_bands=0)
+
+
+def test_pair_recall_expected_theory_column(spark):
+    import math
+
+    from ratatool_spark.operators.dedup import pair_recall_by_band
+
+    t = spark.createDataFrame([(1, 2, 0.95), (3, 4, 0.55)],
+                              "id_a long, id_b long, jaccard double")
+    c = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    got = {r["band_lo"]: r["expected_recall"]
+           for r in pair_recall_by_band(t, c, lsh_params=(4, 4)).collect()}
+    for lo, e in got.items():
+        mid = lo + 0.05
+        assert e == round(1 - (1 - mid**4) ** 4, 6)
