@@ -2175,6 +2175,85 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def _q_domain_cap(spark, sf_dir):
+    """The crawl-curation chain composed end-to-end: synthesize messy
+    URLs (the url_normalize_docs fixture), canonicalize, key by eTLD+1
+    registered domain, apply the deterministic per-domain cap
+    (corpus.cap_per_group — the C4/Gopher 'at most N pages per domain'
+    rule over hash-dice membership), and report per-domain kept/total.
+    One scan + one WindowGroupLimit window + one aggregate; every stage
+    (URL rules, domain, dice, cap, counts) replays in DuckDB."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.functions.urls import registered_domain, url_host
+    from ratatool_spark.operators.corpus import cap_per_group
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.upper(F.col("source")),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(".Example.CO.UK")).otherwise(
+            F.lit(".example.COM")
+        ),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+    )
+    with_domain = d.select(
+        "doc_id", registered_domain(url_host(url)).alias("domain")
+    )
+    capped = cap_per_group(
+        with_domain, group_col="domain", max_rows=40, dice_cols=("doc_id",)
+    )
+    totals = with_domain.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    kept = capped.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("kept_id_sum"),
+    )
+    return totals.join(kept, "domain").select(
+        "domain", "n_total", "n_kept", "kept_id_sum"
+    )
+
+
+def _sql_domain_cap() -> str:
+    # cap_per_group dice: portable md5 hash over (seed, doc_id)
+    h = (
+        "('0x' || substr(md5(concat_ws(chr(1), '0', "
+        "CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT"
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+    LOWER(CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
+          source ||
+          CASE WHEN doc_id % 2 = 0 THEN '.example.co.uk'
+               ELSE '.example.com' END) AS host
+  FROM documents
+), dom AS (
+  SELECT doc_id,
+    CASE WHEN labels[-2] || '.' || labels[-1] IN ('co.uk')
+              AND len(labels) >= 3
+         THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+         ELSE labels[-2] || '.' || labels[-1] END AS domain
+  FROM (SELECT doc_id, string_split(host, '.') AS labels FROM w)
+), ranked AS (
+  SELECT domain, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY domain
+                            ORDER BY {h}, doc_id) AS rn
+  FROM dom
+)
+SELECT d.domain,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN r.rn <= 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN r.rn <= 40 THEN d.doc_id ELSE 0 END) AS BIGINT)
+         AS kept_id_sum
+FROM dom d JOIN ranked r ON r.doc_id = d.doc_id
+GROUP BY 1
+"""
+
+
 def _q_stream_drift(spark, sf_dir):
     """Streaming drift monitor run for REAL (streaming/drift): the
     even-event_id half of events is the batch REFERENCE (fixed_bins
@@ -8517,6 +8596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_report_orders": _q_drift_report,
         "lsh_recall_by_band": _q_lsh_recall_by_band,
         "stream_drift_psi": _q_stream_drift,
+        "domain_cap_pipeline": _q_domain_cap,
         "bm25_topk_docs": _q_bm25_topk,
         "hybrid_retrieval_rrf": _q_hybrid_retrieval,
         "bm25_index_incremental": _q_bm25_incremental,
@@ -8703,6 +8783,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_report_orders": _sql_drift_report(),
         "lsh_recall_by_band": _sql_lsh_recall_by_band(),
         "stream_drift_psi": _sql_stream_drift(),
+        "domain_cap_pipeline": _sql_domain_cap(),
         "bm25_topk_docs": _sql_bm25_topk(),
         "hybrid_retrieval_rrf": _sql_hybrid_retrieval(),
         "bm25_index_incremental": _sql_bm25_topk(),
