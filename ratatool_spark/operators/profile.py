@@ -512,73 +512,86 @@ def drift_report(
         )
     )
 
-    frames = []
-    if cats:
-        pairs = []
-        for c in cats:
-            pairs += [F.lit(c), F.col(c)]
-        melted = both.select(
-            "__side", F.explode(F.create_map(*pairs)).alias("column", "value")
-        )
-        counts = persist_tracked(
-            melted.groupBy("column", "value", "__side").agg(
-                F.count(F.lit(1)).alias("c")
+    # pass 1 (numeric only): ONE wide min/max row over the union,
+    # broadcast — no per-column jobs, no melt, no driver collect
+    if nums:
+        rng_aggs = []
+        for c in nums:
+            rng_aggs += [
+                F.min(F.col(c)).alias(f"__lo_{c}"),
+                F.max(F.col(c)).alias(f"__hi_{c}"),
+            ]
+        both = both.crossJoin(F.broadcast(both.agg(*rng_aggs)))
+
+    # pass 2: ONE melt buckets every column family together — the union
+    # is scanned exactly twice total (the min/max pass + this melt)
+    structs = []
+    for c in cats:
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit("categorical").alias("kind"),
+                F.col(c).alias("bucket"),
             )
         )
-        w = Window.partitionBy("column").orderBy(
-            F.desc("tot"), F.col("value")
+    for c in nums:
+        lo, hi = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
+        width = (hi - lo) / n_buckets
+        b = F.when(hi == lo, F.lit(0)).otherwise(
+            F.least(
+                F.greatest(F.floor((F.col(c) - lo) / width), F.lit(0)),
+                F.lit(n_buckets - 1),
+            )
         )
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit("numeric").alias("kind"),
+                b.cast("string").alias("bucket"),
+            )
+        )
+    melted = (
+        both.select("__side", F.explode(F.array(*structs)).alias("p"))
+        .select("__side", "p.*")
+        # numeric NULLs drop (no bucket); categorical NULL is a category
+        .where(~((F.col("kind") == "numeric") & F.col("bucket").isNull()))
+    )
+    # value-histogram counts — the ONLY row-derived state; persisted
+    # because the categorical top-k pooling and the final pivot both
+    # consume it (same envelope as skew_report's counts table)
+    counts = persist_tracked(
+        melted.groupBy("column", "kind", "bucket", "__side").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+    )
+    frames = []
+    if cats:
+        ccounts = counts.where(F.col("kind") == "categorical")
+        w = Window.partitionBy("column").orderBy(F.desc("tot"), F.col("bucket"))
         top = (
-            counts.groupBy("column", "value")
+            ccounts.groupBy("column", "bucket")
             .agg(F.sum("c").alias("tot"))
             .withColumn("__rk", F.row_number().over(w))
             .where(F.col("__rk") <= top_k)
-            .select("column", "value", F.lit(1).alias("__keep"))
+            .select("column", "bucket", F.lit(1).alias("__keep"))
         )
-        bucketed = (
-            counts.join(F.broadcast(top), ["column", "value"], "left")
+        pooled = (
+            ccounts.join(F.broadcast(top), ["column", "bucket"], "left")
             .select(
                 "column",
-                F.when(F.col("__keep").isNotNull(), F.col("value"))
+                F.lit("categorical").alias("kind"),
+                F.when(F.col("__keep").isNotNull(), F.col("bucket"))
                 .otherwise(F.lit("__other__"))
                 .alias("bucket"),
                 "__side",
                 "c",
             )
-            .groupBy("column", "bucket", "__side")
+            .groupBy("column", "kind", "bucket", "__side")
             .agg(F.sum("c").alias("c"))
         )
-        frames.append(bucketed.withColumn("kind", F.lit("categorical")))
+        frames.append(pooled)
     if nums:
-        pairs = []
-        for c in nums:
-            pairs += [F.lit(c), F.col(c)]
-        meltedn = both.select(
-            "__side", F.explode(F.create_map(*pairs)).alias("column", "v")
-        ).where(F.col("v").isNotNull())
-        rng = meltedn.groupBy("column").agg(
-            F.min("v").alias("__lo"), F.max("v").alias("__hi")
-        )
-        width = (F.col("__hi") - F.col("__lo")) / n_buckets
-        bucket_id = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
-            F.least(
-                F.greatest(
-                    F.floor((F.col("v") - F.col("__lo")) / width), F.lit(0)
-                ),
-                F.lit(n_buckets - 1),
-            )
-        )
-        bucketedn = (
-            meltedn.join(F.broadcast(rng), "column")
-            .select(
-                "column",
-                bucket_id.cast("string").alias("bucket"),
-                "__side",
-            )
-            .groupBy("column", "bucket", "__side")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        frames.append(bucketedn.withColumn("kind", F.lit("numeric")))
+        frames.append(counts.where(F.col("kind") == "numeric"))
 
     binned = frames[0]
     for f in frames[1:]:
