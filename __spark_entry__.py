@@ -1783,10 +1783,13 @@ def _q_embedding_neardup(spark, sf_dir):
     from ratatool_spark.operators.dedup import embedding_neardup_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    # Kernel dispatch size hint from parquet footer metadata — driver-side
-    # metadata read, no Spark job (vs the count() pre-scan fallback).
+    # Kernel dispatch hints from parquet footer metadata — driver-side
+    # metadata read, no Spark job (vs the count()/one-row-probe fallbacks).
     out = embedding_neardup_pairs(
-        emb, min_cosine=0.6, n_rows=_parquet_num_rows(f"{sf_dir}/embeddings.parquet")
+        emb,
+        min_cosine=0.6,
+        n_rows=_parquet_num_rows(f"{sf_dir}/embeddings.parquet"),
+        dim=64,
     )
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 

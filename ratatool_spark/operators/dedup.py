@@ -1008,26 +1008,31 @@ def embedding_neardup_pairs(
     min_cosine: float = 0.95,
     block_col: str | None = None,
     kernel: str = "blas",
-    max_broadcast_rows: int = 500_000,
+    max_broadcast_bytes: int = 512 * 2**20,
     lsh_planes: int = 8,
     lsh_seed: int = 7,
     n_rows: int | None = None,
+    dim: int | None = None,
+    max_broadcast_rows: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicates: pairs with cosine ≥ min_cosine.
 
     Exact all-pairs is intrinsically O(n²) similarity evaluations; what
     matters is the constant and the distribution. Kernels:
 
-      - ``kernel="blas"`` up to ``max_broadcast_rows`` (exact): broadcast
-        the L2-normalized corpus matrix (the build side, like any
-        broadcast join), then ``mapInPandas`` over row chunks computing
-        ``chunk @ corpus.T`` with numpy — one BLAS GEMM per partition
-        instead of per-pair higher-order-function evaluation (~100× on the
-        bench corpus). Envelope: the corpus matrix must fit in executor
-        memory (n·d·8 bytes — 500k vectors × 128 dims ≈ 0.5 GB), the same
+      - ``kernel="blas"`` while the corpus matrix fits the byte budget
+        (exact): broadcast the L2-normalized corpus matrix (the build
+        side, like any broadcast join), then ``mapInPandas`` over row
+        chunks computing ``chunk @ corpus.T`` with numpy — one BLAS GEMM
+        per partition instead of per-pair higher-order-function
+        evaluation (~100× on the bench corpus). Admission is a BYTE
+        budget, not a row count, because the matrix is n·dim·8 bytes and
+        LLM embeddings span 128–4096 dims: the kernel runs iff
+        ``n_rows * dim * 8 <= max_broadcast_bytes`` (default 512 MiB ≈
+        500k × 128-dim vectors, but only ~16k × 4096-dim) — the same
         build-side-fits-in-memory constraint as the reference's hashJoin
         strata table (ratatool-sampling/README.md:118-120).
-      - past the threshold the DEFAULT auto-switches to LSH blocking
+      - past the budget the DEFAULT auto-switches to LSH blocking
         (random-hyperplane buckets from similarity.lsh_bucket) — the
         100 TB path: shuffle by bucket, quadratic only within buckets. At
         min_cosine ≥ 0.95 near-identical vectors land in the same bucket
@@ -1040,9 +1045,14 @@ def embedding_neardup_pairs(
         (e.g. a shard or language column) with the same within-block
         quadratic profile.
 
-    ``n_rows``: corpus-size hint for the kernel dispatch (from the caller
-    or catalog stats). When omitted the dispatch falls back to a
-    ``df.count()`` pre-scan — avoid that at scale.
+    ``n_rows`` / ``dim``: corpus-size and vector-dimension hints for the
+    kernel dispatch (from the caller or catalog stats). When omitted,
+    ``n_rows`` falls back to a ``df.count()`` pre-scan and ``dim`` to a
+    one-row probe — avoid both at scale by passing them.
+
+    ``max_broadcast_rows``: deprecated row-count cap kept as an alias;
+    when given it is enforced IN ADDITION to the byte budget (a corpus
+    over either limit routes to LSH blocking).
     """
     if block_col is None and kernel == "blas":
         # Kernel dispatch needs the corpus size. Callers that know it (or
@@ -1051,11 +1061,17 @@ def embedding_neardup_pairs(
         # to pick a kernel is a wasted job.
         if n_rows is None:
             n_rows = df.count()
-        if n_rows <= max_broadcast_rows:
+        if dim is None:
+            # One-row probe (LocalLimit(1) scan), not a full pass; still
+            # an eager action — callers at scale should pass dim.
+            probe = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).first()
+            dim = int(probe["d"]) if probe is not None else 0
+        fits_bytes = n_rows * dim * 8 <= max_broadcast_bytes
+        fits_rows = max_broadcast_rows is None or n_rows <= max_broadcast_rows
+        if fits_bytes and fits_rows:
             return _blas_all_pairs(df, vec_col, id_col, min_cosine)
         from ratatool_spark.operators.similarity import lsh_bucket
 
-        dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
         blocked = df.withColumn(
             "__rt_blk",
             lsh_bucket(df, vec_col, num_planes=lsh_planes, seed=lsh_seed, dim=dim),

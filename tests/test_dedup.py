@@ -609,6 +609,50 @@ def test_embedding_neardup_autoblocks_past_threshold(embeddings):
     assert (orig, orig + 100_000) in pairs
 
 
+def _neardup_kernel(df, **kw):
+    """Which kernel did the dispatch pick? GEMM plans contain MapInPandas;
+    the LSH-blocked path is a pure-expression self-join."""
+    out = embedding_neardup_pairs(df, **kw)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    return "blas" if "MapInPandas" in plan else "lsh"
+
+
+def test_embedding_neardup_byte_budget_cutover(embeddings):
+    """The GEMM kernel is admitted by a BYTE budget (n_rows*dim*8), not a
+    row count: pin the exact cutover boundary. 500 rows × 64 dims × 8 B =
+    256,000 bytes."""
+    n, dim = 500, 64
+    budget = n * dim * 8
+    assert (
+        _neardup_kernel(embeddings, n_rows=n, dim=dim, max_broadcast_bytes=budget)
+        == "blas"
+    )
+    assert (
+        _neardup_kernel(embeddings, n_rows=n, dim=dim, max_broadcast_bytes=budget - 1)
+        == "lsh"
+    )
+
+
+def test_embedding_neardup_dim_blind_no_more(embeddings):
+    """A 4096-dim corpus must auto-route to LSH long before 500k rows: at
+    the default 512 MiB budget the GEMM envelope at 4096 dims is ~16k rows.
+    (dim passed as a hint — no data of that width needed to test dispatch;
+    the LSH path only evaluates lazily.)"""
+    kernel_wide = _neardup_kernel(embeddings, n_rows=500_000, dim=4096)
+    assert kernel_wide == "lsh"
+    # and the same row count at 128 dims still fits the default budget
+    kernel_narrow = _neardup_kernel(embeddings, n_rows=500_000, dim=128)
+    assert kernel_narrow == "blas"
+
+
+def test_embedding_neardup_deprecated_rows_alias(embeddings):
+    """max_broadcast_rows still enforced (in addition to bytes)."""
+    assert (
+        _neardup_kernel(embeddings, n_rows=500, dim=64, max_broadcast_rows=499)
+        == "lsh"
+    )
+
+
 # ------------------------------------------------ substring containment
 
 
