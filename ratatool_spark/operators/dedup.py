@@ -1070,15 +1070,21 @@ def embedding_neardup_pairs(
         fits_rows = max_broadcast_rows is None or n_rows <= max_broadcast_rows
         if fits_bytes and fits_rows:
             return _blas_all_pairs(df, vec_col, id_col, min_cosine)
-        from ratatool_spark.operators.similarity import lsh_bucket
-
-        blocked = df.withColumn(
-            "__rt_blk",
-            lsh_bucket(df, vec_col, num_planes=lsh_planes, seed=lsh_seed, dim=dim),
+        # Numpy bucketing + within-bucket GEMM, not expression LSH +
+        # expression cosine: at 4096 dims both interpreted stages dominate
+        # (8 plane dots + per-pair cosines ≈ 10⁹ lambda evals on the
+        # PERF.md stress). The data must cross the Arrow boundary for the
+        # per-bucket matmul anyway, so the hyperplane projection rides the
+        # same crossing as one (rows × planes) matmul. Same deterministic
+        # ±1 planes as similarity.lsh_bucket (shared _hyperplane_sign).
+        # Measured 187 s → 29 s on the 17k × 4096 stress (the residue is
+        # Arrow transfer + shuffle of the 531 MB corpus, not compute).
+        blocked = _lsh_bucket_pandas(
+            df, vec_col, id_col, num_planes=lsh_planes, seed=lsh_seed, dim=dim
         )
-        return embedding_neardup_pairs(
-            blocked, vec_col, id_col, min_cosine, block_col="__rt_blk", kernel="expr"
-        )
+        return _block_gemm_pairs(blocked, "v", "id", "__rt_blk", min_cosine)
+    if block_col is not None and kernel == "blas":
+        return _block_gemm_pairs(df, vec_col, id_col, block_col, min_cosine)
     cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
     if block_col:
         cols.append(F.col(block_col).alias("blk"))
@@ -1097,6 +1103,111 @@ def embedding_neardup_pairs(
         )
         .where(F.col("cosine") >= min_cosine)
     )
+
+
+def _lsh_bucket_pandas(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    num_planes: int,
+    seed: int,
+    dim: int,
+) -> DataFrame:
+    """Random-hyperplane bucket ids via one Arrow-batched matmul
+    (rows × planes) — the vectorized twin of similarity.lsh_bucket,
+    using the identical deterministic ±1 planes (_hyperplane_sign) so
+    the S-curve recall accounting applies unchanged. Emits
+    (id, v, __rt_blk)."""
+    import numpy as np
+    import pandas as pd
+
+    from ratatool_spark.operators.similarity import _hyperplane_sign
+
+    signs = np.asarray(
+        [
+            [_hyperplane_sign(p, i, seed) for i in range(dim)]
+            for p in range(num_planes)
+        ],
+        dtype=np.float64,
+    )
+    weights = 1 << np.arange(num_planes, dtype=np.int64)
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    id_type = base.schema["id"].dataType.simpleString()
+    v_type = base.schema["v"].dataType.simpleString()
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.asarray([list(v) for v in pdf["v"]], dtype=np.float64)
+            proj = mat @ signs.T
+            blk = ((proj >= 0).astype(np.int64) * weights).sum(axis=1)
+            yield pd.DataFrame(
+                {"id": pdf["id"], "v": pdf["v"], "__rt_blk": blk}
+            )
+
+    return base.mapInPandas(
+        gen, schema=f"id {id_type}, v {v_type}, __rt_blk long"
+    )
+
+
+def _block_gemm_pairs(
+    df: DataFrame, vec_col: str, id_col: str, block_col: str, min_cosine: float
+) -> DataFrame:
+    """Per-block exact GEMM pairs (the distributed sibling of
+    :func:`_blas_all_pairs`): shuffle by block, then ONE normalized numpy
+    matmul per block inside ``applyInPandas`` — chunked so the similarity
+    matrix stays ≲64 MB per slice regardless of block size. Nothing goes
+    to the driver; the envelope is the largest single block fitting one
+    task (|block|·dim·8 bytes), which LSH blocking keeps ≈ n/2^planes.
+    Within a block this is exact (same pairs as the expression self-join,
+    ~100× faster at high dims). Emits (id_a, id_b, cosine), id_a < id_b."""
+    import numpy as np
+    import pandas as pd
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.col(block_col).alias("blk"),
+    )
+    id_type = base.schema["id"].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
+
+    def gen(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        ids = pdf["id"].to_numpy()
+        if n < 2:
+            return pd.DataFrame(
+                {"id_a": ids[:0], "id_b": ids[:0], "cosine": np.empty(0)}
+            )
+        mat = np.asarray([list(v) for v in pdf["v"]], dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0] = 1.0
+        mat /= norms[:, None]
+        a_parts, b_parts, c_parts = [], [], []
+        step = max(1, 8_000_000 // n)
+        for lo in range(0, n, step):
+            sims = mat[lo : lo + step] @ mat.T
+            ai, bi = np.nonzero(
+                (sims >= min_cosine) & (ids[lo : lo + step, None] < ids[None, :])
+            )
+            if len(ai):
+                a_parts.append(ids[lo + ai])
+                b_parts.append(ids[bi])
+                c_parts.append(sims[ai, bi])
+        if not a_parts:
+            return pd.DataFrame(
+                {"id_a": ids[:0], "id_b": ids[:0], "cosine": np.empty(0)}
+            )
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(a_parts),
+                "id_b": np.concatenate(b_parts),
+                "cosine": np.concatenate(c_parts),
+            }
+        )
+
+    return base.groupBy("blk").applyInPandas(gen, schema=out_schema)
 
 
 def _blas_all_pairs(

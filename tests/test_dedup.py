@@ -610,10 +610,13 @@ def test_embedding_neardup_autoblocks_past_threshold(embeddings):
 
 
 def _neardup_kernel(df, **kw):
-    """Which kernel did the dispatch pick? GEMM plans contain MapInPandas;
-    the LSH-blocked path is a pure-expression self-join."""
+    """Which kernel did the dispatch pick? The broadcast-GEMM plan is a
+    MapInPandas over the bare corpus; the LSH-blocked path shuffles by
+    bucket into FlatMapGroupsInPandas (per-block GEMM)."""
     out = embedding_neardup_pairs(df, **kw)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
+    if "FlatMapGroupsInPandas" in plan:
+        return "lsh"
     return "blas" if "MapInPandas" in plan else "lsh"
 
 
@@ -643,6 +646,30 @@ def test_embedding_neardup_dim_blind_no_more(embeddings):
     # and the same row count at 128 dims still fits the default budget
     kernel_narrow = _neardup_kernel(embeddings, n_rows=500_000, dim=128)
     assert kernel_narrow == "blas"
+
+
+def test_block_gemm_matches_expr_kernel(embeddings):
+    """The per-block GEMM kernel must emit exactly the expression
+    self-join's pairs (same blocking, exact within block)."""
+    thr = 0.3  # yields 82 pairs on the sf0.001 fixture
+    gemm = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs(
+            embeddings, min_cosine=thr, block_col="label", kernel="blas"
+        ).collect()
+    }
+    expr = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs(
+            embeddings, min_cosine=thr, block_col="label", kernel="expr"
+        ).collect()
+    }
+    # identical up to fp summation order at the threshold boundary
+    boundary = set(gemm) ^ set(expr)
+    assert all(abs((gemm | expr)[k] - thr) < 1e-9 for k in boundary), boundary
+    common = set(gemm) & set(expr)
+    assert len(common) > 50
+    assert all(abs(gemm[k] - expr[k]) < 1e-9 for k in common)
 
 
 def test_embedding_neardup_deprecated_rows_alias(embeddings):
