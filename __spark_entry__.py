@@ -5054,25 +5054,47 @@ ORDER BY o_orderpriority
 # bpe_segment kernel path, streaming ingest gate, HLL sketch merge.
 
 
+def _docs_with_null_texts(spark, sf_dir):
+    """documents + two NULL-text rows: the line-dedup/corpus-build family
+    pins NULL-in → NULL-out (a NULL doc must survive with text NULL, not
+    be promoted to ''), and with no NULL texts in the driver's parquet the
+    pinned semantics was never gate-exercised (r6 verdict #2). The oracle
+    twins union the identical rows (_SQL_DOCS_NULLS)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    extra = spark.createDataFrame(
+        [(-1, None, "en", "fixture", 0), (-2, None, "xx", "fixture", 0)],
+        schema=docs.schema,
+    )
+    return docs.unionByName(extra)
+
+
+_SQL_DOCS_NULLS = """documents_n AS (
+  SELECT * FROM documents
+  UNION ALL SELECT -1, NULL, 'en', 'fixture', 0
+  UNION ALL SELECT -2, NULL, 'xx', 'fixture', 0
+)"""
+
+
 def _q_line_dedup_corpus(spark, sf_dir):
     """C4 corpus-level line dedup (operators/corpus.remove_duplicate_lines,
     corpus scope): documents are space-separated word streams, so sep=' '
     makes every word a 'line' — words occurring >900 times across the
     corpus are boilerplate and get dropped, docs reassemble in original
     word order. Exercises the violator-only join + fused duplicate-id
-    guard (the r4-verdict scale fix)."""
+    guard (the r4-verdict scale fix). Input includes NULL-text rows
+    (_docs_with_null_texts) so NULL preservation is driver-checked."""
     from ratatool_spark.operators.corpus import remove_duplicate_lines
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_with_null_texts(spark, sf_dir)
     out = remove_duplicate_lines(
         docs, text_col="text", id_col="doc_id", max_occurrences=900, sep=" "
     )
     return out.select("doc_id", "text", "n_lines_removed")
 
 
-_SQL_LINE_DEDUP_CORPUS = """
-WITH lx AS (
-  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ls FROM documents
+_SQL_LINE_DEDUP_CORPUS = f"""
+WITH {_SQL_DOCS_NULLS}, lx AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ls FROM documents_n
 ), ex AS (
   SELECT doc_id, ls[pos] AS line, pos
   FROM lx, UNNEST(range(1, len(ls) + 1)) AS t(pos)
@@ -5093,17 +5115,18 @@ WITH lx AS (
 SELECT d.doc_id,
        CASE WHEN d.text IS NULL THEN NULL ELSE k.text END AS text,
        k.n_lines_removed
-FROM documents d JOIN kept k ON d.doc_id = k.doc_id
+FROM documents_n d JOIN kept k ON d.doc_id = k.doc_id
 """
 
 
 def _q_line_dedup_document(spark, sf_dir):
     """Gopher intra-document scope: a word repeated >2 times WITHIN its own
     document is the junk signal and every occurrence goes; cross-doc
-    repetition is untouched. Count shuffles on (doc, line)."""
+    repetition is untouched. Count shuffles on (doc, line). NULL-text
+    rows included (_docs_with_null_texts)."""
     from ratatool_spark.operators.corpus import remove_duplicate_lines
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_with_null_texts(spark, sf_dir)
     out = remove_duplicate_lines(
         docs,
         text_col="text",
@@ -5115,9 +5138,9 @@ def _q_line_dedup_document(spark, sf_dir):
     return out.select("doc_id", "text", "n_lines_removed")
 
 
-_SQL_LINE_DEDUP_DOCUMENT = """
-WITH lx AS (
-  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ls FROM documents
+_SQL_LINE_DEDUP_DOCUMENT = f"""
+WITH {_SQL_DOCS_NULLS}, lx AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ls FROM documents_n
 ), ex AS (
   SELECT doc_id, ls[pos] AS line, pos
   FROM lx, UNNEST(range(1, len(ls) + 1)) AS t(pos)
@@ -5135,7 +5158,7 @@ WITH lx AS (
 SELECT d.doc_id,
        CASE WHEN d.text IS NULL THEN NULL ELSE k.text END AS text,
        k.n_lines_removed
-FROM documents d JOIN kept k ON d.doc_id = k.doc_id
+FROM documents_n d JOIN kept k ON d.doc_id = k.doc_id
 """
 
 
@@ -5690,7 +5713,9 @@ def _q_corpus_build(spark, sf_dir):
     portable hash) -> leakage-free grouped split (diced on source) ->
     per-split report (volume, surviving tokens, source spread). One
     lineage, no intermediate materialization — Catalyst fuses the whole
-    chain; the oracle replays every stage in SQL."""
+    chain; the oracle replays every stage in SQL. NULL-text rows included
+    (_docs_with_null_texts) — they must flow through cap/split with text
+    NULL and contribute no tokens."""
     from pyspark.sql import functions as F
 
     from ratatool_spark.operators.corpus import (
@@ -5699,7 +5724,7 @@ def _q_corpus_build(spark, sf_dir):
         remove_duplicate_lines,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_with_null_texts(spark, sf_dir)
     cleaned = remove_duplicate_lines(
         docs, text_col="text", id_col="doc_id", max_occurrences=900, sep=" "
     )
@@ -5736,9 +5761,9 @@ def _sql_corpus_build() -> str:
         "CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT"
     )
     return f"""
-WITH lx AS (
+WITH {_SQL_DOCS_NULLS}, lx AS (
   SELECT doc_id, source, string_split(COALESCE(text, ''), ' ') AS ls
-  FROM documents
+  FROM documents_n
 ), ex AS (
   SELECT doc_id, ls[pos] AS line, pos
   FROM lx, UNNEST(range(1, len(ls) + 1)) AS t(pos)
@@ -5756,7 +5781,7 @@ WITH lx AS (
   SELECT d.doc_id, d.source,
          CASE WHEN d.text IS NULL THEN NULL ELSE k.text END AS text,
          k.n_words_removed
-  FROM documents d JOIN kept k ON d.doc_id = k.doc_id
+  FROM documents_n d JOIN kept k ON d.doc_id = k.doc_id
 ), capped AS (
   SELECT doc_id, source, text, n_words_removed FROM (
     SELECT *, ROW_NUMBER() OVER (
