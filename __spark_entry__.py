@@ -7494,6 +7494,100 @@ FROM assign a LEFT JOIN dropped d USING (vec_id)
 """
 
 
+def _q_semantic_dedup_trained(spark, sf_dir):
+    """SemDeDup over TRAINED centroids (r6 verdict #3): one bit-
+    reproducible Lloyd's iteration (similarity.train_centroids_exact —
+    fixed-point update, engine-replayable) feeds dedup.semantic_dedup
+    through its bring-your-own-centroids seam. The oracle replays the
+    whole composition: seed sample → ivf-tie assignment (cell DESC) →
+    fixed-point centroid update → semantic-tie assignment (cell ASC) →
+    within-cell keep rule at tau=0.4."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.dedup import semantic_dedup
+    from ratatool_spark.operators.similarity import train_centroids_exact
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = train_centroids_exact(emb, n_centroids=8, iters=1, seed=13)
+    out = semantic_dedup(emb, tau=0.4, n_centroids=8, centroids=cents)
+    return out.select(
+        "vec_id",
+        "cell",
+        F.round("centroid_cos", 6).alias("centroid_cos"),
+        "kept",
+    )
+
+
+def _sql_semantic_dedup_trained() -> str:
+    h = (
+        "(('0x' || substr(md5(concat_ws(chr(1), '13', "
+        "CAST(vec_id AS VARCHAR))), 1, 15))::BIGINT)"
+    )
+    cos_vc = _COS_AB_SQL.replace("a.embedding", "v.embedding").replace(
+        "b.embedding", "ct.embedding"
+    )
+    cos_ab = _COS_AB_SQL.replace("a.embedding", "a.v").replace(
+        "b.embedding", "b.v"
+    )
+    # training replays _sql_kmeans_cells stages (ivf tie-break: cell DESC);
+    # the dedup assignment then uses semantic_dedup's tie-break (cell ASC)
+    return f"""
+WITH cents0 AS (
+  SELECT rn - 1 AS cell, embedding FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY {h}) AS rn, embedding FROM embeddings
+  ) WHERE rn <= 8
+),
+assign0 AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT v.vec_id, v.embedding, ct.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {cos_vc} DESC, ct.cell DESC) AS arn
+    FROM embeddings v CROSS JOIN cents0 ct
+  ) WHERE arn = 1
+),
+expl AS (
+  SELECT cell, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+  FROM assign0, UNNEST(range(1, 65)) AS r(i)
+),
+sums AS (
+  SELECT cell, pos,
+         CAST(SUM(CAST(FLOOR(x * 1000000.0) AS BIGINT)) AS BIGINT) AS s,
+         COUNT(*) AS n
+  FROM expl GROUP BY cell, pos
+),
+cents1 AS (
+  SELECT c0.cell,
+         COALESCE(m.vec,
+                  list_transform(c0.embedding, e -> CAST(e AS DOUBLE)))
+           AS embedding
+  FROM cents0 c0 LEFT JOIN (
+    SELECT cell,
+           list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+                ORDER BY pos) AS vec
+    FROM sums GROUP BY cell
+  ) m USING (cell)
+),
+assign AS (
+  SELECT vec_id, v, centroid_cos, cell FROM (
+    SELECT v.vec_id, v.embedding AS v, {cos_vc} AS centroid_cos, ct.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {cos_vc} DESC, ct.cell) AS arn
+    FROM embeddings v CROSS JOIN cents1 ct
+  ) WHERE arn = 1
+),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM assign a JOIN assign b ON a.cell = b.cell
+   AND (b.centroid_cos < a.centroid_cos
+        OR (b.centroid_cos = a.centroid_cos AND b.vec_id < a.vec_id))
+  WHERE {cos_ab} >= 0.4
+)
+SELECT a.vec_id, a.cell, ROUND(a.centroid_cos, 6) AS centroid_cos,
+       (d.vec_id IS NULL) AS kept
+FROM assign a LEFT JOIN dropped d USING (vec_id)
+"""
+
+
 def _q_stream_quality_scores(spark, sf_dir):
     """Streaming classifier inference (streaming/classify
     .stream_quality_scores) run for REAL: the quality model trains on
@@ -8614,6 +8708,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     query sits inside the gated window.
     """
     return {
+        # --- round 7: new or behaviour-changed this round ---------------
+        "semantic_dedup_trained": _q_semantic_dedup_trained,
+        # behaviour-changed r7 (NULL-text fixture rows) — moved up from
+        # their r5 positions so the driver re-blesses the new semantics:
+        "line_dedup_corpus": _q_line_dedup_corpus,
+        "line_dedup_document": _q_line_dedup_document,
+        "pipeline_corpus_build": _q_corpus_build,
         # --- round 6: new or behaviour-changed this round ---------------
         "sketch_join_size_events": _q_sketch_join_size,
         "ivf_index_incremental": _q_ivf_index_incremental,
@@ -8664,8 +8765,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_suppliers": _q_heavy_hitters,
         "revenue_heavy_hitters": _q_revenue_heavy_hitters,
         "skew_report_lineitem": _q_skew_report,
-        "line_dedup_corpus": _q_line_dedup_corpus,
-        "line_dedup_document": _q_line_dedup_document,
         "interval_join_events": _q_interval_join_events,
         "unigram_logprob": _q_unigram_logprob,
         "upsert_orders": _q_upsert_orders,
@@ -8681,7 +8780,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_overlap_estimates": _q_set_overlap,
         "rollup_anomalies": _q_rollup_anomalies,
         "pipeline_quality_buckets": _q_quality_buckets,
-        "pipeline_corpus_build": _q_corpus_build,
         "text_pii_luhn_audit": _q_pii_luhn_audit,
         "ann_recall_report": _q_ann_recall,
         "ann_ivf_recall_report": _q_ann_ivf_recall,
@@ -8802,6 +8900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "semantic_dedup_trained": _sql_semantic_dedup_trained(),
         "sketch_join_size_events": _sql_sketch_join_size(),
         "ivf_index_incremental": _sql_ivf_index_incremental(),
         "url_normalize_docs": _sql_url_normalize(),

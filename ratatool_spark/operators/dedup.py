@@ -1347,6 +1347,7 @@ def semantic_dedup(
     train_iters: int = 0,
     seed: int = 13,
     max_cell_size: int | None = None,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """(id, cell, centroid_cos, kept) — SemDeDup (Abbas et al.,
     arXiv:2303.09540): semantic deduplication over an embedding column.
@@ -1384,7 +1385,12 @@ def semantic_dedup(
 
     if not (0.0 < tau <= 1.0):
         raise ValueError(f"tau must be in (0, 1], got {tau}")
-    if train_iters > 0:
+    if centroids is not None:
+        # bring-your-own centroids — the composition seam for
+        # similarity.train_centroids_exact (bit-reproducible training →
+        # engine-replayable dedup) or an externally-trained codebook
+        pass
+    elif train_iters > 0:
         centroids = train_centroids(
             emb_df, n_centroids, train_iters, vec_col, id_col, seed
         )
