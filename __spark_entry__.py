@@ -7857,8 +7857,12 @@ def _q_rbo_overlap(spark, sf_dir):
     per-query sum is order-independent; zero-overlap queries report 0."""
     from ratatool_spark.operators.retrieval import rbo_overlap
 
-    lex = _q_bm25_topk(spark, sf_dir)
-    fused = _q_hybrid_retrieval(spark, sf_dir)
+    # persist the shared BM25 ranking: it feeds BOTH rbo sides (directly
+    # as the lexical ranking and inside the hybrid fusion) — without the
+    # persist the whole tokenize→postings→score chain runs twice
+    # (r6 verdict #4: 33 shuffles / 20 scans in PLANS.md)
+    lex = _q_bm25_topk(spark, sf_dir).persist()
+    fused = _q_hybrid_retrieval(spark, sf_dir, lex=lex)
     return rbo_overlap(lex, fused, p=0.9, depth=5)
 
 
@@ -8096,13 +8100,15 @@ FROM kept
 """
 
 
-def _q_hybrid_retrieval(spark, sf_dir):
+def _q_hybrid_retrieval(spark, sf_dir, lex=None):
     """Hybrid retrieval (retrieval.rrf_fuse): reciprocal-rank fusion of
     BM25 lexical top-5 and exact-cosine embedding top-5 per query
     (queries = ids 0-4, the doc/vec id spaces are aligned). RRF
     contributions quantized to exact nano-units so fused scores are
     order- and engine-independent; fusion input is top-k-bounded so the
-    combine is O(queries*k*systems) regardless of corpus size."""
+    combine is O(queries*k*systems) regardless of corpus size.
+    ``lex`` lets a composing gate (rbo) hand in an already-persisted
+    BM25 ranking instead of rebuilding the chain."""
     from pyspark.sql import functions as F
 
     from ratatool_spark.operators.retrieval import _terms, bm25_topk, rrf_fuse
@@ -8110,11 +8116,12 @@ def _q_hybrid_retrieval(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    q_lex = docs.where(F.col("doc_id") < 5).select(
-        F.col("doc_id").alias("query_id"),
-        F.concat_ws(" ", F.slice(_terms(F.col("text")), 1, 6)).alias("qtext"),
-    )
-    lex = bm25_topk(docs, q_lex, k=5)
+    if lex is None:
+        q_lex = docs.where(F.col("doc_id") < 5).select(
+            F.col("doc_id").alias("query_id"),
+            F.concat_ws(" ", F.slice(_terms(F.col("text")), 1, 6)).alias("qtext"),
+        )
+        lex = bm25_topk(docs, q_lex, k=5)
     vec = brute_force_topk(
         emb, emb.where(F.col("vec_id") < 5), k=5
     ).withColumnRenamed("neighbor_id", "doc_id")
