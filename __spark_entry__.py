@@ -2508,6 +2508,103 @@ GROUP BY 1
 """
 
 
+def _q_drift_report_pinned(spark, sf_dir):
+    """drift_report with a PINNED numeric bin spec (r6 verdict #8): the
+    same engineered drift as drift_report_orders, but o_totalprice
+    buckets over caller-provided (1000, 500000) bounds with edge
+    clamping — the production shape where the reference side's bin spec
+    is derived once and persisted, so the report never rescans the
+    historical snapshot for min/max. The combined-range pass is absent
+    from the plan (pinned bounds are literals); values outside the
+    range clamp into the edge buckets. The oracle replays the literal
+    bounds and the clamp."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.profile import drift_report
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    a = o.where(F.col("o_orderkey") % 2 == 0)
+    b = o.where(
+        (F.col("o_orderkey") % 2 == 1) & (F.col("o_totalprice") > 100000)
+    )
+    return drift_report(
+        a,
+        b,
+        categorical=["o_orderpriority"],
+        numeric=["o_totalprice"],
+        numeric_bounds={"o_totalprice": (1000.0, 500000.0)},
+    )
+
+
+def _sql_drift_report_pinned() -> str:
+    # the combined-range CTE is gone: lo/hi are the pinned literals
+    return """
+WITH a0 AS (
+  SELECT o_orderpriority AS cp, CAST(o_totalprice AS DOUBLE) AS v,
+         0 AS side
+  FROM orders WHERE o_orderkey % 2 = 0
+), b0 AS (
+  SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE), 1
+  FROM orders WHERE o_orderkey % 2 = 1 AND o_totalprice > 100000
+), ab AS (SELECT * FROM a0 UNION ALL SELECT * FROM b0),
+ccounts AS (
+  SELECT 'o_orderpriority' AS col, cp AS value, side, COUNT(*) AS c
+  FROM ab GROUP BY 1, 2, 3
+), topv AS (
+  SELECT col, value FROM (
+    SELECT col, value,
+           ROW_NUMBER() OVER (PARTITION BY col
+                              ORDER BY SUM(c) DESC, value) AS rk
+    FROM ccounts GROUP BY col, value
+  ) WHERE rk <= 20
+), cbuck AS (
+  SELECT c.col, 'categorical' AS kind,
+         CASE WHEN t.value IS NOT NULL THEN c.value
+              ELSE '__other__' END AS bucket,
+         c.side, SUM(c.c) AS c
+  FROM ccounts c LEFT JOIN topv t ON t.col = c.col AND t.value = c.value
+  GROUP BY 1, 2, 3, 4
+),
+nbuck AS (
+  SELECT 'o_totalprice' AS col, 'numeric' AS kind,
+         CAST(CAST(LEAST(GREATEST(
+           FLOOR((v - CAST(1000.0 AS DOUBLE))
+                 / ((CAST(500000.0 AS DOUBLE) - CAST(1000.0 AS DOUBLE))
+                    / 10)), 0), 9) AS BIGINT)
+           AS VARCHAR) AS bucket,
+         side, COUNT(*) AS c
+  FROM ab GROUP BY 1, 2, 3, 4
+), binned AS (
+  SELECT * FROM cbuck UNION ALL SELECT * FROM nbuck
+), grid AS (SELECT DISTINCT col, kind, bucket FROM binned),
+fullg AS (
+  SELECT g.col, g.kind, g.bucket, s.side, COALESCE(b.c, 0) AS c
+  FROM grid g
+  CROSS JOIN (SELECT 0 AS side UNION ALL SELECT 1) s
+  LEFT JOIN binned b ON b.col = g.col AND b.bucket = g.bucket
+                     AND b.side = s.side
+), tot AS (
+  SELECT col, side, SUM(c) AS n, COUNT(*) AS n_bins
+  FROM fullg GROUP BY 1, 2
+), p AS (
+  SELECT f.col, f.kind, f.bucket, f.side,
+         (f.c + CAST(0.5 AS DOUBLE))
+           / (t.n + CAST(0.5 AS DOUBLE) * t.n_bins) AS p,
+         t.n, t.n_bins
+  FROM fullg f JOIN tot t ON t.col = f.col AND t.side = f.side
+)
+SELECT pa.col AS "column", ANY_VALUE(pa.kind) AS kind,
+       ANY_VALUE(pa.n_bins) AS n_bins,
+       CAST(ANY_VALUE(pa.n) AS BIGINT) AS n_a,
+       CAST(ANY_VALUE(pb.n) AS BIGINT) AS n_b,
+       ROUND(SUM((pa.p - pb.p) * ln(pa.p / pb.p)), 6) AS psi
+FROM p pa
+JOIN p pb ON pb.col = pa.col AND pb.bucket = pa.bucket
+         AND pa.side = 0 AND pb.side = 1
+GROUP BY 1
+"""
+
+
 def _q_mad_outliers(spark, sf_dir):
     """Robust MAD outlier flags (operators/profile.mad_outliers):
     Iglewicz–Hoaglin modified z over l_extendedprice per returnflag,
@@ -8717,6 +8814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round 7: new or behaviour-changed this round ---------------
         "semantic_dedup_trained": _q_semantic_dedup_trained,
+        "drift_report_pinned_bins": _q_drift_report_pinned,
         # behaviour-changed r7 (NULL-text fixture rows) — moved up from
         # their r5 positions so the driver re-blesses the new semantics:
         "line_dedup_corpus": _q_line_dedup_corpus,
@@ -8908,6 +9006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "semantic_dedup_trained": _sql_semantic_dedup_trained(),
+        "drift_report_pinned_bins": _sql_drift_report_pinned(),
         "sketch_join_size_events": _sql_sketch_join_size(),
         "ivf_index_incremental": _sql_ivf_index_incremental(),
         "url_normalize_docs": _sql_url_normalize(),

@@ -468,6 +468,7 @@ def drift_report(
     n_buckets: int = 10,
     top_k: int = 20,
     smoothing: float = 0.5,
+    numeric_bounds: dict | None = None,
 ) -> DataFrame:
     """(column, kind, n_bins, n_a, n_b, psi) — population stability
     index between two table snapshots per column: the standard
@@ -493,7 +494,16 @@ def drift_report(
     high-cardinality categorical column costs its distinct-count
     aggregate plus a top-k WindowGroupLimit, never a single-task sort.
     The combined numeric min/max ride a broadcast 1-row aggregate (no
-    driver collect)."""
+    driver collect).
+
+    ``numeric_bounds``: optional ``{column: (lo, hi)}`` PINNED bin
+    bounds (the :func:`fixed_bins` spec). A pinned column buckets
+    equi-width over the given range with edge clamping and skips the
+    combined-min/max pass entirely — at 100 TB a train-vs-serve
+    comparison against a historical snapshot should derive the bin spec
+    ONCE, persist it, and never rescan the reference side just to
+    recompute its min/max. When every numeric column is pinned the
+    union is scanned exactly once (the melt)."""
     from ratatool_spark.cache import persist_tracked
 
     cats = list(categorical or [])
@@ -513,10 +523,17 @@ def drift_report(
     )
 
     # pass 1 (numeric only): ONE wide min/max row over the union,
-    # broadcast — no per-column jobs, no melt, no driver collect
-    if nums:
+    # broadcast — no per-column jobs, no melt, no driver collect.
+    # Pinned columns (numeric_bounds) are excluded: their bounds are
+    # plan literals, so when everything is pinned this pass vanishes.
+    bounds = dict(numeric_bounds or {})
+    unknown = set(bounds) - set(nums)
+    if unknown:
+        raise ValueError(f"numeric_bounds for non-numeric columns: {unknown}")
+    derived = [c for c in nums if c not in bounds]
+    if derived:
         rng_aggs = []
-        for c in nums:
+        for c in derived:
             rng_aggs += [
                 F.min(F.col(c)).alias(f"__lo_{c}"),
                 F.max(F.col(c)).alias(f"__hi_{c}"),
@@ -535,7 +552,13 @@ def drift_report(
             )
         )
     for c in nums:
-        lo, hi = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
+        if c in bounds:
+            blo, bhi = bounds[c]
+            if not bhi > blo:
+                raise ValueError(f"need hi > lo for {c!r}, got ({blo}, {bhi})")
+            lo, hi = F.lit(float(blo)), F.lit(float(bhi))
+        else:
+            lo, hi = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
         width = (hi - lo) / n_buckets
         b = F.when(hi == lo, F.lit(0)).otherwise(
             F.least(

@@ -319,6 +319,37 @@ def test_drift_report_python_replay(spark):
     assert {r["psi"] for r in same.collect()} == {0.0}
 
 
+def test_drift_report_pinned_bounds(spark):
+    """numeric_bounds pins the bin spec: clamping at the edges, no
+    combined-min/max pass in the plan, and validation of bad input."""
+    import pytest as _pt
+
+    from ratatool_spark.operators.profile import drift_report
+
+    a = spark.createDataFrame([(v,) for v in (0.0, 1.0, 2.0, 3.0)], "v double")
+    b = spark.createDataFrame([(v,) for v in (2.0, 3.0, 99.0)], "v double")
+    # bounds (1, 3), 2 buckets: 0.0 clamps into bucket 0, 99.0 into 1
+    [row] = drift_report(
+        a, b, numeric=["v"], n_buckets=2, numeric_bounds={"v": (1.0, 3.0)}
+    ).collect()
+    assert row["n_bins"] == 2 and row["n_a"] == 4 and row["n_b"] == 3
+    # fully-pinned plan has NO broadcast range row: the only exchanges
+    # are the bucket aggregates
+    plan = drift_report(
+        a, b, numeric=["v"], numeric_bounds={"v": (1.0, 3.0)}
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    # unpinned still carries the combined-range broadcast
+    plan2 = drift_report(
+        a, b, numeric=["v"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan2
+    with _pt.raises(ValueError, match="hi > lo"):
+        drift_report(a, b, numeric=["v"], numeric_bounds={"v": (3.0, 3.0)})
+    with _pt.raises(ValueError, match="non-numeric"):
+        drift_report(a, b, numeric=["v"], numeric_bounds={"w": (0.0, 1.0)})
+
+
 def test_drift_report_top_k_pooling_and_validation(spark):
     import pytest as _pt
 
