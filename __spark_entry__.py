@@ -3947,6 +3947,45 @@ FROM base
 """
 
 
+def _q_jpeg_decode_pinned(spark, sf_dir):
+    """Baseline JPEG decode through the real-codec seam (r6 verdict #5;
+    operators/jpeg_py — pure-Python T.81 sequential: marker parse, DQT/
+    DHT, Huffman entropy decode, dequant, IDCT, chroma upsample,
+    YCbCr→RGB). Fixture JPEGs are synthesized distributed by the repo's
+    own deterministic encoder (Annex K tables, quality 90) cycling
+    4:4:4/4:2:0 subsampling, restart intervals 0/1/2, and non-multiple-
+    of-8 dimensions (partial edge MCUs); decode_real re-parses the actual
+    bitstream. JPEG is lossy, so the decoded-pixel md5s are PINNED
+    literals (the pinned-bytes oracle pattern) — any drift in Huffman
+    tables, IDCT rounding, upsampling, or color conversion mismatches."""
+    from ratatool_spark.operators.multimodal import decode_real, make_test_media
+
+    media = make_test_media(spark, n=12, seed=7, formats=("jpeg",))
+    return decode_real(media).select(
+        "media_id", "kind", "width", "height", "payload_md5"
+    )
+
+
+_SQL_JPEG_DECODE_PINNED = """
+SELECT media_id, kind, CAST(width AS INT) AS width,
+       CAST(height AS INT) AS height, payload_md5
+FROM (VALUES
+  (CAST(0 AS BIGINT), 'image', 11, 9,  '3138833dcd80e40fe36bdd501aee7ff8'),
+  (1, 'image', 12, 10, 'ea3dfba30d888d59cfd081f93ed46238'),
+  (2, 'image', 13, 11, '5cce5c31bcff4c285ad6b8f1e04783a3'),
+  (3, 'image', 14, 12, '97f2522006c4a37576e1e448d363cb8f'),
+  (4, 'image', 15, 13, '53c4546d058066fee71c7bf06f87480d'),
+  (5, 'image', 16, 14, 'a886c16040bff4b8833a5d6657efc99a'),
+  (6, 'image', 17, 15, '942fe90c8b9f6db38f3194dce94a2ddd'),
+  (7, 'image', 18, 9,  '90a4f97dc551e877bb882be20440effb'),
+  (8, 'image', 19, 10, 'ce9cc3324c62545e3b0b00a8e4b0d369'),
+  (9, 'image', 20, 11, '6e619a72916a9784227bf82d3390b387'),
+  (10, 'image', 11, 12, '7ed1a7fccafbe6f25137bdaa34f7795f'),
+  (11, 'image', 12, 13, '829c1da170c80eb876c3bb7e931fc9f7')
+) AS t(media_id, kind, width, height, payload_md5)
+"""
+
+
 def _q_tpch_q4(spark, sf_dir):
     """TPC-H Q4-style priority count over late-shipping orders: left-semi
     join (equi key + non-equi ship-lag predicate pushed into the join
@@ -8815,6 +8854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round 7: new or behaviour-changed this round ---------------
         "semantic_dedup_trained": _q_semantic_dedup_trained,
         "drift_report_pinned_bins": _q_drift_report_pinned,
+        "jpeg_decode_pinned": _q_jpeg_decode_pinned,
         # behaviour-changed r7 (NULL-text fixture rows) — moved up from
         # their r5 positions so the driver re-blesses the new semantics:
         "line_dedup_corpus": _q_line_dedup_corpus,
@@ -9007,6 +9047,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "semantic_dedup_trained": _sql_semantic_dedup_trained(),
         "drift_report_pinned_bins": _sql_drift_report_pinned(),
+        "jpeg_decode_pinned": _SQL_JPEG_DECODE_PINNED,
         "sketch_join_size_events": _sql_sketch_join_size(),
         "ivf_index_incremental": _sql_ivf_index_incremental(),
         "url_normalize_docs": _sql_url_normalize(),

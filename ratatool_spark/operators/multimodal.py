@@ -4,12 +4,13 @@ Design: media lives as opaque ``binary`` columns plus a typed metadata
 struct — the lakehouse-standard layout (same shape as Spark's built-in
 ``binaryFile`` source: path/length/content). Everything Spark-side is real
 and tested: schemas, Arrow batch flow through ``mapInPandas``, partition
-sizing, deterministic frame sampling. The codec step itself is STUBBED —
-this container has no image/audio libraries — behind ``_decode_bytes``,
-which (a) raises ``NotImplementedError`` when a real codec is requested,
-or (b) produces a deterministic fake (hash-derived) payload for plumbing
-tests. Swap ``_decode_bytes`` for PIL/ffmpeg in a real deployment; nothing
-else changes.
+sizing, deterministic frame sampling. The codec boundary is
+``_decode_bytes``: BMP, PNG, baseline JPEG (:mod:`.jpeg_py`), and WAV
+decode for REAL via the repo's pure-Python codecs (no native library);
+remaining formats (mp3/mp4, progressive JPEG) raise
+``NotImplementedError`` — swap in PIL/ffmpeg there in a real deployment,
+nothing else changes. ``fake=True`` keeps the hash-derived stub for
+plumbing tests.
 
 Scale notes: media rows are large — ``mapInPandas`` keeps memory bounded
 per Arrow batch (tune ``spark.sql.execution.arrow.maxRecordsPerBatch``
@@ -72,11 +73,12 @@ _DECODED_SCHEMA = T.StructType(
 def _decode_bytes(content: bytes, fake: bool) -> tuple[int, int, str]:
     """The codec boundary. ``fake=True`` yields a deterministic
     hash-derived result so the distributed plumbing is testable without
-    any codec. ``fake=False`` performs a REAL decode for the two formats
-    a Python stdlib can parse — BMP (struct) and WAV (wave module) — and
-    raises ``NotImplementedError`` for anything else (JPEG/mp3/mp4 need
-    PIL/libav, not in this container; swap this branch in a real
-    deployment, nothing else changes)."""
+    any codec. ``fake=False`` performs a REAL decode for the formats the
+    repo's pure-Python codecs parse — BMP/PNG (here), baseline JPEG
+    (:mod:`.jpeg_py`), WAV (wave module) — and raises
+    ``NotImplementedError`` for anything else (mp3/mp4 need libav, not
+    in this container; swap this branch in a real deployment, nothing
+    else changes)."""
     if not fake:
         if content and content[:2] == b"BM":
             w, h, pixels = decode_bmp(content)
@@ -84,12 +86,17 @@ def _decode_bytes(content: bytes, fake: bool) -> tuple[int, int, str]:
         if content and content[:8] == _PNG_SIG:
             w, h, pixels = decode_png(content)
             return w, h, hashlib.md5(pixels.hex().encode()).hexdigest()
+        if content and content[:2] == b"\xff\xd8":
+            from ratatool_spark.operators.jpeg_py import decode_jpeg
+
+            w, h, pixels = decode_jpeg(content)
+            return w, h, hashlib.md5(pixels.hex().encode()).hexdigest()
         if content and content[:4] == b"RIFF" and content[8:12] == b"WAVE":
             rate, nframes, _ch, pcm = decode_wav(content)
             return rate, nframes, hashlib.md5(pcm.hex().encode()).hexdigest()
         raise NotImplementedError(
-            "real decoding implemented for BMP, PNG, and WAV only; other "
-            "formats require an image/audio library (PIL, torchaudio, "
+            "real decoding implemented for BMP, PNG, baseline JPEG, and "
+            "WAV only; other formats require a media library (torchaudio, "
             "pyav) — install one and extend _decode_bytes"
         )
     h = hashlib.md5(content or b"").hexdigest()
@@ -356,8 +363,9 @@ _DECODED_REAL_SCHEMA = T.StructType(
 
 
 def decode_real(df: DataFrame) -> DataFrame:
-    """REAL media decode over the binary column — parses actual BMP and
-    WAV bytes (stdlib codecs above; no fake path). Output per row:
+    """REAL media decode over the binary column — parses actual BMP, PNG,
+    baseline JPEG, and WAV bytes (pure-Python codecs; no fake path,
+    no native library). Output per row:
     image → (width, height), audio → (sample_rate, n_samples), both with
     the md5 of the lowercase-hex of the recovered raw payload (RGB pixels
     with BMP padding stripped and rows un-flipped / PCM frames) — so a
@@ -384,14 +392,20 @@ def decode_real(df: DataFrame) -> DataFrame:
                     w, h, pixels = decode_png(b)
                     md5 = hashlib.md5(pixels.hex().encode()).hexdigest()
                     rows.append((mid, "image", w, h, None, None, md5))
+                elif b[:2] == b"\xff\xd8":
+                    from ratatool_spark.operators.jpeg_py import decode_jpeg
+
+                    w, h, pixels = decode_jpeg(b)
+                    md5 = hashlib.md5(pixels.hex().encode()).hexdigest()
+                    rows.append((mid, "image", w, h, None, None, md5))
                 elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
                     rate, nframes, _ch, pcm = decode_wav(b)
                     md5 = hashlib.md5(pcm.hex().encode()).hexdigest()
                     rows.append((mid, "audio", None, None, rate, nframes, md5))
                 else:
                     raise NotImplementedError(
-                        f"media_id={mid}: unknown format "
-                        f"(magic={b[:4]!r}); only BMP/PNG/WAV decodable here"
+                        f"media_id={mid}: unknown format (magic={b[:4]!r}); "
+                        f"only BMP/PNG/JPEG/WAV decodable here"
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in _DECODED_REAL_SCHEMA])
 
@@ -402,14 +416,16 @@ def make_test_media(
     spark, n: int = 48, seed: int = 42, formats: tuple[str, ...] = ("bmp", "wav")
 ) -> DataFrame:
     """Deterministic REAL media rows, format cycling by ``media_id %
-    len(formats)`` over ``formats`` (any of "bmp", "wav", "png" — the
-    default pair keeps the r4 oracle fixture byte-stable). Payloads are
-    md5-digest repetitions so an external engine can reconstruct the
+    len(formats)`` over ``formats`` (any of "bmp", "wav", "png", "jpeg" —
+    the default pair keeps the r4 oracle fixture byte-stable). Payloads
+    are md5-digest repetitions so an external engine can reconstruct the
     expected checksums with pure string math (the oracles for
     ``multimodal_decode_real`` / ``_png``), while the Spark side must
     genuinely encode and re-parse the container format. Widths cycle
     through non-multiple-of-4 strides so BMP row padding is exercised;
-    PNG rows cycle all five scanline filters."""
+    PNG rows cycle all five scanline filters; JPEG rows alternate 4:4:4 /
+    4:2:0 subsampling and cycle restart intervals (lossy — their decoded
+    checksums are PINNED in the gate rather than string-math replayed)."""
     import pandas as pd
 
     def gen(batches: Iterator) -> Iterator:
@@ -418,14 +434,31 @@ def make_test_media(
             for mid in pdf["id"]:
                 digest = hashlib.md5(f"{seed}:{mid}".encode()).digest()
                 fmt = formats[mid % len(formats)]
-                if fmt in ("bmp", "png"):
-                    w, h = 3 + mid % 8, 2 + mid % 5
+                if fmt in ("bmp", "png", "jpeg"):
+                    if fmt == "jpeg":
+                        # big enough to span multiple MCUs incl. partial
+                        # edge blocks in both subsampling modes
+                        w, h = 11 + mid % 10, 9 + mid % 7
+                    else:
+                        w, h = 3 + mid % 8, 2 + mid % 5
                     need = w * h * 3
                     rgb = (digest * (need // 16 + 1))[:need]
                     if fmt == "bmp":
                         content, mime = encode_bmp(w, h, rgb), "image/bmp"
-                    else:
+                    elif fmt == "png":
                         content, mime = encode_png(w, h, rgb), "image/png"
+                    else:
+                        from ratatool_spark.operators.jpeg_py import encode_jpeg
+
+                        content = encode_jpeg(
+                            int(w),
+                            int(h),
+                            rgb,
+                            quality=90,
+                            subsample="420" if mid % 2 else "444",
+                            restart_interval=int(mid % 3),
+                        )
+                        mime = "image/jpeg"
                     kind = "image"
                     meta = (mime, w, h, None, None)
                 else:
@@ -605,8 +638,9 @@ def dhash_bits(
 
 def image_dhash(df: DataFrame, rows: int = 10, cols: int = 6) -> DataFrame:
     """(media_id, dhash, width, height) — perceptual difference-hash
-    fingerprints over the REAL image decoders (BMP/PNG stdlib codecs
-    above; the PIL seam for other formats): decode to RGB, integer luma
+    fingerprints over the REAL image decoders (BMP/PNG codecs above,
+    baseline JPEG via :mod:`.jpeg_py`; the PIL seam for anything
+    else): decode to RGB, integer luma
     (ITU-R 601: (299r + 587g + 114b) // 1000), nearest-neighbor sample
     onto a (cols+1) x rows grid, adjacent-comparison bits. Two images
     whose content differs by noise/recompression land within a few bits;
@@ -633,6 +667,10 @@ def image_dhash(df: DataFrame, rows: int = 10, cols: int = 6) -> DataFrame:
                     w, h, pixels = decode_bmp(b)
                 elif b[:8] == _PNG_SIG:
                     w, h, pixels = decode_png(b)
+                elif b[:2] == b"\xff\xd8":
+                    from ratatool_spark.operators.jpeg_py import decode_jpeg
+
+                    w, h, pixels = decode_jpeg(b)
                 else:
                     out.append((mid, None, None, None))
                     continue
