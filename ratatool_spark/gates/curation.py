@@ -1,0 +1,1136 @@
+"""Round-5 wave: line dedup, interval joins, upserts, sketches, OOV, k-anonymity.
+
+Split out of __spark_entry__.py (r6 verdict #6); oracle strings are
+byte-pinned by tests/test_oracle_golden.py."""
+
+
+from __future__ import annotations
+
+
+from ratatool_spark.gates._common import _dice_sql
+from ratatool_spark.gates.analytics import _sql_ann_ivf_topk
+from ratatool_spark.gates.asof_pairs import _sql_ann_lsh_topk
+from ratatool_spark.gates.corpus import _sql_dedup_incremental
+from ratatool_spark.gates.pipeline import _MINHASH_K, _PH64_SQL, _SQL_ANN_BRUTE
+
+
+# ------------------------------------------------- round 5: oracle gates
+# for the operators that landed after r4's final bench (the r4 verdict's
+# #2 action item): line dedup, interval join, unigram LM score, upsert,
+# bpe_segment kernel path, streaming ingest gate, HLL sketch merge.
+
+
+def _docs_with_null_texts(spark, sf_dir):
+    """documents + two NULL-text rows: the line-dedup/corpus-build family
+    pins NULL-in → NULL-out (a NULL doc must survive with text NULL, not
+    be promoted to ''), and with no NULL texts in the driver's parquet the
+    pinned semantics was never gate-exercised (r6 verdict #2). The oracle
+    twins union the identical rows (_SQL_DOCS_NULLS).
+
+    Built from ``spark.range`` rather than ``createDataFrame`` so the
+    2-row side is a known-tiny relation: a parallelized local list is a
+    LogicalRDD with UNKNOWN size stats, which inflates the union's size
+    estimate and demotes the downstream violator joins from static
+    broadcast to sort-merge (caught by
+    test_line_dedup_violator_join_broadcasts)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    extra = spark.range(-2, 0).select(
+        F.col("id").alias("doc_id"),
+        F.lit(None).cast("string").alias("text"),
+        F.when(F.col("id") == -1, "en").otherwise("xx").alias("lang"),
+        F.lit("fixture").alias("source"),
+        F.lit(0).cast("long").alias("n_chars"),
+    )
+    return docs.unionByName(extra)
+
+_SQL_DOCS_NULLS = """documents_n AS (
+  SELECT * FROM documents
+  UNION ALL SELECT -1, NULL, 'en', 'fixture', 0
+  UNION ALL SELECT -2, NULL, 'xx', 'fixture', 0
+)"""
+
+def _q_line_dedup_corpus(spark, sf_dir):
+    """C4 corpus-level line dedup (operators/corpus.remove_duplicate_lines,
+    corpus scope): documents are space-separated word streams, so sep=' '
+    makes every word a 'line' — words occurring >900 times across the
+    corpus are boilerplate and get dropped, docs reassemble in original
+    word order. Exercises the violator-only join + fused duplicate-id
+    guard (the r4-verdict scale fix). Input includes NULL-text rows
+    (_docs_with_null_texts) so NULL preservation is driver-checked."""
+    from ratatool_spark.operators.corpus import remove_duplicate_lines
+
+    docs = _docs_with_null_texts(spark, sf_dir)
+    out = remove_duplicate_lines(
+        docs, text_col="text", id_col="doc_id", max_occurrences=900, sep=" "
+    )
+    return out.select("doc_id", "text", "n_lines_removed")
+
+def _sql_line_dedup(scope: str, max_occurrences: int) -> str:
+    """Parameterized oracle for remove_duplicate_lines: ``scope`` picks
+    whether the violator count (and the join back) is corpus-wide
+    (``line``) or per-document (``doc_id, line``)."""
+    keys = "line" if scope == "corpus" else "doc_id, line"
+    cond = (
+        "e.line = v.line"
+        if scope == "corpus"
+        else "e.doc_id = v.doc_id AND e.line = v.line"
+    )
+    note = (
+        "\n-- mirror the operator's null-vs-emptied distinction: a NULL-text doc"
+        "\n-- stays NULL (the COALESCE above fed '' into the split only so the row"
+        "\n-- survives; the output must not promote NULL to '')"
+        if scope == "corpus"
+        else ""
+    )
+    return f"""
+WITH {_SQL_DOCS_NULLS}, lx AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ls FROM documents_n
+), ex AS (
+  SELECT doc_id, ls[pos] AS line, pos
+  FROM lx, UNNEST(range(1, len(ls) + 1)) AS t(pos)
+), viol AS (
+  SELECT {keys} FROM ex WHERE LENGTH(line) >= 2
+  GROUP BY {keys} HAVING COUNT(*) > {max_occurrences}
+), kept AS (
+  SELECT e.doc_id,
+         COALESCE(STRING_AGG(e.line, ' ' ORDER BY e.pos)
+                  FILTER (WHERE v.line IS NULL), '') AS text,
+         COUNT(*) FILTER (WHERE v.line IS NOT NULL) AS n_lines_removed
+  FROM ex e LEFT JOIN viol v ON {cond}
+  GROUP BY e.doc_id
+){note}
+SELECT d.doc_id,
+       CASE WHEN d.text IS NULL THEN NULL ELSE k.text END AS text,
+       k.n_lines_removed
+FROM documents_n d JOIN kept k ON d.doc_id = k.doc_id
+"""
+
+
+_SQL_LINE_DEDUP_CORPUS = _sql_line_dedup("corpus", 900)
+
+def _q_line_dedup_document(spark, sf_dir):
+    """Gopher intra-document scope: a word repeated >2 times WITHIN its own
+    document is the junk signal and every occurrence goes; cross-doc
+    repetition is untouched. Count shuffles on (doc, line). NULL-text
+    rows included (_docs_with_null_texts)."""
+    from ratatool_spark.operators.corpus import remove_duplicate_lines
+
+    docs = _docs_with_null_texts(spark, sf_dir)
+    out = remove_duplicate_lines(
+        docs,
+        text_col="text",
+        id_col="doc_id",
+        max_occurrences=2,
+        sep=" ",
+        scope="document",
+    )
+    return out.select("doc_id", "text", "n_lines_removed")
+
+_SQL_LINE_DEDUP_DOCUMENT = _sql_line_dedup("document", 2)
+
+def _q_interval_join_events(spark, sf_dir):
+    """Stream-stream interval join (streaming/events.interval_join) run in
+    its batch-parity mode: click events matched to the same user's view
+    events within the preceding 2 hours — the ad-attribution shape. The
+    range predicate is what bounds streaming state; on batch it is a
+    plain range condition on the user-keyed join."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.streaming.events import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    out = interval_join(
+        clicks, views, key="user_id", lag="2 hours", watermark="1 hour"
+    )
+    return out.select(
+        "user_id",
+        F.col("l_ts"),
+        F.col("r_ts"),
+        F.col("l_event_id"),
+        F.col("r_event_id"),
+    )
+
+_SQL_INTERVAL_JOIN = """
+SELECT l.user_id, l.ts AS l_ts, r.ts AS r_ts,
+       l.event_id AS l_event_id, r.event_id AS r_event_id
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts - INTERVAL 2 HOUR AND r.ts <= l.ts
+WHERE l.event_type = 'click' AND r.event_type = 'view'
+"""
+
+def _q_unigram_logprob(spark, sf_dir):
+    """Unigram-LM quality score (operators/corpus.unigram_logprob_score,
+    self-scoring mode): mean per-token log-probability under the corpus's
+    own unigram distribution with Lidstone smoothing 0.5 — the
+    CCNet-style perplexity bucket with a unigram model."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.corpus import unigram_logprob_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = unigram_logprob_score(docs, smoothing=0.5)
+    return out.select(
+        "doc_id", "n_tokens", F.round("mean_logprob", 6).alias("mean_logprob")
+    )
+
+_SQL_UNIGRAM_LOGPROB = """
+WITH toks AS (
+  SELECT doc_id, t.tok AS tok
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS ls FROM documents),
+       UNNEST(ls) AS t(tok)
+  WHERE LENGTH(t.tok) > 0
+), freqs AS (
+  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+), norm AS (
+  SELECT SUM(cnt) AS total, COUNT(*) AS v FROM freqs
+), scores AS (
+  SELECT t.doc_id, COUNT(*) AS n_tokens,
+         AVG(LN((f.cnt + 0.5) / (norm.total + 0.5 * (norm.v + 1))))
+           AS mean_logprob
+  FROM toks t JOIN freqs f USING (tok), norm
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id, COALESCE(s.n_tokens, 0) AS n_tokens,
+       ROUND(s.mean_logprob, 6) AS mean_logprob
+FROM documents d LEFT JOIN scores s USING (doc_id)
+"""
+
+def _q_upsert_orders(spark, sf_dir):
+    """Keyed upsert with swap protocol (sources/io.upsert_table): base =
+    orders with key%7=0, updates = doubled-price rows (key%14=0, minus
+    the delete set), inserts (key%7=3, never in base), deletes (key%21=0,
+    always in base). The returned table is the post-merge state read back
+    from disk — the oracle replays the merge relationally. All guards and
+    counters ride ONE fused full-outer aggregation (r5 fix)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.sources.io import upsert_table, write_table
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    base = orders.where(F.col("o_orderkey") % 7 == 0).select(*cols)
+    upd = (
+        orders.where(
+            (F.col("o_orderkey") % 14 == 0) & (F.col("o_orderkey") % 21 != 0)
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        )
+        .withColumn("is_delete", F.lit(False))
+    )
+    ins = (
+        orders.where(F.col("o_orderkey") % 7 == 3)
+        .select(*cols)
+        .withColumn("is_delete", F.lit(False))
+    )
+    dels = (
+        orders.where(F.col("o_orderkey") % 21 == 0)
+        .select(*cols)
+        .withColumn("is_delete", F.lit(True))
+    )
+    updates = upd.unionByName(ins).unionByName(dels)
+
+    path = os.path.join(tempfile.mkdtemp(prefix="rt_upsert_"), "orders_base")
+    write_table(base, path, fmt="parquet", mode="overwrite")
+    upsert_table(
+        spark, path, updates, keys=["o_orderkey"], delete_col="is_delete"
+    )
+    back = spark.read.parquet(path)
+    return back.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+_SQL_UPSERT_ORDERS = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 7 = 0
+), upd AS (
+  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+  FROM orders WHERE o_orderkey % 14 = 0 AND o_orderkey % 21 <> 0
+), ins AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 7 = 3
+), touched AS (
+  SELECT o_orderkey FROM upd
+  UNION ALL SELECT o_orderkey FROM ins
+  UNION ALL SELECT o_orderkey FROM orders WHERE o_orderkey % 21 = 0
+)
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice FROM (
+  SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM touched)
+  UNION ALL SELECT * FROM upd
+  UNION ALL SELECT * FROM ins
+)
+"""
+
+# >16 merges forces the Arrow-batched per-word-cache kernel path (the
+# expression-fold path handles short lists); the oracle replays the greedy
+# left-to-right fold in SQL via pipe-wrapped symbols + chained REPLACE —
+# full '|a| |b|' delimiters anchor whole symbols, and the consumed trailing
+# pipe makes non-overlapping left-to-right replacement coincide with greedy
+# pairwise merging (equivalence spot-checked over chain/overlap cases).
+_BPE_MERGES = [
+    ("j", "o"), ("jo", "i"), ("joi", "n"),
+    ("h", "a"), ("ha", "s"), ("has", "h"),
+    ("t", "h"), ("th", "e"),
+    ("s", "c"), ("sc", "a"), ("sca", "n"),
+    ("s", "o"), ("so", "r"), ("sor", "t"),
+    ("k", "e"), ("ke", "y"),
+    ("r", "o"), ("ro", "w"),
+]
+
+def _q_bpe_segment(spark, sf_dir):
+    """BPE encode (operators/corpus.bpe_segment) with an 18-merge list —
+    above the expression-fold threshold, so this gates the Arrow kernel
+    path with its per-batch word cache (work scales with DISTINCT words
+    per batch, not tokens)."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.corpus import bpe_segment
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = bpe_segment(docs, _BPE_MERGES, text_col="text")
+    return out.select(
+        "doc_id",
+        F.array_join("bpe_syms", " ").alias("segmented"),
+        "n_bpe_tokens",
+    )
+
+def _sql_bpe_segment() -> str:
+    expr = "'|' || array_to_string(string_split(w, ''), '| |') || '|'"
+    for a, b in _BPE_MERGES:
+        expr = f"replace({expr}, '|{a}| |{b}|', '|{a}{b}|')"
+    return f"""
+WITH words AS (
+  SELECT doc_id, t.pos AS pos, ls[t.pos] AS w
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS ls FROM documents),
+       UNNEST(range(1, len(ls) + 1)) AS t(pos)
+), seg AS (
+  SELECT doc_id, pos, replace({expr}, '|', '') AS sw,
+         len(string_split(replace({expr}, '|', ''), ' ')) AS nsyms
+  FROM words WHERE LENGTH(w) > 0
+)
+SELECT d.doc_id,
+       COALESCE(s.segmented, '') AS segmented,
+       CAST(COALESCE(s.n_bpe_tokens, 0) AS INT) AS n_bpe_tokens
+FROM documents d LEFT JOIN (
+  SELECT doc_id, STRING_AGG(sw, ' ' ORDER BY pos) AS segmented,
+         SUM(nsyms) AS n_bpe_tokens
+  FROM seg GROUP BY doc_id
+) s USING (doc_id)
+"""
+
+def _q_stream_gate(spark, sf_dir):
+    """Streaming ingest gate (streaming/dedup.stream_filter_against) run
+    for real: odd-id documents arrive as a file stream (availableNow) and
+    are admitted only if they have no verified near-duplicate (jaccard >=
+    0.3) in the even-id corpus; survivors land in per-batch-id idempotent
+    directories. The oracle is the batch keep-set — same LSH + verify
+    arithmetic as dedup_incremental, inverted to the anti-join side."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.streaming.dedup import stream_filter_against
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    root = tempfile.mkdtemp(prefix="rt_gate_")
+    # the file-stream source requires a DIRECTORY — stage the incoming
+    # batch as one (in production this is the landing zone the crawler
+    # drops files into)
+    in_dir = os.path.join(root, "incoming")
+    docs.where(F.col("doc_id") % 2 == 1).write.parquet(in_dir)
+    stream = spark.readStream.schema(docs.schema).parquet(in_dir)
+    out_path = os.path.join(root, "admitted")
+    q = stream_filter_against(
+        stream,
+        corpus,
+        out_path,
+        checkpoint=os.path.join(root, "ckpt"),
+        threshold=0.3,
+        num_hashes=_MINHASH_K,
+        bands=8,
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out_path)
+    return back.select("doc_id", "lang", "source", "n_chars")
+
+def _sql_stream_gate() -> str:
+    inner = _sql_dedup_incremental()
+    return f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE doc_id % 2 = 1
+  AND doc_id NOT IN (SELECT id_new FROM ({inner}) hits)
+"""
+
+def _q_hll_sketch_merge(spark, sf_dir):
+    """Persisted HLL sketch tables (operators/timeagg): per-event-type
+    user sketches built on two disjoint event slices, merged via lossless
+    register union, vs a sketch built over the whole table in one pass
+    and vs the exact count. Gates the two invariants that make sketch
+    tables safe at 100 TB: merge-losslessness (merged estimate ==
+    direct-build estimate, exactly) and estimate accuracy (within 5% of
+    exact; lg_k=12 keeps the sketch in its exact sparse regime at gate
+    cardinalities). n_users_exact is the driver-checked real value."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.timeagg import (
+        build_distinct_sketches,
+        estimate_distinct,
+        merge_distinct_sketches,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    merged = merge_distinct_sketches(
+        build_distinct_sketches(a, ["event_type"], "user_id", lg_k=12),
+        build_distinct_sketches(b, ["event_type"], "user_id", lg_k=12),
+    )
+    est_m = estimate_distinct(merged).withColumnRenamed("n_distinct", "est_merged")
+    est_d = estimate_distinct(
+        build_distinct_sketches(ev, ["event_type"], "user_id", lg_k=12)
+    ).withColumnRenamed("n_distinct", "est_direct")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact")
+    )
+    return (
+        est_m.join(est_d, "event_type")
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_users_exact",
+            (F.col("est_merged") == F.col("est_direct")).alias("merge_lossless"),
+            (
+                F.abs(F.col("est_merged") - F.col("n_users_exact"))
+                <= 0.05 * F.col("n_users_exact")
+            ).alias("within_tol"),
+        )
+    )
+
+_SQL_HLL_SKETCH_MERGE = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users_exact,
+       TRUE AS merge_lossless, TRUE AS within_tol
+FROM events GROUP BY event_type
+"""
+
+def _q_quantile_sketch_merge(spark, sf_dir):
+    """Mergeable quantile sketch tables (operators/timeagg
+    build/merge/estimate_quantile_sketches): deterministic bottom-k (KMV)
+    value samples per event_type, built on two disjoint event slices and
+    MERGED — the driver-gated values are the merge-then-estimate
+    quantiles, and the oracle computes the direct single-pass build, so
+    the hash gate pins merge-losslessness AND the exact portable-hash
+    sample arithmetic cross-engine (no tolerance band: the estimate picks
+    stored values, no fp math)."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.timeagg import (
+        build_quantile_sketches,
+        estimate_quantiles,
+        merge_quantile_sketches,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    merged = merge_quantile_sketches(
+        build_quantile_sketches(a, ["event_type"], "value", ["event_id"], k=1024),
+        build_quantile_sketches(b, ["event_type"], "value", ["event_id"], k=1024),
+    )
+    return estimate_quantiles(merged, [0.25, 0.5, 0.9])
+
+def _sql_quantile_sketch_merge() -> str:
+    h = "('0x' || substr(md5(concat_ws(chr(1), '0', CAST(event_id AS VARCHAR))), 1, 15))::BIGINT"
+    picks = ", ".join(
+        f"MAX(CASE WHEN vr = 1 + FLOOR({q} * (m - 1)) THEN v END) AS q_{int(q*100):02d}"
+        for q in (0.25, 0.5, 0.9)
+    )
+    return f"""
+WITH h AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v, {h} AS hh FROM events
+), samp AS (
+  SELECT event_type, v FROM (
+    SELECT event_type, v,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hh) AS rn
+    FROM h
+  ) WHERE rn <= 1024
+), ranked AS (
+  SELECT event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS vr,
+         COUNT(*) OVER (PARTITION BY event_type) AS m
+  FROM samp
+)
+SELECT event_type, {picks} FROM ranked GROUP BY event_type
+"""
+
+def _q_set_overlap(spark, sf_dir):
+    """KMV set-overlap sketch tables (operators/timeagg build/merge/
+    set_overlap_estimates): per-event-type distinct-user samples built on
+    two disjoint slices, merged losslessly, then pairwise audience
+    Jaccard/intersection estimates — the question HLL cannot answer.
+    k=64 < the true per-type cardinality, so the estimator path (not the
+    exact small-set path) is what gates; everything is deterministic
+    portable-hash arithmetic, so the DuckDB oracle reproduces the
+    ESTIMATES exactly — no tolerance band."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.timeagg import (
+        build_set_sketches,
+        merge_set_sketches,
+        set_overlap_estimates,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "user_id"
+    )
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    merged = merge_set_sketches(
+        build_set_sketches(a, ["event_type"], "user_id", k=64),
+        build_set_sketches(b, ["event_type"], "user_id", k=64),
+    )
+    out = set_overlap_estimates(merged)
+    return out.select(
+        F.col("ga.event_type").alias("type_a"),
+        F.col("gb.event_type").alias("type_b"),
+        F.round("est_jaccard", 6).alias("est_jaccard"),
+        F.round("est_intersection", 4).alias("est_intersection"),
+    )
+
+_SQL_SET_OVERLAP = """
+WITH h AS (
+  SELECT DISTINCT event_type AS g,
+         ('0x' || substr(md5(concat_ws(chr(1), '0', CAST(user_id AS VARCHAR))), 1, 15))::BIGINT AS hh
+  FROM events
+), samp AS (
+  SELECT g, hh FROM (
+    SELECT g, hh, ROW_NUMBER() OVER (PARTITION BY g ORDER BY hh) AS rn FROM h
+  ) WHERE rn <= 64
+), grps AS (SELECT DISTINCT g FROM samp),
+pairs AS (
+  SELECT a.g AS ga, b.g AS gb FROM grps a JOIN grps b ON a.g < b.g
+), uni0 AS (
+  SELECT DISTINCT p.ga, p.gb, s.hh
+  FROM pairs p JOIN samp s ON s.g = p.ga OR s.g = p.gb
+), kset AS (
+  SELECT ga, gb, hh FROM (
+    SELECT ga, gb, hh,
+           ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY hh) AS rn
+    FROM uni0
+  ) WHERE rn <= 64
+), stats AS (
+  SELECT u.ga, u.gb, COUNT(*) AS ksize, MAX(u.hh) AS ukth,
+         COUNT(*) FILTER (
+           WHERE ia.hh IS NOT NULL AND ib.hh IS NOT NULL
+         ) AS ninter
+  FROM kset u
+  LEFT JOIN samp ia ON ia.g = u.ga AND ia.hh = u.hh
+  LEFT JOIN samp ib ON ib.g = u.gb AND ib.hh = u.hh
+  GROUP BY u.ga, u.gb
+)
+SELECT ga AS type_a, gb AS type_b,
+       ROUND(ninter / CAST(ksize AS DOUBLE), 6) AS est_jaccard,
+       ROUND(
+         (ninter / CAST(ksize AS DOUBLE)) *
+         CASE WHEN ksize >= 64
+              THEN 63 / (CAST(ukth AS DOUBLE) / 1152921504606846976.0)
+              ELSE CAST(ksize AS DOUBLE) END,
+         4
+       ) AS est_intersection
+FROM stats
+"""
+
+def _q_rollup_anomalies(spark, sf_dir):
+    """Trailing z-score anomaly flags over the hour-grain continuous
+    aggregate (operators/timeagg.rollup_anomalies): each bucket vs the
+    mean +- 2 sigma of its preceding 24 buckets; warm-up buckets get a
+    NULL flag. The fact table never enters — anomaly detection runs on
+    the buckets-cardinality aggregate."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.timeagg import rollup_anomalies, time_rollup
+    from ratatool_spark.sources.io import load_tables
+
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    roll = time_rollup(ev, grains=("hour",))
+    out = rollup_anomalies(roll, trailing=24, min_periods=8, z=2.0)
+    # floor-truncate for display: ROUND on a half-boundary (decimal sums
+    # divided by power-of-two counts hit exact .xxxx5 values) disagrees
+    # between engines' tie rules; floor of identical doubles cannot
+    return out.select(
+        "bucket",
+        "n_events",
+        (F.floor(F.col("trailing_mean") * 10000) / 10000).alias("trailing_mean"),
+        (F.floor(F.col("trailing_std") * 10000) / 10000).alias("trailing_std"),
+        "is_anomaly",
+    )
+
+_SQL_ROLLUP_ANOMALIES = """
+WITH roll AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+         COUNT(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(28,6))) AS vd
+  FROM events GROUP BY 1
+), win AS (
+  SELECT bucket, n_events, CAST(vd AS DOUBLE) AS v,
+         CAST(COUNT(vd) OVER w AS DOUBLE) AS n,
+         CAST(SUM(vd) OVER w AS DOUBLE) AS s1,
+         CAST(SUM(CAST(vd * vd AS DECIMAL(38,12))) OVER w AS DOUBLE) AS s2
+  FROM roll
+  WINDOW w AS (ORDER BY bucket ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+), fin AS (
+  SELECT bucket, n_events, v, n,
+         CASE WHEN n >= 8 THEN s1 / n END AS m,
+         CASE WHEN n >= 8
+              THEN SQRT(GREATEST(s2 - s1 * s1 / n, 0.0) / (n - 1)) END AS s
+  FROM win
+)
+SELECT bucket, n_events,
+       FLOOR(m * 10000) / 10000 AS trailing_mean,
+       FLOOR(s * 10000) / 10000 AS trailing_std,
+       CASE WHEN n >= 8 THEN ABS(v - m) > 2.0 * s END AS is_anomaly
+FROM fin
+"""
+
+def _q_quality_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing, composed end-to-end from this
+    round's pieces: unigram-LM score every doc (self-scoring mode), rank
+    into quartiles (ntile over (score, doc_id) — the doc_id tiebreak
+    makes the split deterministic cross-engine), report each bucket's
+    volume and score range. Downstream mixtures sample by bucket (keep
+    more mid-perplexity, downweight both gibberish and boilerplate)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.corpus import unigram_logprob_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = unigram_logprob_score(docs, smoothing=0.5)
+    w = Window.orderBy(F.col("mean_logprob").asc(), F.col("doc_id").asc())
+    b = scored.where(F.col("mean_logprob").isNotNull()).withColumn(
+        "bucket", F.ntile(4).over(w)
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.min("mean_logprob"), 6).alias("min_score"),
+        F.round(F.max("mean_logprob"), 6).alias("max_score"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+
+def _sql_quality_buckets() -> str:
+    inner = _SQL_UNIGRAM_LOGPROB.replace(
+        "ROUND(s.mean_logprob, 6) AS mean_logprob", "s.mean_logprob AS mean_logprob"
+    )
+    return f"""
+WITH scored AS ({inner}), bucketed AS (
+  SELECT doc_id, n_tokens, mean_logprob,
+         NTILE(4) OVER (ORDER BY mean_logprob ASC, doc_id ASC) AS bucket
+  FROM scored WHERE mean_logprob IS NOT NULL
+)
+SELECT bucket, COUNT(*) AS n_docs,
+       ROUND(MIN(mean_logprob), 6) AS min_score,
+       ROUND(MAX(mean_logprob), 6) AS max_score,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM bucketed GROUP BY bucket
+"""
+
+def _q_corpus_build(spark, sf_dir):
+    """End-to-end corpus build composing the r5 curation operators in
+    production order: corpus-level line dedup (drop >900-occurrence
+    boilerplate words, reassemble) -> per-source cap (15 docs, smallest
+    portable hash) -> leakage-free grouped split (diced on source) ->
+    per-split report (volume, surviving tokens, source spread). One
+    lineage, no intermediate materialization — Catalyst fuses the whole
+    chain; the oracle replays every stage in SQL. NULL-text rows included
+    (_docs_with_null_texts) — they must flow through cap/split with text
+    NULL and contribute no tokens."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.corpus import (
+        assign_splits,
+        cap_per_group,
+        remove_duplicate_lines,
+    )
+
+    docs = _docs_with_null_texts(spark, sf_dir)
+    cleaned = remove_duplicate_lines(
+        docs, text_col="text", id_col="doc_id", max_occurrences=900, sep=" "
+    )
+    capped = cap_per_group(cleaned, group_col="source", max_rows=15, seed=3)
+    split = assign_splits(
+        capped,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        dice_cols=("source",),
+        seed=5,
+    )
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), " "), lambda t: F.length(t) > 0
+    )
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).alias("n_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_lines_removed").alias("n_words_removed"),
+    )
+
+def _sql_corpus_build() -> str:
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(weights.values())
+    items = list(weights.items())
+    acc, whens = 0.0, []
+    d = _dice_sql(["source"], seed=5)
+    for name, w in items[:-1]:
+        acc += w / total
+        whens.append(f"WHEN {d} < {acc!r} THEN '{name}'")
+    split_case = f"CASE {' '.join(whens)} ELSE '{items[-1][0]}' END"
+    cap_hash = (
+        "('0x' || substr(md5(concat_ws(chr(1), '3', "
+        "CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT"
+    )
+    return f"""
+WITH {_SQL_DOCS_NULLS}, lx AS (
+  SELECT doc_id, source, string_split(COALESCE(text, ''), ' ') AS ls
+  FROM documents_n
+), ex AS (
+  SELECT doc_id, ls[pos] AS line, pos
+  FROM lx, UNNEST(range(1, len(ls) + 1)) AS t(pos)
+), viol AS (
+  SELECT line FROM ex WHERE LENGTH(line) >= 2
+  GROUP BY line HAVING COUNT(*) > 900
+), kept AS (
+  SELECT e.doc_id,
+         COALESCE(STRING_AGG(e.line, ' ' ORDER BY e.pos)
+                  FILTER (WHERE v.line IS NULL), '') AS text,
+         COUNT(*) FILTER (WHERE v.line IS NOT NULL) AS n_words_removed
+  FROM ex e LEFT JOIN viol v ON e.line = v.line
+  GROUP BY e.doc_id
+), cleaned AS (
+  SELECT d.doc_id, d.source,
+         CASE WHEN d.text IS NULL THEN NULL ELSE k.text END AS text,
+         k.n_words_removed
+  FROM documents_n d JOIN kept k ON d.doc_id = k.doc_id
+), capped AS (
+  SELECT doc_id, source, text, n_words_removed FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY source ORDER BY {cap_hash}
+    ) AS rn FROM cleaned
+  ) WHERE rn <= 15
+), split AS (
+  SELECT *, {split_case} AS split FROM capped
+)
+SELECT split, COUNT(*) AS n_docs,
+       CAST(SUM(len(list_filter(string_split(trim(text), ' '),
+                                x -> LENGTH(x) > 0))) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(SUM(n_words_removed) AS BIGINT) AS n_words_removed
+FROM split GROUP BY split
+"""
+
+def _q_pii_luhn_audit(spark, sf_dir):
+    """Extended PII audit (functions/text pii_counts_extended +
+    luhn_valid): SSN- and card-shaped strings are synthesized
+    deterministically from order keys (so Luhn validity varies row to
+    row), then counted and Luhn-verified with pure expressions. The
+    oracle rebuilds the same strings and replays the checksum fold with
+    list_reduce — a wrong double/overflow rule in either engine flips
+    n_card_valid and hash-mismatches."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.functions.text import pii_counts_extended
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderkey") % 31 == 0
+    )
+    ssn9 = F.lpad((F.col("o_orderkey") % 1000000000).cast("string"), 9, "0")
+    card16 = F.lpad(
+        ((F.col("o_orderkey") * 7919 + F.col("o_custkey")) % 10000000000000000)
+        .cast("string"),
+        16,
+        "0",
+    )
+    text = F.concat(
+        F.lit("ssn "),
+        F.substring(ssn9, 1, 3),
+        F.lit("-"),
+        F.substring(ssn9, 4, 2),
+        F.lit("-"),
+        F.substring(ssn9, 6, 4),
+        F.lit(" card "),
+        card16,
+    )
+    n_ssn, n_card, n_valid = pii_counts_extended(text)
+    return orders.select(
+        "o_orderkey",
+        n_ssn.alias("n_ssn"),
+        n_card.alias("n_card"),
+        n_valid.alias("n_card_valid"),
+    )
+
+_SQL_PII_LUHN = """
+WITH built AS (
+  SELECT o_orderkey,
+         lpad(CAST((o_orderkey * 7919 + o_custkey) % 10000000000000000 AS VARCHAR),
+              16, '0') AS card
+  FROM orders WHERE o_orderkey % 31 = 0
+), luhn AS (
+  SELECT o_orderkey,
+         list_reduce(
+           list_transform(range(1, 17), i ->
+             CASE WHEN i % 2 = 0
+                  THEN CASE WHEN CAST(reverse(card)[i] AS INT) * 2 > 9
+                            THEN CAST(reverse(card)[i] AS INT) * 2 - 9
+                            ELSE CAST(reverse(card)[i] AS INT) * 2 END
+                  ELSE CAST(reverse(card)[i] AS INT) END),
+           (a, b) -> a + b
+         ) AS chk
+  FROM built
+)
+SELECT o_orderkey, 1 AS n_ssn, 1 AS n_card,
+       CASE WHEN chk % 10 = 0 THEN 1 ELSE 0 END AS n_card_valid
+FROM luhn
+"""
+
+def _q_ann_recall(spark, sf_dir):
+    """ANN quality accounting (operators/similarity.topk_recall): recall
+    of the LSH-bucketed top-3 against the exact brute-force top-3 per
+    query — the measurement that makes the approximate path's speed/
+    recall trade auditable. The oracle recomputes BOTH algorithms in SQL
+    and joins them, so a recall drift in either implementation fails the
+    gate."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+        topk_recall,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    truth = brute_force_topk(emb, q, k=3)
+    approx = lsh_topk(emb, q, k=3, num_planes=8, seed=7, dim=64)
+    return topk_recall(truth, approx)
+
+def _sql_ann_recall() -> str:
+    truth = _SQL_ANN_BRUTE.strip()
+    approx = _sql_ann_lsh_topk().strip()
+    return f"""
+WITH truth AS ({truth}), approx AS ({approx})
+SELECT t.query_id, COUNT(*) AS n_truth,
+       COUNT(a.neighbor_id) AS n_hit,
+       ROUND(COUNT(a.neighbor_id) / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+FROM truth t LEFT JOIN approx a
+  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+GROUP BY t.query_id
+"""
+
+def _q_ann_ivf_recall(spark, sf_dir):
+    """Same recall accounting for the IVF path (seed-centroid variant so
+    the oracle can replay it): probing 3 of 8 cells, how much of the
+    exact top-3 survives — the partition-pruning trade made auditable."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        topk_recall,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    truth = brute_force_topk(emb, q, k=3)
+    approx = ivf_topk(emb, q, k=3, n_centroids=8, n_probe=3, train_iters=0)
+    return topk_recall(truth, approx)
+
+def _sql_ann_ivf_recall() -> str:
+    truth = _SQL_ANN_BRUTE.strip()
+    approx = _sql_ann_ivf_topk().strip()
+    return f"""
+WITH truth AS ({truth}), approx AS ({approx})
+SELECT t.query_id, COUNT(*) AS n_truth,
+       COUNT(a.neighbor_id) AS n_hit,
+       ROUND(COUNT(a.neighbor_id) / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+FROM truth t LEFT JOIN approx a
+  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+GROUP BY t.query_id
+"""
+
+def _q_jsonl_roundtrip(spark, sf_dir):
+    """JSON-lines IO round-trip (sources/io S6): documents written as
+    JSONL and read back through the sniffing reader must preserve values
+    AND integer types (Spark's JSON reader infers long for integral
+    columns; a silent double inference would change hashes). Oracle =
+    the original table."""
+    import os
+    import tempfile
+
+    from ratatool_spark.sources.io import read_table, write_table
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = os.path.join(tempfile.mkdtemp(prefix="rt_jsonl_"), "docs_jsonl")
+    write_table(docs, out, fmt="json", mode="overwrite")
+    back = read_table(spark, out, fmt="json")
+    return back.select("doc_id", "text", "lang", "source", "n_chars")
+
+_SQL_JSONL_ROUNDTRIP = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+def _q_partitioned_roundtrip(spark, sf_dir):
+    """Partitioned-sink round-trip (S11): events written partitioned by
+    event_type, read back via partition discovery — the partition column
+    must come back with its VALUES intact (it lives in directory names,
+    not data files; a broken basePath or type inference shows up here),
+    and partition pruning on read is plan-pinned in tests. Aggregated so
+    the gate hashes every partition's contents."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.sources.io import load_tables, write_table
+
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    out = os.path.join(tempfile.mkdtemp(prefix="rt_part_"), "by_type")
+    write_table(
+        ev.select("event_id", "user_id", "value", "event_type"),
+        out,
+        fmt="parquet",
+        partition_by=["event_type"],
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").alias("sum_ids"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+_SQL_PARTITIONED_ROUNDTRIP = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+def _q_row_restriction(spark, sf_dir):
+    """rowRestriction predicate plumbing (sources/io.row_restriction —
+    the reference's BigQuery --rowRestriction adapted onto file scans):
+    the SQL-string predicate must parse, push to the scan (plan-pinned in
+    tests), and select exactly the oracle's WHERE set, including the
+    quote-strip rule on string literals."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.sources.io import row_restriction
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = row_restriction(
+        orders,
+        "o_orderkey % 13 = 0 AND o_totalprice > 1000.0 "
+        "AND o_orderpriority = '1-URGENT'",
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+
+_SQL_ROW_RESTRICTION = """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice,
+       o_orderpriority
+FROM orders
+WHERE o_orderkey % 13 = 0 AND o_totalprice > 1000.0
+  AND o_orderpriority = '1-URGENT'
+"""
+
+def _q_stream_quantile_sketches(spark, sf_dir):
+    """Streaming sketch maintenance run for REAL (streaming/sketches):
+    events staged into a multi-file landing zone, streamed one file per
+    trigger (availableNow), each micro-batch writing its own KMV partial;
+    the read side merges every partial and estimates. Because bottom-k
+    merge is lossless under ANY batching, the oracle is simply the
+    direct single-pass KMV quantile SQL — the gate fails if the
+    streaming path drops, duplicates, or mis-merges any batch."""
+    import os
+    import tempfile
+
+    from ratatool_spark.operators.timeagg import estimate_quantiles
+    from ratatool_spark.streaming.sketches import (
+        read_stream_quantile_sketches,
+        stream_quantile_sketches,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="rt_qsk_")
+    src = os.path.join(root, "incoming")
+    ev.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_quantile_sketches(
+        stream,
+        os.path.join(root, "sk"),
+        os.path.join(root, "ckpt"),
+        group_cols=["event_type"],
+        value_col="value",
+        key_cols=["event_id"],
+        k=1024,
+    )
+    q.awaitTermination()
+    merged = read_stream_quantile_sketches(spark, os.path.join(root, "sk"))
+    return estimate_quantiles(merged, [0.25, 0.5, 0.9])
+
+def _sql_chunk_documents() -> str:
+    # stride = 32 - 8 = 24; DuckDB range() is stop-exclusive, list
+    # slicing is 1-based inclusive and clamps at the list end (= Spark
+    # slice(toks, st, 32)).
+    return """
+WITH t AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks
+  FROM documents
+  WHERE length(trim(text)) > 0
+), s AS (
+  SELECT doc_id, toks, len(toks) AS n FROM t
+)
+SELECT doc_id,
+       CAST((st - 1) // 24 AS INT) AS chunk_idx,
+       array_to_string(toks[st:st+31], ' ') AS chunk,
+       CAST(len(toks[st:st+31]) AS INT) AS n_chunk_tokens
+FROM s, UNNEST(range(1, greatest(1, n - 8) + 1, 24)) AS u(st)
+"""
+
+def _q_vocab_oov_rate(spark, sf_dir):
+    """Tokenizer-vocab coverage (corpus.vocab_coverage): per-document
+    token/OOV counts against the corpus's own top-500 unigram vocab —
+    the vocab side is deduped + broadcast, the exploded corpus never
+    shuffles for the membership probe."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.corpus import build_token_freqs, vocab_coverage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = (
+        build_token_freqs(docs)
+        .orderBy(F.desc("cnt"), "token")
+        .limit(500)
+    )
+    return vocab_coverage(docs, vocab)
+
+def _sql_vocab_oov_rate() -> str:
+    return """
+WITH tok AS (
+  SELECT doc_id, t AS token
+  FROM documents, UNNEST(string_split(trim(text), ' ')) AS u(t)
+  WHERE length(t) > 0
+), vocab AS (
+  SELECT token FROM (
+    SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+  ) ORDER BY cnt DESC, token LIMIT 500
+)
+SELECT tok.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       ROUND(CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS oov_rate
+FROM tok LEFT JOIN vocab v ON tok.token = v.token
+GROUP BY tok.doc_id
+"""
+
+def _q_k_anonymity(spark, sf_dir):
+    """k-anonymity audit (profile.k_anonymity): equivalence-class sizes
+    over the (nation, market-segment) quasi-identifiers with the at-risk
+    flag at k=10 — one map-side-combined hash aggregation."""
+    from ratatool_spark.operators.profile import k_anonymity
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return k_anonymity(cust, ["c_nationkey", "c_mktsegment"], k=10)
+
+def _sql_k_anonymity() -> str:
+    return """
+SELECT c_nationkey, c_mktsegment,
+       COUNT(*) AS class_size,
+       COUNT(*) < 10 AS at_risk
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+"""
+
+def _q_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup (streaming/dedup.stream_exact_dedup) run for
+    real: a 20%-duplicated corpus arrives as a file stream (availableNow)
+    and dropDuplicatesWithinWatermark admits exactly one row per content
+    fingerprint; the admitted set's fingerprints are compared against the
+    batch DISTINCT — one output row per distinct fingerprint, so a
+    double-admit would fail the row-count, not hide behind a DISTINCT."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.functions.hashing import dice
+    from ratatool_spark.functions.text import fingerprint
+    from ratatool_spark.streaming.dedup import stream_exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dupes = docs.where(dice([F.col("doc_id")], seed=7) < 0.2).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    corpus = docs.unionByName(dupes).withColumn(
+        "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id"))
+    )
+    root = tempfile.mkdtemp(prefix="rt_sdedup_")
+    in_dir = os.path.join(root, "incoming")
+    corpus.write.parquet(in_dir)
+    stream = spark.readStream.schema(corpus.schema).parquet(in_dir)
+    admitted = stream_exact_dedup(stream, watermark="1 hour")
+    out_path = os.path.join(root, "admitted")
+    q = (
+        admitted.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out_path)
+    return back.select(fingerprint(F.col("text")).alias("fp"))
+
+def _sql_stream_dedup() -> str:
+    dice7 = _dice_sql(["doc_id"], 7)
+    fp = _PH64_SQL.format(x="regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE {dice7} < 0.2
+)
+SELECT DISTINCT {fp} AS fp FROM corpus
+"""

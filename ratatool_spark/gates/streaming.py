@@ -1,0 +1,100 @@
+"""Structured Streaming gates (events, windows, watermarks).
+
+Split out of __spark_entry__.py (r6 verdict #6); oracle strings are
+byte-pinned by tests/test_oracle_golden.py."""
+
+
+from __future__ import annotations
+
+
+# ----------------------------------------------------- events / streaming
+
+
+def _q_events_windowed(spark, sf_dir):
+    """Event-time tumbling-window stats (stream-batch agnostic plan; batch
+    run is the oracle for the streaming run)."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.sources.io import load_tables
+    from ratatool_spark.streaming.events import windowed_event_stats
+
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    out = windowed_event_stats(ev, window="1 hour")
+    return out.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+_SQL_EVENTS_WINDOWED = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+def _q_events_sessionize(spark, sf_dir):
+    """Per-user session windows (30-min gap) via F.session_window; the
+    lag+cumsum SQL formulation is the exact batch equivalent."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.sources.io import load_tables
+    from ratatool_spark.streaming.events import sessionize
+
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    out = sessionize(ev, gap="30 minutes")
+    return out.select(
+        "user_id",
+        "first_ts",
+        "last_ts",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+_SQL_EVENTS_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), sessions AS (
+  SELECT user_id, ts, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM sessions GROUP BY user_id, session_id
+"""
+
+def _q_events_json_props(spark, sf_dir):
+    """JSON props extraction + per-key rollup (from_json, columnar)."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.sources.io import load_tables
+    from ratatool_spark.streaming.events import parse_props
+
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    return (
+        parse_props(ev)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("props_k").alias("sum_k"),
+            F.min("props_k").alias("min_k"),
+            F.max("props_k").alias("max_k"),
+        )
+    )
+
+_SQL_EVENTS_JSON = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
