@@ -297,6 +297,125 @@ def _q_fuzzy_join(spark, sf_dir):
         keep_best=True,
     )
 
+def _q_fellegi_sunter(spark, sf_dir):
+    """Probabilistic record linkage (operators/fuzzy.fellegi_sunter_links;
+    Fellegi & Sunter 1969): customers linked to an engineered twin —
+    account cents shifted on every third key, market segment rewritten
+    on every fourth, name NULLed on every fifth left row (the
+    missing-field attests-nothing rule) — blocked on nation. Each field
+    carries its log2(m/u) evidence weight as a plan literal; the score
+    is a fixed left-to-right sum, so DuckDB replays the arithmetic
+    exactly (weights injected into the SQL from the SAME python floats
+    via repr). Account balance compares as integer-cents STRINGS —
+    double→string formatting differs between engines, int64→string
+    doesn't."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.fuzzy import fellegi_sunter_links
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").where(
+        F.col("c_custkey") % 7 == 0
+    )
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    left = cust.select(
+        F.col("c_custkey").alias("lid"),
+        F.col("c_nationkey").alias("blk"),
+        cents.cast("string").alias("acct"),
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("c_name"))
+        .alias("c_name"),
+    )
+    right = cust.select(
+        (F.col("c_custkey") + 1000000).alias("rid"),
+        F.col("c_nationkey").alias("blk"),
+        F.when(F.col("c_custkey") % 3 == 0, (cents + 1).cast("string"))
+        .otherwise(cents.cast("string"))
+        .alias("acct"),
+        F.when(F.col("c_custkey") % 4 == 0, F.lit("PERTURBED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        "c_name",
+    )
+    out = fellegi_sunter_links(
+        left,
+        right,
+        "lid",
+        "rid",
+        "blk",
+        [
+            ("acct", "acct", 0.95, 0.001),
+            ("c_mktsegment", "c_mktsegment", 0.9, 0.2),
+            ("c_name", "c_name", 0.97, 0.0002),
+        ],
+        threshold=5.0,
+    )
+    return out.select(
+        "lid", "rid", F.round("score", 6).alias("score"), "n_agree"
+    )
+
+
+def _sql_fellegi_sunter() -> str:
+    import math
+
+    ws = []
+    for m, u in ((0.95, 0.001), (0.9, 0.2), (0.97, 0.0002)):
+        ws.append((repr(math.log2(m / u)), repr(math.log2((1 - m) / (1 - u)))))
+
+    def case(l, r, wa, wd):
+        return (
+            f"CASE WHEN {l} IS NULL OR {r} IS NULL THEN 0.0 "
+            f"WHEN {l} = {r} THEN {wa} ELSE {wd} END"
+        )
+
+    def acase(l, r):
+        return (
+            f"CASE WHEN {l} IS NULL OR {r} IS NULL THEN 0 "
+            f"WHEN {l} = {r} THEN 1 ELSE 0 END"
+        )
+
+    score = " + ".join(
+        [
+            "0.0",
+            case("l_p", "r_p", *ws[0]),
+            case("l_s", "r_s", *ws[1]),
+            case("l_n", "r_n", *ws[2]),
+        ]
+    )
+    agree = " + ".join(
+        [acase("l_p", "r_p"), acase("l_s", "r_s"), acase("l_n", "r_n")]
+    )
+    return f"""
+WITH base AS (
+  SELECT * FROM customer WHERE c_custkey % 7 = 0
+), cents AS (
+  SELECT *, CAST(CAST(ROUND(c_acctbal * 100) AS BIGINT) AS VARCHAR) AS ac
+  FROM base
+), l AS (
+  SELECT c_custkey AS lid, c_nationkey AS blk, ac AS l_p,
+         c_mktsegment AS l_s,
+         CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_name END AS l_n
+  FROM cents
+), r AS (
+  SELECT c_custkey + 1000000 AS rid, c_nationkey AS blk,
+         CASE WHEN c_custkey % 3 = 0 THEN
+           CAST(CAST(ROUND(c_acctbal * 100) AS BIGINT) + 1 AS VARCHAR)
+              ELSE ac END AS r_p,
+         CASE WHEN c_custkey % 4 = 0 THEN 'PERTURBED'
+              ELSE c_mktsegment END AS r_s,
+         c_name AS r_n
+  FROM cents
+), scored AS (
+  SELECT l.lid, r.rid,
+         {score} AS score,
+         {agree} AS n_agree
+  FROM l JOIN r USING (blk)
+)
+SELECT lid, rid, ROUND(score, 6) AS score, CAST(n_agree AS INT) AS n_agree
+FROM scored WHERE score >= 5.0
+"""
+
+
 _SQL_FUZZY_JOIN = """
 WITH base AS (
   SELECT * FROM customer WHERE c_custkey % 5 = 0

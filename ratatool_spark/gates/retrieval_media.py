@@ -381,6 +381,60 @@ FROM assign a LEFT JOIN dropped d USING (vec_id)
 """
 
 
+def _q_ann_sq8_topk(spark, sf_dir):
+    """SQ8 flat-index ANN (similarity.sq8_topk): the corpus is scanned as
+    symmetric-int8 codes + one scale/row (4× smaller at rest than
+    float32 — the FAISS SQ8 strategy), queries stay full-precision and
+    broadcast, cosine scores against the dequantized codes. The oracle
+    replays the quantize (floor(x/scale + 0.5) — engine-portable
+    rounding), the dequant, and the expression cosine exactly."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.similarity import sq8_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    out = sq8_topk(emb, q, k=3)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def _sql_ann_sq8_topk() -> str:
+    cos_q_cv = _COS_SQL.replace("CAST(c.embedding[i] AS DOUBLE)", "c.cv[i]")
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), sc AS (
+  SELECT vec_id, v, CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END AS scale
+  FROM (
+    SELECT vec_id, v,
+           list_reduce(list_transform(v, x -> abs(x)),
+                       (a, b) -> greatest(a, b)) AS m
+    FROM base
+  )
+), dq AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT) * scale)
+           AS cv
+  FROM sc
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {cos_q_cv} AS cosine
+  FROM embeddings q, dq c
+  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 def _sql_semantic_dedup() -> str:
     return f"""
 WITH cents AS (

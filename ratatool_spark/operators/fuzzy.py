@@ -155,3 +155,108 @@ def fuzzy_join(
             .drop("__rn")
         )
     return out
+
+
+def fellegi_sunter_links(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    block_col: str,
+    compares: list[tuple[str, str, float, float]],
+    threshold: float = 0.0,
+    max_block_size: int = 1000,
+) -> DataFrame:
+    """(left_id, right_id, score, n_agree) — probabilistic record
+    linkage (Fellegi & Sunter, JASA 1969): over block-bounded candidate
+    pairs, each compared field contributes its log2 likelihood ratio —
+    ``log2(m/u)`` on agreement, ``log2((1-m)/(1-u))`` on disagreement,
+    0 when either side is NULL (a missing field attests nothing) — and
+    pairs scoring ≥ ``threshold`` are links. ``compares`` entries are
+    ``(left_col, right_col, m, u)`` with the match/unmatch probabilities
+    supplied by the caller (trained offline via EM or set from priors —
+    they are model parameters, not data).
+
+    The deterministic-scoring sibling of :func:`fuzzy_join`: same
+    block-then-verify shape, same oversized-block guard (the Σ|block|²
+    envelope), but the verdict is a calibrated evidence sum instead of a
+    string-similarity mean, so fields can carry different evidential
+    weight (an agreeing phone number outweighs an agreeing market
+    segment exactly by their m/u ratios). Agreement is exact equality on
+    the string form — compose with normalization expressions (or a
+    fuzzy_join prefilter) for typo tolerance. All weights are plan
+    literals; the score is a fixed left-to-right sum of at most
+    len(compares) doubles — engine-replayable, which is what lets the
+    oracle gate it exactly.
+    """
+    if not compares:
+        raise ValueError("fellegi_sunter_links needs at least one compare")
+    import math
+
+    for lc, rc, m, u in compares:
+        if not (0.0 < m < 1.0 and 0.0 < u < 1.0):
+            raise ValueError(f"m/u must be in (0,1): {lc}/{rc} m={m} u={u}")
+        if m <= u:
+            raise ValueError(
+                f"m must exceed u (agreement must be evidence FOR a "
+                f"match): {lc}/{rc} m={m} u={u}"
+            )
+    out_left, out_right = left_id, right_id
+    if left_id == right_id:
+        out_left, out_right = f"{left_id}_l", f"{right_id}_r"
+
+    lsel = left.select(
+        F.col(left_id).alias("__lid"),
+        F.col(block_col).alias("__block"),
+        *[
+            F.col(lc).cast("string").alias(f"__l{i}")
+            for i, (lc, _, _, _) in enumerate(compares)
+        ],
+    )
+    rsel = right.select(
+        F.col(right_id).alias("__rid"),
+        F.col(block_col).alias("__rblock"),
+        *[
+            F.col(rc).cast("string").alias(f"__r{i}")
+            for i, (_, rc, _, _) in enumerate(compares)
+        ],
+    )
+    if max_block_size is not None:
+        big = (
+            lsel.groupBy(F.col("__block").alias("__b")).count()
+            .unionByName(rsel.groupBy(F.col("__rblock").alias("__b")).count())
+            .groupBy("__b")
+            .agg(F.max("count").alias("__n"))
+            .where(F.col("__n") > max_block_size)
+            .select("__b")
+        )
+        lsel = lsel.join(
+            F.broadcast(big), lsel["__block"] == big["__b"], "left_anti"
+        )
+        rsel = rsel.join(
+            F.broadcast(big), rsel["__rblock"] == big["__b"], "left_anti"
+        )
+
+    cand = lsel.join(rsel, lsel["__block"] == rsel["__rblock"])
+    score = F.lit(0.0)
+    n_agree = F.lit(0)
+    for i, (_, _, m, u) in enumerate(compares):
+        lc, rc = F.col(f"__l{i}"), F.col(f"__r{i}")
+        wa = F.lit(math.log2(m / u))
+        wd = F.lit(math.log2((1.0 - m) / (1.0 - u)))
+        agree = lc == rc
+        score = score + F.when(
+            lc.isNull() | rc.isNull(), F.lit(0.0)
+        ).otherwise(F.when(agree, wa).otherwise(wd))
+        n_agree = n_agree + F.when(
+            lc.isNull() | rc.isNull(), F.lit(0)
+        ).otherwise(F.when(agree, 1).otherwise(0))
+    return (
+        cand.select(
+            F.col("__lid").alias(out_left),
+            F.col("__rid").alias(out_right),
+            score.alias("score"),
+            n_agree.alias("n_agree"),
+        )
+        .where(F.col("score") >= threshold)
+    )

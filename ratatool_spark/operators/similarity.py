@@ -590,6 +590,67 @@ def lsh_topk(
     )
 
 
+def sq8_encode(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, codes, scale) — symmetric-int8 scalar quantization of an
+    embedding column (functions.vectors.quantize_int8): one scale per
+    row (max|x|/127), codes in [-127, 127]. The at-rest ANN index this
+    produces is 4× smaller than float32 — at 100 TB that is the
+    difference between an index that fits the page cache and one that
+    doesn't. Pure expressions, zero shuffle: encoding rides the scan."""
+    from ratatool_spark.functions.vectors import quantize_int8, quantize_scale
+
+    scale = quantize_scale(F.col(vec_col))
+    return df.select(
+        F.col(id_col).alias("id"),
+        quantize_int8(F.col(vec_col), scale).alias("codes"),
+        scale.alias("scale"),
+    )
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate cosine top-k over a scalar-quantized (SQ8) corpus —
+    the FAISS ``SQ8`` flat-index strategy on DataFrames: the corpus is
+    scanned as int8 codes + one scale/row (:func:`sq8_encode`), queries
+    stay full-precision and broadcast, and the score is the expression
+    cosine against the DEQUANTIZED codes (code·scale). Same plan shape
+    as :func:`brute_force_topk` (corpus never moves, |Q|·k output) with
+    a 4× lighter corpus scan; cosine is scale-invariant per row, so the
+    only error is the int8 rounding (recall@k vs exact pinned ≥0.9 in
+    tests on the 64-dim fixture).
+
+    Output (query_id, neighbor_id, cosine, rank) — ``cosine`` is the
+    quantized approximation."""
+    from ratatool_spark.functions.vectors import dequantize
+
+    enc = sq8_encode(corpus, vec_col, id_col)
+    c = enc.select(
+        F.col("id").alias("neighbor_id"),
+        dequantize(F.col("codes"), F.col("scale")).alias("cv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    sim = cosine_sim(F.col("qv"), F.col("cv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def topk_recall(
     truth_df: DataFrame,
     approx_df: DataFrame,

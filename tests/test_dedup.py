@@ -866,6 +866,41 @@ def test_tfidf_cosine_matches_bruteforce_on_random_corpus(spark):
     assert tfidf_cosine_pairs(df, threshold=0.0, max_doc_freq=0).count() == 0
 
 
+def test_sq8_topk_recall_and_error(embeddings):
+    """SQ8 top-k: int8-quantized cosine stays within the quantization
+    error of exact, and recall@5 vs brute force is high (the SQ8
+    trade: 4x smaller index for ~1/254 per-element rounding)."""
+    from ratatool_spark.operators.similarity import brute_force_topk, sq8_topk
+
+    q = embeddings.where(F.col("vec_id") < 10)
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in brute_force_topk(embeddings, q, k=5).collect()
+    }
+    sq = sq8_topk(embeddings, q, k=5).collect()
+    assert len(sq) == 50
+    all_exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in brute_force_topk(embeddings, q, k=500).collect()
+    }
+    for r in sq:
+        key = (r["query_id"], r["neighbor_id"])
+        assert abs(r["cosine"] - all_exact[key]) < 0.02, key
+    hits = sum(
+        1 for key in bf if key in {(r["query_id"], r["neighbor_id"]) for r in sq}
+    )
+    assert hits / len(bf) >= 0.9
+
+
+def test_sq8_encode_shape(embeddings):
+    from ratatool_spark.operators.similarity import sq8_encode
+
+    [row] = sq8_encode(embeddings.limit(1)).collect()
+    assert len(row["codes"]) == 64
+    assert all(-127 <= c <= 127 for c in row["codes"])
+    assert row["scale"] > 0
+
+
 def test_topk_recall_bounds_and_exact_self(spark, embeddings):
     """recall(truth, truth) == 1.0 everywhere; recall against a
     truncated approx is the expected fraction; values bounded [0,1]."""

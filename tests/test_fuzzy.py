@@ -150,3 +150,69 @@ def test_fuzzy_join_empty_strings_score_zero(spark):
     assert fuzzy_join(
         left, right, "lid", "rid", "blk", [("name", "name")], threshold=0.5
     ).count() == 0
+
+
+# ------------------------------------------------ Fellegi-Sunter linkage
+
+
+def test_fellegi_sunter_weights_and_nulls(spark):
+    """Agreement adds log2(m/u), disagreement log2((1-m)/(1-u)), NULL on
+    either side adds exactly 0 — replayed in python."""
+    import math
+
+    from ratatool_spark.operators.fuzzy import fellegi_sunter_links
+
+    left = spark.createDataFrame(
+        [(1, "b", "x", "p"), (2, "b", "x", None)],
+        "lid long, blk string, f1 string, f2 string",
+    )
+    right = spark.createDataFrame(
+        [(9, "b", "x", "p"), (8, "b", "y", "q")],
+        "rid long, blk string, f1 string, f2 string",
+    )
+    m1, u1, m2, u2 = 0.9, 0.1, 0.8, 0.2
+    out = {
+        (r["lid"], r["rid"]): (r["score"], r["n_agree"])
+        for r in fellegi_sunter_links(
+            left, right, "lid", "rid", "blk",
+            [("f1", "f1", m1, u1), ("f2", "f2", m2, u2)],
+            threshold=-100.0,
+        ).collect()
+    }
+    wa1, wd1 = math.log2(m1 / u1), math.log2((1 - m1) / (1 - u1))
+    wa2, wd2 = math.log2(m2 / u2), math.log2((1 - m2) / (1 - u2))
+    assert out[(1, 9)] == (wa1 + wa2, 2)        # full agreement
+    assert out[(1, 8)] == (wd1 + wd2, 0)        # full disagreement
+    assert out[(2, 9)] == (wa1 + 0.0, 1)        # NULL field: no evidence
+    assert out[(2, 8)] == (wd1 + 0.0, 0)
+
+
+def test_fellegi_sunter_validates_params(spark):
+    import pytest as _pt
+
+    from ratatool_spark.operators.fuzzy import fellegi_sunter_links
+
+    df = spark.createDataFrame([(1, "b", "x")], "id long, blk string, f string")
+    with _pt.raises(ValueError, match="at least one"):
+        fellegi_sunter_links(df, df, "id", "id", "blk", [])
+    with _pt.raises(ValueError, match="m must exceed u"):
+        fellegi_sunter_links(
+            df, df, "id", "id", "blk", [("f", "f", 0.1, 0.9)]
+        )
+    with _pt.raises(ValueError, match="in \\(0,1\\)"):
+        fellegi_sunter_links(
+            df, df, "id", "id", "blk", [("f", "f", 1.0, 0.1)]
+        )
+
+
+def test_fellegi_sunter_oversized_block_guard(spark):
+    """A degenerate block past max_block_size drops from BOTH sides."""
+    from ratatool_spark.operators.fuzzy import fellegi_sunter_links
+
+    rows = [(i, "hot", "v") for i in range(20)] + [(100, "ok", "v")]
+    df = spark.createDataFrame(rows, "id long, blk string, f string")
+    out = fellegi_sunter_links(
+        df, df, "id", "id", "blk", [("f", "f", 0.9, 0.1)],
+        threshold=-10.0, max_block_size=10,
+    ).collect()
+    assert {(r["id_l"], r["id_r"]) for r in out} == {(100, 100)}
