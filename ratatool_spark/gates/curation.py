@@ -130,6 +130,71 @@ def _q_line_dedup_document(spark, sf_dir):
 
 _SQL_LINE_DEDUP_DOCUMENT = _sql_line_dedup("document", 2)
 
+def _q_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer TRAINING replayed cross-engine
+    (corpus.bpe_learn): 4 merge rounds over the documents vocabulary —
+    per round one keyed pair-count aggregate, a deterministic
+    (cnt DESC, pair ASC) argmax, and a greedy left-to-right merge fold.
+    The oracle replays every round with chained CTEs; its merge step
+    uses the sentinel-string form (each symbol wrapped ␂sym␂, one
+    non-overlapping replace of ␂l␂␂r␂) which is provably the same
+    greedy pass as the operator's aggregate fold — so a drift in pair
+    counting, tie-break, or merge greediness flips a later round's
+    winner and mismatches."""
+    from ratatool_spark.operators.corpus import bpe_learn
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe_learn(docs, n_merges=4)
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "step int, lhs string, rhs string",
+    )
+
+
+def _sql_bpe_train(n_merges: int = 4) -> str:
+    sep2 = "chr(2) || chr(2)"
+    ctes = [
+        """w AS (
+  SELECT tok AS w, COUNT(*) AS freq FROM (
+    SELECT UNNEST(string_split(trim(text), ' ')) AS tok FROM documents
+  ) WHERE LENGTH(tok) > 0 GROUP BY tok
+), t0 AS (
+  SELECT freq,
+         chr(2) || array_to_string(
+           list_transform(range(1, len(w) + 1),
+                          i -> substr(w, CAST(i AS INT), 1)),
+           chr(2) || chr(2)) || chr(2) AS s
+  FROM w
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        ctes.append(
+            f"""p{i} AS (
+  SELECT ls[j] AS l, ls[j + 1] AS r, SUM(freq) AS cnt
+  FROM (SELECT freq,
+               string_split(substr(s, 2, len(s) - 2), {sep2}) AS ls
+        FROM t{i - 1}),
+       UNNEST(range(1, len(ls))) AS u(j)
+  GROUP BY 1, 2
+), b{i} AS (
+  SELECT l, r FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1
+), t{i} AS (
+  SELECT freq,
+         replace(s,
+                 chr(2) || (SELECT l FROM b{i}) || {sep2}
+                        || (SELECT r FROM b{i}) || chr(2),
+                 chr(2) || (SELECT l FROM b{i})
+                        || (SELECT r FROM b{i}) || chr(2)) AS s
+  FROM t{i - 1}
+)"""
+        )
+    steps = "\nUNION ALL\n".join(
+        f"SELECT {i} AS step, l AS lhs, r AS rhs FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + steps + "\nORDER BY step"
+
+
 def _q_interval_join_events(spark, sf_dir):
     """Stream-stream interval join (streaming/events.interval_join) run in
     its batch-parity mode: click events matched to the same user's view

@@ -231,7 +231,12 @@ def bpe_learn(
     arrays × frequencies) is ``localCheckpoint``-ed per round so the plan
     doesn't grow with iterations — the same guard as
     ``connected_components``. Returns the merge list in order."""
-    words = df.select(F.explode(tokens(F.col(text_col))).alias("__w"))
+    # drop empty tokens (double/leading spaces): Spark's sequence(1, 0)
+    # DESCENDS, so an empty word would otherwise materialize ['', '']
+    # symbol arrays and let the degenerate ('','') pair win a merge
+    words = df.select(F.explode(tokens(F.col(text_col))).alias("__w")).where(
+        F.length("__w") > 0
+    )
     wf = (
         words.groupBy("__w")
         .agg(F.count(F.lit(1)).alias("__freq"))

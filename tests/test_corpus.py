@@ -1033,3 +1033,16 @@ def test_normalize_text_pure_expression_when_no_form(spark):
     assert out.collect()[0].text == "a b"
     with pytest.raises(ValueError, match="normalization form"):
         normalize_text(docs, form="NFX")
+
+
+def test_bpe_learn_ignores_empty_tokens(spark):
+    """Double/trailing spaces must not materialize ('','') merge pairs
+    (Spark's sequence(1,0) descends, so an empty word would otherwise
+    yield ['',''] symbol arrays)."""
+    from ratatool_spark.operators.corpus import bpe_learn
+
+    df = spark.createDataFrame(
+        [("ab  ab ",), ("ab   ab",)], "text string"
+    )
+    merges = bpe_learn(df, n_merges=1)
+    assert merges == [("a", "b")]
