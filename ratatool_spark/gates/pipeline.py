@@ -173,6 +173,95 @@ JOIN sigs a ON a.doc_id = p.id_a
 JOIN sigs b ON b.doc_id = p.id_b
 """
 
+def _q_contamination_lsh(spark, sf_dir):
+    """Cross-corpus fuzzy decontamination (dedup.minhash_lsh_cross_pairs):
+    documents LSH-joined against an engineered 'benchmark' corpus (every
+    17th doc, re-keyed +100000, truncated to its first 30 words — exact
+    and near-containment overlaps). Signatures/banding identical to the
+    self-dedup gate; the join is (band, band-hash) between corpora, no
+    broadcast of either side. The oracle replays shingling, the k
+    universal-hash mins, banding, and the cross band-join."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.dedup import minhash_lsh_cross_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.trim("text"), " "), 1, 30)
+        ).alias("text"),
+    )
+    return minhash_lsh_cross_pairs(
+        docs, bench, num_hashes=_MINHASH_K, bands=_MINHASH_BANDS
+    ).select(
+        "left_id", "right_id", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
+def _sql_contamination_lsh() -> str:
+    from ratatool_spark.operators.dedup import MINHASH_P, minhash_coeffs
+
+    k, bands = _MINHASH_K, _MINHASH_BANDS
+    rpb = k // bands
+    sig_exprs = ", ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_P}) AS sig_{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(k))
+    )
+
+    def banded(src: str) -> str:
+        return " UNION ALL ".join(
+            "SELECT doc_id, {b} AS band, ".format(b=b)
+            + _PH64_SQL.format(
+                x="concat_ws('|', "
+                + ", ".join(
+                    f"CAST(sig_{i} AS VARCHAR)"
+                    for i in range(b * rpb, (b + 1) * rpb)
+                )
+                + ")"
+            )
+            + " AS bh, "
+            + ", ".join(f"sig_{i}" for i in range(k))
+            + f" FROM {src}"
+            for b in range(bands)
+        )
+
+    matches = " + ".join(
+        f"CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END" for i in range(k)
+    )
+    return f"""
+WITH bench AS (
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string((string_split(trim(text), ' '))[1:30], ' ') AS text
+  FROM documents WHERE doc_id % 17 = 0
+), lsh0 AS (
+  SELECT doc_id, UNNEST({_SHINGLES3_SQL}) AS s FROM documents
+), lsh AS (
+  SELECT doc_id, {_PH64_SQL.format(x='s')} % {MINHASH_P} AS h FROM lsh0
+), lsigs AS (
+  SELECT doc_id, {sig_exprs} FROM lsh GROUP BY doc_id
+), rsh0 AS (
+  SELECT doc_id, UNNEST({_SHINGLES3_SQL}) AS s FROM bench
+), rsh AS (
+  SELECT doc_id, {_PH64_SQL.format(x='s')} % {MINHASH_P} AS h FROM rsh0
+), rsigs AS (
+  SELECT doc_id, {sig_exprs} FROM rsh GROUP BY doc_id
+), lbanded AS (
+  {banded('lsigs')}
+), rbanded AS (
+  {banded('rsigs')}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+  FROM lbanded a JOIN rbanded b ON a.band = b.band AND a.bh = b.bh
+)
+SELECT p.left_id, p.right_id,
+       ROUND(({matches}) / {float(k)}, 6) AS est_jaccard
+FROM pairs p
+JOIN lsigs a ON a.doc_id = p.left_id
+JOIN rsigs b ON b.doc_id = p.right_id
+"""
+
+
 def _q_dedup_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard pairs (threshold 0.1) — the minhash verifier."""
     from pyspark.sql import functions as F

@@ -187,6 +187,65 @@ def minhash_lsh_pairs(
     return out
 
 
+def minhash_lsh_cross_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    min_est_jaccard: float = 0.0,
+    hasher: str = "portable",
+) -> DataFrame:
+    """(left_id, right_id, est_jaccard) — banded minhash LSH candidates
+    BETWEEN two corpora: the scalable fuzzy-decontamination shape
+    (training corpus × benchmark suite). :func:`corpus.contamination`
+    broadcasts the benchmark's exact shingle set — right-sized for a
+    small eval suite; this operator is the path when the right side is
+    itself corpus-sized (a held-out split, another vendor's crawl, a
+    previous training run): both sides reduce to signatures
+    (n × (k+1) longs), the join is an equi-join on (band, band-hash),
+    and nothing is broadcast or driver-collected.
+
+    Same signature/banding machinery as :func:`minhash_lsh_pairs`
+    (identical constants, so estimates are comparable across the self-
+    and cross- variants); no ``a < b`` constraint — ids live in
+    different namespaces. Filter ``est_jaccard`` and anti-join the left
+    corpus against the flagged ids to decontaminate."""
+    if num_hashes % bands != 0:
+        raise ValueError("bands must divide num_hashes")
+    ls = minhash_signatures(left, text_col, id_col, num_hashes, shingle_n, hasher)
+    rs = minhash_signatures(right, text_col, id_col, num_hashes, shingle_n, hasher)
+    lb = _banded(ls, id_col, num_hashes, bands).alias("l")
+    rb = _banded(rs, id_col, num_hashes, bands).alias("r")
+    pairs = (
+        lb.join(
+            rb,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("left_id"),
+            F.col(f"r.{id_col}").alias("right_id"),
+            *[
+                (F.col(f"l.sig_{i}") == F.col(f"r.sig_{i}"))
+                .cast("int")
+                .alias(f"m_{i}")
+                for i in range(num_hashes)
+            ],
+        )
+        .distinct()
+    )
+    est = sum(
+        [F.col(f"m_{i}") for i in range(num_hashes)], F.lit(0)
+    ) / F.lit(float(num_hashes))
+    out = pairs.select("left_id", "right_id", est.alias("est_jaccard"))
+    if min_est_jaccard > 0:
+        out = out.where(F.col("est_jaccard") >= min_est_jaccard)
+    return out
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -1251,3 +1251,20 @@ def test_pair_recall_expected_theory_column(spark):
     for lo, e in got.items():
         mid = lo + 0.05
         assert e == round(1 - (1 - mid**4) ** 4, 6)
+
+
+def test_minhash_cross_pairs_finds_planted_copies(corpus):
+    """Exact copies across corpora ALWAYS collide (all bands match,
+    est_jaccard 1.0); min_est_jaccard filters."""
+    from ratatool_spark.operators.dedup import minhash_lsh_cross_pairs
+
+    bench = corpus.limit(3).select(
+        (F.col("doc_id") + 5000).alias("doc_id"), "text"
+    )
+    out = minhash_lsh_cross_pairs(corpus, bench).collect()
+    found = {(r["left_id"], r["right_id"]): r["est_jaccard"] for r in out}
+    planted = {(r["doc_id"], r["doc_id"] + 5000) for r in corpus.limit(3).collect()}
+    for key in planted:
+        assert found.get(key) == 1.0, key
+    strict = minhash_lsh_cross_pairs(corpus, bench, min_est_jaccard=0.99)
+    assert {(r["left_id"], r["right_id"]) for r in strict.collect()} >= planted
