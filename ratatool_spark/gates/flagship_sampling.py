@@ -143,3 +143,75 @@ WITH rolled AS (
 SELECT l_orderkey, l_linenumber, l_returnflag
 FROM ranked WHERE rn <= CAST(CEIL(n_k * 0.05) AS BIGINT)
 """
+
+
+def _q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman (variance-optimal) stratified sampling
+    (sampler.sample_neyman): 1000 lineitem rows allocated across
+    l_returnflag strata ∝ N_h·S_h of l_extendedprice — exact integer
+    stratum stats (fixed-point sums, decimal sumsq), quantized weights,
+    floor+largest-remainder integer allocation, per-stratum dice rank.
+    The oracle replays the whole allocation arithmetic and the rank, so
+    a drift in the variance formula, the rounding rule, the remainder
+    tie-break, or the dice flips membership and hash-mismatches."""
+    from ratatool_spark.operators.sampler import sample_neyman
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = sample_neyman(
+        li,
+        total_n=1000,
+        value_col="l_extendedprice",
+        strata=["l_returnflag"],
+        fields=["l_orderkey", "l_linenumber"],
+        seed=42,
+    )
+    return out.select("l_orderkey", "l_linenumber", "l_returnflag")
+
+
+def _sql_sample_neyman() -> str:
+    d = _dice_sql(["l_orderkey", "l_linenumber"])
+    return f"""
+WITH fx AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag AS g,
+         CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) * 1000000.0 + 0.5)
+              AS BIGINT) AS v,
+         {d} AS dd
+  FROM lineitem
+), stats AS (
+  SELECT g, COUNT(*) AS n, SUM(v) AS s1,
+         SUM(CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0))) AS s2
+  FROM fx GROUP BY g
+), wts AS (
+  SELECT g, n,
+         CAST(FLOOR(n * (CASE WHEN n < 2 THEN 0.0 ELSE
+           sqrt(GREATEST((CAST(s2 AS DOUBLE)
+                          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                         / (n - 1), 0.0)) END) + 0.5) AS BIGINT) AS w
+  FROM stats
+), tot AS (
+  SELECT SUM(w) AS tw, SUM(n) AS tn FROM wts
+), raws AS (
+  SELECT g, n,
+         1000.0 * (CASE WHEN tw = 0 THEN n ELSE w END)
+                / (CASE WHEN tw = 0 THEN tn ELSE tw END) AS raw
+  FROM wts, tot
+), based AS (
+  SELECT g, n, CAST(FLOOR(raw) AS BIGINT) AS base,
+         raw - FLOOR(raw) AS frac
+  FROM raws
+), bt AS (SELECT SUM(base) AS bsum FROM based),
+alloc AS (
+  SELECT g, LEAST(n, base + CASE WHEN
+           ROW_NUMBER() OVER (ORDER BY frac DESC, g ASC) <= 1000 - bsum
+           THEN 1 ELSE 0 END) AS nh
+  FROM based, bt
+), ranked AS (
+  SELECT l_orderkey, l_linenumber, g,
+         ROW_NUMBER() OVER (PARTITION BY g
+                            ORDER BY dd, l_orderkey, l_linenumber) AS rn
+  FROM fx
+)
+SELECT r.l_orderkey, r.l_linenumber, r.g AS l_returnflag
+FROM ranked r JOIN alloc a ON a.g = r.g
+WHERE r.rn <= a.nh
+"""

@@ -521,3 +521,105 @@ def distributed_top_k(
         .where(F.col(_OFF) + F.col(_RN) <= F.lit(k))
         .select(*keep_cols)
     )
+
+
+def sample_neyman(
+    df: DataFrame,
+    total_n: int,
+    value_col: str,
+    strata: list[str],
+    fields: list[str],
+    seed: int = 42,
+    scale: int = 1_000_000,
+    hasher: str = "portable",
+) -> DataFrame:
+    """Exact-count stratified sample under NEYMAN (variance-optimal)
+    allocation: stratum h receives n_h ∝ N_h · S_h (population × within-
+    stratum stddev of ``value_col``), the allocation that minimizes the
+    variance of the stratified mean at a fixed total budget — the survey-
+    sampling upgrade of the reference's proportional stratified mode
+    (BigSampler --distribution=stratified draws n_h ∝ N_h; skewed-value
+    strata are exactly where that wastes budget).
+
+    Determinism end-to-end (the exact-sampler discipline):
+      - stratum stats are EXACT integer aggregates of fixed-point values
+        (``floor(x·scale + 0.5)`` longs; sum/sumsq exact, so S_h is one
+        fixed double-op sequence — no aggregation-order noise);
+      - weights quantize to longs (``floor(N_h·S_h + 0.5)``) before the
+        Σw normalization, so the allocation arithmetic is integer-exact
+        up to one final double division per stratum;
+      - integer n_h via floor + largest-remainder (ties: stratum key
+        ASC), capped at N_h; if every stratum has zero variance the
+        allocation falls back to proportional (w_h = N_h);
+      - membership by per-stratum rank over the portable dice (ties:
+        the dice fields) — reproducible across engines, runs, and
+        repartitionings.
+
+    One stats pass (map-side combined) + one broadcast of the tiny
+    per-stratum allocation table + one per-stratum window rank — the
+    same scale shape as the exact stratified sampler. Envelope:
+    N_h · S_h·scale must fit int64 (~9·10¹⁸); raise/lower ``scale`` to
+    trade quantization precision against headroom.
+
+    Output: the sampled rows (original columns).
+    """
+    if total_n < 0:
+        raise ValueError(f"total_n must be >= 0, got {total_n}")
+    if not strata or not fields:
+        raise ValueError("sample_neyman needs strata and dice fields")
+    v_fx = F.floor(F.col(value_col).cast("double") * scale + F.lit(0.5)).cast(
+        "long"
+    )
+    # sumsq in DECIMAL(38,0): v_fx² overflows int64 (a 1e5 value at the
+    # default scale is 1e11 fixed-point; squared = 1e22) — decimal sums
+    # stay exact integers in both engines
+    v_dec = v_fx.cast("decimal(19,0)")
+    stats = df.groupBy(*strata).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(v_fx).alias("__s1"),
+        F.sum(v_dec * v_dec).alias("__s2"),
+    )
+    n, s1, s2 = F.col("__n"), F.col("__s1"), F.col("__s2")
+    var = (
+        s2.cast("double") - s1.cast("double") * s1.cast("double") / n
+    ) / (n - 1)
+    std = F.when(n < 2, F.lit(0.0)).otherwise(F.sqrt(F.greatest(var, F.lit(0.0))))
+    stats = stats.withColumn(
+        "__w", F.floor(n * std + F.lit(0.5)).cast("long")
+    )
+    tot = stats.agg(
+        F.sum("__w").alias("__tw"), F.sum("__n").alias("__tn")
+    )
+    stats = stats.crossJoin(F.broadcast(tot))
+    w_eff = F.when(F.col("__tw") == 0, n).otherwise(F.col("__w"))
+    t_eff = F.when(F.col("__tw") == 0, F.col("__tn")).otherwise(F.col("__tw"))
+    raw = F.lit(float(total_n)) * w_eff / t_eff
+    stats = stats.withColumn("__base", F.floor(raw).cast("long")).withColumn(
+        "__frac", raw - F.floor(raw)
+    )
+    base_tot = stats.agg(F.sum("__base").alias("__bt"))
+    stats = stats.crossJoin(F.broadcast(base_tot))
+    w_rank = Window.orderBy(
+        F.col("__frac").desc(), *[F.col(c).asc() for c in strata]
+    )
+    alloc = stats.withColumn("__fr", F.row_number().over(w_rank)).select(
+        *strata,
+        F.least(
+            n,
+            F.col("__base")
+            + F.when(
+                F.col("__fr") <= F.lit(total_n) - F.col("__bt"), F.lit(1)
+            ).otherwise(F.lit(0)),
+        ).alias("__nh"),
+    )
+    d = dice_for(hasher, [F.col(c) for c in fields], seed=seed)
+    w_sel = Window.partitionBy(*strata).orderBy(
+        F.col("__d").asc(), *[F.col(c).asc() for c in fields]
+    )
+    return (
+        df.withColumn("__d", d)
+        .join(F.broadcast(alloc), strata)
+        .withColumn("__rn", F.row_number().over(w_sel))
+        .where(F.col("__rn") <= F.col("__nh"))
+        .drop("__d", "__rn", "__nh")
+    )

@@ -288,3 +288,81 @@ def test_dsir_select_large_path_no_single_point_merge(documents, spark):
     )
     ids = lambda df: sorted(r["doc_id"] for r in df.collect())  # noqa: E731
     assert ids(large) == ids(small)
+
+
+# ------------------------------------------------ Neyman allocation
+
+
+def test_sample_neyman_budget_and_variance_weighting(spark):
+    """Total budget exact; the high-variance stratum gets more than its
+    proportional share; determinism across runs."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.sampler import sample_neyman
+
+    rows = [("lo", i, float(100)) for i in range(500)] + [
+        ("hi", i, float(i % 100) * 50.0) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "g string, k long, v double")
+    out = sample_neyman(
+        df, total_n=100, value_col="v", strata=["g"], fields=["g", "k"]
+    )
+    counts = {
+        r["g"]: r["c"]
+        for r in out.groupBy("g").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    # 'lo' is constant (S=0): everything goes to 'hi'
+    assert counts.get("hi", 0) == 100 and counts.get("lo", 0) == 0
+    again = sample_neyman(
+        df, total_n=100, value_col="v", strata=["g"], fields=["g", "k"]
+    )
+    assert sorted((r["g"], r["k"]) for r in out.collect()) == sorted(
+        (r["g"], r["k"]) for r in again.collect()
+    )
+
+
+def test_sample_neyman_zero_variance_falls_back_proportional(spark):
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.sampler import sample_neyman
+
+    rows = [("a", i, 1.0) for i in range(300)] + [
+        ("b", i, 2.0) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "g string, k long, v double")
+    out = sample_neyman(
+        df, total_n=40, value_col="v", strata=["g"], fields=["g", "k"]
+    )
+    counts = {
+        r["g"]: r["c"]
+        for r in out.groupBy("g").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert counts == {"a": 30, "b": 10}  # proportional 3:1
+
+
+def test_sample_neyman_caps_at_stratum_size(spark):
+    from ratatool_spark.operators.sampler import sample_neyman
+
+    rows = [("tiny", i, float(i)) for i in range(3)] + [
+        ("big", i, float(i * i % 37)) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "g string, k long, v double")
+    out = sample_neyman(
+        df, total_n=50, value_col="v", strata=["g"], fields=["g", "k"]
+    ).collect()
+    from collections import Counter
+
+    c = Counter(r["g"] for r in out)
+    assert c["tiny"] <= 3 and sum(c.values()) <= 50
+
+
+def test_sample_neyman_validates(spark):
+    import pytest as _pt
+
+    from ratatool_spark.operators.sampler import sample_neyman
+
+    df = spark.createDataFrame([("a", 1, 1.0)], "g string, k long, v double")
+    with _pt.raises(ValueError, match="total_n"):
+        sample_neyman(df, -1, "v", ["g"], ["k"])
+    with _pt.raises(ValueError, match="strata and dice"):
+        sample_neyman(df, 1, "v", [], ["k"])
