@@ -678,6 +678,67 @@ def _q_drift_report_pinned(spark, sf_dir):
 def _sql_drift_report_pinned() -> str:
     return _sql_drift(("1000.0", "500000.0"))
 
+def _q_zorder_key(spark, sf_dir):
+    """Z-order (Morton) clustering key (operators/layout.zorder_key):
+    orders quantized on (o_custkey, o_totalprice) to 8-bit ranks over
+    their min/max (one broadcast range row), bits interleaved into one
+    long — the Delta/Iceberg OPTIMIZE ZORDER layout strategy as pure
+    integer expressions. The oracle replays quantize + interleave
+    bit-for-bit; a wrong shift order, clamp, or range handling changes
+    every key."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.layout import zorder_key
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rng = o.agg(
+        F.min("o_custkey").alias("lo_c"),
+        F.max("o_custkey").alias("hi_c"),
+        F.min("o_totalprice").alias("lo_p"),
+        F.max("o_totalprice").alias("hi_p"),
+    )
+    z = zorder_key(
+        [F.col("o_custkey"), F.col("o_totalprice")],
+        [F.col("lo_c"), F.col("lo_p")],
+        [F.col("hi_c"), F.col("hi_p")],
+        bits=8,
+    )
+    return o.crossJoin(F.broadcast(rng)).select(
+        "o_orderkey", z.alias("zval")
+    )
+
+
+def _sql_zorder_key(bits: int = 8) -> str:
+    def cell(c, lo, hi):
+        return (
+            f"CASE WHEN {hi} = {lo} THEN 0 ELSE "
+            f"LEAST(GREATEST(CAST(FLOOR(({c} - {lo}) / (({hi} - {lo}) "
+            f"/ CAST({1 << bits} AS DOUBLE))) AS BIGINT), 0), "
+            f"{(1 << bits) - 1}) END"
+        )
+
+    terms = []
+    for i in range(bits):
+        for j in range(2):
+            terms.append(f"(((c{j} >> {i}) & 1) << {i * 2 + j})")
+    return f"""
+WITH rng AS (
+  SELECT CAST(MIN(o_custkey) AS DOUBLE) AS lo_c,
+         CAST(MAX(o_custkey) AS DOUBLE) AS hi_c,
+         CAST(MIN(o_totalprice) AS DOUBLE) AS lo_p,
+         CAST(MAX(o_totalprice) AS DOUBLE) AS hi_p
+  FROM orders
+), cells AS (
+  SELECT o_orderkey,
+         {cell('CAST(o_custkey AS DOUBLE)', 'lo_c', 'hi_c')} AS c0,
+         {cell('CAST(o_totalprice AS DOUBLE)', 'lo_p', 'hi_p')} AS c1
+  FROM orders, rng
+)
+SELECT o_orderkey, CAST({' + '.join(terms)} AS BIGINT) AS zval
+FROM cells
+"""
+
+
 def _q_mad_outliers(spark, sf_dir):
     """Robust MAD outlier flags (operators/profile.mad_outliers):
     Iglewicz–Hoaglin modified z over l_extendedprice per returnflag,

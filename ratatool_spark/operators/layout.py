@@ -1,0 +1,105 @@
+"""Data-layout operators: z-order (Morton) clustering for multi-
+dimensional scan pruning.
+
+At 100 TB the cheapest query is the one whose files you never open:
+parquet row-group min/max statistics prune scans only when the data is
+CLUSTERED on the filter columns. Sorting clusters one column perfectly
+and the rest not at all; a z-order (bit-interleaved) key gives every
+participating column locality simultaneously — the same layout strategy
+as Delta/Iceberg ``OPTIMIZE ZORDER BY`` — so range predicates on ANY of
+the z-columns skip most files. (Databricks' public docs and the classic
+Morton-order literature are the reference here; nothing engine-internal.)
+
+Everything is pure integer expressions (quantize → interleave bits →
+range-repartition + intra-partition sort): engine-replayable, zero UDFs,
+and the only extra pass is the per-column min/max row that rides a
+broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key(
+    cols: list[Column],
+    los: list[Column],
+    his: list[Column],
+    bits: int = 16,
+) -> Column:
+    """Morton (z-order) key: each column quantized to ``bits``-bit
+    integer rank over its [lo, hi] range (edge-clamped), then bits
+    interleaved column-major (column j contributes bit i at position
+    ``i * n_cols + j``). Pure shift/and/or integer expressions — the
+    whole key survives whole-stage codegen and replays in any SQL
+    engine. ``n_cols * bits`` must fit a signed long (≤ 62)."""
+    n = len(cols)
+    if n < 1:
+        raise ValueError("zorder_key needs at least one column")
+    if n * bits > 62:
+        raise ValueError(f"{n} cols x {bits} bits exceeds a signed long")
+    q = []
+    for c, lo, hi in zip(cols, los, his):
+        c = c.cast("double")
+        lo, hi = lo.cast("double"), hi.cast("double")
+        width = (hi - lo) / F.lit(float(1 << bits))
+        cell = F.when(hi == lo, F.lit(0)).otherwise(
+            F.least(
+                F.greatest(
+                    F.floor((c - lo) / width).cast("long"), F.lit(0)
+                ),
+                F.lit((1 << bits) - 1),
+            )
+        )
+        q.append(cell)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, cell in enumerate(q):
+            z = z + (
+                F.shiftleft(
+                    F.shiftright(cell, i).bitwiseAND(F.lit(1)),
+                    i * n + j,
+                )
+            )
+    return z
+
+
+def zorder_repartition(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    num_partitions: int | None = None,
+    z_col: str | None = None,
+) -> DataFrame:
+    """Cluster a DataFrame by the z-order of ``cols`` for write-out:
+    per-column min/max from ONE broadcast aggregate row (no driver
+    collect), Morton key, ``repartitionByRange`` on it (range exchange =
+    contiguous z-runs per output file) plus an intra-partition sort so
+    row groups inside each file are tight too. Write the result with
+    ``partitionBy``-free parquet and every z-column's min/max footer
+    stats become selective. ``z_col`` keeps the key as a named output
+    column (for gates/audits); default drops it."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(F.col(c)).alias(f"__zlo_{c}"),
+            F.max(F.col(c)).alias(f"__zhi_{c}"),
+        ]
+    with_rng = df.crossJoin(F.broadcast(df.agg(*aggs)))
+    key = zorder_key(
+        [F.col(c) for c in cols],
+        [F.col(f"__zlo_{c}") for c in cols],
+        [F.col(f"__zhi_{c}") for c in cols],
+        bits,
+    )
+    keep = z_col or "__z"
+    out = with_rng.withColumn(keep, key).drop(
+        *[f"__zlo_{c}" for c in cols], *[f"__zhi_{c}" for c in cols]
+    )
+    if num_partitions:
+        out = out.repartitionByRange(num_partitions, F.col(keep))
+    else:
+        out = out.repartitionByRange(F.col(keep))
+    out = out.sortWithinPartitions(keep)
+    return out if z_col else out.drop("__z")

@@ -1,0 +1,86 @@
+"""Z-order layout operators (operators/layout.py)."""
+
+from pyspark.sql import functions as F
+
+
+def _py_morton(cells: list[int], bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        for j, c in enumerate(cells):
+            z |= ((c >> i) & 1) << (i * len(cells) + j)
+    return z
+
+
+def test_zorder_key_matches_python_reference(spark):
+    from ratatool_spark.operators.layout import zorder_key
+
+    rows = [(i, float(x), float(y)) for i, (x, y) in enumerate(
+        [(0, 0), (15, 15), (7, 8), (3, 12), (15, 0), (0, 15)]
+    )]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    bits = 4
+    z = zorder_key(
+        [F.col("x"), F.col("y")],
+        [F.lit(0.0), F.lit(0.0)],
+        [F.lit(16.0), F.lit(16.0)],
+        bits=bits,
+    )
+    got = {r["id"]: r["z"] for r in df.select("id", z.alias("z")).collect()}
+    for i, (x, y) in enumerate([(0, 0), (15, 15), (7, 8), (3, 12), (15, 0), (0, 15)]):
+        # width = 16/2^4 = 1.0 -> cell == int value
+        assert got[i] == _py_morton([x, y], bits), (i, x, y)
+
+
+def test_zorder_key_clamps_and_degenerate_range(spark):
+    from ratatool_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame([(1, -5.0, 3.0), (2, 99.0, 3.0)],
+                               "id long, x double, y double")
+    z = zorder_key(
+        [F.col("x"), F.col("y")],
+        [F.lit(0.0), F.lit(3.0)],
+        [F.lit(16.0), F.lit(3.0)],  # y range degenerate -> cell 0
+        bits=4,
+    )
+    got = {r["id"]: r["z"] for r in df.select("id", z.alias("z")).collect()}
+    assert got[1] == _py_morton([0, 0], 4)    # below lo clamps to 0
+    assert got[2] == _py_morton([15, 0], 4)   # above hi clamps to max
+
+
+def test_zorder_key_validation(spark):
+    import pytest as _pt
+
+    from ratatool_spark.operators.layout import zorder_key
+
+    with _pt.raises(ValueError, match="at least one"):
+        zorder_key([], [], [], 8)
+    with _pt.raises(ValueError, match="signed long"):
+        zorder_key([F.lit(1)] * 4, [F.lit(0)] * 4, [F.lit(1)] * 4, bits=16)
+
+
+def test_zorder_repartition_clusters_files(spark, tmp_path):
+    """Rows in the same output partition are z-contiguous: per-partition
+    z ranges don't interleave (the property that makes footer min/max
+    stats selective)."""
+    import numpy as np
+
+    from ratatool_spark.operators.layout import zorder_repartition
+
+    rng = np.random.default_rng(3)
+    rows = [(int(i), float(x), float(y)) for i, (x, y) in enumerate(
+        rng.integers(0, 1000, (2000, 2))
+    )]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    out = zorder_repartition(df, ["x", "y"], bits=10, num_partitions=8,
+                             z_col="z")
+    parts = (
+        out.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.min("z").alias("lo"), F.max("z").alias("hi"),
+             F.count(F.lit(1)).alias("n"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert sum(p["n"] for p in parts) == 2000
+    for a, b in zip(parts, parts[1:]):
+        assert a["hi"] <= b["lo"], (a, b)  # disjoint z ranges
