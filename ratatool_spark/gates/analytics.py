@@ -739,6 +739,57 @@ FROM cells
 """
 
 
+def _q_rendezvous_shard(spark, sf_dir):
+    """Rendezvous / HRW sharding (operators/layout.rendezvous_shard):
+    orders assigned to 5 named shards by argmax of the portable hash of
+    (seed ␁ shard ␁ key) — the assignment where adding/removing a shard
+    moves only ~1/n of the keys (pinned by test). Reported as per-shard
+    counts + key checksums; the oracle replays the per-shard hashes and
+    the (hash, name) argmax."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.layout import rendezvous_shard
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    shards = [f"s{i}" for i in range(5)]
+    return (
+        o.select(
+            "o_orderkey",
+            rendezvous_shard(F.col("o_orderkey"), shards, seed=9).alias(
+                "shard"
+            ),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+    )
+
+
+def _sql_rendezvous_shard() -> str:
+    ph = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+    shards = [f"s{i}" for i in range(5)]
+    structs = ", ".join(
+        "{"
+        + f"'h': {ph.format(x=f_concat)}, 'shard': '{s}'"
+        + "}"
+        for s, f_concat in [
+            (s, f"concat_ws(chr(1), '9', '{s}', CAST(o_orderkey AS VARCHAR))")
+            for s in shards
+        ]
+    )
+    return f"""
+WITH assigned AS (
+  SELECT o_orderkey,
+         (list_reverse(list_sort([{structs}])))[1]['shard'] AS shard
+  FROM orders
+)
+SELECT shard, COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM assigned GROUP BY shard
+"""
+
+
 def _q_mad_outliers(spark, sf_dir):
     """Robust MAD outlier flags (operators/profile.mad_outliers):
     Iglewicz–Hoaglin modified z over l_extendedprice per returnflag,

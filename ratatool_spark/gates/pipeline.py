@@ -262,6 +262,59 @@ JOIN rsigs b ON b.doc_id = p.right_id
 """
 
 
+def _q_pipeline_decontaminate(spark, sf_dir):
+    """End-to-end fuzzy decontamination (composition gate): cross-corpus
+    LSH candidates at est_jaccard ≥ 0.5 against the engineered benchmark
+    → distinct flagged doc ids → LEFT ANTI join back onto the corpus →
+    per-source surviving volume report. The production shape: flag with
+    the banded join, drop with an anti-join (never a row-by-row filter),
+    report what survived. One lineage; the oracle replays the whole
+    chain including the anti-join semantics."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.dedup import minhash_lsh_cross_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.trim("text"), " "), 1, 30)
+        ).alias("text"),
+    )
+    flagged = (
+        minhash_lsh_cross_pairs(
+            docs, bench, num_hashes=_MINHASH_K, bands=_MINHASH_BANDS,
+            min_est_jaccard=0.5,
+        )
+        .select(F.col("left_id").alias("doc_id"))
+        .distinct()
+    )
+    survivors = docs.join(flagged, "doc_id", "left_anti")
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), " "), lambda t: F.length(t) > 0
+    )
+    return survivors.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).alias("n_tokens"),
+    )
+
+
+def _sql_pipeline_decontaminate() -> str:
+    return f"""
+WITH flagged AS (
+  SELECT DISTINCT left_id AS doc_id
+  FROM ({_sql_contamination_lsh()}) cand
+  WHERE est_jaccard >= 0.5
+)
+SELECT d.source, COUNT(*) AS n_docs,
+       CAST(SUM(len(list_filter(string_split(trim(d.text), ' '),
+                                x -> LENGTH(x) > 0))) AS BIGINT) AS n_tokens
+FROM documents d LEFT JOIN flagged f USING (doc_id)
+WHERE f.doc_id IS NULL
+GROUP BY d.source
+"""
+
+
 def _q_dedup_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard pairs (threshold 0.1) — the minhash verifier."""
     from pyspark.sql import functions as F

@@ -103,3 +103,42 @@ def zorder_repartition(
         out = out.repartitionByRange(F.col(keep))
     out = out.sortWithinPartitions(keep)
     return out if z_col else out.drop("__z")
+
+
+def rendezvous_shard(
+    key: Column,
+    shards: list[str],
+    seed: int = 0,
+) -> Column:
+    """Rendezvous (highest-random-weight) shard assignment: each key goes
+    to ``argmax_s portable_hash64(seed ␁ shard ␁ key)`` — Thaler &
+    Ravishankar's HRW hashing. The property that matters for incremental
+    dataset maintenance: ADDING a shard reassigns only the keys whose
+    argmax IS the new shard (≈ 1/(n+1) of them) and REMOVING one only
+    reassigns its own keys — modulo-hash sharding reshuffles nearly
+    everything on any change. Pure expressions (one portable hash per
+    candidate shard, a struct-sort argmax with a deterministic
+    shard-name tiebreak); the shard list is plan literals, so this rides
+    any scan at any scale. Returns the winning shard name."""
+    from ratatool_spark.functions.hashing import portable_hash64
+
+    if not shards:
+        raise ValueError("rendezvous_shard needs at least one shard")
+    if len(set(shards)) != len(shards):
+        raise ValueError("duplicate shard names")
+    scored = F.array(
+        *[
+            F.struct(
+                portable_hash64(
+                    F.concat_ws(
+                        "\x01", F.lit(str(seed)), F.lit(s), key.cast("string")
+                    )
+                ).alias("h"),
+                F.lit(s).alias("shard"),
+            )
+            for s in shards
+        ]
+    )
+    # max on (h, shard): reverse(array_sort(...))[0] — ties (hash
+    # collisions) break toward the LARGER shard name, deterministically
+    return F.reverse(F.array_sort(scored))[0]["shard"]

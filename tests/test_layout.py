@@ -84,3 +84,48 @@ def test_zorder_repartition_clusters_files(spark, tmp_path):
     assert sum(p["n"] for p in parts) == 2000
     for a, b in zip(parts, parts[1:]):
         assert a["hi"] <= b["lo"], (a, b)  # disjoint z ranges
+
+
+# ------------------------------------------------ rendezvous sharding
+
+
+def test_rendezvous_minimal_movement(spark):
+    """Adding a shard only moves keys TO the new shard; removing a shard
+    only moves its own keys — the HRW property."""
+    from ratatool_spark.operators.layout import rendezvous_shard
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+    s5 = [f"s{i}" for i in range(5)]
+    s6 = s5 + ["s5"]
+    a = {r["k"]: r["s"] for r in df.select(
+        "k", rendezvous_shard(F.col("k"), s5).alias("s")).collect()}
+    b = {r["k"]: r["s"] for r in df.select(
+        "k", rendezvous_shard(F.col("k"), s6).alias("s")).collect()}
+    moved = {k for k in a if a[k] != b[k]}
+    assert all(b[k] == "s5" for k in moved)          # only to the new shard
+    assert 0 < len(moved) < 2000 * 0.35              # ~1/6 expected
+    # removal: dropping s0 only moves s0's keys
+    s4 = [f"s{i}" for i in range(1, 5)]
+    c = {r["k"]: r["s"] for r in df.select(
+        "k", rendezvous_shard(F.col("k"), s4).alias("s")).collect()}
+    moved2 = {k for k in a if a[k] != c[k]}
+    assert all(a[k] == "s0" for k in moved2)
+
+
+def test_rendezvous_balance_and_validation(spark):
+    import pytest as _pt
+
+    from ratatool_spark.operators.layout import rendezvous_shard
+
+    df = spark.createDataFrame([(i,) for i in range(3000)], "k long")
+    counts = (
+        df.select(rendezvous_shard(F.col("k"), ["a", "b", "c"]).alias("s"))
+        .groupBy("s").count().collect()
+    )
+    by = {r["s"]: r["count"] for r in counts}
+    assert set(by) == {"a", "b", "c"}
+    assert all(700 < v < 1300 for v in by.values()), by
+    with _pt.raises(ValueError, match="at least one"):
+        rendezvous_shard(F.col("k"), [])
+    with _pt.raises(ValueError, match="duplicate"):
+        rendezvous_shard(F.col("k"), ["a", "a"])
