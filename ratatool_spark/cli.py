@@ -747,6 +747,79 @@ def build_parser() -> argparse.ArgumentParser:
     iu.add_argument("--index", required=True)
     iu.add_argument("--input", required=True, help="new vector table")
     iu.add_argument("--format", default=None, help="override input format sniffing")
+
+    ny = sub.add_parser(
+        "neymanSampler",
+        help="exact-count stratified sample under Neyman (variance-"
+        "optimal) allocation: n_h proportional to N_h*stddev(value)",
+    )
+    ny.add_argument("--input", required=True)
+    ny.add_argument("--output", required=True)
+    ny.add_argument("--totalN", type=int, required=True)
+    ny.add_argument("--valueField", required=True)
+    ny.add_argument("--strata", type=_csv, required=True)
+    ny.add_argument("--fields", type=_csv, required=True, help="dice fields")
+    ny.add_argument("--seed", type=int, default=42)
+    ny.add_argument("--format", default=None, help="override input format sniffing")
+
+    zw = sub.add_parser(
+        "zorderWrite",
+        help="rewrite a table clustered by the z-order (Morton) key of "
+        "the given columns so parquet min/max stats prune scans on every "
+        "z-column",
+    )
+    zw.add_argument("--input", required=True)
+    zw.add_argument("--output", required=True)
+    zw.add_argument("--by", type=_csv, required=True, help="z-order columns")
+    zw.add_argument("--bits", type=int, default=16)
+    zw.add_argument("--numPartitions", type=int, default=None)
+    zw.add_argument("--format", default=None, help="override input format sniffing")
+
+    rv = sub.add_parser(
+        "rendezvousShard",
+        help="assign rows to named shards by rendezvous (HRW) hashing — "
+        "adding/removing a shard moves only that shard's keys",
+    )
+    rv.add_argument("--input", required=True)
+    rv.add_argument("--output", required=True)
+    rv.add_argument("--keyField", required=True)
+    rv.add_argument("--shards", type=_csv, required=True)
+    rv.add_argument("--seed", type=int, default=0)
+    rv.add_argument("--format", default=None, help="override input format sniffing")
+
+    rl = sub.add_parser(
+        "recordLinkage",
+        help="Fellegi-Sunter probabilistic record linkage over blocked "
+        "candidate pairs (compare spec: col:m:u, repeatable)",
+    )
+    rl.add_argument("--lhs", required=True)
+    rl.add_argument("--rhs", required=True)
+    rl.add_argument("--output", required=True)
+    rl.add_argument("--lhsId", required=True)
+    rl.add_argument("--rhsId", required=True)
+    rl.add_argument("--blockField", required=True)
+    rl.add_argument(
+        "--compare", action="append", required=True,
+        help="field:m:u (e.g. phone:0.95:0.001); repeat per field",
+    )
+    rl.add_argument("--threshold", type=float, default=0.0)
+    rl.add_argument("--maxBlockSize", type=int, default=1000)
+    rl.add_argument("--format", default=None, help="override input format sniffing")
+
+    dc = sub.add_parser(
+        "decontaminate",
+        help="drop corpus docs that fuzzy-match a benchmark corpus "
+        "(cross-corpus MinHash-LSH flag + anti-join)",
+    )
+    dc.add_argument("--input", required=True)
+    dc.add_argument("--benchmark", required=True)
+    dc.add_argument("--output", required=True)
+    dc.add_argument("--textField", default="text")
+    dc.add_argument("--idField", default="doc_id")
+    dc.add_argument("--minEstJaccard", type=float, default=0.5)
+    dc.add_argument("--numHashes", type=int, default=16)
+    dc.add_argument("--bands", type=int, default=4)
+    dc.add_argument("--format", default=None, help="override input format sniffing")
     return p
 
 
@@ -1523,6 +1596,80 @@ def main(argv: list[str] | None = None) -> int:
             df = read_table(spark, args.input, fmt=args.format)
             stats = update_ivf_index(spark, args.index, df)
             print(json.dumps(stats))
+        elif args.command == "neymanSampler":
+            from ratatool_spark.operators.sampler import sample_neyman
+
+            df = read_table(spark, args.input, fmt=args.format)
+            out = sample_neyman(
+                df,
+                total_n=args.totalN,
+                value_col=args.valueField,
+                strata=args.strata,
+                fields=args.fields,
+                seed=args.seed,
+            )
+            write_table(out, args.output, mode="overwrite")
+        elif args.command == "zorderWrite":
+            from ratatool_spark.operators.layout import zorder_repartition
+
+            df = read_table(spark, args.input, fmt=args.format)
+            out = zorder_repartition(
+                df, args.by, bits=args.bits, num_partitions=args.numPartitions
+            )
+            write_table(out, args.output, mode="overwrite")
+        elif args.command == "rendezvousShard":
+            from pyspark.sql import functions as F
+
+            from ratatool_spark.operators.layout import rendezvous_shard
+
+            df = read_table(spark, args.input, fmt=args.format)
+            out = df.withColumn(
+                "shard",
+                rendezvous_shard(F.col(args.keyField), args.shards, args.seed),
+            )
+            write_table(out, args.output, mode="overwrite")
+        elif args.command == "recordLinkage":
+            from ratatool_spark.operators.fuzzy import fellegi_sunter_links
+
+            compares = []
+            for spec in args.compare:
+                col, m, u = spec.rsplit(":", 2)
+                compares.append((col, col, float(m), float(u)))
+            lhs = read_table(spark, args.lhs, fmt=args.format)
+            rhs = read_table(spark, args.rhs, fmt=args.format)
+            out = fellegi_sunter_links(
+                lhs,
+                rhs,
+                args.lhsId,
+                args.rhsId,
+                args.blockField,
+                compares,
+                threshold=args.threshold,
+                max_block_size=args.maxBlockSize,
+            )
+            write_table(out, args.output, mode="overwrite")
+        elif args.command == "decontaminate":
+            from pyspark.sql import functions as F
+
+            from ratatool_spark.operators.dedup import minhash_lsh_cross_pairs
+
+            df = read_table(spark, args.input, fmt=args.format)
+            bench = read_table(spark, args.benchmark, fmt=args.format)
+            flagged = (
+                minhash_lsh_cross_pairs(
+                    df,
+                    bench,
+                    text_col=args.textField,
+                    id_col=args.idField,
+                    num_hashes=args.numHashes,
+                    bands=args.bands,
+                    min_est_jaccard=args.minEstJaccard,
+                )
+                .select(F.col("left_id").alias(args.idField))
+                .distinct()
+            )
+            out = df.join(flagged, args.idField, "left_anti")
+            write_table(out, args.output, mode="overwrite")
         return 0
     finally:
         if not preexisting:  # don't tear down a session we joined

@@ -585,3 +585,53 @@ def test_drift_report_pivot_no_self_join(spark):
     # second consumer reads the cache (InMemoryTableScan pinned below).
     assert len(re.findall(r"\bWindow\b", p)) <= 2
     assert "InMemoryTableScan" in p  # persisted bin table
+
+
+def test_zorder_key_rides_the_scan(spark):
+    """zorder_key_orders: the Morton key is pure integer expressions over
+    one scan + a one-row broadcast range — zero shuffle exchanges, zero
+    Python, no window."""
+    p = plan_of(spark, "zorder_key_orders")
+    assert n_exchanges(p) <= 1  # the range-row aggregate's single exchange
+    assert "mapInPandas" not in p and "BatchEvalPython" not in p
+    assert "Window" not in p and "CartesianProduct" not in p
+
+
+def test_rendezvous_shard_zero_shuffle_until_the_report(spark):
+    """rendezvous_shard_orders: assignment is expression-only; the only
+    exchange is the per-shard report aggregate."""
+    p = plan_of(spark, "rendezvous_shard_orders")
+    assert n_exchanges(p) <= 1
+    assert "mapInPandas" not in p and "BatchEvalPython" not in p
+    assert "Join" not in p  # no join anywhere — the shard list is literals
+
+
+def test_sq8_topk_corpus_never_shuffles(spark):
+    """ann_sq8_topk: queries broadcast onto the (int8-encoded) corpus
+    scan — the corpus side must not hash-shuffle before scoring; the only
+    shuffle is the per-query rank window."""
+    p = plan_of(spark, "ann_sq8_topk")
+    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" in p  # the deliberate |Q|xN probe
+    assert "mapInPandas" not in p and "BatchEvalPython" not in p
+
+
+def test_neyman_no_global_sort_and_broadcast_alloc(spark):
+    """sample_neyman_allocation: membership is a per-stratum window rank
+    (never a global orderBy/limit); the allocation table joins in as a
+    broadcast; stats are map-side-combined aggregates."""
+    p = plan_of(spark, "sample_neyman_allocation")
+    assert "TakeOrderedAndProject" not in p and "GlobalLimit" not in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "mapInPandas" not in p and "BatchEvalPython" not in p
+
+
+def test_decontaminate_band_equijoin_only(spark):
+    """pipeline_decontaminate: candidates come from the (band, band-hash)
+    equi-join and the drop is a broadcast anti-join — no cartesian, no
+    nested loop, no Python."""
+    p = plan_of(spark, "pipeline_decontaminate")
+    assert "CartesianProduct" not in p and "NestedLoopJoin" not in p
+    assert "LeftAnti" in p
+    assert "mapInPandas" not in p and "BatchEvalPython" not in p

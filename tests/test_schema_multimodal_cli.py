@@ -1148,3 +1148,74 @@ def test_cli_drift_report(spark, tmp_path):
                  "--output", out]) == 0
     rows = {r["column"]: r["psi"] for r in spark.read.parquet(out).collect()}
     assert rows["v"] > 1.0 and rows["c"] > 0.1
+
+
+def test_cli_round7_commands(spark, tmp_path):
+    """neymanSampler / zorderWrite / rendezvousShard / recordLinkage /
+    decontaminate end-to-end through the CLI."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.cli import main
+
+    src = str(tmp_path / "orders.parquet")
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet").write.parquet(src)
+
+    out = str(tmp_path / "neyman")
+    rc = main([
+        "neymanSampler", "--input", src, "--output", out,
+        "--totalN", "100", "--valueField", "o_totalprice",
+        "--strata", "o_orderpriority", "--fields", "o_orderkey",
+    ])
+    assert rc == 0 and spark.read.parquet(out).count() == 100
+
+    out = str(tmp_path / "zordered")
+    rc = main([
+        "zorderWrite", "--input", src, "--output", out,
+        "--by", "o_custkey,o_totalprice", "--numPartitions", "4",
+    ])
+    assert rc == 0
+    assert spark.read.parquet(out).count() == spark.read.parquet(src).count()
+
+    out = str(tmp_path / "sharded")
+    rc = main([
+        "rendezvousShard", "--input", src, "--output", out,
+        "--keyField", "o_orderkey", "--shards", "a,b,c",
+    ])
+    assert rc == 0
+    shards = {r["shard"] for r in spark.read.parquet(out).select("shard").distinct().collect()}
+    assert shards == {"a", "b", "c"}
+
+    out = str(tmp_path / "links")
+    rc = main([
+        "recordLinkage", "--lhs", src, "--rhs", src, "--output", out,
+        "--lhsId", "o_orderkey", "--rhsId", "o_orderkey",
+        "--blockField", "o_custkey",
+        "--compare", "o_orderpriority:0.9:0.2",
+        "--compare", "o_totalprice:0.95:0.001",
+        "--threshold", "5.0",
+    ])
+    assert rc == 0
+    links = spark.read.parquet(out)
+    # every row links to itself at full agreement
+    n_src = spark.read.parquet(src).count()
+    assert links.where(F.col("o_orderkey_l") == F.col("o_orderkey_r")).count() == n_src
+
+    docs = str(tmp_path / "docs.parquet")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").write.parquet(docs)
+    bench = str(tmp_path / "bench.parquet")
+    spark.read.parquet(docs).where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 90000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    ).write.parquet(bench)
+    out = str(tmp_path / "clean")
+    rc = main([
+        "decontaminate", "--input", docs, "--benchmark", bench,
+        "--output", out, "--minEstJaccard", "0.9",
+    ])
+    assert rc == 0
+    n_docs = spark.read.parquet(docs).count()
+    survivors = spark.read.parquet(out)
+    # every planted original is flagged and dropped; corpus-internal
+    # near-dups of planted docs may legitimately be flagged too
+    assert survivors.where(F.col("doc_id") % 10 == 0).count() == 0
+    n_flagged = spark.read.parquet(docs).where(F.col("doc_id") % 10 == 0).count()
+    assert 0 < survivors.count() <= n_docs - n_flagged
