@@ -199,7 +199,7 @@ def _q_contamination_lsh(spark, sf_dir):
     )
 
 
-def _sql_contamination_lsh() -> str:
+def _sql_cross_lsh(mod: int, shift: int, words: int, swap: bool = False) -> str:
     from ratatool_spark.operators.dedup import MINHASH_P, minhash_coeffs
 
     k, bands = _MINHASH_K, _MINHASH_BANDS
@@ -229,19 +229,20 @@ def _sql_contamination_lsh() -> str:
     matches = " + ".join(
         f"CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END" for i in range(k)
     )
+    lsrc, rsrc = ("bench", "documents") if swap else ("documents", "bench")
     return f"""
 WITH bench AS (
-  SELECT doc_id + 100000 AS doc_id,
-         array_to_string((string_split(trim(text), ' '))[1:30], ' ') AS text
-  FROM documents WHERE doc_id % 17 = 0
+  SELECT doc_id + {shift} AS doc_id,
+         array_to_string((string_split(trim(text), ' '))[1:{words}], ' ') AS text
+  FROM documents WHERE doc_id % {mod} = 0
 ), lsh0 AS (
-  SELECT doc_id, UNNEST({_SHINGLES3_SQL}) AS s FROM documents
+  SELECT doc_id, UNNEST({_SHINGLES3_SQL}) AS s FROM {lsrc}
 ), lsh AS (
   SELECT doc_id, {_PH64_SQL.format(x='s')} % {MINHASH_P} AS h FROM lsh0
 ), lsigs AS (
   SELECT doc_id, {sig_exprs} FROM lsh GROUP BY doc_id
 ), rsh0 AS (
-  SELECT doc_id, UNNEST({_SHINGLES3_SQL}) AS s FROM bench
+  SELECT doc_id, UNNEST({_SHINGLES3_SQL}) AS s FROM {rsrc}
 ), rsh AS (
   SELECT doc_id, {_PH64_SQL.format(x='s')} % {MINHASH_P} AS h FROM rsh0
 ), rsigs AS (
@@ -260,6 +261,60 @@ FROM pairs p
 JOIN lsigs a ON a.doc_id = p.left_id
 JOIN rsigs b ON b.doc_id = p.right_id
 """
+
+
+def _sql_contamination_lsh() -> str:
+    return _sql_cross_lsh(17, 100000, 30)
+
+
+def _q_minhash_index_incremental(spark, sf_dir):
+    """Incremental minhash-index maintenance (dedup.build_minhash_index →
+    update_minhash_index → query_minhash_index): the reference corpus's
+    signatures are built once from its even-id half, the odd half is
+    APPENDED under the frozen sidecar parameters (fused duplicate-id
+    guard), and a truncated query corpus (every 31st doc, re-keyed,
+    first 30 words) probes the artifact — the stored text is never
+    rescanned. The oracle computes the same candidates directly from the
+    documents table, so build+update must equal one build over the
+    union."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.dedup import (
+        build_minhash_index,
+        query_minhash_index,
+        update_minhash_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = tempfile.mkdtemp(prefix="rt_mhidx_") + "/idx"
+    build_minhash_index(
+        docs.where(F.col("doc_id") % 2 == 0),
+        path,
+        num_hashes=_MINHASH_K,
+        bands=_MINHASH_BANDS,
+    )
+    update_minhash_index(spark, path, docs.where(F.col("doc_id") % 2 == 1))
+    queries = docs.where(F.col("doc_id") % 31 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.trim("text"), " "), 1, 30)
+        ).alias("text"),
+    )
+    out = query_minhash_index(spark, queries, path)
+    return out.select(
+        "left_id", "right_id", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
+def _sql_minhash_index_incremental() -> str:
+    # the artifact round-trip must equal direct computation over the full
+    # corpus — the oracle IS that direct computation, with the query side
+    # as the "bench" CTE (left) and documents as the reference (right);
+    # _sql_cross_lsh's output has the query corpus on the LEFT, matching
+    # query_minhash_index's orientation
+    return _sql_cross_lsh(31, 200000, 30, swap=True)
 
 
 def _q_pipeline_decontaminate(spark, sf_dir):

@@ -187,6 +187,47 @@ def minhash_lsh_pairs(
     return out
 
 
+def _cross_pairs_from_sigs(
+    ls: DataFrame,
+    rs: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    min_est_jaccard: float,
+) -> DataFrame:
+    """(left_id, right_id, est_jaccard) from two SIGNATURE frames — the
+    banded cross-join core shared by :func:`minhash_lsh_cross_pairs`
+    (signatures computed inline) and :func:`query_minhash_index`
+    (right-side signatures loaded from a persisted artifact)."""
+    lb = _banded(ls, id_col, num_hashes, bands).alias("l")
+    rb = _banded(rs, id_col, num_hashes, bands).alias("r")
+    pairs = (
+        lb.join(
+            rb,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("left_id"),
+            F.col(f"r.{id_col}").alias("right_id"),
+            *[
+                (F.col(f"l.sig_{i}") == F.col(f"r.sig_{i}"))
+                .cast("int")
+                .alias(f"m_{i}")
+                for i in range(num_hashes)
+            ],
+        )
+        .distinct()
+    )
+    est = sum(
+        [F.col(f"m_{i}") for i in range(num_hashes)], F.lit(0)
+    ) / F.lit(float(num_hashes))
+    out = pairs.select("left_id", "right_id", est.alias("est_jaccard"))
+    if min_est_jaccard > 0:
+        out = out.where(F.col("est_jaccard") >= min_est_jaccard)
+    return out
+
+
 def minhash_lsh_cross_pairs(
     left: DataFrame,
     right: DataFrame,
@@ -217,33 +258,135 @@ def minhash_lsh_cross_pairs(
         raise ValueError("bands must divide num_hashes")
     ls = minhash_signatures(left, text_col, id_col, num_hashes, shingle_n, hasher)
     rs = minhash_signatures(right, text_col, id_col, num_hashes, shingle_n, hasher)
-    lb = _banded(ls, id_col, num_hashes, bands).alias("l")
-    rb = _banded(rs, id_col, num_hashes, bands).alias("r")
-    pairs = (
-        lb.join(
-            rb,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bh") == F.col("r.bh")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("left_id"),
-            F.col(f"r.{id_col}").alias("right_id"),
-            *[
-                (F.col(f"l.sig_{i}") == F.col(f"r.sig_{i}"))
-                .cast("int")
-                .alias(f"m_{i}")
-                for i in range(num_hashes)
-            ],
-        )
-        .distinct()
+    return _cross_pairs_from_sigs(
+        ls, rs, id_col, num_hashes, bands, min_est_jaccard
     )
-    est = sum(
-        [F.col(f"m_{i}") for i in range(num_hashes)], F.lit(0)
-    ) / F.lit(float(num_hashes))
-    out = pairs.select("left_id", "right_id", est.alias("est_jaccard"))
-    if min_est_jaccard > 0:
-        out = out.where(F.col("est_jaccard") >= min_est_jaccard)
-    return out
+
+
+def build_minhash_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    hasher: str = "portable",
+    mode: str = "error",
+) -> None:
+    """Persist a corpus's minhash signatures as a reusable artifact —
+    the build-once/query-many side of decontamination and incremental
+    dedup: shingle+hash the reference corpus ONE time, then every new
+    batch or candidate corpus joins against the stored (n × (k+1)-long)
+    table without ever rescanning the reference text. Parquet rows
+    (id, sig_0..sig_{k-1}) plus a ``_minhash.json`` sidecar pinning the
+    parameters, so a query can never band differently than the build."""
+    import json
+
+    from ratatool_spark.sources.shards import _join, _write_text
+
+    if num_hashes % bands != 0:
+        raise ValueError("bands must divide num_hashes")
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, hasher)
+    sigs.write.mode(mode).parquet(path)
+    _write_text(
+        df.sparkSession,
+        _join(path, "_minhash.json"),
+        json.dumps(
+            {
+                "num_hashes": num_hashes,
+                "bands": bands,
+                "shingle_n": shingle_n,
+                "hasher": hasher,
+                "id_col": id_col,
+                "text_col": text_col,
+            }
+        ),
+    )
+
+
+def update_minhash_index(spark, path: str, new_docs: DataFrame) -> dict:
+    """Append new documents' signatures to a persisted minhash index
+    under the BUILD-TIME parameters (the ``_minhash.json`` sidecar — an
+    update cannot shingle or band differently than the build). Fused
+    duplicate-id guard: existing-id ∩ new-id rides the appended rows
+    through a broadcast + in-plan ``raise_error`` (no separate count
+    job); the stored index is scanned id-column-only. ``update(A);
+    update(B)`` is row-identical to one build over the union — pinned by
+    the ``minhash_index_incremental`` gate."""
+    import json
+
+    from ratatool_spark.sources.shards import _join, _read_text
+
+    meta = json.loads(_read_text(spark, _join(path, "_minhash.json")))
+    id_col = meta["id_col"]
+    sigs = minhash_signatures(
+        new_docs,
+        meta["text_col"],
+        id_col,
+        meta["num_hashes"],
+        meta["shingle_n"],
+        meta["hasher"],
+    )
+    new_ids = sigs.select(id_col).distinct()
+    dups = (
+        spark.read.parquet(path)
+        .select(id_col)
+        .join(new_ids.hint("broadcast"), id_col)
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    guard = F.when(
+        F.col("__dup").isNotNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("update_minhash_index: id already indexed: "),
+                F.col(id_col).cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("sig_0"))
+    guarded = sigs.join(dups.hint("broadcast"), id_col, "left").select(
+        id_col,
+        guard.alias("sig_0"),
+        *[f"sig_{i}" for i in range(1, meta["num_hashes"])],
+    )
+    guarded = guarded.persist()
+    try:
+        n = guarded.count()
+        guarded.write.mode("append").parquet(path)
+    finally:
+        guarded.unpersist()
+    return {"n_added": n}
+
+
+def query_minhash_index(
+    spark,
+    queries: DataFrame,
+    path: str,
+    min_est_jaccard: float = 0.0,
+) -> DataFrame:
+    """(left_id, right_id, est_jaccard) — banded LSH candidates between a
+    query corpus and a persisted minhash index: the query side shingles
+    fresh under the sidecar parameters; the reference side is the stored
+    signature table (the reference TEXT is never rescanned). Identical
+    output to :func:`minhash_lsh_cross_pairs` over the original corpora."""
+    import json
+
+    from ratatool_spark.sources.shards import _join, _read_text
+
+    meta = json.loads(_read_text(spark, _join(path, "_minhash.json")))
+    qs = minhash_signatures(
+        queries,
+        meta["text_col"],
+        meta["id_col"],
+        meta["num_hashes"],
+        meta["shingle_n"],
+        meta["hasher"],
+    )
+    rs = spark.read.parquet(path)
+    return _cross_pairs_from_sigs(
+        qs, rs, meta["id_col"], meta["num_hashes"], meta["bands"], min_est_jaccard
+    )
 
 
 def ngram_jaccard_pairs(

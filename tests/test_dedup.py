@@ -1268,3 +1268,37 @@ def test_minhash_cross_pairs_finds_planted_copies(corpus):
         assert found.get(key) == 1.0, key
     strict = minhash_lsh_cross_pairs(corpus, bench, min_est_jaccard=0.99)
     assert {(r["left_id"], r["right_id"]) for r in strict.collect()} >= planted
+
+
+def test_minhash_index_build_update_query_parity(spark, corpus, tmp_path):
+    """build(A) + update(B) queried == direct cross_pairs over A∪B; a
+    duplicate id fails the append via the fused guard."""
+    import pytest as _pt
+
+    from ratatool_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_lsh_cross_pairs,
+        query_minhash_index,
+        update_minhash_index,
+    )
+
+    path = str(tmp_path / "idx")
+    a = corpus.where(F.col("doc_id") <= 2)
+    b = corpus.where(F.col("doc_id") > 2)
+    build_minhash_index(a, path)
+    stats = update_minhash_index(spark, path, b)
+    assert stats["n_added"] == 3
+    queries = corpus.limit(2).select(
+        (F.col("doc_id") + 7000).alias("doc_id"), "text"
+    )
+    via_index = {
+        (r["left_id"], r["right_id"]): r["est_jaccard"]
+        for r in query_minhash_index(spark, queries, path).collect()
+    }
+    direct = {
+        (r["left_id"], r["right_id"]): r["est_jaccard"]
+        for r in minhash_lsh_cross_pairs(queries, corpus).collect()
+    }
+    assert via_index == direct and via_index
+    with _pt.raises(Exception, match="already indexed"):
+        update_minhash_index(spark, path, a.limit(1))
