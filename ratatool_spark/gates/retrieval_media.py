@@ -473,6 +473,63 @@ def _sql_semantic_dedup_trained() -> str:
     # (cell ASC) via the shared tail
     return _sql_kmeans_train_ctes() + "\n" + _sql_semdedup_tail("cents1")
 
+def _q_stream_decontaminate(spark, sf_dir):
+    """Streaming decontamination against a persisted minhash index
+    (streaming/decontaminate.stream_decontaminate), run for REAL: the
+    benchmark corpus (every 17th doc, re-keyed, first 30 words) is
+    signature-indexed offline, then every document arrives as a file
+    stream (availableNow) and each micro-batch is LSH-probed against the
+    frozen artifact and flagged — ingest-time train/serve hygiene. The
+    oracle is the BATCH flag computation over the same corpora: stream
+    == batch is the gated invariant."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.dedup import build_minhash_index
+    from ratatool_spark.streaming.decontaminate import stream_decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.trim("text"), " "), 1, 30)
+        ).alias("text"),
+    )
+    root = tempfile.mkdtemp(prefix="rt_sdecon_")
+    idx = os.path.join(root, "idx")
+    build_minhash_index(bench, idx, num_hashes=16, bands=4)
+    in_dir = os.path.join(root, "incoming")
+    docs.write.parquet(in_dir)
+    stream = spark.readStream.schema(docs.schema).parquet(in_dir)
+    out_path = os.path.join(root, "flagged")
+    q = stream_decontaminate(
+        stream,
+        idx,
+        out_path,
+        checkpoint=os.path.join(root, "ckpt"),
+        min_est_jaccard=0.5,
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out_path)
+    return back.select("doc_id", "contaminated")
+
+
+def _sql_stream_decontaminate() -> str:
+    from ratatool_spark.gates.pipeline import _sql_cross_lsh
+
+    return f"""
+WITH flagged AS (
+  SELECT DISTINCT left_id AS doc_id
+  FROM ({_sql_cross_lsh(17, 100000, 30)}) c
+  WHERE est_jaccard >= 0.5
+)
+SELECT d.doc_id, (f.doc_id IS NOT NULL) AS contaminated
+FROM documents d LEFT JOIN flagged f USING (doc_id)
+"""
+
+
 def _q_stream_quality_scores(spark, sf_dir):
     """Streaming classifier inference (streaming/classify
     .stream_quality_scores) run for REAL: the quality model trains on

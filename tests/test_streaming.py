@@ -1170,3 +1170,33 @@ def test_fixed_bins_validation(spark):
         fixed_bins(df)
     with _pt.raises(ValueError, match="hi > lo"):
         fixed_bins(df, numeric_bounds={"v": (5.0, 5.0)})
+
+
+def test_stream_decontaminate_drop_mode(spark, tmp_path):
+    """drop=True anti-joins flagged docs away per micro-batch; exact
+    copies of indexed docs never reach the sink."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.dedup import build_minhash_index
+    from ratatool_spark.streaming.decontaminate import stream_decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 90000).alias("doc_id"), "text"
+    )
+    idx = str(tmp_path / "idx")
+    build_minhash_index(bench, idx)
+    in_dir = str(tmp_path / "in")
+    docs.write.parquet(in_dir)
+    stream = spark.readStream.schema(docs.schema).parquet(in_dir)
+    out = str(tmp_path / "out")
+    q = stream_decontaminate(
+        stream, idx, out, checkpoint=str(tmp_path / "ckpt"),
+        min_est_jaccard=0.9, drop=True,
+    )
+    q.awaitTermination()
+    survivors = spark.read.parquet(out)
+    assert survivors.where(F.col("doc_id") % 10 == 0).count() == 0
+    assert 0 < survivors.count() < docs.count()
