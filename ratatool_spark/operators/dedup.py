@@ -311,15 +311,29 @@ def update_minhash_index(spark, path: str, new_docs: DataFrame) -> dict:
     update cannot shingle or band differently than the build). Fused
     duplicate-id guard: existing-id ∩ new-id rides the appended rows
     through a broadcast + in-plan ``raise_error`` (no separate count
-    job); the stored index is scanned id-column-only. ``update(A);
-    update(B)`` is row-identical to one build over the union — pinned by
-    the ``minhash_index_incremental`` gate."""
+    job); the stored index is scanned id-column-only. Ids duplicated
+    WITHIN ``new_docs`` are rejected up front too — ``minhash_signatures``
+    groups shingles by id, so two distinct docs sharing an id would
+    otherwise silently collapse into one bogus combined-shingle
+    signature. ``update(A); update(B)`` is row-identical to one build
+    over the union — pinned by the ``minhash_index_incremental`` gate."""
     import json
 
     from ratatool_spark.sources.shards import _join, _read_text
 
     meta = json.loads(_read_text(spark, _join(path, "_minhash.json")))
     id_col = meta["id_col"]
+    intra = new_docs.agg(
+        F.count(F.col(id_col)).alias("n"),
+        F.count_distinct(F.col(id_col)).alias("nd"),
+    ).first()
+    if intra["nd"] < intra["n"]:
+        raise ValueError(
+            "update_minhash_index: new_docs contains "
+            f"{intra['n'] - intra['nd']} duplicate id row(s) — distinct "
+            "docs sharing an id would merge into one combined-shingle "
+            "signature; dedup the batch first"
+        )
     sigs = minhash_signatures(
         new_docs,
         meta["text_col"],
@@ -1242,10 +1256,19 @@ def embedding_neardup_pairs(
         pairs are missed (lower recall, tunable via ``lsh_planes`` —
         fewer planes → bigger buckets → higher recall/cost). The corpus
         never goes to the driver.
-      - ``kernel="expr"`` / ``block_col`` given: pure-expression self-join,
-        per-block when ``block_col`` is set — bring-your-own blocking
-        (e.g. a shard or language column) with the same within-block
-        quadratic profile.
+      - ``block_col`` given: bring-your-own blocking (e.g. a shard or
+        language column) with the within-block quadratic profile. With
+        ``kernel="blas"`` each block runs as ONE per-block GEMM task
+        (``applyInPandas``), so the memory envelope is the LARGEST
+        single block — |block|·dim·8 bytes of vectors per task, with the
+        similarity matrix chunked to ≲64 MB slices. A dominant block (a
+        majority-language shard, a catch-all bucket) must fit one task's
+        memory; when it can't, pass ``kernel="expr"`` to get the
+        streaming expression self-join, which handles arbitrarily large
+        blocks at per-pair expression cost.
+      - ``kernel="expr"``: pure-expression self-join (per-block when
+        ``block_col`` is set) — no per-task block envelope, the shuffle
+        streams pairs.
 
     ``n_rows`` / ``dim``: corpus-size and vector-dimension hints for the
     kernel dispatch (from the caller or catalog stats). When omitted,
@@ -1317,9 +1340,13 @@ def _lsh_bucket_pandas(
 ) -> DataFrame:
     """Random-hyperplane bucket ids via one Arrow-batched matmul
     (rows × planes) — the vectorized twin of similarity.lsh_bucket,
-    using the identical deterministic ±1 planes (_hyperplane_sign) so
-    the S-curve recall accounting applies unchanged. Emits
-    (id, v, __rt_blk)."""
+    using the identical deterministic ±1 planes (_hyperplane_sign) and
+    the same strict ``proj > 0`` bit rule, so the S-curve recall
+    accounting applies unchanged. Buckets can still diverge from the
+    expression path within one ulp of zero (BLAS sums in a different
+    order than the expression's sequential fold) — that shifts only
+    which block a borderline vector lands in (blocking recall), never
+    the correctness of emitted pairs. Emits (id, v, __rt_blk)."""
     import numpy as np
     import pandas as pd
 
@@ -1343,7 +1370,7 @@ def _lsh_bucket_pandas(
                 continue
             mat = np.asarray([list(v) for v in pdf["v"]], dtype=np.float64)
             proj = mat @ signs.T
-            blk = ((proj >= 0).astype(np.int64) * weights).sum(axis=1)
+            blk = ((proj > 0).astype(np.int64) * weights).sum(axis=1)
             yield pd.DataFrame(
                 {"id": pdf["id"], "v": pdf["v"], "__rt_blk": blk}
             )

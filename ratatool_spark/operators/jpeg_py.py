@@ -247,6 +247,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
     while pos < n:
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        # markers may be preceded by any number of 0xFF fill bytes
+        # (T.81 B.1.1.2) — some encoders pad with them
+        while pos + 1 < n and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -331,13 +335,18 @@ def _decode_scan(
         planes.append(np.zeros((c["bh"] * 8, c["bw"] * 8), dtype=np.float64))
     br = _BitReader(data, pos)
     pred = [0] * len(comps)
+    # planes/pred are allocated in SOF component order; the SOS scan list
+    # may order components differently (spec-valid) — map each scan entry
+    # back to its SOF index so a reordered scan doesn't swap planes
+    scan_sof = [comps.index(c) for (c, _, _) in scan]
     mcu_count = 0
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
                 br.restart()
                 pred = [0] * len(comps)
-            for ci, (c, td, ta) in enumerate(scan):
+            for si, (c, td, ta) in enumerate(scan):
+                ci = scan_sof[si]
                 dc_tbl = huff[(0, td)]
                 ac_tbl = huff[(1, ta)]
                 q = qt[c["tq"]]

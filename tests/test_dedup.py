@@ -1302,3 +1302,62 @@ def test_minhash_index_build_update_query_parity(spark, corpus, tmp_path):
     assert via_index == direct and via_index
     with _pt.raises(Exception, match="already indexed"):
         update_minhash_index(spark, path, a.limit(1))
+
+
+def test_minhash_index_update_rejects_intra_batch_duplicate_ids(
+    spark, corpus, tmp_path
+):
+    """Two DISTINCT docs sharing an id inside one update batch must fail
+    fast — minhash_signatures groups shingles by id, so letting them
+    through would silently index one bogus combined-shingle signature."""
+    import pytest as _pt
+
+    from ratatool_spark.operators.dedup import (
+        build_minhash_index,
+        update_minhash_index,
+    )
+
+    path = str(tmp_path / "idx_dupbatch")
+    build_minhash_index(corpus.where(F.col("doc_id") <= 2), path)
+    clashing = spark.createDataFrame(
+        [
+            Row(doc_id=99, text="first document body"),
+            Row(doc_id=99, text="second, entirely different body"),
+        ]
+    )
+    with _pt.raises(ValueError, match="duplicate id"):
+        update_minhash_index(spark, path, clashing)
+
+
+def test_lsh_bucket_pandas_matches_expression_on_zero_vectors(spark):
+    """The Arrow-batched hyperplane bucketing must use the same strict
+    proj > 0 bit rule as similarity.lsh_bucket: an all-zero vector
+    projects to exactly 0 on every plane and lands in bucket 0 on BOTH
+    paths."""
+    from ratatool_spark.operators.dedup import _lsh_bucket_pandas
+    from ratatool_spark.operators.similarity import lsh_bucket
+
+    dim, planes, seed = 8, 6, 7
+    rows = [
+        Row(vec_id=1, embedding=[0.0] * dim),
+        Row(vec_id=2, embedding=[float(i + 1) for i in range(dim)]),
+        Row(vec_id=3, embedding=[-1.5] * dim),
+    ]
+    df = spark.createDataFrame(rows)
+    expr = {
+        r["vec_id"]: r["b"]
+        for r in df.select(
+            "vec_id",
+            lsh_bucket(
+                df, "embedding", num_planes=planes, seed=seed, dim=dim
+            ).alias("b"),
+        ).collect()
+    }
+    fast = {
+        r["id"]: r["__rt_blk"]
+        for r in _lsh_bucket_pandas(
+            df, "embedding", "vec_id", num_planes=planes, seed=seed, dim=dim
+        ).collect()
+    }
+    assert fast == expr
+    assert fast[1] == 0  # all-zero vector: no strict-positive projections

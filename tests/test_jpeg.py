@@ -124,3 +124,82 @@ def test_image_dhash_works_on_jpeg(spark):
     # gradient signs mostly intact — allow a small hamming slack
     diff = bin(jpeg_row["dhash"] ^ bmp_row["dhash"]).count("1")
     assert diff <= 12, diff
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2: markers may be preceded by any number of 0xFF fill
+    bytes; some encoders pad with them. Decoding must be byte-for-byte
+    identical with fills inserted before segment markers."""
+    w, h = 16, 8
+    px = _smooth(w, h).tobytes()
+    data = encode_jpeg(w, h, px, quality=90)
+    assert data[:2] == b"\xff\xd8" and data[2:4] == b"\xff\xe0"
+    padded = data[:2] + b"\xff\xff\xff" + data[2:]
+    assert decode_jpeg(padded) == decode_jpeg(data)
+
+
+def test_sos_component_order_differs_from_sof():
+    """A spec-valid stream may list SOS components in a different order
+    than SOF declared them; planes must map back to SOF positions (a
+    scan-order indexer would decode with Cb/Cr swapped). Builds a 4:4:4
+    stream whose scan order is Y, Cr, Cb and checks the pixels equal the
+    normally-ordered encoding's."""
+    import struct
+
+    import ratatool_spark.operators.jpeg_py as J
+
+    w = h = 8
+    px = _smooth(w, h)
+    normal = encode_jpeg(w, h, px.tobytes(), quality=90)
+
+    # --- re-encode with SOS order (1, 3, 2): entropy blocks Y, Cr, Cb
+    qy_z, qc_z = J._scaled_tables(90)
+    qy = np.zeros(64, dtype=np.int64)
+    qc = np.zeros(64, dtype=np.int64)
+    qy[J._ZIGZAG] = qy_z
+    qc[J._ZIGZAG] = qc_z
+    qy8, qc8 = qy.reshape(8, 8), qc.reshape(8, 8)
+    fpx = px.astype(np.float64)
+    r, g, b = fpx[:, :, 0], fpx[:, :, 1], fpx[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    hdr = bytearray()
+    hdr += b"\xff\xd8"
+    hdr += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0x00])
+    hdr += bytes(qy_z.astype(np.uint8))
+    hdr += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0x01])
+    hdr += bytes(qc_z.astype(np.uint8))
+    hdr += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    hdr += bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    for tc_th, (bits, vals) in (
+        (0x00, J._HUFF_DC_LUMA),
+        (0x10, J._HUFF_AC_LUMA),
+        (0x01, J._HUFF_DC_CHROMA),
+        (0x11, J._HUFF_AC_CHROMA),
+    ):
+        hdr += (
+            b"\xff\xc4"
+            + struct.pack(">H", 2 + 1 + 16 + len(vals))
+            + bytes([tc_th])
+            + bytes(bits)
+            + bytes(vals)
+        )
+    # SOS listing components 1, 3, 2
+    hdr += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    hdr += bytes([1, 0x00, 3, 0x11, 2, 0x11, 0, 63, 0])
+
+    dc_y = J._huff_codes(*J._HUFF_DC_LUMA)
+    ac_y = J._huff_codes(*J._HUFF_AC_LUMA)
+    dc_c = J._huff_codes(*J._HUFF_DC_CHROMA)
+    ac_c = J._huff_codes(*J._HUFF_AC_CHROMA)
+    bw = J._BitWriter()
+    py = J._encode_block(bw, y, qy8, dc_y, ac_y, 0)
+    pcr = J._encode_block(bw, cr, qc8, dc_c, ac_c, 0)
+    pcb = J._encode_block(bw, cb, qc8, dc_c, ac_c, 0)
+    assert (py, pcr, pcb) is not None
+    bw.flush()
+    reordered = bytes(hdr) + bytes(bw.out) + b"\xff\xd9"
+
+    assert decode_jpeg(reordered) == decode_jpeg(normal)
