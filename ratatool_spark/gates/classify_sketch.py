@@ -455,6 +455,99 @@ SELECT lid, rid, sim FROM (
 ) WHERE rn = 1
 """
 
+
+def _q_fuzzy_multiblock(spark, sf_dir):
+    """Multi-pass blocked linkage (operators/fuzzy.fuzzy_join with a
+    LIST of block keys): every third twin's (nation, segment) block key
+    is drifted (nationkey+1), so pass 0 alone misses it — the
+    account-balance band pass (floor(acctbal/100), typo-stable in this
+    fixture) recovers exactly those, and pairs reachable
+    through BOTH passes are deduped before verification (one score row
+    each). The production linkage recall net: union of independent
+    blocking passes, candidates never all-pairs. Same exact-replay
+    Levenshtein arithmetic as fuzzy_join_customers."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.fuzzy import fuzzy_join
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").where(
+        F.col("c_custkey") % 5 == 0
+    )
+    left = cust.select(
+        F.col("c_custkey").alias("lid"),
+        F.concat_ws("|", "c_nationkey", "c_mktsegment").alias("blk1"),
+        F.floor(F.col("c_acctbal") / 100).alias("blk2"),
+        "c_name",
+    )
+    drift = (F.col("c_nationkey") + (F.col("c_custkey") % 3 == 0).cast("int")) % 25
+    right = cust.select(
+        (F.col("c_custkey") + 1000000).alias("rid"),
+        F.concat_ws("|", drift, "c_mktsegment").alias("blk1"),
+        F.floor(F.col("c_acctbal") / 100).alias("blk2"),
+        F.translate("c_name", "1", "l").alias("c_name"),
+    )
+    return fuzzy_join(
+        left,
+        right,
+        "lid",
+        "rid",
+        ["blk1", "blk2"],
+        [("c_name", "c_name")],
+        threshold=0.9,
+    )
+
+_SQL_FUZZY_MULTIBLOCK = """
+WITH base AS (
+  SELECT * FROM customer WHERE c_custkey % 5 = 0
+), l AS (
+  SELECT c_custkey AS lid,
+         concat_ws('|', c_nationkey, c_mktsegment) AS blk1,
+         CAST(FLOOR(c_acctbal / 100) AS BIGINT) AS blk2, c_name
+  FROM base
+), r AS (
+  SELECT c_custkey + 1000000 AS rid,
+         concat_ws('|',
+                   (c_nationkey
+                    + CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END) % 25,
+                   c_mktsegment) AS blk1,
+         CAST(FLOOR(c_acctbal / 100) AS BIGINT) AS blk2,
+         replace(c_name, '1', 'l') AS c_name
+  FROM base
+), big1 AS (
+  SELECT b FROM (
+    SELECT blk1 AS b, COUNT(*) AS n FROM l GROUP BY 1
+    UNION ALL SELECT blk1 AS b, COUNT(*) AS n FROM r GROUP BY 1
+  ) GROUP BY b HAVING MAX(n) > 1000
+), big2 AS (
+  SELECT b FROM (
+    SELECT blk2 AS b, COUNT(*) AS n FROM l GROUP BY 1
+    UNION ALL SELECT blk2 AS b, COUNT(*) AS n FROM r GROUP BY 1
+  ) GROUP BY b HAVING MAX(n) > 1000
+), cand AS (
+  SELECT DISTINCT lid, rid, ln, rn FROM (
+    SELECT l.lid, r.rid, l.c_name, r.c_name
+    FROM l JOIN r ON l.blk1 = r.blk1
+    WHERE l.blk1 NOT IN (SELECT b FROM big1)
+    UNION ALL
+    SELECT l.lid, r.rid, l.c_name, r.c_name
+    FROM l JOIN r ON l.blk2 = r.blk2
+    WHERE l.blk2 NOT IN (SELECT b FROM big2)
+  ) u(lid, rid, ln, rn)
+)
+SELECT lid, rid,
+       COALESCE(CASE WHEN length(ln) > 0 AND length(rn) > 0
+                     THEN CAST(1.0 - levenshtein(ln, rn)
+                                / greatest(length(ln), length(rn), 1)
+                           AS DOUBLE)
+                     ELSE 0.0 END, 0.0) AS sim
+FROM cand
+WHERE COALESCE(CASE WHEN length(ln) > 0 AND length(rn) > 0
+                    THEN CAST(1.0 - levenshtein(ln, rn)
+                               / greatest(length(ln), length(rn), 1)
+                          AS DOUBLE)
+                    ELSE 0.0 END, 0.0) >= 0.9
+"""
+
 _CMS_PROBES = (1, 2, 3, 4, 5, 6, 999999)
 
 def _q_freq_sketch_merge(spark, sf_dir):

@@ -7,9 +7,12 @@ OCR/entry noise). The classic scalable shape is block-then-verify, the
 same candidate-bounding discipline as the dedup family
 (operators/dedup):
 
-  1. **block** — an equality key both sides can compute (phone/zip
-     prefix, soundex, shingle band): candidates come from an EQUI-join on
-     the block key, never an all-pairs comparison;
+  1. **block** — one or MORE equality keys both sides can compute
+     (phone/zip prefix, soundex, shingle band): candidates come from an
+     EQUI-join per key, never an all-pairs comparison; multiple keys are
+     independent recall passes whose candidates are unioned and deduped
+     per pair before verification (a pair missed by a typo'd zip is
+     still caught by the soundex pass);
   2. **guard** — blocks bigger than ``max_block_size`` on either side are
      dropped (with the violator set tiny and broadcastable), the same
      finite-frequency guard as ``ngram_jaccard_pairs``'s ``max_doc_freq``
@@ -29,10 +32,71 @@ adversarial block distribution into bounded work.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 METHODS = ("lev_ratio", "token_jaccard")
+
+
+def _block_cols(block_col: str | Sequence[str]) -> list[str]:
+    cols = [block_col] if isinstance(block_col, str) else list(block_col)
+    if not cols:
+        raise ValueError("block_col needs at least one blocking key")
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"duplicate blocking keys: {cols}")
+    return cols
+
+
+def _blocked_candidates(
+    lsel: DataFrame,
+    rsel: DataFrame,
+    n_blocks: int,
+    max_block_size: int | None,
+) -> DataFrame:
+    """Candidate pairs from one or more blocking passes.
+
+    ``lsel``/``rsel`` carry ``__lid``/``__rid``, per-pass block keys
+    ``__blk0..__blk{n-1}`` and the compare columns. Each pass is an
+    equi-join on its own key; multi-pass candidates are unioned and
+    deduped on (``__lid``, ``__rid``) BEFORE verification, so a pair
+    reachable through several passes is scored once. The oversized-block
+    guard applies per pass (a block too big under key 0 still
+    contributes its rows through key 1 if those blocks are fine —
+    passes are independent recall nets, per the multi-pass linkage
+    practice: union of zip-prefix, soundex(name), ... candidates).
+    NULL block keys never join (equi-join semantics) — a row with a
+    missing key simply sits that pass out."""
+    passes = []
+    for i in range(n_blocks):
+        lkey, rkey = f"__blk{i}", f"__rblk{i}"
+        lp = lsel.where(F.col(lkey).isNotNull())
+        rp = rsel.where(F.col(rkey).isNotNull())
+        if max_block_size is not None:
+            # blocks too big on EITHER side are dropped from BOTH: a
+            # one-sided drop would silently halve the guard (pairs l x r)
+            big = (
+                lp.groupBy(F.col(lkey).alias("__b")).count()
+                .unionByName(rp.groupBy(F.col(rkey).alias("__b")).count())
+                .groupBy("__b")
+                .agg(F.max("count").alias("__n"))
+                .where(F.col("__n") > max_block_size)
+                .select("__b")
+            )
+            lp = lp.join(F.broadcast(big), lp[lkey] == big["__b"], "left_anti")
+            rp = rp.join(F.broadcast(big), rp[rkey] == big["__b"], "left_anti")
+        keep_l = [c for c in lp.columns if not c.startswith("__blk")]
+        keep_r = [c for c in rp.columns if not c.startswith("__rblk")]
+        passes.append(
+            lp.join(rp, lp[lkey] == rp[rkey]).select(*keep_l, *keep_r)
+        )
+    cand = passes[0]
+    for p in passes[1:]:
+        cand = cand.unionByName(p)
+    if n_blocks > 1:
+        cand = cand.dropDuplicates(["__lid", "__rid"])
+    return cand
 
 
 def _sim(lc: Column, rc: Column, method: str) -> Column:
@@ -65,7 +129,7 @@ def fuzzy_join(
     right: DataFrame,
     left_id: str,
     right_id: str,
-    block_col: str,
+    block_col: str | Sequence[str],
     compare_cols: list[tuple[str, str]],
     method: str = "lev_ratio",
     threshold: float = 0.85,
@@ -73,9 +137,18 @@ def fuzzy_join(
     max_block_size: int = 1000,
 ) -> DataFrame:
     """(left_id, right_id, sim) — candidate links whose mean column
-    similarity reaches ``threshold``. ``block_col`` must exist on both
-    sides (callers derive it: phone prefix, soundex, shingle band);
-    ``compare_cols`` pairs (left_col, right_col) to verify.
+    similarity reaches ``threshold``. ``block_col`` names one or more
+    blocking keys existing on both sides (callers derive them: phone
+    prefix, soundex, shingle band); ``compare_cols`` pairs
+    (left_col, right_col) to verify.
+
+    A LIST of block keys runs one blocking PASS per key and unions the
+    candidates (deduped per pair before verify) — the standard
+    multi-pass recall net: a single key misses pairs whose block field
+    itself drifted (a typo'd zip), so production linkage unions e.g.
+    zip-prefix ∪ soundex(name) candidates. Cost is one equi-join per
+    pass plus one (lid, rid) dedup shuffle; the oversized-block guard
+    applies per pass independently.
 
     ``keep_best=True`` keeps each left id's single best link (ties break
     on the smaller right id — deterministic), via WindowGroupLimit.
@@ -102,35 +175,18 @@ def fuzzy_join(
             "— alias the id before joining"
         )
 
+    blocks = _block_cols(block_col)
     lsel = left.select(
         F.col(left_id).alias("__lid"),
-        F.col(block_col).alias("__block"),
+        *[F.col(b).alias(f"__blk{i}") for i, b in enumerate(blocks)],
         *[F.col(lc).alias(f"__l{i}") for i, (lc, _) in enumerate(compare_cols)],
     )
     rsel = right.select(
         F.col(right_id).alias("__rid"),
-        F.col(block_col).alias("__rblock"),
+        *[F.col(b).alias(f"__rblk{i}") for i, b in enumerate(blocks)],
         *[F.col(rc).alias(f"__r{i}") for i, (_, rc) in enumerate(compare_cols)],
     )
-    if max_block_size is not None:
-        # blocks too big on EITHER side are dropped from BOTH: a one-sided
-        # drop would silently halve the guard (the join pairs l x r)
-        big = (
-            lsel.groupBy(F.col("__block").alias("__b")).count()
-            .unionByName(rsel.groupBy(F.col("__rblock").alias("__b")).count())
-            .groupBy("__b")
-            .agg(F.max("count").alias("__n"))
-            .where(F.col("__n") > max_block_size)
-            .select("__b")
-        )
-        lsel = lsel.join(
-            F.broadcast(big), lsel["__block"] == big["__b"], "left_anti"
-        )
-        rsel = rsel.join(
-            F.broadcast(big), rsel["__rblock"] == big["__b"], "left_anti"
-        )
-
-    cand = lsel.join(rsel, lsel["__block"] == rsel["__rblock"])
+    cand = _blocked_candidates(lsel, rsel, len(blocks), max_block_size)
     sims = [
         _sim(F.col(f"__l{i}"), F.col(f"__r{i}"), method)
         for i in range(len(compare_cols))
@@ -162,7 +218,7 @@ def fellegi_sunter_links(
     right: DataFrame,
     left_id: str,
     right_id: str,
-    block_col: str,
+    block_col: str | Sequence[str],
     compares: list[tuple[str, str, float, float]],
     threshold: float = 0.0,
     max_block_size: int = 1000,
@@ -205,9 +261,10 @@ def fellegi_sunter_links(
     if left_id == right_id:
         out_left, out_right = f"{left_id}_l", f"{right_id}_r"
 
+    blocks = _block_cols(block_col)
     lsel = left.select(
         F.col(left_id).alias("__lid"),
-        F.col(block_col).alias("__block"),
+        *[F.col(b).alias(f"__blk{i}") for i, b in enumerate(blocks)],
         *[
             F.col(lc).cast("string").alias(f"__l{i}")
             for i, (lc, _, _, _) in enumerate(compares)
@@ -215,29 +272,13 @@ def fellegi_sunter_links(
     )
     rsel = right.select(
         F.col(right_id).alias("__rid"),
-        F.col(block_col).alias("__rblock"),
+        *[F.col(b).alias(f"__rblk{i}") for i, b in enumerate(blocks)],
         *[
             F.col(rc).cast("string").alias(f"__r{i}")
             for i, (_, rc, _, _) in enumerate(compares)
         ],
     )
-    if max_block_size is not None:
-        big = (
-            lsel.groupBy(F.col("__block").alias("__b")).count()
-            .unionByName(rsel.groupBy(F.col("__rblock").alias("__b")).count())
-            .groupBy("__b")
-            .agg(F.max("count").alias("__n"))
-            .where(F.col("__n") > max_block_size)
-            .select("__b")
-        )
-        lsel = lsel.join(
-            F.broadcast(big), lsel["__block"] == big["__b"], "left_anti"
-        )
-        rsel = rsel.join(
-            F.broadcast(big), rsel["__rblock"] == big["__b"], "left_anti"
-        )
-
-    cand = lsel.join(rsel, lsel["__block"] == rsel["__rblock"])
+    cand = _blocked_candidates(lsel, rsel, len(blocks), max_block_size)
     score = F.lit(0.0)
     n_agree = F.lit(0)
     for i, (_, _, m, u) in enumerate(compares):

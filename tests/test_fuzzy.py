@@ -216,3 +216,85 @@ def test_fellegi_sunter_oversized_block_guard(spark):
         threshold=-10.0, max_block_size=10,
     ).collect()
     assert {(r["id_l"], r["id_r"]) for r in out} == {(100, 100)}
+
+
+def test_fuzzy_join_multi_pass_blocking_recovers_drifted_block(spark):
+    """A pair whose FIRST block key drifted (zip typo) must still link
+    through the second pass (name soundex-ish key); a pair reachable via
+    both passes is scored once (pair-level dedup before verify)."""
+    from pyspark.sql import Row
+
+    from ratatool_spark.operators.fuzzy import fuzzy_join
+
+    left = spark.createDataFrame(
+        [
+            Row(lid=1, zip="94110", nm="JONES", name="alice jones"),
+            Row(lid=2, zip="10001", nm="SMITH", name="bob smith"),
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            # zip typo'd: only the nm pass can reach it
+            Row(rid=101, zip="94II0", nm="JONES", name="alice jonez"),
+            # both keys intact: reachable via BOTH passes -> one score row
+            Row(rid=102, zip="10001", nm="SMITH", name="bob smith"),
+        ]
+    )
+    single = fuzzy_join(
+        left, right, "lid", "rid", "zip", [("name", "name")], threshold=0.8
+    ).collect()
+    assert {(r["lid"], r["rid"]) for r in single} == {(2, 102)}
+
+    multi = fuzzy_join(
+        left,
+        right,
+        "lid",
+        "rid",
+        ["zip", "nm"],
+        [("name", "name")],
+        threshold=0.8,
+    ).collect()
+    assert {(r["lid"], r["rid"]) for r in multi} == {(1, 101), (2, 102)}
+    assert len(multi) == 2  # (2,102) reachable twice but scored once
+
+
+def test_fellegi_sunter_multi_pass_blocking(spark):
+    """Same multi-pass recall net on the probabilistic scorer."""
+    from pyspark.sql import Row
+
+    from ratatool_spark.operators.fuzzy import fellegi_sunter_links
+
+    left = spark.createDataFrame(
+        [Row(lid=1, b1="X", b2="P", v="42"), Row(lid=2, b1="Y", b2="Q", v="77")]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(rid=11, b1="DRIFTED", b2="P", v="42"),
+            Row(rid=12, b1="Y", b2="Q", v="77"),
+        ]
+    )
+    out = fellegi_sunter_links(
+        left,
+        right,
+        "lid",
+        "rid",
+        ["b1", "b2"],
+        [("v", "v", 0.9, 0.01)],
+        threshold=0.0,
+    ).collect()
+    assert {(r["lid"], r["rid"]) for r in out} == {(1, 11), (2, 12)}
+    assert len(out) == 2
+
+
+def test_fuzzy_join_multi_pass_rejects_bad_blocks(spark):
+    from pyspark.sql import Row
+
+    import pytest as _pt
+
+    from ratatool_spark.operators.fuzzy import fuzzy_join
+
+    df = spark.createDataFrame([Row(id=1, b="x", name="n")])
+    with _pt.raises(ValueError, match="at least one blocking key"):
+        fuzzy_join(df, df, "id", "id", [], [("name", "name")])
+    with _pt.raises(ValueError, match="duplicate blocking keys"):
+        fuzzy_join(df, df, "id", "id", ["b", "b"], [("name", "name")])
