@@ -131,34 +131,42 @@ def _q_line_dedup_document(spark, sf_dir):
 _SQL_LINE_DEDUP_DOCUMENT = _sql_line_dedup("document", 2)
 
 def _q_bpe_train(spark, sf_dir):
-    """Distributed BPE tokenizer TRAINING replayed cross-engine
-    (corpus.bpe_learn): 4 merge rounds over the documents vocabulary —
-    per round one keyed pair-count aggregate, a deterministic
-    (cnt DESC, pair ASC) argmax, and a greedy left-to-right merge fold.
-    The oracle replays every round with chained CTEs; its merge step
-    uses the sentinel-string form (each symbol wrapped ␂sym␂, one
-    non-overlapping replace of ␂l␂␂r␂) which is provably the same
-    greedy pass as the operator's aggregate fold — so a drift in pair
-    counting, tie-break, or merge greediness flips a later round's
-    winner and mismatches."""
+    """Distributed BPE tokenizer TRAINING with batched merge selection,
+    replayed cross-engine (corpus.bpe_learn(batch=16)): 6 rounds over
+    the documents vocabulary, each = one keyed pair-count aggregate, a
+    deterministic (cnt DESC, lhs, rhs) ranking of the top-64 candidate
+    pairs, a greedy admission of up to 16 pairwise symbol-DISJOINT
+    merges (disjointness makes the batch order-independent, so one
+    fused fold pass equals per-merge passes), and one fold applying the
+    whole batch — 64 merges in 6 jobs instead of 64 (the real-vocab
+    throughput path: a 30k-merge vocab at this yield is ~O(n/11) jobs).
+    The oracle replays every round: the same pair counts, the same
+    ranking, the same greedy disjoint admission (a recursive CTE
+    walking candidates in rank order carrying the used-symbol set), and
+    the same batch application (a list_reduce of sentinel-string
+    replaces, provably the same greedy pass as the aggregate fold) — a
+    drift in counting, tie-break, admission rule, or fold greediness
+    flips a later round and mismatches."""
     from ratatool_spark.operators.corpus import bpe_learn
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    merges = bpe_learn(docs, n_merges=4)
+    merges = bpe_learn(docs, n_merges=64, batch=16, pool=64, rounds=6)
     return spark.createDataFrame(
         [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
         "step int, lhs string, rhs string",
     )
 
 
-def _sql_bpe_train(n_merges: int = 4) -> str:
+def _sql_bpe_train(
+    n_merges: int = 64, batch: int = 16, pool: int = 64, rounds: int = 6
+) -> str:
     sep2 = "chr(2) || chr(2)"
     ctes = [
-        """w AS (
+        """w AS MATERIALIZED (
   SELECT tok AS w, COUNT(*) AS freq FROM (
     SELECT UNNEST(string_split(trim(text), ' ')) AS tok FROM documents
   ) WHERE LENGTH(tok) > 0 GROUP BY tok
-), t0 AS (
+), t0 AS MATERIALIZED (
   SELECT freq,
          chr(2) || array_to_string(
            list_transform(range(1, len(w) + 1),
@@ -167,32 +175,69 @@ def _sql_bpe_train(n_merges: int = 4) -> str:
   FROM w
 )"""
     ]
-    for i in range(1, n_merges + 1):
+    for i in range(1, rounds + 1):
         ctes.append(
-            f"""p{i} AS (
+            f"""p{i} AS MATERIALIZED (
   SELECT ls[j] AS l, ls[j + 1] AS r, SUM(freq) AS cnt
   FROM (SELECT freq,
                string_split(substr(s, 2, len(s) - 2), {sep2}) AS ls
         FROM t{i - 1}),
        UNNEST(range(1, len(ls))) AS u(j)
   GROUP BY 1, 2
-), b{i} AS (
-  SELECT l, r FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1
-), t{i} AS (
+), r{i} AS MATERIALIZED (
+  SELECT l, r, rk FROM (
+    SELECT l, r, ROW_NUMBER() OVER (ORDER BY cnt DESC, l, r) AS rk
+    FROM p{i}
+  ) WHERE rk <= {pool}
+), s{i} AS (
+  -- greedy disjoint admission in rank order: walk candidates carrying
+  -- the set of used symbols (and merge outputs) as a sentinel string
+  SELECT 0 AS rk, CAST('' AS VARCHAR) AS used, 0 AS n_acc,
+         CAST(NULL AS VARCHAR) AS l, CAST(NULL AS VARCHAR) AS r,
+         FALSE AS acc
+  UNION ALL
+  SELECT rk,
+         CASE WHEN ok THEN used || mark ELSE used END,
+         n_acc + CASE WHEN ok THEN 1 ELSE 0 END,
+         l, r, ok
+  FROM (
+    SELECT c.rk, st.used, st.n_acc, c.l, c.r,
+           (position(chr(2) || c.l || chr(2) IN st.used) = 0
+            AND position(chr(2) || c.r || chr(2) IN st.used) = 0
+            AND position(chr(2) || c.l || c.r || chr(2) IN st.used) = 0)
+             AS ok,
+           chr(2) || c.l || chr(2) || chr(2) || c.r || chr(2)
+             || chr(2) || c.l || c.r || chr(2) AS mark
+    FROM s{i} st JOIN r{i} c ON c.rk = st.rk + 1
+    WHERE st.n_acc < {batch}
+  )
+), rules{i} AS MATERIALIZED (
+  SELECT list(l || chr(3) || r ORDER BY rk) AS rs FROM s{i} WHERE acc
+), t{i} AS MATERIALIZED (
   SELECT freq,
-         replace(s,
-                 chr(2) || (SELECT l FROM b{i}) || {sep2}
-                        || (SELECT r FROM b{i}) || chr(2),
-                 chr(2) || (SELECT l FROM b{i})
-                        || (SELECT r FROM b{i}) || chr(2)) AS s
+         list_reduce(
+           list_prepend(s, COALESCE((SELECT rs FROM rules{i}),
+                                    CAST([] AS VARCHAR[]))),
+           (a, x) -> replace(a,
+             chr(2) || split_part(x, chr(3), 1) || chr(2)
+               || chr(2) || split_part(x, chr(3), 2) || chr(2),
+             chr(2) || split_part(x, chr(3), 1)
+               || split_part(x, chr(3), 2) || chr(2))) AS s
   FROM t{i - 1}
 )"""
         )
-    steps = "\nUNION ALL\n".join(
-        f"SELECT {i} AS step, l AS lhs, r AS rhs FROM b{i}"
-        for i in range(1, n_merges + 1)
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS rnd, rk, l, r FROM s{i} WHERE acc"
+        for i in range(1, rounds + 1)
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + steps + "\nORDER BY step"
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + f"""
+SELECT ROW_NUMBER() OVER (ORDER BY rnd, rk) AS step, l AS lhs, r AS rhs
+FROM ({union})
+ORDER BY step LIMIT {n_merges}"""
+    )
 
 
 def _q_interval_join_events(spark, sf_dir):

@@ -216,21 +216,67 @@ def bpe_pair_counts(
     return out
 
 
+def _select_compatible_merges(
+    cands: list[tuple[str, str]], k: int
+) -> list[tuple[str, str]]:
+    """Greedy prefix of ``cands`` (already in cnt DESC, lhs, rhs order)
+    of up to ``k`` pairwise-compatible merges: a pair is admitted iff
+    neither symbol NOR its concatenation has appeared in any admitted
+    pair (or its output). Disjointness is what makes a BATCH of merges
+    order-independent — applying one admitted merge can neither create
+    nor destroy occurrences of another (their symbols never touch), so
+    one fused left-to-right pass equals sequential per-merge passes in
+    any order, and a SQL replay of the same selection + replaces agrees
+    exactly. Greedy in rank order keeps the prefix property: the first
+    j admitted under cap k are the admitted under cap j."""
+    used: set[str] = set()
+    chosen: list[tuple[str, str]] = []
+    for a, b in cands:
+        if a in used or b in used or (a + b) in used:
+            continue
+        chosen.append((a, b))
+        used.update((a, b, a + b))
+        if len(chosen) == k:
+            break
+    return chosen
+
+
 def bpe_learn(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 10,
+    batch: int = 1,
+    pool: int = 128,
+    rounds: int | None = None,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges over the corpus — the full iterative
     tokenizer-training loop, distributed like the IVF k-means trainer
     (``operators/similarity.train_centroids``): per round, one keyed
-    aggregation finds the most frequent adjacent symbol pair (1-row
-    driver collect, deterministic max-count/lexicographic tiebreak), and
-    a pure ``aggregate`` fold greedily merges that pair left-to-right
-    inside every word's symbol array. State (distinct words × symbol
-    arrays × frequencies) is ``localCheckpoint``-ed per round so the plan
-    doesn't grow with iterations — the same guard as
-    ``connected_components``. Returns the merge list in order."""
+    aggregation ranks adjacent symbol pairs (deterministic
+    max-count/lexicographic tiebreak), and a pure ``aggregate`` fold
+    greedily merges the chosen pair(s) left-to-right inside every word's
+    symbol array. State (distinct words × symbol arrays × frequencies)
+    is ``localCheckpoint``-ed per round so the plan doesn't grow with
+    iterations — the same guard as ``connected_components``. Returns the
+    merge list in order.
+
+    ``batch`` > 1 is the batched-merge-selection throughput path for
+    real vocabularies: strict BPE runs ONE Spark job (a corpus-wide
+    pair-count aggregation + tiny collect) per merge — a 30k-merge
+    vocab would be 30k sequential jobs. Instead each round collects the
+    top-``pool`` candidate pairs once and admits up to ``batch`` of
+    them that are pairwise symbol-disjoint
+    (:func:`_select_compatible_merges`), applying the whole batch in
+    one fused fold pass — O(n_merges / yield) jobs total. The trade is
+    the standard batched-BPE approximation: merges 2..k of a round are
+    ranked by PRE-round counts rather than counts refreshed after each
+    preceding merge; disjointness keeps each admitted pair's own count
+    exact, so only the cross-round interleaving differs from strict
+    greedy. Runs exactly ``rounds`` rounds (default
+    ``ceil(n_merges / batch)`` — a fixed, engine-replayable schedule;
+    pass it explicitly when rounds under-fill, i.e. when the alphabet
+    can't supply ``batch`` disjoint pairs per round) and truncates to
+    ``n_merges``; ``batch=1`` is strict greedy BPE unchanged."""
     # drop empty tokens (double/leading spaces): Spark's sequence(1, 0)
     # DESCENDS, so an empty word would otherwise materialize ['', '']
     # symbol arrays and let the degenerate ('','') pair win a merge
@@ -249,8 +295,14 @@ def bpe_learn(
         )
         .localCheckpoint(eager=False)
     )
+    if batch < 1:
+        raise ValueError(f"batch must be >= 1, got {batch}")
+    if batch > 1 and pool < batch:
+        raise ValueError(f"pool ({pool}) must be >= batch ({batch})")
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
+    if rounds is None:
+        rounds = -(-n_merges // batch)  # ceil: full-yield schedule
+    for _ in range(rounds):
         z = F.arrays_zip(
             F.slice(F.col("__sym"), 1, F.greatest(F.size("__sym") - 1, F.lit(1))).alias("a"),
             F.slice(F.col("__sym"), 2, F.greatest(F.size("__sym") - 1, F.lit(1))).alias("b"),
@@ -262,20 +314,23 @@ def bpe_learn(
             .groupBy(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
             .agg(F.sum("__freq").alias("cnt"))
             .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
-            .limit(1)
+            .limit(1 if batch == 1 else pool)
             .collect()
         )
         if not pc:
             break
-        a, b = pc[0]["a"], pc[0]["b"]
-        merges.append((a, b))
+        chosen = _select_compatible_merges([(r["a"], r["b"]) for r in pc], batch)
+        merges.extend(chosen)
         # the SAME fold bpe_segment encodes with — one definition, so the
         # "re-encoding reproduces the learner's state" contract is
         # enforced structurally, not by parallel-maintained copies
+        # (the fused multi-rule pass equals the per-merge passes because
+        # the batch is symbol-disjoint)
         wf = wf.select(
-            "__freq", _merge_fold_expr(F.col("__sym"), a, b).alias("__sym")
+            "__freq",
+            _merge_fold_multi_expr(F.col("__sym"), chosen).alias("__sym"),
         ).localCheckpoint(eager=False)
-    return merges
+    return merges[:n_merges]
 
 
 def assign_splits(
@@ -799,6 +854,39 @@ def _merge_fold_expr(sym: Column, a: str, b: str) -> Column:
             ),
         ).otherwise(F.concat(acc, F.array(s))),
     )
+
+
+def _merge_fold_multi_expr(
+    sym: Column, rules: Sequence[tuple[str, str]]
+) -> Column:
+    """One greedy left-to-right pass applying a SET of symbol-disjoint
+    merges as a single ``aggregate`` fold. Because no symbol (or merge
+    output) is shared between rules, at most one rule can match at any
+    position and the fused pass is exactly equivalent to applying each
+    rule in its own pass, in any order — which is what lets
+    ``bpe_learn(batch=k)`` apply a whole round in one expression, and
+    lets ``bpe_segment`` replay the learned list per-merge. A 1-rule
+    call is :func:`_merge_fold_expr` exactly."""
+    if not rules:
+        return sym
+    if len(rules) == 1:
+        return _merge_fold_expr(sym, rules[0][0], rules[0][1])
+    empty = F.array().cast("array<string>")
+
+    def step(acc: Column, s: Column) -> Column:
+        last = F.element_at(acc, -1)
+        hit = None
+        for a, b in rules:
+            c = (last == F.lit(a)) & (s == F.lit(b))
+            hit = c if hit is None else (hit | c)
+        merged = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1), F.array(F.concat(last, s))
+        )
+        return F.when((F.size(acc) > 0) & hit, merged).otherwise(
+            F.concat(acc, F.array(s))
+        )
+
+    return F.aggregate(sym, empty, step)
 
 
 def bpe_apply_merges(word: str, merges: Sequence[tuple[str, str]]) -> list[str]:

@@ -1046,3 +1046,75 @@ def test_bpe_learn_ignores_empty_tokens(spark):
     )
     merges = bpe_learn(df, n_merges=1)
     assert merges == [("a", "b")]
+
+
+def test_bpe_learn_batched_matches_driver_replay(spark, documents):
+    """bpe_learn(batch=k) must equal the pure-Python replay of the same
+    schedule: per round, rank pairs (cnt DESC, lhs, rhs), admit up to
+    batch symbol-disjoint pairs greedily, apply them all, repeat."""
+    from collections import defaultdict
+
+    from ratatool_spark.operators.corpus import (
+        _select_compatible_merges,
+        bpe_learn,
+    )
+
+    n_merges, batch, pool = 20, 8, 64
+    got = bpe_learn(documents, n_merges=n_merges, batch=batch, pool=pool)
+
+    words = defaultdict(int)
+    for r in documents.select("text").collect():
+        for w in (r["text"] or "").strip().split(" "):
+            if w:
+                words[w] += 1
+    state = [(list(w), f) for w, f in words.items()]
+    exp = []
+    for _ in range(-(-n_merges // batch)):
+        pc = defaultdict(int)
+        for syms, f in state:
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        cands = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:pool]
+        chosen = _select_compatible_merges([p for p, _ in cands], batch)
+        if not chosen:
+            break
+        exp.extend(chosen)
+        rset = {(a, b) for a, b in chosen}
+        nxt = []
+        for syms, f in state:
+            acc = []
+            for s in syms:
+                if acc and (acc[-1], s) in rset:
+                    acc[-1] = acc[-1] + s
+                else:
+                    acc.append(s)
+            nxt.append((acc, f))
+        state = nxt
+    assert got == exp[:n_merges]
+    assert len(got) == n_merges
+
+
+def test_bpe_learn_batch1_is_strict_greedy(spark, documents):
+    """batch=1 must stay the strict-greedy trainer bit-for-bit."""
+    from ratatool_spark.operators.corpus import bpe_learn
+
+    assert bpe_learn(documents, n_merges=4) == bpe_learn(
+        documents, n_merges=4, batch=1
+    )
+
+
+def test_select_compatible_merges_rules():
+    from ratatool_spark.operators.corpus import _select_compatible_merges
+
+    cands = [("t", "h"), ("h", "e"), ("i", "n"), ("t", "i"), ("e", "r")]
+    # 'h' used by (t,h); 't' used; admitted: (t,h), (i,n), (e,r)
+    assert _select_compatible_merges(cands, 5) == [
+        ("t", "h"), ("i", "n"), ("e", "r")
+    ]
+    # prefix property: cap 2 = first 2 of cap 5
+    assert _select_compatible_merges(cands, 2) == [("t", "h"), ("i", "n")]
+    # concatenation collision: ('a','b') makes 'ab'; ('ab','c') blocked,
+    # and a pair whose OUTPUT equals a used symbol is blocked too
+    assert _select_compatible_merges(
+        [("a", "b"), ("ab", "c"), ("x", "y")], 5
+    ) == [("a", "b"), ("x", "y")]
