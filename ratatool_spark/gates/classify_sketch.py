@@ -416,6 +416,176 @@ FROM scored WHERE score >= 5.0
 """
 
 
+
+def _q_fellegi_em(spark, sf_dir):
+    """Unsupervised Fellegi-Sunter training (operators/fuzzy.
+    fellegi_sunter_em; Winkler's EM recipe): the SAME engineered-twin
+    fixture as fellegi_sunter_links, but the m/u probabilities are now
+    ESTIMATED from the blocked candidate pairs instead of supplied — one
+    data pass reduces pairs to agreement-pattern counts, then 5
+    fixed-point EM iterations (posteriors snapped to an integer grid,
+    exact integer M-step sums, one fixed float op per parameter). The
+    oracle replays the pattern reduction AND all 5 unrolled iterations
+    in SQL with the identical op sequence, so a drift in the E-step
+    product order, the missing-field rule, the quantization, or the
+    clamp flips a trained parameter and mismatches."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.fuzzy import fellegi_sunter_em
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").where(
+        F.col("c_custkey") % 7 == 0
+    )
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    left = cust.select(
+        F.col("c_custkey").alias("lid"),
+        F.col("c_nationkey").alias("blk"),
+        cents.cast("string").alias("acct"),
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("c_name"))
+        .alias("c_name"),
+    )
+    right = cust.select(
+        (F.col("c_custkey") + 1000000).alias("rid"),
+        F.col("c_nationkey").alias("blk"),
+        F.when(F.col("c_custkey") % 3 == 0, (cents + 1).cast("string"))
+        .otherwise(cents.cast("string"))
+        .alias("acct"),
+        F.when(F.col("c_custkey") % 4 == 0, F.lit("PERTURBED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        "c_name",
+    )
+    model = fellegi_sunter_em(
+        left,
+        right,
+        "lid",
+        "rid",
+        "blk",
+        [("acct", "acct"), ("c_mktsegment", "c_mktsegment"),
+         ("c_name", "c_name")],
+        n_iters=5,
+    )
+    rows = [
+        (i, mi, ui, model["lam"])
+        for i, (mi, ui) in enumerate(model["fields"])
+    ]
+    out = spark.createDataFrame(
+        rows, "field int, m double, u double, lam double"
+    )
+    return out.select(
+        "field",
+        F.round("m", 8).alias("m"),
+        F.round("u", 8).alias("u"),
+        F.round("lam", 8).alias("lam"),
+    )
+
+
+def _sql_fellegi_em(n_iters: int = 5, nf: int = 3) -> str:
+    one = "CAST(1.0 AS DOUBLE)"
+    S = "1000000000000"
+
+    def fac(i, p):
+        return (
+            f"CASE WHEN g{i} = 1 THEN it.{p}{i} "
+            f"WHEN g{i} = 0 THEN {one} - it.{p}{i} ELSE {one} END"
+        )
+
+    def clamp(x):
+        return (
+            f"LEAST(GREATEST({x}, CAST(1e-9 AS DOUBLE)), "
+            f"CAST(0.999999999 AS DOUBLE))"
+        )
+
+    flags = ", ".join(
+        f"CASE WHEN l_{c} IS NULL OR r_{c} IS NULL THEN 2 "
+        f"WHEN l_{c} = r_{c} THEN 1 ELSE 0 END AS g{i}"
+        for i, c in enumerate(("p", "s", "n"))
+    )
+    gcols = ", ".join(f"g{i}" for i in range(nf))
+    ctes = [
+        """base AS (
+  SELECT * FROM customer WHERE c_custkey % 7 = 0
+), cents AS (
+  SELECT *, CAST(CAST(ROUND(c_acctbal * 100) AS BIGINT) AS VARCHAR) AS ac
+  FROM base
+), l AS (
+  SELECT c_custkey AS lid, c_nationkey AS blk, ac AS l_p,
+         c_mktsegment AS l_s,
+         CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_name END AS l_n
+  FROM cents
+), r AS (
+  SELECT c_custkey + 1000000 AS rid, c_nationkey AS blk,
+         CASE WHEN c_custkey % 3 = 0 THEN
+           CAST(CAST(ROUND(c_acctbal * 100) AS BIGINT) + 1 AS VARCHAR)
+              ELSE ac END AS r_p,
+         CASE WHEN c_custkey % 4 = 0 THEN 'PERTURBED'
+              ELSE c_mktsegment END AS r_s,
+         c_name AS r_n
+  FROM cents
+), pat AS MATERIALIZED (
+  SELECT """ + gcols + """, COUNT(*) AS cnt FROM (
+    SELECT """ + flags + """
+    FROM l JOIN r USING (blk)
+  ) GROUP BY """ + gcols + """
+), np AS (SELECT SUM(cnt) AS n FROM pat)""",
+        "it0 AS (SELECT CAST(0.1 AS DOUBLE) AS lam, "
+        + ", ".join(
+            f"CAST(0.9 AS DOUBLE) AS m{i}, CAST(0.1 AS DOUBLE) AS u{i}"
+            for i in range(nf)
+        )
+        + ")",
+    ]
+    for k in range(1, n_iters + 1):
+        mnum = " * ".join(fac(i, "m") for i in range(nf))
+        unum = " * ".join(fac(i, "u") for i in range(nf))
+        parms = [
+            clamp(
+                f"CAST(SUM(wq * cnt) AS DOUBLE) / "
+                f"CAST({S} * (SELECT n FROM np) AS DOUBLE)"
+            )
+            + " AS lam"
+        ]
+        for i in range(nf):
+            mden = f"SUM(CASE WHEN g{i} <> 2 THEN wq * cnt ELSE 0 END)"
+            uden = f"SUM(CASE WHEN g{i} <> 2 THEN ({S} - wq) * cnt ELSE 0 END)"
+            mnum_i = f"SUM(CASE WHEN g{i} = 1 THEN wq * cnt ELSE 0 END)"
+            unum_i = f"SUM(CASE WHEN g{i} = 1 THEN ({S} - wq) * cnt ELSE 0 END)"
+            parms.append(
+                f"CASE WHEN {mden} = 0 THEN (SELECT m{i} FROM it{k - 1}) "
+                f"ELSE " + clamp(f"CAST({mnum_i} AS DOUBLE) / CAST({mden} AS DOUBLE)")
+                + f" END AS m{i}"
+            )
+            parms.append(
+                f"CASE WHEN {uden} = 0 THEN (SELECT u{i} FROM it{k - 1}) "
+                f"ELSE " + clamp(f"CAST({unum_i} AS DOUBLE) / CAST({uden} AS DOUBLE)")
+                + f" END AS u{i}"
+            )
+        ctes.append(
+            f"""e{k} AS MATERIALIZED (
+  SELECT {gcols}, cnt,
+         CAST(FLOOR(num / (num + den) * CAST({S}.0 AS DOUBLE)) AS BIGINT)
+           AS wq
+  FROM (
+    SELECT p.*,
+           it.lam * {mnum} AS num,
+           ({one} - it.lam) * {unum} AS den
+    FROM pat p CROSS JOIN it{k - 1} it
+  )
+), it{k} AS MATERIALIZED (
+  SELECT """ + ",\n         ".join(parms) + f"""
+  FROM e{k}
+)"""
+        )
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {i} AS field, ROUND(m{i}, 8) AS m, ROUND(u{i}, 8) AS u, "
+        f"ROUND(lam, 8) AS lam FROM it{n_iters}"
+        for i in range(nf)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
 _SQL_FUZZY_JOIN = """
 WITH base AS (
   SELECT * FROM customer WHERE c_custkey % 5 = 0

@@ -301,3 +301,147 @@ def fellegi_sunter_links(
         )
         .where(F.col("score") >= threshold)
     )
+
+
+def fellegi_sunter_em(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    block_col: str | Sequence[str],
+    compares: list[tuple[str, str]],
+    n_iters: int = 5,
+    lam0: float = 0.1,
+    m0: float = 0.9,
+    u0: float = 0.1,
+    max_block_size: int = 1000,
+    scale: int = 10**12,
+) -> dict:
+    """Unsupervised estimation of the Fellegi–Sunter m/u probabilities by
+    EM over the blocked candidate pairs (Winkler 1988's standard recipe)
+    — the trainer :func:`fellegi_sunter_links` was missing: its m/u
+    inputs are usually NOT known a priori; the normal workflow estimates
+    them from the comparison data itself.
+
+    Shape, built for 100 TB: the ONLY data-scale work is one pass that
+    reduces the candidate pairs to agreement-PATTERN counts — each pair
+    contributes a vector γ ∈ {agree=1, disagree=0, missing=2}^F, and the
+    groupBy over patterns yields ≤ 3^F rows (F = len(compares)). EM then
+    iterates driver-side over that tiny table, like every iterative
+    trainer here (train_centroids, bpe_learn): per iteration the E-step
+    computes each pattern's match posterior
+    ``w = λ·Πᵢ fᵢ(m) / (λ·Πᵢ fᵢ(m) + (1-λ)·Πᵢ fᵢ(u))`` (missing fields
+    contribute factor 1 — a missing field attests nothing, the same rule
+    as the scorer), and the M-step re-estimates λ, mᵢ, uᵢ from
+    w-weighted pattern counts, with missing-field patterns excluded
+    from field i's numerator AND denominator.
+
+    Bit-reproducible across engines and partitionings (the
+    ``train_centroids_exact`` discipline): posteriors are snapped to an
+    integer grid (``floor(w·scale)``), all M-step accumulation is EXACT
+    integer arithmetic (order-independent; Python ints don't overflow),
+    and each new parameter is finished with one fixed float op sequence
+    ``float(num) / float(den)`` then clamped to
+    [1e-9, 0.999999999]. The E-step products multiply in field order
+    left-to-right — a SQL replay of the same expressions agrees to the
+    last bit (pinned by the ``fellegi_sunter_em`` gate's DuckDB twin).
+
+    Returns ``{"lam": λ, "fields": [(m_i, u_i), ...], "n_pairs": N,
+    "patterns": {(γ...): count}}``; feed ``fields`` into
+    :func:`fellegi_sunter_links` to score with the trained weights.
+    """
+    if not compares:
+        raise ValueError("fellegi_sunter_em needs at least one compare")
+    if n_iters < 1:
+        raise ValueError(f"n_iters must be >= 1, got {n_iters}")
+    nf = len(compares)
+    blocks = _block_cols(block_col)
+    lsel = left.select(
+        F.col(left_id).alias("__lid"),
+        *[F.col(b).alias(f"__blk{i}") for i, b in enumerate(blocks)],
+        *[
+            F.col(lc).cast("string").alias(f"__l{i}")
+            for i, (lc, _) in enumerate(compares)
+        ],
+    )
+    rsel = right.select(
+        F.col(right_id).alias("__rid"),
+        *[F.col(b).alias(f"__rblk{i}") for i, b in enumerate(blocks)],
+        *[
+            F.col(rc).cast("string").alias(f"__r{i}")
+            for i, (_, rc) in enumerate(compares)
+        ],
+    )
+    cand = _blocked_candidates(lsel, rsel, len(blocks), max_block_size)
+    flags = [
+        F.when(
+            F.col(f"__l{i}").isNull() | F.col(f"__r{i}").isNull(), F.lit(2)
+        )
+        .when(F.col(f"__l{i}") == F.col(f"__r{i}"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias(f"g{i}")
+        for i in range(nf)
+    ]
+    rows = (
+        cand.select(*flags)
+        .groupBy(*[f"g{i}" for i in range(nf)])
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    pats = [
+        (tuple(int(r[f"g{i}"]) for i in range(nf)), int(r["cnt"]))
+        for r in rows
+    ]
+    n_pairs = sum(c for _, c in pats)
+    if n_pairs == 0:
+        raise ValueError("fellegi_sunter_em: no candidate pairs to train on")
+
+    def clamp(x: float) -> float:
+        return min(max(x, 1e-9), 0.999999999)
+
+    import math
+
+    lam = float(lam0)
+    m = [float(m0)] * nf
+    u = [float(u0)] * nf
+    for _ in range(n_iters):
+        lam_num = 0
+        m_num = [0] * nf
+        m_den = [0] * nf
+        u_num = [0] * nf
+        u_den = [0] * nf
+        for g, c in pats:
+            num = lam
+            den = 1.0 - lam
+            for i in range(nf):
+                if g[i] == 1:
+                    num = num * m[i]
+                    den = den * u[i]
+                elif g[i] == 0:
+                    num = num * (1.0 - m[i])
+                    den = den * (1.0 - u[i])
+            wq = int(math.floor(num / (num + den) * float(scale)))
+            lam_num += wq * c
+            for i in range(nf):
+                if g[i] == 2:
+                    continue
+                m_den[i] += wq * c
+                u_den[i] += (scale - wq) * c
+                if g[i] == 1:
+                    m_num[i] += wq * c
+                    u_num[i] += (scale - wq) * c
+        lam = clamp(float(lam_num) / float(scale * n_pairs))
+        m = [
+            clamp(float(m_num[i]) / float(m_den[i])) if m_den[i] else m[i]
+            for i in range(nf)
+        ]
+        u = [
+            clamp(float(u_num[i]) / float(u_den[i])) if u_den[i] else u[i]
+            for i in range(nf)
+        ]
+    return {
+        "lam": lam,
+        "fields": list(zip(m, u)),
+        "n_pairs": n_pairs,
+        "patterns": {g: c for g, c in pats},
+    }

@@ -298,3 +298,92 @@ def test_fuzzy_join_multi_pass_rejects_bad_blocks(spark):
         fuzzy_join(df, df, "id", "id", [], [("name", "name")])
     with _pt.raises(ValueError, match="duplicate blocking keys"):
         fuzzy_join(df, df, "id", "id", ["b", "b"], [("name", "name")])
+
+
+def test_fellegi_sunter_em_learns_separating_weights(spark):
+    """On a separable fixture (true twins agree on v, random pairs
+    don't), EM must drive m toward 1 and u toward the random agreement
+    rate, and lam toward the match fraction of candidate pairs."""
+    from pyspark.sql import Row
+
+    from ratatool_spark.operators.fuzzy import (
+        fellegi_sunter_em,
+        fellegi_sunter_links,
+    )
+
+    # three fields for identifiability (Winkler: a 2-class latent model
+    # needs >= 3 conditionally independent comparisons): v is unique per
+    # entity (agrees only on twins), w/x agree on twins AND on ~1/5,
+    # ~1/7 of random pairs
+    n = 40
+    left = spark.createDataFrame(
+        [Row(lid=i, blk=i % 4, v=f"val{i}", w=f"w{i % 5}", x=f"x{i % 7}")
+         for i in range(n)]
+    )
+    right = spark.createDataFrame(
+        [Row(rid=i + 1000, blk=i % 4, v=f"val{i}", w=f"w{i % 5}",
+             x=f"x{i % 7}")
+         for i in range(n)]
+    )
+    model = fellegi_sunter_em(
+        left, right, "lid", "rid", "blk",
+        [("v", "v"), ("w", "w"), ("x", "x")], n_iters=8,
+    )
+    (m_v, u_v), (m_w, u_w), (m_x, u_x) = model["fields"]
+    # v agrees only on the 40 true twins out of 400 block pairs
+    assert m_v > 0.95 and u_v < 0.05
+    # w/x also agree on a chunk of random pairs -> higher u
+    assert m_w > 0.9 and u_w > 0.1
+    assert m_x > 0.9 and u_x > 0.05
+    assert 0.05 < model["lam"] < 0.2  # 40 / 400
+    assert model["n_pairs"] == 400
+    # trained weights slot straight into the scorer
+    links = fellegi_sunter_links(
+        left, right, "lid", "rid", "blk",
+        [("v", "v", m_v, u_v)], threshold=1.0,
+    ).collect()
+    assert {(r["lid"], r["rid"]) for r in links} == {
+        (i, i + 1000) for i in range(n)
+    }
+
+
+def test_fellegi_sunter_em_missing_fields_attest_nothing(spark):
+    """A field that is NULL on every row must stay at its initial m/u
+    (no pattern ever updates it) and not poison the other field."""
+    from pyspark.sql import Row
+
+    from ratatool_spark.operators.fuzzy import fellegi_sunter_em
+
+    left = spark.createDataFrame(
+        [Row(lid=i, blk=0, v=f"v{i}", miss=None) for i in range(6)],
+        "lid int, blk int, v string, miss string",
+    )
+    right = spark.createDataFrame(
+        [Row(rid=i, blk=0, v=f"v{i}", miss=None) for i in range(6)],
+        "rid int, blk int, v string, miss string",
+    )
+    model = fellegi_sunter_em(
+        left, right, "lid", "rid", "blk",
+        [("v", "v"), ("miss", "miss")], n_iters=3,
+    )
+    m_miss, u_miss = model["fields"][1]
+    assert (m_miss, u_miss) == (0.9, 0.1)  # untouched initials
+    m_v, u_v = model["fields"][0]
+    assert m_v > u_v
+
+
+def test_fellegi_sunter_em_is_deterministic(spark):
+    from pyspark.sql import Row
+
+    from ratatool_spark.operators.fuzzy import fellegi_sunter_em
+
+    left = spark.createDataFrame(
+        [Row(lid=i, blk=i % 3, v=f"a{i % 7}") for i in range(30)]
+    )
+    right = spark.createDataFrame(
+        [Row(rid=i, blk=i % 3, v=f"a{i % 5}") for i in range(30)]
+    )
+    args = (left, right, "lid", "rid", "blk", [("v", "v")])
+    m1 = fellegi_sunter_em(*args)
+    m2 = fellegi_sunter_em(*args)
+    assert m1["lam"] == m2["lam"] and m1["fields"] == m2["fields"]
