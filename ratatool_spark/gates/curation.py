@@ -984,6 +984,85 @@ FROM truth t LEFT JOIN approx a
 GROUP BY t.query_id
 """
 
+def _q_ann_quantized_recall(spark, sf_dir):
+    """Recall accounting for the QUANTIZED ANN scanners (r7 verdict #7),
+    each against its metric-matched exact truth:
+
+      - ``sq8``: int8 + per-row scale codes, cosine top-3 vs the exact
+        cosine top-3 (near-lossless quantization -> recall 1.0 here);
+      - ``pq_rerank20``: PQ (16 subspaces x 64 centroids, asymmetric
+        L2 distance) as a CANDIDATE GENERATOR retrieving top-20, scored
+        as recall of the exact squared-L2 top-3 within those candidates
+        — the standard PQ + exact-re-rank pipeline shape (measuring PQ's
+        top-3 directly against cosine truth would conflate metric
+        mismatch with quantization loss and report ~0 on this
+        structureless fixture — distance concentration, not a bug).
+
+    The oracle recomputes both truths AND both scanners in SQL and
+    joins them; the >= 0.9 recall floors for both methods are pinned
+    in tests/test_retrieval.py (sq8 measures 1.0 at this SF)."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_l2,
+        pq_encode,
+        pq_topk,
+        sq8_topk,
+        topk_recall,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    truth_cos = brute_force_topk(emb, q, k=3)
+    sq8 = sq8_topk(emb, q, k=3)
+    truth_l2 = brute_force_topk_l2(emb, q, k=3)
+    books = train_pq_codebooks(emb, m=16, k=64, seed=13, train_iters=0)
+    pq = pq_topk(pq_encode(emb, books), q, books, k=20)
+    r_sq8 = topk_recall(truth_cos, sq8).withColumn("method", F.lit("sq8"))
+    r_pq = topk_recall(truth_l2, pq).withColumn(
+        "method", F.lit("pq_rerank20")
+    )
+    return r_sq8.unionByName(r_pq).select(
+        "method", "query_id", "n_truth", "n_hit", "recall"
+    )
+
+def _sql_ann_quantized_recall() -> str:
+    from ratatool_spark.gates.retrieval_media import (
+        _sql_ann_sq8_topk,
+        _sql_pq_topk,
+    )
+
+    truth_cos = _SQL_ANN_BRUTE.strip()
+    sq8 = _sql_ann_sq8_topk().strip()
+    pq = _sql_pq_topk(m=16, kc=64, topk=20).strip()
+    d = "(CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))"
+    l2 = (
+        f"list_reduce(list_transform(range(1, 65), i -> {d} * {d}), "
+        "(x, y) -> x + y)"
+    )
+    truth_l2 = f"""SELECT query_id, neighbor_id FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY {l2}, c.vec_id) AS rank
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+) WHERE rank <= 3"""
+    leg = """SELECT '{name}' AS method, t.query_id, COUNT(*) AS n_truth,
+       COUNT(a.neighbor_id) AS n_hit,
+       ROUND(COUNT(a.neighbor_id) / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+FROM {truth} t LEFT JOIN {rel} a
+  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+GROUP BY t.query_id"""
+    return f"""
+WITH truth_cos AS ({truth_cos}), sq8r AS ({sq8}),
+     truth_l2 AS ({truth_l2}), pqr AS ({pq})
+{leg.format(name="sq8", truth="truth_cos", rel="sq8r")}
+UNION ALL
+{leg.format(name="pq_rerank20", truth="truth_l2", rel="pqr")}
+"""
+
 def _q_jsonl_roundtrip(spark, sf_dir):
     """JSON-lines IO round-trip (sources/io S6): documents written as
     JSONL and read back through the sniffing reader must preserve values

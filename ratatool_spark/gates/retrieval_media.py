@@ -49,21 +49,22 @@ def _q_pq_topk(spark, sf_dir):
         "rank",
     )
 
-def _sql_pq_topk() -> str:
+def _sql_pq_topk(m: int = 8, kc: int = 16, topk: int = 3, dim: int = 64) -> str:
+    sub = dim // m
     h = (
         "(('0x' || substr(md5(concat_ws(chr(1), '13', "
         "CAST(vec_id AS VARCHAR))), 1, 15))::BIGINT)"
     )
 
     def subdist(a: str, b: str, j: str) -> str:
-        # Σ_t (a[j*8+t] − b[j*8+t])² with explicit multiply, left fold —
-        # the _sq_l2 twin over one 8-dim subspace
+        # Σ_t (a[j*sub+t] − b[j*sub+t])² with explicit multiply, left
+        # fold — the _sq_l2 twin over one sub-dim subspace
         d = (
-            f"(CAST({a}[{j} * 8 + t] AS DOUBLE) - "
-            f"CAST({b}[{j} * 8 + t] AS DOUBLE))"
+            f"(CAST({a}[{j} * {sub} + t] AS DOUBLE) - "
+            f"CAST({b}[{j} * {sub} + t] AS DOUBLE))"
         )
         return (
-            f"list_reduce(list_transform(range(1, 9), t -> {d} * {d}), "
+            f"list_reduce(list_transform(range(1, {sub + 1}), t -> {d} * {d}), "
             "(x, y) -> x + y)"
         )
 
@@ -71,7 +72,7 @@ def _sql_pq_topk() -> str:
 WITH cents AS (
   SELECT rn - 1 AS c, embedding FROM (
     SELECT ROW_NUMBER() OVER (ORDER BY {h}) AS rn, embedding FROM embeddings
-  ) WHERE rn <= 16
+  ) WHERE rn <= {kc}
 ),
 enc AS (
   SELECT vec_id, sub, code FROM (
@@ -80,7 +81,7 @@ enc AS (
              PARTITION BY v.vec_id, s.sub
              ORDER BY {subdist('v.embedding', 'ct.embedding', 's.sub')}, ct.c
            ) AS rn
-    FROM embeddings v, range(8) s(sub), cents ct
+    FROM embeddings v, range({m}) s(sub), cents ct
   ) WHERE rn = 1
 ),
 terms AS (
@@ -106,7 +107,7 @@ ranked AS (
   FROM adc
 )
 SELECT query_id, neighbor_id, ROUND(adc_dist, 6) AS adc_dist, rank
-FROM ranked WHERE rank <= 3
+FROM ranked WHERE rank <= {topk}
 """
 
 def _q_ivfpq_topk(spark, sf_dir):

@@ -52,6 +52,39 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_l2(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact squared-L2 top-k neighbors — the metric-matched truth for
+    the L2-ranked scanners (PQ's asymmetric distance approximates L2,
+    not cosine, so measuring PQ recall against cosine truth conflates
+    metric mismatch with quantization loss). (query_id, neighbor_id,
+    l2_dist, rank), self-matches excluded, ties by neighbor id; same
+    broadcast-queries/corpus-never-moves shape as
+    :func:`brute_force_topk`. Distance is the order-pinned
+    :func:`_sq_l2` fold, so a SQL replay ranks identically."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("l2_dist"), F.col("neighbor_id")
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _sq_l2(F.col("qv"), F.col("cv")).alias("l2_dist"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def hard_negatives(
     corpus: DataFrame,
     queries: DataFrame,

@@ -266,3 +266,42 @@ def test_bm25_no_broadcast_hint_same_results(tables):
         map(tuple, bm25_topk(docs, q, k=10, broadcast_queries=False).collect())
     )
     assert a == b
+
+
+def test_quantized_ann_recall_floors(spark):
+    """Pins the accuracy of the quantized scanners at the driver's
+    correctness SF (sf0.01 — the ann_quantized_recall gate's fixture;
+    the sf0.001 corpus has margins so tight that a single int8 rounding
+    flip drops below the floor): sq8 is near-lossless vs exact cosine
+    truth;
+    PQ-as-candidate-generator (top-20, 16x64 codebooks) must retain the
+    exact-L2 top-3 at recall >= 0.9 averaged over queries — the
+    PQ + exact-re-rank pipeline contract."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_l2,
+        pq_encode,
+        pq_topk,
+        sq8_topk,
+        topk_recall,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    sq8_avg = (
+        topk_recall(brute_force_topk(emb, q, k=3), sq8_topk(emb, q, k=3))
+        .agg(F.avg("recall"))
+        .first()[0]
+    )
+    assert sq8_avg >= 0.9, sq8_avg
+    books = train_pq_codebooks(emb, m=16, k=64, seed=13, train_iters=0)
+    pq = pq_topk(pq_encode(emb, books), q, books, k=20)
+    pq_avg = (
+        topk_recall(brute_force_topk_l2(emb, q, k=3), pq)
+        .agg(F.avg("recall"))
+        .first()[0]
+    )
+    assert pq_avg >= 0.9, pq_avg
