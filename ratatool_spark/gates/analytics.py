@@ -739,6 +739,159 @@ FROM cells
 """
 
 
+def _q_zorder_skip(spark, sf_dir):
+    """Z-order SKIP-PROOF (r7 verdict #4): zorder_key_orders pins the
+    key arithmetic; this gate pins the PAYOFF. Orders are written twice
+    as real parquet with fixed 512-row row groups — once z-ordered on
+    (o_custkey, o_totalprice), once single-column-sorted — and the
+    footer min/max stats are audited against a 2-D range box covering
+    10-30% of each dimension (exactly the parquet reader's pruning
+    rule: scan iff [min,max] intersects the box on EVERY column). The
+    oracle PREDICTS the same counts from first principles — rank rows
+    by the replayed z-key, bucket by rank/512, min/max per bucket — so
+    a match proves the written files' footers carry the predicted
+    clustering and the skip counts are real, not luck. The write goes
+    through pyarrow driver-side for byte-deterministic row-group
+    boundaries (fixture-scale audit; the production write path is
+    zorder_repartition + Spark's writer, where each range partition
+    becomes a file with the same tight footers)."""
+    return _zorder_skip_rows(spark, sf_dir, rgs=512)
+
+
+def _zorder_skip_rows(spark, sf_dir, rgs):
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.layout import (
+        row_group_skip_audit,
+        row_group_stats,
+        zorder_key,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    rng = o.agg(
+        F.min("o_custkey").alias("lo_c"),
+        F.max("o_custkey").alias("hi_c"),
+        F.min("o_totalprice").alias("lo_p"),
+        F.max("o_totalprice").alias("hi_p"),
+    ).first()
+    lo_c, hi_c = float(rng["lo_c"]), float(rng["hi_c"])
+    lo_p, hi_p = float(rng["lo_p"]), float(rng["hi_p"])
+    z = zorder_key(
+        [F.col("o_custkey"), F.col("o_totalprice")],
+        [F.lit(lo_c), F.lit(lo_p)],
+        [F.lit(hi_c), F.lit(hi_p)],
+        bits=8,
+    )
+    zdf = o.withColumn("zval", z)
+    box = {
+        "o_custkey": (lo_c + 0.1 * (hi_c - lo_c), lo_c + 0.3 * (hi_c - lo_c)),
+        "o_totalprice": (
+            lo_p + 0.1 * (hi_p - lo_p),
+            lo_p + 0.3 * (hi_p - lo_p),
+        ),
+    }
+    tmp = tempfile.mkdtemp(prefix="zskip_")
+    rows = []
+    for layout, order in (
+        ("zorder", [F.col("zval"), F.col("o_orderkey")]),
+        ("linear", [F.col("o_custkey"), F.col("o_orderkey")]),
+    ):
+        pdf = (
+            zdf.orderBy(*order)
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .toPandas()
+        )
+        path = os.path.join(tmp, f"{layout}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            path,
+            row_group_size=rgs,
+        )
+        stats = row_group_stats(path, ["o_custkey", "o_totalprice"])
+        n_groups, n_scanned = row_group_skip_audit(stats, box)
+        rows.append((layout, n_groups, n_scanned, n_groups - n_scanned))
+    return spark.createDataFrame(
+        rows, "layout string, n_groups int, n_scanned int, n_pruned int"
+    )
+
+
+def _sql_zorder_skip(bits: int = 8, rgs: int = 512) -> str:
+    def cell(c, lo, hi):
+        return (
+            f"CASE WHEN {hi} = {lo} THEN 0 ELSE "
+            f"LEAST(GREATEST(CAST(FLOOR(({c} - {lo}) / (({hi} - {lo}) "
+            f"/ CAST({1 << bits} AS DOUBLE))) AS BIGINT), 0), "
+            f"{(1 << bits) - 1}) END"
+        )
+
+    terms = []
+    for i in range(bits):
+        for j in range(2):
+            terms.append(f"(((c{j} >> {i}) & 1) << {i * 2 + j})")
+    hit = (
+        "mx_c >= b.c_lo AND mn_c <= b.c_hi "
+        "AND mx_p >= b.p_lo AND mn_p <= b.p_hi"
+    )
+    leg = """SELECT '{name}' AS layout,
+       CAST(COUNT(*) AS INT) AS n_groups,
+       CAST(SUM(CASE WHEN {hit} THEN 1 ELSE 0 END) AS INT) AS n_scanned,
+       CAST(COUNT(*) - SUM(CASE WHEN {hit} THEN 1 ELSE 0 END) AS INT)
+         AS n_pruned
+FROM {grp}, box b"""
+    return f"""
+WITH rng AS (
+  SELECT CAST(MIN(o_custkey) AS DOUBLE) AS lo_c,
+         CAST(MAX(o_custkey) AS DOUBLE) AS hi_c,
+         CAST(MIN(o_totalprice) AS DOUBLE) AS lo_p,
+         CAST(MAX(o_totalprice) AS DOUBLE) AS hi_p
+  FROM orders
+), box AS (
+  SELECT lo_c + CAST(0.1 AS DOUBLE) * (hi_c - lo_c) AS c_lo,
+         lo_c + CAST(0.3 AS DOUBLE) * (hi_c - lo_c) AS c_hi,
+         lo_p + CAST(0.1 AS DOUBLE) * (hi_p - lo_p) AS p_lo,
+         lo_p + CAST(0.3 AS DOUBLE) * (hi_p - lo_p) AS p_hi
+  FROM rng
+), cells AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         {cell('CAST(o_custkey AS DOUBLE)', 'lo_c', 'hi_c')} AS c0,
+         {cell('CAST(o_totalprice AS DOUBLE)', 'lo_p', 'hi_p')} AS c1
+  FROM orders, rng
+), zd AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         CAST({' + '.join(terms)} AS BIGINT) AS zval
+  FROM cells
+), rz AS (
+  SELECT o_custkey, o_totalprice,
+         ROW_NUMBER() OVER (ORDER BY zval, o_orderkey) - 1 AS rn
+  FROM zd
+), gz AS (
+  SELECT FLOOR(rn / {rgs}) AS g,
+         MIN(o_custkey) AS mn_c, MAX(o_custkey) AS mx_c,
+         MIN(o_totalprice) AS mn_p, MAX(o_totalprice) AS mx_p
+  FROM rz GROUP BY 1
+), rl AS (
+  SELECT o_custkey, o_totalprice,
+         ROW_NUMBER() OVER (ORDER BY o_custkey, o_orderkey) - 1 AS rn
+  FROM zd
+), gl AS (
+  SELECT FLOOR(rn / {rgs}) AS g,
+         MIN(o_custkey) AS mn_c, MAX(o_custkey) AS mx_c,
+         MIN(o_totalprice) AS mn_p, MAX(o_totalprice) AS mx_p
+  FROM rl GROUP BY 1
+)
+{leg.format(name='zorder', hit=hit, grp='gz')}
+UNION ALL
+{leg.format(name='linear', hit=hit, grp='gl')}
+"""
+
+
 def _q_rendezvous_shard(spark, sf_dir):
     """Rendezvous / HRW sharding (operators/layout.rendezvous_shard):
     orders assigned to 5 named shards by argmax of the portable hash of

@@ -142,3 +142,52 @@ def rendezvous_shard(
     # max on (h, shard): reverse(array_sort(...))[0] — ties (hash
     # collisions) break toward the LARGER shard name, deterministically
     return F.reverse(F.array_sort(scored))[0]["shard"]
+
+
+def row_group_stats(path: str, cols: list[str]) -> list[dict]:
+    """Per-row-group [min, max] footer statistics for ``cols`` from a
+    parquet file or directory of part files — the metadata a scan
+    planner prunes with. Footer-only reads (never row data), so this
+    audit is cheap at any table size; part files are visited in sorted
+    name order so group indices are stable."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = (
+        sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    out: list[dict] = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            entry: dict = {"file": os.path.basename(f), "group": g,
+                           "n_rows": rg.num_rows}
+            for c in cols:
+                st = rg.column(name_to_idx[c]).statistics
+                entry[c] = (st.min, st.max)
+            out.append(entry)
+    return out
+
+
+def row_group_skip_audit(
+    stats: list[dict], box: dict[str, tuple[float, float]]
+) -> tuple[int, int]:
+    """(n_groups, n_scanned) for a conjunctive range predicate ``box``
+    ({col: (lo, hi)}) against :func:`row_group_stats` output — a row
+    group is scanned iff its [min, max] interval intersects the
+    predicate range on EVERY column (exactly the parquet reader's
+    min/max pruning rule). n_groups − n_scanned is the skip payoff the
+    z-order layout exists to buy."""
+    scanned = 0
+    for e in stats:
+        hit = all(
+            e[c][1] >= lo and e[c][0] <= hi for c, (lo, hi) in box.items()
+        )
+        scanned += 1 if hit else 0
+    return len(stats), scanned
