@@ -3,11 +3,14 @@
 Closes the most common real-codec seam in :mod:`multimodal` (the container
 has no PIL/libjpeg): ``decode_jpeg`` parses actual JFIF bytes — marker
 segments, DQT/DHT tables, Huffman-coded MCUs, dequantization, IDCT,
-chroma upsampling, YCbCr→RGB — and ``encode_jpeg`` produces standard
-baseline 4:4:4 streams with the T.81 Annex K tables, so the pair
-round-trips without any native library. Decode supports grayscale and
-3-component YCbCr with arbitrary (≤2) sampling factors (4:4:4, 4:2:2,
-4:2:0) plus restart markers; progressive/arithmetic/12-bit streams raise
+chroma upsampling, YCbCr→RGB — and ``encode_jpeg`` /
+``encode_jpeg_progressive`` produce standard streams with the T.81
+Annex K tables, so the pairs round-trip without any native library.
+Decode supports grayscale and 3-component YCbCr with arbitrary (≤2)
+sampling factors (4:4:4, 4:2:2, 4:2:0) plus restart markers, for BOTH
+sequential baseline (SOF0/1) and progressive (SOF2: spectral selection
++ successive approximation, DC/AC first and refinement scans, EOB
+runs — T.81 Annex G); arithmetic/hierarchical/12-bit streams raise
 ``NotImplementedError`` exactly like the other codec seams.
 
 Everything per-block runs through numpy (the IDCT is two 8×8 GEMMs per
@@ -230,10 +233,15 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
-    """(width, height, rgb_bytes) from a baseline sequential JPEG.
+    """(width, height, rgb_bytes) from a baseline OR progressive JPEG.
 
-    Grayscale replicates Y into all three channels so the output layout
-    matches decode_bmp/decode_png (3 bytes/pixel, row-major, top-down).
+    Baseline (SOF0/1) decodes in one scan pass; progressive (SOF2,
+    spectral selection + successive approximation per T.81 Annex G)
+    accumulates DCT coefficients across every scan — DC first/refine,
+    AC first/refine with EOB-run handling — and reconstructs once at
+    EOI. Grayscale replicates Y into all three channels so the output
+    layout matches decode_bmp/decode_png (3 bytes/pixel, row-major,
+    top-down).
     """
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -243,6 +251,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
     comps: list[dict] = []
     width = height = 0
     restart_interval = 0
+    progressive = False
+    coef: list[np.ndarray] | None = None  # per-comp zigzag coefficients
     n = len(data)
     while pos < n:
         if data[pos] != 0xFF:
@@ -270,7 +280,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
                 tbl[_ZIGZAG] = np.frombuffer(seg[p : p + 64], dtype=np.uint8)
                 qt[tq] = tbl.reshape(8, 8)
                 p += 64
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog.
+            progressive = marker == 0xC2
             prec = seg[0]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision")
@@ -282,9 +293,11 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            if progressive:
+                coef = _init_prog_state(width, height, comps)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0x{marker:02X})"
+                f"unsupported JPEG (SOF marker 0x{marker:02X})"
             )
         elif marker == 0xC4:  # DHT
             p = 0
@@ -305,11 +318,21 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
                 comp = next(c for c in comps if c["id"] == cs)
                 scan.append((comp, tda >> 4, tda & 0xF))
             pos += seglen
-            return _decode_scan(
-                data, pos, width, height, comps, scan, qt, huff, restart_interval
+            if not progressive:
+                return _decode_scan(
+                    data, pos, width, height, comps, scan, qt, huff,
+                    restart_interval,
+                )
+            ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            pos = _decode_prog_scan(
+                data, pos, comps, coef, scan, huff, restart_interval,
+                ss, se, a >> 4, a & 0xF,
             )
+            continue
         # APPn / COM / others: skip
         pos += seglen
+    if progressive and coef is not None:
+        return _finish_progressive(width, height, comps, coef, qt)
     raise ValueError("no SOS marker found")
 
 
@@ -377,7 +400,19 @@ def _decode_scan(
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
             mcu_count += 1
-    # upsample each plane to full resolution (sample replication), crop
+    return _compose_rgb(comps, planes, width, height, hmax, vmax)
+
+
+def _compose_rgb(
+    comps: list[dict],
+    planes: list[np.ndarray],
+    width: int,
+    height: int,
+    hmax: int,
+    vmax: int,
+) -> tuple[int, int, bytes]:
+    """Upsample (sample replication), crop, YCbCr→RGB — shared by the
+    baseline and progressive decode paths."""
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -396,6 +431,240 @@ def _decode_scan(
         rgb = np.stack([r, g, b], axis=2)
     out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     return width, height, out.tobytes()
+
+
+# -------------------------------------------------- progressive decode
+
+
+def _init_prog_state(
+    width: int, height: int, comps: list[dict]
+) -> list[np.ndarray]:
+    """Per-component zigzag coefficient stores for progressive decode:
+    the full interleaved-MCU grid (bw × bh blocks — DC scans may touch
+    padding blocks) plus each component's ACTUAL block grid (abw × abh —
+    what non-interleaved AC scans cover, T.81 A.2.2)."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    coef = []
+    for c in comps:
+        c["bw"] = mcux * c["h"]
+        c["bh"] = mcuy * c["v"]
+        cw = (width * c["h"] + hmax - 1) // hmax
+        ch = (height * c["v"] + vmax - 1) // vmax
+        c["abw"] = (cw + 7) // 8
+        c["abh"] = (ch + 7) // 8
+        coef.append(np.zeros((c["bh"], c["bw"], 64), dtype=np.int64))
+    return coef
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Advance past entropy bytes / stuffing / stray RSTs to the next
+    true marker's 0xFF."""
+    n = len(data)
+    while pos < n - 1:
+        if data[pos] == 0xFF:
+            nxt = data[pos + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                pos += 2
+                continue
+            if nxt == 0xFF:
+                pos += 1
+                continue
+            return pos
+        pos += 1
+    return pos
+
+
+def _dc_prog_block(
+    br: _BitReader,
+    tbl: dict | None,
+    b: np.ndarray,
+    ah: int,
+    al: int,
+    pred: list[int],
+    si: int,
+) -> None:
+    if ah == 0:  # first DC scan: diffs of the point-transformed values
+        t = _huff_decode(br, tbl)
+        diff = _extend(br.read(t), t) if t else 0
+        pred[si] += diff
+        b[0] = pred[si] << al
+    else:  # refinement: one raw bit per block (G.1.2.1)
+        if br.read(1):
+            b[0] = int(b[0]) | (1 << al)
+
+
+def _ac_first_block(
+    br: _BitReader, tbl: dict, b: np.ndarray, ss: int, se: int, al: int,
+    eobrun: int,
+) -> int:
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(br, tbl)
+        r, s = rs >> 4, rs & 0xF
+        if s:
+            k += r
+            b[k] = _extend(br.read(s), s) << al
+            k += 1
+        else:
+            if r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += br.read(r)
+                return eobrun - 1  # this block is part of the EOB run
+            k += 16  # ZRL
+    return 0
+
+
+def _ac_refine_block(
+    br: _BitReader, tbl: dict, b: np.ndarray, ss: int, se: int, al: int,
+    eobrun: int,
+) -> int:
+    """T.81 G.2 AC successive-approximation refinement: already-nonzero
+    coefficients receive one correction bit each (applied only when that
+    bit isn't set yet); newly-significant ones arrive as run/1 symbols
+    with a sign bit."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(br, tbl)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s:
+                if s != 1:
+                    raise ValueError("AC refinement size must be 1")
+                val = p1 if br.read(1) else -p1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += br.read(r)
+                break
+            while k <= se:
+                if b[k] != 0:
+                    if br.read(1) and (int(b[k]) & p1) == 0:
+                        b[k] += p1 if b[k] >= 0 else -p1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                b[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # remainder of the band: correction bits only
+            if b[k] != 0:
+                if br.read(1) and (int(b[k]) & p1) == 0:
+                    b[k] += p1 if b[k] >= 0 else -p1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_prog_scan(
+    data: bytes,
+    pos: int,
+    comps: list[dict],
+    coef: list[np.ndarray],
+    scan: list[tuple[dict, int, int]],
+    huff: dict,
+    restart_interval: int,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+) -> int:
+    """Decode one progressive scan into the coefficient store; returns
+    the stream position of the next marker."""
+    br = _BitReader(data, pos)
+    if ss == 0:  # DC scan (se must be 0 per A.2; multi-component allowed)
+        if se != 0:
+            raise ValueError("progressive DC scan requires Se=0")
+        pred = [0] * len(scan)
+        cnt = 0
+        if len(scan) == 1:
+            c, td, _ = scan[0]
+            ci = comps.index(c)
+            tbl = huff.get((0, td))
+            for by in range(c["abh"]):
+                for bx in range(c["abw"]):
+                    if restart_interval and cnt and cnt % restart_interval == 0:
+                        br.restart()
+                        pred = [0] * len(scan)
+                    _dc_prog_block(br, tbl, coef[ci][by, bx], ah, al, pred, 0)
+                    cnt += 1
+        else:
+            mcux = comps[0]["bw"] // comps[0]["h"]
+            mcuy = comps[0]["bh"] // comps[0]["v"]
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and cnt and cnt % restart_interval == 0:
+                        br.restart()
+                        pred = [0] * len(scan)
+                    for si, (c, td, _) in enumerate(scan):
+                        ci = comps.index(c)
+                        tbl = huff.get((0, td))
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                _dc_prog_block(
+                                    br, tbl,
+                                    coef[ci][my * c["v"] + by, mx * c["h"] + bx],
+                                    ah, al, pred, si,
+                                )
+                    cnt += 1
+    else:  # AC scan: single component, non-interleaved (T.81 B.2.3)
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        c, _, ta = scan[0]
+        ci = comps.index(c)
+        tbl = huff.get((1, ta))
+        eobrun = 0
+        cnt = 0
+        for by in range(c["abh"]):
+            for bx in range(c["abw"]):
+                if restart_interval and cnt and cnt % restart_interval == 0:
+                    br.restart()
+                    eobrun = 0
+                b = coef[ci][by, bx]
+                if ah == 0:
+                    eobrun = _ac_first_block(br, tbl, b, ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine_block(br, tbl, b, ss, se, al, eobrun)
+                cnt += 1
+    return _next_marker(data, br.pos)
+
+
+def _finish_progressive(
+    width: int,
+    height: int,
+    comps: list[dict],
+    coef: list[np.ndarray],
+    qt: dict[int, np.ndarray],
+) -> tuple[int, int, bytes]:
+    """Dequantize + IDCT the accumulated coefficients (one vectorized
+    einsum per component), then the shared upsample/convert tail."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = []
+    for ci, c in enumerate(comps):
+        q = qt[c["tq"]].astype(np.float64)
+        zz = coef[ci].reshape(-1, 64).astype(np.float64)
+        blocks = np.zeros_like(zz)
+        blocks[:, _ZIGZAG] = zz
+        blocks = blocks.reshape(-1, 8, 8) * q[None, :, :]
+        pix = np.einsum("ij,njk,kl->nil", _BASIS.T, blocks, _BASIS) + 128.0
+        plane = (
+            pix.reshape(c["bh"], c["bw"], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(c["bh"] * 8, c["bw"] * 8)
+        )
+        planes.append(plane)
+    return _compose_rgb(comps, planes, width, height, hmax, vmax)
 
 
 # --------------------------------------------------------------- encode
@@ -620,3 +889,275 @@ def encode_jpeg(
     bw.flush()
     entropy += bytes(bw.out)
     return bytes(hdr) + bytes(entropy) + b"\xff\xd9"
+
+
+# ------------------------------------------------- progressive encode
+
+
+def _quantized_coeffs(
+    width: int, height: int, rgb: bytes, quality: int, subsample: str
+):
+    """Per-component quantized zigzag coefficient arrays (bh, bw, 64) —
+    the shared front half of progressive encoding (color convert, pad,
+    DCT, quantize; same arithmetic as the baseline encoder so the two
+    codings carry identical coefficients)."""
+    hy, vy = (2, 2) if subsample == "420" else (1, 1)
+    qy_z, qc_z = _scaled_tables(quality)
+    qy = np.zeros(64, dtype=np.int64)
+    qc = np.zeros(64, dtype=np.int64)
+    qy[_ZIGZAG] = qy_z
+    qc[_ZIGZAG] = qc_z
+    qy8, qc8 = qy.reshape(8, 8), qc.reshape(8, 8)
+    px = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3).astype(np.float64)
+    r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    mcux = (width + 8 * hy - 1) // (8 * hy)
+    mcuy = (height + 8 * vy - 1) // (8 * vy)
+
+    def pad_to(p: np.ndarray, rows: int, cols: int) -> np.ndarray:
+        return np.pad(
+            p, ((0, rows - p.shape[0]), (0, cols - p.shape[1])), mode="edge"
+        )
+
+    yp = pad_to(y, mcuy * vy * 8, mcux * hy * 8)
+    if subsample == "420":
+        cbp = pad_to(cb, mcuy * 16, mcux * 16)
+        crp = pad_to(cr, mcuy * 16, mcux * 16)
+        cbp = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean(axis=(1, 3))
+        crp = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean(axis=(1, 3))
+    else:
+        cbp = pad_to(cb, mcuy * 8, mcux * 8)
+        crp = pad_to(cr, mcuy * 8, mcux * 8)
+
+    def blockify(plane: np.ndarray, q8: np.ndarray) -> np.ndarray:
+        bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+        out = np.zeros((bh, bw, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                co = _BASIS @ (blk - 128.0) @ _BASIS.T
+                quant = np.round(co / q8).astype(np.int64)
+                out[by, bx] = quant.reshape(64)[_ZIGZAG]
+        return out
+
+    return (
+        hy, vy, mcux, mcuy, qy_z, qc_z,
+        [blockify(yp, qy8), blockify(cbp, qc8), blockify(crp, qc8)],
+    )
+
+
+def _enc_dc_first(
+    bw_: "_BitWriter", coefs, scan_comps, hv, al, mcux, mcuy, dc_tbls
+) -> None:
+    pred = [0] * len(scan_comps)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for si, ci in enumerate(scan_comps):
+                h, v = hv[ci]
+                for by in range(v):
+                    for bx in range(h):
+                        val = int(coefs[ci][my * v + by, mx * h + bx, 0]) >> al
+                        diff = val - pred[si]
+                        pred[si] = val
+                        t, raw = _magnitude(diff)
+                        code, ln = dc_tbls[ci][t]
+                        bw_.write(code, ln)
+                        if t:
+                            bw_.write(raw, t)
+
+
+def _enc_dc_refine(bw_, coefs, scan_comps, hv, al, mcux, mcuy) -> None:
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in scan_comps:
+                h, v = hv[ci]
+                for by in range(v):
+                    for bx in range(h):
+                        bw_.write(
+                            (int(coefs[ci][my * v + by, mx * h + bx, 0]) >> al) & 1,
+                            1,
+                        )
+
+
+def _enc_ac_first_scan(bw_, cf, abw, abh, tbl, ss, se, al) -> None:
+    """AC first scan over the component's actual block grid: run/size
+    coding of the point-transformed band, EOB0 per block (legal EOB run
+    of 1 — the Annex K tables carry no EOBn symbols)."""
+    for by in range(abh):
+        for bx in range(abw):
+            zz = cf[by, bx]
+            run = 0
+            vals = []
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                a = abs(v) >> al
+                vals.append(a if v >= 0 else -a)
+            nz = [i for i, v in enumerate(vals) if v]
+            last = nz[-1] if nz else -1
+            for i in range(last + 1):
+                v = vals[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = tbl[0xF0]
+                    bw_.write(code, ln)
+                    run -= 16
+                t, raw = _magnitude(v)
+                code, ln = tbl[(run << 4) | t]
+                bw_.write(code, ln)
+                bw_.write(raw, t)
+                run = 0
+            if last < se - ss:
+                code, ln = tbl[0x00]  # EOB
+                bw_.write(code, ln)
+
+
+def _enc_ac_refine_scan(bw_, cf, abw, abh, tbl, ss, se, al) -> None:
+    """AC refinement scan (T.81 G.1.2.3): correction bits for
+    already-nonzero coefficients, run/1 + sign for newly-significant
+    ones, pending correction bits flushed after each emitted symbol."""
+    for by in range(abh):
+        for bx in range(abw):
+            zz = cf[by, bx]
+            run = 0
+            br_bits: list[int] = []
+            eobpos = -1
+            for k in range(ss, se + 1):
+                if (abs(int(zz[k])) >> al) == 1:
+                    eobpos = k
+            for k in range(ss, se + 1):
+                temp = abs(int(zz[k])) >> al
+                if temp == 0:
+                    run += 1
+                    continue
+                while run > 15 and k <= eobpos:
+                    code, ln = tbl[0xF0]
+                    bw_.write(code, ln)
+                    run -= 16
+                    for bit in br_bits:
+                        bw_.write(bit, 1)
+                    br_bits = []
+                if temp > 1:  # already significant: correction bit
+                    br_bits.append(temp & 1)
+                    continue
+                code, ln = tbl[(run << 4) | 1]
+                bw_.write(code, ln)
+                bw_.write(1 if int(zz[k]) > 0 else 0, 1)
+                for bit in br_bits:
+                    bw_.write(bit, 1)
+                br_bits = []
+                run = 0
+            if run > 0 or br_bits:
+                code, ln = tbl[0x00]  # EOB covers the tail
+                bw_.write(code, ln)
+                for bit in br_bits:
+                    bw_.write(bit, 1)
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    rgb: bytes,
+    quality: int = 85,
+    subsample: str = "444",
+) -> bytes:
+    """Progressive (SOF2) YCbCr JPEG from packed top-down RGB bytes.
+
+    Scan script exercises BOTH progressive mechanisms: spectral
+    selection (luma AC split into bands 1-5 and 6-63) and successive
+    approximation (every band coded at Al=1 first, refined to Al=0):
+
+      1. DC, all components, Al=1     6. DC refinement, all components
+      2. Y  AC 1-5,  Al=1             7. Y  AC 1-5,  refine
+      3. Y  AC 6-63, Al=1             8. Y  AC 6-63, refine
+      4. Cb AC 1-63, Al=1             9. Cb AC 1-63, refine
+      5. Cr AC 1-63, Al=1            10. Cr AC 1-63, refine
+
+    Coefficients are quantized with the exact baseline-encoder
+    arithmetic, so decode(progressive) == decode(baseline) pixel-for-
+    pixel at the same quality/subsampling — which is what the
+    jpeg_decode_progressive gate pins. Deterministic bitstream, Annex K
+    tables (EOB runs are emitted per block: the K tables carry no EOBn
+    symbols)."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length != width*height*3")
+    if subsample not in ("444", "420"):
+        raise NotImplementedError(f"subsample={subsample!r} (444/420 only)")
+    hy, vy, mcux, mcuy, qy_z, qc_z, coefs = _quantized_coeffs(
+        width, height, rgb, quality, subsample
+    )
+    hv = [(hy, vy), (1, 1), (1, 1)]
+    hmax, vmax = hy, vy
+    ab = []
+    for h, v in hv:
+        cw = (width * h + hmax - 1) // hmax
+        ch = (height * v + vmax - 1) // vmax
+        ab.append(((cw + 7) // 8, (ch + 7) // 8))
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0x00]) + bytes(qy_z.astype(np.uint8))
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0x01]) + bytes(qc_z.astype(np.uint8))
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, height, width, 3)
+    out += bytes([1, (hy << 4) | vy, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    for tc_th, (bits, vals) in (
+        (0x00, _HUFF_DC_LUMA),
+        (0x10, _HUFF_AC_LUMA),
+        (0x01, _HUFF_DC_CHROMA),
+        (0x11, _HUFF_AC_CHROMA),
+    ):
+        out += (
+            b"\xff\xc4"
+            + struct.pack(">H", 2 + 1 + 16 + len(vals))
+            + bytes([tc_th])
+            + bytes(bits)
+            + bytes(vals)
+        )
+
+    dc_tbls = [_huff_codes(*_HUFF_DC_LUMA)] + [_huff_codes(*_HUFF_DC_CHROMA)] * 2
+    ac_tbls = [_huff_codes(*_HUFF_AC_LUMA)] + [_huff_codes(*_HUFF_AC_CHROMA)] * 2
+
+    def sos(specs: list[tuple[int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
+        seg = bytes([len(specs)])
+        for cid, tda in specs:
+            seg += bytes([cid, tda])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(seg)) + seg
+
+    def flush(bw_: _BitWriter) -> bytes:
+        bw_.flush()
+        return bytes(bw_.out)
+
+    # 1. DC first, interleaved, Al=1
+    out += sos([(1, 0x00), (2, 0x10), (3, 0x10)], 0, 0, 0, 1)
+    bw_ = _BitWriter()
+    _enc_dc_first(bw_, coefs, [0, 1, 2], hv, 1, mcux, mcuy, dc_tbls)
+    out += flush(bw_)
+    # 2-5. AC first scans, Al=1
+    bands = [(0, 1, 5), (0, 6, 63), (1, 1, 63), (2, 1, 63)]
+    for ci, ss_, se_ in bands:
+        out += sos([(ci + 1, 0x00 | (0 if ci == 0 else 1))], ss_, se_, 0, 1)
+        bw_ = _BitWriter()
+        _enc_ac_first_scan(
+            bw_, coefs[ci], ab[ci][0], ab[ci][1], ac_tbls[ci], ss_, se_, 1
+        )
+        out += flush(bw_)
+    # 6. DC refinement, interleaved, Ah=1 -> Al=0 (raw bits, no Huffman)
+    out += sos([(1, 0x00), (2, 0x00), (3, 0x00)], 0, 0, 1, 0)
+    bw_ = _BitWriter()
+    _enc_dc_refine(bw_, coefs, [0, 1, 2], hv, 0, mcux, mcuy)
+    out += flush(bw_)
+    # 7-10. AC refinement scans, Ah=1 -> Al=0
+    for ci, ss_, se_ in bands:
+        out += sos([(ci + 1, 0x00 | (0 if ci == 0 else 1))], ss_, se_, 1, 0)
+        bw_ = _BitWriter()
+        _enc_ac_refine_scan(
+            bw_, coefs[ci], ab[ci][0], ab[ci][1], ac_tbls[ci], ss_, se_, 0
+        )
+        out += flush(bw_)
+    out += b"\xff\xd9"
+    return bytes(out)

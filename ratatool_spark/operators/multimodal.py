@@ -417,7 +417,8 @@ def make_test_media(
 ) -> DataFrame:
     """Deterministic REAL media rows, format cycling by ``media_id %
     len(formats)`` over ``formats`` (any of "bmp", "wav", "png", "jpeg" —
-    the default pair keeps the r4 oracle fixture byte-stable). Payloads
+    "jpeg_progressive" — the default pair keeps the r4 oracle fixture
+    byte-stable). Payloads
     are md5-digest repetitions so an external engine can reconstruct the
     expected checksums with pure string math (the oracles for
     ``multimodal_decode_real`` / ``_png``), while the Spark side must
@@ -434,8 +435,8 @@ def make_test_media(
             for mid in pdf["id"]:
                 digest = hashlib.md5(f"{seed}:{mid}".encode()).digest()
                 fmt = formats[mid % len(formats)]
-                if fmt in ("bmp", "png", "jpeg"):
-                    if fmt == "jpeg":
+                if fmt in ("bmp", "png", "jpeg", "jpeg_progressive"):
+                    if fmt.startswith("jpeg"):
                         # big enough to span multiple MCUs incl. partial
                         # edge blocks in both subsampling modes
                         w, h = 11 + mid % 10, 9 + mid % 7
@@ -447,6 +448,24 @@ def make_test_media(
                         content, mime = encode_bmp(w, h, rgb), "image/bmp"
                     elif fmt == "png":
                         content, mime = encode_png(w, h, rgb), "image/png"
+                    elif fmt == "jpeg_progressive":
+                        # same pixels/quality/subsampling as the "jpeg"
+                        # rows: progressive coding carries identical
+                        # coefficients, so decoded md5s match the
+                        # baseline pins (the cross-pin the progressive
+                        # gate leans on)
+                        from ratatool_spark.operators.jpeg_py import (
+                            encode_jpeg_progressive,
+                        )
+
+                        content = encode_jpeg_progressive(
+                            int(w),
+                            int(h),
+                            rgb,
+                            quality=90,
+                            subsample="420" if mid % 2 else "444",
+                        )
+                        mime = "image/jpeg"
                     else:
                         from ratatool_spark.operators.jpeg_py import encode_jpeg
 

@@ -64,11 +64,15 @@ def test_deterministic_bitstream():
     assert encode_jpeg(w, h, px, 95) == encode_jpeg(w, h, px, 95)
 
 
-def test_progressive_rejected():
+def test_arithmetic_and_malformed_progressive_rejected():
     data = bytearray(encode_jpeg(8, 8, bytes(8 * 8 * 3)))
     i = data.find(b"\xff\xc0")
-    data[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="non-baseline"):
+    data[i + 1] = 0xC9  # arithmetic coding: still unsupported
+    with pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg(bytes(data))
+    # SOF2 with a baseline scan header (Ss=0, Se=63) is spec-invalid
+    data[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="Se=0"):
         decode_jpeg(bytes(data))
 
 
@@ -203,3 +207,116 @@ def test_sos_component_order_differs_from_sof():
     reordered = bytes(hdr) + bytes(bw.out) + b"\xff\xd9"
 
     assert decode_jpeg(reordered) == decode_jpeg(normal)
+
+
+def _prog_import():
+    from ratatool_spark.operators.jpeg_py import encode_jpeg_progressive
+
+    return encode_jpeg_progressive
+
+
+@pytest.mark.parametrize("subsample", ["444", "420"])
+def test_progressive_decodes_pixel_identical_to_baseline(subsample):
+    """Progressive coding carries the same quantized coefficients as
+    baseline at equal quality/subsampling, so the 10-scan progressive
+    stream (DC first/refine, spectral bands, AC refinement) must decode
+    to EXACTLY the baseline pixels."""
+    encode_jpeg_progressive = _prog_import()
+    w, h = 53, 37
+    px = _smooth(w, h).tobytes()
+    base = decode_jpeg(encode_jpeg(w, h, px, quality=90, subsample=subsample))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(w, h, px, quality=90, subsample=subsample)
+    )
+    assert prog == base
+    assert b"\xff\xc2" in encode_jpeg_progressive(
+        w, h, px, quality=90, subsample=subsample
+    )
+
+
+def test_progressive_deterministic_bitstream():
+    encode_jpeg_progressive = _prog_import()
+    px = _smooth(24, 16).tobytes()
+    assert encode_jpeg_progressive(24, 16, px) == encode_jpeg_progressive(
+        24, 16, px
+    )
+
+
+def test_progressive_eob_run_spanning_blocks():
+    """EOBn symbols (end-of-band runs covering MULTIPLE blocks) — the
+    repo's encoder only emits per-block EOB0, so this hand-builds a
+    2-block grayscale progressive stream whose AC scan is one EOB1
+    symbol with one appended bit (EOBRUN = 2): both blocks must decode
+    with zero AC, i.e. two flat blocks at their DC levels."""
+    import struct
+
+    import numpy as np
+
+    import ratatool_spark.operators.jpeg_py as J
+
+    qt = np.ones(64, dtype=np.uint8)  # flat quant: DC value == gray shift
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0x00]) + bytes(qt)
+    # SOF2, 8 rows x 16 cols, 1 component (grayscale), h=v=1
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 16, 1)
+    out += bytes([1, 0x11, 0])
+    # DC table: Annex K luma
+    bits, vals = J._HUFF_DC_LUMA
+    out += (
+        b"\xff\xc4" + struct.pack(">H", 2 + 17 + len(vals))
+        + bytes([0x00]) + bytes(bits) + bytes(vals)
+    )
+    # custom AC table: single 1-bit code for symbol 0x10 (EOB1)
+    out += (
+        b"\xff\xc4" + struct.pack(">H", 2 + 17 + 1)
+        + bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x10])
+    )
+    # scan 1: DC first, Al=0 — blocks at DC 8 and -8 (diff coded)
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 0, 0])
+    dc = J._huff_codes(*J._HUFF_DC_LUMA)
+    bw = J._BitWriter()
+    for diff in (8, -16):  # DC values 8, -8
+        t, raw = J._magnitude(diff)
+        code, ln = dc[t]
+        bw.write(code, ln)
+        if t:
+            bw.write(raw, t)
+    bw.flush()
+    out += bytes(bw.out)
+    # scan 2: AC first 1..63, Al=0 — EOB1 + appended bit 0 => EOBRUN 2
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 1, 63, 0])
+    bw = J._BitWriter()
+    bw.write(0, 1)  # the EOB1 code
+    bw.write(0, 1)  # appended bit: EOBRUN = (1 << 1) + 0 = 2
+    bw.flush()
+    out += bytes(bw.out)
+    out += b"\xff\xd9"
+
+    w, h, rgb = decode_jpeg(bytes(out))
+    assert (w, h) == (16, 8)
+    px = np.frombuffer(rgb, np.uint8).reshape(8, 16, 3)
+    # DC of an 8x8 block contributes dc/8 per sample: 128 + 8/8 = 129
+    assert (px[:, :8] == 129).all()
+    assert (px[:, 8:] == 127).all()
+
+
+def test_decode_real_seam_handles_progressive(spark):
+    """multimodal.decode_real must parse progressive payloads through
+    the same FF D8 seam, yielding the SAME decoded checksums as the
+    baseline rows (equal coefficients)."""
+    from ratatool_spark.operators.multimodal import decode_real, make_test_media
+
+    base = {
+        r["media_id"]: r["payload_md5"]
+        for r in decode_real(
+            make_test_media(spark, n=6, seed=7, formats=("jpeg",))
+        ).collect()
+    }
+    prog = {
+        r["media_id"]: r["payload_md5"]
+        for r in decode_real(
+            make_test_media(spark, n=6, seed=7, formats=("jpeg_progressive",))
+        ).collect()
+    }
+    assert base == prog and len(base) == 6
