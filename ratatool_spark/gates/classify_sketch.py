@@ -482,7 +482,7 @@ def _q_fellegi_em(spark, sf_dir):
     )
 
 
-def _sql_fellegi_em(n_iters: int = 5, nf: int = 3) -> str:
+def _fellegi_em_ctes(n_iters: int = 5, nf: int = 3) -> str:
     one = "CAST(1.0 AS DOUBLE)"
     S = "1000000000000"
 
@@ -578,12 +578,181 @@ def _sql_fellegi_em(n_iters: int = 5, nf: int = 3) -> str:
   FROM e{k}
 )"""
         )
+    return "WITH " + ",\n".join(ctes)
+
+
+def _sql_fellegi_em(n_iters: int = 5, nf: int = 3) -> str:
     finals = "\nUNION ALL\n".join(
         f"SELECT {i} AS field, ROUND(m{i}, 8) AS m, ROUND(u{i}, 8) AS u, "
         f"ROUND(lam, 8) AS lam FROM it{n_iters}"
         for i in range(nf)
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + finals
+    return _fellegi_em_ctes(n_iters, nf) + "\n" + finals
+
+
+def _q_fellegi_auto(spark, sf_dir):
+    """End-to-end unsupervised linkage (EM-train THEN score — the
+    composition a real pipeline runs): fellegi_sunter_em estimates m/u
+    on the engineered-twin fixture and the trained probabilities feed
+    straight into fellegi_sunter_links; links score >= 5 bits of
+    evidence under the LEARNED weights. The oracle replays the full
+    chain — pattern reduction, 5 EM iterations, then the scorer with
+    LOG2 weights computed from the trained parameters in SQL — so the
+    train->score plumbing (not just each half) is gated."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.fuzzy import (
+        fellegi_sunter_em,
+        fellegi_sunter_links,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").where(
+        F.col("c_custkey") % 7 == 0
+    )
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    left = cust.select(
+        F.col("c_custkey").alias("lid"),
+        F.col("c_nationkey").alias("blk"),
+        cents.cast("string").alias("acct"),
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("c_name"))
+        .alias("c_name"),
+    )
+    right = cust.select(
+        (F.col("c_custkey") + 1000000).alias("rid"),
+        F.col("c_nationkey").alias("blk"),
+        F.when(F.col("c_custkey") % 3 == 0, (cents + 1).cast("string"))
+        .otherwise(cents.cast("string"))
+        .alias("acct"),
+        F.when(F.col("c_custkey") % 4 == 0, F.lit("PERTURBED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        "c_name",
+    )
+    pairs = [("acct", "acct"), ("c_mktsegment", "c_mktsegment"),
+             ("c_name", "c_name")]
+    model = fellegi_sunter_em(
+        left, right, "lid", "rid", "blk", pairs, n_iters=5
+    )
+    compares = [
+        (lc, rc, m, u) for (lc, rc), (m, u) in zip(pairs, model["fields"])
+    ]
+    out = fellegi_sunter_links(
+        left, right, "lid", "rid", "blk", compares, threshold=5.0
+    )
+    return out.select(
+        "lid", "rid", F.round("score", 6).alias("score"), "n_agree"
+    )
+
+
+def _sql_fellegi_auto(n_iters: int = 5) -> str:
+    cols = ("p", "s", "n")
+
+    def case(i):
+        l, r = f"l_{cols[i]}", f"r_{cols[i]}"
+        return (
+            f"CASE WHEN {l} IS NULL OR {r} IS NULL THEN 0.0 "
+            f"WHEN {l} = {r} THEN LOG2(w.m{i} / w.u{i}) "
+            f"ELSE LOG2((CAST(1.0 AS DOUBLE) - w.m{i}) "
+            f"/ (CAST(1.0 AS DOUBLE) - w.u{i})) END"
+        )
+
+    def acase(i):
+        l, r = f"l_{cols[i]}", f"r_{cols[i]}"
+        return (
+            f"CASE WHEN {l} IS NULL OR {r} IS NULL THEN 0 "
+            f"WHEN {l} = {r} THEN 1 ELSE 0 END"
+        )
+
+    score = " + ".join(["0.0"] + [case(i) for i in range(3)])
+    agree = " + ".join(acase(i) for i in range(3))
+    return (
+        _fellegi_em_ctes(n_iters)
+        + f""",
+scored AS (
+  SELECT l.lid, r.rid,
+         {score} AS score,
+         {agree} AS n_agree
+  FROM l JOIN r USING (blk), it{n_iters} w
+)
+SELECT lid, rid, ROUND(score, 6) AS score, CAST(n_agree AS INT) AS n_agree
+FROM scored WHERE score >= 5.0
+"""
+    )
+
+
+
+def _q_entity_clusters(spark, sf_dir):
+    """Entity resolution end-to-end: probabilistic links -> transitive
+    closure -> entity clusters (the composition that turns pairwise
+    linkage into deduplicated entities). Same engineered-twin fixture
+    and supplied m/u weights as fellegi_sunter_links; the accepted pairs
+    feed operators/dedup.connected_components (hash-min label
+    propagation, O(diameter) checkpointed rounds at scale). The oracle
+    replays the scorer AND the closure (recursive reachability, min
+    reachable id as the cluster label)."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.dedup import connected_components
+    from ratatool_spark.operators.fuzzy import fellegi_sunter_links
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").where(
+        F.col("c_custkey") % 7 == 0
+    )
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    left = cust.select(
+        F.col("c_custkey").alias("lid"),
+        F.col("c_nationkey").alias("blk"),
+        cents.cast("string").alias("acct"),
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("c_name"))
+        .alias("c_name"),
+    )
+    right = cust.select(
+        (F.col("c_custkey") + 1000000).alias("rid"),
+        F.col("c_nationkey").alias("blk"),
+        F.when(F.col("c_custkey") % 3 == 0, (cents + 1).cast("string"))
+        .otherwise(cents.cast("string"))
+        .alias("acct"),
+        F.when(F.col("c_custkey") % 4 == 0, F.lit("PERTURBED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        "c_name",
+    )
+    links = fellegi_sunter_links(
+        left,
+        right,
+        "lid",
+        "rid",
+        "blk",
+        [
+            ("acct", "acct", 0.95, 0.001),
+            ("c_mktsegment", "c_mktsegment", 0.9, 0.2),
+            ("c_name", "c_name", 0.97, 0.0002),
+        ],
+        threshold=5.0,
+    )
+    return connected_components(links.select("lid", "rid"), "lid", "rid")
+
+
+def _sql_entity_clusters() -> str:
+    links = _sql_fellegi_sunter().strip()
+    return f"""
+WITH RECURSIVE links AS ({links}),
+edges AS (
+  SELECT lid AS u, rid AS v FROM links
+  UNION
+  SELECT rid AS u, lid AS v FROM links
+),
+reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u AS u, e.v AS v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+"""
 
 
 _SQL_FUZZY_JOIN = """

@@ -157,7 +157,7 @@ def _q_bpe_train(spark, sf_dir):
     )
 
 
-def _sql_bpe_train(
+def _bpe_train_ctes(
     n_merges: int = 64, batch: int = 16, pool: int = 64, rounds: int = 6
 ) -> str:
     sep2 = "chr(2) || chr(2)"
@@ -230,13 +230,101 @@ def _sql_bpe_train(
         f"SELECT {i} AS rnd, rk, l, r FROM s{i} WHERE acc"
         for i in range(1, rounds + 1)
     )
+    return "WITH RECURSIVE " + ",\n".join(ctes), union
+
+
+def _sql_bpe_train(
+    n_merges: int = 64, batch: int = 16, pool: int = 64, rounds: int = 6
+) -> str:
+    ctes, union = _bpe_train_ctes(n_merges, batch, pool, rounds)
     return (
-        "WITH RECURSIVE "
-        + ",\n".join(ctes)
+        ctes
         + f"""
 SELECT ROW_NUMBER() OVER (ORDER BY rnd, rk) AS step, l AS lhs, r AS rhs
 FROM ({union})
 ORDER BY step LIMIT {n_merges}"""
+    )
+
+
+def _q_bpe_tokenizer_roundtrip(spark, sf_dir):
+    """Persisted-tokenizer round-trip: train 64 batched merges, SAVE the
+    merge list as a JSON artifact (a BPE tokenizer is its ordered merge
+    list), LOAD it back, and encode the corpus with the loaded model
+    through bpe_segment's Arrow kernel path (64 merges > the expression
+    threshold). The oracle replays training (the batched CTE chain) and
+    then applies the trained list as one ordered list_reduce of sentinel
+    replaces per word — so the artifact chain (train -> persist -> load
+    -> encode) is gated end-to-end, not just the trainer."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.corpus import (
+        bpe_learn,
+        bpe_segment,
+        load_bpe_tokenizer,
+        save_bpe_tokenizer,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe_learn(docs, n_merges=64, batch=16, pool=64, rounds=6)
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="bpe_tok_"), "tokenizer.json"
+    )
+    save_bpe_tokenizer(spark, path, merges)
+    loaded = load_bpe_tokenizer(spark, path)
+    if loaded != merges:
+        raise ValueError("tokenizer artifact round-trip drifted")
+    out = bpe_segment(docs, loaded, text_col="text")
+    return out.select(
+        "doc_id",
+        F.array_join("bpe_syms", " ").alias("segmented"),
+        "n_bpe_tokens",
+    )
+
+
+def _sql_bpe_tokenizer_roundtrip(
+    n_merges: int = 64, batch: int = 16, pool: int = 64, rounds: int = 6
+) -> str:
+    ctes, union = _bpe_train_ctes(n_merges, batch, pool, rounds)
+    base = "'|' || array_to_string(string_split(w, ''), '| |') || '|'"
+    fold = (
+        f"list_reduce(list_prepend({base}, "
+        f"(SELECT rs FROM mergelist)), (a, x) -> replace(a, "
+        "'|' || split_part(x, chr(3), 1) || '| |' "
+        "|| split_part(x, chr(3), 2) || '|', "
+        "'|' || split_part(x, chr(3), 1) "
+        "|| split_part(x, chr(3), 2) || '|'))"
+    )
+    return (
+        ctes
+        + f""",
+mergelist AS MATERIALIZED (
+  SELECT list(l || chr(3) || r ORDER BY step) AS rs FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY rnd, rk) AS step, l, r
+    FROM ({union})
+    ORDER BY step LIMIT {n_merges}
+  )
+),
+docwords AS (
+  SELECT doc_id, t.pos AS pos, ls[t.pos] AS w
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS ls FROM documents),
+       UNNEST(range(1, len(ls) + 1)) AS t(pos)
+),
+seg AS (
+  SELECT doc_id, pos, replace({fold}, '|', '') AS sw,
+         len(string_split(replace({fold}, '|', ''), ' ')) AS nsyms
+  FROM docwords WHERE LENGTH(w) > 0
+)
+SELECT d.doc_id,
+       COALESCE(s.segmented, '') AS segmented,
+       CAST(COALESCE(s.n_bpe_tokens, 0) AS INT) AS n_bpe_tokens
+FROM documents d LEFT JOIN (
+  SELECT doc_id, STRING_AGG(sw, ' ' ORDER BY pos) AS segmented,
+         SUM(nsyms) AS n_bpe_tokens
+  FROM seg GROUP BY doc_id
+) s USING (doc_id)"""
     )
 
 

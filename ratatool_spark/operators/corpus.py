@@ -889,6 +889,35 @@ def _merge_fold_multi_expr(
     return F.aggregate(sym, empty, step)
 
 
+def save_bpe_tokenizer(
+    spark, path: str, merges: Sequence[tuple[str, str]]
+) -> None:
+    """Persist a trained merge list as a JSON artifact — a BPE tokenizer
+    IS its ordered merge list, so this one file is the whole model (the
+    build-once/apply-many sibling of build_minhash_index's sidecar)."""
+    import json
+
+    from ratatool_spark.sources.shards import _write_text
+
+    _write_text(
+        spark,
+        path,
+        json.dumps({"version": 1, "merges": [[a, b] for a, b in merges]}),
+    )
+
+
+def load_bpe_tokenizer(spark, path: str) -> list[tuple[str, str]]:
+    """Load a persisted merge list for :func:`bpe_segment`."""
+    import json
+
+    from ratatool_spark.sources.shards import _read_text
+
+    meta = json.loads(_read_text(spark, path))
+    if meta.get("version") != 1:
+        raise ValueError(f"unsupported tokenizer version: {meta.get('version')}")
+    return [(a, b) for a, b in meta["merges"]]
+
+
 def bpe_apply_merges(word: str, merges: Sequence[tuple[str, str]]) -> list[str]:
     """Driver-side twin of the merge fold: apply each learned merge in
     order, greedy left-to-right — the reference implementation the Spark

@@ -1118,3 +1118,24 @@ def test_select_compatible_merges_rules():
     assert _select_compatible_merges(
         [("a", "b"), ("ab", "c"), ("x", "y")], 5
     ) == [("a", "b"), ("x", "y")]
+
+
+def test_bpe_tokenizer_save_load_roundtrip(spark, documents, tmp_path):
+    """The persisted tokenizer artifact must reproduce the exact merge
+    list, and encoding with the loaded model must equal encoding with
+    the in-memory one."""
+    from ratatool_spark.operators.corpus import (
+        bpe_learn,
+        bpe_segment,
+        load_bpe_tokenizer,
+        save_bpe_tokenizer,
+    )
+
+    merges = bpe_learn(documents, n_merges=12, batch=8, pool=64, rounds=2)
+    path = str(tmp_path / "tok.json")
+    save_bpe_tokenizer(spark, path, merges)
+    loaded = load_bpe_tokenizer(spark, path)
+    assert loaded == merges
+    a = bpe_segment(documents.limit(20), merges).select("doc_id", "bpe_syms")
+    b = bpe_segment(documents.limit(20), loaded).select("doc_id", "bpe_syms")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
