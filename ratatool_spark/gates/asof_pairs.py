@@ -166,6 +166,102 @@ def _q_ann_lsh_topk(spark, sf_dir):
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
     )
 
+def _q_ann_multiprobe_topk(spark, sf_dir):
+    """Multi-probe LSH ANN (similarity.multiprobe_lsh_topk; Lv et al.
+    VLDB'07, single-bit-flip probe sequence): each query probes its own
+    bucket plus the 2 buckets across its lowest-|margin| hyperplanes —
+    recall climbs without extra hash tables or index copies (the 100 TB
+    single-index trade: probe count, not memory). The oracle replays the
+    per-plane projections, the margin sort with its plane-index
+    tiebreak, the XOR bucket flips, the bucket join, and the exact
+    cosine re-rank."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.similarity import multiprobe_lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    out = multiprobe_lsh_topk(
+        emb, q, k=3, num_planes=8, seed=7, dim=64, n_probe=3
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 6).alias("cosine"),
+        "rank",
+    )
+
+def _sql_ann_multiprobe_topk(n_probe: int = 3, k: int = 3) -> str:
+    from ratatool_spark.gates.pipeline import _PH64_SQL
+
+    projs = []
+    for p in range(8):
+        sign_hash = _PH64_SQL.format(
+            x=f"concat_ws(chr(1), '7', '{p}', CAST(i - 1 AS VARCHAR))"
+        )
+        projs.append(
+            f"list_reduce(list_transform(range(1, 65), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * "
+            f"(CASE WHEN ({sign_hash} & 1) = 1 THEN 1.0 ELSE -1.0 END)), "
+            f"(x, y) -> x + y)"
+        )
+    pr_list = "[" + ", ".join(projs) + "]"
+    base = " + ".join(
+        f"CASE WHEN pr[{p + 1}] > 0 THEN CAST({1 << p} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END"
+        for p in range(8)
+    )
+    powers = "[" + ", ".join(str(1 << p) for p in range(8)) + "]"
+    probes = ", ".join(
+        f"xor(base, CAST({powers}[flips[{i + 1}] + 1] AS BIGINT))"
+        for i in range(n_probe - 1)
+    )
+    cos = _COS_AB_SQL.replace("a.embedding", "a_emb").replace(
+        "b.embedding", "b_emb"
+    )
+    return f"""
+WITH qpr AS (
+  SELECT vec_id, embedding, {pr_list} AS pr
+  FROM embeddings WHERE vec_id < 5
+),
+qpb AS (
+  SELECT vec_id, embedding, ({base}) AS base,
+         list_transform(
+           list_sort(list_transform(range(0, 8),
+                                    p -> {{'m': abs(pr[p + 1]), 'p': p}})),
+           s -> s.p) AS flips
+  FROM (SELECT vec_id, embedding, pr FROM qpr)
+),
+probes AS (
+  SELECT vec_id AS query_id, embedding,
+         UNNEST([base, {probes}]) AS bucket
+  FROM qpb
+),
+cbk AS (
+  SELECT e.vec_id AS neighbor_id, e.embedding, b.bucket
+  FROM embeddings e
+  JOIN (SELECT vec_id, ({base.replace('pr[', 'cpr[')}) AS bucket FROM (
+    SELECT vec_id, {pr_list} AS cpr FROM embeddings
+  )) b ON e.vec_id = b.vec_id
+),
+scored AS (
+  SELECT a.query_id, b.neighbor_id,
+         {cos} AS cosine
+  FROM (SELECT query_id, embedding AS a_emb, bucket FROM probes) a
+  JOIN (SELECT neighbor_id, embedding AS b_emb, bucket FROM cbk) b
+    USING (bucket)
+  WHERE a.query_id <> b.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= {k}
+"""
+
 def _sql_ann_lsh_topk() -> str:
     buckets = _sql_ann_lsh_buckets().strip()
     return f"""

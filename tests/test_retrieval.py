@@ -305,3 +305,43 @@ def test_quantized_ann_recall_floors(spark):
         .first()[0]
     )
     assert pq_avg >= 0.9, pq_avg
+
+
+def test_multiprobe_lsh_recall_at_least_single_probe(spark):
+    """Probing the lowest-margin flipped buckets can only ADD candidates
+    a single-probe query would miss: per-query recall against exact
+    truth must be >= the single-bucket LSH's, and candidate volume must
+    grow with n_probe. n_probe=1 must equal lsh_topk exactly."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+        multiprobe_lsh_topk,
+        topk_recall,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 8)
+    truth = brute_force_topk(emb, q, k=3).persist()
+    single = lsh_topk(emb, q, k=3, num_planes=8, seed=7, dim=64)
+    multi = multiprobe_lsh_topk(
+        emb, q, k=3, num_planes=8, seed=7, dim=64, n_probe=4
+    )
+    r1 = {
+        r["query_id"]: r["recall"]
+        for r in topk_recall(truth, single).collect()
+    }
+    r4 = {
+        r["query_id"]: r["recall"]
+        for r in topk_recall(truth, multi).collect()
+    }
+    assert all(r4[k] >= r1[k] for k in r1), (r1, r4)
+    assert sum(r4.values()) > sum(r1.values())  # strictly better somewhere
+
+    p1 = multiprobe_lsh_topk(
+        emb, q, k=3, num_planes=8, seed=7, dim=64, n_probe=1
+    )
+    a = sorted(map(tuple, p1.select("query_id", "neighbor_id", "rank").collect()))
+    b = sorted(map(tuple, single.select("query_id", "neighbor_id", "rank").collect()))
+    assert a == b
