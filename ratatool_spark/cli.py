@@ -190,6 +190,16 @@ def build_parser() -> argparse.ArgumentParser:
     bl.add_argument("--output", required=True, help="merges JSON path (any Hadoop scheme)")
     bl.add_argument("--textField", default="text")
     bl.add_argument("--nMerges", type=int, default=100)
+    bl.add_argument(
+        "--batch", type=int, default=1,
+        help="merges admitted per round (pairwise symbol-disjoint); "
+        ">1 = batched selection, O(n/yield) jobs instead of one per merge",
+    )
+    bl.add_argument("--pool", type=int, default=128, help="candidate pool per round")
+    bl.add_argument(
+        "--rounds", type=int, default=None,
+        help="explicit round schedule (default ceil(nMerges/batch))",
+    )
     bl.add_argument("--format", default=None, help="override input format sniffing")
 
     be = sub.add_parser(
@@ -263,7 +273,12 @@ def build_parser() -> argparse.ArgumentParser:
     fz.add_argument("--output", required=True)
     fz.add_argument("--leftId", required=True)
     fz.add_argument("--rightId", required=True)
-    fz.add_argument("--blockField", required=True, help="must exist on both sides")
+    fz.add_argument(
+        "--blockField", type=_csv, required=True,
+        help="one or more blocking keys (comma-separated: multi-pass "
+        "recall net, candidates unioned and deduped); must exist on "
+        "both sides",
+    )
     fz.add_argument(
         "--compare", type=_csv, required=True,
         help="column pairs left:right (e.g. name:name,addr:address)",
@@ -806,6 +821,44 @@ def build_parser() -> argparse.ArgumentParser:
     rl.add_argument("--maxBlockSize", type=int, default=1000)
     rl.add_argument("--format", default=None, help="override input format sniffing")
 
+    lk = sub.add_parser(
+        "linkage",
+        help="probabilistic record linkage (Fellegi-Sunter): train m/u "
+        "by EM over blocked candidate pairs, score links with trained "
+        "or supplied weights",
+    )
+    lk.add_argument("--mode", choices=["train", "score", "auto"], required=True)
+    lk.add_argument("--leftInput", required=True)
+    lk.add_argument("--rightInput", required=True)
+    lk.add_argument("--output", required=True, help="links table, or model JSON for train")
+    lk.add_argument("--leftId", required=True)
+    lk.add_argument("--rightId", required=True)
+    lk.add_argument(
+        "--blockField", type=_csv, required=True,
+        help="one or more blocking keys (comma-separated, multi-pass)",
+    )
+    lk.add_argument(
+        "--compare", type=_csv, required=True,
+        help="train/auto: column pairs left:right; score: "
+        "left:right:m:u quadruples",
+    )
+    lk.add_argument("--model", help="score mode: model JSON from train")
+    lk.add_argument("--iters", type=int, default=5)
+    lk.add_argument("--threshold", type=float, default=0.0)
+    lk.add_argument("--maxBlockSize", type=int, default=1000)
+    lk.add_argument("--format", default=None, help="override input format sniffing")
+
+    za = sub.add_parser(
+        "zorderAudit",
+        help="row-group skip audit from parquet footer min/max stats: "
+        "how many groups a conjunctive range predicate scans vs prunes",
+    )
+    za.add_argument("--input", required=True, help="parquet file or directory")
+    za.add_argument(
+        "--box", type=_csv, required=True,
+        help="col:lo:hi triples (comma-separated) — the range predicate",
+    )
+
     dc = sub.add_parser(
         "decontaminate",
         help="drop corpus docs that fuzzy-match a benchmark corpus "
@@ -972,7 +1025,14 @@ def main(argv: list[str] | None = None) -> int:
             from ratatool_spark.sources.shards import _write_text
 
             df = read_table(spark, args.input, fmt=args.format)
-            merges = bpe_learn(df, text_col=args.textField, n_merges=args.nMerges)
+            merges = bpe_learn(
+                df,
+                text_col=args.textField,
+                n_merges=args.nMerges,
+                batch=args.batch,
+                pool=args.pool,
+                rounds=args.rounds,
+            )
             _write_text(spark, args.output, _json.dumps(merges))
         elif args.command == "bpeEncode":
             import json as _json
@@ -1648,6 +1708,101 @@ def main(argv: list[str] | None = None) -> int:
                 max_block_size=args.maxBlockSize,
             )
             write_table(out, args.output, mode="overwrite")
+        elif args.command == "linkage":
+            import json as _json
+
+            from ratatool_spark.operators.fuzzy import (
+                fellegi_sunter_em,
+                fellegi_sunter_links,
+            )
+            from ratatool_spark.sources.shards import _read_text, _write_text
+
+            left = read_table(spark, args.leftInput, fmt=args.format)
+            right = read_table(spark, args.rightInput, fmt=args.format)
+            if args.mode in ("train", "auto"):
+                pairs = []
+                for spec in args.compare:
+                    lc, sep, rc = spec.partition(":")
+                    pairs.append((lc, rc if sep else lc))
+                model = fellegi_sunter_em(
+                    left, right, args.leftId, args.rightId,
+                    args.blockField, pairs, n_iters=args.iters,
+                    max_block_size=args.maxBlockSize,
+                )
+                if args.mode == "train":
+                    _write_text(
+                        spark, args.output,
+                        _json.dumps({
+                            "lam": model["lam"],
+                            "fields": [
+                                {"left": lc, "right": rc, "m": m, "u": u}
+                                for (lc, rc), (m, u) in zip(
+                                    pairs, model["fields"]
+                                )
+                            ],
+                        }),
+                    )
+                else:
+                    compares = [
+                        (lc, rc, m, u)
+                        for (lc, rc), (m, u) in zip(pairs, model["fields"])
+                    ]
+                    out = fellegi_sunter_links(
+                        left, right, args.leftId, args.rightId,
+                        args.blockField, compares,
+                        threshold=args.threshold,
+                        max_block_size=args.maxBlockSize,
+                    )
+                    write_table(out, args.output, mode="overwrite")
+            else:  # score
+                if args.model:
+                    meta = _json.loads(_read_text(spark, args.model))
+                    compares = [
+                        (f["left"], f["right"], f["m"], f["u"])
+                        for f in meta["fields"]
+                    ]
+                else:
+                    compares = []
+                    for spec in args.compare:
+                        parts = spec.split(":")
+                        if len(parts) != 4:
+                            raise SystemExit(
+                                "--compare in score mode expects "
+                                f"left:right:m:u, got {spec!r}"
+                            )
+                        compares.append(
+                            (parts[0], parts[1], float(parts[2]), float(parts[3]))
+                        )
+                out = fellegi_sunter_links(
+                    left, right, args.leftId, args.rightId,
+                    args.blockField, compares,
+                    threshold=args.threshold,
+                    max_block_size=args.maxBlockSize,
+                )
+                write_table(out, args.output, mode="overwrite")
+        elif args.command == "zorderAudit":
+            import json as _json
+
+            from ratatool_spark.operators.layout import (
+                row_group_skip_audit,
+                row_group_stats,
+            )
+
+            box = {}
+            for spec in args.box:
+                parts = spec.split(":")
+                if len(parts) != 3:
+                    raise SystemExit(
+                        f"--box expects col:lo:hi triples, got {spec!r}"
+                    )
+                box[parts[0]] = (float(parts[1]), float(parts[2]))
+            stats = row_group_stats(args.input, list(box))
+            n_groups, n_scanned = row_group_skip_audit(stats, box)
+            print(_json.dumps({
+                "n_row_groups": n_groups,
+                "n_scanned": n_scanned,
+                "n_pruned": n_groups - n_scanned,
+            }))
         elif args.command == "decontaminate":
             from pyspark.sql import functions as F
 

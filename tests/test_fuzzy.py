@@ -387,3 +387,47 @@ def test_fellegi_sunter_em_is_deterministic(spark):
     m1 = fellegi_sunter_em(*args)
     m2 = fellegi_sunter_em(*args)
     assert m1["lam"] == m2["lam"] and m1["fields"] == m2["fields"]
+
+
+def test_cli_linkage_train_then_score(spark, tmp_path):
+    """linkage --mode train persists an EM-trained model JSON; --mode
+    score consumes it and links the twins."""
+    import json
+
+    from pyspark.sql import Row
+
+    from ratatool_spark.cli import main
+
+    n = 40
+    left = spark.createDataFrame(
+        [Row(lid=i, blk=i % 4, v=f"val{i}", w=f"w{i % 5}", x=f"x{i % 7}")
+         for i in range(n)]
+    )
+    right = spark.createDataFrame(
+        [Row(rid=i + 1000, blk=i % 4, v=f"val{i}", w=f"w{i % 5}",
+             x=f"x{i % 7}")
+         for i in range(n)]
+    )
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    left.write.parquet(lp)
+    right.write.parquet(rp)
+    model_path = str(tmp_path / "model.json")
+    assert main([
+        "linkage", "--mode", "train", "--leftInput", lp,
+        "--rightInput", rp, "--output", model_path,
+        "--leftId", "lid", "--rightId", "rid", "--blockField", "blk",
+        "--compare", "v:v,w:w,x:x", "--iters", "8",
+    ]) == 0
+    meta = json.loads(open(model_path).read())
+    assert len(meta["fields"]) == 3
+    assert meta["fields"][0]["m"] > 0.95  # v separates
+    out = str(tmp_path / "links")
+    assert main([
+        "linkage", "--mode", "score", "--leftInput", lp,
+        "--rightInput", rp, "--output", out,
+        "--leftId", "lid", "--rightId", "rid", "--blockField", "blk",
+        "--compare", "unused", "--model", model_path,
+        "--threshold", "5.0",
+    ]) == 0
+    got = {(r["lid"], r["rid"]) for r in spark.read.parquet(out).collect()}
+    assert got >= {(i, i + 1000) for i in range(n)}

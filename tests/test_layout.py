@@ -176,3 +176,20 @@ def test_row_group_stats_and_audit_roundtrip(tmp_path):
         stats, {"a": (30, 60), "b": (50.0, 70.0)}
     )
     assert (n, scanned) == (4, 1)
+
+
+def test_cli_zorder_audit(tmp_path, capsys):
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ratatool_spark.cli import main
+
+    t = pa.table({"a": list(range(100)), "b": [float(i) for i in range(100)]})
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(t, p, row_group_size=25)
+    assert main(["zorderAudit", "--input", p, "--box", "a:30:60,b:10:40"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # a hits groups 2,3; b hits groups 1,2 -> conjunction scans group 2
+    assert rep == {"n_row_groups": 4, "n_scanned": 1, "n_pruned": 3}
