@@ -1283,3 +1283,33 @@ def _sql_ivf_index_incremental() -> str:
     )
     assert out != base
     return out
+
+def _q_compaction_plan(spark, sf_dir):
+    """Small-files compaction planning (operators/layout.compaction_plan):
+    a per-partition byte manifest (lineitem rows per ship date x a
+    96-byte/row proxy) bin-packed into ~500 KB compaction bins by the
+    size-desc cumulative-sum rule. The window is global on purpose — a
+    manifest is metadata (one row per file), see the operator docstring."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.layout import compaction_plan
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    manifest = li.groupBy(F.col("l_shipdate").alias("part")).agg(
+        (F.count(F.lit(1)) * F.lit(96)).alias("bytes")
+    )
+    return compaction_plan(manifest, "bytes", ["part"], 500_000).select(
+        "part", "bytes", "bin"
+    )
+
+_SQL_COMPACTION_PLAN = """
+WITH manifest AS (
+  SELECT l_shipdate AS part, COUNT(*) * 96 AS bytes
+  FROM lineitem GROUP BY l_shipdate
+)
+SELECT part, bytes,
+       CAST(FLOOR(COALESCE(SUM(bytes) OVER (ORDER BY bytes DESC, part
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              / CAST(500000 AS DOUBLE)) AS INT) AS bin
+FROM manifest
+"""

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def zorder_key(
@@ -191,3 +192,43 @@ def row_group_skip_audit(
         )
         scanned += 1 if hit else 0
     return len(stats), scanned
+
+
+def compaction_plan(
+    manifest: DataFrame,
+    size_col: str,
+    order_cols: list[str],
+    target_bytes: int,
+    bin_col: str = "bin",
+) -> DataFrame:
+    """(manifest..., bin) — assign files (or partitions) to compaction
+    output bins of ~``target_bytes`` each: order by size descending
+    (``order_cols`` break ties), take the exclusive running sum of
+    sizes, ``bin = floor(cum_before / target)``. Size-desc ordering is
+    the classic bin-packing heuristic (big files anchor bins, small
+    files fill the remainder); the cumulative-sum formulation makes the
+    assignment a pure window expression that replays bit-identically in
+    any SQL engine — no driver loop, no UDF.
+
+    The small-files problem this solves is real at 100 TB (a 100k-file
+    table with a long tail of KB-scale files wrecks scan parallelism and
+    NameNode/liststatus cost), but the MANIFEST is metadata — one row
+    per file, ~10^5–10^6 rows for a 100 TB table at 100 MB–1 GB files —
+    so the single-partition global window here is deliberate and cheap
+    (same judgement call as the parquet-footer audit above). For a
+    pathological manifest, the ``_global_rank`` range-partitioned
+    prefix-sum pattern in ``operators/corpus`` drops in unchanged.
+
+    Every bin's total lands in [target, target + max_file) except the
+    last; callers group by ``bin`` to drive one compaction task per bin.
+    """
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes must be > 0, got {target_bytes}")
+    w = (
+        Window.orderBy(F.col(size_col).desc(), *[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(F.col(size_col)).over(w), F.lit(0))
+    return manifest.withColumn(
+        bin_col, F.floor(cum_before / F.lit(float(target_bytes))).cast("int")
+    )

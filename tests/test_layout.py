@@ -193,3 +193,29 @@ def test_cli_zorder_audit(tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     # a hits groups 2,3; b hits groups 1,2 -> conjunction scans group 2
     assert rep == {"n_row_groups": 4, "n_scanned": 1, "n_pruned": 3}
+
+
+def test_compaction_plan_bins_by_cumsum(spark):
+    from pyspark.sql import Row
+
+    from ratatool_spark.operators.layout import compaction_plan
+
+    manifest = spark.createDataFrame(
+        [Row(f="a", sz=700), Row(f="b", sz=300), Row(f="c", sz=300),
+         Row(f="d", sz=200), Row(f="e", sz=100)]
+    )
+    out = {r["f"]: r["bin"] for r in
+           compaction_plan(manifest, "sz", ["f"], 1000).collect()}
+    # size-desc order a(700) b(300) c(300) d(200) e(100); exclusive
+    # cumsums 0,700,1000,1300,1500 -> bins 0,0,1,1,1
+    assert out == {"a": 0, "b": 0, "c": 1, "d": 1, "e": 1}
+
+
+def test_compaction_plan_rejects_bad_target(spark):
+    import pytest as _pytest
+
+    from ratatool_spark.operators.layout import compaction_plan
+
+    df = spark.range(3).selectExpr("id", "id * 10 AS sz")
+    with _pytest.raises(ValueError):
+        compaction_plan(df, "sz", ["id"], 0)

@@ -635,3 +635,33 @@ def test_decontaminate_band_equijoin_only(spark):
     assert "CartesianProduct" not in p and "NestedLoopJoin" not in p
     assert "LeftAnti" in p
     assert "mapInPandas" not in p and "BatchEvalPython" not in p
+
+
+def test_scd2_history_one_exchange_no_single_partition(spark):
+    # changelog -> SCD2: one hash exchange on the business key serves
+    # the collapse lag, the keep-filter, and the interval-closing lead
+    p = plan_of(spark, "scd2_history_events")
+    assert n_exchanges(p) == 1
+    assert "SinglePartition" not in p
+
+
+def test_scd2_apply_broadcasts_affected_keys(spark):
+    # incremental maintenance: the affected-key set is broadcast to both
+    # the anti (pass-through) and semi (replay) joins — the history side
+    # never hash-shuffles FOR THE JOINS (its only exchanges are the
+    # window re-partitions), and the gate's derived history is
+    # materialized once and read twice (in production it is a stored
+    # table and these are two pushed-down scans)
+    p = plan_of(spark, "scd2_apply_incremental")
+    assert p.count("BroadcastExchange") >= 2
+    assert p.count("InMemoryTableScan") == 2
+    assert "SinglePartition" not in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_compaction_plan_metadata_window_only(spark):
+    # the groupBy builds the manifest (1 hash exchange); the bin window
+    # runs on the metadata-sized manifest in a single partition BY
+    # DESIGN (one row per file) — assert nothing else shuffles
+    p = plan_of(spark, "compaction_bins_manifest")
+    assert n_exchanges(p) == 2

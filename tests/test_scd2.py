@@ -1,0 +1,105 @@
+"""SCD Type-2 history + incremental apply (operators/scd2)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from ratatool_spark.operators.scd2 import scd2_apply, scd2_history
+
+
+def _ts(day, hour=0):
+    return datetime.datetime(2024, 1, day, hour)
+
+
+@pytest.fixture()
+def changes(spark):
+    rows = [
+        # key 1: a -> a (no-op, collapsed) -> b -> a
+        Row(k=1, ts=_ts(1), v="a", cid=10),
+        Row(k=1, ts=_ts(2), v="a", cid=11),
+        Row(k=1, ts=_ts(3), v="b", cid=12),
+        Row(k=1, ts=_ts(4), v="a", cid=13),
+        # key 2: single version
+        Row(k=2, ts=_ts(1), v="x", cid=20),
+        # key 3: tie on ts broken by cid
+        Row(k=3, ts=_ts(5), v="late", cid=31),
+        Row(k=3, ts=_ts(5), v="early", cid=30),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_history_collapses_and_closes_intervals(changes):
+    out = scd2_history(changes, "k", "ts", "v", change_id="cid").collect()
+    by_key = {}
+    for r in sorted(out, key=lambda r: (r["k"], r["valid_from"])):
+        by_key.setdefault(r["k"], []).append(r)
+
+    k1 = by_key[1]
+    assert [r["v"] for r in k1] == ["a", "b", "a"]  # no-op at day 2 collapsed
+    assert [r["valid_from"] for r in k1] == [_ts(1), _ts(3), _ts(4)]
+    assert [r["valid_to"] for r in k1] == [_ts(3), _ts(4), None]
+    assert [r["is_current"] for r in k1] == [False, False, True]
+
+    assert len(by_key[2]) == 1 and by_key[2][0]["is_current"]
+
+    k3 = by_key[3]  # cid orders the ts tie: early then late
+    assert [r["v"] for r in k3] == ["early", "late"]
+    assert k3[0]["valid_to"] == _ts(5) and k3[1]["is_current"]
+
+
+def test_history_no_collapse_keeps_noop_versions(changes):
+    out = scd2_history(
+        changes.where("k = 1"), "k", "ts", "v", change_id="cid", collapse=False
+    ).collect()
+    assert len(out) == 4
+
+
+def test_apply_equals_rebuild_including_late_changes(spark, changes):
+    """Split at day 3; the batch also carries a LATE change (day 2.5 for
+    key 1) and a brand-new key — apply must equal the full rebuild."""
+    late = spark.createDataFrame(
+        [
+            Row(k=1, ts=_ts(3), v="b", cid=12),
+            Row(k=1, ts=_ts(4), v="a", cid=13),
+            Row(k=1, ts=_ts(2, 12), v="mid", cid=14),  # out-of-order arrival
+            Row(k=3, ts=_ts(5), v="late", cid=31),
+            Row(k=3, ts=_ts(5), v="early", cid=30),
+            Row(k=4, ts=_ts(6), v="new", cid=40),
+        ]
+    )
+    early = changes.where(F.col("cid").isin(10, 11, 20))
+    base = scd2_history(
+        early, "k", "ts", "v", change_id="cid", keep_change_id=True
+    )
+    applied = scd2_apply(base, late, "k", "ts", "v", change_id="cid")
+    rebuilt = scd2_history(
+        early.unionByName(late), "k", "ts", "v", change_id="cid"
+    )
+    a = {tuple(r) for r in applied.collect()}
+    b = {tuple(r) for r in rebuilt.collect()}
+    assert a == b
+    # untouched key 2 passed through; late change opened a version
+    assert any(r[1] == "mid" for r in a)  # (k, v, from, to, current)
+
+
+def test_apply_untouched_keys_not_rewindowed(spark, changes):
+    base = scd2_history(changes, "k", "ts", "v", change_id="cid")
+    batch = spark.createDataFrame([Row(k=9, ts=_ts(9), v="z", cid=90)])
+    applied = scd2_apply(base, batch, "k", "ts", "v", change_id="cid")
+    got = {tuple(r) for r in applied.collect()}
+    assert {tuple(r) for r in base.collect()} <= got
+    assert any(r[0] == 9 for r in got)
+
+
+def test_history_single_exchange(spark, changes):
+    import re
+
+    plan = scd2_history(
+        changes, "k", "ts", "v", change_id="cid"
+    )._jdf.queryExecution().executedPlan().toString()
+    # one hash exchange on the key feeds the collapse lag, the filter,
+    # and the interval-closing lead — no re-shuffle between windows
+    assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 1
+    assert "SinglePartition" not in plan
