@@ -190,3 +190,49 @@ def _q_scd2_apply(spark, sf_dir):
         "valid_to",
         "is_current",
     )
+
+def _q_stream_scd2(spark, sf_dir):
+    """Streaming SCD2 maintenance (streaming/scd2.stream_scd2) run for
+    real: the events changelog arrives as THREE time-range files
+    processed one per micro-batch (maxFilesPerTrigger=1), each merged
+    into the persisted history snapshot via scd2_apply. The oracle is
+    the full-stream rebuild SQL — green means batch-at-a-time
+    maintenance equals the rebuild no matter how the stream was cut."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.sources.io import load_tables
+    from ratatool_spark.streaming.scd2 import read_scd2_table, stream_scd2
+
+    ev = load_tables(spark, sf_dir, names=("events",))["events"].select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    root = tempfile.mkdtemp(prefix="rt_scd2_")
+    in_dir = os.path.join(root, "incoming")
+    # three time-ordered arrival files -> three micro-batches
+    ev.repartitionByRange(3, F.col("ts")).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = stream_scd2(
+        stream,
+        os.path.join(root, "history"),
+        checkpoint=os.path.join(root, "ckpt"),
+        key_cols="user_id",
+        ts_col="ts",
+        attr_cols="event_type",
+        change_id="event_id",
+    )
+    q.awaitTermination()
+    back = read_scd2_table(spark, os.path.join(root, "history"))
+    return back.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )

@@ -103,3 +103,44 @@ def test_history_single_exchange(spark, changes):
     # and the interval-closing lead — no re-shuffle between windows
     assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 1
     assert "SinglePartition" not in plan
+
+
+def test_stream_scd2_batches_equal_rebuild(spark, tmp_path):
+    """Three micro-batches through stream_scd2 == one-shot rebuild, and
+    a replayed batch id (idempotent snapshot overwrite) changes nothing."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from ratatool_spark.streaming.scd2 import read_scd2_table, stream_scd2
+
+    rows = [
+        Row(k=i % 5, ts=dt.datetime(2024, 1, 1 + i), v=f"s{i % 3}", cid=i)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows)
+    in_dir = str(tmp_path / "in")
+    df.repartitionByRange(3, "ts").write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    table = str(tmp_path / "hist")
+    q = stream_scd2(
+        stream, table, checkpoint=str(tmp_path / "ckpt"),
+        key_cols="k", ts_col="ts", attr_cols="v", change_id="cid",
+    )
+    q.awaitTermination()
+
+    got = {
+        tuple(r)
+        for r in read_scd2_table(spark, table)
+        .select("k", "v", "valid_from", "valid_to", "is_current")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in scd2_history(df, "k", "ts", "v", change_id="cid").collect()
+    }
+    assert got == want
