@@ -859,6 +859,39 @@ def build_parser() -> argparse.ArgumentParser:
         help="col:lo:hi triples (comma-separated) — the range predicate",
     )
 
+    sc = sub.add_parser(
+        "scd2",
+        help="SCD Type-2 history: build versioned dimension rows from a "
+        "changelog, or merge a change batch into an existing history "
+        "(incremental == rebuild)",
+    )
+    sc.add_argument("--mode", choices=["history", "apply"], required=True)
+    sc.add_argument("--input", required=True, help="change stream table")
+    sc.add_argument("--history", help="apply mode: existing SCD2 table")
+    sc.add_argument("--output", required=True)
+    sc.add_argument("--key", type=_csv, required=True, help="business key column(s)")
+    sc.add_argument("--ts", required=True, help="change timestamp column")
+    sc.add_argument("--attrs", type=_csv, required=True, help="tracked attribute column(s)")
+    sc.add_argument("--changeId", default=None, help="tie-break column for equal timestamps")
+    sc.add_argument(
+        "--keepChangeId", action="store_true",
+        help="carry the change id into the output so later applies replay ties exactly",
+    )
+    sc.add_argument("--noCollapse", action="store_true", help="keep no-op versions")
+    sc.add_argument("--format", default=None, help="override input format sniffing")
+
+    cp = sub.add_parser(
+        "compactionPlan",
+        help="bin-pack a file/partition manifest into ~targetBytes "
+        "compaction bins (size-desc cumulative-sum assignment)",
+    )
+    cp.add_argument("--input", required=True, help="manifest table (one row per file)")
+    cp.add_argument("--output", required=True)
+    cp.add_argument("--sizeField", required=True)
+    cp.add_argument("--orderField", type=_csv, required=True, help="tie-break column(s)")
+    cp.add_argument("--targetBytes", type=int, required=True)
+    cp.add_argument("--format", default=None, help="override input format sniffing")
+
     dc = sub.add_parser(
         "decontaminate",
         help="drop corpus docs that fuzzy-match a benchmark corpus "
@@ -1803,6 +1836,31 @@ def main(argv: list[str] | None = None) -> int:
                 "n_scanned": n_scanned,
                 "n_pruned": n_groups - n_scanned,
             }))
+        elif args.command == "scd2":
+            from ratatool_spark.operators.scd2 import scd2_apply, scd2_history
+
+            changes = read_table(spark, args.input, fmt=args.format)
+            kwargs = dict(
+                change_id=args.changeId,
+                collapse=not args.noCollapse,
+                keep_change_id=args.keepChangeId,
+            )
+            if args.mode == "history":
+                out = scd2_history(changes, args.key, args.ts, args.attrs, **kwargs)
+            else:
+                if not args.history:
+                    raise SystemExit("--history is required with --mode apply")
+                hist = read_table(spark, args.history, fmt=args.format)
+                out = scd2_apply(hist, changes, args.key, args.ts, args.attrs, **kwargs)
+            write_table(out, args.output, mode="overwrite")
+        elif args.command == "compactionPlan":
+            from ratatool_spark.operators.layout import compaction_plan
+
+            manifest = read_table(spark, args.input, fmt=args.format)
+            out = compaction_plan(
+                manifest, args.sizeField, args.orderField, args.targetBytes
+            )
+            write_table(out, args.output, mode="overwrite")
         elif args.command == "decontaminate":
             from pyspark.sql import functions as F
 

@@ -144,3 +144,56 @@ def test_stream_scd2_batches_equal_rebuild(spark, tmp_path):
         for r in scd2_history(df, "k", "ts", "v", change_id="cid").collect()
     }
     assert got == want
+
+
+def test_cli_scd2_history_then_apply(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from ratatool_spark.cli import main
+
+    early = spark.createDataFrame(
+        [Row(k=1, ts=dt.datetime(2024, 1, d), v=f"s{d % 2}", cid=d)
+         for d in range(1, 6)]
+    )
+    late = spark.createDataFrame(
+        [Row(k=1, ts=dt.datetime(2024, 1, d), v="end", cid=d)
+         for d in (7, 8)]
+    )
+    ep, lp = str(tmp_path / "e"), str(tmp_path / "l")
+    early.write.parquet(ep)
+    late.write.parquet(lp)
+    hist = str(tmp_path / "hist")
+    assert main([
+        "scd2", "--mode", "history", "--input", ep, "--output", hist,
+        "--key", "k", "--ts", "ts", "--attrs", "v",
+        "--changeId", "cid", "--keepChangeId",
+    ]) == 0
+    out = str(tmp_path / "out")
+    assert main([
+        "scd2", "--mode", "apply", "--input", lp, "--history", hist,
+        "--output", out, "--key", "k", "--ts", "ts", "--attrs", "v",
+        "--changeId", "cid",
+    ]) == 0
+    rows = spark.read.parquet(out).collect()
+    cur = [r for r in rows if r["is_current"]]
+    assert len(cur) == 1 and cur[0]["v"] == "end"
+    assert len(rows) == 6  # 5 alternating versions + collapsed end pair
+
+
+def test_cli_compaction_plan(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from ratatool_spark.cli import main
+
+    spark.createDataFrame(
+        [Row(f="a", sz=700), Row(f="b", sz=300), Row(f="c", sz=300)]
+    ).write.parquet(str(tmp_path / "m"))
+    out = str(tmp_path / "plan")
+    assert main([
+        "compactionPlan", "--input", str(tmp_path / "m"), "--output", out,
+        "--sizeField", "sz", "--orderField", "f", "--targetBytes", "1000",
+    ]) == 0
+    got = {r["f"]: r["bin"] for r in spark.read.parquet(out).collect()}
+    assert got == {"a": 0, "b": 0, "c": 1}
