@@ -94,6 +94,7 @@ def scd2_apply(
     change_id: str | None = None,
     collapse: bool = True,
     keep_change_id: bool = False,
+    drop_duplicate_changes: bool = False,
     valid_from: str = "valid_from",
     valid_to: str = "valid_to",
     current_col: str = "is_current",
@@ -108,14 +109,29 @@ def scd2_apply(
     replay set whose rows are converted back into change rows
     (``valid_from`` is the original change timestamp; the change id rides
     along when the history was built with ``keep_change_id``) and
-    re-windowed together with the new batch. Late/out-of-order changes
-    are therefore handled exactly: a change older than the current
-    version re-opens and re-closes the affected intervals identically to
-    a full rebuild.
+    re-windowed together with the new batch. A change older than the
+    current version re-opens and re-closes the affected intervals.
 
-    Exact-replay requirement: either (key, ts) is unique per key, or
-    ``history`` carries ``change_id`` (built with
-    ``keep_change_id=True``) so ties replay in the original order.
+    Exact-replay contract — apply == full rebuild iff:
+
+    1. Ties replay deterministically: (key, ts) is unique per key, or
+       ``history`` carries ``change_id`` (``keep_change_id=True``).
+    2. The replay set is LOSSLESS for the affected keys. A history built
+       with ``collapse=True`` has dropped its no-op changes, so a batch
+       change that lands BETWEEN two previously-collapsed equal changes
+       cannot resurrect the later one (rebuild would show
+       x@t1, y@t1.5, x@t2; collapsed storage lost t2). This is exact
+       anyway when batches arrive key-monotonically in ``ts`` (the
+       common in-order CDC case); for arbitrary out-of-order streams,
+       store uncollapsed (``collapse=False``, one version row per
+       change) and collapse at read — ``streaming/scd2`` does exactly
+       that.
+
+    ``drop_duplicate_changes``: drop merged rows sharing the change
+    identity (key, ts[, change_id]) — makes re-applying an
+    already-applied batch a no-op (at-least-once delivery). Re-delivered
+    rows must be identical on the tracked attributes; a conflicting
+    duplicate identity keeps an arbitrary one.
     """
     keys = _as_list(key_cols)
     attrs = _as_list(attr_cols)
@@ -134,6 +150,9 @@ def scd2_apply(
         change_cols.append(change_id)
     replay = history.join(F.broadcast(aff), keys, "left_semi").select(*replay_cols)
     merged = replay.unionByName(changes.select(*change_cols))
+    if drop_duplicate_changes:
+        ident = [*keys, ts_col] + ([change_id] if change_id else [])
+        merged = merged.dropDuplicates(ident)
 
     rebuilt = scd2_history(
         merged,

@@ -106,9 +106,13 @@ def test_history_single_exchange(spark, changes):
 
 
 def test_stream_scd2_batches_equal_rebuild(spark, tmp_path):
-    """Three micro-batches through stream_scd2 == one-shot rebuild, and
-    a replayed batch id (idempotent snapshot overwrite) changes nothing."""
+    """Micro-batches delivered in REVERSE chronological order through
+    stream_scd2 == one-shot rebuild (the lossless-storage guarantee:
+    every late batch interleaves already-stored runs), and re-delivering
+    every batch (at-least-once) changes nothing."""
     import datetime as dt
+    import os
+    import time
 
     from pyspark.sql import Row
 
@@ -120,7 +124,14 @@ def test_stream_scd2_batches_equal_rebuild(spark, tmp_path):
     ]
     df = spark.createDataFrame(rows)
     in_dir = str(tmp_path / "in")
-    df.repartitionByRange(3, "ts").write.parquet(in_dir)
+    # append the NEWEST time slice first: the file source orders files
+    # by modification time, so batches arrive fully out-of-order
+    os.makedirs(in_dir, exist_ok=True)
+    for lo, hi in [(20, 30), (10, 20), (0, 10)]:
+        df.where(f"cid >= {lo} AND cid < {hi}").coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        time.sleep(1.1)  # distinct mtimes -> deterministic batch order
     stream = (
         spark.readStream.schema(df.schema)
         .option("maxFilesPerTrigger", 1)
@@ -144,6 +155,28 @@ def test_stream_scd2_batches_equal_rebuild(spark, tmp_path):
         for r in scd2_history(df, "k", "ts", "v", change_id="cid").collect()
     }
     assert got == want
+
+    # at-least-once replay: re-deliver EVERY batch (fresh checkpoint,
+    # same source) — re-applied change rows collapse against their
+    # stored copies, so the table must be unchanged
+    q2 = stream_scd2(
+        (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        ),
+        table,
+        checkpoint=str(tmp_path / "ckpt2"),
+        key_cols="k", ts_col="ts", attr_cols="v", change_id="cid",
+    )
+    q2.awaitTermination()
+    again = {
+        tuple(r)
+        for r in read_scd2_table(spark, table)
+        .select("k", "v", "valid_from", "valid_to", "is_current")
+        .collect()
+    }
+    assert again == want
 
 
 def test_cli_scd2_history_then_apply(spark, tmp_path):
@@ -197,3 +230,41 @@ def test_cli_compaction_plan(spark, tmp_path):
     ]) == 0
     got = {r["f"]: r["bin"] for r in spark.read.parquet(out).collect()}
     assert got == {"a": 0, "b": 0, "c": 1}
+
+
+def test_lossless_storage_resurrects_interleaved_version(spark):
+    """The case collapsed storage cannot replay: changes a@t1, a@t2
+    (no-op run), then a LATE b@t1.5 arrives between them. Lossless
+    (uncollapsed) storage + collapse-at-read shows a@t1, b@t1.5, a@t2
+    — identical to the full rebuild."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    t1, t15, t2 = (dt.datetime(2024, 1, d, h) for d, h in
+                   [(1, 0), (1, 12), (2, 0)])
+    early = spark.createDataFrame(
+        [Row(k=1, ts=t1, v="a", cid=1), Row(k=1, ts=t2, v="a", cid=2)]
+    )
+    late = spark.createDataFrame([Row(k=1, ts=t15, v="b", cid=3)])
+
+    base = scd2_history(
+        early, "k", "ts", "v", change_id="cid",
+        collapse=False, keep_change_id=True,
+    )
+    stored = scd2_apply(
+        base, late, "k", "ts", "v", change_id="cid",
+        collapse=False, keep_change_id=True, drop_duplicate_changes=True,
+    )
+    view = scd2_history(
+        stored.select("k", F.col("valid_from").alias("ts"), "v", "cid"),
+        "k", "ts", "v", change_id="cid",
+    )
+    want = scd2_history(
+        early.unionByName(late), "k", "ts", "v", change_id="cid"
+    )
+    got = {tuple(r) for r in view.collect()}
+    assert got == {tuple(r) for r in want.collect()}
+    # (k, v, valid_from, valid_to, is_current) sorted chronologically
+    assert [t[1] for t in sorted(got, key=lambda t: t[2])] == ["a", "b", "a"]
