@@ -226,6 +226,9 @@ def _q_stream_scd2(spark, sf_dir):
         ts_col="ts",
         attr_cols="event_type",
         change_id="event_id",
+        # gate-scale bucket count: ~10 users per bucket; the default 64
+        # is sized for real tables, here it just multiplies dir listings
+        n_buckets=16,
     )
     q.awaitTermination()
     back = read_scd2_table(spark, os.path.join(root, "history"))

@@ -146,10 +146,15 @@ def stream_scd2(
                 ),
                 [*keys, _BUCKET], ts_col, attrs, **kw,
             )
-        # sever lineage from the directory being replaced (the read is
-        # lazy; eager localCheckpoint materializes the touched buckets
-        # BEFORE dynamic overwrite deletes them)
-        out = new_hist.localCheckpoint(eager=True)
+        # one task per touched bucket: without this every shuffle task
+        # writes a sliver into every bucket dir (|aff| × shuffle-partitions
+        # small files per batch — the exact bloat compaction_plan exists
+        # to undo). Then sever lineage from the directory being replaced
+        # (the read is lazy; eager localCheckpoint materializes the
+        # touched buckets BEFORE dynamic overwrite deletes them).
+        out = new_hist.repartition(len(aff), F.col(_BUCKET)).localCheckpoint(
+            eager=True
+        )
         (
             out.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
