@@ -892,6 +892,37 @@ def build_parser() -> argparse.ArgumentParser:
     cp.add_argument("--targetBytes", type=int, required=True)
     cp.add_argument("--format", default=None, help="override input format sniffing")
 
+    sn = sub.add_parser(
+        "snapshot",
+        help="snapshot-manifest table maintenance: atomic append/replace "
+        "commits, time-travel read, bin-packed compaction, expiry",
+    )
+    sn.add_argument(
+        "--mode",
+        choices=["append", "read", "compact", "expire", "log"],
+        required=True,
+    )
+    sn.add_argument("--table", required=True, help="snapshot table root")
+    sn.add_argument("--input", help="append mode: data to commit")
+    sn.add_argument("--output", help="read/log mode: where to write the result")
+    sn.add_argument(
+        "--snapshotId", type=int, default=None,
+        help="read mode: time-travel to this snapshot (default: current)",
+    )
+    sn.add_argument(
+        "--targetBytes", type=int, default=512 * 1024 * 1024,
+        help="compact mode: bin size (default 512 MiB)",
+    )
+    sn.add_argument(
+        "--keepLast", type=int, default=1,
+        help="expire mode: snapshots to retain (default 1)",
+    )
+    sn.add_argument(
+        "--dryRun", action="store_true",
+        help="expire mode: list deletable files without deleting",
+    )
+    sn.add_argument("--format", default=None, help="override input format sniffing")
+
     dc = sub.add_parser(
         "decontaminate",
         help="drop corpus docs that fuzzy-match a benchmark corpus "
@@ -1861,6 +1892,37 @@ def main(argv: list[str] | None = None) -> int:
                 manifest, args.sizeField, args.orderField, args.targetBytes
             )
             write_table(out, args.output, mode="overwrite")
+        elif args.command == "snapshot":
+            import json as _json
+
+            from ratatool_spark.operators import snapshots as snap
+
+            if args.mode == "append":
+                if not args.input:
+                    raise SystemExit("--input is required with --mode append")
+                df = read_table(spark, args.input, fmt=args.format)
+                sid = snap.commit_append(df, args.table)
+                print(_json.dumps({"snapshot_id": sid}))
+            elif args.mode == "read":
+                if not args.output:
+                    raise SystemExit("--output is required with --mode read")
+                out = snap.read_snapshot(spark, args.table, args.snapshotId)
+                write_table(out, args.output, mode="overwrite")
+            elif args.mode == "compact":
+                sid = snap.compact_snapshot(spark, args.table, args.targetBytes)
+                print(_json.dumps({"snapshot_id": sid, "compacted": sid is not None}))
+            elif args.mode == "expire":
+                dead = snap.expire_snapshots(
+                    args.table, keep_last=args.keepLast, delete=not args.dryRun
+                )
+                print(_json.dumps({"n_removed": len(dead), "removed": dead}))
+            else:
+                out = snap.snapshot_log(spark, args.table)
+                if args.output:
+                    write_table(out, args.output, mode="overwrite")
+                else:
+                    for r in out.orderBy("snapshot_id").collect():
+                        print(_json.dumps(r.asDict()))
         elif args.command == "decontaminate":
             from pyspark.sql import functions as F
 

@@ -1,0 +1,94 @@
+"""Gate + oracle twins for the snapshot-manifest table layer
+(operators/snapshots): time travel and compaction-under-isolation +
+expiry. The oracles are the logical-content truths — a snapshot read
+must equal the corresponding slice of the source table no matter how
+many physical files, commits, or rewrites produced it."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+
+def _build_orders_table(spark, sf_dir, n_commits=3):
+    """orders split by o_orderkey % n_commits, appended commit-by-commit
+    (snapshot i holds residues 0..i-1)."""
+    from ratatool_spark.operators.snapshots import commit_append
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="rt_snap_") + "/tbl"
+    for i in range(n_commits):
+        commit_append(orders.where(F.col("o_orderkey") % n_commits == i), path)
+    return path
+
+
+def _q_snapshot_time_travel(spark, sf_dir):
+    """Time travel (operators/snapshots.read_snapshot): orders lands in
+    three append commits; reading AS OF snapshot 2 must see exactly the
+    first two commits' rows — later files exist on disk but are not in
+    snapshot 2's manifest, so the reader is isolated from them by
+    construction. The oracle recomputes that slice straight from the
+    source table."""
+    from ratatool_spark.operators.snapshots import read_snapshot
+
+    path = _build_orders_table(spark, sf_dir, n_commits=3)
+    asof2 = read_snapshot(spark, path, snapshot_id=2)
+    return asof2.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_total"),
+    )
+
+
+_SQL_SNAPSHOT_TIME_TRAVEL = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+FROM orders
+WHERE o_orderkey % 3 IN (0, 1)
+GROUP BY o_orderstatus
+"""
+
+
+def _q_snapshot_compact_expire(spark, sf_dir):
+    """Compaction under snapshot isolation + expiry
+    (operators/snapshots.compact_snapshot / expire_snapshots): three
+    append commits, one REPLACE commit that bin-packs every data file
+    into one compacted file per ~bin (layout.compaction_plan drives the
+    plan), then expiry of all but the newest snapshot deletes exactly
+    the files only dead snapshots referenced. The surviving table must
+    still equal the full source table bit-for-bit (the oracle), and the
+    snapshot id must be 4 = 3 appends + 1 replace — physical layout
+    changed, logical content identical."""
+    from ratatool_spark.operators.snapshots import (
+        compact_snapshot,
+        current_snapshot_id,
+        expire_snapshots,
+        read_snapshot,
+    )
+
+    path = _build_orders_table(spark, sf_dir, n_commits=3)
+    compact_snapshot(spark, path, target_bytes=1 << 30)
+    expire_snapshots(path, keep_last=1)
+    cur = read_snapshot(spark, path)
+    return cur.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_total"),
+        F.lit(int(current_snapshot_id(path))).alias("snapshot_id"),
+    )
+
+
+_SQL_SNAPSHOT_COMPACT_EXPIRE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+       4 AS snapshot_id
+FROM orders
+GROUP BY o_orderstatus
+"""

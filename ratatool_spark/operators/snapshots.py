@@ -1,0 +1,357 @@
+"""Snapshot-isolated table layout: manifest-listed parquet data files
+with atomic commits, time travel, compaction under isolation, and
+snapshot expiry — the minimal lakehouse-table primitive the maintenance
+operators here (``layout.compaction_plan``, ``streaming/scd2``) plug
+into.
+
+Why a manifest layer at 100 TB: directory listing is NOT a transaction
+boundary. A plain ``spark.read.parquet(dir)`` sees half-written files
+from a concurrent job, cannot express "replace these 1 000 small files
+with these 10 compacted ones" atomically, and loses history the moment
+a file is rewritten. The fix — the design shared by the public table
+formats (Iceberg's snapshot manifests, Delta's transaction log) — is to
+make a tiny METADATA file the source of truth:
+
+* ``data/`` holds immutable parquet files; files are only ever ADDED,
+  never mutated. A failed job leaves orphans that no manifest
+  references — invisible to every reader, swept later by
+  :func:`expire_snapshots`.
+* ``snapshots/v{N}.json`` lists exactly the data files (path, rows,
+  bytes) of table version N plus the parent id and the schema. Readers
+  resolve ONE manifest (metadata-scale: one row per file, ~10^5 rows
+  for a 100 TB table at healthy file sizes) and read exactly those
+  files — a reader holding snapshot N is isolated from every later
+  commit by construction.
+* Commit = write data files, then publish ``v{N+1}.json`` with an
+  EXCLUSIVE create (``open(..., "x")`` locally; the documented seam for
+  object stores is a conditional PUT / metastore compare-and-swap, the
+  same primitive the public formats require). Two racing committers:
+  one wins, the other gets :class:`CommitConflict` and retries against
+  the new current snapshot — optimistic concurrency, no locks held
+  during the (long) data write.
+
+Compaction composes: :func:`snapshot_manifest` IS the file manifest
+``layout.compaction_plan`` bin-packs, and :func:`compact_snapshot`
+rewrites each multi-file bin and publishes one REPLACE commit — readers
+never observe a state where rows are missing or doubled.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_SNAP_DIR = "snapshots"
+_DATA_DIR = "data"
+
+
+class CommitConflict(Exception):
+    """Another commit published the same snapshot id first. Re-read the
+    table state (your parent snapshot is stale) and retry."""
+
+
+def _snap_path(table_path: str, snapshot_id: int) -> str:
+    return os.path.join(table_path, _SNAP_DIR, f"v{snapshot_id:012d}.json")
+
+
+def _snap_ids(table_path: str) -> list[int]:
+    pat = os.path.join(table_path, _SNAP_DIR, "v*.json")
+    return sorted(int(os.path.basename(p)[1:-5]) for p in glob.glob(pat))
+
+
+def current_snapshot_id(table_path: str) -> int | None:
+    """Highest published snapshot id, or None for an empty/absent table.
+    The max over the snapshot directory is the current pointer — ids are
+    dense and zero-padded so name order is id order."""
+    ids = _snap_ids(table_path)
+    return ids[-1] if ids else None
+
+
+def read_manifest(table_path: str, snapshot_id: int | None = None) -> dict:
+    """The raw manifest dict of ``snapshot_id`` (default: current)."""
+    if snapshot_id is None:
+        snapshot_id = current_snapshot_id(table_path)
+        if snapshot_id is None:
+            raise FileNotFoundError(f"no snapshots under {table_path}")
+    p = _snap_path(table_path, snapshot_id)
+    if not os.path.exists(p):
+        raise FileNotFoundError(
+            f"snapshot {snapshot_id} does not exist under {table_path} "
+            f"(have {_snap_ids(table_path)})"
+        )
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_data_files(df: DataFrame, table_path: str) -> list[dict]:
+    """Write ``df`` as immutable parquet files under ``data/`` and
+    return their manifest entries. Files land under a per-commit uuid
+    prefix, so concurrent writers never collide and a failed commit's
+    files are identifiable orphans."""
+    commit_uuid = uuid.uuid4().hex
+    out_dir = os.path.join(table_path, _DATA_DIR, commit_uuid)
+    df.write.parquet(out_dir)
+    entries = []
+    for p in sorted(glob.glob(os.path.join(out_dir, "*.parquet"))):
+        rel = os.path.relpath(p, table_path)
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(p).metadata
+        entries.append(
+            {"path": rel, "rows": md.num_rows, "bytes": os.path.getsize(p)}
+        )
+    return entries
+
+
+def _publish(
+    table_path: str,
+    parent: int | None,
+    files: list[dict],
+    schema_json: str,
+    operation: str,
+) -> int:
+    new_id = (parent or 0) + 1
+    os.makedirs(os.path.join(table_path, _SNAP_DIR), exist_ok=True)
+    manifest = {
+        "snapshot_id": new_id,
+        "parent": parent,
+        "operation": operation,
+        "schema": schema_json,
+        "files": files,
+    }
+    tmp = _snap_path(table_path, new_id) + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    try:
+        # exclusive create = the commit's atomicity point: exactly one
+        # writer can publish v{new_id}. (Object-store deployments swap
+        # this single call for a conditional PUT / catalog CAS.)
+        with open(_snap_path(table_path, new_id), "x") as dst, open(tmp) as src:
+            dst.write(src.read())
+    except FileExistsError as e:
+        raise CommitConflict(
+            f"snapshot {new_id} already published under {table_path}; "
+            "re-read the current snapshot and retry"
+        ) from e
+    finally:
+        os.remove(tmp)
+    return new_id
+
+
+def _norm_fields(schema_json: str) -> list[tuple[str, object]]:
+    # nullability is advisory in Spark (a parquet read widens non-null
+    # to nullable); (name, type) is the contract the manifest pins
+    return [
+        (f["name"], f["type"])
+        for f in json.loads(schema_json)["fields"]
+    ]
+
+
+def _check_schema(df: DataFrame, manifest: dict) -> None:
+    if _norm_fields(manifest["schema"]) != _norm_fields(df.schema.json()):
+        raise ValueError(
+            "schema mismatch with table schema — snapshot tables are "
+            "fixed-schema (evolve by an explicit rewrite commit); "
+            f"table={manifest['schema']} df={df.schema.json()}"
+        )
+
+
+def commit_append(df: DataFrame, table_path: str) -> int:
+    """Append ``df`` as a new snapshot: parent's files + the new files.
+    Returns the published snapshot id. Data is written BEFORE the
+    manifest is published, so a crash mid-commit leaves only orphans."""
+    parent = current_snapshot_id(table_path)
+    base: list[dict] = []
+    if parent is not None:
+        m = read_manifest(table_path, parent)
+        _check_schema(df, m)
+        base = m["files"]
+        schema_json = m["schema"]
+    else:
+        os.makedirs(table_path, exist_ok=True)
+        schema_json = df.schema.json()
+    new_files = _write_data_files(df, table_path)
+    return _publish(
+        table_path, parent, base + new_files, schema_json, "append"
+    )
+
+
+def commit_replace(
+    spark: SparkSession,
+    table_path: str,
+    remove_paths: list[str],
+    add_df: DataFrame | None,
+    expected_parent: int | None = None,
+) -> int:
+    """Atomically replace ``remove_paths`` (manifest-relative) with the
+    files of ``add_df`` — the commit type compaction, clustering rewrites
+    (``layout.zorder_repartition``), and retention deletes publish.
+    ``expected_parent`` asserts the optimistic-concurrency precondition:
+    if another commit landed since the caller planned this rewrite, the
+    plan's inputs are stale and the publish fails with
+    :class:`CommitConflict` instead of silently dropping that commit's
+    files."""
+    parent = current_snapshot_id(table_path)
+    if parent is None:
+        raise FileNotFoundError(f"no snapshots under {table_path}")
+    if expected_parent is not None and parent != expected_parent:
+        raise CommitConflict(
+            f"planned against snapshot {expected_parent} but current is "
+            f"{parent} — replan against the current manifest"
+        )
+    m = read_manifest(table_path, parent)
+    have = {e["path"] for e in m["files"]}
+    missing = set(remove_paths) - have
+    if missing:
+        raise ValueError(
+            f"remove_paths not in snapshot {parent}: {sorted(missing)[:5]}"
+        )
+    kept = [e for e in m["files"] if e["path"] not in set(remove_paths)]
+    new_files = []
+    if add_df is not None:
+        _check_schema(add_df, m)
+        new_files = _write_data_files(add_df, table_path)
+    return _publish(
+        table_path, parent, kept + new_files, m["schema"], "replace"
+    )
+
+
+def read_snapshot(
+    spark: SparkSession, table_path: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """The table AS OF ``snapshot_id`` (default: current) — time travel.
+    Reads exactly the manifest's files with the manifest's schema;
+    files added by later commits (or half-written by a failed one) are
+    invisible because they are not listed."""
+    m = read_manifest(table_path, snapshot_id)
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    paths = [os.path.join(table_path, e["path"]) for e in m["files"]]
+    if not paths:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def snapshot_manifest(
+    spark: SparkSession, table_path: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """(path, rows, bytes) of a snapshot's files as a DataFrame — the
+    input ``layout.compaction_plan`` bin-packs. Metadata-scale."""
+    m = read_manifest(table_path, snapshot_id)
+    rows = [(e["path"], e["rows"], e["bytes"]) for e in m["files"]]
+    schema = "path string, rows bigint, bytes bigint"
+    return spark.createDataFrame(rows, schema)
+
+
+def compact_snapshot(
+    spark: SparkSession, table_path: str, target_bytes: int
+) -> int | None:
+    """Bin-pack the current snapshot's files with
+    ``layout.compaction_plan`` and rewrite every multi-file bin into one
+    file, publishing a single REPLACE commit (readers see either the old
+    file set or the new one, never a mix). Single-file bins are left in
+    place — rewriting them would churn bytes for nothing. Returns the
+    new snapshot id, or None when nothing needed compaction.
+
+    Scale: each bin is ~``target_bytes`` regardless of table size, so a
+    task rewrites one bin independently; the planner input is the
+    metadata-scale manifest."""
+    from ratatool_spark.operators.layout import compaction_plan
+
+    parent = current_snapshot_id(table_path)
+    manifest = snapshot_manifest(spark, table_path, parent)
+    plan = compaction_plan(manifest, "bytes", ["path"], target_bytes)
+    bins: dict[int, list[str]] = {}
+    for r in plan.collect():  # metadata-scale: one row per file
+        bins.setdefault(r["bin"], []).append(r["path"])
+    multi = {b: ps for b, ps in bins.items() if len(ps) > 1}
+    if not multi:
+        return None
+    m = read_manifest(table_path, parent)
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    # write every bin's merged file first (orphans if we lose the race),
+    # then publish ONE replace commit covering all bins
+    new_files: list[dict] = []
+    removed: list[str] = []
+    for b in sorted(multi):
+        paths = multi[b]
+        merged = spark.read.schema(schema).parquet(
+            *[os.path.join(table_path, p) for p in paths]
+        ).coalesce(1)
+        new_files.extend(_write_data_files(merged, table_path))
+        removed.extend(paths)
+    kept = [e for e in m["files"] if e["path"] not in set(removed)]
+    if current_snapshot_id(table_path) != parent:
+        raise CommitConflict(
+            f"snapshot advanced past {parent} while compacting — replan"
+        )
+    return _publish(
+        table_path, parent, kept + new_files, m["schema"], "replace"
+    )
+
+
+def expire_snapshots(
+    table_path: str, keep_last: int = 1, delete: bool = True
+) -> list[str]:
+    """Drop all but the newest ``keep_last`` snapshots and delete the
+    data files ONLY they referenced (pure set arithmetic over the
+    manifests — retained snapshots keep every file they list, so time
+    travel within the retention window still works). Returns the
+    manifest-relative paths of the files removed. ``delete=False`` is
+    the dry-run audit."""
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    ids = _snap_ids(table_path)
+    if len(ids) <= keep_last:
+        return []
+    expired, retained = ids[:-keep_last], ids[-keep_last:]
+    live: set[str] = set()
+    for sid in retained:
+        live.update(e["path"] for e in read_manifest(table_path, sid)["files"])
+    dead: set[str] = set()
+    for sid in expired:
+        dead.update(
+            e["path"]
+            for e in read_manifest(table_path, sid)["files"]
+            if e["path"] not in live
+        )
+    if delete:
+        for rel in dead:
+            p = os.path.join(table_path, rel)
+            if os.path.exists(p):
+                os.remove(p)
+            d = os.path.dirname(p)
+            if os.path.isdir(d) and not os.listdir(d):
+                shutil.rmtree(d)
+        for sid in expired:
+            os.remove(_snap_path(table_path, sid))
+    return sorted(dead)
+
+
+def snapshot_log(spark: SparkSession, table_path: str) -> DataFrame:
+    """(snapshot_id, parent, operation, n_files, rows, bytes) — the
+    table's commit history as a DataFrame (metadata-scale)."""
+    rows = []
+    for sid in _snap_ids(table_path):
+        m = read_manifest(table_path, sid)
+        rows.append(
+            (
+                sid,
+                m["parent"],
+                m["operation"],
+                len(m["files"]),
+                sum(e["rows"] for e in m["files"]),
+                sum(e["bytes"] for e in m["files"]),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "snapshot_id bigint, parent bigint, operation string, "
+        "n_files bigint, rows bigint, bytes bigint",
+    )

@@ -1,0 +1,229 @@
+"""Snapshot-manifest table layer (operators/snapshots): atomic commits,
+time travel, isolation from unreferenced files, compaction under one
+replace commit, expiry set arithmetic, conflict detection."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ratatool_spark.operators.snapshots import (
+    CommitConflict,
+    commit_append,
+    commit_replace,
+    compact_snapshot,
+    current_snapshot_id,
+    expire_snapshots,
+    read_manifest,
+    read_snapshot,
+    snapshot_log,
+    snapshot_manifest,
+    _publish,
+)
+
+
+def _tbl(spark, tmp_path, n=3, rows=10):
+    """n append commits of `rows` rows each; returns the table path."""
+    path = str(tmp_path / "tbl")
+    for i in range(n):
+        df = spark.range(i * rows, (i + 1) * rows).select(
+            F.col("id").cast("long"),
+            (F.col("id") % 7).cast("long").alias("grp"),
+        )
+        commit_append(df, path)
+    return path
+
+
+def test_append_and_current(spark, tmp_path):
+    path = _tbl(spark, tmp_path, n=3)
+    assert current_snapshot_id(path) == 3
+    assert read_snapshot(spark, path).count() == 30
+
+
+def test_time_travel_reads_exact_snapshot(spark, tmp_path):
+    path = _tbl(spark, tmp_path, n=3)
+    for sid, expect in [(1, 10), (2, 20), (3, 30)]:
+        got = read_snapshot(spark, path, sid)
+        assert got.count() == expect
+        assert got.agg(F.max("id")).first()[0] == expect - 1
+
+
+def test_reader_isolated_from_unreferenced_files(spark, tmp_path):
+    """Files on disk but absent from the manifest (a failed commit's
+    orphans) are invisible to every reader."""
+    path = _tbl(spark, tmp_path, n=1)
+    orphan_dir = os.path.join(path, "data", "deadbeef")
+    spark.range(100, 105).select(
+        F.col("id").cast("long"), F.lit(0).cast("long").alias("grp")
+    ).write.parquet(orphan_dir)
+    assert read_snapshot(spark, path).count() == 10  # orphans unseen
+
+
+def test_schema_mismatch_rejected(spark, tmp_path):
+    path = _tbl(spark, tmp_path, n=1)
+    bad = spark.range(5).select(F.col("id").alias("renamed"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        commit_append(bad, path)
+
+
+def test_replace_preserves_other_files(spark, tmp_path):
+    path = _tbl(spark, tmp_path, n=2)
+    m = read_manifest(path)
+    victim = next(e["path"] for e in m["files"] if e["rows"] > 0)
+    kept_rows = read_snapshot(spark, path).count()
+    victim_rows = [e["rows"] for e in m["files"] if e["path"] == victim][0]
+    rewritten = spark.read.parquet(os.path.join(path, victim))
+    sid = commit_replace(spark, path, [victim], rewritten)
+    assert sid == 3
+    assert read_snapshot(spark, path).count() == kept_rows
+    # and the old snapshot still reads the OLD file set (time travel)
+    assert read_snapshot(spark, path, 2).count() == kept_rows
+    assert victim_rows > 0
+
+
+def test_replace_unknown_path_rejected(spark, tmp_path):
+    path = _tbl(spark, tmp_path, n=1)
+    with pytest.raises(ValueError, match="not in snapshot"):
+        commit_replace(spark, path, ["data/nope.parquet"], None)
+
+
+def test_commit_conflict_on_same_id(spark, tmp_path):
+    """Two committers racing to publish the same snapshot id: exactly one
+    wins (exclusive manifest create is the atomicity point)."""
+    path = _tbl(spark, tmp_path, n=1)
+    m = read_manifest(path)
+    _publish(path, 1, m["files"], m["schema"], "append")  # v2 published
+    with pytest.raises(CommitConflict):
+        _publish(path, 1, m["files"], m["schema"], "append")
+
+
+def test_replace_stale_parent_conflict(spark, tmp_path):
+    path = _tbl(spark, tmp_path, n=2)
+    m = read_manifest(path)
+    df = spark.range(1).select(
+        F.col("id").cast("long"), F.lit(0).cast("long").alias("grp")
+    )
+    commit_append(df, path)  # someone else commits (now v3)
+    with pytest.raises(CommitConflict, match="replan"):
+        commit_replace(
+            spark, path, [m["files"][0]["path"]], None, expected_parent=2
+        )
+
+
+def test_compact_single_replace_commit_preserves_data(spark, tmp_path):
+    path = _tbl(spark, tmp_path, n=4, rows=50)
+    before = read_snapshot(spark, path)
+    before_agg = sorted(
+        before.groupBy("grp").agg(F.count("*"), F.sum("id")).collect()
+    )
+    n_before = len(read_manifest(path)["files"])
+    sid = compact_snapshot(spark, path, target_bytes=1 << 30)  # one bin
+    assert sid == 5  # exactly ONE replace commit
+    m = read_manifest(path)
+    assert m["operation"] == "replace"
+    assert len(m["files"]) < n_before
+    after = read_snapshot(spark, path)
+    after_agg = sorted(
+        after.groupBy("grp").agg(F.count("*"), F.sum("id")).collect()
+    )
+    assert before_agg == after_agg
+    # pre-compaction snapshot still readable (old files still live)
+    assert read_snapshot(spark, path, 4).count() == 200
+
+
+def test_compact_noop_when_all_bins_single(spark, tmp_path):
+    path = _tbl(spark, tmp_path, n=1)
+    # tiny target: every file its own bin -> nothing to do
+    assert compact_snapshot(spark, path, target_bytes=1) is None
+    assert current_snapshot_id(path) == 1
+
+
+def test_expire_deletes_only_dead_files(spark, tmp_path):
+    path = _tbl(spark, tmp_path, n=3, rows=20)
+    compact_snapshot(spark, path, target_bytes=1 << 30)  # v4 rewrite
+    dead = expire_snapshots(path, keep_last=1)
+    assert dead  # the pre-compaction files are now unreferenced
+    # current snapshot unaffected
+    assert read_snapshot(spark, path).count() == 60
+    # expired manifests gone
+    with pytest.raises(FileNotFoundError):
+        read_manifest(path, 1)
+    # every surviving manifest's files still exist
+    for e in read_manifest(path)["files"]:
+        assert os.path.exists(os.path.join(path, e["path"]))
+
+
+def test_expire_pure_appends_orphan_nothing(spark, tmp_path):
+    """Append-only history: every old file is still referenced by the
+    newest snapshot, so expiry finds no dead files (manifests drop, data
+    stays)."""
+    path = _tbl(spark, tmp_path, n=2)
+    assert expire_snapshots(path, keep_last=1, delete=False) == []
+
+
+def test_expire_dry_run_deletes_nothing(spark, tmp_path):
+    path = _tbl(spark, tmp_path, n=2)
+    compact_snapshot(spark, path, target_bytes=1 << 30)  # v3 rewrite
+    dead = expire_snapshots(path, keep_last=1, delete=False)
+    assert dead
+    assert current_snapshot_id(path) == 3
+    assert read_snapshot(spark, path, 1).count() == 10  # still readable
+
+
+def test_snapshot_log_and_manifest(spark, tmp_path):
+    path = _tbl(spark, tmp_path, n=2, rows=5)
+    log = snapshot_log(spark, path).orderBy("snapshot_id").collect()
+    assert [r["snapshot_id"] for r in log] == [1, 2]
+    assert [r["rows"] for r in log] == [5, 10]
+    assert log[0]["parent"] is None and log[1]["parent"] == 1
+    man = snapshot_manifest(spark, path)
+    assert man.agg(F.sum("rows")).first()[0] == 10
+    # manifest bytes match the files on disk
+    for r in man.collect():
+        assert os.path.getsize(os.path.join(path, r["path"])) == r["bytes"]
+
+
+def test_cli_snapshot_lifecycle(spark, tmp_path, capsys):
+    """CLI verbs drive the full lifecycle: append x2 -> time-travel read
+    -> compact -> expire -> log."""
+    from ratatool_spark.cli import main
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    spark.range(10).select(
+        F.col("id").cast("long"), (F.col("id") % 3).cast("long").alias("grp")
+    ).write.parquet(a)
+    spark.range(10, 30).select(
+        F.col("id").cast("long"), (F.col("id") % 3).cast("long").alias("grp")
+    ).write.parquet(b)
+    tbl = str(tmp_path / "tbl")
+    assert main(["snapshot", "--mode", "append", "--table", tbl, "--input", a]) == 0
+    assert main(["snapshot", "--mode", "append", "--table", tbl, "--input", b]) == 0
+    asof1 = str(tmp_path / "asof1")
+    assert main([
+        "snapshot", "--mode", "read", "--table", tbl,
+        "--snapshotId", "1", "--output", asof1,
+    ]) == 0
+    assert spark.read.parquet(asof1).count() == 10
+    assert main([
+        "snapshot", "--mode", "compact", "--table", tbl,
+        "--targetBytes", str(1 << 30),
+    ]) == 0
+    assert main(["snapshot", "--mode", "expire", "--table", tbl]) == 0
+    capsys.readouterr()
+    assert main(["snapshot", "--mode", "log", "--table", tbl]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1  # only the compacted snapshot survives expiry
+    assert json.loads(out[0])["rows"] == 30
+
+
+def test_manifest_schema_roundtrip_empty_read(spark, tmp_path):
+    """A replace that removes everything leaves an empty but readable
+    table with the pinned schema."""
+    path = _tbl(spark, tmp_path, n=1)
+    paths = [e["path"] for e in read_manifest(path)["files"]]
+    commit_replace(spark, path, paths, None)
+    empty = read_snapshot(spark, path)
+    assert empty.count() == 0
+    assert empty.columns == ["id", "grp"]
+    assert json.loads(read_manifest(path)["schema"])  # schema retained
