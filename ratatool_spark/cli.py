@@ -892,6 +892,26 @@ def build_parser() -> argparse.ArgumentParser:
     cp.add_argument("--targetBytes", type=int, required=True)
     cp.add_argument("--format", default=None, help="override input format sniffing")
 
+    lg = sub.add_parser(
+        "logreg",
+        help="fixed-point logistic regression: bit-reproducible "
+        "full-batch gradient descent over integer count features "
+        "(train writes a weights JSON; score applies one)",
+    )
+    lg.add_argument("--mode", choices=["train", "score"], required=True)
+    lg.add_argument("--input", required=True)
+    lg.add_argument("--features", type=_csv, required=True,
+                    help="integer feature column(s)")
+    lg.add_argument("--label", help="train mode: 0/1 label column")
+    lg.add_argument("--scales", type=_csv, default=None,
+                    help="per-feature scale constants (default 1.0 each)")
+    lg.add_argument("--lr", type=float, default=1.0)
+    lg.add_argument("--iters", type=int, default=4)
+    lg.add_argument("--model", required=True,
+                    help="weights JSON path (written by train, read by score)")
+    lg.add_argument("--output", help="score mode: scored table destination")
+    lg.add_argument("--format", default=None, help="override input format sniffing")
+
     sn = sub.add_parser(
         "snapshot",
         help="snapshot-manifest table maintenance: atomic append/replace "
@@ -1892,6 +1912,40 @@ def main(argv: list[str] | None = None) -> int:
                 manifest, args.sizeField, args.orderField, args.targetBytes
             )
             write_table(out, args.output, mode="overwrite")
+        elif args.command == "logreg":
+            import json as _json
+
+            from ratatool_spark.operators.linear import (
+                lr_score,
+                train_lr_fixed_point,
+            )
+            from ratatool_spark.sources.shards import _read_text, _write_text
+
+            df = read_table(spark, args.input, fmt=args.format)
+            scales = (
+                [float(x) for x in args.scales] if args.scales else None
+            )
+            if args.mode == "train":
+                if not args.label:
+                    raise SystemExit("--label is required with --mode train")
+                w = train_lr_fixed_point(
+                    df, args.features, args.label, scales=scales,
+                    lr=args.lr, n_iters=args.iters,
+                )
+                _write_text(spark, args.model, _json.dumps({
+                    "version": 1, "features": args.features,
+                    "scales": scales or [1.0] * len(args.features),
+                    "weights": w,
+                }))
+                print(_json.dumps({"weights": w}))
+            else:
+                if not args.output:
+                    raise SystemExit("--output is required with --mode score")
+                meta = _json.loads(_read_text(spark, args.model))
+                out = lr_score(
+                    df, meta["features"], meta["scales"], meta["weights"]
+                )
+                write_table(out, args.output, mode="overwrite")
         elif args.command == "snapshot":
             import json as _json
 
