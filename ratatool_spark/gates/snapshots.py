@@ -84,6 +84,66 @@ def _q_snapshot_compact_expire(spark, sf_dir):
     )
 
 
+def _q_stream_snapshot_appends(spark, sf_dir):
+    """Streaming ingestion into a snapshot table
+    (streaming/snapshots.stream_snapshot_append) run for real: orders
+    arrives as three files processed one per micro-batch, each published
+    as ONE atomic append commit with the stream batch id recorded as the
+    idempotency ledger. The final table must equal the whole source
+    (oracle), commit count must equal batch count, and the ledger must
+    hold exactly the delivered batch ids — at-least-once delivery,
+    exactly-once table contents."""
+    import os
+    import tempfile
+
+    from ratatool_spark.operators.snapshots import (
+        current_snapshot_id,
+        read_snapshot,
+    )
+    from ratatool_spark.streaming.snapshots import (
+        committed_stream_batches,
+        stream_snapshot_append,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="rt_snapstream_")
+    in_dir = os.path.join(root, "incoming")
+    orders.repartitionByRange(3, F.col("o_orderkey")).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    tbl = os.path.join(root, "tbl")
+    q = stream_snapshot_append(
+        stream, tbl, checkpoint=os.path.join(root, "ckpt")
+    )
+    q.awaitTermination()
+    n_commits = int(current_snapshot_id(tbl))
+    n_batches = len(committed_stream_batches(tbl))
+    return read_snapshot(spark, tbl).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_total"),
+        F.lit(n_commits).alias("n_commits"),
+        F.lit(n_batches).alias("n_batches"),
+    )
+
+
+_SQL_STREAM_SNAPSHOT_APPENDS = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+       3 AS n_commits,
+       3 AS n_batches
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 _SQL_SNAPSHOT_COMPACT_EXPIRE = """
 SELECT o_orderstatus,
        COUNT(*) AS n_orders,

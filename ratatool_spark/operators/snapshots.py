@@ -116,6 +116,7 @@ def _publish(
     files: list[dict],
     schema_json: str,
     operation: str,
+    extra: dict | None = None,
 ) -> int:
     new_id = (parent or 0) + 1
     os.makedirs(os.path.join(table_path, _SNAP_DIR), exist_ok=True)
@@ -125,6 +126,7 @@ def _publish(
         "operation": operation,
         "schema": schema_json,
         "files": files,
+        **(extra or {}),
     }
     tmp = _snap_path(table_path, new_id) + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
@@ -163,10 +165,14 @@ def _check_schema(df: DataFrame, manifest: dict) -> None:
         )
 
 
-def commit_append(df: DataFrame, table_path: str) -> int:
+def commit_append(
+    df: DataFrame, table_path: str, extra: dict | None = None
+) -> int:
     """Append ``df`` as a new snapshot: parent's files + the new files.
     Returns the published snapshot id. Data is written BEFORE the
-    manifest is published, so a crash mid-commit leaves only orphans."""
+    manifest is published, so a crash mid-commit leaves only orphans.
+    ``extra`` lands in the manifest (e.g. the streaming sink's
+    ``stream_batch_id`` idempotency ledger)."""
     parent = current_snapshot_id(table_path)
     base: list[dict] = []
     if parent is not None:
@@ -179,7 +185,8 @@ def commit_append(df: DataFrame, table_path: str) -> int:
         schema_json = df.schema.json()
     new_files = _write_data_files(df, table_path)
     return _publish(
-        table_path, parent, base + new_files, schema_json, "append"
+        table_path, parent, base + new_files, schema_json, "append",
+        extra=extra,
     )
 
 

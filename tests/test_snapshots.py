@@ -217,6 +217,49 @@ def test_cli_snapshot_lifecycle(spark, tmp_path, capsys):
     assert json.loads(out[0])["rows"] == 30
 
 
+def test_stream_append_batches_and_replay_idempotent(spark, tmp_path):
+    """Streaming sink: one atomic commit per micro-batch; re-delivering
+    the same batch ids (fresh checkpoint -> ids restart at 0) changes
+    NOTHING — the manifest ledger makes at-least-once delivery
+    exactly-once table contents."""
+    from ratatool_spark.operators.snapshots import (
+        current_snapshot_id,
+        read_snapshot,
+    )
+    from ratatool_spark.streaming.snapshots import (
+        committed_stream_batches,
+        stream_snapshot_append,
+    )
+
+    src = spark.range(90).select(
+        F.col("id").cast("long"), (F.col("id") % 5).cast("long").alias("grp")
+    )
+    in_dir = str(tmp_path / "in")
+    src.repartitionByRange(3, F.col("id")).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    tbl = str(tmp_path / "tbl")
+    q = stream_snapshot_append(stream, tbl, checkpoint=str(tmp_path / "ck1"))
+    q.awaitTermination()
+    assert current_snapshot_id(tbl) == 3
+    assert committed_stream_batches(tbl) == {0, 1, 2}
+    assert read_snapshot(spark, tbl).count() == 90
+    # redeliver everything under a FRESH checkpoint: same batch ids,
+    # ledger hits, zero new commits
+    stream2 = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q2 = stream_snapshot_append(stream2, tbl, checkpoint=str(tmp_path / "ck2"))
+    q2.awaitTermination()
+    assert current_snapshot_id(tbl) == 3
+    assert read_snapshot(spark, tbl).count() == 90
+
+
 def test_manifest_schema_roundtrip_empty_read(spark, tmp_path):
     """A replace that removes everything leaves an empty but readable
     table with the pinned schema."""
