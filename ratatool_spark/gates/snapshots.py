@@ -17,7 +17,7 @@ def _build_orders_table(spark, sf_dir, n_commits=3):
     from ratatool_spark.operators.snapshots import commit_append
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
     path = tempfile.mkdtemp(prefix="rt_snap_") + "/tbl"
     for i in range(n_commits):
@@ -82,6 +82,42 @@ def _q_snapshot_compact_expire(spark, sf_dir):
         .alias("sum_total"),
         F.lit(int(current_snapshot_id(path))).alias("snapshot_id"),
     )
+
+
+def _q_snapshot_cluster_zorder(spark, sf_dir):
+    """Clustering-rewrite commit (operators/snapshots.cluster_snapshot):
+    the table is rewritten z-ordered by (o_custkey, o_orderkey) as one
+    replace commit — physical layout changes (range exchange on the
+    Morton key, selective footer stats), logical content must not (the
+    oracle is the full source table), and the commit history must read
+    3 appends + 1 replace."""
+    from ratatool_spark.operators.snapshots import (
+        cluster_snapshot,
+        current_snapshot_id,
+        read_snapshot,
+    )
+
+    path = _build_orders_table(spark, sf_dir, n_commits=3)
+    cluster_snapshot(spark, path, ["o_custkey", "o_orderkey"],
+                     num_partitions=4)
+    cur = read_snapshot(spark, path)
+    return cur.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_total"),
+        F.lit(int(current_snapshot_id(path))).alias("snapshot_id"),
+    )
+
+
+_SQL_SNAPSHOT_CLUSTER_ZORDER = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+       4 AS snapshot_id
+FROM orders
+GROUP BY o_orderstatus
+"""
 
 
 def _q_stream_snapshot_appends(spark, sf_dir):

@@ -95,14 +95,14 @@ def _write_data_files(df: DataFrame, table_path: str) -> list[dict]:
     return their manifest entries. Files land under a per-commit uuid
     prefix, so concurrent writers never collide and a failed commit's
     files are identifiable orphans."""
+    import pyarrow.parquet as pq
+
     commit_uuid = uuid.uuid4().hex
     out_dir = os.path.join(table_path, _DATA_DIR, commit_uuid)
     df.write.parquet(out_dir)
     entries = []
     for p in sorted(glob.glob(os.path.join(out_dir, "*.parquet"))):
         rel = os.path.relpath(p, table_path)
-        import pyarrow.parquet as pq
-
         md = pq.ParquetFile(p).metadata
         entries.append(
             {"path": rel, "rows": md.num_rows, "bytes": os.path.getsize(p)}
@@ -301,6 +301,42 @@ def compact_snapshot(
     return _publish(
         table_path, parent, kept + new_files, m["schema"], "replace"
     )
+
+
+def cluster_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    zorder_cols: list[str],
+    bits: int = 16,
+    num_partitions: int | None = None,
+) -> int:
+    """Rewrite the whole table z-ordered by ``zorder_cols``
+    (``layout.zorder_repartition``: range exchange on the Morton key +
+    intra-partition sort, so every file's footer min/max stats become
+    selective on all z columns) and publish it as ONE replace commit —
+    the clustering-rewrite commit type. Readers on older snapshots keep
+    the unclustered files until expiry; new scans prune with the
+    z-layout (`row_group_skip_audit` measures the payoff). Logical
+    content is untouched — the `snapshot_cluster_zorder` gate pins the
+    rewrite against the source table."""
+    from ratatool_spark.operators.layout import zorder_repartition
+
+    parent = current_snapshot_id(table_path)
+    if parent is None:
+        raise FileNotFoundError(f"no snapshots under {table_path}")
+    m = read_manifest(table_path, parent)
+    clustered = zorder_repartition(
+        read_snapshot(spark, table_path, parent),
+        zorder_cols,
+        bits=bits,
+        num_partitions=num_partitions,
+    )
+    new_files = _write_data_files(clustered, table_path)
+    if current_snapshot_id(table_path) != parent:
+        raise CommitConflict(
+            f"snapshot advanced past {parent} while clustering — replan"
+        )
+    return _publish(table_path, parent, new_files, m["schema"], "replace")
 
 
 def expire_snapshots(

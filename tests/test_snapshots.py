@@ -217,6 +217,24 @@ def test_cli_snapshot_lifecycle(spark, tmp_path, capsys):
     assert json.loads(out[0])["rows"] == 30
 
 
+def test_cluster_snapshot_zorder_rewrite(spark, tmp_path):
+    """Clustering rewrite: one replace commit, logical content identical,
+    files physically reordered by the Morton key (footer stats become
+    selective — the audit half is covered in test_layout)."""
+    from ratatool_spark.operators.snapshots import cluster_snapshot
+
+    path = _tbl(spark, tmp_path, n=3, rows=100)
+    before = sorted(read_snapshot(spark, path).collect())
+    sid = cluster_snapshot(spark, path, ["id", "grp"], num_partitions=4)
+    assert sid == 4
+    m = read_manifest(path)
+    assert m["operation"] == "replace"
+    after = sorted(read_snapshot(spark, path).collect())
+    assert before == after
+    # old snapshot still readable (time travel across the rewrite)
+    assert read_snapshot(spark, path, 3).count() == 300
+
+
 def test_stream_append_batches_and_replay_idempotent(spark, tmp_path):
     """Streaming sink: one atomic commit per micro-batch; re-delivering
     the same batch ids (fresh checkpoint -> ids restart at 0) changes
