@@ -120,6 +120,59 @@ GROUP BY o_orderstatus
 """
 
 
+def _q_snapshot_stats_pruned_read(spark, sf_dir):
+    """File-level skipping from manifest min/max stats
+    (operators/snapshots.read_snapshot(where=...), the Iceberg/Delta
+    pruning primitive): the table is z-order-clustered into 4 files
+    (tight per-column ranges in the manifest), then read under a
+    1/8th-of-custkey box — whole files are ruled out from METADATA
+    alone (files_pruned must be true: the upper z-range files cannot
+    contain the low-custkey box), and the surviving rows must equal the
+    plain SQL filter."""
+    from ratatool_spark.operators.snapshots import (
+        cluster_snapshot,
+        files_intersecting,
+        read_manifest,
+        read_snapshot,
+    )
+
+    path = _build_orders_table(spark, sf_dir, n_commits=3)
+    cluster_snapshot(spark, path, ["o_custkey", "o_orderkey"],
+                     num_partitions=4)
+    m = read_manifest(path)
+    agg = spark.read.parquet(f"{sf_dir}/orders.parquet").agg(
+        F.min("o_custkey"), F.max("o_custkey")
+    ).first()
+    lo = int(agg[0])
+    hi = lo + (int(agg[1]) - lo) // 8
+    box = {"o_custkey": (lo, hi)}
+    pruned = len(m["files"]) - len(files_intersecting(m, box))
+    cur = read_snapshot(spark, path, where=box)
+    return cur.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_total"),
+        F.lit(pruned > 0).alias("files_pruned"),
+    )
+
+
+_SQL_SNAPSHOT_STATS_PRUNED = """
+WITH box AS (
+  SELECT MIN(o_custkey) AS lo,
+         MIN(o_custkey) + (MAX(o_custkey) - MIN(o_custkey)) // 8 AS hi
+  FROM orders
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+       TRUE AS files_pruned
+FROM orders, box
+WHERE o_custkey BETWEEN box.lo AND box.hi
+GROUP BY o_orderstatus
+"""
+
+
 def _q_stream_snapshot_appends(spark, sf_dir):
     """Streaming ingestion into a snapshot table
     (streaming/snapshots.stream_snapshot_append) run for real: orders

@@ -90,11 +90,45 @@ def read_manifest(table_path: str, snapshot_id: int | None = None) -> dict:
         return json.load(f)
 
 
+def _file_stats(md) -> dict:
+    """Per-column [min, max] merged across a file's row groups, from the
+    parquet footer (JSON-representable types only) — the file-level
+    pruning stats the manifest carries, exactly what Iceberg/Delta store
+    per data file. Columns without usable stats are simply absent (a
+    reader must then keep the file — always safe)."""
+    out: dict = {}
+    for ci in range(md.num_columns):
+        name = md.schema.column(ci).name
+        lo = hi = None
+        ok = True
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(ci).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode(), mx.decode()
+                except UnicodeDecodeError:
+                    ok = False
+                    break
+            if not isinstance(mn, (int, float, str)):
+                ok = False
+                break
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+        if ok and lo is not None:
+            out[name] = [lo, hi]
+    return out
+
+
 def _write_data_files(df: DataFrame, table_path: str) -> list[dict]:
     """Write ``df`` as immutable parquet files under ``data/`` and
-    return their manifest entries. Files land under a per-commit uuid
-    prefix, so concurrent writers never collide and a failed commit's
-    files are identifiable orphans."""
+    return their manifest entries (path, rows, bytes, per-column min/max
+    pruning stats). Files land under a per-commit uuid prefix, so
+    concurrent writers never collide and a failed commit's files are
+    identifiable orphans."""
     import pyarrow.parquet as pq
 
     commit_uuid = uuid.uuid4().hex
@@ -105,7 +139,12 @@ def _write_data_files(df: DataFrame, table_path: str) -> list[dict]:
         rel = os.path.relpath(p, table_path)
         md = pq.ParquetFile(p).metadata
         entries.append(
-            {"path": rel, "rows": md.num_rows, "bytes": os.path.getsize(p)}
+            {
+                "path": rel,
+                "rows": md.num_rows,
+                "bytes": os.path.getsize(p),
+                "stats": _file_stats(md),
+            }
         )
     return entries
 
@@ -230,19 +269,57 @@ def commit_replace(
     )
 
 
+def files_intersecting(
+    manifest: dict, where: dict[str, tuple]
+) -> list[dict]:
+    """The manifest entries a conjunctive range predicate ``where``
+    ({col: (lo, hi)}) cannot rule out: a file is kept iff its stored
+    [min, max] intersects the range on EVERY predicated column (files
+    without stats for a column are kept — pruning must be safe). The
+    file-level twin of ``layout.row_group_skip_audit``, evaluated on
+    manifest METADATA — no footer reads, no data reads."""
+    kept = []
+    for e in manifest["files"]:
+        stats = e.get("stats", {})
+        hit = True
+        for c, (lo, hi) in where.items():
+            if c in stats and not (stats[c][1] >= lo and stats[c][0] <= hi):
+                hit = False
+                break
+        if hit:
+            kept.append(e)
+    return kept
+
+
 def read_snapshot(
-    spark: SparkSession, table_path: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    snapshot_id: int | None = None,
+    where: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """The table AS OF ``snapshot_id`` (default: current) — time travel.
     Reads exactly the manifest's files with the manifest's schema;
     files added by later commits (or half-written by a failed one) are
-    invisible because they are not listed."""
+    invisible because they are not listed.
+
+    ``where`` ({col: (lo, hi)} conjunctive ranges) additionally SKIPS
+    whole files whose manifest min/max stats cannot intersect the
+    predicate — planning-time pruning from metadata alone, before any
+    footer or data IO (pair with ``cluster_snapshot``: z-ordered files
+    have tight per-column ranges, so a 2-D box prunes most of the
+    table). The predicate is ALSO applied to the surviving rows, so the
+    result equals an unpruned read + filter."""
     m = read_manifest(table_path, snapshot_id)
     schema = StructType.fromJson(json.loads(m["schema"]))
-    paths = [os.path.join(table_path, e["path"]) for e in m["files"]]
+    entries = m["files"] if not where else files_intersecting(m, where)
+    paths = [os.path.join(table_path, e["path"]) for e in entries]
     if not paths:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*paths)
+    df = spark.read.schema(schema).parquet(*paths)
+    if where:
+        for c, (lo, hi) in where.items():
+            df = df.where(F.col(c).between(lo, hi))
+    return df
 
 
 def snapshot_manifest(

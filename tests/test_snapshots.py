@@ -217,6 +217,41 @@ def test_cli_snapshot_lifecycle(spark, tmp_path, capsys):
     assert json.loads(out[0])["rows"] == 30
 
 
+def test_manifest_carries_file_stats(spark, tmp_path):
+    path = _tbl(spark, tmp_path, n=1, rows=50)
+    entries = [e for e in read_manifest(path)["files"] if e["rows"] > 0]
+    assert entries
+    for e in entries:
+        assert 0 <= e["stats"]["id"][0] <= e["stats"]["id"][1] <= 49
+        assert 0 <= e["stats"]["grp"][0] <= e["stats"]["grp"][1] <= 6
+    # the union of per-file ranges covers the data
+    assert min(e["stats"]["id"][0] for e in entries) == 0
+    assert max(e["stats"]["id"][1] for e in entries) == 49
+
+
+def test_read_snapshot_where_prunes_and_matches_filter(spark, tmp_path):
+    """Stats-pruned read == unpruned read + filter, and the pruning
+    actually skips files (ids are range-disjoint across commits)."""
+    from ratatool_spark.operators.snapshots import files_intersecting
+
+    path = str(tmp_path / "tbl")
+    for i in range(4):  # commit i holds ids [100i, 100i+100) in 1 file
+        df = spark.range(i * 100, (i + 1) * 100).coalesce(1).select(
+            F.col("id").cast("long"),
+            (F.col("id") % 7).cast("long").alias("grp"),
+        )
+        commit_append(df, path)
+    m = read_manifest(path)
+    kept = files_intersecting(m, {"id": (150, 249)})
+    assert len(kept) == 2  # only commits 1 and 2 can intersect
+    pruned = read_snapshot(spark, path, where={"id": (150, 249)})
+    full = read_snapshot(spark, path).where(F.col("id").between(150, 249))
+    assert sorted(pruned.collect()) == sorted(full.collect())
+    # stats-absent column: never prunes (safe), still filters rows
+    m["files"][0]["stats"].pop("id", None)
+    assert len(files_intersecting(m, {"id": (150, 249)})) == 3
+
+
 def test_cluster_snapshot_zorder_rewrite(spark, tmp_path):
     """Clustering rewrite: one replace commit, logical content identical,
     files physically reordered by the Morton key (footer stats become
