@@ -173,6 +173,113 @@ GROUP BY o_orderstatus
 """
 
 
+def _key_box(spark, sf_dir):
+    """(lo, hi) = the lowest eighth of o_orderkey — the range-local
+    slice the CoW gates touch (replayed by the oracles as scalar
+    subqueries)."""
+    agg = spark.read.parquet(f"{sf_dir}/orders.parquet").agg(
+        F.min("o_orderkey"), F.max("o_orderkey")
+    ).first()
+    lo = int(agg[0])
+    return lo, lo + (int(agg[1]) - lo) // 8
+
+
+def _q_snapshot_merge_upsert(spark, sf_dir):
+    """Copy-on-write MERGE (operators/snapshots.merge_snapshot): the
+    z-clustered table takes an upsert batch doubling o_totalprice on the
+    lowest eighth of o_orderkey; only files whose manifest stats
+    intersect the batch's key box are rewritten (files_carried pins that
+    at least one file rode through untouched), in one replace commit.
+    The oracle computes the post-merge table directly from the source."""
+    from ratatool_spark.operators.snapshots import (
+        cluster_snapshot,
+        merge_snapshot,
+        read_manifest,
+        read_snapshot,
+    )
+
+    path = _build_orders_table(spark, sf_dir, n_commits=3)
+    cluster_snapshot(spark, path, ["o_orderkey"], num_partitions=4)
+    lo, hi = _key_box(spark, sf_dir)
+    cur = read_snapshot(spark, path)
+    changes = cur.where(F.col("o_orderkey").between(lo, hi)).withColumn(
+        "o_totalprice", F.col("o_totalprice") * F.lit(2.0)
+    )
+    before = {e["path"] for e in read_manifest(path)["files"]}
+    merge_snapshot(spark, path, changes, ["o_orderkey"])
+    after = {e["path"] for e in read_manifest(path)["files"]}
+    merged = read_snapshot(spark, path)
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_total"),
+        F.lit(bool(before & after)).alias("files_carried"),
+    )
+
+
+_SQL_SNAPSHOT_MERGE_UPSERT = """
+WITH box AS (
+  SELECT MIN(o_orderkey) AS lo,
+         MIN(o_orderkey) + (MAX(o_orderkey) - MIN(o_orderkey)) // 8 AS hi
+  FROM orders
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(CASE WHEN o_orderkey BETWEEN box.lo AND box.hi
+                          THEN o_totalprice * 2.0 ELSE o_totalprice END
+                     AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+       TRUE AS files_carried
+FROM orders, box
+GROUP BY o_orderstatus
+"""
+
+
+def _q_snapshot_delete_retention(spark, sf_dir):
+    """Copy-on-write range DELETE (operators/snapshots.
+    delete_snapshot_where): erase the lowest eighth of o_orderkey from
+    the z-clustered table in one replace commit — files outside the box
+    carried untouched, intersecting files rewritten with the complement.
+    Oracle = the source table minus the range."""
+    from ratatool_spark.operators.snapshots import (
+        cluster_snapshot,
+        delete_snapshot_where,
+        read_manifest,
+        read_snapshot,
+    )
+
+    path = _build_orders_table(spark, sf_dir, n_commits=3)
+    cluster_snapshot(spark, path, ["o_orderkey"], num_partitions=4)
+    lo, hi = _key_box(spark, sf_dir)
+    before = {e["path"] for e in read_manifest(path)["files"]}
+    delete_snapshot_where(spark, path, {"o_orderkey": (lo, hi)})
+    after = {e["path"] for e in read_manifest(path)["files"]}
+    cur = read_snapshot(spark, path)
+    return cur.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_total"),
+        F.lit(bool(before & after)).alias("files_carried"),
+    )
+
+
+_SQL_SNAPSHOT_DELETE_RETENTION = """
+WITH box AS (
+  SELECT MIN(o_orderkey) AS lo,
+         MIN(o_orderkey) + (MAX(o_orderkey) - MIN(o_orderkey)) // 8 AS hi
+  FROM orders
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+       TRUE AS files_carried
+FROM orders, box
+WHERE o_orderkey NOT BETWEEN box.lo AND box.hi
+GROUP BY o_orderstatus
+"""
+
+
 def _q_stream_snapshot_appends(spark, sf_dir):
     """Streaming ingestion into a snapshot table
     (streaming/snapshots.stream_snapshot_append) run for real: orders

@@ -380,6 +380,111 @@ def compact_snapshot(
     )
 
 
+def _split_by_box(
+    m: dict, box: dict[str, tuple]
+) -> tuple[list[dict], list[dict]]:
+    """(touched, untouched) manifest entries for a conjunctive range
+    box — touched = could contain matching rows (stats intersect on
+    every box column, or stats absent: must assume a match)."""
+    touched = files_intersecting(m, box)
+    tset = {e["path"] for e in touched}
+    return touched, [e for e in m["files"] if e["path"] not in tset]
+
+
+def merge_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    changes: DataFrame,
+    keys: list[str],
+) -> int:
+    """Copy-on-write MERGE (upsert): rows of ``changes`` replace
+    same-key rows and new keys append, in ONE replace commit. The
+    metadata does the heavy lifting: only files whose manifest min/max
+    stats intersect the changes' per-key-column bounding box are
+    rewritten (anti-join on ``keys`` + union with the changes); every
+    other file is carried into the new snapshot untouched — the
+    Delta/Iceberg copy-on-write shape. Soundness: every change key lies
+    inside the box on every key column, so a file that could hold a
+    matching key MUST intersect the box (stats-absent files count as
+    intersecting). Cost is the box's data, not the table: cluster the
+    table by its merge keys (``cluster_snapshot``) and range-local
+    change batches rewrite a sliver. A keyspace-spanning batch rewrites
+    everything — correct, just the full price; bucket-partition the
+    table (``streaming/scd2``'s layout) when batches are always
+    scattered."""
+    parent = current_snapshot_id(table_path)
+    if parent is None:
+        raise FileNotFoundError(f"no snapshots under {table_path}")
+    m = read_manifest(table_path, parent)
+    _check_schema(changes, m)
+    # per-key-column bounding box of the change batch (tiny aggregate)
+    aggs = []
+    for k in keys:
+        aggs += [F.min(F.col(k)).alias(f"lo_{k}"), F.max(F.col(k)).alias(f"hi_{k}")]
+    row = changes.agg(*aggs).first()
+    if row[f"lo_{keys[0]}"] is None:  # empty change batch: no-op commit
+        return parent
+    box = {k: (row[f"lo_{k}"], row[f"hi_{k}"]) for k in keys}
+    touched, untouched = _split_by_box(m, box)
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    if touched:
+        old = spark.read.schema(schema).parquet(
+            *[os.path.join(table_path, e["path"]) for e in touched]
+        )
+        kept = old.join(F.broadcast(changes.select(*keys).distinct()),
+                        keys, "left_anti")
+        new_data = kept.unionByName(changes.select(*old.columns))
+    else:
+        new_data = changes.select(*[f.name for f in schema.fields])
+    new_files = _write_data_files(new_data, table_path)
+    if current_snapshot_id(table_path) != parent:
+        raise CommitConflict(
+            f"snapshot advanced past {parent} while merging — replan"
+        )
+    return _publish(
+        table_path, parent, untouched + new_files, m["schema"], "replace"
+    )
+
+
+def delete_snapshot_where(
+    spark: SparkSession, table_path: str, where: dict[str, tuple]
+) -> int:
+    """Copy-on-write range DELETE (retention, GDPR erasure): drop every
+    row inside the conjunctive range ``where`` ({col: (lo, hi)}) in ONE
+    replace commit. Files whose stats cannot intersect the box are
+    carried over untouched; intersecting files are rewritten with the
+    complement rows only. Note the deleted data remains physically
+    present in OLD snapshots until ``expire_snapshots`` drops them —
+    run expiry to complete an erasure."""
+    parent = current_snapshot_id(table_path)
+    if parent is None:
+        raise FileNotFoundError(f"no snapshots under {table_path}")
+    m = read_manifest(table_path, parent)
+    touched, untouched = _split_by_box(m, where)
+    if not touched:
+        return parent
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    old = spark.read.schema(schema).parquet(
+        *[os.path.join(table_path, e["path"]) for e in touched]
+    )
+    inside = None
+    for c, (lo, hi) in where.items():
+        cond = F.col(c).between(lo, hi)
+        inside = cond if inside is None else (inside & cond)
+    # NULL-valued rows never match a range predicate — KEEP them (a bare
+    # where(~inside) would drop them: NOT(NULL) is NULL, which filters)
+    new_files = _write_data_files(
+        old.where(F.coalesce(~inside, F.lit(True))), table_path
+    )
+    if current_snapshot_id(table_path) != parent:
+        raise CommitConflict(
+            f"snapshot advanced past {parent} while deleting — replan"
+        )
+    return _publish(
+        table_path, parent, untouched + new_files, m["schema"], "replace"
+    )
+
+
 def cluster_snapshot(
     spark: SparkSession,
     table_path: str,

@@ -270,6 +270,92 @@ def test_cluster_snapshot_zorder_rewrite(spark, tmp_path):
     assert read_snapshot(spark, path, 3).count() == 300
 
 
+def _range_local_table(spark, tmp_path):
+    """4 commits, ids range-disjoint per file (commit i = [100i, 100i+100)
+    in one file) — the layout CoW merge/delete prune against."""
+    path = str(tmp_path / "cow")
+    for i in range(4):
+        df = spark.range(i * 100, (i + 1) * 100).coalesce(1).select(
+            F.col("id").cast("long"),
+            (F.col("id") * 2).cast("long").alias("val"),
+        )
+        commit_append(df, path)
+    return path
+
+
+def test_merge_snapshot_upsert_rewrites_only_touched_files(spark, tmp_path):
+    from ratatool_spark.operators.snapshots import merge_snapshot
+
+    path = _range_local_table(spark, tmp_path)
+    before = {e["path"] for e in read_manifest(path)["files"]}
+    # updates for ids 120..129 plus brand-new ids 1000..1004 — the box
+    # [120, 1004] touches files 1,2,3 but NOT file 0
+    changes = spark.range(10).select(
+        (F.col("id") + 120).cast("long").alias("id"),
+        F.lit(-1).cast("long").alias("val"),
+    ).unionByName(
+        spark.range(5).select(
+            (F.col("id") + 1000).cast("long").alias("id"),
+            F.lit(-2).cast("long").alias("val"),
+        )
+    )
+    sid = merge_snapshot(spark, path, changes, ["id"])
+    assert sid == 5
+    after = {e["path"] for e in read_manifest(path)["files"]}
+    assert before & after  # untouched files carried over (file 0)
+    got = read_snapshot(spark, path)
+    assert got.count() == 405  # 400 + 5 inserts
+    assert got.where(F.col("val") == -1).count() == 10  # updates applied
+    assert got.where(F.col("val") == -2).count() == 5
+    # non-matching rows untouched
+    assert got.where((F.col("id") == 50) & (F.col("val") == 100)).count() == 1
+    # exactly-one-row-per-key invariant
+    assert got.select("id").distinct().count() == 405
+
+
+def test_merge_snapshot_empty_batch_noop(spark, tmp_path):
+    from ratatool_spark.operators.snapshots import merge_snapshot
+
+    path = _range_local_table(spark, tmp_path)
+    empty = read_snapshot(spark, path).where(F.lit(False))
+    assert merge_snapshot(spark, path, empty, ["id"]) == 4
+
+
+def test_delete_snapshot_where_complement_kept(spark, tmp_path):
+    from ratatool_spark.operators.snapshots import delete_snapshot_where
+
+    path = _range_local_table(spark, tmp_path)
+    before = {e["path"] for e in read_manifest(path)["files"]}
+    sid = delete_snapshot_where(spark, path, {"id": (150, 249)})
+    assert sid == 5
+    after = {e["path"] for e in read_manifest(path)["files"]}
+    assert before & after  # files 0 and 3 carried over untouched
+    got = read_snapshot(spark, path)
+    assert got.count() == 300
+    assert got.where(F.col("id").between(150, 249)).count() == 0
+    assert got.where(F.col("id") == 149).count() == 1
+    assert got.where(F.col("id") == 250).count() == 1
+    # old snapshot still holds the data until expiry (erasure note)
+    assert read_snapshot(spark, path, 4).count() == 400
+
+
+def test_delete_where_keeps_null_rows(spark, tmp_path):
+    """NULL-valued rows never match a range predicate — they must
+    survive a CoW delete that rewrites their file."""
+    from ratatool_spark.operators.snapshots import delete_snapshot_where
+
+    path = str(tmp_path / "tb")
+    df = spark.range(10).coalesce(1).select(
+        F.when(F.col("id") == 3, F.lit(None)).otherwise(F.col("id"))
+        .cast("long").alias("id"),
+        F.lit(1).cast("long").alias("val"),
+    )
+    commit_append(df, path)
+    delete_snapshot_where(spark, path, {"id": (0, 9)})
+    got = read_snapshot(spark, path).collect()
+    assert len(got) == 1 and got[0]["id"] is None
+
+
 def test_stream_append_batches_and_replay_idempotent(spark, tmp_path):
     """Streaming sink: one atomic commit per micro-batch; re-delivering
     the same batch ids (fresh checkpoint -> ids restart at 0) changes
