@@ -919,11 +919,20 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sn.add_argument(
         "--mode",
-        choices=["append", "read", "compact", "expire", "log"],
+        choices=["append", "read", "compact", "cluster", "merge",
+                 "delete", "expire", "log"],
         required=True,
     )
     sn.add_argument("--table", required=True, help="snapshot table root")
-    sn.add_argument("--input", help="append mode: data to commit")
+    sn.add_argument("--input", help="append/merge mode: data to commit")
+    sn.add_argument("--keys", type=_csv, default=None,
+                    help="merge mode: upsert key column(s)")
+    sn.add_argument("--zorderBy", type=_csv, default=None,
+                    help="cluster mode: z-order column(s)")
+    sn.add_argument(
+        "--where", type=_csv, default=None,
+        help="delete/read mode: col:lo:hi triples (conjunctive ranges)",
+    )
     sn.add_argument("--output", help="read/log mode: where to write the result")
     sn.add_argument(
         "--snapshotId", type=int, default=None,
@@ -1951,6 +1960,16 @@ def main(argv: list[str] | None = None) -> int:
 
             from ratatool_spark.operators import snapshots as snap
 
+            def _where_box():
+                box = {}
+                for trip in args.where or []:
+                    c, lo, hi = trip.split(":")
+                    try:
+                        box[c] = (int(lo), int(hi))
+                    except ValueError:
+                        box[c] = (float(lo), float(hi))
+                return box or None
+
             if args.mode == "append":
                 if not args.input:
                     raise SystemExit("--input is required with --mode append")
@@ -1960,8 +1979,29 @@ def main(argv: list[str] | None = None) -> int:
             elif args.mode == "read":
                 if not args.output:
                     raise SystemExit("--output is required with --mode read")
-                out = snap.read_snapshot(spark, args.table, args.snapshotId)
+                out = snap.read_snapshot(
+                    spark, args.table, args.snapshotId, where=_where_box()
+                )
                 write_table(out, args.output, mode="overwrite")
+            elif args.mode == "merge":
+                if not args.input or not args.keys:
+                    raise SystemExit(
+                        "--input and --keys are required with --mode merge"
+                    )
+                df = read_table(spark, args.input, fmt=args.format)
+                sid = snap.merge_snapshot(spark, args.table, df, args.keys)
+                print(_json.dumps({"snapshot_id": sid}))
+            elif args.mode == "delete":
+                box = _where_box()
+                if not box:
+                    raise SystemExit("--where is required with --mode delete")
+                sid = snap.delete_snapshot_where(spark, args.table, box)
+                print(_json.dumps({"snapshot_id": sid}))
+            elif args.mode == "cluster":
+                if not args.zorderBy:
+                    raise SystemExit("--zorderBy is required with --mode cluster")
+                sid = snap.cluster_snapshot(spark, args.table, args.zorderBy)
+                print(_json.dumps({"snapshot_id": sid}))
             elif args.mode == "compact":
                 sid = snap.compact_snapshot(spark, args.table, args.targetBytes)
                 print(_json.dumps({"snapshot_id": sid, "compacted": sid is not None}))

@@ -399,6 +399,36 @@ def test_stream_append_batches_and_replay_idempotent(spark, tmp_path):
     assert read_snapshot(spark, tbl).count() == 90
 
 
+def test_cli_snapshot_merge_delete_cluster(spark, tmp_path, capsys):
+    from ratatool_spark.cli import main
+
+    base = str(tmp_path / "base")
+    spark.range(100).coalesce(1).select(
+        F.col("id").cast("long"), (F.col("id") * 2).cast("long").alias("val")
+    ).write.parquet(base)
+    tbl = str(tmp_path / "tbl")
+    assert main(["snapshot", "--mode", "append", "--table", tbl,
+                 "--input", base]) == 0
+    ch = str(tmp_path / "ch")
+    spark.range(5).coalesce(1).select(
+        F.col("id").cast("long"), F.lit(-1).cast("long").alias("val")
+    ).write.parquet(ch)
+    assert main(["snapshot", "--mode", "merge", "--table", tbl,
+                 "--input", ch, "--keys", "id"]) == 0
+    assert main(["snapshot", "--mode", "cluster", "--table", tbl,
+                 "--zorderBy", "id,val"]) == 0
+    assert main(["snapshot", "--mode", "delete", "--table", tbl,
+                 "--where", "id:90:99"]) == 0
+    out = str(tmp_path / "out")
+    assert main(["snapshot", "--mode", "read", "--table", tbl,
+                 "--where", "id:0:9", "--output", out]) == 0
+    got = spark.read.parquet(out)
+    assert got.count() == 10
+    assert got.where(F.col("val") == -1).count() == 5
+    from ratatool_spark.operators.snapshots import read_snapshot
+    assert read_snapshot(spark, tbl).count() == 90
+
+
 def test_manifest_schema_roundtrip_empty_read(spark, tmp_path):
     """A replace that removes everything leaves an empty but readable
     table with the pinned schema."""
