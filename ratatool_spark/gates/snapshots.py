@@ -280,6 +280,52 @@ GROUP BY o_orderstatus
 """
 
 
+def _q_snapshot_schema_evolution(spark, sf_dir):
+    """Additive schema evolution as a metadata-only commit
+    (operators/snapshots.evolve_add_columns): the orders table gains a
+    nullable `tag` column WITHOUT rewriting any data file, then a tagged
+    batch (every 97th order) is appended under the widened schema. Old
+    files must read the new column as NULL; new rows carry it — the
+    oracle derives both populations from the source table."""
+    from ratatool_spark.operators.snapshots import (
+        commit_append,
+        evolve_add_columns,
+        read_snapshot,
+    )
+
+    path = _build_orders_table(spark, sf_dir, n_commits=3)
+    evolve_add_columns(spark, path, {"tag": "string"})
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    commit_append(
+        orders.where(F.col("o_orderkey") % 97 == 0).withColumn(
+            "tag", F.lit("r8")
+        ),
+        path,
+    )
+    cur = read_snapshot(spark, path)
+    return cur.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("tag").isNotNull().cast("int")).cast("long")
+        .alias("n_tagged"),
+        F.sum(F.col("tag").isNull().cast("int")).cast("long")
+        .alias("n_legacy"),
+    )
+
+
+_SQL_SNAPSHOT_SCHEMA_EVOLUTION = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) + SUM(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tagged,
+       COUNT(*) AS n_legacy
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 def _q_stream_snapshot_appends(spark, sf_dir):
     """Streaming ingestion into a snapshot table
     (streaming/snapshots.stream_snapshot_append) run for real: orders

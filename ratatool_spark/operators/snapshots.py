@@ -380,6 +380,70 @@ def compact_snapshot(
     )
 
 
+def evolve_add_columns(
+    spark: SparkSession, table_path: str, new_cols: dict[str, str]
+) -> int:
+    """Additive schema evolution as a metadata-only commit: the new
+    snapshot carries the widened schema over the SAME data files — no
+    data is rewritten. Old files simply lack the new columns, and the
+    parquet reader fills them with NULL (reads always apply the
+    manifest's schema). Appends after the evolution must carry the new
+    columns; time-travel reads before it still serve the old shape.
+    Only ADD-nullable is supported — drops/renames would change the
+    meaning of bytes already written, which is a rewrite, not an
+    evolution."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    parent = current_snapshot_id(table_path)
+    if parent is None:
+        raise FileNotFoundError(f"no snapshots under {table_path}")
+    m = read_manifest(table_path, parent)
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    have = {f.name for f in schema.fields}
+    for name, typ in new_cols.items():
+        if name in have:
+            raise ValueError(f"column {name!r} already exists")
+        schema = schema.add(name, _parse_datatype_string(typ), True)
+    return _publish(
+        table_path, parent, m["files"], schema.json(), "evolve"
+    )
+
+
+def vacuum_orphans(table_path: str, delete: bool = True) -> list[str]:
+    """Delete data files referenced by NO manifest — the debris of
+    commits that wrote data but crashed (or lost the publish race)
+    before publishing. Readers never saw these files (reads are
+    manifest-driven), so removal is invisible; it just reclaims bytes.
+    Metadata-scale: one directory walk + the union of manifest file
+    lists. ``delete=False`` is the dry-run audit."""
+    live: set[str] = set()
+    for sid in _snap_ids(table_path):
+        live.update(
+            e["path"] for e in read_manifest(table_path, sid)["files"]
+        )
+    dead: list[str] = []
+    data_root = os.path.join(table_path, _DATA_DIR)
+    for root, _dirs, files in os.walk(data_root):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            p = os.path.join(root, f)
+            rel = os.path.relpath(p, table_path)
+            if rel not in live:
+                dead.append(rel)
+                if delete:
+                    os.remove(p)
+    if delete:
+        # sweep commit dirs left holding only write markers (_SUCCESS,
+        # .crc) — data gone means the dir is dead too
+        for d in sorted(glob.glob(os.path.join(data_root, "*")), reverse=True):
+            if os.path.isdir(d) and all(
+                f.startswith(("_", ".")) for f in os.listdir(d)
+            ):
+                shutil.rmtree(d)
+    return sorted(dead)
+
+
 def _split_by_box(
     m: dict, box: dict[str, tuple]
 ) -> tuple[list[dict], list[dict]]:

@@ -399,6 +399,63 @@ def test_stream_append_batches_and_replay_idempotent(spark, tmp_path):
     assert read_snapshot(spark, tbl).count() == 90
 
 
+def test_evolve_add_columns_metadata_only(spark, tmp_path):
+    from ratatool_spark.operators.snapshots import evolve_add_columns
+
+    path = _tbl(spark, tmp_path, n=2, rows=10)
+    files_before = {e["path"] for e in read_manifest(path)["files"]}
+    sid = evolve_add_columns(spark, path, {"tag": "string"})
+    assert sid == 3
+    m = read_manifest(path)
+    assert m["operation"] == "evolve"
+    assert {e["path"] for e in m["files"]} == files_before  # no rewrite
+    got = read_snapshot(spark, path)
+    assert got.columns == ["id", "grp", "tag"]
+    assert got.where(F.col("tag").isNull()).count() == 20  # old files: NULL
+    # appends must now carry the new column
+    with pytest.raises(ValueError, match="schema mismatch"):
+        commit_append(
+            spark.range(3).select(
+                F.col("id").cast("long"),
+                F.lit(0).cast("long").alias("grp"),
+            ),
+            path,
+        )
+    commit_append(
+        spark.range(3).select(
+            F.col("id").cast("long"),
+            F.lit(0).cast("long").alias("grp"),
+            F.lit("x").alias("tag"),
+        ),
+        path,
+    )
+    cur = read_snapshot(spark, path)
+    assert cur.where(F.col("tag") == "x").count() == 3
+    # time travel BEFORE the evolution serves the old shape
+    assert read_snapshot(spark, path, 2).columns == ["id", "grp"]
+    with pytest.raises(ValueError, match="already exists"):
+        evolve_add_columns(spark, path, {"tag": "string"})
+
+
+def test_vacuum_orphans_removes_only_unreferenced(spark, tmp_path):
+    from ratatool_spark.operators.snapshots import vacuum_orphans
+
+    path = _tbl(spark, tmp_path, n=2, rows=10)
+    orphan_dir = os.path.join(path, "data", "feedface")
+    spark.range(7).coalesce(1).select(
+        F.col("id").cast("long"), F.lit(0).cast("long").alias("grp")
+    ).write.parquet(orphan_dir)
+    dry = vacuum_orphans(path, delete=False)
+    assert len(dry) == 1 and dry[0].startswith("data/feedface")
+    assert os.path.exists(os.path.join(path, dry[0]))  # dry run
+    dead = vacuum_orphans(path)
+    assert dead == dry
+    assert not os.path.exists(orphan_dir)
+    # table intact
+    assert read_snapshot(spark, path).count() == 20
+    assert vacuum_orphans(path) == []
+
+
 def test_cli_snapshot_merge_delete_cluster(spark, tmp_path, capsys):
     from ratatool_spark.cli import main
 
