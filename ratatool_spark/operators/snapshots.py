@@ -15,7 +15,7 @@ make a tiny METADATA file the source of truth:
 * ``data/`` holds immutable parquet files; files are only ever ADDED,
   never mutated. A failed job leaves orphans that no manifest
   references — invisible to every reader, swept later by
-  :func:`expire_snapshots`.
+  :func:`vacuum_orphans`.
 * ``snapshots/v{N}.json`` lists exactly the data files (path, rows,
   bytes) of table version N plus the parent id and the schema. Readers
   resolve ONE manifest (metadata-scale: one row per file, ~10^5 rows
@@ -33,7 +33,19 @@ make a tiny METADATA file the source of truth:
 Compaction composes: :func:`snapshot_manifest` IS the file manifest
 ``layout.compaction_plan`` bin-packs, and :func:`compact_snapshot`
 rewrites each multi-file bin and publishes one REPLACE commit — readers
-never observe a state where rows are missing or doubled.
+never observe a state where rows are missing or doubled. The same
+single-replace-commit discipline carries the whole maintenance surface:
+:func:`cluster_snapshot` (z-order rewrite), :func:`merge_snapshot`
+(copy-on-write upsert touching only stats-intersecting files),
+:func:`delete_snapshot_where` (range erasure), and
+:func:`evolve_add_columns` (additive schema change, metadata-only).
+Manifests carry per-file min/max column stats, so
+:func:`read_snapshot` with a range box skips whole files before any IO.
+
+Caveat shared with the real formats: parquet writers may truncate long
+string statistics; :func:`_file_stats` stores what the footer reports,
+and a column with unusable stats is simply absent from the manifest —
+absent stats never prune, so correctness is preserved either way.
 """
 
 from __future__ import annotations
@@ -198,8 +210,9 @@ def _norm_fields(schema_json: str) -> list[tuple[str, object]]:
 def _check_schema(df: DataFrame, manifest: dict) -> None:
     if _norm_fields(manifest["schema"]) != _norm_fields(df.schema.json()):
         raise ValueError(
-            "schema mismatch with table schema — snapshot tables are "
-            "fixed-schema (evolve by an explicit rewrite commit); "
+            "schema mismatch with table schema — add columns with "
+            "evolve_add_columns (additive, metadata-only); other shape "
+            "changes are a rewrite, not an append; "
             f"table={manifest['schema']} df={df.schema.json()}"
         )
 
