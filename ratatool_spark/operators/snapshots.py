@@ -494,13 +494,33 @@ def merge_snapshot(
         raise FileNotFoundError(f"no snapshots under {table_path}")
     m = read_manifest(table_path, parent)
     _check_schema(changes, m)
-    # per-key-column bounding box of the change batch (tiny aggregate)
-    aggs = []
+    # one pass: the change batch's per-key-column bounding box PLUS the
+    # duplicate-key guard — two change rows sharing a key would BOTH
+    # land in the new snapshot (the anti-join only removes OLD rows),
+    # silently breaking the one-row-per-key contract
+    nn = None
+    for k in keys:
+        c = F.col(k).isNotNull()
+        nn = c if nn is None else (nn & c)
+    aggs = [
+        F.count(F.lit(1)).alias("__n"),
+        F.count(F.when(nn, 1)).alias("__nk"),
+        F.count_distinct(*[F.col(k) for k in keys]).alias("__nd"),
+    ]
     for k in keys:
         aggs += [F.min(F.col(k)).alias(f"lo_{k}"), F.max(F.col(k)).alias(f"hi_{k}")]
     row = changes.agg(*aggs).first()
-    if row[f"lo_{keys[0]}"] is None:  # empty change batch: no-op commit
+    if row["__n"] == 0:  # empty change batch: no-op commit
         return parent
+    # duplicate keys among fully-keyed rows (count_distinct skips rows
+    # with any NULL key — those never match existing rows and insert
+    # as-is, so they are exempt from the uniqueness contract)
+    if row["__nd"] < row["__nk"]:
+        raise ValueError(
+            f"merge_snapshot: changes contain {row['__nk'] - row['__nd']} "
+            f"duplicate-key row(s) on {keys} — both copies would be "
+            "inserted; dedup the batch first"
+        )
     box = {k: (row[f"lo_{k}"], row[f"hi_{k}"]) for k in keys}
     touched, untouched = _split_by_box(m, box)
     schema = StructType.fromJson(json.loads(m["schema"]))

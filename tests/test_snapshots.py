@@ -313,6 +313,26 @@ def test_merge_snapshot_upsert_rewrites_only_touched_files(spark, tmp_path):
     assert got.select("id").distinct().count() == 405
 
 
+def test_merge_rejects_duplicate_keys_allows_null_keys(spark, tmp_path):
+    from ratatool_spark.operators.snapshots import merge_snapshot
+
+    path = _range_local_table(spark, tmp_path)
+    dup = spark.createDataFrame(
+        [(5, -1), (5, -2)], "id long, val long"
+    )
+    with pytest.raises(ValueError, match="duplicate-key"):
+        merge_snapshot(spark, path, dup, ["id"])
+    # NULL-key rows are plain inserts, not duplicates of each other
+    nulls = spark.createDataFrame(
+        [(None, -1), (None, -2), (7, -3)], "id long, val long"
+    )
+    merge_snapshot(spark, path, nulls, ["id"])
+    got = read_snapshot(spark, path)
+    assert got.where(F.col("id").isNull()).count() == 2
+    assert got.where((F.col("id") == 7) & (F.col("val") == -3)).count() == 1
+    assert got.count() == 402  # 400 - 1 replaced + 3 inserts
+
+
 def test_merge_snapshot_empty_batch_noop(spark, tmp_path):
     from ratatool_spark.operators.snapshots import merge_snapshot
 
