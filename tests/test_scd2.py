@@ -179,6 +179,56 @@ def test_stream_scd2_batches_equal_rebuild(spark, tmp_path):
     assert again == want
 
 
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_randomized_batching_equals_rebuild(spark, seed):
+    """The exact-replay contract, fuzzed: a random change stream cut
+    into random out-of-order batches and applied sequentially (lossless
+    storage, like streaming/scd2) must equal scd2_history over the full
+    stream — for ANY batching, ANY delivery order."""
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        Row(
+            k=rng.randint(1, 8),
+            ts=_ts(rng.randint(1, 20), rng.randint(0, 23)),
+            v=rng.choice(["a", "b", "c"]),
+            cid=i,
+        )
+        for i in range(40)
+    ]
+    full = spark.createDataFrame(rows)
+    want = sorted(
+        scd2_history(full, "k", "ts", "v", change_id="cid").collect()
+    )
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    cuts = sorted(rng.sample(range(1, 40), rng.randint(1, 3)))
+    batches = [
+        shuffled[a:b] for a, b in zip([0] + cuts, cuts + [40])
+    ]
+    hist = None
+    for batch in batches:
+        bdf = spark.createDataFrame(batch)
+        if hist is None:
+            hist = scd2_history(
+                bdf, "k", "ts", "v", change_id="cid",
+                collapse=False, keep_change_id=True,
+            )
+        else:
+            hist = scd2_apply(
+                hist, bdf, "k", "ts", "v", change_id="cid",
+                collapse=False, keep_change_id=True,
+            )
+        hist = hist.localCheckpoint(eager=True)
+    # collapse the lossless store at read, exactly like read_scd2_table
+    replay = hist.select("k", F.col("valid_from").alias("ts"), "v", "cid")
+    got = sorted(
+        scd2_history(replay, "k", "ts", "v", change_id="cid").collect()
+    )
+    assert got == want
+
+
 def test_cli_scd2_history_then_apply(spark, tmp_path):
     import datetime as dt
 

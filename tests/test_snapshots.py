@@ -333,6 +333,40 @@ def test_merge_rejects_duplicate_keys_allows_null_keys(spark, tmp_path):
     assert got.count() == 402  # 400 - 1 replaced + 3 inserts
 
 
+@pytest.mark.parametrize("seed", [3, 41])
+def test_merge_randomized_sequence_equals_dict_fold(spark, tmp_path, seed):
+    """Fuzzed upsert contract: any sequence of unique-key change batches
+    merged one by one equals the driver-side dict fold (last write per
+    key wins, new keys accumulate)."""
+    import random
+
+    from ratatool_spark.operators.snapshots import merge_snapshot
+
+    rng = random.Random(seed)
+    path = str(tmp_path / f"fz{seed}")
+    state = {i: i * 2 for i in range(60)}
+    commit_append(
+        spark.createDataFrame(
+            sorted(state.items()), "id long, val long"
+        ),
+        path,
+    )
+    for b in range(4):
+        ks = rng.sample(range(120), rng.randint(1, 25))
+        batch = {k: rng.randint(-999, 999) for k in ks}
+        state.update(batch)
+        merge_snapshot(
+            spark,
+            path,
+            spark.createDataFrame(sorted(batch.items()), "id long, val long"),
+            ["id"],
+        )
+    got = {
+        r["id"]: r["val"] for r in read_snapshot(spark, path).collect()
+    }
+    assert got == state
+
+
 def test_merge_snapshot_empty_batch_noop(spark, tmp_path):
     from ratatool_spark.operators.snapshots import merge_snapshot
 
