@@ -920,7 +920,7 @@ def build_parser() -> argparse.ArgumentParser:
     sn.add_argument(
         "--mode",
         choices=["append", "read", "compact", "cluster", "merge",
-                 "delete", "expire", "log"],
+                 "delete", "expire", "vacuum", "log"],
         required=True,
     )
     sn.add_argument("--table", required=True, help="snapshot table root")
@@ -948,7 +948,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sn.add_argument(
         "--dryRun", action="store_true",
-        help="expire mode: list deletable files without deleting",
+        help="expire/vacuum mode: list deletable files without deleting",
     )
     sn.add_argument("--format", default=None, help="override input format sniffing")
 
@@ -2009,6 +2009,9 @@ def main(argv: list[str] | None = None) -> int:
                 dead = snap.expire_snapshots(
                     args.table, keep_last=args.keepLast, delete=not args.dryRun
                 )
+                print(_json.dumps({"n_removed": len(dead), "removed": dead}))
+            elif args.mode == "vacuum":
+                dead = snap.vacuum_orphans(args.table, delete=not args.dryRun)
                 print(_json.dumps({"n_removed": len(dead), "removed": dead}))
             else:
                 out = snap.snapshot_log(spark, args.table)
