@@ -326,6 +326,49 @@ GROUP BY o_orderstatus
 """
 
 
+def _q_snapshot_incremental_scan(spark, sf_dir):
+    """Incremental change scan (operators/snapshots.snapshot_changes):
+    consumers poll rows ADDED since a snapshot instead of re-reading the
+    table. After 3 appends, a compaction REPLACE (maintenance — must
+    contribute nothing), and one more tagged append, the scan from
+    snapshot 1 must return exactly commits 2+3+5's rows: the %3∈{1,2}
+    residues plus the every-97th batch — even though compaction
+    rewrote every earlier row into a brand-new file in between."""
+    from ratatool_spark.operators.snapshots import (
+        commit_append,
+        compact_snapshot,
+        snapshot_changes,
+    )
+
+    path = _build_orders_table(spark, sf_dir, n_commits=3)
+    compact_snapshot(spark, path, target_bytes=1 << 30)  # snapshot 4
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    commit_append(orders.where(F.col("o_orderkey") % 97 == 0), path)
+    delta = snapshot_changes(spark, path, 1)
+    return delta.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_total"),
+    )
+
+
+_SQL_SNAPSHOT_INCREMENTAL_SCAN = """
+WITH delta AS (
+  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 3 IN (1, 2)
+  UNION ALL
+  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 97 = 0
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+FROM delta
+GROUP BY o_orderstatus
+"""
+
+
 def _q_stream_snapshot_appends(spark, sf_dir):
     """Streaming ingestion into a snapshot table
     (streaming/snapshots.stream_snapshot_append) run for real: orders

@@ -656,6 +656,52 @@ def expire_snapshots(
     return sorted(dead)
 
 
+def snapshot_changes(
+    spark: SparkSession,
+    table_path: str,
+    from_id: int,
+    to_id: int | None = None,
+) -> DataFrame:
+    """Rows ADDED between ``from_id`` (exclusive) and ``to_id``
+    (inclusive, default current) — the incremental-scan primitive a
+    downstream consumer (view maintenance, feature refresh, export)
+    polls instead of re-reading the table: it reads exactly the data
+    files that appeared in that snapshot range, metadata-planned.
+
+    Exact change semantics for APPEND commits (the streaming-ingestion
+    case): the result is precisely the appended rows. REPLACE commits
+    (compaction, clustering) rewrite surviving rows into new files, so
+    a file-level diff would re-surface them; those are maintenance
+    commits, not data changes, and their files are EXCLUDED here (an
+    `operation != append` commit contributes nothing). MERGE/DELETE
+    rewrites also publish as replace — consumers needing row-level CDC
+    across those run the SCD2 path (``streaming/scd2``), which models
+    changes as first-class rows."""
+    to_id = current_snapshot_id(table_path) if to_id is None else to_id
+    if to_id is None or from_id > to_id:
+        raise ValueError(f"bad snapshot range ({from_id}, {to_id}]")
+    base = read_manifest(table_path, from_id) if from_id > 0 else {"files": []}
+    schema = StructType.fromJson(
+        json.loads(read_manifest(table_path, to_id)["schema"])
+    )
+    seen = {e["path"] for e in base["files"]}
+    added: list[str] = []
+    for sid in range(from_id + 1, to_id + 1):
+        m = read_manifest(table_path, sid)
+        if m["operation"] == "append":
+            for e in m["files"]:
+                if e["path"] not in seen:
+                    added.append(e["path"])
+                    seen.add(e["path"])
+        else:
+            seen.update(e["path"] for e in m["files"])
+    if not added:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
+        *[os.path.join(table_path, p) for p in added]
+    )
+
+
 def snapshot_log(spark: SparkSession, table_path: str) -> DataFrame:
     """(snapshot_id, parent, operation, n_files, rows, bytes) — the
     table's commit history as a DataFrame (metadata-scale)."""

@@ -453,6 +453,36 @@ def test_stream_append_batches_and_replay_idempotent(spark, tmp_path):
     assert read_snapshot(spark, tbl).count() == 90
 
 
+def test_snapshot_changes_incremental_scan(spark, tmp_path):
+    from ratatool_spark.operators.snapshots import (
+        compact_snapshot,
+        snapshot_changes,
+    )
+
+    path = _tbl(spark, tmp_path, n=3, rows=10)  # ids 0-9, 10-19, 20-29
+    # everything since snapshot 1 = commits 2 and 3
+    got = snapshot_changes(spark, path, 1)
+    assert sorted(r["id"] for r in got.collect()) == list(range(10, 30))
+    # from 0 = the whole table
+    assert snapshot_changes(spark, path, 0).count() == 30
+    # a replace commit (compaction) is maintenance, not data change
+    compact_snapshot(spark, path, target_bytes=1 << 30)  # snapshot 4
+    assert snapshot_changes(spark, path, 3).count() == 0
+    # an append AFTER the compaction surfaces exactly its own rows,
+    # even though the compacted file is also "new" since snapshot 3
+    commit_append(
+        spark.range(100, 105).select(
+            F.col("id").cast("long"),
+            (F.col("id") % 7).cast("long").alias("grp"),
+        ),
+        path,
+    )
+    got2 = snapshot_changes(spark, path, 3)
+    assert sorted(r["id"] for r in got2.collect()) == [100, 101, 102, 103, 104]
+    with pytest.raises(ValueError, match="bad snapshot range"):
+        snapshot_changes(spark, path, 9, 2)
+
+
 def test_evolve_add_columns_metadata_only(spark, tmp_path):
     from ratatool_spark.operators.snapshots import evolve_add_columns
 
