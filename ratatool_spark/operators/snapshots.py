@@ -521,8 +521,14 @@ def merge_snapshot(
             f"duplicate-key row(s) on {keys} — both copies would be "
             "inserted; dedup the batch first"
         )
-    box = {k: (row[f"lo_{k}"], row[f"hi_{k}"]) for k in keys}
-    touched, untouched = _split_by_box(m, box)
+    if any(row[f"lo_{k}"] is None for k in keys):
+        # some key column is NULL on EVERY change row — no change row is
+        # fully keyed on it, so nothing can match an existing row:
+        # pure insert, no file touched
+        touched, untouched = [], m["files"]
+    else:
+        box = {k: (row[f"lo_{k}"], row[f"hi_{k}"]) for k in keys}
+        touched, untouched = _split_by_box(m, box)
     schema = StructType.fromJson(json.loads(m["schema"]))
     if touched:
         old = spark.read.schema(schema).parquet(

@@ -367,6 +367,22 @@ def test_merge_randomized_sequence_equals_dict_fold(spark, tmp_path, seed):
     assert got == state
 
 
+def test_merge_all_null_key_batch_is_pure_insert(spark, tmp_path):
+    from ratatool_spark.operators.snapshots import merge_snapshot
+
+    path = _range_local_table(spark, tmp_path)
+    before = {e["path"] for e in read_manifest(path)["files"]}
+    nulls = spark.createDataFrame(
+        [(None, -1), (None, -2)], "id long, val long"
+    )
+    merge_snapshot(spark, path, nulls, ["id"])
+    after = {e["path"] for e in read_manifest(path)["files"]}
+    assert before <= after  # no existing file rewritten
+    got = read_snapshot(spark, path)
+    assert got.count() == 402
+    assert got.where(F.col("id").isNull()).count() == 2
+
+
 def test_merge_snapshot_empty_batch_noop(spark, tmp_path):
     from ratatool_spark.operators.snapshots import merge_snapshot
 
