@@ -950,6 +950,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--dryRun", action="store_true",
         help="expire/vacuum mode: list deletable files without deleting",
     )
+    sn.add_argument(
+        "--olderThan", type=float, default=6 * 3600.0,
+        help="vacuum mode: only remove orphans older than this many "
+        "seconds (default 6h) — protects in-flight commits whose "
+        "manifest has not been published yet",
+    )
     sn.add_argument("--format", default=None, help="override input format sniffing")
 
     dc = sub.add_parser(
@@ -2011,7 +2017,11 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 print(_json.dumps({"n_removed": len(dead), "removed": dead}))
             elif args.mode == "vacuum":
-                dead = snap.vacuum_orphans(args.table, delete=not args.dryRun)
+                dead = snap.vacuum_orphans(
+                    args.table,
+                    delete=not args.dryRun,
+                    older_than=args.olderThan,
+                )
                 print(_json.dumps({"n_removed": len(dead), "removed": dead}))
             else:
                 out = snap.snapshot_log(spark, args.table)

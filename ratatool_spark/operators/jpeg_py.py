@@ -370,8 +370,13 @@ def _decode_scan(
                 pred = [0] * len(comps)
             for si, (c, td, ta) in enumerate(scan):
                 ci = scan_sof[si]
-                dc_tbl = huff[(0, td)]
-                ac_tbl = huff[(1, ta)]
+                try:
+                    dc_tbl = huff[(0, td)]
+                    ac_tbl = huff[(1, ta)]
+                except KeyError as e:
+                    raise ValueError(
+                        f"scan references undefined Huffman table {e}"
+                    ) from None
                 q = qt[c["tq"]]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
@@ -390,6 +395,10 @@ def _decode_scan(
                                     continue
                                 break  # EOB
                             k += r
+                            if k > 63:
+                                raise ValueError(
+                                    "bad AC run: coefficient index past 63"
+                                )
                             coef[k] = _extend(br.read(s), s)
                             k += 1
                         block = np.zeros(64, dtype=np.float64)
@@ -508,6 +517,10 @@ def _ac_first_block(
         r, s = rs >> 4, rs & 0xF
         if s:
             k += r
+            if k > se:
+                # corrupt stream: the run/size symbol points past the
+                # scan's spectral band — fail on the documented surface
+                raise ValueError("bad AC run: coefficient index past Se")
             b[k] = _extend(br.read(s), s) << al
             k += 1
         else:
@@ -582,9 +595,17 @@ def _decode_prog_scan(
     """Decode one progressive scan into the coefficient store; returns
     the stream position of the next marker."""
     br = _BitReader(data, pos)
+    if not 0 <= ss <= se <= 63:
+        raise ValueError(f"bad spectral selection Ss={ss} Se={se}")
     if ss == 0:  # DC scan (se must be 0 per A.2; multi-component allowed)
         if se != 0:
             raise ValueError("progressive DC scan requires Se=0")
+        # a first (ah==0) DC scan Huffman-decodes; refinement scans read
+        # raw bits only and legitimately carry no table
+        if ah == 0:
+            for _c, td, _ta in scan:
+                if (0, td) not in huff:
+                    raise ValueError(f"scan references undefined DC table {td}")
         pred = [0] * len(scan)
         cnt = 0
         if len(scan) == 1:
@@ -623,6 +644,8 @@ def _decode_prog_scan(
         c, _, ta = scan[0]
         ci = comps.index(c)
         tbl = huff.get((1, ta))
+        if tbl is None:  # both first and refine AC scans Huffman-decode
+            raise ValueError(f"scan references undefined AC table {ta}")
         eobrun = 0
         cnt = 0
         for by in range(c["abh"]):

@@ -69,6 +69,14 @@ class CommitConflict(Exception):
     table state (your parent snapshot is stale) and retry."""
 
 
+class SnapshotExpired(Exception):
+    """An incremental consumer's cursor (``from_id``) fell out of the
+    retention window: ``expire_snapshots`` dropped that manifest, so the
+    baseline file set can no longer be reconstructed. Rebase: do ONE
+    full ``read_snapshot`` of the current snapshot and resume
+    ``snapshot_changes`` from its id."""
+
+
 def _snap_path(table_path: str, snapshot_id: int) -> str:
     return os.path.join(table_path, _SNAP_DIR, f"v{snapshot_id:012d}.json")
 
@@ -182,12 +190,17 @@ def _publish(
     tmp = _snap_path(table_path, new_id) + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
     try:
-        # exclusive create = the commit's atomicity point: exactly one
-        # writer can publish v{new_id}. (Object-store deployments swap
-        # this single call for a conditional PUT / catalog CAS.)
-        with open(_snap_path(table_path, new_id), "x") as dst, open(tmp) as src:
-            dst.write(src.read())
+        # hard-link = the commit's atomicity point: the fully-written tmp
+        # content appears under v{new_id} in ONE metadata operation, and
+        # exactly one writer can win (link fails with FileExistsError if
+        # the name is taken). A crash can never leave a truncated
+        # manifest published — the alternative create-then-copy could.
+        # (Object-store deployments swap this single call for a
+        # conditional PUT / catalog CAS.)
+        os.link(tmp, _snap_path(table_path, new_id))
     except FileExistsError as e:
         raise CommitConflict(
             f"snapshot {new_id} already published under {table_path}; "
@@ -422,19 +435,41 @@ def evolve_add_columns(
     )
 
 
-def vacuum_orphans(table_path: str, delete: bool = True) -> list[str]:
-    """Delete data files referenced by NO manifest — the debris of
-    commits that wrote data but crashed (or lost the publish race)
-    before publishing. Readers never saw these files (reads are
-    manifest-driven), so removal is invisible; it just reclaims bytes.
+def vacuum_orphans(
+    table_path: str,
+    delete: bool = True,
+    older_than: float = 6 * 3600.0,
+) -> list[str]:
+    """Delete data files referenced by NO manifest AND older than
+    ``older_than`` seconds — the debris of commits that wrote data but
+    crashed (or lost the publish race) before publishing.
+
+    The age guard is load-bearing, not cosmetic: the commit protocol
+    writes data files FIRST and publishes the manifest LAST, so an
+    IN-FLIGHT commit's freshly-written files are indistinguishable from
+    orphans until its manifest lands. An unguarded vacuum racing that
+    commit would delete its files and the subsequently published
+    snapshot would reference missing data — silent corruption. Every
+    public format gates vacuum on age for exactly this reason (Delta's
+    ``RETAIN``, Iceberg's ``older_than``); keep the default comfortably
+    above your longest data-write. ``older_than=0`` is for tests and
+    single-writer offline maintenance ONLY. Aged orphans were never
+    visible to any reader (reads are manifest-driven), so their removal
+    is invisible; it just reclaims bytes.
+
     Metadata-scale: one directory walk + the union of manifest file
-    lists. ``delete=False`` is the dry-run audit."""
+    lists. ``delete=False`` is the dry-run audit (age guard applies to
+    the dry run too — it reports what a real vacuum would remove)."""
+    import time
+
+    cutoff = time.time() - older_than
     live: set[str] = set()
     for sid in _snap_ids(table_path):
         live.update(
             e["path"] for e in read_manifest(table_path, sid)["files"]
         )
     dead: list[str] = []
+    emptied: set[str] = set()
     data_root = os.path.join(table_path, _DATA_DIR)
     for root, _dirs, files in os.walk(data_root):
         for f in files:
@@ -442,17 +477,29 @@ def vacuum_orphans(table_path: str, delete: bool = True) -> list[str]:
                 continue
             p = os.path.join(root, f)
             rel = os.path.relpath(p, table_path)
-            if rel not in live:
+            if rel not in live and os.path.getmtime(p) <= cutoff:
                 dead.append(rel)
                 if delete:
                     os.remove(p)
+                    emptied.add(root)
     if delete:
         # sweep commit dirs left holding only write markers (_SUCCESS,
-        # .crc) — data gone means the dir is dead too
+        # .crc): the dirs whose data THIS vacuum just removed, plus
+        # marker-only debris whose markers are themselves outside the
+        # retention window (an in-flight writer's dir may hold only
+        # markers for a moment before its part files land — the age
+        # guard protects it; the dir mtime itself is useless here, the
+        # deletes above just bumped it).
         for d in sorted(glob.glob(os.path.join(data_root, "*")), reverse=True):
-            if os.path.isdir(d) and all(
-                f.startswith(("_", ".")) for f in os.listdir(d)
-            ):
+            if not os.path.isdir(d):
+                continue
+            names = os.listdir(d)
+            if not all(f.startswith(("_", ".")) for f in names):
+                continue
+            aged = all(
+                os.path.getmtime(os.path.join(d, f)) <= cutoff for f in names
+            )
+            if d in emptied or (names and aged):
                 shutil.rmtree(d)
     return sorted(dead)
 
@@ -521,11 +568,22 @@ def merge_snapshot(
             f"duplicate-key row(s) on {keys} — both copies would be "
             "inserted; dedup the batch first"
         )
+    def _nan(v):
+        return isinstance(v, float) and v != v
+
     if any(row[f"lo_{k}"] is None for k in keys):
         # some key column is NULL on EVERY change row — no change row is
         # fully keyed on it, so nothing can match an existing row:
         # pure insert, no file touched
         touched, untouched = [], m["files"]
+    elif any(_nan(row[f"lo_{k}"]) or _nan(row[f"hi_{k}"]) for k in keys):
+        # a float key column contains NaN: the bounding box degenerates
+        # (every `stat <= NaN` comparison is False, so NO file would
+        # intersect) while Spark's join DOES match NaN keys to existing
+        # NaN rows — pruning on that box would silently append
+        # duplicates. NaN stats are unusable stats: touch every file,
+        # same as stats-absent.
+        touched, untouched = m["files"], []
     else:
         box = {k: (row[f"lo_{k}"], row[f"hi_{k}"]) for k in keys}
         touched, untouched = _split_by_box(m, box)
@@ -686,6 +744,18 @@ def snapshot_changes(
     to_id = current_snapshot_id(table_path) if to_id is None else to_id
     if to_id is None or from_id > to_id:
         raise ValueError(f"bad snapshot range ({from_id}, {to_id}]")
+    ids = set(_snap_ids(table_path))
+    if (from_id > 0 and from_id not in ids) or (
+        from_id == 0 and ids and min(ids) > 1
+    ):
+        # the cursor's manifest was dropped by expire_snapshots — the
+        # baseline file set is gone, so a correct delta is impossible
+        raise SnapshotExpired(
+            f"snapshot {from_id} fell out of retention under "
+            f"{table_path} (oldest retained: {min(ids) if ids else None})"
+            " — rebase the consumer: full read_snapshot() of the current"
+            " snapshot, then resume snapshot_changes from its id"
+        )
     base = read_manifest(table_path, from_id) if from_id > 0 else {"files": []}
     schema = StructType.fromJson(
         json.loads(read_manifest(table_path, to_id)["schema"])

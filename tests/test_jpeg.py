@@ -320,3 +320,97 @@ def test_decode_real_seam_handles_progressive(spark):
         ).collect()
     }
     assert base == prog and len(base) == 6
+
+
+def _sos_offsets(data):
+    """Offsets of every SOS marker with (ns, ss_off, se_off, tda_off) —
+    byte positions inside the segment for patching."""
+    out = []
+    i = 0
+    while True:
+        i = data.find(b"\xff\xda", i)
+        if i < 0:
+            return out
+        ns = data[i + 4]
+        out.append(
+            {
+                "ns": ns,
+                "tda": i + 6,  # first component's (td<<4|ta) byte
+                "ss": i + 5 + 2 * ns,
+                "se": i + 6 + 2 * ns,
+            }
+        )
+        i += 2
+
+
+def test_progressive_undefined_huffman_table_rejected():
+    """A scan whose header references a table no DHT defined must fail
+    with ValueError (the documented corrupt-input surface), not an
+    AttributeError from huff.get(...) == None."""
+    encode_jpeg_progressive = _prog_import()
+    data = encode_jpeg_progressive(24, 16, _smooth(24, 16).tobytes())
+    ac = next(s for s in _sos_offsets(data) if data[s["ss"]] > 0)
+    bad = bytearray(data)
+    bad[ac["tda"]] = (bad[ac["tda"]] & 0xF0) | 0x07  # AC table 7: undefined
+    with pytest.raises(ValueError, match="undefined AC table"):
+        decode_jpeg(bytes(bad))
+    dc = next(s for s in _sos_offsets(data) if data[s["ss"]] == 0)
+    bad = bytearray(data)
+    bad[dc["tda"]] = 0x70 | (bad[dc["tda"]] & 0x0F)  # DC table 7: undefined
+    with pytest.raises(ValueError, match="undefined DC table"):
+        decode_jpeg(bytes(bad))
+
+
+def test_progressive_bad_spectral_selection_rejected():
+    encode_jpeg_progressive = _prog_import()
+    data = encode_jpeg_progressive(24, 16, _smooth(24, 16).tobytes())
+    ac = next(s for s in _sos_offsets(data) if data[s["ss"]] > 0)
+    bad = bytearray(data)
+    bad[ac["se"]] = 200  # Se past 63
+    with pytest.raises(ValueError, match="bad spectral selection"):
+        decode_jpeg(bytes(bad))
+
+
+def test_progressive_ac_run_past_band_rejected():
+    """Corrupt AC-first scan whose run/size symbol points past Se: a
+    1-bit code for 0xF1 (run 15, size 1) in a Ss=62..Se=63 band pushes
+    k to 77 — must raise ValueError, not IndexError on the 64-entry
+    block."""
+    import struct
+
+    import ratatool_spark.operators.jpeg_py as J
+
+    qt = np.ones(64, dtype=np.uint8)
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0x00]) + bytes(qt)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+    out += bytes([1, 0x11, 0])
+    bits, vals = J._HUFF_DC_LUMA
+    out += (
+        b"\xff\xc4" + struct.pack(">H", 2 + 17 + len(vals))
+        + bytes([0x00]) + bytes(bits) + bytes(vals)
+    )
+    # custom AC table: single 1-bit code for symbol 0xF1 (run 15, size 1)
+    out += (
+        b"\xff\xc4" + struct.pack(">H", 2 + 17 + 1)
+        + bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0xF1])
+    )
+    # scan 1: DC first (one zero-diff block)
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 0, 0])
+    dc = J._huff_codes(*J._HUFF_DC_LUMA)
+    bw = J._BitWriter()
+    code, ln = dc[0]
+    bw.write(code, ln)
+    bw.flush()
+    out += bytes(bw.out)
+    # scan 2: AC first band 62..63 — the 0xF1 symbol overruns the band
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 62, 63, 0])
+    bw = J._BitWriter()
+    bw.write(0, 1)  # the 0xF1 code
+    bw.write(1, 1)  # its sign/size bit
+    bw.flush()
+    out += bytes(bw.out)
+    out += b"\xff\xd9"
+    with pytest.raises(ValueError, match="bad AC run"):
+        decode_jpeg(bytes(out))

@@ -537,7 +537,22 @@ def test_evolve_add_columns_metadata_only(spark, tmp_path):
         evolve_add_columns(spark, path, {"tag": "string"})
 
 
-def test_vacuum_orphans_removes_only_unreferenced(spark, tmp_path):
+def _age(path_or_dir, seconds=24 * 3600):
+    """Backdate mtimes (recursively for a dir) — simulates an orphan old
+    enough to be outside the vacuum retention window."""
+    import time
+
+    old = time.time() - seconds
+    if os.path.isdir(path_or_dir):
+        for root, dirs, files in os.walk(path_or_dir, topdown=False):
+            for f in files + dirs:
+                os.utime(os.path.join(root, f), (old, old))
+        os.utime(path_or_dir, (old, old))
+    else:
+        os.utime(path_or_dir, (old, old))
+
+
+def test_vacuum_orphans_removes_only_aged_unreferenced(spark, tmp_path):
     from ratatool_spark.operators.snapshots import vacuum_orphans
 
     path = _tbl(spark, tmp_path, n=2, rows=10)
@@ -545,6 +560,9 @@ def test_vacuum_orphans_removes_only_unreferenced(spark, tmp_path):
     spark.range(7).coalesce(1).select(
         F.col("id").cast("long"), F.lit(0).cast("long").alias("grp")
     ).write.parquet(orphan_dir)
+    # fresh orphan: inside the retention window, default vacuum spares it
+    assert vacuum_orphans(path, delete=False) == []
+    _age(orphan_dir)  # now outside the window
     dry = vacuum_orphans(path, delete=False)
     assert len(dry) == 1 and dry[0].startswith("data/feedface")
     assert os.path.exists(os.path.join(path, dry[0]))  # dry run
@@ -554,6 +572,77 @@ def test_vacuum_orphans_removes_only_unreferenced(spark, tmp_path):
     # table intact
     assert read_snapshot(spark, path).count() == 20
     assert vacuum_orphans(path) == []
+
+
+def test_vacuum_spares_in_flight_commit(spark, tmp_path):
+    """The data-loss race the retention guard exists for: a committer has
+    written its data files but not yet published its manifest. A vacuum
+    running in that window must NOT delete them; the commit must then
+    publish and read back intact."""
+    from ratatool_spark.operators.snapshots import (
+        _publish,
+        _write_data_files,
+        vacuum_orphans,
+    )
+
+    path = _tbl(spark, tmp_path, n=1, rows=10)
+    in_flight = spark.range(100, 105).select(
+        F.col("id").cast("long"), F.lit(0).cast("long").alias("grp")
+    )
+    files = _write_data_files(in_flight, path)  # manifest NOT yet published
+    assert vacuum_orphans(path) == []  # default retention spares them
+    for e in files:
+        assert os.path.exists(os.path.join(path, e["path"]))
+    m = read_manifest(path)
+    _publish(path, 1, m["files"] + files, m["schema"], "append")
+    got = read_snapshot(spark, path)
+    assert got.count() == 15
+    assert got.where(F.col("id") >= 100).count() == 5
+    # but older_than=0 (offline/single-writer maintenance) WOULD have
+    # taken them — the guard is the only thing standing in between
+    files2 = _write_data_files(in_flight, path)
+    dead = vacuum_orphans(path, older_than=0.0)
+    assert sorted(e["path"] for e in files2) == dead
+
+
+def test_merge_nan_float_key_touches_all_files(spark, tmp_path):
+    """A NaN in a float key column degenerates the stats bounding box
+    (nothing compares >= / <= NaN) — merge must fall back to touching
+    every file, or matching keys in the same batch would silently
+    duplicate."""
+    from ratatool_spark.operators.snapshots import merge_snapshot
+
+    path = str(tmp_path / "nan")
+    base = spark.createDataFrame(
+        [(1.0, 10), (2.0, 20), (float("nan"), 30)], "k double, val long"
+    ).coalesce(1)
+    commit_append(base, path)
+    changes = spark.createDataFrame(
+        [(2.0, -2), (float("nan"), -3), (9.0, -9)], "k double, val long"
+    )
+    merge_snapshot(spark, path, changes, ["k"])
+    got = read_snapshot(spark, path)
+    assert got.count() == 4  # 3 - 2 replaced + 3 = 4 (NaN matched NaN)
+    vals = {r["val"] for r in got.collect()}
+    assert vals == {10, -2, -3, -9}
+
+
+def test_snapshot_changes_expired_cursor_dedicated_error(spark, tmp_path):
+    from ratatool_spark.operators.snapshots import (
+        SnapshotExpired,
+        compact_snapshot,
+        snapshot_changes,
+    )
+
+    path = _tbl(spark, tmp_path, n=3, rows=10)
+    compact_snapshot(spark, path, target_bytes=1 << 30)  # v4
+    expire_snapshots(path, keep_last=2)  # drops v1, v2
+    with pytest.raises(SnapshotExpired, match="rebase"):
+        snapshot_changes(spark, path, 1)
+    with pytest.raises(SnapshotExpired, match="rebase"):
+        snapshot_changes(spark, path, 0)  # baseline replay also gone
+    # a retained cursor still works
+    assert snapshot_changes(spark, path, 3).count() == 0
 
 
 def test_cli_snapshot_merge_delete_cluster(spark, tmp_path, capsys):
