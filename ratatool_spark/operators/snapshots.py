@@ -62,6 +62,16 @@ from pyspark.sql.types import StructType
 
 _SNAP_DIR = "snapshots"
 _DATA_DIR = "data"
+_CHANGES_DIR = "changes"  # row-level CDC files (the Delta CDF design)
+_DELETES_DIR = "deletes"  # merge-on-read equality-delete sidecars
+
+# Above this file count the manifest's files list is externalized to a
+# parquet sidecar (snapshots/f{N}-*.parquet) instead of living inline in
+# v{N}.json: a 100 TB table accrues 10^5-10^6 files, and one JSON blob
+# parsed row-by-row on the driver per read becomes the planning
+# bottleneck. Parquet keeps the commit file itself tiny and lets
+# planning (stats pruning) run as a Spark job over the sidecar.
+FILES_INLINE_MAX = 10_000
 
 
 class CommitConflict(Exception):
@@ -107,7 +117,12 @@ def read_manifest(table_path: str, snapshot_id: int | None = None) -> dict:
             f"(have {_snap_ids(table_path)})"
         )
     with open(p) as f:
-        return json.load(f)
+        m = json.load(f)
+    if "files_ref" in m:
+        # large table: the files list lives in a parquet sidecar; the
+        # commit json stays tiny. Reconstruct the in-memory view.
+        m["files"] = _load_files_sidecar(table_path, m["files_ref"])
+    return m
 
 
 def _file_stats(md) -> dict:
@@ -143,16 +158,20 @@ def _file_stats(md) -> dict:
     return out
 
 
-def _write_data_files(df: DataFrame, table_path: str) -> list[dict]:
-    """Write ``df`` as immutable parquet files under ``data/`` and
+def _write_data_files(
+    df: DataFrame, table_path: str, subdir: str = _DATA_DIR
+) -> list[dict]:
+    """Write ``df`` as immutable parquet files under ``subdir`` and
     return their manifest entries (path, rows, bytes, per-column min/max
     pruning stats). Files land under a per-commit uuid prefix, so
     concurrent writers never collide and a failed commit's files are
-    identifiable orphans."""
+    identifiable orphans. The same machinery writes the data files
+    (``data/``), the CDC change files (``changes/``), and the
+    merge-on-read delete sidecars (``deletes/``)."""
     import pyarrow.parquet as pq
 
     commit_uuid = uuid.uuid4().hex
-    out_dir = os.path.join(table_path, _DATA_DIR, commit_uuid)
+    out_dir = os.path.join(table_path, subdir, commit_uuid)
     df.write.parquet(out_dir)
     entries = []
     for p in sorted(glob.glob(os.path.join(out_dir, "*.parquet"))):
@@ -169,6 +188,106 @@ def _write_data_files(df: DataFrame, table_path: str) -> list[dict]:
     return entries
 
 
+_MANIFEST_DF_SCHEMA = (
+    "path string, rows bigint, bytes bigint, seq bigint, "
+    "lo_int map<string,bigint>, hi_int map<string,bigint>, "
+    "lo_flt map<string,double>, hi_flt map<string,double>, "
+    "lo_str map<string,string>, hi_str map<string,string>"
+)
+
+
+def _entry_to_flat(e: dict) -> dict:
+    """One manifest entry → the typed-map row shape the parquet sidecar
+    stores (and Spark-side planning filters on). Stats are segregated by
+    value type so nothing is stringly- or lossily-typed: int64 bounds
+    stay exact (a float map would round them, and a rounded-INWARD range
+    is an unsound prune)."""
+    row = {
+        "path": e["path"],
+        "rows": e["rows"],
+        "bytes": e["bytes"],
+        "seq": e.get("seq", 0),
+        "lo_int": {}, "hi_int": {},
+        "lo_flt": {}, "hi_flt": {},
+        "lo_str": {}, "hi_str": {},
+    }
+    for c, (lo, hi) in e.get("stats", {}).items():
+        if isinstance(lo, bool) or isinstance(hi, bool):
+            lo, hi = int(lo), int(hi)
+        if isinstance(lo, int) and isinstance(hi, int):
+            row["lo_int"][c], row["hi_int"][c] = lo, hi
+        elif isinstance(lo, str):
+            row["lo_str"][c], row["hi_str"][c] = lo, hi
+        else:
+            row["lo_flt"][c], row["hi_flt"][c] = float(lo), float(hi)
+    return row
+
+
+def _flat_to_entry(row: dict) -> dict:
+    stats: dict = {}
+    for lo_k, hi_k in (("lo_int", "hi_int"), ("lo_flt", "hi_flt"),
+                       ("lo_str", "hi_str")):
+        for c, lo in (row.get(lo_k) or {}).items():
+            stats[c] = [lo, row[hi_k][c]]
+    return {
+        "path": row["path"],
+        "rows": row["rows"],
+        "bytes": row["bytes"],
+        "seq": row.get("seq", 0) or 0,
+        "stats": stats,
+    }
+
+
+def _files_ref_path(table_path: str, snapshot_id: int) -> str:
+    return os.path.join(
+        table_path, _SNAP_DIR,
+        f"f{snapshot_id:012d}-{uuid.uuid4().hex}.parquet",
+    )
+
+
+def _write_files_sidecar(table_path: str, new_id: int, files: list[dict]) -> str:
+    """Externalize a large files list to a parquet sidecar; returns the
+    manifest-relative path. Columnar, so a 10^5-entry manifest loads in
+    one vectorized read instead of 10^5 dict parses."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    flat = [_entry_to_flat(e) for e in files]
+    cols = ["path", "rows", "bytes", "seq",
+            "lo_int", "hi_int", "lo_flt", "hi_flt", "lo_str", "hi_str"]
+    typ = {
+        "path": pa.string(), "rows": pa.int64(), "bytes": pa.int64(),
+        "seq": pa.int64(),
+        "lo_int": pa.map_(pa.string(), pa.int64()),
+        "hi_int": pa.map_(pa.string(), pa.int64()),
+        "lo_flt": pa.map_(pa.string(), pa.float64()),
+        "hi_flt": pa.map_(pa.string(), pa.float64()),
+        "lo_str": pa.map_(pa.string(), pa.string()),
+        "hi_str": pa.map_(pa.string(), pa.string()),
+    }
+    arrays = []
+    for c in cols:
+        vals = [r[c] for r in flat]
+        if c.startswith(("lo_", "hi_")):
+            vals = [sorted(v.items()) for v in vals]
+        arrays.append(pa.array(vals, type=typ[c]))
+    p = _files_ref_path(table_path, new_id)
+    pq.write_table(pa.table(dict(zip(cols, arrays))), p)
+    return os.path.relpath(p, table_path)
+
+
+def _load_files_sidecar(table_path: str, rel: str) -> list[dict]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(table_path, rel))
+    out = []
+    for row in t.to_pylist():
+        for k in ("lo_int", "hi_int", "lo_flt", "hi_flt", "lo_str", "hi_str"):
+            row[k] = dict(row[k] or [])
+        out.append(_flat_to_entry(row))
+    return out
+
+
 def _publish(
     table_path: str,
     parent: int | None,
@@ -176,6 +295,8 @@ def _publish(
     schema_json: str,
     operation: str,
     extra: dict | None = None,
+    deletes: list[dict] | None = None,
+    changes: list[dict] | None = None,
 ) -> int:
     new_id = (parent or 0) + 1
     os.makedirs(os.path.join(table_path, _SNAP_DIR), exist_ok=True)
@@ -184,9 +305,17 @@ def _publish(
         "parent": parent,
         "operation": operation,
         "schema": schema_json,
-        "files": files,
+        "deletes": deletes or [],
+        "changes": changes or [],
         **(extra or {}),
     }
+    files_ref = None
+    if len(files) > FILES_INLINE_MAX:
+        files_ref = _write_files_sidecar(table_path, new_id, files)
+        manifest["files_ref"] = files_ref
+        manifest["n_files"] = len(files)
+    else:
+        manifest["files"] = files
     tmp = _snap_path(table_path, new_id) + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
@@ -202,6 +331,8 @@ def _publish(
         # conditional PUT / catalog CAS.)
         os.link(tmp, _snap_path(table_path, new_id))
     except FileExistsError as e:
+        if files_ref is not None:  # losing sidecar would be debris
+            os.remove(os.path.join(table_path, files_ref))
         raise CommitConflict(
             f"snapshot {new_id} already published under {table_path}; "
             "re-read the current snapshot and retry"
@@ -230,6 +361,19 @@ def _check_schema(df: DataFrame, manifest: dict) -> None:
         )
 
 
+def _stamp_seq(entries: list[dict], parent: int | None) -> list[dict]:
+    """Mark freshly-written entries with the sequence number of the
+    commit about to publish them ((parent or 0) + 1). Merge-on-read
+    deletes apply only to data files with a STRICTLY SMALLER seq — the
+    Iceberg sequence-number rule — so a merge batch's own rows are never
+    shadowed by the delete sidecar published alongside them. Legacy
+    entries without the key read as seq 0 (older than every delete)."""
+    new_id = (parent or 0) + 1
+    for e in entries:
+        e["seq"] = new_id
+    return entries
+
+
 def commit_append(
     df: DataFrame, table_path: str, extra: dict | None = None
 ) -> int:
@@ -240,18 +384,20 @@ def commit_append(
     ``stream_batch_id`` idempotency ledger)."""
     parent = current_snapshot_id(table_path)
     base: list[dict] = []
+    deletes: list[dict] = []
     if parent is not None:
         m = read_manifest(table_path, parent)
         _check_schema(df, m)
         base = m["files"]
+        deletes = m.get("deletes", [])
         schema_json = m["schema"]
     else:
         os.makedirs(table_path, exist_ok=True)
         schema_json = df.schema.json()
-    new_files = _write_data_files(df, table_path)
+    new_files = _stamp_seq(_write_data_files(df, table_path), parent)
     return _publish(
         table_path, parent, base + new_files, schema_json, "append",
-        extra=extra,
+        extra=extra, deletes=deletes,
     )
 
 
@@ -289,9 +435,10 @@ def commit_replace(
     new_files = []
     if add_df is not None:
         _check_schema(add_df, m)
-        new_files = _write_data_files(add_df, table_path)
+        new_files = _stamp_seq(_write_data_files(add_df, table_path), parent)
     return _publish(
-        table_path, parent, kept + new_files, m["schema"], "replace"
+        table_path, parent, kept + new_files, m["schema"], "replace",
+        deletes=m.get("deletes", []),
     )
 
 
@@ -317,6 +464,109 @@ def files_intersecting(
     return kept
 
 
+def manifest_files_df(
+    spark: SparkSession,
+    table_path: str,
+    snapshot_id: int | None = None,
+    m: dict | None = None,
+) -> DataFrame:
+    """A snapshot's file manifest as a DataFrame with typed stats maps
+    (path, rows, bytes, seq, lo_int/hi_int, lo_flt/hi_flt, lo_str/
+    hi_str) — the planning-as-a-Spark-job surface. Externalized
+    manifests (``files_ref``) are read straight from their parquet
+    sidecar (zero driver parsing); inline manifests are lifted into the
+    same shape, so downstream planning code is layout-agnostic."""
+    if m is None:
+        m = read_manifest(table_path, snapshot_id)
+    if "files_ref" in m:
+        return spark.read.schema(_MANIFEST_DF_SCHEMA).parquet(
+            os.path.join(table_path, m["files_ref"])
+        )
+    rows = [_entry_to_flat(e) for e in m["files"]]
+    return spark.createDataFrame(
+        [tuple(r[c] for c in (
+            "path", "rows", "bytes", "seq",
+            "lo_int", "hi_int", "lo_flt", "hi_flt", "lo_str", "hi_str",
+        )) for r in rows],
+        _MANIFEST_DF_SCHEMA,
+    )
+
+
+def files_intersecting_spark(
+    manifest_df: DataFrame, where: dict[str, tuple]
+) -> DataFrame:
+    """Spark-side twin of :func:`files_intersecting`: filter the typed
+    manifest DataFrame down to the entries a conjunctive range predicate
+    cannot rule out. Same keep-when-stats-absent safety (a column in no
+    stats map ⇒ the file is kept). Distributed: on a 10^5-10^6-file
+    table this is a parquet scan + filter, not a driver loop — the
+    ``manifest_pruning_equivalence`` gate pins both paths to the same
+    surviving set."""
+    cond = None
+    for c, (lo, hi) in where.items():
+        k = F.lit(c)
+        c_hit = (
+            F.when(
+                F.map_contains_key(F.col("lo_int"), k),
+                (F.col("hi_int")[k] >= lo) & (F.col("lo_int")[k] <= hi),
+            )
+            .when(
+                F.map_contains_key(F.col("lo_flt"), k),
+                (F.col("hi_flt")[k] >= lo) & (F.col("lo_flt")[k] <= hi),
+            )
+            .when(
+                F.map_contains_key(F.col("lo_str"), k),
+                (F.col("hi_str")[k] >= lo) & (F.col("lo_str")[k] <= hi),
+            )
+            .otherwise(F.lit(True))
+        )
+        cond = c_hit if cond is None else (cond & c_hit)
+    return manifest_df.where(cond if cond is not None else F.lit(True))
+
+
+def _read_entries(
+    spark: SparkSession, table_path: str, m: dict, entries: list[dict]
+) -> DataFrame:
+    """Read a subset of a snapshot's data files with the snapshot's
+    schema, applying the manifest's merge-on-read equality deletes: a
+    delete sidecar (key rows published by ``merge_snapshot_mor``)
+    shadows rows in every data file with seq < the delete's seq — the
+    anti-join-at-read half of the MoR contract. Files are grouped by how
+    many deletes apply (applicable sets nest, newest-last), so the scan
+    stays one union of a handful of strata, each anti-joined against the
+    BROADCAST key sidecars — delete files are change-batch-sized,
+    metadata-tier, never table-tier."""
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    if not entries:
+        return spark.createDataFrame([], schema)
+    deletes = sorted(m.get("deletes", []), key=lambda d: d["seq"])
+    if not deletes:
+        return spark.read.schema(schema).parquet(
+            *[os.path.join(table_path, e["path"]) for e in entries]
+        )
+    # stratum i = files that the suffix deletes[i:] applies to
+    strata: dict[int, list[str]] = {}
+    seqs = [d["seq"] for d in deletes]
+    for e in entries:
+        eseq = e.get("seq", 0)
+        i = 0
+        while i < len(seqs) and seqs[i] <= eseq:
+            i += 1
+        strata.setdefault(i, []).append(e["path"])
+    out = None
+    for i, paths in sorted(strata.items()):
+        df = spark.read.schema(schema).parquet(
+            *[os.path.join(table_path, p) for p in paths]
+        )
+        for d in deletes[i:]:
+            dk = spark.read.parquet(
+                *[os.path.join(table_path, p) for p in d["paths"]]
+            ).select(*d["keys"]).distinct()
+            df = df.join(F.broadcast(dk), d["keys"], "left_anti")
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
 def read_snapshot(
     spark: SparkSession,
     table_path: str,
@@ -334,14 +584,25 @@ def read_snapshot(
     footer or data IO (pair with ``cluster_snapshot``: z-ordered files
     have tight per-column ranges, so a 2-D box prunes most of the
     table). The predicate is ALSO applied to the surviving rows, so the
-    result equals an unpruned read + filter."""
+    result equals an unpruned read + filter. On tables past
+    ``FILES_INLINE_MAX`` files the pruning runs as a Spark job over the
+    parquet manifest sidecar (``files_intersecting_spark``) instead of a
+    driver loop — same surviving set, pinned by the equivalence gate.
+
+    Merge-on-read deletes (``merge_snapshot_mor``) are applied: rows a
+    delete sidecar shadows never surface."""
     m = read_manifest(table_path, snapshot_id)
-    schema = StructType.fromJson(json.loads(m["schema"]))
-    entries = m["files"] if not where else files_intersecting(m, where)
-    paths = [os.path.join(table_path, e["path"]) for e in entries]
-    if not paths:
-        return spark.createDataFrame([], schema)
-    df = spark.read.schema(schema).parquet(*paths)
+    if not where:
+        entries = m["files"]
+    elif "files_ref" in m:
+        mdf = manifest_files_df(spark, table_path, m=m)
+        kept = files_intersecting_spark(mdf, where).select("path", "seq")
+        entries = [
+            {"path": r["path"], "seq": r["seq"]} for r in kept.collect()
+        ]
+    else:
+        entries = files_intersecting(m, where)
+    df = _read_entries(spark, table_path, m, entries)
     if where:
         for c, (lo, hi) in where.items():
             df = df.where(F.col(c).between(lo, hi))
@@ -384,25 +645,31 @@ def compact_snapshot(
     if not multi:
         return None
     m = read_manifest(table_path, parent)
-    schema = StructType.fromJson(json.loads(m["schema"]))
+    by_path = {e["path"]: e for e in m["files"]}
     # write every bin's merged file first (orphans if we lose the race),
-    # then publish ONE replace commit covering all bins
+    # then publish ONE replace commit covering all bins. Reads go
+    # through _read_entries, so pending merge-on-read deletes are FOLDED
+    # into the rewritten bins (the new files carry the commit's seq, so
+    # old deletes no longer apply to them); untouched files keep their
+    # seq and stay shadowed — correctness is layout-independent.
     new_files: list[dict] = []
     removed: list[str] = []
     for b in sorted(multi):
         paths = multi[b]
-        merged = spark.read.schema(schema).parquet(
-            *[os.path.join(table_path, p) for p in paths]
+        merged = _read_entries(
+            spark, table_path, m, [by_path[p] for p in paths]
         ).coalesce(1)
         new_files.extend(_write_data_files(merged, table_path))
         removed.extend(paths)
     kept = [e for e in m["files"] if e["path"] not in set(removed)]
+    _stamp_seq(new_files, parent)
     if current_snapshot_id(table_path) != parent:
         raise CommitConflict(
             f"snapshot advanced past {parent} while compacting — replan"
         )
     return _publish(
-        table_path, parent, kept + new_files, m["schema"], "replace"
+        table_path, parent, kept + new_files, m["schema"], "replace",
+        deletes=m.get("deletes", []),
     )
 
 
@@ -431,8 +698,19 @@ def evolve_add_columns(
             raise ValueError(f"column {name!r} already exists")
         schema = schema.add(name, _parse_datatype_string(typ), True)
     return _publish(
-        table_path, parent, m["files"], schema.json(), "evolve"
+        table_path, parent, m["files"], schema.json(), "evolve",
+        deletes=m.get("deletes", []),
     )
+
+
+def _referenced_paths(m: dict) -> set[str]:
+    """Every table-relative file path a manifest keeps alive: data
+    files, CDC change files, and merge-on-read delete sidecars."""
+    out = {e["path"] for e in m["files"]}
+    out.update(e["path"] for e in m.get("changes", []))
+    for d in m.get("deletes", []):
+        out.update(d["paths"])
+    return out
 
 
 def vacuum_orphans(
@@ -465,23 +743,22 @@ def vacuum_orphans(
     cutoff = time.time() - older_than
     live: set[str] = set()
     for sid in _snap_ids(table_path):
-        live.update(
-            e["path"] for e in read_manifest(table_path, sid)["files"]
-        )
+        live.update(_referenced_paths(read_manifest(table_path, sid)))
     dead: list[str] = []
     emptied: set[str] = set()
-    data_root = os.path.join(table_path, _DATA_DIR)
-    for root, _dirs, files in os.walk(data_root):
-        for f in files:
-            if f.startswith(("_", ".")):
-                continue
-            p = os.path.join(root, f)
-            rel = os.path.relpath(p, table_path)
-            if rel not in live and os.path.getmtime(p) <= cutoff:
-                dead.append(rel)
-                if delete:
-                    os.remove(p)
-                    emptied.add(root)
+    for sub in (_DATA_DIR, _CHANGES_DIR, _DELETES_DIR):
+        sub_root = os.path.join(table_path, sub)
+        for root, _dirs, files in os.walk(sub_root):
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                p = os.path.join(root, f)
+                rel = os.path.relpath(p, table_path)
+                if rel not in live and os.path.getmtime(p) <= cutoff:
+                    dead.append(rel)
+                    if delete:
+                        os.remove(p)
+                        emptied.add(root)
     if delete:
         # sweep commit dirs left holding only write markers (_SUCCESS,
         # .crc): the dirs whose data THIS vacuum just removed, plus
@@ -490,7 +767,12 @@ def vacuum_orphans(
         # markers for a moment before its part files land — the age
         # guard protects it; the dir mtime itself is useless here, the
         # deletes above just bumped it).
-        for d in sorted(glob.glob(os.path.join(data_root, "*")), reverse=True):
+        roots = [
+            d
+            for sub in (_DATA_DIR, _CHANGES_DIR, _DELETES_DIR)
+            for d in glob.glob(os.path.join(table_path, sub, "*"))
+        ]
+        for d in sorted(roots, reverse=True):
             if not os.path.isdir(d):
                 continue
             names = os.listdir(d)
@@ -520,6 +802,7 @@ def merge_snapshot(
     table_path: str,
     changes: DataFrame,
     keys: list[str],
+    record_changes: bool = True,
 ) -> int:
     """Copy-on-write MERGE (upsert): rows of ``changes`` replace
     same-key rows and new keys append, in ONE replace commit. The
@@ -535,7 +818,15 @@ def merge_snapshot(
     change batches rewrite a sliver. A keyspace-spanning batch rewrites
     everything — correct, just the full price; bucket-partition the
     table (``streaming/scd2``'s layout) when batches are always
-    scattered."""
+    scattered — or use :func:`merge_snapshot_mor`, which defers the
+    rewrite entirely.
+
+    ``record_changes`` (default on) persists the row-level change set
+    (insert / update_preimage / update_postimage) as change files
+    referenced from the manifest, so :func:`snapshot_change_feed` can
+    replay exactly what this commit did without diffing file sets —
+    the Delta change-data-feed design. Cost: one extra pass over the
+    touched files."""
     parent = current_snapshot_id(table_path)
     if parent is None:
         raise FileNotFoundError(f"no snapshots under {table_path}")
@@ -588,27 +879,222 @@ def merge_snapshot(
         box = {k: (row[f"lo_{k}"], row[f"hi_{k}"]) for k in keys}
         touched, untouched = _split_by_box(m, box)
     schema = StructType.fromJson(json.loads(m["schema"]))
+    cols = [f.name for f in schema.fields]
+    change_files: list[dict] = []
     if touched:
-        old = spark.read.schema(schema).parquet(
-            *[os.path.join(table_path, e["path"]) for e in touched]
-        )
+        old = _read_entries(spark, table_path, m, touched)
+        ckeys = changes.select(*keys).where(nn).distinct()
         kept = old.join(F.broadcast(changes.select(*keys).distinct()),
                         keys, "left_anti")
-        new_data = kept.unionByName(changes.select(*old.columns))
+        new_data = kept.unionByName(changes.select(*cols))
+        if record_changes:
+            # row-level CDC at commit time (the Delta CDF design): the
+            # merge already knows its change set — persist it as change
+            # files instead of making consumers diff file sets later.
+            # matched = change keys that hit an existing row; bounded by
+            # the change batch, so the semi-join probe side broadcasts.
+            mk = old.join(F.broadcast(ckeys), keys, "left_semi").select(
+                *keys
+            ).distinct()
+            pre = old.join(F.broadcast(ckeys), keys, "left_semi").select(
+                *cols
+            ).withColumn("_change_type", F.lit("update_preimage"))
+            post = changes.join(F.broadcast(mk), keys, "left_semi").select(
+                *cols
+            ).withColumn("_change_type", F.lit("update_postimage"))
+            ins = changes.join(F.broadcast(mk), keys, "left_anti").select(
+                *cols
+            ).withColumn("_change_type", F.lit("insert"))
+            change_files = _write_data_files(
+                pre.unionByName(post).unionByName(ins),
+                table_path, subdir=_CHANGES_DIR,
+            )
     else:
-        new_data = changes.select(*[f.name for f in schema.fields])
-    new_files = _write_data_files(new_data, table_path)
+        new_data = changes.select(*cols)
+        if record_changes:
+            change_files = _write_data_files(
+                changes.select(*cols).withColumn(
+                    "_change_type", F.lit("insert")
+                ),
+                table_path, subdir=_CHANGES_DIR,
+            )
+    new_files = _stamp_seq(_write_data_files(new_data, table_path), parent)
     if current_snapshot_id(table_path) != parent:
         raise CommitConflict(
             f"snapshot advanced past {parent} while merging — replan"
         )
     return _publish(
-        table_path, parent, untouched + new_files, m["schema"], "replace"
+        table_path, parent, untouched + new_files, m["schema"], "replace",
+        deletes=m.get("deletes", []), changes=change_files,
+        extra={"change_op": "merge"} if change_files else None,
+    )
+
+
+def merge_snapshot_mor(
+    spark: SparkSession,
+    table_path: str,
+    changes: DataFrame,
+    keys: list[str],
+) -> int:
+    """MERGE-ON-READ upsert: publish the change batch as new data files
+    plus an EQUALITY-DELETE sidecar on ``keys`` — no existing file is
+    rewritten. Readers anti-join the (broadcast, change-batch-sized)
+    sidecar against every data file with a smaller sequence number, so
+    the read result equals the copy-on-write merge; ``fold_deletes`` /
+    ``compact_snapshot`` / ``cluster_snapshot`` later materialize the
+    shadowing and clear the sidecars.
+
+    Why this exists at 100 TB: CoW's write amplification is the size of
+    every file the change box TOUCHES — a daily trickle of point updates
+    against a wide keyspace rewrites most of the table to change a few
+    thousand rows. MoR's write is exactly ``|changes|`` rows + a key
+    sidecar; the cost moves to reads (one broadcast anti-join per
+    pending sidecar), which is why maintenance folds them back in. This
+    is Iceberg's delete-file design in its equality form; the position
+    form needs a stable per-row ordinal, which Spark's parquet scan does
+    not expose — equality on the merge keys gives identical semantics
+    here because merge batches are keyed by construction (duplicate-key
+    batches are rejected, same guard as CoW).
+
+    Change feed: the commit records no separate change files — its own
+    data files ARE the postimages, surfaced by
+    :func:`snapshot_change_feed` as ``_change_type='upsert'`` (insert
+    vs update is unknowable without reading the old files, which is the
+    exact cost MoR defers)."""
+    parent = current_snapshot_id(table_path)
+    if parent is None:
+        raise FileNotFoundError(f"no snapshots under {table_path}")
+    m = read_manifest(table_path, parent)
+    _check_schema(changes, m)
+    nn = None
+    for k in keys:
+        c = F.col(k).isNotNull()
+        nn = c if nn is None else (nn & c)
+    aggs = [
+        F.count(F.lit(1)).alias("__n"),
+        F.count(F.when(nn, 1)).alias("__nk"),
+        F.count_distinct(*[F.col(k) for k in keys]).alias("__nd"),
+    ]
+    for k in keys:
+        aggs += [F.min(F.col(k)).alias(f"lo_{k}"),
+                 F.max(F.col(k)).alias(f"hi_{k}")]
+    row = changes.agg(*aggs).first()
+    if row["__n"] == 0:
+        return parent
+    if row["__nd"] < row["__nk"]:
+        raise ValueError(
+            f"merge_snapshot_mor: changes contain "
+            f"{row['__nk'] - row['__nd']} duplicate-key row(s) on {keys} "
+            "— both copies would survive the read; dedup the batch first"
+        )
+
+    def _nan(v):
+        return isinstance(v, float) and v != v
+
+    # the change keys' bounding box lets fold_deletes rewrite only
+    # stats-intersecting files later; NaN degenerates it (same rule as
+    # the CoW merge) — box=None means "may shadow anything"
+    box = None
+    if all(row[f"lo_{k}"] is not None for k in keys) and not any(
+        _nan(row[f"lo_{k}"]) or _nan(row[f"hi_{k}"]) for k in keys
+    ):
+        box = {k: [row[f"lo_{k}"], row[f"hi_{k}"]] for k in keys}
+        if not all(
+            isinstance(v, (int, float, str))
+            for pair in box.values() for v in pair
+        ):
+            box = None  # non-JSON key types (timestamp, binary): no box
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    new_id = parent + 1
+    new_files = _stamp_seq(
+        _write_data_files(
+            changes.select(*[f.name for f in schema.fields]), table_path
+        ),
+        parent,
+    )
+    delete_entry = None
+    if row["__nk"] > 0:  # NULL-key rows are pure inserts: nothing to shadow
+        sidecar = _write_data_files(
+            changes.select(*keys).where(nn).distinct().coalesce(1),
+            table_path, subdir=_DELETES_DIR,
+        )
+        delete_entry = {
+            "paths": [e["path"] for e in sidecar],
+            "rows": sum(e["rows"] for e in sidecar),
+            "keys": keys,
+            "seq": new_id,
+            "box": box,
+        }
+    if current_snapshot_id(table_path) != parent:
+        raise CommitConflict(
+            f"snapshot advanced past {parent} while merging — replan"
+        )
+    deletes = m.get("deletes", []) + ([delete_entry] if delete_entry else [])
+    return _publish(
+        table_path, parent, m["files"] + new_files, m["schema"],
+        "merge-mor", deletes=deletes,
+    )
+
+
+def fold_deletes(spark: SparkSession, table_path: str) -> int | None:
+    """Materialize every pending merge-on-read delete: rewrite exactly
+    the data files at least one sidecar applies to (seq < some delete's
+    seq), publish ONE replace commit with an EMPTY delete list. Returns
+    the new snapshot id, or None when no deletes were pending. The
+    sidecar parquet files become unreferenced once the manifests that
+    listed them expire; vacuum reclaims them. Run this (or compaction /
+    clustering, which fold as a side effect of rewriting) before read
+    amplification from stacked sidecars matters — each pending sidecar
+    is one broadcast anti-join on every read."""
+    parent = current_snapshot_id(table_path)
+    if parent is None:
+        raise FileNotFoundError(f"no snapshots under {table_path}")
+    m = read_manifest(table_path, parent)
+    deletes = m.get("deletes", [])
+    if not deletes:
+        return None
+
+    def _may_shadow(e: dict) -> bool:
+        # a delete can shadow rows of e iff it is newer AND its change
+        # keys' bounding box intersects e's stats (box/stats absent ⇒
+        # must assume yes) — so a point-update sidecar leaves files
+        # outside its key range completely untouched even at fold time
+        eseq = e.get("seq", 0)
+        for d in deletes:
+            if d["seq"] <= eseq:
+                continue
+            b = d.get("box")
+            if b is None:
+                return True
+            if files_intersecting({"files": [e]},
+                                  {c: tuple(v) for c, v in b.items()}):
+                return True
+        return False
+
+    shadowed, clear = [], []
+    for e in m["files"]:
+        (shadowed if _may_shadow(e) else clear).append(e)
+    new_files = _stamp_seq(
+        _write_data_files(
+            _read_entries(spark, table_path, m, shadowed), table_path
+        ),
+        parent,
+    ) if shadowed else []
+    if current_snapshot_id(table_path) != parent:
+        raise CommitConflict(
+            f"snapshot advanced past {parent} while folding — replan"
+        )
+    return _publish(
+        table_path, parent, clear + new_files, m["schema"], "replace",
+        deletes=[],
     )
 
 
 def delete_snapshot_where(
-    spark: SparkSession, table_path: str, where: dict[str, tuple]
+    spark: SparkSession,
+    table_path: str,
+    where: dict[str, tuple],
+    record_changes: bool = True,
 ) -> int:
     """Copy-on-write range DELETE (retention, GDPR erasure): drop every
     row inside the conjunctive range ``where`` ({col: (lo, hi)}) in ONE
@@ -616,7 +1102,9 @@ def delete_snapshot_where(
     carried over untouched; intersecting files are rewritten with the
     complement rows only. Note the deleted data remains physically
     present in OLD snapshots until ``expire_snapshots`` drops them —
-    run expiry to complete an erasure."""
+    run expiry to complete an erasure. ``record_changes`` persists the
+    deleted rows as ``_change_type='delete'`` change files for
+    :func:`snapshot_change_feed` (same one-extra-pass cost as merge)."""
     parent = current_snapshot_id(table_path)
     if parent is None:
         raise FileNotFoundError(f"no snapshots under {table_path}")
@@ -624,25 +1112,35 @@ def delete_snapshot_where(
     touched, untouched = _split_by_box(m, where)
     if not touched:
         return parent
-    schema = StructType.fromJson(json.loads(m["schema"]))
-    old = spark.read.schema(schema).parquet(
-        *[os.path.join(table_path, e["path"]) for e in touched]
-    )
+    old = _read_entries(spark, table_path, m, touched)
     inside = None
     for c, (lo, hi) in where.items():
         cond = F.col(c).between(lo, hi)
         inside = cond if inside is None else (inside & cond)
     # NULL-valued rows never match a range predicate — KEEP them (a bare
     # where(~inside) would drop them: NOT(NULL) is NULL, which filters)
-    new_files = _write_data_files(
-        old.where(F.coalesce(~inside, F.lit(True))), table_path
+    new_files = _stamp_seq(
+        _write_data_files(
+            old.where(F.coalesce(~inside, F.lit(True))), table_path
+        ),
+        parent,
     )
+    change_files: list[dict] = []
+    if record_changes:
+        change_files = _write_data_files(
+            old.where(F.coalesce(inside, F.lit(False))).withColumn(
+                "_change_type", F.lit("delete")
+            ),
+            table_path, subdir=_CHANGES_DIR,
+        )
     if current_snapshot_id(table_path) != parent:
         raise CommitConflict(
             f"snapshot advanced past {parent} while deleting — replan"
         )
     return _publish(
-        table_path, parent, untouched + new_files, m["schema"], "replace"
+        table_path, parent, untouched + new_files, m["schema"], "replace",
+        deletes=m.get("deletes", []), changes=change_files,
+        extra={"change_op": "delete"} if change_files else None,
     )
 
 
@@ -674,7 +1172,9 @@ def cluster_snapshot(
         bits=bits,
         num_partitions=num_partitions,
     )
-    new_files = _write_data_files(clustered, table_path)
+    # full rewrite through the deletes-aware read: every pending
+    # merge-on-read delete is folded, so the new manifest carries none
+    new_files = _stamp_seq(_write_data_files(clustered, table_path), parent)
     if current_snapshot_id(table_path) != parent:
         raise CommitConflict(
             f"snapshot advanced past {parent} while clustering — replan"
@@ -699,16 +1199,16 @@ def expire_snapshots(
     expired, retained = ids[:-keep_last], ids[-keep_last:]
     live: set[str] = set()
     for sid in retained:
-        live.update(e["path"] for e in read_manifest(table_path, sid)["files"])
+        live.update(_referenced_paths(read_manifest(table_path, sid)))
     dead: set[str] = set()
+    sidecars: list[str] = []
     for sid in expired:
-        dead.update(
-            e["path"]
-            for e in read_manifest(table_path, sid)["files"]
-            if e["path"] not in live
-        )
+        m = read_manifest(table_path, sid)
+        dead.update(p for p in _referenced_paths(m) if p not in live)
+        if "files_ref" in m:  # the expired manifest's own parquet sidecar
+            sidecars.append(m["files_ref"])
     if delete:
-        for rel in dead:
+        for rel in sorted(dead) + sidecars:
             p = os.path.join(table_path, rel)
             if os.path.exists(p):
                 os.remove(p)
@@ -737,10 +1237,11 @@ def snapshot_changes(
     (compaction, clustering) rewrite surviving rows into new files, so
     a file-level diff would re-surface them; those are maintenance
     commits, not data changes, and their files are EXCLUDED here (an
-    `operation != append` commit contributes nothing). MERGE/DELETE
-    rewrites also publish as replace — consumers needing row-level CDC
-    across those run the SCD2 path (``streaming/scd2``), which models
-    changes as first-class rows."""
+    `operation != append` commit contributes nothing). For row-level
+    CDC across MERGE/DELETE/merge-on-read commits use
+    :func:`snapshot_change_feed`, which replays the change files those
+    commits record; the SCD2 path (``streaming/scd2``) additionally
+    models change history as first-class rows."""
     to_id = current_snapshot_id(table_path) if to_id is None else to_id
     if to_id is None or from_id > to_id:
         raise ValueError(f"bad snapshot range ({from_id}, {to_id}]")
@@ -776,6 +1277,90 @@ def snapshot_changes(
     return spark.read.schema(schema).parquet(
         *[os.path.join(table_path, p) for p in added]
     )
+
+
+def snapshot_change_feed(
+    spark: SparkSession,
+    table_path: str,
+    from_id: int,
+    to_id: int | None = None,
+) -> DataFrame:
+    """Row-level CDC between ``from_id`` (exclusive) and ``to_id``
+    (inclusive, default current): every row the table gained, lost, or
+    replaced, tagged ``_change_type`` ∈ {insert, update_preimage,
+    update_postimage, delete, upsert} + ``_commit_snapshot_id`` — the
+    Delta change-data-feed surface. Sources per commit kind:
+
+    * ``append``  — the commit's added data files, tagged ``insert``
+      (no extra storage: the data files ARE the change set);
+    * ``replace`` with recorded change files (CoW merge/delete) — the
+      change files persisted AT COMMIT TIME, replayed verbatim;
+    * ``merge-mor`` — the commit's added data files tagged ``upsert``
+      (postimages; insert-vs-update split would need the old-file read
+      MoR exists to avoid);
+    * maintenance ``replace``/``evolve`` (compaction, clustering,
+      folding, schema) — contribute NOTHING, by construction.
+
+    Metadata-planned: reads exactly the change/data files of the range;
+    schema evolution inside the range is handled by name-based union
+    (pre-evolution commits surface NULL for later columns). Raises
+    :class:`SnapshotExpired` when ``from_id`` fell out of retention."""
+    from pyspark.sql.types import StringType, StructField
+
+    to_id = current_snapshot_id(table_path) if to_id is None else to_id
+    if to_id is None or from_id > to_id:
+        raise ValueError(f"bad snapshot range ({from_id}, {to_id}]")
+    ids = set(_snap_ids(table_path))
+    if (from_id > 0 and from_id not in ids) or (
+        from_id == 0 and ids and min(ids) > 1
+    ):
+        raise SnapshotExpired(
+            f"snapshot {from_id} fell out of retention under "
+            f"{table_path} — rebase the consumer: full read_snapshot()"
+            " of the current snapshot, then resume the feed from its id"
+        )
+    prev = read_manifest(table_path, from_id) if from_id > 0 else {"files": []}
+    prev_paths = {e["path"] for e in prev["files"]}
+    frames: list[DataFrame] = []
+    for sid in range(from_id + 1, to_id + 1):
+        m = read_manifest(table_path, sid)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        tag = {"append": "insert", "merge-mor": "upsert"}.get(m["operation"])
+        if tag is not None:
+            added = [
+                e["path"] for e in m["files"] if e["path"] not in prev_paths
+            ]
+            if added:
+                frames.append(
+                    spark.read.schema(schema).parquet(
+                        *[os.path.join(table_path, p) for p in added]
+                    )
+                    .withColumn("_change_type", F.lit(tag))
+                    .withColumn("_commit_snapshot_id", F.lit(sid).cast("long"))
+                )
+        elif m.get("changes"):
+            cschema = StructType(
+                schema.fields + [StructField("_change_type", StringType())]
+            )
+            frames.append(
+                spark.read.schema(cschema).parquet(
+                    *[os.path.join(table_path, e["path"])
+                      for e in m["changes"]]
+                ).withColumn("_commit_snapshot_id", F.lit(sid).cast("long"))
+            )
+        prev_paths = {e["path"] for e in m["files"]}
+    if not frames:
+        schema = StructType.fromJson(
+            json.loads(read_manifest(table_path, to_id)["schema"])
+        )
+        empty = spark.createDataFrame([], schema)
+        return empty.withColumn(
+            "_change_type", F.lit(None).cast("string")
+        ).withColumn("_commit_snapshot_id", F.lit(None).cast("long"))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
 
 
 def snapshot_log(spark: SparkSession, table_path: str) -> DataFrame:

@@ -685,3 +685,410 @@ def test_manifest_schema_roundtrip_empty_read(spark, tmp_path):
     assert empty.count() == 0
     assert empty.columns == ["id", "grp"]
     assert json.loads(read_manifest(path)["schema"])  # schema retained
+
+
+# ---------------------------------------------------------------------------
+# round 9: merge-on-read deletion vectors, row-level CDC, scalable manifests
+
+
+def test_mor_merge_read_equals_cow_merge(spark, tmp_path):
+    """The MoR contract: read_snapshot after merge_snapshot_mor returns
+    EXACTLY what the CoW merge of the same batch would produce — same
+    upserted values, one row per key — while rewriting zero files."""
+    from ratatool_spark.operators.snapshots import (
+        merge_snapshot,
+        merge_snapshot_mor,
+        read_manifest,
+    )
+
+    pa = _range_local_table(spark, tmp_path)  # CoW twin
+    pb = str(tmp_path / "mor")
+    for i in range(4):
+        df = spark.range(i * 100, (i + 1) * 100).coalesce(1).select(
+            F.col("id").cast("long"),
+            (F.col("id") * 2).cast("long").alias("val"),
+        )
+        commit_append(df, pb)
+    changes = spark.range(10).select(
+        (F.col("id") + 120).cast("long").alias("id"),
+        F.lit(-1).cast("long").alias("val"),
+    ).unionByName(
+        spark.range(5).select(
+            (F.col("id") + 1000).cast("long").alias("id"),
+            F.lit(-2).cast("long").alias("val"),
+        )
+    )
+    before = {e["path"] for e in read_manifest(pb)["files"]}
+    merge_snapshot(spark, pa, changes, ["id"])
+    merge_snapshot_mor(spark, pb, changes, ["id"])
+    after = {e["path"] for e in read_manifest(pb)["files"]}
+    assert before <= after  # MoR rewrote NOTHING
+    m = read_manifest(pb)
+    assert len(m["deletes"]) == 1 and m["deletes"][0]["keys"] == ["id"]
+    cow = {(r["id"], r["val"]) for r in read_snapshot(spark, pa).collect()}
+    mor = {(r["id"], r["val"]) for r in read_snapshot(spark, pb).collect()}
+    assert mor == cow
+    assert read_snapshot(spark, pb).count() == 405
+
+
+def test_mor_sequence_stacking_last_write_wins(spark, tmp_path):
+    """Two stacked MoR merges on the same key: the second's sidecar
+    shadows the first's data file (seq 5 < 6) but NOT its own — the
+    Iceberg sequence-number rule, end to end."""
+    from ratatool_spark.operators.snapshots import merge_snapshot_mor
+
+    path = str(tmp_path / "tb")
+    commit_append(
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, val long"), path
+    )
+    merge_snapshot_mor(
+        spark, path,
+        spark.createDataFrame([(1, -1), (3, -3)], "id long, val long"),
+        ["id"],
+    )
+    merge_snapshot_mor(
+        spark, path,
+        spark.createDataFrame([(1, -11), (4, -4)], "id long, val long"),
+        ["id"],
+    )
+    got = {r["id"]: r["val"] for r in read_snapshot(spark, path).collect()}
+    assert got == {1: -11, 2: 20, 3: -3, 4: -4}
+    # an append AFTER the merges is not shadowed by them
+    commit_append(
+        spark.createDataFrame([(9, 90)], "id long, val long"), path
+    )
+    got = {r["id"]: r["val"] for r in read_snapshot(spark, path).collect()}
+    assert got[9] == 90 and len(got) == 5
+
+
+def test_fold_deletes_materializes_and_clears(spark, tmp_path):
+    from ratatool_spark.operators.snapshots import (
+        fold_deletes,
+        merge_snapshot_mor,
+        read_manifest,
+    )
+
+    path = str(tmp_path / "tb")
+    for i in range(2):  # two range-local files: ids 0-49, 50-99
+        commit_append(
+            spark.range(i * 50, (i + 1) * 50).coalesce(1).select(
+                F.col("id").cast("long"),
+                (F.col("id") * 2).cast("long").alias("val"),
+            ),
+            path,
+        )
+    merge_snapshot_mor(
+        spark, path,
+        spark.createDataFrame([(5, -5), (7, -7)], "id long, val long"),
+        ["id"],
+    )
+    before = {r["id"]: r["val"] for r in read_snapshot(spark, path).collect()}
+    m = read_manifest(path)
+    untouched_file = next(  # ids 50-99: outside the [5,7] box
+        e["path"] for e in m["files"] if e["stats"]["id"][0] == 50
+    )
+    sid = fold_deletes(spark, path)
+    assert sid == 4
+    m = read_manifest(path)
+    assert m["deletes"] == []
+    # box pruning: the 50-99 file was NOT rewritten by the fold
+    assert untouched_file in {e["path"] for e in m["files"]}
+    after = {r["id"]: r["val"] for r in read_snapshot(spark, path).collect()}
+    assert after == before
+    assert after[5] == -5 and after[6] == 12
+    # nothing pending -> no-op
+    assert fold_deletes(spark, path) is None
+
+
+def test_mor_then_cow_and_compaction_fold(spark, tmp_path):
+    """CoW merge and compaction on a table with pending MoR deletes must
+    read through the sidecars (no resurrection of shadowed rows)."""
+    from ratatool_spark.operators.snapshots import (
+        compact_snapshot,
+        merge_snapshot,
+        merge_snapshot_mor,
+        read_manifest,
+    )
+
+    path = str(tmp_path / "tb")
+    commit_append(
+        spark.range(20).coalesce(1).select(
+            F.col("id").cast("long"), (F.col("id") * 2).cast("long").alias("val")
+        ),
+        path,
+    )
+    merge_snapshot_mor(
+        spark, path,
+        spark.createDataFrame([(3, -3)], "id long, val long"), ["id"],
+    )
+    merge_snapshot(  # CoW on top of pending MoR delete
+        spark, path,
+        spark.createDataFrame([(4, -4)], "id long, val long"), ["id"],
+    )
+    got = {r["id"]: r["val"] for r in read_snapshot(spark, path).collect()}
+    assert got[3] == -3 and got[4] == -4 and len(got) == 20
+    compact_snapshot(spark, path, target_bytes=1 << 30)
+    got2 = {r["id"]: r["val"] for r in read_snapshot(spark, path).collect()}
+    assert got2 == got
+    # compaction rewrote every file into one bin -> deletes fully folded
+    # (entries carried, but no file has seq < any delete's seq with rows)
+    m = read_manifest(path)
+    assert all(e["seq"] == m["snapshot_id"] for e in m["files"])
+
+
+def test_mor_null_key_rows_insert_without_sidecar(spark, tmp_path):
+    from ratatool_spark.operators.snapshots import (
+        merge_snapshot_mor,
+        read_manifest,
+    )
+
+    path = str(tmp_path / "tb")
+    commit_append(
+        spark.createDataFrame([(1, 10)], "id long, val long"), path
+    )
+    merge_snapshot_mor(
+        spark, path,
+        spark.createDataFrame([(None, -1), (None, -2)], "id long, val long"),
+        ["id"],
+    )
+    assert read_manifest(path)["deletes"] == []  # nothing to shadow
+    got = read_snapshot(spark, path)
+    assert got.count() == 3
+    assert got.where(F.col("id").isNull()).count() == 2
+    # duplicate keys rejected, same contract as CoW
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="duplicate-key"):
+        merge_snapshot_mor(
+            spark, path,
+            spark.createDataFrame([(7, -1), (7, -2)], "id long, val long"),
+            ["id"],
+        )
+
+
+def test_change_feed_merge_delete_append(spark, tmp_path):
+    """The CDC surface end to end: append -> CoW merge -> CoW delete ->
+    MoR merge, replayed row-for-row with typed _change_type."""
+    from ratatool_spark.operators.snapshots import (
+        delete_snapshot_where,
+        merge_snapshot,
+        merge_snapshot_mor,
+        snapshot_change_feed,
+    )
+
+    path = str(tmp_path / "tb")
+    commit_append(  # v1: ids 0..9
+        spark.range(10).coalesce(1).select(
+            F.col("id").cast("long"), (F.col("id") * 2).cast("long").alias("val")
+        ),
+        path,
+    )
+    merge_snapshot(  # v2: update id 3, insert id 100
+        spark, path,
+        spark.createDataFrame([(3, -3), (100, -100)], "id long, val long"),
+        ["id"],
+    )
+    delete_snapshot_where(spark, path, {"id": (8, 9)})  # v3
+    merge_snapshot_mor(  # v4: upsert id 0, insert id 200
+        spark, path,
+        spark.createDataFrame([(0, -9), (200, -200)], "id long, val long"),
+        ["id"],
+    )
+    feed = snapshot_change_feed(spark, path, 1)
+    rows = {(r["id"], r["val"], r["_change_type"], r["_commit_snapshot_id"])
+            for r in feed.collect()}
+    assert rows == {
+        (3, 6, "update_preimage", 2),
+        (3, -3, "update_postimage", 2),
+        (100, -100, "insert", 2),
+        (8, 16, "delete", 3),
+        (9, 18, "delete", 3),
+        (0, -9, "upsert", 4),
+        (200, -200, "upsert", 4),
+    }
+    # full-history feed includes v1's appended rows as inserts
+    full = snapshot_change_feed(spark, path, 0)
+    assert full.where(F.col("_change_type") == "insert").count() == 1 + 10
+    # sub-ranges slice cleanly
+    assert snapshot_change_feed(spark, path, 3).count() == 2
+
+
+def test_change_feed_maintenance_commits_silent(spark, tmp_path):
+    from ratatool_spark.operators.snapshots import (
+        cluster_snapshot,
+        compact_snapshot,
+        evolve_add_columns,
+        snapshot_change_feed,
+    )
+
+    path = _tbl(spark, tmp_path, n=2, rows=10)
+    compact_snapshot(spark, path, target_bytes=1 << 30)  # v3
+    cluster_snapshot(spark, path, ["id"], num_partitions=2)  # v4
+    evolve_add_columns(spark, path, {"tag": "string"})  # v5
+    assert snapshot_change_feed(spark, path, 2).count() == 0
+    # evolution inside the range: pre-evolve inserts surface tag=NULL
+    commit_append(
+        spark.range(100, 103).select(
+            F.col("id").cast("long"),
+            F.lit(0).cast("long").alias("grp"),
+            F.lit("x").alias("tag"),
+        ),
+        path,
+    )
+    feed = snapshot_change_feed(spark, path, 1)
+    assert feed.where(F.col("tag") == "x").count() == 3
+    assert feed.where(F.col("tag").isNull()).count() == 10  # v2's rows
+
+
+def test_change_feed_replay_reconstructs_table(spark, tmp_path):
+    """Fold the feed (upsert/delete aware) over the v1 snapshot — must
+    reproduce the current table exactly: the CDC completeness check."""
+    from ratatool_spark.operators.snapshots import (
+        delete_snapshot_where,
+        merge_snapshot,
+        merge_snapshot_mor,
+        snapshot_change_feed,
+    )
+
+    path = str(tmp_path / "tb")
+    commit_append(
+        spark.range(50).coalesce(1).select(
+            F.col("id").cast("long"), (F.col("id") * 2).cast("long").alias("val")
+        ),
+        path,
+    )
+    merge_snapshot(
+        spark, path,
+        spark.createDataFrame([(7, -7), (70, -70)], "id long, val long"),
+        ["id"],
+    )
+    delete_snapshot_where(spark, path, {"id": (40, 49)})
+    merge_snapshot_mor(
+        spark, path,
+        spark.createDataFrame([(7, -77), (80, -80)], "id long, val long"),
+        ["id"],
+    )
+    state = {
+        r["id"]: r["val"]
+        for r in read_snapshot(spark, path, snapshot_id=1).collect()
+    }
+    feed = snapshot_change_feed(spark, path, 1).orderBy("_commit_snapshot_id")
+    for r in feed.collect():
+        if r["_change_type"] in ("insert", "update_postimage", "upsert"):
+            state[r["id"]] = r["val"]
+        elif r["_change_type"] == "delete":
+            state.pop(r["id"], None)
+    current = {r["id"]: r["val"] for r in read_snapshot(spark, path).collect()}
+    assert state == current
+
+
+def test_externalized_manifest_roundtrip_and_pruning(spark, tmp_path, monkeypatch):
+    """Past FILES_INLINE_MAX the files list lives in a parquet sidecar:
+    commits, reads, stats-pruned reads (via the Spark planning job), and
+    time travel must behave identically to inline manifests."""
+    import ratatool_spark.operators.snapshots as snap
+
+    monkeypatch.setattr(snap, "FILES_INLINE_MAX", 2)
+    path = str(tmp_path / "tb")
+    for i in range(4):  # 4 single-file commits, range-disjoint ids
+        snap.commit_append(
+            spark.range(i * 100, (i + 1) * 100).coalesce(1).select(
+                F.col("id").cast("long"),
+                (F.col("id") % 7).cast("long").alias("grp"),
+            ),
+            path,
+        )
+    m = snap.read_manifest(path)
+    assert "files_ref" in m and m["n_files"] == 4
+    assert len(m["files"]) == 4  # reconstructed in memory
+    assert all(e["stats"]["id"] for e in m["files"])
+    assert snap.read_snapshot(spark, path).count() == 400
+    # spark-side pruning == python pruning
+    box = {"id": (150, 249)}
+    py_kept = {e["path"] for e in snap.files_intersecting(m, box)}
+    sp_kept = {
+        r["path"]
+        for r in snap.files_intersecting_spark(
+            snap.manifest_files_df(spark, path), box
+        ).collect()
+    }
+    assert py_kept == sp_kept and len(py_kept) == 2
+    pruned = snap.read_snapshot(spark, path, where=box)
+    full = snap.read_snapshot(spark, path).where(F.col("id").between(150, 249))
+    assert sorted(pruned.collect()) == sorted(full.collect())
+    # expiry deletes the expired manifests' sidecars too
+    import glob as _g
+
+    snap.compact_snapshot(spark, path, target_bytes=1 << 30)
+    n_sidecars = len(_g.glob(f"{path}/snapshots/f*.parquet"))
+    snap.expire_snapshots(path, keep_last=1)
+    assert len(_g.glob(f"{path}/snapshots/f*.parquet")) < n_sidecars
+    assert snap.read_snapshot(spark, path).count() == 400
+
+
+def test_manifest_spark_pruning_handles_str_and_float(spark, tmp_path, monkeypatch):
+    import ratatool_spark.operators.snapshots as snap
+
+    monkeypatch.setattr(snap, "FILES_INLINE_MAX", 0)
+    path = str(tmp_path / "tb")
+    rows = [(i, float(i) / 2.0, chr(97 + i % 26) * 3) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, x double, s string")
+    snap.commit_append(df.where("id < 50").coalesce(1), path)
+    snap.commit_append(df.where("id >= 50").coalesce(1), path)
+    m = snap.read_manifest(path)
+    mdf = snap.manifest_files_df(spark, path)
+    for box in ({"x": (0.0, 10.0)}, {"s": ("aaa", "ccc")},
+                {"id": (60, 70), "x": (30.0, 35.0)}):
+        py = {e["path"] for e in snap.files_intersecting(m, box)}
+        sp = {r["path"]
+              for r in snap.files_intersecting_spark(mdf, box).collect()}
+        assert py == sp, box
+        got = sorted(snap.read_snapshot(spark, path, where=box).collect())
+        want = snap.read_snapshot(spark, path)
+        for c, (lo, hi) in box.items():
+            want = want.where(F.col(c).between(lo, hi))
+        assert got == sorted(want.collect()), box
+
+
+def test_vacuum_collects_orphaned_change_and_delete_files(spark, tmp_path):
+    """CDC change files and MoR sidecars referenced by NO manifest are
+    vacuum debris like data files; referenced ones must survive."""
+    from ratatool_spark.operators.snapshots import (
+        _write_data_files,
+        merge_snapshot,
+        merge_snapshot_mor,
+        vacuum_orphans,
+    )
+
+    path = str(tmp_path / "tb")
+    commit_append(
+        spark.range(10).coalesce(1).select(
+            F.col("id").cast("long"), (F.col("id") * 2).cast("long").alias("val")
+        ),
+        path,
+    )
+    merge_snapshot(
+        spark, path,
+        spark.createDataFrame([(1, -1)], "id long, val long"), ["id"],
+    )
+    merge_snapshot_mor(
+        spark, path,
+        spark.createDataFrame([(2, -2)], "id long, val long"), ["id"],
+    )
+    # orphan debris in both sidecar dirs (a crashed commit's leftovers)
+    orphans = _write_data_files(
+        spark.createDataFrame([(9, -9)], "id long, val long"),
+        path, subdir="changes",
+    ) + _write_data_files(
+        spark.createDataFrame([(9,)], "id long"), path, subdir="deletes",
+    )
+    for e in orphans:
+        _age(os.path.join(path, e["path"]))
+    dead = vacuum_orphans(path)
+    assert sorted(e["path"] for e in orphans) == dead
+    # referenced change/delete files intact: feed + MoR read still work
+    from ratatool_spark.operators.snapshots import snapshot_change_feed
+
+    assert snapshot_change_feed(spark, path, 1).count() == 3
+    got = {r["id"]: r["val"] for r in read_snapshot(spark, path).collect()}
+    assert got[1] == -1 and got[2] == -2
