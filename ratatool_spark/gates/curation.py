@@ -157,16 +157,71 @@ def _q_bpe_train(spark, sf_dir):
     )
 
 
+def _byte_alphabet_ctes(corpus: str) -> str:
+    """DuckDB replay of corpus.byte_encode_expr: distinct words →
+    unicode chars with position → UTF-8 byte decomposition (pure integer
+    arithmetic on the codepoint) → each byte to its GPT-2 stand-in char
+    (the 256-row bmap VALUES) → re-agg in (char, byte) order. Yields
+    ``w(worig, w, freq)`` with ``w`` over the byte alphabet."""
+    from ratatool_spark.operators.corpus import _BYTE_MAP
+
+    bmap_rows = ", ".join(
+        f"({b}, chr({ord(_BYTE_MAP[b])}))" for b in range(256)
+    )
+    return f"""bmap(b, mc) AS (VALUES {bmap_rows}),
+w0 AS MATERIALIZED (
+  SELECT tok AS worig, COUNT(*) AS freq FROM (
+    SELECT UNNEST(string_split(trim(text), ' ')) AS tok FROM {corpus}
+  ) WHERE LENGTH(tok) > 0 GROUP BY tok
+),
+wbytes AS (
+  SELECT worig, pos,
+         CASE WHEN cp < 128 THEN [cp]
+              WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64]
+              WHEN cp < 65536 THEN [224 + cp // 4096,
+                                    128 + (cp // 64) % 64, 128 + cp % 64]
+              ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64,
+                    128 + (cp // 64) % 64, 128 + cp % 64]
+         END AS bs
+  FROM (
+    SELECT worig, t.pos AS pos, unicode(ls[t.pos]) AS cp
+    FROM (SELECT worig, string_split(worig, '') AS ls FROM w0),
+         UNNEST(range(1, len(ls) + 1)) AS t(pos)
+  )
+),
+wmapped AS MATERIALIZED (
+  SELECT worig, STRING_AGG(mc, '' ORDER BY pos, bi) AS w
+  FROM (SELECT worig, pos, u.bi AS bi, bs[u.bi] AS bv
+        FROM wbytes, UNNEST(range(1, len(bs) + 1)) AS u(bi))
+  JOIN bmap ON bv = b
+  GROUP BY worig
+),
+w AS MATERIALIZED (
+  SELECT wm.w AS w, w0.freq AS freq, w0.worig AS worig
+  FROM w0 JOIN wmapped wm USING (worig)
+)"""
+
+
 def _bpe_train_ctes(
-    n_merges: int = 64, batch: int = 16, pool: int = 64, rounds: int = 6
+    n_merges: int = 64,
+    batch: int = 16,
+    pool: int = 64,
+    rounds: int = 6,
+    byte_level: bool = False,
+    corpus: str = "documents",
 ) -> str:
     sep2 = "chr(2) || chr(2)"
-    ctes = [
-        """w AS MATERIALIZED (
+    if byte_level:
+        w_cte = _byte_alphabet_ctes(corpus)
+    else:
+        w_cte = f"""w AS MATERIALIZED (
   SELECT tok AS w, COUNT(*) AS freq FROM (
-    SELECT UNNEST(string_split(trim(text), ' ')) AS tok FROM documents
+    SELECT UNNEST(string_split(trim(text), ' ')) AS tok FROM {corpus}
   ) WHERE LENGTH(tok) > 0 GROUP BY tok
-), t0 AS MATERIALIZED (
+)"""
+    ctes = [
+        w_cte
+        + """, t0 AS MATERIALIZED (
   SELECT freq,
          chr(2) || array_to_string(
            list_transform(range(1, len(w) + 1),
@@ -326,6 +381,135 @@ FROM documents d LEFT JOIN (
   FROM seg GROUP BY doc_id
 ) s USING (doc_id)"""
     )
+
+
+_BPE_FIXTURES = [
+    "über café naïve über café",
+    "日本語 Grüße 🚀 über",
+]
+
+
+def _q_bpe_byte_level(spark, sf_dir):
+    """BYTE-LEVEL BPE training (corpus.bpe_learn(byte_level=True)) — the
+    production-tokenizer mode (GPT-2/LLaMA family): words are mapped
+    byte-for-byte onto the GPT-2 visible-byte alphabet before training,
+    so multi-byte UTF-8 characters become learnable byte sequences and
+    NOTHING is out-of-vocabulary. The corpus is documents plus two
+    non-ASCII fixture docs (umlauts, CJK, an astral-plane emoji — 2-, 3-
+    and 4-byte UTF-8). 32 merges train through the batched path; the
+    learned list then SEGMENTS the fixtures (Arrow kernel path) and the
+    symbols must DECODE byte-exactly back to the fixture text (asserted
+    in-gate AND pinned cross-engine via the fixture_decoded column).
+    The oracle replays everything: the byte decomposition (pure integer
+    arithmetic on codepoints + the 256-row alphabet table), every
+    training round (counts, ranking, disjoint admission, fused fold),
+    and the fixture segmentation (ordered list_reduce of sentinel
+    replaces)."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.corpus import (
+        bpe_learn,
+        bpe_segment,
+        byte_decode_expr,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+    fix = spark.range(1).select(
+        F.posexplode(
+            F.array(*[F.lit(t) for t in _BPE_FIXTURES])
+        ).alias("fid", "text")
+    )
+    corpus = docs.unionByName(fix.select("text"))
+    merges = bpe_learn(
+        corpus, n_merges=32, batch=16, pool=64, rounds=3, byte_level=True
+    )
+    seg = bpe_segment(fix, merges, byte_level=True, expr_threshold=0)
+    seg = seg.select(
+        "fid",
+        F.array_join("bpe_syms", " ").alias("sw"),
+        byte_decode_expr(F.concat_ws("", "bpe_syms")).alias("dec"),
+    ).orderBy("fid").collect()
+    expected = [t.replace(" ", "") for t in _BPE_FIXTURES]
+    if [r["dec"] for r in seg] != expected:
+        raise ValueError(
+            f"byte-level BPE round-trip drifted: {[r['dec'] for r in seg]}"
+        )
+    fixture_segmented = " | ".join(r["sw"] for r in seg)
+    fixture_decoded = " | ".join(r["dec"] for r in seg)
+    return spark.createDataFrame(
+        [
+            (i + 1, a, b, fixture_segmented, fixture_decoded)
+            for i, (a, b) in enumerate(merges)
+        ],
+        "step int, lhs string, rhs string, "
+        "fixture_segmented string, fixture_decoded string",
+    )
+
+
+def _sql_bpe_byte_level(
+    n_merges: int = 32, batch: int = 16, pool: int = 64, rounds: int = 3
+) -> str:
+    fix_rows = ", ".join(
+        f"({i + 1}, '{t}')" for i, t in enumerate(_BPE_FIXTURES)
+    )
+    fix_vals = ", ".join(f"'{t}'" for t in _BPE_FIXTURES)
+    corpus = (
+        "(SELECT text FROM documents "
+        f"UNION ALL SELECT UNNEST([{fix_vals}]) AS text)"
+    )
+    ctes, union = _bpe_train_ctes(
+        n_merges, batch, pool, rounds, byte_level=True, corpus=corpus
+    )
+    base = "'|' || array_to_string(string_split(w, ''), '| |') || '|'"
+    fold = (
+        f"list_reduce(list_prepend({base}, "
+        f"(SELECT rs FROM mergelist)), (a, x) -> replace(a, "
+        "'|' || split_part(x, chr(3), 1) || '| |' "
+        "|| split_part(x, chr(3), 2) || '|', "
+        "'|' || split_part(x, chr(3), 1) "
+        "|| split_part(x, chr(3), 2) || '|'))"
+    )
+    return (
+        ctes
+        + f""",
+mergelist AS MATERIALIZED (
+  SELECT list(l || chr(3) || r ORDER BY step) AS rs FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY rnd, rk) AS step, l, r
+    FROM ({union})
+    ORDER BY step LIMIT {n_merges}
+  )
+),
+fix(fid, text) AS (VALUES {fix_rows}),
+fixwords AS (
+  SELECT fid, t.pos AS pos, ls[t.pos] AS worig
+  FROM (SELECT fid, string_split(trim(text), ' ') AS ls FROM fix),
+       UNNEST(range(1, len(ls) + 1)) AS t(pos)
+),
+fixseg AS (
+  SELECT fid, pos,
+         replace({fold}, '|', '') AS sw,
+         wm.worig AS worig
+  FROM fixwords JOIN wmapped wm USING (worig)
+),
+fixagg AS MATERIALIZED (
+  SELECT STRING_AGG(persegs, ' | ' ORDER BY fid) AS fixture_segmented,
+         STRING_AGG(perdec, ' | ' ORDER BY fid) AS fixture_decoded
+  FROM (
+    SELECT fid,
+           STRING_AGG(sw, ' ' ORDER BY pos) AS persegs,
+           STRING_AGG(worig, '' ORDER BY pos) AS perdec
+    FROM fixseg GROUP BY fid
+  )
+)
+SELECT ROW_NUMBER() OVER (ORDER BY rnd, rk) AS step, l AS lhs, r AS rhs,
+       (SELECT fixture_segmented FROM fixagg) AS fixture_segmented,
+       (SELECT fixture_decoded FROM fixagg) AS fixture_decoded
+FROM ({union})
+ORDER BY step LIMIT {n_merges}"""
+    )
+
+
+_SQL_BPE_BYTE_LEVEL = _sql_bpe_byte_level()
 
 
 def _q_interval_join_events(spark, sf_dir):

@@ -437,3 +437,281 @@ SELECT o_orderstatus,
 FROM orders
 GROUP BY o_orderstatus
 """
+
+
+def _q_snapshot_cdc_merge(spark, sf_dir):
+    """Row-level CDC across MERGE and DELETE commits
+    (operators/snapshots.snapshot_change_feed — the Delta CDF design):
+    the orders table takes a CoW merge (price-doubling updates on the
+    lowest eighth of o_orderkey + key-shifted inserts at 3x price) and a
+    CoW range delete (the second eighth), both of which record their
+    change sets as change files AT COMMIT TIME. The feed from the
+    pre-merge snapshot must replay exactly those rows with typed
+    _change_type — update_preimage/update_postimage/insert from the
+    merge commit, delete from the delete commit — each attributed to its
+    commit id. The oracle recomputes all four change populations
+    directly from the source table."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.snapshots import (
+        delete_snapshot_where,
+        merge_snapshot,
+        snapshot_change_feed,
+    )
+
+    path = _build_orders_table(spark, sf_dir, n_commits=3)
+    agg = spark.read.parquet(f"{sf_dir}/orders.parquet").agg(
+        F.min("o_orderkey"), F.max("o_orderkey")
+    ).first()
+    lo, mx = int(agg[0]), int(agg[1])
+    s8 = (mx - lo) // 8
+    ulo, uhi = lo, lo + s8                    # update box
+    dlo, dhi = lo + 2 * s8, lo + 3 * s8       # delete box (disjoint)
+    shift = mx - lo + 1                       # inserts land past max
+    from ratatool_spark.operators.snapshots import read_snapshot
+
+    cur = read_snapshot(spark, path)
+    in_box = cur.where(F.col("o_orderkey").between(ulo, uhi))
+    updates = in_box.withColumn(
+        "o_totalprice", F.col("o_totalprice") * F.lit(2.0)
+    )
+    inserts = in_box.select(
+        (F.col("o_orderkey") + F.lit(shift)).alias("o_orderkey"),
+        "o_custkey", "o_orderstatus",
+        (F.col("o_totalprice") * F.lit(3.0)).alias("o_totalprice"),
+    )
+    merge_snapshot(spark, path, updates.unionByName(inserts),
+                   ["o_orderkey"])                       # v4
+    delete_snapshot_where(spark, path, {"o_orderkey": (dlo, dhi)})  # v5
+    feed = snapshot_change_feed(spark, path, 3)
+    return feed.groupBy("_change_type", "_commit_snapshot_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_total"),
+    )
+
+
+_SQL_SNAPSHOT_CDC_MERGE = """
+WITH box AS (
+  SELECT MIN(o_orderkey) AS lo,
+         (MAX(o_orderkey) - MIN(o_orderkey)) // 8 AS s8,
+         MAX(o_orderkey) - MIN(o_orderkey) + 1 AS shift
+  FROM orders
+),
+upd AS (
+  SELECT o.* FROM orders o, box
+  WHERE o_orderkey BETWEEN box.lo AND box.lo + box.s8
+),
+del AS (
+  SELECT o.* FROM orders o, box
+  WHERE o_orderkey BETWEEN box.lo + 2 * box.s8 AND box.lo + 3 * box.s8
+),
+feed AS (
+  SELECT 'update_preimage' AS _change_type, 4 AS _commit_snapshot_id,
+         o_totalprice AS p FROM upd
+  UNION ALL
+  SELECT 'update_postimage', 4, o_totalprice * 2.0 FROM upd
+  UNION ALL
+  SELECT 'insert', 4, o_totalprice * 3.0 FROM upd
+  UNION ALL
+  SELECT 'delete', 5, o_totalprice FROM del
+)
+SELECT _change_type, _commit_snapshot_id,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+FROM feed
+GROUP BY _change_type, _commit_snapshot_id
+"""
+
+
+def _q_snapshot_mor_merge(spark, sf_dir):
+    """Merge-on-read upsert (operators/snapshots.merge_snapshot_mor +
+    fold_deletes): the same price-doubling batch the CoW gate merges is
+    published as new data files + an equality-delete key sidecar — ZERO
+    existing files rewritten (no_rewrite pins the manifest file set grew
+    monotonically), yet the read equals the CoW result (the oracle IS
+    the CoW truth). fold_deletes then materializes the sidecar into
+    stats-intersecting files only and the re-read must be identical
+    (fold_same, asserted cross-engine via the same aggregate)."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.snapshots import (
+        cluster_snapshot,
+        fold_deletes,
+        merge_snapshot_mor,
+        read_manifest,
+        read_snapshot,
+    )
+
+    path = _build_orders_table(spark, sf_dir, n_commits=3)
+    cluster_snapshot(spark, path, ["o_orderkey"], num_partitions=4)
+    lo, hi = _key_box(spark, sf_dir)
+    cur = read_snapshot(spark, path)
+    changes = cur.where(F.col("o_orderkey").between(lo, hi)).withColumn(
+        "o_totalprice", F.col("o_totalprice") * F.lit(2.0)
+    )
+    before = {e["path"] for e in read_manifest(path)["files"]}
+    merge_snapshot_mor(spark, path, changes, ["o_orderkey"])
+    after = {e["path"] for e in read_manifest(path)["files"]}
+    no_rewrite = before <= after
+
+    def _agg(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_total"),
+        )
+
+    mor = sorted(_agg(read_snapshot(spark, path)).collect())
+    fold_deletes(spark, path)
+    if read_manifest(path)["deletes"]:
+        raise ValueError("fold_deletes left pending sidecars behind")
+    folded = sorted(_agg(read_snapshot(spark, path)).collect())
+    return _agg(read_snapshot(spark, path)).select(
+        "*",
+        F.lit(bool(no_rewrite)).alias("no_rewrite"),
+        F.lit(mor == folded).alias("fold_same"),
+    )
+
+
+_SQL_SNAPSHOT_MOR_MERGE = """
+WITH box AS (
+  SELECT MIN(o_orderkey) AS lo,
+         MIN(o_orderkey) + (MAX(o_orderkey) - MIN(o_orderkey)) // 8 AS hi
+  FROM orders
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(CASE WHEN o_orderkey BETWEEN box.lo AND box.hi
+                          THEN o_totalprice * 2.0 ELSE o_totalprice END
+                     AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+       TRUE AS no_rewrite,
+       TRUE AS fold_same
+FROM orders, box
+GROUP BY o_orderstatus
+"""
+
+
+def _q_manifest_pruning_equivalence(spark, sf_dir):
+    """Manifest scalability (operators/snapshots.files_intersecting_spark
+    over the parquet manifest sidecar): past FILES_INLINE_MAX the files
+    list externalizes to a typed parquet sidecar and planning-time stats
+    pruning runs as a SPARK JOB instead of a driver loop — this gate
+    forces the externalized layout (threshold dropped to 0 for the
+    table's commits), prunes a custkey box BOTH ways, and pins (a) the
+    two paths keep the identical file set (paths_equal), (b) the sidecar
+    layout was actually in play (sidecar_used), (c) whole files were
+    really skipped (files_pruned), and (d) the surviving rows equal the
+    plain SQL filter (the oracle)."""
+    from pyspark.sql import functions as F
+
+    import ratatool_spark.operators.snapshots as snap
+
+    old_max = snap.FILES_INLINE_MAX
+    snap.FILES_INLINE_MAX = 0
+    try:
+        path = _build_orders_table(spark, sf_dir, n_commits=3)
+        snap.cluster_snapshot(spark, path, ["o_custkey"], num_partitions=4)
+    finally:
+        snap.FILES_INLINE_MAX = old_max
+    m = snap.read_manifest(path)
+    sidecar_used = "files_ref" in m
+    agg = spark.read.parquet(f"{sf_dir}/orders.parquet").agg(
+        F.min("o_custkey"), F.max("o_custkey")
+    ).first()
+    lo = int(agg[0])
+    hi = lo + (int(agg[1]) - lo) // 8
+    box = {"o_custkey": (lo, hi)}
+    py_kept = {e["path"] for e in snap.files_intersecting(m, box)}
+    sp_kept = {
+        r["path"]
+        for r in snap.files_intersecting_spark(
+            snap.manifest_files_df(spark, path), box
+        ).collect()
+    }
+    cur = snap.read_snapshot(spark, path, where=box)
+    return cur.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_total"),
+        F.lit(py_kept == sp_kept).alias("paths_equal"),
+        F.lit(bool(sidecar_used)).alias("sidecar_used"),
+        F.lit(len(py_kept) < len(m["files"])).alias("files_pruned"),
+    )
+
+
+_SQL_MANIFEST_PRUNING = """
+WITH box AS (
+  SELECT MIN(o_custkey) AS lo,
+         MIN(o_custkey) + (MAX(o_custkey) - MIN(o_custkey)) // 8 AS hi
+  FROM orders
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+       TRUE AS paths_equal,
+       TRUE AS sidecar_used,
+       TRUE AS files_pruned
+FROM orders, box
+WHERE o_custkey BETWEEN box.lo AND box.hi
+GROUP BY o_orderstatus
+"""
+
+
+def _q_stream_snapshot_source(spark, sf_dir):
+    """Streaming SOURCE over a snapshot table
+    (streaming/snapshots.stream_snapshot_source / stream_snapshot_mirror)
+    run for real: orders lands in table A as three append commits; a
+    Structured Streaming mirror (file-source stream over A's manifest
+    directory, availableNow) replays each append as ONE atomic commit of
+    table B. Then the WHOLE stream is re-delivered under a FRESH
+    checkpoint — the destination's source-snapshot ledger must make that
+    a no-op (n_commits_after_replay == 3). B's content must equal the
+    full source table (the oracle), closing the table→stream→table loop
+    with exactly-once semantics on both hops."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.snapshots import (
+        current_snapshot_id,
+        read_snapshot,
+    )
+    from ratatool_spark.streaming.snapshots import stream_snapshot_mirror
+
+    src = _build_orders_table(spark, sf_dir, n_commits=3)
+    root = tempfile.mkdtemp(prefix="rt_snapsrc_")
+    dst = os.path.join(root, "dst")
+    q = stream_snapshot_mirror(
+        spark, src, dst, checkpoint=os.path.join(root, "ck1")
+    )
+    q.awaitTermination()
+    n_commits = int(current_snapshot_id(dst))
+    q = stream_snapshot_mirror(  # full re-delivery: ledger no-ops it
+        spark, src, dst, checkpoint=os.path.join(root, "ck2")
+    )
+    q.awaitTermination()
+    n_after_replay = int(current_snapshot_id(dst))
+    return read_snapshot(spark, dst).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_total"),
+        F.lit(n_commits).alias("n_commits"),
+        F.lit(n_after_replay).alias("n_commits_after_replay"),
+    )
+
+
+_SQL_STREAM_SNAPSHOT_SOURCE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+       3 AS n_commits,
+       3 AS n_commits_after_replay
+FROM orders
+GROUP BY o_orderstatus
+"""

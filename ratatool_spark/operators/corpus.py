@@ -178,6 +178,55 @@ def temperature_mixture(
     )
 
 
+def _bytes_to_unicode() -> dict[int, str]:
+    """The GPT-2 byte↔unicode alphabet (Radford et al. 2019, public
+    ``encoder.py``): every byte 0..255 gets a VISIBLE unicode character —
+    printable latin bytes map to themselves, the rest to 256+n in order.
+    Byte-level BPE trains over this alphabet so NO text is ever OOV: any
+    string decomposes into known symbols, and multi-byte UTF-8
+    characters become learnable byte sequences."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+_BYTE_MAP = _bytes_to_unicode()
+# translate() pairs for the bytes whose mapped char differs from their
+# latin-1 identity (the 68 control/space/etc bytes)
+_BYTE_FROM = "".join(chr(b) for b in range(256) if _BYTE_MAP[b] != chr(b))
+_BYTE_TO = "".join(_BYTE_MAP[b] for b in range(256) if _BYTE_MAP[b] != chr(b))
+
+
+def byte_encode_expr(col: Column) -> Column:
+    """Pure-expression byte-level alphabet mapping: UTF-8 encode →
+    latin-1 decode (each BYTE becomes the unicode char U+00..FF —
+    the 1:1 byte-to-char trick) → remap the 68 non-printable bytes to
+    their 256+n stand-ins via ``translate``. Zero UDFs; the inverse is
+    :func:`byte_decode_expr`."""
+    return F.translate(
+        F.decode(F.encode(col, "UTF-8"), "ISO-8859-1"), _BYTE_FROM, _BYTE_TO
+    )
+
+
+def byte_decode_expr(col: Column) -> Column:
+    """Inverse of :func:`byte_encode_expr`: stand-ins back to latin-1
+    chars, latin-1 encode (chars → raw bytes), UTF-8 decode."""
+    return F.decode(
+        F.encode(F.translate(col, _BYTE_TO, _BYTE_FROM), "ISO-8859-1"),
+        "UTF-8",
+    )
+
+
 def bpe_pair_counts(
     df: DataFrame,
     text_col: str = "text",
@@ -248,6 +297,7 @@ def bpe_learn(
     batch: int = 1,
     pool: int = 128,
     rounds: int | None = None,
+    byte_level: bool = False,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges over the corpus — the full iterative
     tokenizer-training loop, distributed like the IVF k-means trainer
@@ -276,13 +326,23 @@ def bpe_learn(
     ``ceil(n_merges / batch)`` — a fixed, engine-replayable schedule;
     pass it explicitly when rounds under-fill, i.e. when the alphabet
     can't supply ``batch`` disjoint pairs per round) and truncates to
-    ``n_merges``; ``batch=1`` is strict greedy BPE unchanged."""
+    ``n_merges``; ``batch=1`` is strict greedy BPE unchanged.
+
+    ``byte_level=True`` trains over the GPT-2 byte alphabet
+    (:func:`byte_encode_expr`) instead of raw unicode characters — the
+    production-tokenizer mode (GPT-2/LLaMA family): every word is first
+    mapped byte-for-byte onto visible stand-in characters, so multi-byte
+    UTF-8 text becomes learnable byte sequences and nothing is OOV.
+    Downstream is IDENTICAL machinery; learned merges are strings over
+    the mapped alphabet (decode with :func:`byte_decode_expr`)."""
     # drop empty tokens (double/leading spaces): Spark's sequence(1, 0)
     # DESCENDS, so an empty word would otherwise materialize ['', '']
     # symbol arrays and let the degenerate ('','') pair win a merge
     words = df.select(F.explode(tokens(F.col(text_col))).alias("__w")).where(
         F.length("__w") > 0
     )
+    if byte_level:
+        words = words.select(byte_encode_expr(F.col("__w")).alias("__w"))
     wf = (
         words.groupBy("__w")
         .agg(F.count(F.lit(1)).alias("__freq"))
@@ -939,6 +999,7 @@ def bpe_segment(
     merges: Sequence[tuple[str, str]],
     text_col: str = "text",
     expr_threshold: int = 16,
+    byte_level: bool = False,
 ) -> DataFrame:
     """Apply a learned BPE merge list to a corpus: adds ``bpe_syms``
     (per-document subword array, words segmented independently) and
@@ -958,8 +1019,17 @@ def bpe_segment(
       compression — work scales with DISTINCT words per batch, not
       tokens). This is the 32k-merge production path; the merge list
       ships once per executor via the closure.
+
+    ``byte_level=True`` encodes over the GPT-2 byte alphabet — MUST
+    match the ``bpe_learn(byte_level=...)`` the merges came from.
+    Recover original text from the symbols with
+    ``byte_decode_expr(F.concat_ws("", "bpe_syms"))`` (words were split
+    on spaces, so the round-trip is per-word/space-normalized, same as
+    the char mode).
     """
     toks = tokens(F.col(text_col))
+    if byte_level:
+        toks = F.transform(toks, byte_encode_expr)
     if len(merges) <= expr_threshold:
         empty_arr = F.array().cast("array<string>")
         chars = F.transform(
@@ -984,6 +1054,7 @@ def bpe_segment(
     from pyspark.sql.functions import pandas_udf
 
     merge_list = [tuple(m) for m in merges]
+    bmap = dict(_BYTE_MAP) if byte_level else None
 
     def _encode(texts):
         cache: dict[str, list[str]] = {}
@@ -998,7 +1069,11 @@ def bpe_segment(
             for w in text.strip(" ").split(" "):
                 got = cache.get(w)
                 if got is None:
-                    got = cache[w] = bpe_apply_merges(w, merge_list)
+                    ww = (
+                        "".join(bmap[b] for b in w.encode("utf-8"))
+                        if bmap is not None else w
+                    )
+                    got = cache[w] = bpe_apply_merges(ww, merge_list)
                 out.extend(got)
             return out
 

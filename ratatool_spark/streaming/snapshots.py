@@ -66,3 +66,133 @@ def stream_snapshot_append(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_snapshot_source(
+    spark,
+    table_path: str,
+    process,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Structured-Streaming SOURCE over a snapshot table — the read half
+    of the loop whose write half is :func:`stream_snapshot_append`. A
+    downstream pipeline subscribes to a table and receives each APPEND
+    commit's added rows exactly once, as they publish.
+
+    Mechanism: the manifest directory IS a stream. Every commit
+    publishes exactly one immutable ``snapshots/v{N}.json``, so a plain
+    file-source stream over that directory delivers each snapshot id to
+    exactly one micro-batch, with Spark's own file-source checkpoint as
+    the replay ledger — no bespoke offset tracking. The manifest CONTENT
+    is not shipped through the stream (it may be externalized to a
+    parquet sidecar on large tables); the stream carries only the
+    NAMES, and the batch hook resolves each id against the table and
+    reads the commit's added data files JVM-side with the manifest's
+    schema. Per micro-batch, ``process(df, snapshot_id)`` fires once per
+    new APPEND commit, in snapshot order; replace/evolve maintenance
+    commits and merge-on-read commits are skipped, same contract as
+    ``snapshot_changes`` (row-level consumers poll
+    ``snapshot_change_feed`` instead).
+
+    Scale: the streamed files are metadata (one small JSON per commit);
+    data IO is exactly the added files of each commit, read once.
+    Caveat shared with every log-tailing source: snapshots must not
+    EXPIRE before the consumer has seen them — retention must exceed
+    consumer lag, or the resolve step raises FileNotFoundError."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.snapshots import (
+        _SNAP_DIR,
+        read_manifest,
+    )
+
+    from pyspark.sql.types import StructType
+    import json as _json
+
+    snap_dir = os.path.join(table_path, _SNAP_DIR)
+    stream = (
+        spark.readStream.format("text")
+        .option("pathGlobFilter", "v*.json")
+        .load(snap_dir)
+    )
+
+    def _batch(batch_df, batch_id: int) -> None:
+        names = [
+            r[0]
+            for r in batch_df.select(F.input_file_name()).distinct().collect()
+        ]
+        sids = sorted(
+            int(os.path.basename(n)[1:-5])
+            for n in names
+            if os.path.basename(n).startswith("v")
+        )
+        for sid in sids:
+            m = read_manifest(table_path, sid)
+            if m["operation"] != "append":
+                continue
+            prev_paths: set[str] = set()
+            if m["parent"] is not None:
+                prev_paths = {
+                    e["path"]
+                    for e in read_manifest(table_path, m["parent"])["files"]
+                }
+            added = [e["path"] for e in m["files"] if e["path"] not in prev_paths]
+            if not added:
+                continue
+            schema = StructType.fromJson(_json.loads(m["schema"]))
+            df = spark.read.schema(schema).parquet(
+                *[os.path.join(table_path, p) for p in added]
+            )
+            process(df, sid)
+
+    writer = stream.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def mirrored_source_snapshots(table_path: str) -> set[int]:
+    """Source snapshot ids already replayed into ``table_path`` by
+    :func:`stream_snapshot_mirror` — the downstream idempotency ledger."""
+    from ratatool_spark.operators.snapshots import _snap_ids, read_manifest
+
+    out: set[int] = set()
+    for sid in _snap_ids(table_path):
+        b = read_manifest(table_path, sid).get("source_snapshot_id")
+        if b is not None:
+            out.add(int(b))
+    return out
+
+
+def stream_snapshot_mirror(
+    spark,
+    src_table: str,
+    dst_table: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """table → stream → table: every append commit of ``src_table``
+    replays as ONE atomic append commit of ``dst_table``, closing the
+    loop (a snapshot table is now both a streaming sink AND a streaming
+    source, so pipelines chain end to end through tables). Exactly-once
+    twice over: the file-source checkpoint delivers each source manifest
+    once, and the destination's ``source_snapshot_id`` ledger makes even
+    a re-delivery under a FRESH checkpoint a no-op — the same
+    manifest-as-ledger recipe as :func:`stream_snapshot_append`."""
+    from ratatool_spark.operators.snapshots import commit_append
+
+    def _replay(df, src_sid: int) -> None:
+        if src_sid in mirrored_source_snapshots(dst_table):
+            return
+        commit_append(
+            df, dst_table, extra={"source_snapshot_id": int(src_sid)}
+        )
+
+    return stream_snapshot_source(
+        spark, src_table, _replay, checkpoint, available_now=available_now
+    )

@@ -1139,3 +1139,107 @@ def test_bpe_tokenizer_save_load_roundtrip(spark, documents, tmp_path):
     a = bpe_segment(documents.limit(20), merges).select("doc_id", "bpe_syms")
     b = bpe_segment(documents.limit(20), loaded).select("doc_id", "bpe_syms")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_byte_alphabet_bijective_roundtrip(spark):
+    """GPT-2 byte alphabet: 256 distinct visible chars; encode/decode
+    round-trips 1-, 2-, 3- and 4-byte UTF-8 (umlauts, CJK, emoji)."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.corpus import (
+        _BYTE_MAP,
+        byte_decode_expr,
+        byte_encode_expr,
+    )
+
+    assert len(_BYTE_MAP) == 256
+    assert len(set(_BYTE_MAP.values())) == 256
+    assert _BYTE_MAP[ord("a")] == "a"  # printables map to themselves
+    assert _BYTE_MAP[0x20] != " "      # space gets a stand-in
+    texts = ["hello", "naïve café", "日本語テスト", "mixed 🚀 Grüße", ""]
+    df = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in texts])).alias("t")
+    )
+    got = df.select(
+        "t", byte_decode_expr(byte_encode_expr(F.col("t"))).alias("rt")
+    ).collect()
+    for r in got:
+        assert r["rt"] == r["t"]
+    # every encoded char is in the alphabet (no raw control chars leak)
+    enc = df.select(byte_encode_expr(F.col("t")).alias("e")).collect()
+    alphabet = set(_BYTE_MAP.values())
+    for r in enc:
+        assert set(r["e"]) <= alphabet
+
+
+def test_bpe_byte_level_learn_segment_matches_char_level_on_ascii(spark):
+    """On pure-ASCII corpora the byte alphabet is the identity over the
+    printable range, so byte-level training must learn the SAME merges
+    as character-level training."""
+    from ratatool_spark.operators.corpus import bpe_learn
+
+    docs = spark.createDataFrame(
+        [("low lower lowest low low newer newest",),
+         ("wide wider widest low newer",)],
+        "text string",
+    )
+    ch = bpe_learn(docs, n_merges=6, batch=2, pool=16, rounds=3)
+    by = bpe_learn(docs, n_merges=6, batch=2, pool=16, rounds=3,
+                   byte_level=True)
+    assert ch == by
+
+
+def test_bpe_byte_level_multibyte_merges_and_roundtrip(spark):
+    """Non-ASCII corpus: byte-level merges operate on mapped BYTES (a
+    2-byte umlaut is two symbols that can merge back), and segmenting +
+    decoding reproduces the space-stripped text on BOTH physical
+    paths."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.corpus import (
+        bpe_learn,
+        bpe_segment,
+        byte_decode_expr,
+    )
+
+    docs = spark.createDataFrame(
+        [("über über über straße straße 日本 日本",)], "text string"
+    )
+    merges = bpe_learn(docs, n_merges=8, batch=4, pool=32, rounds=2,
+                       byte_level=True)
+    assert merges  # learned something
+    # ü's two UTF-8 bytes (Ã, ¼ in the latin-1 view) merge back together
+    assert ("Ã", "¼") in merges or any("Ã¼" in a + b for a, b in merges)
+    for thr in (0, 99):  # kernel path and expression path
+        seg = bpe_segment(docs, merges, byte_level=True, expr_threshold=thr)
+        got = seg.select(
+            byte_decode_expr(F.concat_ws("", "bpe_syms")).alias("d")
+        ).first()["d"]
+        assert got == "überüberüberstraßestraße日本日本"
+
+
+def test_bpe_byte_level_never_oov(spark):
+    """The point of byte level: text from a DIFFERENT script than the
+    training corpus still segments (into byte symbols) — nothing is
+    OOV — and still decodes exactly."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.corpus import (
+        bpe_learn,
+        bpe_segment,
+        byte_decode_expr,
+    )
+
+    train = spark.createDataFrame([("plain ascii text only here",)],
+                                  "text string")
+    merges = bpe_learn(train, n_merges=4, batch=2, pool=16, rounds=2,
+                       byte_level=True)
+    alien_text = "Ωμέγα кириллица 한국어 🚀"
+    alien = spark.createDataFrame([(alien_text,)], "text string")
+    seg = bpe_segment(alien, merges, byte_level=True, expr_threshold=0)
+    row = seg.select(
+        "n_bpe_tokens",
+        byte_decode_expr(F.concat_ws("", "bpe_syms")).alias("d"),
+    ).first()
+    assert row["n_bpe_tokens"] > 0
+    assert row["d"] == alien_text.replace(" ", "")

@@ -1200,3 +1200,99 @@ def test_stream_decontaminate_drop_mode(spark, tmp_path):
     survivors = spark.read.parquet(out)
     assert survivors.where(F.col("doc_id") % 10 == 0).count() == 0
     assert 0 < survivors.count() < docs.count()
+
+
+def test_stream_snapshot_source_mirror_exactly_once(spark, tmp_path):
+    """table -> stream -> table loop: every append commit of A replays
+    as one commit of B; a re-run under a FRESH checkpoint replays
+    nothing (ledger); an append to A after the first run arrives as
+    exactly the delta."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.snapshots import (
+        commit_append,
+        current_snapshot_id,
+        read_snapshot,
+    )
+    from ratatool_spark.streaming.snapshots import (
+        mirrored_source_snapshots,
+        stream_snapshot_mirror,
+    )
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    for i in range(3):
+        commit_append(
+            spark.range(i * 10, (i + 1) * 10).select(
+                F.col("id").cast("long"),
+                (F.col("id") % 5).cast("long").alias("grp"),
+            ),
+            a,
+        )
+    q = stream_snapshot_mirror(spark, a, b, str(tmp_path / "ck1"))
+    q.awaitTermination()
+    assert current_snapshot_id(b) == 3
+    assert mirrored_source_snapshots(b) == {1, 2, 3}
+    assert sorted(read_snapshot(spark, b).collect()) == sorted(
+        read_snapshot(spark, a).collect()
+    )
+    # replay under a fresh checkpoint: ledger makes it a no-op
+    q = stream_snapshot_mirror(spark, a, b, str(tmp_path / "ck2"))
+    q.awaitTermination()
+    assert current_snapshot_id(b) == 3
+    # incremental: one more append to A, resume the ORIGINAL checkpoint
+    commit_append(
+        spark.range(100, 105).select(
+            F.col("id").cast("long"), (F.col("id") % 5).cast("long").alias("grp")
+        ),
+        a,
+    )
+    q = stream_snapshot_mirror(spark, a, b, str(tmp_path / "ck1"))
+    q.awaitTermination()
+    assert current_snapshot_id(b) == 4
+    assert read_snapshot(spark, b).count() == 35
+    assert sorted(read_snapshot(spark, b).collect()) == sorted(
+        read_snapshot(spark, a).collect()
+    )
+
+
+def test_stream_snapshot_source_skips_maintenance_commits(spark, tmp_path):
+    """Compaction/clustering replaces and MoR merges must NOT re-deliver
+    rows to a subscribed consumer; a later append still arrives."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.snapshots import (
+        commit_append,
+        compact_snapshot,
+        merge_snapshot_mor,
+    )
+    from ratatool_spark.streaming.snapshots import stream_snapshot_source
+
+    a = str(tmp_path / "a")
+    for i in range(2):
+        commit_append(
+            spark.range(i * 10, (i + 1) * 10).coalesce(1).select(
+                F.col("id").cast("long"),
+                (F.col("id") * 2).cast("long").alias("val"),
+            ),
+            a,
+        )
+    seen: dict[int, int] = {}
+
+    def _collect(df, sid):
+        seen[sid] = df.count()
+
+    q = stream_snapshot_source(spark, a, _collect, str(tmp_path / "ck"))
+    q.awaitTermination()
+    assert seen == {1: 10, 2: 10}
+    compact_snapshot(spark, a, target_bytes=1 << 30)  # v3: maintenance
+    merge_snapshot_mor(  # v4: MoR, not an append
+        spark, a,
+        spark.createDataFrame([(1, -1)], "id long, val long"), ["id"],
+    )
+    commit_append(  # v5: a real append
+        spark.createDataFrame([(50, 100)], "id long, val long"), a
+    )
+    seen.clear()
+    q = stream_snapshot_source(spark, a, _collect, str(tmp_path / "ck"))
+    q.awaitTermination()
+    assert seen == {5: 1}
