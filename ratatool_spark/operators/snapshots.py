@@ -104,8 +104,17 @@ def current_snapshot_id(table_path: str) -> int | None:
     return ids[-1] if ids else None
 
 
-def read_manifest(table_path: str, snapshot_id: int | None = None) -> dict:
-    """The raw manifest dict of ``snapshot_id`` (default: current)."""
+def read_manifest(
+    table_path: str,
+    snapshot_id: int | None = None,
+    load_files: bool = True,
+) -> dict:
+    """The raw manifest dict of ``snapshot_id`` (default: current).
+    ``load_files=False`` skips materializing an EXTERNALIZED files list
+    (``files_ref`` tables) — metadata-only callers (ledger scans,
+    operation checks) stay O(1) no matter how many files the table has;
+    ``m["files"]`` is then absent and ``m["files_ref"]`` points at the
+    parquet sidecar."""
     if snapshot_id is None:
         snapshot_id = current_snapshot_id(table_path)
         if snapshot_id is None:
@@ -118,7 +127,7 @@ def read_manifest(table_path: str, snapshot_id: int | None = None) -> dict:
         )
     with open(p) as f:
         m = json.load(f)
-    if "files_ref" in m:
+    if "files_ref" in m and load_files:
         # large table: the files list lives in a parquet sidecar; the
         # commit json stays tiny. Reconstruct the in-memory view.
         m["files"] = _load_files_sidecar(table_path, m["files_ref"])
@@ -276,15 +285,48 @@ def _write_files_sidecar(table_path: str, new_id: int, files: list[dict]) -> str
     return os.path.relpath(p, table_path)
 
 
+def _map_col_rows(t, name: str) -> list[list[tuple]]:
+    """A parquet map column as per-row [(key, value), ...] lists via the
+    flat offsets/keys/items arrays — MapArray.to_pylist() walks a python
+    object per cell and is ~6x slower at 10^5 rows."""
+    m = t[name].combine_chunks()
+    offs = m.offsets.to_pylist()
+    keys = m.keys.to_pylist()
+    vals = m.items.to_pylist()
+    return [
+        list(zip(keys[offs[i]:offs[i + 1]], vals[offs[i]:offs[i + 1]]))
+        for i in range(len(offs) - 1)
+    ]
+
+
 def _load_files_sidecar(table_path: str, rel: str) -> list[dict]:
     import pyarrow.parquet as pq
 
     t = pq.read_table(os.path.join(table_path, rel))
+    col = {
+        c: (_map_col_rows(t, c) if c.startswith(("lo_", "hi_"))
+            else t[c].to_pylist())
+        for c in t.column_names
+    }
     out = []
-    for row in t.to_pylist():
-        for k in ("lo_int", "hi_int", "lo_flt", "hi_flt", "lo_str", "hi_str"):
-            row[k] = dict(row[k] or [])
-        out.append(_flat_to_entry(row))
+    for i in range(t.num_rows):
+        stats: dict = {}
+        for lo_k, hi_k in (("lo_int", "hi_int"), ("lo_flt", "hi_flt"),
+                           ("lo_str", "hi_str")):
+            lo_m = col[lo_k][i]
+            if lo_m:
+                hi_m = dict(col[hi_k][i])
+                for c, lo in lo_m:
+                    stats[c] = [lo, hi_m[c]]
+        out.append(
+            {
+                "path": col["path"][i],
+                "rows": col["rows"][i],
+                "bytes": col["bytes"][i],
+                "seq": col["seq"][i] or 0,
+                "stats": stats,
+            }
+        )
     return out
 
 
@@ -591,15 +633,20 @@ def read_snapshot(
 
     Merge-on-read deletes (``merge_snapshot_mor``) are applied: rows a
     delete sidecar shadows never surface."""
-    m = read_manifest(table_path, snapshot_id)
-    if not where:
-        entries = m["files"]
-    elif "files_ref" in m:
+    m = read_manifest(table_path, snapshot_id, load_files=False)
+    if "files_ref" in m:
+        # externalized manifest: plan WITHOUT materializing the entry
+        # list on the driver — prune (optionally) as a Spark job over
+        # the parquet sidecar, collect only surviving (path, seq)
         mdf = manifest_files_df(spark, table_path, m=m)
-        kept = files_intersecting_spark(mdf, where).select("path", "seq")
+        if where:
+            mdf = files_intersecting_spark(mdf, where)
         entries = [
-            {"path": r["path"], "seq": r["seq"]} for r in kept.collect()
+            {"path": r["path"], "seq": r["seq"]}
+            for r in mdf.select("path", "seq").collect()
         ]
+    elif not where:
+        entries = m["files"]
     else:
         entries = files_intersecting(m, where)
     df = _read_entries(spark, table_path, m, entries)

@@ -33,7 +33,9 @@ def committed_stream_batches(table_path: str) -> set[int]:
 
     out: set[int] = set()
     for sid in _snap_ids(table_path):
-        b = read_manifest(table_path, sid).get("stream_batch_id")
+        b = read_manifest(table_path, sid, load_files=False).get(
+            "stream_batch_id"
+        )
         if b is not None:
             out.add(int(b))
     return out
@@ -163,7 +165,9 @@ def mirrored_source_snapshots(table_path: str) -> set[int]:
 
     out: set[int] = set()
     for sid in _snap_ids(table_path):
-        b = read_manifest(table_path, sid).get("source_snapshot_id")
+        b = read_manifest(table_path, sid, load_files=False).get(
+            "source_snapshot_id"
+        )
         if b is not None:
             out.add(int(b))
     return out
