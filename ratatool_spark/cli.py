@@ -920,13 +920,20 @@ def build_parser() -> argparse.ArgumentParser:
     sn.add_argument(
         "--mode",
         choices=["append", "read", "compact", "cluster", "merge",
-                 "delete", "expire", "vacuum", "log"],
+                 "merge-mor", "fold", "delete", "expire", "vacuum",
+                 "changes", "mirror", "log"],
         required=True,
     )
     sn.add_argument("--table", required=True, help="snapshot table root")
     sn.add_argument("--input", help="append/merge mode: data to commit")
     sn.add_argument("--keys", type=_csv, default=None,
-                    help="merge mode: upsert key column(s)")
+                    help="merge/merge-mor mode: upsert key column(s)")
+    sn.add_argument("--fromId", type=int, default=None,
+                    help="changes mode: feed from this snapshot (exclusive)")
+    sn.add_argument("--source", default=None,
+                    help="mirror mode: source snapshot table to subscribe to")
+    sn.add_argument("--checkpoint", default=None,
+                    help="mirror mode: streaming checkpoint location")
     sn.add_argument("--zorderBy", type=_csv, default=None,
                     help="cluster mode: z-order column(s)")
     sn.add_argument(
@@ -1997,6 +2004,44 @@ def main(argv: list[str] | None = None) -> int:
                 df = read_table(spark, args.input, fmt=args.format)
                 sid = snap.merge_snapshot(spark, args.table, df, args.keys)
                 print(_json.dumps({"snapshot_id": sid}))
+            elif args.mode == "merge-mor":
+                if not args.input or not args.keys:
+                    raise SystemExit(
+                        "--input and --keys are required with --mode merge-mor"
+                    )
+                df = read_table(spark, args.input, fmt=args.format)
+                sid = snap.merge_snapshot_mor(spark, args.table, df, args.keys)
+                print(_json.dumps({"snapshot_id": sid}))
+            elif args.mode == "fold":
+                sid = snap.fold_deletes(spark, args.table)
+                print(_json.dumps({"snapshot_id": sid,
+                                   "folded": sid is not None}))
+            elif args.mode == "changes":
+                if args.fromId is None or not args.output:
+                    raise SystemExit(
+                        "--fromId and --output are required with --mode changes"
+                    )
+                out = snap.snapshot_change_feed(
+                    spark, args.table, args.fromId, args.snapshotId
+                )
+                write_table(out, args.output, mode="overwrite")
+            elif args.mode == "mirror":
+                if not args.source or not args.checkpoint:
+                    raise SystemExit(
+                        "--source and --checkpoint are required with "
+                        "--mode mirror"
+                    )
+                from ratatool_spark.streaming.snapshots import (
+                    stream_snapshot_mirror,
+                )
+
+                q = stream_snapshot_mirror(
+                    spark, args.source, args.table, args.checkpoint
+                )
+                q.awaitTermination()
+                print(_json.dumps(
+                    {"snapshot_id": snap.current_snapshot_id(args.table)}
+                ))
             elif args.mode == "delete":
                 box = _where_box()
                 if not box:

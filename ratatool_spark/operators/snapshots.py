@@ -46,6 +46,31 @@ Caveat shared with the real formats: parquet writers may truncate long
 string statistics; :func:`_file_stats` stores what the footer reports,
 and a column with unusable stats is simply absent from the manifest —
 absent stats never prune, so correctness is preserved either way.
+
+Beyond the core commit/read/maintain loop, the layer carries the three
+surfaces a long-lived 100 TB table needs (each mirroring a public
+design):
+
+* **Row-level CDC** (Delta's change data feed): CoW merge/delete
+  persist their change sets as change files at commit time;
+  :func:`snapshot_change_feed` replays any commit range as typed
+  (row, _change_type, _commit_snapshot_id) rows without file diffing.
+* **Merge-on-read** (Iceberg's delete files, equality form):
+  :func:`merge_snapshot_mor` publishes the batch + a key sidecar
+  instead of rewriting files; readers anti-join sidecars against data
+  files with smaller sequence numbers; :func:`fold_deletes` and the
+  rewriting maintenance ops materialize and clear them.
+* **Manifest scalability** (Iceberg's manifest lists): past
+  ``FILES_INLINE_MAX`` files the list externalizes to a typed parquet
+  sidecar; the commit json stays tiny, metadata readers pass
+  ``load_files=False``, and stats pruning runs as a Spark job
+  (:func:`files_intersecting_spark`) — the driver never materializes
+  the entry list on the read path.
+
+The streaming halves live in ``streaming/snapshots.py``: an
+exactly-once ingestion sink and a manifest-directory-driven source
+(``stream_snapshot_source`` / ``stream_snapshot_mirror``) that closes
+the table→stream→table loop.
 """
 
 from __future__ import annotations

@@ -1092,3 +1092,42 @@ def test_vacuum_collects_orphaned_change_and_delete_files(spark, tmp_path):
     assert snapshot_change_feed(spark, path, 1).count() == 3
     got = {r["id"]: r["val"] for r in read_snapshot(spark, path).collect()}
     assert got[1] == -1 and got[2] == -2
+
+
+def test_cli_snapshot_mor_fold_changes_mirror(spark, tmp_path, capsys):
+    """CLI round-9 verbs: merge-mor -> fold -> changes feed -> mirror."""
+    import json as _json
+
+    from ratatool_spark.cli import main
+
+    base = str(tmp_path / "base")
+    spark.range(100).coalesce(1).select(
+        F.col("id").cast("long"), (F.col("id") * 2).cast("long").alias("val")
+    ).write.parquet(base)
+    tbl = str(tmp_path / "tbl")
+    assert main(["snapshot", "--mode", "append", "--table", tbl,
+                 "--input", base]) == 0
+    ch = str(tmp_path / "ch")
+    spark.range(5).coalesce(1).select(
+        F.col("id").cast("long"), F.lit(-1).cast("long").alias("val")
+    ).write.parquet(ch)
+    capsys.readouterr()
+    assert main(["snapshot", "--mode", "merge-mor", "--table", tbl,
+                 "--input", ch, "--keys", "id"]) == 0
+    assert _json.loads(capsys.readouterr().out)["snapshot_id"] == 2
+    assert main(["snapshot", "--mode", "fold", "--table", tbl]) == 0
+    assert _json.loads(capsys.readouterr().out)["folded"] is True
+    feed_out = str(tmp_path / "feed")
+    assert main(["snapshot", "--mode", "changes", "--table", tbl,
+                 "--fromId", "1", "--output", feed_out]) == 0
+    feed = spark.read.parquet(feed_out)
+    assert feed.count() == 5
+    assert feed.where(F.col("_change_type") == "upsert").count() == 5
+    mirror_tbl = str(tmp_path / "mirror")
+    assert main(["snapshot", "--mode", "mirror", "--table", mirror_tbl,
+                 "--source", tbl, "--checkpoint", str(tmp_path / "ck")]) == 0
+    got = spark.read.parquet(mirror_tbl + "/data/*")  # only v1's append
+    assert got.count() == 100
+    from ratatool_spark.operators.snapshots import read_snapshot
+
+    assert read_snapshot(spark, mirror_tbl).count() == 100
