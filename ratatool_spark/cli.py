@@ -921,7 +921,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--mode",
         choices=["append", "read", "compact", "cluster", "merge",
                  "merge-mor", "fold", "delete", "expire", "vacuum",
-                 "changes", "mirror", "log"],
+                 "changes", "mirror", "rollback", "log"],
         required=True,
     )
     sn.add_argument("--table", required=True, help="snapshot table root")
@@ -2056,6 +2056,13 @@ def main(argv: list[str] | None = None) -> int:
             elif args.mode == "compact":
                 sid = snap.compact_snapshot(spark, args.table, args.targetBytes)
                 print(_json.dumps({"snapshot_id": sid, "compacted": sid is not None}))
+            elif args.mode == "rollback":
+                if args.snapshotId is None:
+                    raise SystemExit(
+                        "--snapshotId is required with --mode rollback"
+                    )
+                sid = snap.rollback_snapshot(args.table, args.snapshotId)
+                print(_json.dumps({"snapshot_id": sid}))
             elif args.mode == "expire":
                 dead = snap.expire_snapshots(
                     args.table, keep_last=args.keepLast, delete=not args.dryRun

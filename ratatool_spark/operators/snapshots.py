@@ -1254,21 +1254,68 @@ def cluster_snapshot(
     return _publish(table_path, parent, new_files, m["schema"], "replace")
 
 
+def rollback_snapshot(table_path: str, to_id: int) -> int:
+    """RESTORE the table to the state of snapshot ``to_id`` — published
+    as a NEW commit carrying that snapshot's exact file list (and
+    deletes), so nothing is mutated or lost: the bad commits stay in
+    history for forensics until expiry, readers flip atomically, and a
+    second rollback can undo the rollback. The Delta RESTORE / Iceberg
+    rollback semantics; requires ``to_id`` to still be retained.
+
+    Change-feed note: the restore commit is maintenance (operation
+    ``rollback``) — it re-lists files, adds none — so it contributes
+    nothing to ``snapshot_changes`` / ``snapshot_change_feed``, exactly
+    like compaction."""
+    parent = current_snapshot_id(table_path)
+    if parent is None:
+        raise FileNotFoundError(f"no snapshots under {table_path}")
+    if to_id == parent:
+        return parent
+    target = read_manifest(table_path, to_id)  # raises if expired/absent
+    return _publish(
+        table_path, parent, target["files"], target["schema"], "rollback",
+        deletes=target.get("deletes", []),
+        extra={"rolled_back_to": to_id},
+    )
+
+
 def expire_snapshots(
-    table_path: str, keep_last: int = 1, delete: bool = True
+    table_path: str,
+    keep_last: int = 1,
+    delete: bool = True,
+    older_than: float | None = None,
 ) -> list[str]:
     """Drop all but the newest ``keep_last`` snapshots and delete the
     data files ONLY they referenced (pure set arithmetic over the
     manifests — retained snapshots keep every file they list, so time
     travel within the retention window still works). Returns the
     manifest-relative paths of the files removed. ``delete=False`` is
-    the dry-run audit."""
+    the dry-run audit.
+
+    ``older_than`` (seconds) switches to the timestamp retention the
+    public formats expose (Delta's log retention, Iceberg's
+    ``expire_snapshots(older_than)``): only snapshots whose manifest
+    mtime is older than the window expire, and the newest ``keep_last``
+    are kept no matter how old — so a quiet table never loses its
+    current state."""
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     ids = _snap_ids(table_path)
     if len(ids) <= keep_last:
         return []
     expired, retained = ids[:-keep_last], ids[-keep_last:]
+    if older_than is not None:
+        import time
+
+        cutoff = time.time() - older_than
+        young = [
+            sid for sid in expired
+            if os.path.getmtime(_snap_path(table_path, sid)) > cutoff
+        ]
+        retained = young + retained
+        expired = [sid for sid in expired if sid not in set(young)]
+        if not expired:
+            return []
     live: set[str] = set()
     for sid in retained:
         live.update(_referenced_paths(read_manifest(table_path, sid)))

@@ -1131,3 +1131,96 @@ def test_cli_snapshot_mor_fold_changes_mirror(spark, tmp_path, capsys):
     from ratatool_spark.operators.snapshots import read_snapshot
 
     assert read_snapshot(spark, mirror_tbl).count() == 100
+
+
+def test_rollback_snapshot_restores_as_new_commit(spark, tmp_path):
+    """RESTORE semantics: rollback publishes a NEW commit with the
+    target's file list — content flips atomically, history is kept, a
+    rollback can be rolled back, and the change feed sees nothing."""
+    from ratatool_spark.operators.snapshots import (
+        merge_snapshot,
+        rollback_snapshot,
+        snapshot_change_feed,
+    )
+
+    path = str(tmp_path / "tb")
+    commit_append(
+        spark.range(10).coalesce(1).select(
+            F.col("id").cast("long"), (F.col("id") * 2).cast("long").alias("val")
+        ),
+        path,
+    )
+    merge_snapshot(  # v2: bad deploy doubles-writes garbage
+        spark, path,
+        spark.createDataFrame([(3, -999), (11, -1)], "id long, val long"),
+        ["id"],
+    )
+    assert read_snapshot(spark, path).count() == 11
+    sid = rollback_snapshot(path, 1)
+    assert sid == 3 and current_snapshot_id(path) == 3
+    m = read_manifest(path)
+    assert m["operation"] == "rollback" and m["rolled_back_to"] == 1
+    got = {r["id"]: r["val"] for r in read_snapshot(spark, path).collect()}
+    assert got == {i: i * 2 for i in range(10)}  # v1 exactly
+    # forensics: the bad snapshot is still readable until expiry
+    assert read_snapshot(spark, path, 2).count() == 11
+    # rollback the rollback -> back to the bad state
+    rollback_snapshot(path, 2)
+    assert read_snapshot(spark, path).count() == 11
+    # maintenance commit: invisible to the feed
+    assert snapshot_change_feed(spark, path, 2).count() == 0
+    # no-op when already there; expired target raises
+    assert rollback_snapshot(path, 4) == 4
+    expire_snapshots(path, keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        rollback_snapshot(path, 1)
+
+
+def test_rollback_preserves_mor_deletes(spark, tmp_path):
+    from ratatool_spark.operators.snapshots import (
+        merge_snapshot_mor,
+        rollback_snapshot,
+    )
+
+    path = str(tmp_path / "tb")
+    commit_append(
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, val long"), path
+    )
+    merge_snapshot_mor(  # v2: shadow id 1 via sidecar
+        spark, path,
+        spark.createDataFrame([(1, -1)], "id long, val long"), ["id"],
+    )
+    commit_append(  # v3
+        spark.createDataFrame([(5, 50)], "id long, val long"), path
+    )
+    rollback_snapshot(path, 2)  # restore pre-v3, sidecar must ride along
+    got = {r["id"]: r["val"] for r in read_snapshot(spark, path).collect()}
+    assert got == {1: -1, 2: 20}
+
+
+def test_expire_older_than_keeps_young_snapshots(spark, tmp_path):
+    """Timestamp retention: only snapshots outside the age window
+    expire; the newest keep_last survive regardless of age."""
+    from ratatool_spark.operators.snapshots import _snap_path
+
+    path = _tbl(spark, tmp_path, n=3, rows=10)
+    compact_snapshot(spark, path, target_bytes=1 << 30)  # v4
+    # everything is fresh: nothing expires under a 1h window
+    assert expire_snapshots(path, keep_last=1, older_than=3600.0) == []
+    assert current_snapshot_id(path) == 4
+    # age v1+v2 manifests beyond the window; v3 stays young
+    for sid in (1, 2):
+        _age(_snap_path(path, sid))
+    dead = expire_snapshots(path, keep_last=1, older_than=3600.0)
+    from ratatool_spark.operators.snapshots import _snap_ids
+
+    assert _snap_ids(path) == [3, 4]  # young v3 retained, old v1/v2 gone
+    assert read_snapshot(spark, path, 3).count() == 30
+    assert read_snapshot(spark, path).count() == 30
+    # v1/v2's files were all carried into v3/v4, so nothing died
+    assert dead == []
+    # with age satisfied everywhere, count retention still rules
+    for sid in (3, 4):
+        _age(_snap_path(path, sid))
+    expire_snapshots(path, keep_last=1, older_than=60.0)
+    assert _snap_ids(path) == [4]
