@@ -1254,6 +1254,31 @@ def cluster_snapshot(
     return _publish(table_path, parent, new_files, m["schema"], "replace")
 
 
+def commit_with_retry(fn, max_retries: int = 3):
+    """Run a commit closure under optimistic-concurrency retry: on
+    :class:`CommitConflict` the closure is invoked again (it must
+    RE-READ the current snapshot each attempt — every committer here
+    does, since they all start from ``current_snapshot_id``). Appends
+    and MoR merges are always safely retryable (their inputs don't
+    depend on the parent's file list); CoW merge/delete/compact replan
+    against the new parent on each call, which is exactly the public
+    formats' retry semantics. The loser's already-written data files
+    are orphans the aged vacuum reclaims.
+
+    >>> commit_with_retry(lambda: commit_append(df, path))
+    """
+    last: CommitConflict | None = None
+    for _ in range(max_retries + 1):
+        try:
+            return fn()
+        except CommitConflict as e:
+            last = e
+    raise CommitConflict(
+        f"gave up after {max_retries} retries — a committer is racing "
+        f"faster than this job can replan: {last}"
+    ) from last
+
+
 def rollback_snapshot(table_path: str, to_id: int) -> int:
     """RESTORE the table to the state of snapshot ``to_id`` — published
     as a NEW commit carrying that snapshot's exact file list (and

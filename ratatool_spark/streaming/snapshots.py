@@ -101,13 +101,16 @@ def stream_snapshot_source(
     data IO is exactly the added files of each commit, read once.
     Caveat shared with every log-tailing source: snapshots must not
     EXPIRE before the consumer has seen them — retention must exceed
-    consumer lag, or the resolve step raises FileNotFoundError."""
+    consumer lag, or the resolve step raises
+    :class:`operators.snapshots.SnapshotExpired` telling the operator
+    to widen retention or rebase the consumer on a full read."""
     import os
 
     from pyspark.sql import functions as F
 
     from ratatool_spark.operators.snapshots import (
         _SNAP_DIR,
+        SnapshotExpired,
         read_manifest,
     )
 
@@ -132,18 +135,42 @@ def stream_snapshot_source(
             if os.path.basename(n).startswith("v")
         )
         for sid in sids:
-            m = read_manifest(table_path, sid)
-            if m["operation"] != "append":
-                continue
-            prev_paths: set[str] = set()
-            if m["parent"] is not None:
-                prev_paths = {
-                    e["path"]
-                    for e in read_manifest(table_path, m["parent"])["files"]
-                }
+            try:
+                m = read_manifest(table_path, sid)
+                if m["operation"] != "append":
+                    continue
+                prev_paths: set[str] = set()
+                if m["parent"] is not None:
+                    prev_paths = {
+                        e["path"]
+                        for e in read_manifest(table_path, m["parent"])["files"]
+                    }
+            except FileNotFoundError as e:
+                # the commit (or its parent baseline) expired between
+                # publish and this consumer's poll — the delta is gone
+                raise SnapshotExpired(
+                    f"snapshot {sid} (or its parent) expired before this "
+                    f"consumer processed it under {table_path} — widen "
+                    "snapshot retention past consumer lag, or rebase the "
+                    "consumer: full read_snapshot() + fresh checkpoint"
+                ) from e
             added = [e["path"] for e in m["files"] if e["path"] not in prev_paths]
             if not added:
                 continue
+            gone = [
+                p for p in added
+                if not os.path.exists(os.path.join(table_path, p))
+            ]
+            if gone:
+                # manifest survived but a later rewrite + expiry already
+                # reclaimed the data — the same retention race, caught
+                # before a partial read can emit a short batch
+                raise SnapshotExpired(
+                    f"snapshot {sid}'s data files were expired before this "
+                    f"consumer processed them under {table_path} "
+                    f"(e.g. {gone[0]}) — widen snapshot retention past "
+                    "consumer lag, or rebase the consumer"
+                )
             schema = StructType.fromJson(_json.loads(m["schema"]))
             df = spark.read.schema(schema).parquet(
                 *[os.path.join(table_path, p) for p in added]

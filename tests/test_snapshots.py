@@ -1224,3 +1224,95 @@ def test_expire_older_than_keeps_young_snapshots(spark, tmp_path):
         _age(_snap_path(path, sid))
     expire_snapshots(path, keep_last=1, older_than=60.0)
     assert _snap_ids(path) == [4]
+
+
+def test_commit_with_retry_wins_after_conflict(spark, tmp_path):
+    from ratatool_spark.operators.snapshots import (
+        CommitConflict,
+        commit_with_retry,
+    )
+
+    path = _tbl(spark, tmp_path, n=1)
+    calls = {"n": 0}
+
+    def racy_append():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # another committer sneaks in before our publish
+            commit_append(
+                spark.range(100, 103).select(
+                    F.col("id").cast("long"),
+                    F.lit(0).cast("long").alias("grp"),
+                ),
+                path,
+            )
+            raise CommitConflict("simulated lost race")
+        return commit_append(
+            spark.range(200, 205).select(
+                F.col("id").cast("long"), F.lit(0).cast("long").alias("grp")
+            ),
+            path,
+        )
+
+    sid = commit_with_retry(racy_append)
+    assert sid == 3 and calls["n"] == 2
+    assert read_snapshot(spark, path).count() == 18  # 10 + 3 + 5
+    # exhaustion surfaces the conflict, not an infinite loop
+    def always_loses():
+        raise CommitConflict("hot table")
+
+    with pytest.raises(CommitConflict, match="gave up"):
+        commit_with_retry(always_loses, max_retries=2)
+
+
+def test_stream_source_expired_snapshot_raises_rebase_error(spark, tmp_path):
+    """Retention racing a lagging consumer must fail LOUDLY with rebase
+    guidance, not FileNotFoundError or a silent short batch. Two race
+    shapes: (a) a commit's added DATA file was reclaimed while its
+    manifest is still streamed; (b) the PARENT manifest needed for the
+    added-diff is gone."""
+    from ratatool_spark.operators.snapshots import (
+        _snap_path,
+        commit_append,
+        read_manifest,
+    )
+    from ratatool_spark.streaming.snapshots import stream_snapshot_source
+
+    def _mk(root):
+        a = str(root)
+        for i in range(2):
+            commit_append(
+                spark.range(i * 10, (i + 1) * 10).coalesce(1).select(
+                    F.col("id").cast("long"),
+                    (F.col("id") * 2).cast("long").alias("val"),
+                ),
+                a,
+            )
+        return a
+
+    # (a) data file of v2 reclaimed, manifest still visible to the stream
+    a = _mk(tmp_path / "a")
+    prev = {e["path"] for e in read_manifest(a, 1)["files"]}
+    added = next(
+        e["path"] for e in read_manifest(a, 2)["files"] if e["path"] not in prev
+    )
+    os.remove(os.path.join(a, added))
+    seen = []
+    q = stream_snapshot_source(
+        spark, a, lambda df, sid: seen.append(sid), str(tmp_path / "cka")
+    )
+    with pytest.raises(Exception) as ei:
+        q.awaitTermination()
+    # foreachBatch wraps our error in StreamingQueryException — the
+    # SnapshotExpired message (with the rebase hint) must surface
+    assert "expired" in str(ei.value) and "rebase" in str(ei.value)
+
+    # (b) parent manifest expired under the consumer
+    b = _mk(tmp_path / "b")
+    os.remove(_snap_path(b, 1))
+    q = stream_snapshot_source(
+        spark, b, lambda df, sid: None, str(tmp_path / "ckb")
+    )
+    with pytest.raises(Exception) as ei:
+        q.awaitTermination()
+    assert "expired" in str(ei.value) and "rebase" in str(ei.value)
