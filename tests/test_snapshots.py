@@ -1316,3 +1316,77 @@ def test_stream_source_expired_snapshot_raises_rebase_error(spark, tmp_path):
     with pytest.raises(Exception) as ei:
         q.awaitTermination()
     assert "expired" in str(ei.value) and "rebase" in str(ei.value)
+
+
+@pytest.mark.parametrize("seed", [7, 1234])
+def test_randomized_op_sequence_equals_model(spark, tmp_path, seed):
+    """Whole-layer fuzz: a random interleaving of append / CoW merge /
+    MoR merge / range delete / fold / compact / rollback must equal the
+    driver-side dict model after EVERY operation, and every retained
+    snapshot must time-travel to the model state recorded when it was
+    current — the upsert fuzz test generalized to the full maintenance
+    surface (MoR sidecars included)."""
+    import random
+
+    from ratatool_spark.operators.snapshots import (
+        delete_snapshot_where,
+        fold_deletes,
+        merge_snapshot,
+        merge_snapshot_mor,
+        rollback_snapshot,
+    )
+
+    rng = random.Random(seed)
+    path = str(tmp_path / f"fz{seed}")
+
+    def df_of(d):
+        return spark.createDataFrame(
+            sorted(d.items()), "id long, val long"
+        )
+
+    state = {i: i * 10 for i in range(40)}
+    commit_append(df_of(state), path)
+    history = {1: dict(state)}
+
+    for _step in range(8):
+        op = rng.choice(
+            ["append", "merge", "merge_mor", "delete", "fold", "compact",
+             "rollback"]
+        )
+        if op == "append":
+            base = max(state, default=0) + 1
+            batch = {base + j: rng.randint(-99, 99) for j in range(rng.randint(1, 8))}
+            state.update(batch)
+            commit_append(df_of(batch), path)
+        elif op in ("merge", "merge_mor"):
+            ks = rng.sample(range(150), rng.randint(1, 12))
+            batch = {k: rng.randint(-999, 999) for k in ks}
+            state.update(batch)
+            fn = merge_snapshot if op == "merge" else merge_snapshot_mor
+            fn(spark, path, df_of(batch), ["id"])
+        elif op == "delete":
+            lo = rng.randint(0, 120)
+            hi = lo + rng.randint(0, 30)
+            state = {k: v for k, v in state.items() if not lo <= k <= hi}
+            delete_snapshot_where(spark, path, {"id": (lo, hi)})
+        elif op == "fold":
+            fold_deletes(spark, path)
+        elif op == "compact":
+            compact_snapshot(spark, path, target_bytes=1 << 30)
+        else:  # rollback to a random retained snapshot
+            target = rng.choice(sorted(history))
+            rollback_snapshot(path, target)
+            state = dict(history[target])
+        history[current_snapshot_id(path)] = dict(state)
+        got = {
+            r["id"]: r["val"] for r in read_snapshot(spark, path).collect()
+        }
+        assert got == state, f"divergence after {op} (step {_step})"
+
+    # every retained snapshot time-travels to its recorded model state
+    for sid, model in history.items():
+        got = {
+            r["id"]: r["val"]
+            for r in read_snapshot(spark, path, snapshot_id=sid).collect()
+        }
+        assert got == model, f"time travel to {sid} diverged"
