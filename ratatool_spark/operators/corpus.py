@@ -950,11 +950,19 @@ def _merge_fold_multi_expr(
 
 
 def save_bpe_tokenizer(
-    spark, path: str, merges: Sequence[tuple[str, str]]
+    spark,
+    path: str,
+    merges: Sequence[tuple[str, str]],
+    byte_level: bool = False,
 ) -> None:
     """Persist a trained merge list as a JSON artifact — a BPE tokenizer
-    IS its ordered merge list, so this one file is the whole model (the
-    build-once/apply-many sibling of build_minhash_index's sidecar)."""
+    IS its ordered merge list (plus its alphabet mode), so this one file
+    is the whole model (the build-once/apply-many sibling of
+    build_minhash_index's sidecar). ``byte_level`` records which
+    alphabet the merges were trained over — applying byte-level merges
+    in char mode (or vice versa) silently segments wrong, so the
+    artifact is self-describing and :func:`load_bpe_tokenizer` can
+    enforce the pairing."""
     import json
 
     from ratatool_spark.sources.shards import _write_text
@@ -962,12 +970,24 @@ def save_bpe_tokenizer(
     _write_text(
         spark,
         path,
-        json.dumps({"version": 1, "merges": [[a, b] for a, b in merges]}),
+        json.dumps(
+            {
+                "version": 1,
+                "merges": [[a, b] for a, b in merges],
+                "byte_level": bool(byte_level),
+            }
+        ),
     )
 
 
-def load_bpe_tokenizer(spark, path: str) -> list[tuple[str, str]]:
-    """Load a persisted merge list for :func:`bpe_segment`."""
+def load_bpe_tokenizer(
+    spark, path: str, expect_byte_level: bool | None = None
+) -> list[tuple[str, str]]:
+    """Load a persisted merge list for :func:`bpe_segment`.
+    ``expect_byte_level`` asserts the artifact's alphabet mode matches
+    the caller's intended ``bpe_segment(byte_level=...)`` — a mode
+    mismatch raises instead of mis-segmenting. Artifacts written before
+    the flag existed read as char-level."""
     import json
 
     from ratatool_spark.sources.shards import _read_text
@@ -975,6 +995,15 @@ def load_bpe_tokenizer(spark, path: str) -> list[tuple[str, str]]:
     meta = json.loads(_read_text(spark, path))
     if meta.get("version") != 1:
         raise ValueError(f"unsupported tokenizer version: {meta.get('version')}")
+    if expect_byte_level is not None and bool(
+        meta.get("byte_level", False)
+    ) != expect_byte_level:
+        raise ValueError(
+            f"tokenizer alphabet mismatch: artifact byte_level="
+            f"{meta.get('byte_level', False)}, caller expects "
+            f"{expect_byte_level} — segmenting with the wrong alphabet "
+            "produces silently wrong tokens"
+        )
     return [(a, b) for a, b in meta["merges"]]
 
 

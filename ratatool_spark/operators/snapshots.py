@@ -1508,8 +1508,13 @@ def snapshot_change_feed(
 
 
 def snapshot_log(spark: SparkSession, table_path: str) -> DataFrame:
-    """(snapshot_id, parent, operation, n_files, rows, bytes) — the
-    table's commit history as a DataFrame (metadata-scale)."""
+    """(snapshot_id, parent, operation, n_files, rows, bytes,
+    n_pending_deletes, n_change_files) — the table's commit history as
+    a DataFrame (metadata-scale). ``rows`` counts physical stored rows;
+    on a snapshot with pending merge-on-read sidecars the LOGICAL row
+    count is lower (shadowed rows subtract at read) —
+    ``n_pending_deletes`` > 0 flags exactly when that caveat applies
+    and maintenance (``fold_deletes``/compaction) is due."""
     rows = []
     for sid in _snap_ids(table_path):
         m = read_manifest(table_path, sid)
@@ -1521,10 +1526,13 @@ def snapshot_log(spark: SparkSession, table_path: str) -> DataFrame:
                 len(m["files"]),
                 sum(e["rows"] for e in m["files"]),
                 sum(e["bytes"] for e in m["files"]),
+                len(m.get("deletes", [])),
+                len(m.get("changes", [])),
             )
         )
     return spark.createDataFrame(
         rows,
         "snapshot_id bigint, parent bigint, operation string, "
-        "n_files bigint, rows bigint, bytes bigint",
+        "n_files bigint, rows bigint, bytes bigint, "
+        "n_pending_deletes bigint, n_change_files bigint",
     )

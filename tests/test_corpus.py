@@ -1243,3 +1243,27 @@ def test_bpe_byte_level_never_oov(spark):
     ).first()
     assert row["n_bpe_tokens"] > 0
     assert row["d"] == alien_text.replace(" ", "")
+
+
+def test_bpe_tokenizer_artifact_records_alphabet_mode(spark, tmp_path):
+    from ratatool_spark.operators.corpus import (
+        bpe_learn,
+        load_bpe_tokenizer,
+        save_bpe_tokenizer,
+    )
+
+    docs = spark.createDataFrame([("über über hello hello",)], "text string")
+    merges = bpe_learn(docs, n_merges=4, batch=2, pool=16, rounds=2,
+                       byte_level=True)
+    p = str(tmp_path / "tok.json")
+    save_bpe_tokenizer(spark, p, merges, byte_level=True)
+    assert load_bpe_tokenizer(spark, p, expect_byte_level=True) == merges
+    assert load_bpe_tokenizer(spark, p) == merges  # unchecked load works
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="alphabet mismatch"):
+        load_bpe_tokenizer(spark, p, expect_byte_level=False)
+    # legacy artifacts without the flag read as char-level
+    p2 = str(tmp_path / "tok2.json")
+    save_bpe_tokenizer(spark, p2, merges)
+    assert load_bpe_tokenizer(spark, p2, expect_byte_level=False) == merges
