@@ -715,3 +715,92 @@ SELECT o_orderstatus,
 FROM orders
 GROUP BY o_orderstatus
 """
+
+
+def _q_pipeline_cdc_scd2(spark, sf_dir):
+    """Composition: the snapshot table's CDC feed IS a changelog a
+    downstream dimension consumes (operators/snapshots.
+    snapshot_change_feed → operators/scd2.scd2_history). Two CoW merges
+    reprice overlapping o_orderkey ranges (2x then 3x the source price);
+    the feed's insert/update_postimage rows, ordered by commit id,
+    build the SCD2 history — versions per key must be 1 + (#merges
+    touching it), and the history's CURRENT rows must equal the live
+    table (asserted in-gate AND via the oracle, which recomputes both
+    the version counts and the current prices straight from the source
+    table). Pins that the feed is a complete, ordered, replayable
+    changelog — not just a row bag."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.scd2 import scd2_history
+    from ratatool_spark.operators.snapshots import (
+        merge_snapshot,
+        read_snapshot,
+        snapshot_change_feed,
+    )
+
+    path = _build_orders_table(spark, sf_dir, n_commits=1)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    agg = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    lo, mx = int(agg[0]), int(agg[1])
+    s8 = (mx - lo) // 8
+    b1 = (lo, lo + 2 * s8)          # first reprice: lowest quarter
+    b2 = (lo + s8, lo + 3 * s8)     # second: overlaps b1's upper half
+    for mult, (blo, bhi) in ((2.0, b1), (3.0, b2)):
+        changes = orders.where(
+            F.col("o_orderkey").between(blo, bhi)
+        ).withColumn("o_totalprice", F.col("o_totalprice") * F.lit(mult))
+        merge_snapshot(spark, path, changes, ["o_orderkey"])
+    feed = snapshot_change_feed(spark, path, 0).where(
+        F.col("_change_type").isin("insert", "update_postimage")
+    )
+    hist = scd2_history(
+        feed,
+        key_cols="o_orderkey",
+        ts_col="_commit_snapshot_id",
+        attr_cols=["o_custkey", "o_orderstatus", "o_totalprice"],
+    )
+    cur = hist.where(F.col("is_current")).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    live = read_snapshot(spark, path)
+    probe = cur.unionByName(live).groupBy(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    ).count().where(F.col("count") != 2)
+    if probe.limit(1).count():
+        raise ValueError("SCD2 current rows diverged from the live table")
+    return hist.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.sum(F.col("is_current").cast("int")).cast("long").alias("n_current"),
+        F.sum(
+            F.when(F.col("is_current"),
+                   F.col("o_totalprice").cast("decimal(18,2)"))
+        ).cast("double").alias("sum_current"),
+    )
+
+
+_SQL_PIPELINE_CDC_SCD2 = """
+WITH box AS (
+  SELECT MIN(o_orderkey) AS lo,
+         (MAX(o_orderkey) - MIN(o_orderkey)) // 8 AS s8
+  FROM orders
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*)
+            + SUM(CASE WHEN o_orderkey BETWEEN box.lo AND box.lo + 2 * box.s8
+                       THEN 1 ELSE 0 END)
+            + SUM(CASE WHEN o_orderkey BETWEEN box.lo + box.s8
+                                           AND box.lo + 3 * box.s8
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_versions,
+       COUNT(*) AS n_current,
+       CAST(SUM(CAST(
+         CASE WHEN o_orderkey BETWEEN box.lo + box.s8 AND box.lo + 3 * box.s8
+              THEN o_totalprice * 3.0
+              WHEN o_orderkey BETWEEN box.lo AND box.lo + 2 * box.s8
+              THEN o_totalprice * 2.0
+              ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_current
+FROM orders, box
+GROUP BY o_orderstatus
+"""
