@@ -920,7 +920,7 @@ def build_parser() -> argparse.ArgumentParser:
     sn.add_argument(
         "--mode",
         choices=["append", "read", "compact", "cluster", "merge",
-                 "merge-mor", "fold", "delete", "expire", "vacuum",
+                 "merge-mor", "fold", "delete", "delete-mor", "expire", "vacuum",
                  "changes", "mirror", "rollback", "log"],
         required=True,
     )
@@ -2047,6 +2047,14 @@ def main(argv: list[str] | None = None) -> int:
                 if not box:
                     raise SystemExit("--where is required with --mode delete")
                 sid = snap.delete_snapshot_where(spark, args.table, box)
+                print(_json.dumps({"snapshot_id": sid}))
+            elif args.mode == "delete-mor":
+                box = _where_box()
+                if not box:
+                    raise SystemExit(
+                        "--where is required with --mode delete-mor"
+                    )
+                sid = snap.delete_snapshot_where_mor(spark, args.table, box)
                 print(_json.dumps({"snapshot_id": sid}))
             elif args.mode == "cluster":
                 if not args.zorderBy:

@@ -804,3 +804,64 @@ SELECT o_orderstatus,
 FROM orders, box
 GROUP BY o_orderstatus
 """
+
+
+def _q_snapshot_mor_delete(spark, sf_dir):
+    """Merge-on-read range DELETE (operators/snapshots.
+    delete_snapshot_where_mor): erasing the lowest eighth of o_orderkey
+    is a METADATA-ONLY commit — the predicate lands as a manifest delete
+    entry, zero files rewritten (no_rewrite), readers filter it at scan;
+    fold_deletes then materializes the erasure into stats-intersecting
+    files only and the re-read must be identical (fold_same). The oracle
+    is the CoW-delete truth: the source table minus the range."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.snapshots import (
+        delete_snapshot_where_mor,
+        fold_deletes,
+        read_manifest,
+        read_snapshot,
+    )
+
+    path = _build_orders_table(spark, sf_dir, n_commits=3)
+    lo, hi = _key_box(spark, sf_dir)
+    before = {e["path"] for e in read_manifest(path)["files"]}
+    delete_snapshot_where_mor(spark, path, {"o_orderkey": (lo, hi)})
+    after = {e["path"] for e in read_manifest(path)["files"]}
+    no_rewrite = before == after
+
+    def _agg(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_total"),
+        )
+
+    mor = sorted(_agg(read_snapshot(spark, path)).collect())
+    fold_deletes(spark, path)
+    if read_manifest(path)["deletes"]:
+        raise ValueError("fold_deletes left pending sidecars behind")
+    folded = sorted(_agg(read_snapshot(spark, path)).collect())
+    return _agg(read_snapshot(spark, path)).select(
+        "*",
+        F.lit(bool(no_rewrite)).alias("no_rewrite"),
+        F.lit(mor == folded).alias("fold_same"),
+    )
+
+
+_SQL_SNAPSHOT_MOR_DELETE = """
+WITH box AS (
+  SELECT MIN(o_orderkey) AS lo,
+         MIN(o_orderkey) + (MAX(o_orderkey) - MIN(o_orderkey)) // 8 AS hi
+  FROM orders
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+       TRUE AS no_rewrite,
+       TRUE AS fold_same
+FROM orders, box
+WHERE o_orderkey NOT BETWEEN box.lo AND box.hi
+GROUP BY o_orderstatus
+"""

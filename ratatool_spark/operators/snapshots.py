@@ -626,10 +626,19 @@ def _read_entries(
             *[os.path.join(table_path, p) for p in paths]
         )
         for d in deletes[i:]:
-            dk = spark.read.parquet(
-                *[os.path.join(table_path, p) for p in d["paths"]]
-            ).select(*d["keys"]).distinct()
-            df = df.join(F.broadcast(dk), d["keys"], "left_anti")
+            if d.get("kind") == "range":
+                # predicate delete: drop rows inside the box; NULL-valued
+                # rows never match a range (same rule as the CoW delete)
+                inside = None
+                for c, (lo, hi) in d["box"].items():
+                    cond = F.col(c).between(lo, hi)
+                    inside = cond if inside is None else (inside & cond)
+                df = df.where(F.coalesce(~inside, F.lit(True)))
+            else:  # equality delete: anti-join the broadcast key sidecar
+                dk = spark.read.parquet(
+                    *[os.path.join(table_path, p) for p in d["paths"]]
+                ).select(*d["keys"]).distinct()
+                df = df.join(F.broadcast(dk), d["keys"], "left_anti")
         out = df if out is None else out.unionByName(df)
     return out
 
@@ -781,7 +790,7 @@ def _referenced_paths(m: dict) -> set[str]:
     out = {e["path"] for e in m["files"]}
     out.update(e["path"] for e in m.get("changes", []))
     for d in m.get("deletes", []):
-        out.update(d["paths"])
+        out.update(d.get("paths", []))  # range deletes carry no sidecar
     return out
 
 
@@ -1105,6 +1114,62 @@ def merge_snapshot_mor(
     return _publish(
         table_path, parent, m["files"] + new_files, m["schema"],
         "merge-mor", deletes=deletes,
+    )
+
+
+def delete_snapshot_where_mor(
+    spark: SparkSession,
+    table_path: str,
+    where: dict[str, tuple],
+    record_changes: bool = True,
+) -> int:
+    """MERGE-ON-READ range DELETE: record the conjunctive range
+    predicate itself as a manifest delete entry — NO file is read or
+    rewritten at commit time; readers filter shadowed rows out of every
+    data file with a smaller sequence number, and ``fold_deletes`` /
+    compaction later materialize the erasure (run fold + expiry to
+    complete a physical erasure, same note as the CoW delete). The
+    metadata-only commit makes bulk retention deletes O(1) regardless
+    of how many files the range spans — the write-amplification answer
+    for "drop everything older than X" on a 100 TB table.
+
+    ``record_changes`` (default on) additionally persists the deleted
+    rows as ``_change_type='delete'`` change files so the CDC feed stays
+    COMPLETE across this commit kind: that costs one READ pass over the
+    stats-intersecting files (still zero data rewrite — the deferred
+    cost is the rewrite, not the scan). Pass False for a pure-metadata
+    commit when no feed consumer exists."""
+    parent = current_snapshot_id(table_path)
+    if parent is None:
+        raise FileNotFoundError(f"no snapshots under {table_path}")
+    m = read_manifest(table_path, parent)
+    new_id = parent + 1
+    box = {c: [lo, hi] for c, (lo, hi) in where.items()}
+    change_files: list[dict] = []
+    if record_changes:
+        touched, _ = _split_by_box(m, where)
+        if touched:
+            old = _read_entries(spark, table_path, m, touched)
+            inside = None
+            for c, (lo, hi) in where.items():
+                cond = F.col(c).between(lo, hi)
+                inside = cond if inside is None else (inside & cond)
+            change_files = _write_data_files(
+                old.where(F.coalesce(inside, F.lit(False))).withColumn(
+                    "_change_type", F.lit("delete")
+                ),
+                table_path, subdir=_CHANGES_DIR,
+            )
+    delete_entry = {"kind": "range", "box": box, "seq": new_id}
+    if current_snapshot_id(table_path) != parent:
+        raise CommitConflict(
+            f"snapshot advanced past {parent} while deleting — replan"
+        )
+    return _publish(
+        table_path, parent, m["files"], m["schema"], "delete-mor",
+        deletes=m.get("deletes", []) + [delete_entry],
+        changes=change_files,
+        extra={"change_op": "delete"} if change_files else None,
     )
 
 

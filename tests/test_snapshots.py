@@ -1390,3 +1390,70 @@ def test_randomized_op_sequence_equals_model(spark, tmp_path, seed):
             for r in read_snapshot(spark, path, snapshot_id=sid).collect()
         }
         assert got == model, f"time travel to {sid} diverged"
+
+
+def test_mor_range_delete_metadata_only(spark, tmp_path):
+    """Range delete as a predicate sidecar: zero files rewritten, read
+    equals the CoW complement, NULL rows survive, fold materializes,
+    and the CDC feed records the deleted rows."""
+    from ratatool_spark.operators.snapshots import (
+        delete_snapshot_where_mor,
+        fold_deletes,
+        snapshot_change_feed,
+    )
+
+    path = str(tmp_path / "tb")
+    df = spark.range(20).coalesce(1).select(
+        F.when(F.col("id") == 7, F.lit(None)).otherwise(F.col("id"))
+        .cast("long").alias("id"),
+        (F.col("id") * 2).cast("long").alias("val"),
+    )
+    commit_append(df, path)
+    before = {e["path"] for e in read_manifest(path)["files"]}
+    delete_snapshot_where_mor(spark, path, {"id": (5, 9)})
+    m = read_manifest(path)
+    assert {e["path"] for e in m["files"]} == before  # ZERO rewrites
+    assert m["deletes"][0]["kind"] == "range"
+    got = read_snapshot(spark, path)
+    assert got.count() == 16  # 20 - 4 in [5,9] (7 is NULL: survives)
+    assert got.where(F.col("id").isNull()).count() == 1
+    assert got.where(F.col("id").between(5, 9)).count() == 0
+    # feed completeness: the deleted rows were recorded
+    feed = snapshot_change_feed(spark, path, 1)
+    assert sorted(
+        r["id"] for r in feed.where(F.col("_change_type") == "delete")
+        .collect()
+    ) == [5, 6, 8, 9]
+    # rows appended AFTER the delete are not shadowed by it
+    commit_append(
+        spark.createDataFrame([(6, -6)], "id long, val long"), path
+    )
+    assert read_snapshot(spark, path).where(F.col("id") == 6).count() == 1
+    # fold materializes: same content, no pending deletes
+    pre = sorted(map(str, read_snapshot(spark, path).collect()))
+    fold_deletes(spark, path)
+    assert read_manifest(path)["deletes"] == []
+    assert sorted(map(str, read_snapshot(spark, path).collect())) == pre
+
+
+def test_mor_range_delete_stacks_with_equality(spark, tmp_path):
+    from ratatool_spark.operators.snapshots import (
+        delete_snapshot_where_mor,
+        merge_snapshot_mor,
+    )
+
+    path = str(tmp_path / "tb")
+    commit_append(
+        spark.range(10).coalesce(1).select(
+            F.col("id").cast("long"), (F.col("id") * 2).cast("long").alias("val")
+        ),
+        path,
+    )
+    merge_snapshot_mor(  # v2: upsert id 3
+        spark, path,
+        spark.createDataFrame([(3, -3)], "id long, val long"), ["id"],
+    )
+    delete_snapshot_where_mor(spark, path, {"id": (2, 4)})  # v3
+    got = {r["id"]: r["val"] for r in read_snapshot(spark, path).collect()}
+    # the range delete shadows v2's upsert row too (seq 2 < 3)
+    assert got == {i: i * 2 for i in range(10) if not 2 <= i <= 4}
