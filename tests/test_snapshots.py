@@ -1330,6 +1330,7 @@ def test_randomized_op_sequence_equals_model(spark, tmp_path, seed):
 
     from ratatool_spark.operators.snapshots import (
         delete_snapshot_where,
+        delete_snapshot_where_mor,
         fold_deletes,
         merge_snapshot,
         merge_snapshot_mor,
@@ -1350,8 +1351,8 @@ def test_randomized_op_sequence_equals_model(spark, tmp_path, seed):
 
     for _step in range(8):
         op = rng.choice(
-            ["append", "merge", "merge_mor", "delete", "fold", "compact",
-             "rollback"]
+            ["append", "merge", "merge_mor", "delete", "delete_mor",
+             "fold", "compact", "rollback"]
         )
         if op == "append":
             base = max(state, default=0) + 1
@@ -1364,11 +1365,13 @@ def test_randomized_op_sequence_equals_model(spark, tmp_path, seed):
             state.update(batch)
             fn = merge_snapshot if op == "merge" else merge_snapshot_mor
             fn(spark, path, df_of(batch), ["id"])
-        elif op == "delete":
+        elif op in ("delete", "delete_mor"):
             lo = rng.randint(0, 120)
             hi = lo + rng.randint(0, 30)
             state = {k: v for k, v in state.items() if not lo <= k <= hi}
-            delete_snapshot_where(spark, path, {"id": (lo, hi)})
+            fn = (delete_snapshot_where if op == "delete"
+                  else delete_snapshot_where_mor)
+            fn(spark, path, {"id": (lo, hi)})
         elif op == "fold":
             fold_deletes(spark, path)
         elif op == "compact":
