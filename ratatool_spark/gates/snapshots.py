@@ -459,19 +459,17 @@ def _q_snapshot_cdc_merge(spark, sf_dir):
         snapshot_change_feed,
     )
 
-    path = _build_orders_table(spark, sf_dir, n_commits=3)
-    agg = spark.read.parquet(f"{sf_dir}/orders.parquet").agg(
-        F.min("o_orderkey"), F.max("o_orderkey")
-    ).first()
+    path = _build_orders_table(spark, sf_dir, n_commits=1)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    agg = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
     lo, mx = int(agg[0]), int(agg[1])
     s8 = (mx - lo) // 8
     ulo, uhi = lo, lo + s8                    # update box
     dlo, dhi = lo + 2 * s8, lo + 3 * s8       # delete box (disjoint)
     shift = mx - lo + 1                       # inserts land past max
-    from ratatool_spark.operators.snapshots import read_snapshot
-
-    cur = read_snapshot(spark, path)
-    in_box = cur.where(F.col("o_orderkey").between(ulo, uhi))
+    in_box = orders.where(F.col("o_orderkey").between(ulo, uhi))
     updates = in_box.withColumn(
         "o_totalprice", F.col("o_totalprice") * F.lit(2.0)
     )
@@ -481,9 +479,9 @@ def _q_snapshot_cdc_merge(spark, sf_dir):
         (F.col("o_totalprice") * F.lit(3.0)).alias("o_totalprice"),
     )
     merge_snapshot(spark, path, updates.unionByName(inserts),
-                   ["o_orderkey"])                       # v4
-    delete_snapshot_where(spark, path, {"o_orderkey": (dlo, dhi)})  # v5
-    feed = snapshot_change_feed(spark, path, 3)
+                   ["o_orderkey"])                       # v2
+    delete_snapshot_where(spark, path, {"o_orderkey": (dlo, dhi)})  # v3
+    feed = snapshot_change_feed(spark, path, 1)
     return feed.groupBy("_change_type", "_commit_snapshot_id").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
@@ -508,14 +506,14 @@ del AS (
   WHERE o_orderkey BETWEEN box.lo + 2 * box.s8 AND box.lo + 3 * box.s8
 ),
 feed AS (
-  SELECT 'update_preimage' AS _change_type, 4 AS _commit_snapshot_id,
+  SELECT 'update_preimage' AS _change_type, 2 AS _commit_snapshot_id,
          o_totalprice AS p FROM upd
   UNION ALL
-  SELECT 'update_postimage', 4, o_totalprice * 2.0 FROM upd
+  SELECT 'update_postimage', 2, o_totalprice * 2.0 FROM upd
   UNION ALL
-  SELECT 'insert', 4, o_totalprice * 3.0 FROM upd
+  SELECT 'insert', 2, o_totalprice * 3.0 FROM upd
   UNION ALL
-  SELECT 'delete', 5, o_totalprice FROM del
+  SELECT 'delete', 3, o_totalprice FROM del
 )
 SELECT _change_type, _commit_snapshot_id,
        COUNT(*) AS n_rows,
@@ -530,14 +528,14 @@ def _q_snapshot_mor_merge(spark, sf_dir):
     fold_deletes): the same price-doubling batch the CoW gate merges is
     published as new data files + an equality-delete key sidecar — ZERO
     existing files rewritten (no_rewrite pins the manifest file set grew
-    monotonically), yet the read equals the CoW result (the oracle IS
-    the CoW truth). fold_deletes then materializes the sidecar into
-    stats-intersecting files only and the re-read must be identical
-    (fold_same, asserted cross-engine via the same aggregate)."""
+    monotonically, with no clustering rewrite to hide behind), yet the
+    read equals the CoW result (the oracle IS the CoW truth).
+    fold_deletes then materializes the sidecar into stats-intersecting
+    files only and the re-read must be identical (fold_same, asserted
+    cross-engine via the same aggregate)."""
     from pyspark.sql import functions as F
 
     from ratatool_spark.operators.snapshots import (
-        cluster_snapshot,
         fold_deletes,
         merge_snapshot_mor,
         read_manifest,
@@ -545,7 +543,6 @@ def _q_snapshot_mor_merge(spark, sf_dir):
     )
 
     path = _build_orders_table(spark, sf_dir, n_commits=3)
-    cluster_snapshot(spark, path, ["o_orderkey"], num_partitions=4)
     lo, hi = _key_box(spark, sf_dir)
     cur = read_snapshot(spark, path)
     changes = cur.where(F.col("o_orderkey").between(lo, hi)).withColumn(
