@@ -1460,3 +1460,70 @@ def test_mor_range_delete_stacks_with_equality(spark, tmp_path):
     got = {r["id"]: r["val"] for r in read_snapshot(spark, path).collect()}
     # the range delete shadows v2's upsert row too (seq 2 < 3)
     assert got == {i: i * 2 for i in range(10) if not 2 <= i <= 4}
+
+
+def test_externalized_manifest_with_mor_and_feed(spark, tmp_path, monkeypatch):
+    """The r9 surfaces compose: on a table whose manifests are
+    externalized to parquet sidecars, MoR merges/deletes, the deletes-
+    aware read, fold, and the CDC feed must all behave exactly as on
+    inline manifests."""
+    import ratatool_spark.operators.snapshots as snap
+
+    monkeypatch.setattr(snap, "FILES_INLINE_MAX", 0)
+    path = str(tmp_path / "tb")
+    snap.commit_append(
+        spark.range(20).coalesce(1).select(
+            F.col("id").cast("long"), (F.col("id") * 2).cast("long").alias("val")
+        ),
+        path,
+    )
+    snap.merge_snapshot_mor(
+        spark, path,
+        spark.createDataFrame([(3, -3), (100, -100)], "id long, val long"),
+        ["id"],
+    )
+    snap.delete_snapshot_where_mor(spark, path, {"id": (15, 19)})
+    m = snap.read_manifest(path)
+    assert "files_ref" in m and len(m["deletes"]) == 2
+    got = {r["id"]: r["val"] for r in snap.read_snapshot(spark, path).collect()}
+    want = {i: i * 2 for i in range(15)}
+    want[3] = -3
+    want[100] = -100
+    assert got == want
+    # pruned read through the spark planning path still honors deletes
+    pruned = snap.read_snapshot(spark, path, where={"id": (0, 5)})
+    assert {r["id"]: r["val"] for r in pruned.collect()} == {
+        0: 0, 1: 2, 2: 4, 3: -3, 4: 8, 5: 10
+    }
+    # CDC feed across the externalized commits
+    feed = snap.snapshot_change_feed(spark, path, 1)
+    kinds = {r["_change_type"] for r in feed.collect()}
+    assert kinds == {"upsert", "delete"}
+    assert feed.where(F.col("_change_type") == "delete").count() == 5
+    # fold + expiry on the externalized layout
+    snap.fold_deletes(spark, path)
+    assert snap.read_manifest(path)["deletes"] == []
+    got2 = {r["id"]: r["val"] for r in snap.read_snapshot(spark, path).collect()}
+    assert got2 == want
+    snap.expire_snapshots(path, keep_last=1)
+    assert {r["id"]: r["val"]
+            for r in snap.read_snapshot(spark, path).collect()} == want
+
+
+def test_rollback_on_externalized_manifest(spark, tmp_path, monkeypatch):
+    import ratatool_spark.operators.snapshots as snap
+
+    monkeypatch.setattr(snap, "FILES_INLINE_MAX", 0)
+    path = str(tmp_path / "tb")
+    snap.commit_append(
+        spark.createDataFrame([(1, 10)], "id long, val long"), path
+    )
+    snap.merge_snapshot(
+        spark, path,
+        spark.createDataFrame([(1, -1)], "id long, val long"), ["id"],
+    )
+    snap.rollback_snapshot(path, 1)
+    got = snap.read_snapshot(spark, path).collect()
+    assert len(got) == 1 and got[0]["val"] == 10
+    # the rollback commit's own manifest externalized too
+    assert "files_ref" in snap.read_manifest(path)
