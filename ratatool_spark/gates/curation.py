@@ -509,8 +509,6 @@ ORDER BY step LIMIT {n_merges}"""
     )
 
 
-_SQL_BPE_BYTE_LEVEL = _sql_bpe_byte_level()
-
 
 def _q_interval_join_events(spark, sf_dir):
     """Stream-stream interval join (streaming/events.interval_join) run in

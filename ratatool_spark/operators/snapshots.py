@@ -104,6 +104,13 @@ class CommitConflict(Exception):
     table state (your parent snapshot is stale) and retry."""
 
 
+class ChangeFeedDiscontinuity(Exception):
+    """The requested feed range crosses a commit whose logical change
+    set is not recorded as rows (a rollback) — replaying past it would
+    reconstruct the wrong state. Rebase: full ``read_snapshot`` at or
+    after the discontinuity, then resume the feed from that id."""
+
+
 class SnapshotExpired(Exception):
     """An incremental consumer's cursor (``from_id``) fell out of the
     retention window: ``expire_snapshots`` dropped that manifest, so the
@@ -257,21 +264,6 @@ def _entry_to_flat(e: dict) -> dict:
     return row
 
 
-def _flat_to_entry(row: dict) -> dict:
-    stats: dict = {}
-    for lo_k, hi_k in (("lo_int", "hi_int"), ("lo_flt", "hi_flt"),
-                       ("lo_str", "hi_str")):
-        for c, lo in (row.get(lo_k) or {}).items():
-            stats[c] = [lo, row[hi_k][c]]
-    return {
-        "path": row["path"],
-        "rows": row["rows"],
-        "bytes": row["bytes"],
-        "seq": row.get("seq", 0) or 0,
-        "stats": stats,
-    }
-
-
 def _files_ref_path(table_path: str, snapshot_id: int) -> str:
     return os.path.join(
         table_path, _SNAP_DIR,
@@ -388,24 +380,49 @@ def _publish(
         json.dump(manifest, f)
         f.flush()
         os.fsync(f.fileno())
+    published = False
     try:
-        # hard-link = the commit's atomicity point: the fully-written tmp
-        # content appears under v{new_id} in ONE metadata operation, and
-        # exactly one writer can win (link fails with FileExistsError if
-        # the name is taken). A crash can never leave a truncated
-        # manifest published — the alternative create-then-copy could.
-        # (Object-store deployments swap this single call for a
-        # conditional PUT / catalog CAS.)
-        os.link(tmp, _snap_path(table_path, new_id))
-    except FileExistsError as e:
-        if files_ref is not None:  # losing sidecar would be debris
-            os.remove(os.path.join(table_path, files_ref))
-        raise CommitConflict(
-            f"snapshot {new_id} already published under {table_path}; "
-            "re-read the current snapshot and retry"
-        ) from e
+        try:
+            # hard-link = the commit's atomicity point: the fully-written
+            # tmp content appears under v{new_id} in ONE metadata
+            # operation, and exactly one writer can win (link fails with
+            # FileExistsError if the name is taken). A crash can never
+            # leave a truncated manifest published — the alternative
+            # create-then-copy could. (Object-store deployments swap this
+            # single call for a conditional PUT / catalog CAS.)
+            os.link(tmp, _snap_path(table_path, new_id))
+        except FileExistsError as e:
+            raise CommitConflict(
+                f"snapshot {new_id} already published under {table_path}; "
+                "re-read the current snapshot and retry"
+            ) from e
+        except OSError:
+            # filesystem without hard-link support (some NFS/SMB/FUSE
+            # mounts): fall back to exclusive-create + copy + fsync —
+            # still exactly-one-winner, with the (FS-specific) caveat
+            # that a crash mid-copy can leave a truncated manifest,
+            # which the link path exists to rule out where available
+            try:
+                with open(_snap_path(table_path, new_id), "x") as dst, \
+                        open(tmp) as src:
+                    dst.write(src.read())
+                    dst.flush()
+                    os.fsync(dst.fileno())
+            except FileExistsError as e:
+                raise CommitConflict(
+                    f"snapshot {new_id} already published under "
+                    f"{table_path}; re-read the current snapshot and retry"
+                ) from e
+        published = True
     finally:
         os.remove(tmp)
+        if not published and files_ref is not None:
+            # a failed publish must not strand its externalized sidecar
+            # (vacuum also sweeps aged metadata debris, but clean up the
+            # known case immediately)
+            p = os.path.join(table_path, files_ref)
+            if os.path.exists(p):
+                os.remove(p)
     return new_id
 
 
@@ -572,22 +589,33 @@ def files_intersecting_spark(
     cond = None
     for c, (lo, hi) in where.items():
         k = F.lit(c)
+        # bounds go through try_cast to each stats map's value type: a
+        # bound that doesn't convert (a string box on an int-stat
+        # column) becomes NULL instead of an ANSI cast error, and the
+        # coalesce below turns NULL into KEEP — "can't rule the file
+        # out" must never drop it. Numeric truncation is directionally
+        # safe against integer stats: lo truncates toward zero (widens
+        # or exactly preserves the integer-point range), hi likewise.
+        lo_i, hi_i = F.lit(lo).try_cast("bigint"), F.lit(hi).try_cast("bigint")
+        lo_f, hi_f = F.lit(lo).try_cast("double"), F.lit(hi).try_cast("double")
+        lo_s, hi_s = F.lit(lo).cast("string"), F.lit(hi).cast("string")
         c_hit = (
             F.when(
                 F.map_contains_key(F.col("lo_int"), k),
-                (F.col("hi_int")[k] >= lo) & (F.col("lo_int")[k] <= hi),
+                (F.col("hi_int")[k] >= lo_i) & (F.col("lo_int")[k] <= hi_i),
             )
             .when(
                 F.map_contains_key(F.col("lo_flt"), k),
-                (F.col("hi_flt")[k] >= lo) & (F.col("lo_flt")[k] <= hi),
+                (F.col("hi_flt")[k] >= lo_f) & (F.col("lo_flt")[k] <= hi_f),
             )
             .when(
                 F.map_contains_key(F.col("lo_str"), k),
-                (F.col("hi_str")[k] >= lo) & (F.col("lo_str")[k] <= hi),
+                (F.col("hi_str")[k] >= lo_s) & (F.col("lo_str")[k] <= hi_s),
             )
             .otherwise(F.lit(True))
         )
-        cond = c_hit if cond is None else (cond & c_hit)
+        cond_c = F.coalesce(c_hit, F.lit(True))
+        cond = cond_c if cond is None else (cond & cond_c)
     return manifest_df.where(cond if cond is not None else F.lit(True))
 
 
@@ -824,8 +852,21 @@ def vacuum_orphans(
     cutoff = time.time() - older_than
     live: set[str] = set()
     for sid in _snap_ids(table_path):
-        live.update(_referenced_paths(read_manifest(table_path, sid)))
+        m = read_manifest(table_path, sid, load_files=True)
+        live.update(_referenced_paths(m))
+        if "files_ref" in m:
+            live.add(m["files_ref"])
     dead: list[str] = []
+    # metadata debris: externalized manifest sidecars whose publish lost
+    # the race/crashed (f*.parquet referenced by no manifest) and tmp
+    # manifests a writer died holding — both age-gated like data orphans
+    for p in glob.glob(os.path.join(table_path, _SNAP_DIR, "f*.parquet")) + \
+            glob.glob(os.path.join(table_path, _SNAP_DIR, "v*.json.tmp-*")):
+        rel = os.path.relpath(p, table_path)
+        if rel not in live and os.path.getmtime(p) <= cutoff:
+            dead.append(rel)
+            if delete:
+                os.remove(p)
     emptied: set[str] = set()
     for sub in (_DATA_DIR, _CHANGES_DIR, _DELETES_DIR):
         sub_root = os.path.join(table_path, sub)
@@ -1139,12 +1180,35 @@ def delete_snapshot_where_mor(
     stats-intersecting files (still zero data rewrite — the deferred
     cost is the rewrite, not the scan). Pass False for a pure-metadata
     commit when no feed consumer exists."""
+    import datetime
+
     parent = current_snapshot_id(table_path)
     if parent is None:
         raise FileNotFoundError(f"no snapshots under {table_path}")
     m = read_manifest(table_path, parent)
     new_id = parent + 1
-    box = {c: [lo, hi] for c, (lo, hi) in where.items()}
+
+    def _bound(v):
+        # the box must live in the JSON manifest: date/datetime bounds
+        # (the typical retention predicate) serialize as ISO strings —
+        # Spark coerces string literals back for the read-side filter,
+        # and date columns never carry manifest stats (absent = keep),
+        # so the fold stays sound. Anything else non-JSON fails UP
+        # FRONT, before any change files are written.
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            return v.isoformat(sep=" ") if isinstance(
+                v, datetime.datetime
+            ) else v.isoformat()
+        if isinstance(v, (int, float, str)):
+            return v
+        raise ValueError(
+            f"delete_snapshot_where_mor: box bound {v!r} "
+            f"({type(v).__name__}) is not manifest-serializable — use "
+            "int/float/str/date/datetime bounds, or the copy-on-write "
+            "delete_snapshot_where"
+        )
+
+    box = {c: [_bound(lo), _bound(hi)] for c, (lo, hi) in where.items()}
     change_files: list[dict] = []
     if record_changes:
         touched, _ = _split_by_box(m, where)
@@ -1352,10 +1416,13 @@ def rollback_snapshot(table_path: str, to_id: int) -> int:
     second rollback can undo the rollback. The Delta RESTORE / Iceberg
     rollback semantics; requires ``to_id`` to still be retained.
 
-    Change-feed note: the restore commit is maintenance (operation
-    ``rollback``) — it re-lists files, adds none — so it contributes
-    nothing to ``snapshot_changes`` / ``snapshot_change_feed``, exactly
-    like compaction."""
+    Change-feed note: unlike compaction (content-preserving), a
+    rollback CHANGES logical content without recording change rows —
+    ``snapshot_change_feed`` therefore raises
+    :class:`ChangeFeedDiscontinuity` on any range crossing it (the
+    consumer rebases on a full read), and the file-level
+    ``snapshot_changes`` append scan is unaffected (the restore adds no
+    files)."""
     parent = current_snapshot_id(table_path)
     if parent is None:
         raise FileNotFoundError(f"no snapshots under {table_path}")
@@ -1410,14 +1477,13 @@ def expire_snapshots(
     for sid in retained:
         live.update(_referenced_paths(read_manifest(table_path, sid)))
     dead: set[str] = set()
-    sidecars: list[str] = []
     for sid in expired:
         m = read_manifest(table_path, sid)
         dead.update(p for p in _referenced_paths(m) if p not in live)
         if "files_ref" in m:  # the expired manifest's own parquet sidecar
-            sidecars.append(m["files_ref"])
+            dead.add(m["files_ref"])
     if delete:
-        for rel in sorted(dead) + sidecars:
+        for rel in sorted(dead):
             p = os.path.join(table_path, rel)
             if os.path.exists(p):
                 os.remove(p)
@@ -1533,6 +1599,19 @@ def snapshot_change_feed(
     frames: list[DataFrame] = []
     for sid in range(from_id + 1, to_id + 1):
         m = read_manifest(table_path, sid)
+        if m["operation"] == "rollback":
+            # a rollback CHANGES logical content but records no change
+            # rows (the restore is an operator intervention, not a data
+            # mutation the commit computed) — a feed silently skipping
+            # it would replay to the WRONG state. Fail loudly: the
+            # consumer must rebase on a full read past the restore.
+            raise ChangeFeedDiscontinuity(
+                f"snapshot {sid} is a rollback (restored to "
+                f"{m.get('rolled_back_to')}) — the feed cannot replay "
+                "across it; rebase the consumer: full read_snapshot() "
+                "at or after the rollback, then resume the feed from "
+                "that snapshot id"
+            )
         schema = StructType.fromJson(json.loads(m["schema"]))
         tag = {"append": "insert", "merge-mor": "upsert"}.get(m["operation"])
         if tag is not None:

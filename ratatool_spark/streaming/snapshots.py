@@ -134,17 +134,28 @@ def stream_snapshot_source(
             for n in names
             if os.path.basename(n).startswith("v")
         )
+        # a batch usually delivers CONSECUTIVE commits: memoize each
+        # manifest's path set so sid's parent lookup reuses sid-1's read
+        # instead of re-materializing it (externalized manifests make a
+        # redundant read a real sidecar parse, not a dict lookup)
+        path_sets: dict[int, set[str]] = {}
+
+        def _paths_of(s: int) -> set[str]:
+            if s not in path_sets:
+                path_sets[s] = {
+                    e["path"] for e in read_manifest(table_path, s)["files"]
+                }
+            return path_sets[s]
+
         for sid in sids:
             try:
                 m = read_manifest(table_path, sid)
+                path_sets[sid] = {e["path"] for e in m["files"]}
                 if m["operation"] != "append":
                     continue
                 prev_paths: set[str] = set()
                 if m["parent"] is not None:
-                    prev_paths = {
-                        e["path"]
-                        for e in read_manifest(table_path, m["parent"])["files"]
-                    }
+                    prev_paths = _paths_of(m["parent"])
             except FileNotFoundError as e:
                 # the commit (or its parent baseline) expired between
                 # publish and this consumer's poll — the delta is gone
@@ -217,12 +228,23 @@ def stream_snapshot_mirror(
     manifest-as-ledger recipe as :func:`stream_snapshot_append`."""
     from ratatool_spark.operators.snapshots import commit_append
 
+    # the ledger is read ONCE per mirror run (O(dst commits)) and kept
+    # current with our own commits — re-scanning every dst manifest per
+    # replayed commit would make mirroring N commits O(N^2) metadata
+    # reads. The ledger only grows, and within a run this mirror is the
+    # only writer of source_snapshot_id rows, so the cache never says
+    # "missing" for an id the table already has.
+    ledger: dict = {"ids": None}
+
     def _replay(df, src_sid: int) -> None:
-        if src_sid in mirrored_source_snapshots(dst_table):
+        if ledger["ids"] is None:
+            ledger["ids"] = mirrored_source_snapshots(dst_table)
+        if src_sid in ledger["ids"]:
             return
         commit_append(
             df, dst_table, extra={"source_snapshot_id": int(src_sid)}
         )
+        ledger["ids"].add(int(src_sid))
 
     return stream_snapshot_source(
         spark, src_table, _replay, checkpoint, available_now=available_now

@@ -1167,8 +1167,15 @@ def test_rollback_snapshot_restores_as_new_commit(spark, tmp_path):
     # rollback the rollback -> back to the bad state
     rollback_snapshot(path, 2)
     assert read_snapshot(spark, path).count() == 11
-    # maintenance commit: invisible to the feed
-    assert snapshot_change_feed(spark, path, 2).count() == 0
+    # the feed REFUSES to replay across a rollback (content changed
+    # with no recorded change rows — a silent skip would reconstruct
+    # the wrong state); ranges before it still work
+    from ratatool_spark.operators.snapshots import ChangeFeedDiscontinuity
+
+    with pytest.raises(ChangeFeedDiscontinuity, match="rebase"):
+        snapshot_change_feed(spark, path, 2)
+    # v2's merge recorded pre(3) + post(3) + insert(11) = 3 change rows
+    assert snapshot_change_feed(spark, path, 1, to_id=2).count() == 3
     # no-op when already there; expired target raises
     assert rollback_snapshot(path, 4) == 4
     expire_snapshots(path, keep_last=1)
@@ -1527,3 +1534,109 @@ def test_rollback_on_externalized_manifest(spark, tmp_path, monkeypatch):
     assert len(got) == 1 and got[0]["val"] == 10
     # the rollback commit's own manifest externalized too
     assert "files_ref" in snap.read_manifest(path)
+
+
+def test_mor_delete_date_bounds_and_bad_bounds(spark, tmp_path):
+    """Date/datetime bounds serialize as ISO strings in the manifest
+    (the typical retention predicate) and filter correctly at read;
+    non-serializable bounds fail up front, before any write."""
+    import datetime
+
+    from ratatool_spark.operators.snapshots import delete_snapshot_where_mor
+
+    path = str(tmp_path / "tb")
+    df = spark.createDataFrame(
+        [(i, datetime.date(2020, 1, 1 + i)) for i in range(10)],
+        "id long, d date",
+    ).coalesce(1)
+    commit_append(df, path)
+    delete_snapshot_where_mor(
+        spark, path,
+        {"d": (datetime.date(2020, 1, 3), datetime.date(2020, 1, 5))},
+        record_changes=False,
+    )
+    got = sorted(r["id"] for r in read_snapshot(spark, path).collect())
+    assert got == [0, 1, 5, 6, 7, 8, 9]  # Jan 3-5 = ids 2,3,4 erased
+    with pytest.raises(ValueError, match="not manifest-serializable"):
+        delete_snapshot_where_mor(
+            spark, path, {"id": (b"\x00", b"\xff")}, record_changes=False
+        )
+
+
+def test_spark_pruning_keeps_files_on_type_mismatch(spark, tmp_path, monkeypatch):
+    """A predicate bound that can't cast against a stats map's type must
+    KEEP the file (NULL comparison != rule-out), never silently drop."""
+    import ratatool_spark.operators.snapshots as snap
+
+    monkeypatch.setattr(snap, "FILES_INLINE_MAX", 0)
+    path = str(tmp_path / "tb")
+    snap.commit_append(
+        spark.range(10).coalesce(1).select(
+            F.col("id").cast("long"), F.lit("x").alias("s")
+        ),
+        path,
+    )
+    mdf = snap.manifest_files_df(spark, path)
+    # string bounds against the int-stat column: cast -> NULL -> keep
+    kept = snap.files_intersecting_spark(mdf, {"id": ("a", "z")}).count()
+    assert kept == mdf.count()
+
+
+def test_failed_publish_cleans_externalized_sidecar(spark, tmp_path, monkeypatch):
+    import glob as _g
+
+    import ratatool_spark.operators.snapshots as snap
+
+    monkeypatch.setattr(snap, "FILES_INLINE_MAX", 0)
+    path = str(tmp_path / "tb")
+    snap.commit_append(
+        spark.createDataFrame([(1, 10)], "id long, val long"), path
+    )
+    n0 = len(_g.glob(f"{path}/snapshots/f*.parquet"))
+    m = snap.read_manifest(path)
+    with pytest.raises(snap.CommitConflict):
+        snap._publish(path, 0, m["files"], m["schema"], "append")  # v1 taken
+    assert len(_g.glob(f"{path}/snapshots/f*.parquet")) == n0  # no debris
+
+
+def test_vacuum_reclaims_aged_metadata_debris(spark, tmp_path, monkeypatch):
+    """Orphan manifest sidecars and stale tmp manifests are vacuum
+    debris, age-gated like data orphans; live sidecars survive."""
+    import glob as _g
+
+    import ratatool_spark.operators.snapshots as snap
+
+    monkeypatch.setattr(snap, "FILES_INLINE_MAX", 0)
+    path = str(tmp_path / "tb")
+    snap.commit_append(
+        spark.createDataFrame([(1, 10)], "id long, val long"), path
+    )
+    # simulated crash debris: an unpublished sidecar + a tmp manifest
+    orphan_ref = snap._write_files_sidecar(path, 99, snap.read_manifest(path)["files"])
+    tmp_manifest = snap._snap_path(path, 99) + ".tmp-deadbeef"
+    open(tmp_manifest, "w").write("{}")
+    assert snap.vacuum_orphans(path) == []  # fresh: retention spares them
+    _age(os.path.join(path, orphan_ref))
+    _age(tmp_manifest)
+    dead = snap.vacuum_orphans(path)
+    assert sorted(dead) == sorted(
+        [orphan_ref, os.path.relpath(tmp_manifest, path)]
+    )
+    # the LIVE manifest's sidecar survived; table reads fine
+    assert len(_g.glob(f"{path}/snapshots/f*.parquet")) == 1
+    assert snap.read_snapshot(spark, path).count() == 1
+
+
+def test_expire_dry_run_reports_sidecars(spark, tmp_path, monkeypatch):
+    import ratatool_spark.operators.snapshots as snap
+
+    monkeypatch.setattr(snap, "FILES_INLINE_MAX", 0)
+    path = str(tmp_path / "tb")
+    snap.commit_append(
+        spark.createDataFrame([(1, 10)], "id long, val long"), path
+    )
+    snap.compact_snapshot(spark, path, target_bytes=1 << 30)
+    dry = snap.expire_snapshots(path, keep_last=1, delete=False)
+    assert any(p.startswith("snapshots/f") for p in dry)  # audited
+    wet = snap.expire_snapshots(path, keep_last=1, delete=True)
+    assert sorted(wet) == sorted(dry)  # the audit matched reality
