@@ -920,7 +920,8 @@ def build_parser() -> argparse.ArgumentParser:
     sn.add_argument(
         "--mode",
         choices=["append", "read", "compact", "cluster", "merge",
-                 "merge-mor", "fold", "delete", "delete-mor", "expire", "vacuum",
+                 "merge-mor", "fold", "delete", "delete-mor", "delete-rows",
+                 "drop-partition", "expire", "vacuum",
                  "changes", "mirror", "rollback", "log"],
         required=True,
     )
@@ -956,6 +957,21 @@ def build_parser() -> argparse.ArgumentParser:
     sn.add_argument(
         "--dryRun", action="store_true",
         help="expire/vacuum mode: list deletable files without deleting",
+    )
+    sn.add_argument(
+        "--partitionBy", type=_csv, default=None,
+        help="append mode, first commit only: partition spec items as "
+        "col:transform[:param] (identity/truncate/bucket/month)",
+    )
+    sn.add_argument(
+        "--predicate", default=None,
+        help="delete-rows mode: SQL predicate selecting rows to remove "
+        "(merge-on-read position delete)",
+    )
+    sn.add_argument(
+        "--partition", type=_csv, default=None,
+        help="drop-partition mode: name=value pairs (value 'null' "
+        "matches the NULL partition)",
     )
     sn.add_argument(
         "--olderThan", type=float, default=6 * 3600.0,
@@ -1987,7 +2003,38 @@ def main(argv: list[str] | None = None) -> int:
                 if not args.input:
                     raise SystemExit("--input is required with --mode append")
                 df = read_table(spark, args.input, fmt=args.format)
-                sid = snap.commit_append(df, args.table)
+                spec = None
+                if args.partitionBy:
+                    spec = []
+                    for item in args.partitionBy:
+                        parts = item.split(":")
+                        d = {"col": parts[0],
+                             "transform": parts[1] if len(parts) > 1
+                             else "identity"}
+                        if len(parts) > 2:
+                            d["param"] = int(parts[2])
+                        spec.append(d)
+                sid = snap.commit_append(df, args.table, partition_spec=spec)
+                print(_json.dumps({"snapshot_id": sid}))
+            elif args.mode == "delete-rows":
+                if not args.predicate:
+                    raise SystemExit(
+                        "--predicate is required with --mode delete-rows"
+                    )
+                sid = snap.delete_snapshot_rows_mor(
+                    spark, args.table, args.predicate
+                )
+                print(_json.dumps({"snapshot_id": sid}))
+            elif args.mode == "drop-partition":
+                if not args.partition:
+                    raise SystemExit(
+                        "--partition is required with --mode drop-partition"
+                    )
+                vals = {}
+                for pair in args.partition:
+                    k, v = pair.split("=", 1)
+                    vals[k] = None if v == "null" else v
+                sid = snap.drop_partition(spark, args.table, vals)
                 print(_json.dumps({"snapshot_id": sid}))
             elif args.mode == "read":
                 if not args.output:

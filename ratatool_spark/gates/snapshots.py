@@ -6,6 +6,7 @@ many physical files, commits, or rewrites produced it."""
 
 from __future__ import annotations
 
+import json
 import tempfile
 
 from pyspark.sql import functions as F
@@ -860,5 +861,408 @@ SELECT o_orderstatus,
        TRUE AS fold_same
 FROM orders, box
 WHERE o_orderkey NOT BETWEEN box.lo AND box.hi
+GROUP BY o_orderstatus
+"""
+
+
+def _q_snapshot_pos_delete(spark, sf_dir):
+    """Merge-on-read position DELETE (operators/snapshots.
+    delete_snapshot_rows_mor): rows matching an ARBITRARY disjunctive
+    predicate — one no range box or single key column can express — are
+    removed by recording their (file, row-ordinal) identities from the
+    parquet scan's _metadata columns as a sidecar: a metadata-tier
+    commit, zero files rewritten (no_rewrite). Readers anti-join the
+    broadcast sidecar against exactly the files the entry NAMES;
+    fold_deletes then rewrites ONLY those named files (fold_surgical
+    pins removed-by-fold == named) and the re-read is identical
+    (fold_same); the CDC feed carries every deleted row (cdc_exact).
+    The oracle is the CoW truth: the source table minus the predicate."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.snapshots import (
+        delete_snapshot_rows_mor,
+        fold_deletes,
+        read_manifest,
+        read_snapshot,
+        snapshot_change_feed,
+    )
+
+    path = _build_orders_table(spark, sf_dir, n_commits=3)
+    pred = ("(o_orderkey % 17 = 3) OR "
+            "(o_orderstatus = 'F' AND o_orderkey % 31 = 7)")
+    parent = read_manifest(path)["snapshot_id"]
+    before = {e["path"] for e in read_manifest(path)["files"]}
+    delete_snapshot_rows_mor(spark, path, pred)
+    m = read_manifest(path)
+    after = {e["path"] for e in m["files"]}
+    no_rewrite = before == after
+    entry = m["deletes"][-1]
+    named = set(entry["files"])
+    feed_dels = (
+        snapshot_change_feed(spark, path, parent)
+        .where(F.col("_change_type") == "delete")
+        .count()
+    )
+    cdc_exact = feed_dels == entry["rows"]
+
+    def _agg(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_total"),
+        )
+
+    mor = sorted(_agg(read_snapshot(spark, path)).collect())
+    fold_deletes(spark, path)
+    m2 = read_manifest(path)
+    if m2["deletes"]:
+        raise ValueError("fold_deletes left pending sidecars behind")
+    removed = before - {e["path"] for e in m2["files"]}
+    fold_surgical = removed == named and len(named) > 0
+    folded = sorted(_agg(read_snapshot(spark, path)).collect())
+    return _agg(read_snapshot(spark, path)).select(
+        "*",
+        F.lit(bool(no_rewrite)).alias("no_rewrite"),
+        F.lit(mor == folded).alias("fold_same"),
+        F.lit(bool(fold_surgical)).alias("fold_surgical"),
+        F.lit(bool(cdc_exact)).alias("cdc_exact"),
+    )
+
+
+_SQL_SNAPSHOT_POS_DELETE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+       TRUE AS no_rewrite,
+       TRUE AS fold_same,
+       TRUE AS fold_surgical,
+       TRUE AS cdc_exact
+FROM orders
+WHERE NOT ((o_orderkey % 17 = 3) OR
+           (o_orderstatus = 'F' AND o_orderkey % 31 = 7))
+GROUP BY o_orderstatus
+"""
+
+
+def _q_snapshot_partitioned_prune(spark, sf_dir):
+    """Hidden partitioning (operators/snapshots.table_partition_spec +
+    partition_prune): orders lands in two append commits under a
+    month(o_orderdate) x identity(o_orderstatus) spec — queries keep
+    predicating on the SOURCE columns and the planner maps the bounds
+    through the transforms to drop whole partitions from metadata
+    alone. partitions_scanned is the cross-engine pin: the distinct
+    partition tuples surviving the prune must equal DuckDB's count of
+    distinct (month, status) combinations actually present in the
+    predicate's range — the planner scanned exactly the partitions the
+    data demands, no more. spark_parity pins the driver-side and
+    Spark-job (externalized-manifest) prune paths to the same file
+    set; the row content equals the plain SQL filter (the oracle)."""
+    import datetime
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    import ratatool_spark.operators.snapshots as snap
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    path = tempfile.mkdtemp(prefix="rt_part_") + "/tbl"
+    spec = [
+        {"col": "o_orderdate", "transform": "month"},
+        {"col": "o_orderstatus", "transform": "identity"},
+    ]
+    snap.commit_append(
+        orders.where(F.col("o_orderkey") % 2 == 0), path,
+        partition_spec=spec,
+    )
+    snap.commit_append(orders.where(F.col("o_orderkey") % 2 == 1), path)
+    w = {
+        "o_orderdate": (
+            datetime.date(1996, 2, 1), datetime.date(1996, 4, 30)
+        ),
+        "o_orderstatus": ("F", "O"),
+    }
+    m = snap.read_manifest(path)
+    tspec = snap.table_partition_spec(path)
+    pr = snap.partition_prune(spark, tspec, m["schema"], m["files"], w)
+    kept_drv = {
+        e["path"]
+        for e in snap.files_intersecting({"files": pr}, w)
+    }
+    kept_spark = {
+        r["path"]
+        for r in snap.files_intersecting_spark(
+            snap.manifest_files_df(spark, path), w,
+            spec=tspec, schema_json=m["schema"],
+        ).collect()
+    }
+    by_path = {e["path"]: e for e in m["files"]}
+    tuples = {
+        (by_path[p]["partition"]["p0"], by_path[p]["partition"]["p1"])
+        for p in kept_drv
+    }
+    return (
+        snap.read_snapshot(spark, path, where=w)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_total"),
+        )
+        .select(
+            "*",
+            F.lit(len(tuples)).cast("long").alias("partitions_scanned"),
+            F.lit(kept_drv == kept_spark).alias("spark_parity"),
+            F.lit(len(kept_drv) < len(m["files"])).alias("files_pruned"),
+        )
+    )
+
+
+_SQL_SNAPSHOT_PARTITIONED_PRUNE = """
+WITH hit AS (
+  SELECT * FROM orders
+  WHERE o_orderdate BETWEEN TIMESTAMP '1996-02-01'
+                        AND TIMESTAMP '1996-04-30'
+    AND o_orderstatus BETWEEN 'F' AND 'O'
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+       (SELECT COUNT(DISTINCT strftime(o_orderdate, '%Y-%m') || o_orderstatus)
+        FROM hit) AS partitions_scanned,
+       TRUE AS spark_parity,
+       TRUE AS files_pruned
+FROM hit
+GROUP BY o_orderstatus
+"""
+
+
+def _q_snapshot_drop_partition(spark, sf_dir):
+    """Partition retirement (operators/snapshots.drop_partition):
+    dropping the 1995-03 month of a month-partitioned orders table is a
+    METADATA-ONLY commit — the manifest loses the partition's files, no
+    data byte is read or written for the drop itself (metadata_only
+    pins the file set strictly shrank with nothing added). The CDC feed
+    stays complete: cdc_deleted must equal DuckDB's independent count
+    of the dropped month's rows, and the surviving content equals the
+    source minus that month (the oracle). The partition-alignment
+    invariant that makes this sound (every write routes through the
+    spec) is enforced by drop_partition itself — it refuses unaligned
+    tables."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    import ratatool_spark.operators.snapshots as snap
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    path = tempfile.mkdtemp(prefix="rt_drop_") + "/tbl"
+    spec = [{"col": "o_orderdate", "transform": "month"}]
+    snap.commit_append(
+        orders.where(F.col("o_orderkey") % 2 == 0), path,
+        partition_spec=spec,
+    )
+    snap.commit_append(orders.where(F.col("o_orderkey") % 2 == 1), path)
+    before = {e["path"] for e in snap.read_manifest(path)["files"]}
+    sid = snap.current_snapshot_id(path)
+    snap.drop_partition(spark, path, {"p0": "1995-03"})
+    after = {e["path"] for e in snap.read_manifest(path)["files"]}
+    metadata_only = after < before and not (after - before)
+    cdc_deleted = (
+        snap.snapshot_change_feed(spark, path, sid)
+        .where(F.col("_change_type") == "delete")
+        .count()
+    )
+    return (
+        snap.read_snapshot(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_total"),
+        )
+        .select(
+            "*",
+            F.lit(cdc_deleted).cast("long").alias("cdc_deleted"),
+            F.lit(bool(metadata_only)).alias("metadata_only"),
+        )
+    )
+
+
+_SQL_SNAPSHOT_DROP_PARTITION = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+       (SELECT COUNT(*) FROM orders
+        WHERE strftime(o_orderdate, '%Y-%m') = '1995-03') AS cdc_deleted,
+       TRUE AS metadata_only
+FROM orders
+WHERE strftime(o_orderdate, '%Y-%m') <> '1995-03'
+GROUP BY o_orderstatus
+"""
+
+
+def _q_snapshot_wap_publish(spark, sf_dir):
+    """Write-audit-publish (operators/snapshots.stage_append /
+    read_branch / publish_branch / discard_branch — Iceberg's WAP
+    pattern): a corrupt candidate batch (negated totals) is staged,
+    audited on the BRANCH view, rejected and discarded — main never
+    sees a row of it (staged_invisible). The clean batch is then
+    staged, audited (zero violations on the branch), and published as a
+    METADATA-ONLY fast-forward (publish_metadata_only pins the file set
+    at publish == files already on disk at stage time). Final content
+    is the whole source table (the oracle)."""
+    from pyspark.sql import functions as F
+
+    import ratatool_spark.operators.snapshots as snap
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="rt_wap_") + "/tbl"
+    snap.commit_append(orders.where(F.col("o_orderkey") % 3 != 2), path)
+    base_n = snap.read_snapshot(spark, path).count()
+
+    batch = orders.where(F.col("o_orderkey") % 3 == 2)
+    corrupt = batch.withColumn(
+        "o_totalprice", -F.abs(F.col("o_totalprice"))
+    )
+    snap.stage_append(corrupt, path, "etl")
+    bad = (
+        snap.read_branch(spark, path, "etl")
+        .where(F.col("o_totalprice") < 0)
+        .count()
+    )
+    staged_invisible = snap.read_snapshot(spark, path).count() == base_n
+    audit_rejected = bad > 0
+    snap.discard_branch(path, "etl")
+
+    snap.stage_append(batch, path, "etl")
+    clean = (
+        snap.read_branch(spark, path, "etl")
+        .where(F.col("o_totalprice") < 0)
+        .count()
+    ) == 0
+    files_before = {
+        e["path"] for e in json.load(
+            open(snap._stage_path(path, "etl"))
+        )["files"]
+    }
+    snap.publish_branch(spark, path, "etl")
+    files_after = {e["path"] for e in snap.read_manifest(path)["files"]}
+    publish_metadata_only = files_after == files_before
+    return (
+        snap.read_snapshot(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_total"),
+        )
+        .select(
+            "*",
+            F.lit(bool(staged_invisible)).alias("staged_invisible"),
+            F.lit(bool(audit_rejected)).alias("audit_rejected"),
+            F.lit(bool(clean)).alias("audit_clean"),
+            F.lit(bool(publish_metadata_only)).alias("publish_metadata_only"),
+        )
+    )
+
+
+_SQL_SNAPSHOT_WAP_PUBLISH = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+       TRUE AS staged_invisible,
+       TRUE AS audit_rejected,
+       TRUE AS audit_clean,
+       TRUE AS publish_metadata_only
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def _q_snapshot_check_constraints(spark, sf_dir):
+    """Commit-time CHECK constraints (operators/snapshots.
+    add_constraint / ConstraintViolation — the Delta constraint model):
+    adding a constraint first PROVES the existing content satisfies it
+    (a too-strict one is refused: add_validates), then every row-adding
+    commit validates the INCOMING batch in one aggregate — a violating
+    append/merge never publishes (append_rejected, merge_rejected pin
+    the snapshot id did not move), while the valid batch lands. Final
+    content = the source table (the oracle): the bad batches left no
+    trace."""
+    from pyspark.sql import functions as F
+
+    import ratatool_spark.operators.snapshots as snap
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="rt_chk_") + "/tbl"
+    snap.commit_append(orders.where(F.col("o_orderkey") % 2 == 0), path)
+    snap.add_constraint(spark, path, "price_pos", "o_totalprice > 0")
+    snap.add_constraint(
+        spark, path, "status_known", "o_orderstatus IN ('F', 'O', 'P')"
+    )
+    add_validates = False
+    try:
+        snap.add_constraint(spark, path, "too_strict", "o_totalprice > 1e9")
+    except snap.ConstraintViolation:
+        add_validates = True
+    sid0 = snap.current_snapshot_id(path)
+    append_rejected = False
+    try:
+        snap.commit_append(
+            orders.where(F.col("o_orderkey") % 2 == 1).withColumn(
+                "o_totalprice", -F.col("o_totalprice")
+            ),
+            path,
+        )
+    except snap.ConstraintViolation:
+        append_rejected = snap.current_snapshot_id(path) == sid0
+    merge_rejected = False
+    try:
+        snap.merge_snapshot_mor(
+            spark, path,
+            orders.limit(10).withColumn("o_orderstatus", F.lit("X")),
+            ["o_orderkey"],
+        )
+    except snap.ConstraintViolation:
+        merge_rejected = snap.current_snapshot_id(path) == sid0
+    snap.commit_append(orders.where(F.col("o_orderkey") % 2 == 1), path)
+    return (
+        snap.read_snapshot(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_total"),
+        )
+        .select(
+            "*",
+            F.lit(bool(add_validates)).alias("add_validates"),
+            F.lit(bool(append_rejected)).alias("append_rejected"),
+            F.lit(bool(merge_rejected)).alias("merge_rejected"),
+        )
+    )
+
+
+_SQL_SNAPSHOT_CHECK_CONSTRAINTS = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+       TRUE AS add_validates,
+       TRUE AS append_rejected,
+       TRUE AS merge_rejected
+FROM orders
 GROUP BY o_orderstatus
 """

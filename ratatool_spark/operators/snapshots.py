@@ -55,11 +55,25 @@ design):
   persist their change sets as change files at commit time;
   :func:`snapshot_change_feed` replays any commit range as typed
   (row, _change_type, _commit_snapshot_id) rows without file diffing.
-* **Merge-on-read** (Iceberg's delete files, equality form):
-  :func:`merge_snapshot_mor` publishes the batch + a key sidecar
-  instead of rewriting files; readers anti-join sidecars against data
-  files with smaller sequence numbers; :func:`fold_deletes` and the
-  rewriting maintenance ops materialize and clear them.
+* **Merge-on-read** (Iceberg's delete files — all three forms):
+  :func:`merge_snapshot_mor` publishes the batch + an EQUALITY key
+  sidecar instead of rewriting files; :func:`delete_snapshot_where_mor`
+  records a RANGE predicate; :func:`delete_snapshot_rows_mor` records
+  POSITION (file, row-ordinal) identities from the parquet scan's
+  ``_metadata`` columns for arbitrary-predicate row removal. Readers
+  anti-join sidecars against data files with smaller sequence numbers;
+  :func:`fold_deletes` and the rewriting maintenance ops materialize
+  and clear them (position deletes fold surgically: only named files
+  rewrite).
+* **Hidden partitioning** (Iceberg's partition specs): an immutable
+  per-table transform spec (identity/truncate/bucket/month, declared
+  at creation — :func:`table_partition_spec`) routes EVERY data write
+  (appends and maintenance rewrites alike) into hive-layout partition
+  dirs whose values land in each manifest entry; queries predicate on
+  SOURCE columns and :func:`partition_prune` maps the bounds through
+  the transforms to drop whole partitions from metadata alone, and
+  :func:`drop_partition` retires a partition as a metadata-only
+  commit.
 * **Manifest scalability** (Iceberg's manifest lists): past
   ``FILES_INLINE_MAX`` files the list externalizes to a typed parquet
   sidecar; the commit json stays tiny, metadata readers pass
@@ -166,6 +180,91 @@ def read_manifest(
     return m
 
 
+_PART_NULL = "__HIVE_DEFAULT_PARTITION__"
+_SPEC_FILE = "partition_spec.json"
+
+
+def table_partition_spec(table_path: str) -> list[dict] | None:
+    """The table's partition spec (fixed at creation), or None for an
+    unpartitioned table. Spec items: {"name": "p0", "col": <source
+    column>, "transform": "identity"|"truncate"|"bucket"|"month",
+    "param": <width/bucket count, transform-dependent>} — Iceberg's
+    hidden-partitioning model: the PHYSICAL layout is derived from data
+    columns through declared transforms, queries keep predicating on
+    the source columns, and the planner maps predicates through the
+    transforms to prune whole partitions from metadata alone."""
+    p = os.path.join(table_path, _SNAP_DIR, _SPEC_FILE)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _store_partition_spec(table_path: str, spec: list[dict]) -> list[dict]:
+    norm = []
+    for i, item in enumerate(spec):
+        t = item.get("transform", "identity")
+        if t not in ("identity", "truncate", "bucket", "month"):
+            raise ValueError(f"unknown partition transform {t!r}")
+        if t in ("truncate", "bucket") and not item.get("param"):
+            raise ValueError(f"transform {t!r} needs a positive 'param'")
+        norm.append(
+            {"name": f"p{i}", "col": item["col"], "transform": t,
+             "param": item.get("param")}
+        )
+    os.makedirs(os.path.join(table_path, _SNAP_DIR), exist_ok=True)
+    p = os.path.join(table_path, _SNAP_DIR, _SPEC_FILE)
+    with open(p, "x") as f:  # spec is immutable once the table exists
+        json.dump(norm, f)
+    return norm
+
+
+_INT_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _partition_cols(spec: list[dict], df: DataFrame) -> list:
+    """The derived partition-value expressions, one per spec item,
+    aliased to the spec's synthetic names (p0, p1, ...) so the physical
+    dirs never collide with data columns. Transform semantics are
+    resolved from the COLUMN TYPE (Iceberg's rule): truncate = w-prefix
+    for strings, floor-to-multiple-of-w for ints — both
+    order-preserving, so range predicates map through."""
+    types = dict(df.dtypes)
+    out = []
+    for item in spec:
+        c, t, prm = F.col(item["col"]), item["transform"], item["param"]
+        if t == "identity":
+            e = c
+        elif t == "truncate":
+            if types.get(item["col"]) in _INT_TYPES:
+                e = c - F.pmod(c, F.lit(prm))
+            else:
+                e = F.substring(c, 1, prm)
+        elif t == "bucket":
+            e = F.pmod(F.hash(c), F.lit(prm))
+        else:  # month
+            e = F.date_format(c.cast("timestamp"), "yyyy-MM")
+        out.append(e.alias(item["name"]))
+    return out
+
+
+def _parse_partition(rel_under_commit: str) -> dict:
+    """Partition values from a hive-layout relative path
+    (p0=v/p1=w/part-...parquet) → {name: str | None}; Spark URL-encodes
+    special characters in dir values and writes NULL as
+    __HIVE_DEFAULT_PARTITION__."""
+    from urllib.parse import unquote
+
+    out: dict = {}
+    for seg in rel_under_commit.split(os.sep)[:-1]:
+        if "=" not in seg:
+            continue
+        name, val = seg.split("=", 1)
+        val = unquote(val)
+        out[name] = None if val == _PART_NULL else val
+    return out
+
+
 def _file_stats(md) -> dict:
     """Per-column [min, max] merged across a file's row groups, from the
     parquet footer (JSON-representable types only) — the file-level
@@ -204,28 +303,57 @@ def _write_data_files(
 ) -> list[dict]:
     """Write ``df`` as immutable parquet files under ``subdir`` and
     return their manifest entries (path, rows, bytes, per-column min/max
-    pruning stats). Files land under a per-commit uuid prefix, so
-    concurrent writers never collide and a failed commit's files are
-    identifiable orphans. The same machinery writes the data files
-    (``data/``), the CDC change files (``changes/``), and the
-    merge-on-read delete sidecars (``deletes/``)."""
+    pruning stats, and — on a partitioned table — the file's partition
+    tuple). Files land under a per-commit uuid prefix, so concurrent
+    writers never collide and a failed commit's files are identifiable
+    orphans. The same machinery writes the data files (``data/``), the
+    CDC change files (``changes/``), and the merge-on-read delete
+    sidecars (``deletes/``).
+
+    Partitioned tables: every DATA write — appends AND maintenance
+    rewrites (merge, fold, compaction) — goes through the table's
+    partition spec, so files stay partition-aligned across their whole
+    lifecycle: the derived partition columns (never stored; they are
+    recomputed from the row values) route rows into hive-layout dirs,
+    and the dir names are parsed back into each entry's ``partition``
+    tuple. Sidecars (changes/deletes) are change-batch-sized and stay
+    unpartitioned."""
     import pyarrow.parquet as pq
 
+    spec = table_partition_spec(table_path) if subdir == _DATA_DIR else None
     commit_uuid = uuid.uuid4().hex
     out_dir = os.path.join(table_path, subdir, commit_uuid)
-    df.write.parquet(out_dir)
+    if spec:
+        pnames = [item["name"] for item in spec]
+        clash = set(pnames) & set(df.columns)
+        if clash:
+            raise ValueError(
+                f"data columns {sorted(clash)} collide with partition "
+                "dir names — rename them"
+            )
+        (
+            df.select("*", *_partition_cols(spec, df))
+            .repartition(*[F.col(n) for n in pnames])
+            .write.partitionBy(*pnames)
+            .parquet(out_dir)
+        )
+    else:
+        df.write.parquet(out_dir)
     entries = []
-    for p in sorted(glob.glob(os.path.join(out_dir, "*.parquet"))):
+    for p in sorted(
+        glob.glob(os.path.join(out_dir, "**", "*.parquet"), recursive=True)
+    ):
         rel = os.path.relpath(p, table_path)
         md = pq.ParquetFile(p).metadata
-        entries.append(
-            {
-                "path": rel,
-                "rows": md.num_rows,
-                "bytes": os.path.getsize(p),
-                "stats": _file_stats(md),
-            }
-        )
+        e = {
+            "path": rel,
+            "rows": md.num_rows,
+            "bytes": os.path.getsize(p),
+            "stats": _file_stats(md),
+        }
+        if spec:
+            e["partition"] = _parse_partition(os.path.relpath(p, out_dir))
+        entries.append(e)
     return entries
 
 
@@ -233,7 +361,8 @@ _MANIFEST_DF_SCHEMA = (
     "path string, rows bigint, bytes bigint, seq bigint, "
     "lo_int map<string,bigint>, hi_int map<string,bigint>, "
     "lo_flt map<string,double>, hi_flt map<string,double>, "
-    "lo_str map<string,string>, hi_str map<string,string>"
+    "lo_str map<string,string>, hi_str map<string,string>, "
+    "part map<string,string>"
 )
 
 
@@ -251,6 +380,14 @@ def _entry_to_flat(e: dict) -> dict:
         "lo_int": {}, "hi_int": {},
         "lo_flt": {}, "hi_flt": {},
         "lo_str": {}, "hi_str": {},
+        # NULL partition values ride as the hive sentinel so the map
+        # stays string-typed; an entry with NO partition info is a null
+        # map (keep-always), distinct from an empty tuple
+        "part": (
+            {k: (_PART_NULL if v is None else str(v))
+             for k, v in e["partition"].items()}
+            if "partition" in e else None
+        ),
     }
     for c, (lo, hi) in e.get("stats", {}).items():
         if isinstance(lo, bool) or isinstance(hi, bool):
@@ -280,7 +417,8 @@ def _write_files_sidecar(table_path: str, new_id: int, files: list[dict]) -> str
 
     flat = [_entry_to_flat(e) for e in files]
     cols = ["path", "rows", "bytes", "seq",
-            "lo_int", "hi_int", "lo_flt", "hi_flt", "lo_str", "hi_str"]
+            "lo_int", "hi_int", "lo_flt", "hi_flt", "lo_str", "hi_str",
+            "part"]
     typ = {
         "path": pa.string(), "rows": pa.int64(), "bytes": pa.int64(),
         "seq": pa.int64(),
@@ -290,12 +428,16 @@ def _write_files_sidecar(table_path: str, new_id: int, files: list[dict]) -> str
         "hi_flt": pa.map_(pa.string(), pa.float64()),
         "lo_str": pa.map_(pa.string(), pa.string()),
         "hi_str": pa.map_(pa.string(), pa.string()),
+        "part": pa.map_(pa.string(), pa.string()),
     }
     arrays = []
     for c in cols:
         vals = [r[c] for r in flat]
         if c.startswith(("lo_", "hi_")):
             vals = [sorted(v.items()) for v in vals]
+        elif c == "part":
+            vals = [sorted(v.items()) if v is not None else None
+                    for v in vals]
         arrays.append(pa.array(vals, type=typ[c]))
     p = _files_ref_path(table_path, new_id)
     pq.write_table(pa.table(dict(zip(cols, arrays))), p)
@@ -325,6 +467,9 @@ def _load_files_sidecar(table_path: str, rel: str) -> list[dict]:
             else t[c].to_pylist())
         for c in t.column_names
     }
+    # part maps are tiny (one entry per spec item) and may be NULL
+    # (unpartitioned entry) — to_pylist keeps the null/empty distinction
+    parts = t["part"].to_pylist() if "part" in t.column_names else None
     out = []
     for i in range(t.num_rows):
         stats: dict = {}
@@ -335,15 +480,19 @@ def _load_files_sidecar(table_path: str, rel: str) -> list[dict]:
                 hi_m = dict(col[hi_k][i])
                 for c, lo in lo_m:
                     stats[c] = [lo, hi_m[c]]
-        out.append(
-            {
-                "path": col["path"][i],
-                "rows": col["rows"][i],
-                "bytes": col["bytes"][i],
-                "seq": col["seq"][i] or 0,
-                "stats": stats,
+        entry = {
+            "path": col["path"][i],
+            "rows": col["rows"][i],
+            "bytes": col["bytes"][i],
+            "seq": col["seq"][i] or 0,
+            "stats": stats,
+        }
+        if parts is not None and parts[i] is not None:
+            entry["partition"] = {
+                k: (None if v == _PART_NULL else v)
+                for k, v in dict(parts[i]).items()
             }
-        )
+        out.append(entry)
     return out
 
 
@@ -459,13 +608,32 @@ def _stamp_seq(entries: list[dict], parent: int | None) -> list[dict]:
 
 
 def commit_append(
-    df: DataFrame, table_path: str, extra: dict | None = None
+    df: DataFrame,
+    table_path: str,
+    extra: dict | None = None,
+    partition_spec: list[dict] | None = None,
 ) -> int:
     """Append ``df`` as a new snapshot: parent's files + the new files.
     Returns the published snapshot id. Data is written BEFORE the
     manifest is published, so a crash mid-commit leaves only orphans.
     ``extra`` lands in the manifest (e.g. the streaming sink's
-    ``stream_batch_id`` idempotency ledger)."""
+    ``stream_batch_id`` idempotency ledger).
+
+    ``partition_spec`` (first commit only — the spec is immutable for
+    the table's lifetime) declares hidden partitioning: a list of
+    {"col", "transform", "param"} items (see
+    :func:`table_partition_spec`). Every subsequent data write routes
+    through it automatically; readers prune partitions by predicating
+    on the SOURCE columns — they never see or name the physical
+    layout."""
+    if partition_spec is not None:
+        if current_snapshot_id(table_path) is not None:
+            raise ValueError(
+                "partition_spec can only be set when the table is "
+                "created (first commit) — it is immutable afterwards"
+            )
+        os.makedirs(table_path, exist_ok=True)
+        _store_partition_spec(table_path, partition_spec)
     parent = current_snapshot_id(table_path)
     base: list[dict] = []
     deletes: list[dict] = []
@@ -478,6 +646,7 @@ def commit_append(
     else:
         os.makedirs(table_path, exist_ok=True)
         schema_json = df.schema.json()
+    _enforce_constraints(df, table_path)
     new_files = _stamp_seq(_write_data_files(df, table_path), parent)
     return _publish(
         table_path, parent, base + new_files, schema_json, "append",
@@ -548,6 +717,188 @@ def files_intersecting(
     return kept
 
 
+_INT_JSON = {"byte", "short", "integer", "long"}
+_FLT_JSON = {"float", "double"}
+_DDL_OF_JSON = {
+    "byte": "tinyint", "short": "smallint", "integer": "int",
+    "long": "bigint", "float": "float", "double": "double",
+    "string": "string", "date": "date", "timestamp": "timestamp",
+    "boolean": "boolean",
+}
+
+
+def _schema_types(schema_json: str) -> dict[str, str]:
+    return {
+        f["name"]: (f["type"] if isinstance(f["type"], str) else "complex")
+        for f in json.loads(schema_json)["fields"]
+    }
+
+
+def _bound_str(v) -> str:
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return str(v)
+
+
+def _bucket_of(spark: SparkSession, value, ctype_json: str, n: int) -> int:
+    """The bucket Spark's partitioned writer assigned to ``value`` —
+    computed BY Spark (one zero-row-scan literal job) because
+    F.hash is type-sensitive and must match the write-side exactly."""
+    ddl = _DDL_OF_JSON.get(ctype_json, "string")
+    return spark.range(1).select(
+        F.pmod(F.hash(F.lit(value).cast(ddl)), F.lit(n)).alias("b")
+    ).first()["b"]
+
+
+def partition_prune(
+    spark: SparkSession,
+    spec: list[dict],
+    schema_json: str,
+    entries: list[dict],
+    where: dict[str, tuple],
+) -> list[dict]:
+    """The manifest entries a conjunctive range predicate on SOURCE
+    columns cannot rule out via the partition tuple — predicate bounds
+    are mapped THROUGH each transform (identity: direct; truncate:
+    floor/prefix monotonicity; month: ISO-prefix monotonicity; bucket:
+    point predicates only), the hidden-partitioning contract. Entries
+    without partition info (pre-spec files; never produced by this
+    layer, but safe-by-default) are kept; a NULL partition value is
+    DROPPED under any range predicate on that column — every row in the
+    file has NULL there, and a range never matches NULL. Metadata-only:
+    no file IO."""
+    types = _schema_types(schema_json)
+    items = [it for it in spec if it["col"] in where]
+    if not items:
+        return entries
+    bcache: dict[tuple, int] = {}
+    kept = []
+    for e in entries:
+        part = e.get("partition")
+        if part is None:
+            kept.append(e)
+            continue
+        drop = False
+        for it in items:
+            name, t, prm = it["name"], it["transform"], it["param"]
+            if name not in part:
+                continue
+            pv = part[name]
+            lo, hi = where[it["col"]]
+            if pv is None:
+                drop = True
+                break
+            ctype = types.get(it["col"], "string")
+            try:
+                if t == "identity":
+                    if ctype in _INT_JSON:
+                        ok = lo <= int(pv) <= hi
+                    elif ctype in _FLT_JSON:
+                        ok = lo <= float(pv) <= hi
+                    else:
+                        ok = _bound_str(lo) <= pv <= _bound_str(hi)
+                elif t == "truncate":
+                    if ctype in _INT_JSON:
+                        v = int(pv)
+                        ok = v <= hi and v + prm - 1 >= lo
+                    else:
+                        ok = (_bound_str(lo)[:prm] <= pv
+                              <= _bound_str(hi)[:prm])
+                elif t == "month":
+                    ok = _bound_str(lo)[:7] <= pv <= _bound_str(hi)[:7]
+                else:  # bucket: only a point predicate can prune
+                    if lo != hi:
+                        continue
+                    key = (it["col"], lo)
+                    if key not in bcache:
+                        bcache[key] = _bucket_of(spark, lo, ctype, prm)
+                    ok = int(pv) == bcache[key]
+            except (TypeError, ValueError):
+                continue  # un-mappable bound: cannot rule the file out
+            if not ok:
+                drop = True
+                break
+        if not drop:
+            kept.append(e)
+    return kept
+
+
+def drop_partition(
+    spark: SparkSession,
+    table_path: str,
+    values: dict[str, object],
+    record_changes: bool = True,
+) -> int:
+    """Drop every file whose partition tuple matches ``values`` (keyed
+    by spec item name, e.g. {"p0": "1995-03"}; None matches the NULL
+    partition) — a METADATA-ONLY commit, the partition-layout payoff:
+    retiring a month of a 100 TB time-partitioned table removes
+    thousands of files without reading or writing one byte of data.
+
+    Sound only because partition alignment is a lifecycle invariant
+    here (every data write routes through the spec): if any manifest
+    entry lacks the named partition values, the drop REFUSES — rows of
+    the target partition could hide in unaligned files; use
+    ``delete_snapshot_where`` instead. ``record_changes`` keeps the CDC
+    feed complete (one read of the dropped files, still zero rewrite)."""
+    spec = table_partition_spec(table_path) or []
+    names = {it["name"] for it in spec}
+    unknown = set(values) - names
+    if unknown:
+        raise ValueError(
+            f"unknown partition names {sorted(unknown)}; spec has "
+            f"{sorted(names)}"
+        )
+    parent = current_snapshot_id(table_path)
+    if parent is None:
+        raise FileNotFoundError(f"no snapshots under {table_path}")
+    m = read_manifest(table_path, parent)
+    unaligned = [
+        e["path"] for e in m["files"]
+        if any(n not in e.get("partition", {}) for n in values)
+    ]
+    if unaligned:
+        raise ValueError(
+            "drop_partition requires full partition alignment but "
+            f"{len(unaligned)} file(s) lack partition values (e.g. "
+            f"{unaligned[:3]}) — use delete_snapshot_where"
+        )
+
+    def _match(e):
+        return all(
+            e["partition"][n] == (None if v is None else str(v))
+            for n, v in values.items()
+        )
+
+    dropped = [e for e in m["files"] if _match(e)]
+    if not dropped:
+        return parent
+    kept = [e for e in m["files"] if not _match(e)]
+    change_files: list[dict] = []
+    if record_changes:
+        old = _read_entries(spark, table_path, m, dropped)
+        change_files = _write_data_files(
+            old.withColumn("_change_type", F.lit("delete")),
+            table_path, subdir=_CHANGES_DIR,
+        )
+    if current_snapshot_id(table_path) != parent:
+        raise CommitConflict(
+            f"snapshot advanced past {parent} while dropping — replan"
+        )
+    return _publish(
+        table_path, parent, kept, m["schema"], "drop-partition",
+        deletes=m.get("deletes", []),
+        changes=change_files,
+        extra={"change_op": "delete", "dropped_partition": {
+            k: (None if v is None else str(v)) for k, v in values.items()
+        }},
+    )
+
+
 def manifest_files_df(
     spark: SparkSession,
     table_path: str,
@@ -571,13 +922,77 @@ def manifest_files_df(
         [tuple(r[c] for c in (
             "path", "rows", "bytes", "seq",
             "lo_int", "hi_int", "lo_flt", "hi_flt", "lo_str", "hi_str",
+            "part",
         )) for r in rows],
         _MANIFEST_DF_SCHEMA,
     )
 
 
+def _partition_keep_expr(
+    spec: list[dict],
+    where: dict[str, tuple],
+    types: dict[str, str],
+):
+    """Spark expression: can the predicate rule this manifest row's
+    partition tuple out? Mirrors :func:`partition_prune` (same transform
+    monotonicity arguments); NULL/absent handling: no part map or no
+    entry for the item -> keep; hive NULL sentinel -> drop (a range
+    predicate never matches NULL rows). try_cast failures coalesce to
+    keep."""
+    cond = None
+    for it in spec:
+        if it["col"] not in where:
+            continue
+        lo, hi = where[it["col"]]
+        name, t, prm = it["name"], it["transform"], it["param"]
+        ctype = types.get(it["col"], "string")
+        pv = F.col("part")[F.lit(name)]
+        if t == "identity":
+            if ctype in _INT_JSON:
+                typed = pv.try_cast("bigint").between(
+                    F.lit(lo).try_cast("bigint"),
+                    F.lit(hi).try_cast("bigint"))
+            elif ctype in _FLT_JSON:
+                typed = pv.try_cast("double").between(
+                    F.lit(lo).try_cast("double"),
+                    F.lit(hi).try_cast("double"))
+            else:
+                typed = pv.between(F.lit(_bound_str(lo)),
+                                   F.lit(_bound_str(hi)))
+        elif t == "truncate":
+            if ctype in _INT_JSON:
+                v = pv.try_cast("bigint")
+                typed = (v <= F.lit(hi).try_cast("bigint")) & (
+                    v + F.lit(prm - 1) >= F.lit(lo).try_cast("bigint"))
+            else:
+                typed = pv.between(F.lit(_bound_str(lo)[:prm]),
+                                   F.lit(_bound_str(hi)[:prm]))
+        elif t == "month":
+            typed = pv.between(F.lit(_bound_str(lo)[:7]),
+                               F.lit(_bound_str(hi)[:7]))
+        else:  # bucket: point predicates only
+            if lo != hi:
+                continue
+            ddl = _DDL_OF_JSON.get(ctype, "string")
+            typed = pv.try_cast("int") == F.pmod(
+                F.hash(F.lit(lo).cast(ddl)), F.lit(prm))
+        e = (
+            F.when(F.col("part").isNull(), F.lit(True))
+            .when(~F.map_contains_key(F.col("part"), F.lit(name)),
+                  F.lit(True))
+            .when(pv == _PART_NULL, F.lit(False))
+            .otherwise(typed)
+        )
+        e = F.coalesce(e, F.lit(True))
+        cond = e if cond is None else (cond & e)
+    return cond
+
+
 def files_intersecting_spark(
-    manifest_df: DataFrame, where: dict[str, tuple]
+    manifest_df: DataFrame,
+    where: dict[str, tuple],
+    spec: list[dict] | None = None,
+    schema_json: str | None = None,
 ) -> DataFrame:
     """Spark-side twin of :func:`files_intersecting`: filter the typed
     manifest DataFrame down to the entries a conjunctive range predicate
@@ -585,7 +1000,13 @@ def files_intersecting_spark(
     stats map ⇒ the file is kept). Distributed: on a 10^5-10^6-file
     table this is a parquet scan + filter, not a driver loop — the
     ``manifest_pruning_equivalence`` gate pins both paths to the same
-    surviving set."""
+    surviving set. With ``spec``/``schema_json`` the partition tuple
+    prunes too (same transform mapping as :func:`partition_prune`),
+    composing with the stats filter."""
+    if spec and schema_json:
+        pk = _partition_keep_expr(spec, where, _schema_types(schema_json))
+        if pk is not None:
+            manifest_df = manifest_df.where(pk)
     cond = None
     for c, (lo, hi) in where.items():
         k = F.lit(c)
@@ -596,9 +1017,20 @@ def files_intersecting_spark(
         # out" must never drop it. Numeric truncation is directionally
         # safe against integer stats: lo truncates toward zero (widens
         # or exactly preserves the integer-point range), hi likewise.
-        lo_i, hi_i = F.lit(lo).try_cast("bigint"), F.lit(hi).try_cast("bigint")
-        lo_f, hi_f = F.lit(lo).try_cast("double"), F.lit(hi).try_cast("double")
-        lo_s, hi_s = F.lit(lo).cast("string"), F.lit(hi).cast("string")
+        def _num_lit(v, t):
+            # date/datetime bounds have no numeric form: a NULL literal
+            # keeps the coalesce-to-KEEP contract (and dodges the
+            # ANALYSIS-time cast error a typed literal would raise);
+            # such columns never carry int/float stats anyway
+            import datetime as _dt
+
+            if isinstance(v, (_dt.date, _dt.datetime)):
+                return F.lit(None).cast(t)
+            return F.lit(v).try_cast(t)
+
+        lo_i, hi_i = _num_lit(lo, "bigint"), _num_lit(hi, "bigint")
+        lo_f, hi_f = _num_lit(lo, "double"), _num_lit(hi, "double")
+        lo_s, hi_s = F.lit(_bound_str(lo)), F.lit(_bound_str(hi))
         c_hit = (
             F.when(
                 F.map_contains_key(F.col("lo_int"), k),
@@ -619,23 +1051,73 @@ def files_intersecting_spark(
     return manifest_df.where(cond if cond is not None else F.lit(True))
 
 
+def _table_prefix(table_path: str) -> str:
+    """The absolute-path prefix Spark's ``_metadata.file_path`` carries
+    for this table's files, normalized through realpath so the SAME
+    string is computed at position-delete time and at read time."""
+    return os.path.realpath(os.path.abspath(table_path)) + "/"
+
+
+def _attach_positions(df: DataFrame, table_path: str) -> DataFrame:
+    """Add (__file, __pos) row-identity columns from the parquet scan's
+    hidden ``_metadata`` struct: __file is the table-relative data-file
+    path, __pos the stable row ordinal within it — the per-row identity
+    the position-delete sidecars are keyed on. Zero extra IO: both come
+    from the reader, not the data pages."""
+    return (
+        df.select(
+            "*",
+            F.col("_metadata.file_path").alias("__fp"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+        .withColumn(
+            "__file",
+            F.substring_index(F.col("__fp"), _table_prefix(table_path), -1),
+        )
+        .drop("__fp")
+    )
+
+
+_POS_SIDECAR_SCHEMA = "file string, pos bigint"
+
+
 def _read_entries(
-    spark: SparkSession, table_path: str, m: dict, entries: list[dict]
+    spark: SparkSession,
+    table_path: str,
+    m: dict,
+    entries: list[dict],
+    with_positions: bool = False,
 ) -> DataFrame:
     """Read a subset of a snapshot's data files with the snapshot's
-    schema, applying the manifest's merge-on-read equality deletes: a
-    delete sidecar (key rows published by ``merge_snapshot_mor``)
-    shadows rows in every data file with seq < the delete's seq — the
-    anti-join-at-read half of the MoR contract. Files are grouped by how
-    many deletes apply (applicable sets nest, newest-last), so the scan
-    stays one union of a handful of strata, each anti-joined against the
-    BROADCAST key sidecars — delete files are change-batch-sized,
-    metadata-tier, never table-tier."""
+    schema, applying the manifest's merge-on-read deletes: a delete
+    sidecar shadows rows in every data file with seq < the delete's seq
+    — the anti-join-at-read half of the MoR contract. Files are grouped
+    by how many deletes apply (applicable sets nest, newest-last), so
+    the scan stays one union of a handful of strata, each anti-joined
+    against the BROADCAST sidecars — delete files are change-batch-
+    sized, metadata-tier, never table-tier. Three delete kinds:
+    equality (key rows, ``merge_snapshot_mor``), range (a predicate
+    box, ``delete_snapshot_where_mor``), and position ((file, pos)
+    rows, ``delete_snapshot_rows_mor``) — position deletes only touch
+    strata containing a file they NAME, and the (__file, __pos)
+    identity columns they join on are scan metadata, not data IO.
+
+    ``with_positions=True`` keeps (__file, __pos) in the result — the
+    surface :func:`delete_snapshot_rows_mor` selects row identities
+    from."""
+    from pyspark.sql.types import LongType, StringType, StructField
+
     schema = StructType.fromJson(json.loads(m["schema"]))
     if not entries:
+        if with_positions:
+            schema = StructType(
+                schema.fields
+                + [StructField("__pos", LongType()),
+                   StructField("__file", StringType())]
+            )
         return spark.createDataFrame([], schema)
     deletes = sorted(m.get("deletes", []), key=lambda d: d["seq"])
-    if not deletes:
+    if not deletes and not with_positions:
         return spark.read.schema(schema).parquet(
             *[os.path.join(table_path, e["path"]) for e in entries]
         )
@@ -650,10 +1132,22 @@ def _read_entries(
         strata.setdefault(i, []).append(e["path"])
     out = None
     for i, paths in sorted(strata.items()):
+        applicable = deletes[i:]
+        # position deletes name their files: a stratum containing none
+        # of a delete's named files skips its anti-join entirely
+        pos_live = {
+            id(d)
+            for d in applicable
+            if d.get("kind") == "position"
+            and set(paths) & set(d.get("files", []))
+        }
         df = spark.read.schema(schema).parquet(
             *[os.path.join(table_path, p) for p in paths]
         )
-        for d in deletes[i:]:
+        has_pos = with_positions or bool(pos_live)
+        if has_pos:
+            df = _attach_positions(df, table_path)
+        for d in applicable:
             if d.get("kind") == "range":
                 # predicate delete: drop rows inside the box; NULL-valued
                 # rows never match a range (same rule as the CoW delete)
@@ -662,11 +1156,24 @@ def _read_entries(
                     cond = F.col(c).between(lo, hi)
                     inside = cond if inside is None else (inside & cond)
                 df = df.where(F.coalesce(~inside, F.lit(True)))
+            elif d.get("kind") == "position":
+                if id(d) in pos_live:
+                    side = spark.read.schema(_POS_SIDECAR_SCHEMA).parquet(
+                        *[os.path.join(table_path, p) for p in d["paths"]]
+                    ).select(
+                        F.col("file").alias("__file"),
+                        F.col("pos").alias("__pos"),
+                    )
+                    df = df.join(
+                        F.broadcast(side), ["__file", "__pos"], "left_anti"
+                    )
             else:  # equality delete: anti-join the broadcast key sidecar
                 dk = spark.read.parquet(
                     *[os.path.join(table_path, p) for p in d["paths"]]
                 ).select(*d["keys"]).distinct()
                 df = df.join(F.broadcast(dk), d["keys"], "left_anti")
+        if has_pos and not with_positions:
+            df = df.drop("__file", "__pos")
         out = df if out is None else out.unionByName(df)
     return out
 
@@ -696,13 +1203,16 @@ def read_snapshot(
     Merge-on-read deletes (``merge_snapshot_mor``) are applied: rows a
     delete sidecar shadows never surface."""
     m = read_manifest(table_path, snapshot_id, load_files=False)
+    spec = table_partition_spec(table_path) if where else None
     if "files_ref" in m:
         # externalized manifest: plan WITHOUT materializing the entry
         # list on the driver — prune (optionally) as a Spark job over
-        # the parquet sidecar, collect only surviving (path, seq)
+        # the parquet sidecar (partition tuple AND stats), collect only
+        # surviving (path, seq)
         mdf = manifest_files_df(spark, table_path, m=m)
         if where:
-            mdf = files_intersecting_spark(mdf, where)
+            mdf = files_intersecting_spark(
+                mdf, where, spec=spec, schema_json=m["schema"])
         entries = [
             {"path": r["path"], "seq": r["seq"]}
             for r in mdf.select("path", "seq").collect()
@@ -710,7 +1220,11 @@ def read_snapshot(
     elif not where:
         entries = m["files"]
     else:
-        entries = files_intersecting(m, where)
+        entries = m["files"]
+        if spec:
+            entries = partition_prune(
+                spark, spec, m["schema"], entries, where)
+        entries = files_intersecting({"files": entries}, where)
     df = _read_entries(spark, table_path, m, entries)
     if where:
         for c, (lo, hi) in where.items():
@@ -856,6 +1370,11 @@ def vacuum_orphans(
         live.update(_referenced_paths(m))
         if "files_ref" in m:
             live.add(m["files_ref"])
+    # a staged (write-audit-publish) commit's files are pending, not
+    # orphaned — they become sweepable only when the stage is discarded
+    for sp_ in glob.glob(os.path.join(table_path, _SNAP_DIR, "stage-*.json")):
+        with open(sp_) as f:
+            live.update(_referenced_paths(json.load(f)))
     dead: list[str] = []
     # metadata debris: externalized manifest sidecars whose publish lost
     # the race/crashed (f*.parquet referenced by no manifest) and tmp
@@ -954,6 +1473,7 @@ def merge_snapshot(
         raise FileNotFoundError(f"no snapshots under {table_path}")
     m = read_manifest(table_path, parent)
     _check_schema(changes, m)
+    _enforce_constraints(changes, table_path)
     # one pass: the change batch's per-key-column bounding box PLUS the
     # duplicate-key guard — two change rows sharing a key would BOTH
     # land in the new snapshot (the anti-join only removes OLD rows),
@@ -1072,11 +1592,10 @@ def merge_snapshot_mor(
     thousand rows. MoR's write is exactly ``|changes|`` rows + a key
     sidecar; the cost moves to reads (one broadcast anti-join per
     pending sidecar), which is why maintenance folds them back in. This
-    is Iceberg's delete-file design in its equality form; the position
-    form needs a stable per-row ordinal, which Spark's parquet scan does
-    not expose — equality on the merge keys gives identical semantics
-    here because merge batches are keyed by construction (duplicate-key
-    batches are rejected, same guard as CoW).
+    is Iceberg's delete-file design in its equality form — the natural
+    fit for a keyed merge batch (duplicate-key batches are rejected,
+    same guard as CoW); the position form, for arbitrary-predicate row
+    removal, is :func:`delete_snapshot_rows_mor`.
 
     Change feed: the commit records no separate change files — its own
     data files ARE the postimages, surfaced by
@@ -1088,6 +1607,7 @@ def merge_snapshot_mor(
         raise FileNotFoundError(f"no snapshots under {table_path}")
     m = read_manifest(table_path, parent)
     _check_schema(changes, m)
+    _enforce_constraints(changes, table_path)
     nn = None
     for k in keys:
         c = F.col(k).isNotNull()
@@ -1237,6 +1757,336 @@ def delete_snapshot_where_mor(
     )
 
 
+def delete_snapshot_rows_mor(
+    spark: SparkSession,
+    table_path: str,
+    condition,
+    record_changes: bool = True,
+) -> int:
+    """MERGE-ON-READ position DELETE: remove the rows matching an
+    ARBITRARY predicate by recording their (file, row-ordinal)
+    identities as a delete sidecar — no data file is rewritten. This is
+    Iceberg's position-delete file: where the range form
+    (:func:`delete_snapshot_where_mor`) needs a conjunctive box and the
+    equality form (:func:`merge_snapshot_mor`) needs a key column, the
+    position form handles any row selection — "drop these specific
+    contaminated documents", "drop the losers of a dedup vote" — at a
+    commit cost of |matched rows| sidecar entries, not a table rewrite.
+
+    Row identity is the parquet scan's hidden ``_metadata.file_path`` /
+    ``row_index`` pair (stable per immutable file — files here are
+    never mutated, only replaced, and a position entry NAMES its files
+    so it can never apply to a rewritten successor). Readers anti-join
+    the broadcast sidecar on (__file, __pos) against exactly the named
+    files; ``fold_deletes`` rewrites ONLY the named files.
+
+    ``condition`` is a pyspark Column or SQL string evaluated against
+    the CURRENT logical content (pending deletes applied first — a row
+    an earlier sidecar already shadows is not re-recorded, keeping the
+    CDC feed exact). ``record_changes`` persists the deleted rows as
+    ``_change_type='delete'`` change files (one scan, zero rewrite),
+    same contract as the range form."""
+    parent = current_snapshot_id(table_path)
+    if parent is None:
+        raise FileNotFoundError(f"no snapshots under {table_path}")
+    if isinstance(condition, str):
+        condition = F.expr(condition)
+    m = read_manifest(table_path, parent)
+    new_id = parent + 1
+    cur = _read_entries(
+        spark, table_path, m, m["files"], with_positions=True
+    )
+    hits = cur.where(condition).persist()
+    try:
+        n = hits.count()
+        if n == 0:
+            return parent
+        files_named = sorted(
+            r["__file"] for r in hits.select("__file").distinct().collect()
+        )  # metadata-scale: one row per touched file
+        manifest_paths = {e["path"] for e in m["files"]}
+        stray = [p for p in files_named if p not in manifest_paths]
+        if stray:
+            # the relative-path computation disagrees with the manifest
+            # (exotic mount/symlink layout): refuse loudly — publishing
+            # would record a delete that silently never applies
+            raise ValueError(
+                "delete_snapshot_rows_mor: scan file paths do not "
+                f"resolve to manifest paths (e.g. {stray[:3]}) — "
+                "table_path normalization failed; use the copy-on-write "
+                "delete instead"
+            )
+        sidecar = _write_data_files(
+            hits.select(
+                F.col("__file").alias("file"), F.col("__pos").alias("pos")
+            ).coalesce(1),
+            table_path, subdir=_DELETES_DIR,
+        )
+        change_files: list[dict] = []
+        if record_changes:
+            change_files = _write_data_files(
+                hits.drop("__file", "__pos").withColumn(
+                    "_change_type", F.lit("delete")
+                ),
+                table_path, subdir=_CHANGES_DIR,
+            )
+        delete_entry = {
+            "kind": "position",
+            "paths": [e["path"] for e in sidecar],
+            "rows": n,
+            "files": files_named,
+            "seq": new_id,
+        }
+        if current_snapshot_id(table_path) != parent:
+            raise CommitConflict(
+                f"snapshot advanced past {parent} while deleting — replan"
+            )
+        return _publish(
+            table_path, parent, m["files"], m["schema"], "delete-mor",
+            deletes=m.get("deletes", []) + [delete_entry],
+            changes=change_files,
+            extra={"change_op": "delete", "delete_kind": "position"},
+        )
+    finally:
+        hits.unpersist()
+
+
+class BranchExists(Exception):
+    """A staged commit already exists for this branch name — publish or
+    discard it before staging again."""
+
+
+class ConstraintViolation(Exception):
+    """The incoming batch (or, at add time, the existing table) breaks
+    a CHECK constraint; the commit was NOT published."""
+
+
+def _stage_path(table_path: str, branch: str) -> str:
+    if not branch or "/" in branch or branch.startswith((".", "_")):
+        raise ValueError(f"bad branch name {branch!r}")
+    return os.path.join(table_path, _SNAP_DIR, f"stage-{branch}.json")
+
+
+def stage_append(
+    df: DataFrame, table_path: str, branch: str
+) -> int | None:
+    """WRITE step of write-audit-publish: append ``df`` to a STAGED
+    manifest under ``branch`` — data files land in the table (orphans
+    until published, invisible to every reader), the staged manifest
+    lives outside the v{N} namespace, and main does not move. The
+    Iceberg WAP pattern: a pipeline writes, an audit job reads the
+    branch (:func:`read_branch`) and runs its checks, and only then is
+    the snapshot made visible (:func:`publish_branch`) — a bad batch is
+    discarded (:func:`discard_branch`) without ever existing for
+    consumers. Returns the parent snapshot id the stage is pinned to
+    (None for a stage that creates the table).
+
+    One staged commit per branch: the audit applies to an exact
+    candidate state, not a moving target. CHECK constraints are
+    enforced at stage time (fail fast — the cheap audit before the
+    caller's own)."""
+    parent = current_snapshot_id(table_path)
+    base: list[dict] = []
+    deletes: list[dict] = []
+    if parent is not None:
+        m = read_manifest(table_path, parent)
+        _check_schema(df, m)
+        base = m["files"]
+        deletes = m.get("deletes", [])
+        schema_json = m["schema"]
+    else:
+        os.makedirs(table_path, exist_ok=True)
+        schema_json = df.schema.json()
+    _enforce_constraints(df, table_path)
+    sp = _stage_path(table_path, branch)
+    if os.path.exists(sp):
+        raise BranchExists(
+            f"branch {branch!r} already has a staged commit under "
+            f"{table_path} — publish_branch or discard_branch first"
+        )
+    new_files = _stamp_seq(_write_data_files(df, table_path), parent)
+    staged = {
+        "branch": branch,
+        "parent": parent,
+        "operation": "append",
+        "schema": schema_json,
+        "files": base + new_files,
+        "deletes": deletes,
+    }
+    tmp = sp + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(staged, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        try:
+            os.link(tmp, sp)
+        except FileExistsError as e:
+            raise BranchExists(
+                f"branch {branch!r} already has a staged commit under "
+                f"{table_path}"
+            ) from e
+        except OSError:
+            with open(sp, "x") as dst, open(tmp) as src:
+                dst.write(src.read())
+    finally:
+        os.remove(tmp)
+    return parent
+
+
+def read_branch(
+    spark: SparkSession, table_path: str, branch: str
+) -> DataFrame:
+    """The AUDIT surface of write-audit-publish: the table as it WOULD
+    look if the branch's staged commit were published — parent files +
+    staged files, pending MoR deletes applied. Reads the staged
+    manifest only; main is untouched."""
+    sp = _stage_path(table_path, branch)
+    if not os.path.exists(sp):
+        raise FileNotFoundError(
+            f"no staged commit for branch {branch!r} under {table_path}"
+        )
+    with open(sp) as f:
+        st = json.load(f)
+    return _read_entries(spark, table_path, st, st["files"])
+
+
+def publish_branch(
+    spark: SparkSession, table_path: str, branch: str
+) -> int:
+    """PUBLISH step of write-audit-publish: fast-forward main to the
+    audited staged commit — METADATA-ONLY (the data files have been in
+    place since the stage; one manifest publish makes them visible
+    atomically). Fails with :class:`CommitConflict` if main advanced
+    past the stage's parent: the audit blessed a state that no longer
+    exists, so re-stage against the new current and re-audit."""
+    sp = _stage_path(table_path, branch)
+    if not os.path.exists(sp):
+        raise FileNotFoundError(
+            f"no staged commit for branch {branch!r} under {table_path}"
+        )
+    with open(sp) as f:
+        st = json.load(f)
+    if current_snapshot_id(table_path) != st["parent"]:
+        raise CommitConflict(
+            f"main advanced past snapshot {st['parent']} while branch "
+            f"{branch!r} was staged — the audit is stale; discard, "
+            "re-stage, re-audit"
+        )
+    new_id = _publish(
+        table_path, st["parent"], st["files"], st["schema"],
+        st["operation"],
+        extra={"published_branch": branch},
+        deletes=st.get("deletes", []),
+    )
+    os.remove(sp)
+    return new_id
+
+
+def discard_branch(table_path: str, branch: str) -> bool:
+    """Drop a staged commit without publishing (the audit failed). The
+    staged data files become unreferenced and age out via
+    :func:`vacuum_orphans` — they were never visible. Returns whether a
+    stage existed."""
+    sp = _stage_path(table_path, branch)
+    if os.path.exists(sp):
+        os.remove(sp)
+        return True
+    return False
+
+
+_CONSTRAINTS_FILE = "constraints.json"
+
+
+def table_constraints(table_path: str) -> dict[str, str]:
+    """The table's CHECK constraints ({name: sql_expr}) — a table-level
+    property (the Delta model: constraints ride the table, not a
+    snapshot; a rollback does not silently un-protect the table)."""
+    p = os.path.join(table_path, _SNAP_DIR, _CONSTRAINTS_FILE)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_constraints(table_path: str, cons: dict[str, str]) -> None:
+    p = os.path.join(table_path, _SNAP_DIR, _CONSTRAINTS_FILE)
+    tmp = p + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(cons, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, p)
+
+
+def _violation_counts(df: DataFrame, cons: dict[str, str]) -> dict[str, int]:
+    """One aggregate pass over ``df``: per-constraint count of rows
+    whose CHECK expression is FALSE (SQL semantics: NULL passes)."""
+    aggs = [
+        F.count(
+            F.when(~F.coalesce(F.expr(expr), F.lit(True)), 1)
+        ).alias(name)
+        for name, expr in cons.items()
+    ]
+    row = df.agg(*aggs).first()
+    return {name: row[name] for name in cons}
+
+
+def _enforce_constraints(df: DataFrame, table_path: str) -> None:
+    """Reject a batch that breaks any table CHECK constraint — ONE
+    aggregate job over the incoming batch (never the table), run by
+    every row-adding commit (append, merge, MoR merge, stage)."""
+    cons = table_constraints(table_path)
+    if not cons:
+        return
+    bad = {k: v for k, v in _violation_counts(df, cons).items() if v}
+    if bad:
+        raise ConstraintViolation(
+            f"batch violates CHECK constraint(s) {bad} "
+            f"(rows in violation per constraint) under {table_path}"
+        )
+
+
+def add_constraint(
+    spark: SparkSession,
+    table_path: str,
+    name: str,
+    expr: str,
+    validate_existing: bool = True,
+) -> None:
+    """Add a CHECK constraint (SQL expression over the table's columns;
+    NULL passes, FALSE violates). ``validate_existing`` (default, the
+    Delta behaviour) first proves the CURRENT content satisfies it —
+    one scan — so a constraint can never be born already broken; every
+    subsequent row-adding commit then enforces it against the incoming
+    batch only (O(|batch|), never a table scan)."""
+    cons = table_constraints(table_path)
+    if name in cons:
+        raise ValueError(f"constraint {name!r} already exists")
+    F.expr(expr)  # syntax-check before anything persists
+    if validate_existing and current_snapshot_id(table_path) is not None:
+        n = _violation_counts(
+            read_snapshot(spark, table_path), {name: expr}
+        )[name]
+        if n:
+            raise ConstraintViolation(
+                f"existing table content violates {name!r} ({expr}): "
+                f"{n} row(s)"
+            )
+    cons[name] = expr
+    _write_constraints(table_path, cons)
+
+
+def drop_constraint(table_path: str, name: str) -> bool:
+    """Remove a CHECK constraint; returns whether it existed."""
+    cons = table_constraints(table_path)
+    if name not in cons:
+        return False
+    del cons[name]
+    _write_constraints(table_path, cons)
+    return True
+
+
 def fold_deletes(spark: SparkSession, table_path: str) -> int | None:
     """Materialize every pending merge-on-read delete: rewrite exactly
     the data files at least one sidecar applies to (seq < some delete's
@@ -1263,6 +2113,11 @@ def fold_deletes(spark: SparkSession, table_path: str) -> int | None:
         eseq = e.get("seq", 0)
         for d in deletes:
             if d["seq"] <= eseq:
+                continue
+            if d.get("kind") == "position":
+                # position deletes NAME their files — only those rewrite
+                if e["path"] in d.get("files", []):
+                    return True
                 continue
             b = d.get("box")
             if b is None:

@@ -1328,7 +1328,8 @@ def test_stream_source_expired_snapshot_raises_rebase_error(spark, tmp_path):
 @pytest.mark.parametrize("seed", [7, 1234])
 def test_randomized_op_sequence_equals_model(spark, tmp_path, seed):
     """Whole-layer fuzz: a random interleaving of append / CoW merge /
-    MoR merge / range delete / fold / compact / rollback must equal the
+    MoR merge / range delete / position delete / fold / compact /
+    rollback must equal the
     driver-side dict model after EVERY operation, and every retained
     snapshot must time-travel to the model state recorded when it was
     current — the upsert fuzz test generalized to the full maintenance
@@ -1336,6 +1337,7 @@ def test_randomized_op_sequence_equals_model(spark, tmp_path, seed):
     import random
 
     from ratatool_spark.operators.snapshots import (
+        delete_snapshot_rows_mor,
         delete_snapshot_where,
         delete_snapshot_where_mor,
         fold_deletes,
@@ -1359,7 +1361,7 @@ def test_randomized_op_sequence_equals_model(spark, tmp_path, seed):
     for _step in range(8):
         op = rng.choice(
             ["append", "merge", "merge_mor", "delete", "delete_mor",
-             "fold", "compact", "rollback"]
+             "delete_pos", "fold", "compact", "rollback"]
         )
         if op == "append":
             base = max(state, default=0) + 1
@@ -1379,6 +1381,11 @@ def test_randomized_op_sequence_equals_model(spark, tmp_path, seed):
             fn = (delete_snapshot_where if op == "delete"
                   else delete_snapshot_where_mor)
             fn(spark, path, {"id": (lo, hi)})
+        elif op == "delete_pos":
+            mod = rng.randint(2, 9)
+            rem = rng.randint(0, mod - 1)
+            state = {k: v for k, v in state.items() if k % mod != rem}
+            delete_snapshot_rows_mor(spark, path, f"id % {mod} = {rem}")
         elif op == "fold":
             fold_deletes(spark, path)
         elif op == "compact":
@@ -1640,3 +1647,435 @@ def test_expire_dry_run_reports_sidecars(spark, tmp_path, monkeypatch):
     assert any(p.startswith("snapshots/f") for p in dry)  # audited
     wet = snap.expire_snapshots(path, keep_last=1, delete=True)
     assert sorted(wet) == sorted(dry)  # the audit matched reality
+
+
+def test_position_delete_arbitrary_predicate(spark, tmp_path):
+    """delete_snapshot_rows_mor removes rows matching an arbitrary
+    disjunctive predicate with NO file rewritten; the sidecar names
+    exactly the touched files, and stacked position deletes compose."""
+    from ratatool_spark.operators.snapshots import (
+        delete_snapshot_rows_mor,
+        read_manifest,
+        read_snapshot,
+    )
+
+    path = _tbl(spark, tmp_path, n=2, rows=20)
+    before = {e["path"] for e in read_manifest(path)["files"]}
+    delete_snapshot_rows_mor(
+        spark, path, (F.col("id") % 7 == 3) | (F.col("id") > 35)
+    )
+    m = read_manifest(path)
+    assert {e["path"] for e in m["files"]} == before  # metadata commit
+    entry = m["deletes"][-1]
+    assert entry["kind"] == "position"
+    assert set(entry["files"]) <= before
+    exp = [k for k in range(40) if not (k % 7 == 3 or k > 35)]
+    got = sorted(r["id"] for r in read_snapshot(spark, path).collect())
+    assert got == exp
+    # stacked second position delete over the survivors
+    delete_snapshot_rows_mor(spark, path, "id % 11 = 0")
+    exp2 = [k for k in exp if k % 11 != 0]
+    got2 = sorted(r["id"] for r in read_snapshot(spark, path).collect())
+    assert got2 == exp2
+
+
+def test_position_delete_fold_rewrites_only_named_files(spark, tmp_path):
+    """fold_deletes after a position delete rewrites exactly the files
+    the entry names — untouched files keep their identity."""
+    from ratatool_spark.operators.snapshots import (
+        delete_snapshot_rows_mor,
+        fold_deletes,
+        read_manifest,
+        read_snapshot,
+    )
+
+    path = _tbl(spark, tmp_path, n=3, rows=10)
+    before = {e["path"] for e in read_manifest(path)["files"]}
+    # rows 0..9 live in commit 1's files only
+    delete_snapshot_rows_mor(spark, path, "id < 5")
+    named = set(read_manifest(path)["deletes"][-1]["files"])
+    assert named and named < before  # strictly fewer than all files
+    fold_deletes(spark, path)
+    m = read_manifest(path)
+    assert m["deletes"] == []
+    after = {e["path"] for e in m["files"]}
+    assert before - after == named  # only named files rewritten
+    got = sorted(r["id"] for r in read_snapshot(spark, path).collect())
+    assert got == list(range(5, 30))
+
+
+def test_position_delete_mixes_with_equality_and_range(spark, tmp_path):
+    """Position, equality (MoR merge), and range deletes stack in seq
+    order and the read equals the dict-fold truth."""
+    from ratatool_spark.operators.snapshots import (
+        delete_snapshot_rows_mor,
+        delete_snapshot_where_mor,
+        merge_snapshot_mor,
+        read_snapshot,
+    )
+
+    path = _tbl(spark, tmp_path, n=2, rows=20)
+    state = {k: k % 7 for k in range(40)}
+    # position delete: id % 5 == 1
+    delete_snapshot_rows_mor(spark, path, "id % 5 = 1")
+    state = {k: v for k, v in state.items() if k % 5 != 1}
+    # MoR merge: upsert grp=99 for id in [10, 14]
+    batch = spark.range(10, 15).select(
+        F.col("id").cast("long"), F.lit(99).cast("long").alias("grp")
+    )
+    merge_snapshot_mor(spark, path, batch, ["id"])
+    for k in range(10, 15):
+        state[k] = 99
+    # range delete: id in [30, 40]
+    delete_snapshot_where_mor(spark, path, {"id": (30, 40)})
+    state = {k: v for k, v in state.items() if not (30 <= k <= 40)}
+    got = {
+        r["id"]: r["grp"] for r in read_snapshot(spark, path).collect()
+    }
+    assert got == state
+
+
+def test_position_delete_noop_and_cdc(spark, tmp_path):
+    """Zero-match predicate publishes nothing; the CDC feed carries the
+    deleted rows of a real position delete."""
+    from ratatool_spark.operators.snapshots import (
+        current_snapshot_id,
+        delete_snapshot_rows_mor,
+        snapshot_change_feed,
+    )
+
+    path = _tbl(spark, tmp_path, n=2, rows=10)
+    sid = current_snapshot_id(path)
+    assert delete_snapshot_rows_mor(spark, path, "id = -1") == sid
+    assert current_snapshot_id(path) == sid
+    delete_snapshot_rows_mor(spark, path, "id >= 15")
+    feed = snapshot_change_feed(spark, path, sid)
+    dels = sorted(
+        r["id"] for r in feed.where(F.col("_change_type") == "delete").collect()
+    )
+    assert dels == list(range(15, 20))
+
+
+def test_position_delete_already_shadowed_rows_not_rerecorded(spark, tmp_path):
+    """The predicate is evaluated against CURRENT logical content: rows
+    an earlier sidecar shadows are not matched again, so the second
+    entry records only the newly-deleted rows (exact CDC)."""
+    from ratatool_spark.operators.snapshots import (
+        delete_snapshot_rows_mor,
+        read_manifest,
+    )
+
+    path = _tbl(spark, tmp_path, n=1, rows=20)
+    delete_snapshot_rows_mor(spark, path, "id < 10")
+    delete_snapshot_rows_mor(spark, path, "id < 15")  # overlaps the first
+    entries = read_manifest(path)["deletes"]
+    assert [e["rows"] for e in entries] == [10, 5]
+
+
+def _ptbl(spark, tmp_path, name="pt"):
+    """40-row table partitioned by identity(g) with a NULL g row."""
+    from ratatool_spark.operators.snapshots import commit_append
+
+    path = str(tmp_path / name)
+    df = spark.range(40).select(
+        F.col("id").cast("long"),
+        F.when(F.col("id") == 13, None)
+        .otherwise(F.col("id") % 4).cast("long").alias("g"),
+    )
+    commit_append(
+        df, path, partition_spec=[{"col": "g", "transform": "identity"}]
+    )
+    return path
+
+
+def test_partitioned_prune_exact_and_content(spark, tmp_path):
+    """Identity partitioning: a point predicate keeps exactly the
+    matching partition's files, a NULL-partition file is dropped under
+    any range predicate, and the pruned read equals the plain filter."""
+    from ratatool_spark.operators.snapshots import (
+        partition_prune,
+        read_manifest,
+        read_snapshot,
+        table_partition_spec,
+    )
+
+    path = _ptbl(spark, tmp_path)
+    m = read_manifest(path)
+    spec = table_partition_spec(path)
+    assert all("partition" in e for e in m["files"])
+    kept = partition_prune(
+        spark, spec, m["schema"], m["files"], {"g": (2, 2)}
+    )
+    assert {e["partition"]["p0"] for e in kept} == {"2"}
+    got = sorted(
+        r["id"] for r in read_snapshot(spark, path, where={"g": (2, 2)}).collect()
+    )
+    assert got == [k for k in range(40) if k % 4 == 2 and k != 13]
+    # full read still sees the NULL row
+    assert read_snapshot(spark, path).count() == 40
+
+
+def test_partition_transforms_bucket_truncate_month(spark, tmp_path):
+    """bucket prunes point predicates through Spark's own hash; int
+    truncate floors to multiples; month maps ISO prefixes — all three
+    keep exactly the partitions the data demands."""
+    import datetime
+
+    from ratatool_spark.operators.snapshots import (
+        commit_append,
+        partition_prune,
+        read_manifest,
+        read_snapshot,
+        table_partition_spec,
+    )
+
+    path = str(tmp_path / "tf")
+    df = spark.range(120).select(
+        F.col("id").cast("long"),
+        F.col("id").cast("int").alias("ci"),
+        F.date_add(F.lit("2024-01-01").cast("date"),
+                   (F.col("id") % 90).cast("int")).alias("d"),
+    )
+    commit_append(df, path, partition_spec=[
+        {"col": "ci", "transform": "bucket", "param": 4},
+        {"col": "id", "transform": "truncate", "param": 50},
+        {"col": "d", "transform": "month"},
+    ])
+    m = read_manifest(path)
+    spec = table_partition_spec(path)
+    # bucket: point predicate
+    kept = partition_prune(spark, spec, m["schema"], m["files"], {"ci": (42, 42)})
+    assert len({e["partition"]["p0"] for e in kept}) == 1
+    assert 42 in {r["id"] for r in read_snapshot(
+        spark, path, where={"ci": (42, 42)}).collect()}
+    # int truncate: [60, 110] -> floors 50 and 100 only
+    kept = partition_prune(spark, spec, m["schema"], m["files"], {"id": (60, 110)})
+    assert {e["partition"]["p1"] for e in kept} == {"50", "100"}
+    # month: Feb only
+    w = {"d": (datetime.date(2024, 2, 1), datetime.date(2024, 2, 29))}
+    kept = partition_prune(spark, spec, m["schema"], m["files"], w)
+    assert {e["partition"]["p2"] for e in kept} == {"2024-02"}
+    n = read_snapshot(spark, path, where=w).count()
+    assert n == sum(
+        1 for k in range(120)
+        if datetime.date(2024, 1, 1) + datetime.timedelta(days=k % 90)
+        >= datetime.date(2024, 2, 1)
+        and datetime.date(2024, 1, 1) + datetime.timedelta(days=k % 90)
+        <= datetime.date(2024, 2, 29)
+    )
+
+
+def test_partitioned_externalized_sidecar_parity(spark, tmp_path):
+    """The part map survives the parquet manifest sidecar round-trip and
+    the Spark-side prune keeps the same file set as the driver-side."""
+    import ratatool_spark.operators.snapshots as snap
+
+    old = snap.FILES_INLINE_MAX
+    snap.FILES_INLINE_MAX = 0
+    try:
+        path = _ptbl(spark, tmp_path, "ext")
+    finally:
+        snap.FILES_INLINE_MAX = old
+    m = snap.read_manifest(path)
+    assert "files_ref" in m
+    assert all("partition" in e for e in m["files"])
+    w = {"g": (1, 2)}
+    spec = snap.table_partition_spec(path)
+    drv = {e["path"] for e in snap.files_intersecting(
+        {"files": snap.partition_prune(spark, spec, m["schema"], m["files"], w)},
+        w)}
+    sp = {r["path"] for r in snap.files_intersecting_spark(
+        snap.manifest_files_df(spark, path), w,
+        spec=spec, schema_json=m["schema"]).collect()}
+    assert drv == sp
+    got = sorted(r["id"] for r in snap.read_snapshot(spark, path, where=w).collect())
+    assert got == [k for k in range(40) if k % 4 in (1, 2) and k != 13]
+
+
+def test_drop_partition_metadata_only(spark, tmp_path):
+    """drop_partition removes a partition's files without writing data,
+    records CDC, matches NULL partitions via None, and refuses unknown
+    names and unaligned tables."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from ratatool_spark.operators.snapshots import (
+        _snap_path,
+        current_snapshot_id,
+        drop_partition,
+        read_manifest,
+        read_snapshot,
+        snapshot_change_feed,
+    )
+
+    path = _ptbl(spark, tmp_path, "dp")
+    sid = current_snapshot_id(path)
+    before = {e["path"] for e in read_manifest(path)["files"]}
+    drop_partition(spark, path, {"p0": 2})
+    m = read_manifest(path)
+    after = {e["path"] for e in m["files"]}
+    assert after < before and not (after - before)
+    assert read_snapshot(spark, path).where("g = 2").count() == 0
+    feed = snapshot_change_feed(spark, path, sid)
+    assert feed.where("_change_type = 'delete'").count() == 10
+    # NULL partition drop
+    drop_partition(spark, path, {"p0": None})
+    assert read_snapshot(spark, path).where("g IS NULL").count() == 0
+    with _pytest.raises(ValueError, match="unknown partition names"):
+        drop_partition(spark, path, {"nope": 1})
+    # simulate an imported unaligned file: strip one entry's partition
+    cur = current_snapshot_id(path)
+    mp = _snap_path(path, cur)
+    man = _json.load(open(mp))
+    man["files"][0].pop("partition")
+    _json.dump(man, open(mp, "w"))
+    with _pytest.raises(ValueError, match="partition alignment"):
+        drop_partition(spark, path, {"p0": 1})
+
+
+def test_partition_spec_immutable_and_maintenance_aligned(spark, tmp_path):
+    """The spec is fixed at creation (later spec passes raise); every
+    maintenance rewrite (MoR merge + fold, compaction) re-derives
+    partition values, so alignment is a lifecycle invariant."""
+    import pytest as _pytest
+
+    from ratatool_spark.operators.snapshots import (
+        commit_append,
+        compact_snapshot,
+        fold_deletes,
+        merge_snapshot_mor,
+        read_manifest,
+        read_snapshot,
+    )
+
+    path = _ptbl(spark, tmp_path, "im")
+    df2 = spark.range(100, 110).select(
+        F.col("id").cast("long"), (F.col("id") % 4).cast("long").alias("g")
+    )
+    with _pytest.raises(ValueError, match="first commit"):
+        commit_append(df2, path,
+                      partition_spec=[{"col": "g", "transform": "identity"}])
+    commit_append(df2, path)  # inherits the spec automatically
+    batch = spark.range(5).select(
+        F.col("id").cast("long"), F.lit(3).cast("long").alias("g")
+    )
+    merge_snapshot_mor(spark, path, batch, ["id"])
+    fold_deletes(spark, path)
+    compact_snapshot(spark, path, target_bytes=1 << 30)
+    m = read_manifest(path)
+    assert all("partition" in e for e in m["files"])
+    # post-maintenance content: ids 0..39 (g overridden for 0..4) + 100..109
+    got = {r["id"]: r["g"] for r in read_snapshot(spark, path).collect()}
+    assert len(got) == 50
+    assert all(got[k] == 3 for k in range(5))
+
+
+def test_cli_delete_rows_and_drop_partition(spark, tmp_path, capsys):
+    """CLI verbs for the position delete and partition retirement."""
+    import json as _json
+
+    from ratatool_spark.cli import main as cli_main
+    from ratatool_spark.operators.snapshots import read_snapshot
+    from ratatool_spark.sources.io import write_table
+
+    src = str(tmp_path / "src.parquet")
+    df = spark.range(30).select(
+        F.col("id").cast("long"), (F.col("id") % 3).cast("long").alias("g")
+    )
+    write_table(df, src)
+    tbl = str(tmp_path / "ctbl")
+    cli_main([
+        "snapshot", "--mode", "append", "--table", tbl, "--input", src,
+        "--partitionBy", "g:identity",
+    ])
+    assert _json.loads(capsys.readouterr().out.strip())["snapshot_id"] == 1
+    cli_main([
+        "snapshot", "--mode", "delete-rows", "--table", tbl,
+        "--predicate", "id % 10 = 4",
+    ])
+    capsys.readouterr()
+    cli_main([
+        "snapshot", "--mode", "drop-partition", "--table", tbl,
+        "--partition", "p0=2",
+    ])
+    capsys.readouterr()
+    got = sorted(r["id"] for r in read_snapshot(spark, tbl).collect())
+    assert got == [
+        k for k in range(30) if k % 10 != 4 and k % 3 != 2
+    ]
+
+
+def test_wap_stage_audit_publish(spark, tmp_path):
+    """Write-audit-publish: staged rows are invisible to main, the
+    branch view shows the candidate state, publish is a metadata-only
+    fast-forward, and a stale stage (main advanced) cannot publish."""
+    import pytest as _pytest
+
+    import ratatool_spark.operators.snapshots as snap
+
+    path = _tbl(spark, tmp_path, n=1, rows=20)
+    batch = spark.range(20, 30).select(
+        F.col("id").cast("long"), (F.col("id") % 7).cast("long").alias("grp")
+    )
+    snap.stage_append(batch, path, "etl")
+    assert snap.read_snapshot(spark, path).count() == 20
+    assert snap.read_branch(spark, path, "etl").count() == 30
+    with _pytest.raises(snap.BranchExists):
+        snap.stage_append(batch, path, "etl")
+    # staged files survive an aggressive vacuum
+    assert snap.vacuum_orphans(path, delete=False, older_than=0) == []
+    before = {
+        e["path"] for e in __import__("json").load(
+            open(snap._stage_path(path, "etl")))["files"]
+    }
+    snap.publish_branch(spark, path, "etl")
+    assert {e["path"] for e in snap.read_manifest(path)["files"]} == before
+    assert snap.read_snapshot(spark, path).count() == 30
+    # stale stage: main advances underneath
+    snap.stage_append(batch.withColumn("grp", F.lit(0).cast("long")),
+                      path, "late")
+    commit_append(batch.select(
+        (F.col("id") + 100).alias("id"), F.col("grp")), path)
+    with _pytest.raises(snap.CommitConflict):
+        snap.publish_branch(spark, path, "late")
+    assert snap.discard_branch(path, "late")
+    assert not snap.discard_branch(path, "late")
+    # discarded stage's files become vacuumable once aged
+    dead = snap.vacuum_orphans(path, delete=True, older_than=0)
+    assert dead  # the late-stage data files
+
+
+def test_check_constraints_lifecycle(spark, tmp_path):
+    """CHECK constraints: add validates existing content, row-adding
+    commits reject violating batches atomically (id unchanged), NULL
+    passes, drop re-opens the gate."""
+    import pytest as _pytest
+
+    import ratatool_spark.operators.snapshots as snap
+
+    path = str(tmp_path / "ct")
+    df = spark.range(10).select(
+        F.col("id").cast("long"),
+        F.when(F.col("id") == 3, None).otherwise(F.col("id") * 2.0)
+        .alias("v"),
+    )
+    commit_append(df, path)
+    snap.add_constraint(spark, path, "v_nonneg", "v >= 0")  # NULL passes
+    with _pytest.raises(snap.ConstraintViolation):
+        snap.add_constraint(spark, path, "strict", "v > 100")
+    sid = snap.current_snapshot_id(path)
+    bad = spark.range(1).select(
+        F.lit(99).cast("long").alias("id"), F.lit(-1.0).alias("v"))
+    with _pytest.raises(snap.ConstraintViolation):
+        commit_append(bad, path)
+    with _pytest.raises(snap.ConstraintViolation):
+        snap.merge_snapshot(spark, path, bad, ["id"])
+    with _pytest.raises(snap.ConstraintViolation):
+        snap.merge_snapshot_mor(spark, path, bad, ["id"])
+    with _pytest.raises(snap.ConstraintViolation):
+        snap.stage_append(bad, path, "b")
+    assert snap.current_snapshot_id(path) == sid
+    assert snap.drop_constraint(path, "v_nonneg")
+    commit_append(bad, path)  # gate re-opened
+    assert snap.read_snapshot(spark, path).count() == 11
