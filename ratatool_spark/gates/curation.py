@@ -1593,3 +1593,154 @@ WITH corpus AS (
 )
 SELECT DISTINCT {fp} AS fp FROM corpus
 """
+
+
+def _q_ngram_lm_score(spark, sf_dir):
+    """Stupid-backoff trigram LM quality score (operators/corpus.
+    ngram_lm_score, self-scoring mode — Brants et al. 2007's
+    distributed web-scale LM: count tables + a backoff rule, no
+    discounting to fit): per token, the trigram relative frequency when
+    attested, else alpha x the bigram tier, else alpha^2 x the unigram
+    tier; document-initial tokens start at the highest tier their
+    context allows. The oracle replays the whole model — counts AND
+    backoff cascade — relationally."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.corpus import ngram_lm_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = ngram_lm_score(docs)
+    return out.select(
+        "doc_id", "n_tokens",
+        F.round("mean_logscore", 6).alias("mean_logscore"),
+    )
+
+
+_SQL_NGRAM_LM_SCORE = """
+WITH ds AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(text), ' '),
+                     x -> length(x) > 0) AS ts
+  FROM documents
+), toks AS (
+  SELECT doc_id,
+         CASE WHEN g.i >= 3 THEN ts[g.i - 2] END AS w1,
+         CASE WHEN g.i >= 2 THEN ts[g.i - 1] END AS w2,
+         ts[g.i] AS w3
+  FROM ds, UNNEST(generate_series(1, len(ts))) AS g(i)
+), c3 AS (SELECT w1, w2, w3, COUNT(*) AS cnt FROM toks
+          WHERE w1 IS NOT NULL GROUP BY ALL),
+   c2 AS (SELECT w2, w3, COUNT(*) AS cnt FROM toks
+          WHERE w2 IS NOT NULL GROUP BY ALL),
+   c1 AS (SELECT w3, COUNT(*) AS cnt FROM toks GROUP BY ALL),
+   tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM c1),
+scored AS (
+  SELECT t.doc_id,
+    CASE
+      WHEN t.w1 IS NOT NULL AND g3.cnt IS NOT NULL THEN LN(g3.cnt / x2.cnt)
+      WHEN t.w1 IS NOT NULL AND g2.cnt IS NOT NULL
+        THEN LN(0.4 * g2.cnt / x1.cnt)
+      WHEN t.w1 IS NOT NULL THEN LN(0.4 * 0.4 * (g1.cnt / tot.n))
+      WHEN t.w2 IS NOT NULL AND g2.cnt IS NOT NULL
+        THEN LN(g2.cnt / x1.cnt)
+      WHEN t.w2 IS NOT NULL THEN LN(0.4 * (g1.cnt / tot.n))
+      ELSE LN(g1.cnt / tot.n)
+    END AS lp
+  FROM toks t
+  LEFT JOIN c3 g3 ON t.w1 = g3.w1 AND t.w2 = g3.w2 AND t.w3 = g3.w3
+  LEFT JOIN c2 g2 ON t.w2 = g2.w2 AND t.w3 = g2.w3
+  LEFT JOIN c2 x2 ON t.w1 = x2.w2 AND t.w2 = x2.w3
+  LEFT JOIN c1 g1 ON t.w3 = g1.w3
+  LEFT JOIN c1 x1 ON t.w2 = x1.w3, tot
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, AVG(lp) AS mean_logscore
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+       ROUND(a.mean_logscore, 6) AS mean_logscore
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def _q_ngram_lm_frozen_oov(spark, sf_dir):
+    """Frozen-model scoring with OOV (operators/corpus.ngram_lm_counts
+    + ngram_lm_score): the trigram LM is trained ONCE on the even-id
+    half of the corpus and the odd-id half is scored under it — the
+    production shape (reference model persisted, every new batch scored
+    against the frozen counts), exercising the OOV floor for tokens the
+    reference never saw. The oracle retrains and rescores the same
+    split relationally, floor included."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.corpus import (
+        ngram_lm_counts,
+        ngram_lm_score,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lm = ngram_lm_counts(docs.where(F.col("doc_id") % 2 == 0))
+    out = ngram_lm_score(
+        docs.where(F.col("doc_id") % 2 == 1), lm_df=lm, oov_floor=1e-9
+    )
+    return out.select(
+        "doc_id", "n_tokens",
+        F.round("mean_logscore", 6).alias("mean_logscore"),
+    )
+
+
+_SQL_NGRAM_LM_FROZEN_OOV = """
+WITH ref AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(text), ' '),
+                     x -> length(x) > 0) AS ts
+  FROM documents WHERE doc_id % 2 = 0
+), rtoks AS (
+  SELECT CASE WHEN g.i >= 3 THEN ts[g.i - 2] END AS w1,
+         CASE WHEN g.i >= 2 THEN ts[g.i - 1] END AS w2,
+         ts[g.i] AS w3
+  FROM ref, UNNEST(generate_series(1, len(ts))) AS g(i)
+), c3 AS (SELECT w1, w2, w3, COUNT(*) AS cnt FROM rtoks
+          WHERE w1 IS NOT NULL GROUP BY ALL),
+   c2 AS (SELECT w2, w3, COUNT(*) AS cnt FROM rtoks
+          WHERE w2 IS NOT NULL GROUP BY ALL),
+   c1 AS (SELECT w3, COUNT(*) AS cnt FROM rtoks GROUP BY ALL),
+   tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM c1),
+qs AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(text), ' '),
+                     x -> length(x) > 0) AS ts
+  FROM documents WHERE doc_id % 2 = 1
+), toks AS (
+  SELECT doc_id,
+         CASE WHEN g.i >= 3 THEN ts[g.i - 2] END AS w1,
+         CASE WHEN g.i >= 2 THEN ts[g.i - 1] END AS w2,
+         ts[g.i] AS w3
+  FROM qs, UNNEST(generate_series(1, len(ts))) AS g(i)
+), scored AS (
+  SELECT t.doc_id,
+    CASE
+      WHEN t.w1 IS NOT NULL AND g3.cnt IS NOT NULL THEN LN(g3.cnt / x2.cnt)
+      WHEN t.w1 IS NOT NULL AND g2.cnt IS NOT NULL
+        THEN LN(0.4 * g2.cnt / x1.cnt)
+      WHEN t.w1 IS NOT NULL
+        THEN LN(0.4 * 0.4 * COALESCE(g1.cnt / tot.n, 1e-9))
+      WHEN t.w2 IS NOT NULL AND g2.cnt IS NOT NULL
+        THEN LN(g2.cnt / x1.cnt)
+      WHEN t.w2 IS NOT NULL THEN LN(0.4 * COALESCE(g1.cnt / tot.n, 1e-9))
+      ELSE LN(COALESCE(g1.cnt / tot.n, 1e-9))
+    END AS lp
+  FROM toks t
+  LEFT JOIN c3 g3 ON t.w1 = g3.w1 AND t.w2 = g3.w2 AND t.w3 = g3.w3
+  LEFT JOIN c2 g2 ON t.w2 = g2.w2 AND t.w3 = g2.w3
+  LEFT JOIN c2 x2 ON t.w1 = x2.w2 AND t.w2 = x2.w3
+  LEFT JOIN c1 g1 ON t.w3 = g1.w3
+  LEFT JOIN c1 x1 ON t.w2 = x1.w3, tot
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, AVG(lp) AS mean_logscore
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+       ROUND(a.mean_logscore, 6) AS mean_logscore
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+LEFT JOIN agg a USING (doc_id)
+"""

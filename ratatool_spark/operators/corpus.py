@@ -1131,6 +1131,152 @@ def build_token_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _ngram_position_frame(
+    df: DataFrame, text_col: str, id_col: str | None
+) -> DataFrame:
+    """One row per token position with its up-to-2-token left context:
+    (w1, w2, w3) where w3 is the token, w2/w1 the previous/previous-2
+    tokens (NULL at document starts). Both the n-gram COUNT tables and
+    the scoring stream derive from this single exploded frame, so train
+    and score count occurrences identically. Empty tokens (repeated
+    spaces) are filtered BEFORE positions are assigned."""
+    ts = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    cols = [F.col(id_col)] if id_col else []
+    return (
+        df.select(*cols, ts.alias("__ts"))
+        .select(
+            *([id_col] if id_col else []),
+            F.posexplode("__ts").alias("__pos", "w3"),
+            F.col("__ts"),
+        )
+        .select(
+            *([id_col] if id_col else []),
+            F.when(F.col("__pos") >= 2,
+                   F.col("__ts")[F.col("__pos") - 2]).alias("w1"),
+            F.when(F.col("__pos") >= 1,
+                   F.col("__ts")[F.col("__pos") - 1]).alias("w2"),
+            F.col("w3"),
+        )
+    )
+
+
+def ngram_lm_counts(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(n, w1, w2, w3, cnt): trigram/bigram/unigram occurrence counts
+    over the corpus — a stupid-backoff LM's entire model state (Brants
+    et al. 2007, "Large Language Models in Machine Translation": the
+    distributed web-scale n-gram LM is COUNT TABLES plus a backoff
+    rule; no discounting to fit, so training is pure counting). Shape:
+    one explode + three map-side-combining aggregations — the same
+    count-table sharding the paper runs at trillions of tokens.
+    Persist as parquet and feed :func:`ngram_lm_score` as the frozen
+    reference model; n identifies the order (unigram rows have
+    w1=w2=NULL, bigram rows w1=NULL)."""
+    pos = _ngram_position_frame(df, text_col, None)
+    tri = (
+        pos.where(F.col("w1").isNotNull())
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit(3).alias("n"), "w1", "w2", "w3", "cnt")
+    )
+    bi = (
+        pos.where(F.col("w2").isNotNull())
+        .groupBy("w2", "w3")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit(2).alias("n"), F.lit(None).cast("string").alias("w1"),
+                "w2", "w3", "cnt")
+    )
+    uni = (
+        pos.groupBy("w3")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit(1).alias("n"), F.lit(None).cast("string").alias("w1"),
+                F.lit(None).cast("string").alias("w2"), "w3", "cnt")
+    )
+    return tri.unionByName(bi).unionByName(uni)
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    lm_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+    oov_floor: float = 1e-9,
+) -> DataFrame:
+    """(id, n_tokens, mean_logscore): mean per-token log stupid-backoff
+    score under a trigram LM — the CCNet/KenLM perplexity-filter shape
+    with the model real web-scale pipelines actually train (Brants et
+    al. 2007). Per token: S(w3|w1 w2) = c(w1 w2 w3)/c(w1 w2) when the
+    trigram is attested, else alpha * S(w3|w2), recursing to the
+    unigram relative frequency; a document-initial token starts at the
+    highest tier its context allows (no alpha penalty for context that
+    cannot exist). Unseen unigrams (frozen-model scoring of new
+    batches) get ``oov_floor``.
+
+    ``lm_df`` is the production path: :func:`ngram_lm_counts` output
+    computed once on the reference corpus; without it the corpus scores
+    itself. Shape: ONE exploded position frame, five broadcast-or-
+    shuffle left joins against the count tables (gram + context count
+    per tier — exactly the lookup fan-out the distributed-LM paper
+    shards), one doc-keyed mean, then a left join back onto the input
+    ids so every input row appears (empty docs: n_tokens=0, NULL
+    score)."""
+    if lm_df is None:
+        lm_df = ngram_lm_counts(df, text_col)
+    lm_df = lm_df.localCheckpoint(eager=False)
+    tri = lm_df.where(F.col("n") == 3).select(
+        F.col("w1").alias("g3_w1"), F.col("w2").alias("g3_w2"),
+        F.col("w3").alias("g3_w3"), F.col("cnt").alias("c3"))
+    bi = lm_df.where(F.col("n") == 2).select(
+        F.col("w2").alias("g2_w2"), F.col("w3").alias("g2_w3"),
+        F.col("cnt").alias("c2"))
+    bictx = lm_df.where(F.col("n") == 2).select(
+        F.col("w2").alias("x2_w2"), F.col("w3").alias("x2_w3"),
+        F.col("cnt").alias("c2ctx"))
+    uni = lm_df.where(F.col("n") == 1).select(
+        F.col("w3").alias("g1_w3"), F.col("cnt").alias("c1"))
+    unictx = lm_df.where(F.col("n") == 1).select(
+        F.col("w3").alias("x1_w3"), F.col("cnt").alias("c1ctx"))
+    total = lm_df.where(F.col("n") == 1).agg(F.sum("cnt")).first()[0] or 0
+    pos = _ngram_position_frame(df, text_col, id_col)
+    j = (
+        pos
+        .join(tri, (F.col("w1") == F.col("g3_w1"))
+              & (F.col("w2") == F.col("g3_w2"))
+              & (F.col("w3") == F.col("g3_w3")), "left")
+        .join(bi, (F.col("w2") == F.col("g2_w2"))
+              & (F.col("w3") == F.col("g2_w3")), "left")
+        .join(bictx, (F.col("w1") == F.col("x2_w2"))
+              & (F.col("w2") == F.col("x2_w3")), "left")
+        .join(uni, F.col("w3") == F.col("g1_w3"), "left")
+        .join(unictx, F.col("w2") == F.col("x1_w3"), "left")
+    )
+    a = F.lit(alpha)
+    s1 = F.coalesce(F.col("c1") / F.lit(float(total)),
+                    F.lit(float(oov_floor)))
+    lp = (
+        F.when(F.col("w1").isNotNull() & F.col("c3").isNotNull(),
+               F.log(F.col("c3") / F.col("c2ctx")))
+        .when(F.col("w1").isNotNull() & F.col("c2").isNotNull(),
+              F.log(a * F.col("c2") / F.col("c1ctx")))
+        .when(F.col("w1").isNotNull(), F.log(a * a * s1))
+        .when(F.col("w2").isNotNull() & F.col("c2").isNotNull(),
+              F.log(F.col("c2") / F.col("c1ctx")))
+        .when(F.col("w2").isNotNull(), F.log(a * s1))
+        .otherwise(F.log(s1))
+    )
+    scores = j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg(lp).alias("mean_logscore"),
+    )
+    return df.select(id_col).join(scores, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+        "mean_logscore",
+    )
+
+
 def gopher_quality_flags(
     df: DataFrame,
     text_col: str = "text",

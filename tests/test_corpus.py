@@ -1267,3 +1267,109 @@ def test_bpe_tokenizer_artifact_records_alphabet_mode(spark, tmp_path):
     p2 = str(tmp_path / "tok2.json")
     save_bpe_tokenizer(spark, p2, merges)
     assert load_bpe_tokenizer(spark, p2, expect_byte_level=False) == merges
+
+
+def _sb_ref(train_docs, score_docs, alpha=0.4, floor=1e-9):
+    """Independent stupid-backoff reference: pure-python counts +
+    cascade, for cross-checking the DataFrame implementation."""
+    import math
+    from collections import Counter
+
+    c3, c2, c1 = Counter(), Counter(), Counter()
+    for t in train_docs:
+        ws = [w for w in t.strip().split(" ") if w]
+        for i, w in enumerate(ws):
+            c1[w] += 1
+            if i >= 1:
+                c2[(ws[i - 1], w)] += 1
+            if i >= 2:
+                c3[(ws[i - 2], ws[i - 1], w)] += 1
+    tot = sum(c1.values())
+    out = []
+    for t in score_docs:
+        ws = [w for w in t.strip().split(" ") if w]
+        lps = []
+        for i, w in enumerate(ws):
+            s1 = c1[w] / tot if c1[w] else floor
+            if i >= 2:
+                tri, ctx = c3[(ws[i - 2], ws[i - 1], w)], c2[(ws[i - 2], ws[i - 1])]
+                if tri:
+                    lps.append(math.log(tri / ctx))
+                elif c2[(ws[i - 1], w)]:
+                    lps.append(math.log(alpha * c2[(ws[i - 1], w)] / c1[ws[i - 1]]))
+                else:
+                    lps.append(math.log(alpha * alpha * s1))
+            elif i == 1:
+                if c2[(ws[0], w)]:
+                    lps.append(math.log(c2[(ws[0], w)] / c1[ws[0]]))
+                else:
+                    lps.append(math.log(alpha * s1))
+            else:
+                lps.append(math.log(s1))
+        out.append((len(lps), sum(lps) / len(lps) if lps else None))
+    return out
+
+
+def test_ngram_lm_self_score_matches_reference(spark):
+    """Self-scored stupid-backoff trigram scores equal an independent
+    pure-python implementation, including document starts and the
+    empty-document every-row guarantee."""
+    from ratatool_spark.operators.corpus import ngram_lm_score
+
+    texts = ["a b a b c", "a b", "c c a b a", "   ", "b a b"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["mean_logscore"])
+        for r in ngram_lm_score(df).collect()
+    }
+    ref = _sb_ref([t for t in texts], [t for t in texts])
+    assert set(got) == set(range(5))
+    for i, (n, lp) in enumerate(ref):
+        assert got[i][0] == n
+        if lp is None:
+            assert got[i][1] is None
+        else:
+            assert abs(got[i][1] - lp) < 1e-9, (i, got[i][1], lp)
+
+
+def test_ngram_lm_frozen_oov_floor(spark):
+    """Frozen-model scoring: tokens the reference never saw fall to the
+    OOV floor through the full alpha cascade."""
+    from ratatool_spark.operators.corpus import (
+        ngram_lm_counts,
+        ngram_lm_score,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "a b c a b c")], "doc_id long, text string"
+    )
+    lm = ngram_lm_counts(train)
+    q = spark.createDataFrame(
+        [(1, "a b z"), (2, "z")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["mean_logscore"])
+        for r in ngram_lm_score(q, lm_df=lm, oov_floor=1e-6).collect()
+    }
+    ref = _sb_ref(["a b c a b c"], ["a b z", "z"], floor=1e-6)
+    for i, key in enumerate([1, 2]):
+        assert got[key][0] == ref[i][0]
+        assert abs(got[key][1] - ref[i][1]) < 1e-9
+
+
+def test_ngram_lm_counts_orders(spark):
+    """The count table carries all three orders with the right keys."""
+    from ratatool_spark.operators.corpus import ngram_lm_counts
+
+    df = spark.createDataFrame([(0, "x y x y")], "doc_id long, text string")
+    rows = {
+        (r["n"], r["w1"], r["w2"], r["w3"]): r["cnt"]
+        for r in ngram_lm_counts(df).collect()
+    }
+    assert rows[(1, None, None, "x")] == 2
+    assert rows[(2, None, "x", "y")] == 2
+    assert rows[(2, None, "y", "x")] == 1
+    assert rows[(3, "x", "y", "x")] == 1
+    assert rows[(3, "y", "x", "y")] == 1
