@@ -72,6 +72,7 @@ def zorder_repartition(
     bits: int = 16,
     num_partitions: int | None = None,
     z_col: str | None = None,
+    arrange: bool = True,
 ) -> DataFrame:
     """Cluster a DataFrame by the z-order of ``cols`` for write-out:
     per-column min/max from ONE broadcast aggregate row (no driver
@@ -80,7 +81,13 @@ def zorder_repartition(
     row groups inside each file are tight too. Write the result with
     ``partitionBy``-free parquet and every z-column's min/max footer
     stats become selective. ``z_col`` keeps the key as a named output
-    column (for gates/audits); default drops it."""
+    column (for gates/audits); default drops it. ``arrange=False``
+    skips the exchange+sort and just attaches the key (z_col required):
+    for writers that do their OWN partition-aligned range arrangement
+    on the key (partitioned snapshot tables), a second exchange here
+    would be pure waste."""
+    if not arrange and not z_col:
+        raise ValueError("arrange=False needs z_col (the key IS the output)")
     aggs = []
     for c in cols:
         aggs += [
@@ -98,6 +105,8 @@ def zorder_repartition(
     out = with_rng.withColumn(keep, key).drop(
         *[f"__zlo_{c}" for c in cols], *[f"__zhi_{c}" for c in cols]
     )
+    if not arrange:
+        return out
     if num_partitions:
         out = out.repartitionByRange(num_partitions, F.col(keep))
     else:

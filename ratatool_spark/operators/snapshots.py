@@ -299,7 +299,11 @@ def _file_stats(md) -> dict:
 
 
 def _write_data_files(
-    df: DataFrame, table_path: str, subdir: str = _DATA_DIR
+    df: DataFrame,
+    table_path: str,
+    subdir: str = _DATA_DIR,
+    layout_sort: list[str] | None = None,
+    layout_partitions: int | None = None,
 ) -> list[dict]:
     """Write ``df`` as immutable parquet files under ``subdir`` and
     return their manifest entries (path, rows, bytes, per-column min/max
@@ -317,7 +321,14 @@ def _write_data_files(
     recomputed from the row values) route rows into hive-layout dirs,
     and the dir names are parsed back into each entry's ``partition``
     tuple. Sidecars (changes/deletes) are change-batch-sized and stay
-    unpartitioned."""
+    unpartitioned.
+
+    ``layout_sort`` (columns already on ``df``, consumed and dropped
+    before write) switches the partitioned arrangement from a plain
+    hash repartition to range-partition + sort on (partition cols,
+    layout cols) — how z-order clustering stays effective INSIDE each
+    partition: without it the partition-routing shuffle would silently
+    destroy the z-locality the caller just built."""
     import pyarrow.parquet as pq
 
     spec = table_partition_spec(table_path) if subdir == _DATA_DIR else None
@@ -331,12 +342,17 @@ def _write_data_files(
                 f"data columns {sorted(clash)} collide with partition "
                 "dir names — rename them"
             )
-        (
-            df.select("*", *_partition_cols(spec, df))
-            .repartition(*[F.col(n) for n in pnames])
-            .write.partitionBy(*pnames)
-            .parquet(out_dir)
-        )
+        d = df.select("*", *_partition_cols(spec, df))
+        if layout_sort:
+            arr = [F.col(n) for n in pnames + layout_sort]
+            if layout_partitions:
+                d = d.repartitionByRange(layout_partitions, *arr)
+            else:
+                d = d.repartitionByRange(*arr)
+            d = d.sortWithinPartitions(*arr).drop(*layout_sort)
+        else:
+            d = d.repartition(*[F.col(n) for n in pnames])
+        d.write.partitionBy(*pnames).parquet(out_dir)
     else:
         df.write.parquet(out_dir)
     entries = []
@@ -2222,15 +2238,36 @@ def cluster_snapshot(
     if parent is None:
         raise FileNotFoundError(f"no snapshots under {table_path}")
     m = read_manifest(table_path, parent)
-    clustered = zorder_repartition(
-        read_snapshot(spark, table_path, parent),
-        zorder_cols,
-        bits=bits,
-        num_partitions=num_partitions,
-    )
-    # full rewrite through the deletes-aware read: every pending
-    # merge-on-read delete is folded, so the new manifest carries none
-    new_files = _stamp_seq(_write_data_files(clustered, table_path), parent)
+    spec = table_partition_spec(table_path)
+    if spec:
+        # partitioned table: attach the Morton key only and let the
+        # writer range-arrange on (partition cols, key) — z-locality
+        # WITHIN each partition, partition alignment preserved, one
+        # exchange instead of two
+        clustered = zorder_repartition(
+            read_snapshot(spark, table_path, parent),
+            zorder_cols, bits=bits, z_col="__z", arrange=False,
+        )
+        new_files = _stamp_seq(
+            _write_data_files(
+                clustered, table_path, layout_sort=["__z"],
+                layout_partitions=num_partitions,
+            ),
+            parent,
+        )
+    else:
+        clustered = zorder_repartition(
+            read_snapshot(spark, table_path, parent),
+            zorder_cols,
+            bits=bits,
+            num_partitions=num_partitions,
+        )
+        # full rewrite through the deletes-aware read: every pending
+        # merge-on-read delete is folded, so the new manifest carries
+        # none
+        new_files = _stamp_seq(
+            _write_data_files(clustered, table_path), parent
+        )
     if current_snapshot_id(table_path) != parent:
         raise CommitConflict(
             f"snapshot advanced past {parent} while clustering — replan"

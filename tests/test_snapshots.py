@@ -2079,3 +2079,38 @@ def test_check_constraints_lifecycle(spark, tmp_path):
     assert snap.drop_constraint(path, "v_nonneg")
     commit_append(bad, path)  # gate re-opened
     assert snap.read_snapshot(spark, path).count() == 11
+
+
+def test_cluster_partitioned_table_keeps_alignment_and_zorder(spark, tmp_path):
+    """cluster_snapshot on a PARTITIONED table: partition alignment is
+    preserved (drop_partition still works afterwards) AND the z-layout
+    survives the partition routing — a 2-D box prunes files within
+    partitions. Without the layout-aware writer the partition shuffle
+    would silently destroy the z-locality."""
+    import ratatool_spark.operators.snapshots as snap
+
+    path = str(tmp_path / "zp")
+    df = spark.range(20000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).alias("g"),
+        F.pmod(F.hash(F.col("id")), F.lit(1000)).cast("long").alias("x"),
+        F.pmod(F.hash(F.col("id") + 7), F.lit(1000)).cast("long").alias("y"),
+    )
+    snap.commit_append(
+        df, path, partition_spec=[{"col": "g", "transform": "identity"}]
+    )
+    snap.cluster_snapshot(spark, path, ["x", "y"], num_partitions=12)
+    m = snap.read_manifest(path)
+    assert all("partition" in e for e in m["files"])
+    assert len(m["files"]) >= 6  # range chunks actually materialized
+    w = {"x": (100, 200), "y": (100, 200)}
+    kept = snap.files_intersecting(m, w)
+    assert len(kept) < len(m["files"]) / 2  # z-pruning survived routing
+    got = snap.read_snapshot(spark, path, where=w).count()
+    exp = df.where(
+        "x between 100 and 200 and y between 100 and 200"
+    ).count()
+    assert got == exp
+    # partition ops still available after the clustering rewrite
+    snap.drop_partition(spark, path, {"p0": 1}, record_changes=False)
+    assert snap.read_snapshot(spark, path).where("g = 1").count() == 0
