@@ -922,7 +922,9 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["append", "read", "compact", "cluster", "merge",
                  "merge-mor", "fold", "delete", "delete-mor", "delete-rows",
                  "drop-partition", "expire", "vacuum",
-                 "changes", "mirror", "rollback", "log"],
+                 "changes", "mirror", "rollback", "log",
+                 "stage", "read-branch", "publish", "discard",
+                 "add-constraint", "drop-constraint"],
         required=True,
     )
     sn.add_argument("--table", required=True, help="snapshot table root")
@@ -972,6 +974,19 @@ def build_parser() -> argparse.ArgumentParser:
         "--partition", type=_csv, default=None,
         help="drop-partition mode: name=value pairs (value 'null' "
         "matches the NULL partition)",
+    )
+    sn.add_argument(
+        "--branch", default=None,
+        help="stage/read-branch/publish/discard mode: branch name "
+        "(write-audit-publish)",
+    )
+    sn.add_argument(
+        "--name", default=None,
+        help="add-constraint/drop-constraint mode: constraint name",
+    )
+    sn.add_argument(
+        "--expr", default=None,
+        help="add-constraint mode: CHECK expression (SQL; NULL passes)",
     )
     sn.add_argument(
         "--olderThan", type=float, default=6 * 3600.0,
@@ -2016,6 +2031,52 @@ def main(argv: list[str] | None = None) -> int:
                         spec.append(d)
                 sid = snap.commit_append(df, args.table, partition_spec=spec)
                 print(_json.dumps({"snapshot_id": sid}))
+            elif args.mode == "stage":
+                if not args.input or not args.branch:
+                    raise SystemExit(
+                        "--input and --branch are required with --mode stage"
+                    )
+                df = read_table(spark, args.input, fmt=args.format)
+                parent = snap.stage_append(df, args.table, args.branch)
+                print(_json.dumps({"staged_on": parent,
+                                   "branch": args.branch}))
+            elif args.mode == "read-branch":
+                if not args.branch or not args.output:
+                    raise SystemExit(
+                        "--branch and --output are required with "
+                        "--mode read-branch"
+                    )
+                out = snap.read_branch(spark, args.table, args.branch)
+                write_table(out, args.output, mode="overwrite")
+            elif args.mode == "publish":
+                if not args.branch:
+                    raise SystemExit(
+                        "--branch is required with --mode publish"
+                    )
+                sid = snap.publish_branch(spark, args.table, args.branch)
+                print(_json.dumps({"snapshot_id": sid}))
+            elif args.mode == "discard":
+                if not args.branch:
+                    raise SystemExit(
+                        "--branch is required with --mode discard"
+                    )
+                existed = snap.discard_branch(args.table, args.branch)
+                print(_json.dumps({"discarded": existed}))
+            elif args.mode == "add-constraint":
+                if not args.name or not args.expr:
+                    raise SystemExit(
+                        "--name and --expr are required with "
+                        "--mode add-constraint"
+                    )
+                snap.add_constraint(spark, args.table, args.name, args.expr)
+                print(_json.dumps({"added": args.name}))
+            elif args.mode == "drop-constraint":
+                if not args.name:
+                    raise SystemExit(
+                        "--name is required with --mode drop-constraint"
+                    )
+                existed = snap.drop_constraint(args.table, args.name)
+                print(_json.dumps({"dropped": existed}))
             elif args.mode == "delete-rows":
                 if not args.predicate:
                     raise SystemExit(

@@ -192,3 +192,73 @@ _SQL_UNIGRAM_VITERBI = _PRE + """
 )
 SELECT w.word, s.seg FROM words w LEFT JOIN segs s USING (word)
 """
+
+
+def _q_pipeline_unigram_tokenize(spark, sf_dir):
+    """Tokenizer applied at corpus scale (operators/unigram.
+    segment_docs): the Viterbi segmentation is computed ONCE per
+    DISTINCT word and the corpus re-acquires it through one join — the
+    collapse that makes tokenizing 100 TB cost O(vocabulary) lattice
+    work plus a corpus-sized join, not a per-token DP. Output: per-doc
+    token/piece/OOV counts; the oracle replays the full chain (seed ->
+    Viterbi -> doc join) relationally."""
+    from ratatool_spark.operators.unigram import segment_docs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _, vocab = _spark_seed_vocab(spark, sf_dir)
+    return segment_docs(docs, vocab)
+
+
+_SQL_PIPELINE_UNIGRAM_TOKENIZE = _PRE + """
+, vt AS (
+  SELECT word, 0 AS i,
+         [struct_pack(lp := CAST(0.0 AS DOUBLE), j := -1, piece := '')]
+           AS vl
+  FROM words
+  UNION ALL
+  SELECT v.word, v.i + 1,
+         list_append(v.vl,
+           CASE WHEN e.es IS NULL
+                THEN struct_pack(lp := -1e300, j := -1, piece := '')
+                ELSE list_sort(list_transform(e.es, x -> struct_pack(
+                       lp := CASE WHEN v.vl[x.j + 1].lp <= -1e299
+                                  THEN -1e300
+                                  ELSE v.vl[x.j + 1].lp + LN(x.p) END,
+                       j := x.j, piece := x.piece)))
+                     [LENGTH(e.es)] END)
+  FROM vt v
+  JOIN words w ON w.word = v.word
+  LEFT JOIN einc e ON e.word = v.word AND e.i = v.i + 1
+  WHERE v.i < LENGTH(w.word)
+), vfin AS (
+  SELECT v.word, v.vl FROM vt v
+  JOIN words w ON w.word = v.word AND v.i = LENGTH(w.word)
+), bt AS (
+  SELECT f.word, LENGTH(f.word)::INT AS pos, []::VARCHAR[] AS ps
+  FROM vfin f WHERE f.vl[LENGTH(f.word) + 1].lp > -1e299
+  UNION ALL
+  SELECT t.word, f.vl[t.pos + 1].j,
+         list_prepend(f.vl[t.pos + 1].piece, t.ps)
+  FROM bt t JOIN vfin f USING (word) WHERE t.pos > 0
+), segs AS (
+  SELECT word, len(ps) AS np FROM bt WHERE pos = 0
+), toksd AS (
+  SELECT doc_id, t.tok AS word
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS ls
+        FROM documents),
+       UNNEST(ls) AS t(tok)
+  WHERE LENGTH(t.tok) > 0
+), perdoc AS (
+  SELECT td.doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(CASE WHEN s.np IS NOT NULL THEN s.np ELSE 0 END)
+              AS BIGINT) AS n_pieces,
+         COUNT(CASE WHEN s.np IS NULL THEN 1 END) AS n_oov
+  FROM toksd td LEFT JOIN segs s USING (word)
+  GROUP BY td.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       COALESCE(p.n_pieces, 0) AS n_pieces,
+       COALESCE(p.n_oov, 0) AS n_oov
+FROM documents d LEFT JOIN perdoc p USING (doc_id)
+"""

@@ -524,10 +524,16 @@ def _publish(
 ) -> int:
     new_id = (parent or 0) + 1
     os.makedirs(os.path.join(table_path, _SNAP_DIR), exist_ok=True)
+    import time
+
     manifest = {
         "snapshot_id": new_id,
         "parent": parent,
         "operation": operation,
+        # commit wall-clock, for timestamp time travel (the publish
+        # instant — set before the atomicity point, so a reader can
+        # only ever observe a manifest whose ts is already final)
+        "committed_at": time.time(),
         "schema": schema_json,
         "deletes": deletes or [],
         "changes": changes or [],
@@ -2298,6 +2304,56 @@ def commit_with_retry(fn, max_retries: int = 3):
         f"gave up after {max_retries} retries — a committer is racing "
         f"faster than this job can replan: {last}"
     ) from last
+
+
+def snapshot_id_as_of(table_path: str, ts: float) -> int:
+    """The snapshot id current AS OF wall-clock ``ts`` (epoch seconds)
+    — Delta's ``TIMESTAMP AS OF``: the highest retained snapshot whose
+    commit timestamp is <= ts. Raises :class:`SnapshotExpired` when the
+    timestamp predates every retained snapshot (expiry dropped the
+    manifest that was current then — an older read cannot be
+    reconstructed honestly), and ValueError when ts predates the table
+    on an unexpired table. Manifests missing ``committed_at`` (pre-
+    upgrade tables) fall back to the manifest file's mtime.
+
+    Metadata-scale: one pass over the manifest headers
+    (``load_files=False`` — file lists stay unmaterialized)."""
+    ids = _snap_ids(table_path)
+    if not ids:
+        raise FileNotFoundError(f"no snapshots under {table_path}")
+    best = None
+    for sid in ids:
+        m = read_manifest(table_path, sid, load_files=False)
+        cat = m.get("committed_at")
+        if cat is None:
+            cat = os.path.getmtime(_snap_path(table_path, sid))
+        if cat <= ts:
+            best = sid
+    if best is None:
+        if min(ids) > 1:
+            raise SnapshotExpired(
+                f"timestamp {ts} predates the oldest retained snapshot "
+                f"of {table_path} (retention dropped older manifests) — "
+                "no honest as-of read exists"
+            )
+        raise ValueError(
+            f"timestamp {ts} predates the table at {table_path}"
+        )
+    return best
+
+
+def read_snapshot_as_of(
+    spark: SparkSession,
+    table_path: str,
+    ts: float,
+    where: dict[str, tuple] | None = None,
+) -> DataFrame:
+    """Timestamp time travel: the table as it stood at wall-clock
+    ``ts`` — resolves the snapshot id via :func:`snapshot_id_as_of`,
+    then a normal (pruned, MoR-aware) :func:`read_snapshot`."""
+    return read_snapshot(
+        spark, table_path, snapshot_id_as_of(table_path, ts), where=where
+    )
 
 
 def rollback_snapshot(table_path: str, to_id: int) -> int:

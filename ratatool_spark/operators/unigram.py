@@ -361,3 +361,49 @@ def viterbi_segment_words(
         "word",
         F.when(covered, walk["ps"]).alias("pieces"),
     )
+
+
+def segment_docs(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_word_len: int = 16,
+) -> DataFrame:
+    """(id, n_tokens, n_pieces, n_oov): apply a trained unigram
+    tokenizer to a corpus — the segmentation is computed ONCE per
+    DISTINCT word (the same collapse the trainer uses: at 100 TB the
+    Viterbi folds run over the vocabulary-sized word table, never the
+    corpus) and the corpus re-acquires it through one join. Words the
+    vocabulary cannot cover, and words past ``max_word_len`` (the
+    training cap — consistent OOV policy both sides), count as
+    ``n_oov`` and contribute no pieces. Every input row appears
+    (empty docs: zeros)."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
+    ).where(F.length("word") > 0)
+    words = (
+        toks.where(F.length("word") <= max_word_len)
+        .select("word")
+        .distinct()
+        .withColumn("wcnt", F.lit(1).cast("long"))
+    )
+    segs = viterbi_segment_words(words, vocab).select(
+        "word", F.size("pieces").alias("__np")
+    )
+    j = toks.join(segs, "word", "left")
+    per_doc = j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(
+            F.when(F.col("__np") >= 0, F.col("__np")).otherwise(F.lit(0))
+        ).alias("n_pieces"),
+        F.count(
+            F.when(F.col("__np").isNull() | (F.col("__np") < 0), 1)
+        ).alias("n_oov"),
+    )
+    return df.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+        F.coalesce(F.col("n_pieces"), F.lit(0)).alias("n_pieces"),
+        F.coalesce(F.col("n_oov"), F.lit(0)).alias("n_oov"),
+    )

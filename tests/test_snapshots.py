@@ -2114,3 +2114,86 @@ def test_cluster_partitioned_table_keeps_alignment_and_zorder(spark, tmp_path):
     # partition ops still available after the clustering rewrite
     snap.drop_partition(spark, path, {"p0": 1}, record_changes=False)
     assert snap.read_snapshot(spark, path).where("g = 1").count() == 0
+
+
+def test_cli_wap_and_constraints(spark, tmp_path, capsys):
+    """CLI verbs for write-audit-publish and CHECK constraints."""
+    import json as _json
+
+    from ratatool_spark.cli import main as cli_main
+    from ratatool_spark.operators.snapshots import read_snapshot
+    from ratatool_spark.sources.io import write_table
+
+    base = spark.range(10).select(
+        F.col("id").cast("long"), (F.col("id") * 2.0).alias("v")
+    )
+    batch = spark.range(10, 15).select(
+        F.col("id").cast("long"), (F.col("id") * 2.0).alias("v")
+    )
+    src0, src1 = str(tmp_path / "b0.parquet"), str(tmp_path / "b1.parquet")
+    write_table(base, src0)
+    write_table(batch, src1)
+    tbl = str(tmp_path / "wtbl")
+    cli_main(["snapshot", "--mode", "append", "--table", tbl, "--input", src0])
+    capsys.readouterr()
+    cli_main(["snapshot", "--mode", "add-constraint", "--table", tbl,
+              "--name", "v_nonneg", "--expr", "v >= 0"])
+    assert _json.loads(capsys.readouterr().out.strip())["added"] == "v_nonneg"
+    cli_main(["snapshot", "--mode", "stage", "--table", tbl,
+              "--input", src1, "--branch", "etl"])
+    assert _json.loads(capsys.readouterr().out.strip())["branch"] == "etl"
+    assert read_snapshot(spark, tbl).count() == 10  # staged invisible
+    out = str(tmp_path / "branch.parquet")
+    cli_main(["snapshot", "--mode", "read-branch", "--table", tbl,
+              "--branch", "etl", "--output", out])
+    capsys.readouterr()
+    assert spark.read.parquet(out).count() == 15
+    cli_main(["snapshot", "--mode", "publish", "--table", tbl,
+              "--branch", "etl"])
+    assert _json.loads(capsys.readouterr().out.strip())["snapshot_id"] == 2
+    assert read_snapshot(spark, tbl).count() == 15
+    cli_main(["snapshot", "--mode", "discard", "--table", tbl,
+              "--branch", "etl"])
+    assert _json.loads(capsys.readouterr().out.strip())["discarded"] is False
+    cli_main(["snapshot", "--mode", "drop-constraint", "--table", tbl,
+              "--name", "v_nonneg"])
+    assert _json.loads(capsys.readouterr().out.strip())["dropped"] is True
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """read_snapshot_as_of resolves the snapshot current at a wall-clock
+    instant; pre-table timestamps raise, post-expiry timestamps raise
+    the dedicated SnapshotExpired."""
+    import json as _json
+    import time as _time
+
+    import pytest as _pytest
+
+    from ratatool_spark.operators.snapshots import (
+        SnapshotExpired,
+        _snap_path,
+        expire_snapshots,
+        read_snapshot_as_of,
+        snapshot_id_as_of,
+    )
+
+    path = str(tmp_path / "tt")
+    t0 = _time.time()
+    commit_append(spark.range(10).select(F.col("id").cast("long")), path)
+    commit_append(
+        spark.range(10, 20).select(F.col("id").cast("long")), path
+    )
+    # stamp distinct commit times so the boundary is unambiguous
+    for sid, ts in ((1, t0 + 100), (2, t0 + 200)):
+        mp = _snap_path(path, sid)
+        m = _json.load(open(mp))
+        m["committed_at"] = ts
+        _json.dump(m, open(mp, "w"))
+    assert snapshot_id_as_of(path, t0 + 150) == 1
+    assert snapshot_id_as_of(path, t0 + 999) == 2
+    assert read_snapshot_as_of(spark, path, t0 + 150).count() == 10
+    with _pytest.raises(ValueError, match="predates the table"):
+        snapshot_id_as_of(path, t0 - 10)
+    expire_snapshots(path, keep_last=1)
+    with _pytest.raises(SnapshotExpired):
+        snapshot_id_as_of(path, t0 + 150)

@@ -182,3 +182,38 @@ def test_word_counts_cap_and_filtering(spark):
         r["word"]: r["wcnt"] for r in word_counts(df, max_word_len=16).collect()
     }
     assert got == {"a": 1, "bb": 2}  # long junk excluded, empties dropped
+
+
+def test_segment_docs_counts_and_oov(spark):
+    """Corpus application: per-doc piece counts from one word-join; long
+    words (past the training cap) and uncoverable words count as OOV;
+    empty docs yield zeros."""
+    from ratatool_spark.operators.unigram import segment_docs
+
+    df, words, vocab = _fixture(spark)
+    vp = {r["piece"]: r["p"] for r in vocab.collect()}
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_pieces"], r["n_oov"])
+        for r in segment_docs(df, vocab).collect()
+    }
+    segs = {
+        w: (_ref_viterbi(w, vp) if len(w) <= 16 else None)
+        for w in {t for line in _TEXTS for t in line.split()}
+    }  # words past the 16-char training cap are OOV by policy
+    for i, line in enumerate(_TEXTS):
+        ws = line.split()
+        assert out[i][0] == len(ws)
+        assert out[i][1] == sum(
+            len(segs[w]) for w in ws if segs[w] is not None
+        )
+        assert out[i][2] == sum(1 for w in ws if segs[w] is None)
+    extra = spark.createDataFrame(
+        [(99, "nation " + "q" * 20), (100, "   ")],
+        "doc_id long, text string",
+    )
+    out2 = {
+        r["doc_id"]: (r["n_tokens"], r["n_pieces"], r["n_oov"])
+        for r in segment_docs(extra, vocab).collect()
+    }
+    assert out2[99] == (2, len(_ref_viterbi("nation", vp)), 1)
+    assert out2[100] == (0, 0, 0)
