@@ -1266,3 +1266,107 @@ SELECT o_orderstatus,
 FROM orders
 GROUP BY o_orderstatus
 """
+
+
+def _q_pipeline_cdc_agg_view(spark, sf_dir):
+    """Incremental materialized-view maintenance from the change feed
+    (operators/snapshots.maintain_agg_view): a per-status (count, sum)
+    view is bootstrapped at snapshot 1, then the table takes the CDC
+    gate's CoW merge (doubled prices + 3x inserts) and range delete —
+    and the view is refreshed from the FEED ALONE (signed algebra:
+    +insert/+postimage, -preimage/-delete), never rescanning the table.
+    matches_direct pins the incremental view row-for-row equal to a
+    fresh aggregate of the final table (decimal sums — exact algebra,
+    no float tolerance); the oracle recomputes that final aggregate
+    from the source table."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.snapshots import (
+        delete_snapshot_where,
+        maintain_agg_view,
+        merge_snapshot,
+        read_snapshot,
+        snapshot_change_feed,
+    )
+
+    path = _build_orders_table(spark, sf_dir, n_commits=1)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    agg = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    lo, mx = int(agg[0]), int(agg[1])
+    s8 = (mx - lo) // 8
+    shift = mx - lo + 1
+    in_box = orders.where(F.col("o_orderkey").between(lo, lo + s8))
+    updates = in_box.withColumn(
+        "o_totalprice", F.col("o_totalprice") * F.lit(2.0)
+    )
+    inserts = in_box.select(
+        (F.col("o_orderkey") + F.lit(shift)).alias("o_orderkey"),
+        "o_custkey", "o_orderstatus",
+        (F.col("o_totalprice") * F.lit(3.0)).alias("o_totalprice"),
+    )
+
+    def _tp(df):
+        return df.withColumn(
+            "tp", F.col("o_totalprice").cast("decimal(18,2)")
+        )
+
+    view0 = maintain_agg_view(
+        None,
+        _tp(read_snapshot(spark, path, 1)).withColumn(
+            "_change_type", F.lit("insert")
+        ),
+        ["o_orderstatus"], ["tp"],
+    ).localCheckpoint(eager=False)
+    merge_snapshot(spark, path, updates.unionByName(inserts),
+                   ["o_orderkey"])
+    delete_snapshot_where(spark, path, {"o_orderkey": (lo + 2 * s8,
+                                                       lo + 3 * s8)})
+    feed = _tp(snapshot_change_feed(spark, path, 1))
+    view1 = maintain_agg_view(view0, feed, ["o_orderstatus"], ["tp"])
+    direct = (
+        _tp(read_snapshot(spark, path))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("__n"), F.sum("tp").alias("sum_tp"))
+    )
+    inc = sorted(
+        (r["o_orderstatus"], r["__n"], r["sum_tp"])
+        for r in view1.collect()
+    )
+    dr = sorted(
+        (r["o_orderstatus"], r["__n"], r["sum_tp"])
+        for r in direct.collect()
+    )
+    return view1.select(
+        "o_orderstatus",
+        F.col("__n").cast("long").alias("n_orders"),
+        F.col("sum_tp").cast("double").alias("sum_total"),
+        F.lit(inc == dr).alias("matches_direct"),
+    )
+
+
+_SQL_PIPELINE_CDC_AGG_VIEW = """
+WITH box AS (
+  SELECT MIN(o_orderkey) AS lo,
+         (MAX(o_orderkey) - MIN(o_orderkey)) // 8 AS s8
+  FROM orders
+),
+final AS (
+  SELECT o_orderstatus,
+         CASE WHEN o_orderkey BETWEEN box.lo AND box.lo + box.s8
+              THEN o_totalprice * 2.0 ELSE o_totalprice END AS p
+  FROM orders, box
+  WHERE o_orderkey NOT BETWEEN box.lo + 2 * box.s8 AND box.lo + 3 * box.s8
+  UNION ALL
+  SELECT o_orderstatus, o_totalprice * 3.0 AS p
+  FROM orders, box
+  WHERE o_orderkey BETWEEN box.lo AND box.lo + box.s8
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+       TRUE AS matches_direct
+FROM final
+GROUP BY o_orderstatus
+"""

@@ -277,11 +277,18 @@ def _file_stats(md) -> dict:
         lo = hi = None
         ok = True
         for g in range(md.num_row_groups):
-            st = md.row_group(g).column(ci).statistics
-            if st is None or not st.has_min_max:
+            try:
+                st = md.row_group(g).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                mn, mx = st.min, st.max
+            except Exception:
+                # pyarrow cannot extract stats for some types (e.g.
+                # DECIMAL raises ArrowNotImplementedError) — absent
+                # stats never prune, so skipping the column is safe
                 ok = False
                 break
-            mn, mx = st.min, st.max
             if isinstance(mn, bytes):
                 try:
                     mn, mx = mn.decode(), mx.decode()
@@ -2628,3 +2635,89 @@ def snapshot_log(spark: SparkSession, table_path: str) -> DataFrame:
         "n_files bigint, rows bigint, bytes bigint, "
         "n_pending_deletes bigint, n_change_files bigint",
     )
+
+
+def maintain_agg_view(
+    view: DataFrame | None,
+    feed: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Incremental materialized-view maintenance from the CDC feed: keep
+    a (keys, __n, sum_<c>...) aggregate view consistent with the table
+    WITHOUT rescanning it — the change-data-feed payoff. Count and SUM
+    are self-inverting under the feed's signed algebra: insert /
+    update_postimage contribute +1/+value, delete / update_preimage
+    contribute -1/-value, so one aggregate over the (change-sized) feed
+    plus one outer merge against the (group-sized) view refreshes it;
+    groups whose count reaches zero drop out. At 100 TB: the table is
+    never touched — maintenance cost is O(|changes| + |groups|).
+
+    Requires a COMPLETE feed: ``_change_type='upsert'`` rows (MoR
+    merges record postimages only — the preimage read is exactly the
+    cost MoR defers) make subtraction impossible, so the call REFUSES
+    and the caller must either fold+recompute or use CoW merges on
+    maintained tables. Sum columns should be exact types (DECIMAL/
+    integer): float sums would drift between the incremental and
+    recomputed views.
+
+    ``view=None`` bootstraps from an all-insert feed (equivalently:
+    aggregate one full read and maintain from its snapshot id on)."""
+    sign = (
+        F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit(1),
+        )
+        .when(
+            F.col("_change_type").isin("delete", "update_preimage"),
+            F.lit(-1),
+        )
+        .otherwise(F.lit(None))
+    )
+    bad = feed.where(
+        ~F.col("_change_type").isin(
+            "insert", "update_postimage", "delete", "update_preimage"
+        )
+    ).limit(1).count()
+    if bad:
+        raise ValueError(
+            "maintain_agg_view needs a complete feed (insert/update_*/"
+            "delete); it contains 'upsert' or unknown change rows — "
+            "MoR merges defer the preimage read, so algebraic "
+            "maintenance is impossible; fold and recompute instead"
+        )
+    delta = (
+        feed.select(*keys, sign.alias("__s"), *sum_cols)
+        .groupBy(*keys)
+        .agg(
+            F.sum("__s").alias("__dn"),
+            *[
+                F.sum(F.col(c) * F.col("__s")).alias(f"__d_{c}")
+                for c in sum_cols
+            ],
+        )
+    )
+    if view is None:
+        out = delta.select(
+            *keys,
+            F.col("__dn").alias("__n"),
+            *[F.col(f"__d_{c}").alias(f"sum_{c}") for c in sum_cols],
+        )
+        return out.where(F.col("__n") > 0)
+    merged = view.join(delta, keys, "full_outer").select(
+        *[
+            F.coalesce(view[k], delta[k]).alias(k) for k in keys
+        ],
+        (
+            F.coalesce(F.col("__n"), F.lit(0))
+            + F.coalesce(F.col("__dn"), F.lit(0))
+        ).alias("__n"),
+        *[
+            (
+                F.coalesce(F.col(f"sum_{c}"), F.lit(0))
+                + F.coalesce(F.col(f"__d_{c}"), F.lit(0))
+            ).alias(f"sum_{c}")
+            for c in sum_cols
+        ],
+    )
+    return merged.where(F.col("__n") > 0)

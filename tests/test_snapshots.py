@@ -1325,15 +1325,22 @@ def test_stream_source_expired_snapshot_raises_rebase_error(spark, tmp_path):
     assert "expired" in str(ei.value) and "rebase" in str(ei.value)
 
 
-@pytest.mark.parametrize("seed", [7, 1234])
-def test_randomized_op_sequence_equals_model(spark, tmp_path, seed):
+@pytest.mark.parametrize(
+    "seed,partitioned", [(7, False), (1234, False), (42, True)]
+)
+def test_randomized_op_sequence_equals_model(
+    spark, tmp_path, seed, partitioned
+):
     """Whole-layer fuzz: a random interleaving of append / CoW merge /
     MoR merge / range delete / position delete / fold / compact /
     rollback must equal the
     driver-side dict model after EVERY operation, and every retained
     snapshot must time-travel to the model state recorded when it was
     current — the upsert fuzz test generalized to the full maintenance
-    surface (MoR sidecars included)."""
+    surface (MoR sidecars included). The ``partitioned`` variant runs
+    the same op mix on a bucket(id)-partitioned table and additionally
+    asserts the partition-alignment lifecycle invariant after every op
+    (every maintenance rewrite must re-derive partition tuples)."""
     import random
 
     from ratatool_spark.operators.snapshots import (
@@ -1355,7 +1362,11 @@ def test_randomized_op_sequence_equals_model(spark, tmp_path, seed):
         )
 
     state = {i: i * 10 for i in range(40)}
-    commit_append(df_of(state), path)
+    spec = (
+        [{"col": "id", "transform": "bucket", "param": 4}]
+        if partitioned else None
+    )
+    commit_append(df_of(state), path, partition_spec=spec)
     history = {1: dict(state)}
 
     for _step in range(8):
@@ -1399,6 +1410,11 @@ def test_randomized_op_sequence_equals_model(spark, tmp_path, seed):
             r["id"]: r["val"] for r in read_snapshot(spark, path).collect()
         }
         assert got == state, f"divergence after {op} (step {_step})"
+        if partitioned:
+            m = read_manifest(path)
+            assert all(
+                "partition" in e for e in m["files"]
+            ), f"alignment lost after {op} (step {_step})"
 
     # every retained snapshot time-travels to its recorded model state
     for sid, model in history.items():
@@ -2197,3 +2213,63 @@ def test_timestamp_time_travel(spark, tmp_path):
     expire_snapshots(path, keep_last=1)
     with _pytest.raises(SnapshotExpired):
         snapshot_id_as_of(path, t0 + 150)
+
+
+def test_maintain_agg_view_algebra_and_refusals(spark, tmp_path):
+    """CDC view maintenance: signed insert/preimage/postimage/delete
+    algebra matches a direct recompute; zero-count groups drop out;
+    MoR 'upsert' feeds are refused."""
+    import pytest as _pytest
+
+    from ratatool_spark.operators.snapshots import (
+        delete_snapshot_where,
+        maintain_agg_view,
+        merge_snapshot,
+        merge_snapshot_mor,
+        read_snapshot,
+        snapshot_change_feed,
+    )
+
+    path = str(tmp_path / "mv")
+    df = spark.range(20).select(
+        F.col("id").cast("long"),
+        (F.col("id") % 3).cast("long").alias("g"),
+        (F.col("id") * 10).cast("decimal(18,2)").alias("v"),
+    )
+    commit_append(df, path)
+    view = maintain_agg_view(
+        None,
+        read_snapshot(spark, path).withColumn(
+            "_change_type", F.lit("insert")
+        ),
+        ["g"], ["v"],
+    ).localCheckpoint()
+    # update all of g=1 and delete all of g=2 (group must vanish)
+    batch = df.where("g = 1").withColumn(
+        "v", (F.col("v") * 2).cast("decimal(18,2)")
+    )
+    merge_snapshot(spark, path, batch, ["id"])
+    delete_snapshot_where(spark, path, {"g": (2, 2)})
+    feed = snapshot_change_feed(spark, path, 1)
+    view2 = maintain_agg_view(view, feed, ["g"], ["v"])
+    got = {r["g"]: (r["__n"], r["sum_v"]) for r in view2.collect()}
+    direct = {
+        r["g"]: (r["__n"], r["sum_v"])
+        for r in read_snapshot(spark, path)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("__n"), F.sum("v").alias("sum_v"))
+        .collect()
+    }
+    assert got == direct
+    assert 2 not in got  # zero-count group dropped
+    # MoR upsert feeds are refused
+    merge_snapshot_mor(
+        spark, path,
+        df.where("id = 0").withColumn(
+            "v", F.lit(999).cast("decimal(18,2)")
+        ),
+        ["id"],
+    )
+    feed2 = snapshot_change_feed(spark, path, 1)
+    with _pytest.raises(ValueError, match="complete feed"):
+        maintain_agg_view(view, feed2, ["g"], ["v"])
