@@ -213,6 +213,35 @@ def build_parser() -> argparse.ArgumentParser:
     be.add_argument("--textField", default="text")
     be.add_argument("--format", default=None, help="override input format sniffing")
 
+    ut = sub.add_parser(
+        "unigramTrain",
+        help="train a unigram-LM tokenizer (SentencePiece model: seed "
+        "substrings -> EM over word lattices -> pruned vocab); writes a "
+        "(piece, p, logp) parquet artifact",
+    )
+    ut.add_argument("--input", required=True)
+    ut.add_argument("--output", required=True, help="vocab parquet path")
+    ut.add_argument("--textField", default="text")
+    ut.add_argument("--vocabSize", type=int, default=512)
+    ut.add_argument("--maxPieceLen", type=int, default=4)
+    ut.add_argument("--emRounds", type=int, default=2)
+    ut.add_argument("--minSeedCount", type=int, default=2)
+    ut.add_argument("--maxWordLen", type=int, default=16)
+    ut.add_argument("--format", default=None, help="override input format sniffing")
+
+    us = sub.add_parser(
+        "unigramSegment",
+        help="apply a trained unigram tokenizer to a corpus (per-doc "
+        "token/piece/OOV counts; Viterbi computed once per distinct word)",
+    )
+    us.add_argument("--input", required=True)
+    us.add_argument("--output", required=True)
+    us.add_argument("--vocab", required=True, help="vocab parquet from unigramTrain")
+    us.add_argument("--textField", default="text")
+    us.add_argument("--idField", default="doc_id")
+    us.add_argument("--maxWordLen", type=int, default=16)
+    us.add_argument("--format", default=None, help="override input format sniffing")
+
     td = sub.add_parser(
         "tfidfDedup",
         help="sparse TF-IDF cosine near-dup pairs (inverted-index term "
@@ -1155,6 +1184,35 @@ def main(argv: list[str] | None = None) -> int:
                 delete_col=args.deleteField,
             )
             print(_json.dumps(stats))
+        elif args.command == "unigramTrain":
+            from ratatool_spark.operators.unigram import unigram_train
+
+            df = read_table(spark, args.input, fmt=args.format)
+            vocab = unigram_train(
+                df,
+                text_col=args.textField,
+                vocab_size=args.vocabSize,
+                max_piece_len=args.maxPieceLen,
+                em_rounds=args.emRounds,
+                min_seed_count=args.minSeedCount,
+                max_word_len=args.maxWordLen,
+            )
+            write_table(vocab, args.output, mode="overwrite")
+        elif args.command == "unigramSegment":
+            from ratatool_spark.operators.unigram import segment_docs
+
+            df = read_table(spark, args.input, fmt=args.format)
+            vocab = spark.read.parquet(args.vocab)
+            write_table(
+                segment_docs(
+                    df, vocab,
+                    text_col=args.textField,
+                    id_col=args.idField,
+                    max_word_len=args.maxWordLen,
+                ),
+                args.output,
+                mode="overwrite",
+            )
         elif args.command == "bpeLearn":
             import json as _json
 

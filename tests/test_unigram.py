@@ -217,3 +217,30 @@ def test_segment_docs_counts_and_oov(spark):
     }
     assert out2[99] == (2, len(_ref_viterbi("nation", vp)), 1)
     assert out2[100] == (0, 0, 0)
+
+
+def test_cli_unigram_train_and_segment(spark, tmp_path, capsys):
+    from ratatool_spark.cli import main as cli_main
+    from ratatool_spark.sources.io import write_table
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_TEXTS)], "doc_id long, text string"
+    )
+    src = str(tmp_path / "docs.parquet")
+    write_table(df, src)
+    vocab_p = str(tmp_path / "vocab.parquet")
+    cli_main([
+        "unigramTrain", "--input", src, "--output", vocab_p,
+        "--vocabSize", "24", "--maxPieceLen", "5", "--emRounds", "1",
+    ])
+    vocab = spark.read.parquet(vocab_p)
+    assert {"piece", "p", "logp"} <= set(vocab.columns)
+    assert vocab.count() <= 24
+    out_p = str(tmp_path / "seg.parquet")
+    cli_main([
+        "unigramSegment", "--input", src, "--output", out_p,
+        "--vocab", vocab_p,
+    ])
+    out = spark.read.parquet(out_p)
+    assert out.count() == len(_TEXTS)
+    assert out.where("n_pieces < n_tokens").count() == 0
