@@ -951,7 +951,9 @@ def _q_snapshot_partitioned_prune(spark, sf_dir):
     month(o_orderdate) x identity(o_orderstatus) spec — queries keep
     predicating on the SOURCE columns and the planner maps the bounds
     through the transforms to drop whole partitions from metadata
-    alone. partitions_scanned is the cross-engine pin: the distinct
+    alone (one commit — the cross-commit partition story is pinned by
+    the drop gate, and a second partitioned append would only repeat
+    the 80-dir write). partitions_scanned is the cross-engine pin: the distinct
     partition tuples surviving the prune must equal DuckDB's count of
     distinct (month, status) combinations actually present in the
     predicate's range — the planner scanned exactly the partitions the
@@ -973,11 +975,7 @@ def _q_snapshot_partitioned_prune(spark, sf_dir):
         {"col": "o_orderdate", "transform": "month"},
         {"col": "o_orderstatus", "transform": "identity"},
     ]
-    snap.commit_append(
-        orders.where(F.col("o_orderkey") % 2 == 0), path,
-        partition_spec=spec,
-    )
-    snap.commit_append(orders.where(F.col("o_orderkey") % 2 == 1), path)
+    snap.commit_append(orders, path, partition_spec=spec)
     w = {
         "o_orderdate": (
             datetime.date(1996, 2, 1), datetime.date(1996, 4, 30)
