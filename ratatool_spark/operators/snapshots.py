@@ -214,8 +214,19 @@ def _store_partition_spec(table_path: str, spec: list[dict]) -> list[dict]:
         )
     os.makedirs(os.path.join(table_path, _SNAP_DIR), exist_ok=True)
     p = os.path.join(table_path, _SNAP_DIR, _SPEC_FILE)
-    with open(p, "x") as f:  # spec is immutable once the table exists
-        json.dump(norm, f)
+    try:
+        with open(p, "x") as f:  # spec is immutable once the table exists
+            json.dump(norm, f)
+    except FileExistsError:
+        # a crashed first commit may have written the spec but no
+        # manifest — an identical retry proceeds, a DIFFERENT spec is
+        # still refused (immutability)
+        with open(p) as f:
+            if json.load(f) != norm:
+                raise ValueError(
+                    f"table at {table_path} already has a different "
+                    "partition spec — the spec is immutable"
+                ) from None
     return norm
 
 
@@ -1926,13 +1937,15 @@ def stage_append(
     else:
         os.makedirs(table_path, exist_ok=True)
         schema_json = df.schema.json()
-    _enforce_constraints(df, table_path)
     sp = _stage_path(table_path, branch)
     if os.path.exists(sp):
+        # cheap precheck before any Spark job; the exclusive create
+        # below is the real guard
         raise BranchExists(
             f"branch {branch!r} already has a staged commit under "
             f"{table_path} — publish_branch or discard_branch first"
         )
+    _enforce_constraints(df, table_path)
     new_files = _stamp_seq(_write_data_files(df, table_path), parent)
     staged = {
         "branch": branch,

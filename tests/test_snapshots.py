@@ -2273,3 +2273,31 @@ def test_maintain_agg_view_algebra_and_refusals(spark, tmp_path):
     feed2 = snapshot_change_feed(spark, path, 1)
     with _pytest.raises(ValueError, match="complete feed"):
         maintain_agg_view(view, feed2, ["g"], ["v"])
+
+
+def test_partition_spec_retry_idempotent_but_immutable(spark, tmp_path):
+    """A crashed first commit can leave the spec file without a
+    manifest: an identical retry proceeds; a different spec is refused."""
+    import pytest as _pytest
+
+    from ratatool_spark.operators.snapshots import (
+        _store_partition_spec,
+        commit_append,
+        read_manifest,
+    )
+
+    path = str(tmp_path / "sr")
+    spec = [{"col": "g", "transform": "identity"}]
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    _store_partition_spec(path, spec)  # simulated crash: spec, no commit
+    df = spark.range(6).select(
+        F.col("id").cast("long"), (F.col("id") % 2).cast("long").alias("g")
+    )
+    commit_append(df, path, partition_spec=spec)  # retry succeeds
+    assert all("partition" in e for e in read_manifest(path)["files"])
+    with _pytest.raises(ValueError, match="immutable"):
+        _store_partition_spec(
+            path, [{"col": "g", "transform": "bucket", "param": 2}]
+        )
