@@ -1368,3 +1368,91 @@ SELECT o_orderstatus,
 FROM final
 GROUP BY o_orderstatus
 """
+
+
+def _q_snapshot_evolve_ids(spark, sf_dir):
+    """Field-id schema evolution (operators/snapshots.rename_column /
+    widen_column_type — Iceberg's column-id model): orders lands under
+    (ok int, status, total); a RENAME (total→price) and a WIDEN
+    (ok int→bigint) publish as metadata-only commits (pinned in-gate:
+    the data-file set is unchanged); a second append writes the NEW
+    shape, so the table mixes schema versions file-by-file; a CoW merge
+    on the WIDENED key then updates a key range spanning files of both
+    versions. The final read must serve every row under the current
+    binding — old bytes resolved BY FIELD ID (read with write-time
+    names/types, renamed/cast up) — and the oracle recomputes the whole
+    truth from the source table, blind to the evolution history."""
+    from ratatool_spark.operators.snapshots import (
+        commit_append,
+        merge_snapshot,
+        read_manifest,
+        read_snapshot,
+        rename_column,
+        widen_column_type,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").cast("int").alias("ok"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total"),
+    )
+    path = tempfile.mkdtemp(prefix="rt_evo_") + "/tbl"
+    commit_append(orders.where(F.col("ok") % 2 == 0), path)
+    files0 = {e["path"] for e in read_manifest(path)["files"]}
+    rename_column(path, "total", "price")
+    widen_column_type(path, "ok", "bigint")
+    m = read_manifest(path)
+    assert {e["path"] for e in m["files"]} == files0, (
+        "rename/widen must be metadata-only"
+    )
+    commit_append(
+        orders.where(F.col("ok") % 2 == 1).select(
+            F.col("ok").cast("bigint"),
+            F.col("status"),
+            F.col("total").alias("price"),
+        ),
+        path,
+    )
+    assert {e.get("schema_v", 0)
+            for e in read_manifest(path)["files"]} == {0, 2}, (
+        "expected files under both schema versions"
+    )
+    # CoW merge on the widened key: a bounded key range, so only
+    # stats-intersecting files (of EITHER version) rewrite
+    upd = orders.where((F.col("ok") % 7 == 0) & (F.col("ok") <= 400)).select(
+        F.col("ok").cast("bigint"),
+        F.lit("X").alias("status"),
+        F.col("total").alias("price"),
+    )
+    merge_snapshot(spark, path, upd, ["ok"], record_changes=False)
+    final = read_snapshot(spark, path)
+    # a pruned read through the rename: predicate on the NEW name must
+    # translate to old-name stats per file version
+    pruned_n = read_snapshot(spark, path, where={"ok": (1, 400)}).count()
+    return (
+        final.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("price").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .withColumn("n_low_keys", F.lit(pruned_n).cast("long"))
+    )
+
+
+_SQL_SNAPSHOT_EVOLVE_IDS = """
+WITH merged AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS ok,
+         CASE WHEN o_orderkey % 7 = 0 AND o_orderkey <= 400
+              THEN 'X' ELSE o_orderstatus END AS status,
+         o_totalprice AS price
+  FROM orders
+)
+SELECT status,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       (SELECT COUNT(*) FROM merged WHERE ok BETWEEN 1 AND 400) AS n_low_keys
+FROM merged
+GROUP BY status
+"""

@@ -388,11 +388,24 @@ def _write_data_files(
         if spec:
             e["partition"] = _parse_partition(os.path.relpath(p, out_dir))
         entries.append(e)
+    try:
+        cur = read_manifest(table_path, load_files=False)
+    except FileNotFoundError:
+        cur = None
+    if cur is not None and "schema_v" in cur:
+        # the table has field-id evolution state: stamp the write-time
+        # schema version on every entry so readers resolve these files'
+        # columns by id. (A racing evolve commit between this stamp and
+        # our publish takes our snapshot id — the publish then fails
+        # with CommitConflict and the retry re-stamps.)
+        for e in entries:
+            e["schema_v"] = cur["schema_v"]
     return entries
 
 
 _MANIFEST_DF_SCHEMA = (
     "path string, rows bigint, bytes bigint, seq bigint, "
+    "schema_v bigint, "
     "lo_int map<string,bigint>, hi_int map<string,bigint>, "
     "lo_flt map<string,double>, hi_flt map<string,double>, "
     "lo_str map<string,string>, hi_str map<string,string>, "
@@ -411,6 +424,7 @@ def _entry_to_flat(e: dict) -> dict:
         "rows": e["rows"],
         "bytes": e["bytes"],
         "seq": e.get("seq", 0),
+        "schema_v": e.get("schema_v", 0),
         "lo_int": {}, "hi_int": {},
         "lo_flt": {}, "hi_flt": {},
         "lo_str": {}, "hi_str": {},
@@ -450,12 +464,12 @@ def _write_files_sidecar(table_path: str, new_id: int, files: list[dict]) -> str
     import pyarrow.parquet as pq
 
     flat = [_entry_to_flat(e) for e in files]
-    cols = ["path", "rows", "bytes", "seq",
+    cols = ["path", "rows", "bytes", "seq", "schema_v",
             "lo_int", "hi_int", "lo_flt", "hi_flt", "lo_str", "hi_str",
             "part"]
     typ = {
         "path": pa.string(), "rows": pa.int64(), "bytes": pa.int64(),
-        "seq": pa.int64(),
+        "seq": pa.int64(), "schema_v": pa.int64(),
         "lo_int": pa.map_(pa.string(), pa.int64()),
         "hi_int": pa.map_(pa.string(), pa.int64()),
         "lo_flt": pa.map_(pa.string(), pa.float64()),
@@ -521,6 +535,10 @@ def _load_files_sidecar(table_path: str, rel: str) -> list[dict]:
             "seq": col["seq"][i] or 0,
             "stats": stats,
         }
+        # pre-evolution sidecars lack the column; 0 = the oldest version
+        sv = col["schema_v"][i] if "schema_v" in col else 0
+        if sv:
+            entry["schema_v"] = sv
         if parts is not None and parts[i] is not None:
             entry["partition"] = {
                 k: (None if v == _PART_NULL else v)
@@ -539,6 +557,7 @@ def _publish(
     extra: dict | None = None,
     deletes: list[dict] | None = None,
     changes: list[dict] | None = None,
+    inherit_evolution: bool = True,
 ) -> int:
     new_id = (parent or 0) + 1
     os.makedirs(os.path.join(table_path, _SNAP_DIR), exist_ok=True)
@@ -557,6 +576,21 @@ def _publish(
         "changes": changes or [],
         **(extra or {}),
     }
+    if inherit_evolution and "columns" not in manifest and parent:
+        # field-id evolution state rides in EVERY manifest once it
+        # exists (a manifest must be self-contained: time travel and
+        # expiry would otherwise lose the id bindings old files need).
+        # Evolution commits set it via ``extra``; everything else
+        # inherits the parent's; rollback restores the TARGET's
+        # (inherit_evolution=False).
+        try:
+            pm = read_manifest(table_path, parent, load_files=False)
+        except FileNotFoundError:
+            pm = {}  # fabricated/expired parent: the publish below will
+            # conflict or the caller already validated the real parent
+        for k in ("columns", "schema_v", "schema_log"):
+            if k in pm:
+                manifest[k] = pm[k]
     files_ref = None
     if len(files) > FILES_INLINE_MAX:
         files_ref = _write_files_sidecar(table_path, new_id, files)
@@ -613,6 +647,82 @@ def _publish(
             if os.path.exists(p):
                 os.remove(p)
     return new_id
+
+
+# ---------------------------------------------------------------------------
+# Column-id schema evolution (Iceberg's field-id model): every top-level
+# column gets a STABLE integer id the first time the table evolves a
+# name or type; renames and type widenings are then metadata-only
+# commits that change the id→name / id→type binding, never the bytes on
+# disk. Each data file records the schema VERSION it was written under
+# (``schema_v`` on its manifest entry); readers resolve a file's
+# columns by id — read with the write-time names/types, then
+# rename/cast to the current binding — so a file written before a
+# rename still serves its rows under the new name, and stats pruning
+# translates predicate columns per file version (a name-keyed lookup
+# would be unsound the moment a retired name is reused).
+# ---------------------------------------------------------------------------
+
+# upward-only integer promotions (plus float→double below) — exactly
+# Iceberg's allowed primitive promotions: every narrower value is
+# exactly representable in the wider type, so old bytes keep their
+# meaning under the new binding
+_WIDEN_RANK = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+_TYPE_ALIASES = {
+    "tinyint": "byte", "smallint": "short", "int": "integer",
+    "bigint": "long", "byte": "byte", "short": "short",
+    "integer": "integer", "long": "long", "float": "float",
+    "double": "double",
+}
+
+
+def _columns_of_schema(schema_json: str) -> list[dict]:
+    """Assign field ids 1..n to the schema's top-level fields — the
+    initial (version 0) id binding, created lazily by the first
+    rename/widen so pre-evolution tables carry zero extra metadata."""
+    return [
+        {"id": i + 1, "name": f["name"], "type": f["type"]}
+        for i, f in enumerate(json.loads(schema_json)["fields"])
+    ]
+
+
+def _evolution_state(m: dict) -> tuple[list[dict], int, dict]:
+    """(columns, schema_v, schema_log) of a manifest, initializing
+    version 0 from the current schema when the table never evolved."""
+    if "columns" in m:
+        return m["columns"], m["schema_v"], dict(m["schema_log"])
+    cols = _columns_of_schema(m["schema"])
+    return cols, 0, {"0": cols}
+
+
+def _name_maps(m: dict) -> dict[int, dict[str, str]] | None:
+    """Per historical schema version v: {current column name → that
+    version's name for the same field id}. A current column whose id
+    version v lacks is ABSENT from v's map (files of that version hold
+    no bytes for it — their rows are NULL there). None when the table
+    never evolved names/types (no translation needed, and none would
+    be sound to skip otherwise: a reused name must never match another
+    field's stats)."""
+    log = m.get("schema_log")
+    if not log:
+        return None
+    cur = {c["id"]: c["name"] for c in m["columns"]}
+    out: dict[int, dict[str, str]] = {}
+    for v, cols in log.items():
+        by_id = {c["id"]: c["name"] for c in cols}
+        out[int(v)] = {cur[i]: by_id[i] for i in cur if i in by_id}
+    return out
+
+
+def _version_schema_json(cols: list[dict]) -> str:
+    return json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": c["name"], "type": c["type"], "nullable": True,
+             "metadata": {}}
+            for c in cols
+        ],
+    })
 
 
 def _norm_fields(schema_json: str) -> list[tuple[str, object]]:
@@ -743,12 +853,31 @@ def files_intersecting(
     [min, max] intersects the range on EVERY predicated column (files
     without stats for a column are kept — pruning must be safe). The
     file-level twin of ``layout.row_group_skip_audit``, evaluated on
-    manifest METADATA — no footer reads, no data reads."""
+    manifest METADATA — no footer reads, no data reads.
+
+    Field-id evolution: a file's stats are keyed by its WRITE-TIME
+    column names, so predicate columns translate per file version
+    before the lookup — both for pruning power (a renamed column's old
+    stats still prune) and for soundness (a predicate on a column whose
+    name an older version used for a DIFFERENT field must not match
+    that field's stats). A file whose version predates a predicated
+    column is dropped outright: its rows are all-NULL there, and NULL
+    never satisfies a range."""
+    maps = _name_maps(manifest)
+    cur_v = manifest.get("schema_v", 0)
     kept = []
     for e in manifest["files"]:
+        v = e.get("schema_v", 0)
+        if maps is None or v == cur_v:
+            w = where
+        else:
+            mp = maps[v]
+            if any(c not in mp for c in where):
+                continue  # column absent in v: all-NULL, can't match
+            w = {mp[c]: b for c, b in where.items()}
         stats = e.get("stats", {})
         hit = True
-        for c, (lo, hi) in where.items():
+        for c, (lo, hi) in w.items():
             if c in stats and not (stats[c][1] >= lo and stats[c][0] <= hi):
                 hit = False
                 break
@@ -960,7 +1089,7 @@ def manifest_files_df(
     rows = [_entry_to_flat(e) for e in m["files"]]
     return spark.createDataFrame(
         [tuple(r[c] for c in (
-            "path", "rows", "bytes", "seq",
+            "path", "rows", "bytes", "seq", "schema_v",
             "lo_int", "hi_int", "lo_flt", "hi_flt", "lo_str", "hi_str",
             "part",
         )) for r in rows],
@@ -1033,6 +1162,7 @@ def files_intersecting_spark(
     where: dict[str, tuple],
     spec: list[dict] | None = None,
     schema_json: str | None = None,
+    m: dict | None = None,
 ) -> DataFrame:
     """Spark-side twin of :func:`files_intersecting`: filter the typed
     manifest DataFrame down to the entries a conjunctive range predicate
@@ -1042,11 +1172,41 @@ def files_intersecting_spark(
     ``manifest_pruning_equivalence`` gate pins both paths to the same
     surviving set. With ``spec``/``schema_json`` the partition tuple
     prunes too (same transform mapping as :func:`partition_prune`),
-    composing with the stats filter."""
+    composing with the stats filter.
+
+    ``m`` (the manifest dict) enables field-id translation on evolved
+    tables: the keep-expression branches on each row's ``schema_v``,
+    looking stats up under that version's column names — the same
+    translation (and the same drop-when-column-absent rule) as the
+    driver-side twin, so the equivalence gate keeps holding."""
     if spec and schema_json:
         pk = _partition_keep_expr(spec, where, _schema_types(schema_json))
         if pk is not None:
             manifest_df = manifest_df.where(pk)
+    maps = _name_maps(m) if m else None
+    if maps is not None and len(maps) > 1:
+        sv = F.coalesce(F.col("schema_v"), F.lit(0))
+        cond = None
+        for v, mp in sorted(maps.items()):
+            if any(c not in mp for c in where):
+                keep_v = F.lit(False)  # predicated column absent in v:
+                # those files' rows are all-NULL there — prunable
+            else:
+                keep_v = _stats_keep_expr(
+                    {mp[c]: b for c, b in where.items()})
+            branch = (sv == v) & keep_v
+            cond = branch if cond is None else (cond | branch)
+        # versions outside the log cannot exist on a well-formed table;
+        # keep them anyway (pruning must fail safe, never silent-drop)
+        cond = cond | ~sv.isin(list(maps))
+        return manifest_df.where(cond)
+    return manifest_df.where(_stats_keep_expr(where))
+
+
+def _stats_keep_expr(where: dict[str, tuple]):
+    """The conjunctive can't-rule-this-file-out expression over the
+    typed stats maps, for one set of (already version-resolved) column
+    names."""
     cond = None
     for c, (lo, hi) in where.items():
         k = F.lit(c)
@@ -1088,7 +1248,7 @@ def files_intersecting_spark(
         )
         cond_c = F.coalesce(c_hit, F.lit(True))
         cond = cond_c if cond is None else (cond & cond_c)
-    return manifest_df.where(cond if cond is not None else F.lit(True))
+    return cond if cond is not None else F.lit(True)
 
 
 def _table_prefix(table_path: str) -> str:
@@ -1119,6 +1279,88 @@ def _attach_positions(df: DataFrame, table_path: str) -> DataFrame:
 
 
 _POS_SIDECAR_SCHEMA = "file string, pos bigint"
+
+
+def _scan_entries(
+    spark: SparkSession,
+    table_path: str,
+    m: dict,
+    entries: list[dict],
+    with_positions: bool = False,
+) -> DataFrame:
+    """Scan manifest entries normalized to the manifest's CURRENT
+    schema. On a table with field-id evolution, entries are grouped by
+    their write-time ``schema_v``; each group is read with ITS version's
+    column names/types (so parquet's name-based resolution finds the
+    bytes) and then renamed/cast to the current id→name binding —
+    columns whose id the write-time version lacks surface as NULL. One
+    scan per live version (versions are few: one per evolution commit),
+    unioned; the common single-version case is one plain scan."""
+    cur = StructType.fromJson(json.loads(m["schema"]))
+    log = m.get("schema_log")
+    cur_v = m.get("schema_v", 0)
+    groups: dict[int, list[str]] = {}
+    for e in entries:
+        groups.setdefault(e.get("schema_v", 0), []).append(e["path"])
+
+    def _read(paths: list[str], schema: StructType) -> DataFrame:
+        df = spark.read.schema(schema).parquet(
+            *[os.path.join(table_path, p) for p in paths]
+        )
+        # row identity must come off the raw scan (the ``_metadata``
+        # struct resolves on the relation, before any projection)
+        return _attach_positions(df, table_path) if with_positions else df
+
+    if not log or set(groups) <= {cur_v}:
+        return _read([e["path"] for e in entries], cur)
+    out = None
+    for v, paths in sorted(groups.items()):
+        vcols = log[str(v)]
+        df = _read(
+            paths,
+            StructType.fromJson(json.loads(_version_schema_json(vcols))),
+        )
+        by_id = {c["id"]: (c["name"], c["type"]) for c in vcols}
+        sel = []
+        for c, f in zip(m["columns"], cur.fields):
+            old = by_id.get(c["id"])
+            if old is None:
+                sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+            elif old[0] != f.name or old[1] != c["type"]:
+                sel.append(F.col(old[0]).cast(f.dataType).alias(f.name))
+            else:
+                sel.append(F.col(f.name))
+        if with_positions:
+            sel += [F.col("__pos"), F.col("__file")]
+        df = df.select(*sel)
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def _delete_to_current(d: dict, m: dict) -> dict:
+    """A merge-on-read delete dict with its column names translated from
+    the delete's write-time schema version to the manifest's current
+    binding (deletes apply to the NORMALIZED row stream). Position
+    deletes carry no column names; values need no conversion — widening
+    is exact."""
+    log = m.get("schema_log")
+    dv = d.get("schema_v", 0)
+    if not log or dv == m.get("schema_v", 0):
+        return d
+    cur_by_id = {c["id"]: c["name"] for c in m["columns"]}
+    v_to_cur = {
+        c["name"]: cur_by_id[c["id"]]
+        for c in log[str(dv)]
+        if c["id"] in cur_by_id
+    }
+    out = dict(d)
+    if "keys" in d:
+        out["keys"] = [v_to_cur[k] for k in d["keys"]]
+        out["_rename"] = {k: v_to_cur[k] for k in d["keys"]
+                          if v_to_cur[k] != k}
+    if "box" in d:
+        out["box"] = {v_to_cur[c]: b for c, b in d["box"].items()}
+    return out
 
 
 def _read_entries(
@@ -1158,21 +1400,23 @@ def _read_entries(
         return spark.createDataFrame([], schema)
     deletes = sorted(m.get("deletes", []), key=lambda d: d["seq"])
     if not deletes and not with_positions:
-        return spark.read.schema(schema).parquet(
-            *[os.path.join(table_path, e["path"]) for e in entries]
-        )
+        return _scan_entries(spark, table_path, m, entries)
     # stratum i = files that the suffix deletes[i:] applies to
-    strata: dict[int, list[str]] = {}
+    strata: dict[int, list[dict]] = {}
     seqs = [d["seq"] for d in deletes]
     for e in entries:
         eseq = e.get("seq", 0)
         i = 0
         while i < len(seqs) and seqs[i] <= eseq:
             i += 1
-        strata.setdefault(i, []).append(e["path"])
+        strata.setdefault(i, []).append(e)
     out = None
-    for i, paths in sorted(strata.items()):
-        applicable = deletes[i:]
+    for i, stratum in sorted(strata.items()):
+        paths = [e["path"] for e in stratum]
+        # delete column names translate (by field id) to the manifest's
+        # current binding — the scan below is NORMALIZED, so a sidecar
+        # keyed on a since-renamed column must shadow under the new name
+        applicable = [_delete_to_current(d, m) for d in deletes[i:]]
         # position deletes name their files: a stratum containing none
         # of a delete's named files skips its anti-join entirely
         pos_live = {
@@ -1181,12 +1425,10 @@ def _read_entries(
             if d.get("kind") == "position"
             and set(paths) & set(d.get("files", []))
         }
-        df = spark.read.schema(schema).parquet(
-            *[os.path.join(table_path, p) for p in paths]
-        )
         has_pos = with_positions or bool(pos_live)
-        if has_pos:
-            df = _attach_positions(df, table_path)
+        df = _scan_entries(
+            spark, table_path, m, stratum, with_positions=has_pos
+        )
         for d in applicable:
             if d.get("kind") == "range":
                 # predicate delete: drop rows inside the box; NULL-valued
@@ -1208,9 +1450,19 @@ def _read_entries(
                         F.broadcast(side), ["__file", "__pos"], "left_anti"
                     )
             else:  # equality delete: anti-join the broadcast key sidecar
+                # the sidecar parquet holds its WRITE-TIME column names;
+                # _delete_to_current recorded the old→current renames
+                ren = d.get("_rename", {})
+                cur_of = {v: k for k, v in ren.items()}
                 dk = spark.read.parquet(
                     *[os.path.join(table_path, p) for p in d["paths"]]
-                ).select(*d["keys"]).distinct()
+                ).select(
+                    *[F.col(cur_of.get(k, k)).alias(k) for k in d["keys"]]
+                ).distinct()
+                # widened key columns: cast the sidecar side up so the
+                # join compares like types (exact promotions only)
+                for k in d["keys"]:
+                    dk = dk.withColumn(k, F.col(k).cast(dict(df.dtypes)[k]))
                 df = df.join(F.broadcast(dk), d["keys"], "left_anti")
         if has_pos and not with_positions:
             df = df.drop("__file", "__pos")
@@ -1252,10 +1504,14 @@ def read_snapshot(
         mdf = manifest_files_df(spark, table_path, m=m)
         if where:
             mdf = files_intersecting_spark(
-                mdf, where, spec=spec, schema_json=m["schema"])
+                mdf, where, spec=spec, schema_json=m["schema"], m=m)
         entries = [
-            {"path": r["path"], "seq": r["seq"]}
-            for r in mdf.select("path", "seq").collect()
+            {"path": r["path"], "seq": r["seq"],
+             "schema_v": r["schema_v"] or 0}
+            for r in mdf.select(
+                "path", "seq",
+                F.coalesce(F.col("schema_v"), F.lit(0)).alias("schema_v"),
+            ).collect()
         ]
     elif not where:
         entries = m["files"]
@@ -1264,7 +1520,7 @@ def read_snapshot(
         if spec:
             entries = partition_prune(
                 spark, spec, m["schema"], entries, where)
-        entries = files_intersecting({"files": entries}, where)
+        entries = files_intersecting({**m, "files": entries}, where)
     df = _read_entries(spark, table_path, m, entries)
     if where:
         for c, (lo, hi) in where.items():
@@ -1360,9 +1616,136 @@ def evolve_add_columns(
         if name in have:
             raise ValueError(f"column {name!r} already exists")
         schema = schema.add(name, _parse_datatype_string(typ), True)
+    extra = None
+    if "columns" in m:
+        # the table has field ids: the added columns get FRESH ids (ids
+        # are never reused) and a new schema version, so version maps
+        # know pre-add files hold no bytes for them
+        columns, sv, log = _evolution_state(m)
+        next_id = 1 + max(
+            c["id"] for cols in log.values() for c in cols
+        )
+        added_fields = json.loads(schema.json())["fields"][len(columns):]
+        new_columns = columns + [
+            {"id": next_id + i, "name": f["name"], "type": f["type"]}
+            for i, f in enumerate(added_fields)
+        ]
+        log[str(sv + 1)] = new_columns
+        extra = {"columns": new_columns, "schema_v": sv + 1,
+                 "schema_log": log}
     return _publish(
         table_path, parent, m["files"], schema.json(), "evolve",
+        deletes=m.get("deletes", []), extra=extra,
+    )
+
+
+def _refuse_evolution_refs(table_path: str, col: str) -> None:
+    """Renaming/widening a column the partition spec or a CHECK
+    constraint references is refused: the spec's transform bindings and
+    the constraint expressions are stored BY NAME (as in the public
+    formats' SQL surfaces) — drop the constraint / the dependency
+    first. Constraint matching is a conservative word-boundary scan of
+    the expression text."""
+    import re
+
+    spec = table_partition_spec(table_path)
+    if spec and any(it["col"] == col for it in spec):
+        raise ValueError(
+            f"column {col!r} is a partition-spec source — the physical "
+            "layout is derived from it; evolution is refused"
+        )
+    pat = re.compile(rf"\b{re.escape(col)}\b")
+    for name, expr in table_constraints(table_path).items():
+        if pat.search(expr):
+            raise ValueError(
+                f"column {col!r} appears in CHECK constraint {name!r} "
+                f"({expr!r}) — drop the constraint first"
+            )
+
+
+def rename_column(table_path: str, old: str, new: str) -> int:
+    """Rename a top-level column as a METADATA-ONLY commit (Iceberg's
+    field-id rename): no data file is touched — the commit re-binds the
+    column's stable field id to the new name and bumps the schema
+    version. Files written before the rename are resolved BY ID at
+    read time (read with their write-time name, served under the new
+    one), stats pruning translates predicates per file version, and
+    time travel to a pre-rename snapshot still serves the old name.
+    Appends after the rename must use the new name
+    (:func:`_check_schema` pins the current binding)."""
+    parent = current_snapshot_id(table_path)
+    if parent is None:
+        raise FileNotFoundError(f"no snapshots under {table_path}")
+    m = read_manifest(table_path, parent)
+    _refuse_evolution_refs(table_path, old)
+    columns, sv, log = _evolution_state(m)
+    names = [c["name"] for c in columns]
+    if old not in names:
+        raise ValueError(f"no column {old!r} (have {names})")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists — renames "
+                         "never merge fields")
+    new_columns = [
+        ({**c, "name": new} if c["name"] == old else c) for c in columns
+    ]
+    sj = json.loads(m["schema"])
+    for f in sj["fields"]:
+        if f["name"] == old:
+            f["name"] = new
+    log[str(sv + 1)] = new_columns
+    return _publish(
+        table_path, parent, m["files"], json.dumps(sj), "evolve",
         deletes=m.get("deletes", []),
+        extra={"columns": new_columns, "schema_v": sv + 1,
+               "schema_log": log},
+    )
+
+
+def widen_column_type(table_path: str, col: str, to_type: str) -> int:
+    """Widen a column's primitive type as a METADATA-ONLY commit —
+    Iceberg's allowed promotions only: tinyint→smallint→int→bigint
+    (upward along the chain) and float→double, where every stored
+    value is exactly representable in the wider type. Old files keep
+    their narrower physical encoding and are cast at read (by field
+    id); new appends must carry the widened type. Anything else
+    (narrowing, int→string, …) changes the meaning of bytes already
+    written — that is a rewrite, not an evolution, and is refused."""
+    parent = current_snapshot_id(table_path)
+    if parent is None:
+        raise FileNotFoundError(f"no snapshots under {table_path}")
+    m = read_manifest(table_path, parent)
+    _refuse_evolution_refs(table_path, col)
+    columns, sv, log = _evolution_state(m)
+    cur = next((c for c in columns if c["name"] == col), None)
+    if cur is None:
+        raise ValueError(
+            f"no column {col!r} (have {[c['name'] for c in columns]})")
+    tgt = _TYPE_ALIASES.get(to_type)
+    src = cur["type"] if isinstance(cur["type"], str) else None
+    ok = tgt is not None and src is not None and (
+        (src in _WIDEN_RANK and tgt in _WIDEN_RANK
+         and _WIDEN_RANK[tgt] > _WIDEN_RANK[src])
+        or (src == "float" and tgt == "double")
+    )
+    if not ok:
+        raise ValueError(
+            f"cannot widen {col!r}: {cur['type']!r} → {to_type!r} is not "
+            "an exact promotion (allowed: tinyint→smallint→int→bigint "
+            "upward, float→double)"
+        )
+    new_columns = [
+        ({**c, "type": tgt} if c["name"] == col else c) for c in columns
+    ]
+    sj = json.loads(m["schema"])
+    for f in sj["fields"]:
+        if f["name"] == col:
+            f["type"] = tgt
+    log[str(sv + 1)] = new_columns
+    return _publish(
+        table_path, parent, m["files"], json.dumps(sj), "evolve",
+        deletes=m.get("deletes", []),
+        extra={"columns": new_columns, "schema_v": sv + 1,
+               "schema_log": log},
     )
 
 
@@ -1707,6 +2090,10 @@ def merge_snapshot_mor(
             "seq": new_id,
             "box": box,
         }
+        if "schema_v" in m:
+            # keys/box are the write-time names — readers translate
+            # them by field id after later renames
+            delete_entry["schema_v"] = m["schema_v"]
     if current_snapshot_id(table_path) != parent:
         raise CommitConflict(
             f"snapshot advanced past {parent} while merging — replan"
@@ -1785,6 +2172,8 @@ def delete_snapshot_where_mor(
                 table_path, subdir=_CHANGES_DIR,
             )
     delete_entry = {"kind": "range", "box": box, "seq": new_id}
+    if "schema_v" in m:
+        delete_entry["schema_v"] = m["schema_v"]
     if current_snapshot_id(table_path) != parent:
         raise CommitConflict(
             f"snapshot advanced past {parent} while deleting — replan"
@@ -2161,10 +2550,14 @@ def fold_deletes(spark: SparkSession, table_path: str) -> int | None:
                 if e["path"] in d.get("files", []):
                     return True
                 continue
-            b = d.get("box")
+            # the box is keyed by the DELETE's write-time names; route
+            # through current names so files_intersecting can re-
+            # translate to the FILE's write-time stats keys (field-id
+            # sound on evolved tables, identity otherwise)
+            b = _delete_to_current(d, m).get("box")
             if b is None:
                 return True
-            if files_intersecting({"files": [e]},
+            if files_intersecting({**m, "files": [e]},
                                   {c: tuple(v) for c, v in b.items()}):
                 return True
         return False
@@ -2400,7 +2793,14 @@ def rollback_snapshot(table_path: str, to_id: int) -> int:
     return _publish(
         table_path, parent, target["files"], target["schema"], "rollback",
         deletes=target.get("deletes", []),
-        extra={"rolled_back_to": to_id},
+        # the TARGET's field-id state comes back too (a restore past a
+        # rename serves the old names again); inheriting the parent's
+        # would mis-bind the restored files
+        extra={"rolled_back_to": to_id,
+               **{k: target[k]
+                  for k in ("columns", "schema_v", "schema_log")
+                  if k in target}},
+        inherit_evolution=False,
     )
 
 
@@ -2501,25 +2901,24 @@ def snapshot_changes(
             " snapshot, then resume snapshot_changes from its id"
         )
     base = read_manifest(table_path, from_id) if from_id > 0 else {"files": []}
-    schema = StructType.fromJson(
-        json.loads(read_manifest(table_path, to_id)["schema"])
-    )
+    m_to = read_manifest(table_path, to_id, load_files=False)
+    schema = StructType.fromJson(json.loads(m_to["schema"]))
     seen = {e["path"] for e in base["files"]}
-    added: list[str] = []
+    added: list[dict] = []
     for sid in range(from_id + 1, to_id + 1):
         m = read_manifest(table_path, sid)
         if m["operation"] == "append":
             for e in m["files"]:
                 if e["path"] not in seen:
-                    added.append(e["path"])
+                    added.append(e)
                     seen.add(e["path"])
         else:
             seen.update(e["path"] for e in m["files"])
     if not added:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(
-        *[os.path.join(table_path, p) for p in added]
-    )
+    # _scan_entries resolves columns by field id, so files appended
+    # before a rename/widen inside the range surface in to_id's shape
+    return _scan_entries(spark, table_path, m_to, added)
 
 
 def snapshot_change_feed(
@@ -2563,6 +2962,29 @@ def snapshot_change_feed(
             " of the current snapshot, then resume the feed from its id"
         )
     prev = read_manifest(table_path, from_id) if from_id > 0 else {"files": []}
+    m_to = read_manifest(table_path, to_id, load_files=False)
+
+    def _to_current(df: DataFrame, v: int, extras: list[str]) -> DataFrame:
+        """Normalize a frame read in schema-version v's shape to
+        ``to_id``'s current id→name binding (+ the feed's meta columns)
+        so frames union column-for-column across renames/widenings.
+        Identity when the table never evolved names/types."""
+        if "schema_log" not in m_to:
+            return df
+        cur_fields = StructType.fromJson(json.loads(m_to["schema"])).fields
+        by_id = {c["id"]: (c["name"], c["type"])
+                 for c in m_to["schema_log"][str(v)]}
+        sel = []
+        for c, f in zip(m_to["columns"], cur_fields):
+            old = by_id.get(c["id"])
+            if old is None or old[0] not in df.columns:
+                sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+            elif old[0] != f.name or old[1] != c["type"]:
+                sel.append(F.col(old[0]).cast(f.dataType).alias(f.name))
+            else:
+                sel.append(F.col(f.name))
+        return df.select(*sel, *extras)
+
     prev_paths = {e["path"] for e in prev["files"]}
     frames: list[DataFrame] = []
     for sid in range(from_id + 1, to_id + 1):
@@ -2587,23 +3009,28 @@ def snapshot_change_feed(
                 e["path"] for e in m["files"] if e["path"] not in prev_paths
             ]
             if added:
-                frames.append(
+                frames.append(_to_current(
                     spark.read.schema(schema).parquet(
                         *[os.path.join(table_path, p) for p in added]
                     )
                     .withColumn("_change_type", F.lit(tag))
-                    .withColumn("_commit_snapshot_id", F.lit(sid).cast("long"))
-                )
+                    .withColumn(
+                        "_commit_snapshot_id", F.lit(sid).cast("long")),
+                    m.get("schema_v", 0),
+                    ["_change_type", "_commit_snapshot_id"],
+                ))
         elif m.get("changes"):
             cschema = StructType(
                 schema.fields + [StructField("_change_type", StringType())]
             )
-            frames.append(
+            frames.append(_to_current(
                 spark.read.schema(cschema).parquet(
                     *[os.path.join(table_path, e["path"])
                       for e in m["changes"]]
-                ).withColumn("_commit_snapshot_id", F.lit(sid).cast("long"))
-            )
+                ).withColumn("_commit_snapshot_id", F.lit(sid).cast("long")),
+                m.get("schema_v", 0),
+                ["_change_type", "_commit_snapshot_id"],
+            ))
         prev_paths = {e["path"] for e in m["files"]}
     if not frames:
         schema = StructType.fromJson(

@@ -1,0 +1,351 @@
+"""Field-id schema evolution (operators/snapshots.rename_column /
+widen_column_type — the Iceberg column-id model): renames and exact
+type promotions are metadata-only commits; files written under any
+historical schema version resolve by STABLE field id at read time, so
+old bytes serve under new names/types, stats pruning stays sound, and
+merge-on-read sidecars keep shadowing across renames.
+
+Reference parity note: ratatool has no table layer; this mirrors the
+public Iceberg spec (field ids, schema-id per data file, allowed
+primitive promotions int→long / float→double)."""
+
+import glob
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+import ratatool_spark.operators.snapshots as snap
+
+
+def _mk(spark, tmp_path, name="t", n=12):
+    path = str(tmp_path / name)
+    df = spark.range(n).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") * 2).cast("int").alias("x"),
+        F.concat(F.lit("s"), F.col("id")).alias("s"),
+    )
+    snap.commit_append(df.coalesce(2), path)
+    return path
+
+
+def test_rename_is_metadata_only_and_serves_old_bytes(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    files0 = set(glob.glob(f"{path}/data/**/*.parquet", recursive=True))
+    snap.rename_column(path, "x", "payload")
+    assert set(glob.glob(f"{path}/data/**/*.parquet", recursive=True)) == files0
+    cur = snap.read_snapshot(spark, path)
+    assert cur.columns == ["k", "payload", "s"]
+    assert cur.agg(F.sum("payload")).first()[0] == sum(2 * i for i in range(12))
+    # time travel to the pre-rename snapshot serves the old name
+    assert snap.read_snapshot(spark, path, snapshot_id=1).columns == [
+        "k", "x", "s"]
+
+
+def test_widen_is_metadata_only_and_casts_old_files(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    snap.widen_column_type(path, "k", "bigint")
+    cur = snap.read_snapshot(spark, path)
+    assert dict(cur.dtypes)["k"] == "bigint"
+    assert cur.agg(F.sum("k")).first()[0] == sum(range(12))
+    # appends must now carry the widened type; the narrow shape is stale
+    narrow = spark.createDataFrame([(99, 1, "z")], "k int, x int, s string")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        snap.commit_append(narrow, path)
+    wide = spark.createDataFrame([(99, 1, "z")], "k bigint, x int, s string")
+    snap.commit_append(wide, path)
+    assert snap.read_snapshot(spark, path).count() == 13
+
+
+def test_widen_refuses_non_promotions(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    for bad in [("k", "string"), ("s", "bigint"), ("k", "int")]:
+        with pytest.raises(ValueError, match="not an exact promotion"):
+            snap.widen_column_type(path, *bad)
+    snap.widen_column_type(path, "k", "bigint")
+    with pytest.raises(ValueError, match="not an exact promotion"):
+        snap.widen_column_type(path, "k", "int")  # never narrow back
+
+
+def test_rename_refuses_collision_and_missing(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="already exists"):
+        snap.rename_column(path, "x", "s")
+    with pytest.raises(ValueError, match="no column"):
+        snap.rename_column(path, "nope", "y")
+
+
+def test_evolution_refused_on_spec_and_constraint_columns(spark, tmp_path):
+    path = str(tmp_path / "tp")
+    df = spark.range(8).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") % 3).cast("int").alias("b"),
+    )
+    snap.commit_append(
+        df, path, partition_spec=[{"col": "b", "transform": "identity"}]
+    )
+    with pytest.raises(ValueError, match="partition-spec source"):
+        snap.rename_column(path, "b", "bucketed")
+    snap.add_constraint(spark, path, "k_pos", "k >= 0")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        snap.widen_column_type(path, "k", "bigint")
+    snap.drop_constraint(path, "k_pos")
+    assert snap.widen_column_type(path, "k", "bigint") > 0
+
+
+def test_mixed_version_append_and_aggregate(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    snap.rename_column(path, "x", "payload")
+    snap.commit_append(
+        spark.range(12, 20).select(
+            F.col("id").cast("int").alias("k"),
+            (F.col("id") * 2).cast("int").alias("payload"),
+            F.lit("new").alias("s"),
+        ),
+        path,
+    )
+    cur = snap.read_snapshot(spark, path)
+    assert cur.count() == 20
+    assert cur.agg(F.sum("payload")).first()[0] == sum(2 * i for i in range(20))
+    # manifest entries carry their write-time version
+    m = snap.read_manifest(path)
+    assert {e.get("schema_v", 0) for e in m["files"]} == {0, 1}
+    # version 0 genuinely existed pre-rename: the log pins both bindings
+    log = m["schema_log"]
+    assert [c["name"] for c in log["0"]] == ["k", "x", "s"]
+    assert [c["name"] for c in log["1"]] == ["k", "payload", "s"]
+    ids = lambda v: [c["id"] for c in log[v]]  # noqa: E731
+    assert ids("0") == ids("1")  # renames re-bind, never re-id
+
+
+def test_stats_pruning_translates_across_rename(spark, tmp_path):
+    """Predicates on the NEW name must still prune files via their OLD-
+    name stats; after a rename that REUSES a retired name, the reused
+    name must NOT match the old field's stats (the unsound case a
+    name-keyed lookup would hit)."""
+    path = str(tmp_path / "tt")
+    df = spark.range(100).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") + 1000).cast("int").alias("x"),
+    )
+    snap.commit_append(df.repartitionByRange(4, "x"), path)
+    snap.rename_column(path, "x", "y")
+    m = snap.read_manifest(path)
+    kept = snap.files_intersecting(m, {"y": (1000, 1010)})
+    assert 0 < len(kept) < len(m["files"])  # old-name stats still prune
+    got = snap.read_snapshot(spark, path, where={"y": (1000, 1010)})
+    assert sorted(r["y"] for r in got.collect()) == list(range(1000, 1011))
+    # reuse the retired name for a DIFFERENT field: k -> x. A predicate
+    # on the reused name must consult old-k stats, NOT old-x stats
+    # (which would unsoundly prune everything: old x is all >= 1000)
+    snap.rename_column(path, "k", "x")
+    got2 = snap.read_snapshot(spark, path, where={"x": (90, 99)})
+    assert got2.count() == 10
+
+
+def test_pruning_drops_files_predating_a_column(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    snap.rename_column(path, "x", "payload")  # ids assigned
+    snap.evolve_add_columns(spark, path, {"extra": "int"})
+    snap.commit_append(
+        spark.createDataFrame([(50, 1, "n", 7)],
+                              "k int, payload int, s string, extra int")
+        .coalesce(1),
+        path,
+    )
+    m = snap.read_manifest(path)
+    kept = snap.files_intersecting(m, {"extra": (0, 100)})
+    assert len(kept) == 1  # pre-add files are all-NULL there: dropped
+    got = snap.read_snapshot(spark, path, where={"extra": (0, 100)})
+    assert [r["k"] for r in got.collect()] == [50]
+
+
+def test_spark_and_python_pruning_agree_on_evolved_table(spark, tmp_path):
+    path = str(tmp_path / "eq")
+    df = spark.range(200).select(
+        F.col("id").cast("int").alias("k"),
+        F.col("id").cast("int").alias("x"),
+    )
+    snap.commit_append(df.repartitionByRange(5, "x"), path)
+    snap.rename_column(path, "x", "y")
+    snap.commit_append(
+        spark.range(200, 300).select(
+            F.col("id").cast("int").alias("k"),
+            F.col("id").cast("int").alias("y"),
+        ).repartitionByRange(3, "y"),
+        path,
+    )
+    m = snap.read_manifest(path)
+    where = {"y": (150, 220)}
+    py = {e["path"] for e in snap.files_intersecting(m, where)}
+    mdf = snap.manifest_files_df(spark, path)
+    sp = {
+        r["path"]
+        for r in snap.files_intersecting_spark(mdf, where, m=m).collect()
+    }
+    assert sp == py and 0 < len(py) < len(m["files"])
+
+
+def test_externalized_sidecar_roundtrips_schema_v(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(snap, "FILES_INLINE_MAX", 0)
+    path = _mk(spark, tmp_path)
+    snap.rename_column(path, "x", "payload")
+    snap.commit_append(
+        spark.createDataFrame([(99, 1, "z")], "k int, payload int, s string"),
+        path,
+    )
+    m = snap.read_manifest(path)
+    assert "files_ref" in m
+    assert {e.get("schema_v", 0) for e in m["files"]} == {0, 1}
+    cur = snap.read_snapshot(spark, path)
+    assert cur.count() == 13
+    assert cur.agg(F.sum("payload")).first()[0] == sum(
+        2 * i for i in range(12)) + 1
+    # pruned externalized read plans via the Spark job with translation
+    got = snap.read_snapshot(spark, path, where={"payload": (0, 4)})
+    assert sorted(r["k"] for r in got.collect()) == [0, 1, 2, 99]
+
+
+def test_cow_merge_on_renamed_and_widened_key(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    snap.rename_column(path, "k", "key")
+    snap.widen_column_type(path, "key", "bigint")
+    ch = spark.createDataFrame(
+        [(3, 999, "upd"), (100, 1, "ins")], "key bigint, x int, s string"
+    )
+    snap.merge_snapshot(spark, path, ch, ["key"])
+    t = snap.read_snapshot(spark, path)
+    assert t.count() == 13
+    assert t.where("key = 3").first()["x"] == 999
+
+
+def test_mor_delete_shadows_across_rename(spark, tmp_path):
+    """An equality-delete sidecar written BEFORE a rename must keep
+    shadowing rows read AFTER it (keys translate by field id), and
+    fold_deletes must materialize it correctly."""
+    path = _mk(spark, tmp_path)
+    ch = spark.createDataFrame([(5, 555, "mor")], "k int, x int, s string")
+    snap.merge_snapshot_mor(spark, path, ch, ["k"])
+    snap.rename_column(path, "k", "key")
+    t = snap.read_snapshot(spark, path)
+    assert t.where("key = 5").collect() == [
+        r for r in t.collect() if r["key"] == 5]
+    assert t.where("key = 5").first()["x"] == 555 and t.count() == 12
+    snap.fold_deletes(spark, path)
+    t2 = snap.read_snapshot(spark, path)
+    assert t2.count() == 12 and t2.where("key = 5").first()["x"] == 555
+
+
+def test_mor_range_delete_box_translates(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    snap.delete_snapshot_where_mor(spark, path, {"x": (0, 9)})  # k 0..4
+    snap.rename_column(path, "x", "payload")
+    t = snap.read_snapshot(spark, path)
+    assert sorted(r["k"] for r in t.collect()) == list(range(5, 12))
+    snap.fold_deletes(spark, path)
+    assert snap.read_snapshot(spark, path).count() == 7
+
+
+def test_change_feed_normalizes_across_rename(spark, tmp_path):
+    path = _mk(spark, tmp_path)  # snapshot 1: insert 12
+    snap.rename_column(path, "x", "payload")  # snapshot 2
+    ch = spark.createDataFrame([(0, 777, "u")], "k int, payload int, s string")
+    snap.merge_snapshot(spark, path, ch, ["k"])  # snapshot 3
+    feed = snap.snapshot_change_feed(spark, path, 0)
+    assert feed.columns == [
+        "k", "payload", "s", "_change_type", "_commit_snapshot_id"]
+    by = {r["_change_type"]: r["n"] for r in
+          feed.groupBy("_change_type").agg(F.count("*").alias("n")).collect()}
+    assert by == {"insert": 12, "update_preimage": 1, "update_postimage": 1}
+    # pre-rename inserts surface under the NEW name with their values
+    ins = feed.where("_change_type = 'insert'")
+    assert ins.agg(F.sum("payload")).first()[0] == sum(2 * i for i in range(12))
+    # file-level incremental scan normalizes the same way
+    inc = snap.snapshot_changes(spark, path, 0)
+    assert inc.columns == ["k", "payload", "s"] and inc.count() == 12
+
+
+def test_compaction_folds_old_versions_to_current(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    snap.rename_column(path, "x", "payload")
+    snap.commit_append(
+        spark.createDataFrame([(99, 1, "z")], "k int, payload int, s string"),
+        path,
+    )
+    snap.compact_snapshot(spark, path, target_bytes=1 << 30)
+    m = snap.read_manifest(path)
+    assert {e.get("schema_v", 0) for e in m["files"]} == {m["schema_v"]}
+    assert snap.read_snapshot(spark, path).count() == 13
+
+
+def test_rollback_restores_pre_rename_binding(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    snap.rename_column(path, "x", "payload")
+    snap.rollback_snapshot(path, 1)
+    t = snap.read_snapshot(spark, path)
+    assert t.columns == ["k", "x", "s"] and t.count() == 12
+    m = snap.read_manifest(path)
+    assert "columns" not in m  # pre-evolution state restored verbatim
+    # evolution after the rollback starts a fresh id assignment
+    snap.rename_column(path, "x", "x2")
+    assert snap.read_snapshot(spark, path).columns == ["k", "x2", "s"]
+
+
+def test_add_columns_after_ids_get_fresh_ids(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    snap.rename_column(path, "x", "payload")
+    snap.evolve_add_columns(spark, path, {"extra": "double"})
+    m = snap.read_manifest(path)
+    ids = [c["id"] for c in m["columns"]]
+    assert len(ids) == len(set(ids)) and max(ids) == 4
+    snap.rename_column(path, "extra", "bonus")
+    cur = snap.read_snapshot(spark, path)
+    assert cur.columns == ["k", "payload", "s", "bonus"]
+    assert cur.where("bonus IS NOT NULL").count() == 0
+
+
+def test_time_travel_between_evolutions(spark, tmp_path):
+    path = _mk(spark, tmp_path)  # v1
+    snap.rename_column(path, "x", "a")  # v2
+    snap.rename_column(path, "a", "b")  # v3
+    assert snap.read_snapshot(spark, path, snapshot_id=2).columns == [
+        "k", "a", "s"]
+    assert snap.read_snapshot(spark, path, snapshot_id=3).columns == [
+        "k", "b", "s"]
+
+
+def test_wap_stage_survives_evolution_check(spark, tmp_path):
+    """A stage created before an evolution commit is STALE (main
+    advanced) — publish refuses it, exactly like any other concurrent
+    commit, so a staged batch can never publish under a mis-bound
+    schema."""
+    path = _mk(spark, tmp_path)
+    snap.stage_append(
+        spark.createDataFrame([(77, 1, "w")], "k int, x int, s string"),
+        path, "audit",
+    )
+    snap.rename_column(path, "x", "payload")
+    with pytest.raises(snap.CommitConflict):
+        snap.publish_branch(spark, path, "audit")
+
+
+def test_position_delete_survives_rename(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    snap.delete_snapshot_rows_mor(spark, path, "x = 6 OR s = 's9'")
+    snap.rename_column(path, "x", "payload")
+    t = snap.read_snapshot(spark, path)
+    assert sorted(r["k"] for r in t.collect()) == [
+        i for i in range(12) if i not in (3, 9)]
+
+
+def test_manifest_json_shape_is_self_contained(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    snap.rename_column(path, "x", "payload")
+    snap.commit_append(
+        spark.createDataFrame([(99, 1, "z")], "k int, payload int, s string"),
+        path,
+    )
+    with open(snap._snap_path(path, 3)) as f:
+        m = json.load(f)
+    assert m["schema_v"] == 1 and "0" in m["schema_log"]
+    assert json.loads(m["schema"])["fields"][1]["name"] == "payload"
