@@ -1456,3 +1456,79 @@ SELECT status,
 FROM merged
 GROUP BY status
 """
+
+
+def _q_snapshot_spec_evolution(spark, sf_dir):
+    """Partition spec evolution (operators/snapshots.
+    evolve_partition_spec — Iceberg's model): orders lands under spec 0
+    = identity(status); the spec then evolves to truncate(ok, 1024) and
+    a second append writes under it, so the table mixes partition
+    layouts file-by-file. Reads stay correct throughout (pruning uses
+    the union of specs; each file's tuple only answers for ITS spec);
+    drop_partition on the new spec is REFUSED while old-layout files
+    could hide matching rows (pinned in-gate), compaction migrates
+    every file to the current spec, and then retiring the first key
+    band is a metadata-only drop. The oracle recomputes the final
+    content and the pruned band count from the source table."""
+    from ratatool_spark.operators.snapshots import (
+        commit_append,
+        compact_snapshot,
+        drop_partition,
+        evolve_partition_spec,
+        read_manifest,
+        read_snapshot,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total"),
+    )
+    path = tempfile.mkdtemp(prefix="rt_spec_") + "/tbl"
+    commit_append(
+        orders.where(F.col("ok") % 2 == 0), path,
+        partition_spec=[{"col": "status", "transform": "identity"}],
+    )
+    files0 = {e["path"] for e in read_manifest(path)["files"]}
+    evolve_partition_spec(
+        path, [{"col": "ok", "transform": "truncate", "param": 1024}])
+    assert {e["path"] for e in read_manifest(path)["files"]} == files0, (
+        "spec evolution must be metadata-only"
+    )
+    commit_append(orders.where(F.col("ok") % 2 == 1), path)
+    m = read_manifest(path)
+    assert {frozenset(e["partition"]) for e in m["files"]} == {
+        frozenset({"p0"}), frozenset({"p1"})
+    }, "expected files under both specs"
+    try:
+        drop_partition(spark, path, {"p1": 0})
+        raise AssertionError("drop must refuse while specs are mixed")
+    except ValueError:
+        pass
+    n_band = read_snapshot(spark, path, where={"ok": (1024, 2047)}).count()
+    compact_snapshot(spark, path, target_bytes=1 << 30)
+    drop_partition(spark, path, {"p1": 0}, record_changes=False)
+    final = read_snapshot(spark, path)
+    return (
+        final.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("total").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_total"),
+        )
+        .withColumn("n_band", F.lit(n_band).cast("long"))
+    )
+
+
+_SQL_SNAPSHOT_SPEC_EVOLUTION = """
+SELECT o_orderstatus AS status,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_total,
+       (SELECT COUNT(*) FROM orders
+        WHERE o_orderkey BETWEEN 1024 AND 2047) AS n_band
+FROM orders
+WHERE o_orderkey >= 1024
+GROUP BY o_orderstatus
+"""

@@ -184,20 +184,45 @@ _PART_NULL = "__HIVE_DEFAULT_PARTITION__"
 _SPEC_FILE = "partition_spec.json"
 
 
-def table_partition_spec(table_path: str) -> list[dict] | None:
-    """The table's partition spec (fixed at creation), or None for an
-    unpartitioned table. Spec items: {"name": "p0", "col": <source
-    column>, "transform": "identity"|"truncate"|"bucket"|"month",
-    "param": <width/bucket count, transform-dependent>} — Iceberg's
-    hidden-partitioning model: the PHYSICAL layout is derived from data
-    columns through declared transforms, queries keep predicating on
-    the source columns, and the planner maps predicates through the
-    transforms to prune whole partitions from metadata alone."""
+def table_partition_specs(table_path: str) -> list[list[dict]] | None:
+    """ALL of the table's partition specs, oldest first (spec evolution
+    appends; specs are never edited in place), or None when the table
+    is unpartitioned. Item names are GLOBALLY unique across specs
+    (p0, p1 from spec 0; p2, ... from spec 1), which is what keeps
+    mixed-spec metadata unambiguous: a partition tuple's keys identify
+    the spec that produced it, so pruning and drop-partition never
+    cross-read another spec's values."""
     p = os.path.join(table_path, _SNAP_DIR, _SPEC_FILE)
     if not os.path.exists(p):
         return None
     with open(p) as f:
-        return json.load(f)
+        raw = json.load(f)
+    return raw["specs"] if isinstance(raw, dict) else [raw]
+
+
+def table_partition_spec(table_path: str) -> list[dict] | None:
+    """The table's CURRENT partition spec (the newest, which every data
+    write routes through), or None for an unpartitioned table. Spec
+    items: {"name": "p0", "col": <source column>, "transform":
+    "identity"|"truncate"|"bucket"|"month", "param": <width/bucket
+    count, transform-dependent>} — Iceberg's hidden-partitioning model:
+    the PHYSICAL layout is derived from data columns through declared
+    transforms, queries keep predicating on the source columns, and the
+    planner maps predicates through the transforms to prune whole
+    partitions from metadata alone."""
+    specs = table_partition_specs(table_path)
+    return specs[-1] if specs else None
+
+
+def _all_spec_items(table_path: str) -> list[dict] | None:
+    """The union of every spec's items — the version-safe input for
+    partition pruning on a spec-evolved table: each file's tuple only
+    carries ITS spec's (globally unique) item names, so an item absent
+    from the tuple simply cannot prune that file."""
+    specs = table_partition_specs(table_path)
+    if not specs:
+        return None
+    return [it for spec in specs for it in spec]
 
 
 def _store_partition_spec(table_path: str, spec: list[dict]) -> list[dict]:
@@ -228,6 +253,65 @@ def _store_partition_spec(table_path: str, spec: list[dict]) -> list[dict]:
                     "partition spec — the spec is immutable"
                 ) from None
     return norm
+
+
+def evolve_partition_spec(table_path: str, spec: list[dict]) -> int:
+    """PARTITION SPEC EVOLUTION (Iceberg's model): append a NEW current
+    spec — all FUTURE data writes (appends and maintenance rewrites
+    alike) route through it, while files already written keep their old
+    spec's layout and partition tuples; nothing is rewritten. Published
+    as a metadata-only ``evolve-spec`` commit so the change is ordered
+    in table history. The new spec's item names continue the global
+    counter (spec 0: p0..; spec 1 starts where 0 ended), which is the
+    invariant that keeps mixed-spec pruning and :func:`drop_partition`
+    sound without per-file spec ids.
+
+    Practical migration note: pruning on the new spec's columns only
+    skips NEW files until maintenance (compaction / clustering /
+    merges) rewrites the old ones — rewrites route through the current
+    spec, so the table converges without a dedicated backfill."""
+    specs = table_partition_specs(table_path)
+    if specs is None:
+        raise ValueError(
+            f"table at {table_path} is unpartitioned — declare the "
+            "first spec at creation (commit_append(partition_spec=...))"
+        )
+    parent = current_snapshot_id(table_path)
+    if parent is None:
+        raise FileNotFoundError(f"no snapshots under {table_path}")
+    offset = sum(len(s) for s in specs)
+    norm = []
+    for i, item in enumerate(spec):
+        t = item.get("transform", "identity")
+        if t not in ("identity", "truncate", "bucket", "month"):
+            raise ValueError(f"unknown partition transform {t!r}")
+        if t in ("truncate", "bucket") and not item.get("param"):
+            raise ValueError(f"transform {t!r} needs a positive 'param'")
+        norm.append(
+            {"name": f"p{offset + i}", "col": item["col"], "transform": t,
+             "param": item.get("param")}
+        )
+    m = read_manifest(table_path, parent, load_files=False)
+    have = {f["name"] for f in json.loads(m["schema"])["fields"]}
+    missing = {it["col"] for it in norm} - have
+    if missing:
+        raise ValueError(
+            f"partition source columns {sorted(missing)} not in the "
+            "table schema"
+        )
+    p = os.path.join(table_path, _SNAP_DIR, _SPEC_FILE)
+    tmp = p + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump({"specs": specs + [norm]}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, p)
+    mf = read_manifest(table_path, parent)
+    return _publish(
+        table_path, parent, mf["files"], mf["schema"], "evolve-spec",
+        deletes=mf.get("deletes", []),
+        extra={"partition_spec_id": len(specs)},
+    )
 
 
 _INT_TYPES = ("tinyint", "smallint", "int", "bigint")
@@ -1014,7 +1098,7 @@ def drop_partition(
     the target partition could hide in unaligned files; use
     ``delete_snapshot_where`` instead. ``record_changes`` keeps the CDC
     feed complete (one read of the dropped files, still zero rewrite)."""
-    spec = table_partition_spec(table_path) or []
+    spec = _all_spec_items(table_path) or []
     names = {it["name"] for it in spec}
     unknown = set(values) - names
     if unknown:
@@ -1495,7 +1579,10 @@ def read_snapshot(
     Merge-on-read deletes (``merge_snapshot_mor``) are applied: rows a
     delete sidecar shadows never surface."""
     m = read_manifest(table_path, snapshot_id, load_files=False)
-    spec = table_partition_spec(table_path) if where else None
+    # prune against the UNION of all partition specs: each file's tuple
+    # carries only its own spec's (globally unique) item names, so
+    # cross-spec items skip rather than mis-prune
+    spec = _all_spec_items(table_path) if where else None
     if "files_ref" in m:
         # externalized manifest: plan WITHOUT materializing the entry
         # list on the driver — prune (optionally) as a Spark job over
@@ -1648,7 +1735,8 @@ def _refuse_evolution_refs(table_path: str, col: str) -> None:
     the expression text."""
     import re
 
-    spec = table_partition_spec(table_path)
+    spec = _all_spec_items(table_path)  # ANY spec, past or current —
+    # old files' tuples still prune through their spec's column binding
     if spec and any(it["col"] == col for it in spec):
         raise ValueError(
             f"column {col!r} is a partition-spec source — the physical "
