@@ -953,7 +953,9 @@ def build_parser() -> argparse.ArgumentParser:
                  "drop-partition", "expire", "vacuum",
                  "changes", "mirror", "rollback", "log",
                  "stage", "read-branch", "publish", "discard",
-                 "add-constraint", "drop-constraint"],
+                 "add-constraint", "drop-constraint",
+                 "rename-column", "widen-column", "evolve-spec",
+                 "tag", "untag", "tags"],
         required=True,
     )
     sn.add_argument("--table", required=True, help="snapshot table root")
@@ -1022,6 +1024,27 @@ def build_parser() -> argparse.ArgumentParser:
         help="vacuum mode: only remove orphans older than this many "
         "seconds (default 6h) — protects in-flight commits whose "
         "manifest has not been published yet",
+    )
+    sn.add_argument(
+        "--column", default=None,
+        help="rename-column/widen-column mode: the column to evolve",
+    )
+    sn.add_argument(
+        "--to", default=None,
+        help="rename-column: the new name; widen-column: the wider type "
+        "(exact promotions only: tinyint→smallint→int→bigint, "
+        "float→double)",
+    )
+    sn.add_argument(
+        "--spec", type=_csv, default=None,
+        help="evolve-spec mode: new partition spec items as "
+        "col:transform[:param] — future writes route through it; "
+        "existing files keep their layout",
+    )
+    sn.add_argument(
+        "--tagName", default=None,
+        help="tag/untag mode: the tag name (tag also accepts "
+        "--snapshotId; default current). Tagged snapshots never expire.",
     )
     sn.add_argument("--format", default=None, help="override input format sniffing")
 
@@ -2072,23 +2095,62 @@ def main(argv: list[str] | None = None) -> int:
                         box[c] = (float(lo), float(hi))
                 return box or None
 
+            def _parse_spec(items):
+                spec = []
+                for item in items:
+                    parts = item.split(":")
+                    d = {"col": parts[0],
+                         "transform": parts[1] if len(parts) > 1
+                         else "identity"}
+                    if len(parts) > 2:
+                        d["param"] = int(parts[2])
+                    spec.append(d)
+                return spec
+
             if args.mode == "append":
                 if not args.input:
                     raise SystemExit("--input is required with --mode append")
                 df = read_table(spark, args.input, fmt=args.format)
-                spec = None
-                if args.partitionBy:
-                    spec = []
-                    for item in args.partitionBy:
-                        parts = item.split(":")
-                        d = {"col": parts[0],
-                             "transform": parts[1] if len(parts) > 1
-                             else "identity"}
-                        if len(parts) > 2:
-                            d["param"] = int(parts[2])
-                        spec.append(d)
+                spec = _parse_spec(args.partitionBy) if args.partitionBy \
+                    else None
                 sid = snap.commit_append(df, args.table, partition_spec=spec)
                 print(_json.dumps({"snapshot_id": sid}))
+            elif args.mode == "rename-column":
+                if not args.column or not args.to:
+                    raise SystemExit(
+                        "--column and --to are required with "
+                        "--mode rename-column"
+                    )
+                sid = snap.rename_column(args.table, args.column, args.to)
+                print(_json.dumps({"snapshot_id": sid}))
+            elif args.mode == "widen-column":
+                if not args.column or not args.to:
+                    raise SystemExit(
+                        "--column and --to are required with "
+                        "--mode widen-column"
+                    )
+                sid = snap.widen_column_type(args.table, args.column, args.to)
+                print(_json.dumps({"snapshot_id": sid}))
+            elif args.mode == "evolve-spec":
+                if not args.spec:
+                    raise SystemExit(
+                        "--spec is required with --mode evolve-spec")
+                sid = snap.evolve_partition_spec(
+                    args.table, _parse_spec(args.spec))
+                print(_json.dumps({"snapshot_id": sid}))
+            elif args.mode == "tag":
+                if not args.tagName:
+                    raise SystemExit("--tagName is required with --mode tag")
+                sid = snap.create_tag(args.table, args.tagName,
+                                      snapshot_id=args.snapshotId)
+                print(_json.dumps({"tag": args.tagName, "snapshot_id": sid}))
+            elif args.mode == "untag":
+                if not args.tagName:
+                    raise SystemExit("--tagName is required with --mode untag")
+                existed = snap.delete_tag(args.table, args.tagName)
+                print(_json.dumps({"tag": args.tagName, "existed": existed}))
+            elif args.mode == "tags":
+                print(_json.dumps(snap.table_tags(args.table)))
             elif args.mode == "stage":
                 if not args.input or not args.branch:
                     raise SystemExit(

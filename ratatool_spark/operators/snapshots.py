@@ -2892,6 +2892,83 @@ def rollback_snapshot(table_path: str, to_id: int) -> int:
     )
 
 
+# ---------------------------------------------------------------------------
+# Named tags (Iceberg's tag refs): a tag is an immutable name for a
+# snapshot id — "the audited monthly export", "the training-data
+# freeze" — and a RETENTION ANCHOR: expire_snapshots never drops a
+# tagged snapshot, so `read_snapshot(snapshot_id=read_tag(...))` keeps
+# working no matter how far the table advances. Tags never move (drop
+# and re-create to retarget); branches (the WAP staging surface) are
+# the mutable sibling.
+# ---------------------------------------------------------------------------
+
+_TAGS_FILE = "tags.json"
+
+
+def table_tags(table_path: str) -> dict[str, dict]:
+    """{tag name: {"snapshot_id": int, "created_at": float}}."""
+    p = os.path.join(table_path, _SNAP_DIR, _TAGS_FILE)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_tags(table_path: str, tags: dict[str, dict]) -> None:
+    p = os.path.join(table_path, _SNAP_DIR, _TAGS_FILE)
+    tmp = p + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(tags, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, p)
+
+
+def create_tag(
+    table_path: str, name: str, snapshot_id: int | None = None
+) -> int:
+    """Tag ``snapshot_id`` (default: current) as ``name``. Immutable:
+    re-tagging an existing name is refused (delete first) — a tag that
+    silently moved would invalidate every consumer that pinned it."""
+    import time
+
+    sid = snapshot_id if snapshot_id is not None \
+        else current_snapshot_id(table_path)
+    if sid is None:
+        raise FileNotFoundError(f"no snapshots under {table_path}")
+    read_manifest(table_path, sid, load_files=False)  # must exist
+    tags = table_tags(table_path)
+    if name in tags:
+        raise ValueError(
+            f"tag {name!r} already exists (snapshot "
+            f"{tags[name]['snapshot_id']}) — tags are immutable; "
+            "delete_tag first"
+        )
+    tags[name] = {"snapshot_id": sid, "created_at": time.time()}
+    _write_tags(table_path, tags)
+    return sid
+
+
+def read_tag(table_path: str, name: str) -> int:
+    """The snapshot id a tag names (pass to ``read_snapshot``)."""
+    tags = table_tags(table_path)
+    if name not in tags:
+        raise KeyError(
+            f"no tag {name!r} under {table_path} (have {sorted(tags)})")
+    return tags[name]["snapshot_id"]
+
+
+def delete_tag(table_path: str, name: str) -> bool:
+    """Remove a tag (its snapshot becomes expirable again). Returns
+    whether it existed."""
+    tags = table_tags(table_path)
+    if name not in tags:
+        return False
+    del tags[name]
+    _write_tags(table_path, tags)
+    return True
+
+
 def expire_snapshots(
     table_path: str,
     keep_last: int = 1,
@@ -2910,13 +2987,23 @@ def expire_snapshots(
     ``expire_snapshots(older_than)``): only snapshots whose manifest
     mtime is older than the window expire, and the newest ``keep_last``
     are kept no matter how old — so a quiet table never loses its
-    current state."""
+    current state.
+
+    TAGGED snapshots (:func:`create_tag`) never expire: a tag is a
+    retention anchor, so the pinned snapshot and every file it lists
+    survive until the tag is deleted."""
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     ids = _snap_ids(table_path)
     if len(ids) <= keep_last:
         return []
     expired, retained = ids[:-keep_last], ids[-keep_last:]
+    tagged = {t["snapshot_id"] for t in table_tags(table_path).values()}
+    if tagged:
+        retained = [s for s in expired if s in tagged] + retained
+        expired = [s for s in expired if s not in tagged]
+        if not expired:
+            return []
     if older_than is not None:
         import time
 

