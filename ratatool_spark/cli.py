@@ -242,6 +242,38 @@ def build_parser() -> argparse.ArgumentParser:
     us.add_argument("--maxWordLen", type=int, default=16)
     us.add_argument("--format", default=None, help="override input format sniffing")
 
+    wt = sub.add_parser(
+        "wordpieceTrain",
+        help="train a WordPiece tokenizer (BERT model: likelihood-scored "
+        "merges over ##-marked symbols, batched disjoint selection); "
+        "writes a JSON artifact (merges + inference vocab)",
+    )
+    wt.add_argument("--input", required=True)
+    wt.add_argument("--output", required=True, help="tokenizer JSON path")
+    wt.add_argument("--textField", default="text")
+    wt.add_argument("--nMerges", type=int, default=64)
+    wt.add_argument("--batch", type=int, default=16)
+    wt.add_argument("--pool", type=int, default=64)
+    wt.add_argument("--rounds", type=int, default=None)
+    wt.add_argument("--format", default=None,
+                    help="override input format sniffing")
+
+    ws = sub.add_parser(
+        "wordpieceSegment",
+        help="apply a trained WordPiece tokenizer to a corpus — "
+        "--mode replay (training-order merge replay) or match (BERT "
+        "greedy longest-match against the frozen vocab, [UNK] fallback)",
+    )
+    ws.add_argument("--input", required=True)
+    ws.add_argument("--output", required=True)
+    ws.add_argument("--tokenizer", required=True,
+                    help="JSON artifact from wordpieceTrain")
+    ws.add_argument("--mode", choices=["replay", "match"], default="replay")
+    ws.add_argument("--textField", default="text")
+    ws.add_argument("--unk", default="[UNK]")
+    ws.add_argument("--format", default=None,
+                    help="override input format sniffing")
+
     td = sub.add_parser(
         "tfidfDedup",
         help="sparse TF-IDF cosine near-dup pairs (inverted-index term "
@@ -1236,6 +1268,44 @@ def main(argv: list[str] | None = None) -> int:
                 args.output,
                 mode="overwrite",
             )
+        elif args.command == "wordpieceTrain":
+            from ratatool_spark.operators.wordpiece import (
+                save_wordpiece_tokenizer,
+                wordpiece_learn,
+                wordpiece_vocab,
+            )
+
+            df = read_table(spark, args.input, fmt=args.format)
+            merges = wordpiece_learn(
+                df,
+                text_col=args.textField,
+                n_merges=args.nMerges,
+                batch=args.batch,
+                pool=args.pool,
+                rounds=args.rounds,
+            )
+            vocab = wordpiece_vocab(df, merges, text_col=args.textField)
+            save_wordpiece_tokenizer(spark, args.output, merges, vocab=vocab)
+        elif args.command == "wordpieceSegment":
+            from ratatool_spark.operators.wordpiece import (
+                load_wordpiece_tokenizer,
+                wordpiece_match_segment,
+                wordpiece_segment,
+            )
+
+            df = read_table(spark, args.input, fmt=args.format)
+            merges, vocab = load_wordpiece_tokenizer(spark, args.tokenizer)
+            if args.mode == "match":
+                if vocab is None:
+                    raise SystemExit(
+                        "--mode match needs an artifact with a vocab "
+                        "(wordpieceTrain writes one)"
+                    )
+                out = wordpiece_match_segment(
+                    df, vocab, text_col=args.textField, unk=args.unk)
+            else:
+                out = wordpiece_segment(df, merges, text_col=args.textField)
+            write_table(out, args.output, mode="overwrite")
         elif args.command == "bpeLearn":
             import json as _json
 

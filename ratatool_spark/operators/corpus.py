@@ -266,25 +266,32 @@ def bpe_pair_counts(
 
 
 def _select_compatible_merges(
-    cands: list[tuple[str, str]], k: int
+    cands: list[tuple[str, str]], k: int, merged=None
 ) -> list[tuple[str, str]]:
     """Greedy prefix of ``cands`` (already in cnt DESC, lhs, rhs order)
     of up to ``k`` pairwise-compatible merges: a pair is admitted iff
-    neither symbol NOR its concatenation has appeared in any admitted
+    neither symbol NOR its merge output has appeared in any admitted
     pair (or its output). Disjointness is what makes a BATCH of merges
     order-independent — applying one admitted merge can neither create
     nor destroy occurrences of another (their symbols never touch), so
     one fused left-to-right pass equals sequential per-merge passes in
     any order, and a SQL replay of the same selection + replaces agrees
     exactly. Greedy in rank order keeps the prefix property: the first
-    j admitted under cap k are the admitted under cap j."""
+    j admitted under cap k are the admitted under cap j.
+
+    ``merged`` maps (a, b) to the pair's output symbol — plain
+    concatenation (BPE) by default; WordPiece folds the right side's
+    continuation marker away (``operators/wordpiece._wp_merged``)."""
+    if merged is None:
+        merged = lambda a, b: a + b  # noqa: E731
     used: set[str] = set()
     chosen: list[tuple[str, str]] = []
     for a, b in cands:
-        if a in used or b in used or (a + b) in used:
+        m = merged(a, b)
+        if a in used or b in used or m in used:
             continue
         chosen.append((a, b))
-        used.update((a, b, a + b))
+        used.update((a, b, m))
         if len(chosen) == k:
             break
     return chosen
