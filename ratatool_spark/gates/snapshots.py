@@ -1425,10 +1425,29 @@ def _q_snapshot_evolve_ids(spark, sf_dir):
         F.col("total").alias("price"),
     )
     merge_snapshot(spark, path, upd, ["ok"], record_changes=False)
-    final = read_snapshot(spark, path)
     # a pruned read through the rename: predicate on the NEW name must
     # translate to old-name stats per file version
     pruned_n = read_snapshot(spark, path, where={"ok": (1, 400)}).count()
+    # INITIAL DEFAULT (Iceberg v3): every pre-add row surfaces
+    # src='base' without a rewrite; the late append carries its own
+    # value — and a pruned read on the defaulted column keeps pre-add
+    # files through the default, not their (absent) stats
+    from ratatool_spark.operators.snapshots import evolve_add_columns
+
+    evolve_add_columns(spark, path, {"src": "string"},
+                       defaults={"src": "base"})
+    commit_append(
+        orders.where(F.col("ok") % 11 == 0).select(
+            F.col("ok").cast("bigint"),
+            F.col("status"),
+            F.col("total").alias("price"),
+            F.lit("late").alias("src"),
+        ),
+        path,
+    )
+    n_default = read_snapshot(
+        spark, path, where={"src": ("base", "base")}).count()
+    final = read_snapshot(spark, path)
     return (
         final.groupBy("status")
         .agg(
@@ -1438,6 +1457,7 @@ def _q_snapshot_evolve_ids(spark, sf_dir):
             .alias("sum_price"),
         )
         .withColumn("n_low_keys", F.lit(pruned_n).cast("long"))
+        .withColumn("n_default", F.lit(n_default).cast("long"))
     )
 
 
@@ -1448,12 +1468,20 @@ WITH merged AS (
               THEN 'X' ELSE o_orderstatus END AS status,
          o_totalprice AS price
   FROM orders
+),
+final AS (
+  SELECT ok, status, price, 'base' AS src FROM merged
+  UNION ALL
+  SELECT CAST(o_orderkey AS BIGINT), o_orderstatus, o_totalprice, 'late'
+  FROM orders WHERE o_orderkey % 11 = 0
 )
 SELECT status,
        COUNT(*) AS n_orders,
        CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-       (SELECT COUNT(*) FROM merged WHERE ok BETWEEN 1 AND 400) AS n_low_keys
-FROM merged
+       (SELECT COUNT(*) FROM merged WHERE ok BETWEEN 1 AND 400)
+         AS n_low_keys,
+       (SELECT COUNT(*) FROM final WHERE src = 'base') AS n_default
+FROM final
 GROUP BY status
 """
 

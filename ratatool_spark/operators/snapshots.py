@@ -929,6 +929,26 @@ def commit_replace(
     )
 
 
+def _absent_keep(m: dict, name: str, lo, hi) -> bool:
+    """May a file whose schema version PREDATES column ``name`` still
+    hold rows matching ``lo <= name <= hi``? Only via the column's
+    initial default (every pre-add row carries it): no default ⇒ all
+    NULL ⇒ a range never matches; a default inside the range ⇒ every
+    row matches; incomparable types ⇒ keep (pruning must fail safe)."""
+    for c in m.get("columns", []):
+        if c["name"] == name:
+            d = c.get("default")
+            if d is None:
+                return False
+            if isinstance(d, bool):
+                d = int(d)
+            try:
+                return bool(lo <= d <= hi)
+            except TypeError:
+                return True
+    return False
+
+
 def files_intersecting(
     manifest: dict, where: dict[str, tuple]
 ) -> list[dict]:
@@ -956,9 +976,17 @@ def files_intersecting(
             w = where
         else:
             mp = maps[v]
-            if any(c not in mp for c in where):
-                continue  # column absent in v: all-NULL, can't match
-            w = {mp[c]: b for c, b in where.items()}
+            w, dead = {}, False
+            for c, b in where.items():
+                if c in mp:
+                    w[mp[c]] = b
+                elif not _absent_keep(manifest, c, b[0], b[1]):
+                    dead = True  # absent in v, default can't match
+                    break
+                # else: every pre-add row carries an in-range default —
+                # this column cannot rule the file out
+            if dead:
+                continue
         stats = e.get("stats", {})
         hit = True
         for c, (lo, hi) in w.items():
@@ -1272,12 +1300,14 @@ def files_intersecting_spark(
         sv = F.coalesce(F.col("schema_v"), F.lit(0))
         cond = None
         for v, mp in sorted(maps.items()):
-            if any(c not in mp for c in where):
-                keep_v = F.lit(False)  # predicated column absent in v:
-                # those files' rows are all-NULL there — prunable
+            miss = [c for c in where if c not in mp]
+            if any(not _absent_keep(m, c, *where[c]) for c in miss):
+                # predicated column absent in v with no (in-range)
+                # default: those files' rows cannot match — prunable
+                keep_v = F.lit(False)
             else:
                 keep_v = _stats_keep_expr(
-                    {mp[c]: b for c, b in where.items()})
+                    {mp[c]: b for c, b in where.items() if c in mp})
             branch = (sv == v) & keep_v
             cond = branch if cond is None else (cond | branch)
         # versions outside the log cannot exist on a well-formed table;
@@ -1409,7 +1439,10 @@ def _scan_entries(
         for c, f in zip(m["columns"], cur.fields):
             old = by_id.get(c["id"])
             if old is None:
-                sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+                # pre-add file: the column's INITIAL DEFAULT (NULL when
+                # none was declared)
+                sel.append(
+                    F.lit(c.get("default")).cast(f.dataType).alias(f.name))
             elif old[0] != f.name or old[1] != c["type"]:
                 sel.append(F.col(old[0]).cast(f.dataType).alias(f.name))
             else:
@@ -1680,17 +1713,25 @@ def compact_snapshot(
 
 
 def evolve_add_columns(
-    spark: SparkSession, table_path: str, new_cols: dict[str, str]
+    spark: SparkSession, table_path: str, new_cols: dict[str, str],
+    defaults: dict[str, object] | None = None,
 ) -> int:
     """Additive schema evolution as a metadata-only commit: the new
     snapshot carries the widened schema over the SAME data files — no
-    data is rewritten. Old files simply lack the new columns, and the
-    parquet reader fills them with NULL (reads always apply the
-    manifest's schema). Appends after the evolution must carry the new
-    columns; time-travel reads before it still serve the old shape.
-    Only ADD-nullable is supported — drops/renames would change the
-    meaning of bytes already written, which is a rewrite, not an
-    evolution."""
+    data is rewritten. Old files simply lack the new columns, and reads
+    fill them with NULL — or, for columns named in ``defaults``, with
+    the column's INITIAL DEFAULT (the Iceberg v3 / Delta model: the
+    default applies to rows that existed BEFORE the add; rows written
+    after carry whatever value the writer supplied, including NULL —
+    the two are distinguishable, exactly because no byte was
+    rewritten). Appends after the evolution must carry the new columns;
+    time-travel reads before it still serve the old shape. Only
+    ADD-nullable is supported — drops/renames re-bind existing bytes
+    and live in :func:`rename_column` / :func:`widen_column_type`.
+
+    Stats interplay (pinned by tests): a pruning predicate on a
+    defaulted column keeps a pre-add file iff the default lies inside
+    the range — every row in it has the default."""
     from pyspark.sql.types import _parse_datatype_string
 
     parent = current_snapshot_id(table_path)
@@ -1703,18 +1744,33 @@ def evolve_add_columns(
         if name in have:
             raise ValueError(f"column {name!r} already exists")
         schema = schema.add(name, _parse_datatype_string(typ), True)
+    defaults = defaults or {}
+    bad = set(defaults) - set(new_cols)
+    if bad:
+        raise ValueError(
+            f"defaults for columns not being added: {sorted(bad)}")
+    for name, v in defaults.items():
+        if not isinstance(v, (int, float, str, bool)):
+            raise ValueError(
+                f"default for {name!r} must be a JSON scalar, got "
+                f"{type(v).__name__}"
+            )
     extra = None
-    if "columns" in m:
-        # the table has field ids: the added columns get FRESH ids (ids
-        # are never reused) and a new schema version, so version maps
-        # know pre-add files hold no bytes for them
+    if "columns" in m or defaults:
+        # field-id state: added columns get FRESH ids (never reused) and
+        # a new schema version, so version maps know pre-add files hold
+        # no bytes for them. Initial defaults REQUIRE the id machinery
+        # (the reader must know which files predate the column), so
+        # requesting one initializes it.
         columns, sv, log = _evolution_state(m)
         next_id = 1 + max(
             c["id"] for cols in log.values() for c in cols
         )
         added_fields = json.loads(schema.json())["fields"][len(columns):]
         new_columns = columns + [
-            {"id": next_id + i, "name": f["name"], "type": f["type"]}
+            {"id": next_id + i, "name": f["name"], "type": f["type"],
+             **({"default": defaults[f["name"]]}
+                if f["name"] in defaults else {})}
             for i, f in enumerate(added_fields)
         ]
         log[str(sv + 1)] = new_columns
@@ -3153,7 +3209,9 @@ def snapshot_change_feed(
         for c, f in zip(m_to["columns"], cur_fields):
             old = by_id.get(c["id"])
             if old is None or old[0] not in df.columns:
-                sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+                sel.append(
+                    F.lit(c.get("default") if old is None else None)
+                    .cast(f.dataType).alias(f.name))
             elif old[0] != f.name or old[1] != c["type"]:
                 sel.append(F.col(old[0]).cast(f.dataType).alias(f.name))
             else:

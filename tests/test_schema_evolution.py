@@ -349,3 +349,82 @@ def test_manifest_json_shape_is_self_contained(spark, tmp_path):
         m = json.load(f)
     assert m["schema_v"] == 1 and "0" in m["schema_log"]
     assert json.loads(m["schema"])["fields"][1]["name"] == "payload"
+
+
+def test_initial_default_values(spark, tmp_path):
+    """Iceberg-v3/Delta initial defaults: rows that existed BEFORE the
+    add surface the default; rows written after carry the writer's
+    value (including NULL) — distinguishable because nothing was
+    rewritten."""
+    path = _mk(spark, tmp_path)  # 12 pre-add rows
+    snap.evolve_add_columns(
+        spark, path, {"lang": "string", "qscore": "double"},
+        defaults={"lang": "en", "qscore": 0.5},
+    )
+    snap.commit_append(
+        spark.createDataFrame(
+            [(99, 1, "z", "fr", None)],
+            "k int, x int, s string, lang string, qscore double",
+        ).coalesce(1),
+        path,
+    )
+    t = snap.read_snapshot(spark, path)
+    by_lang = {r["lang"]: r["n"] for r in
+               t.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by_lang == {"en": 12, "fr": 1}
+    assert t.where("qscore IS NULL").count() == 1  # the writer's NULL
+    assert t.where("qscore = 0.5").count() == 12
+    # time travel to the pre-add snapshot has no such column at all
+    assert "lang" not in snap.read_snapshot(spark, path, snapshot_id=1).columns
+
+
+def test_default_aware_pruning(spark, tmp_path):
+    """A pruning predicate on a defaulted column keeps pre-add files
+    iff the default is inside the range — and drops them when not."""
+    path = _mk(spark, tmp_path)
+    snap.evolve_add_columns(spark, path, {"qscore": "double"},
+                            defaults={"qscore": 0.5})
+    snap.commit_append(
+        spark.createDataFrame(
+            [(99, 1, "z", 0.9)], "k int, x int, s string, qscore double"
+        ).coalesce(1),
+        path,
+    )
+    m = snap.read_manifest(path)
+    n_total = len(m["files"])
+    in_range = snap.files_intersecting(m, {"qscore": (0.4, 0.6)})
+    assert len(in_range) == n_total - 1  # every pre-add file, not 0.9
+    assert all(e.get("schema_v", 0) == 0 for e in in_range)  # old only
+    out_range = snap.files_intersecting(m, {"qscore": (0.8, 1.0)})
+    assert all(e.get("schema_v", 0) != 0 for e in out_range)  # new only
+    got = snap.read_snapshot(spark, path, where={"qscore": (0.4, 0.6)})
+    assert got.count() == 12
+    got2 = snap.read_snapshot(spark, path, where={"qscore": (0.8, 1.0)})
+    assert [r["k"] for r in got2.collect()] == [99]
+    # Spark planning path agrees
+    mdf = snap.manifest_files_df(spark, path)
+    sp = {r["path"] for r in snap.files_intersecting_spark(
+        mdf, {"qscore": (0.4, 0.6)}, m=m).collect()}
+    assert sp == {e["path"] for e in in_range}
+
+
+def test_default_survives_rename_and_feed(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    snap.evolve_add_columns(spark, path, {"lang": "string"},
+                            defaults={"lang": "en"})
+    snap.rename_column(path, "lang", "language")
+    t = snap.read_snapshot(spark, path)
+    assert t.where("language = 'en'").count() == 12
+    feed = snap.snapshot_change_feed(spark, path, 0)
+    ins = feed.where("_change_type = 'insert'")
+    assert ins.where("language = 'en'").count() == 12
+
+
+def test_default_refusals(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="not being added"):
+        snap.evolve_add_columns(spark, path, {"a": "int"},
+                                defaults={"b": 1})
+    with pytest.raises(ValueError, match="JSON scalar"):
+        snap.evolve_add_columns(spark, path, {"a": "array<int>"},
+                                defaults={"a": [1]})
