@@ -987,7 +987,7 @@ def build_parser() -> argparse.ArgumentParser:
                  "stage", "read-branch", "publish", "discard",
                  "add-constraint", "drop-constraint",
                  "rename-column", "widen-column", "evolve-spec",
-                 "tag", "untag", "tags"],
+                 "tag", "untag", "tags", "set-bloom"],
         required=True,
     )
     sn.add_argument("--table", required=True, help="snapshot table root")
@@ -1077,6 +1077,17 @@ def build_parser() -> argparse.ArgumentParser:
         "--tagName", default=None,
         help="tag/untag mode: the tag name (tag also accepts "
         "--snapshotId; default current). Tagged snapshots never expire.",
+    )
+    sn.add_argument(
+        "--bloomCols", type=_csv, default=None,
+        help="set-bloom mode: columns to build per-file bloom filters "
+        "on (future writes; point lookups and scattered-key merges "
+        "then skip non-holding files)",
+    )
+    sn.add_argument(
+        "--bitsPerKey", type=int, default=10,
+        help="set-bloom mode: bloom bits per row (default 10, ~1%% "
+        "false positives)",
     )
     sn.add_argument("--format", default=None, help="override input format sniffing")
 
@@ -2221,6 +2232,17 @@ def main(argv: list[str] | None = None) -> int:
                 print(_json.dumps({"tag": args.tagName, "existed": existed}))
             elif args.mode == "tags":
                 print(_json.dumps(snap.table_tags(args.table)))
+            elif args.mode == "set-bloom":
+                if not args.bloomCols:
+                    raise SystemExit(
+                        "--bloomCols is required with --mode set-bloom")
+                import os as _os
+
+                _os.makedirs(args.table, exist_ok=True)
+                snap.set_bloom_filter(
+                    args.table, args.bloomCols,
+                    bits_per_key=args.bitsPerKey)
+                print(_json.dumps(snap.table_properties(args.table)))
             elif args.mode == "stage":
                 if not args.input or not args.branch:
                     raise SystemExit(

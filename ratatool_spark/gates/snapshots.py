@@ -1560,3 +1560,93 @@ FROM orders
 WHERE o_orderkey >= 1024
 GROUP BY o_orderstatus
 """
+
+
+def _q_snapshot_bloom_skip(spark, sf_dir):
+    """Per-file BLOOM skipping (operators/snapshots.set_bloom_filter —
+    the Iceberg puffin / Delta bloom-index design): orders lands with a
+    bloom on the order key; a SCATTERED point-update batch (every key
+    divisible by 997 — spread across the whole keyspace, so its
+    min/max box intersects EVERY file and range stats alone would
+    rewrite the full table) merges copy-on-write, and the bloom
+    refinement shrinks the rewrite set to the files that actually hold
+    batch keys (pinned in-gate: the box touches all files, yet at
+    least one file is carried untouched; bloom false positives only
+    ever ADD a rewrite, never lose one). A bloom-pruned point read of
+    the smallest batch key rides back as a column. The oracle
+    recomputes the merged content and the point count from the source
+    table, blind to the physical skipping."""
+    from ratatool_spark.operators.snapshots import (
+        commit_append,
+        files_intersecting,
+        merge_snapshot,
+        read_manifest,
+        read_snapshot,
+        set_bloom_filter,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total"),
+    )
+    path = tempfile.mkdtemp(prefix="rt_bloom_") + "/tbl"
+    import os as _os
+
+    _os.makedirs(path)
+    set_bloom_filter(path, ["ok"], bits_per_key=10)
+    commit_append(orders.repartition(8), path)
+    m0 = read_manifest(path)
+    upd = orders.where(F.col("ok") % 997 == 0).select(
+        "ok", F.lit("X").alias("status"), "total")
+    lohi = upd.agg(F.min("ok").alias("lo"), F.max("ok").alias("hi")).first()
+    probe = lohi["lo"] if lohi["lo"] is not None else -1
+    if lohi["lo"] is not None:
+        box_touch = files_intersecting(
+            m0, {"ok": (lohi["lo"], lohi["hi"])})
+        assert len(box_touch) == len(m0["files"]), (
+            "fixture drift: the scattered batch should box-touch "
+            "every file"
+        )
+    merge_snapshot(spark, path, upd, ["ok"], record_changes=False)
+    m1 = read_manifest(path)
+    carried = {e["path"] for e in m0["files"]} & {
+        e["path"] for e in m1["files"]}
+    if lohi["lo"] is not None:
+        assert carried, (
+            "bloom refinement must carry at least one box-intersecting "
+            "file untouched"
+        )
+    n_point = read_snapshot(
+        spark, path, where={"ok": (probe, probe)}).count()
+    final = read_snapshot(spark, path)
+    return (
+        final.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("total").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_total"),
+        )
+        .withColumn("n_point", F.lit(n_point).cast("long"))
+    )
+
+
+_SQL_SNAPSHOT_BLOOM_SKIP = """
+WITH merged AS (
+  SELECT o_orderkey AS ok,
+         CASE WHEN o_orderkey % 997 = 0 THEN 'X'
+              ELSE o_orderstatus END AS status,
+         o_totalprice AS total
+  FROM orders
+),
+probe AS (
+  SELECT COALESCE(MIN(ok), -1) AS p FROM merged WHERE ok % 997 = 0
+)
+SELECT status,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(total AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+       (SELECT COUNT(*) FROM merged, probe WHERE ok = probe.p) AS n_point
+FROM merged
+GROUP BY status
+"""

@@ -360,6 +360,304 @@ def _parse_partition(rel_under_commit: str) -> dict:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Per-file bloom filters (the Iceberg puffin / Delta bloom-index
+# design): min/max stats cannot prune a SCATTERED point lookup — a
+# handful of keys spread across the keyspace intersects every file's
+# range box, so a CoW merge of such a batch rewrites the whole table.
+# A per-file bloom over the lookup column answers "can this file
+# contain THIS value" probabilistically-no/definitely-maybe, shrinking
+# the rewrite set to the files that actually hold the keys (plus a
+# vanishing false-positive tail — never a correctness risk: a false
+# positive only rewrites an extra file).
+#
+# Declared per table (snapshots/properties.json, set_bloom_filter);
+# every subsequent DATA write builds the bitmaps in ONE distributed
+# pass over the freshly written files (k seeded xxhash64 positions per
+# value, collect_set per file; the bitset packs on the driver —
+# per-COMMIT files, not per-table). Bitmap size scales with the file
+# (bits_per_key × rows, next power of two), so fill stays ~constant.
+# Probes hash with each file's WRITE-TIME column type (Spark's hash
+# functions are width-sensitive: int 1 and bigint 1 hash differently),
+# which the schema log already records — bloom skipping composes with
+# rename/widen evolution.
+# ---------------------------------------------------------------------------
+
+_PROPS_FILE = "properties.json"
+_BLOOM_K = 4
+
+
+def table_properties(table_path: str) -> dict:
+    p = os.path.join(table_path, _SNAP_DIR, _PROPS_FILE)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_properties(table_path: str, props: dict) -> None:
+    os.makedirs(os.path.join(table_path, _SNAP_DIR), exist_ok=True)
+    p = os.path.join(table_path, _SNAP_DIR, _PROPS_FILE)
+    tmp = p + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(props, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, p)
+
+
+def set_bloom_filter(
+    table_path: str, cols: list[str], bits_per_key: int = 10
+) -> None:
+    """Declare per-file bloom filters on ``cols`` for every FUTURE data
+    write (existing files stay bloom-less until maintenance rewrites
+    them — absent blooms never prune, so the table converges without a
+    backfill, same migration story as partition-spec evolution)."""
+    if bits_per_key < 2:
+        raise ValueError("bits_per_key must be >= 2")
+    props = table_properties(table_path)
+    props["bloom"] = {"cols": list(cols), "bits_per_key": bits_per_key,
+                      "k": _BLOOM_K}
+    _write_properties(table_path, props)
+
+
+def _bloom_m(rows: int, bits_per_key: int) -> int:
+    m = 1024
+    while m < rows * bits_per_key:
+        m <<= 1
+    return m
+
+
+def _bloom_position_exprs(col, m_col, k: int):
+    """The k seeded xxhash64 bit positions of a value — THE hash
+    contract: identical exprs at build and probe time."""
+    return F.array(*[
+        F.pmod(F.xxhash64(F.lit(i), col), m_col) for i in range(k)
+    ])
+
+
+def _build_blooms(
+    spark: SparkSession,
+    out_dir: str,
+    entries: list[dict],
+    cols: list[str],
+    bits_per_key: int,
+    k: int,
+) -> None:
+    """Attach ``e["bloom"] = {col: {"m": bits, "b64": bitmap}}`` to each
+    entry, computed in one distributed pass per column over the
+    just-written files (positions via the scan's ``_metadata`` file
+    identity; only the bloom column's pages are read)."""
+    import base64
+
+    m_of = {
+        os.path.basename(e["path"]): _bloom_m(e["rows"], bits_per_key)
+        for e in entries
+    }
+    m_df = spark.createDataFrame(
+        [(f, m) for f, m in m_of.items()], "__f string, __m bigint"
+    )
+    for c in cols:
+        scan = (
+            spark.read.parquet(out_dir)
+            .select(
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("__f"),
+                F.col(c),
+            )
+            .where(F.col(c).isNotNull())
+        )
+        pos = (
+            scan.join(F.broadcast(m_df), "__f")
+            .select(
+                "__f",
+                F.explode(
+                    _bloom_position_exprs(F.col(c), F.col("__m"), k)
+                ).alias("__p"),
+            )
+            .groupBy("__f")
+            .agg(F.collect_set("__p").alias("__ps"))
+            .collect()
+        )
+        by_f = {r["__f"]: r["__ps"] for r in pos}
+        for e in entries:
+            base = os.path.basename(e["path"])
+            m = m_of[base]
+            bits = bytearray(m // 8)
+            for p in by_f.get(base, []):
+                bits[p >> 3] |= 1 << (p & 7)
+            e.setdefault("bloom", {})[c] = {
+                "m": m,
+                "b64": base64.b64encode(bytes(bits)).decode(),
+            }
+
+
+def _bloom_value_positions(
+    spark: SparkSession, value, ddl: str, m: int, k: int,
+    _cache: dict = {},
+) -> list[int]:
+    """The probe positions of one literal under one (type, m) — a
+    zero-row-scan Spark job (hashing MUST be computed by Spark: its
+    hash functions are type-width-sensitive), memoized."""
+    key = (repr(value), ddl, m, k)
+    if key not in _cache:
+        _cache[key] = spark.range(1).select(
+            _bloom_position_exprs(
+                F.lit(value).cast(ddl), F.lit(m), k
+            ).alias("p")
+        ).first()["p"]
+    return _cache[key]
+
+
+def _bloom_maybe_contains(bloom: dict, positions: list[int]) -> bool:
+    import base64
+
+    bits = base64.b64decode(bloom["b64"])
+    return all(bits[p >> 3] & (1 << (p & 7)) for p in positions)
+
+
+def _write_time_col(m: dict, e: dict, cur_name: str) -> tuple[str, str]:
+    """(write-time name, write-time DDL type) of ``cur_name`` for
+    entry ``e`` — identity on tables without a schema log; ('', '')
+    when the column did not exist in the file's version."""
+    log = m.get("schema_log")
+    v = e.get("schema_v", 0)
+    if not log or v == m.get("schema_v", 0):
+        t = _schema_types(m["schema"]).get(cur_name, "string")
+        return cur_name, _DDL_OF_JSON.get(t, "string")
+    cur_id = next(
+        (c["id"] for c in m["columns"] if c["name"] == cur_name), None)
+    for c in log[str(v)]:
+        if c["id"] == cur_id:
+            t = c["type"] if isinstance(c["type"], str) else "string"
+            return c["name"], _DDL_OF_JSON.get(t, "string")
+    return "", ""
+
+
+def bloom_prune_point(
+    spark: SparkSession,
+    m: dict,
+    entries: list[dict],
+    where: dict[str, tuple],
+) -> list[dict]:
+    """Drop entries whose bloom filters EXCLUDE a point predicate's
+    value (lo == hi). Files without a bloom on the (write-time) column
+    are kept; range predicates are ignored (blooms answer point
+    membership only). Purely additive to stats pruning — run after it."""
+    points = {c: lo for c, (lo, hi) in where.items() if lo == hi}
+    if not points:
+        return entries
+    kept = []
+    for e in entries:
+        blooms = e.get("bloom")
+        drop = False
+        if blooms:
+            for c, v in points.items():
+                wname, ddl = _write_time_col(m, e, c)
+                bl = blooms.get(wname)
+                if bl is None:
+                    continue
+                pos = _bloom_value_positions(
+                    spark, v, ddl, bl["m"], _BLOOM_K)
+                if not _bloom_maybe_contains(bl, pos):
+                    drop = True
+                    break
+        if not drop:
+            kept.append(e)
+    return kept
+
+
+def _bloom_refine_touched(
+    spark: SparkSession,
+    m: dict,
+    touched: list[dict],
+    changes: DataFrame,
+    keys: list[str],
+) -> tuple[list[dict], list[dict]]:
+    """Merge-time refinement: among box-intersecting files, keep as
+    TOUCHED only those whose blooms may contain at least one change-
+    batch key tuple (a key matches a file iff EVERY bloom'd key column
+    hits). One Spark job per write-time-type group: the change batch
+    probes each file's broadcast bitmap words — batch × candidate-file
+    METADATA work, never table data. Files without blooms stay
+    touched."""
+    import base64
+
+    have = [e for e in touched if e.get("bloom")]
+    if not have:
+        return touched, []
+    keep_always = [e for e in touched if not e.get("bloom")]
+    # group bloom'd files by the (write-time name, type) tuple of every
+    # key column so one probe expression serves the whole group
+    groups: dict[tuple, list[dict]] = {}
+    for e in have:
+        sig = tuple(_write_time_col(m, e, c) for c in keys)
+        groups.setdefault(sig, []).append(e)
+    hit_paths: set[str] = set()
+    for sig, es in groups.items():
+        rows = []
+        for e in es:
+            words: list = []
+            ms: list = []
+            usable = True
+            for (wname, _ddl) in sig:
+                bl = e["bloom"].get(wname)
+                if bl is None:
+                    usable = False
+                    break
+                raw = base64.b64decode(bl["b64"])
+                words.append([
+                    # two's-complement into Spark's signed long; the
+                    # probe's (w >> n) & 1 is sign-agnostic per bit
+                    w - (1 << 64) if w >= (1 << 63) else w
+                    for w in (
+                        int.from_bytes(raw[i:i + 8], "little")
+                        for i in range(0, len(raw), 8)
+                    )
+                ])
+                ms.append(bl["m"])
+            if not usable:
+                keep_always.append(e)
+                continue
+            rows.append((e["path"], ms, words))
+        if not rows:
+            continue
+        files_df = spark.createDataFrame(
+            rows, "path string, ms array<bigint>, ws array<array<bigint>>"
+        )
+        nn = None
+        for k_ in keys:
+            c_ = F.col(k_).isNotNull()
+            nn = c_ if nn is None else (nn & c_)
+        probe = changes.select(*keys).where(nn).distinct()
+        joined = probe.crossJoin(F.broadcast(files_df))
+        cond = None
+        for ci, (_wname, ddl) in enumerate(sig):
+            pos = _bloom_position_exprs(
+                F.col(keys[ci]).cast(ddl),
+                F.element_at("ms", ci + 1), _BLOOM_K,
+            )
+            w = F.element_at("ws", ci + 1)
+            def _bit_test(w_):
+                # closure factory: pyspark reads the lambda's arity, so
+                # the words column must not ride as a default argument
+                return lambda p: F.getbit(
+                    F.element_at(w_, (p / 64).cast("int") + 1),
+                    F.pmod(p, F.lit(64)),
+                ) == 1
+
+            hit_c = F.forall(pos, _bit_test(w))
+            cond = hit_c if cond is None else (cond & hit_c)
+        hits = joined.where(cond).select("path").distinct().collect()
+        hit_paths.update(r["path"] for r in hits)
+    refined = keep_always + [e for e in have if e["path"] in hit_paths]
+    skipped = [e for e in have
+               if e["path"] not in hit_paths
+               and e["path"] not in {x["path"] for x in keep_always}]
+    return refined, skipped
+
+
 def _file_stats(md) -> dict:
     """Per-column [min, max] merged across a file's row groups, from the
     parquet footer (JSON-representable types only) — the file-level
@@ -472,6 +770,21 @@ def _write_data_files(
         if spec:
             e["partition"] = _parse_partition(os.path.relpath(p, out_dir))
         entries.append(e)
+    bl = table_properties(table_path).get("bloom")
+    if bl and subdir == _DATA_DIR and entries:
+        # only types whose probe-side literal cast reproduces the
+        # build-side hash exactly (Spark hashing is type-sensitive);
+        # other columns simply carry no bloom — absent never prunes
+        types = dict(df.dtypes)
+        cols = [c for c in bl["cols"]
+                if _TYPE_ALIASES.get(types.get(c), types.get(c))
+                in ("byte", "short", "integer", "long", "float", "double",
+                    "string")]
+        if cols:
+            _build_blooms(
+                df.sparkSession, out_dir, entries, cols,
+                bl["bits_per_key"], bl.get("k", _BLOOM_K),
+            )
     try:
         cur = read_manifest(table_path, load_files=False)
     except FileNotFoundError:
@@ -493,7 +806,7 @@ _MANIFEST_DF_SCHEMA = (
     "lo_int map<string,bigint>, hi_int map<string,bigint>, "
     "lo_flt map<string,double>, hi_flt map<string,double>, "
     "lo_str map<string,string>, hi_str map<string,string>, "
-    "part map<string,string>"
+    "part map<string,string>, bloom map<string,string>"
 )
 
 
@@ -519,6 +832,11 @@ def _entry_to_flat(e: dict) -> dict:
             {k: (_PART_NULL if v is None else str(v))
              for k, v in e["partition"].items()}
             if "partition" in e else None
+        ),
+        # per-column bloom filters, JSON-encoded per value ({"m","b64"})
+        "bloom": (
+            {c: json.dumps(bl) for c, bl in e["bloom"].items()}
+            if "bloom" in e else None
         ),
     }
     for c, (lo, hi) in e.get("stats", {}).items():
@@ -550,10 +868,11 @@ def _write_files_sidecar(table_path: str, new_id: int, files: list[dict]) -> str
     flat = [_entry_to_flat(e) for e in files]
     cols = ["path", "rows", "bytes", "seq", "schema_v",
             "lo_int", "hi_int", "lo_flt", "hi_flt", "lo_str", "hi_str",
-            "part"]
+            "part", "bloom"]
     typ = {
         "path": pa.string(), "rows": pa.int64(), "bytes": pa.int64(),
         "seq": pa.int64(), "schema_v": pa.int64(),
+        "bloom": pa.map_(pa.string(), pa.string()),
         "lo_int": pa.map_(pa.string(), pa.int64()),
         "hi_int": pa.map_(pa.string(), pa.int64()),
         "lo_flt": pa.map_(pa.string(), pa.float64()),
@@ -567,7 +886,7 @@ def _write_files_sidecar(table_path: str, new_id: int, files: list[dict]) -> str
         vals = [r[c] for r in flat]
         if c.startswith(("lo_", "hi_")):
             vals = [sorted(v.items()) for v in vals]
-        elif c == "part":
+        elif c in ("part", "bloom"):
             vals = [sorted(v.items()) if v is not None else None
                     for v in vals]
         arrays.append(pa.array(vals, type=typ[c]))
@@ -602,6 +921,7 @@ def _load_files_sidecar(table_path: str, rel: str) -> list[dict]:
     # part maps are tiny (one entry per spec item) and may be NULL
     # (unpartitioned entry) — to_pylist keeps the null/empty distinction
     parts = t["part"].to_pylist() if "part" in t.column_names else None
+    blooms = t["bloom"].to_pylist() if "bloom" in t.column_names else None
     out = []
     for i in range(t.num_rows):
         stats: dict = {}
@@ -627,6 +947,10 @@ def _load_files_sidecar(table_path: str, rel: str) -> list[dict]:
             entry["partition"] = {
                 k: (None if v == _PART_NULL else v)
                 for k, v in dict(parts[i]).items()
+            }
+        if blooms is not None and blooms[i] is not None:
+            entry["bloom"] = {
+                c: json.loads(v) for c, v in dict(blooms[i]).items()
             }
         out.append(entry)
     return out
@@ -1203,7 +1527,7 @@ def manifest_files_df(
         [tuple(r[c] for c in (
             "path", "rows", "bytes", "seq", "schema_v",
             "lo_int", "hi_int", "lo_flt", "hi_flt", "lo_str", "hi_str",
-            "part",
+            "part", "bloom",
         )) for r in rows],
         _MANIFEST_DF_SCHEMA,
     )
@@ -1625,14 +1949,22 @@ def read_snapshot(
         if where:
             mdf = files_intersecting_spark(
                 mdf, where, spec=spec, schema_json=m["schema"], m=m)
-        entries = [
-            {"path": r["path"], "seq": r["seq"],
-             "schema_v": r["schema_v"] or 0}
-            for r in mdf.select(
-                "path", "seq",
-                F.coalesce(F.col("schema_v"), F.lit(0)).alias("schema_v"),
-            ).collect()
-        ]
+        has_points = where and any(lo == hi for (lo, hi) in where.values())
+        sel = ["path", "seq",
+               F.coalesce(F.col("schema_v"), F.lit(0)).alias("schema_v")]
+        if has_points:
+            sel.append("bloom")  # bitmaps ride back only when a point
+            # predicate can use them (survivors only — metadata-tier)
+        entries = []
+        for r in mdf.select(*sel).collect():
+            e = {"path": r["path"], "seq": r["seq"],
+                 "schema_v": r["schema_v"] or 0}
+            if has_points and r["bloom"] is not None:
+                e["bloom"] = {c: json.loads(v)
+                              for c, v in r["bloom"].items()}
+            entries.append(e)
+        if has_points:
+            entries = bloom_prune_point(spark, m, entries, where)
     elif not where:
         entries = m["files"]
     else:
@@ -1641,6 +1973,7 @@ def read_snapshot(
             entries = partition_prune(
                 spark, spec, m["schema"], entries, where)
         entries = files_intersecting({**m, "files": entries}, where)
+        entries = bloom_prune_point(spark, m, entries, where)
     df = _read_entries(spark, table_path, m, entries)
     if where:
         for c, (lo, hi) in where.items():
@@ -2087,6 +2420,14 @@ def merge_snapshot(
     else:
         box = {k: (row[f"lo_{k}"], row[f"hi_{k}"]) for k in keys}
         touched, untouched = _split_by_box(m, box)
+        if any(e.get("bloom") for e in touched):
+            # bloom refinement: a SCATTERED key batch intersects every
+            # range box, but each file's bloom still answers "could
+            # this file hold one of the batch keys" — the rewrite set
+            # shrinks to actual (plus false-positive) holders
+            touched, skipped = _bloom_refine_touched(
+                spark, m, touched, changes, keys)
+            untouched = untouched + skipped
     schema = StructType.fromJson(json.loads(m["schema"]))
     cols = [f.name for f in schema.fields]
     change_files: list[dict] = []
