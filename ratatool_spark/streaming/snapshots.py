@@ -76,6 +76,7 @@ def stream_snapshot_source(
     process,
     checkpoint: str,
     available_now: bool = True,
+    max_commits_per_trigger: int | None = None,
 ):
     """Structured-Streaming SOURCE over a snapshot table — the read half
     of the loop whose write half is :func:`stream_snapshot_append`. A
@@ -96,6 +97,19 @@ def stream_snapshot_source(
     commits and merge-on-read commits are skipped, same contract as
     ``snapshot_changes`` (row-level consumers poll
     ``snapshot_change_feed`` instead).
+
+    ``max_commits_per_trigger`` bounds each micro-batch (the Delta
+    ``maxFilesPerTrigger`` / Iceberg ``streaming-max-files-per-
+    micro-batch`` throttle): exactly one manifest file publishes per
+    commit, so the file source's ``maxFilesPerTrigger`` maps 1:1 onto
+    commits — a consumer catching up over a long backlog processes it
+    in bounded, checkpointed steps instead of one giant batch.
+
+    Schema-evolution note: each commit's added files are read with THAT
+    commit's schema (files written at commit N carry N's schema by the
+    write-path invariant), so a consumer observes a rename/widen at
+    exactly the commit where it published — per-commit frames are
+    always internally consistent.
 
     Scale: the streamed files are metadata (one small JSON per commit);
     data IO is exactly the added files of each commit, read once.
@@ -118,11 +132,14 @@ def stream_snapshot_source(
     import json as _json
 
     snap_dir = os.path.join(table_path, _SNAP_DIR)
-    stream = (
-        spark.readStream.format("text")
-        .option("pathGlobFilter", "v*.json")
-        .load(snap_dir)
+    reader = spark.readStream.format("text").option(
+        "pathGlobFilter", "v*.json"
     )
+    if max_commits_per_trigger is not None:
+        if max_commits_per_trigger < 1:
+            raise ValueError("max_commits_per_trigger must be >= 1")
+        reader = reader.option("maxFilesPerTrigger", max_commits_per_trigger)
+    stream = reader.load(snap_dir)
 
     def _batch(batch_df, batch_id: int) -> None:
         names = [
