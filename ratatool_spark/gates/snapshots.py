@@ -1565,10 +1565,12 @@ GROUP BY o_orderstatus
 def _q_snapshot_bloom_skip(spark, sf_dir):
     """Per-file BLOOM skipping (operators/snapshots.set_bloom_filter —
     the Iceberg puffin / Delta bloom-index design): orders lands with a
-    bloom on the order key; a SCATTERED point-update batch (every key
-    divisible by 997 — spread across the whole keyspace, so its
-    min/max box intersects EVERY file and range stats alone would
-    rewrite the full table) merges copy-on-write, and the bloom
+    bloom on the order key; a SCATTERED 5-point-update batch (the
+    smallest existing key at each quarter of the keyspace plus the
+    top — spread across the whole range, so its min/max box intersects
+    EVERY file and range stats alone would rewrite the full table, yet
+    only ≤5 of the 8 files can actually hold a key) merges
+    copy-on-write, and the bloom
     refinement shrinks the rewrite set to the files that actually hold
     batch keys (pinned in-gate: the box touches all files, yet at
     least one file is carried untouched; bloom false positives only
@@ -1597,26 +1599,30 @@ def _q_snapshot_bloom_skip(spark, sf_dir):
     set_bloom_filter(path, ["ok"], bits_per_key=10)
     commit_append(orders.repartition(8), path)
     m0 = read_manifest(path)
-    upd = orders.where(F.col("ok") % 997 == 0).select(
+    # 5 existing keys spread across the whole keyspace: the smallest
+    # key at (0, 1/4, 1/2, 3/4, 0.99) of max — deterministic and
+    # SQL-replayable, and 5 keys can live in at most 5 of the 8 files
+    mx = orders.agg(F.max("ok")).first()[0]
+    keys = sorted({
+        orders.where(F.col("ok") >= int(f * mx)).agg(
+            F.min("ok")).first()[0]
+        for f in (0.0, 0.25, 0.5, 0.75, 0.99)
+    })
+    upd = orders.where(F.col("ok").isin(keys)).select(
         "ok", F.lit("X").alias("status"), "total")
-    lohi = upd.agg(F.min("ok").alias("lo"), F.max("ok").alias("hi")).first()
-    probe = lohi["lo"] if lohi["lo"] is not None else -1
-    if lohi["lo"] is not None:
-        box_touch = files_intersecting(
-            m0, {"ok": (lohi["lo"], lohi["hi"])})
-        assert len(box_touch) == len(m0["files"]), (
-            "fixture drift: the scattered batch should box-touch "
-            "every file"
-        )
+    probe = keys[0]
+    box_touch = files_intersecting(m0, {"ok": (keys[0], keys[-1])})
+    assert len(box_touch) == len(m0["files"]), (
+        "fixture drift: the scattered batch should box-touch every file"
+    )
     merge_snapshot(spark, path, upd, ["ok"], record_changes=False)
     m1 = read_manifest(path)
     carried = {e["path"] for e in m0["files"]} & {
         e["path"] for e in m1["files"]}
-    if lohi["lo"] is not None:
-        assert carried, (
-            "bloom refinement must carry at least one box-intersecting "
-            "file untouched"
-        )
+    assert carried, (
+        "bloom refinement must carry at least one box-intersecting "
+        "file untouched"
+    )
     n_point = read_snapshot(
         spark, path, where={"ok": (probe, probe)}).count()
     final = read_snapshot(spark, path)
@@ -1633,20 +1639,36 @@ def _q_snapshot_bloom_skip(spark, sf_dir):
 
 
 _SQL_SNAPSHOT_BLOOM_SKIP = """
-WITH merged AS (
+WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+keys AS (
+  SELECT DISTINCT k FROM (
+    SELECT MIN(o_orderkey) AS k FROM orders
+    UNION ALL
+    SELECT MIN(o_orderkey) FROM orders, mx
+      WHERE o_orderkey >= FLOOR(0.25 * m)
+    UNION ALL
+    SELECT MIN(o_orderkey) FROM orders, mx
+      WHERE o_orderkey >= FLOOR(0.5 * m)
+    UNION ALL
+    SELECT MIN(o_orderkey) FROM orders, mx
+      WHERE o_orderkey >= FLOOR(0.75 * m)
+    UNION ALL
+    SELECT MIN(o_orderkey) FROM orders, mx
+      WHERE o_orderkey >= FLOOR(0.99 * m)
+  )
+),
+merged AS (
   SELECT o_orderkey AS ok,
-         CASE WHEN o_orderkey % 997 = 0 THEN 'X'
+         CASE WHEN o_orderkey IN (SELECT k FROM keys) THEN 'X'
               ELSE o_orderstatus END AS status,
          o_totalprice AS total
   FROM orders
-),
-probe AS (
-  SELECT COALESCE(MIN(ok), -1) AS p FROM merged WHERE ok % 997 = 0
 )
 SELECT status,
        COUNT(*) AS n_orders,
        CAST(SUM(CAST(total AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
-       (SELECT COUNT(*) FROM merged, probe WHERE ok = probe.p) AS n_point
+       (SELECT COUNT(*) FROM merged
+        WHERE ok = (SELECT MIN(k) FROM keys)) AS n_point
 FROM merged
 GROUP BY status
 """
