@@ -428,3 +428,99 @@ def test_default_refusals(spark, tmp_path):
     with pytest.raises(ValueError, match="JSON scalar"):
         snap.evolve_add_columns(spark, path, {"a": "array<int>"},
                                 defaults={"a": [1]})
+
+
+@pytest.mark.parametrize("seed", [11, 271])
+def test_randomized_ops_with_evolution_equal_model(spark, tmp_path, seed):
+    """Whole-layer fuzz, EVOLUTION edition: a random interleaving of
+    append / CoW merge / MoR merge / range delete / fold / compact /
+    RENAME / WIDEN / rollback — on a bloom-filtered table — must equal
+    the driver-side dict model after every op (values read under the
+    current binding), and every retained snapshot must time-travel to
+    the model state AND column names recorded when it was current."""
+    import os
+    import random
+
+    rng = random.Random(seed)
+    path = str(tmp_path / f"ev{seed}")
+    os.makedirs(path)
+    snap.set_bloom_filter(path, ["id"], bits_per_key=10)
+
+    id_t, vname = "int", "val"
+    widened = False
+
+    def df_of(d):
+        return spark.createDataFrame(
+            sorted(d.items()), f"id {id_t}, {vname} long")
+
+    state = {i: i * 10 for i in range(40)}
+    snap.commit_append(df_of(state), path)
+    history = {1: (dict(state), "val")}
+
+    for _step in range(10):
+        op = rng.choice(
+            ["append", "merge", "merge_mor", "delete", "fold",
+             "compact", "rename", "widen", "rollback"]
+        )
+        if op == "append":
+            base = max(state, default=0) + 1
+            batch = {base + j: rng.randint(-99, 99)
+                     for j in range(rng.randint(1, 6))}
+            state.update(batch)
+            snap.commit_append(df_of(batch), path)
+        elif op in ("merge", "merge_mor"):
+            ks = rng.sample(range(120), rng.randint(1, 9))
+            batch = {k: rng.randint(-999, 999) for k in ks}
+            state.update(batch)
+            fn = (snap.merge_snapshot if op == "merge"
+                  else snap.merge_snapshot_mor)
+            fn(spark, path, df_of(batch), ["id"])
+        elif op == "delete":
+            lo = rng.randint(0, 100)
+            hi = lo + rng.randint(0, 25)
+            state = {k: v for k, v in state.items() if not lo <= k <= hi}
+            snap.delete_snapshot_where(spark, path, {"id": (lo, hi)})
+        elif op == "fold":
+            snap.fold_deletes(spark, path)
+        elif op == "compact":
+            snap.compact_snapshot(spark, path, target_bytes=1 << 30)
+        elif op == "rename":
+            new = f"v{_step}"
+            snap.rename_column(path, vname, new)
+            vname = new
+        elif op == "widen":
+            if not widened:
+                snap.widen_column_type(path, "id", "bigint")
+                id_t, widened = "bigint", True
+            else:
+                continue  # no-op this step
+        else:  # rollback to a random retained snapshot
+            target = rng.choice(sorted(history))
+            snap.rollback_snapshot(path, target)
+            st, vn = history[target]
+            state, vname = dict(st), vn
+            # id type follows the restored binding
+            m = snap.read_manifest(path)
+            import json as _json
+
+            idt = _json.loads(m["schema"])["fields"][0]["type"]
+            id_t = {"integer": "int", "long": "bigint"}[idt]
+            widened = id_t == "bigint"
+        history[snap.current_snapshot_id(path)] = (dict(state), vname)
+        got = {
+            r["id"]: r[vname]
+            for r in snap.read_snapshot(spark, path).collect()
+        }
+        assert got == state, f"divergence after {op} (step {_step})"
+        # a bloom point-read through whatever evolution happened so far
+        if state:
+            probe = rng.choice(sorted(state))
+            pr = snap.read_snapshot(
+                spark, path, where={"id": (probe, probe)}).collect()
+            assert [(r["id"], r[vname]) for r in pr] == [
+                (probe, state[probe])], f"bloom point read after {op}"
+
+    for sid, (model, vn) in history.items():
+        rows = snap.read_snapshot(spark, path, snapshot_id=sid).collect()
+        got = {r["id"]: r[vn] for r in rows}
+        assert got == model, f"time travel to {sid} diverged"
