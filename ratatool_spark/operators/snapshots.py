@@ -85,6 +85,23 @@ The streaming halves live in ``streaming/snapshots.py``: an
 exactly-once ingestion sink and a manifest-directory-driven source
 (``stream_snapshot_source`` / ``stream_snapshot_mirror``) that closes
 the table→stream→table loop.
+
+Round-9 wave 3 completes the evolution/indexing surface of the public
+formats:
+
+* **Field-id schema evolution** (:func:`rename_column`,
+  :func:`widen_column_type`, initial defaults on
+  :func:`evolve_add_columns`) — metadata-only; files resolve columns
+  by stable id, pruning translates per file version.
+* **Partition spec evolution** (:func:`evolve_partition_spec`) — the
+  current spec changes over the table's lifetime; mixed-spec metadata
+  stays unambiguous via globally unique item names.
+* **Per-file bloom filters** (:func:`set_bloom_filter`) — point-lookup
+  and scattered-merge file skipping beyond min/max stats.
+* **Named tags** (:func:`create_tag`) — immutable refs that anchor
+  retention.
+* **Metadata-only COUNT** (:func:`snapshot_rowcount`) — exact row
+  counts from manifest sums, refused while MoR sidecars are pending.
 """
 
 from __future__ import annotations
@@ -1145,9 +1162,11 @@ def _norm_fields(schema_json: str) -> list[tuple[str, object]]:
 def _check_schema(df: DataFrame, manifest: dict) -> None:
     if _norm_fields(manifest["schema"]) != _norm_fields(df.schema.json()):
         raise ValueError(
-            "schema mismatch with table schema — add columns with "
-            "evolve_add_columns (additive, metadata-only); other shape "
-            "changes are a rewrite, not an append; "
+            "schema mismatch with table schema — evolve first: "
+            "evolve_add_columns (additive, optionally with initial "
+            "defaults), rename_column, or widen_column_type (exact "
+            "promotions), all metadata-only; writes always carry the "
+            "CURRENT binding; "
             f"table={manifest['schema']} df={df.schema.json()}"
         )
 
@@ -1981,6 +2000,27 @@ def read_snapshot(
     return df
 
 
+def snapshot_rowcount(
+    table_path: str, snapshot_id: int | None = None
+) -> int:
+    """COUNT(*) of a snapshot answered from METADATA alone (the
+    Iceberg/Delta count-pushdown trick): the manifest already carries
+    every file's exact row count, so the answer is one sum over
+    manifest entries — zero data IO, no Spark job. Refuses when
+    merge-on-read delete sidecars are pending (physical stored rows
+    exceed the logical count then; run ``fold_deletes`` or count via
+    ``read_snapshot`` instead) — a silently wrong fast count would be
+    worse than a slow exact one."""
+    m = read_manifest(table_path, snapshot_id)
+    if m.get("deletes"):
+        raise ValueError(
+            "snapshot has pending merge-on-read deletes — the metadata "
+            "row count would overcount shadowed rows; fold_deletes "
+            "first or count through read_snapshot"
+        )
+    return sum(e["rows"] for e in m["files"])
+
+
 def snapshot_manifest(
     spark: SparkSession, table_path: str, snapshot_id: int | None = None
 ) -> DataFrame:
@@ -2280,7 +2320,8 @@ def vacuum_orphans(
     # the race/crashed (f*.parquet referenced by no manifest) and tmp
     # manifests a writer died holding — both age-gated like data orphans
     for p in glob.glob(os.path.join(table_path, _SNAP_DIR, "f*.parquet")) + \
-            glob.glob(os.path.join(table_path, _SNAP_DIR, "v*.json.tmp-*")):
+            glob.glob(os.path.join(table_path, _SNAP_DIR, "v*.json.tmp-*")) + \
+            glob.glob(os.path.join(table_path, _SNAP_DIR, "*.json.tmp-*")):
         rel = os.path.relpath(p, table_path)
         if rel not in live and os.path.getmtime(p) <= cutoff:
             dead.append(rel)

@@ -2344,3 +2344,41 @@ def test_tagged_snapshot_survives_expiry(spark, tmp_path):
     snap.expire_snapshots(path, keep_last=1)
     assert snap._snap_ids(path) == [4]
     assert snap.read_snapshot(spark, path).count() == 4
+
+
+def test_snapshot_rowcount_metadata_only(spark, tmp_path):
+    import ratatool_spark.operators.snapshots as snap
+
+    path = str(tmp_path / "rc")
+    snap.commit_append(spark.range(100).coalesce(2), path)
+    snap.commit_append(spark.range(100, 130).coalesce(1), path)
+    assert snap.snapshot_rowcount(path) == 130
+    assert snap.snapshot_rowcount(path, snapshot_id=1) == 100
+    # pending MoR sidecars would make the metadata sum an overcount
+    snap.merge_snapshot_mor(
+        spark, path,
+        spark.createDataFrame([(5,)], "id long"), ["id"])
+    with pytest.raises(ValueError, match="pending merge-on-read"):
+        snap.snapshot_rowcount(path)
+    snap.fold_deletes(spark, path)
+    assert snap.snapshot_rowcount(path) == 130
+
+
+def test_vacuum_sweeps_stale_metadata_tmp_files(spark, tmp_path):
+    import os
+    import time
+
+    import ratatool_spark.operators.snapshots as snap
+
+    path = str(tmp_path / "vt")
+    snap.commit_append(spark.range(5).coalesce(1), path)
+    stale = os.path.join(path, "snapshots", "tags.json.tmp-deadbeef")
+    with open(stale, "w") as f:
+        f.write("{}")
+    old = time.time() - 10 * 3600
+    os.utime(stale, (old, old))
+    removed = snap.vacuum_orphans(path)
+    assert not os.path.exists(stale)
+    assert any("tags.json.tmp" in r for r in removed)
+    # live metadata is untouched
+    assert snap.read_snapshot(spark, path).count() == 5
