@@ -308,27 +308,57 @@ def evolve_partition_spec(table_path: str, spec: list[dict]) -> int:
             {"name": f"p{offset + i}", "col": item["col"], "transform": t,
              "param": item.get("param")}
         )
-    m = read_manifest(table_path, parent, load_files=False)
-    have = {f["name"] for f in json.loads(m["schema"])["fields"]}
+    mf = read_manifest(table_path, parent)
+    have = {f["name"] for f in json.loads(mf["schema"])["fields"]}
     missing = {it["col"] for it in norm} - have
     if missing:
         raise ValueError(
             f"partition source columns {sorted(missing)} not in the "
             "table schema"
         )
+
+    def _shape(s: list[dict]) -> list[tuple]:
+        return [(it["col"], it["transform"], it.get("param")) for it in s]
+
     p = os.path.join(table_path, _SNAP_DIR, _SPEC_FILE)
-    tmp = p + f".tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        json.dump({"specs": specs + [norm]}, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, p)
-    mf = read_manifest(table_path, parent)
-    return _publish(
-        table_path, parent, mf["files"], mf["schema"], "evolve-spec",
-        deletes=mf.get("deletes", []),
-        extra={"partition_spec_id": len(specs)},
-    )
+    if _shape(specs[-1]) == _shape(norm):
+        # idempotent retry: the spec is already active (a prior attempt
+        # wrote the file but crashed / lost the publish race) — don't
+        # append it AGAIN. If some retained manifest already records
+        # the ordering commit, the evolution fully applied: pure no-op.
+        spec_id = len(specs) - 1
+        for sid in reversed(_snap_ids(table_path)):
+            mm = read_manifest(table_path, sid, load_files=False)
+            if mm.get("partition_spec_id") == spec_id:
+                return parent
+        wrote_file = False
+    else:
+        spec_id = len(specs)
+        tmp = p + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"specs": specs + [norm]}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, p)
+        wrote_file = True
+    try:
+        return _publish(
+            table_path, parent, mf["files"], mf["schema"], "evolve-spec",
+            deletes=mf.get("deletes", []),
+            extra={"partition_spec_id": spec_id},
+        )
+    except CommitConflict:
+        if wrote_file:
+            # a racing commit won this snapshot id: un-activate the new
+            # spec so writes between now and the caller's retry don't
+            # route through a spec no commit records
+            tmp = p + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump({"specs": specs}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, p)
+        raise
 
 
 _INT_TYPES = ("tinyint", "smallint", "int", "bigint")
@@ -519,6 +549,8 @@ def _bloom_value_positions(
     hash functions are type-width-sensitive), memoized."""
     key = (repr(value), ddl, m, k)
     if key not in _cache:
+        if len(_cache) >= 4096:  # bounded memo: point probes in a
+            _cache.clear()  # long-lived driver must not grow forever
         _cache[key] = spark.range(1).select(
             _bloom_position_exprs(
                 F.lit(value).cast(ddl), F.lit(m), k
@@ -534,12 +566,11 @@ def _bloom_maybe_contains(bloom: dict, positions: list[int]) -> bool:
     return all(bits[p >> 3] & (1 << (p & 7)) for p in positions)
 
 
-def _write_time_col(m: dict, e: dict, cur_name: str) -> tuple[str, str]:
-    """(write-time name, write-time DDL type) of ``cur_name`` for
-    entry ``e`` — identity on tables without a schema log; ('', '')
-    when the column did not exist in the file's version."""
+def _write_time_col(m: dict, v: int, cur_name: str) -> tuple[str, str]:
+    """(write-time name, write-time DDL type) of ``cur_name`` under
+    schema version ``v`` — identity on tables without a schema log;
+    ('', '') when the column did not exist in that version."""
     log = m.get("schema_log")
-    v = e.get("schema_v", 0)
     if not log or v == m.get("schema_v", 0):
         t = _schema_types(m["schema"]).get(cur_name, "string")
         return cur_name, _DDL_OF_JSON.get(t, "string")
@@ -550,6 +581,63 @@ def _write_time_col(m: dict, e: dict, cur_name: str) -> tuple[str, str]:
             t = c["type"] if isinstance(c["type"], str) else "string"
             return c["name"], _DDL_OF_JSON.get(t, "string")
     return "", ""
+
+
+def _bloom_keep_expr(m: dict, where: dict[str, tuple]):
+    """Spark-side twin of :func:`bloom_prune_point` over the manifest
+    DataFrame's ``bloom``/``schema_v`` columns: can the file's bloom
+    rule a point predicate's value out? Runs INSIDE the externalized
+    planning job, so bitmaps are never collected to the driver (they
+    are the one metadata field proportional to data, ~bits_per_key/8
+    bytes per row). Bit test = the driver packer's little-endian rule:
+    byte[p>>3] & (1 << (p&7)). Absent blooms/columns keep; versions
+    branch like :func:`_stats_keep_expr`. Returns None when no point
+    predicate can use a bloom."""
+    points = {
+        c: lo for c, (lo, hi) in where.items()
+        if lo == hi and lo == lo  # NaN is never a point probe
+    }
+    if not points:
+        return None
+    log = m.get("schema_log")
+    versions = sorted(int(v) for v in log) if log else [0]
+    sv = F.coalesce(F.col("schema_v"), F.lit(0))
+    overall = None
+    for v in versions:
+        cond_v = None
+        for c, val in points.items():
+            wname, ddl = _write_time_col(m, v, c)
+            if not wname:
+                continue  # column absent in v: the stats/default rule
+                # already decided; blooms have nothing to add
+            bl = F.col("bloom")[F.lit(wname)]
+            mbits = F.get_json_object(bl, "$.m").cast("bigint")
+            raw = F.unbase64(F.get_json_object(bl, "$.b64"))
+            hit = None
+            for i in range(_BLOOM_K):
+                p = F.pmod(
+                    F.xxhash64(F.lit(i), F.lit(val).cast(ddl)), mbits)
+                byte = F.conv(
+                    F.hex(F.substring(raw, (p / 8).cast("int") + 1, 1)),
+                    16, 10,
+                ).cast("int")
+                # bit n of a 0..255 byte via exact small-int arithmetic
+                # (shiftleft/getbit need a LITERAL shift count)
+                t = F.pmod(
+                    F.floor(byte / F.pow(
+                        F.lit(2.0), F.pmod(p, F.lit(8)).cast("double"))),
+                    F.lit(2),
+                ) == 1
+                hit = t if hit is None else (hit & t)
+            keep_c = F.coalesce(
+                F.when(bl.isNull(), F.lit(True)).otherwise(hit),
+                F.lit(True),
+            )
+            cond_v = keep_c if cond_v is None else (cond_v & keep_c)
+        branch = (sv == v) & (
+            cond_v if cond_v is not None else F.lit(True))
+        overall = branch if overall is None else (overall | branch)
+    return overall | ~sv.isin(versions)
 
 
 def bloom_prune_point(
@@ -571,7 +659,7 @@ def bloom_prune_point(
         drop = False
         if blooms:
             for c, v in points.items():
-                wname, ddl = _write_time_col(m, e, c)
+                wname, ddl = _write_time_col(m, e.get("schema_v", 0), c)
                 bl = blooms.get(wname)
                 if bl is None:
                     continue
@@ -609,7 +697,8 @@ def _bloom_refine_touched(
     # key column so one probe expression serves the whole group
     groups: dict[tuple, list[dict]] = {}
     for e in have:
-        sig = tuple(_write_time_col(m, e, c) for c in keys)
+        sig = tuple(
+            _write_time_col(m, e.get("schema_v", 0), c) for c in keys)
         groups.setdefault(sig, []).append(e)
     hit_paths: set[str] = set()
     for sig, es in groups.items():
@@ -721,6 +810,7 @@ def _write_data_files(
     subdir: str = _DATA_DIR,
     layout_sort: list[str] | None = None,
     layout_partitions: int | None = None,
+    current_manifest: dict | None = None,
 ) -> list[dict]:
     """Write ``df`` as immutable parquet files under ``subdir`` and
     return their manifest entries (path, rows, bytes, per-column min/max
@@ -802,10 +892,14 @@ def _write_data_files(
                 df.sparkSession, out_dir, entries, cols,
                 bl["bits_per_key"], bl.get("k", _BLOOM_K),
             )
-    try:
-        cur = read_manifest(table_path, load_files=False)
-    except FileNotFoundError:
-        cur = None
+    cur = current_manifest
+    if cur is None:
+        # callers holding the manifest pass it in (saves an O(files)
+        # json parse per commit on inline-manifest tables)
+        try:
+            cur = read_manifest(table_path, load_files=False)
+        except FileNotFoundError:
+            cur = None
     if cur is not None and "schema_v" in cur:
         # the table has field-id evolution state: stamp the write-time
         # schema version on every entry so readers resolve these files'
@@ -983,6 +1077,7 @@ def _publish(
     deletes: list[dict] | None = None,
     changes: list[dict] | None = None,
     inherit_evolution: bool = True,
+    parent_manifest: dict | None = None,
 ) -> int:
     new_id = (parent or 0) + 1
     os.makedirs(os.path.join(table_path, _SNAP_DIR), exist_ok=True)
@@ -1008,11 +1103,13 @@ def _publish(
         # Evolution commits set it via ``extra``; everything else
         # inherits the parent's; rollback restores the TARGET's
         # (inherit_evolution=False).
-        try:
-            pm = read_manifest(table_path, parent, load_files=False)
-        except FileNotFoundError:
-            pm = {}  # fabricated/expired parent: the publish below will
-            # conflict or the caller already validated the real parent
+        pm = parent_manifest
+        if pm is None:
+            try:
+                pm = read_manifest(table_path, parent, load_files=False)
+            except FileNotFoundError:
+                pm = {}  # fabricated/expired parent: the publish below
+                # will conflict or the caller validated the real parent
         for k in ("columns", "schema_v", "schema_log"):
             if k in pm:
                 manifest[k] = pm[k]
@@ -1224,10 +1321,12 @@ def commit_append(
         os.makedirs(table_path, exist_ok=True)
         schema_json = df.schema.json()
     _enforce_constraints(df, table_path)
-    new_files = _stamp_seq(_write_data_files(df, table_path), parent)
+    pm = m if parent is not None else None
+    new_files = _stamp_seq(
+        _write_data_files(df, table_path, current_manifest=pm), parent)
     return _publish(
         table_path, parent, base + new_files, schema_json, "append",
-        extra=extra, deletes=deletes,
+        extra=extra, deletes=deletes, parent_manifest=pm,
     )
 
 
@@ -1265,10 +1364,13 @@ def commit_replace(
     new_files = []
     if add_df is not None:
         _check_schema(add_df, m)
-        new_files = _stamp_seq(_write_data_files(add_df, table_path), parent)
+        new_files = _stamp_seq(
+            _write_data_files(add_df, table_path, current_manifest=m),
+            parent,
+        )
     return _publish(
         table_path, parent, kept + new_files, m["schema"], "replace",
-        deletes=m.get("deletes", []),
+        deletes=m.get("deletes", []), parent_manifest=m,
     )
 
 
@@ -1507,7 +1609,7 @@ def drop_partition(
         old = _read_entries(spark, table_path, m, dropped)
         change_files = _write_data_files(
             old.withColumn("_change_type", F.lit("delete")),
-            table_path, subdir=_CHANGES_DIR,
+            table_path, subdir=_CHANGES_DIR, current_manifest=m,
         )
     if current_snapshot_id(table_path) != parent:
         raise CommitConflict(
@@ -1738,6 +1840,35 @@ def _attach_positions(df: DataFrame, table_path: str) -> DataFrame:
 _POS_SIDECAR_SCHEMA = "file string, pos bigint"
 
 
+def _version_select(
+    m: dict, vcols: list[dict], have: set[str] | None = None
+) -> list:
+    """The select list normalizing a frame read under the schema
+    version described by ``vcols`` to ``m``'s current binding, by field
+    id: renamed columns re-alias, widened columns cast up, columns the
+    version lacks surface their initial default (NULL when none).
+    ``have`` (the frame's actual columns) additionally NULL-fills names
+    the frame misses — the change-feed case, where pre-id additive
+    evolution means a version-v frame may lack some of v's columns.
+    ONE definition shared by the table scan and the change feed, so the
+    two surfaces can never normalize evolved files differently."""
+    cur = StructType.fromJson(json.loads(m["schema"]))
+    by_id = {c["id"]: (c["name"], c["type"]) for c in vcols}
+    sel = []
+    for c, f in zip(m["columns"], cur.fields):
+        old = by_id.get(c["id"])
+        if old is None:
+            sel.append(
+                F.lit(c.get("default")).cast(f.dataType).alias(f.name))
+        elif have is not None and old[0] not in have:
+            sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+        elif old[0] != f.name or old[1] != c["type"]:
+            sel.append(F.col(old[0]).cast(f.dataType).alias(f.name))
+        else:
+            sel.append(F.col(f.name))
+    return sel
+
+
 def _scan_entries(
     spark: SparkSession,
     table_path: str,
@@ -1777,19 +1908,7 @@ def _scan_entries(
             paths,
             StructType.fromJson(json.loads(_version_schema_json(vcols))),
         )
-        by_id = {c["id"]: (c["name"], c["type"]) for c in vcols}
-        sel = []
-        for c, f in zip(m["columns"], cur.fields):
-            old = by_id.get(c["id"])
-            if old is None:
-                # pre-add file: the column's INITIAL DEFAULT (NULL when
-                # none was declared)
-                sel.append(
-                    F.lit(c.get("default")).cast(f.dataType).alias(f.name))
-            elif old[0] != f.name or old[1] != c["type"]:
-                sel.append(F.col(old[0]).cast(f.dataType).alias(f.name))
-            else:
-                sel.append(F.col(f.name))
+        sel = _version_select(m, vcols)
         if with_positions:
             sel += [F.col("__pos"), F.col("__file")]
         df = df.select(*sel)
@@ -1968,22 +2087,21 @@ def read_snapshot(
         if where:
             mdf = files_intersecting_spark(
                 mdf, where, spec=spec, schema_json=m["schema"], m=m)
-        has_points = where and any(lo == hi for (lo, hi) in where.values())
-        sel = ["path", "seq",
-               F.coalesce(F.col("schema_v"), F.lit(0)).alias("schema_v")]
-        if has_points:
-            sel.append("bloom")  # bitmaps ride back only when a point
-            # predicate can use them (survivors only — metadata-tier)
-        entries = []
-        for r in mdf.select(*sel).collect():
-            e = {"path": r["path"], "seq": r["seq"],
-                 "schema_v": r["schema_v"] or 0}
-            if has_points and r["bloom"] is not None:
-                e["bloom"] = {c: json.loads(v)
-                              for c, v in r["bloom"].items()}
-            entries.append(e)
-        if has_points:
-            entries = bloom_prune_point(spark, m, entries, where)
+        if where:
+            # bloom point-skipping runs INSIDE the planning job too —
+            # bitmaps (the one metadata field proportional to data)
+            # never ride to the driver on the externalized path
+            bk = _bloom_keep_expr(m, where)
+            if bk is not None:
+                mdf = mdf.where(bk)
+        entries = [
+            {"path": r["path"], "seq": r["seq"],
+             "schema_v": r["schema_v"] or 0}
+            for r in mdf.select(
+                "path", "seq",
+                F.coalesce(F.col("schema_v"), F.lit(0)).alias("schema_v"),
+            ).collect()
+        ]
     elif not where:
         entries = m["files"]
     else:
@@ -2071,7 +2189,8 @@ def compact_snapshot(
         merged = _read_entries(
             spark, table_path, m, [by_path[p] for p in paths]
         ).coalesce(1)
-        new_files.extend(_write_data_files(merged, table_path))
+        new_files.extend(
+            _write_data_files(merged, table_path, current_manifest=m))
         removed.extend(paths)
     kept = [e for e in m["files"] if e["path"] not in set(removed)]
     _stamp_seq(new_files, parent)
@@ -2081,7 +2200,7 @@ def compact_snapshot(
         )
     return _publish(
         table_path, parent, kept + new_files, m["schema"], "replace",
-        deletes=m.get("deletes", []),
+        deletes=m.get("deletes", []), parent_manifest=m,
     )
 
 
@@ -2210,12 +2329,22 @@ def rename_column(table_path: str, old: str, new: str) -> int:
         if f["name"] == old:
             f["name"] = new
     log[str(sv + 1)] = new_columns
-    return _publish(
+    new_id = _publish(
         table_path, parent, m["files"], json.dumps(sj), "evolve",
         deletes=m.get("deletes", []),
         extra={"columns": new_columns, "schema_v": sv + 1,
                "schema_log": log},
     )
+    props = table_properties(table_path)
+    bl = props.get("bloom")
+    if bl and old in bl.get("cols", []):
+        # the bloom property is keyed by CURRENT column name (the
+        # write path matches it against df.dtypes) — follow the rename
+        # so future files keep building blooms; existing bitmaps probe
+        # by write-time name regardless
+        bl["cols"] = [new if c == old else c for c in bl["cols"]]
+        _write_properties(table_path, props)
+    return new_id
 
 
 def widen_column_type(table_path: str, col: str, to_type: str) -> int:
@@ -2319,9 +2448,13 @@ def vacuum_orphans(
     # metadata debris: externalized manifest sidecars whose publish lost
     # the race/crashed (f*.parquet referenced by no manifest) and tmp
     # manifests a writer died holding — both age-gated like data orphans
-    for p in glob.glob(os.path.join(table_path, _SNAP_DIR, "f*.parquet")) + \
-            glob.glob(os.path.join(table_path, _SNAP_DIR, "v*.json.tmp-*")) + \
-            glob.glob(os.path.join(table_path, _SNAP_DIR, "*.json.tmp-*")):
+    # sorted-set union: '*.json.tmp-*' also matches the manifest tmps —
+    # a duplicate entry would re-getmtime a just-removed path and crash
+    for p in sorted(
+        set(glob.glob(os.path.join(table_path, _SNAP_DIR, "f*.parquet")))
+        | set(glob.glob(os.path.join(table_path, _SNAP_DIR,
+                                     "*.json.tmp-*")))
+    ):
         rel = os.path.relpath(p, table_path)
         if rel not in live and os.path.getmtime(p) <= cutoff:
             dead.append(rel)
@@ -2498,7 +2631,7 @@ def merge_snapshot(
             ).withColumn("_change_type", F.lit("insert"))
             change_files = _write_data_files(
                 pre.unionByName(post).unionByName(ins),
-                table_path, subdir=_CHANGES_DIR,
+                table_path, subdir=_CHANGES_DIR, current_manifest=m,
             )
     else:
         new_data = changes.select(*cols)
@@ -2507,9 +2640,10 @@ def merge_snapshot(
                 changes.select(*cols).withColumn(
                     "_change_type", F.lit("insert")
                 ),
-                table_path, subdir=_CHANGES_DIR,
+                table_path, subdir=_CHANGES_DIR, current_manifest=m,
             )
-    new_files = _stamp_seq(_write_data_files(new_data, table_path), parent)
+    new_files = _stamp_seq(
+        _write_data_files(new_data, table_path, current_manifest=m), parent)
     if current_snapshot_id(table_path) != parent:
         raise CommitConflict(
             f"snapshot advanced past {parent} while merging — replan"
@@ -2518,6 +2652,7 @@ def merge_snapshot(
         table_path, parent, untouched + new_files, m["schema"], "replace",
         deletes=m.get("deletes", []), changes=change_files,
         extra={"change_op": "merge"} if change_files else None,
+        parent_manifest=m,
     )
 
 
@@ -2599,7 +2734,8 @@ def merge_snapshot_mor(
     new_id = parent + 1
     new_files = _stamp_seq(
         _write_data_files(
-            changes.select(*[f.name for f in schema.fields]), table_path
+            changes.select(*[f.name for f in schema.fields]), table_path,
+            current_manifest=m,
         ),
         parent,
     )
@@ -2607,7 +2743,7 @@ def merge_snapshot_mor(
     if row["__nk"] > 0:  # NULL-key rows are pure inserts: nothing to shadow
         sidecar = _write_data_files(
             changes.select(*keys).where(nn).distinct().coalesce(1),
-            table_path, subdir=_DELETES_DIR,
+            table_path, subdir=_DELETES_DIR, current_manifest=m,
         )
         delete_entry = {
             "paths": [e["path"] for e in sidecar],
@@ -2627,7 +2763,7 @@ def merge_snapshot_mor(
     deletes = m.get("deletes", []) + ([delete_entry] if delete_entry else [])
     return _publish(
         table_path, parent, m["files"] + new_files, m["schema"],
-        "merge-mor", deletes=deletes,
+        "merge-mor", deletes=deletes, parent_manifest=m,
     )
 
 
@@ -2695,7 +2831,7 @@ def delete_snapshot_where_mor(
                 old.where(F.coalesce(inside, F.lit(False))).withColumn(
                     "_change_type", F.lit("delete")
                 ),
-                table_path, subdir=_CHANGES_DIR,
+                table_path, subdir=_CHANGES_DIR, current_manifest=m,
             )
     delete_entry = {"kind": "range", "box": box, "seq": new_id}
     if "schema_v" in m:
@@ -2709,6 +2845,7 @@ def delete_snapshot_where_mor(
         deletes=m.get("deletes", []) + [delete_entry],
         changes=change_files,
         extra={"change_op": "delete"} if change_files else None,
+        parent_manifest=m,
     )
 
 
@@ -2775,7 +2912,7 @@ def delete_snapshot_rows_mor(
             hits.select(
                 F.col("__file").alias("file"), F.col("__pos").alias("pos")
             ).coalesce(1),
-            table_path, subdir=_DELETES_DIR,
+            table_path, subdir=_DELETES_DIR, current_manifest=m,
         )
         change_files: list[dict] = []
         if record_changes:
@@ -2783,7 +2920,7 @@ def delete_snapshot_rows_mor(
                 hits.drop("__file", "__pos").withColumn(
                     "_change_type", F.lit("delete")
                 ),
-                table_path, subdir=_CHANGES_DIR,
+                table_path, subdir=_CHANGES_DIR, current_manifest=m,
             )
         delete_entry = {
             "kind": "position",
@@ -2801,6 +2938,7 @@ def delete_snapshot_rows_mor(
             deletes=m.get("deletes", []) + [delete_entry],
             changes=change_files,
             extra={"change_op": "delete", "delete_kind": "position"},
+            parent_manifest=m,
         )
     finally:
         hits.unpersist()
@@ -2843,8 +2981,9 @@ def stage_append(
     parent = current_snapshot_id(table_path)
     base: list[dict] = []
     deletes: list[dict] = []
+    pm = None
     if parent is not None:
-        m = read_manifest(table_path, parent)
+        pm = m = read_manifest(table_path, parent)
         _check_schema(df, m)
         base = m["files"]
         deletes = m.get("deletes", [])
@@ -2861,7 +3000,8 @@ def stage_append(
             f"{table_path} — publish_branch or discard_branch first"
         )
     _enforce_constraints(df, table_path)
-    new_files = _stamp_seq(_write_data_files(df, table_path), parent)
+    new_files = _stamp_seq(
+        _write_data_files(df, table_path, current_manifest=pm), parent)
     staged = {
         "branch": branch,
         "parent": parent,
@@ -3093,7 +3233,8 @@ def fold_deletes(spark: SparkSession, table_path: str) -> int | None:
         (shadowed if _may_shadow(e) else clear).append(e)
     new_files = _stamp_seq(
         _write_data_files(
-            _read_entries(spark, table_path, m, shadowed), table_path
+            _read_entries(spark, table_path, m, shadowed), table_path,
+            current_manifest=m,
         ),
         parent,
     ) if shadowed else []
@@ -3103,7 +3244,7 @@ def fold_deletes(spark: SparkSession, table_path: str) -> int | None:
         )
     return _publish(
         table_path, parent, clear + new_files, m["schema"], "replace",
-        deletes=[],
+        deletes=[], parent_manifest=m,
     )
 
 
@@ -3138,7 +3279,8 @@ def delete_snapshot_where(
     # where(~inside) would drop them: NOT(NULL) is NULL, which filters)
     new_files = _stamp_seq(
         _write_data_files(
-            old.where(F.coalesce(~inside, F.lit(True))), table_path
+            old.where(F.coalesce(~inside, F.lit(True))), table_path,
+            current_manifest=m,
         ),
         parent,
     )
@@ -3148,7 +3290,7 @@ def delete_snapshot_where(
             old.where(F.coalesce(inside, F.lit(False))).withColumn(
                 "_change_type", F.lit("delete")
             ),
-            table_path, subdir=_CHANGES_DIR,
+            table_path, subdir=_CHANGES_DIR, current_manifest=m,
         )
     if current_snapshot_id(table_path) != parent:
         raise CommitConflict(
@@ -3158,6 +3300,7 @@ def delete_snapshot_where(
         table_path, parent, untouched + new_files, m["schema"], "replace",
         deletes=m.get("deletes", []), changes=change_files,
         extra={"change_op": "delete"} if change_files else None,
+        parent_manifest=m,
     )
 
 
@@ -3196,7 +3339,7 @@ def cluster_snapshot(
         new_files = _stamp_seq(
             _write_data_files(
                 clustered, table_path, layout_sort=["__z"],
-                layout_partitions=num_partitions,
+                layout_partitions=num_partitions, current_manifest=m,
             ),
             parent,
         )
@@ -3211,13 +3354,15 @@ def cluster_snapshot(
         # merge-on-read delete is folded, so the new manifest carries
         # none
         new_files = _stamp_seq(
-            _write_data_files(clustered, table_path), parent
+            _write_data_files(clustered, table_path, current_manifest=m),
+            parent,
         )
     if current_snapshot_id(table_path) != parent:
         raise CommitConflict(
             f"snapshot advanced past {parent} while clustering — replan"
         )
-    return _publish(table_path, parent, new_files, m["schema"], "replace")
+    return _publish(table_path, parent, new_files, m["schema"],
+                    "replace", parent_manifest=m)
 
 
 def commit_with_retry(fn, max_retries: int = 3):
@@ -3340,26 +3485,31 @@ def rollback_snapshot(table_path: str, to_id: int) -> int:
 # the mutable sibling.
 # ---------------------------------------------------------------------------
 
-_TAGS_FILE = "tags.json"
+_TAGS_DIR = "tags"
+
+
+def _tag_path(table_path: str, name: str) -> str:
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]{0,127}", name):
+        raise ValueError(
+            f"invalid tag name {name!r} (allowed: letters, digits, "
+            "'.', '_', '-'; must start alphanumeric; max 128 chars)"
+        )
+    return os.path.join(table_path, _SNAP_DIR, _TAGS_DIR, f"{name}.json")
 
 
 def table_tags(table_path: str) -> dict[str, dict]:
-    """{tag name: {"snapshot_id": int, "created_at": float}}."""
-    p = os.path.join(table_path, _SNAP_DIR, _TAGS_FILE)
-    if not os.path.exists(p):
-        return {}
-    with open(p) as f:
-        return json.load(f)
-
-
-def _write_tags(table_path: str, tags: dict[str, dict]) -> None:
-    p = os.path.join(table_path, _SNAP_DIR, _TAGS_FILE)
-    tmp = p + f".tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        json.dump(tags, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, p)
+    """{tag name: {"snapshot_id": int, "created_at": float}}. One file
+    per tag, so concurrent taggers never clobber each other (a
+    read-modify-write on one shared file would let the last writer
+    silently erase another job's retention anchor)."""
+    d = os.path.join(table_path, _SNAP_DIR, _TAGS_DIR)
+    out: dict[str, dict] = {}
+    for p in glob.glob(os.path.join(d, "*.json")):
+        with open(p) as f:
+            out[os.path.basename(p)[:-5]] = json.load(f)
+    return out
 
 
 def create_tag(
@@ -3367,7 +3517,9 @@ def create_tag(
 ) -> int:
     """Tag ``snapshot_id`` (default: current) as ``name``. Immutable:
     re-tagging an existing name is refused (delete first) — a tag that
-    silently moved would invalidate every consumer that pinned it."""
+    silently moved would invalidate every consumer that pinned it.
+    Exclusive-create per tag file, so two racing creators of the same
+    name get exactly one winner and distinct names never interfere."""
     import time
 
     sid = snapshot_id if snapshot_id is not None \
@@ -3375,35 +3527,43 @@ def create_tag(
     if sid is None:
         raise FileNotFoundError(f"no snapshots under {table_path}")
     read_manifest(table_path, sid, load_files=False)  # must exist
-    tags = table_tags(table_path)
-    if name in tags:
+    p = _tag_path(table_path, name)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    try:
+        with open(p, "x") as f:
+            json.dump({"snapshot_id": sid, "created_at": time.time()}, f)
+            f.flush()
+            os.fsync(f.fileno())
+    except FileExistsError:
+        with open(p) as f:
+            have = json.load(f)
         raise ValueError(
             f"tag {name!r} already exists (snapshot "
-            f"{tags[name]['snapshot_id']}) — tags are immutable; "
-            "delete_tag first"
-        )
-    tags[name] = {"snapshot_id": sid, "created_at": time.time()}
-    _write_tags(table_path, tags)
+            f"{have['snapshot_id']}) — tags are immutable; delete_tag "
+            "first"
+        ) from None
     return sid
 
 
 def read_tag(table_path: str, name: str) -> int:
     """The snapshot id a tag names (pass to ``read_snapshot``)."""
-    tags = table_tags(table_path)
-    if name not in tags:
+    p = _tag_path(table_path, name)
+    if not os.path.exists(p):
         raise KeyError(
-            f"no tag {name!r} under {table_path} (have {sorted(tags)})")
-    return tags[name]["snapshot_id"]
+            f"no tag {name!r} under {table_path} "
+            f"(have {sorted(table_tags(table_path))})"
+        )
+    with open(p) as f:
+        return json.load(f)["snapshot_id"]
 
 
 def delete_tag(table_path: str, name: str) -> bool:
     """Remove a tag (its snapshot becomes expirable again). Returns
     whether it existed."""
-    tags = table_tags(table_path)
-    if name not in tags:
+    p = _tag_path(table_path, name)
+    if not os.path.exists(p):
         return False
-    del tags[name]
-    _write_tags(table_path, tags)
+    os.remove(p)
     return True
 
 
@@ -3584,20 +3744,8 @@ def snapshot_change_feed(
         Identity when the table never evolved names/types."""
         if "schema_log" not in m_to:
             return df
-        cur_fields = StructType.fromJson(json.loads(m_to["schema"])).fields
-        by_id = {c["id"]: (c["name"], c["type"])
-                 for c in m_to["schema_log"][str(v)]}
-        sel = []
-        for c, f in zip(m_to["columns"], cur_fields):
-            old = by_id.get(c["id"])
-            if old is None or old[0] not in df.columns:
-                sel.append(
-                    F.lit(c.get("default") if old is None else None)
-                    .cast(f.dataType).alias(f.name))
-            elif old[0] != f.name or old[1] != c["type"]:
-                sel.append(F.col(old[0]).cast(f.dataType).alias(f.name))
-            else:
-                sel.append(F.col(f.name))
+        sel = _version_select(
+            m_to, m_to["schema_log"][str(v)], have=set(df.columns))
         return df.select(*sel, *extras)
 
     prev_paths = {e["path"] for e in prev["files"]}

@@ -138,3 +138,29 @@ def test_null_keys_stay_pure_insert(spark, tmp_path):
 def test_set_bloom_validates(spark, tmp_path):
     with pytest.raises(ValueError, match="bits_per_key"):
         snap.set_bloom_filter(str(tmp_path / "x"), ["k"], bits_per_key=1)
+
+
+def test_spark_bloom_keep_matches_driver(spark, tmp_path):
+    """The externalized planning path's in-job bloom filter
+    (_bloom_keep_expr) must keep exactly the files the driver-side
+    bloom_prune_point keeps — including through a rename (version
+    branches + write-time-typed probe hashing)."""
+    path = _mk(spark, tmp_path)
+    snap.rename_column(path, "k", "key")
+    snap.commit_append(
+        spark.range(4000, 4100).select(
+            F.col("id").alias("key"),
+            (F.col("id") * 3).alias("v"),
+            F.lit("w0").alias("s"),
+        ).coalesce(1),
+        path,
+    )
+    m = snap.read_manifest(path)
+    mdf = snap.manifest_files_df(spark, path)
+    for probe in [777, 4050, 10**9]:
+        where = {"key": (probe, probe)}
+        py = {e["path"]
+              for e in snap.bloom_prune_point(spark, m, m["files"], where)}
+        bk = snap._bloom_keep_expr(m, where)
+        sp = {r["path"] for r in mdf.where(bk).select("path").collect()}
+        assert sp == py, probe

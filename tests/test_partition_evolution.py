@@ -148,3 +148,64 @@ def test_incremental_scan_unaffected_by_spec_evolution(spark, tmp_path):
     snap.commit_append(_df(spark, 40, 50), path)
     inc = snap.snapshot_changes(spark, path, s1)
     assert inc.count() == 10  # the evolve-spec commit contributes nothing
+
+
+def test_evolve_spec_conflict_rolls_back_file(spark, tmp_path, monkeypatch):
+    """A lost publish race must un-activate the just-written spec:
+    otherwise writes between the conflict and the caller's retry would
+    route through a spec no commit records."""
+    path = _mk(spark, tmp_path)
+
+    def boom(*a, **k):
+        raise snap.CommitConflict("simulated race")
+
+    monkeypatch.setattr(snap, "_publish", boom)
+    with pytest.raises(snap.CommitConflict):
+        snap.evolve_partition_spec(
+            path, [{"col": "g", "transform": "identity"}])
+    monkeypatch.undo()
+    assert len(snap.table_partition_specs(path)) == 1  # rolled back
+    # the retry then applies cleanly, exactly once
+    snap.evolve_partition_spec(path, [{"col": "g", "transform": "identity"}])
+    assert len(snap.table_partition_specs(path)) == 2
+
+
+def test_evolve_spec_crash_retry_is_idempotent(spark, tmp_path, monkeypatch):
+    """Crash AFTER the spec file was written but BEFORE the commit
+    published: the retry must not append the spec a second time, and a
+    retry after FULL success is a pure no-op."""
+    path = _mk(spark, tmp_path)
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash at publish")
+
+    monkeypatch.setattr(snap, "_publish", boom)
+    with pytest.raises(RuntimeError):
+        snap.evolve_partition_spec(
+            path, [{"col": "g", "transform": "identity"}])
+    monkeypatch.undo()
+    assert len(snap.table_partition_specs(path)) == 2  # file written
+    # retry: publishes the ordering commit WITHOUT re-appending
+    sid = snap.evolve_partition_spec(
+        path, [{"col": "g", "transform": "identity"}])
+    specs = snap.table_partition_specs(path)
+    assert len(specs) == 2 and specs[-1][0]["name"] == "p1"
+    assert snap.read_manifest(path, sid)["partition_spec_id"] == 1
+    # fully applied: another identical call is a no-op commit-wise
+    assert snap.evolve_partition_spec(
+        path, [{"col": "g", "transform": "identity"}]) == sid
+    assert snap.current_snapshot_id(path) == sid
+
+
+def test_concurrent_distinct_tags_do_not_clobber(spark, tmp_path):
+    """Per-tag files: creating N distinct tags (serially here, but the
+    exclusive-create-per-file design is what makes the concurrent case
+    safe) leaves all N readable."""
+    path = _mk(spark, tmp_path)
+    for i in range(5):
+        snap.create_tag(path, f"t{i}", snapshot_id=1)
+    assert sorted(snap.table_tags(path)) == [f"t{i}" for i in range(5)]
+    with pytest.raises(ValueError, match="invalid tag name"):
+        snap.create_tag(path, "../escape")
+    with pytest.raises(ValueError, match="invalid tag name"):
+        snap.create_tag(path, "")

@@ -2338,8 +2338,10 @@ def test_tagged_snapshot_survives_expiry(spark, tmp_path):
     assert snap._snap_ids(path) == [2, 4]  # 1 and 3 expired, 2 pinned
     frozen = snap.read_snapshot(spark, path, snapshot_id=2)
     assert sorted(r["id"] for r in frozen.collect()) == [0, 1]
-    # the frozen read still works because its files were NOT reclaimed
-    assert all("part-" not in r or True for r in removed)
+    # none of the tagged snapshot's data files were reclaimed
+    tagged_files = {
+        e["path"] for e in snap.read_manifest(path, 2)["files"]}
+    assert not tagged_files & set(removed)
     snap.delete_tag(path, "training-freeze")
     snap.expire_snapshots(path, keep_last=1)
     assert snap._snap_ids(path) == [4]
