@@ -1076,7 +1076,8 @@ def build_parser() -> argparse.ArgumentParser:
     sn.add_argument(
         "--tagName", default=None,
         help="tag/untag mode: the tag name (tag also accepts "
-        "--snapshotId; default current). Tagged snapshots never expire.",
+        "--snapshotId; default current); read mode: time-travel to the "
+        "tagged snapshot. Tagged snapshots never expire.",
     )
     sn.add_argument(
         "--bloomCols", type=_csv, default=None,
@@ -2310,6 +2311,8 @@ def main(argv: list[str] | None = None) -> int:
                 sid = snap.drop_partition(spark, args.table, vals)
                 print(_json.dumps({"snapshot_id": sid}))
             elif args.mode == "read":
+                if args.tagName is not None and args.snapshotId is None:
+                    args.snapshotId = snap.read_tag(args.table, args.tagName)
                 if not args.output:
                     raise SystemExit("--output is required with --mode read")
                 out = snap.read_snapshot(
