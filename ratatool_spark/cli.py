@@ -987,7 +987,7 @@ def build_parser() -> argparse.ArgumentParser:
                  "stage", "read-branch", "publish", "discard",
                  "add-constraint", "drop-constraint",
                  "rename-column", "widen-column", "evolve-spec",
-                 "tag", "untag", "tags", "set-bloom"],
+                 "tag", "untag", "tags", "set-bloom", "count"],
         required=True,
     )
     sn.add_argument("--table", required=True, help="snapshot table root")
@@ -2233,6 +2233,14 @@ def main(argv: list[str] | None = None) -> int:
                 print(_json.dumps({"tag": args.tagName, "existed": existed}))
             elif args.mode == "tags":
                 print(_json.dumps(snap.table_tags(args.table)))
+            elif args.mode == "count":
+                sid = args.snapshotId
+                if args.tagName is not None and sid is None:
+                    sid = snap.read_tag(args.table, args.tagName)
+                n = snap.snapshot_rowcount(args.table, sid)
+                print(_json.dumps({"rows": n, "snapshot_id":
+                                   sid or snap.current_snapshot_id(
+                                       args.table)}))
             elif args.mode == "set-bloom":
                 if not args.bloomCols:
                     raise SystemExit(
