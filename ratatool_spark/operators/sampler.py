@@ -587,30 +587,44 @@ def sample_neyman(
     stats = stats.withColumn(
         "__w", F.floor(n * std + F.lit(0.5)).cast("long")
     )
-    tot = stats.agg(
-        F.sum("__w").alias("__tw"), F.sum("__n").alias("__tn")
+    # The allocation itself runs on the DRIVER: the stats table is one
+    # row per stratum and is broadcast back onto the data anyway, so it
+    # is driver-memory-sized by construction — collecting it replaces
+    # two scalar cross-joins plus a single-partition ranking window with
+    # a Python loop over the same exact integers (__n, __w), keeping the
+    # arithmetic order identical (float(total_n)·w/t, floor, largest
+    # remainder, ties by stratum key ASC with NULLs first — Spark's ASC).
+    import math
+
+    srows = stats.select(*strata, "__n", "__w").collect()
+    tw = sum(r["__w"] for r in srows)
+    tn = sum(r["__n"] for r in srows)
+    entries = []
+    for r in srows:
+        nh, wh = r["__n"], r["__w"]
+        w_eff = nh if tw == 0 else wh
+        t_eff = tn if tw == 0 else tw
+        raw = float(total_n) * w_eff / t_eff
+        base = int(math.floor(raw))
+        entries.append((tuple(r[c] for c in strata), nh, base, raw - base))
+    bt = sum(e[2] for e in entries)
+    extra = total_n - bt
+
+    def _asc_nulls_first(key):
+        return tuple((v is not None, v) for v in key)
+
+    order = sorted(
+        range(len(entries)),
+        key=lambda i: (-entries[i][3], _asc_nulls_first(entries[i][0])),
     )
-    stats = stats.crossJoin(F.broadcast(tot))
-    w_eff = F.when(F.col("__tw") == 0, n).otherwise(F.col("__w"))
-    t_eff = F.when(F.col("__tw") == 0, F.col("__tn")).otherwise(F.col("__tw"))
-    raw = F.lit(float(total_n)) * w_eff / t_eff
-    stats = stats.withColumn("__base", F.floor(raw).cast("long")).withColumn(
-        "__frac", raw - F.floor(raw)
-    )
-    base_tot = stats.agg(F.sum("__base").alias("__bt"))
-    stats = stats.crossJoin(F.broadcast(base_tot))
-    w_rank = Window.orderBy(
-        F.col("__frac").desc(), *[F.col(c).asc() for c in strata]
-    )
-    alloc = stats.withColumn("__fr", F.row_number().over(w_rank)).select(
-        *strata,
-        F.least(
-            n,
-            F.col("__base")
-            + F.when(
-                F.col("__fr") <= F.lit(total_n) - F.col("__bt"), F.lit(1)
-            ).otherwise(F.lit(0)),
-        ).alias("__nh"),
+    nh_by_key = {}
+    for rank0, i in enumerate(order):
+        key, nh, base, _ = entries[i]
+        nh_by_key[key] = min(nh, base + (1 if rank0 < extra else 0))
+    key_schema = stats.select(*strata).schema
+    alloc_schema = key_schema.add("__nh", "long", False)
+    alloc = df.sparkSession.createDataFrame(
+        [(*k, int(v)) for k, v in nh_by_key.items()], alloc_schema
     )
     d = dice_for(hasher, [F.col(c) for c in fields], seed=seed)
     w_sel = Window.partitionBy(*strata).orderBy(

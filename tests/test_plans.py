@@ -660,8 +660,13 @@ def test_scd2_apply_broadcasts_affected_keys(spark):
 
 
 def test_compaction_plan_metadata_window_only(spark):
-    # the groupBy builds the manifest (1 hash exchange); the bin window
-    # runs on the metadata-sized manifest in a single partition BY
-    # DESIGN (one row per file) — assert nothing else shuffles
+    # the groupBy builds the manifest (1 hash exchange); the running sum
+    # is DISTRIBUTED (r10): range repartition on the sort key (1 range
+    # exchange), per-partition window keyed by __pid, broadcast offset
+    # join — no SinglePartition exchange and no unpartitioned window
+    # anywhere in the plan
     p = plan_of(spark, "compaction_bins_manifest")
-    assert n_exchanges(p) == 2
+    assert "Exchange SinglePartition" not in p
+    assert "Exchange rangepartitioning" in p
+    # the running-sum window is keyed by partition id, never global
+    assert "windowspecdefinition(__pid" in p
