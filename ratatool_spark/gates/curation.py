@@ -1265,7 +1265,7 @@ def _q_ann_quantized_recall(spark, sf_dir):
 
       - ``sq8``: int8 + per-row scale codes, cosine top-3 vs the exact
         cosine top-3 (near-lossless quantization -> recall 1.0 here);
-      - ``pq_rerank20``: PQ (16 subspaces x 64 centroids, asymmetric
+      - ``pq_rerank20``: PQ (8 subspaces x 64 centroids, asymmetric
         L2 distance) as a CANDIDATE GENERATOR retrieving top-20, scored
         as recall of the exact squared-L2 top-3 within those candidates
         — the standard PQ + exact-re-rank pipeline shape (measuring PQ's
@@ -1293,7 +1293,7 @@ def _q_ann_quantized_recall(spark, sf_dir):
     truth_cos = brute_force_topk(emb, q, k=3)
     sq8 = sq8_topk(emb, q, k=3)
     truth_l2 = brute_force_topk_l2(emb, q, k=3)
-    books = train_pq_codebooks(emb, m=16, k=64, seed=13, train_iters=0)
+    books = train_pq_codebooks(emb, m=8, k=64, seed=13, train_iters=0)
     pq = pq_topk(pq_encode(emb, books), q, books, k=20)
     r_sq8 = topk_recall(truth_cos, sq8).withColumn("method", F.lit("sq8"))
     r_pq = topk_recall(truth_l2, pq).withColumn(
@@ -1311,7 +1311,7 @@ def _sql_ann_quantized_recall() -> str:
 
     truth_cos = _SQL_ANN_BRUTE.strip()
     sq8 = _sql_ann_sq8_topk().strip()
-    pq = _sql_pq_topk(m=16, kc=64, topk=20).strip()
+    pq = _sql_pq_topk(m=8, kc=64, topk=20).strip()
     d = "(CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))"
     l2 = (
         f"list_reduce(list_transform(range(1, 65), i -> {d} * {d}), "

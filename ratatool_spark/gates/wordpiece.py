@@ -109,12 +109,14 @@ def _wp_train_ctes(
     return "WITH RECURSIVE " + ",\n".join(ctes), union
 
 
-_WP_N, _WP_BATCH, _WP_POOL, _WP_ROUNDS = 48, 12, 48, 4
+# r10 fixture trim: 3 rounds x 12 merges (was 4x12) — still
+# multi-round batched admission, one fewer pair+symbol aggregate
+_WP_N, _WP_BATCH, _WP_POOL, _WP_ROUNDS = 36, 12, 48, 3
 
 
 def _q_wordpiece_train(spark, sf_dir):
     """Distributed WordPiece TRAINING (wordpiece.wordpiece_learn,
-    batched): 4 rounds over the documents vocabulary, each = a pair-
+    batched): 3 rounds over the documents vocabulary, each = a pair-
     count aggregate + a symbol-count aggregate + an aggregate-sized
     ranking join on the likelihood objective cnt_ab/(cnt_a·cnt_b)
     (double precision, ties (lhs, rhs) ascending), greedy admission of
@@ -153,7 +155,7 @@ ORDER BY step LIMIT {_WP_N}"""
 
 def _q_wordpiece_segment(spark, sf_dir):
     """Train → persist → load → SEGMENT the corpus by merge replay
-    (wordpiece.wordpiece_segment, Arrow kernel path — 48 merges exceed
+    (wordpiece.wordpiece_segment, Arrow kernel path — 36 merges exceed
     the expression threshold), the artifact chain gated end-to-end. The
     segmentation applies the learned list in training order with the
     WordPiece fold (merge output strips the right side's ## marker), so
