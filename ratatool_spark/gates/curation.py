@@ -1749,3 +1749,171 @@ SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
 FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
 LEFT JOIN agg a USING (doc_id)
 """
+
+
+def _q_kn_lm_score(spark, sf_dir):
+    """Interpolated Kneser–Ney trigram LM scoring (operators/corpus.
+    kn_lm_model + kn_lm_score, self-scoring mode) — the estimator
+    CCNet's KenLM perplexity filter actually uses (Kneser & Ney 1995,
+    Chen & Goodman 1999): per-order absolute discounts from
+    count-of-counts (D = n1/(n1+2·n2)), lower orders estimated from
+    CONTINUATION type counts, discounted mass redistributed through the
+    interpolation weights (each conditional sums to exactly 1 over the
+    V+1 support — pinned in tests). The oracle replays the whole
+    estimator — counts, continuation types, discounts, and the
+    three-tier interpolation — relationally."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.corpus import kn_lm_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") % 2 == 0  # fixture trim: the model tables are
+        # two token-scale shuffles; half the corpus pins the estimator
+    )
+    out = kn_lm_score(docs)
+    return out.select(
+        "doc_id", "n_tokens",
+        F.round("mean_logscore", 6).alias("mean_logscore"),
+    )
+
+
+# per-doc KN scores (doc_id, n_tokens, mean_logscore RAW) — shared by
+# the score gate and the bucket composition gate
+_SQL_KN_SCORED_CTES = """
+ds AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(text), ' '),
+                     x -> length(x) > 0) AS ts
+  FROM documents WHERE {pred}
+), toks AS (
+  SELECT doc_id,
+         CASE WHEN g.i >= 3 THEN ts[g.i - 2] END AS w1,
+         CASE WHEN g.i >= 2 THEN ts[g.i - 1] END AS w2,
+         ts[g.i] AS w3
+  FROM ds, UNNEST(generate_series(1, len(ts))) AS g(i)
+), c3 AS (SELECT w1, w2, w3, COUNT(*) AS cnt FROM toks
+          WHERE w1 IS NOT NULL GROUP BY ALL),
+ctx3 AS (SELECT w1, w2, CAST(SUM(cnt) AS DOUBLE) AS tot,
+                CAST(COUNT(*) AS DOUBLE) AS fol
+         FROM c3 GROUP BY ALL),
+bi AS (SELECT w2, w3, COUNT(*) AS cnt FROM toks
+       WHERE w2 IS NOT NULL GROUP BY ALL),
+bityp AS (SELECT w2, w3, CAST(COUNT(*) AS DOUBLE) AS n1pl
+          FROM c3 GROUP BY w2, w3),
+ctx2 AS (SELECT w2, SUM(n1pl) AS tot, CAST(COUNT(*) AS DOUBLE) AS r
+         FROM bityp GROUP BY w2),
+unic AS (SELECT w3, CAST(COUNT(*) AS DOUBLE) AS n1pr FROM bi GROUP BY w3),
+k AS (
+  SELECT
+    (SELECT CAST(COUNT(DISTINCT w3) AS DOUBLE) FROM toks) AS v,
+    (SELECT CAST(COUNT(*) AS DOUBLE) FROM bi) AS nbi,
+    (SELECT CAST(COUNT(*) AS DOUBLE) FROM unic) AS w1c,
+    (SELECT CASE WHEN SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
+                    + 2 * SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) > 0
+       THEN CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+            / (SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
+               + 2 * SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END))
+       ELSE 0 END FROM c3) AS d3,
+    (SELECT CASE WHEN SUM(CASE WHEN n1pl = 1 THEN 1 ELSE 0 END)
+                    + 2 * SUM(CASE WHEN n1pl = 2 THEN 1 ELSE 0 END) > 0
+       THEN CAST(SUM(CASE WHEN n1pl = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+            / (SUM(CASE WHEN n1pl = 1 THEN 1 ELSE 0 END)
+               + 2 * SUM(CASE WHEN n1pl = 2 THEN 1 ELSE 0 END))
+       ELSE 0 END FROM bityp) AS d2,
+    (SELECT CASE WHEN SUM(CASE WHEN n1pr = 1 THEN 1 ELSE 0 END)
+                    + 2 * SUM(CASE WHEN n1pr = 2 THEN 1 ELSE 0 END) > 0
+       THEN CAST(SUM(CASE WHEN n1pr = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+            / (SUM(CASE WHEN n1pr = 1 THEN 1 ELSE 0 END)
+               + 2 * SUM(CASE WHEN n1pr = 2 THEN 1 ELSE 0 END))
+       ELSE 0 END FROM unic) AS d1
+), puni AS (
+  SELECT t.doc_id, t.w1, t.w2, t.w3,
+         CAST(g3.cnt AS DOUBLE) AS c3v,
+         x3.tot AS x3_tot, x3.fol AS x3_fol,
+         bt.n1pl AS n1pl, x2.tot AS x2_tot, x2.r AS x2_r,
+         k.d2, k.d3,
+         GREATEST((GREATEST(COALESCE(u.n1pr, 0) - k.d1, 0)
+                   + k.d1 * k.w1c / (k.v + 1)) / k.nbi, 1e-9) AS p_uni
+  FROM toks t
+  LEFT JOIN c3 g3 ON t.w1 = g3.w1 AND t.w2 = g3.w2 AND t.w3 = g3.w3
+  LEFT JOIN ctx3 x3 ON t.w1 = x3.w1 AND t.w2 = x3.w2
+  LEFT JOIN bityp bt ON t.w2 = bt.w2 AND t.w3 = bt.w3
+  LEFT JOIN ctx2 x2 ON t.w2 = x2.w2
+  LEFT JOIN unic u ON t.w3 = u.w3, k
+), pbi AS (
+  SELECT *, CASE WHEN x2_tot IS NOT NULL THEN
+         (GREATEST(COALESCE(n1pl, 0) - d2, 0) + d2 * x2_r * p_uni) / x2_tot
+       ELSE p_uni END AS p_bi
+  FROM puni
+), ptri AS (
+  SELECT doc_id, w1, w2, p_uni, p_bi,
+         CASE WHEN x3_tot IS NOT NULL THEN
+           (GREATEST(COALESCE(c3v, 0) - d3, 0) + d3 * x3_fol * p_bi) / x3_tot
+         ELSE p_bi END AS p_tri
+  FROM pbi
+), kn_scored AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         AVG(CASE WHEN w1 IS NOT NULL THEN LN(p_tri)
+                  WHEN w2 IS NOT NULL THEN LN(p_bi)
+                  ELSE LN(p_uni) END) AS mean_logscore
+  FROM ptri GROUP BY doc_id
+)"""
+
+_SQL_KN_LM_SCORE = f"""
+WITH {_SQL_KN_SCORED_CTES.format(pred="doc_id % 2 = 0")}
+SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+       ROUND(a.mean_logscore, 6) AS mean_logscore
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 0) d
+LEFT JOIN kn_scored a USING (doc_id)
+"""
+
+
+def _q_pipeline_kn_buckets(spark, sf_dir):
+    """CCNet quality tiers driven by the Kneser–Ney LM (the production
+    CCNet scorer), composed from this round's pieces: kn_lm_score every
+    doc (6dp-rounded), split into quartiles via the DISTRIBUTED
+    equal-population rank (corpus.score_buckets — the same scale-safe
+    path as perplexity_buckets: range partition + per-partition rank +
+    broadcast prefix offsets, never a single-task window), report each
+    bucket's volume and score range. Bucket 0 = head (most probable)."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.corpus import kn_lm_score, score_buckets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") % 3 == 0  # fixture trim (train+score+rank in-gate)
+    )
+    scored = kn_lm_score(docs).withColumn(
+        "mean_logscore", F.round("mean_logscore", 6)
+    )
+    b = score_buckets(scored, 4, "mean_logscore", "doc_id")
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.min("mean_logscore"), 6).alias("min_score"),
+        F.round(F.max("mean_logscore"), 6).alias("max_score"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+
+
+_SQL_PIPELINE_KN_BUCKETS = f"""
+WITH {_SQL_KN_SCORED_CTES.format(pred="doc_id % 3 = 0")},
+full_scored AS (
+  SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+         ROUND(a.mean_logscore, 6) AS mean_logscore
+  FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+  LEFT JOIN kn_scored a USING (doc_id)
+), ranked AS (
+  SELECT doc_id, n_tokens, mean_logscore,
+         ROW_NUMBER() OVER (
+           ORDER BY mean_logscore DESC NULLS LAST, doc_id ASC
+         ) AS rnk,
+         COUNT(*) OVER () AS n
+  FROM full_scored
+)
+SELECT CAST(((rnk - 1) * 4) // n AS INT) AS bucket,
+       COUNT(*) AS n_docs,
+       ROUND(MIN(mean_logscore), 6) AS min_score,
+       ROUND(MAX(mean_logscore), 6) AS max_score,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM ranked GROUP BY 1
+"""

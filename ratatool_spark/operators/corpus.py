@@ -494,18 +494,33 @@ def perplexity_buckets(
     per-partition rank + broadcast prefix offsets — ``_global_rank``),
     never a single-task ORDER BY window; bucket = ((rank-1)·n) div N is
     exact integer arithmetic, engine-portable."""
-    if n_buckets <= 0:
-        raise ValueError("n_buckets must be positive")
     scored = unigram_logprob_score(
         df, text_col, id_col, freq_df, smoothing
     ).withColumn("mean_logprob", F.round("mean_logprob", 6))
+    return score_buckets(scored, n_buckets, "mean_logprob", id_col)
+
+
+def score_buckets(
+    scored: DataFrame,
+    n_buckets: int,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Equal-population bucketing by global score rank — the tail of
+    :func:`perplexity_buckets`, factored out so ANY scorer (unigram,
+    stupid-backoff, Kneser–Ney) feeds the same CCNet-style tiering.
+    Rank orders ``score_col`` DESC with ``id_col`` tiebreak (NULLs
+    last); bucket = ((rank−1)·n) div N — exact integer arithmetic,
+    engine-portable; the rank itself is DISTRIBUTED (``_global_rank``)."""
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
     from ratatool_spark.cache import persist_tracked
 
     scored = persist_tracked(scored)
     n = scored.count() or 1  # empty input: no rows to bucket, avoid DIV 0
     ranked = _global_rank(
         scored,
-        [F.col("mean_logprob").desc_nulls_last(), F.col(id_col)],
+        [F.col(score_col).desc_nulls_last(), F.col(id_col)],
         "rank",
     )
     return ranked.withColumn(
@@ -1258,6 +1273,255 @@ def ngram_lm_score(
               F.log(F.col("c2") / F.col("c1ctx")))
         .when(F.col("w2").isNotNull(), F.log(a * s1))
         .otherwise(F.log(s1))
+    )
+    scores = j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg(lp).alias("mean_logscore"),
+    )
+    return df.select(id_col).join(scores, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+        "mean_logscore",
+    )
+
+
+def kn_lm_model(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Interpolated Kneser–Ney trigram LM state (Kneser & Ney 1995;
+    Chen & Goodman 1999 — the estimator CCNet's KenLM perplexity filter
+    actually uses, vs the stupid-backoff web-scale shortcut of
+    :func:`ngram_lm_counts`). The model is FIVE vocabulary-scale count
+    tables plus six scalars, emitted as one tagged DataFrame (persist as
+    parquet, feed :func:`kn_lm_score` as the frozen reference model):
+
+      - ``tri``  (w1,w2,w3) → v1 = c(w1 w2 w3)
+      - ``ctx3`` (w1,w2)    → v1 = Σ_w3 c(w1 w2 w3), v2 = N1+(w1 w2 ·)
+      - ``bityp``(w2,w3)    → v1 = N1+(· w2 w3)  (distinct w1 types —
+        the KN insight: lower orders are estimated from CONTINUATION
+        type counts, not raw counts)
+      - ``ctx2`` (w2)       → v1 = N1+(· w2 ·), v2 = N1+(w2 ·)
+      - ``unic`` (w3)       → v1 = N1+(· w3)   (distinct-left-context
+        types from the bigram table)
+      - ``const`` rows: V (vocab), NBI (bigram types = N1+(· ·)),
+        W1 (types with N1+(· w3)>0), and the per-order absolute
+        discounts D1/D2/D3 estimated from count-of-counts as
+        n1/(n1 + 2·n2) (Chen & Goodman's KN discount; 0 when the order
+        has no singletons).
+
+    100 TB shape: three corpus scans (trigram counts, bigram counts,
+    vocab) — the position frame is deliberately NOT cached (one row per
+    token; recomputing a projection beats persisting token-scale state),
+    and everything downstream aggregates vocabulary-scale tables with
+    map-side combine. No UDFs, no driver data beyond count-of-count
+    scalars."""
+    from ratatool_spark.cache import persist_tracked
+
+    pos = _ngram_position_frame(df, text_col, None)
+    tri = persist_tracked(
+        pos.where(F.col("w1").isNotNull())
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bi = persist_tracked(
+        pos.where(F.col("w2").isNotNull())
+        .groupBy("w2", "w3")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bityp = persist_tracked(
+        tri.groupBy("w2", "w3").agg(
+            F.count(F.lit(1)).cast("double").alias("n1pl")
+        )
+    )
+    unic = persist_tracked(
+        bi.groupBy("w3").agg(F.count(F.lit(1)).cast("double").alias("n1pr"))
+    )
+
+    # ONE fused scalar job: the per-order count-of-counts (discount
+    # inputs), the bigram-type and continuation-type totals, and the
+    # vocabulary size ride a single unioned aggregate — one driver
+    # round-trip instead of six
+    def _coc_agg(t, c, tag):
+        return t.agg(
+            F.lit(tag).alias("tag"),
+            F.sum(F.when(F.col(c) == 1, 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(F.col(c) == 2, 1).otherwise(0)).alias("n2"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    scal = {
+        r["tag"]: r
+        for r in _coc_agg(tri, "cnt", "tri")
+        .unionByName(_coc_agg(bityp, "n1pl", "bityp"))
+        .unionByName(_coc_agg(unic, "n1pr", "unic"))
+        .unionByName(
+            bi.agg(
+                F.lit("bi").alias("tag"),
+                F.lit(0).alias("n1"),
+                F.lit(0).alias("n2"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        .unionByName(
+            pos.agg(
+                F.lit("vocab").alias("tag"),
+                F.lit(0).alias("n1"),
+                F.lit(0).alias("n2"),
+                F.countDistinct("w3").alias("n"),
+            )
+        )
+        .collect()
+    }
+
+    def _disc(tag):
+        n1, n2 = int(scal[tag]["n1"] or 0), int(scal[tag]["n2"] or 0)
+        return float(n1) / float(n1 + 2 * n2) if n1 + 2 * n2 > 0 else 0.0
+
+    d3, d2, d1 = _disc("tri"), _disc("bityp"), _disc("unic")
+    v = int(scal["vocab"]["n"] or 0)
+    nbi = int(scal["bi"]["n"])
+    w1c = int(scal["unic"]["n"])
+
+    def _tag(t, kind, w1=None, w2=None, w3=None, v1=None, v2=None):
+        n = F.lit(None).cast("string")
+        return t.select(
+            F.lit(kind).alias("kind"),
+            (F.col(w1) if w1 else n).alias("w1"),
+            (F.col(w2) if w2 else n).alias("w2"),
+            (F.col(w3) if w3 else n).alias("w3"),
+            (F.col(v1).cast("double") if v1 else F.lit(None).cast("double"))
+            .alias("v1"),
+            (F.col(v2).cast("double") if v2 else F.lit(None).cast("double"))
+            .alias("v2"),
+        )
+
+    ctx3 = tri.groupBy("w1", "w2").agg(
+        F.sum("cnt").cast("double").alias("tot"),
+        F.count(F.lit(1)).cast("double").alias("fol"),
+    )
+    ctx2 = bityp.groupBy("w2").agg(
+        F.sum("n1pl").alias("tot"), F.count(F.lit(1)).cast("double").alias("r")
+    )
+    spark = df.sparkSession
+    consts = spark.createDataFrame(
+        [
+            ("const", None, None, name, float(val), None)
+            for name, val in (
+                ("V", v), ("NBI", nbi), ("W1", w1c),
+                ("D1", d1), ("D2", d2), ("D3", d3),
+            )
+        ],
+        "kind string, w1 string, w2 string, w3 string, v1 double, v2 double",
+    )
+    return (
+        _tag(tri, "tri", "w1", "w2", "w3", "cnt")
+        .unionByName(_tag(ctx3, "ctx3", "w1", "w2", None, "tot", "fol"))
+        .unionByName(_tag(bityp, "bityp", None, "w2", "w3", "n1pl"))
+        .unionByName(_tag(ctx2, "ctx2", None, "w2", None, "tot", "r"))
+        .unionByName(_tag(unic, "unic", None, None, "w3", "n1pr"))
+        .unionByName(consts)
+    )
+
+
+def kn_lm_score(
+    df: DataFrame,
+    model_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_floor: float = 1e-9,
+) -> DataFrame:
+    """(id, n_tokens, mean_logscore): mean per-token log probability
+    under an interpolated Kneser–Ney trigram LM (:func:`kn_lm_model`) —
+    the CCNet perplexity-filter scorer with KenLM's estimator. Per
+    token, with D_n the per-order discounts and continuation counts as
+    in the model:
+
+      p_uni(w)      = (max(N1+(·w) − D1, 0) + D1·W1/(V+1)) / N1+(··)
+      p_bi(w|u)     = (max(N1+(·uw) − D2, 0) + D2·N1+(u·)·p_uni(w))
+                      / N1+(·u·)            [p_uni if u has no types]
+      p_tri(w|t,u)  = (max(c(tuw) − D3, 0) + D3·N1+(tu·)·p_bi(w|u))
+                      / c(tu·)              [p_bi if (t,u) unseen]
+
+    Each distribution sums to EXACTLY 1 over the V+1-point support
+    (vocabulary + one unseen slot sharing the uniform mass) — pinned in
+    tests. A document-initial token scores at the highest tier its
+    context allows (the family convention); p_uni is floored at
+    ``oov_floor`` so frozen-model scoring of unseen tokens stays finite
+    when an order has no singletons (D1=0) — KenLM's explicit <unk>
+    slot plays this role in production.
+
+    Shape: ONE exploded position frame, five vocabulary-table left
+    joins (the same lookup fan-out as :func:`ngram_lm_score`), one
+    doc-keyed mean, a left join back onto the input ids. Scalars ride
+    as literals (collected once from the const rows)."""
+    if model_df is None:
+        model_df = kn_lm_model(df, text_col)
+    model_df = model_df.localCheckpoint(eager=False)
+    c = {
+        r["w3"]: r["v1"]
+        for r in model_df.where(F.col("kind") == "const").collect()
+    }
+    v, nbi, w1c = c["V"], c["NBI"], c["W1"]
+    d1, d2, d3 = c["D1"], c["D2"], c["D3"]
+    tri = model_df.where(F.col("kind") == "tri").select(
+        F.col("w1").alias("t_w1"), F.col("w2").alias("t_w2"),
+        F.col("w3").alias("t_w3"), F.col("v1").alias("c3"))
+    ctx3 = model_df.where(F.col("kind") == "ctx3").select(
+        F.col("w1").alias("x3_w1"), F.col("w2").alias("x3_w2"),
+        F.col("v1").alias("x3_tot"), F.col("v2").alias("x3_fol"))
+    bityp = model_df.where(F.col("kind") == "bityp").select(
+        F.col("w2").alias("b_w2"), F.col("w3").alias("b_w3"),
+        F.col("v1").alias("n1pl"))
+    ctx2 = model_df.where(F.col("kind") == "ctx2").select(
+        F.col("w2").alias("x2_w2"),
+        F.col("v1").alias("x2_tot"), F.col("v2").alias("x2_r"))
+    unic = model_df.where(F.col("kind") == "unic").select(
+        F.col("w3").alias("u_w3"), F.col("v1").alias("n1pr"))
+    pos = _ngram_position_frame(df, text_col, id_col)
+    j = (
+        pos
+        .join(tri, (F.col("w1") == F.col("t_w1"))
+              & (F.col("w2") == F.col("t_w2"))
+              & (F.col("w3") == F.col("t_w3")), "left")
+        .join(ctx3, (F.col("w1") == F.col("x3_w1"))
+              & (F.col("w2") == F.col("x3_w2")), "left")
+        .join(bityp, (F.col("w2") == F.col("b_w2"))
+              & (F.col("w3") == F.col("b_w3")), "left")
+        .join(ctx2, F.col("w2") == F.col("x2_w2"), "left")
+        .join(unic, F.col("w3") == F.col("u_w3"), "left")
+    )
+    # uniform bonus precomputed in Python: D1·W1/(V+1) — one IEEE
+    # sequence, replayed identically by the oracle
+    uni_bonus = d1 * w1c / (v + 1.0)
+    p_uni = F.greatest(
+        (
+            F.greatest(F.coalesce(F.col("n1pr"), F.lit(0.0)) - F.lit(d1),
+                       F.lit(0.0))
+            + F.lit(uni_bonus)
+        )
+        / F.lit(nbi),
+        F.lit(float(oov_floor)),
+    )
+    p_bi = F.when(
+        F.col("x2_tot").isNotNull(),
+        (
+            F.greatest(F.coalesce(F.col("n1pl"), F.lit(0.0)) - F.lit(d2),
+                       F.lit(0.0))
+            + F.lit(d2) * F.col("x2_r") * p_uni
+        )
+        / F.col("x2_tot"),
+    ).otherwise(p_uni)
+    p_tri = F.when(
+        F.col("x3_tot").isNotNull(),
+        (
+            F.greatest(F.coalesce(F.col("c3"), F.lit(0.0)) - F.lit(d3),
+                       F.lit(0.0))
+            + F.lit(d3) * F.col("x3_fol") * p_bi
+        )
+        / F.col("x3_tot"),
+    ).otherwise(p_bi)
+    lp = (
+        F.when(F.col("w1").isNotNull(), F.log(p_tri))
+        .when(F.col("w2").isNotNull(), F.log(p_bi))
+        .otherwise(F.log(p_uni))
     )
     scores = j.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),

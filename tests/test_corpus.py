@@ -1373,3 +1373,94 @@ def test_ngram_lm_counts_orders(spark):
     assert rows[(2, None, "y", "x")] == 1
     assert rows[(3, "x", "y", "x")] == 1
     assert rows[(3, "y", "x", "y")] == 1
+
+
+def test_kn_lm_distributions_sum_to_one(spark):
+    """Interpolated KN invariant: for any observed context, the
+    conditional distribution sums to exactly 1 over the (V+1)-point
+    support (vocabulary + one unseen slot carrying the uniform mass) —
+    this pins the discount mass-redistribution algebra at every order.
+    Isolated per-token: log p(w|a,b) = 3*s("a b w") - 2*s("a b")."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.corpus import kn_lm_model, kn_lm_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b d"),
+            (2, "a b c c"),
+            (3, "x y a b"),
+            (4, "b c a b c a b"),
+        ],
+        "doc_id int, text string",
+    )
+    m = kn_lm_model(docs).localCheckpoint()
+    # support = FULL vocabulary (every distinct token) + one unseen
+    # slot — unic alone misses words that never follow another token
+    vocab = {
+        w
+        for r in docs.select(F.split("text", " ").alias("ts")).collect()
+        for w in r["ts"]
+        if w
+    }
+    support = sorted(vocab) + ["UNSEENZ"]
+
+    def scores(texts):
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id int, text string"
+        )
+        out = kn_lm_score(df, m, oov_floor=0.0)
+        return {
+            r["doc_id"]: (r["n_tokens"], r["mean_logscore"])
+            for r in out.collect()
+        }
+
+    for ctx in ("a b", "c a", "y a"):  # attested trigram+bigram contexts
+        got = scores([f"{ctx} {w}" for w in support] + [ctx])
+        base_n, base_s = got[len(support)]
+        total = 0.0
+        for i in range(len(support)):
+            n, s = got[i]
+            total += math.exp(n * s - base_n * base_s)
+        assert abs(total - 1.0) < 1e-9, (ctx, total)
+
+
+def test_kn_lm_frozen_oov_finite_and_floor(spark):
+    """Frozen-model scoring of fully-unseen text stays finite via the
+    continuation-unigram uniform mass; with oov_floor it is bounded
+    below even when D1 would be 0."""
+    from ratatool_spark.operators.corpus import kn_lm_model, kn_lm_score
+
+    train = spark.createDataFrame(
+        [(0, "p q r p q s"), (1, "q r p p")], "doc_id int, text string"
+    )
+    m = kn_lm_model(train)
+    q = spark.createDataFrame([(7, "zz yy xx")], "doc_id int, text string")
+    r = kn_lm_score(q, m, oov_floor=1e-9).collect()[0]
+    assert r["n_tokens"] == 3
+    assert r["mean_logscore"] is not None
+    import math
+
+    assert math.isfinite(r["mean_logscore"])
+    assert r["mean_logscore"] >= math.log(1e-9) - 1e-12
+
+
+def test_kn_lm_discounts_from_count_of_counts(spark):
+    """D = n1/(n1+2*n2) per order, from that order's (continuation)
+    count table."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.corpus import kn_lm_model
+
+    # trigram types: (a,b,c)x2, (b,c,a)x1, (c,a,b)x1  -> n1=2, n2=1
+    docs = spark.createDataFrame(
+        [(0, "a b c a b c")], "doc_id int, text string"
+    )
+    m = kn_lm_model(docs)
+    c = {r["w3"]: r["v1"] for r in m.where(F.col("kind") == "const").collect()}
+    # tri counts: abc:2, bca:1, cab:1 -> n1=2, n2=1 -> D3 = 2/4
+    assert c["D3"] == 2.0 / 4.0
+    assert 0.0 <= c["D1"] <= 1.0 and 0.0 <= c["D2"] <= 1.0
+    assert c["V"] == 3.0
