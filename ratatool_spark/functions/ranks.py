@@ -48,4 +48,6 @@ def partition_offsets(
             T.StructField(off_col, T.LongType(), False),
         ]
     )
-    return per_pid.sparkSession.createDataFrame(out, schema)
+    from ratatool_spark.functions.localrel import local_df
+
+    return local_df(per_pid.sparkSession, out, schema)

@@ -817,8 +817,11 @@ def _zorder_skip_rows(spark, sf_dir, rgs):
         stats = row_group_stats(path, ["o_custkey", "o_totalprice"])
         n_groups, n_scanned = row_group_skip_audit(stats, box)
         rows.append((layout, n_groups, n_scanned, n_groups - n_scanned))
-    return spark.createDataFrame(
-        rows, "layout string, n_groups int, n_scanned int, n_pruned int"
+    from ratatool_spark.functions.localrel import local_df
+
+    return local_df(
+        spark, rows,
+        "layout string, n_groups int, n_scanned int, n_pruned int",
     )
 
 

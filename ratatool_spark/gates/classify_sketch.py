@@ -471,9 +471,9 @@ def _q_fellegi_em(spark, sf_dir):
         (i, mi, ui, model["lam"])
         for i, (mi, ui) in enumerate(model["fields"])
     ]
-    out = spark.createDataFrame(
-        rows, "field int, m double, u double, lam double"
-    )
+    from ratatool_spark.functions.localrel import local_df
+
+    out = local_df(spark, rows, "field int, m double, u double, lam double")
     return out.select(
         "field",
         F.round("m", 8).alias("m"),

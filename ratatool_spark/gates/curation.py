@@ -151,7 +151,10 @@ def _q_bpe_train(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     merges = bpe_learn(docs, n_merges=64, batch=16, pool=64, rounds=6)
-    return spark.createDataFrame(
+    from ratatool_spark.functions.localrel import local_df
+
+    return local_df(
+        spark,
         [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
         "step int, lhs string, rhs string",
     )

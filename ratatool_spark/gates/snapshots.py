@@ -1210,6 +1210,168 @@ GROUP BY o_orderstatus
 """
 
 
+def _q_snapshot_branch_ff(spark, sf_dir):
+    """Named branches (operators/snapshots.create_branch /
+    commit_append_branch / fast_forward_branch — the Iceberg branch-ref
+    model, the multi-commit generalization of the WAP stage): main takes
+    the o_orderkey%3==0 third of a trimmed orders slice, a 'dev' branch
+    forks, the %3==1 and %3==2 thirds land as TWO branch commits (their
+    own lineage, branch-local time travel), then fast-forward publishes
+    the whole lineage as ONE metadata-only main commit. Pinned in-gate:
+    main never saw a branch byte before the FF (main_isolated: row count
+    AND snapshot id unmoved), branch-local snapshot 1 holds exactly
+    main+first batch (branch_travel), the FF manifest records the
+    2-commit lineage (ff_commits), and the branch resets empty at the
+    new head (branch_reset). The oracle recomputes the final content and
+    the isolation/travel counts straight from the source slice."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    import ratatool_spark.operators.snapshots as snap
+
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(F.col("o_orderkey") % 4 == 0)  # fixture trim
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    path = tempfile.mkdtemp(prefix="rt_branch_") + "/tbl"
+    snap.commit_append(orders.where(F.col("o_orderkey") % 3 == 0), path)
+    n_main0 = snap.read_snapshot(spark, path).count()
+    snap.create_branch(path, "dev")
+    snap.commit_append_branch(
+        orders.where(F.col("o_orderkey") % 3 == 1), path, "dev")
+    snap.commit_append_branch(
+        orders.where(F.col("o_orderkey") % 3 == 2), path, "dev")
+    main_isolated = (
+        snap.read_snapshot(spark, path).count() == n_main0
+        and snap.current_snapshot_id(path) == 1
+    )
+    n_b1 = snap.read_branch_snapshot(spark, path, "dev", 1).count()
+    snap.fast_forward_branch(path, "dev")
+    m = snap.read_manifest(path, load_files=False)
+    ref = snap.table_branches(path)["dev"]
+    branch_reset = ref["base"] == 2 and ref["head"] == 0
+    return (
+        snap.read_snapshot(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_total"),
+        )
+        .select(
+            "*",
+            F.lit(n_b1).cast("long").alias("branch_travel"),
+            F.lit(bool(main_isolated)).alias("main_isolated"),
+            F.lit(int(m.get("branch_commits", 0)))
+            .cast("long")
+            .alias("ff_commits"),
+            F.lit(bool(branch_reset)).alias("branch_reset"),
+        )
+    )
+
+
+_SQL_SNAPSHOT_BRANCH_FF = """
+WITH src AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 4 = 0
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+       (SELECT COUNT(*) FROM src WHERE o_orderkey % 3 IN (0, 1))
+         AS branch_travel,
+       TRUE AS main_isolated,
+       CAST(2 AS BIGINT) AS ff_commits,
+       TRUE AS branch_reset
+FROM src
+GROUP BY o_orderstatus
+"""
+
+
+def _q_snapshot_metadata_tables(spark, sf_dir):
+    """Metadata inspection tables (operators/snapshots.metadata_table —
+    the Iceberg .files/.snapshots/.history/.partitions/.refs surface):
+    a month-partitioned orders table takes two commits and a tag; every
+    inspection table is then read METADATA-ONLY (no data scan) and
+    reduced to (kind, key, value) rows the oracle recomputes straight
+    from the source slice — per-snapshot row counts, per-partition row
+    counts, the files table's row total, ancestry flags, and ref
+    pins. bytes>0 and n_files>=1 are asserted in-gate (physical facts
+    DuckDB cannot see)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    import ratatool_spark.operators.snapshots as snap
+    from ratatool_spark.operators.snapshots import metadata_table
+
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+        # fixture trim: 3 month partitions, quarter of the keys
+        .where(
+            (F.col("o_orderdate").between("1995-01-01", "1995-03-31"))
+            & (F.col("o_orderkey") % 4 == 0)
+        )
+    )
+    path = tempfile.mkdtemp(prefix="rt_meta_") + "/tbl"
+    spec = [{"col": "o_orderdate", "transform": "month"}]
+    snap.commit_append(
+        orders.where(F.col("o_orderkey") % 8 == 0), path, partition_spec=spec
+    )
+    snap.commit_append(orders.where(F.col("o_orderkey") % 8 == 4), path)
+    snap.create_tag(path, "pin", snapshot_id=1)
+
+    out = []
+    for r in metadata_table(spark, path, "snapshots").collect():
+        assert r["n_files"] >= 1 and r["bytes"] > 0
+        out.append(("snapshots", str(r["snapshot_id"]), r["rows"]))
+    for r in metadata_table(spark, path, "history").collect():
+        out.append(
+            ("history", str(r["snapshot_id"]),
+             1 if r["is_current_ancestor"] else 0)
+        )
+    for r in metadata_table(spark, path, "partitions").collect():
+        out.append(("partitions", r["partition"]["p0"], r["rows"]))
+    files = metadata_table(spark, path, "files").collect()
+    assert all(f["snapshot_id"] == 2 for f in files)
+    out.append(("files", "total_rows", sum(f["rows"] for f in files)))
+    for r in metadata_table(spark, path, "refs").collect():
+        out.append(("refs", r["name"], r["snapshot_id"]))
+    from ratatool_spark.functions.localrel import local_df
+
+    return local_df(spark, out, "kind string, key string, value bigint")
+
+
+_SQL_SNAPSHOT_METADATA_TABLES = """
+WITH src AS (
+  SELECT * FROM orders
+  WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+                        AND TIMESTAMP '1995-03-31'
+    AND o_orderkey % 4 = 0
+)
+SELECT 'snapshots' AS kind, '1' AS key,
+       (SELECT COUNT(*) FROM src WHERE o_orderkey % 8 = 0) AS value
+UNION ALL
+SELECT 'snapshots', '2', (SELECT COUNT(*) FROM src
+                          WHERE o_orderkey % 8 IN (0, 4))
+UNION ALL SELECT 'history', '1', 1
+UNION ALL SELECT 'history', '2', 1
+UNION ALL
+SELECT 'partitions', strftime(o_orderdate, '%Y-%m'), COUNT(*)
+FROM src WHERE o_orderkey % 8 IN (0, 4)
+GROUP BY strftime(o_orderdate, '%Y-%m')
+UNION ALL
+SELECT 'files', 'total_rows', (SELECT COUNT(*) FROM src
+                               WHERE o_orderkey % 8 IN (0, 4))
+UNION ALL SELECT 'refs', 'main', 2
+UNION ALL SELECT 'refs', 'pin', 1
+"""
+
+
 def _q_snapshot_check_constraints(spark, sf_dir):
     """Commit-time CHECK constraints (operators/snapshots.
     add_constraint / ConstraintViolation — the Delta constraint model):

@@ -135,7 +135,10 @@ def _q_wordpiece_train(spark, sf_dir):
         docs, n_merges=_WP_N, batch=_WP_BATCH, pool=_WP_POOL,
         rounds=_WP_ROUNDS,
     )
-    return spark.createDataFrame(
+    from ratatool_spark.functions.localrel import local_df
+
+    return local_df(
+        spark,
         [(i + 1, a, b, _wp_merged(a, b)) for i, (a, b) in enumerate(merges)],
         "step int, lhs string, rhs string, piece string",
     )

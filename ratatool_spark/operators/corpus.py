@@ -1401,7 +1401,10 @@ def kn_lm_model(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.sum("n1pl").alias("tot"), F.count(F.lit(1)).cast("double").alias("r")
     )
     spark = df.sparkSession
-    consts = spark.createDataFrame(
+    from ratatool_spark.functions.localrel import local_df
+
+    consts = local_df(
+        spark,
         [
             ("const", None, None, name, float(val), None)
             for name, val in (

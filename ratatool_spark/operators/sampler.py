@@ -43,6 +43,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ratatool_spark.functions.localrel import local_df
 from ratatool_spark.functions.hashing import dice_for
 
 _ROLL = "__rt_roll"
@@ -293,7 +294,7 @@ def _exact_sample(
         for b in range(n_buckets):
             offsets[b] = acc
             acc += counts.get(b, 0)
-        off_df = df.sparkSession.createDataFrame(
+        off_df = local_df(df.sparkSession,
             [(b, o) for b, o in offsets.items() if counts.get(b, 0)],
             f"{_BKT} int, {_OFF} long",
         )
@@ -511,7 +512,7 @@ def distributed_top_k(
         offsets[b] = acc
         acc += counts[b]
     live = [(b, o) for b, o in offsets.items() if o < k]
-    off_df = spark.createDataFrame(live, f"{_BKT} int, {_OFF} long")
+    off_df = local_df(spark, live, f"{_BKT} int, {_OFF} long")
     w = Window.partitionBy(_BKT).orderBy(
         F.desc_nulls_last(key_col), *[F.col(c) for c in tie_cols]
     )
@@ -623,7 +624,7 @@ def sample_neyman(
         nh_by_key[key] = min(nh, base + (1 if rank0 < extra else 0))
     key_schema = stats.select(*strata).schema
     alloc_schema = key_schema.add("__nh", "long", False)
-    alloc = df.sparkSession.createDataFrame(
+    alloc = local_df(df.sparkSession,
         [(*k, int(v)) for k, v in nh_by_key.items()], alloc_schema
     )
     d = dice_for(hasher, [F.col(c) for c in fields], seed=seed)
