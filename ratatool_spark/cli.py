@@ -985,6 +985,9 @@ def build_parser() -> argparse.ArgumentParser:
                  "drop-partition", "expire", "vacuum",
                  "changes", "mirror", "rollback", "log",
                  "stage", "read-branch", "publish", "discard",
+                 "create-branch", "append-branch", "read-branch-snapshot",
+                 "fast-forward", "delete-branch", "branches",
+                 "metadata",
                  "add-constraint", "drop-constraint",
                  "rename-column", "widen-column", "evolve-spec",
                  "tag", "untag", "tags", "set-bloom", "count"],
@@ -1040,8 +1043,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sn.add_argument(
         "--branch", default=None,
-        help="stage/read-branch/publish/discard mode: branch name "
-        "(write-audit-publish)",
+        help="stage/read-branch/publish/discard mode (write-audit-"
+        "publish) and create-branch/append-branch/read-branch-snapshot/"
+        "fast-forward/delete-branch (named multi-commit branches): "
+        "branch name",
+    )
+    sn.add_argument(
+        "--metadataKind", default=None,
+        choices=["files", "snapshots", "history", "partitions", "refs"],
+        help="metadata mode: which inspection table to emit",
     )
     sn.add_argument(
         "--name", default=None,
@@ -2220,6 +2230,63 @@ def main(argv: list[str] | None = None) -> int:
                 sid = snap.evolve_partition_spec(
                     args.table, _parse_spec(args.spec))
                 print(_json.dumps({"snapshot_id": sid}))
+            elif args.mode == "create-branch":
+                if not args.branch:
+                    raise SystemExit(
+                        "--branch is required with --mode create-branch")
+                base = snap.create_branch(args.table, args.branch,
+                                          snapshot_id=args.snapshotId)
+                print(_json.dumps({"branch": args.branch, "base": base}))
+            elif args.mode == "append-branch":
+                if not args.input or not args.branch:
+                    raise SystemExit(
+                        "--input and --branch are required with "
+                        "--mode append-branch")
+                df = read_table(spark, args.input, fmt=args.format)
+                k = snap.commit_append_branch(df, args.table, args.branch)
+                print(_json.dumps({"branch": args.branch,
+                                   "branch_snapshot_id": k}))
+            elif args.mode == "read-branch-snapshot":
+                if not args.branch or not args.output:
+                    raise SystemExit(
+                        "--branch and --output are required with "
+                        "--mode read-branch-snapshot")
+                out = snap.read_branch_snapshot(
+                    spark, args.table, args.branch,
+                    snapshot_id=args.snapshotId)
+                write_table(out, args.output, fmt=args.format)
+                print(_json.dumps({"rows": out.count(),
+                                   "output": args.output}))
+            elif args.mode == "fast-forward":
+                if not args.branch:
+                    raise SystemExit(
+                        "--branch is required with --mode fast-forward")
+                sid = snap.fast_forward_branch(args.table, args.branch)
+                print(_json.dumps({"branch": args.branch,
+                                   "snapshot_id": sid}))
+            elif args.mode == "delete-branch":
+                if not args.branch:
+                    raise SystemExit(
+                        "--branch is required with --mode delete-branch")
+                existed = snap.delete_branch(args.table, args.branch)
+                print(_json.dumps({"branch": args.branch,
+                                   "existed": existed}))
+            elif args.mode == "branches":
+                print(_json.dumps(snap.table_branches(args.table)))
+            elif args.mode == "metadata":
+                if not args.metadataKind:
+                    raise SystemExit(
+                        "--metadataKind is required with --mode metadata")
+                out = snap.metadata_table(
+                    spark, args.table, args.metadataKind,
+                    snapshot_id=args.snapshotId)
+                if args.output:
+                    write_table(out, args.output, fmt=args.format)
+                    print(_json.dumps({"rows": out.count(),
+                                       "output": args.output}))
+                else:
+                    for r in out.collect():
+                        print(_json.dumps(r.asDict(), default=str))
             elif args.mode == "tag":
                 if not args.tagName:
                     raise SystemExit("--tagName is required with --mode tag")

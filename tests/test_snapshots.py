@@ -2740,3 +2740,48 @@ def test_change_range_with_expired_intermediate_raises_rebase(
         snap.snapshot_change_feed(spark, path, from_id=1)
     # an ungapped retained suffix still works
     assert snap.snapshot_changes(spark, path, 4, 5).count() == 1
+
+
+def test_cli_branch_and_metadata_modes(spark, tmp_path):
+    """CLI surface for named branches + metadata inspection tables."""
+    import io
+    import json as _json
+    from contextlib import redirect_stdout
+
+    from ratatool_spark.cli import main
+
+    root = str(tmp_path)
+    tbl = f"{root}/tbl"
+    spark.createDataFrame(
+        [(i, i * 10) for i in range(10)], "id long, val long"
+    ).write.parquet(f"{root}/in.parquet")
+    spark.createDataFrame(
+        [(i, i * 10) for i in range(10, 15)], "id long, val long"
+    ).write.parquet(f"{root}/in2.parquet")
+
+    def run(*argv):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            main(list(argv))
+        return [_json.loads(ln) for ln in buf.getvalue().splitlines() if ln]
+
+    assert run("snapshot", "--mode", "append", "--table", tbl,
+               "--input", f"{root}/in.parquet")[0]["snapshot_id"] == 1
+    assert run("snapshot", "--mode", "create-branch", "--table", tbl,
+               "--branch", "dev")[0]["base"] == 1
+    assert run("snapshot", "--mode", "append-branch", "--table", tbl,
+               "--branch", "dev", "--input", f"{root}/in2.parquet"
+               )[0]["branch_snapshot_id"] == 1
+    brs = run("snapshot", "--mode", "branches", "--table", tbl)[0]
+    assert brs["dev"]["head"] == 1
+    assert run("snapshot", "--mode", "fast-forward", "--table", tbl,
+               "--branch", "dev")[0]["snapshot_id"] == 2
+    refs = {r["name"]: r for r in run(
+        "snapshot", "--mode", "metadata", "--table", tbl,
+        "--metadataKind", "refs")}
+    assert refs["main"]["snapshot_id"] == 2
+    snaps = run("snapshot", "--mode", "metadata", "--table", tbl,
+                "--metadataKind", "snapshots")
+    assert [s["rows"] for s in snaps] == [10, 15]
+    assert run("snapshot", "--mode", "count", "--table", tbl
+               )[0]["rows"] == 15
