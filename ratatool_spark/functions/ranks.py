@@ -24,7 +24,8 @@ def partition_offsets(
     pid_col: str = "__pid",
     n_col: str = "__n",
     off_col: str = "__off",
-) -> DataFrame:
+    with_total: bool = False,
+):
     """Exclusive prefix sum over a (partition id, value) table.
 
     ``per_pid`` has ONE ROW PER PARTITION of some upstream DataFrame
@@ -34,6 +35,11 @@ def partition_offsets(
     is the sum of ``n_col`` over all strictly-smaller partition ids —
     the offset each partition adds to its local ranks / running sums.
     Callers ``broadcast()`` the result back onto the data.
+
+    ``with_total=True`` additionally returns the grand total (the sum
+    of all values) — callers that need N (e.g. equal-population
+    bucketing) get it from the SAME collect instead of a separate
+    ``count()`` pass over the data.
     """
     rows = sorted(
         (r[pid_col], r[n_col]) for r in per_pid.select(pid_col, n_col).collect()
@@ -50,4 +56,5 @@ def partition_offsets(
     )
     from ratatool_spark.functions.localrel import local_df
 
-    return local_df(per_pid.sparkSession, out, schema)
+    offs = local_df(per_pid.sparkSession, out, schema)
+    return (offs, acc) if with_total else offs

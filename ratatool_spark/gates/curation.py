@@ -1884,7 +1884,7 @@ def _q_pipeline_kn_buckets(spark, sf_dir):
     from ratatool_spark.operators.corpus import kn_lm_score, score_buckets
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
-        F.col("doc_id") % 3 == 0  # fixture trim (train+score+rank in-gate)
+        F.col("doc_id") % 4 == 0  # fixture trim (train+score+rank in-gate)
     )
     scored = kn_lm_score(docs).withColumn(
         "mean_logscore", F.round("mean_logscore", 6)
@@ -1899,11 +1899,11 @@ def _q_pipeline_kn_buckets(spark, sf_dir):
 
 
 _SQL_PIPELINE_KN_BUCKETS = f"""
-WITH {_SQL_KN_SCORED_CTES.format(pred="doc_id % 3 = 0")},
+WITH {_SQL_KN_SCORED_CTES.format(pred="doc_id % 4 = 0")},
 full_scored AS (
   SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
          ROUND(a.mean_logscore, 6) AS mean_logscore
-  FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+  FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
   LEFT JOIN kn_scored a USING (doc_id)
 ), ranked AS (
   SELECT doc_id, n_tokens, mean_logscore,

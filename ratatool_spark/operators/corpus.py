@@ -432,8 +432,11 @@ def assign_splits(
 
 
 def _global_rank(
-    df: DataFrame, sort_cols: Sequence[Column], rank_col: str
-) -> DataFrame:
+    df: DataFrame,
+    sort_cols: Sequence[Column],
+    rank_col: str,
+    with_total: bool = False,
+):
     """Dense global 1-based rank over ``sort_cols`` WITHOUT a
     single-partition window: range-partition on the sort key, rank
     within each partition (parallel, keyed by partition id), add the
@@ -461,15 +464,18 @@ def _global_rank(
     # Exclusive prefix sum of the per-partition counts, computed on the
     # driver (functions/ranks.partition_offsets): the counts table is one
     # row per PARTITION — bounded at any data scale — and a window over
-    # it would route through WindowExec's single-partition path.
-    offs = partition_offsets(
-        tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    # it would route through WindowExec's single-partition path. The
+    # same collect yields the total row count for callers that need N.
+    offs, total = partition_offsets(
+        tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")),
+        with_total=True,
     )
-    return (
+    ranked = (
         local.join(F.broadcast(offs), "__pid")
         .withColumn(rank_col, (F.col("__local") + F.col("__off")).cast("long"))
         .drop("__pid", "__local", "__off")
     )
+    return (ranked, total) if with_total else ranked
 
 
 def perplexity_buckets(
@@ -514,15 +520,15 @@ def score_buckets(
     engine-portable; the rank itself is DISTRIBUTED (``_global_rank``)."""
     if n_buckets <= 0:
         raise ValueError("n_buckets must be positive")
-    from ratatool_spark.cache import persist_tracked
-
-    scored = persist_tracked(scored)
-    n = scored.count() or 1  # empty input: no rows to bucket, avoid DIV 0
-    ranked = _global_rank(
+    # N rides the rank's own offsets collect (_global_rank with_total) —
+    # no separate count() pass over the scored lineage
+    ranked, n = _global_rank(
         scored,
         [F.col(score_col).desc_nulls_last(), F.col(id_col)],
         "rank",
+        with_total=True,
     )
+    n = n or 1  # empty input: no rows to bucket, avoid DIV 0
     return ranked.withColumn(
         "bucket",
         F.expr(f"CAST(((rank - 1) * {n_buckets}) DIV {n} AS INT)"),
@@ -1457,7 +1463,12 @@ def kn_lm_score(
     as literals (collected once from the const rows)."""
     if model_df is None:
         model_df = kn_lm_model(df, text_col)
-    model_df = model_df.localCheckpoint(eager=False)
+    # No checkpoint of the union: each kind-filter below folds the other
+    # branches to empty relations (literal kind columns), so every
+    # branch computes only its own aggregate — from the persisted count
+    # tables when the model was just built, or from the caller's
+    # persisted/parquet model otherwise. The const collect is driver-
+    # local after the same pruning.
     c = {
         r["w3"]: r["v1"]
         for r in model_df.where(F.col("kind") == "const").collect()
