@@ -1787,7 +1787,7 @@ ds AS (
   SELECT doc_id,
          list_filter(string_split(trim(text), ' '),
                      x -> length(x) > 0) AS ts
-  FROM documents WHERE {pred}
+  FROM documents WHERE {train_pred}
 ), toks AS (
   SELECT doc_id,
          CASE WHEN g.i >= 3 THEN ts[g.i - 2] END AS w1,
@@ -1829,6 +1829,17 @@ k AS (
             / (SUM(CASE WHEN n1pr = 1 THEN 1 ELSE 0 END)
                + 2 * SUM(CASE WHEN n1pr = 2 THEN 1 ELSE 0 END))
        ELSE 0 END FROM unic) AS d1
+), sds AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(text), ' '),
+                     x -> length(x) > 0) AS ts
+  FROM documents WHERE {score_pred}
+), stoks AS (
+  SELECT doc_id,
+         CASE WHEN g.i >= 3 THEN ts[g.i - 2] END AS w1,
+         CASE WHEN g.i >= 2 THEN ts[g.i - 1] END AS w2,
+         ts[g.i] AS w3
+  FROM sds, UNNEST(generate_series(1, len(ts))) AS g(i)
 ), puni AS (
   SELECT t.doc_id, t.w1, t.w2, t.w3,
          CAST(g3.cnt AS DOUBLE) AS c3v,
@@ -1837,7 +1848,7 @@ k AS (
          k.d2, k.d3,
          GREATEST((GREATEST(COALESCE(u.n1pr, 0) - k.d1, 0)
                    + k.d1 * k.w1c / (k.v + 1)) / k.nbi, 1e-9) AS p_uni
-  FROM toks t
+  FROM stoks t
   LEFT JOIN c3 g3 ON t.w1 = g3.w1 AND t.w2 = g3.w2 AND t.w3 = g3.w3
   LEFT JOIN ctx3 x3 ON t.w1 = x3.w1 AND t.w2 = x3.w2
   LEFT JOIN bityp bt ON t.w2 = bt.w2 AND t.w3 = bt.w3
@@ -1863,10 +1874,46 @@ k AS (
 )"""
 
 _SQL_KN_LM_SCORE = f"""
-WITH {_SQL_KN_SCORED_CTES.format(pred="doc_id % 2 = 0")}
+WITH {_SQL_KN_SCORED_CTES.format(
+        train_pred="doc_id % 2 = 0", score_pred="doc_id % 2 = 0"
+    )}
 SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
        ROUND(a.mean_logscore, 6) AS mean_logscore
 FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 0) d
+LEFT JOIN kn_scored a USING (doc_id)
+"""
+
+
+def _q_kn_lm_frozen_oov(spark, sf_dir):
+    """Frozen Kneser–Ney scoring with OOV (operators/corpus.kn_lm_model
+    + kn_lm_score): the KN model is trained ONCE on the doc_id%4==0
+    quarter and the %4==2 quarter is scored under it — the production
+    CCNet shape (reference model persisted, every new batch scored
+    against frozen counts), exercising unseen trigram/bigram contexts,
+    the continuation-unigram uniform mass, and the oov floor. The
+    oracle retrains and rescores the same split relationally."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.corpus import kn_lm_model, kn_lm_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = kn_lm_model(docs.where(F.col("doc_id") % 4 == 0))
+    out = kn_lm_score(
+        docs.where(F.col("doc_id") % 4 == 2), model, oov_floor=1e-9
+    )
+    return out.select(
+        "doc_id", "n_tokens",
+        F.round("mean_logscore", 6).alias("mean_logscore"),
+    )
+
+
+_SQL_KN_LM_FROZEN_OOV = f"""
+WITH {_SQL_KN_SCORED_CTES.format(
+    train_pred="doc_id % 4 = 0", score_pred="doc_id % 4 = 2"
+)}
+SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+       ROUND(a.mean_logscore, 6) AS mean_logscore
+FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 2) d
 LEFT JOIN kn_scored a USING (doc_id)
 """
 
@@ -1899,7 +1946,9 @@ def _q_pipeline_kn_buckets(spark, sf_dir):
 
 
 _SQL_PIPELINE_KN_BUCKETS = f"""
-WITH {_SQL_KN_SCORED_CTES.format(pred="doc_id % 4 = 0")},
+WITH {_SQL_KN_SCORED_CTES.format(
+        train_pred="doc_id % 4 = 0", score_pred="doc_id % 4 = 0"
+    )},
 full_scored AS (
   SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
          ROUND(a.mean_logscore, 6) AS mean_logscore
