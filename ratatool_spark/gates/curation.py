@@ -1918,6 +1918,108 @@ LEFT JOIN kn_scored a USING (doc_id)
 """
 
 
+def _q_doremi_weights(spark, sf_dir):
+    """DoReMi domain reweighting end-to-end (operators/corpus.
+    doremi_weights + mixture_sample, Xie et al. 2023): per-doc loss =
+    −mean unigram logprob (the perplexity stand-in for DoReMi's
+    proxy-vs-reference excess), per-domain excess over the corpus mean
+    clipped at 0, five exponentiated-gradient rounds with uniform
+    smoothing (c=0.1), then the learned weights FEED the deterministic
+    mixture sampler — the full optimize-then-resample chain. Output per
+    domain: volume, excess, learned weight, and the kept-count under
+    the learned mixture; the oracle replays the scoring, the unrolled
+    EG rounds, the keep-rate algebra, and the dice selection."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.corpus import (
+        doremi_weights,
+        mixture_sample,
+        unigram_logprob_score,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = unigram_logprob_score(docs, smoothing=0.5).join(
+        docs.select("doc_id", "source"), "doc_id"
+    ).select(
+        "doc_id", "source", (-F.col("mean_logprob")).alias("loss")
+    )
+    wdf = doremi_weights(
+        scored, "loss", eta=1.0, smoothing=0.1, rounds=5
+    )
+    weights = {
+        r["source"]: r["weight"] for r in wdf.collect()
+    }
+    kept = mixture_sample(
+        docs, weights, source_col="source", dice_cols=("doc_id",), seed=11
+    )
+    kc = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        wdf.join(kc, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.round("excess", 6).alias("excess"),
+            F.round("weight", 6).alias("weight"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+def _sql_doremi_weights() -> str:
+    eta, c, rounds = 1.0, 0.1, 5
+    ctes = [f"""scored AS MATERIALIZED ({_SQL_UNIGRAM_LOGPROB}),
+loss AS MATERIALIZED (
+  SELECT d.source, -s.mean_logprob AS loss
+  FROM scored s JOIN documents d USING (doc_id)
+), doms AS MATERIALIZED (
+  SELECT source, COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(loss, 6) AS DECIMAL(28,6))) AS DOUBLE)
+           / COUNT(*) AS mean_loss
+  FROM loss GROUP BY source
+), cm AS (
+  SELECT CAST(SUM(CAST(ROUND(loss, 6) AS DECIMAL(28,6))) AS DOUBLE)
+           / COUNT(*) AS m
+  FROM loss
+), w0 AS MATERIALIZED (
+  SELECT source, n, mean_loss,
+         GREATEST(mean_loss - (SELECT m FROM cm), 0.0) AS excess,
+         1.0 / (SELECT COUNT(*) FROM doms) AS w
+  FROM doms
+)"""]
+    prev = "w0"
+    for t in range(1, rounds + 1):
+        ctes.append(f"""u{t} AS MATERIALIZED (
+  SELECT source, n, mean_loss, excess, w * EXP({eta} * excess) AS wu
+  FROM {prev}
+), w{t} AS MATERIALIZED (
+  SELECT source, n, mean_loss, excess,
+         (1.0 - {c}) * wu / (SELECT SUM(wu) FROM u{t})
+           + {c} / (SELECT COUNT(*) FROM u{t}) AS w
+  FROM u{t}
+)""")
+        prev = f"w{t}"
+    dice = _dice_sql(["doc_id"], seed=11)
+    return f"""
+WITH {", ".join(ctes)},
+k AS (SELECT MIN(n / w) AS kv FROM {prev} WHERE w > 0),
+rates AS (
+  SELECT source, (SELECT kv FROM k) * w / n AS rate FROM {prev}
+  WHERE w > 0
+),
+kept AS (
+  SELECT d.source, COUNT(*) AS n_kept
+  FROM documents d JOIN rates r ON d.source = r.source
+  WHERE {dice} < r.rate
+  GROUP BY d.source
+)
+SELECT f.source, f.n AS n_docs,
+       ROUND(f.excess, 6) AS excess,
+       ROUND(f.w, 6) AS weight,
+       COALESCE(kept.n_kept, 0) AS n_kept
+FROM {prev} f LEFT JOIN kept USING (source)
+"""
+
+
 def _q_pipeline_kn_buckets(spark, sf_dir):
     """CCNet quality tiers driven by the Kneser–Ney LM (the production
     CCNet scorer), composed from this round's pieces: kn_lm_score every

@@ -178,6 +178,87 @@ def temperature_mixture(
     )
 
 
+def doremi_weights(
+    df: DataFrame,
+    loss_col: str,
+    source_col: str = "source",
+    eta: float = 1.0,
+    smoothing: float = 0.1,
+    rounds: int = 5,
+) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    domains whose documents score WORSE than the corpus overall get
+    upweighted by exponentiated-gradient ascent on their excess loss —
+    the Group-DRO update at the heart of the method, with the proxy/
+    reference models replaced by any per-document loss column the
+    pipeline already has (perplexity under a frozen LM is the natural
+    choice; DoReMi's own reference loss plays the same role).
+
+    Per round t: α_t ∝ α_{t−1} · exp(η · excess_s), then mixed with
+    uniform: α ← (1−c)·α/Σα + c/|S| — DoReMi's smoothing term, which
+    also guarantees every domain keeps non-zero weight. Excess_s =
+    max(mean_s − mean_corpus, 0): clipped at zero exactly as DoReMi
+    clips negative excess loss.
+
+    Output: one row per domain — (source, n_docs, mean_loss, excess,
+    weight) with weights summing to 1. Shape: ONE corpus aggregate
+    (map-side combined), then the EG loop runs on the driver over the
+    #domains-row table (domain-scale by definition — the same judgement
+    call as the stratified allocation in ``sample_neyman``); the result
+    is broadcast-sized and feeds :func:`mixture_sample` as
+    ``target_shares``."""
+    import math
+
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    if not (0.0 <= smoothing < 1.0):
+        raise ValueError("smoothing must be in [0, 1)")
+    # per-domain sums in DECIMAL(28,6): exact integers in both engines
+    # (losses quantize at 6dp), so the means — one double division per
+    # domain — are BIT-IDENTICAL cross-engine regardless of aggregation
+    # order; a double AVG would drift by an ulp and flip 6dp rounding
+    stats = (
+        df.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(
+                F.round(F.col(loss_col).cast("double"), 6)
+                .cast("decimal(28,6)")
+            ).alias("__s"),
+        )
+        .collect()
+    )
+    if not stats:
+        raise ValueError("empty input — no domains to weight")
+    total_n = sum(r["__n"] for r in stats)
+    corpus_mean = float(sum(r["__s"] for r in stats)) / float(total_n)
+    doms = sorted(
+        (r[source_col], int(r["__n"]), float(r["__s"]) / float(r["__n"]))
+        for r in stats
+    )
+    k = len(doms)
+    exc = [max(m - corpus_mean, 0.0) for _, _, m in doms]
+    w = [1.0 / k] * k
+    for _ in range(rounds):
+        w = [wi * math.exp(eta * e) for wi, e in zip(w, exc)]
+        tot = sum(w)
+        w = [
+            (1.0 - smoothing) * wi / tot + smoothing / k for wi in w
+        ]
+    from ratatool_spark.functions.localrel import local_df
+
+    return local_df(
+        df.sparkSession,
+        [
+            (s, n, m, e, wi)
+            for (s, n, m), e, wi in zip(doms, exc, w)
+        ],
+        f"{source_col} string, n_docs bigint, mean_loss double, "
+        "excess double, weight double",
+    )
+
+
 def _bytes_to_unicode() -> dict[int, str]:
     """The GPT-2 byte↔unicode alphabet (Radford et al. 2019, public
     ``encoder.py``): every byte 0..255 gets a VISIBLE unicode character —

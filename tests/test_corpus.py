@@ -1464,3 +1464,34 @@ def test_kn_lm_discounts_from_count_of_counts(spark):
     assert c["D3"] == 2.0 / 4.0
     assert 0.0 <= c["D1"] <= 1.0 and 0.0 <= c["D2"] <= 1.0
     assert c["V"] == 3.0
+
+
+def test_doremi_weights_upweight_hard_domains(spark):
+    """DoReMi EG: the domain with higher excess loss ends with the
+    larger weight; weights sum to 1; smoothing floors every domain."""
+    from ratatool_spark.operators.corpus import doremi_weights
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.2), ("b", 5.0), ("b", 5.5), ("c", 1.1)],
+        "source string, loss double",
+    )
+    rows = {r["source"]: r for r in
+            doremi_weights(df, "loss", rounds=5).collect()}
+    assert abs(sum(r["weight"] for r in rows.values()) - 1.0) < 1e-12
+    assert rows["b"]["weight"] > rows["a"]["weight"]
+    assert rows["b"]["excess"] > 0 and rows["a"]["excess"] == 0.0
+    # smoothing floor: c/k with c=0.1, k=3
+    assert min(r["weight"] for r in rows.values()) >= 0.1 / 3 - 1e-12
+
+
+def test_doremi_weights_uniform_when_no_excess(spark):
+    """All domains at/below the corpus mean -> exp(0) everywhere ->
+    uniform weights."""
+    from ratatool_spark.operators.corpus import doremi_weights
+
+    df = spark.createDataFrame(
+        [("a", 2.0), ("b", 2.0), ("c", 2.0)], "source string, loss double"
+    )
+    rows = doremi_weights(df, "loss", rounds=3).collect()
+    for r in rows:
+        assert abs(r["weight"] - 1.0 / 3) < 1e-12
