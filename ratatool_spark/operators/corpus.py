@@ -1400,6 +1400,46 @@ def kn_lm_model(df: DataFrame, text_col: str = "text") -> DataFrame:
     and everything downstream aggregates vocabulary-scale tables with
     map-side combine. No UDFs, no driver data beyond count-of-count
     scalars."""
+    tri, ctx3, bityp, ctx2, unic, c = _kn_tables(df, text_col)
+
+    def _tag(t, kind, w1=None, w2=None, w3=None, v1=None, v2=None):
+        n = F.lit(None).cast("string")
+        return t.select(
+            F.lit(kind).alias("kind"),
+            (F.col(w1) if w1 else n).alias("w1"),
+            (F.col(w2) if w2 else n).alias("w2"),
+            (F.col(w3) if w3 else n).alias("w3"),
+            (F.col(v1).cast("double") if v1 else F.lit(None).cast("double"))
+            .alias("v1"),
+            (F.col(v2).cast("double") if v2 else F.lit(None).cast("double"))
+            .alias("v2"),
+        )
+
+    from ratatool_spark.functions.localrel import local_df
+
+    consts = local_df(
+        df.sparkSession,
+        [
+            ("const", None, None, name, float(c[name]), None)
+            for name in ("V", "NBI", "W1", "D1", "D2", "D3")
+        ],
+        "kind string, w1 string, w2 string, w3 string, v1 double, v2 double",
+    )
+    return (
+        _tag(tri, "tri", "w1", "w2", "w3", "cnt")
+        .unionByName(_tag(ctx3, "ctx3", "w1", "w2", None, "tot", "fol"))
+        .unionByName(_tag(bityp, "bityp", None, "w2", "w3", "n1pl"))
+        .unionByName(_tag(ctx2, "ctx2", None, "w2", None, "tot", "r"))
+        .unionByName(_tag(unic, "unic", None, None, "w3", "n1pr"))
+        .unionByName(consts)
+    )
+
+
+def _kn_tables(df: DataFrame, text_col: str):
+    """The KN model's five count tables + the scalar dict — the shared
+    builder behind :func:`kn_lm_model` (tagged-union artifact) and the
+    self-scoring fast path of :func:`kn_lm_score` (joins the tables
+    directly, keeping the physical plan free of union-branch noise)."""
     from ratatool_spark.cache import persist_tracked
 
     pos = _ngram_position_frame(df, text_col, None)
@@ -1467,19 +1507,6 @@ def kn_lm_model(df: DataFrame, text_col: str = "text") -> DataFrame:
     nbi = int(scal["bi"]["n"])
     w1c = int(scal["unic"]["n"])
 
-    def _tag(t, kind, w1=None, w2=None, w3=None, v1=None, v2=None):
-        n = F.lit(None).cast("string")
-        return t.select(
-            F.lit(kind).alias("kind"),
-            (F.col(w1) if w1 else n).alias("w1"),
-            (F.col(w2) if w2 else n).alias("w2"),
-            (F.col(w3) if w3 else n).alias("w3"),
-            (F.col(v1).cast("double") if v1 else F.lit(None).cast("double"))
-            .alias("v1"),
-            (F.col(v2).cast("double") if v2 else F.lit(None).cast("double"))
-            .alias("v2"),
-        )
-
     ctx3 = tri.groupBy("w1", "w2").agg(
         F.sum("cnt").cast("double").alias("tot"),
         F.count(F.lit(1)).cast("double").alias("fol"),
@@ -1487,28 +1514,11 @@ def kn_lm_model(df: DataFrame, text_col: str = "text") -> DataFrame:
     ctx2 = bityp.groupBy("w2").agg(
         F.sum("n1pl").alias("tot"), F.count(F.lit(1)).cast("double").alias("r")
     )
-    spark = df.sparkSession
-    from ratatool_spark.functions.localrel import local_df
-
-    consts = local_df(
-        spark,
-        [
-            ("const", None, None, name, float(val), None)
-            for name, val in (
-                ("V", v), ("NBI", nbi), ("W1", w1c),
-                ("D1", d1), ("D2", d2), ("D3", d3),
-            )
-        ],
-        "kind string, w1 string, w2 string, w3 string, v1 double, v2 double",
-    )
-    return (
-        _tag(tri, "tri", "w1", "w2", "w3", "cnt")
-        .unionByName(_tag(ctx3, "ctx3", "w1", "w2", None, "tot", "fol"))
-        .unionByName(_tag(bityp, "bityp", None, "w2", "w3", "n1pl"))
-        .unionByName(_tag(ctx2, "ctx2", None, "w2", None, "tot", "r"))
-        .unionByName(_tag(unic, "unic", None, None, "w3", "n1pr"))
-        .unionByName(consts)
-    )
+    consts = {
+        "V": float(v), "NBI": float(nbi), "W1": float(w1c),
+        "D1": d1, "D2": d2, "D3": d3,
+    }
+    return tri, ctx3, bityp, ctx2, unic, consts
 
 
 def kn_lm_score(
@@ -1543,33 +1553,49 @@ def kn_lm_score(
     doc-keyed mean, a left join back onto the input ids. Scalars ride
     as literals (collected once from the const rows)."""
     if model_df is None:
-        model_df = kn_lm_model(df, text_col)
-    # No checkpoint of the union: each kind-filter below folds the other
-    # branches to empty relations (literal kind columns), so every
-    # branch computes only its own aggregate — from the persisted count
-    # tables when the model was just built, or from the caller's
-    # persisted/parquet model otherwise. The const collect is driver-
-    # local after the same pruning.
-    c = {
-        r["w3"]: r["v1"]
-        for r in model_df.where(F.col("kind") == "const").collect()
-    }
+        # self-scoring: join the internal count tables DIRECTLY — no
+        # tagged union in the plan, every aggregate appears exactly once
+        tri0, ctx30, bityp0, ctx20, unic0, c = _kn_tables(df, text_col)
+        tri = tri0.select(
+            F.col("w1").alias("t_w1"), F.col("w2").alias("t_w2"),
+            F.col("w3").alias("t_w3"),
+            F.col("cnt").cast("double").alias("c3"))
+        ctx3 = ctx30.select(
+            F.col("w1").alias("x3_w1"), F.col("w2").alias("x3_w2"),
+            F.col("tot").alias("x3_tot"), F.col("fol").alias("x3_fol"))
+        bityp = bityp0.select(
+            F.col("w2").alias("b_w2"), F.col("w3").alias("b_w3"), "n1pl")
+        ctx2 = ctx20.select(
+            F.col("w2").alias("x2_w2"),
+            F.col("tot").alias("x2_tot"), F.col("r").alias("x2_r"))
+        unic = unic0.select(F.col("w3").alias("u_w3"), "n1pr")
+    else:
+        # frozen model: checkpoint the stored union once — each
+        # kind-filter below then scans the materialized relation (and
+        # the plan reflects exactly that: one build, five scans; a bare
+        # persist would re-print the union's whole lineage under every
+        # consumer)
+        model_df = model_df.localCheckpoint(eager=False)
+        c = {
+            r["w3"]: r["v1"]
+            for r in model_df.where(F.col("kind") == "const").collect()
+        }
+        tri = model_df.where(F.col("kind") == "tri").select(
+            F.col("w1").alias("t_w1"), F.col("w2").alias("t_w2"),
+            F.col("w3").alias("t_w3"), F.col("v1").alias("c3"))
+        ctx3 = model_df.where(F.col("kind") == "ctx3").select(
+            F.col("w1").alias("x3_w1"), F.col("w2").alias("x3_w2"),
+            F.col("v1").alias("x3_tot"), F.col("v2").alias("x3_fol"))
+        bityp = model_df.where(F.col("kind") == "bityp").select(
+            F.col("w2").alias("b_w2"), F.col("w3").alias("b_w3"),
+            F.col("v1").alias("n1pl"))
+        ctx2 = model_df.where(F.col("kind") == "ctx2").select(
+            F.col("w2").alias("x2_w2"),
+            F.col("v1").alias("x2_tot"), F.col("v2").alias("x2_r"))
+        unic = model_df.where(F.col("kind") == "unic").select(
+            F.col("w3").alias("u_w3"), F.col("v1").alias("n1pr"))
     v, nbi, w1c = c["V"], c["NBI"], c["W1"]
     d1, d2, d3 = c["D1"], c["D2"], c["D3"]
-    tri = model_df.where(F.col("kind") == "tri").select(
-        F.col("w1").alias("t_w1"), F.col("w2").alias("t_w2"),
-        F.col("w3").alias("t_w3"), F.col("v1").alias("c3"))
-    ctx3 = model_df.where(F.col("kind") == "ctx3").select(
-        F.col("w1").alias("x3_w1"), F.col("w2").alias("x3_w2"),
-        F.col("v1").alias("x3_tot"), F.col("v2").alias("x3_fol"))
-    bityp = model_df.where(F.col("kind") == "bityp").select(
-        F.col("w2").alias("b_w2"), F.col("w3").alias("b_w3"),
-        F.col("v1").alias("n1pl"))
-    ctx2 = model_df.where(F.col("kind") == "ctx2").select(
-        F.col("w2").alias("x2_w2"),
-        F.col("v1").alias("x2_tot"), F.col("v2").alias("x2_r"))
-    unic = model_df.where(F.col("kind") == "unic").select(
-        F.col("w3").alias("u_w3"), F.col("v1").alias("n1pr"))
     pos = _ngram_position_frame(df, text_col, id_col)
     j = (
         pos

@@ -17,6 +17,28 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 
+def strip_initial_plans(plan: str) -> str:
+    """Drop every AQE "== Initial Plan ==" section — the NOT-executed
+    pre-adaptive plan that toString prints alongside the final plan for
+    each (sub)query. Counting it would double every exchange/scan of a
+    materialized cached build."""
+    lines = plan.split("\n")
+    out, i = [], 0
+    while i < len(lines):
+        line = lines[i]
+        if "== Initial Plan ==" in line:
+            ind = len(line) - len(line.lstrip())
+            i += 1
+            while i < len(lines) and lines[i].strip() and (
+                len(lines[i]) - len(lines[i].lstrip()) > ind
+            ):
+                i += 1
+            continue
+        out.append(line)
+        i += 1
+    return "\n".join(out)
+
+
 def strip_cached_builds(plan: str) -> str:
     """Keep each InMemoryRelation's BUILD subtree once, drop repeats.
 
@@ -50,13 +72,28 @@ def strip_cached_builds(plan: str) -> str:
         while i < len(lines) and lines[i].strip() and depth(lines[i]) > d:
             sub.append(lines[i])
             i += 1
-        # canonicalize away ONLY the tree-drawing prefix (": +-"
-        # continuation markers differ between consumers even when the
-        # build plan is identical). depth() would also strip codegen
-        # stage ids like "*(3)" — keeping those in the key prevents two
-        # DISTINCT relations whose plans differ only by stage id from
-        # conflating
-        key = "\n".join(re.sub(r"^[ :+\-]*", "", s) for s in sub)
+        # canonicalize the build text the way Spark's own CacheManager
+        # canonicalizes logical plans: tree-drawing prefixes, codegen
+        # stage ids, AQE query-stage ids, AND expression ids (#123) all
+        # vary per consumer print of the SAME cache — two builds that
+        # are identical modulo those ARE one cache entry (CacheManager
+        # dedups by canonicalized plan), so counting them twice
+        # overstates work that executes once. Distinct relations stay
+        # distinct through their literal content (file paths, filters,
+        # aggregate expressions).
+        key = "\n".join(
+            re.sub(
+                r"#\d+",
+                "#",
+                re.sub(
+                    r"(ResultQueryStage|ShuffleQueryStage|"
+                    r"BroadcastQueryStage|TableCacheQueryStage) \d+",
+                    r"\1",
+                    re.sub(r"\*\(\d+\)", "*", re.sub(r"^[ :+\-]*", "", s)),
+                ),
+            )
+            for s in sub
+        )
         if key not in seen:
             seen.add(key)
             out.extend(sub)
@@ -64,7 +101,7 @@ def strip_cached_builds(plan: str) -> str:
 
 
 def audit(plan: str) -> dict:
-    plan = strip_cached_builds(plan)
+    plan = strip_cached_builds(strip_initial_plans(plan))
     scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     return {
