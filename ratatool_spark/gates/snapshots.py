@@ -1464,7 +1464,8 @@ def _q_pipeline_cdc_agg_view(spark, sf_dir):
     from the source table. Fixture trimmed to the o_orderkey%4==0
     quarter (r10 bench-cost item) — the gate builds, CoW-merges,
     range-deletes, AND maintains the view in-gate, so its cost is
-    fixture IO, not the operator; the oracle applies the same slice."""
+    fixture IO, not the operator; the oracle applies the same slice
+    (o_orderkey%8==0 since r10's second trim)."""
     from pyspark.sql import functions as F
 
     from ratatool_spark.operators.snapshots import (
@@ -1475,7 +1476,7 @@ def _q_pipeline_cdc_agg_view(spark, sf_dir):
         snapshot_change_feed,
     )
 
-    trim = F.col("o_orderkey") % 4 == 0
+    trim = F.col("o_orderkey") % 8 == 0
     path = _build_orders_table(spark, sf_dir, n_commits=1, where=trim)
     orders = (
         spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -1537,7 +1538,7 @@ def _q_pipeline_cdc_agg_view(spark, sf_dir):
 
 _SQL_PIPELINE_CDC_AGG_VIEW = """
 WITH src AS (
-  SELECT * FROM orders WHERE o_orderkey % 4 = 0
+  SELECT * FROM orders WHERE o_orderkey % 8 = 0
 ),
 box AS (
   SELECT MIN(o_orderkey) AS lo,
@@ -1788,7 +1789,7 @@ def _q_snapshot_bloom_skip(spark, sf_dir):
 
     orders = (
         spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .where(F.col("o_orderkey") % 4 == 0)  # fixture trim (r10): the
+        .where(F.col("o_orderkey") % 8 == 0)  # fixture trim (r10): the
         # gate's cost is its commit+merge fixture, not the bloom probes
         .select(
             F.col("o_orderkey").alias("ok"),
@@ -1848,7 +1849,7 @@ def _q_snapshot_bloom_skip(spark, sf_dir):
 
 
 _SQL_SNAPSHOT_BLOOM_SKIP = """
-WITH src AS (SELECT * FROM orders WHERE o_orderkey % 4 = 0),
+WITH src AS (SELECT * FROM orders WHERE o_orderkey % 8 = 0),
 mx AS (SELECT MAX(o_orderkey) AS m FROM src),
 keys AS (
   SELECT DISTINCT k FROM (
