@@ -1973,12 +1973,12 @@ loss AS MATERIALIZED (
   FROM scored s JOIN documents d USING (doc_id)
 ), doms AS MATERIALIZED (
   SELECT source, COUNT(*) AS n,
-         CAST(SUM(CAST(ROUND(loss, 6) AS DECIMAL(28,6))) AS DOUBLE)
-           / COUNT(*) AS mean_loss
+         CAST(COALESCE(SUM(CAST(ROUND(loss, 6) AS DECIMAL(28,6))), 0)
+              AS DOUBLE) / COUNT(*) AS mean_loss
   FROM loss GROUP BY source
 ), cm AS (
-  SELECT CAST(SUM(CAST(ROUND(loss, 6) AS DECIMAL(28,6))) AS DOUBLE)
-           / COUNT(*) AS m
+  SELECT CAST(COALESCE(SUM(CAST(ROUND(loss, 6) AS DECIMAL(28,6))), 0)
+              AS DOUBLE) / COUNT(*) AS m
   FROM loss
 ), w0 AS MATERIALIZED (
   SELECT source, n, mean_loss,

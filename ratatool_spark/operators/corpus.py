@@ -232,9 +232,12 @@ def doremi_weights(
     if not stats:
         raise ValueError("empty input — no domains to weight")
     total_n = sum(r["__n"] for r in stats)
-    corpus_mean = float(sum(r["__s"] for r in stats)) / float(total_n)
+    # an all-NULL-loss domain sums to NULL — treat as 0 (the oracle
+    # COALESCEs identically)
+    corpus_mean = float(sum(r["__s"] or 0 for r in stats)) / float(total_n)
     doms = sorted(
-        (r[source_col], int(r["__n"]), float(r["__s"]) / float(r["__n"]))
+        (r[source_col], int(r["__n"]),
+         float(r["__s"] or 0) / float(r["__n"]))
         for r in stats
     )
     k = len(doms)

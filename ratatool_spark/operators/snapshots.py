@@ -3415,8 +3415,20 @@ def fast_forward_branch(table_path: str, name: str) -> int:
     for key in ("columns", "schema_v", "schema_log"):
         if key in m:
             extra[key] = m[key]
+    # Restamp the BRANCH-ADDED files (seq > fork point) to the FF
+    # commit's own sequence number: on main they became visible at
+    # base+1, and their branch-local seqs (base+2, base+3, …) could
+    # otherwise EXCEED later main commits' seqs — a later MoR delete
+    # (seq base+2) would wrongly skip shadowing them. Files inherited
+    # from the fork keep their seqs so deletes carried from the fork
+    # still apply to exactly them.
+    ff_seq = ref["base"] + 1
+    files = [
+        e if e.get("seq", 0) <= ref["base"] else {**e, "seq": ff_seq}
+        for e in m["files"]
+    ]
     new_id = _publish(
-        table_path, ref["base"], m["files"], m["schema"], "append",
+        table_path, ref["base"], files, m["schema"], "append",
         extra=extra, deletes=m.get("deletes", []),
     )
     # reset the branch at the new main head: old branch manifests are

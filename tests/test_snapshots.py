@@ -2785,3 +2785,33 @@ def test_cli_branch_and_metadata_modes(spark, tmp_path):
     assert [s["rows"] for s in snaps] == [10, 15]
     assert run("snapshot", "--mode", "count", "--table", tbl
                )[0]["rows"] == 15
+
+
+def test_branch_ff_files_shadowed_by_later_mor_delete(spark, tmp_path):
+    """Sequence-number soundness across fast-forward: branch-added files
+    are restamped to the FF commit's seq, so a LATER merge-on-read
+    delete on main shadows their rows (branch-local seqs base+2.. would
+    otherwise exceed the delete's seq and wrongly escape it), while
+    deletes carried from the fork still apply only to fork-era files."""
+    import ratatool_spark.operators.snapshots as snap
+
+    path = str(tmp_path / "brseq")
+    snap.commit_append(
+        spark.createDataFrame([(1, 10)], "id long, val long"), path
+    )
+    snap.create_branch(path, "dev")
+    snap.commit_append_branch(
+        spark.createDataFrame([(2, 20)], "id long, val long"), path, "dev"
+    )
+    snap.commit_append_branch(
+        spark.createDataFrame([(3, 30)], "id long, val long"), path, "dev"
+    )
+    snap.fast_forward_branch(path, "dev")  # main snapshot 2
+    m = snap.read_manifest(path)
+    assert {e["seq"] for e in m["files"]} == {1, 2}, (
+        "branch files must carry the FF commit's seq"
+    )
+    # MoR delete of a branch-added row at main snapshot 3 (seq 3)
+    snap.delete_snapshot_where_mor(spark, path, {"id": (3, 3)})
+    got = sorted(r["id"] for r in snap.read_snapshot(spark, path).collect())
+    assert got == [1, 2], "the branch-added row must be shadowed"
