@@ -598,11 +598,13 @@ def sample_neyman(
     import math
 
     srows = stats.select(*strata, "__n", "__w").collect()
-    tw = sum(r["__w"] for r in srows)
+    # an all-NULL value column yields NULL stddev -> NULL weight; treat
+    # as 0 so the allocation falls back to proportional (tw == 0)
+    tw = sum(r["__w"] or 0 for r in srows)
     tn = sum(r["__n"] for r in srows)
     entries = []
     for r in srows:
-        nh, wh = r["__n"], r["__w"]
+        nh, wh = r["__n"], r["__w"] or 0
         w_eff = nh if tw == 0 else wh
         t_eff = tn if tw == 0 else tw
         raw = float(total_n) * w_eff / t_eff
