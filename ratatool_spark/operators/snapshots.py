@@ -555,7 +555,17 @@ def _build_blooms(
     """Attach ``e["bloom"] = {col: {"m": bits, "b64": bitmap}}`` to each
     entry, computed in one distributed pass per column over the
     just-written files (positions via the scan's ``_metadata`` file
-    identity; only the bloom column's pages are read)."""
+    identity; only the bloom column's pages are read).
+
+    The bitmaps are PACKED IN EXECUTORS: a ``mapInPandas`` stage folds
+    each scan partition's positions into per-file partial bitmaps
+    (numpy, Arrow-batched, bounded by the partition's own row count),
+    then a grouped OR-fold merges the few partials per file, so exactly
+    one (file, bitmap) row per file reaches the driver — O(#files ·
+    m/8) transfer, never O(k · rows). Positions stay JVM-computed
+    (``_bloom_position_exprs`` — Spark's xxhash64 is type-width
+    sensitive), so bytes are identical to a driver-side pack of the
+    same positions (pinned by ``test_bloom_bitmap_bytes_pinned``)."""
     import base64
 
     # key files by their path RELATIVE TO THE COMMIT DIR, not basename:
@@ -576,6 +586,46 @@ def _build_blooms(
     m_df = local_df(
         spark, [(f, m) for f, m in m_of.items()], "__f string, __m bigint"
     )
+
+    def _fold_partials(batches):
+        """Per-partition fold: positions → one partial bitmap per file
+        seen in this partition (memory ≈ Σ m/8 of those files)."""
+        import numpy as np
+        import pandas as pd
+
+        partials: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for f_name, grp in pdf.groupby("__f", sort=False):
+                bm = partials.get(f_name)
+                if bm is None:
+                    bm = np.zeros(
+                        int(grp["__m"].iloc[0]) // 8, dtype=np.uint8
+                    )
+                    partials[f_name] = bm
+                pos = grp["__p"].to_numpy(dtype=np.int64)
+                np.bitwise_or.at(
+                    bm, pos >> 3, (1 << (pos & 7)).astype(np.uint8)
+                )
+        if partials:
+            yield pd.DataFrame(
+                {
+                    "__f": list(partials),
+                    "__bits": [bm.tobytes() for bm in partials.values()],
+                }
+            )
+
+    def _or_fold(key, pdf):
+        """Merge the ≤ #partitions partial bitmaps of one file."""
+        import numpy as np
+        import pandas as pd
+
+        acc = np.frombuffer(pdf["__bits"].iloc[0], dtype=np.uint8).copy()
+        for raw in pdf["__bits"].iloc[1:]:
+            acc |= np.frombuffer(raw, dtype=np.uint8)
+        return pd.DataFrame({"__f": [key[0]], "__bits": [acc.tobytes()]})
+
     for c in cols:
         scan = (
             spark.read.parquet(out_dir)
@@ -587,25 +637,30 @@ def _build_blooms(
             )
             .where(F.col(c).isNotNull())
         )
-        pos = (
+        folded = (
             scan.join(F.broadcast(m_df), "__f")
             .select(
                 "__f",
+                "__m",
                 F.explode(
                     _bloom_position_exprs(F.col(c), F.col("__m"), k)
                 ).alias("__p"),
             )
+            .mapInPandas(
+                _fold_partials, "__f string, __bits binary"
+            )
             .groupBy("__f")
-            .agg(F.collect_set("__p").alias("__ps"))
-            .collect()
+            .applyInPandas(_or_fold, "__f string, __bits binary")
         )
-        by_f = {r["__f"]: r["__ps"] for r in pos}
+        by_f = {}
+        for row in folded.toLocalIterator():
+            by_f[row["__f"]] = row["__bits"]
         for e in entries:
             base = _rel(e["path"])
             m = m_of[base]
-            bits = bytearray(m // 8)
-            for p in by_f.get(base, []):
-                bits[p >> 3] |= 1 << (p & 7)
+            bits = by_f.get(base)
+            if bits is None:  # file had no non-null values
+                bits = bytes(m // 8)
             e.setdefault("bloom", {})[c] = {
                 "m": m,
                 "b64": base64.b64encode(bytes(bits)).decode(),

@@ -164,3 +164,59 @@ def test_spark_bloom_keep_matches_driver(spark, tmp_path):
         bk = snap._bloom_keep_expr(m, where)
         sp = {r["path"] for r in mdf.where(bk).select("path").collect()}
         assert sp == py, probe
+
+
+def test_bloom_bitmap_bytes_pinned(spark, tmp_path):
+    """The executor-side bitmap fold (mapInPandas partials + grouped
+    OR) must produce byte-identical bitmaps to a driver-side pack of
+    the same JVM-computed positions — the r10 implementation this
+    replaced. Pins the hash contract AND the packing layout."""
+    import base64
+
+    path = _mk(spark, tmp_path, n=3000, parts=5)
+    m = snap.read_manifest(path)
+    commit_dir = os.path.join(path, os.path.dirname(m["files"][0]["path"]))
+    marker = os.path.basename(commit_dir) + "/"
+
+    from ratatool_spark.functions.localrel import local_df
+
+    m_of = {
+        e["path"].split(marker, 1)[1]: e["bloom"]["k"]["m"]
+        for e in m["files"]
+    }
+    m_df = local_df(
+        spark, list(m_of.items()), "__f string, __m bigint"
+    )
+    pos = (
+        spark.read.parquet(commit_dir)
+        .select(
+            F.substring_index(
+                F.col("_metadata.file_path"), marker, -1
+            ).alias("__f"),
+            F.col("k"),
+        )
+        .where(F.col("k").isNotNull())
+        .join(F.broadcast(m_df), "__f")
+        .select(
+            "__f",
+            F.explode(
+                snap._bloom_position_exprs(
+                    F.col("k"), F.col("__m"), snap._BLOOM_K
+                )
+            ).alias("__p"),
+        )
+        .groupBy("__f")
+        .agg(F.collect_set("__p").alias("__ps"))
+        .collect()
+    )
+    driver_pack = {}
+    for r in pos:
+        bits = bytearray(m_of[r["__f"]] // 8)
+        for p in r["__ps"]:
+            bits[p >> 3] |= 1 << (p & 7)
+        driver_pack[r["__f"]] = bytes(bits)
+    assert driver_pack, "fixture produced no files"
+    for e in m["files"]:
+        rel = e["path"].split(marker, 1)[1]
+        got = base64.b64decode(e["bloom"]["k"]["b64"])
+        assert got == driver_pack[rel], rel
