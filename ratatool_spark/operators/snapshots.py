@@ -1272,6 +1272,14 @@ def _publish(
         for k in ("columns", "schema_v", "schema_log"):
             if k in pm:
                 manifest[k] = pm[k]
+    # commit-time totals: the `.snapshots`/`.history` inspection tables
+    # must stay O(#commits) even over externalized manifests — without
+    # these, summarizing a long history would parse every files sidecar
+    # ever written (r10 verdict). Recorded on every commit; readers fall
+    # back to summing the files list for pre-totals manifests.
+    manifest["n_files"] = len(files)
+    manifest["rows_total"] = sum(int(e.get("rows") or 0) for e in files)
+    manifest["bytes_total"] = sum(int(e.get("bytes") or 0) for e in files)
     files_ref = None
     # externalize past the file-count threshold OR as soon as any entry
     # carries a bloom bitmap: bitmaps are the one metadata field
@@ -1281,7 +1289,6 @@ def _publish(
     if len(files) > FILES_INLINE_MAX or any("bloom" in e for e in files):
         files_ref = _write_files_sidecar(table_path, new_id, files)
         manifest["files_ref"] = files_ref
-        manifest["n_files"] = len(files)
     else:
         manifest["files"] = files
     tmp = _snap_path(table_path, new_id) + f".tmp-{uuid.uuid4().hex}"
@@ -4270,15 +4277,20 @@ def snapshot_log(spark: SparkSession, table_path: str) -> DataFrame:
     and maintenance (``fold_deletes``/compaction) is due."""
     rows = []
     for sid in _snap_ids(table_path):
-        m = read_manifest(table_path, sid)
+        m = read_manifest(table_path, sid, load_files=False)
+        if "rows_total" not in m:  # pre-totals manifest: sum the list
+            m = read_manifest(table_path, sid)
+            m["n_files"] = len(m["files"])
+            m["rows_total"] = sum(e["rows"] for e in m["files"])
+            m["bytes_total"] = sum(e["bytes"] for e in m["files"])
         rows.append(
             (
                 sid,
                 m["parent"],
                 m["operation"],
-                len(m["files"]),
-                sum(e["rows"] for e in m["files"]),
-                sum(e["bytes"] for e in m["files"]),
+                m["n_files"],
+                m["rows_total"],
+                m["bytes_total"],
                 len(m.get("deletes", [])),
                 len(m.get("changes", [])),
             )
@@ -4329,12 +4341,24 @@ def metadata_table(
     if kind == "snapshots":
         rows = []
         for sid in _snap_ids(table_path):
-            m = read_manifest(table_path, sid)
+            # O(#commits): commit-time totals make the view independent
+            # of file-list size — no sidecar is ever opened for a
+            # manifest that records them (every manifest since they
+            # were introduced does; the fallback load covers older
+            # inline manifests only)
+            m = read_manifest(table_path, sid, load_files=False)
+            if "rows_total" in m:
+                n_f = m["n_files"]
+                n_rows = m["rows_total"]
+                n_bytes = m["bytes_total"]
+            else:
+                m = read_manifest(table_path, sid)
+                n_f = len(m["files"])
+                n_rows = sum(e["rows"] for e in m["files"])
+                n_bytes = sum(e["bytes"] for e in m["files"])
             rows.append((
                 sid, m["parent"], float(m.get("committed_at", 0.0)),
-                m["operation"], len(m["files"]),
-                sum(e["rows"] for e in m["files"]),
-                sum(e["bytes"] for e in m["files"]),
+                m["operation"], n_f, n_rows, n_bytes,
                 len(m.get("deletes", [])), len(m.get("changes", [])),
             ))
         return local_df(

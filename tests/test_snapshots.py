@@ -2815,3 +2815,75 @@ def test_branch_ff_files_shadowed_by_later_mor_delete(spark, tmp_path):
     snap.delete_snapshot_where_mor(spark, path, {"id": (3, 3)})
     got = sorted(r["id"] for r in snap.read_snapshot(spark, path).collect())
     assert got == [1, 2], "the branch-added row must be shadowed"
+
+
+def test_snapshots_view_opens_zero_sidecars(spark, tmp_path, monkeypatch):
+    """metadata_table('snapshots') and snapshot_log over a table with
+    EXTERNALIZED manifests must stay O(#commits): commit-time totals in
+    the manifest JSON mean no files sidecar is ever parsed (r10
+    verdict). Asserted via a counting mock on _load_files_sidecar."""
+    import ratatool_spark.operators.snapshots as snap
+    from ratatool_spark.operators.snapshots import metadata_table
+
+    path = str(tmp_path / "tot")
+    os.makedirs(path)
+    snap.set_bloom_filter(path, ["id"], bits_per_key=8)  # forces sidecar
+    import pyspark.sql.functions as F
+
+    for i in range(3):
+        snap.commit_append(
+            spark.range(i * 100, i * 100 + 50)
+            .select("id", (F.col("id") * 2).alias("v"))
+            .coalesce(2),
+            path,
+        )
+    assert "files_ref" in snap.read_manifest(path, load_files=False)
+
+    calls = []
+    real = snap._load_files_sidecar
+
+    def counting(table_path, rel):
+        calls.append(rel)
+        return real(table_path, rel)
+
+    monkeypatch.setattr(snap, "_load_files_sidecar", counting)
+    got = {r["snapshot_id"]: (r["n_files"], r["rows"], r["bytes"])
+           for r in metadata_table(spark, path, "snapshots").collect()}
+    log = {r["snapshot_id"]: (r["n_files"], r["rows"], r["bytes"])
+           for r in snap.snapshot_log(spark, path).collect()}
+    hist = metadata_table(spark, path, "history").count()
+    assert calls == [], "snapshots/history views must not load sidecars"
+    monkeypatch.undo()
+
+    # and the totals are RIGHT: they match a real sum of the file lists
+    for sid in snap._snap_ids(path):
+        m = snap.read_manifest(path, sid)
+        expect = (len(m["files"]),
+                  sum(e["rows"] for e in m["files"]),
+                  sum(e["bytes"] for e in m["files"]))
+        assert got[sid] == expect
+        assert log[sid] == expect
+    assert hist == 3
+
+
+def test_snapshots_view_pre_totals_fallback(spark, tmp_path):
+    """A manifest written before commit-time totals (no rows_total key)
+    still summarizes correctly — the view falls back to summing the
+    inline files list."""
+    import json as _json
+
+    import ratatool_spark.operators.snapshots as snap
+    from ratatool_spark.operators.snapshots import metadata_table
+
+    path = _tbl(spark, tmp_path, n=2, rows=7)
+    # strip the totals from v1 in place, as an old writer would have
+    p = snap._snap_path(path, 1)
+    with open(p) as f:
+        m = _json.load(f)
+    for k in ("rows_total", "bytes_total", "n_files"):
+        m.pop(k, None)
+    with open(p, "w") as f:
+        _json.dump(m, f)
+    rows = {r["snapshot_id"]: r["rows"]
+            for r in metadata_table(spark, path, "snapshots").collect()}
+    assert rows[1] == 7 and rows[2] == 14
