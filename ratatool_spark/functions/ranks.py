@@ -41,8 +41,12 @@ def partition_offsets(
     bucketing) get it from the SAME collect instead of a separate
     ``count()`` pass over the data.
     """
+    # NULL-safe: when fed SUMs rather than COUNTs (compaction_plan sums
+    # a size column) a partition whose values are all NULL aggregates
+    # to NULL — contribute 0, don't TypeError on int(None)
     rows = sorted(
-        (r[pid_col], r[n_col]) for r in per_pid.select(pid_col, n_col).collect()
+        (r[pid_col], r[n_col] or 0)
+        for r in per_pid.select(pid_col, n_col).collect()
     )
     out, acc = [], 0
     for pid, n in rows:

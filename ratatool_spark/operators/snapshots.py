@@ -109,6 +109,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import shutil
 import uuid
 
@@ -172,13 +173,28 @@ def _write_exclusive_json(path: str, payload: dict) -> None:
         except OSError as e:
             if isinstance(e, FileExistsError):
                 raise
-            # no hard-link support: exclusive-create + copy + fsync
-            with open(path, "x") as dst, open(tmp) as src:
-                dst.write(src.read())
-                dst.flush()
-                os.fsync(dst.fileno())
+            # no hard-link support: win exclusivity on a CLAIM file,
+            # then publish content via atomic rename — a concurrent
+            # reader of `path` sees absent-or-complete, never the
+            # truncated/empty intermediate a plain open('x')+write
+            # could expose (r10 ADVICE). The claim stays behind as a
+            # tombstone marking the name taken even if we crash before
+            # the rename (the loser must not win a half-published name).
+            with open(path + ".claim", "x"):
+                pass
+            os.replace(tmp, path)
+            return
     finally:
-        os.remove(tmp)
+        if os.path.exists(tmp):
+            os.remove(tmp)
+
+
+def _remove_published(path: str) -> None:
+    """Remove a file published via :func:`_write_exclusive_json` AND
+    its no-hardlink-FS claim tombstone, so the name is re-creatable."""
+    os.remove(path)
+    if os.path.exists(path + ".claim"):
+        os.remove(path + ".claim")
 
 
 def _snap_path(table_path: str, snapshot_id: int) -> str:
@@ -3281,10 +3297,15 @@ def discard_branch(table_path: str, branch: str) -> bool:
 
 
 def _branch_ref_path(table_path: str, name: str) -> str:
-    # no dots: the branch manifest namespace is branch-<name>.v{K}.json,
-    # so a dotted name could masquerade as another branch's manifest
-    if not name or "/" in name or "." in name or name.startswith("_"):
-        raise ValueError(f"bad branch name {name!r}")
+    # strict charset, not a denylist: the branch namespace is
+    # branch-<name>.v{K}.json AND names are interpolated into glob
+    # patterns, so a dotted name could masquerade as another branch's
+    # manifest and a glob metacharacter ('*', '?', '[') would match
+    # OTHER branches' files (wrong head, cross-branch deletes)
+    if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9_-]*", name or ""):
+        raise ValueError(
+            f"bad branch name {name!r} — use [A-Za-z0-9][A-Za-z0-9_-]*"
+        )
     return os.path.join(table_path, _SNAP_DIR, f"branch-{name}.json")
 
 
@@ -3369,6 +3390,65 @@ def _branch_head_manifest(table_path: str, name: str) -> tuple[int, dict]:
         return ids[-1], json.load(f)
 
 
+def _heal_interrupted_ff(table_path: str, name: str) -> bool:
+    """Detect and complete an interrupted :func:`fast_forward_branch`
+    reset: the FF's main publish succeeded but the process died before
+    the branch ref moved to the new base / the absorbed branch
+    manifests were removed. Left alone, every later fast-forward (and
+    branch commit) would build on a head main already absorbed and
+    raise :class:`CommitConflict` forever (r10 ADVICE). Idempotent —
+    called on entry to the branch WRITE paths; returns whether a heal
+    ran. A branch commit that raced the crashed FF (branch-local id >
+    the absorbed count) cannot be silently replayed — it raises with
+    explicit guidance instead."""
+    p = _branch_ref_path(table_path, name)
+    if not os.path.exists(p):
+        return False
+    with open(p) as f:
+        ref = json.load(f)
+    if current_snapshot_id(table_path) == ref["base"]:
+        return False  # main never moved: nothing interrupted
+    for sid in _snap_ids(table_path):
+        if sid <= ref["base"]:
+            continue
+        m = read_manifest(table_path, sid, load_files=False)
+        if (
+            m.get("fast_forward_branch") == name
+            and m.get("parent") == ref["base"]
+        ):
+            k = int(m.get("branch_commits", 0))
+            stale = [
+                i for i in branch_snapshot_ids(table_path, name) if i > k
+            ]
+            if stale:
+                raise CommitConflict(
+                    f"branch {name!r} has local snapshot(s) {stale} that "
+                    f"raced an interrupted fast-forward (main already "
+                    f"absorbed commits 1..{k} at snapshot {sid}) — their "
+                    "base predates the reset ref; read them with "
+                    "read_branch_snapshot, delete_branch, re-branch from "
+                    "current, and replay"
+                )
+            import time
+
+            tmp = p + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(
+                    {"name": name, "base": sid,
+                     "created_at": time.time()}, f
+                )
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, p)
+            for i in branch_snapshot_ids(table_path, name):
+                if i <= k:
+                    _remove_published(
+                        _branch_manifest_path(table_path, name, i)
+                    )
+            return True
+    return False
+
+
 def commit_append_branch(
     df: DataFrame, table_path: str, name: str
 ) -> int:
@@ -3383,6 +3463,7 @@ def commit_append_branch(
     branch-local snapshot id."""
     import time
 
+    _heal_interrupted_ff(table_path, name)
     k, m = _branch_head_manifest(table_path, name)
     _check_schema(df, m)
     _enforce_constraints(df, table_path)
@@ -3394,16 +3475,38 @@ def commit_append_branch(
         _write_data_files(df, table_path, current_manifest=m),
         ref["base"] + k,
     )
+    return _publish_branch_commit(
+        table_path, name, k, m, ref,
+        m["files"] + new_files, m.get("deletes", []), "append",
+    )
+
+
+def _publish_branch_commit(
+    table_path: str,
+    name: str,
+    k: int,
+    m: dict,
+    ref: dict,
+    files: list[dict],
+    deletes: list[dict],
+    operation: str,
+) -> int:
+    """Publish branch-local snapshot ``k+1``: exclusive-create on the
+    next id, so two racing branch writers get exactly one winner (the
+    loser retries against the new head). Shared by every branch write
+    (append / merge / delete / fold)."""
+    import time
+
     manifest = {
         "branch": name,
         "branch_id": k + 1,
         "base": ref["base"],
         "parent": ref["base"] + k,
-        "operation": "append",
+        "operation": operation,
         "committed_at": time.time(),
         "schema": m["schema"],
-        "files": m["files"] + new_files,
-        "deletes": m.get("deletes", []),
+        "files": files,
+        "deletes": deletes,
     }
     for key in ("columns", "schema_v", "schema_log"):
         if key in m:
@@ -3418,6 +3521,298 @@ def commit_append_branch(
             "this commit was writing — re-read the branch head and retry"
         ) from None
     return k + 1
+
+
+def _branch_write_ctx(table_path: str, name: str) -> tuple[int, dict, dict]:
+    """(head id, head manifest, ref) after the interrupted-FF heal —
+    the common entry of every branch write path."""
+    _heal_interrupted_ff(table_path, name)
+    k, m = _branch_head_manifest(table_path, name)
+    with open(_branch_ref_path(table_path, name)) as f:
+        ref = json.load(f)
+    return k, m, ref
+
+
+def _batch_key_stats(changes: DataFrame, keys: list[str], op: str):
+    """One aggregate pass over a merge batch: (row, nn_expr) where row
+    carries count / fully-keyed count / per-key min-max bounds. Raises
+    on duplicate keys among fully-keyed rows — both copies would
+    survive the merge (NULL-keyed rows are pure inserts, exempt)."""
+    nn = None
+    for c in keys:
+        e = F.col(c).isNotNull()
+        nn = e if nn is None else (nn & e)
+    aggs = [
+        F.count(F.lit(1)).alias("__n"),
+        F.count(F.when(nn, 1)).alias("__nk"),
+        F.count_distinct(*[F.col(c) for c in keys]).alias("__nd"),
+    ]
+    for c in keys:
+        aggs += [F.min(F.col(c)).alias(f"lo_{c}"),
+                 F.max(F.col(c)).alias(f"hi_{c}")]
+    row = changes.agg(*aggs).first()
+    if row["__nd"] < row["__nk"]:
+        raise ValueError(
+            f"{op}: changes contain {row['__nk'] - row['__nd']} "
+            f"duplicate-key row(s) on {keys} — both copies would "
+            "survive; dedup the batch first"
+        )
+    return row, nn
+
+
+def _batch_split(m: dict, row, keys: list[str], spark, changes):
+    """(touched, untouched) head files for a merge batch, using the
+    batch's bounding box + per-file bloom refinement — the same pruning
+    the main-table CoW merge applies (NULL-lo ⇒ pure insert; NaN bounds
+    ⇒ stats unusable, touch everything)."""
+    def _nan(v):
+        return isinstance(v, float) and v != v
+
+    if any(row[f"lo_{c}"] is None for c in keys):
+        return [], m["files"]
+    if any(_nan(row[f"lo_{c}"]) or _nan(row[f"hi_{c}"]) for c in keys):
+        return m["files"], []
+    box = {c: (row[f"lo_{c}"], row[f"hi_{c}"]) for c in keys}
+    touched, untouched = _split_by_box(m, box)
+    if any(e.get("bloom") for e in touched):
+        touched, skipped = _bloom_refine_touched(
+            spark, m, touched, changes, keys)
+        untouched = untouched + skipped
+    return touched, untouched
+
+
+def merge_branch(
+    spark: SparkSession,
+    table_path: str,
+    name: str,
+    changes: DataFrame,
+    keys: list[str],
+) -> int:
+    """Copy-on-write MERGE (upsert) against a branch head: same-key
+    rows replace, new keys append, in one branch-local replace commit —
+    main never observes a byte. File pruning is identical to the
+    main-table :func:`merge_snapshot` (stats box + bloom refinement);
+    rewritten files read through the head's pending MoR deletes, so a
+    CoW merge after a branch MoR commit composes correctly. No CDC
+    change files: branch manifests don't feed the change feed — the
+    fast-forward commit is main's single observable change. Returns the
+    branch-local snapshot id."""
+    k, m, ref = _branch_write_ctx(table_path, name)
+    _check_schema(changes, m)
+    _enforce_constraints(changes, table_path)
+    row, nn = _batch_key_stats(changes, keys, "merge_branch")
+    if row["__n"] == 0:
+        return k
+    touched, untouched = _batch_split(m, row, keys, spark, changes)
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    cols = [f.name for f in schema.fields]
+    if touched:
+        old = _read_entries(spark, table_path, m, touched)
+        kept = old.join(
+            F.broadcast(changes.select(*keys).distinct()), keys,
+            "left_anti",
+        )
+        new_data = kept.unionByName(changes.select(*cols))
+    else:
+        new_data = changes.select(*cols)
+    new_files = _stamp_seq(
+        _write_data_files(new_data, table_path, current_manifest=m),
+        ref["base"] + k,
+    )
+    # carried deletes (seq <= base+k) never shadow the rewrites
+    # (seq base+k+1); they still apply to untouched older files
+    return _publish_branch_commit(
+        table_path, name, k, m, ref,
+        untouched + new_files, m.get("deletes", []), "replace",
+    )
+
+
+def merge_branch_mor(
+    spark: SparkSession,
+    table_path: str,
+    name: str,
+    changes: DataFrame,
+    keys: list[str],
+) -> int:
+    """MERGE-ON-READ upsert against a branch head: the change batch
+    lands as new data files plus an equality-delete sidecar on ``keys``
+    — no branch or fork file is rewritten, write cost is exactly
+    |changes|. Branch reads anti-join the broadcast sidecar against
+    older-seq files, same contract as main's
+    :func:`merge_snapshot_mor`. Fast-forward materializes pending
+    branch-local sidecars first (they cannot ride the FF restamping),
+    so publishing stays correct. Returns the branch-local id."""
+    k, m, ref = _branch_write_ctx(table_path, name)
+    _check_schema(changes, m)
+    _enforce_constraints(changes, table_path)
+    row, nn = _batch_key_stats(changes, keys, "merge_branch_mor")
+    if row["__n"] == 0:
+        return k
+
+    def _nan(v):
+        return isinstance(v, float) and v != v
+
+    box = None
+    if all(row[f"lo_{c}"] is not None for c in keys) and not any(
+        _nan(row[f"lo_{c}"]) or _nan(row[f"hi_{c}"]) for c in keys
+    ):
+        box = {c: [row[f"lo_{c}"], row[f"hi_{c}"]] for c in keys}
+        if not all(
+            isinstance(v, (int, float, str))
+            for pair in box.values() for v in pair
+        ):
+            box = None  # non-JSON key types: no box, shadow everything
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    new_seq_parent = ref["base"] + k
+    new_files = _stamp_seq(
+        _write_data_files(
+            changes.select(*[f.name for f in schema.fields]), table_path,
+            current_manifest=m,
+        ),
+        new_seq_parent,
+    )
+    deletes = list(m.get("deletes", []))
+    if row["__nk"] > 0:  # NULL-key rows are pure inserts
+        sidecar = _write_data_files(
+            changes.select(*keys).where(nn).distinct().coalesce(1),
+            table_path, subdir=_DELETES_DIR, current_manifest=m,
+        )
+        entry = {
+            "paths": [e["path"] for e in sidecar],
+            "rows": sum(e["rows"] for e in sidecar),
+            "keys": keys,
+            "seq": new_seq_parent + 1,
+            "box": box,
+        }
+        if "schema_v" in m:
+            entry["schema_v"] = m["schema_v"]
+        deletes.append(entry)
+    return _publish_branch_commit(
+        table_path, name, k, m, ref,
+        m["files"] + new_files, deletes, "merge-mor",
+    )
+
+
+def delete_branch_where(
+    spark: SparkSession,
+    table_path: str,
+    name: str,
+    where: dict[str, tuple],
+) -> int:
+    """Copy-on-write range DELETE on a branch: files whose stats cannot
+    intersect the conjunctive box carry over; intersecting files
+    rewrite with the complement rows only — one branch-local replace
+    commit, main untouched. Returns the branch-local id."""
+    k, m, ref = _branch_write_ctx(table_path, name)
+    touched, untouched = _split_by_box(m, where)
+    new_files: list[dict] = []
+    if touched:
+        old = _read_entries(spark, table_path, m, touched)
+        inside = None
+        for c, (lo, hi) in where.items():
+            cond = F.col(c).between(lo, hi)
+            inside = cond if inside is None else (inside & cond)
+        new_files = _stamp_seq(
+            _write_data_files(
+                old.where(~F.coalesce(inside, F.lit(False))), table_path,
+                current_manifest=m,
+            ),
+            ref["base"] + k,
+        )
+    return _publish_branch_commit(
+        table_path, name, k, m, ref,
+        untouched + new_files, m.get("deletes", []), "replace",
+    )
+
+
+def delete_branch_where_mor(
+    spark: SparkSession,
+    table_path: str,
+    name: str,
+    where: dict[str, tuple],
+) -> int:
+    """MERGE-ON-READ range DELETE on a branch: the predicate box itself
+    becomes a branch-manifest delete entry — metadata-only, no file
+    read or rewritten; branch reads filter shadowed rows out, and
+    fast-forward folds the sidecar before publishing. Returns the
+    branch-local id."""
+    import datetime
+
+    k, m, ref = _branch_write_ctx(table_path, name)
+
+    def _bound(v):
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            return v.isoformat(sep=" ") if isinstance(
+                v, datetime.datetime
+            ) else v.isoformat()
+        if isinstance(v, (int, float, str)):
+            return v
+        raise ValueError(
+            f"delete_branch_where_mor: box bound {v!r} "
+            f"({type(v).__name__}) is not manifest-serializable — use "
+            "int/float/str/date/datetime, or delete_branch_where"
+        )
+
+    entry = {
+        "kind": "range",
+        "box": {c: [_bound(lo), _bound(hi)] for c, (lo, hi) in
+                where.items()},
+        "seq": ref["base"] + k + 1,
+    }
+    if "schema_v" in m:
+        entry["schema_v"] = m["schema_v"]
+    return _publish_branch_commit(
+        table_path, name, k, m, ref,
+        m["files"], m.get("deletes", []) + [entry], "delete-mor",
+    )
+
+
+def fold_branch_deletes(
+    spark: SparkSession, table_path: str, name: str
+) -> int | None:
+    """Materialize every pending MoR delete on a branch: rewrite
+    exactly the files some sidecar can shadow, publish one branch
+    replace commit with an empty delete list. Returns the branch-local
+    id, or None when nothing was pending. Fast-forward calls this for
+    BRANCH-LOCAL sidecars (seq past the fork point): the FF restamping
+    collapses branch file seqs onto one main commit, which would break
+    the strictly-newer shadow ordering a sidecar relies on — folding
+    first keeps FF a pure metadata publish of already-correct files."""
+    k, m, ref = _branch_write_ctx(table_path, name)
+    deletes = m.get("deletes", [])
+    if not deletes:
+        return None
+
+    def _may_shadow(e: dict) -> bool:
+        eseq = e.get("seq", 0)
+        for d in deletes:
+            if d["seq"] <= eseq:
+                continue
+            if d.get("kind") == "position":
+                if e["path"] in d.get("files", []):
+                    return True
+                continue
+            b = _delete_to_current(d, m).get("box")
+            if b is None:
+                return True
+            if files_intersecting({**m, "files": [e]},
+                                  {c: tuple(v) for c, v in b.items()}):
+                return True
+        return False
+
+    shadowed, clear = [], []
+    for e in m["files"]:
+        (shadowed if _may_shadow(e) else clear).append(e)
+    new_files = _stamp_seq(
+        _write_data_files(
+            _read_entries(spark, table_path, m, shadowed), table_path,
+            current_manifest=m,
+        ),
+        ref["base"] + k,
+    ) if shadowed else []
+    return _publish_branch_commit(
+        table_path, name, k, m, ref, clear + new_files, [], "replace",
+    )
 
 
 def read_branch_snapshot(
@@ -3449,7 +3844,9 @@ def read_branch_snapshot(
     return _read_entries(spark, table_path, m, m["files"])
 
 
-def fast_forward_branch(table_path: str, name: str) -> int:
+def fast_forward_branch(
+    table_path: str, name: str, spark: SparkSession | None = None
+) -> int:
     """Publish the branch head onto MAIN as one metadata-only commit —
     the data files have been in place since their branch commits; one
     manifest publish makes the whole branch lineage visible atomically.
@@ -3460,9 +3857,23 @@ def fast_forward_branch(table_path: str, name: str) -> int:
     are removed; their files now belong to main), so the name stays
     usable — the Iceberg fastForward shape. Returns the new MAIN
     snapshot id."""
+    _heal_interrupted_ff(table_path, name)
     k, m = _branch_head_manifest(table_path, name)
     with open(_branch_ref_path(table_path, name)) as f:
         ref = json.load(f)
+    if any(d["seq"] > ref["base"] for d in m.get("deletes", [])):
+        # branch-local MoR sidecars cannot ride the FF restamping (all
+        # branch file seqs collapse to one main commit, breaking the
+        # strictly-newer shadow ordering) — materialize them first,
+        # then publish the folded head metadata-only as usual
+        if spark is None:
+            raise ValueError(
+                f"branch {name!r} has pending branch-local MoR deletes "
+                "— pass spark= to fast_forward_branch (it folds them "
+                "first) or run fold_branch_deletes yourself"
+            )
+        k = fold_branch_deletes(spark, table_path, name)
+        _, m = _branch_head_manifest(table_path, name)
     if k == 0:
         raise ValueError(
             f"branch {name!r} has no commits — nothing to fast-forward"
@@ -3508,7 +3919,7 @@ def fast_forward_branch(table_path: str, name: str) -> int:
     os.replace(tmp, _branch_ref_path(table_path, name))
     for i in branch_snapshot_ids(table_path, name):
         if i <= k:
-            os.remove(_branch_manifest_path(table_path, name, i))
+            _remove_published(_branch_manifest_path(table_path, name, i))
     return new_id
 
 
@@ -3520,8 +3931,8 @@ def delete_branch(table_path: str, name: str) -> bool:
     if not os.path.exists(p):
         return False
     for i in branch_snapshot_ids(table_path, name):
-        os.remove(_branch_manifest_path(table_path, name, i))
-    os.remove(p)
+        _remove_published(_branch_manifest_path(table_path, name, i))
+    _remove_published(p)
     return True
 
 
@@ -3995,7 +4406,7 @@ def delete_tag(table_path: str, name: str) -> bool:
     p = _tag_path(table_path, name)
     if not os.path.exists(p):
         return False
-    os.remove(p)
+    _remove_published(p)
     return True
 
 

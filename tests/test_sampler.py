@@ -366,3 +366,19 @@ def test_sample_neyman_validates(spark):
         sample_neyman(df, -1, "v", ["g"], ["k"])
     with _pt.raises(ValueError, match="strata and dice"):
         sample_neyman(df, 1, "v", [], ["k"])
+
+
+def test_partition_offsets_null_sums_treated_as_zero(spark):
+    """partition_offsets is fed SUMs by compaction_plan; a partition
+    whose size values are all NULL aggregates to NULL and must
+    contribute 0, not TypeError (r10 ADVICE)."""
+    from ratatool_spark.functions.ranks import partition_offsets
+
+    per_pid = spark.createDataFrame(
+        [(0, 5), (1, None), (2, 3)], "pid int, n long"
+    )
+    offs, total = partition_offsets(
+        per_pid, pid_col="pid", n_col="n", with_total=True
+    )
+    got = {r["pid"]: r["__off"] for r in offs.collect()}
+    assert got == {0: 0, 1: 5, 2: 5} and total == 8

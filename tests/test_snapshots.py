@@ -2887,3 +2887,279 @@ def test_snapshots_view_pre_totals_fallback(spark, tmp_path):
     rows = {r["snapshot_id"]: r["rows"]
             for r in metadata_table(spark, path, "snapshots").collect()}
     assert rows[1] == 7 and rows[2] == 14
+
+
+def test_branch_name_rejects_glob_metacharacters(spark, tmp_path):
+    """Branch names flow into glob patterns (manifests are
+    branch-<name>.v*.json), so metacharacters would match OTHER
+    branches' files — the charset is a strict allowlist (r10 ADVICE)."""
+    import ratatool_spark.operators.snapshots as snap
+
+    path = str(tmp_path / "bn")
+    snap.commit_append(
+        spark.createDataFrame([(1, 1)], "id long, val long"), path
+    )
+    for bad in ["dev*", "a?b", "x[0-9]", "a/b", "a.b", "_hidden", "",
+                "a b"]:
+        with pytest.raises(ValueError):
+            snap.create_branch(path, bad)
+    # and a legal sibling is unaffected by lookups of weird names
+    snap.create_branch(path, "dev-2_ok")
+    assert "dev-2_ok" in snap.table_branches(path)
+
+
+def test_interrupted_fast_forward_self_heals(spark, tmp_path):
+    """A crash between the FF's main publish and its branch-ref reset
+    leaves the ref at the old base; the next branch WRITE detects the
+    published fast_forward_branch commit and completes the reset
+    instead of raising CommitConflict forever (r10 ADVICE)."""
+    import json as _json
+
+    import ratatool_spark.operators.snapshots as snap
+
+    path = str(tmp_path / "ffheal")
+    snap.commit_append(
+        spark.createDataFrame([(1, 10)], "id long, val long"), path
+    )
+    snap.create_branch(path, "dev")
+    snap.commit_append_branch(
+        spark.createDataFrame([(2, 20)], "id long, val long"), path, "dev"
+    )
+    # simulate the crash: snapshot the ref + branch manifest, run the
+    # real FF, then restore the pre-reset branch state (publish stays)
+    ref_p = snap._branch_ref_path(path, "dev")
+    man_p = snap._branch_manifest_path(path, "dev", 1)
+    ref_bytes = open(ref_p).read()
+    man_bytes = open(man_p).read()
+    new_id = snap.fast_forward_branch(path, "dev")
+    assert new_id == 2
+    with open(ref_p, "w") as f:
+        f.write(ref_bytes)
+    with open(man_p, "w") as f:
+        f.write(man_bytes)
+    assert _json.load(open(ref_p))["base"] == 1  # the interrupted state
+
+    # a branch commit heals first, then lands on the POST-FF base
+    k = snap.commit_append_branch(
+        spark.createDataFrame([(3, 30)], "id long, val long"), path, "dev"
+    )
+    assert k == 1
+    ref = _json.load(open(ref_p))
+    assert ref["base"] == 2, "ref completed its move to the FF commit"
+    # and the new commit fast-forwards cleanly (no stale CommitConflict)
+    assert snap.fast_forward_branch(path, "dev") == 3
+    got = sorted(r["id"] for r in snap.read_snapshot(spark, path).collect())
+    assert got == [1, 2, 3]
+
+
+def test_interrupted_ff_with_raced_branch_commit_raises(spark, tmp_path):
+    """A branch commit that landed AFTER the crashed FF absorbed the
+    lineage cannot be silently replayed — the heal raises with explicit
+    guidance, never merges it under the wrong base."""
+    import json as _json
+
+    import ratatool_spark.operators.snapshots as snap
+
+    path = str(tmp_path / "ffrace")
+    snap.commit_append(
+        spark.createDataFrame([(1, 10)], "id long, val long"), path
+    )
+    snap.create_branch(path, "dev")
+    snap.commit_append_branch(
+        spark.createDataFrame([(2, 20)], "id long, val long"), path, "dev"
+    )
+    ref_p = snap._branch_ref_path(path, "dev")
+    man_p = snap._branch_manifest_path(path, "dev", 1)
+    ref_bytes = open(ref_p).read()
+    man_bytes = open(man_p).read()
+    snap.fast_forward_branch(path, "dev")
+    # restore pre-reset state, then fake the RACED commit: a second
+    # branch-local manifest (id 2) written against the old base
+    with open(ref_p, "w") as f:
+        f.write(ref_bytes)
+    with open(man_p, "w") as f:
+        f.write(man_bytes)
+    raced = _json.loads(man_bytes)
+    raced["branch_id"] = 2
+    raced["parent"] = raced["parent"] + 1
+    with open(snap._branch_manifest_path(path, "dev", 2), "w") as f:
+        f.write(_json.dumps(raced))
+    with pytest.raises(snap.CommitConflict, match="raced an interrupted"):
+        snap.fast_forward_branch(path, "dev")
+
+
+def test_exclusive_json_fallback_atomic_publish(tmp_path, monkeypatch):
+    """On filesystems without hard links the publish falls back to
+    claim-file + atomic rename: a reader of the published name can see
+    absent-or-complete, never a truncated write; exclusivity still has
+    one winner; delete clears the claim so the name is re-creatable."""
+    import json as _json
+    import os as _os
+
+    import ratatool_spark.operators.snapshots as snap
+
+    def no_link(src, dst):
+        raise OSError("no hard links here")
+
+    monkeypatch.setattr(snap.os, "link", no_link)
+    p = str(tmp_path / "ref.json")
+    snap._write_exclusive_json(p, {"v": 1})
+    assert _json.load(open(p)) == {"v": 1}
+    assert _os.path.exists(p + ".claim")
+    with pytest.raises(FileExistsError):
+        snap._write_exclusive_json(p, {"v": 2})
+    assert _json.load(open(p)) == {"v": 1}, "loser must not clobber"
+    snap._remove_published(p)
+    assert not _os.path.exists(p) and not _os.path.exists(p + ".claim")
+    snap._write_exclusive_json(p, {"v": 3})  # name re-creatable
+    assert _json.load(open(p)) == {"v": 3}
+
+
+def test_branch_merge_cow_and_ff(spark, tmp_path):
+    """CoW MERGE on a branch: same-key rows replace, new keys append,
+    main never moves; fast-forward publishes the merged state."""
+    import ratatool_spark.operators.snapshots as snap
+
+    path = str(tmp_path / "bmc")
+    snap.commit_append(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "id long, val long"), path
+    )
+    snap.create_branch(path, "dev")
+    k = snap.merge_branch(
+        spark, path, "dev",
+        spark.createDataFrame([(2, 99), (4, 40)], "id long, val long"),
+        ["id"],
+    )
+    assert k == 1
+    got = {r["id"]: r["val"]
+           for r in snap.read_branch_snapshot(spark, path, "dev").collect()}
+    assert got == {1: 10, 2: 99, 3: 30, 4: 40}
+    # isolation: main still the original rows
+    assert {r["id"]: r["val"]
+            for r in snap.read_snapshot(spark, path).collect()} == \
+        {1: 10, 2: 20, 3: 30}
+    snap.fast_forward_branch(path, "dev")
+    assert {r["id"]: r["val"]
+            for r in snap.read_snapshot(spark, path).collect()} == got
+    # duplicate-key batches rejected, same guard as main
+    with pytest.raises(ValueError, match="duplicate-key"):
+        snap.merge_branch(
+            spark, path, "dev",
+            spark.createDataFrame([(7, 1), (7, 2)], "id long, val long"),
+            ["id"],
+        )
+
+
+def test_branch_merge_mor_fold_and_ff(spark, tmp_path):
+    """MoR MERGE on a branch: no file rewritten at commit; branch reads
+    shadow through the sidecar; FF folds branch-local sidecars first
+    and main replays the exact merged state."""
+    import ratatool_spark.operators.snapshots as snap
+
+    path = str(tmp_path / "bmm")
+    snap.commit_append(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "id long, val long"), path
+    )
+    snap.create_branch(path, "dev")
+    # branch append THEN MoR-merge that updates rows from both the fork
+    # and the branch commit — the sidecar must shadow across both
+    snap.commit_append_branch(
+        spark.createDataFrame([(5, 50)], "id long, val long"), path, "dev"
+    )
+    n_before = {e["path"] for e in
+                snap._branch_head_manifest(path, "dev")[1]["files"]}
+    k = snap.merge_branch_mor(
+        spark, path, "dev",
+        spark.createDataFrame(
+            [(2, 99), (5, 55), (6, 60)], "id long, val long"),
+        ["id"],
+    )
+    assert k == 2
+    _, head = snap._branch_head_manifest(path, "dev")
+    assert n_before <= {e["path"] for e in head["files"]}, \
+        "MoR merge rewrites nothing"
+    assert any(d["seq"] > 1 for d in head["deletes"])
+    got = {r["id"]: r["val"]
+           for r in snap.read_branch_snapshot(spark, path, "dev").collect()}
+    assert got == {1: 10, 2: 99, 3: 30, 5: 55, 6: 60}
+    # FF without spark refuses (pending branch-local sidecar) …
+    with pytest.raises(ValueError, match="pending branch-local MoR"):
+        snap.fast_forward_branch(path, "dev")
+    # … and with spark folds, then publishes metadata-only
+    new_id = snap.fast_forward_branch(path, "dev", spark=spark)
+    m = snap.read_manifest(path, new_id)
+    assert m.get("deletes", []) == []
+    assert {r["id"]: r["val"]
+            for r in snap.read_snapshot(spark, path).collect()} == got
+    # a later main MoR delete still shadows the FF-published files
+    snap.delete_snapshot_where_mor(spark, path, {"id": (5, 6)},
+                                   record_changes=False)
+    assert sorted(
+        r["id"] for r in snap.read_snapshot(spark, path).collect()
+    ) == [1, 2, 3]
+
+
+def test_branch_delete_cow_and_mor(spark, tmp_path):
+    """Range DELETE on a branch, both flavors: CoW rewrites only
+    intersecting files; MoR is metadata-only until folded."""
+    import ratatool_spark.operators.snapshots as snap
+
+    path = str(tmp_path / "bdel")
+    snap.commit_append(
+        spark.range(100).select(
+            F.col("id"), (F.col("id") * 2).alias("v")).repartition(4),
+        path,
+    )
+    snap.create_branch(path, "gdpr")
+    snap.delete_branch_where(spark, path, "gdpr", {"id": (10, 19)})
+    assert snap.read_branch_snapshot(spark, path, "gdpr").count() == 90
+    k = snap.delete_branch_where_mor(spark, path, "gdpr", {"id": (50, 59)})
+    _, head = snap._branch_head_manifest(path, "gdpr")
+    assert head["operation"] == "delete-mor"
+    assert snap.read_branch_snapshot(spark, path, "gdpr").count() == 80
+    assert snap.read_snapshot(spark, path).count() == 100  # main intact
+    assert snap.fold_branch_deletes(spark, path, "gdpr") == k + 1
+    _, head = snap._branch_head_manifest(path, "gdpr")
+    assert head["deletes"] == []
+    assert snap.read_branch_snapshot(spark, path, "gdpr").count() == 80
+    snap.fast_forward_branch(path, "gdpr", spark=spark)
+    assert snap.read_snapshot(spark, path).count() == 80
+
+
+def test_vacuum_and_expire_keep_live_branch_files(spark, tmp_path):
+    """Branch-only data files and MoR sidecars are retention-anchored
+    while the branch lives: vacuum(older_than=0) must not touch them,
+    expire_snapshots must keep the fork point; after delete_branch the
+    same files become sweepable orphans."""
+    import ratatool_spark.operators.snapshots as snap
+
+    path = str(tmp_path / "bvac")
+    for i in range(3):
+        snap.commit_append(
+            spark.createDataFrame([(i, i)], "id long, val long"), path
+        )
+    snap.create_branch(path, "dev", snapshot_id=2)
+    snap.commit_append_branch(
+        spark.createDataFrame([(10, 10)], "id long, val long"), path, "dev"
+    )
+    snap.merge_branch_mor(
+        spark, path, "dev",
+        spark.createDataFrame([(10, 11)], "id long, val long"), ["id"],
+    )
+    _, head = snap._branch_head_manifest(path, "dev")
+    branch_files = {e["path"] for e in head["files"]} - {
+        e["path"] for e in snap.read_manifest(path, 2)["files"]}
+    sidecars = {p for d in head["deletes"] for p in d.get("paths", [])}
+    assert branch_files and sidecars
+    removed = set(snap.vacuum_orphans(path, older_than=0.0))
+    assert not (removed & branch_files) and not (removed & sidecars)
+    # expiry keeps the fork point (snapshot 2) while the branch lives
+    snap.expire_snapshots(path, keep_last=1)
+    assert 2 in snap._snap_ids(path)
+    assert snap.read_branch_snapshot(spark, path, "dev").count() == 3
+    # branch dropped -> its files age out as orphans
+    snap.delete_branch(path, "dev")
+    removed = set(snap.vacuum_orphans(path, older_than=0.0))
+    assert branch_files <= removed and sidecars <= removed
