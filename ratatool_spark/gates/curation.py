@@ -1758,10 +1758,10 @@ def _q_kn_lm_score(spark, sf_dir):
     """Interpolated Kneser–Ney trigram LM scoring (operators/corpus.
     kn_lm_model + kn_lm_score, self-scoring mode) — the estimator
     CCNet's KenLM perplexity filter actually uses (Kneser & Ney 1995,
-    Chen & Goodman 1999): per-order absolute discounts from
-    count-of-counts (D = n1/(n1+2·n2)), lower orders estimated from
-    CONTINUATION type counts, discounted mass redistributed through the
-    interpolation weights (each conditional sums to exactly 1 over the
+    Chen & Goodman 1999's MODIFIED form): three count-bucketed absolute
+    discounts per order from that order's count-of-counts n1..n4,
+    lower orders estimated from CONTINUATION type counts, discounted
+    mass redistributed through the per-bucket interpolation weights (each conditional sums to exactly 1 over the
     V+1 support — pinned in tests). The oracle replays the whole
     estimator — counts, continuation types, discounts, and the
     three-tier interpolation — relationally."""
@@ -1797,38 +1797,76 @@ ds AS (
 ), c3 AS (SELECT w1, w2, w3, COUNT(*) AS cnt FROM toks
           WHERE w1 IS NOT NULL GROUP BY ALL),
 ctx3 AS (SELECT w1, w2, CAST(SUM(cnt) AS DOUBLE) AS tot,
-                CAST(COUNT(*) AS DOUBLE) AS fol
+                CAST(COUNT(CASE WHEN cnt = 1 THEN 1 END) AS DOUBLE) AS f1,
+                CAST(COUNT(CASE WHEN cnt = 2 THEN 1 END) AS DOUBLE) AS f2,
+                CAST(COUNT(CASE WHEN cnt >= 3 THEN 1 END) AS DOUBLE) AS f3
          FROM c3 GROUP BY ALL),
 bi AS (SELECT w2, w3, COUNT(*) AS cnt FROM toks
        WHERE w2 IS NOT NULL GROUP BY ALL),
 bityp AS (SELECT w2, w3, CAST(COUNT(*) AS DOUBLE) AS n1pl
           FROM c3 GROUP BY w2, w3),
-ctx2 AS (SELECT w2, SUM(n1pl) AS tot, CAST(COUNT(*) AS DOUBLE) AS r
+ctx2 AS (SELECT w2, SUM(n1pl) AS tot,
+                CAST(COUNT(CASE WHEN n1pl = 1 THEN 1 END) AS DOUBLE) AS r1,
+                CAST(COUNT(CASE WHEN n1pl = 2 THEN 1 END) AS DOUBLE) AS r2,
+                CAST(COUNT(CASE WHEN n1pl >= 3 THEN 1 END) AS DOUBLE) AS r3
          FROM bityp GROUP BY w2),
 unic AS (SELECT w3, CAST(COUNT(*) AS DOUBLE) AS n1pr FROM bi GROUP BY w3),
-k AS (
+-- modified-KN discounts (Chen & Goodman 1999) per order, from that
+-- order's count-of-counts: Y = n1/(n1+2n2); D_i = i - (i+1)*Y*n[i+1]/n[i]
+-- clamped into [0, i]; an empty bucket falls back to the previous
+-- discount — the exact driver algebra
+coc AS (
+  SELECT tag,
+         SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS n2,
+         SUM(CASE WHEN c = 3 THEN 1 ELSE 0 END) AS n3,
+         SUM(CASE WHEN c = 4 THEN 1 ELSE 0 END) AS n4
+  FROM (SELECT 'tri' AS tag, cnt AS c FROM c3
+        UNION ALL SELECT 'bityp', n1pl FROM bityp
+        UNION ALL SELECT 'unic', n1pr FROM unic)
+  GROUP BY tag
+), disc0 AS (
+  SELECT tag, n1, n2, n3, n4,
+         CASE WHEN n1 + 2 * n2 > 0
+              THEN CAST(n1 AS DOUBLE) / (n1 + 2 * n2) ELSE 0 END AS y
+  FROM coc
+), disc1 AS (
+  SELECT tag, n2, n3, n4, y,
+         CASE WHEN n1 > 0
+              THEN LEAST(GREATEST(1 - 2 * y * n2 / n1, 0), 1)
+              ELSE 0 END AS da
+  FROM disc0
+), disc2 AS (
+  SELECT tag, n3, n4, y, da,
+         CASE WHEN n2 > 0
+              THEN LEAST(GREATEST(2 - 3 * y * n3 / n2, 0), 2)
+              ELSE da END AS db
+  FROM disc1
+), discs AS (
+  SELECT tag, da, db,
+         CASE WHEN n3 > 0
+              THEN LEAST(GREATEST(3 - 4 * y * n4 / n3, 0), 3)
+              ELSE db END AS dc
+  FROM disc2
+), k AS (
   SELECT
     (SELECT CAST(COUNT(DISTINCT w3) AS DOUBLE) FROM toks) AS v,
     (SELECT CAST(COUNT(*) AS DOUBLE) FROM bi) AS nbi,
-    (SELECT CAST(COUNT(*) AS DOUBLE) FROM unic) AS w1c,
-    (SELECT CASE WHEN SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
-                    + 2 * SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) > 0
-       THEN CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-            / (SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
-               + 2 * SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END))
-       ELSE 0 END FROM c3) AS d3,
-    (SELECT CASE WHEN SUM(CASE WHEN n1pl = 1 THEN 1 ELSE 0 END)
-                    + 2 * SUM(CASE WHEN n1pl = 2 THEN 1 ELSE 0 END) > 0
-       THEN CAST(SUM(CASE WHEN n1pl = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-            / (SUM(CASE WHEN n1pl = 1 THEN 1 ELSE 0 END)
-               + 2 * SUM(CASE WHEN n1pl = 2 THEN 1 ELSE 0 END))
-       ELSE 0 END FROM bityp) AS d2,
-    (SELECT CASE WHEN SUM(CASE WHEN n1pr = 1 THEN 1 ELSE 0 END)
-                    + 2 * SUM(CASE WHEN n1pr = 2 THEN 1 ELSE 0 END) > 0
-       THEN CAST(SUM(CASE WHEN n1pr = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-            / (SUM(CASE WHEN n1pr = 1 THEN 1 ELSE 0 END)
-               + 2 * SUM(CASE WHEN n1pr = 2 THEN 1 ELSE 0 END))
-       ELSE 0 END FROM unic) AS d1
+    (SELECT CAST(COUNT(CASE WHEN n1pr = 1 THEN 1 END) AS DOUBLE)
+     FROM unic) AS w11,
+    (SELECT CAST(COUNT(CASE WHEN n1pr = 2 THEN 1 END) AS DOUBLE)
+     FROM unic) AS w12,
+    (SELECT CAST(COUNT(CASE WHEN n1pr >= 3 THEN 1 END) AS DOUBLE)
+     FROM unic) AS w13,
+    (SELECT da FROM discs WHERE tag = 'tri') AS d31,
+    (SELECT db FROM discs WHERE tag = 'tri') AS d32,
+    (SELECT dc FROM discs WHERE tag = 'tri') AS d33,
+    (SELECT da FROM discs WHERE tag = 'bityp') AS d21,
+    (SELECT db FROM discs WHERE tag = 'bityp') AS d22,
+    (SELECT dc FROM discs WHERE tag = 'bityp') AS d23,
+    (SELECT da FROM discs WHERE tag = 'unic') AS d11,
+    (SELECT db FROM discs WHERE tag = 'unic') AS d12,
+    (SELECT dc FROM discs WHERE tag = 'unic') AS d13
 ), sds AS (
   SELECT doc_id,
          list_filter(string_split(trim(text), ' '),
@@ -1843,11 +1881,18 @@ k AS (
 ), puni AS (
   SELECT t.doc_id, t.w1, t.w2, t.w3,
          CAST(g3.cnt AS DOUBLE) AS c3v,
-         x3.tot AS x3_tot, x3.fol AS x3_fol,
-         bt.n1pl AS n1pl, x2.tot AS x2_tot, x2.r AS x2_r,
-         k.d2, k.d3,
-         GREATEST((GREATEST(COALESCE(u.n1pr, 0) - k.d1, 0)
-                   + k.d1 * k.w1c / (k.v + 1)) / k.nbi, 1e-9) AS p_uni
+         x3.tot AS x3_tot, x3.f1 AS x3_f1, x3.f2 AS x3_f2,
+         x3.f3 AS x3_f3,
+         bt.n1pl AS n1pl, x2.tot AS x2_tot,
+         x2.r1 AS x2_r1, x2.r2 AS x2_r2, x2.r3 AS x2_r3,
+         k.d21, k.d22, k.d23, k.d31, k.d32, k.d33,
+         GREATEST((GREATEST(COALESCE(u.n1pr, 0)
+                     - CASE WHEN COALESCE(u.n1pr, 0) >= 3 THEN k.d13
+                            WHEN COALESCE(u.n1pr, 0) = 2 THEN k.d12
+                            WHEN COALESCE(u.n1pr, 0) = 1 THEN k.d11
+                            ELSE 0 END, 0)
+                   + (k.d11 * k.w11 + k.d12 * k.w12 + k.d13 * k.w13)
+                     / (k.v + 1)) / k.nbi, 1e-9) AS p_uni
   FROM stoks t
   LEFT JOIN c3 g3 ON t.w1 = g3.w1 AND t.w2 = g3.w2 AND t.w3 = g3.w3
   LEFT JOIN ctx3 x3 ON t.w1 = x3.w1 AND t.w2 = x3.w2
@@ -1856,13 +1901,23 @@ k AS (
   LEFT JOIN unic u ON t.w3 = u.w3, k
 ), pbi AS (
   SELECT *, CASE WHEN x2_tot IS NOT NULL THEN
-         (GREATEST(COALESCE(n1pl, 0) - d2, 0) + d2 * x2_r * p_uni) / x2_tot
+         (GREATEST(COALESCE(n1pl, 0)
+            - CASE WHEN COALESCE(n1pl, 0) >= 3 THEN d23
+                   WHEN COALESCE(n1pl, 0) = 2 THEN d22
+                   WHEN COALESCE(n1pl, 0) = 1 THEN d21
+                   ELSE 0 END, 0)
+          + (d21 * x2_r1 + d22 * x2_r2 + d23 * x2_r3) * p_uni) / x2_tot
        ELSE p_uni END AS p_bi
   FROM puni
 ), ptri AS (
   SELECT doc_id, w1, w2, p_uni, p_bi,
          CASE WHEN x3_tot IS NOT NULL THEN
-           (GREATEST(COALESCE(c3v, 0) - d3, 0) + d3 * x3_fol * p_bi) / x3_tot
+           (GREATEST(COALESCE(c3v, 0)
+              - CASE WHEN COALESCE(c3v, 0) >= 3 THEN d33
+                     WHEN COALESCE(c3v, 0) = 2 THEN d32
+                     WHEN COALESCE(c3v, 0) = 1 THEN d31
+                     ELSE 0 END, 0)
+            + (d31 * x3_f1 + d32 * x3_f2 + d33 * x3_f3) * p_bi) / x3_tot
          ELSE p_bi END AS p_tri
   FROM pbi
 ), kn_scored AS (

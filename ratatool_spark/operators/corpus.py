@@ -235,10 +235,14 @@ def doremi_weights(
     # an all-NULL-loss domain sums to NULL — treat as 0 (the oracle
     # COALESCEs identically)
     corpus_mean = float(sum(r["__s"] or 0 for r in stats)) / float(total_n)
+    # None-safe ordering: a NULL source domain is a legal group (it
+    # sorts first) — a bare tuple sort would TypeError on None vs str
+    # and crash the whole reweighting
     doms = sorted(
-        (r[source_col], int(r["__n"]),
-         float(r["__s"] or 0) / float(r["__n"]))
-        for r in stats
+        ((r[source_col], int(r["__n"]),
+          float(r["__s"] or 0) / float(r["__n"]))
+         for r in stats),
+        key=lambda t: (t[0] is not None, str(t[0])),
     )
     k = len(doms)
     exc = [max(m - corpus_mean, 0.0) for _, _, m in doms]
@@ -1376,26 +1380,31 @@ def ngram_lm_score(
 
 
 def kn_lm_model(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Interpolated Kneser–Ney trigram LM state (Kneser & Ney 1995;
-    Chen & Goodman 1999 — the estimator CCNet's KenLM perplexity filter
-    actually uses, vs the stupid-backoff web-scale shortcut of
+    """Interpolated MODIFIED Kneser–Ney trigram LM state (Kneser & Ney
+    1995; Chen & Goodman 1999's three-discount refinement — the exact
+    estimator KenLM implements, i.e. what CCNet's perplexity filter
+    actually runs, vs the stupid-backoff web-scale shortcut of
     :func:`ngram_lm_counts`). The model is FIVE vocabulary-scale count
-    tables plus six scalars, emitted as one tagged DataFrame (persist as
-    parquet, feed :func:`kn_lm_score` as the frozen reference model):
+    tables plus the scalar block, emitted as one tagged DataFrame
+    (persist as parquet, feed :func:`kn_lm_score` as the frozen
+    reference model):
 
       - ``tri``  (w1,w2,w3) → v1 = c(w1 w2 w3)
-      - ``ctx3`` (w1,w2)    → v1 = Σ_w3 c(w1 w2 w3), v2 = N1+(w1 w2 ·)
+      - ``ctx3`` (w1,w2)    → v1 = Σ_w3 c(w1 w2 w3); v2..v4 = follower
+        types with count 1 / 2 / ≥3 (the modified-KN λ needs the
+        per-bucket type counts, not just N1+)
       - ``bityp``(w2,w3)    → v1 = N1+(· w2 w3)  (distinct w1 types —
         the KN insight: lower orders are estimated from CONTINUATION
         type counts, not raw counts)
-      - ``ctx2`` (w2)       → v1 = N1+(· w2 ·), v2 = N1+(w2 ·)
+      - ``ctx2`` (w2)       → v1 = N1+(· w2 ·); v2..v4 = continuation
+        types per bucket
       - ``unic`` (w3)       → v1 = N1+(· w3)   (distinct-left-context
         types from the bigram table)
       - ``const`` rows: V (vocab), NBI (bigram types = N1+(· ·)),
-        W1 (types with N1+(· w3)>0), and the per-order absolute
-        discounts D1/D2/D3 estimated from count-of-counts as
-        n1/(n1 + 2·n2) (Chen & Goodman's KN discount; 0 when the order
-        has no singletons).
+        W11/W12/W13 (continuation-unigram types per bucket), and nine
+        discounts D{order}{bucket}: per order, Y = n1/(n1+2·n2) and
+        D_i = i − (i+1)·Y·n_{i+1}/n_i clamped into [0, i] (empty
+        buckets fall back to the previous discount).
 
     100 TB shape: three corpus scans (trigram counts, bigram counts,
     vocab) — the position frame is deliberately NOT cached (one row per
@@ -1405,17 +1414,21 @@ def kn_lm_model(df: DataFrame, text_col: str = "text") -> DataFrame:
     scalars."""
     tri, ctx3, bityp, ctx2, unic, c = _kn_tables(df, text_col)
 
-    def _tag(t, kind, w1=None, w2=None, w3=None, v1=None, v2=None):
+    def _tag(t, kind, w1=None, w2=None, w3=None,
+             v1=None, v2=None, v3=None, v4=None):
         n = F.lit(None).cast("string")
+
+        def _v(col):
+            return (F.col(col).cast("double") if col
+                    else F.lit(None).cast("double"))
+
         return t.select(
             F.lit(kind).alias("kind"),
             (F.col(w1) if w1 else n).alias("w1"),
             (F.col(w2) if w2 else n).alias("w2"),
             (F.col(w3) if w3 else n).alias("w3"),
-            (F.col(v1).cast("double") if v1 else F.lit(None).cast("double"))
-            .alias("v1"),
-            (F.col(v2).cast("double") if v2 else F.lit(None).cast("double"))
-            .alias("v2"),
+            _v(v1).alias("v1"), _v(v2).alias("v2"),
+            _v(v3).alias("v3"), _v(v4).alias("v4"),
         )
 
     from ratatool_spark.functions.localrel import local_df
@@ -1423,16 +1436,24 @@ def kn_lm_model(df: DataFrame, text_col: str = "text") -> DataFrame:
     consts = local_df(
         df.sparkSession,
         [
-            ("const", None, None, name, float(c[name]), None)
-            for name in ("V", "NBI", "W1", "D1", "D2", "D3")
+            ("const", None, None, name, float(c[name]), None, None, None)
+            for name in (
+                "V", "NBI", "W11", "W12", "W13",
+                "D11", "D12", "D13", "D21", "D22", "D23",
+                "D31", "D32", "D33",
+            )
         ],
-        "kind string, w1 string, w2 string, w3 string, v1 double, v2 double",
+        "kind string, w1 string, w2 string, w3 string, "
+        "v1 double, v2 double, v3 double, v4 double",
     )
     return (
         _tag(tri, "tri", "w1", "w2", "w3", "cnt")
-        .unionByName(_tag(ctx3, "ctx3", "w1", "w2", None, "tot", "fol"))
+        .unionByName(
+            _tag(ctx3, "ctx3", "w1", "w2", None,
+                 "tot", "fol1", "fol2", "fol3"))
         .unionByName(_tag(bityp, "bityp", None, "w2", "w3", "n1pl"))
-        .unionByName(_tag(ctx2, "ctx2", None, "w2", None, "tot", "r"))
+        .unionByName(
+            _tag(ctx2, "ctx2", None, "w2", None, "tot", "r1", "r2", "r3"))
         .unionByName(_tag(unic, "unic", None, None, "w3", "n1pr"))
         .unionByName(consts)
     )
@@ -1465,61 +1486,85 @@ def _kn_tables(df: DataFrame, text_col: str):
         bi.groupBy("w3").agg(F.count(F.lit(1)).cast("double").alias("n1pr"))
     )
 
-    # ONE fused scalar job: the per-order count-of-counts (discount
-    # inputs), the bigram-type and continuation-type totals, and the
-    # vocabulary size ride a single unioned aggregate — one driver
-    # round-trip instead of six
+    # ONE fused scalar job: the per-order count-of-counts n1..n4 (the
+    # modified-KN discount inputs), the bigram-type and continuation-
+    # type bucket totals, and the vocabulary size ride a single unioned
+    # aggregate — one driver round-trip instead of six
     def _coc_agg(t, c, tag):
         return t.agg(
             F.lit(tag).alias("tag"),
             F.sum(F.when(F.col(c) == 1, 1).otherwise(0)).alias("n1"),
             F.sum(F.when(F.col(c) == 2, 1).otherwise(0)).alias("n2"),
+            F.sum(F.when(F.col(c) == 3, 1).otherwise(0)).alias("n3"),
+            F.sum(F.when(F.col(c) == 4, 1).otherwise(0)).alias("n4"),
             F.count(F.lit(1)).alias("n"),
         )
 
+    zero = [F.lit(0).alias(a) for a in ("n1", "n2", "n3", "n4")]
     scal = {
         r["tag"]: r
         for r in _coc_agg(tri, "cnt", "tri")
         .unionByName(_coc_agg(bityp, "n1pl", "bityp"))
         .unionByName(_coc_agg(unic, "n1pr", "unic"))
         .unionByName(
-            bi.agg(
-                F.lit("bi").alias("tag"),
-                F.lit(0).alias("n1"),
-                F.lit(0).alias("n2"),
-                F.count(F.lit(1)).alias("n"),
-            )
+            bi.agg(F.lit("bi").alias("tag"), *zero,
+                   F.count(F.lit(1)).alias("n"))
         )
         .unionByName(
-            pos.agg(
-                F.lit("vocab").alias("tag"),
-                F.lit(0).alias("n1"),
-                F.lit(0).alias("n2"),
-                F.countDistinct("w3").alias("n"),
-            )
+            pos.agg(F.lit("vocab").alias("tag"), *zero,
+                    F.countDistinct("w3").alias("n"))
         )
         .collect()
     }
 
-    def _disc(tag):
-        n1, n2 = int(scal[tag]["n1"] or 0), int(scal[tag]["n2"] or 0)
-        return float(n1) / float(n1 + 2 * n2) if n1 + 2 * n2 > 0 else 0.0
+    def _discs(tag):
+        """Chen & Goodman (1999) modified-KN discounts (D1, D2, D3+)
+        for one order: Y = n1/(n1+2n2); D_i = (i) − (i+1)·Y·n_{i+1}/n_i,
+        clamped into [0, i] (the clamp keeps each conditional summing to
+        exactly 1 — an over-i discount would hand λ more mass than the
+        numerator gave up); an empty bucket falls back to the previous
+        discount (SRILM's behaviour on degenerate count-of-counts)."""
+        r = scal[tag]
+        n1, n2 = int(r["n1"] or 0), int(r["n2"] or 0)
+        n3, n4 = int(r["n3"] or 0), int(r["n4"] or 0)
+        y = float(n1) / float(n1 + 2 * n2) if n1 + 2 * n2 > 0 else 0.0
+        d1 = min(max(1.0 - 2.0 * y * n2 / n1, 0.0), 1.0) if n1 > 0 else 0.0
+        d2 = min(max(2.0 - 3.0 * y * n3 / n2, 0.0), 2.0) if n2 > 0 else d1
+        d3 = min(max(3.0 - 4.0 * y * n4 / n3, 0.0), 3.0) if n3 > 0 else d2
+        return d1, d2, d3
 
-    d3, d2, d1 = _disc("tri"), _disc("bityp"), _disc("unic")
+    d31, d32, d33 = _discs("tri")
+    d21, d22, d23 = _discs("bityp")
+    d11, d12, d13 = _discs("unic")
     v = int(scal["vocab"]["n"] or 0)
     nbi = int(scal["bi"]["n"])
-    w1c = int(scal["unic"]["n"])
+    w11 = int(scal["unic"]["n1"] or 0)
+    w12 = int(scal["unic"]["n2"] or 0)
+    w13 = int(scal["unic"]["n"]) - w11 - w12
 
+    def _buckets(c):
+        return [
+            F.count(F.when(F.col(c) == 1, 1)).cast("double"),
+            F.count(F.when(F.col(c) == 2, 1)).cast("double"),
+            F.count(F.when(F.col(c) >= 3, 1)).cast("double"),
+        ]
+
+    b3 = _buckets("cnt")
     ctx3 = tri.groupBy("w1", "w2").agg(
         F.sum("cnt").cast("double").alias("tot"),
-        F.count(F.lit(1)).cast("double").alias("fol"),
+        b3[0].alias("fol1"), b3[1].alias("fol2"), b3[2].alias("fol3"),
     )
+    b2 = _buckets("n1pl")
     ctx2 = bityp.groupBy("w2").agg(
-        F.sum("n1pl").alias("tot"), F.count(F.lit(1)).cast("double").alias("r")
+        F.sum("n1pl").alias("tot"),
+        b2[0].alias("r1"), b2[1].alias("r2"), b2[2].alias("r3"),
     )
     consts = {
-        "V": float(v), "NBI": float(nbi), "W1": float(w1c),
-        "D1": d1, "D2": d2, "D3": d3,
+        "V": float(v), "NBI": float(nbi),
+        "W11": float(w11), "W12": float(w12), "W13": float(w13),
+        "D11": d11, "D12": d12, "D13": d13,
+        "D21": d21, "D22": d22, "D23": d23,
+        "D31": d31, "D32": d32, "D33": d33,
     }
     return tri, ctx3, bityp, ctx2, unic, consts
 
@@ -1532,16 +1577,21 @@ def kn_lm_score(
     oov_floor: float = 1e-9,
 ) -> DataFrame:
     """(id, n_tokens, mean_logscore): mean per-token log probability
-    under an interpolated Kneser–Ney trigram LM (:func:`kn_lm_model`) —
-    the CCNet perplexity-filter scorer with KenLM's estimator. Per
-    token, with D_n the per-order discounts and continuation counts as
-    in the model:
+    under an interpolated MODIFIED Kneser–Ney trigram LM
+    (:func:`kn_lm_model`) — the CCNet perplexity-filter scorer with
+    KenLM's estimator (Chen & Goodman 1999 three-discount form). Per
+    token, with D(c) the order's count-bucketed discount (D1 for
+    count 1, D2 for 2, D3+ for ≥3; 0 for unseen) and the λ mass the
+    exact sum the numerators gave up:
 
-      p_uni(w)      = (max(N1+(·w) − D1, 0) + D1·W1/(V+1)) / N1+(··)
-      p_bi(w|u)     = (max(N1+(·uw) − D2, 0) + D2·N1+(u·)·p_uni(w))
-                      / N1+(·u·)            [p_uni if u has no types]
-      p_tri(w|t,u)  = (max(c(tuw) − D3, 0) + D3·N1+(tu·)·p_bi(w|u))
-                      / c(tu·)              [p_bi if (t,u) unseen]
+      p_uni(w)      = (max(N1+(·w) − D(·), 0)
+                       + (ΣD_i·W1_i)/(V+1)) / N1+(··)
+      p_bi(w|u)     = (max(N1+(·uw) − D(·), 0)
+                       + (ΣD_i·r_i(u))·p_uni(w)) / N1+(·u·)
+                                             [p_uni if u has no types]
+      p_tri(w|t,u)  = (max(c(tuw) − D(c), 0)
+                       + (ΣD_i·fol_i(t,u))·p_bi(w|u)) / c(tu·)
+                                             [p_bi if (t,u) unseen]
 
     Each distribution sums to EXACTLY 1 over the V+1-point support
     (vocabulary + one unseen slot sharing the uniform mass) — pinned in
@@ -1565,12 +1615,14 @@ def kn_lm_score(
             F.col("cnt").cast("double").alias("c3"))
         ctx3 = ctx30.select(
             F.col("w1").alias("x3_w1"), F.col("w2").alias("x3_w2"),
-            F.col("tot").alias("x3_tot"), F.col("fol").alias("x3_fol"))
+            F.col("tot").alias("x3_tot"), F.col("fol1").alias("x3_f1"),
+            F.col("fol2").alias("x3_f2"), F.col("fol3").alias("x3_f3"))
         bityp = bityp0.select(
             F.col("w2").alias("b_w2"), F.col("w3").alias("b_w3"), "n1pl")
         ctx2 = ctx20.select(
-            F.col("w2").alias("x2_w2"),
-            F.col("tot").alias("x2_tot"), F.col("r").alias("x2_r"))
+            F.col("w2").alias("x2_w2"), F.col("tot").alias("x2_tot"),
+            F.col("r1").alias("x2_r1"), F.col("r2").alias("x2_r2"),
+            F.col("r3").alias("x2_r3"))
         unic = unic0.select(F.col("w3").alias("u_w3"), "n1pr")
     else:
         # frozen model: checkpoint the stored union once — each
@@ -1588,17 +1640,22 @@ def kn_lm_score(
             F.col("w3").alias("t_w3"), F.col("v1").alias("c3"))
         ctx3 = model_df.where(F.col("kind") == "ctx3").select(
             F.col("w1").alias("x3_w1"), F.col("w2").alias("x3_w2"),
-            F.col("v1").alias("x3_tot"), F.col("v2").alias("x3_fol"))
+            F.col("v1").alias("x3_tot"), F.col("v2").alias("x3_f1"),
+            F.col("v3").alias("x3_f2"), F.col("v4").alias("x3_f3"))
         bityp = model_df.where(F.col("kind") == "bityp").select(
             F.col("w2").alias("b_w2"), F.col("w3").alias("b_w3"),
             F.col("v1").alias("n1pl"))
         ctx2 = model_df.where(F.col("kind") == "ctx2").select(
-            F.col("w2").alias("x2_w2"),
-            F.col("v1").alias("x2_tot"), F.col("v2").alias("x2_r"))
+            F.col("w2").alias("x2_w2"), F.col("v1").alias("x2_tot"),
+            F.col("v2").alias("x2_r1"), F.col("v3").alias("x2_r2"),
+            F.col("v4").alias("x2_r3"))
         unic = model_df.where(F.col("kind") == "unic").select(
             F.col("w3").alias("u_w3"), F.col("v1").alias("n1pr"))
-    v, nbi, w1c = c["V"], c["NBI"], c["W1"]
-    d1, d2, d3 = c["D1"], c["D2"], c["D3"]
+    v, nbi = c["V"], c["NBI"]
+    w11, w12, w13 = c["W11"], c["W12"], c["W13"]
+    d11, d12, d13 = c["D11"], c["D12"], c["D13"]
+    d21, d22, d23 = c["D21"], c["D22"], c["D23"]
+    d31, d32, d33 = c["D31"], c["D32"], c["D33"]
     pos = _ngram_position_frame(df, text_col, id_col)
     j = (
         pos
@@ -1612,13 +1669,28 @@ def kn_lm_score(
         .join(ctx2, F.col("w2") == F.col("x2_w2"), "left")
         .join(unic, F.col("w3") == F.col("u_w3"), "left")
     )
-    # uniform bonus precomputed in Python: D1·W1/(V+1) — one IEEE
-    # sequence, replayed identically by the oracle
-    uni_bonus = d1 * w1c / (v + 1.0)
+
+    def _disc(cnt_col, da, db, dc):
+        """The modified-KN count-bucketed discount: D1 for count 1,
+        D2 for count 2, D3+ for count >= 3, 0 for unseen."""
+        cc = F.coalesce(F.col(cnt_col), F.lit(0.0))
+        return (
+            F.when(cc >= 3, F.lit(dc))
+            .when(cc == 2, F.lit(db))
+            .when(cc == 1, F.lit(da))
+            .otherwise(F.lit(0.0))
+        )
+
+    # uniform bonus precomputed in Python: (D11·W11+D12·W12+D13·W13)
+    # /(V+1) — one IEEE sequence, replayed identically by the oracle
+    uni_bonus = (d11 * w11 + d12 * w12 + d13 * w13) / (v + 1.0)
     p_uni = F.greatest(
         (
-            F.greatest(F.coalesce(F.col("n1pr"), F.lit(0.0)) - F.lit(d1),
-                       F.lit(0.0))
+            F.greatest(
+                F.coalesce(F.col("n1pr"), F.lit(0.0))
+                - _disc("n1pr", d11, d12, d13),
+                F.lit(0.0),
+            )
             + F.lit(uni_bonus)
         )
         / F.lit(nbi),
@@ -1627,18 +1699,26 @@ def kn_lm_score(
     p_bi = F.when(
         F.col("x2_tot").isNotNull(),
         (
-            F.greatest(F.coalesce(F.col("n1pl"), F.lit(0.0)) - F.lit(d2),
-                       F.lit(0.0))
-            + F.lit(d2) * F.col("x2_r") * p_uni
+            F.greatest(
+                F.coalesce(F.col("n1pl"), F.lit(0.0))
+                - _disc("n1pl", d21, d22, d23),
+                F.lit(0.0),
+            )
+            + (F.lit(d21) * F.col("x2_r1") + F.lit(d22) * F.col("x2_r2")
+               + F.lit(d23) * F.col("x2_r3")) * p_uni
         )
         / F.col("x2_tot"),
     ).otherwise(p_uni)
     p_tri = F.when(
         F.col("x3_tot").isNotNull(),
         (
-            F.greatest(F.coalesce(F.col("c3"), F.lit(0.0)) - F.lit(d3),
-                       F.lit(0.0))
-            + F.lit(d3) * F.col("x3_fol") * p_bi
+            F.greatest(
+                F.coalesce(F.col("c3"), F.lit(0.0))
+                - _disc("c3", d31, d32, d33),
+                F.lit(0.0),
+            )
+            + (F.lit(d31) * F.col("x3_f1") + F.lit(d32) * F.col("x3_f2")
+               + F.lit(d33) * F.col("x3_f3")) * p_bi
         )
         / F.col("x3_tot"),
     ).otherwise(p_bi)

@@ -1448,22 +1448,34 @@ def test_kn_lm_frozen_oov_finite_and_floor(spark):
 
 
 def test_kn_lm_discounts_from_count_of_counts(spark):
-    """D = n1/(n1+2*n2) per order, from that order's (continuation)
-    count table."""
+    """Modified-KN (Chen & Goodman 1999) three-discount estimates from
+    each order's (continuation) count-of-counts: Y = n1/(n1+2n2),
+    D_i = i − (i+1)·Y·n_{i+1}/n_i clamped into [0, i]; empty buckets
+    fall back to the previous discount."""
     from pyspark.sql import functions as F
 
     from ratatool_spark.operators.corpus import kn_lm_model
 
-    # trigram types: (a,b,c)x2, (b,c,a)x1, (c,a,b)x1  -> n1=2, n2=1
     docs = spark.createDataFrame(
         [(0, "a b c a b c")], "doc_id int, text string"
     )
     m = kn_lm_model(docs)
     c = {r["w3"]: r["v1"] for r in m.where(F.col("kind") == "const").collect()}
-    # tri counts: abc:2, bca:1, cab:1 -> n1=2, n2=1 -> D3 = 2/4
-    assert c["D3"] == 2.0 / 4.0
-    assert 0.0 <= c["D1"] <= 1.0 and 0.0 <= c["D2"] <= 1.0
+    # tri counts: abc:2, bca:1, cab:1 -> n1=2 n2=1 n3=n4=0
+    # Y = 2/4 = .5; D31 = 1 - 2*.5*(1/2) = .5;
+    # D32 = 2 - 3*.5*(0/1) = 2.0; D33 (n3=0) falls back to D32
+    assert c["D31"] == 0.5
+    assert c["D32"] == 2.0 and c["D33"] == 2.0
+    for i, names in enumerate(
+        (("D11", "D21", "D31"), ("D12", "D22", "D32"),
+         ("D13", "D23", "D33")), start=1
+    ):
+        for nm in names:
+            assert 0.0 <= c[nm] <= float(i), (nm, c[nm])
     assert c["V"] == 3.0
+    # W1 buckets partition the continuation-unigram types
+    uni_types = m.where(F.col("kind") == "unic").count()
+    assert c["W11"] + c["W12"] + c["W13"] == float(uni_types)
 
 
 def test_doremi_weights_upweight_hard_domains(spark):
@@ -1495,3 +1507,20 @@ def test_doremi_weights_uniform_when_no_excess(spark):
     rows = doremi_weights(df, "loss", rounds=3).collect()
     for r in rows:
         assert abs(r["weight"] - 1.0 / 3) < 1e-12
+
+
+def test_doremi_weights_null_domain_is_a_group(spark):
+    """A NULL source domain is a legal groupBy key — the driver-side
+    domain sort must not TypeError comparing None with str (r10
+    ADVICE); the NULL group gets a weight like any other."""
+    from ratatool_spark.operators.corpus import doremi_weights
+
+    df = spark.createDataFrame(
+        [("a", 1.0), (None, 9.0), ("b", 1.2), (None, 8.0)],
+        "source string, loss double",
+    )
+    rows = {r["source"]: r["weight"]
+            for r in doremi_weights(df, "loss", rounds=4).collect()}
+    assert set(rows) == {"a", "b", None}
+    assert abs(sum(rows.values()) - 1.0) < 1e-12
+    assert rows[None] > rows["a"]  # the hard (high-loss) domain
