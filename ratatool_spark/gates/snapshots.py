@@ -1883,3 +1883,99 @@ SELECT status,
 FROM merged
 GROUP BY status
 """
+
+
+def _q_snapshot_branch_merge(spark, sf_dir):
+    """Branch WRITE surface beyond append (operators/snapshots.
+    merge_branch_mor / delete_branch_where / fold_branch_deletes +
+    fast-forward — the full Iceberg-branch engineering loop: fork,
+    transform on the branch, publish): main takes the o_orderkey%3==0
+    third of a trimmed orders slice, a 'etl' branch forks, the %3==1
+    third lands as a branch append, a MoR MERGE upserts the %5==0 keys
+    (doubled totals; %3∈{0,1} are updates, %3==2 inserts) with ZERO
+    file rewrites, a CoW range DELETE drops o_orderkey<=3000, then
+    fast_forward_branch(spark=) folds the pending branch-local sidecar
+    and publishes the lineage as one main commit. Pinned in-gate: the
+    MoR commit carried every pre-merge file (no_rewrite), the FF'd main
+    manifest holds no pending deletes (folded), the FF records the
+    4-commit lineage, the branch resets empty, and main never moved
+    before the FF. The oracle replays upsert+delete algebra straight
+    from the source slice."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    import ratatool_spark.operators.snapshots as snap
+
+    src = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(F.col("o_orderkey") % 4 == 1)  # fixture trim
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    path = tempfile.mkdtemp(prefix="rt_brmerge_") + "/tbl"
+    snap.commit_append(src.where(F.col("o_orderkey") % 3 == 0), path)
+    snap.create_branch(path, "etl")
+    snap.commit_append_branch(
+        src.where(F.col("o_orderkey") % 3 == 1), path, "etl")
+    pre_files = {
+        e["path"] for e in snap._branch_head_manifest(path, "etl")[1]["files"]
+    }
+    changes = src.where(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey", "o_orderstatus",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+    )
+    snap.merge_branch_mor(spark, path, "etl", changes, ["o_orderkey"])
+    _, head = snap._branch_head_manifest(path, "etl")
+    no_rewrite = pre_files <= {e["path"] for e in head["files"]}
+    snap.delete_branch_where(spark, path, "etl", {"o_orderkey": (0, 3000)})
+    main_isolated = snap.current_snapshot_id(path) == 1
+    snap.fast_forward_branch(path, "etl", spark=spark)
+    m = snap.read_manifest(path, load_files=False)
+    ref = snap.table_branches(path)["etl"]
+    return (
+        snap.read_snapshot(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_total"),
+        )
+        .select(
+            "*",
+            F.lit(bool(no_rewrite)).alias("no_rewrite"),
+            F.lit(len(m.get("deletes", [])) == 0).alias("folded"),
+            F.lit(int(m.get("branch_commits", 0)))
+            .cast("long")
+            .alias("ff_commits"),
+            F.lit(ref["base"] == 2 and ref["head"] == 0)
+            .alias("branch_reset"),
+            F.lit(bool(main_isolated)).alias("main_isolated"),
+        )
+    )
+
+
+_SQL_SNAPSHOT_BRANCH_MERGE = """
+WITH src AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 4 = 1
+),
+base AS (SELECT * FROM src WHERE o_orderkey % 3 IN (0, 1)),
+chg AS (SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice
+        FROM src WHERE o_orderkey % 5 = 0),
+merged AS (
+  SELECT * FROM base WHERE o_orderkey % 5 <> 0
+  UNION ALL SELECT * FROM chg
+),
+final AS (SELECT * FROM merged WHERE o_orderkey NOT BETWEEN 0 AND 3000)
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+       TRUE AS no_rewrite,
+       TRUE AS folded,
+       CAST(4 AS BIGINT) AS ff_commits,
+       TRUE AS branch_reset,
+       TRUE AS main_isolated
+FROM final
+GROUP BY o_orderstatus
+"""
