@@ -1046,7 +1046,8 @@ def build_parser() -> argparse.ArgumentParser:
         help="stage/read-branch/publish/discard mode (write-audit-"
         "publish) and create-branch/append-branch/read-branch-snapshot/"
         "fast-forward/delete-branch (named multi-commit branches): "
-        "branch name",
+        "branch name; with merge/merge-mor/delete/delete-mor/fold the "
+        "write lands on the BRANCH head instead of main",
     )
     sn.add_argument(
         "--metadataKind", default=None,
@@ -2261,7 +2262,8 @@ def main(argv: list[str] | None = None) -> int:
                 if not args.branch:
                     raise SystemExit(
                         "--branch is required with --mode fast-forward")
-                sid = snap.fast_forward_branch(args.table, args.branch)
+                sid = snap.fast_forward_branch(
+                    args.table, args.branch, spark=spark)
                 print(_json.dumps({"branch": args.branch,
                                    "snapshot_id": sid}))
             elif args.mode == "delete-branch":
@@ -2400,7 +2402,12 @@ def main(argv: list[str] | None = None) -> int:
                         "--input and --keys are required with --mode merge"
                     )
                 df = read_table(spark, args.input, fmt=args.format)
-                sid = snap.merge_snapshot(spark, args.table, df, args.keys)
+                if args.branch:
+                    sid = snap.merge_branch(
+                        spark, args.table, args.branch, df, args.keys)
+                else:
+                    sid = snap.merge_snapshot(
+                        spark, args.table, df, args.keys)
                 print(_json.dumps({"snapshot_id": sid}))
             elif args.mode == "merge-mor":
                 if not args.input or not args.keys:
@@ -2408,10 +2415,19 @@ def main(argv: list[str] | None = None) -> int:
                         "--input and --keys are required with --mode merge-mor"
                     )
                 df = read_table(spark, args.input, fmt=args.format)
-                sid = snap.merge_snapshot_mor(spark, args.table, df, args.keys)
+                if args.branch:
+                    sid = snap.merge_branch_mor(
+                        spark, args.table, args.branch, df, args.keys)
+                else:
+                    sid = snap.merge_snapshot_mor(
+                        spark, args.table, df, args.keys)
                 print(_json.dumps({"snapshot_id": sid}))
             elif args.mode == "fold":
-                sid = snap.fold_deletes(spark, args.table)
+                if args.branch:
+                    sid = snap.fold_branch_deletes(
+                        spark, args.table, args.branch)
+                else:
+                    sid = snap.fold_deletes(spark, args.table)
                 print(_json.dumps({"snapshot_id": sid,
                                    "folded": sid is not None}))
             elif args.mode == "changes":
@@ -2444,7 +2460,11 @@ def main(argv: list[str] | None = None) -> int:
                 box = _where_box()
                 if not box:
                     raise SystemExit("--where is required with --mode delete")
-                sid = snap.delete_snapshot_where(spark, args.table, box)
+                if args.branch:
+                    sid = snap.delete_branch_where(
+                        spark, args.table, args.branch, box)
+                else:
+                    sid = snap.delete_snapshot_where(spark, args.table, box)
                 print(_json.dumps({"snapshot_id": sid}))
             elif args.mode == "delete-mor":
                 box = _where_box()
@@ -2452,7 +2472,12 @@ def main(argv: list[str] | None = None) -> int:
                     raise SystemExit(
                         "--where is required with --mode delete-mor"
                     )
-                sid = snap.delete_snapshot_where_mor(spark, args.table, box)
+                if args.branch:
+                    sid = snap.delete_branch_where_mor(
+                        spark, args.table, args.branch, box)
+                else:
+                    sid = snap.delete_snapshot_where_mor(
+                        spark, args.table, box)
                 print(_json.dumps({"snapshot_id": sid}))
             elif args.mode == "cluster":
                 if not args.zorderBy:

@@ -3163,3 +3163,49 @@ def test_vacuum_and_expire_keep_live_branch_files(spark, tmp_path):
     snap.delete_branch(path, "dev")
     removed = set(snap.vacuum_orphans(path, older_than=0.0))
     assert branch_files <= removed and sidecars <= removed
+
+
+def test_cli_branch_write_modes(spark, tmp_path):
+    """merge/merge-mor/delete/delete-mor/fold with --branch land on the
+    branch head; fast-forward auto-folds (spark= is wired)."""
+    import io
+    import json as _json
+    from contextlib import redirect_stdout
+
+    import ratatool_spark.operators.snapshots as snap
+    from ratatool_spark.cli import main
+
+    root = str(tmp_path)
+    tbl = f"{root}/tbl"
+    spark.createDataFrame(
+        [(i, i * 10) for i in range(10)], "id long, val long"
+    ).write.parquet(f"{root}/in.parquet")
+    spark.createDataFrame(
+        [(5, 555), (12, 120)], "id long, val long"
+    ).write.parquet(f"{root}/chg.parquet")
+
+    def run(*argv):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            main(list(argv))
+        return [_json.loads(ln) for ln in buf.getvalue().splitlines() if ln]
+
+    run("snapshot", "--mode", "append", "--table", tbl,
+        "--input", f"{root}/in.parquet")
+    run("snapshot", "--mode", "create-branch", "--table", tbl,
+        "--branch", "dev")
+    assert run("snapshot", "--mode", "merge-mor", "--table", tbl,
+               "--branch", "dev", "--input", f"{root}/chg.parquet",
+               "--keys", "id")[0]["snapshot_id"] == 1
+    assert run("snapshot", "--mode", "delete", "--table", tbl,
+               "--branch", "dev", "--where", "id:0:2")[0]["snapshot_id"] == 2
+    got = {r["id"]: r["val"] for r in
+           snap.read_branch_snapshot(spark, tbl, "dev").collect()}
+    assert got == {**{i: i * 10 for i in range(3, 10)}, 5: 555, 12: 120}
+    assert snap.read_snapshot(spark, tbl).count() == 10  # main intact
+    # FF auto-folds the branch-local MoR sidecar
+    assert run("snapshot", "--mode", "fast-forward", "--table", tbl,
+               "--branch", "dev")[0]["snapshot_id"] == 2
+    assert snap.read_manifest(tbl).get("deletes", []) == []
+    assert {r["id"]: r["val"]
+            for r in snap.read_snapshot(spark, tbl).collect()} == got
