@@ -3408,45 +3408,49 @@ def _heal_interrupted_ff(table_path: str, name: str) -> bool:
         ref = json.load(f)
     if current_snapshot_id(table_path) == ref["base"]:
         return False  # main never moved: nothing interrupted
-    for sid in _snap_ids(table_path):
-        if sid <= ref["base"]:
-            continue
+    # an FF commit publishes with parent == the fork base, and ids are
+    # dense (new_id = parent+1) — so the only possible interrupted-FF
+    # commit is base+1: one manifest read, not a history walk
+    sid = ref["base"] + 1
+    try:
         m = read_manifest(table_path, sid, load_files=False)
-        if (
-            m.get("fast_forward_branch") == name
-            and m.get("parent") == ref["base"]
-        ):
-            k = int(m.get("branch_commits", 0))
-            stale = [
-                i for i in branch_snapshot_ids(table_path, name) if i > k
-            ]
-            if stale:
-                raise CommitConflict(
-                    f"branch {name!r} has local snapshot(s) {stale} that "
-                    f"raced an interrupted fast-forward (main already "
-                    f"absorbed commits 1..{k} at snapshot {sid}) — their "
-                    "base predates the reset ref; read them with "
-                    "read_branch_snapshot, delete_branch, re-branch from "
-                    "current, and replay"
-                )
-            import time
+    except FileNotFoundError:
+        return False  # base+1 expired or never existed: nothing to heal
+    if (
+        m.get("fast_forward_branch") != name
+        or m.get("parent") != ref["base"]
+        # an interrupted FF's commit always postdates its ref — an OLDER
+        # FF commit of the same name means the branch was deliberately
+        # re-created at the old fork point; healing would delete its
+        # fresh commits as "absorbed"
+        or m.get("committed_at", 0.0) < ref.get("created_at", 0.0)
+    ):
+        return False
+    k = int(m.get("branch_commits", 0))
+    stale = [i for i in branch_snapshot_ids(table_path, name) if i > k]
+    if stale:
+        raise CommitConflict(
+            f"branch {name!r} has local snapshot(s) {stale} that "
+            f"raced an interrupted fast-forward (main already "
+            f"absorbed commits 1..{k} at snapshot {sid}) — their "
+            "base predates the reset ref; read them with "
+            "read_branch_snapshot, delete_branch, re-branch from "
+            "current, and replay"
+        )
+    import time
 
-            tmp = p + f".tmp-{uuid.uuid4().hex}"
-            with open(tmp, "w") as f:
-                json.dump(
-                    {"name": name, "base": sid,
-                     "created_at": time.time()}, f
-                )
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, p)
-            for i in branch_snapshot_ids(table_path, name):
-                if i <= k:
-                    _remove_published(
-                        _branch_manifest_path(table_path, name, i)
-                    )
-            return True
-    return False
+    tmp = p + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(
+            {"name": name, "base": sid, "created_at": time.time()}, f
+        )
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, p)
+    for i in branch_snapshot_ids(table_path, name):
+        if i <= k:
+            _remove_published(_branch_manifest_path(table_path, name, i))
+    return True
 
 
 def commit_append_branch(

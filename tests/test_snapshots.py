@@ -3209,3 +3209,34 @@ def test_cli_branch_write_modes(spark, tmp_path):
     assert snap.read_manifest(tbl).get("deletes", []) == []
     assert {r["id"]: r["val"]
             for r in snap.read_snapshot(spark, tbl).collect()} == got
+
+
+def test_recreated_branch_at_old_fork_not_healed(spark, tmp_path):
+    """A branch deliberately re-created at an OLD fork point whose
+    base+1 is a previous fast-forward of the same name must NOT be
+    'healed' — that would delete its fresh commits as absorbed. The
+    heal only fires when the FF commit postdates the ref."""
+    import ratatool_spark.operators.snapshots as snap
+
+    path = str(tmp_path / "refork")
+    snap.commit_append(
+        spark.createDataFrame([(1, 10)], "id long, val long"), path
+    )
+    snap.create_branch(path, "dev")
+    snap.commit_append_branch(
+        spark.createDataFrame([(2, 20)], "id long, val long"), path, "dev"
+    )
+    snap.fast_forward_branch(path, "dev")          # main: 2 (FF of dev)
+    snap.delete_branch(path, "dev")
+    snap.create_branch(path, "dev", snapshot_id=1)  # back at the old fork
+    k = snap.commit_append_branch(
+        spark.createDataFrame([(9, 90)], "id long, val long"), path, "dev"
+    )
+    assert k == 1
+    # the fresh commit survives further writes (no heal fired)
+    assert snap.commit_append_branch(
+        spark.createDataFrame([(8, 80)], "id long, val long"), path, "dev"
+    ) == 2
+    ids = {r["id"] for r in
+           snap.read_branch_snapshot(spark, path, "dev").collect()}
+    assert ids == {1, 9, 8}  # fork-point row + both fresh branch rows
