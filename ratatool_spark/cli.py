@@ -2281,7 +2281,7 @@ def main(argv: list[str] | None = None) -> int:
                         "--metadataKind is required with --mode metadata")
                 out = snap.metadata_table(
                     spark, args.table, args.metadataKind,
-                    snapshot_id=args.snapshotId)
+                    snapshot_id=args.snapshotId, branch=args.branch)
                 if args.output:
                     write_table(out, args.output, fmt=args.format)
                     print(_json.dumps({"rows": out.count(),

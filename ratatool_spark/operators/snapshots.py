@@ -3509,6 +3509,11 @@ def _publish_branch_commit(
         "operation": operation,
         "committed_at": time.time(),
         "schema": m["schema"],
+        # same commit-time totals discipline as main manifests: the
+        # branch `.snapshots` view stays O(#commits)
+        "n_files": len(files),
+        "rows_total": sum(int(e.get("rows") or 0) for e in files),
+        "bytes_total": sum(int(e.get("bytes") or 0) for e in files),
         "files": files,
         "deletes": deletes,
     }
@@ -4719,11 +4724,109 @@ def snapshot_log(spark: SparkSession, table_path: str) -> DataFrame:
     )
 
 
+def _branch_manifest_at(table_path: str, name: str, k: int | None) -> dict:
+    """A branch-local manifest by id (None = head; 0 = fork point)."""
+    if k is None:
+        return _branch_head_manifest(table_path, name)[1]
+    if k == 0:
+        with open(_branch_ref_path(table_path, name)) as f:
+            return read_manifest(table_path, json.load(f)["base"])
+    p = _branch_manifest_path(table_path, name, k)
+    if not os.path.exists(p):
+        raise FileNotFoundError(
+            f"branch {name!r} has no local snapshot {k} "
+            f"(have {branch_snapshot_ids(table_path, name)})"
+        )
+    with open(p) as f:
+        return json.load(f)
+
+
+def _branch_metadata_table(
+    spark: SparkSession,
+    table_path: str,
+    kind: str,
+    snapshot_id: int | None,
+    branch: str,
+) -> DataFrame:
+    """The inspection surface scoped to one branch's lineage — same
+    schemas as the main views so consumers union them freely;
+    snapshot ids are BRANCH-LOCAL (1-based; parent 0 = fork point)."""
+    if kind == "files":
+        m = _branch_manifest_at(table_path, branch, snapshot_id)
+        sid = snapshot_id if snapshot_id is not None \
+            else m.get("branch_id", 0)
+        return manifest_files_df(spark, table_path, m=m).select(
+            F.lit(sid).cast("bigint").alias("snapshot_id"), "*"
+        )
+    if kind == "snapshots":
+        rows = []
+        for k in branch_snapshot_ids(table_path, branch):
+            m = _branch_manifest_at(table_path, branch, k)
+            if "rows_total" in m:
+                n_f, n_rows, n_bytes = (
+                    m["n_files"], m["rows_total"], m["bytes_total"])
+            else:  # pre-totals branch manifest
+                n_f = len(m["files"])
+                n_rows = sum(e["rows"] for e in m["files"])
+                n_bytes = sum(e["bytes"] for e in m["files"])
+            rows.append((
+                k, k - 1, float(m.get("committed_at", 0.0)),
+                m["operation"], n_f, n_rows, n_bytes,
+                len(m.get("deletes", [])), len(m.get("changes", [])),
+            ))
+        return local_df(
+            spark,
+            rows,
+            "snapshot_id bigint, parent bigint, committed_at double, "
+            "operation string, n_files bigint, rows bigint, bytes bigint, "
+            "n_pending_deletes bigint, n_change_files bigint",
+        )
+    if kind == "history":
+        # branch lineage is linear (no rollback surface): every local
+        # commit is an ancestor of the head
+        rows = [
+            (float(_branch_manifest_at(table_path, branch, k)
+                   .get("committed_at", 0.0)), k, k - 1, True)
+            for k in branch_snapshot_ids(table_path, branch)
+        ]
+        return local_df(
+            spark,
+            rows,
+            "made_current_at double, snapshot_id bigint, parent bigint, "
+            "is_current_ancestor boolean",
+        )
+    if kind == "partitions":
+        m = _branch_manifest_at(table_path, branch, snapshot_id)
+        agg: dict[tuple, list] = {}
+        for e in m["files"]:
+            key = tuple(sorted((e.get("partition") or {}).items()))
+            a = agg.setdefault(key, [0, 0, 0])
+            a[0] += 1
+            a[1] += e["rows"]
+            a[2] += e["bytes"]
+        rows = [
+            ({kk: (None if v is None else str(v)) for kk, v in key},
+             a[0], a[1], a[2])
+            for key, a in agg.items()
+        ]
+        return local_df(
+            spark,
+            rows,
+            "partition map<string,string>, n_files bigint, "
+            "rows bigint, bytes bigint",
+        )
+    raise ValueError(
+        f"metadata table {kind!r} has no branch scope — branch= applies "
+        "to files, snapshots, history, partitions"
+    )
+
+
 def metadata_table(
     spark: SparkSession,
     table_path: str,
     kind: str,
     snapshot_id: int | None = None,
+    branch: str | None = None,
 ) -> DataFrame:
     """The Iceberg inspection surface (``table.files`` /
     ``.snapshots`` / ``.history`` / ``.partitions`` / ``.refs``) as
@@ -4746,7 +4849,14 @@ def metadata_table(
         snapshot: partition tuple, n_files, rows, bytes.
       - ``refs``: named refs — main, tags, branches — with type,
         pinned/base snapshot id and branch head depth.
+
+    ``branch=`` scopes files/snapshots/history/partitions to a named
+    branch's lineage (branch-local 1-based ids; parent 0 = fork point)
+    — same schemas, so main and branch views union freely.
     """
+    if branch is not None:
+        return _branch_metadata_table(
+            spark, table_path, kind, snapshot_id, branch)
     if kind == "files":
         sid = snapshot_id if snapshot_id is not None \
             else current_snapshot_id(table_path)

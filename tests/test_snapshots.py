@@ -3240,3 +3240,55 @@ def test_recreated_branch_at_old_fork_not_healed(spark, tmp_path):
     ids = {r["id"] for r in
            snap.read_branch_snapshot(spark, path, "dev").collect()}
     assert ids == {1, 9, 8}  # fork-point row + both fresh branch rows
+
+
+def test_branch_scoped_metadata_tables(spark, tmp_path):
+    """metadata_table(branch=...) scopes files/snapshots/history/
+    partitions to the branch lineage with branch-local ids and the
+    same schemas as the main views; branch .snapshots reads totals
+    (no file-list dependence)."""
+    import ratatool_spark.operators.snapshots as snap
+    from ratatool_spark.operators.snapshots import metadata_table
+
+    path = str(tmp_path / "bmeta")
+    snap.commit_append(
+        spark.createDataFrame(
+            [(i, i) for i in range(6)], "id long, val long"), path
+    )
+    snap.create_branch(path, "dev")
+    snap.commit_append_branch(
+        spark.createDataFrame([(10, 10), (11, 11)], "id long, val long"),
+        path, "dev",
+    )
+    snap.merge_branch_mor(
+        spark, path, "dev",
+        spark.createDataFrame([(10, 99)], "id long, val long"), ["id"],
+    )
+    snaps = {r["snapshot_id"]: r for r in metadata_table(
+        spark, path, "snapshots", branch="dev").collect()}
+    assert set(snaps) == {1, 2}
+    assert snaps[1]["parent"] == 0 and snaps[1]["operation"] == "append"
+    assert snaps[2]["operation"] == "merge-mor"
+    assert snaps[1]["rows"] == 8          # fork 6 + append 2
+    assert snaps[2]["rows"] == 9          # + 1 merge postimage (MoR)
+    assert snaps[2]["n_pending_deletes"] == 1
+    # files view: branch head lists fork + branch files
+    files = metadata_table(spark, path, "files", branch="dev").collect()
+    assert all(r["snapshot_id"] == 2 for r in files)
+    assert len(files) == snaps[2]["n_files"]
+    # history: linear, all ancestors
+    hist = metadata_table(spark, path, "history", branch="dev").collect()
+    assert sorted(r["snapshot_id"] for r in hist) == [1, 2]
+    assert all(r["is_current_ancestor"] for r in hist)
+    # schema parity with the main views (union-compatible)
+    main_snaps = metadata_table(spark, path, "snapshots")
+    assert main_snaps.schema == metadata_table(
+        spark, path, "snapshots", branch="dev").schema
+    assert main_snaps.unionByName(
+        metadata_table(spark, path, "snapshots", branch="dev")
+    ).count() == 3
+    # partitions rollup over the branch head
+    parts = metadata_table(spark, path, "partitions", branch="dev").collect()
+    assert sum(r["rows"] for r in parts) == 9
+    with pytest.raises(ValueError, match="no branch scope"):
+        metadata_table(spark, path, "refs", branch="dev")
