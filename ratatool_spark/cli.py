@@ -2485,8 +2485,14 @@ def main(argv: list[str] | None = None) -> int:
                 sid = snap.cluster_snapshot(spark, args.table, args.zorderBy)
                 print(_json.dumps({"snapshot_id": sid}))
             elif args.mode == "compact":
-                sid = snap.compact_snapshot(spark, args.table, args.targetBytes)
-                print(_json.dumps({"snapshot_id": sid, "compacted": sid is not None}))
+                if args.branch:
+                    sid = snap.compact_branch(
+                        spark, args.table, args.branch, args.targetBytes)
+                else:
+                    sid = snap.compact_snapshot(
+                        spark, args.table, args.targetBytes)
+                print(_json.dumps({"snapshot_id": sid,
+                                   "compacted": sid is not None}))
             elif args.mode == "rollback":
                 if args.snapshotId is None:
                     raise SystemExit(

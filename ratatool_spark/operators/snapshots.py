@@ -3776,6 +3776,49 @@ def delete_branch_where_mor(
     )
 
 
+def compact_branch(
+    spark: SparkSession, table_path: str, name: str, target_bytes: int
+) -> int | None:
+    """Bin-pack a branch head's files into ~``target_bytes`` files and
+    publish ONE branch replace commit — the compact-validate-publish
+    maintenance loop (run expensive layout work on a branch, audit it,
+    fast-forward metadata-only) without ever disturbing main readers.
+    Pending MoR deletes fold into the rewritten bins exactly as in
+    :func:`compact_snapshot` (new files carry the commit's seq);
+    single-file bins stay in place. Returns the branch-local id, or
+    None when nothing needed compaction."""
+    from ratatool_spark.operators.layout import compaction_plan
+
+    k, m, ref = _branch_write_ctx(table_path, name)
+    plan = compaction_plan(
+        manifest_files_df(spark, table_path, m=m), "bytes", ["path"],
+        target_bytes,
+    )
+    bins: dict[int, list[str]] = {}
+    for r in plan.collect():  # metadata-scale: one row per file
+        bins.setdefault(r["bin"], []).append(r["path"])
+    multi = {b: ps for b, ps in bins.items() if len(ps) > 1}
+    if not multi:
+        return None
+    by_path = {e["path"]: e for e in m["files"]}
+    new_files: list[dict] = []
+    removed: list[str] = []
+    for b in sorted(multi):
+        paths = multi[b]
+        merged = _read_entries(
+            spark, table_path, m, [by_path[p] for p in paths]
+        ).coalesce(1)
+        new_files.extend(
+            _write_data_files(merged, table_path, current_manifest=m))
+        removed.extend(paths)
+    kept = [e for e in m["files"] if e["path"] not in set(removed)]
+    _stamp_seq(new_files, ref["base"] + k)
+    return _publish_branch_commit(
+        table_path, name, k, m, ref,
+        kept + new_files, m.get("deletes", []), "replace",
+    )
+
+
 def fold_branch_deletes(
     spark: SparkSession, table_path: str, name: str
 ) -> int | None:

@@ -3292,3 +3292,40 @@ def test_branch_scoped_metadata_tables(spark, tmp_path):
     assert sum(r["rows"] for r in parts) == 9
     with pytest.raises(ValueError, match="no branch scope"):
         metadata_table(spark, path, "refs", branch="dev")
+
+
+def test_compact_branch_then_ff(spark, tmp_path):
+    """compact_branch bin-packs the branch head without touching main
+    (the compact-validate-publish maintenance loop); pending branch MoR
+    deletes fold into rewritten bins; FF publishes the compacted
+    layout metadata-only."""
+    import ratatool_spark.operators.snapshots as snap
+
+    path = str(tmp_path / "bcomp")
+    snap.commit_append(
+        spark.range(200).select(
+            F.col("id"), (F.col("id") * 2).alias("v")).repartition(8),
+        path,
+    )
+    n_main_files = len(snap.read_manifest(path)["files"])
+    snap.create_branch(path, "maint")
+    snap.merge_branch_mor(
+        spark, path, "maint",
+        spark.createDataFrame([(5, 555), (500, 5000)], "id long, v long"),
+        ["id"],
+    )
+    k = snap.compact_branch(spark, path, "maint", target_bytes=1 << 30)
+    assert k == 2
+    _, head = snap._branch_head_manifest(path, "maint")
+    assert len(head["files"]) < n_main_files  # actually bin-packed
+    got = {r["id"]: r["v"] for r in
+           snap.read_branch_snapshot(spark, path, "maint").collect()}
+    assert got[5] == 555 and got[500] == 5000 and got[7] == 14
+    assert len(got) == 201
+    # main untouched, then FF publishes the compacted layout
+    assert len(snap.read_manifest(path)["files"]) == n_main_files
+    snap.fast_forward_branch(path, "maint", spark=spark)
+    final = {r["id"]: r["v"] for r in snap.read_snapshot(spark, path).collect()}
+    assert final == got
+    # idempotent: nothing left to compact
+    assert snap.compact_branch(spark, path, "maint", 1 << 30) is None
