@@ -3776,6 +3776,100 @@ def delete_branch_where_mor(
     )
 
 
+def delete_branch_rows_mor(
+    spark: SparkSession,
+    table_path: str,
+    name: str,
+    condition,
+) -> int:
+    """MERGE-ON-READ position DELETE on a branch: record the (file,
+    row-ordinal) identities of rows matching an ARBITRARY predicate as
+    a branch-manifest sidecar — no file rewritten, main untouched; the
+    position entry NAMES its files so it can never apply to a rewritten
+    successor. Completes the branch delete-kind matrix (equality /
+    range / position — same as main). Returns the branch-local id."""
+    if isinstance(condition, str):
+        condition = F.expr(condition)
+    k, m, ref = _branch_write_ctx(table_path, name)
+    cur = _read_entries(
+        spark, table_path, m, m["files"], with_positions=True
+    )
+    hits = cur.where(condition).persist()
+    try:
+        n = hits.count()
+        if n == 0:
+            return k
+        files_named = sorted(
+            r["__file"] for r in hits.select("__file").distinct().collect()
+        )  # metadata-scale: one row per touched file
+        manifest_paths = {e["path"] for e in m["files"]}
+        stray = [p for p in files_named if p not in manifest_paths]
+        if stray:
+            raise ValueError(
+                "delete_branch_rows_mor: scan file paths do not resolve "
+                f"to manifest paths (e.g. {stray[:3]}) — table_path "
+                "normalization failed; use delete_branch_where instead"
+            )
+        sidecar = _write_data_files(
+            hits.select(
+                F.col("__file").alias("file"), F.col("__pos").alias("pos")
+            ).coalesce(1),
+            table_path, subdir=_DELETES_DIR, current_manifest=m,
+        )
+        entry = {
+            "kind": "position",
+            "paths": [e["path"] for e in sidecar],
+            "rows": n,
+            "files": files_named,
+            "seq": ref["base"] + k + 1,
+        }
+        return _publish_branch_commit(
+            table_path, name, k, m, ref,
+            m["files"], m.get("deletes", []) + [entry], "delete-mor",
+        )
+    finally:
+        hits.unpersist()
+
+
+def cluster_branch(
+    spark: SparkSession,
+    table_path: str,
+    name: str,
+    zorder_cols: list[str],
+    bits: int = 16,
+    num_partitions: int | None = None,
+) -> int:
+    """Z-order the branch head (full rewrite through the deletes-aware
+    read, so every pending sidecar folds) and publish one branch
+    replace commit — expensive clustering runs on the branch, gets
+    audited, and fast-forwards metadata-only, same loop as
+    :func:`compact_branch`. Returns the branch-local id."""
+    from ratatool_spark.operators.layout import zorder_repartition
+
+    k, m, ref = _branch_write_ctx(table_path, name)
+    spec = table_partition_spec(table_path)
+    src = _read_entries(spark, table_path, m, m["files"])
+    if spec:
+        clustered = zorder_repartition(
+            src, zorder_cols, bits=bits, z_col="__z", arrange=False,
+        )
+        new_files = _write_data_files(
+            clustered, table_path, layout_sort=["__z"],
+            layout_partitions=num_partitions, current_manifest=m,
+        )
+    else:
+        clustered = zorder_repartition(
+            src, zorder_cols, bits=bits, num_partitions=num_partitions,
+        )
+        new_files = _write_data_files(
+            clustered, table_path, current_manifest=m,
+        )
+    new_files = _stamp_seq(new_files, ref["base"] + k)
+    return _publish_branch_commit(
+        table_path, name, k, m, ref, new_files, [], "replace",
+    )
+
+
 def compact_branch(
     spark: SparkSession, table_path: str, name: str, target_bytes: int
 ) -> int | None:

@@ -3329,3 +3329,39 @@ def test_compact_branch_then_ff(spark, tmp_path):
     assert final == got
     # idempotent: nothing left to compact
     assert snap.compact_branch(spark, path, "maint", 1 << 30) is None
+
+
+def test_branch_position_delete_and_cluster(spark, tmp_path):
+    """Position delete on a branch (arbitrary predicate, zero rewrite)
+    + z-order clustering on a branch (folds the sidecar); FF publishes
+    the clustered, deleted state metadata-only."""
+    import ratatool_spark.operators.snapshots as snap
+
+    path = str(tmp_path / "bposz")
+    snap.commit_append(
+        spark.range(300).select(
+            F.col("id"), (F.col("id") % 7).alias("a"),
+            (F.col("id") % 11).alias("b")).repartition(5),
+        path,
+    )
+    snap.create_branch(path, "maint")
+    k = snap.delete_branch_rows_mor(
+        spark, path, "maint", "a = 3 AND b = 4")
+    assert k == 1
+    _, head = snap._branch_head_manifest(path, "maint")
+    assert head["deletes"][-1]["kind"] == "position"
+    expect = 300 - spark.range(300).where(
+        (F.col("id") % 7 == 3) & (F.col("id") % 11 == 4)).count()
+    assert snap.read_branch_snapshot(spark, path, "maint").count() == expect
+    assert snap.read_snapshot(spark, path).count() == 300  # main intact
+    # cluster folds the sidecar into a z-ordered rewrite
+    assert snap.cluster_branch(spark, path, "maint", ["a", "b"]) == 2
+    _, head = snap._branch_head_manifest(path, "maint")
+    assert head["deletes"] == []
+    assert snap.read_branch_snapshot(spark, path, "maint").count() == expect
+    # no pending branch sidecars left -> FF is metadata-only (no spark)
+    snap.fast_forward_branch(path, "maint")
+    assert snap.read_snapshot(spark, path).count() == expect
+    # no-match predicate is a no-op, not an empty commit
+    snap.create_branch(path, "noop")
+    assert snap.delete_branch_rows_mor(spark, path, "noop", "id < 0") == 0
