@@ -1979,3 +1979,83 @@ SELECT o_orderstatus,
 FROM final
 GROUP BY o_orderstatus
 """
+
+
+def _q_snapshot_branch_maintenance(spark, sf_dir):
+    """Branch maintenance loop (operators/snapshots.
+    delete_branch_rows_mor / cluster_branch / compact_branch + FF —
+    expensive layout work runs on a branch, gets audited, publishes
+    metadata-only): main takes a trimmed orders slice, a 'maint' branch
+    forks, a POSITION delete drops the o_orderkey%9==0 rows (arbitrary
+    predicate, zero rewrite — pinned), z-order clustering folds the
+    sidecar into a full rewrite, compaction bin-packs the result, and
+    fast-forward publishes without spark (no pending sidecars left —
+    pinned: the FF is metadata-only). The oracle replays the surviving
+    rows straight from the source slice."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    import ratatool_spark.operators.snapshots as snap
+
+    src = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(F.col("o_orderkey") % 4 == 2)  # fixture trim
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    path = tempfile.mkdtemp(prefix="rt_brmaint_") + "/tbl"
+    snap.commit_append(src.repartition(6), path)
+    snap.create_branch(path, "maint")
+    snap.delete_branch_rows_mor(spark, path, "maint",
+                                "o_orderkey % 9 = 0")
+    _, head = snap._branch_head_manifest(path, "maint")
+    pos_kind = any(d.get("kind") == "position"
+                   for d in head.get("deletes", []))
+    snap.cluster_branch(spark, path, "maint", ["o_orderkey"],
+                        num_partitions=4)
+    _, head = snap._branch_head_manifest(path, "maint")
+    folded_on_branch = head["deletes"] == []
+    n_before = len(head["files"])
+    k3 = snap.compact_branch(spark, path, "maint", target_bytes=1 << 30)
+    _, head = snap._branch_head_manifest(path, "maint")
+    compacted = (k3 == 3 and len(head["files"]) <= n_before)
+    # no pending sidecars -> FF needs no spark: metadata-only publish
+    snap.fast_forward_branch(path, "maint")
+    m = snap.read_manifest(path, load_files=False)
+    return (
+        snap.read_snapshot(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_total"),
+        )
+        .select(
+            "*",
+            F.lit(bool(pos_kind)).alias("pos_kind"),
+            F.lit(bool(folded_on_branch)).alias("folded_on_branch"),
+            F.lit(bool(compacted)).alias("compacted"),
+            F.lit(int(m.get("branch_commits", 0)))
+            .cast("long")
+            .alias("ff_commits"),
+        )
+    )
+
+
+_SQL_SNAPSHOT_BRANCH_MAINTENANCE = """
+WITH src AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 4 = 2
+),
+final AS (SELECT * FROM src WHERE o_orderkey % 9 <> 0)
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+       TRUE AS pos_kind,
+       TRUE AS folded_on_branch,
+       TRUE AS compacted,
+       CAST(3 AS BIGINT) AS ff_commits
+FROM final
+GROUP BY o_orderstatus
+"""
