@@ -197,6 +197,24 @@ def _remove_published(path: str) -> None:
         os.remove(path + ".claim")
 
 
+def _remove_branch_manifest(table_path: str, name: str, i: int) -> None:
+    """Remove one branch manifest plus its externalized files sidecar
+    (the sidecar is referenced by THIS manifest only — the data files
+    it lists belong to the table and are untouched)."""
+    p = _branch_manifest_path(table_path, name, i)
+    ref = None
+    try:
+        with open(p) as f:
+            ref = json.load(f).get("files_ref")
+    except (OSError, ValueError):
+        pass
+    _remove_published(p)
+    if ref:
+        rp = os.path.join(table_path, ref)
+        if os.path.exists(rp):
+            os.remove(rp)
+
+
 def _snap_path(table_path: str, snapshot_id: int) -> str:
     return os.path.join(table_path, _SNAP_DIR, f"v{snapshot_id:012d}.json")
 
@@ -2632,6 +2650,9 @@ def vacuum_orphans(
     ) + glob.glob(os.path.join(table_path, _SNAP_DIR, "branch-*.json")):
         with open(sp_) as f:
             doc = json.load(f)
+        if "files_ref" in doc:  # externalized branch manifest
+            live.add(doc["files_ref"])
+            doc["files"] = _load_files_sidecar(table_path, doc["files_ref"])
         if "files" in doc:
             live.update(_referenced_paths(doc))
     dead: list[str] = []
@@ -3372,6 +3393,20 @@ def create_branch(
     return sid
 
 
+def _load_branch_manifest(
+    table_path: str, p: str, load_files: bool = True
+) -> dict:
+    """Open a branch manifest, materializing an externalized files
+    list (same ``files_ref`` sidecar discipline as main manifests —
+    the ref is KEPT so planning surfaces can read the parquet
+    directly)."""
+    with open(p) as f:
+        m = json.load(f)
+    if "files_ref" in m and load_files:
+        m["files"] = _load_files_sidecar(table_path, m["files_ref"])
+    return m
+
+
 def _branch_head_manifest(table_path: str, name: str) -> tuple[int, dict]:
     """(branch-local head id, its manifest) — head 0 returns the fork
     point's MAIN manifest (a fresh branch reads as its fork point)."""
@@ -3386,8 +3421,9 @@ def _branch_head_manifest(table_path: str, name: str) -> tuple[int, dict]:
     ids = branch_snapshot_ids(table_path, name)
     if not ids:
         return 0, read_manifest(table_path, ref["base"])
-    with open(_branch_manifest_path(table_path, name, ids[-1])) as f:
-        return ids[-1], json.load(f)
+    return ids[-1], _load_branch_manifest(
+        table_path, _branch_manifest_path(table_path, name, ids[-1])
+    )
 
 
 def _heal_interrupted_ff(table_path: str, name: str) -> bool:
@@ -3449,7 +3485,7 @@ def _heal_interrupted_ff(table_path: str, name: str) -> bool:
     os.replace(tmp, p)
     for i in branch_snapshot_ids(table_path, name):
         if i <= k:
-            _remove_published(_branch_manifest_path(table_path, name, i))
+            _remove_branch_manifest(table_path, name, i)
     return True
 
 
@@ -3514,21 +3550,36 @@ def _publish_branch_commit(
         "n_files": len(files),
         "rows_total": sum(int(e.get("rows") or 0) for e in files),
         "bytes_total": sum(int(e.get("bytes") or 0) for e in files),
-        "files": files,
         "deletes": deletes,
     }
     for key in ("columns", "schema_v", "schema_log"):
         if key in m:
             manifest[key] = m[key]
+    # same externalization rule as main (_publish): a big file list or
+    # ANY bloom bitmap moves to the parquet sidecar — branch manifest
+    # JSON stays metadata-scale even on bloom tables
+    files_ref = None
+    if len(files) > FILES_INLINE_MAX or any("bloom" in e for e in files):
+        files_ref = _write_files_sidecar(table_path, k + 1, files)
+        manifest["files_ref"] = files_ref
+    else:
+        manifest["files"] = files
+    published = False
     try:
         _write_exclusive_json(
             _branch_manifest_path(table_path, name, k + 1), manifest
         )
+        published = True
     except FileExistsError:
         raise CommitConflict(
             f"branch {name!r} advanced past local snapshot {k} while "
             "this commit was writing — re-read the branch head and retry"
         ) from None
+    finally:
+        if not published and files_ref is not None:
+            fp = os.path.join(table_path, files_ref)
+            if os.path.exists(fp):
+                os.remove(fp)
     return k + 1
 
 
@@ -3985,8 +4036,7 @@ def read_branch_snapshot(
                 f"branch {name!r} has no local snapshot {snapshot_id} "
                 f"(have {branch_snapshot_ids(table_path, name)})"
             )
-        with open(p) as f:
-            m = json.load(f)
+        m = _load_branch_manifest(table_path, p)
     return _read_entries(spark, table_path, m, m["files"])
 
 
@@ -4065,7 +4115,7 @@ def fast_forward_branch(
     os.replace(tmp, _branch_ref_path(table_path, name))
     for i in branch_snapshot_ids(table_path, name):
         if i <= k:
-            _remove_published(_branch_manifest_path(table_path, name, i))
+            _remove_branch_manifest(table_path, name, i)
     return new_id
 
 
@@ -4077,7 +4127,7 @@ def delete_branch(table_path: str, name: str) -> bool:
     if not os.path.exists(p):
         return False
     for i in branch_snapshot_ids(table_path, name):
-        _remove_published(_branch_manifest_path(table_path, name, i))
+        _remove_branch_manifest(table_path, name, i)
     _remove_published(p)
     return True
 
@@ -4874,8 +4924,7 @@ def _branch_manifest_at(table_path: str, name: str, k: int | None) -> dict:
             f"branch {name!r} has no local snapshot {k} "
             f"(have {branch_snapshot_ids(table_path, name)})"
         )
-    with open(p) as f:
-        return json.load(f)
+    return _load_branch_manifest(table_path, p)
 
 
 def _branch_metadata_table(

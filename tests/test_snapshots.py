@@ -3365,3 +3365,66 @@ def test_branch_position_delete_and_cluster(spark, tmp_path):
     # no-match predicate is a no-op, not an empty commit
     snap.create_branch(path, "noop")
     assert snap.delete_branch_rows_mor(spark, path, "noop", "id < 0") == 0
+
+
+def test_branch_manifests_externalize_blooms_and_big_lists(
+    spark, tmp_path, monkeypatch
+):
+    """Branch manifests obey the same metadata-scale invariant as main:
+    bloom bitmaps / big file lists move to a parquet sidecar (the JSON
+    never carries data-proportional blobs); reads, maintenance, vacuum
+    and delete_branch all resolve/clean the sidecar."""
+    import json as _json
+
+    import ratatool_spark.operators.snapshots as snap
+
+    path = str(tmp_path / "bext")
+    os.makedirs(path)
+    snap.set_bloom_filter(path, ["id"], bits_per_key=8)
+    import pyspark.sql.functions as F
+
+    snap.commit_append(
+        spark.range(400).select("id", (F.col("id") * 2).alias("v"))
+        .repartition(3),
+        path,
+    )
+    snap.create_branch(path, "dev")
+    snap.commit_append_branch(
+        spark.range(400, 500).select("id", (F.col("id") * 2).alias("v"))
+        .coalesce(1),
+        path, "dev",
+    )
+    mp = snap._branch_manifest_path(path, "dev", 1)
+    raw = _json.load(open(mp))
+    assert "files_ref" in raw and "files" not in raw
+    assert "b64" not in open(mp).read()  # no bitmap blobs in the JSON
+    sidecar = os.path.join(path, raw["files_ref"])
+    assert os.path.exists(sidecar)
+    # reads materialize through the sidecar; blooms round-trip
+    _, head = snap._branch_head_manifest(path, "dev")
+    assert all("id" in e.get("bloom", {}) for e in head["files"])
+    assert snap.read_branch_snapshot(spark, path, "dev").count() == 500
+    # vacuum keeps the sidecar and every file it references
+    removed = set(snap.vacuum_orphans(path, older_than=0.0))
+    assert raw["files_ref"] not in removed
+    assert not ({e["path"] for e in head["files"]} & removed)
+    # maintenance reads the parquet sidecar directly (planning path)
+    assert snap.compact_branch(spark, path, "dev", 1 << 30) == 2
+    assert snap.read_branch_snapshot(spark, path, "dev").count() == 500
+    # superseded manifest's sidecar was cleaned up when FF absorbed it
+    snap.fast_forward_branch(path, "dev", spark=spark)
+    assert not os.path.exists(sidecar) or raw["files_ref"] in {
+        snap.read_manifest(path, load_files=False).get("files_ref")
+    }
+    assert snap.read_snapshot(spark, path).count() == 500
+    # delete_branch drops remaining branch sidecars
+    snap.create_branch(path, "tmp")
+    snap.commit_append_branch(
+        spark.range(500, 510).select("id", (F.col("id") * 2).alias("v"))
+        .coalesce(1), path, "tmp",
+    )
+    raw2 = _json.load(open(snap._branch_manifest_path(path, "tmp", 1)))
+    sc2 = os.path.join(path, raw2["files_ref"])
+    assert os.path.exists(sc2)
+    snap.delete_branch(path, "tmp")
+    assert not os.path.exists(sc2)
