@@ -66,7 +66,8 @@ design):
   and clear them (position deletes fold surgically: only named files
   rewrite).
 * **Hidden partitioning** (Iceberg's partition specs): an immutable
-  per-table transform spec (identity/truncate/bucket/month, declared
+  per-table transform spec (identity/truncate/bucket and the
+  year/month/day/hour time family, declared
   at creation — :func:`table_partition_spec`) routes EVERY data write
   (appends and maintenance rewrites alike) into hive-layout partition
   dirs whose values land in each manifest entry; queries predicate on
@@ -286,7 +287,8 @@ def table_partition_spec(table_path: str) -> list[dict] | None:
     """The table's CURRENT partition spec (the newest, which every data
     write routes through), or None for an unpartitioned table. Spec
     items: {"name": "p0", "col": <source column>, "transform":
-    "identity"|"truncate"|"bucket"|"month", "param": <width/bucket
+    "identity"|"truncate"|"bucket"|"year"|"month"|"day"|"hour",
+    "param": <width/bucket
     count, transform-dependent>} — Iceberg's hidden-partitioning model:
     the PHYSICAL layout is derived from data columns through declared
     transforms, queries keep predicating on the source columns, and the
@@ -307,11 +309,25 @@ def _all_spec_items(table_path: str) -> list[dict] | None:
     return [it for spec in specs for it in spec]
 
 
+# Iceberg's time-granularity transform family: the partition value is
+# the timestamp's ISO prefix at that granularity, so ISO string order
+# equals time order and range predicates map through as pure prefix
+# comparisons (the same monotonicity argument for all four). The hour
+# value keeps ISO's space separator ("1995-01-01 12") — hive dir values
+# are URL-encoded on write and decoded on parse, so the space is safe.
+_TIME_TRANSFORMS = {
+    "year": ("yyyy", 4),
+    "month": ("yyyy-MM", 7),
+    "day": ("yyyy-MM-dd", 10),
+    "hour": ("yyyy-MM-dd HH", 13),
+}
+
+
 def _store_partition_spec(table_path: str, spec: list[dict]) -> list[dict]:
     norm = []
     for i, item in enumerate(spec):
         t = item.get("transform", "identity")
-        if t not in ("identity", "truncate", "bucket", "month"):
+        if t not in ("identity", "truncate", "bucket", *_TIME_TRANSFORMS):
             raise ValueError(f"unknown partition transform {t!r}")
         if t in ("truncate", "bucket") and not item.get("param"):
             raise ValueError(f"transform {t!r} needs a positive 'param'")
@@ -365,7 +381,7 @@ def evolve_partition_spec(table_path: str, spec: list[dict]) -> int:
     norm = []
     for i, item in enumerate(spec):
         t = item.get("transform", "identity")
-        if t not in ("identity", "truncate", "bucket", "month"):
+        if t not in ("identity", "truncate", "bucket", *_TIME_TRANSFORMS):
             raise ValueError(f"unknown partition transform {t!r}")
         if t in ("truncate", "bucket") and not item.get("param"):
             raise ValueError(f"transform {t!r} needs a positive 'param'")
@@ -458,8 +474,8 @@ def _partition_cols(spec: list[dict], df: DataFrame) -> list:
                 e = F.substring(c, 1, prm)
         elif t == "bucket":
             e = F.pmod(F.hash(c), F.lit(prm))
-        else:  # month
-            e = F.date_format(c.cast("timestamp"), "yyyy-MM")
+        else:  # year/month/day/hour: ISO prefix at the granularity
+            e = F.date_format(c.cast("timestamp"), _TIME_TRANSFORMS[t][0])
         out.append(e.alias(item["name"]))
     return out
 
@@ -1695,7 +1711,8 @@ def partition_prune(
     """The manifest entries a conjunctive range predicate on SOURCE
     columns cannot rule out via the partition tuple — predicate bounds
     are mapped THROUGH each transform (identity: direct; truncate:
-    floor/prefix monotonicity; month: ISO-prefix monotonicity; bucket:
+    floor/prefix monotonicity; year/month/day/hour: ISO-prefix
+    monotonicity at the granularity; bucket:
     point predicates only), the hidden-partitioning contract. Entries
     without partition info (pre-spec files; never produced by this
     layer, but safe-by-default) are kept; a NULL partition value is
@@ -1739,8 +1756,9 @@ def partition_prune(
                     else:
                         ok = (_bound_str(lo)[:prm] <= pv
                               <= _bound_str(hi)[:prm])
-                elif t == "month":
-                    ok = _bound_str(lo)[:7] <= pv <= _bound_str(hi)[:7]
+                elif t in _TIME_TRANSFORMS:
+                    n = _TIME_TRANSFORMS[t][1]
+                    ok = _bound_str(lo)[:n] <= pv <= _bound_str(hi)[:n]
                 else:  # bucket: only a point predicate can prune
                     if lo != hi:
                         continue
@@ -1899,9 +1917,10 @@ def _partition_keep_expr(
             else:
                 typed = pv.between(F.lit(_bound_str(lo)[:prm]),
                                    F.lit(_bound_str(hi)[:prm]))
-        elif t == "month":
-            typed = pv.between(F.lit(_bound_str(lo)[:7]),
-                               F.lit(_bound_str(hi)[:7]))
+        elif t in _TIME_TRANSFORMS:
+            n = _TIME_TRANSFORMS[t][1]
+            typed = pv.between(F.lit(_bound_str(lo)[:n]),
+                               F.lit(_bound_str(hi)[:n]))
         else:  # bucket: point predicates only
             if lo != hi:
                 continue
@@ -2343,6 +2362,108 @@ def snapshot_rowcount(
             "first or count through read_snapshot"
         )
     return sum(e["rows"] for e in m["files"])
+
+
+def scan_aggregate(
+    spark: SparkSession,
+    table_path: str,
+    minmax_cols: tuple = (),
+    snapshot_id: int | None = None,
+    where: dict | None = None,
+) -> tuple[DataFrame, bool]:
+    """COUNT(*) plus per-column MIN/MAX answered from manifest METADATA
+    alone when that is provably exact — the aggregate-pushdown design
+    the Iceberg/Delta planners apply to stats-only queries, generalized
+    from :func:`snapshot_rowcount`. Returns ``(one-row DataFrame,
+    from_metadata)``; when any soundness gate fails the SAME aggregate
+    runs as a real scan (identical values, identical schema), so the
+    caller never gets a wrong fast answer:
+
+      * pending merge-on-read delete sidecars → scan (metadata counts
+        include shadowed rows);
+      * ``where`` (``{col: value}`` equality conjunction) must bind to
+        identity-transform partition columns and every file must carry
+        those partition items (spec-evolved stragglers → scan) — files
+        are then all-in or all-out, so summing kept entries is exact;
+      * every kept non-empty file must carry numeric min/max stats for
+        each requested column. String bounds are excluded by design:
+        parquet writers may truncate long string stats, and a truncated
+        max is not the max (the numeric bounds the footer stores are
+        exact).
+
+    Metadata path cost is O(#files) driver work over the entry list —
+    the same metadata scale as any manifest planner, never a data
+    scan."""
+    sid = snapshot_id if snapshot_id is not None \
+        else current_snapshot_id(table_path)
+    m = read_manifest(table_path, sid)
+    types = _schema_types(m["schema"])
+    ddl_parts = ["n_rows bigint"]
+    for c in minmax_cols:
+        t = _DDL_OF_JSON.get(types.get(c, "string"), "string")
+        ddl_parts += [f"min_{c} {t}", f"max_{c} {t}"]
+    schema = ", ".join(ddl_parts)
+
+    entries = None if m.get("deletes") else m["files"]
+    if entries is not None and where:
+        spec = table_partition_spec(table_path) or []
+        ident = {it["col"]: it["name"] for it in spec
+                 if it["transform"] == "identity"}
+        if set(where) <= set(ident):
+            kept = []
+            for e in entries:
+                part = e.get("partition")
+                ok: bool | None = True
+                for col, val in where.items():
+                    if part is None or ident[col] not in part:
+                        ok = None  # file not provably aligned
+                        break
+                    if part[ident[col]] != (
+                            None if val is None else str(val)):
+                        ok = False
+                        break
+                if ok is None:
+                    entries = None
+                    break
+                if ok:
+                    kept.append(e)
+            else:
+                entries = kept
+        else:
+            entries = None
+    if entries is not None and minmax_cols:
+        for e in entries:
+            if not e["rows"]:
+                continue
+            st = e.get("stats") or {}
+            if any(
+                (b := st.get(c)) is None
+                or isinstance(b[0], bool)
+                or not isinstance(b[0], (int, float))
+                for c in minmax_cols
+            ):
+                entries = None
+                break
+
+    if entries is not None:
+        row: list = [sum(e["rows"] for e in entries)]
+        for c in minmax_cols:
+            los = [e["stats"][c][0] for e in entries if e["rows"]]
+            row += [min(los) if los else None,
+                    max(e["stats"][c][1] for e in entries if e["rows"])
+                    if los else None]
+        return local_df(spark, [tuple(row)], schema), True
+
+    df = read_snapshot(spark, table_path, snapshot_id=sid)
+    for c, v in (where or {}).items():
+        df = df.where(F.col(c).isNull() if v is None else (F.col(c) == v))
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in minmax_cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    out = df.agg(*aggs)
+    casts = [F.col(p.split()[0]).cast(" ".join(p.split()[1:])).alias(
+        p.split()[0]) for p in ddl_parts]
+    return out.select(*casts), False
 
 
 def snapshot_manifest(
@@ -5035,6 +5156,11 @@ def metadata_table(
         snapshot: partition tuple, n_files, rows, bytes.
       - ``refs``: named refs — main, tags, branches — with type,
         pinned/base snapshot id and branch head depth.
+      - ``manifests``: one row per commit's manifest FILE — ledger
+        path, json size, whether the file list is externalized to a
+        parquet sidecar (and its path/size), entry/delete/change
+        counts. The physical-metadata view (Iceberg's ``.manifests``);
+        never opens a sidecar (counts come from the commit json).
 
     ``branch=`` scopes files/snapshots/history/partitions to a named
     branch's lineage (branch-local 1-based ids; parent 0 = fork point)
@@ -5123,6 +5249,32 @@ def metadata_table(
             "partition map<string,string>, n_files bigint, "
             "rows bigint, bytes bigint",
         )
+    if kind == "manifests":
+        rows = []
+        for sid in _snap_ids(table_path):
+            m = read_manifest(table_path, sid, load_files=False)
+            mpath = _snap_path(table_path, sid)
+            ext = "files_ref" in m
+            ref = m.get("files_ref")
+            ref_bytes = None
+            if ext:
+                sp = os.path.join(table_path, ref)
+                ref_bytes = (
+                    os.path.getsize(sp) if os.path.exists(sp) else None)
+            rows.append((
+                sid, os.path.relpath(mpath, table_path),
+                os.path.getsize(mpath), ext, ref, ref_bytes,
+                m["n_files"] if ext else len(m.get("files", [])),
+                len(m.get("deletes", [])), len(m.get("changes", [])),
+            ))
+        return local_df(
+            spark,
+            rows,
+            "snapshot_id bigint, path string, bytes bigint, "
+            "externalized boolean, files_ref string, "
+            "files_ref_bytes bigint, n_files bigint, "
+            "n_pending_deletes bigint, n_change_files bigint",
+        )
     if kind == "refs":
         rows = [("main", "branch",
                  current_snapshot_id(table_path) or 0, 0)]
@@ -5138,7 +5290,7 @@ def metadata_table(
         )
     raise ValueError(
         f"unknown metadata table {kind!r} — one of files, snapshots, "
-        "history, partitions, refs"
+        "history, partitions, refs, manifests"
     )
 
 

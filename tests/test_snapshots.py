@@ -3428,3 +3428,133 @@ def test_branch_manifests_externalize_blooms_and_big_lists(
     assert os.path.exists(sc2)
     snap.delete_branch(path, "tmp")
     assert not os.path.exists(sc2)
+
+
+def test_time_transform_family(spark, tmp_path):
+    """year/day/hour hidden-partition transforms: writes land in ISO-
+    prefix dirs, range predicates on the SOURCE timestamp column map
+    through (prefix monotonicity), and the pruned read equals an
+    unpruned read + filter. Mirrors the existing month coverage at the
+    other three Iceberg time granularities."""
+    import ratatool_spark.operators.snapshots as snap
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("event_id", "ts", "user_id", "value")
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    import datetime
+
+    mid = lo + (hi - lo) / 2
+    win = (str(mid), str(mid + datetime.timedelta(hours=6)))
+    for transform, fmt in (
+        ("year", "%Y"), ("day", "%Y-%m-%d"), ("hour", "%Y-%m-%d %H")
+    ):
+        path = str(tmp_path / transform)
+        snap.commit_append(
+            ev, path, partition_spec=[{"col": "ts", "transform": transform}]
+        )
+        m = snap.read_manifest(path)
+        vals = {e["partition"]["p0"] for e in m["files"]}
+        assert all(v == mid.strftime(fmt)[: len(v)] or len(v) == len(
+            mid.strftime(fmt)) for v in vals)
+        got = snap.read_snapshot(spark, path, where={"ts": win})
+        want = ev.where(F.col("ts").between(*win))
+        assert got.count() == want.count() > 0
+        # pruning is real: the hour/day tables keep a strict subset of
+        # files for a 6-hour window (year cannot prune a mid-year window)
+        spec = snap.table_partition_spec(path)
+        kept = snap.partition_prune(
+            spark, spec, m["schema"], m["files"], {"ts": win})
+        if transform in ("day", "hour"):
+            assert 0 < len(kept) < len(m["files"])
+
+
+def test_scan_aggregate_metadata_and_fallbacks(spark, tmp_path):
+    """scan_aggregate answers count/min/max from the manifest when
+    sound (numeric stats, no pending deletes), with value-identical
+    scan fallbacks for string bounds and merge-on-read tables."""
+    import ratatool_spark.operators.snapshots as snap
+
+    orders = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    path = str(tmp_path / "agg")
+    snap.commit_append(
+        orders, path,
+        partition_spec=[{"col": "o_orderstatus", "transform": "identity"}],
+    )
+    df, md = snap.scan_aggregate(
+        spark, path, minmax_cols=("o_totalprice", "o_orderkey"))
+    assert md is True
+    r = df.collect()[0]
+    exp = orders.agg(
+        F.count(F.lit(1)), F.min("o_totalprice"), F.max("o_totalprice"),
+        F.min("o_orderkey"), F.max("o_orderkey"),
+    ).collect()[0]
+    assert tuple(r) == tuple(exp)
+
+    # identity-partition equality filter: all-in/all-out per file
+    df2, md2 = snap.scan_aggregate(
+        spark, path, minmax_cols=("o_totalprice",),
+        where={"o_orderstatus": "F"})
+    assert md2 is True
+    e2 = orders.where(F.col("o_orderstatus") == "F").agg(
+        F.count(F.lit(1)), F.min("o_totalprice"), F.max("o_totalprice")
+    ).collect()[0]
+    assert tuple(df2.collect()[0]) == tuple(e2)
+
+    # non-partition filter column -> scan fallback, same shape+values
+    df3, md3 = snap.scan_aggregate(
+        spark, path, minmax_cols=("o_totalprice",),
+        where={"o_orderkey": 7})
+    assert md3 is False
+    e3 = orders.where(F.col("o_orderkey") == 7).agg(
+        F.count(F.lit(1)), F.min("o_totalprice"), F.max("o_totalprice")
+    ).collect()[0]
+    assert tuple(df3.collect()[0]) == tuple(e3)
+
+    # string min/max -> fallback by design (truncatable parquet bounds)
+    df4, md4 = snap.scan_aggregate(spark, path, minmax_cols=("o_orderstatus",))
+    assert md4 is False and df4.collect()[0]["min_o_orderstatus"] == "F"
+
+    # pending MoR deletes -> fallback; logical (post-delete) answer
+    snap.delete_snapshot_where_mor(
+        spark, path, {"o_totalprice": (0.0, 150000.0)})
+    df5, md5 = snap.scan_aggregate(spark, path, minmax_cols=("o_totalprice",))
+    assert md5 is False
+    e5 = orders.where(~F.col("o_totalprice").between(0.0, 150000.0)).agg(
+        F.count(F.lit(1)), F.min("o_totalprice"), F.max("o_totalprice")
+    ).collect()[0]
+    assert tuple(df5.collect()[0]) == tuple(e5)
+
+
+def test_metadata_manifests_table(spark, tmp_path, monkeypatch):
+    """.manifests inspection table: one row per commit's manifest file,
+    with externalization visibility — and it never opens a sidecar
+    (counts come from the commit json)."""
+    import ratatool_spark.operators.snapshots as snap
+
+    path = str(tmp_path / "mans")
+    snap.commit_append(spark.range(100).coalesce(1), path)
+    monkeypatch.setattr(snap, "FILES_INLINE_MAX", 0)
+    snap.commit_append(spark.range(100, 200).coalesce(1), path)
+    monkeypatch.undo()
+
+    calls = {"n": 0}
+    orig = snap._load_files_sidecar
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(snap, "_load_files_sidecar", counting)
+    mt = snap.metadata_table(spark, path, "manifests")
+    rows = {r["snapshot_id"]: r for r in mt.collect()}
+    assert calls["n"] == 0  # json-only view
+    assert rows[1]["externalized"] is False and rows[1]["files_ref"] is None
+    assert rows[2]["externalized"] is True
+    assert rows[2]["files_ref_bytes"] > 0
+    assert rows[1]["n_files"] >= 1 and rows[2]["n_files"] >= 1
+    assert all(r["bytes"] > 0 for r in rows.values())
