@@ -2059,3 +2059,107 @@ SELECT o_orderstatus,
 FROM final
 GROUP BY o_orderstatus
 """
+
+
+def _q_snapshot_agg_pushdown(spark, sf_dir):
+    """Metadata-only aggregates (operators/snapshots.scan_aggregate —
+    the Iceberg/Delta aggregate-pushdown design) over ONE table with a
+    two-item hidden-partition spec [day(o_orderdate),
+    identity(o_orderstatus)]: COUNT/MIN/MAX for the whole table and for
+    two status slices are answered straight from manifest stats
+    (from_metadata is asserted in-gate — zero data IO), and a pruned
+    day-window read (the prune is asserted to drop files) aggregates
+    the February-window slice. Every value is recomputed by the oracle
+    from the source slice, so a stale or unsound stats shortcut cannot
+    hide."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    import ratatool_spark.operators.snapshots as snap
+    from ratatool_spark.functions.localrel import local_df
+
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice",
+                "o_orderdate")
+        .where(
+            (F.col("o_orderdate").between("1995-01-01", "1995-02-15"))
+            & (F.col("o_orderkey") % 4 == 0)
+        )
+        .coalesce(1)  # fixture trim: tiny slice, one writer task
+    )
+    p1 = tempfile.mkdtemp(prefix="rt_aggmd_") + "/tbl"
+    snap.commit_append(
+        orders, p1,
+        partition_spec=[
+            {"col": "o_orderdate", "transform": "day"},
+            {"col": "o_orderstatus", "transform": "identity"},
+        ],
+    )
+    rows = []
+    for key, where in (
+        ("all", None),
+        ("F", {"o_orderstatus": "F"}),
+        ("O", {"o_orderstatus": "O"}),
+    ):
+        df, md = snap.scan_aggregate(
+            spark, p1, minmax_cols=("o_totalprice", "o_orderkey"),
+            where=where)
+        assert md is True  # the whole point: answered without data IO
+        r = df.collect()[0]
+        rows.append((key, r["n_rows"], r["min_o_totalprice"],
+                     r["max_o_totalprice"], r["min_o_orderkey"],
+                     r["max_o_orderkey"]))
+
+    win = ("1995-01-20", "1995-02-05")
+    m = snap.read_manifest(p1)
+    kept = snap.partition_prune(
+        spark, snap.table_partition_spec(p1), m["schema"], m["files"],
+        {"o_orderdate": win})
+    assert 0 < len(kept) < len(m["files"])  # day dirs really pruned
+    r = (
+        snap.read_snapshot(spark, p1, where={"o_orderdate": win})
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+            F.min("o_orderkey").alias("mnk"),
+            F.max("o_orderkey").alias("mxk"),
+        )
+        .collect()[0]
+    )
+    rows.append(("day_window", r["n"], r["mn"], r["mx"], r["mnk"],
+                 r["mxk"]))
+    return local_df(
+        spark, rows,
+        "key string, n_rows bigint, min_price double, max_price double, "
+        "min_key bigint, max_key bigint",
+    )
+
+
+_SQL_SNAPSHOT_AGG_PUSHDOWN = """
+WITH src AS (
+  SELECT * FROM orders
+  WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+                        AND TIMESTAMP '1995-02-15'
+    AND o_orderkey % 4 = 0
+)
+SELECT 'all' AS key, COUNT(*) AS n_rows,
+       MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+FROM src
+UNION ALL
+SELECT 'F', COUNT(*), MIN(o_totalprice), MAX(o_totalprice),
+       MIN(o_orderkey), MAX(o_orderkey)
+FROM src WHERE o_orderstatus = 'F'
+UNION ALL
+SELECT 'O', COUNT(*), MIN(o_totalprice), MAX(o_totalprice),
+       MIN(o_orderkey), MAX(o_orderkey)
+FROM src WHERE o_orderstatus = 'O'
+UNION ALL
+SELECT 'day_window', COUNT(*), MIN(o_totalprice), MAX(o_totalprice),
+       MIN(o_orderkey), MAX(o_orderkey)
+FROM src WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-20'
+                               AND TIMESTAMP '1995-02-05'
+"""

@@ -239,3 +239,101 @@ def _q_stream_scd2(spark, sf_dir):
         "valid_to",
         "is_current",
     )
+
+
+def _q_stream_sessionize(spark, sf_dir):
+    """Per-user session windows run AS A STREAM (streaming/events.
+    sessionize — F.session_window + watermark, Spark's native stateful
+    session operator): the events table arrives as three time-range
+    files processed through a file-source stream, sessions emit in
+    append mode once the watermark passes their close, and a far-future
+    sentinel row advances the final watermark so every real session
+    flushes (the no-data micro-batch evicts them). The oracle is the
+    exact batch formulation (lag + cumulative-sum session ids over the
+    whole table) — green means the incremental, state-backed run equals
+    the global rebuild regardless of how the stream was cut."""
+    import datetime
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.sources.io import load_tables
+    from ratatool_spark.streaming.events import (
+        read_event_stream,
+        sessionize,
+    )
+
+    ev = (
+        load_tables(spark, sf_dir, names=("events",))["events"]
+        .select("user_id", "ts", "value")
+        # fixture trim: a 1-in-8 user slice — session state and shuffle
+        # scale with |users|, and the contract under test (incremental
+        # watermarked run == global rebuild) is user-count-independent
+        .where(F.col("user_id") % 8 == 0)
+    )
+    root = tempfile.mkdtemp(prefix="rt_sess_")
+    in_dir = os.path.join(root, "incoming")
+    ev.repartitionByRange(3, F.col("ts")).write.parquet(in_dir)
+    # sentinel: one event far past the last real one — after its batch
+    # the watermark clears every real session's close, so append mode
+    # emits them all; the sentinel's own open session is filtered out
+    hi = ev.agg(F.max("ts")).collect()[0][0]
+    spark.createDataFrame(
+        [(-1, hi + datetime.timedelta(days=2), 0.0)], ev.schema
+    ).write.mode("append").parquet(in_dir)
+
+    out_dir = os.path.join(root, "sessions")
+    # state-store partition count is pinned at checkpoint creation;
+    # 8 fits the gate's key cardinality (the session default 32 just
+    # multiplies per-micro-batch state-store setup)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sessionize(
+                read_event_stream(spark, in_dir, max_files_per_trigger=2),
+                gap="30 minutes",
+                watermark="1 minute",
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.read.parquet(out_dir)
+        .where(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            "first_ts",
+            "last_ts",
+            "n_events",
+            F.col("sum_value").cast("double").alias("sum_value"),
+        )
+    )
+
+
+_SQL_STREAM_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS brk
+  FROM events WHERE user_id % 8 = 0
+), sessions AS (
+  SELECT user_id, ts, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM sessions GROUP BY user_id, session_id
+"""
