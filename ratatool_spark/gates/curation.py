@@ -2126,3 +2126,63 @@ SELECT CAST(((rnk - 1) * 4) // n AS INT) AS bucket,
        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
 FROM ranked GROUP BY 1
 """
+
+
+def _q_unimax_budgets(spark, sf_dir):
+    """UniMax language budgeting (operators/corpus.unimax_budgets,
+    Chung et al. 2023): a character budget of 1.8x the corpus is
+    spread across languages under a 2-epoch cap — tail languages hit
+    the cap (capped=true, epochs=2 exactly), the head language absorbs
+    the even split of what remains. The oracle replays the sorted
+    water-filling closed form with window functions: ascending-capacity
+    prefix walk in exact integer arithmetic, then one double division
+    for the even split — a wrong sort key, threshold test, or split
+    denominator changes every row."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.corpus import unimax_budgets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    total = int(docs.agg(F.sum("n_chars")).collect()[0][0])
+    return unimax_budgets(
+        docs, budget=(9 * total) // 5, max_epochs=2
+    )
+
+
+_SQL_UNIMAX_BUDGETS = """
+WITH c AS (
+  SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY lang
+), tot AS (
+  SELECT CAST((9 * SUM(n_chars)) // 5 AS BIGINT) AS b FROM documents
+), o AS (
+  SELECT lang, n_docs, chars, 2 * chars AS cap_chars,
+         ROW_NUMBER() OVER (
+           ORDER BY 2 * chars, lang IS NOT NULL, CAST(lang AS VARCHAR)
+         ) AS i,
+         COALESCE(SUM(2 * chars) OVER (
+           ORDER BY 2 * chars, lang IS NOT NULL, CAST(lang AS VARCHAR)
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS s_prev,
+         COUNT(*) OVER () AS k
+  FROM c
+), f AS (
+  SELECT *,
+         BOOL_AND(cap_chars * (k - i + 1) <= (SELECT b FROM tot) - s_prev)
+           OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS capped
+  FROM o
+), th AS (
+  SELECT COALESCE(SUM(cap_chars) FILTER (WHERE capped), 0) AS s_m,
+         COUNT(*) FILTER (WHERE capped) AS m,
+         MAX(k) AS k
+  FROM f
+)
+SELECT f.lang, f.n_docs, f.chars, f.cap_chars, f.capped,
+       ROUND(CASE WHEN f.capped THEN CAST(f.cap_chars AS DOUBLE)
+             ELSE CAST((SELECT b FROM tot) - th.s_m AS DOUBLE)
+                  / (th.k - th.m) END, 6) AS budget_chars,
+       ROUND(CASE WHEN f.capped THEN CAST(f.cap_chars AS DOUBLE)
+             ELSE CAST((SELECT b FROM tot) - th.s_m AS DOUBLE)
+                  / (th.k - th.m) END / f.chars, 6) AS epochs
+FROM f, th
+"""

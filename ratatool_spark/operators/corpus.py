@@ -266,6 +266,83 @@ def doremi_weights(
     )
 
 
+def unimax_budgets(
+    df: DataFrame,
+    budget: int,
+    max_epochs: int = 2,
+    lang_col: str = "lang",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """UniMax language-budget allocation (Chung et al. 2023, "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining"): spread a total character budget as
+    uniformly as possible across languages, but never take more than
+    ``max_epochs`` passes over any language's corpus — the
+    water-filling allocation that fixes temperature sampling's
+    head-language domination without epoching tail languages to death.
+
+    Algorithm (the paper's greedy, in its sorted closed form): sort
+    languages ascending by capacity cap_l = max_epochs * chars_l; walk
+    the prefix while cap_i * (langs remaining) <= budget remaining —
+    those languages are CAPPED (they contribute their whole capacity);
+    every language after the threshold splits the remaining budget
+    evenly. All threshold arithmetic is exact integer math (both
+    engines agree bit-for-bit); only the final even split divides.
+
+    Shape: ONE corpus aggregate (map-side combined) to language-scale
+    rows, then the threshold walk runs on the driver over #languages
+    tuples — the same altitude call as ``doremi_weights`` /
+    ``sample_neyman``. Output: one row per language — (lang, n_docs,
+    chars, cap_chars, capped, budget_chars, epochs) with
+    budget_chars <= budget and epochs <= max_epochs."""
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    if max_epochs < 1:
+        raise ValueError("max_epochs must be >= 1")
+    stats = (
+        df.groupBy(lang_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col(size_col).cast("bigint")).alias("__c"),
+        )
+        .collect()
+    )
+    if not stats:
+        raise ValueError("empty input — no languages to budget")
+    # ascending capacity, None-safe deterministic tie-break on the name
+    doms = sorted(
+        ((r[lang_col], int(r["__n"]), int(r["__c"] or 0))
+         for r in stats),
+        key=lambda t: (max_epochs * t[2], t[0] is not None, str(t[0])),
+    )
+    k = len(doms)
+    caps = [max_epochs * c for _, _, c in doms]
+    s_prev = 0
+    m = 0  # threshold: doms[:m] are capped
+    while m < k and caps[m] * (k - m) <= budget - s_prev:
+        s_prev += caps[m]
+        m += 1
+    u = float(budget - s_prev) / float(k - m) if m < k else 0.0
+    rows = []
+    for i, (lang, n, c) in enumerate(doms):
+        capped = i < m
+        b = float(caps[i]) if capped else u
+        rows.append((
+            lang, n, c, caps[i], capped,
+            round(b, 6),
+            round(b / c, 6) if c else 0.0,
+        ))
+    from ratatool_spark.functions.localrel import local_df
+
+    return local_df(
+        df.sparkSession,
+        rows,
+        f"{lang_col} string, n_docs bigint, chars bigint, "
+        "cap_chars bigint, capped boolean, budget_chars double, "
+        "epochs double",
+    )
+
+
 def _bytes_to_unicode() -> dict[int, str]:
     """The GPT-2 byte↔unicode alphabet (Radford et al. 2019, public
     ``encoder.py``): every byte 0..255 gets a VISIBLE unicode character —

@@ -1524,3 +1524,39 @@ def test_doremi_weights_null_domain_is_a_group(spark):
     assert set(rows) == {"a", "b", None}
     assert abs(sum(rows.values()) - 1.0) < 1e-12
     assert rows[None] > rows["a"]  # the hard (high-loss) domain
+
+
+def test_unimax_budgets_allocation(spark):
+    """Water-filling edges: tail languages cap at max_epochs, the head
+    splits the remainder; budget >= total capacity caps everyone;
+    budget below the smallest capacity*k splits uniformly."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.corpus import unimax_budgets
+
+    df = spark.createDataFrame(
+        [("en", 1000), ("de", 200), ("fr", 100)], "lang string, n bigint"
+    ).withColumn("n_chars", F.col("n"))
+
+    # 1-epoch cap, budget below en's capacity: fr+de capped, en gets
+    # the remainder as a partial epoch
+    out = {r["lang"]: r for r in
+           unimax_budgets(df, budget=1000, max_epochs=1).collect()}
+    assert out["fr"]["capped"] and out["fr"]["budget_chars"] == 100.0
+    assert out["fr"]["epochs"] == 1.0
+    assert out["de"]["capped"] and out["de"]["budget_chars"] == 200.0
+    assert not out["en"]["capped"]
+    assert out["en"]["budget_chars"] == 700.0  # 1000 - 300
+    assert abs(out["en"]["epochs"] - 0.7) < 1e-9
+
+    # budget >= total capacity: everyone capped, leftover unspent
+    out2 = {r["lang"]: r for r in
+            unimax_budgets(df, budget=10_000, max_epochs=2).collect()}
+    assert all(r["capped"] for r in out2.values())
+    assert sum(r["budget_chars"] for r in out2.values()) == 2600.0
+
+    # budget too small for any cap: pure uniform split
+    out3 = {r["lang"]: r for r in
+            unimax_budgets(df, budget=150, max_epochs=2).collect()}
+    assert not any(r["capped"] for r in out3.values())
+    assert all(r["budget_chars"] == 50.0 for r in out3.values())
