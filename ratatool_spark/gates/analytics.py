@@ -1317,3 +1317,70 @@ SELECT part, bytes,
               / CAST(500000 AS DOUBLE)) AS INT) AS bin
 FROM manifest
 """
+
+
+def _q_hilbert_key(spark, sf_dir):
+    """Hilbert-curve clustering key (operators/layout.hilbert_attach —
+    Skilling 2004, the curve behind liquid clustering): orders
+    quantized on (o_custkey, o_totalprice) to 8-bit ranks, then the
+    transpose algorithm runs as a linear projection chain of pure
+    integer CASE/shift/xor expressions. The oracle replays every
+    step as a CTE chain FROM THE SAME step generator (only the xor
+    spelling differs per engine) — a wrong rotation, Gray step, or
+    bit placement changes keys everywhere. Unlike Morton order,
+    consecutive keys are always ADJACENT cells (pinned by the
+    layout-locality unit test), which is why Hilbert boxes are
+    tighter than z-order boxes at the same bit budget."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.layout import hilbert_attach
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return hilbert_attach(
+        o, ["o_custkey", "o_totalprice"], bits=8, h_col="hval"
+    ).select("o_orderkey", "hval")
+
+
+def _sql_hilbert_key(bits: int = 8) -> str:
+    from ratatool_spark.operators.layout import (
+        hilbert_index_expr,
+        hilbert_steps,
+    )
+
+    def cell(c, lo, hi):
+        return (
+            f"CASE WHEN {hi} = {lo} THEN 0 ELSE "
+            f"LEAST(GREATEST(CAST(FLOOR(({c} - {lo}) / (({hi} - {lo}) "
+            f"/ CAST({1 << bits} AS DOUBLE))) AS BIGINT), 0), "
+            f"{(1 << bits) - 1}) END"
+        )
+
+    steps, names = hilbert_steps(2, bits, lambda a, b: f"xor({a}, {b})")
+    ctes = [
+        """rng AS (
+  SELECT CAST(MIN(o_custkey) AS DOUBLE) AS lo_c,
+         CAST(MAX(o_custkey) AS DOUBLE) AS hi_c,
+         CAST(MIN(o_totalprice) AS DOUBLE) AS lo_p,
+         CAST(MAX(o_totalprice) AS DOUBLE) AS hi_p
+  FROM orders
+)""",
+        f"""s0 AS (
+  SELECT o_orderkey,
+         {cell('CAST(o_custkey AS DOUBLE)', 'lo_c', 'hi_c')} AS x0_0,
+         {cell('CAST(o_totalprice AS DOUBLE)', 'lo_p', 'hi_p')} AS x1_0
+  FROM orders, rng
+)""",
+    ]
+    prev = "s0"
+    for k, step in enumerate(steps, 1):
+        assigns = ", ".join(f"{e} AS {nm}" for nm, e in step)
+        ctes.append(f"s{k} AS (SELECT *, {assigns} FROM {prev})")
+        prev = f"s{k}"
+    return (
+        f"WITH {', '.join(ctes)}\n"
+        f"SELECT o_orderkey, "
+        f"CAST({hilbert_index_expr(names, bits)} AS BIGINT) AS hval "
+        f"FROM {prev}"
+    )

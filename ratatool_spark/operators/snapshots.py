@@ -4010,13 +4010,15 @@ def cluster_branch(
     zorder_cols: list[str],
     bits: int = 16,
     num_partitions: int | None = None,
+    curve: str = "zorder",
 ) -> int:
-    """Z-order the branch head (full rewrite through the deletes-aware
+    """Cluster the branch head (full rewrite through the deletes-aware
     read, so every pending sidecar folds) and publish one branch
     replace commit — expensive clustering runs on the branch, gets
     audited, and fast-forwards metadata-only, same loop as
-    :func:`compact_branch`. Returns the branch-local id."""
-    from ratatool_spark.operators.layout import zorder_repartition
+    :func:`compact_branch`. ``curve`` picks Morton or Hilbert order.
+    Returns the branch-local id."""
+    zorder_repartition = _curve_repartition(curve)
 
     k, m, ref = _branch_write_ctx(table_path, name)
     spec = table_partition_spec(table_path)
@@ -4465,23 +4467,44 @@ def delete_snapshot_where(
     )
 
 
+def _curve_repartition(curve: str):
+    """The clustering-key arranger for a named space-filling curve:
+    ``zorder`` (Morton) or ``hilbert`` (Skilling) — both from
+    ``operators.layout``, call-compatible."""
+    from ratatool_spark.operators import layout
+
+    if curve == "zorder":
+        return layout.zorder_repartition
+    if curve == "hilbert":
+        def _h(df, cols, bits=16, num_partitions=None, z_col=None,
+               arrange=True):
+            return layout.hilbert_repartition(
+                df, cols, bits=bits, num_partitions=num_partitions,
+                h_col=z_col, arrange=arrange)
+        return _h
+    raise ValueError(f"unknown clustering curve {curve!r}")
+
+
 def cluster_snapshot(
     spark: SparkSession,
     table_path: str,
     zorder_cols: list[str],
     bits: int = 16,
     num_partitions: int | None = None,
+    curve: str = "zorder",
 ) -> int:
-    """Rewrite the whole table z-ordered by ``zorder_cols``
+    """Rewrite the whole table clustered by ``zorder_cols``
     (``layout.zorder_repartition``: range exchange on the Morton key +
     intra-partition sort, so every file's footer min/max stats become
     selective on all z columns) and publish it as ONE replace commit —
-    the clustering-rewrite commit type. Readers on older snapshots keep
+    the clustering-rewrite commit type. ``curve="hilbert"`` swaps the
+    Morton key for the Hilbert key (``layout.hilbert_repartition``) —
+    same commit shape, tighter boxes. Readers on older snapshots keep
     the unclustered files until expiry; new scans prune with the
-    z-layout (`row_group_skip_audit` measures the payoff). Logical
-    content is untouched — the `snapshot_cluster_zorder` gate pins the
-    rewrite against the source table."""
-    from ratatool_spark.operators.layout import zorder_repartition
+    clustered layout (`row_group_skip_audit` measures the payoff).
+    Logical content is untouched — the `snapshot_cluster_zorder` gate
+    pins the rewrite against the source table."""
+    zorder_repartition = _curve_repartition(curve)
 
     parent = current_snapshot_id(table_path)
     if parent is None:
@@ -4489,8 +4512,8 @@ def cluster_snapshot(
     m = read_manifest(table_path, parent)
     spec = table_partition_spec(table_path)
     if spec:
-        # partitioned table: attach the Morton key only and let the
-        # writer range-arrange on (partition cols, key) — z-locality
+        # partitioned table: attach the curve key only and let the
+        # writer range-arrange on (partition cols, key) — locality
         # WITHIN each partition, partition alignment preserved, one
         # exchange instead of two
         clustered = zorder_repartition(

@@ -219,3 +219,113 @@ def test_compaction_plan_rejects_bad_target(spark):
     df = spark.range(3).selectExpr("id", "id * 10 AS sz")
     with _pytest.raises(ValueError):
         compaction_plan(df, "sz", ["id"], 0)
+
+
+def _skilling_axes_to_index(coords, bits):
+    """Direct transcription of Skilling 2004 AxesToTranspose + bit
+    collection — the independent reference the expression generator
+    must match."""
+    X = list(coords)
+    d = len(X)
+    Q = 1 << (bits - 1)
+    while Q > 1:
+        P = Q - 1
+        for i in range(d):
+            if X[i] & Q:
+                X[0] ^= P
+            else:
+                t = (X[0] ^ X[i]) & P
+                X[0] ^= t
+                X[i] ^= t
+        Q >>= 1
+    for i in range(1, d):
+        X[i] ^= X[i - 1]
+    t = 0
+    Q = 1 << (bits - 1)
+    while Q > 1:
+        if X[d - 1] & Q:
+            t ^= Q - 1
+        Q >>= 1
+    for i in range(d):
+        X[i] ^= t
+    H = 0
+    for j in range(bits - 1, -1, -1):
+        for i in range(d):
+            H = (H << 1) | ((X[i] >> j) & 1)
+    return H
+
+
+def test_hilbert_key_bijection_adjacency_and_reference(spark):
+    """Exhaustive 2-D bits=4 grid: the Spark Hilbert key (expression
+    chain) equals the Skilling reference on every cell, is a bijection
+    onto [0, 256), and CONSECUTIVE keys are always unit-step-adjacent
+    cells — the defining Hilbert property Morton order lacks (and the
+    reason its file boxes are tighter)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.layout import hilbert_attach
+
+    bits, n = 4, 16
+    pts = list(itertools.product(range(n), repeat=2))
+    df = spark.createDataFrame(pts, "a int, b int")
+    # min=0 / max=15 makes the quantizer the identity on 0..15
+    out = {
+        (r["a"], r["b"]): r["h"]
+        for r in hilbert_attach(df, ["a", "b"], bits=bits, h_col="h")
+        .collect()
+    }
+    assert len(out) == n * n
+    for p, h in out.items():
+        assert h == _skilling_axes_to_index(p, bits), p
+    by_h = sorted((h, p) for p, h in out.items())
+    assert [h for h, _ in by_h] == list(range(n * n))  # bijection
+    for (_, p1), (_, p2) in zip(by_h, by_h[1:]):
+        assert abs(p1[0] - p2[0]) + abs(p1[1] - p2[1]) == 1  # adjacency
+
+
+def test_hilbert_key_3d_matches_reference(spark):
+    """d=3, bits=3: the generator's rotation/Gray/fixup steps hold in
+    higher dimensions too (512 cells, exhaustive)."""
+    import itertools
+
+    from ratatool_spark.operators.layout import hilbert_attach
+
+    bits, n = 3, 8
+    pts = list(itertools.product(range(n), repeat=3))
+    df = spark.createDataFrame(pts, "a int, b int, c int")
+    out = hilbert_attach(df, ["a", "b", "c"], bits=bits, h_col="h").collect()
+    assert len(out) == n ** 3
+    for r in out:
+        assert r["h"] == _skilling_axes_to_index(
+            (r["a"], r["b"], r["c"]), bits)
+
+
+def test_cluster_snapshot_hilbert_preserves_content(spark, tmp_path):
+    """curve='hilbert' clustering is a pure layout rewrite: logical
+    content identical, one replace commit, and the clustered files'
+    per-file stat boxes cover both cluster columns."""
+    import ratatool_spark.operators.snapshots as snap
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    path = str(tmp_path / "hil")
+    snap.commit_append(li, path)
+    sid = snap.cluster_snapshot(
+        spark, path, ["l_partkey", "l_suppkey"], bits=8,
+        num_partitions=4, curve="hilbert")
+    assert sid == 2
+    before = li.orderBy("l_orderkey", "l_partkey", "l_suppkey").collect()
+    after = (
+        snap.read_snapshot(spark, path)
+        .orderBy("l_orderkey", "l_partkey", "l_suppkey")
+        .collect()
+    )
+    assert before == after
+    m = snap.read_manifest(path)
+    assert m["operation"] == "replace"
+    for e in m["files"]:
+        st = e.get("stats") or {}
+        assert "l_partkey" in st and "l_suppkey" in st
