@@ -996,3 +996,52 @@ def _sql_ann_lsh_buckets() -> str:
         planes.append(f"CASE WHEN ({proj}) > 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END")
     total = " + ".join(planes)
     return f"SELECT vec_id, ({total}) AS bucket FROM embeddings"
+
+
+_NGRAMS2_SQL = (
+    "list_transform(range(1, greatest(len({w}) - 1, 1) + 1), "
+    "i -> concat_ws(' ', {w}[i], {w}[i+1]))"
+).format(w=_WORDS_SQL)
+
+
+def _q_rouge_dedup(spark, sf_dir):
+    """ROUGE-2 F1 near-duplicate pairs (operators/dedup.
+    rouge_ngram_pairs — the Self-Instruct-style instruction-dedup
+    criterion, clipped bigram multiset overlap): one inverted-index
+    exchange, pair counts carry min(c_a, c_b) per gram, F1 =
+    2·clip/(|A|+|B|) over occurrence totals. The oracle rebuilds the
+    clipped-count algebra from raw bigram occurrences — a set-based
+    shortcut (Jaccard-style distinct) or unclipped counting changes
+    the scores."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.dedup import rouge_ngram_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return rouge_ngram_pairs(docs, n=2, threshold=0.35).select(
+        "id_a", "id_b", F.round("rouge_f", 6).alias("rouge_f")
+    )
+
+
+_SQL_ROUGE_DEDUP = f"""
+WITH g0 AS (
+  SELECT doc_id, UNNEST({_NGRAMS2_SQL}) AS s0 FROM documents
+), g AS (
+  SELECT doc_id, {_PH64_SQL.format(x='s0')} AS s FROM g0
+), counts AS (
+  SELECT doc_id, s, COUNT(*) AS c FROM g GROUP BY doc_id, s
+), sizes AS (
+  SELECT doc_id, SUM(c) AS n FROM counts GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         SUM(LEAST(a.c, b.c)) AS clip
+  FROM counts a JOIN counts b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(2 * clip / CAST(na.n + nb.n AS DOUBLE), 6) AS rouge_f
+FROM inter
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE 2 * clip / CAST(na.n + nb.n AS DOUBLE) >= 0.35
+"""

@@ -492,6 +492,92 @@ def ngram_jaccard_pairs(
     return j.where(F.col("jaccard") >= threshold)
 
 
+def rouge_ngram_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    threshold: float = 0.35,
+    hasher: str = "portable",
+    max_doc_freq: int | None = 1000,
+) -> DataFrame:
+    """ROUGE-n F1 similarity pairs (a < b) over word n-gram MULTISETS —
+    the overlap criterion instruction-tuning pipelines use to filter
+    near-duplicate prompts (Self-Instruct keeps a candidate only when
+    its ROUGE overlap with the pool stays low; ROUGE itself is Lin
+    2004). Clipped-count form: clip = Σ_g min(c_a(g), c_b(g)),
+    F1 = 2·clip / (|A| + |B|) where |·| counts every occurrence — the
+    multiset sibling of :func:`ngram_jaccard_pairs` (sets there, counts
+    here; the min() clipping is what stops a phrase repeated 50× in one
+    doc from matching a single occurrence 50 times).
+
+    Same scale shape as the Jaccard index: ONE exchange builds the
+    inverted index (gram → posting list of (id, count) structs), pairs
+    come from in-array i<j combinations carrying min(c_i, c_j), and
+    ``max_doc_freq`` caps any posting list's df² contribution
+    (clipping only loses intersection evidence for pruned grams, so a
+    pruned pair can only score lower — never promoted past the
+    threshold). Returns (id_a, id_b, rouge_f)."""
+    from ratatool_spark.functions.text import word_ngrams
+
+    gr = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("__g"),
+    ).select("id", text_hash64(F.col("__g"), hasher).alias("g"))
+    counts = gr.groupBy("g", "id").agg(F.count(F.lit(1)).alias("c"))
+    posting = F.array_sort(
+        F.collect_list(F.struct(F.col("id"), F.col("c"))))
+    # persisted for the same reason as the Jaccard index: the posting
+    # table feeds both the sizes branch and the pair branch
+    grouped = _persist(counts.groupBy("g").agg(posting.alias("ids")))
+    sizes = _persist(
+        grouped.select(F.explode("ids").alias("e"))
+        .groupBy(F.col("e.id").alias("id"))
+        .agg(F.sum("e.c").alias("n"))
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    F.least(x["c"], y["c"]).alias("m"),
+                ),
+            ),
+        )
+    )
+    pair_source = grouped.where(F.size("ids") >= 2)
+    if max_doc_freq is not None:
+        pair_source = pair_source.where(F.size("ids") <= max_doc_freq)
+    inter = (
+        pair_source.select(F.explode(combos).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"),
+                 F.col("p.id_b").alias("id_b"))
+        .agg(F.sum("p.m").alias("clip"))
+    )
+    scored = (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("n", "na")),
+            F.col("id_a") == F.col("id"))
+        .drop("id")
+        .join(
+            F.broadcast(sizes.withColumnRenamed("n", "nb")),
+            F.col("id_b") == F.col("id"))
+        .drop("id")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.lit(2) * F.col("clip")
+                / (F.col("na") + F.col("nb")).cast("double")
+            ).alias("rouge_f"),
+        )
+    )
+    return scored.where(F.col("rouge_f") >= threshold)
+
+
 def jaccard_verify(
     df: DataFrame,
     pairs: DataFrame,

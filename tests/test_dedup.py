@@ -1361,3 +1361,32 @@ def test_lsh_bucket_pandas_matches_expression_on_zero_vectors(spark):
     }
     assert fast == expr
     assert fast[1] == 0  # all-zero vector: no strict-positive projections
+
+
+def test_rouge_ngram_pairs_clipping(spark):
+    """Clipped-count semantics: a bigram repeated 3x in one doc and 1x
+    in the other contributes min(3,1)=1 to the overlap (unclipped
+    counting would give 3); F1 denominators are occurrence totals."""
+    from ratatool_spark.operators.dedup import rouge_ngram_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            # "the cat" once here vs once above; shares "the cat" +
+            # "cat sat" exactly
+            (2, "the cat sat quietly down"),
+            # "red dog" 3x here — pairs with doc 4's single occurrence
+            (3, "red dog red dog red dog"),
+            (4, "a red dog barked"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["rouge_f"]
+        for r in rouge_ngram_pairs(docs, threshold=0.0).collect()
+    }
+    # doc1: 5 bigrams, doc2: 4; shared: "the cat", "cat sat" -> clip 2
+    assert abs(out[(1, 2)] - (2 * 2) / (5 + 4)) < 1e-9
+    # doc3 bigrams: [red dog, dog red, red dog, dog red, red dog] ->
+    # "red dog" x3; doc4: [a red, red dog, dog barked] -> clip = min(3,1)
+    assert abs(out[(3, 4)] - (2 * 1) / (5 + 3)) < 1e-9
