@@ -849,6 +849,10 @@ def build_parser() -> argparse.ArgumentParser:
     zw.add_argument("--by", type=_csv, required=True, help="z-order columns")
     zw.add_argument("--bits", type=int, default=16)
     zw.add_argument("--numPartitions", type=int, default=None)
+    zw.add_argument("--curve", choices=["zorder", "hilbert"],
+                    default="zorder",
+                    help="space-filling curve (hilbert: tighter boxes, "
+                    "same write shape)")
     zw.add_argument("--format", default=None, help="override input format sniffing")
 
     rv = sub.add_parser(
@@ -1005,6 +1009,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="mirror mode: streaming checkpoint location")
     sn.add_argument("--zorderBy", type=_csv, default=None,
                     help="cluster mode: z-order column(s)")
+    sn.add_argument("--curve", choices=["zorder", "hilbert"],
+                    default="zorder",
+                    help="cluster mode: space-filling curve")
     sn.add_argument(
         "--where", type=_csv, default=None,
         help="delete/read mode: col:lo:hi triples (conjunctive ranges)",
@@ -1981,10 +1988,15 @@ def main(argv: list[str] | None = None) -> int:
             )
             write_table(out, args.output, mode="overwrite")
         elif args.command == "zorderWrite":
-            from ratatool_spark.operators.layout import zorder_repartition
+            from ratatool_spark.operators.layout import (
+                hilbert_repartition,
+                zorder_repartition,
+            )
 
             df = read_table(spark, args.input, fmt=args.format)
-            out = zorder_repartition(
+            rep = (hilbert_repartition if args.curve == "hilbert"
+                   else zorder_repartition)
+            out = rep(
                 df, args.by, bits=args.bits, num_partitions=args.numPartitions
             )
             write_table(out, args.output, mode="overwrite")
@@ -2482,7 +2494,13 @@ def main(argv: list[str] | None = None) -> int:
             elif args.mode == "cluster":
                 if not args.zorderBy:
                     raise SystemExit("--zorderBy is required with --mode cluster")
-                sid = snap.cluster_snapshot(spark, args.table, args.zorderBy)
+                if args.branch:
+                    sid = snap.cluster_branch(
+                        spark, args.table, args.branch, args.zorderBy,
+                        curve=args.curve)
+                else:
+                    sid = snap.cluster_snapshot(
+                        spark, args.table, args.zorderBy, curve=args.curve)
                 print(_json.dumps({"snapshot_id": sid}))
             elif args.mode == "compact":
                 if args.branch:
