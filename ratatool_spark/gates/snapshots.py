@@ -2084,7 +2084,7 @@ def _q_snapshot_agg_pushdown(spark, sf_dir):
         .select("o_orderkey", "o_orderstatus", "o_totalprice",
                 "o_orderdate")
         .where(
-            (F.col("o_orderdate").between("1995-01-01", "1995-02-15"))
+            (F.col("o_orderdate").between("1995-01-01", "1995-01-21"))
             & (F.col("o_orderkey") % 4 == 0)
         )
         .coalesce(1)  # fixture trim: tiny slice, one writer task
@@ -2112,7 +2112,7 @@ def _q_snapshot_agg_pushdown(spark, sf_dir):
                      r["max_o_totalprice"], r["min_o_orderkey"],
                      r["max_o_orderkey"]))
 
-    win = ("1995-01-20", "1995-02-05")
+    win = ("1995-01-05", "1995-01-15")
     m = snap.read_manifest(p1)
     kept = snap.partition_prune(
         spark, snap.table_partition_spec(p1), m["schema"], m["files"],
@@ -2142,7 +2142,7 @@ _SQL_SNAPSHOT_AGG_PUSHDOWN = """
 WITH src AS (
   SELECT * FROM orders
   WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01'
-                        AND TIMESTAMP '1995-02-15'
+                        AND TIMESTAMP '1995-01-21'
     AND o_orderkey % 4 = 0
 )
 SELECT 'all' AS key, COUNT(*) AS n_rows,
@@ -2160,6 +2160,6 @@ FROM src WHERE o_orderstatus = 'O'
 UNION ALL
 SELECT 'day_window', COUNT(*), MIN(o_totalprice), MAX(o_totalprice),
        MIN(o_orderkey), MAX(o_orderkey)
-FROM src WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-20'
-                               AND TIMESTAMP '1995-02-05'
+FROM src WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-05'
+                               AND TIMESTAMP '1995-01-15'
 """
