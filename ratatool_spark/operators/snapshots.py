@@ -579,6 +579,21 @@ def set_bloom_filter(
     )
 
 
+def set_write_order(table_path: str, cols: list[str]) -> None:
+    """Declare a table WRITE ORDER (Iceberg's ``write.sort-order``):
+    every future plain data write sorts within tasks on ``cols`` before
+    landing, so each new file's footer min/max stats are tight on the
+    ordered columns from the first append — predicate skipping without
+    waiting for a clustering rewrite. Existing files are untouched
+    (same converge-by-maintenance story as blooms); clustering rewrites
+    (``cluster_snapshot``) override it with their own curve layout.
+    Column names are resolved by field id at write time, so the order
+    survives renames."""
+    if not cols:
+        raise ValueError("write order needs at least one column")
+    set_table_property(table_path, "write.sort-order", {"cols": list(cols)})
+
+
 def _bloom_m(rows: int, bits_per_key: int) -> int:
     m = 1024
     while m < rows * bits_per_key:
@@ -1041,6 +1056,25 @@ def _write_data_files(
     spec = table_partition_spec(table_path) if subdir == _DATA_DIR else None
     commit_uuid = uuid.uuid4().hex
     out_dir = os.path.join(table_path, subdir, commit_uuid)
+    sort_cols: list[str] = []
+    if subdir == _DATA_DIR and not layout_sort:
+        # table write order (Iceberg's write.sort-order): every plain
+        # data write sorts within tasks on the declared columns, so
+        # each file's footer min/max stays tight on them from day one —
+        # clustering locality without waiting for a maintenance
+        # rewrite. Explicit layout_sort (a clustering rewrite) wins.
+        so = table_properties(table_path).get("write.sort-order")
+        if so:
+            mcur = None
+            try:
+                mcur = read_manifest(table_path, load_files=False)
+            except FileNotFoundError:
+                pass
+            sort_cols = [
+                c for c in (
+                    _resolve_prop_col(c0, mcur) for c0 in so["cols"])
+                if c in df.columns
+            ]
     if spec:
         pnames = [item["name"] for item in spec]
         clash = set(pnames) & set(df.columns)
@@ -1059,9 +1093,15 @@ def _write_data_files(
             d = d.sortWithinPartitions(*arr).drop(*layout_sort)
         else:
             d = d.repartition(*[F.col(n) for n in pnames])
+            if sort_cols:
+                # rows keep task order through partitionBy's per-dir
+                # split, so every written file is sorted on the order
+                d = d.sortWithinPartitions(
+                    *[F.col(n) for n in pnames], *sort_cols)
         d.write.partitionBy(*pnames).parquet(out_dir)
     else:
-        df.write.parquet(out_dir)
+        (df.sortWithinPartitions(*sort_cols) if sort_cols else df)\
+            .write.parquet(out_dir)
     entries = []
     for p in sorted(
         glob.glob(os.path.join(out_dir, "**", "*.parquet"), recursive=True)
