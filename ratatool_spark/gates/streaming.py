@@ -267,10 +267,11 @@ def _q_stream_sessionize(spark, sf_dir):
     ev = (
         load_tables(spark, sf_dir, names=("events",))["events"]
         .select("user_id", "ts", "value")
-        # fixture trim: a 1-in-8 user slice — session state and shuffle
-        # scale with |users|, and the contract under test (incremental
-        # watermarked run == global rebuild) is user-count-independent
-        .where(F.col("user_id") % 8 == 0)
+        # fixture trim: a 1-in-16 user slice — session state and
+        # shuffle scale with |users|, and the contract under test
+        # (incremental watermarked run == global rebuild) is
+        # user-count-independent
+        .where(F.col("user_id") % 16 == 0)
     )
     root = tempfile.mkdtemp(prefix="rt_sess_")
     in_dir = os.path.join(root, "incoming")
@@ -325,7 +326,7 @@ WITH flagged AS (
          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
                    >= INTERVAL '30 minutes'
               THEN 1 ELSE 0 END AS brk
-  FROM events WHERE user_id % 8 = 0
+  FROM events WHERE user_id % 16 = 0
 ), sessions AS (
   SELECT user_id, ts, value,
          SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
