@@ -329,3 +329,73 @@ def test_cluster_snapshot_hilbert_preserves_content(spark, tmp_path):
     for e in m["files"]:
         st = e.get("stats") or {}
         assert "l_partkey" in st and "l_suppkey" in st
+
+
+def test_hilbert_skip_beats_linear_and_matches_zorder_class(spark):
+    """Empirical skip audit (the zorder_skip methodology, Hilbert
+    edition): orders written with fixed 512-row row groups under three
+    layouts — Hilbert order, Morton order, single-column sort — then
+    row-group min/max stats audited against a 2-D range box. Hilbert
+    must skip strictly more groups than the single-column layout (the
+    whole point of a space-filling curve) and be within the same class
+    as Morton (>= 80% of its skips; on this fixture it is typically
+    equal or better — contiguity means no diagonal jumps inflating
+    boxes)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.layout import (
+        hilbert_attach,
+        row_group_skip_audit,
+        row_group_stats,
+        zorder_key,
+    )
+
+    o = spark.read.parquet("/root/testdata/sf0.01/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    rng = o.agg(
+        F.min("o_custkey").alias("lo_c"), F.max("o_custkey").alias("hi_c"),
+        F.min("o_totalprice").alias("lo_p"),
+        F.max("o_totalprice").alias("hi_p"),
+    ).first()
+    lo_c, hi_c = float(rng["lo_c"]), float(rng["hi_c"])
+    lo_p, hi_p = float(rng["lo_p"]), float(rng["hi_p"])
+    z = zorder_key(
+        [F.col("o_custkey"), F.col("o_totalprice")],
+        [F.lit(lo_c), F.lit(lo_p)], [F.lit(hi_c), F.lit(hi_p)], bits=8,
+    )
+    hdf = hilbert_attach(
+        o, ["o_custkey", "o_totalprice"], bits=8, h_col="hval"
+    ).withColumn("zval", z)
+    box = {
+        "o_custkey": (lo_c + 0.1 * (hi_c - lo_c), lo_c + 0.3 * (hi_c - lo_c)),
+        "o_totalprice": (
+            lo_p + 0.1 * (hi_p - lo_p), lo_p + 0.3 * (hi_p - lo_p)),
+    }
+    tmp = tempfile.mkdtemp(prefix="hskip_")
+    skipped = {}
+    for layout, order in (
+        ("hilbert", ["hval", "o_orderkey"]),
+        ("zorder", ["zval", "o_orderkey"]),
+        ("linear", ["o_custkey", "o_orderkey"]),
+    ):
+        pdf = (
+            hdf.orderBy(*[F.col(c) for c in order])
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .toPandas()
+        )
+        path = os.path.join(tmp, f"{layout}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False), path,
+            row_group_size=512,
+        )
+        stats = row_group_stats(path, ["o_custkey", "o_totalprice"])
+        n_groups, n_scanned = row_group_skip_audit(stats, box)
+        skipped[layout] = n_groups - n_scanned
+    assert skipped["hilbert"] > skipped["linear"]
+    assert skipped["hilbert"] >= 0.8 * skipped["zorder"]
