@@ -96,8 +96,10 @@ def test_evolve_refusals(spark, tmp_path):
     path2 = _mk(spark, tmp_path)
     with pytest.raises(ValueError, match="not in the table schema"):
         snap.evolve_partition_spec(path2, [{"col": "nope"}])
+    # "year" became a real transform in r11 — use a genuinely unknown one
     with pytest.raises(ValueError, match="unknown partition transform"):
-        snap.evolve_partition_spec(path2, [{"col": "g", "transform": "year"}])
+        snap.evolve_partition_spec(
+            path2, [{"col": "g", "transform": "fortnight"}])
 
 
 def test_rename_refused_on_any_spec_version(spark, tmp_path):
