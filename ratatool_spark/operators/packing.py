@@ -44,30 +44,56 @@ def pack_sequences(
     offset within the group's concatenated stream (what a loader needs to
     slice the chunk).
 
-    Calling without ``group_cols`` uses ONE global window partition — a
-    single-task funnel at scale — and emits a ``RuntimeWarning``; pass a
-    grouping column (or a synthesized hash bucket) on real data."""
+    Calling without ``group_cols`` computes the GLOBAL assignment with
+    the repo's distributed-prefix-sum pattern (range exchange on the
+    ordering, per-partition running sums, a driver prefix over one row
+    per partition — ``functions/ranks.partition_offsets``) instead of a
+    single-task global window, so it scales like any other shuffle.
+    Ordering ties must be broken by ``order_cols`` (include a unique
+    id) or offsets are nondeterministic — the same contract as the
+    window form."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     tok = F.col(token_col) if isinstance(token_col, str) else token_col
     if group_cols:
         w = Window.partitionBy(*group_cols).orderBy(*order_cols)
-    else:
-        import warnings
-
-        warnings.warn(
-            "pack_sequences without group_cols funnels the whole dataset "
-            "through one window partition (single task); pass group_cols "
-            "(e.g. a shard/date column or a hash bucket) at scale",
-            RuntimeWarning,
-            stacklevel=2,
+        prefix = F.coalesce(
+            F.sum(tok).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("long"),
         )
-        w = Window.orderBy(*order_cols)
-    prefix = F.coalesce(
-        F.sum(tok).over(w.rowsBetween(Window.unboundedPreceding, -1)),
-        F.lit(0).cast("long"),
-    )
-    out = df.withColumn("__off", prefix)
+        out = df.withColumn("__off", prefix)
+    else:
+        # global packing without the single-partition window funnel
+        # (r11; the perplexity-rank pattern): __off = partition offset
+        # (driver prefix over #partitions rows) + local exclusive sum.
+        # persist pins the range partitioning so the offsets job and
+        # the main job see identical __pid assignments.
+        from ratatool_spark.cache import persist_tracked
+        from ratatool_spark.functions.ranks import partition_offsets
+
+        order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+        tagged = persist_tracked(
+            df.repartitionByRange(*order)
+            .sortWithinPartitions(*order)
+            .withColumn("__pid", F.spark_partition_id())
+        )
+        offs = partition_offsets(
+            tagged.groupBy("__pid").agg(F.sum(tok).alias("__n")),
+            off_col="__poff",
+        )
+        local = F.coalesce(
+            F.sum(tok).over(
+                Window.partitionBy("__pid")
+                .orderBy(*order)
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("long"),
+        )
+        out = (
+            tagged.join(F.broadcast(offs), "__pid")
+            .withColumn("__off", (local + F.col("__poff")).cast("long"))
+            .drop("__pid", "__poff")
+        )
     cols = [*df.columns, F.floor(F.col("__off") / F.lit(budget)).alias(bin_col)]
     if offset_col:
         cols.append(F.col("__off").alias(offset_col))

@@ -123,3 +123,30 @@ def test_quantize_codes_in_int8_range(spark):
     ).first()["q"]
     assert all(-127 <= c <= 127 for c in codes)
     assert 127 in (max(codes), -min(codes))  # the max-|x| element saturates
+
+
+def test_global_packing_distributed_matches_window_reference(spark, docs):
+    """The no-group_cols path (range exchange + per-partition running
+    sums + driver prefix) must equal the single-window formulation
+    bin-for-bin and offset-for-offset — and emit no RuntimeWarning."""
+    import warnings
+
+    from pyspark.sql import Window
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any RuntimeWarning -> failure
+        got = {
+            r["doc_id"]: (r["bin_id"], r["off"])
+            for r in pack_sequences(
+                docs.repartition(7), "tok", 64, ["doc_id"],
+                offset_col="off",
+            ).collect()
+        }
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    ref = {
+        r["doc_id"]: (r["bin"], r["off"])
+        for r in docs.withColumn(
+            "off", F.coalesce(F.sum("tok").over(w), F.lit(0))
+        ).withColumn("bin", F.floor(F.col("off") / 64)).collect()
+    }
+    assert got == ref
