@@ -3623,3 +3623,37 @@ def test_write_order_sorts_every_data_write(spark, tmp_path):
         assert vals == sorted(vals), e["path"]
         checked += 1
     assert checked >= 1
+
+
+def test_compaction_reapplies_write_order(spark, tmp_path):
+    """compact_snapshot routes through _write_data_files, so a declared
+    write order re-sorts every merged bin: concatenated sorted runs
+    come out globally sorted per compacted file."""
+    import pyarrow.parquet as pq
+
+    import ratatool_spark.operators.snapshots as snap
+
+    path = str(tmp_path / "cwo")
+    snap.set_write_order(path, ["id"])
+    import pyspark.sql.functions as F
+
+    for lo in (0, 100, 200):  # three small commits -> three+ files
+        snap.commit_append(
+            spark.range(lo, lo + 100)
+            .select(F.col("id"), (F.col("id") * 3).alias("v"))
+            .coalesce(1),
+            path,
+        )
+    before = snap.read_snapshot(spark, path).orderBy("id").collect()
+    sid = snap.compact_snapshot(spark, path, target_bytes=1 << 30)
+    assert sid is not None
+    m = snap.read_manifest(path)
+    assert m["operation"] == "replace"
+    for e in m["files"]:
+        vals = [
+            r["id"] for r in pq.read_table(
+                f"{path}/{e['path']}", columns=["id"]).to_pylist()
+        ]
+        assert vals == sorted(vals), e["path"]
+    after = snap.read_snapshot(spark, path).orderBy("id").collect()
+    assert before == after
