@@ -5185,9 +5185,35 @@ def _branch_metadata_table(
             "partition map<string,string>, n_files bigint, "
             "rows bigint, bytes bigint",
         )
+    if kind == "manifests":
+        rows = []
+        for k in branch_snapshot_ids(table_path, branch):
+            mpath = _branch_manifest_path(table_path, branch, k)
+            m = _load_branch_manifest(table_path, mpath, load_files=False)
+            ext = "files_ref" in m
+            ref = m.get("files_ref")
+            ref_bytes = None
+            if ext:
+                sp = os.path.join(table_path, ref)
+                ref_bytes = (
+                    os.path.getsize(sp) if os.path.exists(sp) else None)
+            rows.append((
+                k, os.path.relpath(mpath, table_path),
+                os.path.getsize(mpath), ext, ref, ref_bytes,
+                m["n_files"] if ext else len(m.get("files", [])),
+                len(m.get("deletes", [])), len(m.get("changes", [])),
+            ))
+        return local_df(
+            spark,
+            rows,
+            "snapshot_id bigint, path string, bytes bigint, "
+            "externalized boolean, files_ref string, "
+            "files_ref_bytes bigint, n_files bigint, "
+            "n_pending_deletes bigint, n_change_files bigint",
+        )
     raise ValueError(
         f"metadata table {kind!r} has no branch scope — branch= applies "
-        "to files, snapshots, history, partitions"
+        "to files, snapshots, history, partitions, manifests"
     )
 
 

@@ -1390,3 +1390,46 @@ def test_rouge_ngram_pairs_clipping(spark):
     # doc3 bigrams: [red dog, dog red, red dog, dog red, red dog] ->
     # "red dog" x3; doc4: [a red, red dog, dog barked] -> clip = min(3,1)
     assert abs(out[(3, 4)] - (2 * 1) / (5 + 3)) < 1e-9
+
+
+def test_rouge_ngram_pairs_matches_bruteforce_random(spark):
+    """Property: the inverted-index clipped-overlap pipeline equals a
+    per-pair brute-force ROUGE-2 F1 on a randomized mini-corpus
+    (seeded). Pins the posting/combos algebra end to end."""
+    import itertools
+    import random
+    from collections import Counter
+
+    from ratatool_spark.operators.dedup import rouge_ngram_pairs
+
+    rng = random.Random(77)
+    vocab = ["red", "dog", "cat", "sat", "runs", "the", "a"]
+    docs = [
+        (i, " ".join(rng.choice(vocab)
+                     for _ in range(rng.randrange(2, 12))))
+        for i in range(14)
+    ]
+
+    def bigrams(t):
+        w = t.split()
+        return Counter(
+            [" ".join(w[j:j + 2]) for j in range(len(w) - 1)] or [w[0]]
+        )
+
+    expect = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(docs, 2):
+        ca, cb = bigrams(ta), bigrams(tb)
+        clip = sum(min(ca[g], cb[g]) for g in ca.keys() & cb.keys())
+        f1 = 2 * clip / (sum(ca.values()) + sum(cb.values()))
+        if f1 > 0:
+            expect[(ia, ib)] = f1
+    got = {
+        (r["id_a"], r["id_b"]): r["rouge_f"]
+        for r in rouge_ngram_pairs(
+            spark.createDataFrame(docs, "doc_id bigint, text string"),
+            threshold=1e-9,
+        ).collect()
+    }
+    assert set(got) == set(expect)
+    for k, v in expect.items():
+        assert abs(got[k] - v) < 1e-9, k

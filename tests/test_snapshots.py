@@ -3657,3 +3657,85 @@ def test_compaction_reapplies_write_order(spark, tmp_path):
         assert vals == sorted(vals), e["path"]
     after = snap.read_snapshot(spark, path).orderBy("id").collect()
     assert before == after
+
+
+def test_branch_manifests_metadata_table(spark, tmp_path, monkeypatch):
+    """Branch-scoped .manifests: one row per branch commit, sidecar
+    externalization visible, no sidecar opened."""
+    import ratatool_spark.operators.snapshots as snap
+
+    path = str(tmp_path / "bman")
+    snap.commit_append(spark.range(50).coalesce(1), path)
+    snap.create_branch(path, "dev")
+    snap.commit_append_branch(
+        spark.range(50, 80).coalesce(1), path, "dev")
+    monkeypatch.setattr(snap, "FILES_INLINE_MAX", 0)
+    snap.commit_append_branch(
+        spark.range(80, 90).coalesce(1), path, "dev")
+    monkeypatch.undo()
+
+    calls = {"n": 0}
+    orig = snap._load_files_sidecar
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(snap, "_load_files_sidecar", counting)
+    rows = {
+        r["snapshot_id"]: r
+        for r in snap.metadata_table(
+            spark, path, "manifests", branch="dev").collect()
+    }
+    assert calls["n"] == 0
+    assert set(rows) == {1, 2}
+    assert rows[1]["externalized"] is False
+    assert rows[2]["externalized"] is True and rows[2]["files_ref_bytes"] > 0
+    assert all(r["bytes"] > 0 and r["n_files"] >= 1 for r in rows.values())
+
+
+def test_scan_aggregate_paths_agree_randomized(spark, tmp_path):
+    """Property: wherever the metadata path claims an answer, the scan
+    path computes the identical one — across randomized tables
+    (partitioned/unpartitioned, with NULLs and empty slices) and
+    randomized filters. Seeded, deterministic."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    import ratatool_spark.operators.snapshots as snap
+
+    rng = random.Random(1311)
+    for case in range(4):
+        rows = [
+            (
+                i,
+                rng.choice(["a", "b", "c", None]),
+                rng.randrange(-1000, 1000),
+                rng.uniform(-5, 5) if rng.random() > 0.1 else None,
+            )
+            for i in range(rng.randrange(30, 120))
+        ]
+        df = spark.createDataFrame(
+            rows, "id bigint, grp string, x bigint, y double"
+        ).repartition(rng.randrange(1, 5))
+        path = str(tmp_path / f"p{case}")
+        spec = (
+            [{"col": "grp", "transform": "identity"}]
+            if case % 2 == 0 else None
+        )
+        snap.commit_append(df, path, partition_spec=spec)
+        for where in (None, {"grp": "a"}, {"grp": "zzz"}, {"grp": None}):
+            got, md = snap.scan_aggregate(
+                spark, path, minmax_cols=("x", "y", "id"), where=where)
+            if spec is None and where is not None:
+                assert md is False
+            ref = snap.read_snapshot(spark, path)
+            for c, v in (where or {}).items():
+                ref = ref.where(
+                    F.col(c).isNull() if v is None else (F.col(c) == v))
+            exp = ref.agg(
+                F.count(F.lit(1)), F.min("x"), F.max("x"),
+                F.min("y"), F.max("y"), F.min("id"), F.max("id"),
+            ).collect()[0]
+            assert tuple(got.collect()[0]) == tuple(exp), (case, where, md)
