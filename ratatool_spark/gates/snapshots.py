@@ -2102,6 +2102,9 @@ def _q_snapshot_agg_pushdown(spark, sf_dir):
         ("all", None),
         ("F", {"o_orderstatus": "F"}),
         ("O", {"o_orderstatus": "O"}),
+        # granule equality on the day transform — Iceberg's
+        # partition-value query, still metadata-only
+        ("day_eq", {"o_orderdate": "1995-01-10"}),
     ):
         df, md = snap.scan_aggregate(
             spark, p1, minmax_cols=("o_totalprice", "o_orderkey"),
@@ -2157,6 +2160,10 @@ UNION ALL
 SELECT 'O', COUNT(*), MIN(o_totalprice), MAX(o_totalprice),
        MIN(o_orderkey), MAX(o_orderkey)
 FROM src WHERE o_orderstatus = 'O'
+UNION ALL
+SELECT 'day_eq', COUNT(*), MIN(o_totalprice), MAX(o_totalprice),
+       MIN(o_orderkey), MAX(o_orderkey)
+FROM src WHERE strftime(o_orderdate, '%Y-%m-%d') = '1995-01-10'
 UNION ALL
 SELECT 'day_window', COUNT(*), MIN(o_totalprice), MAX(o_totalprice),
        MIN(o_orderkey), MAX(o_orderkey)

@@ -2422,9 +2422,14 @@ def scan_aggregate(
       * pending merge-on-read delete sidecars → scan (metadata counts
         include shadowed rows);
       * ``where`` (``{col: value}`` equality conjunction) must bind to
-        identity-transform partition columns and every file must carry
-        those partition items (spec-evolved stragglers → scan) — files
-        are then all-in or all-out, so summing kept entries is exact;
+        partition columns under an identity transform (value = the
+        column value) or a time transform (value = the GRANULE string,
+        e.g. ``"1995-01-10"`` on a day-partitioned column — Iceberg's
+        partition-value query; the scan fallback applies the same
+        granule semantics via ``date_format``), and every file must
+        carry those partition items (spec-evolved stragglers → scan) —
+        files are then all-in or all-out, so summing kept entries is
+        exact;
       * every kept non-empty file must carry numeric min/max stats for
         each requested column. String bounds are excluded by design:
         parquet writers may truncate long string stats, and a truncated
@@ -2444,21 +2449,29 @@ def scan_aggregate(
         ddl_parts += [f"min_{c} {t}", f"max_{c} {t}"]
     schema = ", ".join(ddl_parts)
 
+    # a where column binds when the CURRENT spec derives a partition
+    # value that equality on the caller's value maps through exactly:
+    # identity (value = column value) or a time transform (value = the
+    # granule string, which IS the stored partition value)
+    spec = table_partition_spec(table_path) or []
+    binds = {
+        it["col"]: (it["name"], it["transform"])
+        for it in spec
+        if it["transform"] == "identity"
+        or it["transform"] in _TIME_TRANSFORMS
+    }
     entries = None if m.get("deletes") else m["files"]
     if entries is not None and where:
-        spec = table_partition_spec(table_path) or []
-        ident = {it["col"]: it["name"] for it in spec
-                 if it["transform"] == "identity"}
-        if set(where) <= set(ident):
+        if set(where) <= set(binds):
             kept = []
             for e in entries:
                 part = e.get("partition")
                 ok: bool | None = True
                 for col, val in where.items():
-                    if part is None or ident[col] not in part:
+                    if part is None or binds[col][0] not in part:
                         ok = None  # file not provably aligned
                         break
-                    if part[ident[col]] != (
+                    if part[binds[col][0]] != (
                             None if val is None else str(val)):
                         ok = False
                         break
@@ -2496,7 +2509,15 @@ def scan_aggregate(
 
     df = read_snapshot(spark, table_path, snapshot_id=sid)
     for c, v in (where or {}).items():
-        df = df.where(F.col(c).isNull() if v is None else (F.col(c) == v))
+        b = binds.get(c)
+        if b and b[1] != "identity":
+            # time-transform binding: the same granule-equality
+            # semantics the metadata path answers
+            e = F.date_format(
+                F.col(c).cast("timestamp"), _TIME_TRANSFORMS[b[1]][0])
+        else:
+            e = F.col(c)
+        df = df.where(e.isNull() if v is None else (e == v))
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in minmax_cols:
         aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]

@@ -3739,3 +3739,39 @@ def test_scan_aggregate_paths_agree_randomized(spark, tmp_path):
                 F.min("y"), F.max("y"), F.min("id"), F.max("id"),
             ).collect()[0]
             assert tuple(got.collect()[0]) == tuple(exp), (case, where, md)
+
+
+def test_scan_aggregate_time_granule_equality(spark, tmp_path):
+    """Granule-equality filters on time-transform partitions answer
+    from metadata (Iceberg's partition-value query) and equal the
+    date_format scan semantics; a non-granule-shaped value counts 0."""
+    from pyspark.sql import functions as F
+
+    import ratatool_spark.operators.snapshots as snap
+
+    orders = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .where(F.col("o_orderdate").between("1995-01-01", "1995-01-31"))
+    )
+    path = str(tmp_path / "tg")
+    snap.commit_append(
+        orders, path,
+        partition_spec=[{"col": "o_orderdate", "transform": "day"}])
+    day = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d")
+    ).groupBy("d").count().orderBy(F.desc("count")).first()["d"]
+    got, md = snap.scan_aggregate(
+        spark, path, minmax_cols=("o_totalprice",),
+        where={"o_orderdate": day})
+    assert md is True
+    exp = orders.where(
+        F.date_format("o_orderdate", "yyyy-MM-dd") == day
+    ).agg(F.count(F.lit(1)), F.min("o_totalprice"),
+          F.max("o_totalprice")).collect()[0]
+    assert tuple(got.collect()[0]) == tuple(exp)
+    assert exp[0] > 0
+    # month-shaped value on a day table matches nothing — exact zero
+    got0, md0 = snap.scan_aggregate(
+        spark, path, where={"o_orderdate": day[:7]})
+    assert md0 is True and got0.collect()[0]["n_rows"] == 0
