@@ -994,7 +994,7 @@ def build_parser() -> argparse.ArgumentParser:
                  "metadata",
                  "add-constraint", "drop-constraint",
                  "rename-column", "widen-column", "evolve-spec",
-                 "tag", "untag", "tags", "set-bloom", "count"],
+                 "tag", "untag", "tags", "set-bloom", "count", "agg"],
         required=True,
     )
     sn.add_argument("--table", required=True, help="snapshot table root")
@@ -1096,6 +1096,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="tag/untag mode: the tag name (tag also accepts "
         "--snapshotId; default current); read mode: time-travel to the "
         "tagged snapshot. Tagged snapshots never expire.",
+    )
+    sn.add_argument(
+        "--minmaxCols", type=_csv, default=None,
+        help="agg mode: columns to MIN/MAX alongside COUNT(*)",
+    )
+    sn.add_argument(
+        "--whereEq", type=_csv, default=None,
+        help="agg mode: col:value equality conjunction (identity "
+        "partition value, or the granule string on a time transform)",
     )
     sn.add_argument(
         "--bloomCols", type=_csv, default=None,
@@ -2322,6 +2331,21 @@ def main(argv: list[str] | None = None) -> int:
                 print(_json.dumps({"rows": n, "snapshot_id":
                                    sid or snap.current_snapshot_id(
                                        args.table)}))
+            elif args.mode == "agg":
+                where = None
+                if args.whereEq:
+                    where = dict(
+                        p.split(":", 1) for p in args.whereEq)
+                out, md = snap.scan_aggregate(
+                    spark,
+                    args.table,
+                    minmax_cols=tuple(args.minmaxCols or ()),
+                    snapshot_id=args.snapshotId,
+                    where=where,
+                )
+                row = out.collect()[0].asDict()
+                row["from_metadata"] = md
+                print(_json.dumps(row))
             elif args.mode == "set-bloom":
                 if not args.bloomCols:
                     raise SystemExit(

@@ -3775,3 +3775,32 @@ def test_scan_aggregate_time_granule_equality(spark, tmp_path):
     got0, md0 = snap.scan_aggregate(
         spark, path, where={"o_orderdate": day[:7]})
     assert md0 is True and got0.collect()[0]["n_rows"] == 0
+
+
+def test_cli_agg_mode(tmp_path):
+    """CLI snapshot --mode agg: metadata-only aggregate as JSON, with
+    from_metadata reported."""
+    import json as _json
+    import subprocess
+    import sys
+
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    tbl = str(tmp_path / "cliagg")
+    r1 = subprocess.run(
+        [sys.executable, "-m", "ratatool_spark.cli", "snapshot",
+         "--table", tbl, "--mode", "append",
+         "--input", "/root/testdata/sf0.001/orders.parquet",
+         "--partitionBy", "o_orderstatus"],
+        env=env, capture_output=True, text=True)
+    assert r1.returncode == 0, r1.stderr[-500:]
+    r2 = subprocess.run(
+        [sys.executable, "-m", "ratatool_spark.cli", "snapshot",
+         "--table", tbl, "--mode", "agg",
+         "--minmaxCols", "o_totalprice",
+         "--whereEq", "o_orderstatus:F"],
+        env=env, capture_output=True, text=True)
+    assert r2.returncode == 0, r2.stderr[-500:]
+    out = _json.loads(r2.stdout.strip().splitlines()[-1])
+    assert out["from_metadata"] is True
+    assert out["n_rows"] > 0
+    assert out["min_o_totalprice"] <= out["max_o_totalprice"]
