@@ -38,6 +38,19 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Long-lived driver hygiene (guide §5): broadcast/shuffle blocks are
+        # reclaimed by the ContextCleaner only when driver GC collects their
+        # references; on a large heap full GCs can lag far behind block
+        # accumulation (in local mode those blocks share the one JVM with
+        # execution memory, so a many-query session degrades measurably —
+        # the default periodic-GC interval of 30min is longer than a whole
+        # bench run). 2min bounds the lag at a negligible GC cost; the same
+        # setting is the standard remedy for long-running drivers on
+        # clusters, not a local-mode special.
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "2min"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # driver testdata stores events.ts as TIMESTAMP(NANOS); Spark has no
