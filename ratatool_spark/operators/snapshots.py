@@ -2302,7 +2302,11 @@ def _read_entries(
                     *[os.path.join(table_path, p) for p in d["paths"]]
                 ).select(
                     *[F.col(cur_of.get(k, k)).alias(k) for k in d["keys"]]
-                ).distinct()
+                )
+                # no .distinct(): writers publish the sidecar pre-distincted
+                # (merge_*_mor rejects duplicate-key batches), and a
+                # left_anti build side is duplicate-insensitive anyway — a
+                # distinct here only added an exchange per read stratum
                 # widened key columns: cast the sidecar side up so the
                 # join compares like types (exact promotions only)
                 for k in d["keys"]:
