@@ -1417,10 +1417,18 @@ def ngram_lm_score(
         F.col("w3").alias("g1_w3"), F.col("cnt").alias("c1"))
     unictx = lm_df.where(F.col("n") == 1).select(
         F.col("w3").alias("x1_w3"), F.col("cnt").alias("c1ctx"))
-    total = lm_df.where(F.col("n") == 1).agg(F.sum("cnt")).first()[0] or 0
+    # the unigram total rides as a one-row broadcast scalar subquery
+    # (the tfidf/bm25 stats-row idiom) instead of a blocking .first():
+    # construction stays lazy, the count tables materialize once via the
+    # lazy checkpoint, and the division is IEEE-identical (long sum cast
+    # to double either way)
+    tot = lm_df.where(F.col("n") == 1).agg(
+        F.sum("cnt").cast("double").alias("__lm_tot")
+    )
     pos = _ngram_position_frame(df, text_col, id_col)
     j = (
         pos
+        .crossJoin(F.broadcast(tot))
         .join(tri, (F.col("w1") == F.col("g3_w1"))
               & (F.col("w2") == F.col("g3_w2"))
               & (F.col("w3") == F.col("g3_w3")), "left")
@@ -1432,7 +1440,7 @@ def ngram_lm_score(
         .join(unictx, F.col("w2") == F.col("x1_w3"), "left")
     )
     a = F.lit(alpha)
-    s1 = F.coalesce(F.col("c1") / F.lit(float(total)),
+    s1 = F.coalesce(F.col("c1") / F.col("__lm_tot"),
                     F.lit(float(oov_floor)))
     lp = (
         F.when(F.col("w1").isNotNull() & F.col("c3").isNotNull(),
@@ -2654,10 +2662,23 @@ def train_nb_class_weights(
             ).alias("weight"),
         )
     )
-    n_docs = labeled.count()
-    priors = labeled.groupBy(F.col(label_col).alias("label")).agg(
-        F.log(F.count(F.lit(1)).cast("double") / F.lit(float(n_docs))).alias(
-            "ln_prior"
+    # priors without a blocking corpus pass: ln(c_label / N) with N as a
+    # one-row broadcast scalar subquery (the tfidf/bm25 stats-row idiom)
+    # instead of an eager labeled.count() — the per-label aggregation
+    # subtree is shared, so the exchange is reused rather than the
+    # corpus being scanned a second time, and train stays fully lazy.
+    # IEEE-identical: both sides cast to double before the one division.
+    doc_counts = labeled.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("__dc")
+    )
+    total = doc_counts.agg(F.sum("__dc").alias("__nd"))
+    priors = (
+        doc_counts.crossJoin(F.broadcast(total))
+        .select(
+            "label",
+            F.log(
+                F.col("__dc").cast("double") / F.col("__nd").cast("double")
+            ).alias("ln_prior"),
         )
     )
     return weights, priors
