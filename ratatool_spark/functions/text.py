@@ -89,19 +89,19 @@ def winnow_fingerprints(
     picking the same minimum) preserved — ``array_distinct`` or a
     downstream DISTINCT collapses them. Pure expressions, zip-of-slices
     shape: the windows are ``arrays_zip`` of ``window`` shifted copies of
-    the gram-hash array, so the hash array is evaluated ``window`` times
-    per ROW — a ``slice(hashes, start, window)`` inside the per-window
-    lambda re-evaluates the whole md5 gram-hash array per WINDOW
-    (O(grams^2) hashes per document; measured 50x slower on the sf0.1
-    gate). Per-window min via ``least``, leftmost position via a
-    coalesced when-chain — engine-reproducible."""
+    the gram-hash array — a ``slice(hashes, start, window)`` inside the
+    per-window lambda would re-evaluate the whole md5 gram-hash array per
+    WINDOW (O(grams^2) hashes per document; measured 50x slower on the
+    sf0.1 gate). The hash array itself is evaluated exactly ONCE per row:
+    it rides as the single element of a ``transform`` lambda, whose bound
+    variable is a computed VALUE — referencing it ``window`` times for
+    the slices is free, where a plain column expression would recompute
+    every md5 per reference (measured ~2x on the sf0.1 gate). Per-window
+    min via ``least``, leftmost position via a coalesced when-chain —
+    engine-reproducible."""
     if k <= 0 or window <= 0:
         raise ValueError("k and window must be positive")
     hashes = F.transform(word_ngrams(text, k), lambda g: portable_hash64(g))
-    m = F.greatest(F.lit(1), F.size(hashes) - F.lit(window - 1))
-    z = F.arrays_zip(
-        *[F.slice(hashes, j + 1, m).alias(f"h{j}") for j in range(window)]
-    )
 
     def _fp(s, i):
         # arrays_zip pads trailing slices with NULL when the doc has
@@ -114,7 +114,14 @@ def winnow_fingerprints(
             (i.cast("long") + 1 + j0).alias("pos"), fp.alias("fp")
         )
 
-    return F.transform(z, _fp)
+    def _wins(h):
+        m = F.greatest(F.lit(1), F.size(h) - F.lit(window - 1))
+        z = F.arrays_zip(
+            *[F.slice(h, j + 1, m).alias(f"h{j}") for j in range(window)]
+        )
+        return F.transform(z, _fp)
+
+    return F.element_at(F.transform(F.array(hashes), _wins), 1)
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
