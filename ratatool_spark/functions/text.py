@@ -134,22 +134,27 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     every shingle (~n·|tokens| splits per row). Here ``tokens`` is
     evaluated n times per *row*, then the per-element lambda only touches
     struct fields (~18x on the bench corpus)."""
-    w = tokens(text)
-    m = F.greatest(F.size(w) - (n - 1), F.lit(1))
-    z = F.arrays_zip(*[F.slice(w, j + 1, m).alias(f"w{j}") for j in range(n)])
-    return F.array_distinct(
-        F.transform(z, lambda s: F.concat_ws(" ", *[s[f"w{j}"] for j in range(n)]))
-    )
+    return F.array_distinct(word_ngrams(text, n))
 
 
 def word_ngrams(text: Column, n: int = 2) -> Column:
     """All word n-gram occurrences, duplicates preserved — the repetition
     counter's input (``word_shingles`` minus the ``array_distinct``; same
-    zip-of-slices shape, see that docstring for why)."""
-    w = tokens(text)
-    m = F.greatest(F.size(w) - (n - 1), F.lit(1))
-    z = F.arrays_zip(*[F.slice(w, j + 1, m).alias(f"w{j}") for j in range(n)])
-    return F.transform(z, lambda s: F.concat_ws(" ", *[s[f"w{j}"] for j in range(n)]))
+    zip-of-slices shape, see that docstring for why). The token array is
+    additionally evaluated exactly ONCE per row (the bind-once lambda
+    trick of ``winnow_fingerprints``): the n+1 references the slices and
+    the size guard make would otherwise each re-split the text."""
+
+    def _grams(w):
+        m = F.greatest(F.size(w) - (n - 1), F.lit(1))
+        z = F.arrays_zip(
+            *[F.slice(w, j + 1, m).alias(f"w{j}") for j in range(n)]
+        )
+        return F.transform(
+            z, lambda s: F.concat_ws(" ", *[s[f"w{j}"] for j in range(n)])
+        )
+
+    return F.element_at(F.transform(F.array(tokens(text)), _grams), 1)
 
 
 # PII patterns, deliberately RE2-compatible (no lookaround/backrefs) so the

@@ -2369,22 +2369,30 @@ def dsir_select(
 
 def _filtered_word_grams(text_col: str, n: int):
     """All word n-grams over EMPTY-FILTERED tokens; sub-n docs produce an
-    EMPTY array (no padded gram). Zip-of-slices shape — the token array
-    is evaluated n times per ROW and the per-element lambda touches only
-    struct fields (an element_at(ls, i) form with ls as an inline
-    expression re-evaluates the tokenize+filter per ELEMENT — measured
-    ~6x slower on the hashed-DSIR gate)."""
-    ls = F.filter(tokens(F.col(text_col)), lambda x: F.length(x) > 0)
-    m = F.size(ls) - (n - 1)
-    z = F.arrays_zip(
-        *[F.slice(ls, j + 1, F.greatest(m, F.lit(0))) for j in range(n)]
-    )
-    grams = F.transform(
-        z, lambda s: F.concat_ws(" ", *[s[f"{i}"] for i in range(n)])
-    )
-    return F.when(m >= 1, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    EMPTY array (no padded gram). Zip-of-slices shape with the per-element
+    lambda touching only struct fields (an element_at(ls, i) form with ls
+    as an inline expression re-evaluates the tokenize+filter per ELEMENT —
+    measured ~6x slower on the hashed-DSIR gate); the filtered token
+    array itself is evaluated exactly ONCE per row via the bind-once
+    lambda trick (``functions/text.winnow_fingerprints``) — as a plain
+    column expression its n+2 references (slices, size guard, emptiness
+    test) would each re-split and re-filter the text, ruinously so for
+    the span-dedup caller's n=50."""
+
+    def _grams_of(ls):
+        m = F.size(ls) - (n - 1)
+        z = F.arrays_zip(
+            *[F.slice(ls, j + 1, F.greatest(m, F.lit(0))) for j in range(n)]
+        )
+        grams = F.transform(
+            z, lambda s: F.concat_ws(" ", *[s[f"{i}"] for i in range(n)])
+        )
+        return F.when(m >= 1, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    ls0 = F.filter(tokens(F.col(text_col)), lambda x: F.length(x) > 0)
+    return F.element_at(F.transform(F.array(ls0), _grams_of), 1)
 
 
 def build_hashed_ngram_freqs(
