@@ -441,8 +441,10 @@ def test_r6_classifier_plans_broadcast_no_python(spark):
     assert "mapInPandas" not in p and "BatchEvalPython" not in p
     p = plan_of(spark, "nb_lang_classify")
     assert "CartesianProduct" not in p
-    # priors (n_labels rows) + the n_docs scalar: at most 2 tiny NLJs
-    assert p.count("BroadcastNestedLoopJoin") <= 2
+    # priors (n_labels rows), the weight grid, and the N-docs scalar
+    # subquery (one row, replacing the eager labeled.count() — r11):
+    # at most 3 tiny NLJs, none data-scale
+    assert p.count("BroadcastNestedLoopJoin") <= 3
     assert "mapInPandas" not in p and "BatchEvalPython" not in p
 
 
