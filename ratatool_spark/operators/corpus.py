@@ -832,19 +832,29 @@ def chunk_documents(
     if overlap < 0 or chunk_size <= 0 or overlap >= chunk_size:
         raise ValueError("need chunk_size > 0 and 0 <= overlap < chunk_size")
     stride = chunk_size - overlap
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
-    starts = F.sequence(
-        F.lit(1), F.greatest(F.lit(1), n - F.lit(overlap)), F.lit(stride)
-    )
+
+    # bind-once (functions/text.winnow_fingerprints): as an inline
+    # expression, `toks` inside the per-start lambda is re-tokenized per
+    # CHUNK (and twice more for the start sequence) — the lambda-bound
+    # value is computed once per row
+    def _chunks(w):
+        starts = F.sequence(
+            F.lit(1),
+            F.greatest(F.lit(1), F.size(w) - F.lit(overlap)),
+            F.lit(stride),
+        )
+        return F.transform(starts, lambda s: F.slice(w, s, chunk_size))
+
     return (
         df.where(F.length(F.trim(F.col(text_col))) > 0)
         .select(
             id_col,
             F.posexplode(
-                F.transform(
-                    starts,
-                    lambda s: F.slice(toks, s, chunk_size),
+                F.element_at(
+                    F.transform(
+                        F.array(tokens(F.col(text_col))), _chunks
+                    ),
+                    1,
                 )
             ).alias("chunk_idx", "__toks"),
         )
