@@ -721,11 +721,21 @@ def sq8_encode(
     doesn't. Pure expressions, zero shuffle: encoding rides the scan."""
     from ratatool_spark.functions.vectors import quantize_int8, quantize_scale
 
-    scale = quantize_scale(F.col(vec_col))
-    return df.select(
+    # Two projections on purpose: `scale` is an O(d) aggregate over the
+    # vector, and quantize_int8 references it inside a per-ELEMENT
+    # lambda. Inlined, the aggregate re-evaluates for every element —
+    # O(d^2) per row (the HOF-lambda pitfall, PERF.md). Materialized as
+    # its own column first (referenced more than once, so CollapseProject
+    # keeps the projection), the lambda sees a plain attribute.
+    base = df.select(
         F.col(id_col).alias("id"),
-        quantize_int8(F.col(vec_col), scale).alias("codes"),
-        scale.alias("scale"),
+        F.col(vec_col).alias("__v"),
+        quantize_scale(F.col(vec_col)).alias("scale"),
+    )
+    return base.select(
+        "id",
+        quantize_int8(F.col("__v"), F.col("scale")).alias("codes"),
+        "scale",
     )
 
 
