@@ -1865,73 +1865,109 @@ def gopher_quality_flags(
         # power-of-two count; floor(x*1e6)/1e6 is a fixed IEEE sequence
         return F.floor(x * F.lit(1000000.0)) / F.lit(1000000.0)
 
-    toks = F.filter(tokens(F.col(text_col)), lambda t: F.length(t) > 0)
-    n = F.size(toks)
-    mean_len = _f6(
-        F.aggregate(
-            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
-        )
-        / n
-    )
-    n_symbolish = F.size(
-        F.filter(
-            toks,
-            lambda t: t.contains("#") | t.contains("..."),
-        )
-    )
-    lines = F.filter(
+    # bind-once (functions/text.winnow_fingerprints): every metric below
+    # references the token/line arrays, and HOF expressions are
+    # interpreted (CodegenFallback) — as plain column expressions the
+    # text would re-tokenize per REFERENCE (~18x per row, 8 of them from
+    # the stop-word array_contains chain over the lowered copy). Each
+    # array rides as a transform lambda value, computed once per row.
+    def _bind(arr, f):
+        return F.element_at(F.transform(F.array(arr), f), 1)
+
+    toks_expr = F.filter(tokens(F.col(text_col)), lambda t: F.length(t) > 0)
+    lines_expr = F.filter(
         F.transform(
             F.split(F.col(text_col), "\n"), lambda ln: F.trim(ln)
         ),
         lambda ln: F.length(ln) > 0,
     )
-    n_lines = F.size(lines)
-    bullet_ratio = _f6(
-        F.size(
-            F.filter(
-                lines,
-                lambda ln: ln.startswith("-")
-                | ln.startswith("*")
-                | ln.startswith("•"),
-            )
-        )
-        / n_lines
-    )
-    ellipsis_ratio = _f6(
-        F.size(
-            F.filter(
-                lines,
-                lambda ln: ln.endswith("...") | ln.endswith("…"),
-            )
-        )
-        / n_lines
-    )
-    alpha_ratio = _f6(
-        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / n
-    )
     stops = ("the", "be", "to", "of", "and", "that", "have", "with")
-    lowered = F.transform(toks, lambda t: F.lower(t))
-    n_stop_hits = sum(
-        [
-            F.when(F.array_contains(lowered, s), F.lit(1)).otherwise(
-                F.lit(0)
+
+    def _metrics(toks, lines, lowered):
+        n = F.size(toks)
+        n_lines = F.size(lines)
+        has_toks = n > 0
+        mean_len = _f6(
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
             )
-            for s in stops
-        ],
-        F.lit(0),
-    )
-    has_toks = n > 0
-    out = df.select(
-        "*",
-        n.alias("n_words"),
-        F.when(has_toks, mean_len).alias("mean_word_len"),
-        F.when(has_toks, _f6(n_symbolish / n)).alias(
-            "symbol_to_word_ratio"
+            / n
+        )
+        n_symbolish = F.size(
+            F.filter(
+                toks,
+                lambda t: t.contains("#") | t.contains("..."),
+            )
+        )
+        bullet_ratio = _f6(
+            F.size(
+                F.filter(
+                    lines,
+                    lambda ln: ln.startswith("-")
+                    | ln.startswith("*")
+                    | ln.startswith("•"),
+                )
+            )
+            / n_lines
+        )
+        ellipsis_ratio = _f6(
+            F.size(
+                F.filter(
+                    lines,
+                    lambda ln: ln.endswith("...") | ln.endswith("…"),
+                )
+            )
+            / n_lines
+        )
+        alpha_ratio = _f6(
+            F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / n
+        )
+        n_stop_hits = sum(
+            [
+                F.when(F.array_contains(lowered, s), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+                for s in stops
+            ],
+            F.lit(0),
+        )
+        return F.struct(
+            n.alias("n_words"),
+            F.when(has_toks, mean_len).alias("mean_word_len"),
+            F.when(has_toks, _f6(n_symbolish / n)).alias(
+                "symbol_to_word_ratio"
+            ),
+            F.when(n_lines > 0, bullet_ratio).alias("bullet_line_ratio"),
+            F.when(n_lines > 0, ellipsis_ratio).alias(
+                "ellipsis_line_ratio"
+            ),
+            F.when(has_toks, alpha_ratio).alias("alpha_word_ratio"),
+            n_stop_hits.alias("n_stop_hits"),
+        )
+
+    g = _bind(
+        toks_expr,
+        lambda toks: _bind(
+            lines_expr,
+            lambda lines: _bind(
+                F.transform(toks, lambda t: F.lower(t)),
+                lambda lowered: _metrics(toks, lines, lowered),
+            ),
         ),
-        F.when(n_lines > 0, bullet_ratio).alias("bullet_line_ratio"),
-        F.when(n_lines > 0, ellipsis_ratio).alias("ellipsis_line_ratio"),
-        F.when(has_toks, alpha_ratio).alias("alpha_word_ratio"),
-        n_stop_hits.alias("n_stop_hits"),
+    )
+    # two projections on purpose (sq8_encode): the metrics struct is
+    # materialized as its own column so the seven field reads below are
+    # plain attribute accesses, not seven re-evaluations
+    staged = df.select("*", g.alias("__gopher"))
+    out = staged.select(
+        *df.columns,
+        F.col("__gopher.n_words").alias("n_words"),
+        F.col("__gopher.mean_word_len").alias("mean_word_len"),
+        F.col("__gopher.symbol_to_word_ratio").alias("symbol_to_word_ratio"),
+        F.col("__gopher.bullet_line_ratio").alias("bullet_line_ratio"),
+        F.col("__gopher.ellipsis_line_ratio").alias("ellipsis_line_ratio"),
+        F.col("__gopher.alpha_word_ratio").alias("alpha_word_ratio"),
+        F.col("__gopher.n_stop_hits").alias("n_stop_hits"),
     )
     passes = (
         (F.col("n_words") >= min_words)
