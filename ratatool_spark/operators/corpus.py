@@ -954,37 +954,64 @@ def c4_page_filter(
 
     100 TB shape: pure column expressions (split / higher-order filter /
     array ops) over one scan — no shuffle, no Python, no joins."""
-    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
-    trimmed = F.transform(lines, lambda ln: F.trim(ln))
+    # bind-once (gopher_quality_flags): `kept` — the expensive per-line
+    # word-count filter — was referenced twice (array_join + size) and
+    # the lowered text three times; HOF expressions are interpreted, so
+    # each reference re-ran the whole chain. Bind lines, kept and the
+    # lowered text as lambda values, emit one metrics struct, and read
+    # its fields from a second projection.
+    def _bind(arr, f):
+        return F.element_at(F.transform(F.array(arr), f), 1)
+
+    lines_expr = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    low_expr = F.lower(F.coalesce(F.col(text_col), F.lit("")))
 
     def _nwords(ln):
         return F.size(F.filter(F.split(ln, " "), lambda t: F.length(t) > 0))
 
-    kept = F.filter(
-        trimmed,
-        lambda ln: (_nwords(ln) >= min_words_per_line)
-        & ln.rlike('[.!?"]$'),
-    )
-    toks_lower = F.filter(
-        F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"[ \n]"),
-        lambda t: F.length(t) > 0,
-    )
-    bad = (
-        F.arrays_overlap(
-            toks_lower, F.array(*[F.lit(w.lower()) for w in badwords])
+    def _metrics(lines, kept, low):
+        toks_lower = F.filter(
+            F.split(F.trim(low), r"[ \n]"),
+            lambda t: F.length(t) > 0,
         )
-        if badwords
-        else F.lit(False)
+        bad = (
+            F.arrays_overlap(
+                toks_lower, F.array(*[F.lit(w.lower()) for w in badwords])
+            )
+            if badwords
+            else F.lit(False)
+        )
+        return F.struct(
+            F.array_join(kept, "\n").alias("clean_text"),
+            F.size(lines).alias("n_lines"),
+            F.size(kept).alias("n_kept_lines"),
+            low.contains("lorem ipsum").alias("has_lorem_ipsum"),
+            low.contains("{").alias("has_brace"),
+            bad.alias("has_badword"),
+        )
+
+    g = _bind(
+        lines_expr,
+        lambda lines: _bind(
+            F.filter(
+                F.transform(lines, lambda ln: F.trim(ln)),
+                lambda ln: (_nwords(ln) >= min_words_per_line)
+                & ln.rlike('[.!?"]$'),
+            ),
+            lambda kept: _bind(
+                low_expr, lambda low: _metrics(lines, kept, low)
+            ),
+        ),
     )
-    low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
-    out = df.select(
-        F.col(id_col).alias(id_col),
-        F.array_join(kept, "\n").alias("clean_text"),
-        F.size(lines).alias("n_lines"),
-        F.size(kept).alias("n_kept_lines"),
-        low.contains("lorem ipsum").alias("has_lorem_ipsum"),
-        low.contains("{").alias("has_brace"),
-        bad.alias("has_badword"),
+    staged = df.select(F.col(id_col).alias(id_col), g.alias("__c4"))
+    out = staged.select(
+        id_col,
+        F.col("__c4.clean_text").alias("clean_text"),
+        F.col("__c4.n_lines").alias("n_lines"),
+        F.col("__c4.n_kept_lines").alias("n_kept_lines"),
+        F.col("__c4.has_lorem_ipsum").alias("has_lorem_ipsum"),
+        F.col("__c4.has_brace").alias("has_brace"),
+        F.col("__c4.has_badword").alias("has_badword"),
     )
     return out.withColumn(
         "keep",
