@@ -185,56 +185,100 @@ def redact_pii(text: Column) -> Column:
     return F.regexp_replace(out, PHONE_RE, "[PHONE]")
 
 
+def _bind(value: Column, f) -> Column:
+    """Evaluate ``f`` with ``value`` bound ONCE per row as a lambda
+    variable (the winnow/word_ngrams idiom). Higher-order-function
+    expressions are interpreted (CodegenFallback) — no common-subexpression
+    elimination — so a computed Column referenced N times is re-evaluated
+    N times per row; bound as a lambda value, the N references are free
+    attribute reads."""
+    return F.element_at(F.transform(F.array(value), f), 1)
+
+
 def stopword_ratio(text: Column) -> Column:
-    w = tokens(text)
-    stop = F.filter(w, lambda t: t.isin(*STOPWORDS))
-    return F.size(stop) / F.greatest(F.size(w), F.lit(1))
+    return _bind(
+        tokens(text),
+        lambda w: F.size(F.filter(w, lambda t: t.isin(*STOPWORDS)))
+        / F.greatest(F.size(w), F.lit(1)),
+    )
 
 
 def distinct_ratio(text: Column) -> Column:
     """Lexical diversity: distinct tokens / tokens. Low values flag
     boilerplate/repetition — a standard pretraining quality signal."""
-    w = tokens(text)
-    return F.size(F.array_distinct(w)) / F.greatest(F.size(w), F.lit(1))
+    return _bind(
+        tokens(text),
+        lambda w: F.size(F.array_distinct(w)) / F.greatest(F.size(w), F.lit(1)),
+    )
 
 
 def mean_token_len(text: Column) -> Column:
-    w = tokens(text)
-    total = F.aggregate(w, F.lit(0), lambda acc, t: acc + F.length(t))
-    return total / F.greatest(F.size(w), F.lit(1))
+    return _bind(
+        tokens(text),
+        lambda w: F.aggregate(w, F.lit(0), lambda acc, t: acc + F.length(t))
+        / F.greatest(F.size(w), F.lit(1)),
+    )
 
 
 def quality_score(text: Column) -> Column:
     """Composite [0,1] quality score: length saturation + lexical diversity
     + stopword presence. The weights are illustrative; the shape (cheap
-    column arithmetic, no UDF) is the point."""
-    length_part = F.least(token_count(text) / F.lit(100.0), F.lit(1.0))
-    return (
-        F.lit(0.4) * length_part
-        + F.lit(0.4) * distinct_ratio(text)
-        + F.lit(0.2) * F.least(stopword_ratio(text) * F.lit(5.0), F.lit(1.0))
-    )
+    column arithmetic, no UDF — tokenize bound once per row) is the point."""
+
+    def _score(w: Column) -> Column:
+        denom = F.greatest(F.size(w), F.lit(1))
+        length_part = F.least(F.size(w) / F.lit(100.0), F.lit(1.0))
+        dr = F.size(F.array_distinct(w)) / denom
+        sr = F.size(F.filter(w, lambda t: t.isin(*STOPWORDS))) / denom
+        return (
+            F.lit(0.4) * length_part
+            + F.lit(0.4) * dr
+            + F.lit(0.2) * F.least(sr * F.lit(5.0), F.lit(1.0))
+        )
+
+    return _bind(tokens(text), _score)
+
+
+def _marker_ratio(markers: tuple[str, ...]):
+    def _ratio(w: Column) -> Column:
+        return F.size(F.filter(w, lambda t: t.isin(*markers))) / F.greatest(
+            F.size(w), F.lit(1)
+        )
+
+    return _ratio
 
 
 def lang_scores(text: Column) -> list[tuple[str, Column]]:
-    w = tokens(text)
-    out = []
-    for lang, markers in LANG_MARKERS.items():
-        hits = F.size(F.filter(w, lambda t: t.isin(*markers)))
-        out.append((lang, hits / F.greatest(F.size(w), F.lit(1))))
-    return out
+    return [
+        (lang, _bind(tokens(text), _marker_ratio(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    ]
 
 
 def lang_id(text: Column) -> Column:
     """Argmax language over marker-hit ratios; ties and no-hits fall back to
-    'und'. Greatest-of chain keeps it a single expression."""
-    scores = lang_scores(text)
-    best = F.greatest(*[s for _, s in scores])
-    result = F.lit("und")
-    # reversed so earlier languages win ties (stable, documented order)
-    for lang, s in reversed(scores):
-        result = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(result)
-    return result
+    'und'. Two bind-once levels: the token array is evaluated once per row,
+    then the score VECTOR is evaluated once per row — the argmax when-chain
+    reads bound array elements instead of re-filtering the tokens (which,
+    through the repeated ``greatest`` in every branch, re-tokenized the
+    text >100x per row for a no-match document)."""
+    langs = list(LANG_MARKERS)
+
+    def _scores(w: Column) -> Column:
+        return F.array(*[_marker_ratio(LANG_MARKERS[lg])(w) for lg in langs])
+
+    def _pick(sc: Column) -> Column:
+        s = [F.element_at(sc, i + 1) for i in range(len(langs))]
+        best = F.greatest(*s)
+        result = F.lit("und")
+        # reversed so earlier languages win ties (stable, documented order)
+        for i in reversed(range(len(langs))):
+            result = F.when((s[i] == best) & (best > 0), F.lit(langs[i])).otherwise(
+                result
+            )
+        return result
+
+    return _bind(_bind(tokens(text), _scores), _pick)
 
 
 def fingerprint(text: Column, hasher: str = "portable") -> Column:
