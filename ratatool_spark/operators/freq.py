@@ -203,11 +203,21 @@ def build_freq_sketches(
     m = F.map_from_entries(
         F.collect_list(F.struct(F.col("__slot"), F.col("__c")))
     )
-    return sparse.groupBy(*group_cols).agg(
+    # Bind the sparse map ONCE per group: referenced directly inside the
+    # per-slot lambda it would be rebuilt from the collect_list result for
+    # every one of the depth*width slots (HOFs are interpreted — no CSE).
+    dense = F.element_at(
         F.transform(
-            F.sequence(F.lit(0), F.lit(depth * width - 1)),
-            lambda i: F.coalesce(F.element_at(m, i), F.lit(0)).cast("long"),
-        ).alias("cms"),
+            F.array(m),
+            lambda mm: F.transform(
+                F.sequence(F.lit(0), F.lit(depth * width - 1)),
+                lambda i: F.coalesce(F.element_at(mm, i), F.lit(0)).cast("long"),
+            ),
+        ),
+        1,
+    )
+    return sparse.groupBy(*group_cols).agg(
+        dense.alias("cms"),
         F.first(F.lit(depth)).alias("depth"),
         F.first(F.lit(width)).alias("width"),
         (F.sum("__c") / depth).cast("long").alias("n_rows"),

@@ -414,7 +414,6 @@ def estimate_quantiles(
     group_cols = [c for c in sketch_df.columns if c not in ("sample", "k")]
     vals = F.array_sort(F.transform("sample", lambda e: e["v"]))
     m = F.size("sample")
-    out = [F.col(c) for c in group_cols]
     labels = [f"q_{int(round(q * 100)):02d}" for q in qs]
     if len(set(labels)) != len(labels):
         raise ValueError(
@@ -422,12 +421,30 @@ def estimate_quantiles(
             "by integer percent — request quantiles at least 1 point apart "
             "(duplicate column names break parquet writes and selects)"
         )
-    for q, label in zip(qs, labels):
+    for q in qs:
         if not 0.0 <= q <= 1.0:
             raise ValueError(f"quantile {q} outside [0, 1]")
-        idx = (F.lit(1) + F.floor(F.lit(q) * (m - F.lit(1)))).cast("int")
-        out.append(F.element_at(vals, idx).alias(label))
-    return sketch_df.select(*out)
+    if not qs:
+        return sketch_df.select(*[F.col(c) for c in group_cols])
+
+    # Sort the sample ONCE per row: each element_at(vals, idx) referenced
+    # the array_sort chain directly, re-sorting the sample per requested
+    # quantile (HOFs are interpreted — no CSE). Bind the sorted array as a
+    # lambda value, emit all quantiles as one struct, and materialize the
+    # struct in its own projection so the field reads are attribute
+    # accesses.
+    def _pick(vs: Column) -> Column:
+        cols = []
+        for q, label in zip(qs, labels):
+            idx = (F.lit(1) + F.floor(F.lit(q) * (m - F.lit(1)))).cast("int")
+            cols.append(F.element_at(vs, idx).alias(label))
+        return F.struct(*cols)
+
+    qstruct = F.element_at(F.transform(F.array(vals), _pick), 1)
+    tmp = sketch_df.select(*group_cols, qstruct.alias("__q"))
+    return tmp.select(
+        *group_cols, *[F.col("__q")[label].alias(label) for label in labels]
+    )
 
 
 # ------------------------------------------------ set-overlap sketch tables
