@@ -189,7 +189,11 @@ def _keyed_array_deltas(
 
     Pure expression implementation: map_from_entries on both sides, union
     of keys, one flattened transform — no explode/join/shuffle, the whole
-    compare happens inside the row."""
+    compare happens inside the row. Both maps are BOUND once per row and
+    each key's (left, right) pair once per key (lambda values): referenced
+    as plain column expressions, every per-key/per-field access would
+    re-run map_from_entries over the whole array (interpreted HOFs, no
+    CSE) — O(keys x fields x n) map rebuilds per row."""
     assert isinstance(dtype.elementType, T.StructType)
     elem: T.StructType = dtype.elementType
     l_arr, r_arr = F.col(f"{_L}.{path}"), F.col(f"{_R}.{path}")
@@ -205,11 +209,7 @@ def _keyed_array_deltas(
             )
         )
 
-    lm, rm = to_map(l_arr), to_map(r_arr)
-    union_keys = F.array_distinct(F.concat(F.map_keys(lm), F.map_keys(rm)))
-
-    def deltas_for_key(kk: Column) -> Column:
-        lv, rv = F.element_at(lm, kk), F.element_at(rm, kk)
+    def _pair_deltas(lv: Column, rv: Column, kk: Column) -> Column:
         label = F.concat(F.lit(f"{path}["), kk, F.lit("]"))
         missing = F.when(
             lv.isNull() | rv.isNull(),
@@ -251,7 +251,26 @@ def _keyed_array_deltas(
             )
         return F.array_compact(F.array(missing, *children))
 
-    return F.flatten(F.transform(union_keys, deltas_for_key))
+    def _from_maps(lm: Column, rm: Column) -> Column:
+        union_keys = F.array_distinct(F.concat(F.map_keys(lm), F.map_keys(rm)))
+
+        def deltas_for_key(kk: Column) -> Column:
+            pair = F.struct(
+                F.element_at(lm, kk).alias("l"), F.element_at(rm, kk).alias("r")
+            )
+            return F.element_at(
+                F.transform(
+                    F.array(pair), lambda p: _pair_deltas(p["l"], p["r"], kk)
+                ),
+                1,
+            )
+
+        return F.flatten(F.transform(union_keys, deltas_for_key))
+
+    maps = F.struct(to_map(l_arr).alias("l"), to_map(r_arr).alias("r"))
+    return F.element_at(
+        F.transform(F.array(maps), lambda ms: _from_maps(ms["l"], ms["r"])), 1
+    )
 
 
 def _align_to(df: DataFrame, merged: T.StructType) -> DataFrame:
