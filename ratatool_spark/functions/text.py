@@ -302,31 +302,42 @@ def luhn_valid(s: Column) -> Column:
     card-shaped regex matches: a 16-digit run that fails Luhn is almost
     always an ID/hash, not a card, and should not be counted as PII.
 
-    Pure expressions (reverse + per-position fold via ``aggregate``), so
-    it runs inside whole-stage codegen and replays exactly in any engine
-    with list folds (the oracle uses DuckDB ``list_reduce``)."""
+    Pure expressions (reverse + per-position fold via ``aggregate``),
+    replaying exactly in any engine with list folds (the oracle uses
+    DuckDB ``list_reduce``). The digit string and the reversed char array
+    are each BOUND once (lambda values): referenced directly, every
+    per-position ``d(i)`` would re-run the regexp strip + reverse + split
+    chain (interpreted HOFs, no CSE) — ~5 chain evaluations per digit."""
     digits = F.regexp_replace(s, r"[^0-9]", "")
-    n = F.length(digits)
-    rev = F.reverse(digits)
-    chars = F.split(rev, "")
-    d = lambda i: F.element_at(chars, i).cast("int")  # noqa: E731
-    term = lambda i: F.when(  # noqa: E731
-        i % 2 == 0,
-        F.when(d(i) * 2 > 9, d(i) * 2 - 9).otherwise(d(i) * 2),
-    ).otherwise(d(i))
-    # The fold is gated on the 13-19 digit window: with no digits at all
-    # split("") yields [''] and element_at('').cast(int) RAISES under
-    # ANSI mode (Spark 4 default) — a public helper must return false on
-    # arbitrary strings, not error. when() short-circuits per-row.
-    total = F.when(
-        (n >= 13) & (n <= 19),
-        F.aggregate(
-            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
-            F.lit(0),
-            lambda acc, i: acc + term(i),
-        ),
-    )
-    return (n >= 13) & (n <= 19) & (total % 10 == 0)
+
+    def _outer(dg: Column) -> Column:
+        n = F.length(dg)
+        chars = F.split(F.reverse(dg), "")
+
+        def _inner(ch: Column) -> Column:
+            d = lambda i: F.element_at(ch, i).cast("int")  # noqa: E731
+            term = lambda i: F.when(  # noqa: E731
+                i % 2 == 0,
+                F.when(d(i) * 2 > 9, d(i) * 2 - 9).otherwise(d(i) * 2),
+            ).otherwise(d(i))
+            # The fold is gated on the 13-19 digit window: with no digits
+            # at all split("") yields [''] and element_at('').cast(int)
+            # RAISES under ANSI mode (Spark 4 default) — a public helper
+            # must return false on arbitrary strings, not error. when()
+            # short-circuits per-row.
+            total = F.when(
+                (n >= 13) & (n <= 19),
+                F.aggregate(
+                    F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+                    F.lit(0),
+                    lambda acc, i: acc + term(i),
+                ),
+            )
+            return (n >= 13) & (n <= 19) & (total % 10 == 0)
+
+        return _bind(chars, _inner)
+
+    return _bind(digits, _outer)
 
 
 def pii_counts_extended(text: Column) -> tuple[Column, Column, Column]:
