@@ -951,16 +951,24 @@ def pq_encode(
         return base.mapInPandas(gen, schema=f"id {id_t}, codes array<int>").select(
             F.col("id").alias(id_col), "codes"
         )
+    import json
+
     code_cols = []
     for j, book in enumerate(codebooks):
         s = F.slice(F.col(vec_col), j * sub + 1, sub)
+        # one constant-folded literal per subspace instead of a lit()
+        # py4j round-trip per scalar (see _adc_dist)
+        lut = F.from_json(
+            F.lit(json.dumps([[float(x) for x in cent] for cent in book])),
+            "array<array<double>>",
+        )
         scored = F.array(
             *[
                 F.struct(
-                    _sq_l2(s, F.lit([float(x) for x in cent])).alias("d"),
+                    _sq_l2(s, F.element_at(lut, c + 1)).alias("d"),
                     F.lit(c).alias("c"),
                 )
-                for c, cent in enumerate(book)
+                for c in range(len(book))
             ]
         )
         code_cols.append(F.array_min(scored)["c"])
@@ -1009,11 +1017,28 @@ def _adc_dist(codebooks, qv_col: str, codes_col: str) -> Column:
     """Left-associated ADC term chain Σ_j ||q_sub_j − book_j[code_j]||²
     — shared by pq_topk / ivfpq_topk and replayed order-pinned in the
     oracle."""
+    import json
+
     sub = len(codebooks[0][0])
+    # ONE py4j call for the whole LUT: PySpark's F.lit(list) recurses into
+    # a lit() round-trip per scalar (m*k*sub = 8192 at 8x64x16, ~3 s of
+    # pure plan construction per pq_topk call, measured by cProfile as
+    # 22k py4j send_commands). from_json of a string literal is
+    # deterministic and CONSTANT-FOLDED at optimization — the optimized
+    # plan holds the identical double Literals (json round-trips shortest
+    # repr exactly), with zero per-row parse cost.
+    books_lit = F.from_json(
+        F.lit(
+            json.dumps(
+                [[[float(x) for x in cent] for cent in book] for book in codebooks]
+            )
+        ),
+        "array<array<array<double>>>",
+    )
     dist = None
     for j, book in enumerate(codebooks):
         qs = F.slice(F.col(qv_col), j * sub + 1, sub)
-        lut = F.array(*[F.lit([float(x) for x in cent]) for cent in book])
+        lut = F.element_at(books_lit, j + 1)
         term = _sq_l2(
             qs, F.element_at(lut, F.element_at(codes_col, j + 1) + 1)
         )
