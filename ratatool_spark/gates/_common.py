@@ -18,3 +18,27 @@ _DICE_SQL = (
 def _dice_sql(fields: list[str], seed: int = 42) -> str:
     rendered = ", ".join(f"CAST({f} AS VARCHAR)" for f in fields)
     return _DICE_SQL.format(seed=seed, fields=rendered)
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def stream_partitions(spark, n: int = 8):
+    """Pin ``spark.sql.shuffle.partitions`` to the gate fixture's
+    key-scale for the duration of a streaming run, restoring the session
+    default afterwards. State-store partition count is fixed at
+    checkpoint creation from this setting; the session default (sized to
+    host cores for batch shuffles) just multiplies per-micro-batch
+    state-store setup and commit fsyncs for fixtures whose key
+    cardinality is tiny. Measured on stream_dedup_admitted: 5.1-11.7 s at
+    32 partitions vs 3.0-3.7 s at 8, identical admitted rows. The same
+    rationale (pin to key cardinality, not host cores) applies at
+    cluster scale — this is a fixture-cardinality setting, not a local
+    tuning knob."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

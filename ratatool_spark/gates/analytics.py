@@ -424,13 +424,16 @@ def _q_stream_drift(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = stream_drift_bins(
-        stream,
-        os.path.join(root, "bins"),
-        os.path.join(root, "ckpt"),
-        **spec,
-    )
-    q.awaitTermination()
+    from ratatool_spark.gates._common import stream_partitions
+
+    with stream_partitions(spark):
+        q = stream_drift_bins(
+            stream,
+            os.path.join(root, "bins"),
+            os.path.join(root, "ckpt"),
+            **spec,
+        )
+        q.awaitTermination()
     return read_stream_drift(spark, os.path.join(root, "bins"), ref)
 
 def _sql_stream_drift() -> str:

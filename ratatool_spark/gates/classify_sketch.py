@@ -1132,16 +1132,19 @@ def _q_stream_freq_sketches(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = stream_freq_sketches(
-        stream,
-        os.path.join(root, "sk"),
-        os.path.join(root, "ckpt"),
-        group_cols=["event_type"],
-        key_col="user_id",
-        depth=4,
-        width=256,
-    )
-    q.awaitTermination()
+    from ratatool_spark.gates._common import stream_partitions
+
+    with stream_partitions(spark):
+        q = stream_freq_sketches(
+            stream,
+            os.path.join(root, "sk"),
+            os.path.join(root, "ckpt"),
+            group_cols=["event_type"],
+            key_col="user_id",
+            depth=4,
+            width=256,
+        )
+        q.awaitTermination()
     merged = read_stream_freq_sketches(spark, os.path.join(root, "sk"))
     keys = spark.createDataFrame([(i,) for i in _CMS_PROBES], "user_id long")
     return estimate_freqs(merged, keys, "user_id")

@@ -740,16 +740,19 @@ def _q_stream_gate(spark, sf_dir):
     docs.where(F.col("doc_id") % 2 == 1).write.parquet(in_dir)
     stream = spark.readStream.schema(docs.schema).parquet(in_dir)
     out_path = os.path.join(root, "admitted")
-    q = stream_filter_against(
-        stream,
-        corpus,
-        out_path,
-        checkpoint=os.path.join(root, "ckpt"),
-        threshold=0.3,
-        num_hashes=_MINHASH_K,
-        bands=8,
-    )
-    q.awaitTermination()
+    from ratatool_spark.gates._common import stream_partitions
+
+    with stream_partitions(spark):
+        q = stream_filter_against(
+            stream,
+            corpus,
+            out_path,
+            checkpoint=os.path.join(root, "ckpt"),
+            threshold=0.3,
+            num_hashes=_MINHASH_K,
+            bands=8,
+        )
+        q.awaitTermination()
     back = spark.read.parquet(out_path)
     return back.select("doc_id", "lang", "source", "n_chars")
 
@@ -1461,16 +1464,19 @@ def _q_stream_quantile_sketches(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = stream_quantile_sketches(
-        stream,
-        os.path.join(root, "sk"),
-        os.path.join(root, "ckpt"),
-        group_cols=["event_type"],
-        value_col="value",
-        key_cols=["event_id"],
-        k=1024,
-    )
-    q.awaitTermination()
+    from ratatool_spark.gates._common import stream_partitions
+
+    with stream_partitions(spark):
+        q = stream_quantile_sketches(
+            stream,
+            os.path.join(root, "sk"),
+            os.path.join(root, "ckpt"),
+            group_cols=["event_type"],
+            value_col="value",
+            key_cols=["event_id"],
+            k=1024,
+        )
+        q.awaitTermination()
     merged = read_stream_quantile_sketches(spark, os.path.join(root, "sk"))
     return estimate_quantiles(merged, [0.25, 0.5, 0.9])
 
@@ -1578,14 +1584,17 @@ def _q_stream_dedup(spark, sf_dir):
     stream = spark.readStream.schema(corpus.schema).parquet(in_dir)
     admitted = stream_exact_dedup(stream, watermark="1 hour")
     out_path = os.path.join(root, "admitted")
-    q = (
-        admitted.writeStream.format("parquet")
-        .option("path", out_path)
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from ratatool_spark.gates._common import stream_partitions
+
+    with stream_partitions(spark):
+        q = (
+            admitted.writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     back = spark.read.parquet(out_path)
     return back.select(fingerprint(F.col("text")).alias("fp"))
 

@@ -505,14 +505,17 @@ def _q_stream_decontaminate(spark, sf_dir):
     docs.write.parquet(in_dir)
     stream = spark.readStream.schema(docs.schema).parquet(in_dir)
     out_path = os.path.join(root, "flagged")
-    q = stream_decontaminate(
-        stream,
-        idx,
-        out_path,
-        checkpoint=os.path.join(root, "ckpt"),
-        min_est_jaccard=0.5,
-    )
-    q.awaitTermination()
+    from ratatool_spark.gates._common import stream_partitions
+
+    with stream_partitions(spark):
+        q = stream_decontaminate(
+            stream,
+            idx,
+            out_path,
+            checkpoint=os.path.join(root, "ckpt"),
+            min_est_jaccard=0.5,
+        )
+        q.awaitTermination()
     back = spark.read.parquet(out_path)
     return back.select("doc_id", "contaminated")
 
@@ -564,15 +567,18 @@ def _q_stream_quality_scores(spark, sf_dir):
     docs.write.parquet(in_dir)
     stream = spark.readStream.schema(docs.schema).parquet(in_dir)
     out_path = os.path.join(root, "scored")
-    q = stream_quality_scores(
-        stream,
-        w,
-        out_path,
-        checkpoint=os.path.join(root, "ckpt"),
-        n_buckets=512,
-        n=2,
-    )
-    q.awaitTermination()
+    from ratatool_spark.gates._common import stream_partitions
+
+    with stream_partitions(spark):
+        q = stream_quality_scores(
+            stream,
+            w,
+            out_path,
+            checkpoint=os.path.join(root, "ckpt"),
+            n_buckets=512,
+            n=2,
+        )
+        q.awaitTermination()
     back = spark.read.parquet(out_path)
     return back.select(
         "doc_id",

@@ -407,10 +407,13 @@ def _q_stream_snapshot_appends(spark, sf_dir):
         .parquet(in_dir)
     )
     tbl = os.path.join(root, "tbl")
-    q = stream_snapshot_append(
-        stream, tbl, checkpoint=os.path.join(root, "ckpt")
-    )
-    q.awaitTermination()
+    from ratatool_spark.gates._common import stream_partitions
+
+    with stream_partitions(spark):
+        q = stream_snapshot_append(
+            stream, tbl, checkpoint=os.path.join(root, "ckpt")
+        )
+        q.awaitTermination()
     n_commits = int(current_snapshot_id(tbl))
     n_batches = len(committed_stream_batches(tbl))
     return read_snapshot(spark, tbl).groupBy("o_orderstatus").agg(
@@ -688,15 +691,18 @@ def _q_stream_snapshot_source(spark, sf_dir):
     src = _build_orders_table(spark, sf_dir, n_commits=3)
     root = tempfile.mkdtemp(prefix="rt_snapsrc_")
     dst = os.path.join(root, "dst")
-    q = stream_snapshot_mirror(
-        spark, src, dst, checkpoint=os.path.join(root, "ck1")
-    )
-    q.awaitTermination()
-    n_commits = int(current_snapshot_id(dst))
-    q = stream_snapshot_mirror(  # full re-delivery: ledger no-ops it
-        spark, src, dst, checkpoint=os.path.join(root, "ck2")
-    )
-    q.awaitTermination()
+    from ratatool_spark.gates._common import stream_partitions
+
+    with stream_partitions(spark):
+        q = stream_snapshot_mirror(
+            spark, src, dst, checkpoint=os.path.join(root, "ck1")
+        )
+        q.awaitTermination()
+        n_commits = int(current_snapshot_id(dst))
+        q = stream_snapshot_mirror(  # full re-delivery: ledger no-ops it
+            spark, src, dst, checkpoint=os.path.join(root, "ck2")
+        )
+        q.awaitTermination()
     n_after_replay = int(current_snapshot_id(dst))
     return read_snapshot(spark, dst).groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),

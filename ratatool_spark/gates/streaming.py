@@ -218,19 +218,23 @@ def _q_stream_scd2(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(in_dir)
     )
-    q = stream_scd2(
-        stream,
-        os.path.join(root, "history"),
-        checkpoint=os.path.join(root, "ckpt"),
-        key_cols="user_id",
-        ts_col="ts",
-        attr_cols="event_type",
-        change_id="event_id",
-        # gate-scale bucket count: ~10 users per bucket; the default 64
-        # is sized for real tables, here it just multiplies dir listings
-        n_buckets=16,
-    )
-    q.awaitTermination()
+    from ratatool_spark.gates._common import stream_partitions
+
+    with stream_partitions(spark):
+        q = stream_scd2(
+            stream,
+            os.path.join(root, "history"),
+            checkpoint=os.path.join(root, "ckpt"),
+            key_cols="user_id",
+            ts_col="ts",
+            attr_cols="event_type",
+            change_id="event_id",
+            # gate-scale bucket count: ~10 users per bucket; the default
+            # 64 is sized for real tables, here it just multiplies dir
+            # listings
+            n_buckets=16,
+        )
+        q.awaitTermination()
     back = read_scd2_table(spark, os.path.join(root, "history"))
     return back.select(
         "user_id",
