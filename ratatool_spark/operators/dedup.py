@@ -97,8 +97,13 @@ def minhash_signatures(
         F.col(id_col),
         (text_hash64(F.col("__s"), hasher) % MINHASH_P).alias("__h"),
     )
+    # F.expr per signature, not nested F.* builders: each F.* call is a
+    # py4j round-trip, so k sigs × ~8 builder calls dominate warm plan
+    # CONSTRUCTION (the _adc_dist pathology; ~0.5 s at k=64). One SQL
+    # string per sig parses JVM-side into the identical Catalyst tree —
+    # int×bigint promotion and % match the Column operators exactly.
     aggs = [
-        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"sig_{i}")
+        F.expr(f"min(({a} * __h + {b}) % {MINHASH_P}) AS sig_{i}")
         for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -114,13 +119,21 @@ def _banded(
     (:func:`minhash_lsh_pairs`) and the cross-corpus incremental join
     (:func:`dedup_against`)."""
     rows_per_band = num_hashes // bands
+    # one F.expr per band (not ~10 F.* py4j round-trips per band): the
+    # SQL parses into the identical struct(band, portable-hash64) tree —
+    # conv(substring(md5(concat_ws('|', casts)))) is exactly
+    # functions.hashing.portable_hash64
     band_structs = []
     for b in range(bands):
-        cols = [F.col(f"sig_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        feed = ", ".join(
+            f"CAST(sig_{i} AS STRING)"
+            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        )
         band_structs.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                portable_hash64(F.concat_ws("|", *[c.cast("string") for c in cols])).alias("bh"),
+            F.expr(
+                f"struct({b} AS band, CAST(conv(substring("
+                f"md5(concat_ws('|', {feed})), 1, 15), 16, 10) AS BIGINT)"
+                f" AS bh)"
             )
         )
     return sigs.select(
@@ -172,15 +185,15 @@ def minhash_lsh_pairs(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
             *[
-                (F.col(f"l.sig_{i}") == F.col(f"r.sig_{i}")).cast("int").alias(f"m_{i}")
+                F.expr(f"CAST((l.sig_{i} = r.sig_{i}) AS INT) AS m_{i}")
                 for i in range(num_hashes)
             ],
         )
         .distinct()
     )
-    est = sum([F.col(f"m_{i}") for i in range(num_hashes)], F.lit(0)) / F.lit(
-        float(num_hashes)
-    )
+    est = F.expr(
+        "0 + " + " + ".join(f"m_{i}" for i in range(num_hashes))
+    ) / F.lit(float(num_hashes))
     out = pairs.select("id_a", "id_b", est.alias("est_jaccard"))
     if min_est_jaccard > 0:
         out = out.where(F.col("est_jaccard") >= min_est_jaccard)
@@ -211,16 +224,14 @@ def _cross_pairs_from_sigs(
             F.col(f"l.{id_col}").alias("left_id"),
             F.col(f"r.{id_col}").alias("right_id"),
             *[
-                (F.col(f"l.sig_{i}") == F.col(f"r.sig_{i}"))
-                .cast("int")
-                .alias(f"m_{i}")
+                F.expr(f"CAST((l.sig_{i} = r.sig_{i}) AS INT) AS m_{i}")
                 for i in range(num_hashes)
             ],
         )
         .distinct()
     )
-    est = sum(
-        [F.col(f"m_{i}") for i in range(num_hashes)], F.lit(0)
+    est = F.expr(
+        "0 + " + " + ".join(f"m_{i}" for i in range(num_hashes))
     ) / F.lit(float(num_hashes))
     out = pairs.select("left_id", "right_id", est.alias("est_jaccard"))
     if min_est_jaccard > 0:
@@ -717,10 +728,13 @@ def dedup_against(
     sh_new = shingled(new_df)
 
     def sigs_of(sh):
+        # F.expr per signature — one py4j call instead of ~9 (see
+        # minhash_signatures); parses into the identical Catalyst tree
         aggs = [
-            F.min(
-                (F.lit(a) * (F.col("__sh") % MINHASH_P) + F.lit(b)) % F.lit(MINHASH_P)
-            ).alias(f"sig_{i}")
+            F.expr(
+                f"min(({a} * (__sh % {MINHASH_P}) + {b}) % {MINHASH_P})"
+                f" AS sig_{i}"
+            )
             for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
         ]
         return sh.groupBy(id_col).agg(*aggs)
@@ -751,15 +765,15 @@ def dedup_against(
             F.col(f"l.{id_col}").alias("id_new"),
             F.col(f"r.{id_col}").alias("id_corpus"),
             *[
-                (F.col(f"l.sig_{i}") == F.col(f"r.sig_{i}")).cast("int").alias(f"m_{i}")
+                F.expr(f"CAST((l.sig_{i} = r.sig_{i}) AS INT) AS m_{i}")
                 for i in range(num_hashes)
             ],
         )
         .distinct()
     )
-    est = sum([F.col(f"m_{i}") for i in range(num_hashes)], F.lit(0)) / F.lit(
-        float(num_hashes)
-    )
+    est = F.expr(
+        "0 + " + " + ".join(f"m_{i}" for i in range(num_hashes))
+    ) / F.lit(float(num_hashes))
     out = cand.select("id_new", "id_corpus", est.alias("est_jaccard"))
     if not verify:
         return out.where(F.col("est_jaccard") >= threshold) if threshold > 0 else out
@@ -1186,19 +1200,25 @@ def simhash(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__s"),
     ).select(F.col(id_col), text_hash64(F.col("__s"), hasher).alias("h"))
+    # F.expr strings, not nested F.* builders: `bits` aggregates × ~9
+    # py4j round-trips each dominated warm plan CONSTRUCTION (~2 s at
+    # 64 bits — the _adc_dist pathology); the SQL parses JVM-side into
+    # the identical CASE WHEN / shiftright / & trees
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b_{j}")
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {j}) & 1) = 1 THEN 1 ELSE -1 END)"
+            f" AS b_{j}"
+        )
         for j in range(bits)
     ]
     agg = sh.groupBy(id_col).agg(*bit_sums)
-    fp = sum(
-        [
-            F.when(F.col(f"b_{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    fp = F.expr(
+        "CAST(0 AS BIGINT) + "
+        + " + ".join(
+            f"CASE WHEN b_{j} > 0 THEN CAST({1 << j} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END"
             for j in range(bits)
-        ],
-        F.lit(0).cast("long"),
+        )
     )
     return agg.select(F.col(id_col), fp.alias("simhash"))
 

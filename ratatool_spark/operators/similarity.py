@@ -141,6 +141,45 @@ def _hyperplane_sign(plane: int, dim: int, seed: int) -> float:
     return 1.0 if h & 1 else -1.0
 
 
+def _plane_signs_json(num_planes: int, dim: int, seed: int) -> str:
+    """All ``num_planes`` hyperplane sign vectors as one JSON string for
+    a ``from_json`` constant: ``F.lit(list)`` recurses into a py4j
+    round-trip per scalar — num_planes × dim calls per lsh_bucket (same
+    pathology as ``_adc_dist``'s LUT). ``from_json`` of a string literal
+    is deterministic and constant-folded at optimization;
+    ``element_at(signs, p + 1)`` folds to the identical array<double>
+    Literals the per-plane ``F.lit`` produced (±1.0 round-trips JSON
+    exactly)."""
+    import json
+
+    return json.dumps(
+        [
+            [_hyperplane_sign(p, i, seed) for i in range(dim)]
+            for p in range(num_planes)
+        ]
+    )
+
+
+def _proj_expr(vec_col: str, p: int, num_planes: int, dim: int, seed: int) -> Column:
+    """Plane-``p`` projection dot(v, signs_p) as ONE ``F.expr`` — the
+    zip_with/aggregate built with Column operators costs ~60 py4j
+    round-trips per plane (lambda plumbing); the SQL string parses
+    JVM-side into the identical fold. CAST(0.0 AS DOUBLE) folds to the
+    double-typed zero ``F.lit(0.0)`` produced; the signs constant folds
+    per :func:`_plane_signs_json`."""
+    signs_sql = (
+        f"from_json('{_plane_signs_json(num_planes, dim, seed)}',"
+        f" 'array<array<double>>')"
+    )
+    # lambda params named (x, y) to match PySpark's generated names, so
+    # the plan text is byte-identical to the Column-built form
+    return F.expr(
+        f"aggregate(zip_with(`{vec_col}`, element_at({signs_sql}, {p + 1}),"
+        f" (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE),"
+        f" (x, y) -> x + y)"
+    )
+
+
 def lsh_bucket(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -162,13 +201,9 @@ def lsh_bucket(
         if dim is not None:
             # one array Literal, not dim scalar Literals wrapped in
             # CreateArray — the per-element form made the 8-plane plan a
-            # ~4000-node tree whose analysis cost more than the scan
-            signs = F.lit([_hyperplane_sign(p, i, seed) for i in range(dim)])
-            proj = F.aggregate(
-                F.zip_with(F.col(vec_col), signs, lambda x, s: x.cast("double") * s),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
+            # ~4000-node tree whose analysis cost more than the scan;
+            # the whole fold is one F.expr (see _proj_expr)
+            proj = _proj_expr(vec_col, p, num_planes, dim, seed)
         else:
             proj = F.aggregate(
                 F.transform(
@@ -187,7 +222,11 @@ def lsh_bucket(
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
-        bits.append(F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long")))
+        bits.append(
+            F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
     return sum(bits[1:], bits[0]).alias("bucket")
 
 
@@ -657,18 +696,10 @@ def multiprobe_lsh_topk(
         F.col(vec_col).alias("cv"),
         lsh_bucket(corpus, vec_col, num_planes, seed, dim=dim),
     )
-    projs = []
-    for p in range(num_planes):
-        signs = F.lit([_hyperplane_sign(p, i, seed) for i in range(dim)])
-        projs.append(
-            F.aggregate(
-                F.zip_with(
-                    F.col(vec_col), signs, lambda x, s: x.cast("double") * s
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        )
+    projs = [
+        _proj_expr(vec_col, p, num_planes, dim, seed)
+        for p in range(num_planes)
+    ]
     base = None
     for p, pr in enumerate(projs):
         term = F.when(pr > 0, F.lit(1 << p).cast("long")).otherwise(
