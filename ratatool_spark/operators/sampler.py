@@ -169,14 +169,25 @@ def _approx_sample(
         # stratum is sampled at `fraction` in expectation (sampleDist:321-332).
         return df.where(roll < F.lit(fraction))
     # Uniform over strata: popPerKey = total*f/nKeys; prob_k = min(pop/n_k, 1)
-    # (uniformParams:136-157). Counts are a tiny aggregate → broadcast back.
+    # (uniformParams:136-157). popPerKey rides the plan as an unpartitioned
+    # window over the #strata-row counts table instead of an eager collect:
+    # the collect cost a separate full aggregate pass over `df` at plan-build
+    # time, and a broadcast-scalar cross join would duplicate the counts
+    # subtree (the inner join on strata infers IsNotNull on one copy only,
+    # defeating exchange reuse — measured: 3 scans). The window keeps ONE
+    # counts subtree (2 scans of `df` total) and is bounded by stratum
+    # cardinality, not data size. The inferred join-key IsNotNull cannot push
+    # through an unpartitioned window, so NULL strata still count toward the
+    # total exactly as the collected form did. Arithmetic order is unchanged
+    # ((total * f) / nk, then / n_k), both sides double, so the kept rows
+    # are bit-identical to the driver-literal form.
     counts = df.groupBy(*strata).agg(F.count(F.lit(1)).alias(_CNT))
-    totals = counts.agg(
-        F.sum(_CNT).alias("__tot"), F.count(F.lit(1)).alias("__nk")
-    ).collect()[0]
-    pop_per_key = totals["__tot"] * fraction / max(totals["__nk"], 1)
+    w_all = Window.partitionBy()
+    pop_per_key = F.sum(_CNT).over(w_all) * F.lit(fraction) / F.greatest(
+        F.count(F.lit(1)).over(w_all), F.lit(1)
+    )
     probs = counts.select(
-        *strata, F.least(F.lit(pop_per_key) / F.col(_CNT), F.lit(1.0)).alias(_PROB)
+        *strata, F.least(pop_per_key / F.col(_CNT), F.lit(1.0)).alias(_PROB)
     )
     return (
         df.withColumn(_ROLL, roll)
@@ -213,12 +224,19 @@ def _exact_sample(
 
     if strata:
         if uniform:
-            t = counts.agg(F.sum(_CNT).alias("t"), F.count(F.lit(1)).alias("k")).collect()[0]
-            pop = t["t"] * fraction / max(t["k"], 1)
+            # Equal share per stratum via an unpartitioned window over the
+            # #strata-row counts table — same fusion rationale as
+            # _approx_sample's popPerKey (the eager collect paid a full
+            # aggregate pass at build time). (total * f) / k then ceil/least:
+            # identical arithmetic order and types, bit-identical targets.
+            w_all = Window.partitionBy()
+            pop = F.sum(_CNT).over(w_all) * F.lit(fraction) / F.greatest(
+                F.count(F.lit(1)).over(w_all), F.lit(1)
+            )
             targets = counts.select(
                 *strata,
                 F.col(_CNT),
-                F.least(F.ceil(F.lit(pop)), F.col(_CNT)).cast("long").alias(_TARGET),
+                F.least(F.ceil(pop), F.col(_CNT)).cast("long").alias(_TARGET),
             )
         else:
             targets = counts.select(

@@ -382,3 +382,22 @@ def test_partition_offsets_null_sums_treated_as_zero(spark):
     )
     got = {r["pid"]: r["__off"] for r in offs.collect()}
     assert got == {0: 0, 1: 5, 2: 5} and total == 8
+
+
+def test_uniform_totals_include_null_strata_single_scan(spark):
+    """The uniform popPerKey scalar (total*f/nKeys) is fused into the plan
+    as an unpartitioned window over the counts table (r11 optimization).
+    Two invariants of the replaced collect-then-literal form must hold:
+    (1) NULL strata still count toward total AND nKeys (the inferred
+    join-key IsNotNull must not push below the window); (2) the input is
+    scanned at most twice per query (counts + main), not three times."""
+    rows = [(i, None if i % 5 == 0 else f"s{i % 3}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id int, grp string")
+    out = sample(df, 0.5, fields=["id"], strata=["grp"], uniform=True,
+                 exact=True, seed=42)
+    got = {r["grp"]: r["count"] for r in out.groupBy("grp").count().collect()}
+    # pop = total*f/nk = 1000*0.5/4 (NULL stratum counts as a key) = 125;
+    # with nk=3 (NULL dropped) it would be ceil(500/3)=167 per stratum.
+    assert got == {"s0": 125, "s1": 125, "s2": 125}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") <= 2
