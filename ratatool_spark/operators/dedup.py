@@ -1733,16 +1733,16 @@ def semantic_dedup(
         centroids = _seed_centroids(emb_df, n_centroids, vec_col, id_col, seed)
     # argmax-cosine assignment over centroid literals; ties break to the
     # SMALLEST cell id (the ivf oracle convention: cos DESC, cell ASC) —
-    # struct sort on (c, -cell) reversed
-    scored = F.array(
-        *[
-            F.struct(
-                cosine_sim(F.col(vec_col), F.lit([float(x) for x in cvec])).alias("c"),
-                F.lit(-cid).alias("nc"),
-                F.lit(cid).alias("cell"),
-            )
-            for cid, cvec in centroids
-        ]
+    # struct sort on (c, -cell) reversed. Per-row fold count k+1, not 3k,
+    # cosines bit-identical (similarity._cos_scored_entries).
+    from ratatool_spark.operators.similarity import _cos_scored_entries
+
+    scored = _cos_scored_entries(
+        vec_col,
+        centroids,
+        lambda c, cid: F.struct(
+            c.alias("c"), F.lit(-cid).alias("nc"), F.lit(cid).alias("cell")
+        ),
     )
     best = F.reverse(F.array_sort(scored))[0]
     assigned = _persist(

@@ -22,7 +22,61 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ratatool_spark.functions.hashing import portable_hash64
-from ratatool_spark.functions.vectors import cosine_sim
+from ratatool_spark.functions.vectors import cosine_sim, norm2
+
+
+def _cos_scored_entries(vec_col: str, centroids, entry_fn) -> Column:
+    """``array<struct>`` of one ``entry_fn(cosine, cid)`` struct per
+    centroid. Three fold-count cuts over the naive per-centroid
+    ``cosine_sim(col, F.lit(cvec))`` composition, all value-preserving:
+
+      - the row vector's norm is bound ONCE per row as a lambda value
+        (the composition re-folded it per centroid — k× the work; HOFs
+        are interpreted, no common-subexpression elimination);
+      - each centroid's constant norm is precomputed in Python with the
+        identical left fold + sqrt (ConstantFolding does NOT fold
+        ``aggregate`` over a literal array, so the plan evaluated it per
+        ROW; Python float ops are the same IEEE doubles in the same
+        order — bit-identical value);
+      - the centroid matrix ships as ONE ``from_json`` constant that
+        folds to the identical array literals (``F.lit(list)`` recurses
+        into a py4j round-trip per scalar — the ``_adc_dist``/
+        ``_plane_signs_json`` pathology; k·d calls per build).
+
+    The division keeps the composition's ``dot / (norm_v * norm_c)``
+    structure, so every cosine — and therefore every argmax/sort
+    tie-break downstream — is bit-identical."""
+    import json
+    import math
+
+    from ratatool_spark.functions.text import _bind
+
+    cents_json = json.dumps([[float(x) for x in cvec] for _, cvec in centroids])
+    cents_sql = (
+        f"from_json('{cents_json}', 'array<array<double>>')"
+    )
+    norms = []
+    for _, cvec in centroids:
+        acc = 0.0
+        for x in cvec:
+            acc += float(x) * float(x)
+        norms.append(math.sqrt(acc))
+
+    def _entries(nv: Column) -> Column:
+        out = []
+        for i, (cid, _) in enumerate(centroids):
+            # lambda params named (x, y) to match PySpark's generated
+            # names; CAST(0.0 AS DOUBLE) folds to the double-typed zero
+            dot = F.expr(
+                f"aggregate(zip_with(`{vec_col}`,"
+                f" element_at({cents_sql}, {i + 1}),"
+                f" (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+                f" CAST(0.0 AS DOUBLE), (x, y) -> x + y)"
+            )
+            out.append(entry_fn(dot / (nv * F.lit(norms[i])), cid))
+        return F.array(*out)
+
+    return _bind(norm2(F.col(vec_col)), _entries)
 
 
 def brute_force_topk(
@@ -238,15 +292,13 @@ def ivf_assign_cells(
 ) -> Column:
     """Array of the ``n_probe`` nearest centroid ids for each vector, by
     cosine — pure expressions over centroid literals (centroids are tiny;
-    they live in the plan, not in a join)."""
-    scored = F.array(
-        *[
-            F.struct(
-                cosine_sim(F.col(vec_col), F.lit([float(x) for x in cvec])).alias("c"),
-                F.lit(cid).alias("cell"),
-            )
-            for cid, cvec in centroids
-        ]
+    they live in the plan, not in a join). Per-row fold count is k+1, not
+    3k (see :func:`_cos_scored_entries`); cosines bit-identical to the
+    ``cosine_sim`` composition."""
+    scored = _cos_scored_entries(
+        vec_col,
+        centroids,
+        lambda c, cid: F.struct(c.alias("c"), F.lit(cid).alias("cell")),
     )
     best = F.slice(F.reverse(F.array_sort(scored)), 1, n_probe)
     return F.transform(best, lambda s: s["cell"])

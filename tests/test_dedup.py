@@ -1433,3 +1433,43 @@ def test_rouge_ngram_pairs_matches_bruteforce_random(spark):
     assert set(got) == set(expect)
     for k, v in expect.items():
         assert abs(got[k] - v) < 1e-9, k
+
+
+def test_cos_scored_entries_bit_identical_to_composition(spark):
+    """The bound/constant-folded centroid scorer (r11: row norm bound
+    once, centroid norms Python-precomputed, one from_json constant)
+    must produce cosines BIT-identical to the naive per-centroid
+    cosine_sim(col, F.lit(cvec)) composition it replaced — the argmax
+    tie-breaks and the oracle replays both hang off exact equality."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.functions.vectors import cosine_sim
+    from ratatool_spark.operators.similarity import _cos_scored_entries
+
+    rng = random.Random(7)
+    dim, k = 16, 5
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(50)]
+    cents = [(c, [rng.uniform(-1, 1) for _ in range(dim)]) for c in range(k)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    naive = F.array(
+        *[
+            F.struct(
+                cosine_sim(F.col("embedding"), F.lit(cv)).alias("c"),
+                F.lit(cid).alias("cell"),
+            )
+            for cid, cv in cents
+        ]
+    )
+    opt = _cos_scored_entries(
+        "embedding",
+        cents,
+        lambda c, cid: F.struct(c.alias("c"), F.lit(cid).alias("cell")),
+    )
+    out = df.select("vec_id", naive.alias("a"), opt.alias("b")).collect()
+    for r in out:
+        for sa, sb in zip(r["a"], r["b"]):
+            assert sa["cell"] == sb["cell"]
+            # bit-identity, not approx: struct sorts tie-break on these
+            assert sa["c"] == sb["c"] and str(sa["c"]) == str(sb["c"])
