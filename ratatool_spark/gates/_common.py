@@ -42,3 +42,47 @@ def stream_partitions(spark, n: int = 8):
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def scratch_dir(prefix: str = "rt_") -> str:
+    """RAM-backed scratch for ephemeral gate fixtures — the snapshot
+    tables, stream checkpoints, and artifact round-trips a gate builds
+    and discards within one query. A storage-medium choice, not caching:
+    every invocation still creates and computes everything from the
+    parquet inputs. The fixture-write path fsyncs aggressively (the
+    exclusive-create manifest protocol, streaming state-store commits:
+    measured ~0.6 ms per fsync'd file on the sandbox's ext4 vs ~0 on
+    tmpfs, hundreds of files per multi-commit gate), and durability of a
+    throwaway fixture buys nothing. Override with SPARK_GRAFT_SCRATCH
+    (point it at a disk path to restore the old placement); falls back
+    to the system tempdir where /dev/shm does not exist."""
+    import os
+    import tempfile
+
+    base = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if base is None and os.path.isdir("/dev/shm"):
+        base = "/dev/shm/rt_scratch"
+    if base:
+        os.makedirs(base, exist_ok=True)
+        d = tempfile.mkdtemp(prefix=prefix, dir=base)
+    else:
+        d = tempfile.mkdtemp(prefix=prefix)
+    _SCRATCH_DIRS.append(d)
+    return d
+
+
+_SCRATCH_DIRS: list[str] = []
+
+
+def _cleanup_scratch() -> None:
+    # tmpfs persists until reboot; each process removes its own fixture
+    # dirs at exit so repeated bench/compare runs don't accumulate in RAM
+    import shutil
+
+    for d in _SCRATCH_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+import atexit
+
+atexit.register(_cleanup_scratch)

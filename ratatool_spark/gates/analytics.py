@@ -6,6 +6,8 @@ byte-pinned by tests/test_oracle_golden.py."""
 
 from __future__ import annotations
 
+from ratatool_spark.gates._common import scratch_dir
+
 
 from ratatool_spark.gates.asof_pairs import _COS_AB_SQL
 from ratatool_spark.gates.pipeline import (
@@ -394,7 +396,6 @@ def _q_stream_drift(spark, sf_dir):
     is the direct batch replay, so the gate fails if the streaming path
     drops, duplicates, or mis-merges any batch."""
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -416,7 +417,7 @@ def _q_stream_drift(spark, sf_dir):
     live_src = ev.where(
         (F.col("event_id") % 2 == 1) & (F.col("value") > 150)
     )
-    root = tempfile.mkdtemp(prefix="rt_drift_")
+    root = scratch_dir(prefix="rt_drift_")
     src = os.path.join(root, "incoming")
     live_src.repartition(2).write.parquet(src)
     stream = (
@@ -763,7 +764,6 @@ def _q_zorder_skip(spark, sf_dir):
 
 def _zorder_skip_rows(spark, sf_dir, rgs):
     import os
-    import tempfile
 
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -800,7 +800,7 @@ def _zorder_skip_rows(spark, sf_dir, rgs):
             lo_p + 0.3 * (hi_p - lo_p),
         ),
     }
-    tmp = tempfile.mkdtemp(prefix="zskip_")
+    tmp = scratch_dir(prefix="zskip_")
     rows = []
     for layout, order in (
         ("zorder", [F.col("zval"), F.col("o_orderkey")]),
@@ -1255,7 +1255,6 @@ def _q_ivf_index_incremental(spark, sf_dir):
     replays (centroid sample restricted to even ids; assignment over
     the full table). New-batch work is one GEMM pass; the stored index
     is only scanned id-pruned for the fused duplicate-id guard."""
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -1268,7 +1267,7 @@ def _q_ivf_index_incremental(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     a = emb.where(F.col("vec_id") % 2 == 0)
     b = emb.where(F.col("vec_id") % 2 == 1)
-    path = tempfile.mkdtemp(prefix="ivf_incr_") + "/index"
+    path = scratch_dir(prefix="ivf_incr_") + "/index"
     build_ivf_index(a, path, n_centroids=8, train_iters=0)
     update_ivf_index(spark, path, b)
     q = emb.where(F.col("vec_id") < 5)

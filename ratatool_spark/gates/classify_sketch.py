@@ -6,6 +6,8 @@ byte-pinned by tests/test_oracle_golden.py."""
 
 from __future__ import annotations
 
+from ratatool_spark.gates._common import scratch_dir
+
 
 from ratatool_spark.gates._common import _dice_sql
 
@@ -1111,7 +1113,6 @@ def _q_stream_freq_sketches(spark, sf_dir):
     gate fails if the streaming path drops, duplicates, or mis-merges any
     batch."""
     import os
-    import tempfile
 
     from ratatool_spark.operators.freq import estimate_freqs
     from ratatool_spark.streaming.sketches import (
@@ -1122,7 +1123,7 @@ def _q_stream_freq_sketches(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_id", "event_type", "user_id"
     )
-    root = tempfile.mkdtemp(prefix="rt_fsk_")
+    root = scratch_dir(prefix="rt_fsk_")
     src = os.path.join(root, "incoming")
     # 2 staged files -> 2 real micro-batches: enough to prove the
     # per-batch partial + merge path without doubling the gate's cost

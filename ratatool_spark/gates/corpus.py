@@ -6,6 +6,8 @@ byte-pinned by tests/test_oracle_golden.py."""
 
 from __future__ import annotations
 
+from ratatool_spark.gates._common import scratch_dir
+
 
 from ratatool_spark.gates._common import _dice_sql
 from ratatool_spark.gates.pipeline import (
@@ -339,7 +341,6 @@ def _q_shard_roundtrip(spark, sf_dir):
     oracle recomputes the shard of every row from the same md5 hash, so
     the assignment itself is cross-engine-gated, not just the rows."""
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -349,7 +350,7 @@ def _q_shard_roundtrip(spark, sf_dir):
     sl = orders.where(F.col("o_orderkey") % 11 == 0).select(
         "o_orderkey", "o_custkey", "o_orderpriority"
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="rt_shards_"), "shards")
+    out = os.path.join(scratch_dir(prefix="rt_shards_"), "shards")
     write_training_shards(sl, out, n_shards=4, key_cols=["o_orderkey"])
     back = spark.read.parquet(out)
     return back.select(
@@ -645,7 +646,6 @@ def _q_orc_roundtrip(spark, sf_dir):
     round-trips: executors write one file per partition, the read is a
     parallel columnar scan with pushdown."""
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -653,7 +653,7 @@ def _q_orc_roundtrip(spark, sf_dir):
 
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
     sl = part.where(F.col("p_partkey") % 13 == 0).coalesce(8)
-    out = os.path.join(tempfile.mkdtemp(prefix="rt_orc_"), "part.orc")
+    out = os.path.join(scratch_dir(prefix="rt_orc_"), "part.orc")
     write_table(sl, out, fmt="orc")
     return read_table(spark, out, fmt="orc")
 
@@ -1074,12 +1074,11 @@ def _q_csv_roundtrip(spark, sf_dir):
     inference is a full extra data pass). Doubles print at full precision
     so the typed round-trip is lossless; the oracle is the source table."""
     import os
-    import tempfile
 
     from ratatool_spark.sources.io import read_table, write_table
 
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    out = os.path.join(tempfile.mkdtemp(prefix="rt_csv_"), "customer.tsv")
+    out = os.path.join(scratch_dir(prefix="rt_csv_"), "customer.tsv")
     write_table(cust.coalesce(4), out, header="")  # header= → TSV+header sink (S12)
     return read_table(spark, out, fmt="csv", schema=cust.schema, sep="\t")
 

@@ -6,6 +6,8 @@ byte-pinned by tests/test_oracle_golden.py."""
 
 from __future__ import annotations
 
+from ratatool_spark.gates._common import scratch_dir
+
 
 from ratatool_spark.gates._common import _dice_sql
 from ratatool_spark.gates.analytics import _sql_ann_ivf_topk
@@ -314,7 +316,6 @@ def _q_bpe_tokenizer_roundtrip(spark, sf_dir):
     replaces per word — so the artifact chain (train -> persist -> load
     -> encode) is gated end-to-end, not just the trainer."""
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -328,7 +329,7 @@ def _q_bpe_tokenizer_roundtrip(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     merges = bpe_learn(docs, n_merges=64, batch=16, pool=64, rounds=6)
     path = os.path.join(
-        tempfile.mkdtemp(prefix="bpe_tok_"), "tokenizer.json"
+        scratch_dir(prefix="bpe_tok_"), "tokenizer.json"
     )
     save_bpe_tokenizer(spark, path, merges)
     loaded = load_bpe_tokenizer(spark, path)
@@ -595,7 +596,6 @@ def _q_upsert_orders(spark, sf_dir):
     from disk — the oracle replays the merge relationally. All guards and
     counters ride ONE fused full-outer aggregation (r5 fix)."""
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -627,7 +627,7 @@ def _q_upsert_orders(spark, sf_dir):
     )
     updates = upd.unionByName(ins).unionByName(dels)
 
-    path = os.path.join(tempfile.mkdtemp(prefix="rt_upsert_"), "orders_base")
+    path = os.path.join(scratch_dir(prefix="rt_upsert_"), "orders_base")
     write_table(base, path, fmt="parquet", mode="overwrite")
     upsert_table(
         spark, path, updates, keys=["o_orderkey"], delete_col="is_delete"
@@ -724,7 +724,6 @@ def _q_stream_gate(spark, sf_dir):
     directories. The oracle is the batch keep-set — same LSH + verify
     arithmetic as dedup_incremental, inverted to the anti-join side."""
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -732,7 +731,7 @@ def _q_stream_gate(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     corpus = docs.where(F.col("doc_id") % 2 == 0)
-    root = tempfile.mkdtemp(prefix="rt_gate_")
+    root = scratch_dir(prefix="rt_gate_")
     # the file-stream source requires a DIRECTORY — stage the incoming
     # batch as one (in production this is the landing zone the crawler
     # drops files into)
@@ -1351,12 +1350,11 @@ def _q_jsonl_roundtrip(spark, sf_dir):
     columns; a silent double inference would change hashes). Oracle =
     the original table."""
     import os
-    import tempfile
 
     from ratatool_spark.sources.io import read_table, write_table
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = os.path.join(tempfile.mkdtemp(prefix="rt_jsonl_"), "docs_jsonl")
+    out = os.path.join(scratch_dir(prefix="rt_jsonl_"), "docs_jsonl")
     write_table(docs, out, fmt="json", mode="overwrite")
     back = read_table(spark, out, fmt="json")
     return back.select("doc_id", "text", "lang", "source", "n_chars")
@@ -1373,14 +1371,13 @@ def _q_partitioned_roundtrip(spark, sf_dir):
     and partition pruning on read is plan-pinned in tests. Aggregated so
     the gate hashes every partition's contents."""
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
     from ratatool_spark.sources.io import load_tables, write_table
 
     ev = load_tables(spark, sf_dir, names=("events",))["events"]
-    out = os.path.join(tempfile.mkdtemp(prefix="rt_part_"), "by_type")
+    out = os.path.join(scratch_dir(prefix="rt_part_"), "by_type")
     write_table(
         ev.select("event_id", "user_id", "value", "event_type"),
         out,
@@ -1445,7 +1442,6 @@ def _q_stream_quantile_sketches(spark, sf_dir):
     direct single-pass KMV quantile SQL — the gate fails if the
     streaming path drops, duplicates, or mis-merges any batch."""
     import os
-    import tempfile
 
     from ratatool_spark.operators.timeagg import estimate_quantiles
     from ratatool_spark.streaming.sketches import (
@@ -1456,7 +1452,7 @@ def _q_stream_quantile_sketches(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_id", "event_type", "value"
     )
-    root = tempfile.mkdtemp(prefix="rt_qsk_")
+    root = scratch_dir(prefix="rt_qsk_")
     src = os.path.join(root, "incoming")
     ev.repartition(4).write.parquet(src)
     stream = (
@@ -1563,7 +1559,6 @@ def _q_stream_dedup(spark, sf_dir):
     batch DISTINCT — one output row per distinct fingerprint, so a
     double-admit would fail the row-count, not hide behind a DISTINCT."""
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -1578,7 +1573,7 @@ def _q_stream_dedup(spark, sf_dir):
     corpus = docs.unionByName(dupes).withColumn(
         "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id"))
     )
-    root = tempfile.mkdtemp(prefix="rt_sdedup_")
+    root = scratch_dir(prefix="rt_sdedup_")
     in_dir = os.path.join(root, "incoming")
     corpus.write.parquet(in_dir)
     stream = spark.readStream.schema(corpus.schema).parquet(in_dir)

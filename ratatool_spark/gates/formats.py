@@ -6,6 +6,8 @@ byte-pinned by tests/test_oracle_golden.py."""
 
 from __future__ import annotations
 
+from ratatool_spark.gates._common import scratch_dir
+
 
 from ratatool_spark.gates.diffy import _perturbed_pair
 
@@ -27,7 +29,6 @@ def _q_avro_roundtrip(spark, sf_dir):
     scale; only the schema touches the driver. The l_orderkey % 97 slice
     keeps the fixture small while covering every lineitem column type."""
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -37,7 +38,7 @@ def _q_avro_roundtrip(spark, sf_dir):
     # coalesce: the slice is tiny — 8 container files instead of one
     # (mostly empty) task per input split
     sl = li.where(F.col("l_orderkey") % 97 == 0).coalesce(8)
-    out = os.path.join(tempfile.mkdtemp(prefix="rt_avro_"), "lineitem.avro")
+    out = os.path.join(scratch_dir(prefix="rt_avro_"), "lineitem.avro")
     write_table(sl, out, fmt="avro")
     return read_table(spark, out, fmt="avro")
 
@@ -58,7 +59,6 @@ def _q_proto_roundtrip(spark, sf_dir):
     """S5: parquet → delimited-protobuf sink → distributed proto scan
     (BigSampler/BigDiffy proto mode, BigSampler.scala:262-273)."""
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -68,7 +68,7 @@ def _q_proto_roundtrip(spark, sf_dir):
     od = load_tables(spark, sf_dir, names=("orders",))["orders"]
     cols = [f["name"] for f in _PROTO_ORDERS_DESC["fields"]]
     sl = od.where(F.col("o_orderkey") % 97 == 0).select(cols).coalesce(8)
-    out = os.path.join(tempfile.mkdtemp(prefix="rt_proto_"), "orders.pb")
+    out = os.path.join(scratch_dir(prefix="rt_proto_"), "orders.pb")
     write_proto(sl, out, _PROTO_ORDERS_DESC)
     return read_proto(spark, out, _PROTO_ORDERS_DESC)
 
@@ -93,7 +93,6 @@ def _q_proto_diff(spark, sf_dir):
     parquet-direct diffy deltas: equality holds iff the wire round-trip
     is lossless (doubles bit-identical, strings byte-identical)."""
     import os
-    import tempfile
 
     from ratatool_spark.operators.diffy import diff
     from ratatool_spark.sources.proto_py import read_proto, write_proto
@@ -106,7 +105,7 @@ def _q_proto_diff(spark, sf_dir):
     # (perturbation is keyed per-row, so post-filter == pre-filter)
     lhs = lhs.where(F.col("o_orderkey") % 7 == 0).coalesce(8)
     rhs = rhs.where(F.col("o_orderkey") % 7 == 0).coalesce(8)
-    base = tempfile.mkdtemp(prefix="rt_pbdiff_")
+    base = scratch_dir(prefix="rt_pbdiff_")
     ld, rd = os.path.join(base, "lhs.pb"), os.path.join(base, "rhs.pb")
     write_proto(lhs, ld, _PROTO_DIFF_DESC)
     write_proto(rhs, rd, _PROTO_DIFF_DESC)

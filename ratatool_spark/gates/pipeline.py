@@ -6,6 +6,8 @@ byte-pinned by tests/test_oracle_golden.py."""
 
 from __future__ import annotations
 
+from ratatool_spark.gates._common import scratch_dir
+
 
 from ratatool_spark.gates._common import _DICE_SQL, _dice_sql
 
@@ -277,7 +279,6 @@ def _q_minhash_index_incremental(spark, sf_dir):
     rescanned. The oracle computes the same candidates directly from the
     documents table, so build+update must equal one build over the
     union."""
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -288,7 +289,7 @@ def _q_minhash_index_incremental(spark, sf_dir):
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    path = tempfile.mkdtemp(prefix="rt_mhidx_") + "/idx"
+    path = scratch_dir(prefix="rt_mhidx_") + "/idx"
     build_minhash_index(
         docs.where(F.col("doc_id") % 2 == 0),
         path,

@@ -6,6 +6,8 @@ byte-pinned by tests/test_oracle_golden.py."""
 
 from __future__ import annotations
 
+from ratatool_spark.gates._common import scratch_dir
+
 
 from ratatool_spark.gates._common import _dice_sql
 from ratatool_spark.gates.asof_pairs import _COS_AB_SQL
@@ -484,7 +486,6 @@ def _q_stream_decontaminate(spark, sf_dir):
     oracle is the BATCH flag computation over the same corpora: stream
     == batch is the gated invariant."""
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -498,7 +499,7 @@ def _q_stream_decontaminate(spark, sf_dir):
             " ", F.slice(F.split(F.trim("text"), " "), 1, 30)
         ).alias("text"),
     )
-    root = tempfile.mkdtemp(prefix="rt_sdecon_")
+    root = scratch_dir(prefix="rt_sdecon_")
     idx = os.path.join(root, "idx")
     build_minhash_index(bench, idx, num_hashes=16, bands=4)
     in_dir = os.path.join(root, "incoming")
@@ -544,7 +545,6 @@ def _q_stream_quality_scores(spark, sf_dir):
     batch_id sink. The oracle is the BATCH scoring SQL: stream == batch
     is the gated invariant."""
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -562,7 +562,7 @@ def _q_stream_quality_scores(spark, sf_dir):
         docs.where(F.col("lang") != "en"), n=2, n_buckets=512
     )
     w = train_quality_weights(pos, neg, n_buckets=512)
-    root = tempfile.mkdtemp(prefix="rt_squal_")
+    root = scratch_dir(prefix="rt_squal_")
     in_dir = os.path.join(root, "incoming")
     docs.write.parquet(in_dir)
     stream = spark.readStream.schema(docs.schema).parquet(in_dir)
@@ -919,7 +919,6 @@ def _q_bm25_incremental(spark, sf_dir):
     guard riding the stored-postings scan, two-rename swap), then query.
     The oracle is the FULL-build SQL — add-equivalence is the claim."""
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -931,7 +930,7 @@ def _q_bm25_incremental(spark, sf_dir):
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    path = os.path.join(tempfile.mkdtemp(prefix="rt_bm25_"), "idx")
+    path = os.path.join(scratch_dir(prefix="rt_bm25_"), "idx")
     save_bm25_index(docs.where(F.col("doc_id") < 250), path)
     update_bm25_index(spark, path, docs.where(F.col("doc_id") >= 250))
     q = docs.where(F.col("doc_id") < 5).select(
@@ -1103,12 +1102,11 @@ def _q_tfrecord_roundtrip(spark, sf_dir):
     mapInPandas — the training-shard container TF/JAX consumers read,
     produced jar-free."""
     import os
-    import tempfile
 
     from ratatool_spark.sources.tfrecord_py import read_tfrecord, write_tfrecord
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    path = os.path.join(tempfile.mkdtemp(prefix="rt_tfr_"), "docs")
+    path = os.path.join(scratch_dir(prefix="rt_tfr_"), "docs")
     write_tfrecord(docs.repartition(4, "doc_id"), path)
     return read_tfrecord(spark, path, docs.schema)
 

@@ -6,8 +6,9 @@ many physical files, commits, or rewrites produced it."""
 
 from __future__ import annotations
 
+from ratatool_spark.gates._common import scratch_dir
+
 import json
-import tempfile
 
 from pyspark.sql import functions as F
 
@@ -24,7 +25,7 @@ def _build_orders_table(spark, sf_dir, n_commits=3, where=None):
     )
     if where is not None:
         orders = orders.where(where)
-    path = tempfile.mkdtemp(prefix="rt_snap_") + "/tbl"
+    path = scratch_dir(prefix="rt_snap_") + "/tbl"
     for i in range(n_commits):
         commit_append(orders.where(F.col("o_orderkey") % n_commits == i), path)
     return path
@@ -384,7 +385,6 @@ def _q_stream_snapshot_appends(spark, sf_dir):
     hold exactly the delivered batch ids — at-least-once delivery,
     exactly-once table contents."""
     import os
-    import tempfile
 
     from ratatool_spark.operators.snapshots import (
         current_snapshot_id,
@@ -398,7 +398,7 @@ def _q_stream_snapshot_appends(spark, sf_dir):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    root = tempfile.mkdtemp(prefix="rt_snapstream_")
+    root = scratch_dir(prefix="rt_snapstream_")
     in_dir = os.path.join(root, "incoming")
     orders.repartitionByRange(3, F.col("o_orderkey")).write.parquet(in_dir)
     stream = (
@@ -678,7 +678,6 @@ def _q_stream_snapshot_source(spark, sf_dir):
     full source table (the oracle), closing the table→stream→table loop
     with exactly-once semantics on both hops."""
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -689,7 +688,7 @@ def _q_stream_snapshot_source(spark, sf_dir):
     from ratatool_spark.streaming.snapshots import stream_snapshot_mirror
 
     src = _build_orders_table(spark, sf_dir, n_commits=3)
-    root = tempfile.mkdtemp(prefix="rt_snapsrc_")
+    root = scratch_dir(prefix="rt_snapsrc_")
     dst = os.path.join(root, "dst")
     from ratatool_spark.gates._common import stream_partitions
 
@@ -971,7 +970,6 @@ def _q_snapshot_partitioned_prune(spark, sf_dir):
     Spark-job (externalized-manifest) prune paths to the same file
     set; the row content equals the plain SQL filter (the oracle)."""
     import datetime
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -987,7 +985,7 @@ def _q_snapshot_partitioned_prune(spark, sf_dir):
             F.col("o_orderdate").between("1995-07-01", "1996-06-30")
         )
     )
-    path = tempfile.mkdtemp(prefix="rt_part_") + "/tbl"
+    path = scratch_dir(prefix="rt_part_") + "/tbl"
     spec = [
         {"col": "o_orderdate", "transform": "month"},
         {"col": "o_orderstatus", "transform": "identity"},
@@ -1069,7 +1067,6 @@ def _q_snapshot_drop_partition(spark, sf_dir):
     invariant that makes this sound (every write routes through the
     spec) is enforced by drop_partition itself — it refuses unaligned
     tables."""
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -1083,7 +1080,7 @@ def _q_snapshot_drop_partition(spark, sf_dir):
         # table's ~80 dirs only repeat the write
         .where(F.col("o_orderdate").between("1995-01-01", "1995-12-31"))
     )
-    path = tempfile.mkdtemp(prefix="rt_drop_") + "/tbl"
+    path = scratch_dir(prefix="rt_drop_") + "/tbl"
     spec = [{"col": "o_orderdate", "transform": "month"}]
     snap.commit_append(
         orders.where(F.col("o_orderkey") % 2 == 0), path,
@@ -1152,7 +1149,7 @@ def _q_snapshot_wap_publish(spark, sf_dir):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
-    path = tempfile.mkdtemp(prefix="rt_wap_") + "/tbl"
+    path = scratch_dir(prefix="rt_wap_") + "/tbl"
     snap.commit_append(orders.where(F.col("o_orderkey") % 3 != 2), path)
     base_n = snap.read_snapshot(spark, path).count()
 
@@ -1230,7 +1227,6 @@ def _q_snapshot_branch_ff(spark, sf_dir):
     2-commit lineage (ff_commits), and the branch resets empty at the
     new head (branch_reset). The oracle recomputes the final content and
     the isolation/travel counts straight from the source slice."""
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -1241,7 +1237,7 @@ def _q_snapshot_branch_ff(spark, sf_dir):
         .where(F.col("o_orderkey") % 4 == 0)  # fixture trim
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
     )
-    path = tempfile.mkdtemp(prefix="rt_branch_") + "/tbl"
+    path = scratch_dir(prefix="rt_branch_") + "/tbl"
     snap.commit_append(orders.where(F.col("o_orderkey") % 3 == 0), path)
     n_main0 = snap.read_snapshot(spark, path).count()
     snap.create_branch(path, "dev")
@@ -1307,7 +1303,6 @@ def _q_snapshot_metadata_tables(spark, sf_dir):
     counts, the files table's row total, ancestry flags, and ref
     pins. bytes>0 and n_files>=1 are asserted in-gate (physical facts
     DuckDB cannot see)."""
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -1323,7 +1318,7 @@ def _q_snapshot_metadata_tables(spark, sf_dir):
             & (F.col("o_orderkey") % 4 == 0)
         )
     )
-    path = tempfile.mkdtemp(prefix="rt_meta_") + "/tbl"
+    path = scratch_dir(prefix="rt_meta_") + "/tbl"
     spec = [{"col": "o_orderdate", "transform": "month"}]
     snap.commit_append(
         orders.where(F.col("o_orderkey") % 8 == 0), path, partition_spec=spec
@@ -1395,7 +1390,7 @@ def _q_snapshot_check_constraints(spark, sf_dir):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
-    path = tempfile.mkdtemp(prefix="rt_chk_") + "/tbl"
+    path = scratch_dir(prefix="rt_chk_") + "/tbl"
     snap.commit_append(orders.where(F.col("o_orderkey") % 2 == 0), path)
     snap.add_constraint(spark, path, "price_pos", "o_totalprice > 0")
     snap.add_constraint(
@@ -1597,7 +1592,7 @@ def _q_snapshot_evolve_ids(spark, sf_dir):
         F.col("o_orderstatus").alias("status"),
         F.col("o_totalprice").alias("total"),
     )
-    path = tempfile.mkdtemp(prefix="rt_evo_") + "/tbl"
+    path = scratch_dir(prefix="rt_evo_") + "/tbl"
     commit_append(orders.where(F.col("ok") % 2 == 0), path)
     files0 = {e["path"] for e in read_manifest(path)["files"]}
     rename_column(path, "total", "price")
@@ -1718,7 +1713,7 @@ def _q_snapshot_spec_evolution(spark, sf_dir):
         F.col("o_orderstatus").alias("status"),
         F.col("o_totalprice").alias("total"),
     )
-    path = tempfile.mkdtemp(prefix="rt_spec_") + "/tbl"
+    path = scratch_dir(prefix="rt_spec_") + "/tbl"
     commit_append(
         orders.where(F.col("ok") % 2 == 0), path,
         partition_spec=[{"col": "status", "transform": "identity"}],
@@ -1803,7 +1798,7 @@ def _q_snapshot_bloom_skip(spark, sf_dir):
             F.col("o_totalprice").alias("total"),
         )
     )
-    path = tempfile.mkdtemp(prefix="rt_bloom_") + "/tbl"
+    path = scratch_dir(prefix="rt_bloom_") + "/tbl"
     import os as _os
 
     _os.makedirs(path)
@@ -1907,7 +1902,6 @@ def _q_snapshot_branch_merge(spark, sf_dir):
     4-commit lineage, the branch resets empty, and main never moved
     before the FF. The oracle replays upsert+delete algebra straight
     from the source slice."""
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -1918,7 +1912,7 @@ def _q_snapshot_branch_merge(spark, sf_dir):
         .where(F.col("o_orderkey") % 4 == 1)  # fixture trim
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
     )
-    path = tempfile.mkdtemp(prefix="rt_brmerge_") + "/tbl"
+    path = scratch_dir(prefix="rt_brmerge_") + "/tbl"
     snap.commit_append(src.where(F.col("o_orderkey") % 3 == 0), path)
     snap.create_branch(path, "etl")
     snap.commit_append_branch(
@@ -1998,7 +1992,6 @@ def _q_snapshot_branch_maintenance(spark, sf_dir):
     fast-forward publishes without spark (no pending sidecars left —
     pinned: the FF is metadata-only). The oracle replays the surviving
     rows straight from the source slice."""
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -2009,7 +2002,7 @@ def _q_snapshot_branch_maintenance(spark, sf_dir):
         .where(F.col("o_orderkey") % 4 == 2)  # fixture trim
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
     )
-    path = tempfile.mkdtemp(prefix="rt_brmaint_") + "/tbl"
+    path = scratch_dir(prefix="rt_brmaint_") + "/tbl"
     snap.commit_append(src.repartition(6), path)
     snap.create_branch(path, "maint")
     snap.delete_branch_rows_mor(spark, path, "maint",
@@ -2078,7 +2071,6 @@ def _q_snapshot_agg_pushdown(spark, sf_dir):
     the February-window slice. Every value is recomputed by the oracle
     from the source slice, so a stale or unsound stats shortcut cannot
     hide."""
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -2095,7 +2087,7 @@ def _q_snapshot_agg_pushdown(spark, sf_dir):
         )
         .coalesce(1)  # fixture trim: tiny slice, one writer task
     )
-    p1 = tempfile.mkdtemp(prefix="rt_aggmd_") + "/tbl"
+    p1 = scratch_dir(prefix="rt_aggmd_") + "/tbl"
     snap.commit_append(
         orders, p1,
         partition_spec=[

@@ -6,6 +6,8 @@ byte-pinned by tests/test_oracle_golden.py."""
 
 from __future__ import annotations
 
+from ratatool_spark.gates._common import scratch_dir
+
 
 # ----------------------------------------------------- events / streaming
 
@@ -199,7 +201,6 @@ def _q_stream_scd2(spark, sf_dir):
     the full-stream rebuild SQL — green means batch-at-a-time
     maintenance equals the rebuild no matter how the stream was cut."""
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -209,7 +210,7 @@ def _q_stream_scd2(spark, sf_dir):
     ev = load_tables(spark, sf_dir, names=("events",))["events"].select(
         "user_id", "ts", "event_type", "event_id"
     )
-    root = tempfile.mkdtemp(prefix="rt_scd2_")
+    root = scratch_dir(prefix="rt_scd2_")
     in_dir = os.path.join(root, "incoming")
     # three time-ordered arrival files -> three micro-batches
     ev.repartitionByRange(3, F.col("ts")).write.parquet(in_dir)
@@ -258,7 +259,6 @@ def _q_stream_sessionize(spark, sf_dir):
     the global rebuild regardless of how the stream was cut."""
     import datetime
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -277,7 +277,7 @@ def _q_stream_sessionize(spark, sf_dir):
         # user-count-independent
         .where(F.col("user_id") % 16 == 0)
     )
-    root = tempfile.mkdtemp(prefix="rt_sess_")
+    root = scratch_dir(prefix="rt_sess_")
     in_dir = os.path.join(root, "incoming")
     ev.repartitionByRange(3, F.col("ts")).write.parquet(in_dir)
     # sentinel: one event far past the last real one — after its batch

@@ -8,6 +8,8 @@ or fold greediness flips a merge and mismatches."""
 
 from __future__ import annotations
 
+from ratatool_spark.gates._common import scratch_dir
+
 from pyspark.sql import functions as F
 
 _SEP2 = "chr(2) || chr(2)"
@@ -165,7 +167,6 @@ def _q_wordpiece_segment(spark, sf_dir):
     re-encoding reproduces the trainer's final symbol state; the oracle
     replays training AND the per-word fold application."""
     import os
-    import tempfile
 
     from ratatool_spark.operators.wordpiece import (
         load_wordpiece_tokenizer,
@@ -179,7 +180,7 @@ def _q_wordpiece_segment(spark, sf_dir):
         docs, n_merges=_WP_N, batch=_WP_BATCH, pool=_WP_POOL,
         rounds=_WP_ROUNDS,
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="wp_tok_"), "wp.json")
+    path = os.path.join(scratch_dir(prefix="wp_tok_"), "wp.json")
     save_wordpiece_tokenizer(spark, path, merges)
     loaded, _ = load_wordpiece_tokenizer(spark, path)
     if loaded != merges:
