@@ -511,6 +511,7 @@ def rouge_ngram_pairs(
     threshold: float = 0.35,
     hasher: str = "portable",
     max_doc_freq: int | None = 1000,
+    kernel: str = "numpy",
 ) -> DataFrame:
     """ROUGE-n F1 similarity pairs (a < b) over word n-gram MULTISETS —
     the overlap criterion instruction-tuning pipelines use to filter
@@ -528,7 +529,19 @@ def rouge_ngram_pairs(
     ``max_doc_freq`` caps any posting list's df² contribution
     (clipping only loses intersection evidence for pruned grams, so a
     pruned pair can only score lower — never promoted past the
-    threshold). Returns (id_a, id_b, rouge_f)."""
+    threshold). Returns (id_a, id_b, rouge_f).
+
+    ``kernel="numpy"`` (default) enumerates the Σ df² in-array pair
+    combinations with one vectorized ``triu_indices`` gather per
+    posting list inside ``mapInPandas`` — the nested-``transform``
+    expression form is interpreted (no codegen) at ~µs/pair, and the
+    posting table is metadata-small after its aggregation so AQE
+    coalesces it to one task regardless of pair volume; the kernel path
+    round-robins posting lists across the cluster first (a #grams-row
+    shuffle, not data-scale). Clip sums are integer and
+    order-independent, so both kernels produce bit-identical scores
+    (pinned by ``test_rouge_kernel_matches_expr``). ``kernel="expr"``
+    keeps the pure-expression twin."""
     from ratatool_spark.functions.text import word_ngrams
 
     gr = df.select(
@@ -546,28 +559,32 @@ def rouge_ngram_pairs(
         .groupBy(F.col("e.id").alias("id"))
         .agg(F.sum("e.c").alias("n"))
     )
-    combos = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(
-                    x["id"].alias("id_a"),
-                    y["id"].alias("id_b"),
-                    F.least(x["c"], y["c"]).alias("m"),
-                ),
-            ),
-        )
-    )
     pair_source = grouped.where(F.size("ids") >= 2)
     if max_doc_freq is not None:
         pair_source = pair_source.where(F.size("ids") <= max_doc_freq)
-    inter = (
-        pair_source.select(F.explode(combos).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"),
-                 F.col("p.id_b").alias("id_b"))
-        .agg(F.sum("p.m").alias("clip"))
-    )
+    id_type = df.schema[id_col].dataType.simpleString()
+    if kernel == "numpy":
+        pairs = _rouge_pairs_kernel(pair_source, id_type)
+    else:
+        combos = F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                    lambda y: F.struct(
+                        x["id"].alias("id_a"),
+                        y["id"].alias("id_b"),
+                        F.least(x["c"], y["c"]).alias("m"),
+                    ),
+                ),
+            )
+        )
+        pairs = pair_source.select(F.explode(combos).alias("p")).select(
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
+            F.col("p.m").alias("m"),
+        )
+    inter = pairs.groupBy("id_a", "id_b").agg(F.sum("m").alias("clip"))
     scored = (
         inter.join(
             F.broadcast(sizes.withColumnRenamed("n", "na")),
@@ -587,6 +604,65 @@ def rouge_ngram_pairs(
         )
     )
     return scored.where(F.col("rouge_f") >= threshold)
+
+
+def _rouge_pairs_kernel(pair_source: DataFrame, id_type: str) -> DataFrame:
+    """Clipped i<j pair enumeration over posting lists, vectorized:
+    one ``triu_indices`` gather per list (the index pair is cached per
+    list length), buffered to ~4M pairs, partially aggregated with a
+    pandas groupby before crossing Arrow — the caller's
+    ``groupBy(id_a, id_b).sum(m)`` finishes the integer clip sums, so
+    the result is bit-identical to the expression twin. Posting lists
+    are round-robined across the cluster first: the posting table is
+    #grams rows (metadata-scale — the repartition shuffle is tiny) but
+    carries Σ df² pair work, which AQE's size-based coalescing would
+    otherwise pack onto one task."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = f"id_a {id_type}, id_b {id_type}, m long"
+
+    def gen(batches):
+        tri: dict[int, tuple] = {}
+        bufs: list[tuple] = []
+        pending = 0
+
+        def flush() -> pd.DataFrame:
+            a = np.concatenate([t[0] for t in bufs])
+            b = np.concatenate([t[1] for t in bufs])
+            m = np.concatenate([t[2] for t in bufs])
+            pdf = pd.DataFrame({"id_a": a, "id_b": b, "m": m})
+            return pdf.groupby(
+                ["id_a", "id_b"], as_index=False, sort=False
+            )["m"].sum()
+
+        for pdf in batches:
+            for lst in pdf["ids"]:
+                length = len(lst)
+                if length < 2:
+                    continue
+                if length not in tri:
+                    tri[length] = np.triu_indices(length, 1)
+                iu, ju = tri[length]
+                ids_arr = np.asarray([e["id"] for e in lst])
+                cs = np.asarray([e["c"] for e in lst], dtype=np.int64)
+                bufs.append(
+                    (ids_arr[iu], ids_arr[ju], np.minimum(cs[iu], cs[ju]))
+                )
+                pending += len(iu)
+                if pending >= 4_000_000:
+                    yield flush()
+                    bufs, pending = [], 0
+        if bufs:
+            yield flush()
+
+    sc = pair_source.sparkSession.sparkContext
+    n_parts = max(sc.defaultParallelism, 1)
+    return (
+        pair_source.select("ids")
+        .repartition(n_parts)
+        .mapInPandas(gen, schema=out_schema)
+    )
 
 
 def jaccard_verify(

@@ -1435,6 +1435,38 @@ def test_rouge_ngram_pairs_matches_bruteforce_random(spark):
         assert abs(got[k] - v) < 1e-9, k
 
 
+def test_rouge_kernel_matches_expr(spark):
+    """The numpy pair-enumeration kernel (r11: triu_indices gather +
+    in-task partial aggregation instead of the interpreted nested
+    transform) is bit-identical to the expression twin — integer clip
+    sums are order-independent, so the double F1s match exactly. Also
+    covers non-integer ids (the kernel gathers object arrays) and the
+    max_doc_freq prune interacting with both paths identically."""
+    import random
+
+    from ratatool_spark.operators.dedup import rouge_ngram_pairs
+
+    rng = random.Random(11)
+    vocab = ["red", "dog", "cat", "sat", "runs", "the", "a", "on"]
+    rows = [
+        (f"d{i:02d}", " ".join(rng.choice(vocab)
+                               for _ in range(rng.randrange(2, 20))))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    for kwargs in ({"threshold": 0.0}, {"threshold": 0.0, "max_doc_freq": 8}):
+        fast = sorted(
+            map(tuple, rouge_ngram_pairs(
+                docs, kernel="numpy", **kwargs).collect())
+        )
+        expr = sorted(
+            map(tuple, rouge_ngram_pairs(
+                docs, kernel="expr", **kwargs).collect())
+        )
+        assert fast == expr
+        assert len(fast) > 0
+
+
 def test_cos_scored_entries_bit_identical_to_composition(spark):
     """The bound/constant-folded centroid scorer (r11: row norm bound
     once, centroid norms Python-precomputed, one from_json constant)
