@@ -422,6 +422,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.1,
     hasher: str = "portable",
     max_doc_freq: int | None = 1000,
+    kernel: str = "numpy",
 ) -> DataFrame:
     """Exact Jaccard similarity pairs (a < b) over distinct word-n-gram
     sets: explode shingles, self-join on shingle, |A∩B| from the join,
@@ -440,7 +441,19 @@ def ngram_jaccard_pairs(
     shingles matters more than skew. Jaccard slightly *underestimates* on
     the affected pairs (per-doc sizes still count pruned shingles as
     non-shared), so it never promotes a pair across the threshold —
-    pruning can only drop candidates, never invent them."""
+    pruning can only drop candidates, never invent them.
+
+    ``kernel="numpy"`` (default) enumerates the Σ df² in-array i<j pair
+    combinations with vectorized ``triu`` gathers inside ``mapInPandas``
+    (see :func:`_pairs_kernel`) after round-robining the posting lists
+    across the cluster — the posting table is metadata-small after its
+    aggregation, so AQE's byte-based coalescing would otherwise pack the
+    whole quadratic pair workload onto ONE task regardless of cluster
+    width, and the interpreted nested-``transform`` expression costs
+    ~µs/pair. Pair counts are integers summed order-independently, so
+    both kernels are bit-identical (``test_jaccard_kernel_matches_expr``);
+    ``kernel="expr"`` keeps the pure-expression twin."""
+    _check_kernel(kernel)
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__s"),
@@ -467,25 +480,36 @@ def ngram_jaccard_pairs(
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    combos = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
     pair_source = grouped.where(F.size("ids") >= 2)
     if max_doc_freq is not None:
         # Sizes above were already computed from the unpruned index, so
         # pruning here only removes intersection evidence (conservative).
         pair_source = pair_source.where(F.size("ids") <= max_doc_freq)
-    inter = (
-        pair_source.select(F.explode(combos).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
+    if kernel == "numpy":
+        id_type = df.schema[id_col].dataType.simpleString()
+        pairs = _pairs_kernel(pair_source, id_type, counted=False)
+        # sum of the kernel's partial pair counts == the expression
+        # path's count(1) over the exploded combos: same integer.
+        inter = pairs.groupBy("id_a", "id_b").agg(
+            F.sum("m").alias("common")
+        )
+    else:
+        combos = F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
+        inter = (
+            pair_source.select(F.explode(combos).alias("p"))
+            .groupBy(
+                F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
+            )
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
     j = (
         inter.join(F.broadcast(sizes.withColumnRenamed("n", "na")), F.col("id_a") == F.col("id"))
         .drop("id")
@@ -544,6 +568,7 @@ def rouge_ngram_pairs(
     keeps the pure-expression twin."""
     from ratatool_spark.functions.text import word_ngrams
 
+    _check_kernel(kernel)
     gr = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_ngrams(F.col(text_col), n)).alias("__g"),
@@ -606,16 +631,70 @@ def rouge_ngram_pairs(
     return scored.where(F.col("rouge_f") >= threshold)
 
 
-def _rouge_pairs_kernel(pair_source: DataFrame, id_type: str) -> DataFrame:
-    """Clipped i<j pair enumeration over posting lists, vectorized:
-    one ``triu_indices`` gather per list (the index pair is cached per
-    list length), buffered to ~4M pairs, partially aggregated with a
-    pandas groupby before crossing Arrow — the caller's
-    ``groupBy(id_a, id_b).sum(m)`` finishes the integer clip sums, so
-    the result is bit-identical to the expression twin. Posting lists
-    are round-robined across the cluster first: the posting table is
-    #grams rows (metadata-scale — the repartition shuffle is tiny) but
-    carries Σ df² pair work, which AQE's size-based coalescing would
+# Bounds for the pair-enumeration kernel. _TRI_CACHE_MAX caps the
+# per-length triu_indices cache: an unbounded cache retains two int64
+# arrays of C(L, 2) entries per distinct list length for the life of the
+# task (up to GBs at max_doc_freq=1000 if most lengths occur); at 128 the
+# worst case is Σ_{L≤128} 16·C(L,2) ≈ 5.6 MB. _FLUSH_PAIRS bounds both the
+# cross-list pair buffer and, via _triu_blocks, the largest single gather —
+# no posting list materializes its full C(df, 2) pair block at once (with
+# max_doc_freq=None one 100k-df gram is 5e9 pairs ≈ 100+ GB otherwise).
+_TRI_CACHE_MAX = 128
+_FLUSH_PAIRS = 4_000_000
+
+
+def _triu_blocks(length: int, budget: int):
+    """Yield (iu, ju) int arrays covering every i<j index pair of a
+    ``length``-entry list, each block at most ~``budget`` pairs (one
+    i-row's j-range is further split when it alone exceeds the budget).
+    Same pair multiset as ``np.triu_indices(length, 1)``, streamed."""
+    import numpy as np
+
+    s = 0
+    while s < length - 1:
+        c0 = length - 1 - s
+        if c0 > budget:
+            # a single i-row exceeds the budget: stream its j-range
+            i_arr = np.full(budget, s, dtype=np.int64)
+            for j0 in range(s + 1, length, budget):
+                j_arr = np.arange(j0, min(j0 + budget, length))
+                yield i_arr[: len(j_arr)], j_arr
+            s += 1
+            continue
+        e, acc = s, 0
+        while e < length - 1:
+            c = length - 1 - e
+            if acc and acc + c > budget:
+                break
+            acc += c
+            e += 1
+        rows = np.arange(s, e)
+        lens = length - 1 - rows
+        iu = np.repeat(rows, lens)
+        # j for the k-th pair of row i is (i+1) + (k - start_of_i's_run)
+        run0 = np.repeat(np.cumsum(lens) - lens, lens)
+        ju = np.repeat(rows + 1, lens) + (np.arange(lens.sum()) - run0)
+        yield iu, ju
+        s = e
+
+
+def _pairs_kernel(
+    pair_source: DataFrame, id_type: str, counted: bool
+) -> DataFrame:
+    """i<j pair enumeration over posting lists, vectorized: one
+    ``triu_indices`` gather per list (index pairs cached per list length
+    up to ``_TRI_CACHE_MAX``; longer lists stream through
+    :func:`_triu_blocks` so no single list materializes C(df, 2) pairs
+    at once), buffered to ~``_FLUSH_PAIRS`` pairs, partially aggregated
+    with a pandas groupby before crossing Arrow — the caller's
+    ``groupBy(id_a, id_b).sum(m)`` finishes the integer sums, so the
+    result is bit-identical to the nested-``transform`` expression twin
+    (``counted=True``: lists are (id, c) structs and m = min(c_i, c_j),
+    the ROUGE clip; ``counted=False``: lists are bare ids and m ≡ 1, so
+    sum(m) = the pair count the set-based callers aggregate). Posting
+    lists are round-robined across the cluster first: the posting table
+    is #grams rows (metadata-scale — the repartition shuffle is tiny)
+    but carries Σ df² pair work, which AQE's size-based coalescing would
     otherwise pack onto one task."""
     import numpy as np
     import pandas as pd
@@ -632,8 +711,11 @@ def _rouge_pairs_kernel(pair_source: DataFrame, id_type: str) -> DataFrame:
             b = np.concatenate([t[1] for t in bufs])
             m = np.concatenate([t[2] for t in bufs])
             pdf = pd.DataFrame({"id_a": a, "id_b": b, "m": m})
+            # dropna=False: NULL doc ids must survive the partial
+            # aggregation exactly as Spark's groupBy keeps them on the
+            # expression path (pandas drops NaN group keys by default)
             return pdf.groupby(
-                ["id_a", "id_b"], as_index=False, sort=False
+                ["id_a", "id_b"], as_index=False, sort=False, dropna=False
             )["m"].sum()
 
         for pdf in batches:
@@ -641,18 +723,29 @@ def _rouge_pairs_kernel(pair_source: DataFrame, id_type: str) -> DataFrame:
                 length = len(lst)
                 if length < 2:
                     continue
-                if length not in tri:
-                    tri[length] = np.triu_indices(length, 1)
-                iu, ju = tri[length]
-                ids_arr = np.asarray([e["id"] for e in lst])
-                cs = np.asarray([e["c"] for e in lst], dtype=np.int64)
-                bufs.append(
-                    (ids_arr[iu], ids_arr[ju], np.minimum(cs[iu], cs[ju]))
-                )
-                pending += len(iu)
-                if pending >= 4_000_000:
-                    yield flush()
-                    bufs, pending = [], 0
+                if counted:
+                    ids_arr = np.asarray([e["id"] for e in lst])
+                    cs = np.asarray([e["c"] for e in lst], dtype=np.int64)
+                else:
+                    ids_arr = np.asarray(list(lst))
+                    cs = None
+                if length <= _TRI_CACHE_MAX:
+                    if length not in tri:
+                        tri[length] = np.triu_indices(length, 1)
+                    blocks = (tri[length],)
+                else:
+                    blocks = _triu_blocks(length, _FLUSH_PAIRS)
+                for iu, ju in blocks:
+                    mv = (
+                        np.minimum(cs[iu], cs[ju])
+                        if cs is not None
+                        else np.ones(len(iu), dtype=np.int64)
+                    )
+                    bufs.append((ids_arr[iu], ids_arr[ju], mv))
+                    pending += len(iu)
+                    if pending >= _FLUSH_PAIRS:
+                        yield flush()
+                        bufs, pending = [], 0
         if bufs:
             yield flush()
 
@@ -663,6 +756,16 @@ def _rouge_pairs_kernel(pair_source: DataFrame, id_type: str) -> DataFrame:
         .repartition(n_parts)
         .mapInPandas(gen, schema=out_schema)
     )
+
+
+def _rouge_pairs_kernel(pair_source: DataFrame, id_type: str) -> DataFrame:
+    """Clipped-count pair kernel — see :func:`_pairs_kernel`."""
+    return _pairs_kernel(pair_source, id_type, counted=True)
+
+
+def _check_kernel(kernel: str) -> None:
+    if kernel not in ("numpy", "expr"):
+        raise ValueError(f"kernel must be 'numpy' or 'expr', got {kernel!r}")
 
 
 def jaccard_verify(
@@ -1872,6 +1975,7 @@ def winnow_candidate_pairs(
     window: int = 4,
     min_shared: int = 2,
     max_fp_freq: int | None = 1000,
+    kernel: str = "numpy",
 ) -> DataFrame:
     """Shared-winnowing-fingerprint candidate pairs (a < b) — the MOSS
     pipeline (Schleimer et al. SIGMOD'03) distributed: winnow each
@@ -1887,9 +1991,17 @@ def winnow_candidate_pairs(
     ONE posting-list exchange feeds pair generation, winnowing keeps only
     ~1/window of gram hashes in the index, and ``max_fp_freq`` caps any
     posting's df² contribution (boilerplate fingerprints dropped BEFORE
-    pair expansion). Never all-pairs."""
+    pair expansion). Never all-pairs.
+
+    ``kernel="numpy"`` (default) enumerates the i<j pair combinations
+    with vectorized ``triu`` gathers inside ``mapInPandas`` (see
+    :func:`_pairs_kernel`; same rationale and bit-identical counts as
+    :func:`ngram_jaccard_pairs` — pinned by
+    ``test_winnow_kernel_matches_expr``); ``kernel="expr"`` keeps the
+    pure-expression twin."""
     from ratatool_spark.functions.text import winnow_fingerprints
 
+    _check_kernel(kernel)
     fps = (
         df.select(
             F.col(id_col).alias("id"),
@@ -1903,24 +2015,33 @@ def winnow_candidate_pairs(
     grouped = _persist(
         fps.groupBy("fp").agg(F.array_sort(F.collect_list("id")).alias("ids"))
     )
+    pair_source = grouped.where(F.size("ids") >= 2)
     if max_fp_freq is not None:
-        grouped = grouped.where(F.size("ids") <= max_fp_freq)
-    combos = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
+        pair_source = pair_source.where(F.size("ids") <= max_fp_freq)
+    if kernel == "numpy":
+        id_type = df.schema[id_col].dataType.simpleString()
+        shared = (
+            _pairs_kernel(pair_source, id_type, counted=False)
+            .groupBy("id_a", "id_b")
+            .agg(F.sum("m").alias("n_shared"))
         )
-    )
-    return (
-        grouped.select(F.explode(combos).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .where(F.col("n_shared") >= min_shared)
-    )
+    else:
+        combos = F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
+        shared = (
+            pair_source.select(F.explode(combos).alias("p"))
+            .select("p.id_a", "p.id_b")
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+        )
+    return shared.where(F.col("n_shared") >= min_shared)
 
 
 def pair_recall_by_band(

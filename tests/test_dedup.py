@@ -1467,6 +1467,164 @@ def test_rouge_kernel_matches_expr(spark):
         assert len(fast) > 0
 
 
+def test_jaccard_kernel_matches_expr(spark):
+    """The numpy pair-enumeration kernel (r12: ported from rouge — the
+    posting table is metadata-small, so AQE packed the Σ df² pair work
+    onto one task on the expression path) must be bit-identical to the
+    expression twin: pair counts are integers summed order-independently,
+    so the double Jaccards match exactly. Covers the max_doc_freq prune
+    on both paths."""
+    import random
+
+    from ratatool_spark.operators.dedup import ngram_jaccard_pairs
+
+    rng = random.Random(12)
+    vocab = ["red", "dog", "cat", "sat", "runs", "the", "a", "on"]
+    rows = [
+        (i, " ".join(rng.choice(vocab)
+                     for _ in range(rng.randrange(4, 24))))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for kwargs in ({"threshold": 0.0}, {"threshold": 0.0, "max_doc_freq": 8}):
+        fast = sorted(
+            map(tuple, ngram_jaccard_pairs(
+                docs, kernel="numpy", **kwargs).collect())
+        )
+        expr = sorted(
+            map(tuple, ngram_jaccard_pairs(
+                docs, kernel="expr", **kwargs).collect())
+        )
+        assert fast == expr
+        assert len(fast) > 0
+
+
+def test_winnow_kernel_matches_expr(spark):
+    """Winnow candidate pairs: numpy kernel ≡ expression twin, including
+    string ids (object-array gathers) and the max_fp_freq prune."""
+    import random
+
+    from ratatool_spark.operators.dedup import winnow_candidate_pairs
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    boiler = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (
+            f"d{i:02d}",
+            (boiler + " " if i % 3 == 0 else "")
+            + " ".join(rng.choice(vocab) for _ in range(rng.randrange(8, 30))),
+        )
+        for i in range(24)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    for kwargs in ({"min_shared": 1}, {"min_shared": 1, "max_fp_freq": 6}):
+        fast = sorted(
+            map(tuple, winnow_candidate_pairs(
+                docs, kernel="numpy", **kwargs).collect())
+        )
+        expr = sorted(
+            map(tuple, winnow_candidate_pairs(
+                docs, kernel="expr", **kwargs).collect())
+        )
+        assert fast == expr
+        assert len(fast) > 0
+
+
+def test_pairs_kernel_null_ids_match_expr(spark):
+    """NULL doc ids reach rouge postings (struct(id, c) is non-null even
+    when id is) and must survive the kernel's pandas partial aggregation
+    exactly as Spark's null-safe groupBy keeps them on the expression
+    path (dropna=False — r12 ADVICE fix). Downstream the sizes equi-join
+    drops null-id pairs on BOTH paths, so the kernel itself is pinned
+    here, plus the end-to-end agreement."""
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.dedup import (
+        _pairs_kernel,
+        rouge_ngram_pairs,
+    )
+
+    src = spark.createDataFrame(
+        [
+            ([{"id": None, "c": 2}, {"id": "a", "c": 1},
+              {"id": "b", "c": 3}],),
+            ([{"id": None, "c": 5}, {"id": "a", "c": 4}],),
+        ],
+        "ids array<struct<id string, c long>>",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["m"]
+        for r in _pairs_kernel(src, "string", counted=True)
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("m").alias("m"))
+        .collect()
+    }
+    # null ids participate with clip = min(c_i, c_j); the (None, a) pair
+    # aggregates ACROSS lists (1 + 4) — dropped entirely before the fix
+    assert got == {(None, "a"): 5, (None, "b"): 2, ("a", "b"): 1}
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "the red dog sat on the red dog mat"),
+            ("b", "the red dog sat on a blue mat"),
+            (None, "the red dog sat on the mat again"),
+        ],
+        "doc_id string, text string",
+    )
+    fast = sorted(
+        map(tuple, rouge_ngram_pairs(
+            docs, threshold=0.0, kernel="numpy").collect())
+    )
+    expr = sorted(
+        map(tuple, rouge_ngram_pairs(
+            docs, threshold=0.0, kernel="expr").collect())
+    )
+    assert fast == expr and len(fast) > 0
+
+
+def test_triu_blocks_cover_all_pairs():
+    """_triu_blocks streams the same i<j multiset as np.triu_indices for
+    every (length, budget) shape: multi-row blocks, single-row j-splits
+    (one row's pairs > budget), and the trivial small case."""
+    import numpy as np
+
+    from ratatool_spark.operators.dedup import _triu_blocks
+
+    for length, budget in [(2, 1), (5, 3), (10, 4), (10, 100), (37, 7),
+                           (10, 2), (6, 1)]:
+        got = []
+        for iu, ju in _triu_blocks(length, budget):
+            assert len(iu) == len(ju)
+            # no block exceeds the budget unless a single j-run was
+            # already split to the budget
+            assert len(iu) <= budget
+            got.extend(zip(iu.tolist(), ju.tolist()))
+        iu, ju = np.triu_indices(length, 1)
+        want = list(zip(iu.tolist(), ju.tolist()))
+        assert sorted(got) == sorted(want)
+        assert len(got) == len(want)  # no duplicates
+
+
+def test_pair_kernel_arg_validated(spark):
+    """kernel= must be 'numpy' or 'expr' — a typo silently changing the
+    execution plan is the r12 ADVICE fix."""
+    import pytest as _pt
+
+    from ratatool_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        rouge_ngram_pairs,
+        winnow_candidate_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", "x y z")], "doc_id string, text string")
+    for fn in (ngram_jaccard_pairs, rouge_ngram_pairs,
+               winnow_candidate_pairs):
+        with _pt.raises(ValueError, match="kernel"):
+            fn(docs, kernel="np")
+
+
 def test_cos_scored_entries_bit_identical_to_composition(spark):
     """The bound/constant-folded centroid scorer (r11: row norm bound
     once, centroid norms Python-precomputed, one from_json constant)
