@@ -54,6 +54,34 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     total = round(sum(v for v in timings.values() if v > 0), 3)
+    # Persist the per-query timings to files as well (r11 PERF lost all
+    # per-query evidence: the driver's capture tail-truncates stdout and
+    # the big per-query line below does not survive it). Stdout format is
+    # UNCHANGED — the big line and the final compact line print exactly
+    # as before; these sidecar files only ADD evidence. The cpus-suffixed
+    # copy survives the driver's lower-core control run overwriting the
+    # plain one.
+    perq = {
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+        "n_queries": len(timings),
+        "n_errors": sum(1 for v in timings.values() if v < 0),
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    for fname in (
+        "BENCH_perquery.json",
+        f"BENCH_perquery_c{perq['cpus'] or 'NA'}.json",
+    ):
+        try:
+            with open(os.path.join(here, fname), "w") as fh:
+                json.dump(perq, fh)
+                fh.write("\n")
+        except OSError as e:  # never let evidence writing break the bench
+            print(f"# bench: could not write {fname}: {e}", file=sys.stderr)
     print(
         json.dumps(
             {
