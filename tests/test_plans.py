@@ -672,3 +672,38 @@ def test_compaction_plan_metadata_window_only(spark):
     assert "Exchange rangepartitioning" in p
     # the running-sum window is keyed by partition id, never global
     assert "windowspecdefinition(__pid" in p
+
+
+def test_mor_sidecar_anti_join_no_distinct_exchange(spark, tmp_path):
+    # MoR read with a LIVE equality-delete sidecar (r11 dropped the
+    # sidecar .distinct(); r12 pins it after the r11 plan dumps captured
+    # a read with no live sidecar — void evidence): the anti-join build
+    # side must be scan -> [filter/project/cast] -> BroadcastExchange
+    # with NO aggregate (the distinct) and NO shuffle Exchange anywhere
+    # in the read plan. Writers publish sidecars pre-distincted and a
+    # left_anti build side is duplicate-insensitive.
+    from pyspark.sql import functions as F
+
+    from ratatool_spark.operators.snapshots import (
+        commit_append,
+        merge_snapshot_mor,
+        read_manifest,
+        read_snapshot,
+    )
+
+    base = spark.range(0, 200).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("part"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    path = str(tmp_path / "mor_tbl")
+    commit_append(base, path)
+    changes = base.where(F.col("k") < 40).withColumn(
+        "v", F.col("v") * F.lit(2.0)
+    )
+    merge_snapshot_mor(spark, path, changes, ["k"])
+    assert read_manifest(path)["deletes"], "fixture must have a live sidecar"
+    p = read_snapshot(spark, path)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "HashAggregate" not in p and "SortAggregate" not in p
+    assert n_exchanges(p) == 0
