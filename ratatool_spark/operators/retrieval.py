@@ -335,11 +335,28 @@ def save_bm25_index(
     statistics AND the analyzer parameter, so a query-time mismatch
     (different lowercase setting than the build) is impossible rather
     than silently wrong — same sidecar pattern as the classifier model
-    artifacts (``operators/corpus.py``)."""
-    postings, dfreq, stats = build_bm25_postings(docs, id_col, text_col, lowercase)
+    artifacts (``operators/corpus.py``).
+
+    The corpus is tokenized exactly ONCE (r12): ``dfreq`` and the stats
+    sidecar are derived from the freshly WRITTEN postings parquet, not
+    from their original plans — as separate actions those re-ran the
+    tokenize + posting shuffle per output (three full corpus passes).
+    Exactness: postings hold one row per (doc_id, term) with ``dl``
+    riding every row, so ``count by term`` = dfreq and the distinct
+    (doc_id, dl) aggregate = (n_docs, total_dl), integer-identical to
+    the single-pass values."""
+    postings, _, _ = build_bm25_postings(docs, id_col, text_col, lowercase)
     postings.write.mode("overwrite").parquet(os.path.join(path, "postings"))
-    dfreq.write.mode("overwrite").parquet(os.path.join(path, "dfreq"))
-    row = stats.collect()[0]
+    stored = docs.sparkSession.read.parquet(os.path.join(path, "postings"))
+    stored.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "dfreq"))
+    row = (
+        stored.select("doc_id", "dl")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl"))
+        .collect()[0]
+    )
     side = {
         "n_docs": row["n_docs"],
         "total_dl": int(row["total_dl"]),
@@ -395,12 +412,24 @@ def update_bm25_index(
     with open(os.path.join(path, "stats.json")) as fh:
         side = json.load(fh)
     lowercase = bool(side["lowercase"])
-    new_post, new_dfreq, new_stats = build_bm25_postings(
+    new_post, new_dfreq, _ = build_bm25_postings(
         new_docs, id_col, text_col, lowercase
     )
     new_post = new_post.persist()
     try:
-        nrow = new_stats.collect()[0]
+        # batch stats from the persisted postings (one row per doc via
+        # distinct (doc_id, dl)) — integer-identical to the base-level
+        # aggregate, saves a second tokenize pass over the new batch,
+        # and warms the cache the merged writes below reuse
+        nrow = (
+            new_post.select("doc_id", "dl")
+            .distinct()
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("dl").alias("total_dl"),
+            )
+            .collect()[0]
+        )
         n_new, dl_new = nrow["n_docs"], int(nrow["total_dl"] or 0)
 
         old_post = spark.read.parquet(os.path.join(path, "postings"))
